@@ -1,0 +1,87 @@
+"""Engine configuration.
+
+Mirrors the knobs of /root/reference/conf/nutch-default.xml that affect query
+semantics (not crawler networking).  Defaults match the reference so that
+behavioural tests line up; everything is a plain dataclass field, no Hadoop
+Configuration machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class NutchConfig:
+    # --- injector (crawl/Injector.java:336-350) -------------------------------
+    inject_update: bool = False          # db.injector.update
+    inject_overwrite: bool = False       # db.injector.overwrite
+    score_injected: float = 1.0          # db.score.injected
+    fetch_interval_default: int = 2_592_000  # db.fetch.interval.default (30 d)
+    fetch_interval_max: int = 7_776_000      # db.fetch.interval.max (90 d)
+
+    # --- generator (crawl/Generator.java) -------------------------------------
+    generate_min_score: float = 0.0      # generate.min.score
+    generate_max_count: int = -1         # generate.max.count (per host/domain)
+    generate_count_mode: str = "host"    # generate.count.mode: host|domain
+    generate_max_num_segments: int = 1   # -maxNumSegments
+    partition_mode: str = "host"         # partition.url.mode: host|domain|ip
+
+    # --- updatedb (crawl/CrawlDbReducer.java) ----------------------------------
+    retry_max: int = 3                   # db.fetch.retry.max
+    update_max_inlinks: int = 10_000     # db.update.max.inlinks
+    additions_allowed: bool = True       # db.update.additions.allowed
+    purge_404: bool = False              # db.update.purge.404
+    purge_orphans: bool = False          # db.update.purge.orphans
+
+    # --- adaptive fetch schedule (crawl/AdaptiveFetchSchedule.java:78-370) -----
+    adaptive_inc_rate: float = 0.4       # db.fetch.schedule.adaptive.inc_rate
+    adaptive_dec_rate: float = 0.2       # db.fetch.schedule.adaptive.dec_rate
+    adaptive_min_interval: int = 60      # ...adaptive.min_interval
+    adaptive_max_interval: int = 31_536_000  # ...adaptive.max_interval (365 d)
+    adaptive_sync_delta: bool = True     # ...adaptive.sync_delta
+    adaptive_sync_delta_rate: float = 0.3
+
+    # --- linkdb (crawl/LinkDb.java, LinkDbMerger.java:95-110) ------------------
+    linkdb_max_inlinks: int = 10_000     # linkdb.max.inlinks
+    linkdb_max_anchor_length: int = 100  # linkdb.max.anchor.length
+    linkdb_ignore_internal_links: bool = True
+    linkdb_ignore_external_links: bool = False
+
+    # --- outlinks (parse/ParseOutputFormat.java:150-362) -----------------------
+    max_outlinks_per_page: int = 100     # db.max.outlinks.per.page
+    max_outlink_length: int = 4096       # db.max.outlink.length
+    ignore_internal_links: bool = False  # db.ignore.internal.links
+    ignore_external_links: bool = False  # db.ignore.external.links
+
+    # --- dedup (crawl/DeduplicationJob.java) -----------------------------------
+    dedup_group_mode: str = "none"       # deduplication.group.mode: none|host|domain
+    dedup_compare_order: tuple[str, ...] = ("score", "fetchTime", "httpsOverHttp", "urlLength")
+
+    # --- scoring (scoring-opic OPICScoringFilter.java:85-187) ------------------
+    score_internal_factor: float = 1.0   # db.score.link.internal
+    score_external_factor: float = 1.0   # db.score.link.external
+    score_count_filtered: bool = False   # db.score.count.filtered
+    link_score_updater_clear_score: float = 0.0  # link.score.updater.clear.score
+
+    # --- linkrank (scoring/webgraph/LinkRank.java) ------------------------------
+    linkrank_iterations: int = 10        # link.analyze.num.iterations
+    linkrank_damping: float = 0.85       # link.analyze.damping.factor
+    linkrank_initial_score: float = 1.0  # link.analyze.initial.score
+    webgraph_delete_gone: bool = False   # link.delete.gone
+
+    # --- hostdb (conf/nutch-default.xml:2957-2974) ------------------------------
+    hostdb_numeric_fields: tuple[str, ...] = ()
+    hostdb_string_fields: tuple[str, ...] = ()
+    hostdb_percentiles: tuple[int, ...] = (50, 75, 95, 99)
+
+    # --- stats (crawl/CrawlDbReader.java:706-707) -------------------------------
+    stats_score_quantiles: tuple[float, ...] = (
+        0.01, 0.05, 0.1, 0.2, 0.25, 0.3, 0.4, 0.5,
+        0.6, 0.7, 0.75, 0.8, 0.9, 0.95, 0.99,
+    )
+
+    extras: dict = field(default_factory=dict)
+
+
+DEFAULT = NutchConfig()

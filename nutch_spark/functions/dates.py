@@ -1,0 +1,49 @@
+"""Multi-format date parsing.
+
+The reference parses HTTP dates with a cascade of formats
+(/root/reference/src/java/org/apache/nutch/util/HttpDateFormat.java and
+src/plugin/index-more/.../MoreIndexingFilter.java:93-162 which tries ~10
+patterns before giving up).  ``parse_http_date`` mirrors the cascade with a
+single COALESCE of try_to_timestamp calls — JVM-side, null on failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Formats tried by MoreIndexingFilter.java:120-141 (Java SimpleDateFormat →
+# Spark datetime pattern equivalents).  Spark >= 3 refuses day-of-week ('EEE')
+# in *parsing* patterns, so the weekday prefix is stripped from the input
+# instead (it carries no information).
+_FORMATS = (
+    "MMM dd HH:mm:ss yyyy",
+    "MMM dd HH:mm:ss yyyy zzz",
+    "dd MMM yyyy HH:mm:ss zzz",
+    "dd MMM yyyy HH:mm:ss",
+    "dd-MMM-yy HH:mm:ss zzz",
+    "yyyy/MM/dd HH:mm:ss.SSS zzz",
+    "yyyy/MM/dd HH:mm:ss.SSS",
+    "yyyy/MM/dd HH:mm:ss zzz",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "yyyy.MM.dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "MMM dd yyyy HH:mm:ss zzz",
+    "dd.MM.yyyy HH:mm:ss zzz",
+    "dd MM yyyy HH:mm:ss zzz",
+    "dd.MM.yyyy",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+)
+
+
+def parse_http_date(col: Column | str) -> Column:
+    """Best-effort timestamp from an HTTP header date string (NULL if none fit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # drop "Sun, " / "Sun " weekday prefixes (parser rejects EEE patterns)
+    c = F.regexp_replace(c, r"^[A-Za-z]{3},?\s*", "")
+    # normalize "GMT"-style zone names the new parser rejects in some spots
+    attempts = [F.try_to_timestamp(c)]
+    attempts += [F.try_to_timestamp(c, F.lit(fmt)) for fmt in _FORMATS]
+    return F.coalesce(*attempts)

@@ -1,0 +1,194 @@
+"""URL part extraction, normalization and filtering as column expressions.
+
+Reference behaviour:
+- host/domain/page/protocol: /root/reference/src/java/org/apache/nutch/util/URLUtil.java
+  (getHost, getDomainName, getDomainSuffix, getPage), used by e.g.
+  crawl/Generator.java:564-567 and util/DomainStatistics.java.
+- normalization chain: src/plugin/urlnormalizer-basic/.../BasicURLNormalizer.java:44-63,169-230
+  (lowercase scheme+host, strip default ports, remove trailing '#...' refs,
+  resolve /./ and /../, collapse duplicate slashes, drop session ids).
+- filters: src/plugin/urlfilter-{regex,prefix,suffix,domain}/ — regex
+  allow/deny chains, prefix tries, domain lists.
+
+Everything is built-in-function based (parse_url / regexp_replace / lower) so
+Catalyst keeps it inside whole-stage codegen; no Python UDFs.
+
+eTLD+1: the reference embeds a public-suffix table (conf/domain-suffixes.xml).
+We ship a compact set of multi-label public suffixes; ``url_domain`` computes
+registrable domain = one label left of the longest matching public suffix.
+For full parity with the live PSL, pass a custom ``suffixes`` list (it becomes
+a literal IN set — effectively a broadcast lookup, never a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Common multi-label public suffixes (subset of the PSL / the reference's
+# conf/domain-suffixes.xml). Single-label TLDs need no table: eTLD+1 is then
+# just the last two labels.
+_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "web.za",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
+    "co.kr", "or.kr", "go.kr",
+)
+
+
+def url_protocol(url: Column | str) -> Column:
+    """Scheme of the URL, lowercased (URLUtil.java getProtocol)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname, lowercased, port stripped (URLUtil.getHost)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_page(url: Column | str) -> Column:
+    """Path component ("page", URLUtil.getPage)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def url_tld(url: Column | str) -> Column:
+    """Last label of the host (util/DomainStatistics MODE_TLD)."""
+    host = url_host(url)
+    return F.element_at(F.split(host, r"\."), -1)
+
+
+def url_domain(url: Column | str, suffixes: tuple[str, ...] = _MULTI_SUFFIXES) -> Column:
+    """Registrable domain (eTLD+1), URLUtil.getDomainName semantics.
+
+    host = a.b.example.co.uk -> example.co.uk; a.b.example.com -> example.com.
+    The multi-label suffix set is a literal lookup (no shuffle, no UDF).
+    """
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1))
+    suffix_set = [F.lit(s) for s in suffixes]
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*suffix_set), F.when(n >= 3, last3).otherwise(host))
+        .otherwise(last2)
+    )
+
+
+def url_sld(url: Column | str) -> Column:
+    """Second-level grouping used by DomainStatistics MODE_DOMAIN."""
+    return url_domain(url)
+
+
+# ---------------------------------------------------------------------------
+# Normalization — BasicURLNormalizer.java:44-63,66-95,169-230
+# ---------------------------------------------------------------------------
+
+def normalize_url(url: Column | str, *, strip_session_ids: bool = True) -> Column:
+    """Chain of the basic + querystring normalizer rules as one expression.
+
+    Steps (each cites the reference rule it mirrors):
+    1. trim whitespace
+    2. lowercase scheme and host                (BasicURLNormalizer.java:169-190)
+    3. drop default ports :80/:443              (:191-199)
+    4. remove fragment '#...'                   (:200-204)
+    5. collapse /./ and resolve /../ segments   (:66-95)
+    6. collapse duplicate slashes in path       (regex rule set)
+    7. drop well-known session-id query params  (urlnormalizer-querystring)
+    8. empty path -> '/'
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.trim(c)
+    # lowercase scheme
+    c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", r"$1:")
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    # split host[:port] / path?query#frag
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 20))
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "ftp") & (port == "21"))
+    )
+    host_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    # strip trailing dot on host
+    host_norm = F.regexp_replace(host_norm, r"\.$", "")
+    # fragment off
+    tail = F.regexp_replace(tail, r"#.*$", "")
+    # resolve /./ then /seg/../ (applied repeatedly via nested replace passes)
+    for _ in range(4):
+        tail = F.regexp_replace(tail, r"/\./", "/")
+        tail = F.regexp_replace(tail, r"/[^/]+/\.\./", "/")
+    tail = F.regexp_replace(tail, r"/{2,}", "/")
+    if strip_session_ids:
+        # urlnormalizer-querystring / regex-normalize.xml default rules
+        sess = r"(?i)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)=[^&]*&?"
+        tail = F.regexp_replace(tail, r"\?" + sess, "?")
+        tail = F.regexp_replace(tail, r"&" + sess, "&")
+        tail = F.regexp_replace(tail, r"[?&]$", "")
+    path = F.when(tail == "", F.lit("/")).otherwise(tail)
+    normalized = F.concat(scheme, F.lit("://"), host_norm, path)
+    # non-hierarchical or schemeless URLs pass through trimmed
+    return F.when(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", 0) == "", c).otherwise(
+        normalized
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters — net/URLFilters.java chain semantics: a URL survives only if no
+# deny rule rejects it and (if allow rules exist) some allow rule accepts it.
+# ---------------------------------------------------------------------------
+
+def url_filter_predicate(
+    url: Column | str,
+    *,
+    allow_regex: list[str] | None = None,
+    deny_regex: list[str] | None = None,
+    allow_prefixes: list[str] | None = None,
+    deny_suffixes: list[str] | None = None,
+    deny_domains: list[str] | None = None,
+) -> Column:
+    """Composite boolean predicate mirroring the urlfilter-* plugin chain.
+
+    - regex allow/deny: urlfilter-regex (conf/regex-urlfilter.txt semantics)
+    - prefix allow:     urlfilter-prefix  (startswith trie -> OR of startswith)
+    - suffix deny:      urlfilter-suffix  (file-extension blocking)
+    - domain deny:      urlfilter-domaindenylist (literal IN set on eTLD+1)
+
+    All literal lists compile to IN / startswith expressions — at scale these
+    behave like broadcast lookups. For very large deny lists (>100k), join
+    against a broadcast DataFrame instead.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    pred = F.lit(True)
+    for rx in deny_regex or []:
+        pred = pred & ~c.rlike(rx)
+    if allow_regex:
+        allow = F.lit(False)
+        for rx in allow_regex:
+            allow = allow | c.rlike(rx)
+        pred = pred & allow
+    if allow_prefixes:
+        allow = F.lit(False)
+        for p in allow_prefixes:
+            allow = allow | c.startswith(p)
+        pred = pred & allow
+    for s in deny_suffixes or []:
+        pred = pred & ~F.lower(c).endswith(s.lower())
+    if deny_domains:
+        pred = pred & ~url_domain(c).isin(*[F.lit(d.lower()) for d in deny_domains])
+    return pred

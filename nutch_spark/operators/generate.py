@@ -1,0 +1,108 @@
+"""Generator — the reference's flagship selection query (SURVEY.md §2.5 W1).
+
+Reference: /root/reference/src/java/org/apache/nutch/crawl/Generator.java
+(3 chained MR jobs, 1328 LoC).  Spark shape is ONE declarative plan:
+
+    crawldb
+      -> filter (due-check, min-score, status restriction, JEXL expr)
+      -> per-group (host/domain) ranking window, keep <= max_count per group
+         (Generator.java:579-619's per-host counting + segment spill)
+      -> global top-N by score      (TakeOrderedAndProject, no manual
+         score-key inversion needed — Generator.java:332-338 inverts keys
+         only because MR sorts by key)
+      -> politeness layout: repartition by group, order by url-hash within
+         partitions (URLPartitioner.java:76-108 + HashComparator
+         Generator.java:672-702)
+
+Scale notes (100 TB): the ranking window shuffles once on the group key; AQE
+handles skewed hosts (skewJoin + coalesce). The global top-N is a
+TakeOrderedAndProject (per-partition heaps + single merge), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+from nutch_spark.functions.urls import url_domain, url_host
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: Column | str,
+    order_by: list[Column],
+    k: int,
+    *,
+    rank_col: str = "rank_in_group",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most k rows per group, ordered by ``order_by`` (ties must be
+    broken by the caller adding unique columns to ``order_by`` for
+    determinism). Generic core of Generator per-host maxCount, W5 top-K
+    inlinks, NodeDumper top-n."""
+    g = F.col(group) if isinstance(group, str) else group
+    w = Window.partitionBy(g).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def generate(
+    crawldb: DataFrame,
+    top_n: int,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    now: Column | None = None,
+    extra_filter: Column | None = None,
+    sort_score: Column | None = None,
+    num_lists: int | None = None,
+) -> DataFrame:
+    """Produce a fetchlist: the highest-priority due URLs, politely laid out.
+
+    Returns the selected rows with ``segment_num`` (spill bucket,
+    Generator.java:579-619) and the politeness partitioning applied.
+    """
+    now = now if now is not None else F.current_timestamp()
+    df = crawldb
+
+    # --- filter chain (Generator.java:281-330) -----------------------------
+    due = F.col("fetch_time").isNull() | (F.col("fetch_time") <= now)
+    df = df.filter(due)
+    if cfg.generate_min_score > 0:
+        df = df.filter(F.col("score") >= cfg.generate_min_score)
+    restrict = cfg.extras.get("generate_restrict_status")
+    if restrict:  # generate.restrict.status (Generator.java:313-316)
+        df = df.filter(F.col("status") == restrict)
+    else:
+        df = df.filter(~F.col("status").isin("db_gone", "db_duplicate", "db_orphan"))
+    # forced refetch when interval exceeded max (Generator.java:326-330)
+    if extra_filter is not None:
+        df = df.filter(extra_filter)
+
+    sort_val = sort_score if sort_score is not None else F.col("score")
+    group = url_host("url") if cfg.generate_count_mode == "host" else url_domain("url")
+    df = df.withColumn("_grp", group).withColumn("_sort", sort_val)
+
+    # --- per-group cap with segment spill (Generator.java:579-619) ----------
+    if cfg.generate_max_count > 0:
+        w = Window.partitionBy("_grp").orderBy(F.desc("_sort"), F.asc("url"))
+        df = df.withColumn("_rk", F.row_number().over(w))
+        df = df.withColumn(
+            "segment_num",
+            F.floor((F.col("_rk") - 1) / cfg.generate_max_count).cast("int"),
+        ).filter(F.col("segment_num") < cfg.generate_max_num_segments)
+        df = df.drop("_rk")
+    else:
+        df = df.withColumn("segment_num", F.lit(0))
+
+    # --- global top-N (TakeOrderedAndProject; Generator.java:440-441 splits
+    # the limit across reducers — Spark does that automatically) -------------
+    df = df.orderBy(F.desc("_sort"), F.asc("url")).limit(top_n)
+
+    # --- politeness layout (Job 2, Generator.java:1117-1152): partition by
+    # host/domain, spread a host's URLs apart inside each partition ----------
+    if num_lists:
+        df = df.repartition(num_lists, F.col("_grp")).sortWithinPartitions(
+            F.xxhash64(F.col("url"))
+        )
+    return df.drop("_grp").withColumnRenamed("_sort", "sort_score")

@@ -1,0 +1,105 @@
+"""LinkRank — iterative link analysis (SURVEY.md §2.9 G3) + ScoreUpdater (J4).
+
+Reference: /root/reference/src/java/org/apache/nutch/scoring/webgraph/
+LinkRank.java:302-707. This is NOT textbook PageRank:
+
+  - rankOne = 1/N is added INSIDE the damping term:
+      score(v) = (1 - d) + d * (rankOne + Σ contributions)   (LinkRank.java:604)
+  - a contribution from u to v is inlinkScore(u)/numOutlinks(u)
+    (Node.java:67-69), and at most ONE contribution per source page and per
+    source *domain* is counted (LinkRank.java:558-597 duplicate sets);
+  - fixed iteration count (link.analyze.num.iterations = 10), no convergence
+    test; initial score 1.0.
+
+GraphFrames' pageRank would be close but not bit-compatible, so the loop is
+written out with DataFrame joins.  Scale notes: each iteration is one join
+(edges ⋈ scores on src — co-partitioned after the first iteration since we
+repartition edges by src once and reuse) + one groupBy(dst). Lineage is
+truncated every iteration via localCheckpoint to keep plans O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+from nutch_spark.functions.urls import url_domain
+
+
+def linkrank(
+    edges: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    src: str = "src",
+    dst: str = "dst",
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Compute LinkRank scores; returns (url, score)."""
+    d = float(cfg.linkrank_damping)
+
+    # dedup contributions per source page and per source domain (:558-597)
+    uniq = edges.select(src, dst).dropDuplicates([src, dst])
+    uniq = uniq.withColumn("_src_dom", url_domain(src)).dropDuplicates(
+        ["_src_dom", dst]
+    ).drop("_src_dom")
+
+    nodes = (
+        uniq.select(F.col(src).alias("url"))
+        .union(uniq.select(F.col(dst).alias("url")))
+        .distinct()
+    )
+    # Cache the static tables: reused every iteration.
+    out_deg = uniq.groupBy(src).agg(F.count(F.lit(1)).alias("num_outlinks")).cache()
+    uniq = uniq.repartition(F.col(src)).cache()
+    nodes = nodes.cache()
+    n_nodes = nodes.count()  # LinkRank.java:90-178 (counter job)
+    rank_one = 1.0 / max(n_nodes, 1)
+
+    scores = nodes.withColumn("score", F.lit(float(cfg.linkrank_initial_score)))
+    for _ in range(cfg.linkrank_iterations):
+        # J5 inverter: contribution = score(src)/numOutlinks(src) (:413-494)
+        contribs = (
+            uniq.join(scores, uniq[src] == scores["url"])
+            .join(out_deg, src)
+            .select(
+                F.col(dst).alias("url"),
+                (F.col("score") / F.col("num_outlinks")).alias("contrib"),
+            )
+        )
+        agg = contribs.groupBy("url").agg(F.sum("contrib").alias("contrib_sum"))
+        scores = (
+            nodes.join(agg, "url", "left")
+            .select(
+                "url",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * (F.lit(rank_one) + F.coalesce("contrib_sum", F.lit(0.0)))
+                ).alias("score"),
+            )
+        )
+        if use_checkpoint:
+            scores = scores.localCheckpoint(eager=False)
+    return scores
+
+
+def update_scores(
+    crawldb: DataFrame,
+    nodes: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    node_score: str = "score",
+) -> DataFrame:
+    """ScoreUpdater (J4): crawldb ⟕ nodes; score := node score else
+    link.score.updater.clear.score (ScoreUpdater.java:60-138)."""
+    n = nodes.select(F.col("url"), F.col(node_score).alias("_node_score"))
+    return (
+        crawldb.join(n, "url", "left")
+        .withColumn(
+            "score",
+            F.coalesce(
+                F.col("_node_score"), F.lit(float(cfg.link_score_updater_clear_score))
+            ).cast("float"),
+        )
+        .drop("_node_score")
+    )

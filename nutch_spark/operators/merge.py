@@ -1,0 +1,101 @@
+"""Mergers — SegmentMerger (J9), CrawlDbMerger (J10), LinkDbMerger (J11).
+
+Reference:
+- /root/reference/src/java/org/apache/nutch/segment/SegmentMerger.java:104-112
+  (doc) — n-way union of segments cogrouped by URL, latest-segment-wins per
+  sub-table (lexicographic segment name = timestamp).
+- /root/reference/src/java/org/apache/nutch/crawl/CrawlDbMerger.java:69-117 —
+  newest row by fetch time wins, metadata merged with newest precedence.
+- /root/reference/src/java/org/apache/nutch/crawl/LinkDbMerger.java:95-110 —
+  inlink sets concatenated, capped at linkdb.max.inlinks (10000).
+
+Spark: unionByName + one ranking window (single shuffle). At 100 TB, the
+window's shuffle on url is unavoidable (the reference pays the same shuffle);
+AQE coalesces the output partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+
+
+def latest_version_wins(
+    dfs: list[DataFrame],
+    key: str,
+    version: Column | str,
+    *,
+    tie_break: list[Column] | None = None,
+) -> DataFrame:
+    """Union inputs, keep the row with the greatest ``version`` per key
+    (W6 latest-version-wins / J9 segment merge)."""
+    v = F.col(version) if isinstance(version, str) else version
+    union = dfs[0]
+    for d in dfs[1:]:
+        union = union.unionByName(d, allowMissingColumns=True)
+    order = [v.desc()] + (tie_break or [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return union.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_crawldbs(dbs: list[DataFrame], *, cfg: NutchConfig = DEFAULT) -> DataFrame:
+    """CrawlDbMerger: newest fetch_time wins; metadata merged newest-first
+    (CrawlDbMerger.java:105-117 putAllMetaData semantics)."""
+    union = dbs[0]
+    for d in dbs[1:]:
+        union = union.unionByName(d, allowMissingColumns=True)
+    w = Window.partitionBy("url").orderBy(
+        F.desc("fetch_time"), F.desc("score"), F.asc("status")
+    )
+    ranked = union.withColumn("_rn", F.row_number().over(w))
+    # newest row's fields win; metadata = union with newest precedence
+    merged_meta = (
+        union.groupBy("url")
+        .agg(
+            F.aggregate(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("fetch_time").alias("t"), F.col("metadata").alias("m"))
+                        ),
+                        lambda a, b: F.when(a["t"] < b["t"], -1).when(a["t"] > b["t"], 1).otherwise(0),
+                    )
+                ),
+                F.create_map().cast("map<string,string>"),
+                # later (older) entries must not overwrite newer keys
+                lambda acc, s: F.map_concat(
+                    acc,
+                    F.map_filter(
+                        F.coalesce(s["m"], F.create_map().cast("map<string,string>")),
+                        lambda k, _: ~F.coalesce(F.array_contains(F.map_keys(acc), k), F.lit(False)),
+                    ),
+                ),
+            ).alias("metadata_merged")
+        )
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .drop("_rn", "metadata")
+        .join(merged_meta, "url")
+        .withColumnRenamed("metadata_merged", "metadata")
+    )
+
+
+def merge_linkdbs(
+    linkdbs: list[DataFrame],
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> DataFrame:
+    """LinkDbMerger: concat inlink sets, dedup, cap at linkdb.max.inlinks."""
+    union = linkdbs[0]
+    for d in linkdbs[1:]:
+        union = union.unionByName(d, allowMissingColumns=True)
+    return union.groupBy("to_url").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("inlinks")))),
+            1,
+            cfg.linkdb_max_inlinks,
+        ).alias("inlinks")
+    )

@@ -1,0 +1,225 @@
+"""CrawlDb update — the state-machine merge (SURVEY.md §3.2, J2 + D6 + D3).
+
+Reference: /root/reference/src/java/org/apache/nutch/crawl/CrawlDbReducer.java
+:84-355 — cogroup of crawldb ⟗ crawl_fetch ⟗ crawl_parse by URL, then a
+status state machine. Re-expressed as:
+
+  1. aggregate the updates per url (one shuffle):
+       latest fetch row (max_by fetch_time — CrawlDbReducer.java:110-130),
+       Σ inlink score contributions over the top-K contributions by score
+       (bounded priority queue K=db.update.max.inlinks,
+        CrawlDbReducer.java:359-373 → slice(array_sort(collect_list))),
+       signature / parse metadata carriers;
+  2. full-outer join with the db (second shuffle, or broadcast when the
+     update batch is small);
+  3. ~20 CASE WHEN columns implementing the transitions
+     (CrawlDbReducer.java:219-337) + the fetch schedule (D6) + OPIC score
+     accumulation (D3, scoring-opic OPICScoringFilter.java:100-112).
+
+State transitions implemented (status_in → status_out):
+  linked only, no db row       → db_unfetched (new frontier URL, :219-234)
+  fetch_success                → db_fetched   (signature comparison decides
+                                  modified/notmodified, :247-261)
+  fetch_notmodified            → db_notmodified
+  fetch_redir_temp             → db_redir_temp
+  fetch_redir_perm             → db_redir_perm
+  fetch_retry, retries<max     → db_unfetched, retries+1 (:308-321)
+  fetch_retry, retries>=max    → db_gone
+  fetch_gone                   → db_gone (:323-337)
+  parse_failed carrier         → db_parse_failed
+  no fetch & no links          → db row passes through unchanged (:175-194)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+
+_FETCH_TO_DB = {
+    "fetch_success": "db_fetched",
+    "fetch_notmodified": "db_notmodified",
+    "fetch_redir_temp": "db_redir_temp",
+    "fetch_redir_perm": "db_redir_perm",
+    "fetch_gone": "db_gone",
+}
+
+
+def aggregate_updates(
+    fetch_log: DataFrame,
+    parse_emits: DataFrame | None,
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> DataFrame:
+    """Collapse the per-url update stream into one row per url."""
+    fetch = fetch_log.groupBy("url").agg(
+        F.max_by(
+            F.struct("status", "fetch_time", "signature", "metadata"), F.col("fetch_time")
+        ).alias("f")
+    ).select(
+        "url",
+        F.col("f.status").alias("fetch_status"),
+        F.col("f.fetch_time").alias("fetched_at"),
+        F.col("f.signature").alias("fetch_signature"),
+        F.col("f.metadata").alias("fetch_metadata"),
+    )
+    if parse_emits is None:
+        return fetch.withColumn("link_score", F.lit(None).cast("double")).withColumn(
+            "link_count", F.lit(0).cast("long")
+        ).withColumn("parse_signature", F.lit(None).cast("binary")).withColumn(
+            "parse_failed", F.lit(False)
+        )
+
+    linked = parse_emits.filter(F.col("status") == "linked")
+    # top-K contributions by score (bounded PQ, CrawlDbReducer.java:359-373)
+    link_agg = linked.groupBy("url").agg(
+        F.aggregate(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(F.col("score").cast("double")))),
+                1,
+                cfg.update_max_inlinks,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("link_score"),
+        F.count(F.lit(1)).alias("link_count"),
+    )
+    carriers = parse_emits.filter(F.col("status") != "linked").groupBy("url").agg(
+        F.max(F.when(F.col("status") == "signature", F.col("signature"))).alias(
+            "parse_signature"
+        ),
+        F.max(F.col("status") == "parse_failed").alias("parse_failed"),
+    )
+    return (
+        fetch.join(link_agg, "url", "full_outer")
+        .join(carriers, "url", "full_outer")
+        .withColumn("link_count", F.coalesce("link_count", F.lit(0)))
+        .withColumn("parse_failed", F.coalesce("parse_failed", F.lit(False)))
+    )
+
+
+def default_schedule(fetch_time: Column, interval: Column) -> tuple[Column, Column]:
+    """DefaultFetchSchedule: next = fetch_time + interval (DefaultFetchSchedule.java:32-47)."""
+    return fetch_time + F.make_interval(secs=interval.cast("double")), interval
+
+
+def adaptive_interval(
+    interval: Column,
+    modified: Column,
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> Column:
+    """AdaptiveFetchSchedule interval update (AdaptiveFetchSchedule.java:303-370):
+    shrink on change, grow when unchanged, clamp to [min,max]."""
+    new_iv = F.when(modified, interval * (1.0 - cfg.adaptive_dec_rate)).otherwise(
+        interval * (1.0 + cfg.adaptive_inc_rate)
+    )
+    return F.least(
+        F.greatest(new_iv, F.lit(float(cfg.adaptive_min_interval))),
+        F.lit(float(cfg.adaptive_max_interval)),
+    ).cast("int")
+
+
+def update_crawldb(
+    crawldb: DataFrame,
+    fetch_log: DataFrame,
+    parse_emits: DataFrame | None = None,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    schedule: str = "default",
+    now: Column | None = None,
+) -> DataFrame:
+    """Apply one round of fetch/parse results to the crawldb."""
+    now = now if now is not None else F.current_timestamp()
+    upd = aggregate_updates(fetch_log, parse_emits, cfg=cfg)
+
+    db = crawldb.alias("db")
+    u = upd.alias("u")
+    j = db.join(u, "url", "full_outer")
+
+    has_db = F.col("db.status").isNotNull()
+    has_fetch = F.col("u.fetch_status").isNotNull()
+    has_links = F.col("u.link_count") > 0
+    old_retries = F.coalesce(F.col("db.retries"), F.lit(0))
+    old_interval = F.coalesce(F.col("db.fetch_interval"), F.lit(cfg.fetch_interval_default))
+    old_score = F.coalesce(F.col("db.score"), F.lit(0.0).cast("float"))
+
+    if not cfg.additions_allowed:
+        # anti-join semantics: URLs without a db row are dropped (:164-166)
+        j = j.filter(has_db)
+
+    retry_exhausted = old_retries + 1 > cfg.retry_max
+
+    status = (
+        F.when(
+            has_fetch,
+            F.when(
+                F.col("u.fetch_status") == "fetch_retry",
+                F.when(retry_exhausted, "db_gone").otherwise("db_unfetched"),
+            ).otherwise(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in _FETCH_TO_DB.items() for x in kv]
+                    ),
+                    F.col("u.fetch_status"),
+                )
+            ),
+        )
+        .when(F.col("u.parse_failed") & has_db, F.lit("db_parse_failed"))
+        .when(~has_db & has_links, F.lit("db_unfetched"))  # new frontier URL
+        .otherwise(F.col("db.status"))
+    )
+
+    # signature comparison → modified flag (:247-261); NOTMODIFIED keeps the
+    # old signature (:267-275)
+    new_sig = F.coalesce(F.col("u.parse_signature"), F.col("u.fetch_signature"))
+    modified = has_fetch & (
+        F.col("db.signature").isNull()
+        | new_sig.isNull()
+        | (F.col("db.signature") != new_sig)
+    )
+
+    if schedule == "adaptive":
+        next_interval = F.when(
+            has_fetch, adaptive_interval(old_interval, modified, cfg=cfg)
+        ).otherwise(old_interval)
+    else:
+        next_interval = old_interval
+    next_fetch_time = F.when(
+        has_fetch,
+        F.coalesce(F.col("u.fetched_at"), now)
+        + F.make_interval(secs=next_interval.cast("double")),
+    ).otherwise(F.coalesce(F.col("db.fetch_time"), now))
+
+    retries = (
+        F.when(has_fetch & (F.col("u.fetch_status") == "fetch_retry"), old_retries + 1)
+        .when(has_fetch, F.lit(0))
+        .otherwise(old_retries)
+    )
+
+    # OPIC: score += Σ inlink contributions (OPICScoringFilter.java:100-112)
+    score = (old_score + F.coalesce(F.col("u.link_score"), F.lit(0.0))).cast("float")
+
+    signature = F.when(
+        has_fetch & (F.col("u.fetch_status") == "fetch_notmodified"),
+        F.col("db.signature"),
+    ).otherwise(F.coalesce(new_sig, F.col("db.signature")))
+
+    out = j.select(
+        F.col("url"),
+        status.alias("status"),
+        next_fetch_time.cast("timestamp").alias("fetch_time"),
+        retries.cast("int").alias("retries"),
+        next_interval.cast("int").alias("fetch_interval"),
+        score.alias("score"),
+        signature.alias("signature"),
+        F.when(has_fetch & modified, F.coalesce(F.col("u.fetched_at"), now))
+        .otherwise(F.col("db.modified_time"))
+        .cast("timestamp")
+        .alias("modified_time"),
+        F.coalesce(F.col("u.fetch_metadata"), F.col("db.metadata")).alias("metadata"),
+    )
+    if cfg.purge_404:
+        out = out.filter(F.col("status") != "db_gone")
+    return out

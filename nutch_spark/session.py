@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for a large cluster (the 100 TB design point) but work
+unchanged on local[N]:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast-join demotion/promotion replace every hand-tuned trick the
+  reference hard-codes (combiners, map-side hash joins, reducer counts).
+- Arrow on: any pandas_udf / mapInPandas operator moves data in columnar
+  batches instead of pickled rows.
+- shuffle.partitions is only the *initial* number; AQE coalesces down.
+  At 100 TB you would raise ``spark.sql.shuffle.partitions`` (or rely on
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) so that one
+  shuffle partition stays in the 100-200 MB range.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Initial shuffle parallelism for tests / local bench. On a real cluster this
+# is sized as total-shuffle-bytes / 128MB; AQE coalesces small partitions so
+# over-provisioning is cheap while under-provisioning causes spill.
+_LOCAL_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Side-effecting stages (fetcher) must never run speculatively; the
+        # reference disables speculation for db-writing jobs (Injector.java:413).
+        .config("spark.speculation", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Tiny local DataFrames (tests, seed lists) should not fan out to one
+        # task per core; parquet scans size their own splits independently.
+        .config("spark.sql.leafNodeDefaultParallelism", "4")
+        .config("spark.default.parallelism", "8")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the driver's parquet tables; returns dict name -> DataFrame."""
+    if not names:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

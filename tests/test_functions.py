@@ -1,0 +1,179 @@
+"""Pure-function tests — mirrors reference TestURLUtil, TestTextProfileSignature,
+TestJexlUtil (src/test/org/apache/nutch/util/)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from nutch_spark.functions import urls, signatures
+from nutch_spark.functions.dates import parse_http_date
+from nutch_spark.functions.jexl import jexl_to_sql
+
+
+def _one(spark, col, **data):
+    df = spark.createDataFrame([tuple(data.values())], list(data.keys()))
+    return df.select(col.alias("out")).first()["out"]
+
+
+class TestUrlParts:
+    def test_host_domain_tld(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://www.Example.COM/page", "www.example.com", "example.com", "com"),
+                ("https://a.b.site.co.uk/x?q=1", "a.b.site.co.uk", "site.co.uk", "uk"),
+                ("http://localhost/x", "localhost", "localhost", "localhost"),
+                ("https://deep.sub.thing.org:8443/", "deep.sub.thing.org", "thing.org", "org"),
+            ],
+            ["url", "host", "domain", "tld"],
+        )
+        got = df.select(
+            urls.url_host("url").alias("h"),
+            urls.url_domain("url").alias("d"),
+            urls.url_tld("url").alias("t"),
+            "host",
+            "domain",
+            "tld",
+        ).collect()
+        for r in got:
+            assert r["h"] == r["host"]
+            assert r["d"] == r["domain"]
+            assert r["t"] == r["tld"]
+
+    def test_normalize(self, spark):
+        # BasicURLNormalizer.java rule coverage
+        cases = {
+            "HTTP://Foo.COM:80/a/../b": "http://foo.com/b",
+            "http://foo.com/a/./b": "http://foo.com/a/b",
+            "http://foo.com//x//y": "http://foo.com/x/y",
+            "http://foo.com/p#frag": "http://foo.com/p",
+            "http://foo.com": "http://foo.com/",
+            "https://foo.com:443/ok": "https://foo.com/ok",
+            "https://foo.com:8443/ok": "https://foo.com:8443/ok",
+            "http://foo.com/p?PHPSESSID=deadbeef&x=1": "http://foo.com/p?x=1",
+        }
+        df = spark.createDataFrame([(k, v) for k, v in cases.items()], ["url", "want"])
+        for r in df.select(urls.normalize_url("url").alias("got"), "want", "url").collect():
+            assert r["got"] == r["want"], r["url"]
+
+    def test_filter_predicate(self, spark):
+        df = spark.createDataFrame(
+            [("http://good.com/a.html",), ("http://bad.com/x.gif",), ("http://spam.co.uk/y.html",)],
+            ["url"],
+        )
+        pred = urls.url_filter_predicate(
+            "url",
+            deny_suffixes=[".gif"],
+            deny_domains=["spam.co.uk"],
+            allow_regex=[r"^https?://"],
+        )
+        kept = [r["url"] for r in df.filter(pred).collect()]
+        assert kept == ["http://good.com/a.html"]
+
+
+def _java_text_profile(text: str, min_token_len: int = 2, quant_rate: float = 0.01) -> str:
+    """Direct python port of TextProfileSignature.java:86-160 for oracle use."""
+    tokens: dict[str, int] = {}
+    cur = []
+    max_freq = 0
+
+    def flush():
+        nonlocal max_freq
+        if len(cur) > min_token_len:
+            s = "".join(cur)
+            tokens[s] = tokens.get(s, 0) + 1
+            max_freq = max(max_freq, tokens[s])
+        cur.clear()
+
+    for ch in text:
+        if ch.isalnum():
+            cur.append(ch.lower())
+        else:
+            flush()
+    flush()
+    quant = round(max_freq * quant_rate)
+    if quant < 2:
+        quant = 2 if max_freq > 1 else 1
+    profile = []
+    for val, cnt in tokens.items():
+        q = (cnt // quant) * quant
+        if q >= quant:
+            profile.append((q, val))
+    profile.sort(key=lambda t: (-t[0], t[1]))
+    prof_text = "\n".join(f"{v} {c}" for c, v in profile)
+    return hashlib.md5(prof_text.encode()).hexdigest()
+
+
+class TestSignatures:
+    def test_text_profile_matches_java_port(self, spark):
+        texts = [
+            "Hello hello world the quick brown fox fox fox jumps",
+            "one two three four five six seven eight nine ten",
+            "aaa aaa aaa bbb bbb ccc " * 40,
+            "short ab cd ef",
+            "Punct! and, more; stuff: here? yes-no under_score 123 4567",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = df.select(
+            "text", signatures.text_profile_signature("text").alias("sig")
+        ).collect()
+        for r in got:
+            assert r["sig"] == _java_text_profile(r["text"]), r["text"][:40]
+
+    def test_md5_fallback(self, spark):
+        sig = _one(
+            spark,
+            signatures.md5_signature(F.col("content"), F.col("url")),
+            content="",
+            url="http://x.com/",
+        )
+        assert sig == hashlib.md5(b"http://x.com/").hexdigest()
+
+
+class TestJexl:
+    def test_translation(self):
+        assert (
+            jexl_to_sql("status == 'db_fetched' && retries le 3")
+            == "status = 'db_fetched' AND retries <= 3"
+        )
+        assert jexl_to_sql("score > 0.5 || status != 'db_gone'") == (
+            "score > 0.5 OR status != 'db_gone'"
+        )
+        out = jexl_to_sql("fetchTime > 2021-03-15")
+        assert out == "fetch_time > TIMESTAMP '2021-03-15'"
+        assert jexl_to_sql("!(a == b)") == "NOT (a = b)"
+
+    def test_runs_on_spark_and_duckdb(self, spark):
+        import duckdb
+
+        sql = jexl_to_sql("value gt 10 && event_type eq 'click'")
+        df = spark.createDataFrame(
+            [(5.0, "click"), (20.0, "click"), (30.0, "view")],
+            ["value", "event_type"],
+        )
+        assert df.filter(F.expr(sql)).count() == 1
+        got = duckdb.sql(
+            f"SELECT count(*) FROM (VALUES (5.0,'click'),(20.0,'click'),(30.0,'view'))"
+            f" t(value, event_type) WHERE {sql}"
+        ).fetchone()[0]
+        assert got == 1
+
+
+class TestDates:
+    def test_http_date_formats(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("Sun, 06 Nov 1994 08:49:37 GMT",),
+                ("2021/05/06 12:00:00",),
+                ("2021-05-06 12:00",),
+                ("not a date",),
+            ],
+            ["d"],
+        )
+        got = df.select(parse_http_date("d").alias("ts")).collect()
+        assert got[0]["ts"] is not None and got[0]["ts"].year == 1994
+        assert got[1]["ts"] is not None and got[1]["ts"].month == 5
+        assert got[2]["ts"] is not None and got[2]["ts"].minute == 0
+        assert got[3]["ts"] is None

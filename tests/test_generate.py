@@ -1,0 +1,96 @@
+"""Generator tests — ports of src/test/org/apache/nutch/crawl/TestGenerator.java."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.generate import generate, top_k_per_group
+from nutch_spark.schemas import CRAWLDB
+
+NOW = dt.datetime(2026, 1, 1)
+PAST = dt.datetime(2020, 1, 1)
+
+
+def _db(spark, rows):
+    return spark.createDataFrame(rows, CRAWLDB)
+
+
+def _row(url, score, status="db_unfetched", fetch_time=PAST):
+    return (url, status, fetch_time, 0, 86400, float(score), None, None, {})
+
+
+class TestGenerateHighest:
+    """TestGenerator.java:80-110 — 101 datums score=i, topN=2 → the two highest."""
+
+    def test_top_scores_selected(self, spark):
+        db = _db(spark, [_row(f"http://aaa/{i:03d}", i) for i in range(101)])
+        got = generate(db, top_n=2, now=F.lit(NOW))
+        urls = sorted(r["url"] for r in got.select("url").collect())
+        assert urls == ["http://aaa/099", "http://aaa/100"]
+
+    def test_min_score_filter(self, spark):
+        db = _db(spark, [_row(f"http://aaa/{i:03d}", i) for i in range(101)])
+        cfg = NutchConfig(generate_min_score=100.0)
+        got = generate(db, top_n=10, cfg=cfg, now=F.lit(NOW))
+        assert [r["url"] for r in got.collect()] == ["http://aaa/100"]
+
+
+class TestGenerateHostLimit:
+    """TestGenerator testGenerateHostLimit: maxCount per host."""
+
+    def test_max_count_per_host(self, spark):
+        rows = [_row(f"http://host{h}.com/{i}", 10 * h + i) for h in range(3) for i in range(5)]
+        db = _db(spark, rows)
+        cfg = NutchConfig(generate_max_count=2, generate_count_mode="host")
+        got = generate(db, top_n=100, cfg=cfg, now=F.lit(NOW)).collect()
+        from collections import Counter
+
+        hosts = Counter(r["url"].split("/")[2] for r in got)
+        assert all(c <= 2 for c in hosts.values())
+        assert len(got) == 6  # 3 hosts x 2
+
+    def test_segment_spill(self, spark):
+        rows = [_row(f"http://one.com/{i}", i) for i in range(10)]
+        db = _db(spark, rows)
+        cfg = NutchConfig(
+            generate_max_count=3, generate_count_mode="host", generate_max_num_segments=2
+        )
+        got = generate(db, top_n=100, cfg=cfg, now=F.lit(NOW)).collect()
+        segs = {r["segment_num"] for r in got}
+        assert segs == {0, 1} and len(got) == 6
+
+
+class TestGenerateFilters:
+    def test_due_check(self, spark):
+        future = dt.datetime(2030, 1, 1)
+        db = _db(
+            spark,
+            [_row("http://due.com/a", 1.0), _row("http://later.com/b", 9.0, fetch_time=future)],
+        )
+        got = generate(db, top_n=10, now=F.lit(NOW)).collect()
+        assert [r["url"] for r in got] == ["http://due.com/a"]
+
+    def test_status_excluded(self, spark):
+        db = _db(
+            spark,
+            [
+                _row("http://ok.com/a", 1.0),
+                _row("http://gone.com/b", 9.0, status="db_gone"),
+                _row("http://dup.com/c", 9.0, status="db_duplicate"),
+            ],
+        )
+        got = generate(db, top_n=10, now=F.lit(NOW)).collect()
+        assert [r["url"] for r in got] == ["http://ok.com/a"]
+
+
+class TestTopKPerGroup:
+    def test_generic(self, spark):
+        df = spark.createDataFrame(
+            [(g, v) for g in ("a", "b") for v in range(10)], ["g", "v"]
+        )
+        got = top_k_per_group(df, "g", [F.desc("v")], 3).collect()
+        assert len(got) == 6
+        assert {r["v"] for r in got} == {7, 8, 9}
