@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed in Arrow-batched Pandas UDFs.
+
+The decode step is STUBBED (image/audio libraries are not in this container):
+``decode_image_stub`` produces deterministic fake features so the Spark-side
+plumbing — schema, batch shape, partitioning, mapInPandas signature — is real
+and tested end-to-end. Swap ``_decode_image_bytes`` for a PIL/libvips call in
+production; nothing else changes.
+
+Scale notes: binary payloads ride in their own column so column pruning keeps
+them out of every query that doesn't touch them; feature extraction is
+mapInPandas (arrow batches, no per-row pickling); repartition before decode
+sizes batches to keep executor memory bounded (payload_bytes * batch_rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha1", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode: deterministic fake (width, height, 8-dim feature).
+
+    Production: replace with PIL.Image.open(io.BytesIO(payload)) +
+    a real feature extractor. Raises on None to mirror decode failures.
+    """
+    if payload is None:
+        raise NotImplementedError("real image decoding requires PIL/libvips")
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feature = [round(b / 255.0, 6) for b in digest[2:10]]
+    return width, height, feature
+
+
+def extract_image_features(media: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                w, h, feat = _decode_image_bytes(raw)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(raw),
+                        "sha1": hashlib.sha1(raw).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    src = media.select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, *, every_n_seconds: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts) derived
+    from duration metadata — the decode itself is the stubbed map stage."""
+    duration = F.coalesce(F.element_at("meta", "duration_s").cast("int"), F.lit(0))
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(every_n_seconds))
+        ).alias("frame_ts"),
+    )
+
+
+def binary_metadata(media: DataFrame) -> DataFrame:
+    """Cheap metadata over binary columns without decoding: byte length and
+    md5 — pure JVM expressions, no UDF."""
+    return media.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.col("media_type"),
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+- brute_force_topk: exact cosine top-k of each query vector against the
+  corpus. The dot product is a zip_with/aggregate expression — JVM-side, no
+  Python. Queries are broadcast (they are the small side by construction);
+  the corpus is never shuffled. Per-partition top-k then global top-k via a
+  ranking window on the (tiny) candidate set.
+- lsh_topk: random-hyperplane LSH — corpus and queries are bucketed by sign
+  patterns; only same-bucket pairs are scored. The 100 TB path: shuffle is
+  O(rows) on bucket keys instead of a full cross product.
+- embedding_near_dup_pairs: all corpus pairs above a cosine threshold via
+  the same LSH bucketing.
+
+Hyperplanes are generated from a seeded RNG on the driver (tiny: dim x bits
+floats) and inlined as literals — effectively a broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, cosine_sim).
+
+    Self-matches (same key) are excluded. The join is a broadcast
+    nested-loop on purpose: |queries| is small; corpus streams through.
+    """
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("_qv")
+    )
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (string of 0/1) for random-hyperplane LSH."""
+    bits = []
+    for plane in planes:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket in any of
+    ``tables`` independent hash tables. Recall grows with tables; shuffle
+    stays O(rows * tables)."""
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
+        out = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, seed + t)
+            out.append(
+                df.select(
+                    F.col(key).alias(id_alias),
+                    F.col(vec).alias(f"_v_{id_alias}"),
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vec), planes).alias("bucket"),
+                )
+            )
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res
+
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "neighbor_id")
+    pairs = (
+        cb.join(qb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_v_query_id"), F.col("_v_neighbor_id")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus pairs (a<b) with cosine >= threshold, via LSH candidates."""
+    ids = corpus.select(F.col(key).alias("id"), F.col(vec).alias("v"))
+    cands = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        b = ids.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        a_, b_ = b.alias("a"), b.alias("b")
+        c = a_.join(
+            b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

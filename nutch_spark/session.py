@@ -52,6 +52,24 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
     return builder.getOrCreate()
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing exotic physical types.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default; read it as nanos-since-epoch (legacy conf) and convert
+    to a proper TimestampType so downstream operators see a real timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Integer division: ns-since-epoch ≈ 1.7e18 overflows double's 53-bit
+        # mantissa, so a float divide would corrupt the microsecond digits.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver's parquet tables; returns dict name -> DataFrame."""
     if not names:
@@ -67,4 +85,4 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             "documents",
             "embeddings",
         )
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: read_table(spark, sf_dir, n) for n in names}
