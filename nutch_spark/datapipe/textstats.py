@@ -70,11 +70,13 @@ def quality_metrics(df: DataFrame, text: str = "text") -> DataFrame:
             "uniq_token_ratio": F.when(n_tok > 0, uniq / n_tok).otherwise(0.0),
         }
     )
-    # simple composite score: length in range, low punct, some diversity
+    # simple composite score: length in range, low punct, some diversity.
+    # Weights are binary-exact (0.5/0.25/0.25) so the sum is bit-identical
+    # across engines — 0.4+0.3+0.3 drifts to 1.0000000000000002 in doubles.
     score = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100_000), 0.4).otherwise(0.0)
-        + F.when(F.col("punct_ratio") < 0.2, 0.3).otherwise(0.0)
-        + F.when(F.col("uniq_token_ratio") > 0.1, 0.3).otherwise(0.0)
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100_000), 0.5).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("uniq_token_ratio") > 0.1, 0.25).otherwise(0.0)
     )
     return out.withColumn("quality_score", score)
 

@@ -54,15 +54,18 @@ def mark_duplicates(
     signature: Column | str = "signature",
     *,
     group_mode: str = "none",
+    group_extra: list[Column] | None = None,
     url: str = "url",
     order_by: list[Column] | None = None,
     dup_flag: str = "is_duplicate",
 ) -> DataFrame:
     """Rank rows within signature groups; rank>1 rows are duplicates.
 
-    Generic: ``signature`` may be any expression (e.g. a hash of columns) and
-    ``order_by`` any policy chain, so the same operator answers the driver's
-    dedup-rank family over TPC-H tables.
+    Generic: ``signature`` may be any expression (e.g. a hash of columns),
+    ``order_by`` any policy chain, and ``group_extra`` any additional
+    partition expressions (the generalization of group_mode for tables whose
+    grouping key is not a URL host/domain), so the same operator answers the
+    driver's dedup-rank family over TPC-H tables.
     """
     sig = F.col(signature) if isinstance(signature, str) else signature
     keys = [sig]
@@ -70,6 +73,7 @@ def mark_duplicates(
         keys.append(url_host(url))
     elif group_mode == "domain":
         keys.append(url_domain(url))
+    keys.extend(group_extra or [])
     order = order_by if order_by is not None else dedup_rank_columns(url=url)
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn(dup_flag, F.row_number().over(w) > 1)

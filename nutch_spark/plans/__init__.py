@@ -1,1 +1,12 @@
-"""Query plans: the driver-facing query registry and plan inspection helpers."""
+"""Query plans for the driver's correctness/bench harness.
+
+Importing this package populates REGISTRY with every declared query
+(name -> (spark_fn, oracle_sql | None)).
+"""
+
+from nutch_spark.plans.driver_queries import REGISTRY
+
+from nutch_spark.plans import datapipe_queries  # noqa: E402,F401  (registers dp_*)
+from nutch_spark.plans import graph_queries  # noqa: E402,F401  (registers g/j/w/st_*)
+
+__all__ = ["REGISTRY"]

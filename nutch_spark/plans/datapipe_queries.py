@@ -1,0 +1,440 @@
+"""Training-data-pipeline correctness queries (SURVEY.md §7 step 14):
+deduplication, similarity search, and text analysis over the driver's
+``documents`` / ``embeddings`` tables, each with a DuckDB oracle.
+
+The raw synthetic documents contain no duplicates (max pairwise shingle
+Jaccard ≈ 0.03), so the dedup queries build a corpus with PLANTED duplicates —
+exact copies (doc_id+100000) and near copies with three appended tokens
+(doc_id+200000) — constructed identically in Spark and in the oracle SQL.
+
+Oracle-parity notes:
+- tokenization is split(lower(text), '[^a-z0-9]+') minus empties on both
+  engines (RE2-safe regex, identical semantics);
+- 64-bit hashes are conv(substr(md5(x),1,15),16,10) in Spark and
+  CAST('0x'||substr(md5(x),1,15) AS UBIGINT) in DuckDB — same value, cast to
+  string on both sides before hashing/compare;
+- the MinHash+LSH oracle models the BANDS, not just the verified Jaccard:
+  LSH recall is <100% by design, so the oracle reproduces bucket collisions
+  (md5 of band-index + comma-joined signature slice) exactly;
+- cosine similarities are ROUNDed to 6 digits and ranked on the rounded value
+  with a deterministic id tie-break, so float accumulation order (fold-left in
+  Spark, possibly pairwise in DuckDB) cannot flip an ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from nutch_spark.datapipe.similarity import cosine, lsh_topk
+from nutch_spark.datapipe.textstats import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    langid,
+    quality_metrics,
+    token_count,
+    tokens,
+)
+from nutch_spark.plans.driver_queries import REGISTRY, q, t
+
+# ---------------------------------------------------------------------------
+# shared corpus construction (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_NEAR_SUFFIX = " zebra quokka xylophone"
+
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 200000, text || '{_NEAR_SUFFIX}'
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+# tokens / shingles as DuckDB fragments (parity with textstats.tokens and
+# datapipe.dedup.shingles — 3-token shingles, distinct)
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_SHINGLES_SQL = """
+  CASE WHEN len(toks) >= 3 THEN
+    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+  ELSE [] END
+"""
+# 64-bit hash of a string s (60 usable bits), identical to Spark's
+# conv(substr(md5(s),1,15),16,10)
+_H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS UBIGINT)"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact copies (+100000) + near copies (+200000)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dp_exact_dedup",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fp AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
+           FROM corpus)
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id,
+           doc_id != min(doc_id) OVER (PARTITION BY f) AS is_duplicate
+    FROM fp
+    """,
+)
+def dp_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a normalized-content fingerprint. One
+    shuffle on the fingerprint; at 100 TB this is the cheap first pass that
+    removes bitwise duplicates before any near-dup work."""
+    return exact_dedup(_corpus(spark, sf_dir)).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+_SHINGLE_CAP = 1000
+
+
+@q(
+    "dp_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
+    sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
+    ex AS (SELECT id, unnest(s) AS sng FROM sh),
+    freq AS (SELECT sng, count(*) AS f FROM ex GROUP BY sng),
+    exc AS (SELECT e.id, e.sng FROM ex e JOIN freq USING (sng) WHERE f <= {_SHINGLE_CAP}),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM exc a JOIN exc b ON a.sng = b.sng AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT c.id_a, c.id_b,
+           c.c / (len(sa.s) + len(sb.s) - c.c) AS jaccard
+    FROM common c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+    WHERE c.c / (len(sa.s) + len(sb.s) - c.c) >= 0.6
+    """,
+)
+def dp_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via an inverted shingle index — shuffle
+    on the shingle key, O(docs x shingles), never O(docs^2). Shingles shared
+    by more than max_shingle_freq docs are dropped from the INDEX (not the
+    set sizes) before the pair join — the mandatory guard against quadratic
+    hot buckets at scale; the oracle models the same capped-common counts.
+    At the sf0.01 correctness scale the cap is inactive (fewer docs than the
+    cap), so results there equal exact Jaccard."""
+    return ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=0.6, max_shingle_freq=_SHINGLE_CAP
+    )
+
+
+_BANDS, _ROWS_PER_BAND = 8, 4  # 32 hashes; 50% collision point ≈ 0.60 Jaccard
+
+
+@q(
+    "dp_minhash_lsh",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
+    sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
+    ex AS (SELECT id, unnest(s) AS sng FROM sh),
+    sigs AS (
+      SELECT ex.id, g.seed,
+             min({_H64.format(s="concat(CAST(g.seed AS VARCHAR), ':', ex.sng)")}) AS mh
+      FROM ex CROSS JOIN (SELECT unnest(range({_BANDS * _ROWS_PER_BAND})) AS seed) g
+      GROUP BY ex.id, g.seed
+    ),
+    buckets AS (
+      SELECT id, seed // {_ROWS_PER_BAND} AS band,
+             md5(CAST(seed // {_ROWS_PER_BAND} AS VARCHAR) || ',' ||
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY id, seed // {_ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.s, sb.s)) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+    WHERE len(list_intersect(sa.s, sb.s)) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.6
+    """,
+)
+def dp_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: 32 min-hashes, 8 bands x 4 rows, band-bucket
+    join for candidates, exact-Jaccard verification. The oracle reproduces
+    the banding exactly (LSH recall < 100% is part of the semantics). Shuffle
+    is O(docs x bands) — the 100 TB path where all-pairs is impossible."""
+    return minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        num_hashes=_BANDS * _ROWS_PER_BAND,
+        bands=_BANDS,
+        threshold=0.6,
+    )
+
+
+@q(
+    "dp_simhash",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
+    tok AS (SELECT id, unnest(toks) AS v FROM d),
+    freqs AS (SELECT id, v, count(*) AS freq, {_H64.format(s="v")} AS h
+              FROM tok GROUP BY id, v),
+    bits AS (
+      SELECT f.id, b.i,
+             CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN freq ELSE -freq END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM freqs f CROSS JOIN (SELECT unnest(range(60)) AS i) b
+      GROUP BY f.id, b.i
+    ),
+    acc AS (SELECT id, CAST(sum(CAST(bit AS UBIGINT) * (1::UBIGINT << i)) AS UBIGINT) AS sim
+            FROM bits GROUP BY id)
+    SELECT a.id AS doc_id, lpad(lower(to_hex(a.sim)), 16, '0') AS simhash,
+           a.id != min(a.id) OVER (PARTITION BY a.sim) AS is_duplicate
+    FROM acc a
+    """,
+)
+def dp_simhash(spark, sf_dir):
+    """SimHash fingerprinting: 60-bit sign-of-weighted-bit-sum fingerprint,
+    exact-match duplicates flagged. Pure array expressions (no UDF) — a
+    single map stage at scale."""
+    sims = simhash_fingerprints(_corpus(spark, sf_dir))
+    w = Window.partitionBy("simhash")
+    return sims.select(
+        F.col("id").alias("doc_id"),
+        "simhash",
+        (F.col("id") != F.min("id").over(w)).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dp_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> x != '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+           len({_TOKS_SQL}) AS n_word_tokens
+    FROM documents
+    """,
+)
+def dp_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, BPE-ish regex tokens, word tokens.
+    Embarrassingly parallel map stage — no shuffle, full codegen."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_word_tokens"),
+    )
+
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+@q(
+    "dp_quality",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS n_chars FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN (n_chars - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS avg_token_len,
+           CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars ELSE 0.0 END AS digit_ratio,
+           CAST(len(list_intersect(toks, {_STOP_EN_SQL})) AS BIGINT) AS stopword_hits,
+           CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS uniq_token_ratio,
+           CAST(CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END) > 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score
+    FROM d
+    """,
+)
+def dp_quality(spark, sf_dir):
+    """Quality scoring: length/punct/digit/stopword/diversity metrics + a
+    composite score — the standard pre-training corpus filters."""
+    d = t(spark, sf_dir, "documents")
+    return quality_metrics(d).select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_hits",
+        "uniq_token_ratio",
+        "quality_score",
+    )
+
+
+_LANG_HITS_SQL = {
+    lang: f"len(list_intersect(list_distinct(toks), [{', '.join(repr(w) for w in words)}]))"
+    for lang, words in STOPWORDS.items()
+}
+_LANG_CASE = " ".join(
+    f"WHEN {_LANG_HITS_SQL[lang]} = best THEN '{lang}'" for lang in STOPWORDS
+)
+
+
+@q(
+    "dp_langid",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id, lang, toks,
+                 greatest({", ".join(_LANG_HITS_SQL.values())}) AS best
+          FROM d)
+    SELECT doc_id, lang,
+           CASE WHEN best <= 0 THEN 'und' {_LANG_CASE} END AS lang_pred
+    FROM h
+    """,
+)
+def dp_langid(spark, sf_dir):
+    """Language ID: stopword-overlap heuristic with fixed-priority tie-break;
+    emitted next to the table's labeled ``lang`` for eyeballing accuracy."""
+    d = t(spark, sf_dir, "documents")
+    return langid(d).select("doc_id", "lang", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dp_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.qv, c.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               6) AS cosine_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def dp_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: queries broadcast, corpus
+    streams, dot product is a JVM-side zip_with/aggregate. Rounded to 6
+    digits and ranked with an id tie-break so ordering is engine-stable."""
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).drop("rk")
+
+
+@q(
+    "dp_embedding_near_dup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                            'string_agg', '') AS bucket
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               6) AS cosine_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+    """,
+)
+def dp_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs at cosine >= 0.99 (planted exact copies at
+    vec_id+100000), via sign-pattern LSH: bucket = the 64-bit sign string of
+    the components (axis-aligned hyperplanes — deterministic, no literals to
+    ship). Only same-bucket pairs are scored, so the join shuffles O(rows) on
+    the bucket key instead of the O(rows^2) cross product the brute-force
+    form needs (96s → <2s at sf0.1 locally; the only shape that survives
+    100 TB). The oracle models the bucketing identically."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    c = emb.unionByName(copies).withColumn(
+        "bucket",
+        F.array_join(
+            F.transform("embedding", lambda x: F.when(x >= 0, "1").otherwise("0")),
+            "",
+        ),
+    )
+    a = c.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = c.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.99)
+    )
+
+
+@q("dp_lsh_topk", None)  # non-SQL-expressible cheaply: rows-only check
+def dp_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-k (the ANN scale path): corpus and queries
+    bucketed by hyperplane sign patterns across 4 tables; only same-bucket
+    pairs scored. Shuffle O(rows x tables) instead of a cross product."""
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42)

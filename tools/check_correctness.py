@@ -10,6 +10,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -28,6 +29,8 @@ TABLES = (
 def _norm(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
