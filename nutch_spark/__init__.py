@@ -22,3 +22,18 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Ship this package's functions BY VALUE inside pickled UDF closures
+# (mapInPandas fetch/decode). Without this, Spark's Python workers resolve
+# closures by module reference and fail with ModuleNotFoundError whenever the
+# package is importable on the driver (sys.path / notebook) but not installed
+# on the workers — the common case for a repo-checkout deployment. With it,
+# `spark-submit --py-files` becomes optional instead of mandatory.
+try:  # pragma: no cover - depends on the vendored cloudpickle version
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; --py-files still works
+    pass

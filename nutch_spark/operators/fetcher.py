@@ -1,0 +1,205 @@
+"""Fetcher + Parse (SURVEY.md §2.8 P1-P3) — the imperative edge of the engine.
+
+Reference:
+- /root/reference/src/java/org/apache/nutch/fetcher/Fetcher.java:67-102
+  (per-host queues, politeness delay, threads-per-queue=1),
+  FetchItemQueues.java (queue state), Fetcher.java:114-131 (no-split inputs
+  so a fetchlist stays with its task).
+- /root/reference/src/java/org/apache/nutch/parse/ParseSegment.java:87-276
+  (content → text/title/outlinks), ParseOutputFormat.java:150-362 (outlink
+  emission: cap db.max.outlinks.per.page=100, length <= 4096, OPIC share =
+  score/validCount).
+
+Politeness is anti-relational by nature (SURVEY.md §4 hard-part 4), so it is
+ISOLATED here: the fetchlist is repartitioned by host (all of one host's URLs
+land in one partition — Spark's analogue of the no-split fetch list), and a
+``mapInPandas`` loop enforces the per-host delay imperatively inside each
+partition. Everything downstream (parse, outlink emission) is declarative.
+
+The default ``fetch_fn`` is a DETERMINISTIC SYNTHETIC fetcher (no network in
+this container): status and content derive from md5(url). A real HTTP
+fetcher drops in by passing ``fetch_fn=http_fetch_fn`` — the harness
+(partitioning, politeness, schema) is identical; http_fetch_fn raises
+NotImplementedError unless `requests`/`urllib3` usage is wired by the
+deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nutch_spark.config import DEFAULT, NutchConfig
+from nutch_spark.functions.urls import url_host
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("fetch_time", T.TimestampType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("signature", T.BinaryType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def synthetic_fetch_fn(url: str) -> tuple[str, str | None]:
+    """Deterministic fake fetch: (status, html) derived from md5(url).
+
+    ~80% fetch_success with a small synthetic page whose outlinks are other
+    synthetic URLs on a few hosts; the rest split across retry/gone/redirect
+    so the updatedb state machine sees every branch.
+    """
+    h = hashlib.md5(url.encode()).hexdigest()
+    bucket = int(h[:2], 16) % 10
+    if bucket < 8:
+        links = "".join(
+            f'<a href="http://host{int(h[i], 16) % 8}.example.com/p{h[i:i + 4]}">l{i}</a>'
+            for i in range(2, 8, 2)
+        )
+        return "fetch_success", f"<html><head><title>t-{h[:6]}</title></head><body>{links}</body></html>"
+    if bucket == 8:
+        return "fetch_retry", None
+    return "fetch_gone", None
+
+
+def http_fetch_fn(url: str) -> tuple[str, str | None]:
+    """Real-network fetch hook — wire to an HTTP client in deployment."""
+    raise NotImplementedError(
+        "network fetching is deployment-specific; pass a fetch_fn that wraps "
+        "your HTTP client (the harness handles partitioning and politeness)"
+    )
+
+
+def fetch(
+    fetchlist: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    fetch_fn: Callable[[str], tuple[str, str | None]] = synthetic_fetch_fn,
+    crawl_delay_s: float = 0.0,
+    num_lists: int | None = None,
+) -> DataFrame:
+    """P1: polite parallel fetch → fetch_log rows (FETCH_SCHEMA).
+
+    ``crawl_delay_s`` is the per-host politeness delay
+    (fetcher.server.delay, 5s in production — 0 in tests). One host's URLs
+    are co-partitioned, so the sleep serializes that host only; other hosts
+    proceed in parallel partitions, exactly like the reference's per-host
+    queues (Fetcher.java:67-102).
+    """
+    parts = num_lists or fetchlist.sparkSession.sparkContext.defaultParallelism
+    laid_out = fetchlist.repartition(parts, url_host("url")).sortWithinPartitions(
+        F.xxhash64("url")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_hit: dict[str, float] = {}
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                host = url.split("/")[2] if "://" in url else url
+                if crawl_delay_s > 0:
+                    wait = last_hit.get(host, 0.0) + crawl_delay_s - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_hit[host] = time.monotonic()
+                status, content = fetch_fn(url)
+                sig = (
+                    hashlib.md5(content.encode()).digest() if content is not None else None
+                )
+                out.append(
+                    {
+                        "url": url,
+                        "status": status,
+                        "fetch_time": pd.Timestamp.utcnow().tz_localize(None),
+                        "content": content,
+                        "content_type": "text/html" if content else None,
+                        "signature": sig,
+                        "metadata": {},
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
+
+    return laid_out.select("url").mapInPandas(run, FETCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# P2: parse — DECLARATIVE html field extraction (regexp built-ins, no UDF)
+# ---------------------------------------------------------------------------
+
+
+def parse(fetch_log: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:
+    """content → parse_data(url, title, outlinks[], parse_text).
+
+    The reference delegates to plugin parsers (parse-html/tika); for the
+    engine's relational surface an href/title regex pulled through JVM
+    ``regexp_extract(_all)`` covers the synthetic corpus and keeps parsing
+    inside whole-stage codegen. A tika-quality parser would slot in as a
+    pandas UDF without touching the plan shape (ParseSegment.java:87-276).
+    """
+    ok = fetch_log.filter(
+        (F.col("status") == "fetch_success") & F.col("content").isNotNull()
+    )
+    outlinks = F.transform(
+        F.slice(
+            F.regexp_extract_all("content", F.lit('href="([^"]{1,4096})"'), F.lit(1)),
+            1,
+            cfg.max_outlinks_per_page,
+        ),
+        lambda u: F.struct(u.alias("to_url"), F.lit("").alias("anchor")),
+    )
+    text = F.trim(F.regexp_replace("content", "<[^>]*>", " "))
+    return ok.select(
+        "url",
+        F.regexp_extract("content", "<title>([^<]*)</title>", 1).alias("title"),
+        outlinks.alias("outlinks"),
+        text.alias("parse_text"),
+        "signature",
+    )
+
+
+def emit_parse_rows(
+    parse_data: DataFrame,
+    crawldb_scores: DataFrame | None = None,
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> DataFrame:
+    """P3: per parsed page emit linked/signature carrier rows
+    (ParseOutputFormat.java:150-362): one ``linked`` row per outlink target
+    carrying the OPIC share = parent_score/outlink_count (D3), plus one
+    ``signature`` row for the source page."""
+    scored = parse_data
+    if crawldb_scores is not None:
+        scored = parse_data.join(
+            crawldb_scores.select("url", F.col("score").alias("_parent_score")),
+            "url",
+            "left",
+        )
+    else:
+        scored = scored.withColumn("_parent_score", F.lit(1.0))
+    share = F.coalesce(F.col("_parent_score"), F.lit(0.0)) / F.greatest(
+        F.size("outlinks"), F.lit(1)
+    )
+    linked = scored.select(
+        F.explode("outlinks").alias("o"), share.cast("float").alias("score")
+    ).select(
+        F.col("o.to_url").alias("url"),
+        F.lit("linked").alias("status"),
+        "score",
+        F.lit(None).cast("binary").alias("signature"),
+    )
+    sigs = parse_data.select(
+        "url",
+        F.lit("signature").alias("status"),
+        F.lit(None).cast("float").alias("score"),
+        F.col("signature"),
+    )
+    return linked.unionByName(sigs)

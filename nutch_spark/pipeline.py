@@ -1,0 +1,116 @@
+"""The crawl pipeline — bin/crawl loop semantics (SURVEY.md §3, §7 step 12).
+
+Reference: /root/reference/src/bin/crawl:285-430 — the canonical round:
+
+    inject → loop{ generate → fetch → parse → updatedb → invertlinks → dedup }
+
+Each stage is one of the engine's operators; a round is a pure function
+(crawldb, linkdb) → (crawldb', linkdb', segment tables). Persistence between
+rounds is plain Parquet overwrite-by-directory (the reference's atomic
+install() via rename — CrawlDb.java:148; on Delta Lake this becomes a
+transactional overwrite).
+
+At 100 TB, every stage is one or two shuffles on url/host; nothing in the
+loop holds driver-side state beyond the round counter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+from nutch_spark.operators.dedup import deduplicate
+from nutch_spark.operators.fetcher import emit_parse_rows, fetch, parse, synthetic_fetch_fn
+from nutch_spark.operators.generate import generate
+from nutch_spark.operators.inject import inject
+from nutch_spark.operators.invertlinks import invert_links
+from nutch_spark.operators.merge import merge_linkdbs
+from nutch_spark.operators.updatedb import update_crawldb
+
+
+@dataclass
+class RoundResult:
+    crawldb: DataFrame
+    linkdb: DataFrame | None
+    fetch_log: DataFrame
+    parse_data: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def crawl_round(
+    crawldb: DataFrame,
+    linkdb: DataFrame | None,
+    *,
+    top_n: int = 1000,
+    cfg: NutchConfig = DEFAULT,
+    fetch_fn=synthetic_fetch_fn,
+    now: Column | None = None,
+    dedup: bool = True,
+) -> RoundResult:
+    """One generate→fetch→parse→updatedb→invertlinks→dedup round."""
+    now = now if now is not None else F.current_timestamp()
+
+    fetchlist = generate(crawldb, top_n, cfg=cfg, now=now)
+    fetch_log = fetch(fetchlist, cfg=cfg, fetch_fn=fetch_fn)
+    # one materialization per round: fetch is side-effecting/imperative, and
+    # both parse and updatedb consume it (the reference writes the segment to
+    # disk here for the same reason)
+    fetch_log = fetch_log.localCheckpoint(eager=True)
+
+    parse_data = parse(fetch_log, cfg=cfg)
+    parse_emits = emit_parse_rows(
+        parse_data, crawldb.select("url", "score"), cfg=cfg
+    )
+    fetch_rows = fetch_log.select(
+        "url", "status", "fetch_time", "signature", "metadata"
+    )
+    new_db = update_crawldb(crawldb, fetch_rows, parse_emits, cfg=cfg, now=now)
+    if dedup:
+        new_db = deduplicate(new_db, cfg=cfg)
+
+    round_links = invert_links(parse_data, cfg=cfg)
+    new_linkdb = (
+        round_links
+        if linkdb is None
+        else merge_linkdbs([linkdb, round_links], cfg=cfg)
+    )
+    return RoundResult(new_db, new_linkdb, fetch_log, parse_data)
+
+
+def crawl(
+    seeds: DataFrame,
+    *,
+    rounds: int = 2,
+    top_n: int = 1000,
+    cfg: NutchConfig = DEFAULT,
+    fetch_fn=synthetic_fetch_fn,
+    now: Column | None = None,
+) -> RoundResult:
+    """inject + N rounds (bin/crawl:285-430). Returns the final state."""
+    spark = seeds.sparkSession
+    empty_db = spark.createDataFrame(
+        [],
+        "url string, status string, fetch_time timestamp, retries int, "
+        "fetch_interval int, score float, signature binary, "
+        "modified_time timestamp, metadata map<string,string>",
+    )
+    crawldb = inject(empty_db, seeds, cfg=cfg, now=now)
+    result = RoundResult(crawldb, None, None, None)  # type: ignore[arg-type]
+    for _ in range(rounds):
+        result = crawl_round(
+            result.crawldb,
+            result.linkdb,
+            top_n=top_n,
+            cfg=cfg,
+            fetch_fn=fetch_fn,
+            now=now,
+        )
+        # truncate lineage between rounds (the reference writes each round's
+        # tables to disk; localCheckpoint is the in-session analogue)
+        result.crawldb = result.crawldb.localCheckpoint(eager=True)
+        if result.linkdb is not None:
+            result.linkdb = result.linkdb.localCheckpoint(eager=True)
+    return result

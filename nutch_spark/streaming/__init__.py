@@ -1,0 +1,12 @@
+"""Structured Streaming surface (SURVEY.md §2.8, §7 step 13) — net-new:
+the reference is batch-only; these operators are built on Spark's
+watermark/window/stateful primitives over the same tables.
+"""
+
+from nutch_spark.streaming.continuous import (
+    continuous_crawl,
+    fetch_rate_windows,
+    streaming_dedup,
+)
+
+__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_dedup"]

@@ -1,0 +1,127 @@
+"""Continuous crawling + streaming analytics (SURVEY.md §2.8).
+
+The reference has no streaming (batch MR only); its only continuous behavior
+is the Fetcher's in-task producer/consumer loop (Fetcher.java:67-102). On
+Spark, the natural streaming surface is:
+
+- ``continuous_crawl``: the frontier as a stream; each micro-batch runs one
+  relational crawl round via ``foreachBatch`` (the batch operators are reused
+  verbatim — identical semantics batch vs streaming, which is the point of
+  foreachBatch).
+- ``fetch_rate_windows``: watermarked tumbling-window fetch-rate dashboard
+  (pages + bytes per host per window) tolerating late fetch completions.
+- ``streaming_dedup``: drop repeated (url, signature) observations with
+  bounded state via watermark — the streaming twin of DeduplicationJob.
+
+All three are plain Structured Streaming plans: they run with
+``readStream``/``writeStream`` on any source (kafka/files/rate); tests drive
+them with a MemoryStream-equivalent and the batch-mode `df` path since the
+plans are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import DEFAULT, NutchConfig
+from nutch_spark.functions.urls import url_host
+
+
+def fetch_rate_windows(
+    fetch_log: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-host fetch-rate: (window, host, pages, errors).
+
+    With a streaming input, the watermark bounds state: windows older than
+    ``watermark`` are finalized and evicted. The identical plan runs in batch
+    (tests + the driver's oracle use the batch path)."""
+    df = fetch_log
+    if df.isStreaming:
+        df = df.withWatermark("fetch_time", watermark)
+    return (
+        df.groupBy(
+            F.window("fetch_time", window).alias("win"), url_host("url").alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.count_if(F.col("status") != "fetch_success").alias("errors"),
+        )
+        .select(F.col("win.start").alias("win_start"), "host", "pages", "errors")
+    )
+
+
+def streaming_dedup(
+    fetch_log: DataFrame,
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first observation of each (url, signature) within the
+    watermark horizon — bounded-state streaming dedup
+    (dropDuplicatesWithinWatermark; batch fallback: dropDuplicates)."""
+    if fetch_log.isStreaming:
+        return fetch_log.withWatermark("fetch_time", watermark).dropDuplicatesWithinWatermark(
+            ["url", "signature"]
+        )
+    return fetch_log.dropDuplicates(["url", "signature"])
+
+
+def continuous_crawl(
+    frontier_stream: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    checkpoint_dir: str,
+    state_dir: str,
+    top_n_per_batch: int = 1000,
+    trigger_seconds: int = 60,
+):
+    """Continuous crawl: each micro-batch of frontier URLs runs one
+    fetch→parse→updatedb round with the BATCH operators via foreachBatch,
+    persisting crawldb state to ``state_dir`` between batches.
+
+    Returns the StreamingQuery. The frontier stream schema is the seeds
+    schema (url, metadata)."""
+    from nutch_spark.operators.fetcher import emit_parse_rows, fetch, parse
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.operators.updatedb import update_crawldb
+
+    spark = frontier_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            crawldb = spark.read.parquet(state_dir)
+        except Exception:  # first batch: empty db  # noqa: BLE001
+            crawldb = spark.createDataFrame(
+                [],
+                "url string, status string, fetch_time timestamp, retries int, "
+                "fetch_interval int, score float, signature binary, "
+                "modified_time timestamp, metadata map<string,string>",
+            )
+        db = inject(crawldb, batch_df.select("url", "metadata"), cfg=cfg)
+        fetchlist = db.filter(F.col("status") == "db_unfetched").limit(top_n_per_batch)
+        fetch_log = fetch(fetchlist, cfg=cfg).localCheckpoint(eager=True)
+        parse_data = parse(fetch_log, cfg=cfg)
+        emits = emit_parse_rows(parse_data, db.select("url", "score"), cfg=cfg)
+        new_db = update_crawldb(
+            db,
+            fetch_log.select("url", "status", "fetch_time", "signature", "metadata"),
+            emits,
+            cfg=cfg,
+        )
+        # state install: write-then-swap is handled by Spark's overwrite mode
+        # (Delta would make this transactional, CrawlDb.java:148 install())
+        new_db.write.mode("overwrite").parquet(state_dir + "_next")
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    return (
+        frontier_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,131 @@
+"""Training-data-pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §7 step 14).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_fingerprints,
+)
+from nutch_spark.datapipe.multimodal import (
+    MEDIA_SCHEMA,
+    binary_metadata,
+    extract_image_features,
+)
+from nutch_spark.datapipe.similarity import brute_force_topk, lsh_topk
+from nutch_spark.datapipe.textstats import langid, quality_metrics
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact duplicate of 0
+    (2, BASE + " extra trailing tokens here"),  # near duplicate of 0
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "der hund und die katze sind nicht mit der maus zu sehen"),
+    (5, "tiny"),  # < 3 tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[1]["is_duplicate"] and out[1]["canonical_id"] == 0
+    assert not out[0]["is_duplicate"]
+    assert not out[2]["is_duplicate"]  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0           # identical shingle sets
+    assert 0.5 <= pairs[(0, 2)] < 1.0     # near duplicate
+    assert (0, 3) not in pairs            # unrelated
+
+
+def test_minhash_signature_shape_and_lsh(docs):
+    sigs = minhash_signatures(docs).collect()
+    ids = {r["id"] for r in sigs}
+    assert 5 not in ids                   # <3 tokens → no signature
+    assert all(len(r["minhash"]) == 32 for r in sigs)
+    # identical docs → identical signatures
+    by_id = {r["id"]: r["minhash"] for r in sigs}
+    assert by_id[0] == by_id[1]
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs                # exact dup always collides
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs):
+    fp = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]                       # identical text, identical hash
+    assert all(len(v) == 16 for v in fp.values())
+    # near-dup text: small Hamming distance (SimHash's defining property)
+    ham = bin(int(fp[0], 16) ^ int(fp[2], 16)).count("1")
+    assert ham <= 12
+    ham_far = bin(int(fp[0], 16) ^ int(fp[3], 16)).count("1")
+    assert ham_far > ham
+
+    marked = {r["doc_id"]: r["is_duplicate"] for r in simhash_dedup(docs).collect()}
+    assert marked[1] and not marked[0]
+
+
+def test_langid_and_quality(docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in langid(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+
+    q = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+    assert q[0]["n_tokens"] == 13
+    assert q[0]["quality_score"] == 1.0
+    assert q[5]["quality_score"] < 1.0          # too short
+
+
+def test_similarity_brute_force_vs_lsh(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    # vec 100+i is a copy of vec i → its top-1 neighbor must be i
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") >= 100)
+
+    bf = brute_force_topk(emb, queries, k=1).collect()
+    assert {r["query_id"]: r["neighbor_id"] for r in bf} == {100 + i: i for i in range(5)}
+    assert all(r["cosine_sim"] > 0.999999 for r in bf)
+
+    # LSH with identical vectors: same buckets in every table → found
+    ls = lsh_topk(emb, queries, k=1, dim=16, bits=4, tables=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in ls.collect()}
+    assert got == {100 + i: i for i in range(5)}
+
+
+def test_multimodal_plumbing(spark):
+    payloads = [(i, bytes([i]) * (10 + i), "image", {"src": f"cam{i}"}) for i in range(6)]
+    media = spark.createDataFrame(payloads, MEDIA_SCHEMA)
+    feats = extract_image_features(media, batch_partitions=2).collect()
+    assert len(feats) == 6
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[3]["n_bytes"] == 13
+    assert len(by_id[3]["feature"]) == 8
+    # deterministic: same payload → same feature vector
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert by_id[3]["feature"] == again[3]["feature"]
+    assert by_id[3]["sha1"] == again[3]["sha1"]
+    # metadata path never touches the payload decode (pure JVM expressions)
+    meta = {r["media_id"]: r["n_bytes"] for r in binary_metadata(media).collect()}
+    assert meta[0] == 10

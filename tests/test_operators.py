@@ -1,0 +1,313 @@
+"""Operator-level tests mirroring the reference's test strategy (SURVEY.md §5):
+tiny deterministic inputs → operator → exact expected rows.
+
+Models: TestInjector (merge rules), TestCrawlDbStates (updatedb transitions),
+TestGenerator (topN selection), TestCrawlDbDeduplication (policy chain),
+TestLinkDbMerger (inlink cap), TestSegmentMergerCrawlDatums (latest-wins),
+TestAdaptiveFetchSchedule (interval formula).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.dedup import deduplicate
+from nutch_spark.operators.generate import generate
+from nutch_spark.operators.inject import inject
+from nutch_spark.operators.invertlinks import anchors_per_target, invert_links
+from nutch_spark.operators.linkrank import linkrank
+from nutch_spark.operators.merge import latest_version_wins, merge_crawldbs
+from nutch_spark.operators.updatedb import update_crawldb
+
+NOW = datetime.datetime(2026, 1, 1)
+DB_SCHEMA = (
+    "url string, status string, fetch_time timestamp, retries int, "
+    "fetch_interval int, score float, signature binary, "
+    "modified_time timestamp, metadata map<string,string>"
+)
+
+
+def db_row(url, status="db_unfetched", score=1.0, retries=0, interval=3600,
+           fetch_time=NOW, signature=None, modified_time=None, metadata=None):
+    return (url, status, fetch_time, retries, interval, score, signature,
+            modified_time, metadata or {})
+
+
+def make_db(spark, rows):
+    # short tuples are (url, status, score, ...) sugar; 9-tuples are full rows
+    return spark.createDataFrame(
+        [db_row(*r) if len(r) < 9 else r for r in rows], DB_SCHEMA
+    )
+
+
+# --- Injector (TestInjector, Injector.java:336-395) -------------------------
+
+
+def test_inject_new_and_existing(spark):
+    db = make_db(spark, [("http://old.com/", "db_fetched", 5.0)])
+    seeds = spark.createDataFrame(
+        [("http://old.com/", {"nutch.score": "9"}), ("http://new.com/", {"k": "v"})],
+        "url string, metadata map<string,string>",
+    )
+    out = {r["url"]: r for r in inject(db, seeds, now=F.lit(NOW)).collect()}
+    assert len(out) == 2
+    # default policy: existing db row kept unchanged (keep-old)
+    assert out["http://old.com/"]["status"] == "db_fetched"
+    assert out["http://old.com/"]["score"] == 5.0
+    # new URL injected as unfetched with default score, reserved keys stripped
+    assert out["http://new.com/"]["status"] == "db_unfetched"
+    assert out["http://new.com/"]["score"] == 1.0
+    assert out["http://new.com/"]["metadata"] == {"k": "v"}
+
+
+def test_inject_overwrite_and_update(spark):
+    db = make_db(spark, [db_row("http://a.com/", "db_fetched", 5.0, metadata={"x": "1"})])
+    seeds = spark.createDataFrame(
+        [("http://a.com/", {"nutch.score": "2", "y": "2"})],
+        "url string, metadata map<string,string>",
+    )
+    over = inject(db, seeds, cfg=NutchConfig(inject_overwrite=True), now=F.lit(NOW)).collect()[0]
+    assert over["status"] == "db_unfetched" and over["score"] == 2.0
+
+    upd = inject(db, seeds, cfg=NutchConfig(inject_update=True), now=F.lit(NOW)).collect()[0]
+    assert upd["status"] == "db_fetched"          # db row kept
+    assert upd["score"] == 2.0                    # seed score overrides
+    assert upd["metadata"] == {"x": "1", "y": "2"}  # merged, seed precedence
+
+
+# --- Generator (TestGenerator.java:80-110: topN by score) -------------------
+
+
+def test_generate_highest_scores(spark):
+    # 101 rows score=i → topN=2 must return the two highest (the reference's
+    # canonical testGenerateHighest)
+    rows = [db_row(f"http://aaa.com/{i:03d}", score=float(i)) for i in range(101)]
+    db = make_db(spark, rows)
+    got = generate(db, 2, now=F.lit(NOW)).select("url").collect()
+    assert sorted(r["url"] for r in got) == ["http://aaa.com/099", "http://aaa.com/100"]
+
+
+def test_generate_per_host_max_count(spark):
+    rows = [db_row(f"http://h{i % 2}.com/{i}", score=float(i)) for i in range(10)]
+    db = make_db(spark, rows)
+    cfg = NutchConfig(generate_max_count=2, generate_count_mode="host")
+    got = generate(db, 10, cfg=cfg, now=F.lit(NOW)).collect()
+    by_host = {}
+    for r in got:
+        host = r["url"].split("/")[2]
+        by_host.setdefault(host, []).append(r["url"])
+    assert all(len(v) <= 2 for v in by_host.values())
+    # the kept rows per host are that host's two highest scores
+    assert sorted(by_host["h1.com"]) == ["http://h1.com/7", "http://h1.com/9"]
+
+
+def test_generate_skips_not_due_and_gone(spark):
+    future = NOW + datetime.timedelta(days=1)
+    db = make_db(
+        spark,
+        [
+            db_row("http://due.com/a", score=1.0),
+            ("http://future.com/b", "db_unfetched", future, 0, 3600, 9.0, None, None, {}),
+            db_row("http://gone.com/c", "db_gone", 9.0),
+        ],
+    )
+    got = [r["url"] for r in generate(db, 10, now=F.lit(NOW)).collect()]
+    assert got == ["http://due.com/a"]
+
+
+# --- UpdateDb state machine (TestCrawlDbStates) -----------------------------
+
+
+def fetch_row(url, status, fetch_time=NOW, signature=None, metadata=None):
+    return (url, status, fetch_time, signature, metadata or {})
+
+
+FETCH_SCHEMA = (
+    "url string, status string, fetch_time timestamp, signature binary, "
+    "metadata map<string,string>"
+)
+
+
+def test_updatedb_transitions(spark):
+    db = make_db(
+        spark,
+        [
+            db_row("http://ok.com/", "db_unfetched"),
+            db_row("http://redir.com/", "db_unfetched"),
+            db_row("http://gone.com/", "db_fetched"),
+            db_row("http://retry1.com/", "db_unfetched", retries=0),
+            db_row("http://retry4.com/", "db_unfetched", retries=3),
+            db_row("http://untouched.com/", "db_fetched", 7.0),
+        ],
+    )
+    fetches = spark.createDataFrame(
+        [
+            fetch_row("http://ok.com/", "fetch_success", signature=b"s1"),
+            fetch_row("http://redir.com/", "fetch_redir_perm"),
+            fetch_row("http://gone.com/", "fetch_gone"),
+            fetch_row("http://retry1.com/", "fetch_retry"),
+            fetch_row("http://retry4.com/", "fetch_retry"),
+        ],
+        FETCH_SCHEMA,
+    )
+    out = {r["url"]: r for r in update_crawldb(db, fetches, now=F.lit(NOW)).collect()}
+    assert out["http://ok.com/"]["status"] == "db_fetched"
+    assert bytes(out["http://ok.com/"]["signature"]) == b"s1"
+    assert out["http://redir.com/"]["status"] == "db_redir_perm"
+    assert out["http://gone.com/"]["status"] == "db_gone"
+    # retry below max → unfetched with retries+1; at max → gone (retry.max=3)
+    assert out["http://retry1.com/"]["status"] == "db_unfetched"
+    assert out["http://retry1.com/"]["retries"] == 1
+    assert out["http://retry4.com/"]["status"] == "db_gone"
+    # row with no updates passes through unchanged
+    assert out["http://untouched.com/"]["status"] == "db_fetched"
+    assert out["http://untouched.com/"]["score"] == 7.0
+
+
+def test_updatedb_new_url_from_links_and_opic(spark):
+    db = make_db(spark, [db_row("http://src.com/", "db_fetched", 2.0)])
+    fetches = spark.createDataFrame([], FETCH_SCHEMA)
+    emits = spark.createDataFrame(
+        [
+            ("http://new.com/", "linked", 0.5, None),
+            ("http://new.com/", "linked", 0.25, None),
+            ("http://src.com/", "signature", None, b"sig"),
+        ],
+        "url string, status string, score float, signature binary",
+    )
+    out = {r["url"]: r for r in update_crawldb(db, fetches, emits, now=F.lit(NOW)).collect()}
+    # linked-only URL becomes db_unfetched with Σ contributions as score
+    assert out["http://new.com/"]["status"] == "db_unfetched"
+    assert abs(out["http://new.com/"]["score"] - 0.75) < 1e-6
+    # existing row accumulates OPIC score: 2.0 + 0 links here
+    assert out["http://src.com/"]["score"] == 2.0
+
+
+def test_updatedb_adaptive_schedule(spark):
+    db = make_db(
+        spark,
+        [
+            db_row("http://mod.com/", "db_fetched", signature=b"old", interval=1000),
+            db_row("http://same.com/", "db_fetched", signature=b"same", interval=1000),
+        ],
+    )
+    fetches = spark.createDataFrame(
+        [
+            fetch_row("http://mod.com/", "fetch_success", signature=b"new"),
+            fetch_row("http://same.com/", "fetch_success", signature=b"same"),
+        ],
+        FETCH_SCHEMA,
+    )
+    out = {
+        r["url"]: r
+        for r in update_crawldb(db, fetches, schedule="adaptive", now=F.lit(NOW)).collect()
+    }
+    # modified → interval * (1-0.2) = 800; unchanged → * (1+0.4) = 1400
+    assert out["http://mod.com/"]["fetch_interval"] == 800
+    assert out["http://same.com/"]["fetch_interval"] == 1400
+
+
+# --- Dedup policy chain (TestCrawlDbDeduplication) --------------------------
+
+
+def test_deduplicate_policy_chain(spark):
+    sig = b"dup"
+    db = make_db(
+        spark,
+        [
+            db_row("http://a.com/low", "db_fetched", 1.0, signature=sig),
+            db_row("http://a.com/high", "db_fetched", 9.0, signature=sig),
+            db_row("http://b.com/other", "db_fetched", 5.0, signature=b"uniq"),
+            db_row("http://c.com/unfetched", "db_unfetched", 5.0, signature=sig),
+        ],
+    )
+    out = {r["url"]: r["status"] for r in deduplicate(db).collect()}
+    assert out["http://a.com/high"] == "db_fetched"      # best kept
+    assert out["http://a.com/low"] == "db_duplicate"     # loser marked
+    assert out["http://b.com/other"] == "db_fetched"     # unique signature
+    assert out["http://c.com/unfetched"] == "db_unfetched"  # only fetched rows compete
+
+
+# --- Invertlinks (LinkDb.java:80-181) + anchors (Inlinks.java:88-120) -------
+
+
+def test_invert_links_internal_filter_and_anchor_cap(spark):
+    parse_data = spark.createDataFrame(
+        [
+            (
+                "http://a.com/p1",
+                [
+                    {"to_url": "http://b.com/x", "anchor": "A" * 150},
+                    {"to_url": "http://a.com/internal", "anchor": "self"},
+                    {"to_url": "http://b.com/x", "anchor": "A" * 150},  # dup edge
+                ],
+            ),
+            ("http://c.com/p2", [{"to_url": "http://b.com/x", "anchor": "c-anchor"}]),
+        ],
+        "url string, outlinks array<struct<to_url string, anchor string>>",
+    )
+    out = {r["to_url"]: r for r in invert_links(parse_data).collect()}
+    # internal (same-host) link dropped by default
+    assert "http://a.com/internal" not in out
+    inl = out["http://b.com/x"]["inlinks"]
+    assert len(inl) == 2  # dedup'd set of (from_url, anchor)
+    assert all(len(link["anchor"]) <= 100 for link in inl)  # anchor truncation
+
+    linkdb = invert_links(parse_data)
+    anchors = {r["to_url"]: r["anchors"] for r in anchors_per_target(linkdb).collect()}
+    assert anchors["http://b.com/x"] == ["A" * 100, "c-anchor"]
+
+
+# --- Mergers (TestCrawlDbMerger / latest-wins) ------------------------------
+
+
+def test_latest_version_wins_and_crawldb_merge(spark):
+    s1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, seg int, v string")
+    s2 = spark.createDataFrame([(1, 2, "a2")], "k int, seg int, v string")
+    merged = {r["k"]: r["v"] for r in latest_version_wins([s1, s2], "k", "seg").collect()}
+    assert merged == {1: "a2", 2: "b"}
+
+    db1 = make_db(spark, [db_row("http://a.com/", "db_fetched", 1.0,
+                                 fetch_time=NOW, metadata={"old": "1", "both": "old"})])
+    db2 = make_db(spark, [db_row("http://a.com/", "db_notmodified", 2.0,
+                                 fetch_time=NOW + datetime.timedelta(days=1),
+                                 metadata={"new": "2", "both": "new"})])
+    row = merge_crawldbs([db1, db2]).collect()[0]
+    assert row["status"] == "db_notmodified"  # newest fetch_time wins
+    assert row["metadata"] == {"old": "1", "new": "2", "both": "new"}
+
+
+# --- LinkRank semantics (LinkRank.java:302-707) -----------------------------
+
+
+def test_linkrank_hand_computed(spark):
+    # a -> b, a -> c, b -> c ; N=3, d=0.85, rankOne=1/3, 1 iteration:
+    #   score(b) = 0.15 + 0.85*(1/3 + 1/2)            = 0.8583333...
+    #   score(c) = 0.15 + 0.85*(1/3 + 1/2 + 1)        = 1.7083333...
+    #   score(a) = 0.15 + 0.85*(1/3)                  = 0.4333333...
+    edges = spark.createDataFrame(
+        [("http://a.com/", "http://b.com/"), ("http://a.com/", "http://c.com/"),
+         ("http://b.com/", "http://c.com/")],
+        "src string, dst string",
+    )
+    cfg = NutchConfig(linkrank_iterations=1)
+    got = {r["url"]: r["score"] for r in linkrank(edges, cfg=cfg).collect()}
+    assert abs(got["http://a.com/"] - (0.15 + 0.85 / 3)) < 1e-9
+    assert abs(got["http://b.com/"] - (0.15 + 0.85 * (1 / 3 + 0.5))) < 1e-9
+    assert abs(got["http://c.com/"] - (0.15 + 0.85 * (1 / 3 + 1.5))) < 1e-9
+
+
+def test_linkrank_domain_dedup(spark):
+    # two pages on the same domain both link to t: only ONE contribution
+    # counts (LinkRank.java:558-597 per-domain duplicate set)
+    edges = spark.createDataFrame(
+        [("http://x.same.com/1", "http://t.com/"), ("http://y.same.com/2", "http://t.com/")],
+        "src string, dst string",
+    )
+    cfg = NutchConfig(linkrank_iterations=1)
+    got = {r["url"]: r["score"] for r in linkrank(edges, cfg=cfg).collect()}
+    # nodes: one kept src + t → N=2 after dedup; t gets one contribution of 1.0
+    assert abs(got["http://t.com/"] - (0.15 + 0.85 * (0.5 + 1.0))) < 1e-9

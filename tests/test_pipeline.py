@@ -1,0 +1,62 @@
+"""End-to-end crawl pipeline test (bin/crawl loop, SURVEY.md §3):
+inject → generate → fetch(synthetic) → parse → updatedb → invertlinks →
+dedup, two rounds, asserting frontier growth and state sanity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.stats import crawldb_stats
+from nutch_spark.pipeline import crawl
+
+SEEDS = [
+    ("http://host0.example.com/seed0", {}),
+    ("http://host1.example.com/seed1", {}),
+    ("http://host2.example.com/seed2", {}),
+    ("http://host3.example.com/seed3", {}),
+]
+
+
+def test_two_round_crawl(spark):
+    seeds = spark.createDataFrame(SEEDS, "url string, metadata map<string,string>")
+    cfg = NutchConfig(linkdb_ignore_internal_links=False)
+    result = crawl(seeds, rounds=2, top_n=50, cfg=cfg)
+
+    db = result.crawldb.cache()
+    statuses = {r["status"] for r in db.select("status").distinct().collect()}
+    assert statuses <= {
+        "db_unfetched", "db_fetched", "db_gone", "db_redir_temp",
+        "db_redir_perm", "db_notmodified", "db_duplicate", "db_parse_failed",
+    }
+    # frontier grew: outlinks of fetched seeds became db rows
+    assert db.count() > len(SEEDS)
+    # every fetched row carries a signature and zeroed retries
+    fetched = db.filter(F.col("status") == "db_fetched")
+    assert fetched.filter(F.col("signature").isNull()).count() == 0
+    assert fetched.filter(F.col("retries") != 0).count() == 0
+    # urls are unique (the db is keyed)
+    assert db.count() == db.select("url").distinct().count()
+
+    # linkdb: every target has at least one inlink; sets are dedup'd
+    linkdb = result.linkdb
+    bad = linkdb.filter(F.size("inlinks") < 1).count()
+    assert bad == 0
+
+    # stats job runs over the final db (readdb -stats shape)
+    stats = crawldb_stats(db)
+    g = stats["global"].collect()[0]
+    assert g["total_urls"] == db.count()
+    assert sum(r["count"] for r in stats["status"].collect()) == db.count()
+
+
+def test_crawl_is_deterministic(spark):
+    seeds = spark.createDataFrame(SEEDS[:2], "url string, metadata map<string,string>")
+    cfg = NutchConfig(linkdb_ignore_internal_links=False)
+    now = F.lit(__import__("datetime").datetime(2026, 1, 1))
+    a = crawl(seeds, rounds=1, top_n=10, cfg=cfg, now=now)
+    b = crawl(seeds, rounds=1, top_n=10, cfg=cfg, now=now)
+    rows_a = sorted((r["url"], r["status"]) for r in a.crawldb.collect())
+    rows_b = sorted((r["url"], r["status"]) for r in b.crawldb.collect())
+    assert rows_a == rows_b

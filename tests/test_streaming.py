@@ -1,0 +1,70 @@
+"""Structured Streaming surface tests (SURVEY.md §2.8 / §7 step 13).
+
+The windowed/dedup plans are source-agnostic; the streaming path is driven
+with an actual readStream (file source) into a memory sink, the batch path
+with the same functions on a static frame.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nutch_spark.streaming import fetch_rate_windows, streaming_dedup
+
+T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def fetch_rows():
+    return [
+        ("http://a.com/1", "fetch_success", T0, b"s1"),
+        ("http://a.com/2", "fetch_gone", T0 + datetime.timedelta(minutes=1), None),
+        ("http://b.com/1", "fetch_success", T0 + datetime.timedelta(minutes=2), b"s2"),
+        ("http://a.com/1", "fetch_success", T0 + datetime.timedelta(minutes=3), b"s1"),  # dup
+        ("http://a.com/3", "fetch_success", T0 + datetime.timedelta(minutes=15), b"s3"),
+    ]
+
+
+SCHEMA = "url string, status string, fetch_time timestamp, signature binary"
+
+
+def test_fetch_rate_windows_batch(spark):
+    log = spark.createDataFrame(fetch_rows(), SCHEMA)
+    out = {(r["win_start"], r["host"]): r for r in fetch_rate_windows(log).collect()}
+    first = (T0, "a.com")
+    assert out[first]["pages"] == 3 and out[first]["errors"] == 1
+    assert out[(T0, "b.com")]["pages"] == 1
+    assert out[(T0 + datetime.timedelta(minutes=10), "a.com")]["pages"] == 1
+
+
+def test_streaming_dedup_batch(spark):
+    log = spark.createDataFrame(fetch_rows(), SCHEMA)
+    out = streaming_dedup(log)
+    assert out.count() == 4  # the repeated (url, signature) observation dropped
+
+
+def test_windowed_agg_under_readstream(spark, tmp_path):
+    # same plan, real streaming execution: file source → memory sink
+    src = str(tmp_path / "in")
+    log = spark.createDataFrame(fetch_rows(), SCHEMA)
+    log.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(log.schema).parquet(src)
+    assert stream.isStreaming
+    q = (
+        fetch_rate_windows(stream)
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rates").collect()
+    # complete mode emits every window state (append would only emit
+    # watermark-closed windows, and a single bounded batch closes none)
+    rates = {(r["win_start"], r["host"]): r["pages"] for r in got}
+    assert rates[(T0, "a.com")] == 3
+    assert rates[(T0, "b.com")] == 1
+    assert rates[(T0 + datetime.timedelta(minutes=10), "a.com")] == 1
