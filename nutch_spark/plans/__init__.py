@@ -8,5 +8,6 @@ from nutch_spark.plans.driver_queries import REGISTRY
 
 from nutch_spark.plans import datapipe_queries  # noqa: E402,F401  (registers dp_*)
 from nutch_spark.plans import graph_queries  # noqa: E402,F401  (registers g/j/w/st_*)
+from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d7_*)
 
 __all__ = ["REGISTRY"]

@@ -1,0 +1,155 @@
+"""Tests for WARC/CommonCrawl exports (S7/S8), sitemap source (S10),
+orphan marking (D8), similarity scoring (D5), and the indexing join (J3) +
+hostdb (J6) operators."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.hostdb import string_field_counts, update_hostdb
+from nutch_spark.operators.indexing import cleaning_targets, indexing_join
+from nutch_spark.operators.orphan import mark_orphans, tf_cosine_to_goldstandard
+from nutch_spark.sources.exports import commoncrawl_dump, parse_sitemap, warc_records
+
+T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+FETCH_SCHEMA = (
+    "url string, status string, fetch_time timestamp, content string, "
+    "content_type string, signature binary, metadata map<string,string>"
+)
+
+
+def test_warc_and_commoncrawl(spark):
+    log = spark.createDataFrame(
+        [
+            ("http://a.com/1", "fetch_success", T0, "<html><title>t1</title>x</html>",
+             "text/html", b"s", {}),
+            ("http://a.com/2", "fetch_gone", T0, None, None, None, {}),
+        ],
+        FETCH_SCHEMA,
+    )
+    recs = warc_records(log).collect()
+    assert len(recs) == 1  # only successes exported
+    rec = recs[0]["value"]
+    assert rec.startswith("WARC/1.0\r\n")
+    assert "WARC-Target-URI: http://a.com/1\r\n" in rec
+    assert "WARC-Date: 2026-01-01T12:00:00Z" in rec
+    assert f"Content-Length: {len('<html><title>t1</title>x</html>')}" in rec
+
+    pd = spark.createDataFrame(
+        [("http://a.com/1", "t1", "x")], "url string, title string, parse_text string"
+    )
+    cc = commoncrawl_dump(log, pd).collect()
+    assert len(cc) == 1
+    assert cc[0]["timestamp"] == "20260101120000"
+    assert cc[0]["title"] == "t1" and cc[0]["text"] == "x"
+
+
+def test_parse_sitemap(spark):
+    xml = """<?xml version="1.0"?><urlset>
+      <url><loc>http://a.com/p1</loc><changefreq>daily</changefreq><priority>0.8</priority></url>
+      <url><loc> http://a.com/p2 </loc></url>
+      <url><priority>0.1</priority></url>
+    </urlset>"""
+    df = spark.createDataFrame([(xml,)], "content string")
+    out = {r["url"]: r["metadata"] for r in parse_sitemap(df).collect()}
+    assert out["http://a.com/p1"] == {"sitemap.changefreq": "daily", "sitemap.priority": "0.8"}
+    assert out["http://a.com/p2"] == {}  # no optional fields
+    assert len(out) == 2  # entry without <loc> dropped
+
+
+def test_mark_orphans(spark):
+    db = spark.createDataFrame(
+        [
+            ("http://linked.com/", "db_fetched"),
+            ("http://orphan.com/", "db_fetched"),
+            ("http://new.com/", "db_unfetched"),  # protected
+        ],
+        "url string, status string",
+    )
+    linkdb = spark.createDataFrame([("http://linked.com/",)], "to_url string")
+    out = {r["url"]: r["status"] for r in mark_orphans(db, linkdb).collect()}
+    assert out["http://orphan.com/"] == "db_orphan"
+    assert out["http://linked.com/"] == "db_fetched"
+    assert out["http://new.com/"] == "db_unfetched"
+
+    purged = mark_orphans(db, linkdb, purge=True)
+    assert {r["url"] for r in purged.collect()} == {"http://linked.com/", "http://new.com/"}
+
+
+def test_similarity_scoring(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark query engine"), (2, "cats and dogs"), (3, "spark spark spark")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["similarity_score"] for r in
+           tf_cosine_to_goldstandard(docs, ["spark", "query", "engine"]).collect()}
+    assert abs(out[1] - 1.0) < 1e-9          # identical token multiset
+    assert out[2] == 0.0                     # disjoint
+    assert 0 < out[3] < 1                    # partial overlap
+
+
+def test_indexing_join_actions_and_fields(spark):
+    db = spark.createDataFrame(
+        [
+            ("http://add.com/", "db_fetched", 4.0, b"sig"),
+            ("http://gone.com/", "db_gone", 1.0, None),
+            ("http://dup.com/", "db_duplicate", 1.0, b"x"),
+        ],
+        "url string, status string, score float, signature binary",
+    )
+    fl = spark.createDataFrame(
+        [
+            ("http://add.com/", "fetch_success", T0, b"sig"),
+            ("http://gone.com/", "fetch_gone", T0, None),
+            ("http://dup.com/", "fetch_success", T0, b"x"),
+        ],
+        "url string, status string, fetch_time timestamp, signature binary",
+    )
+    pd = spark.createDataFrame(
+        [
+            ("http://add.com/", "A Title That Is Long", {"Content-Type": "text/html"},
+             {"robots": "index,follow"}, "seg1"),
+            ("http://gone.com/", "", {}, {}, "seg1"),
+            ("http://dup.com/", "t", {}, {"robots": "noindex"}, "seg1"),
+        ],
+        "url string, title string, content_meta map<string,string>, "
+        "parse_meta map<string,string>, segment_id string",
+    )
+    pt = spark.createDataFrame(
+        [("http://add.com/", "body text")], "url string, text string"
+    )
+    out = {r["url"]: r for r in indexing_join(db, fl, pd, pt).collect()}
+    assert out["http://add.com/"]["action"] == "ADD"
+    assert out["http://add.com/"]["host"] == "add.com"
+    assert out["http://add.com/"]["boost"] == 2.0          # pow(4, 0.5)
+    assert out["http://gone.com/"]["action"] == "DELETE"   # db_gone
+    assert out["http://dup.com/"]["action"] == "DELETE"    # robots noindex wins
+
+    assert {r["url"] for r in cleaning_targets(db).collect()} == {
+        "http://gone.com/", "http://dup.com/"
+    }
+
+
+def test_update_hostdb(spark):
+    db = spark.createDataFrame(
+        [
+            ("http://h1.com/a", "db_fetched", 2.0, {"rs": "100"}),
+            ("http://h1.com/b", "db_unfetched", 4.0, {"rs": "300"}),
+            ("http://h2.com/a", "db_gone", 1.0, {}),
+        ],
+        "url string, status string, score float, metadata map<string,string>",
+    )
+    cfg = NutchConfig(hostdb_numeric_fields=("rs",), hostdb_percentiles=(50,))
+    out = {r["host"]: r for r in update_hostdb(db, cfg=cfg).collect()}
+    assert out["h1.com"]["fetched"] == 1 and out["h1.com"]["unfetched"] == 1
+    assert out["h2.com"]["gone"] == 1
+    assert abs(out["h1.com"]["score"] - 3.0) < 1e-6
+    assert out["h1.com"]["min.rs"] == 100.0 and out["h1.com"]["max.rs"] == 300.0
+
+    counts = string_field_counts(db, "rs").collect()
+    assert {(r["host"], r["value"], r["count"]) for r in counts} == {
+        ("h1.com", "100", 1), ("h1.com", "300", 1)
+    }

@@ -1,0 +1,82 @@
+"""Physical-plan audit: assert that headline queries compile to the plans a
+100 TB deployment needs — filters pushed to the parquet scan, column-pruned
+schemas, broadcast joins for small dims, TakeOrderedAndProject for top-n
+(never a global sort), and no accidental cartesian products.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Prints PLAN-OK / PLAN-WARN lines + a summary; exit 1 on hard failures.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# query -> (must_contain regexes, must_NOT_contain regexes)
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    # filter + projection pushdown reach the scan
+    "f4_filter_surface": [[r"PushedFilters: \[.*IsNotNull"], [r"CartesianProduct"]],
+    # top-n compiles to TakeOrderedAndProject, not Sort+Limit-after-Exchange
+    "a2_global_topn": [[r"TakeOrderedAndProject"], [r"GlobalSort"]],
+    "w3_top_nodes": [[r"TakeOrderedAndProject"], []],
+    # explicit broadcast of the small dimension
+    "j7_broadcast_join": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    "g5_linkdumper": [[r"BroadcastHashJoin"], []],
+    # multi-way join: dims must broadcast (AQE or static), fact never does
+    "j3_multiway_join": [[r"BroadcastHashJoin|SortMergeJoin"], [r"CartesianProduct"]],
+    # aggregations: partial (map-side) aggregation present
+    "a1_stats_by_flag": [[r"HashAggregate"], [r"CartesianProduct"]],
+    "a4_group_count": [[r"HashAggregate"], []],
+    # window rank: single shuffle on the partition key
+    "w1_generate_topk": [[r"Window|WindowGroupLimit"], [r"CartesianProduct"]],
+    # dedup family: shuffles keyed on band/shingle, no cross product
+    "dp_minhash_lsh": [[r"HashAggregate"], [r"CartesianProduct"]],
+    "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # embedding near-dup must be a bucket equi-join, NOT a cross product
+    "dp_embedding_near_dup": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                              [r"CartesianProduct"]],
+    # brute-force ANN is the one INTENDED broadcast nested loop
+    "dp_cosine_topk": [[r"BroadcastNestedLoopJoin"], []],
+    # column pruning: token stats reads only doc_id and text
+    "dp_token_stats": [[r"ReadSchema: struct<doc_id:bigint,text:string>"], []],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from nutch_spark.plans import REGISTRY
+    from nutch_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for name, (must, must_not) in CHECKS.items():
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        problems = []
+        for pat in must:
+            if not re.search(pat, plan):
+                problems.append(f"missing /{pat}/")
+        for pat in must_not:
+            if re.search(pat, plan):
+                problems.append(f"forbidden /{pat}/ present")
+        if problems:
+            failures += 1
+            print(f"PLAN-FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PLAN-OK   {name}")
+    print(f"\n{len(CHECKS) - failures} ok, {failures} failed")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
