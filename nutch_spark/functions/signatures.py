@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,61 @@ def text_profile_signature(
         fb = F.col(fallback) if isinstance(fallback, str) else fallback
         return F.when(t.isNull() | (F.length(t) == 0), F.md5(fb.cast("string"))).otherwise(sig)
     return sig
+
+
+def text_profile_signatures(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    min_token_len: int = 2,
+    quant_rate: float = 0.01,
+) -> DataFrame:
+    """(key, tps) — TextProfileSignature as a distributed aggregation.
+
+    Same bit-exact semantics as ``text_profile_signature`` (the column form),
+    but shaped for scale: explode tokens → one partial-aggregating
+    groupBy(key, token) → one groupBy(key) collecting the (cnt, token)
+    profile (bounded by the doc's distinct-token count). The column form's
+    nested filter-inside-transform is O(tokens × distinct) per row in a
+    single giant expression and is ~100x slower on long documents.
+    """
+    t = F.col(text)
+    toks = F.filter(
+        F.split(F.lower(t), r"[^\p{L}\p{Nd}]+"),
+        lambda tok: F.length(tok) > min_token_len,
+    )
+    ex = df.select(F.col(key).alias("id"), F.explode(toks).alias("v"))
+    counts = ex.groupBy("id", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    profiles = counts.groupBy("id").agg(
+        F.max("cnt").alias("mf"),
+        F.collect_list(F.struct(F.col("cnt"), F.col("v"))).alias("items"),
+    )
+    quant_raw = F.floor(F.col("mf") * F.lit(float(quant_rate)) + F.lit(0.5)).cast("int")
+    quant = F.when(quant_raw >= 2, quant_raw).otherwise(
+        F.when(F.col("mf") > 1, F.lit(2)).otherwise(F.lit(1))
+    )
+    quantized = F.filter(
+        F.transform(
+            "items",
+            lambda s: F.struct(
+                (F.floor(s["cnt"] / quant) * quant).cast("int").alias("cnt"),
+                s["v"].alias("val"),
+            ),
+        ),
+        lambda s: s["cnt"] >= quant,
+    )
+    # struct array_sort orders by fields ascending; negate cnt → (freq desc, token asc)
+    ordered = F.array_sort(
+        F.transform(quantized, lambda s: F.struct((-s["cnt"]).alias("nc"), s["val"].alias("val")))
+    )
+    profile = F.concat_ws(
+        "\n",
+        F.transform(ordered, lambda s: F.concat_ws(" ", s["val"], (-s["nc"]).cast("string"))),
+    )
+    sigs = profiles.select("id", F.md5(profile).alias("tps"))
+    # docs whose tokens all fall below min_token_len still get md5("")
+    all_keys = df.select(F.col(key).alias("id"))
+    return all_keys.join(sigs, "id", "left").select(
+        "id", F.coalesce("tps", F.md5(F.lit(""))).alias("tps")
+    )

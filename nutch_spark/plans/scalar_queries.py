@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nutch_spark.functions.signatures import text_profile_signature
+from nutch_spark.functions.signatures import text_profile_signatures
 from nutch_spark.functions.urls import normalize_url, url_domain, url_host, url_tld
 from nutch_spark.plans.driver_queries import REGISTRY, q, t
 
@@ -134,9 +134,10 @@ def d7_text_profile_sig(spark, sf_dir):
     tokenize (letter/digit runs, len>2, lowercase), quantize counts to
     QUANT=round(maxFreq*0.01) floor 2, drop below-quant tokens, sort by
     (freq desc, token), md5 the "token cnt\\n..." profile. Bit-exact across
-    engines — this is the dedup signature whose equality drives W4/D1."""
+    engines — this is the dedup signature whose equality drives W4/D1.
+    Uses the aggregation-shaped form (explode → groupBy), the scale path."""
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", text_profile_signature("text").alias("tps"))
+    return text_profile_signatures(d).withColumnRenamed("id", "doc_id")
 
 
 assert "d7_text_profile_sig" in REGISTRY
