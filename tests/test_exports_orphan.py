@@ -153,3 +153,46 @@ def test_update_hostdb(spark):
     assert {(r["host"], r["value"], r["count"]) for r in counts} == {
         ("h1.com", "100", 1), ("h1.com", "300", 1)
     }
+
+
+def test_depth_scoring(spark):
+    from nutch_spark.operators.depth import propagate_depth, seed_depth
+
+    seeds = spark.createDataFrame(
+        [("http://s.com/", {"k": "v"}), ("http://deep.com/", {"_maxdepth_": "5"})],
+        "url string, metadata map<string,string>",
+    )
+    seeded = {r["url"]: r["metadata"] for r in seed_depth(seeds, max_depth=2).collect()}
+    assert seeded["http://s.com/"] == {"k": "v", "_maxdepth_": "2", "_depth_": "0"}
+    assert seeded["http://deep.com/"]["_maxdepth_"] == "5"  # per-seed override kept
+
+    parents = spark.createDataFrame(
+        [
+            ("http://s.com/", {"_depth_": "1", "_maxdepth_": "2"}),
+            ("http://ok.com/", {"_depth_": "0", "_maxdepth_": "2"}),
+        ],
+        "url string, metadata map<string,string>",
+    )
+    outlinks = spark.createDataFrame(
+        [
+            ("http://s.com/", "http://child-at-limit.com/"),   # depth 2 == max: kept
+            ("http://ok.com/", "http://child-ok.com/"),        # depth 1: kept
+            ("http://unknown.com/", "http://orphan-child.com/"),  # parent absent: depth 1
+        ],
+        "from_url string, to_url string",
+    )
+    out = {r["to_url"]: r["metadata"] for r in propagate_depth(outlinks, parents, default_max_depth=2).collect()}
+    assert out["http://child-at-limit.com/"]["_depth_"] == "2"
+    assert out["http://child-ok.com/"]["_depth_"] == "1"
+    assert out["http://orphan-child.com/"]["_depth_"] == "1"
+
+    # one more hop from the at-limit child must be dropped
+    deeper = spark.createDataFrame(
+        [("http://child-at-limit.com/", "http://too-deep.com/")],
+        "from_url string, to_url string",
+    )
+    parents2 = spark.createDataFrame(
+        [("http://child-at-limit.com/", {"_depth_": "2", "_maxdepth_": "2"})],
+        "url string, metadata map<string,string>",
+    )
+    assert propagate_depth(deeper, parents2, default_max_depth=2).count() == 0

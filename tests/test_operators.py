@@ -311,3 +311,34 @@ def test_linkrank_domain_dedup(spark):
     got = {r["url"]: r["score"] for r in linkrank(edges, cfg=cfg).collect()}
     # nodes: one kept src + t → N=2 after dedup; t gets one contribution of 1.0
     assert abs(got["http://t.com/"] - (0.15 + 0.85 * (0.5 + 1.0))) < 1e-9
+
+
+# --- WebGraph build: A11 outlink dedup + latest-segment-wins (G2) -----------
+
+
+def test_webgraph_build_edges(spark):
+    from nutch_spark.operators.webgraph import build_edges
+
+    parse_data = spark.createDataFrame(
+        [
+            ("http://a.com/p", "seg1",
+             [{"to_url": "http://b.com/x", "anchor": "old"},
+              {"to_url": "http://b.com/x", "anchor": "dup"}]),
+            ("http://a.com/p", "seg2",
+             [{"to_url": "http://b.com/x", "anchor": "new"},
+              {"to_url": "http://b.com/y", "anchor": ""},
+              {"to_url": "http://c.com/z", "anchor": ""}]),
+        ],
+        "url string, segment_id string, "
+        "outlinks array<struct<to_url string, anchor string>>",
+    )
+    edges = build_edges(parse_data).collect()
+    by_dst = {r["dst"]: r for r in edges}
+    # one edge per (src, dst): latest segment wins, duplicates collapsed (A11)
+    assert len(edges) == 3
+    assert by_dst["http://b.com/x"]["anchor"] == "new"
+    assert by_dst["http://b.com/x"]["segment_id"] == "seg2"
+
+    # per-target-domain dedup keeps one edge into b.com (WebGraph.java:275-296)
+    dom = build_edges(parse_data, dedup_by_domain=True).collect()
+    assert sorted(r["dst"] for r in dom) == ["http://b.com/x", "http://c.com/z"]
