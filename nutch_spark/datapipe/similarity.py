@@ -139,6 +139,75 @@ def lsh_topk(
     return pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    Voronoi cells around centroids; each query scores only the ``n_probe``
+    nearest cells. The second ANN scale path next to ``lsh_topk``.
+
+    Centroids are picked deterministically as the ``n_centroids`` corpus
+    vectors with the smallest xxhash64(key) — a pseudo-random but
+    reproducible spread (k-means would refine them; assignment/probe
+    mechanics, the scale-relevant part, are identical). Only those K rows
+    are collected (TakeOrderedAndProject — never the corpus) and inlined as
+    literals. Shuffle: corpus scored once against n_centroids (map-only),
+    then one equi-join on cell id — O(rows·n_probe/n_centroids) pair work.
+    """
+    cent_rows = (
+        corpus.select(key, vec)
+        .orderBy(F.xxhash64(F.col(key).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
+
+    def cell_rank(v: Column) -> Column:
+        """Cell ids ordered nearest-first. One struct array, each centroid
+        cosine computed exactly once — a chained when/greatest fold would
+        duplicate every cosine subtree per comparison and blow the plan up
+        exponentially (the first draft took minutes to analyze)."""
+        arr = F.array(
+            *[
+                F.struct(
+                    (-cosine(v, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        return F.transform(F.array_sort(arr), lambda x: x["cid"])
+
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec).alias("_cv"),
+        F.element_at(cell_rank(F.col(vec)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec).alias("_qv"),
+        F.explode(F.slice(cell_rank(F.col(vec)), 1, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     *,

@@ -438,3 +438,16 @@ def dp_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42)
+
+
+@q("dp_ivf_topk", None)  # rows-only: centroid pick is a distributed sample
+def dp_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the second ANN scale path): Voronoi-cell
+    partitioning around sampled centroids, n_probe nearest cells scored per
+    query — O(rows·n_probe/n_centroids) pair work after one map-only
+    assignment pass."""
+    from nutch_spark.datapipe.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4)

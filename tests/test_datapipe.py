@@ -129,3 +129,21 @@ def test_multimodal_plumbing(spark):
     # metadata path never touches the payload decode (pure JVM expressions)
     meta = {r["media_id"]: r["n_bytes"] for r in binary_metadata(media).collect()}
     assert meta[0] == 10
+
+
+def test_ivf_topk(spark):
+    import random
+
+    from nutch_spark.datapipe.similarity import ivf_topk
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") >= 100)
+
+    # identical vectors land in the same Voronoi cell -> always found
+    got = {r["query_id"]: r["neighbor_id"]
+           for r in ivf_topk(emb, queries, k=1, n_centroids=8, n_probe=2).collect()}
+    assert got == {100 + i: i for i in range(5)}
