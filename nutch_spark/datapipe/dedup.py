@@ -117,6 +117,20 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+_MINHASH_PRIME = (1 << 31) - 1  # Mersenne: products stay inside a long
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash coefficients shared with the SQL
+    oracle: h_i(x) = (a_i * (base(x) mod p) + b_i) mod p."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1) + 101) % _MINHASH_PRIME | 1
+        b = (40503 * (i + 7) + 8191) % _MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",
@@ -127,17 +141,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash ARRAY<LONG>) — num_hashes independent min-hashes.
 
-    Shape: explode shingles once, then ONE partial-aggregating groupBy with
-    num_hashes min() aggregates. This is the scale form — a single shuffle of
-    (id, 32 longs), map-side combined; the naive form (num_hashes array
-    transforms over a recomputed shingle array) re-evaluates the shingling
-    per hash and was ~20x slower. Documents with < n tokens drop out (no
-    shingles → no signature), matching the oracle.
+    Shape: explode shingles once, hash each shingle ONCE (md5-derived base),
+    then ONE partial-aggregating groupBy whose num_hashes min() aggregates
+    each apply a cheap universal-hash mix (a_i*base + b_i mod p) — pure long
+    arithmetic, no per-seed md5. A single shuffle of (id, 32 longs),
+    map-side combined. Earlier forms measured at sf0.1: per-seed array
+    transforms ~84 s, per-seed md5 aggregation ~11 s, this ~4 s. Documents
+    with < n tokens drop out (no shingles → no signature), matching the
+    oracle.
     """
     ex = df.select(F.col(key).alias("id"), F.explode(shingles(text, n)).alias("sh"))
+    base = F.pmod(h64(F.col("sh")), F.lit(_MINHASH_PRIME))
+    ex = ex.select("id", base.alias("b"))
     aggs = [
-        F.min(h64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("b") + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     sig = ex.groupBy("id").agg(*aggs)
     return sig.select(

@@ -16,9 +16,11 @@ loop holds driver-side state beyond the round counter.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from nutch_spark.config import DEFAULT, NutchConfig
@@ -55,10 +57,21 @@ def crawl_round(
 
     fetchlist = generate(crawldb, top_n, cfg=cfg, now=now)
     fetch_log = fetch(fetchlist, cfg=cfg, fetch_fn=fetch_fn)
+    # A12 counters (the reference's per-job MR counters, NutchMetrics):
+    # observe() rides the materialization below — no extra pass.
+    obs = Observation("round_metrics")
+    fetch_log = fetch_log.observe(
+        obs,
+        F.count(F.lit(1)).alias("pages_fetched"),
+        F.count_if(F.col("status") == "fetch_success").alias("fetch_success"),
+        F.count_if(F.col("status") == "fetch_gone").alias("fetch_gone"),
+        F.count_if(F.col("status") == "fetch_retry").alias("fetch_retry"),
+    )
     # one materialization per round: fetch is side-effecting/imperative, and
     # both parse and updatedb consume it (the reference writes the segment to
     # disk here for the same reason)
     fetch_log = fetch_log.localCheckpoint(eager=True)
+    stats = dict(obs.get)
 
     parse_data = parse(fetch_log, cfg=cfg)
     parse_emits = emit_parse_rows(
@@ -77,7 +90,7 @@ def crawl_round(
         if linkdb is None
         else merge_linkdbs([linkdb, round_links], cfg=cfg)
     )
-    return RoundResult(new_db, new_linkdb, fetch_log, parse_data)
+    return RoundResult(new_db, new_linkdb, fetch_log, parse_data, stats)
 
 
 def crawl(
@@ -114,3 +127,22 @@ def crawl(
         if result.linkdb is not None:
             result.linkdb = result.linkdb.localCheckpoint(eager=True)
     return result
+
+
+def atomic_install(df: DataFrame, path: str, *, keep_old: bool = True) -> None:
+    """The reference's CrawlDb.install() protocol (CrawlDb.java:148,
+    LinkDb.java:307-323) for plain Parquet: write to ``path_tmp``, rotate
+    ``path`` → ``path_old``, ``path_tmp`` → ``path``. Readers of the old
+    snapshot keep a consistent view; a crash mid-install leaves either the
+    old or the new complete directory. (On Delta Lake this whole function is
+    one transactional overwrite.)"""
+    tmp, old = path + "_tmp", path + "_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.parquet(tmp)
+    if keep_old:
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, old)
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)

@@ -27,8 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nutch_spark.datapipe.dedup import (
+    _MINHASH_PRIME,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
@@ -147,6 +149,12 @@ def dp_ngram_jaccard(spark, sf_dir):
 
 _BANDS, _ROWS_PER_BAND = 8, 4  # 32 hashes; 50% collision point ≈ 0.60 Jaccard
 
+# (seed, a, b) rows for the universal-hash family, identical to
+# minhash_params — the oracle applies the same mix to the same md5 base
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(minhash_params(_BANDS * _ROWS_PER_BAND))
+)
+
 
 @q(
     "dp_minhash_lsh",
@@ -154,12 +162,13 @@ _BANDS, _ROWS_PER_BAND = 8, 4  # 32 hashes; 50% collision point ≈ 0.60 Jaccard
     WITH corpus AS ({_CORPUS_SQL}),
     d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
     sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
-    ex AS (SELECT id, unnest(s) AS sng FROM sh),
+    ex AS (SELECT id, CAST({_H64.format(s="unnest(s)")} % {_MINHASH_PRIME} AS BIGINT) AS b
+           FROM sh),
+    params(seed, pa, pb) AS (VALUES {_MINHASH_PARAMS_SQL}),
     sigs AS (
-      SELECT ex.id, g.seed,
-             min({_H64.format(s="concat(CAST(g.seed AS VARCHAR), ':', ex.sng)")}) AS mh
-      FROM ex CROSS JOIN (SELECT unnest(range({_BANDS * _ROWS_PER_BAND})) AS seed) g
-      GROUP BY ex.id, g.seed
+      SELECT ex.id, p.seed, min((p.pa * ex.b + p.pb) % {_MINHASH_PRIME}) AS mh
+      FROM ex CROSS JOIN params p
+      GROUP BY ex.id, p.seed
     ),
     buckets AS (
       SELECT id, seed // {_ROWS_PER_BAND} AS band,

@@ -60,3 +60,27 @@ def test_crawl_is_deterministic(spark):
     rows_a = sorted((r["url"], r["status"]) for r in a.crawldb.collect())
     rows_b = sorted((r["url"], r["status"]) for r in b.crawldb.collect())
     assert rows_a == rows_b
+
+
+def test_round_counters_and_atomic_install(spark, tmp_path):
+    from nutch_spark.pipeline import atomic_install, crawl
+
+    seeds = spark.createDataFrame(SEEDS[:3], "url string, metadata map<string,string>")
+    cfg = NutchConfig(linkdb_ignore_internal_links=False)
+    res = crawl(seeds, rounds=1, top_n=10, cfg=cfg)
+    # A12 counters observed during the fetch materialization
+    assert res.stats["pages_fetched"] == 3
+    assert (
+        res.stats["fetch_success"] + res.stats["fetch_gone"] + res.stats["fetch_retry"]
+        <= res.stats["pages_fetched"]
+    )
+
+    # install protocol: new snapshot replaces current, old kept
+    path = str(tmp_path / "crawldb")
+    atomic_install(res.crawldb, path)
+    first = spark.read.parquet(path).count()
+    assert first == res.crawldb.count()
+    shrunk = res.crawldb.limit(1)
+    atomic_install(shrunk, path)
+    assert spark.read.parquet(path).count() == 1
+    assert spark.read.parquet(path + "_old").count() == first  # previous kept
