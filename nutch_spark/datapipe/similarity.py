@@ -102,10 +102,14 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket in any of
     ``tables`` independent hash tables. Recall grows with tables; shuffle
-    stays O(rows * tables)."""
+    stays O(rows * tables). ``round_sim`` rounds the similarity BEFORE
+    ranking (with the id tie-break) so orderings are stable across engines
+    with different float-accumulation orders — set it when comparing against
+    an external oracle."""
     def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
         out = []
         for t in range(tables):
@@ -125,15 +129,14 @@ def lsh_topk(
 
     qb = bucketed(queries, "query_id")
     cb = bucketed(corpus, "neighbor_id")
+    sim = cosine(F.col("_v_query_id"), F.col("_v_neighbor_id"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
     pairs = (
         cb.join(qb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_v_query_id"), F.col("_v_neighbor_id")).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")

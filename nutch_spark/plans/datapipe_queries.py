@@ -439,14 +439,68 @@ def dp_embedding_near_dup(spark, sf_dir):
     )
 
 
-@q("dp_lsh_topk", None)  # non-SQL-expressible cheaply: rows-only check
+def _lsh_topk_oracle(*, dim=64, bits=8, tables=4, seed=42, k=5) -> str:
+    """Build the DuckDB twin of lsh_topk: the SAME hyperplanes (shared
+    generator) inlined as list literals, same bucket strings, rounded cosine
+    ranking with the id tie-break."""
+    from nutch_spark.datapipe.similarity import _hyperplanes
+
+    def bucket_expr(col: str, table: int) -> str:
+        cases = []
+        for plane in _hyperplanes(dim, bits, seed + table):
+            lits = ", ".join(repr(x) for x in plane)
+            cases.append(
+                "CASE WHEN list_sum(list_transform(list_zip("
+                f"{col}, [{lits}]::DOUBLE[]), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+                " >= 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(cases)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {tbl} AS tbl, {bucket_expr('embedding', tbl)} AS bucket FROM embeddings"
+        for tbl in range(tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {tbl} AS tbl, {bucket_expr('embedding', tbl)} AS bucket "
+        f"FROM embeddings WHERE vec_id < 20"
+        for tbl in range(tables)
+    )
+    return f"""
+    WITH cb AS ({cb}), qb AS ({qb}),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               6) AS cosine_sim
+      FROM pairs p
+      JOIN embeddings eq ON eq.vec_id = p.query_id
+      JOIN embeddings ec ON ec.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@q("dp_lsh_topk", _lsh_topk_oracle())
 def dp_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-k (the ANN scale path): corpus and queries
     bucketed by hyperplane sign patterns across 4 tables; only same-bucket
-    pairs scored. Shuffle O(rows x tables) instead of a cross product."""
+    pairs scored. Shuffle O(rows x tables) instead of a cross product. The
+    oracle inlines the identical hyperplanes and models the buckets."""
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42)
+    return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42, round_sim=6)
 
 
 @q("dp_ivf_topk", None)  # rows-only: centroid pick is a distributed sample
