@@ -151,22 +151,24 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned into
     Voronoi cells around centroids; each query scores only the ``n_probe``
     nearest cells. The second ANN scale path next to ``lsh_topk``.
 
     Centroids are picked deterministically as the ``n_centroids`` corpus
-    vectors with the smallest xxhash64(key) — a pseudo-random but
-    reproducible spread (k-means would refine them; assignment/probe
-    mechanics, the scale-relevant part, are identical). Only those K rows
-    are collected (TakeOrderedAndProject — never the corpus) and inlined as
-    literals. Shuffle: corpus scored once against n_centroids (map-only),
-    then one equi-join on cell id — O(rows·n_probe/n_centroids) pair work.
+    vectors with the smallest md5(key) — a pseudo-random but reproducible
+    spread computable by any engine (k-means would refine them;
+    assignment/probe mechanics, the scale-relevant part, are identical).
+    Only those K rows are collected (TakeOrderedAndProject — never the
+    corpus) and inlined as literals. Shuffle: corpus scored once against
+    n_centroids (map-only), then one equi-join on cell id —
+    O(rows·n_probe/n_centroids) pair work.
     """
     cent_rows = (
         corpus.select(key, vec)
-        .orderBy(F.xxhash64(F.col(key).cast("string")))
+        .orderBy(F.md5(F.col(key).cast("string")))
         .limit(n_centroids)
         .collect()
     )
@@ -198,14 +200,13 @@ def ivf_topk(
         F.col(vec).alias("_qv"),
         F.explode(F.slice(cell_rank(F.col(vec)), 1, n_probe)).alias("cell"),
     )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
     scored = (
         c.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")

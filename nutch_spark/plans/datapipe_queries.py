@@ -503,14 +503,64 @@ def dp_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42, round_sim=6)
 
 
-@q("dp_ivf_topk", None)  # rows-only: centroid pick is a distributed sample
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+)
+
+
+@q(
+    "dp_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+             embedding AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cid, {_COS_SQL.format(a="e.embedding", b="c.cv")} AS s
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    corpus_cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM assign) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM assign WHERE vec_id < 20) WHERE rn <= 4
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM corpus_cell c JOIN query_cells q ON c.cell = q.cell
+      WHERE q.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             round({_COS_SQL.format(a="eq.embedding", b="ec.embedding")}, 6) AS cosine_sim
+      FROM pairs p
+      JOIN embeddings eq ON eq.vec_id = p.query_id
+      JOIN embeddings ec ON ec.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
 def dp_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the second ANN scale path): Voronoi-cell
-    partitioning around sampled centroids, n_probe nearest cells scored per
-    query — O(rows·n_probe/n_centroids) pair work after one map-only
-    assignment pass."""
+    partitioning around md5-sampled centroids, n_probe nearest cells scored
+    per query — O(rows·n_probe/n_centroids) pair work after one map-only
+    assignment pass. The oracle recomputes the identical centroid set
+    (smallest md5(vec_id)), assignment argmax, and probe ranking."""
     from nutch_spark.datapipe.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4, round_sim=6)
