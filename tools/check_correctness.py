@@ -18,6 +18,8 @@ import sys
 
 import duckdb
 
+STRICT_FLOATS = bool(os.environ.get("STRICT_FLOATS"))
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -34,6 +36,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT_FLOATS:
+            return repr(v)
         return f"{v:.6g}"
     if isinstance(v, bool):
         return "true" if v else "false"
