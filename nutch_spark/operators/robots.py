@@ -1,0 +1,140 @@
+"""Robots policy (SURVEY.md §2.8 P4) — declarative robots.txt evaluation.
+
+Reference: /root/reference/src/java/org/apache/nutch/protocol/
+RobotRulesParser.java (crawler-commons SimpleRobotRules underneath): per
+(host, agent) ordered Allow/Disallow path rules; the LONGEST matching rule
+decides; no matching rule → allowed; plus an optional Crawl-delay.
+
+The network fetch of robots.txt belongs to the fetcher (P1); everything
+after the bytes arrive is relational and lives here:
+
+- ``parse_robots``: robots bodies → one row per (host, agent, rule_type,
+  path_prefix) via regexp extraction (wildcard-free prefix rules — the
+  dominant case; '*'-pattern rules would extend the match expression).
+- ``crawl_delays``: per (host, agent) Crawl-delay seconds.
+- ``filter_allowed``: fetchlist ⟕ broadcast(rules) → longest-match verdict.
+  Rules tables are tiny relative to fetchlists (one row per rule line, not
+  per URL), so the join broadcasts; the fetchlist is never reshuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.urls import url_host
+
+
+def _directives(content: str = "content") -> F.Column:
+    """Explode robots.txt lines into (field, value) pairs, tracking the
+    active user-agent group the way SimpleRobotRules does."""
+    return F.split(F.col(content), "\n")
+
+
+def parse_robots(robots: DataFrame, *, host: str = "host", content: str = "content") -> DataFrame:
+    """(host, content) → (host, agent, rule_type allow|disallow, prefix).
+
+    Group structure: directives apply to the most recent User-agent line(s);
+    comments and blank lines ignored; values trimmed.
+    """
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", "^([A-Za-z-]+)\\s*:", 1))).alias("field"),
+        F.trim(F.regexp_extract("line", "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("field") != "")
+    # propagate the current agent group: last user-agent value at or before
+    # each directive (window last_value over preceding rows)
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    agented = parsed.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("field") == "user-agent", F.lower(F.col("value"))), ignorenulls=True
+        ).over(w),
+    )
+    return agented.filter(
+        F.col("field").isin("allow", "disallow") & F.col("agent").isNotNull()
+        & (F.col("value") != "")
+    ).select(
+        "host",
+        "agent",
+        F.col("field").alias("rule_type"),
+        F.col("value").alias("prefix"),
+    )
+
+
+def crawl_delays(robots: DataFrame, *, host: str = "host", content: str = "content") -> DataFrame:
+    """(host, agent, crawl_delay_s) from Crawl-delay directives."""
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    agented = lines.withColumn(
+        "agent",
+        F.last(
+            F.when(
+                F.lower(F.trim(F.col("line"))).startswith("user-agent"),
+                F.lower(F.trim(F.regexp_extract("line", ":\\s*(.*)$", 1))),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return agented.select(
+        "host",
+        "agent",
+        F.regexp_extract(F.lower("line"), "^\\s*crawl-delay\\s*:\\s*([0-9.]+)", 1).alias("d"),
+    ).filter(F.col("d") != "").select(
+        "host", "agent", F.col("d").cast("double").alias("crawl_delay_s")
+    )
+
+
+def filter_allowed(
+    fetchlist: DataFrame,
+    rules: DataFrame,
+    *,
+    agent: str = "*",
+    url: str = "url",
+) -> DataFrame:
+    """Keep fetchlist rows allowed by the longest-matching rule for ``agent``
+    (exact agent rules win over the ``*`` group, RobotRulesParser agent
+    resolution). No matching rule → allowed."""
+    r = rules.filter(F.col("agent").isin(agent.lower(), "*")).select(
+        F.col("host").alias("_rhost"),
+        F.col("agent").alias("_ragent"),
+        "rule_type",
+        "prefix",
+    )
+    fl = fetchlist.withColumn("_host", url_host(url)).withColumn(
+        "_path", F.coalesce(F.regexp_extract(url, r"^[a-zA-Z+.-]+://[^/]+(/.*)$", 1), F.lit("/"))
+    )
+    joined = fl.join(
+        F.broadcast(r),
+        (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(F.col("prefix")),
+        "left",
+    )
+    # longest matching rule wins; exact-agent rules outrank '*' at equal length
+    w = Window.partitionBy(url).orderBy(
+        F.desc(F.length(F.coalesce("prefix", F.lit("")))),
+        F.when(F.col("_ragent") == agent.lower(), 0).otherwise(1),
+    )
+    verdict = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "_allowed",
+            F.col("rule_type").isNull() | (F.col("rule_type") == "allow"),
+        )
+    )
+    return (
+        verdict.filter(F.col("_allowed"))
+        .drop("_rhost", "_ragent", "rule_type", "prefix", "_rn", "_allowed", "_host", "_path")
+    )

@@ -1,0 +1,63 @@
+"""Robots policy tests (P4): parsing, agent groups, longest-match verdicts,
+crawl delays."""
+
+from __future__ import annotations
+
+from nutch_spark.operators.robots import crawl_delays, filter_allowed, parse_robots
+
+ROBOTS = """# example robots
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Crawl-delay: 2
+
+User-agent: nutch
+Disallow: /nutch-only/
+Crawl-delay: 7
+"""
+
+
+def robots_df(spark):
+    return spark.createDataFrame([("a.com", ROBOTS)], "host string, content string")
+
+
+def test_parse_robots_groups(spark):
+    rules = parse_robots(robots_df(spark)).collect()
+    got = {(r["agent"], r["rule_type"], r["prefix"]) for r in rules}
+    assert got == {
+        ("*", "disallow", "/private/"),
+        ("*", "allow", "/private/public/"),
+        ("nutch", "disallow", "/nutch-only/"),
+    }
+
+
+def test_crawl_delays(spark):
+    d = {(r["host"], r["agent"]): r["crawl_delay_s"] for r in crawl_delays(robots_df(spark)).collect()}
+    assert d == {("a.com", "*"): 2.0, ("a.com", "nutch"): 7.0}
+
+
+def test_filter_allowed_longest_match(spark):
+    rules = parse_robots(robots_df(spark))
+    fl = spark.createDataFrame(
+        [
+            ("http://a.com/ok",),                      # no rule → allowed
+            ("http://a.com/private/x",),               # disallow /private/
+            ("http://a.com/private/public/x",),        # longer allow wins
+            ("http://a.com/nutch-only/x",),            # nutch-agent rule
+            ("http://other.com/private/x",),           # no robots for host
+        ],
+        "url string",
+    )
+    star = {r["url"] for r in filter_allowed(fl, rules, agent="*").collect()}
+    assert star == {
+        "http://a.com/ok",
+        "http://a.com/private/public/x",
+        "http://a.com/nutch-only/x",   # the nutch group does not bind '*'
+        "http://other.com/private/x",
+    }
+
+    nutch = {r["url"] for r in filter_allowed(fl, rules, agent="nutch").collect()}
+    assert "http://a.com/nutch-only/x" not in nutch          # agent rule applies
+    assert "http://a.com/private/public/x" in nutch          # inherits '*' allow
+    assert "http://a.com/private/x" not in nutch             # inherits '*' disallow
+    assert "http://other.com/private/x" in nutch
