@@ -49,13 +49,17 @@ def crawldb_stats(
     reference's flattened counter keys; all computed in two jobs
     (one global agg, one grouped agg) over a single scan each.
     """
-    sc = F.col(score)
+    # NaN scores are counted separately and EXCLUDED from min/max/avg
+    # (CrawlDbReader.java:390-391) — Spark's ordering treats NaN as the
+    # largest float, so an unguarded max() would return NaN.
+    raw = F.col(score)
+    sc = F.when(~F.isnan(raw), raw)
     global_agg = crawldb.agg(
         F.count(F.lit(1)).alias("total_urls"),
         F.min(sc).alias("min_score"),
         F.max(sc).alias("max_score"),
         F.avg(sc).alias("avg_score"),
-        F.sum(F.when(F.isnan(sc), 1).otherwise(0)).alias("nan_score_count"),
+        F.sum(F.when(F.isnan(raw), 1).otherwise(0)).alias("nan_score_count"),
         F.min(fetch_interval).alias("min_fetch_interval"),
         F.max(fetch_interval).alias("max_fetch_interval"),
         F.avg(fetch_interval).alias("avg_fetch_interval"),
