@@ -94,3 +94,48 @@ class TestTopKPerGroup:
         got = top_k_per_group(df, "g", [F.desc("v")], 3).collect()
         assert len(got) == 6
         assert {r["v"] for r in got} == {7, 8, 9}
+
+
+class TestPolitenessLayout:
+    def test_host_colocation_and_hash_order(self, spark):
+        """W1 politeness layout (Generator.java:672-702 + URLPartitioner):
+        every host's URLs land in exactly one partition (the fetcher's
+        per-host queue), and within a partition rows are ordered by
+        xxhash64(url) so one host's URLs are spread apart, not clustered."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from nutch_spark.operators.generate import generate
+
+        now = datetime.datetime(2026, 1, 1)
+        rows = [
+            (f"http://h{i % 7}.com/p{i}", "db_unfetched", now, 0, 3600,
+             float(i), None, None, {})
+            for i in range(200)
+        ]
+        db = spark.createDataFrame(
+            rows,
+            "url string, status string, fetch_time timestamp, retries int, "
+            "fetch_interval int, score float, signature binary, "
+            "modified_time timestamp, metadata map<string,string>",
+        )
+        out = generate(db, 200, now=F.lit(now), num_lists=4)
+        got = out.select(
+            "url",
+            F.spark_partition_id().alias("pid"),
+            F.xxhash64("url").alias("h"),
+        ).collect()
+        assert len(got) == 200
+        # one partition per host
+        host_pids = {}
+        for r in got:
+            host = r["url"].split("/")[2]
+            host_pids.setdefault(host, set()).add(r["pid"])
+        assert all(len(pids) == 1 for pids in host_pids.values()), host_pids
+        # collect preserves intra-partition order: hashes nondecreasing per pid
+        by_pid = {}
+        for r in got:
+            by_pid.setdefault(r["pid"], []).append(r["h"])
+        for pid, hs in by_pid.items():
+            assert hs == sorted(hs), f"partition {pid} not hash-ordered"
