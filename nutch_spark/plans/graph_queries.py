@@ -284,4 +284,67 @@ def st_tumbling_window(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# J10 — CrawlDbMerger with metadata newest-precedence merge
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j10_crawldb_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS url, o_orderstatus AS status,
+             CAST(o_totalprice AS DOUBLE) AS score, o_orderpriority AS prio
+      FROM orders
+    )
+    SELECT url,
+           CASE WHEN url % 4 = 0 THEN 'P2' ELSE status END AS status,
+           CASE WHEN url % 4 = 0 THEN score * 2 ELSE score END AS score,
+           CASE WHEN url % 4 = 0 THEN md5('extra=x,prio=' || prio || ',src=db2')
+                ELSE md5('prio=' || prio || ',src=db1') END AS meta_digest
+    FROM base
+    """,
+)
+def j10_crawldb_merge(spark, sf_dir):
+    """CrawlDbMerger J10 (CrawlDbMerger.java:69-117): newest-fetch-time row
+    wins, metadata merged with newest precedence (putAllMetaData). The
+    oracle reconstructs the expected winner and a canonical sorted-entries
+    digest of the merged map, so both the row selection and the map-merge
+    semantics are certified."""
+    from nutch_spark.operators.merge import merge_crawldbs
+
+    o = t(spark, sf_dir, "orders")
+    db1 = o.select(
+        F.col("o_orderkey").alias("url"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("fetch_time"),
+        F.col("o_totalprice").cast("double").alias("score"),
+        F.create_map(
+            F.lit("src"), F.lit("db1"), F.lit("prio"), F.col("o_orderpriority")
+        ).alias("metadata"),
+    )
+    db2 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("url"),
+        F.lit("P2").alias("status"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("fetch_time"),
+        (F.col("o_totalprice").cast("double") * 2).alias("score"),
+        F.create_map(F.lit("src"), F.lit("db2"), F.lit("extra"), F.lit("x")).alias(
+            "metadata"
+        ),
+    )
+    merged = merge_crawldbs([db1, db2])
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(
+                    F.map_entries("metadata"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+        )
+    )
+    return merged.select("url", "status", "score", digest.alias("meta_digest"))
+
+
 assert "g3_linkrank" in REGISTRY
