@@ -49,15 +49,21 @@ def url_protocol(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Hostname, lowercased, port stripped (URLUtil.getHost)."""
+    """Hostname, lowercased, port stripped (URLUtil.getHost).
+
+    try_parse_url, not parse_url: Spark 4's parse_url THROWS on malformed
+    input, and crawl corpora are full of malformed URLs — one bad outlink
+    must degrade to a NULL host (the reference catches MalformedURLException
+    the same way, e.g. Inlinks.java:104-106), never kill the job.
+    """
     url = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def url_page(url: Column | str) -> Column:
-    """Path component ("page", URLUtil.getPage)."""
+    """Path component ("page", URLUtil.getPage); NULL on malformed input."""
     url = F.col(url) if isinstance(url, str) else url
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def url_tld(url: Column | str) -> Column:

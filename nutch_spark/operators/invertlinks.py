@@ -72,18 +72,22 @@ def invert_edges(
 
 
 def anchors_per_target(linkdb: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:
-    """Inlinks.getAnchors(): anchor texts deduplicated per source domain
-    (crawl/Inlinks.java:88-120, used by index-anchor A10)."""
+    """Inlinks.getAnchors() (crawl/Inlinks.java:88-120, feeds index-anchor
+    A10): empty anchors skipped; "only a single anchor with a given text is
+    permitted from a given domain" — the dedup key is (source host, anchor),
+    so the SAME text arriving from two hosts legitimately appears twice.
+    The reference returns encounter order (nondeterministic under Hadoop);
+    we sort — documented deterministic divergence."""
     exploded = linkdb.select("to_url", F.explode("inlinks").alias("l")).select(
         "to_url",
         F.col("l.from_url").alias("from_url"),
         F.col("l.anchor").alias("anchor"),
     )
-    from nutch_spark.functions.urls import url_domain
-
-    per_domain = exploded.filter(F.col("anchor") != "").dropDuplicates(
-        ["to_url", "anchor"]
-    ).withColumn("_dom", url_domain("from_url"))
+    per_domain = (
+        exploded.filter(F.col("anchor") != "")
+        .withColumn("_host", url_host("from_url"))
+        .dropDuplicates(["to_url", "_host", "anchor"])
+    )
     return per_domain.groupBy("to_url").agg(
-        F.array_sort(F.collect_set("anchor")).alias("anchors")
+        F.array_sort(F.collect_list("anchor")).alias("anchors")
     )

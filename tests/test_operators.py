@@ -342,3 +342,25 @@ def test_webgraph_build_edges(spark):
     # per-target-domain dedup keeps one edge into b.com (WebGraph.java:275-296)
     dom = build_edges(parse_data, dedup_by_domain=True).collect()
     assert sorted(r["dst"] for r in dom) == ["http://b.com/x", "http://c.com/z"]
+
+
+def test_anchors_per_host_dedup_semantics(spark):
+    """Inlinks.getAnchors: (host, anchor) is the dedup key — the same text
+    from two hosts appears twice; twice from one host appears once."""
+    linkdb = spark.createDataFrame(
+        [
+            (
+                "http://t.com/",
+                [
+                    {"from_url": "http://x.com/1", "anchor": "click"},
+                    {"from_url": "http://x.com/2", "anchor": "click"},  # same host dup
+                    {"from_url": "http://y.com/1", "anchor": "click"},  # other host
+                    {"from_url": "http://y.com/2", "anchor": ""},       # empty skipped
+                    {"from_url": "http://y.com/3", "anchor": "other"},
+                ],
+            )
+        ],
+        "to_url string, inlinks array<struct<from_url string, anchor string>>",
+    )
+    out = anchors_per_target(linkdb).collect()[0]
+    assert out["anchors"] == ["click", "click", "other"]
