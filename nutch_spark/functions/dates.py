@@ -41,8 +41,12 @@ _FORMATS = (
 def parse_http_date(col: Column | str) -> Column:
     """Best-effort timestamp from an HTTP header date string (NULL if none fit)."""
     c = F.col(col) if isinstance(col, str) else col
-    # drop "Sun, " / "Sun " weekday prefixes (parser rejects EEE patterns)
-    c = F.regexp_replace(c, r"^[A-Za-z]{3},?\s*", "")
+    # drop "Sun, " / "Sun " weekday prefixes (parser rejects EEE patterns).
+    # Only actual weekday names — a bare [A-Za-z]{3} would also strip month
+    # prefixes ("Dec 31 ...") and break the MMM-first formats below.
+    c = F.regexp_replace(
+        c, r"^(?i)(Mon|Tues?|Wed(nes)?|Thur?s?|Fri|Satur?|Sun)(day)?,?\s+", ""
+    )
     # normalize "GMT"-style zone names the new parser rejects in some spots
     attempts = [F.try_to_timestamp(c)]
     attempts += [F.try_to_timestamp(c, F.lit(fmt)) for fmt in _FORMATS]

@@ -42,7 +42,14 @@ def dedup_rank_columns(
         elif policy == "httpsOverHttp":
             order.append(F.when(F.col(url).startswith("https://"), 0).otherwise(1).asc())
         elif policy == "urlLength":
-            order.append(F.length(F.url_decode(F.col(url))).asc())
+            # DeduplicationJob.java:224-235 catches the decode exception and
+            # falls back to the encoded URL; try_url_decode returns NULL on
+            # malformed %-sequences, so coalesce to the raw length.
+            order.append(
+                F.coalesce(
+                    F.length(F.try_url_decode(F.col(url))), F.length(F.col(url))
+                ).asc()
+            )
         else:
             raise ValueError(f"unknown dedup policy {policy!r}")
     order.append(F.asc(url))  # deterministic final tie-break
@@ -82,8 +89,10 @@ def mark_duplicates(
 def deduplicate(crawldb: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:
     """Full DeduplicationJob: fetched rows with equal signatures → keep best,
     mark others db_duplicate, merge marks back (J8)."""
+    # DeduplicationJob.java:89-90 admits both FETCHED and NOTMODIFIED rows.
     fetched = crawldb.filter(
-        (F.col("status") == "db_fetched") & F.col("signature").isNotNull()
+        F.col("status").isin("db_fetched", "db_notmodified")
+        & F.col("signature").isNotNull()
     )
     marked = mark_duplicates(
         fetched,

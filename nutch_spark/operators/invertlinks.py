@@ -61,14 +61,31 @@ def invert_edges(
     Sorting before the cap makes the kept subset deterministic (the reference
     keeps encounter order, which is nondeterministic across Hadoop runs —
     this is a strict improvement, documented divergence).
+
+    Scale: the cap is applied BEFORE any array is materialized — a
+    dense_rank window on the same shuffle key (dst) drops rows past the cap,
+    so a viral URL with 10^7 inlinks never builds a 10^7-element aggregation
+    buffer (the window sort is an external, spillable sort). This mirrors the
+    bounded priority queue of crawl/LinkDbMerger.java:95-110. dense_rank (not
+    row_number) so duplicate structs don't consume cap slots before
+    collect_set dedups them; the collect_set buffer is therefore ≤ cap.
+    The groupBy reuses the window's hash partitioning on ``dst`` — one
+    exchange total.
     """
+    from pyspark.sql import Window
+
     fields = [F.col(src).alias("from_url")] + [F.col(p) for p in (payload or [])]
-    collected = edges.groupBy(F.col(dst).alias(out_key)).agg(
-        F.array_sort(F.collect_set(F.struct(*fields))).alias(out_col)
-    )
+    proj = edges.select(F.col(dst).alias(out_key), F.struct(*fields).alias("_s"))
     if cap:
-        collected = collected.withColumn(out_col, F.slice(F.col(out_col), 1, cap))
-    return collected
+        w = Window.partitionBy(out_key).orderBy(F.asc("_s"))
+        proj = (
+            proj.withColumn("_rk", F.dense_rank().over(w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    return proj.groupBy(out_key).agg(
+        F.array_sort(F.collect_set("_s")).alias(out_col)
+    )
 
 
 def anchors_per_target(linkdb: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:

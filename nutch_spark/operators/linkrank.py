@@ -38,19 +38,32 @@ def linkrank(
     """Compute LinkRank scores; returns (url, score)."""
     d = float(cfg.linkrank_damping)
 
-    # dedup contributions per source page and per source domain (:558-597)
-    uniq = edges.select(src, dst).dropDuplicates([src, dst])
-    uniq = uniq.withColumn("_src_dom", url_domain(src)).dropDuplicates(
-        ["_src_dom", dst]
-    ).drop("_src_dom")
+    # dedup contributions per source page and per source domain (:558-597).
+    # The (domain, dst) winner is deterministic (min src) — dropDuplicates
+    # would pick an arbitrary row per partition layout, making scores
+    # nondeterministic run to run.
+    from pyspark.sql import Window
+
+    page_uniq = edges.select(src, dst).dropDuplicates([src, dst])
+    dom_w = Window.partitionBy(url_domain(src), dst).orderBy(F.asc(src))
+    uniq = (
+        page_uniq.withColumn("_rk", F.row_number().over(dom_w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
     nodes = (
-        uniq.select(F.col(src).alias("url"))
-        .union(uniq.select(F.col(dst).alias("url")))
+        page_uniq.select(F.col(src).alias("url"))
+        .union(page_uniq.select(F.col(dst).alias("url")))
         .distinct()
     )
-    # Cache the static tables: reused every iteration.
-    out_deg = uniq.groupBy(src).agg(F.count(F.lit(1)).alias("num_outlinks")).cache()
+    # Cache the static tables: reused every iteration. The contribution
+    # denominator is the node's FULL webgraph outlink count
+    # (Node.getNumOutlinks, set before the per-target domain dedup) — so
+    # out_deg comes from page_uniq, not the domain-deduped edge set.
+    out_deg = (
+        page_uniq.groupBy(src).agg(F.count(F.lit(1)).alias("num_outlinks")).cache()
+    )
     uniq = uniq.repartition(F.col(src)).cache()
     nodes = nodes.cache()
     n_nodes = nodes.count()  # LinkRank.java:90-178 (counter job)

@@ -113,18 +113,29 @@ def filter_allowed(
         "rule_type",
         "prefix",
     )
-    fl = fetchlist.withColumn("_host", url_host(url)).withColumn(
-        "_path", F.coalesce(F.regexp_extract(url, r"^[a-zA-Z+.-]+://[^/]+(/.*)$", 1), F.lit("/"))
+    fl = (
+        fetchlist.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_host", url_host(url))
+        .withColumn(
+            "_path",
+            F.coalesce(
+                F.regexp_extract(url, r"^[a-zA-Z+.-]+://[^/]+(/.*)$", 1), F.lit("/")
+            ),
+        )
     )
     joined = fl.join(
         F.broadcast(r),
         (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(F.col("prefix")),
         "left",
     )
-    # longest matching rule wins; exact-agent rules outrank '*' at equal length
-    w = Window.partitionBy(url).orderBy(
+    # Longest matching rule wins; exact-agent rules outrank '*' at equal
+    # length; an equal-length Allow beats Disallow (crawler-commons / REP §2.2
+    # tie resolution). Partition by the row id, not the URL, so duplicate
+    # fetchlist rows sharing a URL each get their own verdict.
+    w = Window.partitionBy("_rid").orderBy(
         F.desc(F.length(F.coalesce("prefix", F.lit("")))),
         F.when(F.col("_ragent") == agent.lower(), 0).otherwise(1),
+        F.when(F.col("rule_type") == "allow", 0).otherwise(1),
     )
     verdict = (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -136,5 +147,5 @@ def filter_allowed(
     )
     return (
         verdict.filter(F.col("_allowed"))
-        .drop("_rhost", "_ragent", "rule_type", "prefix", "_rn", "_allowed", "_host", "_path")
+        .drop("_rid", "_rhost", "_ragent", "rule_type", "prefix", "_rn", "_allowed", "_host", "_path")
     )

@@ -72,18 +72,32 @@ def aggregate_updates(
         )
 
     linked = parse_emits.filter(F.col("status") == "linked")
-    # top-K contributions by score (bounded PQ, CrawlDbReducer.java:359-373)
-    link_agg = linked.groupBy("url").agg(
+    # top-K contributions by score (bounded PQ, CrawlDbReducer.java:359-373).
+    # The cap is applied BEFORE collecting: a row_number window on the same
+    # shuffle key (url) keeps only the K best-scored contributions, so a URL
+    # with 10^7 inlinks never materializes a 10^7-element array (the window
+    # sort is external/spillable). link_count still counts ALL contributions
+    # (count over the unordered full-partition frame — same single exchange).
+    # The post-filter array is ≤ K elements and is folded in descending-score
+    # order, preserving the exact float-summation order of the reference PQ
+    # drain (bit-identical to the pre-fix slice(reverse(sort)) form).
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("url").orderBy(F.desc("_score"))
+    w_all = Window.partitionBy("url")
+    topk = (
+        linked.select("url", F.col("score").cast("double").alias("_score"))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= cfg.update_max_inlinks)
+    )
+    link_agg = topk.groupBy("url").agg(
         F.aggregate(
-            F.slice(
-                F.reverse(F.array_sort(F.collect_list(F.col("score").cast("double")))),
-                1,
-                cfg.update_max_inlinks,
-            ),
+            F.reverse(F.array_sort(F.collect_list("_score"))),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("link_score"),
-        F.count(F.lit(1)).alias("link_count"),
+        F.max("_n").alias("link_count"),
     )
     carriers = parse_emits.filter(F.col("status") != "linked").groupBy("url").agg(
         F.max(F.when(F.col("status") == "signature", F.col("signature"))).alias(

@@ -576,11 +576,20 @@ def f8_hash_sample(spark, sf_dir):
 )
 def w5_topk_contribs(spark, sf_dir):
     """Top-K inlink contributions W5 (CrawlDbReducer.java:359-373): bounded
-    priority queue == slice(sort(collect_list))."""
+    priority queue == row_number pre-cap on the shuffle key, THEN a ≤K-element
+    collect — a hot key never materializes an unbounded aggregation buffer
+    (the window sort is external/spillable). Fold order is descending score,
+    matching the reference PQ drain."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"))
+    topk = (
+        li.select("l_orderkey", "l_extendedprice")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+    )
+    return topk.groupBy("l_orderkey").agg(
         F.aggregate(
-            F.slice(F.reverse(F.array_sort(F.collect_list("l_extendedprice"))), 1, 3),
+            F.reverse(F.array_sort(F.collect_list("l_extendedprice"))),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("top3_sum")

@@ -105,7 +105,7 @@ def j4_score_update(spark, sf_dir):
                      COALESCE(num_outlinks, 0) AS num_outlinks,
                      COALESCE(num_inlinks, 0) AS num_inlinks
               FROM outd FULL OUTER JOIN ind ON outd.url = ind.url)
-    SELECT url % 50 AS host, sum(num_inlinks) AS sum_inlinks,
+    SELECT url % 50 AS host, CAST(sum(num_inlinks) AS BIGINT) AS sum_inlinks,
            max(num_outlinks) AS max_outlinks, count(*) AS n_nodes
     FROM nodes GROUP BY url % 50
     """,
@@ -117,7 +117,7 @@ def a9_node_rollup(spark, sf_dir):
     edges = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")).distinct()
     nodes = node_degrees(edges)
     return nodes.groupBy((F.col("url") % 50).alias("host")).agg(
-        F.sum("num_inlinks").alias("sum_inlinks"),
+        F.sum("num_inlinks").cast("long").alias("sum_inlinks"),
         F.max("num_outlinks").alias("max_outlinks"),
         F.count(F.lit(1)).alias("n_nodes"),
     )

@@ -1,0 +1,130 @@
+"""Regression tests for the round-1 ADVICE findings (malformed-URL dedup,
+notmodified dedup eligibility, linkrank out-degree denominator, weekday-only
+date stripping, robots Allow tie-break + duplicate fetchlist rows)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.dates import parse_http_date
+from nutch_spark.operators.dedup import deduplicate
+from nutch_spark.operators.linkrank import linkrank
+from nutch_spark.operators.robots import filter_allowed, parse_robots
+
+DB_SCHEMA = (
+    "url string, status string, fetch_time timestamp, retries int, "
+    "fetch_interval int, score float, signature binary, modified_time timestamp, "
+    "metadata map<string,string>"
+)
+
+NOW = datetime.datetime(2026, 1, 1)
+
+
+def _db_row(url, status, score, sig):
+    return (url, status, NOW, 0, 1000, score, sig, NOW, {})
+
+
+def test_dedup_survives_malformed_percent_encoding(spark):
+    # DeduplicationJob.java:224-235 falls back to the encoded URL when the
+    # decode throws; url_decode would abort the whole job here.
+    sig = b"s"
+    db = spark.createDataFrame(
+        [
+            _db_row("http://a.com/%zzbad-and-longer", "db_fetched", 1.0, sig),
+            _db_row("http://a.com/ok", "db_fetched", 1.0, sig),
+        ],
+        DB_SCHEMA,
+    )
+    out = {r["url"]: r["status"] for r in deduplicate(db).collect()}
+    assert out["http://a.com/ok"] == "db_fetched"  # shorter decoded length wins
+    assert out["http://a.com/%zzbad-and-longer"] == "db_duplicate"
+
+
+def test_dedup_includes_notmodified(spark):
+    # DeduplicationJob.java:89-90 admits FETCHED and NOTMODIFIED rows.
+    sig = b"s"
+    db = spark.createDataFrame(
+        [
+            _db_row("http://a.com/x", "db_fetched", 9.0, sig),
+            _db_row("http://a.com/y", "db_notmodified", 1.0, sig),
+        ],
+        DB_SCHEMA,
+    )
+    out = {r["url"]: r["status"] for r in deduplicate(db).collect()}
+    assert out["http://a.com/x"] == "db_fetched"
+    assert out["http://a.com/y"] == "db_duplicate"
+
+
+def test_linkrank_outdeg_from_full_edge_set(spark):
+    # a.com/1 links to BOTH targets on x.com and to y.com: the (domain, dst)
+    # dedup keeps one edge per (a.com, x.com-target) pair, but the
+    # denominator stays the node's FULL outlink count (Node.getNumOutlinks).
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://x.com/t1"),
+            ("http://a.com/1", "http://x.com/t2"),
+            ("http://a.com/1", "http://y.com/t"),
+            ("http://b.com/1", "http://y.com/t"),
+        ],
+        "src string, dst string",
+    )
+    scores = {r["url"]: r["score"] for r in linkrank(edges, use_checkpoint=False).collect()}
+    # after iteration 1 the contribution from a.com/1 to each target is
+    # score/3 (full out-degree), not score/2 (post-dedup degree). With
+    # out_deg=3 both x.com targets receive identical contributions.
+    assert abs(scores["http://x.com/t1"] - scores["http://x.com/t2"]) < 1e-12
+
+
+def test_linkrank_deterministic_across_runs(spark):
+    # the (domain, dst) winner is min(src), so two runs agree bit-for-bit
+    edges = spark.createDataFrame(
+        [(f"http://a.com/{i}", "http://t.com/x") for i in range(50)]
+        + [("http://t.com/x", f"http://a.com/{i}") for i in range(50)],
+        "src string, dst string",
+    ).repartition(8)
+    s1 = sorted(linkrank(edges, use_checkpoint=False).collect())
+    s2 = sorted(linkrank(edges.repartition(3), use_checkpoint=False).collect())
+    assert s1 == s2
+
+
+def test_weekday_strip_keeps_month_prefixes(spark):
+    samples = [
+        ("Dec 31 2021 10:00:00 GMT", datetime.datetime(2021, 12, 31, 10, 0, 0)),
+        ("Sun, 06 Nov 1994 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        ("Thursday, 06 Nov 1994 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        ("Mar 04 12:00:00 2021", datetime.datetime(2021, 3, 4, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in samples], "raw string")
+    got = {
+        r["raw"]: r["ts"]
+        for r in df.select("raw", parse_http_date("raw").alias("ts")).collect()
+    }
+    for raw, want in samples:
+        assert got[raw] == want, f"{raw!r}: {got[raw]} != {want}"
+
+
+def test_robots_allow_wins_equal_length_tie(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nAllow: /dir/\nDisallow: /dir/")],
+        "host string, content string",
+    )
+    rules = parse_robots(robots)
+    fl = spark.createDataFrame([("http://a.com/dir/x",)], "url string")
+    out = [r["url"] for r in filter_allowed(fl, rules).collect()]
+    assert out == ["http://a.com/dir/x"]  # REP: Allow wins the tie
+
+
+def test_robots_duplicate_fetchlist_rows_survive(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        "host string, content string",
+    )
+    rules = parse_robots(robots)
+    fl = spark.createDataFrame(
+        [("http://a.com/ok", 1), ("http://a.com/ok", 2), ("http://a.com/private/x", 3)],
+        "url string, seq int",
+    )
+    out = sorted((r["url"], r["seq"]) for r in filter_allowed(fl, rules).collect())
+    assert out == [("http://a.com/ok", 1), ("http://a.com/ok", 2)]

@@ -309,8 +309,11 @@ def test_linkrank_domain_dedup(spark):
     )
     cfg = NutchConfig(linkrank_iterations=1)
     got = {r["url"]: r["score"] for r in linkrank(edges, cfg=cfg).collect()}
-    # nodes: one kept src + t → N=2 after dedup; t gets one contribution of 1.0
-    assert abs(got["http://t.com/"] - (0.15 + 0.85 * (0.5 + 1.0))) < 1e-9
+    # the node set is the FULL webgraph (reference NodeDb), so N=3 even
+    # though only one contribution survives the per-domain dedup; t gets one
+    # contribution of 1.0 (from the deterministic min-src winner x.same.com/1)
+    assert abs(got["http://t.com/"] - (0.15 + 0.85 * (1 / 3 + 1.0))) < 1e-9
+    assert "http://y.same.com/2" in got  # dropped edge, but still a node
 
 
 # --- WebGraph build: A11 outlink dedup + latest-segment-wins (G2) -----------

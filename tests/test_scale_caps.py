@@ -1,0 +1,82 @@
+"""Scale-hazard regression tests: the inlink caps must be applied BEFORE any
+aggregation buffer materializes (VERDICT r1 "What's wrong" #2 — the bounded
+priority queue of crawl/CrawlDbReducer.java:359-373 / LinkDbMerger.java:95-110
+re-expressed as a windowed pre-cap on the shuffle key).
+
+The hot-key tests build one destination with 10^6 inlinks and cap at 10^4;
+plan assertions pin that a Window+Filter precedes the collect aggregate, so
+no >cap array is ever built in an aggregation buffer (the window sort is an
+external, spillable sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.invertlinks import invert_edges
+from nutch_spark.operators.updatedb import aggregate_updates
+
+HOT = 1_000_000
+CAP = 10_000
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_invert_edges_hot_key_bounded(spark):
+    # one viral dst with 10^6 distinct sources + a small control dst
+    edges = spark.range(HOT).select(
+        F.concat(F.lit("http://s"), F.col("id")).alias("src"),
+        F.lit("http://viral.com/").alias("dst"),
+    ).unionAll(
+        spark.range(3).select(
+            F.concat(F.lit("http://t"), F.col("id")).alias("src"),
+            F.lit("http://tiny.com/").alias("dst"),
+        )
+    )
+    inv = invert_edges(edges, src="src", dst="dst", cap=CAP)
+    plan = _plan(inv)
+    # the cap must run as a windowed pre-filter, not a post-agg slice
+    assert "dense_rank" in plan, plan
+    assert "slice" not in plan.lower()
+    rows = {r["to_url"]: r["inlinks"] for r in inv.collect()}
+    assert len(rows["http://viral.com/"]) == CAP
+    # deterministic: the lexicographically-smallest CAP sources are kept
+    kept = [x["from_url"] for x in rows["http://viral.com/"]]
+    assert kept == sorted(kept)
+    assert len(rows["http://tiny.com/"]) == 3
+
+
+def test_invert_edges_dense_rank_ignores_duplicate_structs(spark):
+    # duplicates of an in-cap struct must not consume cap slots
+    edges = spark.createDataFrame(
+        [("http://a", "http://d")] * 5
+        + [("http://b", "http://d"), ("http://c", "http://d")],
+        "src string, dst string",
+    )
+    inv = invert_edges(edges, src="src", dst="dst", cap=2)
+    [row] = inv.collect()
+    assert [x["from_url"] for x in row["inlinks"]] == ["http://a", "http://b"]
+
+
+def test_updatedb_topk_hot_key_bounded(spark):
+    cfg = NutchConfig(update_max_inlinks=CAP)
+    fetch = spark.createDataFrame([], "url string, status string, fetch_time timestamp, signature binary, metadata map<string,string>")
+    # 10^6 link contributions to one URL, score == id so top-K is known
+    emits = spark.range(HOT).select(
+        F.lit("http://viral.com/").alias("url"),
+        F.lit("linked").alias("status"),
+        F.col("id").cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+    )
+    agg = aggregate_updates(fetch, emits, cfg=cfg)
+    plan = _plan(agg)
+    assert "row_number" in plan, plan
+    assert "slice" not in plan.lower()
+    [row] = agg.collect()
+    # sum of the CAP largest scores: HOT-1 ... HOT-CAP
+    want = float(sum(range(HOT - CAP, HOT)))
+    assert row["link_score"] == want
+    assert row["link_count"] == HOT
