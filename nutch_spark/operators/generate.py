@@ -56,17 +56,37 @@ def generate(
     extra_filter: Column | None = None,
     sort_score: Column | None = None,
     num_lists: int | None = None,
+    hostdb: DataFrame | None = None,
+    max_count_expr: str | None = None,
+    fetch_delay_expr: str | None = None,
 ) -> DataFrame:
     """Produce a fetchlist: the highest-priority due URLs, politely laid out.
 
     Returns the selected rows with ``segment_num`` (spill bucket,
     Generator.java:579-619) and the politeness partitioning applied.
+
+    When ``hostdb`` is given (generate.hostdb, Generator.java:369-392 reads it
+    into an in-memory map → broadcast join here), ``max_count_expr`` /
+    ``fetch_delay_expr`` are JEXL expressions over the HostDatum fields
+    (Generator.java:486-545, context vars per createContext:394-430 — our
+    hostdb columns unfetched/fetched/not_modified/redir_temp/redir_perm/gone
+    map via jexl_to_sql). A host present in the hostdb gets
+    round(max_count_expr) as its quota (others keep the global
+    generate.max.count); round(fetch_delay_expr) ms lands in the entry
+    metadata under ``_variableFetchDelay_`` for the fetcher to honor.
     """
     now = now if now is not None else F.current_timestamp()
     df = crawldb
 
     # --- filter chain (Generator.java:281-330) -----------------------------
-    due = F.col("fetch_time").isNull() | (F.col("fetch_time") <= now)
+    # Clock-skew guard (AbstractFetchSchedule.shouldFetch:194-205): a
+    # fetch_time further in the future than db.fetch.interval.max means the
+    # entry's clock ran away (e.g. a corrupted schedule) — reset to due now
+    # rather than never fetching it again.
+    skewed = F.col("fetch_time") > (
+        now + F.make_interval(secs=F.lit(float(cfg.fetch_interval_max)))
+    )
+    due = F.col("fetch_time").isNull() | (F.col("fetch_time") <= now) | skewed
     df = df.filter(due)
     if cfg.generate_min_score > 0:
         df = df.filter(F.col("score") >= cfg.generate_min_score)
@@ -83,15 +103,60 @@ def generate(
     group = url_host("url") if cfg.generate_count_mode == "host" else url_domain("url")
     df = df.withColumn("_grp", group).withColumn("_sort", sort_val)
 
+    # --- variable per-host maxCount / fetchDelay from the hostdb ------------
+    if hostdb is not None and (max_count_expr or fetch_delay_expr):
+        from nutch_spark.functions.jexl import jexl_to_sql
+
+        sel = [F.col("host").alias("_grp")]
+        if max_count_expr:
+            sel.append(
+                F.round(F.expr(jexl_to_sql(max_count_expr)))
+                .cast("int")
+                .alias("_var_max")
+            )
+        if fetch_delay_expr:
+            sel.append(
+                F.round(F.expr(jexl_to_sql(fetch_delay_expr)))
+                .cast("long")
+                .alias("_var_delay")
+            )
+        df = df.join(F.broadcast(hostdb.select(*sel)), "_grp", "left")
+        if fetch_delay_expr:
+            delay = F.create_map(
+                F.lit("_variableFetchDelay_"), F.col("_var_delay").cast("string")
+            )
+            df = df.withColumn(
+                "metadata",
+                F.when(
+                    F.col("_var_delay").isNotNull(),
+                    F.map_concat(
+                        F.coalesce(
+                            F.col("metadata"),
+                            F.create_map().cast("map<string,string>"),
+                        ),
+                        delay,
+                    ),
+                ).otherwise(F.col("metadata")),
+            ).drop("_var_delay")
+
     # --- per-group cap with segment spill (Generator.java:579-619) ----------
-    if cfg.generate_max_count > 0:
+    max_count_col: Column | None = None
+    if "_var_max" in df.columns:
+        max_count_col = F.coalesce(F.col("_var_max"), F.lit(cfg.generate_max_count))
+    elif cfg.generate_max_count > 0:
+        max_count_col = F.lit(cfg.generate_max_count)
+    if max_count_col is not None:
         w = Window.partitionBy("_grp").orderBy(F.desc("_sort"), F.asc("url"))
         df = df.withColumn("_rk", F.row_number().over(w))
         df = df.withColumn(
             "segment_num",
-            F.floor((F.col("_rk") - 1) / cfg.generate_max_count).cast("int"),
+            F.when(max_count_col > 0, F.floor((F.col("_rk") - 1) / max_count_col))
+            .otherwise(F.lit(0))
+            .cast("int"),
         ).filter(F.col("segment_num") < cfg.generate_max_num_segments)
         df = df.drop("_rk")
+        if "_var_max" in df.columns:
+            df = df.drop("_var_max")
     else:
         df = df.withColumn("segment_num", F.lit(0))
 

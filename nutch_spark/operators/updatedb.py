@@ -220,6 +220,29 @@ def update_crawldb(
         F.col("db.signature"),
     ).otherwise(F.coalesce(new_sig, F.col("db.signature")))
 
+    # Forced refetch (CrawlDbReducer.java:298-304 → AbstractFetchSchedule.
+    # forceRefetch:226-237): if the schedule pushed the interval past
+    # db.fetch.interval.max, unconditionally recrawl — status db_unfetched,
+    # retries 0, signature and modified_time cleared, interval clamped to
+    # max*0.9. fetch_time keeps the value the schedule set (asap=false).
+    # Applies only to the "fetch set" branch (success/notmodified/redirects),
+    # not retry/gone — same scope as the reducer's case block.
+    fetch_set = F.col("u.fetch_status").isin(*_FETCH_TO_DB)
+    forced = has_fetch & fetch_set & (
+        next_interval.cast("long") > F.lit(cfg.fetch_interval_max)
+    )
+    status = F.when(forced, F.lit("db_unfetched")).otherwise(status)
+    retries = F.when(forced, F.lit(0)).otherwise(retries)
+    signature = F.when(forced, F.lit(None).cast("binary")).otherwise(signature)
+    next_interval = F.when(
+        forced, F.lit(int(cfg.fetch_interval_max * 0.9))
+    ).otherwise(next_interval)
+    modified_time = F.when(forced, F.lit(None).cast("timestamp")).otherwise(
+        F.when(has_fetch & modified, F.coalesce(F.col("u.fetched_at"), now))
+        .otherwise(F.col("db.modified_time"))
+        .cast("timestamp")
+    )
+
     out = j.select(
         F.col("url"),
         status.alias("status"),
@@ -228,10 +251,7 @@ def update_crawldb(
         next_interval.cast("int").alias("fetch_interval"),
         score.alias("score"),
         signature.alias("signature"),
-        F.when(has_fetch & modified, F.coalesce(F.col("u.fetched_at"), now))
-        .otherwise(F.col("db.modified_time"))
-        .cast("timestamp")
-        .alias("modified_time"),
+        modified_time.alias("modified_time"),
         F.coalesce(F.col("u.fetch_metadata"), F.col("db.metadata")).alias("metadata"),
     )
     if cfg.purge_404:

@@ -83,6 +83,85 @@ def w1_generate_topk(spark, sf_dir):
 
 
 @q(
+    "w1_host_limit",
+    """
+    WITH db AS (
+      SELECT 'http://s' || CAST(l_suppkey AS VARCHAR) || '.com/'
+               || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS url,
+             's' || CAST(l_suppkey AS VARCHAR) || '.com' AS host,
+             l_extendedprice AS score
+      FROM lineitem
+    ),
+    hd AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) || '.com' AS host,
+             s_nationkey AS fetched
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    ranked AS (
+      SELECT db.url, db.score,
+             row_number() OVER (PARTITION BY db.host
+                                ORDER BY db.score DESC, db.url) AS rk,
+             COALESCE(CAST(round(1 + (hd.fetched % 3)) AS INT), 2) AS mc,
+             CASE WHEN hd.fetched IS NOT NULL
+                  THEN CAST(CAST(round(1000 * (hd.fetched % 4)) AS BIGINT) AS VARCHAR)
+             END AS delay_ms
+      FROM db LEFT JOIN hd ON db.host = hd.host
+    )
+    SELECT url, 0 AS segment_num, delay_ms, score AS sort_score
+    FROM ranked WHERE CAST(FLOOR((rk - 1) / mc) AS INT) < 1
+    ORDER BY score DESC, url LIMIT 200
+    """,
+)
+def w1_host_limit(spark, sf_dir):
+    """Generator with variable per-host quotas from a HostDb
+    (Generator.java:486-545 + TestGenerator.testGenerateHostLimit semantics):
+    hosts present in the hostdb get round(JEXL maxCount expr) as their quota,
+    absent hosts fall back to generate.max.count; the JEXL fetchDelay lands in
+    metadata['_variableFetchDelay_'] in ms. Hostdb is broadcast — the
+    fetchlist never reshuffles for the lookup."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.generate import generate
+
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    db = li.select(
+        F.concat(
+            F.lit("http://s"),
+            F.col("l_suppkey").cast("string"),
+            F.lit(".com/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("url"),
+        F.lit("db_unfetched").alias("status"),
+        F.lit(None).cast("timestamp").alias("fetch_time"),
+        F.col("l_extendedprice").alias("score"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    hostdb = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        F.col("s_nationkey").alias("fetched"),
+    )
+    cfg = NutchConfig(generate_max_count=2, generate_max_num_segments=1)
+    out = generate(
+        db,
+        200,
+        cfg=cfg,
+        hostdb=hostdb,
+        max_count_expr="1 + (fetched % 3)",
+        fetch_delay_expr="1000 * (fetched % 4)",
+    )
+    return out.select(
+        "url",
+        "segment_num",
+        F.element_at("metadata", "_variableFetchDelay_").alias("delay_ms"),
+        "sort_score",
+    )
+
+
+@q(
     "a2_global_topn",
     """
     SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -374,6 +453,85 @@ def j2_state_machine(spark, sf_dir):
         .alias("user_status"),
         F.least(errors, F.lit(3)).alias("retries"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+@q(
+    "j2_forced_refetch",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS url,
+             CAST(o_orderdate AS TIMESTAMP) AS t0,
+             CASE WHEN o_orderkey % 3 = 0 THEN 10000000 ELSE 1000000 END AS iv,
+             o_orderkey % 2 = 0 AS fetched,
+             o_orderkey % 4 = 0 AS changed
+      FROM orders
+    )
+    SELECT url,
+      CASE WHEN fetched AND iv > 7776000 THEN 'db_unfetched'
+           ELSE 'db_fetched' END AS status,
+      CASE WHEN fetched THEN t0 + INTERVAL 1 DAY + to_seconds(iv)
+           ELSE t0 END AS fetch_time,
+      0 AS retries,
+      CASE WHEN fetched AND iv > 7776000 THEN 6998400 ELSE iv END AS fetch_interval,
+      CASE WHEN fetched AND iv > 7776000 THEN NULL
+           WHEN fetched AND changed THEN md5('n' || CAST(url AS VARCHAR))
+           ELSE md5('s' || CAST(url AS VARCHAR)) END AS sig_hex,
+      CASE WHEN fetched AND iv > 7776000 THEN NULL
+           WHEN fetched AND changed THEN t0 + INTERVAL 1 DAY
+           ELSE t0 END AS modified_time
+    FROM base
+    """,
+)
+def j2_forced_refetch(spark, sf_dir):
+    """Forced-refetch branch of the updatedb state machine
+    (CrawlDbReducer.java:298-304 → AbstractFetchSchedule.forceRefetch:226-237):
+    a fetched row whose interval exceeds db.fetch.interval.max flips to
+    db_unfetched with retries/signature/modified_time cleared and the interval
+    clamped to max*0.9; other rows follow the normal success path. Drives the
+    real update_crawldb operator end to end."""
+    from nutch_spark.operators.updatedb import update_crawldb
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t0 = F.col("o_orderdate").cast("timestamp")
+    iv = F.when(k % 3 == 0, 10_000_000).otherwise(1_000_000)
+    old_sig = F.unhex(F.md5(F.concat(F.lit("s"), k.cast("string"))))
+    db = o.select(
+        k.alias("url"),
+        F.lit("db_fetched").alias("status"),
+        t0.alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        iv.alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        old_sig.alias("signature"),
+        t0.alias("modified_time"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    new_sig = F.unhex(
+        F.md5(
+            F.concat(
+                F.when(k % 4 == 0, F.lit("n")).otherwise(F.lit("s")),
+                k.cast("string"),
+            )
+        )
+    )
+    fetch = o.filter(k % 2 == 0).select(
+        k.alias("url"),
+        F.lit("fetch_success").alias("status"),
+        (t0 + F.expr("INTERVAL 1 DAY")).alias("fetch_time"),
+        new_sig.alias("signature"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    out = update_crawldb(db, fetch, now=F.to_timestamp(F.lit("2026-06-01 00:00:00")))
+    return out.select(
+        "url",
+        "status",
+        "fetch_time",
+        "retries",
+        "fetch_interval",
+        F.lower(F.hex("signature")).alias("sig_hex"),
+        "modified_time",
     )
 
 

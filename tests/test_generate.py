@@ -52,6 +52,34 @@ class TestGenerateHostLimit:
         assert all(c <= 2 for c in hosts.values())
         assert len(got) == 6  # 3 hosts x 2
 
+    def test_hostdb_variable_max_count(self, spark):
+        # Generator.java:486-545: hosts in the hostdb get round(JEXL expr) as
+        # quota; absent hosts keep the global generate.max.count; the JEXL
+        # fetchDelay lands in metadata['_variableFetchDelay_'] (ms).
+        rows = [_row(f"http://host{h}.com/{i}", 10 * h + i) for h in range(3) for i in range(5)]
+        db = _db(spark, rows)
+        hostdb = spark.createDataFrame(
+            [("host0.com", 30), ("host1.com", 10)], "host string, fetched int"
+        )
+        cfg = NutchConfig(generate_max_count=2, generate_count_mode="host")
+        got = generate(
+            db,
+            top_n=100,
+            cfg=cfg,
+            now=F.lit(NOW),
+            hostdb=hostdb,
+            max_count_expr="fetched / 10",
+            fetch_delay_expr="fetched * 100",
+        ).collect()
+        from collections import Counter
+
+        hosts = Counter(r["url"].split("/")[2] for r in got)
+        assert hosts == {"host0.com": 3, "host1.com": 1, "host2.com": 2}
+        delays = {r["url"].split("/")[2]: (r["metadata"] or {}).get("_variableFetchDelay_") for r in got}
+        assert delays["host0.com"] == "3000"
+        assert delays["host1.com"] == "1000"
+        assert delays["host2.com"] is None
+
     def test_segment_spill(self, spark):
         rows = [_row(f"http://one.com/{i}", i) for i in range(10)]
         db = _db(spark, rows)
@@ -65,7 +93,10 @@ class TestGenerateHostLimit:
 
 class TestGenerateFilters:
     def test_due_check(self, spark):
-        future = dt.datetime(2030, 1, 1)
+        # < db.fetch.interval.max ahead: genuinely not due. (A fetch_time
+        # further out than the max interval is clock skew and WOULD be
+        # fetched — see test_generate_clock_skew_resets_runaway_fetch_time.)
+        future = NOW + dt.timedelta(days=30)
         db = _db(
             spark,
             [_row("http://due.com/a", 1.0), _row("http://later.com/b", 9.0, fetch_time=future)],

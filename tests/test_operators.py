@@ -118,6 +118,22 @@ def test_generate_skips_not_due_and_gone(spark):
     assert got == ["http://due.com/a"]
 
 
+def test_generate_clock_skew_resets_runaway_fetch_time(spark):
+    # AbstractFetchSchedule.shouldFetch:194-205 — a fetch_time more than
+    # db.fetch.interval.max in the future is clock skew: treat as due now.
+    near_future = NOW + datetime.timedelta(days=1)          # genuinely not due
+    runaway = NOW + datetime.timedelta(days=365)            # > 90 d max → due
+    db = make_db(
+        spark,
+        [
+            ("http://near.com/a", "db_unfetched", near_future, 0, 3600, 1.0, None, None, {}),
+            ("http://skew.com/b", "db_unfetched", runaway, 0, 3600, 1.0, None, None, {}),
+        ],
+    )
+    got = [r["url"] for r in generate(db, 10, now=F.lit(NOW)).collect()]
+    assert got == ["http://skew.com/b"]
+
+
 # --- UpdateDb state machine (TestCrawlDbStates) -----------------------------
 
 
