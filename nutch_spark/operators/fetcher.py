@@ -91,44 +91,71 @@ def fetch(
 
     ``crawl_delay_s`` is the per-host politeness delay
     (fetcher.server.delay, 5s in production — 0 in tests). One host's URLs
-    are co-partitioned, so the sleep serializes that host only; other hosts
-    proceed in parallel partitions, exactly like the reference's per-host
-    queues (Fetcher.java:67-102).
+    are co-partitioned, so the delay serializes that host only. Within a
+    partition, URLs are organized into per-host FIFO queues and drained
+    earliest-ready-first (FetchItemQueues / Fetcher.java:67-102 semantics):
+    distinct hosts co-resident in a partition proceed concurrently — a
+    partition with hosts A and B finishes in ~max(time_A, time_B), not the
+    sum — while each host still honors its own delay.
+
+    If the fetchlist carries a ``metadata`` column, a per-host
+    ``_variableFetchDelay_`` entry (ms, written by generate's hostdb JEXL
+    path, Generator.java:529-545) overrides ``crawl_delay_s`` for that host.
     """
     parts = num_lists or fetchlist.sparkSession.sparkContext.defaultParallelism
     laid_out = fetchlist.repartition(parts, url_host("url")).sortWithinPartitions(
         F.xxhash64("url")
     )
+    has_meta = "metadata" in fetchlist.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        last_hit: dict[str, float] = {}
+        from collections import deque
+
+        NEVER = float("-inf")
+        last_hit: dict[str, float] = {}  # persists across batches
+
+        def fetch_one(url: str) -> dict:
+            status, content = fetch_fn(url)
+            sig = hashlib.md5(content.encode()).digest() if content is not None else None
+            return {
+                "url": url,
+                "status": status,
+                "fetch_time": pd.Timestamp.utcnow().tz_localize(None),
+                "content": content,
+                "content_type": "text/html" if content else None,
+                "signature": sig,
+                "metadata": {},
+            }
+
         for pdf in batches:
-            out = []
-            for url in pdf["url"]:
+            queues: dict[str, deque] = {}
+            delays: dict[str, float] = {}
+            metas = pdf["metadata"] if has_meta else None
+            for i, url in enumerate(pdf["url"]):
                 host = url.split("/")[2] if "://" in url else url
-                if crawl_delay_s > 0:
-                    wait = last_hit.get(host, 0.0) + crawl_delay_s - time.monotonic()
-                    if wait > 0:
-                        time.sleep(wait)
-                    last_hit[host] = time.monotonic()
-                status, content = fetch_fn(url)
-                sig = (
-                    hashlib.md5(content.encode()).digest() if content is not None else None
-                )
-                out.append(
-                    {
-                        "url": url,
-                        "status": status,
-                        "fetch_time": pd.Timestamp.utcnow().tz_localize(None),
-                        "content": content,
-                        "content_type": "text/html" if content else None,
-                        "signature": sig,
-                        "metadata": {},
-                    }
-                )
+                queues.setdefault(host, deque()).append(url)
+                if metas is not None:
+                    md = metas.iloc[i]
+                    if md and "_variableFetchDelay_" in md:
+                        delays[host] = int(md["_variableFetchDelay_"]) / 1000.0
+
+            def ready_at(host: str) -> float:
+                return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
+
+            out = []
+            while queues:
+                host = min(queues, key=ready_at)  # earliest-ready host first
+                wait = ready_at(host) - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                out.append(fetch_one(queues[host].popleft()))
+                last_hit[host] = time.monotonic()
+                if not queues[host]:
+                    del queues[host]
             yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
 
-    return laid_out.select("url").mapInPandas(run, FETCH_SCHEMA)
+    cols = ["url", "metadata"] if has_meta else ["url"]
+    return laid_out.select(*cols).mapInPandas(run, FETCH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

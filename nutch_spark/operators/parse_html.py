@@ -1,0 +1,258 @@
+"""P2 fidelity: real HTML parsing + charset detection (SURVEY.md §2.8).
+
+Reference:
+- parse/ParseSegment.java:87-276 + src/plugin/parse-html
+  (HtmlParser.java): DOM parse → title, text, outlinks (base-href resolved,
+  NUTCH-2478), meta tags.
+- util/EncodingDetector.java: charset resolution order BOM → Content-Type
+  header → <meta> sniff in the head bytes → detector fallback.
+
+Spark shape: the fetch log streams through ``mapInPandas`` in Arrow batches;
+each batch is parsed with the stdlib ``html.parser`` (tolerant of malformed
+markup — unclosed tags, bad nesting, entity soup). The declarative regex
+parser in ``operators/fetcher.parse`` stays as the vectorized fast path for
+well-formed synthetic corpora; this module is the drop-in slot it documents.
+No shuffle is introduced: parsing is a narrow map over whatever partitioning
+the fetch log already has.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nutch_spark.config import DEFAULT, NutchConfig
+
+# --------------------------------------------------------------------------
+# charset detection (util/EncodingDetector.java order of precedence)
+# --------------------------------------------------------------------------
+
+_CHARSET_IN_TYPE = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
+_CHARSET_IN_META = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([\w.:-]+)", re.I
+)
+
+
+def detect_charset(data: bytes, content_type: str | None = None) -> str:
+    """BOM → Content-Type header → <meta> sniff (first 8 KiB) → UTF-8
+    validity check → windows-1252 fallback (EncodingDetector.java:157-229)."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if data.startswith(b"\xff\xfe\x00\x00") or data.startswith(b"\x00\x00\xfe\xff"):
+        return "utf-32"
+    if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
+        return "utf-16"
+    if content_type:
+        m = _CHARSET_IN_TYPE.search(content_type)
+        if m:
+            return m.group(1).lower()
+    m = _CHARSET_IN_META.search(data[:8192])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower()
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_content(data: bytes, content_type: str | None = None) -> tuple[str, str]:
+    """(text, charset). utf-8-sig / utf-16 codecs strip BOMs; undecodable
+    bytes are replaced, never raised (a crawl must not die on one page)."""
+    charset = detect_charset(data, content_type)
+    codec = {"utf-8": "utf-8-sig", "utf-16": "utf-16", "utf-32": "utf-32"}.get(
+        charset, charset
+    )
+    try:
+        return data.decode(codec, errors="replace"), charset
+    except LookupError:  # unknown label from a malformed meta tag
+        return data.decode("utf-8", errors="replace"), "utf-8"
+
+
+# --------------------------------------------------------------------------
+# tolerant DOM-less extraction (parse-html HtmlParser + DOMContentUtils)
+# --------------------------------------------------------------------------
+
+_SKIP_TEXT = {"script", "style"}
+
+
+class _Extractor(HTMLParser):
+    """Collect title, text, outlinks (+anchor text), meta map, base href."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.text_parts: list[str] = []
+        self.meta: dict[str, str] = {}
+        self.base_href: str | None = None
+        self.outlinks: list[tuple[str, list[str]]] = []  # (href, anchor parts)
+        self._in_title = False
+        self._skip_depth = 0
+        self._open_links: list[int] = []  # indexes into outlinks
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "title":
+            self._in_title = True
+        elif tag in _SKIP_TEXT:
+            self._skip_depth += 1
+        elif tag == "base" and a.get("href") and self.base_href is None:
+            self.base_href = a["href"]
+        elif tag == "meta":
+            name = a.get("name") or a.get("http-equiv")
+            if name and a.get("content") is not None:
+                self.meta.setdefault(name.lower(), a["content"])
+        elif tag == "a":
+            href = a.get("href")
+            if href:
+                self._open_links.append(len(self.outlinks))
+                self.outlinks.append((href, []))
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        elif tag in _SKIP_TEXT and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "a" and self._open_links:
+            self._open_links.pop()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+        elif data.strip():
+            self.text_parts.append(data)
+            for idx in self._open_links:
+                self.outlinks[idx][1].append(data)
+
+
+def _ws_norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def parse_html_page(
+    url: str, content: str, *, cfg: NutchConfig = DEFAULT
+) -> dict:
+    """One page → {title, text, outlinks[(to_url, anchor)], meta}.
+
+    Outlinks resolve against <base href> (itself resolved against the fetch
+    URL — protocol-relative bases work, NUTCH-2478), are capped at
+    db.max.outlinks.per.page and db.max.outlink.length
+    (ParseOutputFormat.java:150-362).
+    """
+    ex = _Extractor()
+    try:
+        ex.feed(content)
+        ex.close()
+    except Exception:  # noqa: BLE001 — a broken page yields what was seen
+        pass
+    base = urljoin(url, ex.base_href) if ex.base_href else url
+    links: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for href, anchor_parts in ex.outlinks:
+        if len(links) >= cfg.max_outlinks_per_page:
+            break
+        href = href.strip()
+        if not href or href.startswith(("javascript:", "mailto:", "#")):
+            continue
+        try:
+            to_url = urljoin(base, href)
+        except ValueError:
+            continue
+        if len(to_url) > cfg.max_outlink_length or to_url in seen:
+            continue
+        seen.add(to_url)
+        links.append((to_url, _ws_norm(" ".join(anchor_parts))))
+    return {
+        "title": _ws_norm("".join(ex.title_parts)),
+        "text": _ws_norm(" ".join(ex.text_parts)),
+        "outlinks": links,
+        "meta": ex.meta,
+    }
+
+
+PARSE_HTML_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField(
+            "outlinks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("to_url", T.StringType(), True),
+                        T.StructField("anchor", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("parse_text", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("signature", T.BinaryType(), True),
+    ]
+)
+
+
+def parse_html(
+    fetch_log: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> DataFrame:
+    """Fetch log → parse_data, same shape as the regex fast path plus
+    ``meta``/``charset``. ``content`` may be BINARY (raw fetch bytes — the
+    charset is detected per EncodingDetector) or STRING (already decoded).
+
+    Narrow map — Arrow batches through mapInPandas, no shuffle, no
+    per-row Python UDF calls (one Python invocation per batch).
+    """
+    content_is_binary = isinstance(
+        fetch_log.schema["content"].dataType, T.BinaryType
+    )
+    has_type = "content_type" in fetch_log.columns
+    has_sig = "signature" in fetch_log.columns
+    ok = fetch_log.filter(
+        (F.col("status") == "fetch_success") & F.col("content").isNotNull()
+    )
+    cols = ["url", "content"] + (["content_type"] if has_type else []) + (
+        ["signature"] if has_sig else []
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ctype = getattr(row, "content_type", None)
+                if content_is_binary:
+                    text, charset = decode_content(bytes(row.content), ctype)
+                else:
+                    text, charset = row.content, None
+                parsed = parse_html_page(row.url, text, cfg=cfg)
+                out.append(
+                    {
+                        "url": row.url,
+                        "title": parsed["title"],
+                        "outlinks": [
+                            {"to_url": u, "anchor": a}
+                            for u, a in parsed["outlinks"]
+                        ],
+                        "parse_text": parsed["text"],
+                        "meta": parsed["meta"],
+                        "charset": charset,
+                        "signature": getattr(row, "signature", None),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PARSE_HTML_SCHEMA.fields]
+            )
+
+    return ok.select(*cols).mapInPandas(run, PARSE_HTML_SCHEMA)

@@ -1,0 +1,168 @@
+"""P2 fidelity tests — ports of
+src/plugin/parse-html/src/test/.../TestHtmlParser.java (encoding detection
+matrix, NUTCH-2478 base-URL resolution) plus malformed-markup cases and
+MimeUtil-style detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.mime import detect_mime
+from nutch_spark.operators.parse_html import (
+    decode_content,
+    detect_charset,
+    parse_html,
+    parse_html_page,
+)
+
+KEYWORDS = "français, español, русский язык, čeština, ελληνικά"
+BODY = "<ul>\n  <li>français\n  <li>español\n  <li>русский язык\n  <li>čeština\n  <li>ελληνικά\n</ul>"
+CONTENT = (
+    f"<title>{KEYWORDS}</title>\n"
+    f'<meta name="keywords" content="{KEYWORDS}" />\n'
+    f"</head>\n<body>{BODY}</body>\n</html>"
+)
+
+# (name, charset, page) — the reference's encodingTestPages matrix
+ENCODING_PAGES = [
+    (
+        "HTML4, utf-8, meta http-equiv, no quotes",
+        "utf-8",
+        '<!DOCTYPE HTML>\n<html>\n<head>\n'
+        '<meta http-equiv=Content-Type content="text/html; charset=utf-8" />' + CONTENT,
+    ),
+    (
+        "HTML4, utf-8, meta http-equiv, single quotes",
+        "utf-8",
+        "<html>\n<head>\n"
+        "<meta http-equiv='Content-Type' content='text/html; charset=utf-8' />" + CONTENT,
+    ),
+    (
+        "XHTML, utf-8, meta http-equiv, double quotes",
+        "utf-8",
+        '<?xml version="1.0"?>\n<html>\n<head>\n'
+        '<meta http-equiv="Content-Type" content="text/html; charset=utf-8" />' + CONTENT,
+    ),
+    (
+        "HTML5, utf-8, meta charset",
+        "utf-8",
+        '<!DOCTYPE html>\n<html>\n<head>\n<meta charset="utf-8">' + CONTENT,
+    ),
+    (
+        "HTML5, utf-8, BOM",
+        "utf-8",
+        "﻿<!DOCTYPE html>\n<html>\n<head>\n" + CONTENT,
+    ),
+    (
+        "HTML5, utf-16, BOM",
+        "utf-16",
+        "﻿<!DOCTYPE html>\n<html>\n<head>\n" + CONTENT,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,charset,page", ENCODING_PAGES, ids=[p[0] for p in ENCODING_PAGES])
+def test_encoding_detection_matrix(name, charset, page):
+    raw = page.encode(charset)
+    text, detected = decode_content(raw)
+    parsed = parse_html_page("http://example.com/", text)
+    assert parsed["title"] == KEYWORDS, name
+    for kw in KEYWORDS.split(", "):
+        assert kw in parsed["text"], f"{kw} not in text ({name})"
+    assert parsed["meta"]["keywords"] == KEYWORDS, name
+
+
+def test_resolve_base_url_nutch_2478():
+    page = (
+        "<html>\n<head>\n"
+        "  <title>Test Resolve Base URLs (NUTCH-2478)</title>\n"
+        '  <base href="//www.example.com/">\n'
+        "</head>\n<body>\n"
+        '  <a href="index.html">outlink</a>\n'
+        "</body>\n</html>"
+    )
+    parsed = parse_html_page("http://example.com/", page)
+    assert parsed["outlinks"] == [("http://www.example.com/index.html", "outlink")]
+
+
+def test_malformed_html_survives():
+    page = (
+        "<html><head><title>Broken & <b>bold</title>"
+        "<body><p>alpha <a href='/x'>an <em>chor</em></a"
+        "><div>beta<script>var x = '<a href=\"no\">';</script>"
+        "<a href=niño.html>tilde</a><p>&amp; entity &#8212; dash"
+    )
+    parsed = parse_html_page("http://h.com/a/b", page)
+    assert [u for u, _ in parsed["outlinks"]] == [
+        "http://h.com/x",
+        "http://h.com/a/niño.html",
+    ]
+    assert parsed["outlinks"][0][1] == "an chor"
+    assert "var x" not in parsed["text"]  # script content skipped
+    assert "& entity" in parsed["text"]  # entities decoded
+    assert parsed["title"].startswith("Broken &")
+
+
+def test_outlink_caps_and_skips():
+    links = "".join(f'<a href="/p{i}">x</a>' for i in range(150))
+    junk = '<a href="javascript:void(0)">j</a><a href="#frag">f</a><a href="mailto:a@b">m</a>'
+    parsed = parse_html_page("http://h.com/", f"<body>{junk}{links}")
+    assert len(parsed["outlinks"]) == 100  # db.max.outlinks.per.page
+    assert parsed["outlinks"][0][0] == "http://h.com/p0"
+
+
+def test_charset_fallbacks():
+    assert detect_charset("héllo".encode("utf-8")) == "utf-8"
+    assert detect_charset("héllo".encode("windows-1252")) == "windows-1252"
+    assert detect_charset(b"abc", "text/html; charset=ISO-8859-1") == "iso-8859-1"
+    assert (
+        detect_charset(b'<html><meta charset="koi8-r"><body>', None) == "koi8-r"
+    )
+    assert detect_charset("﻿hi".encode("utf-16-le"), None) == "utf-16"
+
+
+def test_parse_html_dataframe_binary_content(spark):
+    pages = [
+        (
+            "http://a.com/",
+            "fetch_success",
+            ENCODING_PAGES[5][2].encode("utf-16"),
+            "text/html",
+        ),
+        ("http://b.com/", "fetch_gone", None, None),
+    ]
+    df = spark.createDataFrame(
+        pages, "url string, status string, content binary, content_type string"
+    )
+    rows = {r["url"]: r for r in parse_html(df).collect()}
+    assert set(rows) == {"http://a.com/"}  # non-success rows dropped
+    assert rows["http://a.com/"]["title"] == KEYWORDS
+    assert rows["http://a.com/"]["charset"] == "utf-16"
+    assert rows["http://a.com/"]["meta"]["keywords"] == KEYWORDS
+
+
+def test_detect_mime_magic_header_extension(spark):
+    rows = [
+        ("http://a.com/x.bin", b"%PDF-1.4 ...", "text/plain"),          # magic wins
+        ("http://a.com/y.unknownext", None, "text/HTML; charset=utf-8"),  # header
+        ("http://a.com/z.json", None, None),                            # extension
+        ("http://a.com/plain", None, None),                             # fallback
+        ("http://a.com/page", b"  <!DOCTYPE html><html>", None),        # text magic
+        ("http://a.com/img", bytes.fromhex("89504E470D0A1A0A"), None),  # png magic
+    ]
+    df = spark.createDataFrame(rows, "url string, content binary, content_type string")
+    got = [
+        r["mime"]
+        for r in df.select(
+            detect_mime("url", "content", "content_type").alias("mime")
+        ).collect()
+    ]
+    assert got == [
+        "application/pdf",
+        "text/html",
+        "application/json",
+        "application/octet-stream",
+        "text/html",
+        "image/png",
+    ]

@@ -84,3 +84,47 @@ def test_round_counters_and_atomic_install(spark, tmp_path):
     atomic_install(shrunk, path)
     assert spark.read.parquet(path).count() == 1
     assert spark.read.parquet(path + "_old").count() == first  # previous kept
+
+
+def test_politeness_interleaves_hosts_within_partition(spark):
+    # Fetcher.java:67-102: per-host queues — two hosts sharing one partition
+    # must complete in ~max(host_time), not the sum. 3 URLs/host at 0.3 s
+    # delay = 0.6 s/host serial tail; the serialized (pre-fix) loop would
+    # need ~1.2 s+.
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+
+    fl = spark.createDataFrame(
+        [(f"http://host{h}.com/p{i}",) for h in range(2) for i in range(3)],
+        "url string",
+    )
+    t0 = _time.monotonic()
+    rows = fetch(fl, crawl_delay_s=0.3, num_lists=1).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(rows) == 6
+    # max-shaped: ~0.6 s of forced delay (+ fetch overhead), far below the
+    # ~1.2 s the summed serialization would take. Generous ceiling for CI.
+    assert elapsed < 1.1, f"hosts were serialized: {elapsed:.2f}s"
+
+
+def test_politeness_variable_delay_from_metadata(spark):
+    # generate's _variableFetchDelay_ (ms) overrides crawl_delay_s per host
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+
+    fl = spark.createDataFrame(
+        [
+            ("http://slow.com/a", {"_variableFetchDelay_": "400"}),
+            ("http://slow.com/b", {"_variableFetchDelay_": "400"}),
+            ("http://fast.com/a", {}),
+            ("http://fast.com/b", {}),
+        ],
+        "url string, metadata map<string,string>",
+    )
+    t0 = _time.monotonic()
+    rows = fetch(fl, crawl_delay_s=0.0, num_lists=1).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(rows) == 4
+    assert 0.4 <= elapsed < 1.0, f"variable delay not honored: {elapsed:.2f}s"
