@@ -155,6 +155,164 @@ def normalize_url(url: Column | str, *, strip_session_ids: bool = True) -> Colum
 
 
 # ---------------------------------------------------------------------------
+# Scoped normalizers — net/URLNormalizers.java runs a per-scope plugin chain
+# (default, inject, outlink, fetcher, indexer, ...). The plugin rules below
+# are column expressions; ``normalize_url_scoped`` composes them in the
+# reference's chain order.
+# ---------------------------------------------------------------------------
+
+AJAX_PART = "#!"
+ESCAPED_PART = "_escaped_fragment_="
+
+
+def ajax_normalize(url: Column | str, *, scope: str = "default") -> Column:
+    """urlnormalizer-ajax (AjaxURLNormalizer.java:62-170): crawler scopes
+    rewrite ``#!fragment`` to ``?_escaped_fragment_=...`` (escaped); the
+    ``indexer`` scope reverses an escaped-fragment query back to ``#!``."""
+    c = F.col(url) if isinstance(url, str) else url
+
+    if scope == "indexer":
+        # _escaped_fragment_ back to #! (:111-170): the k/v pair after the
+        # FIRST '&' (or the whole query) is the escaped fragment
+        base = F.substring_index(c, "?", 1)
+        query = F.regexp_extract(c, r"\?(.*)$", 1)
+        has_amp = query.contains("&")
+        kv = F.when(has_amp, F.regexp_extract(query, "&(.*)$", 1)).otherwise(query)
+        rem = F.when(has_amp, F.substring_index(query, "&", 1)).otherwise(F.lit(""))
+        frag = F.coalesce(
+            F.try_url_decode(F.replace(kv, F.lit(ESCAPED_PART), F.lit(""))),
+            F.replace(kv, F.lit(ESCAPED_PART), F.lit("")),
+        )
+        rebuilt = F.concat(
+            base,
+            F.when(rem != "", F.concat(F.lit("?"), rem)).otherwise(F.lit("")),
+            F.lit(AJAX_PART),
+            frag,
+        )
+        return F.when(c.contains(ESCAPED_PART), rebuilt).otherwise(
+            ajax_normalize(c, scope="default")
+        )
+
+    # #! to _escaped_fragment_ (:81-109)
+    prefix = F.substring_index(c, AJAX_PART, 1)
+    frag = F.regexp_extract(c, r"#!(.*)$", 1)
+    sep = F.when(prefix.contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    rebuilt = F.concat(prefix, sep, F.lit(ESCAPED_PART), F.url_encode(frag))
+    return F.when(c.contains(AJAX_PART), rebuilt).otherwise(c)
+
+
+def host_normalize(url: Column | str, host_map: dict[str, str]) -> Column:
+    """urlnormalizer-host (HostURLNormalizer.java): rewrite configured
+    hostnames (e.g. www.example.org -> example.org). The map compiles to a
+    literal CASE chain — broadcast-lookup behavior, no shuffle."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not host_map:
+        return c
+    host = url_host(c)
+    mapped: Column | None = None
+    for src, dst in host_map.items():
+        cond = host == src.lower()
+        mapped = F.when(cond, dst) if mapped is None else mapped.when(cond, dst)
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(.*)$", 1)
+    scheme = url_protocol(c)
+    return F.when(
+        mapped.isNotNull() & (host != F.lower(mapped)),
+        F.concat(scheme, F.lit("://"), mapped, rest),
+    ).otherwise(c)
+
+
+def protocol_normalize(
+    url: Column | str,
+    host_protocols: dict[str, str] | None = None,
+    domain_protocols: dict[str, str] | None = None,
+) -> Column:
+    """urlnormalizer-protocol (ProtocolURLNormalizer.java): force the
+    configured scheme for listed hosts (exact) or domain suffixes (host
+    endswith), e.g. http://nutch.apache.org/ -> https://nutch.apache.org/."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not host_protocols and not domain_protocols:
+        return c
+    host = url_host(c)
+    mapped: Column | None = None
+    for h, proto in (host_protocols or {}).items():
+        cond = host == h.lower()
+        mapped = F.when(cond, proto) if mapped is None else mapped.when(cond, proto)
+    for d, proto in (domain_protocols or {}).items():
+        cond = (host == d.lower()) | host.endswith("." + d.lower())
+        mapped = F.when(cond, proto) if mapped is None else mapped.when(cond, proto)
+    scheme = url_protocol(c)
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*:(.*)$", 1)
+    return F.when(
+        mapped.isNotNull() & (mapped != scheme), F.concat(mapped, F.lit(":"), rest)
+    ).otherwise(c)
+
+
+def idn_normalize(url: Column | str) -> Column:
+    """IDN host → punycode ASCII (java.net.IDN.toASCII, applied by the
+    reference's URL handling). ASCII-host URLs short-circuit entirely
+    JVM-side; only rows with a non-ASCII host pay the Arrow-batched UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(url) if isinstance(url, str) else url
+
+    @pandas_udf("string")
+    def _punycode(urls):  # type: ignore[no-untyped-def]
+        import pandas as pd
+        import re as _re
+
+        def conv(u):
+            if u is None:
+                return None
+            m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]+)(.*)$", u, _re.S)
+            if not m:
+                return u
+            scheme, hostport, rest = m.groups()
+            host, sep, port = hostport.partition(":")
+            try:
+                ascii_host = host.encode("idna").decode("ascii")
+            except (UnicodeError, UnicodeDecodeError):
+                return u
+            return f"{scheme}{ascii_host}{sep}{port}{rest}"
+
+        return pd.Series([conv(u) for u in urls])
+
+    is_ascii = c.rlike(r"^[\x00-\x7F]*$")
+    return F.when(is_ascii, c).otherwise(_punycode(c))
+
+
+def normalize_url_scoped(
+    url: Column | str,
+    *,
+    scope: str = "default",
+    strip_session_ids: bool = True,
+    host_map: dict[str, str] | None = None,
+    host_protocols: dict[str, str] | None = None,
+    domain_protocols: dict[str, str] | None = None,
+    idn: bool = False,
+) -> Column:
+    """The per-scope normalizer chain (net/URLNormalizers.java): ajax →
+    basic+querystring → host map → protocol map [→ IDN]. Scope changes both
+    plugin behavior and order: crawler scopes run ajax BEFORE basic (so the
+    ``#!`` fragment is captured before basic's fragment strip); the
+    ``indexer`` scope runs basic first, then the ajax reverse rewrite (so
+    the reconstructed ``#!`` survives)."""
+    c = F.col(url) if isinstance(url, str) else url
+    if scope == "indexer":
+        c = normalize_url(c, strip_session_ids=strip_session_ids)
+        c = ajax_normalize(c, scope=scope)
+    else:
+        c = ajax_normalize(c, scope=scope)
+        c = normalize_url(c, strip_session_ids=strip_session_ids)
+    if host_map:
+        c = host_normalize(c, host_map)
+    if host_protocols or domain_protocols:
+        c = protocol_normalize(c, host_protocols, domain_protocols)
+    if idn:
+        c = idn_normalize(c)
+    return c
+
+
+# ---------------------------------------------------------------------------
 # Filters — net/URLFilters.java chain semantics: a URL survives only if no
 # deny rule rejects it and (if allow rules exist) some allow rule accepts it.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""Indexing-filter chain breadth (SURVEY.md §2.11) — the reference's plugin
+filters re-expressed as composable ``doc -> doc`` column transforms chained
+with ``DataFrame.transform``.
+
+Reference plugins covered:
+- index-more  (MoreIndexingFilter.java:109-305): date precedence
+  lastModified → modifiedTime → fetchTime; trimmed Content-Length; mime
+  type + primary/sub parts; Content-Disposition filename as fallback title.
+- index-links (LinksIndexingFilter.java:60-160): outlink/inlink URL (or
+  host-only) fields, optional same-host suppression.
+- index-static (StaticFieldIndexer.java): constant fields.
+- index-metadata (MetadataIndexer.java:60-104): copy-through of chosen
+  db/parse/content metadata keys.
+
+Everything is pure column expressions (whole-stage codegen, no UDFs, no
+shuffles — each filter is a narrow projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.dates import parse_http_date
+from nutch_spark.functions.mime import clean_content_type, detect_mime
+from nutch_spark.functions.urls import url_host
+
+# Content-Disposition filename patterns, MoreIndexingFilter.java:270-283
+# (ordered: quoted first, then bare token)
+_FN_QUOTED = r"""filename=['"]([^"']+)"""
+_FN_BARE = r"filename=(\S+)\b"
+
+
+def more_indexing_fields(
+    doc: DataFrame,
+    *,
+    content_meta: str = "content_meta",
+    modified_time: str = "modified_time",
+    fetched_at: str = "fetched_at",
+    title: str = "title",
+) -> DataFrame:
+    """index-more: date, contentLength, type/primaryType/subType, title
+    fallback from Content-Disposition."""
+    last_mod_raw = F.element_at(content_meta, "Last-Modified")
+    last_modified = parse_http_date(last_mod_raw)
+    # date precedence (addTime:125-148): lastModified, else CrawlDatum
+    # modifiedTime (when set), else fetch time
+    date = F.coalesce(last_modified, F.col(modified_time), F.col(fetched_at))
+
+    # NUTCH-1010: Content-Length arrives untrimmed; empty after trim → absent
+    clen = F.trim(F.element_at(content_meta, "Content-Length"))
+    content_length = F.when(clen != "", clen.cast("long"))
+
+    # addType:199-262: fetch-datum Content-Type outranks parse meta; fall
+    # back to URL-based detection (tika.detect(url)); split into parts
+    ctype_header = F.element_at(content_meta, "Content-Type")
+    mime = F.when(
+        ctype_header.isNotNull(), clean_content_type(ctype_header)
+    ).otherwise(detect_mime(F.col("url")))
+    parts = F.split(mime, "/")
+
+    # resetTitle:285-299: only when no title was extracted
+    cdisp = F.element_at(content_meta, "Content-Disposition")
+    fn = F.coalesce(
+        F.nullif(F.regexp_extract(cdisp, _FN_QUOTED, 1), F.lit("")),
+        F.nullif(F.regexp_extract(cdisp, _FN_BARE, 1), F.lit("")),
+    )
+    title_out = F.coalesce(F.nullif(F.col(title), F.lit("")), fn)
+
+    return doc.withColumns(
+        {
+            "last_modified": last_modified,
+            "date": date,
+            "content_length": content_length,
+            "type": mime,
+            "primary_type": F.element_at(parts, 1),
+            "sub_type": F.element_at(parts, 2),
+            title: title_out,
+        }
+    )
+
+
+def _link_targets(
+    links: Column,
+    url_field: str,
+    page_host: Column,
+    *,
+    hosts_only: bool,
+    ignore_same_host: bool,
+) -> Column:
+    """Array of link URLs (or distinct hosts), same-host optionally dropped,
+    malformed-URL entries (null host) skipped like the reference's caught
+    MalformedURLException."""
+    with_host = F.transform(
+        links,
+        lambda l: F.struct(
+            l[url_field].alias("u"), F.lower(url_host(l[url_field])).alias("h")
+        ),
+    )
+    valid = F.filter(with_host, lambda s: s["h"].isNotNull())
+    if ignore_same_host:
+        valid = F.filter(valid, lambda s: s["h"] != page_host)
+    if hosts_only:
+        return F.array_sort(F.array_distinct(F.transform(valid, lambda s: s["h"])))
+    return F.transform(valid, lambda s: s["u"])
+
+
+def links_indexing_fields(
+    doc: DataFrame,
+    *,
+    outlinks: str = "outlinks",
+    inlinks: str | None = "inlinks",
+    hosts_only: bool = False,
+    ignore_outlinks_same_host: bool = False,
+    ignore_inlinks_same_host: bool = False,
+) -> DataFrame:
+    """index-links: ``outlink_urls`` / ``inlink_urls`` array fields."""
+    page_host = F.lower(url_host("url"))
+    out = doc.withColumn(
+        "outlink_urls",
+        _link_targets(
+            F.col(outlinks),
+            "to_url",
+            page_host,
+            hosts_only=hosts_only,
+            ignore_same_host=ignore_outlinks_same_host,
+        ),
+    )
+    if inlinks and inlinks in doc.columns:
+        out = out.withColumn(
+            "inlink_urls",
+            _link_targets(
+                F.col(inlinks),
+                "from_url",
+                page_host,
+                hosts_only=hosts_only,
+                ignore_same_host=ignore_inlinks_same_host,
+            ),
+        )
+    return out
+
+
+def static_fields(doc: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """index-static: constant fields (index.static 'f1:v1,f2:v2' parsed by
+    the caller into a dict)."""
+    return doc.withColumns({k: F.lit(v) for k, v in fields.items()})
+
+
+def metadata_fields(
+    doc: DataFrame,
+    *,
+    db_keys: tuple[str, ...] = (),
+    parse_keys: tuple[str, ...] = (),
+    content_keys: tuple[str, ...] = (),
+    db_meta: str = "metadata",
+    parse_meta: str = "parse_meta",
+    content_meta: str = "content_meta",
+) -> DataFrame:
+    """index-metadata: copy chosen metadata entries into doc fields, column
+    name prefixed by source the way the plugin namespaces conflicts."""
+    cols: dict[str, Column] = {}
+    for key in db_keys:
+        cols[f"meta_db_{key.lower().replace('-', '_')}"] = F.element_at(db_meta, key)
+    for key in parse_keys:
+        cols[f"meta_parse_{key.lower().replace('-', '_')}"] = F.element_at(
+            parse_meta, key
+        )
+    for key in content_keys:
+        cols[f"meta_content_{key.lower().replace('-', '_')}"] = F.element_at(
+            content_meta, key
+        )
+    return doc.withColumns(cols)

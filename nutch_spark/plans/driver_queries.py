@@ -566,6 +566,123 @@ def j3_multiway_join(spark, sf_dir):
 
 
 @q(
+    "j3_index_fields",
+    """
+    WITH base AS (SELECT doc_id AS k FROM documents)
+    SELECT k AS doc_id,
+      CASE k % 4
+        WHEN 0 THEN 'application/pdf'
+        WHEN 1 THEN 'text/html'
+        WHEN 2 THEN CASE WHEN k % 8 = 2 THEN 'application/pdf'
+                         ELSE 'application/octet-stream' END
+        ELSE 'application/vnd.ms-powerpoint' END AS type,
+      CASE k % 4
+        WHEN 0 THEN 'application' WHEN 1 THEN 'text'
+        WHEN 2 THEN 'application' ELSE 'application' END AS primary_type,
+      CASE k % 4
+        WHEN 0 THEN 'pdf'
+        WHEN 1 THEN 'html'
+        WHEN 2 THEN CASE WHEN k % 8 = 2 THEN 'pdf' ELSE 'octet-stream' END
+        ELSE 'vnd.ms-powerpoint' END AS sub_type,
+      CASE WHEN k % 3 = 0 THEN 123 END AS content_length,
+      CASE k % 5
+        WHEN 0 THEN TIMESTAMP '1994-11-06 08:49:37'
+        WHEN 1 THEN TIMESTAMP '2021-12-31 10:00:00'
+        WHEN 2 THEN TIMESTAMP '1994-11-06 08:49:37'
+        ELSE CASE WHEN k % 7 = 0 THEN TIMESTAMP '2026-01-03 00:00:00'
+                  ELSE TIMESTAMP '2026-01-02 00:00:00' END END AS date,
+      CASE WHEN k % 2 = 0 THEN 'T' || CAST(k AS VARCHAR)
+           ELSE CASE k % 6 WHEN 1 THEN 'bar.pdf' WHEN 3 THEN NULL
+                           WHEN 5 THEN NULL END END AS title,
+      least('o' || CAST(k % 3 AS VARCHAR), 'o' || CAST((k + 1) % 3 AS VARCHAR))
+        || '.com,'
+        || greatest('o' || CAST(k % 3 AS VARCHAR), 'o' || CAST((k + 1) % 3 AS VARCHAR))
+        || '.com' AS outlink_hosts,
+      'test' AS collection,
+      CASE k % 4
+        WHEN 0 THEN 'application/PDF; version=1.7'
+        WHEN 1 THEN 'text/html; charset=utf-8'
+        WHEN 3 THEN 'application/vnd.ms-powerpoint' END AS meta_content_content_type
+    FROM base
+    """,
+)
+def j3_index_fields(spark, sf_dir):
+    """Indexing-filter chain breadth (§2.11): index-more date/length/type
+    (MoreIndexingFilter.java:109-305 incl. NUTCH-1010 trim, mime parts,
+    Content-Disposition title fallback), index-links host-only outlinks with
+    same-host suppression (LinksIndexingFilter.java:60-160), index-static
+    constants, index-metadata copy-through (MetadataIndexer.java:60-104) —
+    all as one chained column-transform pass over a synthesized doc stream."""
+    from nutch_spark.operators.index_filters import (
+        links_indexing_fields,
+        metadata_fields,
+        more_indexing_fields,
+        static_fields,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    s = k.cast("string")
+    ctype = (
+        F.when(k % 4 == 0, "application/PDF; version=1.7")
+        .when(k % 4 == 1, "text/html; charset=utf-8")
+        .when(k % 4 == 3, "application/vnd.ms-powerpoint")
+    )
+    meta_entries = F.map_filter(
+        F.create_map(
+            F.lit("Content-Type"), ctype,
+            F.lit("Content-Length"),
+            F.when(k % 3 == 0, "  123  ").when(k % 3 == 1, "   "),
+            F.lit("Last-Modified"),
+            F.when(k % 5 == 0, "Sun, 06 Nov 1994 08:49:37 GMT")
+            .when(k % 5 == 1, "Dec 31 2021 10:00:00 GMT")
+            .when(k % 5 == 2, "1994/11/06 08:49:37"),
+            F.lit("Content-Disposition"),
+            F.when(k % 6 == 0, 'inline; filename="foo.ppt"')
+            .when(k % 6 == 1, "attachment; filename=bar.pdf"),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    link = lambda h: F.struct(h.alias("to_url"), F.lit("").alias("anchor"))  # noqa: E731
+    doc = d.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.lit("http://d"), (k % 40).cast("string"), F.lit(".com/p"), s,
+            F.when(k % 8 == 2, ".pdf").otherwise(""),
+        ).alias("url"),
+        F.when(k % 2 == 0, F.concat(F.lit("T"), s)).otherwise("").alias("title"),
+        meta_entries.alias("content_meta"),
+        F.when(k % 7 != 0, F.to_timestamp(F.lit("2026-01-02 00:00:00"))).alias(
+            "modified_time"
+        ),
+        F.to_timestamp(F.lit("2026-01-03 00:00:00")).alias("fetched_at"),
+        F.array(
+            link(F.concat(F.lit("http://o"), (k % 3).cast("string"), F.lit(".com/x"))),
+            link(F.concat(F.lit("http://d"), (k % 40).cast("string"), F.lit(".com/self"))),
+            link(F.concat(F.lit("http://o"), ((k + 1) % 3).cast("string"), F.lit(".com/y"))),
+        ).alias("outlinks"),
+    )
+    doc = more_indexing_fields(doc)
+    doc = links_indexing_fields(
+        doc, hosts_only=True, ignore_outlinks_same_host=True, inlinks=None
+    )
+    doc = static_fields(doc, {"collection": "test"})
+    doc = metadata_fields(doc, content_keys=("Content-Type",))
+    return doc.select(
+        "doc_id",
+        "type",
+        "primary_type",
+        "sub_type",
+        "content_length",
+        "date",
+        "title",
+        F.array_join("outlink_urls", ",").alias("outlink_hosts"),
+        "collection",
+        "meta_content_content_type",
+    )
+
+
+@q(
     "j7_broadcast_join",
     """
     SELECT s.s_name, count(*) AS n,

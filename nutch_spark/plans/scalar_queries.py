@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nutch_spark.functions.signatures import text_profile_signatures
-from nutch_spark.functions.urls import normalize_url, url_domain, url_host, url_tld
+from nutch_spark.functions.urls import (
+    idn_normalize,
+    normalize_url,
+    normalize_url_scoped,
+    url_domain,
+    url_host,
+    url_tld,
+)
 from nutch_spark.plans.driver_queries import REGISTRY, q, t
 
 # ---------------------------------------------------------------------------
@@ -52,6 +59,68 @@ def f1_url_normalize(spark, sf_dir):
         "doc_id",
         normalize_url(messy_http).alias("norm_http"),
         normalize_url(messy_https).alias("norm_https"),
+    )
+
+
+@q(
+    "f1_scoped_normalize",
+    """
+    WITH k AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS doc_id,
+      'http://a' || CAST(i % 5 AS VARCHAR)
+        || '.example.com/page?_escaped_fragment_=%2Fstate%2F' || CAST(i AS VARCHAR)
+        AS crawl_ajax,
+      'http://b.example.com/p?x=1#!/s/' || CAST(i AS VARCHAR) AS index_ajax,
+      CASE i % 3
+        WHEN 0 THEN 'https://secure.example.com/a/' || CAST(i AS VARCHAR)
+        WHEN 1 THEN 'https://sub.alwayshttps.org/a/' || CAST(i AS VARCHAR)
+        ELSE 'http://plain.example.com/a/' || CAST(i AS VARCHAR) END AS proto,
+      'http://old-site.com/p' || CAST(i AS VARCHAR) AS host_mapped,
+      CASE WHEN i % 4 = 0
+        THEN 'http://xn--mnchen-3ya.de/p' || CAST(i AS VARCHAR)
+        ELSE 'http://plain.de/p' || CAST(i AS VARCHAR) END AS idn
+    FROM k
+    """,
+)
+def f1_scoped_normalize(spark, sf_dir):
+    """Scoped normalizer chains (net/URLNormalizers.java + the ajax, host,
+    protocol plugins): crawler scope rewrites ``#!`` to an escaped fragment
+    (AjaxURLNormalizer.java:81-109), indexer scope reverses it (:111-170),
+    protocol rules force https per host/domain (ProtocolURLNormalizer.java),
+    host rules rewrite hostnames (HostURLNormalizer.java), IDN hosts go to
+    punycode. Ground-truth oracle: messy inputs reconstructed clean."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    s = k.cast("string")
+    crawl_in = F.concat(
+        F.lit("HTTP://A"), (k % 5).cast("string"),
+        F.lit(".Example.COM/page#!/state/"), s,
+    )
+    index_in = F.concat(
+        F.lit("http://b.example.com/p?x=1&_escaped_fragment_=%2Fs%2F"), s
+    )
+    proto_in = (
+        F.when(k % 3 == 0, F.concat(F.lit("http://secure.example.com/a/"), s))
+        .when(k % 3 == 1, F.concat(F.lit("http://sub.alwayshttps.org/a/"), s))
+        .otherwise(F.concat(F.lit("http://plain.example.com/a/"), s))
+    )
+    host_in = F.concat(F.lit("http://www.old-site.com/p"), s)
+    idn_in = F.when(
+        k % 4 == 0, F.concat(F.lit("http://münchen.de/p"), s)
+    ).otherwise(F.concat(F.lit("http://plain.de/p"), s))
+    return d.select(
+        k.alias("doc_id"),
+        normalize_url_scoped(crawl_in).alias("crawl_ajax"),
+        normalize_url_scoped(index_in, scope="indexer").alias("index_ajax"),
+        normalize_url_scoped(
+            proto_in,
+            host_protocols={"secure.example.com": "https"},
+            domain_protocols={"alwayshttps.org": "https"},
+        ).alias("proto"),
+        normalize_url_scoped(
+            host_in, host_map={"www.old-site.com": "old-site.com"}
+        ).alias("host_mapped"),
+        idn_normalize(idn_in).alias("idn"),
     )
 
 

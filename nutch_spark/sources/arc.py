@@ -1,0 +1,123 @@
+"""S9 — ARC file import (legacy Internet Archive format).
+
+Reference: tools/arc/ArcSegmentCreator.java + tools/arc/ArcRecordReader.java:
+an ARC v1 file is a version block followed by records, each introduced by a
+one-line header ``<url> <ip> <yyyyMMddHHmmss> <mime-type> <length>`` and
+``length`` bytes of payload.
+
+Spark shape: ``spark.read.format("binaryFile")`` lists and reads the files
+distributed (one task per file — ARC files are not splittable without a
+record index, same constraint the reference's ArcRecordReader works under);
+record splitting happens in ``mapInPandas``. Gzip-compressed ARCs (the
+common .arc.gz form) are decompressed per file; multi-member gzip (one
+member per record) is handled by ``gzip.decompress``-per-member fallback.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ARC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("ip", T.StringType(), True),
+        T.StructField("fetch_time", T.TimestampType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("source_file", T.StringType(), True),
+    ]
+)
+
+
+def _decompress(data: bytes) -> bytes:
+    if data[:2] == b"\x1f\x8b":
+        out = io.BytesIO()
+        buf = io.BytesIO(data)
+        # concatenated gzip members (per-record compression) stream through
+        while True:
+            start = buf.tell()
+            if start >= len(data):
+                break
+            try:
+                with gzip.GzipFile(fileobj=buf) as gz:
+                    out.write(gz.read())
+            except (OSError, EOFError):
+                break
+            if buf.tell() == start:  # no progress — corrupt tail
+                break
+        return out.getvalue()
+    return data
+
+
+def parse_arc_bytes(data: bytes, source: str) -> list[dict]:
+    """Split one ARC file's bytes into records (ArcRecordReader.java:140-239
+    semantics: header line, exact-length payload, record separator)."""
+    data = _decompress(data)
+    records: list[dict] = []
+    pos = 0
+    first = True
+    n = len(data)
+    while pos < n:
+        # skip blank separator lines
+        while pos < n and data[pos : pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        if pos >= n:
+            break
+        eol = data.find(b"\n", pos)
+        if eol == -1:
+            break
+        header = data[pos:eol].decode("utf-8", "replace").strip()
+        pos = eol + 1
+        parts = header.split(" ")
+        if len(parts) < 5:
+            break  # malformed header — stop like the reference's reader
+        length_s = parts[-1]
+        try:
+            length = int(length_s)
+        except ValueError:
+            break
+        payload = data[pos : pos + length]
+        pos += length
+        if first:
+            # the version block describes the file itself; skip it
+            first = False
+            continue
+        url, ip, date14, mime = parts[0], parts[1], parts[2], parts[3]
+        try:
+            ts = pd.to_datetime(date14, format="%Y%m%d%H%M%S")
+        except ValueError:
+            ts = None
+        records.append(
+            {
+                "url": url,
+                "ip": ip,
+                "fetch_time": ts,
+                "content_type": mime,
+                "content": payload,
+                "source_file": source,
+            }
+        )
+    return records
+
+
+def read_arc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed ARC import: one task per file, records exploded in
+    Arrow batches. Returns ARC_SCHEMA rows ready for the parse/updatedb
+    pipeline (ArcSegmentCreator.java's output shape)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ARC_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                out.extend(parse_arc_bytes(bytes(row.content), row.path))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, ARC_SCHEMA)

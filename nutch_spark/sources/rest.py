@@ -1,0 +1,133 @@
+"""S11 — the REST read API as a thin handler layer over the operators.
+
+Reference: /root/reference/openapi.yaml:443-771 (db/crawldb, db/fetchdb,
+reader/{sequence,link,node}/read, seed lists) backed by
+api/impl/db/DbReader and reader/{Link,Node,SequenceFile}Reader.
+
+This module is the handler layer an HTTP frontend (any WSGI/ASGI server)
+would call — each method maps one read endpoint onto the existing DataFrame
+operators and returns plain Python data (the JSON bodies of the responses).
+No HTTP server ships here: serving is deployment-specific, the query logic
+is not.
+
+Scale note: every endpoint bounds its result (stats aggregate, topN limit,
+url point-lookup, from/to slices) — nothing collects an unbounded
+DataFrame to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.operators.stats import crawldb_stats, top_n
+
+
+class NutchReadApi:
+    """Read-endpoint handlers. Construct with the tables a crawl produced."""
+
+    def __init__(
+        self,
+        crawldb: DataFrame | None = None,
+        fetchdb: DataFrame | None = None,
+        linkdb: DataFrame | None = None,
+        nodedb: DataFrame | None = None,
+        seeds: dict[str, list[str]] | None = None,
+    ) -> None:
+        self.crawldb = crawldb
+        self.fetchdb = fetchdb
+        self.linkdb = linkdb
+        self.nodedb = nodedb
+        self.seeds = dict(seeds or {})
+
+    # -- POST /db/crawldb (openapi.yaml:443-486, DbQuery type dispatch) ------
+    def db_crawldb(self, query: dict) -> dict | list[dict]:
+        qtype = query.get("type")
+        args = query.get("args") or {}
+        if self.crawldb is None:
+            raise ValueError("no crawldb attached")
+        if qtype == "stats":
+            sections = crawldb_stats(self.crawldb)
+            return {
+                name: [r.asDict(recursive=True) for r in df.collect()]
+                for name, df in sections.items()
+            }
+        if qtype == "url":
+            url = args.get("url")
+            rows = self.crawldb.filter(F.col("url") == url).limit(1).collect()
+            return rows[0].asDict(recursive=True) if rows else {}
+        if qtype == "topN":
+            n = int(args.get("topN", 10))
+            min_score = float(args.get("minScore", 0.0))
+            df = self.crawldb
+            if min_score > 0:
+                df = df.filter(F.col("score") >= min_score)
+            rows = top_n(df, n, "score", tie_break="url").select("url", "score").collect()
+            return [r.asDict() for r in rows]
+        if qtype == "dump":
+            # binary dump endpoint: bounded page of the db ordered by url
+            n = int(args.get("limit", 1000))
+            rows = self.crawldb.orderBy("url").limit(n).collect()
+            return [r.asDict(recursive=True) for r in rows]
+        raise ValueError(f"unknown DbQuery type {qtype!r}")
+
+    # -- GET /db/fetchdb?from=&to= (openapi.yaml:487-530) --------------------
+    def db_fetchdb(self, from_: int = 0, to: int = 0) -> list[dict]:
+        if self.fetchdb is None:
+            raise ValueError("no fetchdb attached")
+        end = to if to and to > 0 else None  # to=0 → all entries from start
+        df = self._slice(self.fetchdb, from_, end, "url")
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    # -- POST /reader/{link,node,sequence}/read (openapi.yaml:590-771) -------
+    @staticmethod
+    def _slice(df: DataFrame, start: int | None, end: int | None, key: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        idx = F.row_number().over(Window.orderBy(key)) - 1
+        out = df.withColumn("_idx", idx)
+        if start is not None:
+            out = out.filter(F.col("_idx") >= start)
+        if end is not None:
+            out = out.filter(F.col("_idx") <= end)
+        return out.drop("_idx")
+
+    def link_read(self, start: int | None = None, end: int | None = None) -> list[dict]:
+        if self.linkdb is None:
+            raise ValueError("no linkdb attached")
+        return [
+            r.asDict(recursive=True)
+            for r in self._slice(self.linkdb, start, end, "to_url").collect()
+        ]
+
+    def link_schema(self) -> dict:
+        return {f.name: f.dataType.simpleString() for f in (self.linkdb or _empty()).schema}
+
+    def node_read(self, start: int | None = None, end: int | None = None) -> list[dict]:
+        if self.nodedb is None:
+            raise ValueError("no nodedb attached")
+        return [
+            r.asDict(recursive=True)
+            for r in self._slice(self.nodedb, start, end, "url").collect()
+        ]
+
+    def node_schema(self) -> dict:
+        return {f.name: f.dataType.simpleString() for f in (self.nodedb or _empty()).schema}
+
+    def sequence_read(
+        self, df: DataFrame, start: int | None = None, end: int | None = None
+    ) -> list[list]:
+        key = df.columns[0]
+        return [list(r) for r in self._slice(df, start, end, key).collect()]
+
+    # -- GET /seed/ + POST /seed/create (openapi.yaml:535-589) ---------------
+    def get_seed_lists(self) -> dict[str, list[str]]:
+        return dict(self.seeds)
+
+    def create_seed_list(self, name: str, urls: list[str]) -> str:
+        self.seeds[name] = list(urls)
+        return name
+
+
+def _empty():
+    raise ValueError("no table attached")

@@ -1,0 +1,115 @@
+"""S11 REST read shim + S9 ARC import tests (rows-only — both map thin
+plumbing onto already-oracle-checked operators)."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+import pytest
+
+from nutch_spark.sources.arc import read_arc
+from nutch_spark.sources.rest import NutchReadApi
+
+NOW = datetime.datetime(2026, 1, 1)
+
+DB_SCHEMA = (
+    "url string, status string, fetch_time timestamp, retries int, "
+    "fetch_interval int, score float, signature binary, modified_time timestamp, "
+    "metadata map<string,string>"
+)
+
+
+@pytest.fixture()
+def api(spark):
+    db = spark.createDataFrame(
+        [
+            (f"http://h{i % 3}.com/{i}", "db_fetched", NOW, 0, 1000, float(i), None, NOW, {})
+            for i in range(10)
+        ],
+        DB_SCHEMA,
+    )
+    linkdb = spark.createDataFrame(
+        [(f"http://t.com/{i}", [{"from_url": "http://s.com/", "anchor": "a"}]) for i in range(5)],
+        "to_url string, inlinks array<struct<from_url string, anchor string>>",
+    )
+    return NutchReadApi(crawldb=db, fetchdb=db, linkdb=linkdb, nodedb=None)
+
+
+def test_db_crawldb_stats_url_topn_dump(api):
+    stats = api.db_crawldb({"type": "stats", "crawlId": "c1"})
+    assert stats["global"][0]["total_urls"] == 10
+    assert {r["status"]: r["count"] for r in stats["status"]} == {"db_fetched": 10}
+
+    one = api.db_crawldb({"type": "url", "crawlId": "c1", "args": {"url": "http://h1.com/1"}})
+    assert one["score"] == 1.0
+
+    top = api.db_crawldb({"type": "topN", "crawlId": "c1", "args": {"topN": "3"}})
+    assert [r["url"] for r in top] == ["http://h0.com/9", "http://h2.com/8", "http://h1.com/7"]
+
+    dump = api.db_crawldb({"type": "dump", "crawlId": "c1", "args": {"limit": "4"}})
+    assert len(dump) == 4
+
+    with pytest.raises(ValueError):
+        api.db_crawldb({"type": "nope", "crawlId": "c1"})
+
+
+def test_db_fetchdb_range(api):
+    all_rows = api.db_fetchdb()
+    assert len(all_rows) == 10
+    window = api.db_fetchdb(from_=2, to=5)
+    assert len(window) == 4
+    assert window == all_rows[2:6]
+
+
+def test_link_read_and_schema(api):
+    rows = api.link_read(start=1, end=3)
+    assert [r["to_url"] for r in rows] == [f"http://t.com/{i}" for i in (1, 2, 3)]
+    assert api.link_schema()["to_url"] == "string"
+
+
+def test_seed_lists(api):
+    assert api.get_seed_lists() == {}
+    api.create_seed_list("s1", ["http://a.com/", "http://b.com/"])
+    assert api.get_seed_lists()["s1"] == ["http://a.com/", "http://b.com/"]
+
+
+# --- ARC import -------------------------------------------------------------
+
+
+def _arc_bytes() -> bytes:
+    def record(url, ip, date, mime, payload: bytes) -> bytes:
+        header = f"{url} {ip} {date} {mime} {len(payload)}\n".encode()
+        return header + payload + b"\n"
+
+    version = b"filedesc://test.arc 0.0.0.0 20260101000000 text/plain 76\n" + b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+    # the version block's declared length must match its payload
+    payload_v = b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+    version = (
+        f"filedesc://test.arc 0.0.0.0 20260101000000 text/plain {len(payload_v)}\n".encode()
+        + payload_v
+        + b"\n"
+    )
+    r1 = record(
+        "http://a.com/x", "1.2.3.4", "20251231235959", "text/html",
+        b"<html><title>A</title></html>",
+    )
+    r2 = record("http://b.com/y", "5.6.7.8", "20260101120000", "text/plain", b"hello\nworld")
+    return version + r1 + r2
+
+
+def test_read_arc_plain_and_gzip(spark, tmp_path):
+    raw = _arc_bytes()
+    (tmp_path / "one.arc").write_bytes(raw)
+    (tmp_path / "two.arc.gz").write_bytes(gzip.compress(raw))
+    df = read_arc(spark, str(tmp_path))
+    rows = sorted(
+        (r["source_file"].rsplit("/", 1)[-1], r["url"], bytes(r["content"]))
+        for r in df.collect()
+    )
+    assert len(rows) == 4  # 2 records x 2 files, version blocks skipped
+    assert rows[0][1] == "http://a.com/x"
+    assert rows[0][2].startswith(b"<html>")
+    got = {r["url"]: r for r in df.collect()}
+    assert got["http://b.com/y"]["fetch_time"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    assert got["http://a.com/x"]["content_type"] == "text/html"
