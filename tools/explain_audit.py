@@ -43,6 +43,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_cosine_topk": [[r"BroadcastNestedLoopJoin"], []],
     # column pruning: token stats reads only doc_id and text
     "dp_token_stats": [[r"ReadSchema: struct<doc_id:bigint,text:string>"], []],
+    # bounded inlink cap: windowed pre-cap BEFORE the collect aggregate —
+    # no post-agg slice of an unbounded array (VERDICT r1 hazard #2)
+    "g1_invert_capped": [[r"dense_rank"], [r"slice"]],
+    "w5_topk_contribs": [[r"row_number|WindowGroupLimit"], [r"slice"]],
+    # hostdb quota lookup broadcasts; the fetchlist never reshuffles for it
+    "w1_host_limit": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    # forced-refetch updatedb round: two keyed shuffles, no cross product
+    "j2_forced_refetch": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                          [r"CartesianProduct"]],
+    # indexing filter chain is a pure projection: no exchange at all
+    "j3_index_fields": [[], [r"Exchange", r"CartesianProduct"]],
 }
 
 
