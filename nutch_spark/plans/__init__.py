@@ -6,6 +6,7 @@ Importing this package populates REGISTRY with every declared query
 
 from nutch_spark.plans.driver_queries import REGISTRY
 
+from nutch_spark.plans import coverage_queries  # noqa: E402,F401  (registers a10/d2/d4/d5/d8/f2)
 from nutch_spark.plans import datapipe_queries  # noqa: E402,F401  (registers dp_*)
 from nutch_spark.plans import graph_queries  # noqa: E402,F401  (registers g/j/w/st_*)
 from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d7_*)

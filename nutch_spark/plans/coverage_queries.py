@@ -1,0 +1,249 @@
+"""Round-2 oracle coverage for operator families that previously had only
+pytest evidence (VERDICT r1 "untested by oracle" rows): A10 anchor dedup,
+D2 cleaning targets, D4 depth propagation, D5 similarity scoring, D8 orphan
+marking, F2 URL filter chain. Each drives the real library operator and has
+a full DuckDB twin (no rows-only checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nutch_spark.operators.depth import propagate_depth
+from nutch_spark.operators.indexing import cleaning_targets
+from nutch_spark.operators.invertlinks import anchors_per_target, invert_edges
+from nutch_spark.operators.orphan import mark_orphans, tf_cosine_to_goldstandard
+from nutch_spark.functions.urls import url_filter_predicate
+from nutch_spark.plans.driver_queries import REGISTRY, q, t
+
+# ---------------------------------------------------------------------------
+# A10 — anchor dedup per (source host, anchor) (Inlinks.java:88-120)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a10_anchor_dedup",
+    """
+    WITH e AS (
+      SELECT DISTINCT
+        'http://t' || CAST(l_partkey % 100 AS VARCHAR) || '.com/' AS to_url,
+        'h' || CAST(l_suppkey % 10 AS VARCHAR) || '.example.com' AS host,
+        'a' || CAST(l_orderkey % 5 AS VARCHAR) AS anchor
+      FROM lineitem
+    )
+    SELECT to_url, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+    FROM e GROUP BY to_url
+    """,
+)
+def a10_anchor_dedup(spark, sf_dir):
+    """A10 (crawl/Inlinks.java:88-120 getAnchors): one anchor text per
+    source HOST per target — the same text from two hosts appears twice;
+    empty anchors dropped; deterministic sorted output. Drives invert_edges
+    (G1, with the dense_rank pre-cap) then anchors_per_target."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(
+            F.lit("http://h"), (F.col("l_suppkey") % 10).cast("string"),
+            F.lit(".example.com/p"), F.col("l_suppkey").cast("string"),
+        ).alias("from_url"),
+        F.concat(
+            F.lit("http://t"), (F.col("l_partkey") % 100).cast("string"), F.lit(".com/")
+        ).alias("to_url"),
+        F.concat(F.lit("a"), (F.col("l_orderkey") % 5).cast("string")).alias("anchor"),
+    )
+    linkdb = invert_edges(edges, src="from_url", dst="to_url", payload=["anchor"])
+    anchors = anchors_per_target(linkdb)
+    return anchors.select("to_url", F.array_join("anchors", "|").alias("anchors"))
+
+
+# ---------------------------------------------------------------------------
+# D4 — depth propagation with per-seed max (scoring-depth)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d4_depth_propagation",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           'http://c' || CAST(l.l_partkey AS VARCHAR) || '.com/' AS to_url,
+           CAST((o.o_orderkey % 4) + 1 AS VARCHAR) AS depth
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE (o.o_orderkey % 4) + 1 <= 3
+    """,
+)
+def d4_depth_propagation(spark, sf_dir):
+    """D4 (scoring-depth DepthScoringFilter.java:44-76): child depth =
+    parent depth + 1, children beyond _maxdepth_ dropped from the frontier.
+    Parent depth rides the metadata map exactly as the plugin stores it."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    parents = o.select(
+        F.concat(F.lit("http://o"), F.col("o_orderkey").cast("string"), F.lit(".com/")).alias("url"),
+        F.create_map(
+            F.lit("_depth_"), (F.col("o_orderkey") % 4).cast("string"),
+            F.lit("_maxdepth_"), F.lit("3"),
+        ).alias("metadata"),
+    )
+    outlinks = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.lit("http://o"), F.col("l_orderkey").cast("string"), F.lit(".com/")).alias("from_url"),
+        F.concat(F.lit("http://c"), F.col("l_partkey").cast("string"), F.lit(".com/")).alias("to_url"),
+    )
+    out = propagate_depth(outlinks, parents)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "to_url",
+        F.element_at("metadata", "_depth_").alias("depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 — orphan marking (left-anti), D2 — cleaning targets
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d8_orphan_mark",
+    """
+    SELECT c.c_custkey AS url,
+           CASE WHEN c.c_custkey % 5 = 0 THEN 'db_unfetched'
+                WHEN o.o_custkey IS NOT NULL THEN 'db_fetched'
+                ELSE 'db_orphan' END AS status
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def d8_orphan_mark(spark, sf_dir):
+    """D8 (scoring-orphan via CrawlDbReducer.java:180-186): crawldb rows
+    with no linkdb entry become db_orphan; protected statuses
+    (db_unfetched — no inlinks by construction) are exempt. LEFT ANTI join,
+    never a collect."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    db = c.select(
+        F.col("c_custkey").alias("url"),
+        F.when(F.col("c_custkey") % 5 == 0, "db_unfetched")
+        .otherwise("db_fetched")
+        .alias("status"),
+    )
+    linkdb = o.select(F.col("o_custkey").alias("to_url"))
+    return mark_orphans(db, linkdb).select("url", "status")
+
+
+@q(
+    "d2_cleaning_targets",
+    """
+    SELECT o_orderkey AS url FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    """,
+)
+def d2_cleaning_targets(spark, sf_dir):
+    """D2 (indexer/CleaningJob.java:46-120): index entries to delete —
+    db_gone and db_duplicate rows. Filter pushed to the scan."""
+    o = t(spark, sf_dir, "orders")
+    db = o.select(
+        F.col("o_orderkey").alias("url"),
+        F.when(F.col("o_orderkey") % 4 == 0, "db_gone")
+        .when(F.col("o_orderkey") % 4 == 1, "db_duplicate")
+        .otherwise("db_fetched")
+        .alias("status"),
+    )
+    return cleaning_targets(db)
+
+
+# ---------------------------------------------------------------------------
+# F2 — URL filter chain (urlfilter-regex/prefix/suffix/domaindenylist)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "f2_filter_chain",
+    """
+    WITH u AS (
+      SELECT doc_id AS k,
+        CASE WHEN doc_id % 4 = 0 THEN 'https' ELSE 'http' END || '://'
+        || CASE doc_id % 3 WHEN 0 THEN 'good.com' WHEN 1 THEN 'bad.org'
+                           ELSE 'sub.good.com' END
+        || CASE WHEN doc_id % 7 = 0 THEN '/private' ELSE '' END
+        || '/p/' || CAST(doc_id AS VARCHAR)
+        || CASE doc_id % 5 WHEN 0 THEN '.jpg' WHEN 1 THEN '.html' ELSE '' END
+        AS url
+      FROM documents
+    )
+    SELECT k AS doc_id, url,
+           (k % 5 != 0) AND (k % 3 != 1) AND (k % 7 != 0) AS kept
+    FROM u
+    """,
+)
+def f2_filter_chain(spark, sf_dir):
+    """F2 (net/URLFilters.java chain over urlfilter-regex/prefix/suffix/
+    domaindenylist): deny regex, allow prefixes, suffix blocking, eTLD+1
+    deny list composed into one pushed-down predicate."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 4 == 0, "https").otherwise("http"),
+        F.lit("://"),
+        F.when(k % 3 == 0, "good.com")
+        .when(k % 3 == 1, "bad.org")
+        .otherwise("sub.good.com"),
+        F.when(k % 7 == 0, "/private").otherwise(""),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(k % 5 == 0, ".jpg").when(k % 5 == 1, ".html").otherwise(""),
+    )
+    kept = url_filter_predicate(
+        url,
+        deny_regex=[r"/private/"],
+        allow_prefixes=["http://", "https://"],
+        deny_suffixes=[".jpg"],
+        deny_domains=["bad.org"],
+    )
+    return d.select(k.alias("doc_id"), url.alias("url"), kept.alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# D5 — TF-cosine similarity to a gold-standard token list (scoring-similarity)
+# ---------------------------------------------------------------------------
+
+_GOLD = ["data", "data", "model", "training"]  # counts: data=2, model=1, training=1
+
+
+@q(
+    "d5_similarity_score",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    gold(t, g) AS (VALUES ('data', 2), ('model', 1), ('training', 1)),
+    dots AS (SELECT tf.doc_id, sum(tf.c * gold.g) AS dot
+             FROM tf JOIN gold USING (t) GROUP BY tf.doc_id),
+    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS dn FROM tf GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(CASE WHEN n.dn > 0
+                      THEN COALESCE(dots.dot, 0) / (n.dn * sqrt(6.0))
+                      ELSE 0.0 END, 6) AS similarity_score
+    FROM documents d
+    LEFT JOIN norms n USING (doc_id)
+    LEFT JOIN dots USING (doc_id)
+    """,
+)
+def d5_similarity_score(spark, sf_dir):
+    """D5 (scoring-similarity CosineSimilarity.java): TF cosine of each
+    document against a tiny gold-standard token vector (inlined literals —
+    broadcast-equivalent, single map stage, no shuffle). The generator sort
+    value for focused crawling."""
+    d = t(spark, sf_dir, "documents")
+    out = tf_cosine_to_goldstandard(d, _GOLD)
+    return out.select(
+        "doc_id", F.round(F.col("similarity_score"), 6).alias("similarity_score")
+    )
+
+
+assert "a10_anchor_dedup" in REGISTRY
