@@ -123,16 +123,49 @@ def adaptive_interval(
     modified: Column,
     *,
     cfg: NutchConfig = DEFAULT,
+    inc_rate: Column | None = None,
+    dec_rate: Column | None = None,
+    clamp: bool = True,
 ) -> Column:
     """AdaptiveFetchSchedule interval update (AdaptiveFetchSchedule.java:303-370):
-    shrink on change, grow when unchanged, clamp to [min,max]."""
-    new_iv = F.when(modified, interval * (1.0 - cfg.adaptive_dec_rate)).otherwise(
-        interval * (1.0 + cfg.adaptive_inc_rate)
+    shrink on change, grow when unchanged, clamp to [min,max].
+
+    ``inc_rate``/``dec_rate`` may be column expressions — the
+    MimeAdaptiveFetchSchedule (MimeAdaptiveFetchSchedule.java:103-126) picks
+    per-MIME rates this way. ``clamp=False`` defers the bound check for the
+    sync-delta path, which clamps AFTER the delta adjustment (:340-363)."""
+    inc = inc_rate if inc_rate is not None else F.lit(float(cfg.adaptive_inc_rate))
+    dec = dec_rate if dec_rate is not None else F.lit(float(cfg.adaptive_dec_rate))
+    new_iv = F.when(modified, interval * (F.lit(1.0) - dec)).otherwise(
+        interval * (F.lit(1.0) + inc)
     )
+    if not clamp:
+        return new_iv
     return F.least(
         F.greatest(new_iv, F.lit(float(cfg.adaptive_min_interval))),
         F.lit(float(cfg.adaptive_max_interval)),
     ).cast("int")
+
+
+def mime_adaptive_rates(
+    content_type: Column,
+    mime_rates: dict[str, tuple[float, float]],
+    *,
+    cfg: NutchConfig = DEFAULT,
+) -> tuple[Column, Column]:
+    """(inc_rate, dec_rate) columns per cleaned MIME type
+    (MimeAdaptiveFetchSchedule.java:103-126 + adaptive-mimetypes.txt): types
+    in the map get their configured rates, everything else the defaults."""
+    from nutch_spark.functions.mime import clean_content_type
+
+    cleaned = clean_content_type(content_type)
+    inc: Column = F.lit(float(cfg.adaptive_inc_rate))
+    dec: Column = F.lit(float(cfg.adaptive_dec_rate))
+    for mime, (i, d) in mime_rates.items():
+        cond = cleaned == mime.lower()
+        inc = F.when(cond, float(i)).otherwise(inc)
+        dec = F.when(cond, float(d)).otherwise(dec)
+    return inc, dec
 
 
 def update_crawldb(
@@ -143,8 +176,14 @@ def update_crawldb(
     cfg: NutchConfig = DEFAULT,
     schedule: str = "default",
     now: Column | None = None,
+    mime_rates: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
-    """Apply one round of fetch/parse results to the crawldb."""
+    """Apply one round of fetch/parse results to the crawldb.
+
+    ``schedule``: "default" (next = fetch_time + interval), "adaptive"
+    (AdaptiveFetchSchedule incl. the sync-delta refinement when
+    cfg.adaptive_sync_delta), or "mime_adaptive" (per-MIME inc/dec rates
+    from ``mime_rates``, MimeAdaptiveFetchSchedule.java:103-126)."""
     now = now if now is not None else F.current_timestamp()
     upd = aggregate_updates(fetch_log, parse_emits, cfg=cfg)
 
@@ -194,16 +233,54 @@ def update_crawldb(
         | (F.col("db.signature") != new_sig)
     )
 
-    if schedule == "adaptive":
-        next_interval = F.when(
-            has_fetch, adaptive_interval(old_interval, modified, cfg=cfg)
-        ).otherwise(old_interval)
+    fetched_at_ts = F.coalesce(F.col("u.fetched_at"), now)
+    ref_time = fetched_at_ts  # AdaptiveFetchSchedule refTime (:305,:357)
+    if schedule in ("adaptive", "mime_adaptive"):
+        inc = dec = None
+        if schedule == "mime_adaptive" and mime_rates:
+            # key-level precedence: the fetch's Content-Type when present,
+            # else the one stored in the CrawlDatum metadata (an empty fetch
+            # metadata map must not hide the db value)
+            ctype = F.coalesce(
+                F.element_at(F.col("u.fetch_metadata"), "Content-Type"),
+                F.element_at(F.col("db.metadata"), "Content-Type"),
+            )
+            inc, dec = mime_adaptive_rates(ctype, mime_rates, cfg=cfg)
+        raw_iv = adaptive_interval(
+            old_interval, modified, cfg=cfg, inc_rate=inc, dec_rate=dec, clamp=False
+        )
+        if cfg.adaptive_sync_delta:
+            # Sync with the time of change (AdaptiveFetchSchedule.java:340-357):
+            # delta = fetchTime - modifiedTime (modified → 0; unset → 0);
+            # interval stretches to delta when overdue; the next fetch is
+            # scheduled from refTime = fetchTime - round(delta*rate), with
+            # the reference's long-division cap when the offset exceeds
+            # maxInterval (offset/delta is integer division there).
+            mt = F.when(modified, fetched_at_ts).otherwise(
+                F.coalesce(F.col("db.modified_time"), fetched_at_ts)
+            )
+            delta_ms = F.unix_millis(fetched_at_ts) - F.unix_millis(mt)
+            raw_iv = F.when(delta_ms > raw_iv * 1000.0, delta_ms / 1000.0).otherwise(
+                raw_iv
+            )
+            offset = F.round(
+                delta_ms * F.lit(float(cfg.adaptive_sync_delta_rate))
+            ).cast("long")
+            max_ms = F.lit(int(cfg.adaptive_max_interval) * 1000)
+            offset = F.when(
+                (delta_ms > 0) & (offset > max_ms),
+                F.floor(offset / delta_ms).cast("long") * max_ms,
+            ).otherwise(offset)
+            ref_time = F.timestamp_millis(F.unix_millis(fetched_at_ts) - offset)
+        clamped = F.least(
+            F.greatest(raw_iv, F.lit(float(cfg.adaptive_min_interval))),
+            F.lit(float(cfg.adaptive_max_interval)),
+        ).cast("int")
+        next_interval = F.when(has_fetch, clamped).otherwise(old_interval)
     else:
         next_interval = old_interval
     next_fetch_time = F.when(
-        has_fetch,
-        F.coalesce(F.col("u.fetched_at"), now)
-        + F.make_interval(secs=next_interval.cast("double")),
+        has_fetch, ref_time + F.make_interval(secs=next_interval.cast("double"))
     ).otherwise(F.coalesce(F.col("db.fetch_time"), now))
 
     retries = (

@@ -246,4 +246,96 @@ def d5_similarity_score(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# D6b — MimeAdaptiveFetchSchedule + sync-delta (crawl/MimeAdaptiveFetchSchedule
+# .java:103-126, AdaptiveFetchSchedule.java:340-363)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d6_mime_adaptive",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS TIMESTAMP) AS t0,
+             1000 + (o_orderkey % 7) * 100 AS iv0,
+             CASE o_orderkey % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 0.1 ELSE 0.4 END AS inc,
+             CASE o_orderkey % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 0.05 ELSE 0.2 END AS dec,
+             (1 + o_orderkey % 10) * CAST(86400000 AS BIGINT) AS delta_ms
+      FROM orders
+    )
+    SELECT k AS url,
+      CASE WHEN k % 2 != 0 THEN iv0
+           WHEN k % 4 = 0 THEN CAST(FLOOR(LEAST(GREATEST(iv0 * (1 - dec), 60.0),
+                                                31536000.0)) AS INT)
+           ELSE CAST(FLOOR(LEAST(GREATEST(delta_ms / 1000.0, 60.0),
+                                 31536000.0)) AS INT) END AS fetch_interval,
+      CASE WHEN k % 2 != 0 THEN t0
+           WHEN k % 4 = 0 THEN t0 + INTERVAL 1 DAY
+             + to_seconds(CAST(FLOOR(LEAST(GREATEST(iv0 * (1 - dec), 60.0),
+                                           31536000.0)) AS INT))
+           ELSE t0 + INTERVAL 1 DAY
+             - to_milliseconds(CAST(round(delta_ms * 0.3) AS BIGINT))
+             + to_seconds(CAST(FLOOR(LEAST(GREATEST(delta_ms / 1000.0, 60.0),
+                                           31536000.0)) AS INT)) END AS fetch_time,
+      CASE WHEN k % 2 = 0 AND k % 4 = 0 THEN t0 + INTERVAL 1 DAY
+           ELSE t0 - to_days(CAST(k % 10 AS INT)) END AS modified_time
+    FROM base
+    """,
+)
+def d6_mime_adaptive(spark, sf_dir):
+    """MimeAdaptiveFetchSchedule with sync-delta: per-MIME inc/dec rates
+    (text/html aggressive, application/pdf sluggish, defaults otherwise) and
+    the change-time synchronization — when a notmodified page's last change
+    is further back than the interval, the interval stretches to the delta
+    and the next fetch is scheduled from refTime = fetchTime - delta*rate
+    (AdaptiveFetchSchedule.java:340-363). Drives update_crawldb end to end;
+    the delta here always exceeds the adapted interval so the stretch branch
+    is the one certified."""
+    from nutch_spark.operators.updatedb import update_crawldb
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t0 = F.col("o_orderdate").cast("timestamp")
+    iv0 = (F.lit(1000) + (k % 7) * 100).cast("int")
+    ctype = (
+        F.when(k % 3 == 0, "TEXT/HTML; charset=utf-8")
+        .when(k % 3 == 1, "application/pdf")
+        .otherwise("text/plain")
+    )
+    old_sig = F.unhex(F.md5(F.concat(F.lit("s"), k.cast("string"))))
+    db = o.select(
+        k.alias("url"),
+        F.lit("db_fetched").alias("status"),
+        t0.alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        iv0.alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        old_sig.alias("signature"),
+        (t0 - F.make_interval(days=(k % 10).cast("int"))).alias("modified_time"),
+        F.create_map(F.lit("Content-Type"), ctype).alias("metadata"),
+    )
+    new_sig = F.unhex(
+        F.md5(
+            F.concat(
+                F.when(k % 4 == 0, F.lit("n")).otherwise(F.lit("s")), k.cast("string")
+            )
+        )
+    )
+    fetch = o.filter(k % 2 == 0).select(
+        k.alias("url"),
+        F.lit("fetch_success").alias("status"),
+        (t0 + F.expr("INTERVAL 1 DAY")).alias("fetch_time"),
+        new_sig.alias("signature"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    out = update_crawldb(
+        db,
+        fetch,
+        schedule="mime_adaptive",
+        mime_rates={"text/html": (0.5, 0.5), "application/pdf": (0.1, 0.05)},
+        now=F.to_timestamp(F.lit("2026-06-01 00:00:00")),
+    )
+    return out.select("url", "fetch_interval", "fetch_time", "modified_time")
+
+
 assert "a10_anchor_dedup" in REGISTRY

@@ -383,3 +383,33 @@ def test_anchors_per_host_dedup_semantics(spark):
     )
     out = anchors_per_target(linkdb).collect()[0]
     assert out["anchors"] == ["click", "click", "other"]
+
+
+def test_updatedb_mime_adaptive_rates(spark):
+    # MimeAdaptiveFetchSchedule.java:103-126: per-MIME inc/dec override the
+    # global adaptive rates; unknown types fall back to the defaults.
+    def row(url, ctype):
+        return (url, "db_fetched", NOW, 0, 1000, 1.0, b"sig", NOW, {"Content-Type": ctype})
+
+    db = make_db(
+        spark,
+        [row("http://html.com/", "text/HTML; charset=x"), row("http://pdf.com/", "application/pdf"),
+         row("http://other.com/", "text/plain")],
+    )
+    fetches = spark.createDataFrame(
+        [fetch_row(u, "fetch_notmodified", signature=b"sig")
+         for u in ("http://html.com/", "http://pdf.com/", "http://other.com/")],
+        FETCH_SCHEMA,
+    )
+    out = {
+        r["url"]: r["fetch_interval"]
+        for r in update_crawldb(
+            db, fetches, schedule="mime_adaptive",
+            mime_rates={"text/html": (0.5, 0.5), "application/pdf": (0.1, 0.05)},
+            now=F.lit(NOW),
+        ).collect()
+    }
+    # notmodified + delta 0 (modified_time == fetch time): pure rate growth
+    assert out["http://html.com/"] == 1500    # 1000 * (1 + 0.5)
+    assert out["http://pdf.com/"] == 1100     # 1000 * (1 + 0.1)
+    assert out["http://other.com/"] == 1400   # default inc 0.4
