@@ -86,6 +86,7 @@ def fetch(
     fetch_fn: Callable[[str], tuple[str, str | None]] = synthetic_fetch_fn,
     crawl_delay_s: float = 0.0,
     num_lists: int | None = None,
+    threads: int = 1,
 ) -> DataFrame:
     """P1: polite parallel fetch → fetch_log rows (FETCH_SCHEMA).
 
@@ -101,6 +102,13 @@ def fetch(
     If the fetchlist carries a ``metadata`` column, a per-host
     ``_variableFetchDelay_`` entry (ms, written by generate's hostdb JEXL
     path, Generator.java:529-545) overrides ``crawl_delay_s`` for that host.
+
+    ``threads`` > 1 runs that many fetch threads per partition
+    (fetcher.threads.fetch, with fetcher.threads.per.queue=1 semantics: a
+    host never has more than one request in flight — a busy host is simply
+    not eligible for the next dispatch). I/O-bound fetches overlap across
+    hosts; the politeness clock for a host starts when its request
+    COMPLETES, like the reference's FetchItemQueue.finishFetchItem.
     """
     parts = num_lists or fetchlist.sparkSession.sparkContext.defaultParallelism
     laid_out = fetchlist.repartition(parts, url_host("url")).sortWithinPartitions(
@@ -143,15 +151,46 @@ def fetch(
                 return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
 
             out = []
-            while queues:
-                host = min(queues, key=ready_at)  # earliest-ready host first
-                wait = ready_at(host) - time.monotonic()
-                if wait > 0:
-                    time.sleep(wait)
-                out.append(fetch_one(queues[host].popleft()))
-                last_hit[host] = time.monotonic()
-                if not queues[host]:
-                    del queues[host]
+            if threads <= 1:
+                while queues:
+                    host = min(queues, key=ready_at)  # earliest-ready first
+                    wait = ready_at(host) - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    out.append(fetch_one(queues[host].popleft()))
+                    last_hit[host] = time.monotonic()
+                    if not queues[host]:
+                        del queues[host]
+            else:
+                import concurrent.futures as cf
+
+                with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                    in_flight: dict[str, cf.Future] = {}
+                    while queues or in_flight:
+                        for host in [h for h, f in in_flight.items() if f.done()]:
+                            out.append(in_flight.pop(host).result())
+                            last_hit[host] = time.monotonic()
+                        dispatched = False
+                        if len(in_flight) < threads:
+                            avail = [h for h in queues if h not in in_flight]
+                            if avail:
+                                host = min(avail, key=ready_at)
+                                if ready_at(host) <= time.monotonic():
+                                    url = queues[host].popleft()
+                                    if not queues[host]:
+                                        del queues[host]
+                                    in_flight[host] = ex.submit(fetch_one, url)
+                                    dispatched = True
+                        if not dispatched:
+                            if in_flight:
+                                cf.wait(
+                                    list(in_flight.values()),
+                                    timeout=0.005,
+                                    return_when=cf.FIRST_COMPLETED,
+                                )
+                            elif queues:  # everything idle but not yet due
+                                nxt = min(ready_at(h) for h in queues)
+                                time.sleep(max(0.0, nxt - time.monotonic()))
             yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
 
     cols = ["url", "metadata"] if has_meta else ["url"]

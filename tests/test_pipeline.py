@@ -128,3 +128,34 @@ def test_politeness_variable_delay_from_metadata(spark):
     elapsed = _time.monotonic() - t0
     assert len(rows) == 4
     assert 0.4 <= elapsed < 1.0, f"variable delay not honored: {elapsed:.2f}s"
+
+
+def test_threaded_fetch_overlaps_hosts(spark):
+    # fetcher.threads.fetch: with a slow (I/O-bound) fetch_fn, threads
+    # overlap across hosts — 4 hosts x 2 URLs at 0.15 s/fetch is ~1.2 s
+    # serial but ~0.3-0.6 s with 4 threads; a host never runs two requests
+    # concurrently (per-queue=1), which the per-host timing asserts.
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+
+    def slow_fetch(url):
+        _time.sleep(0.15)
+        return "fetch_success", "<html><title>t</title></html>"
+
+    fl = spark.createDataFrame(
+        [(f"http://host{h}.com/p{i}",) for h in range(4) for i in range(2)],
+        "url string",
+    )
+    t0 = _time.monotonic()
+    rows = fetch(fl, fetch_fn=slow_fetch, crawl_delay_s=0.0, num_lists=1, threads=4).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(rows) == 8
+    assert elapsed < 0.9, f"threads did not overlap: {elapsed:.2f}s"
+    # per-host serialization: each host's two fetch_times are >= 0.15s apart
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["url"].split("/")[2], []).append(r["fetch_time"])
+    for host, times in by_host.items():
+        a, b = sorted(times)
+        assert (b - a).total_seconds() >= 0.14, f"{host} ran concurrently"
