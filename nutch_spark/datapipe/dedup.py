@@ -172,12 +172,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    verify: str = "exact",
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
+    """Near-duplicate pairs via MinHash+LSH, verified per candidate pair.
 
     rows_per_band = num_hashes/bands sets the S-curve; with 32/8 the 50%%
     collision point is ~(1/8)^(1/4) ≈ 0.60 Jaccard. Candidates whose true
     Jaccard >= threshold survive. Shuffle is O(docs*bands) + candidate joins.
+
+    ``verify``:
+    - "exact": re-join the full shingle sets and compute true Jaccard —
+      right while candidates ≪ corpus (the default, and what the oracle
+      certifies).
+    - "estimate": join only the num_hashes-long minhash signatures and use
+      the matching-component fraction as the Jaccard estimate (the standard
+      unbiased MinHash estimator). Verification payload is O(num_hashes)
+      per side regardless of document length — the extreme-scale path when
+      shipping full shingle arrays per candidate would dominate the job.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text, key, n=n, num_hashes=num_hashes)
@@ -212,6 +223,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if verify == "estimate":
+        # signature-only verification: estimated Jaccard = fraction of
+        # matching minhash components (bounded payload per candidate)
+        va = sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"))
+        vb = sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"))
+        est = F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda m: m
+            )
+        ) / F.lit(float(num_hashes))
+        return (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("jaccard", est)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # verify candidates with exact shingle Jaccard
     sh = df.select(F.col(key).alias("id"), shingles(text, n).alias("sh"))
     va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

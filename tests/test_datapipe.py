@@ -67,6 +67,15 @@ def test_minhash_signature_shape_and_lsh(docs):
     assert (0, 1) in pairs                # exact dup always collides
     assert (0, 3) not in pairs
 
+    # signature-only verification (extreme-scale path): identical docs
+    # estimate at 1.0; unrelated docs never reach the threshold
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, verify="estimate").collect()
+    }
+    assert est[(0, 1)] == 1.0
+    assert (0, 3) not in est
+
 
 def test_simhash(docs):
     fp = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
