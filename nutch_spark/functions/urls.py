@@ -356,3 +356,47 @@ def url_filter_predicate(
     if deny_domains:
         pred = pred & ~url_domain(c).isin(*[F.lit(d.lower()) for d in deny_domains])
     return pred
+
+
+def url_valid(url: Column | str) -> Column:
+    """urlfilter-validator (UrlValidator.java, commons-validator derived):
+    legal-ASCII only, http/https/ftp scheme, dotted alnum host with an
+    alphabetic TLD (or IPv4), optional numeric port, no whitespace. One
+    rlike — stays in codegen."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = r"(?:[A-Za-z0-9][A-Za-z0-9-]*\.)+[A-Za-z]{2,}"
+    ipv4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+    pattern = (
+        r"^(?:https?|ftp)://(?:" + host + r"|" + ipv4 + r")(?::\d+)?"
+        r"(?:/[\x21-\x7e]*)?$"
+    )
+    return c.rlike(pattern) & ~c.rlike(r"\s")
+
+
+def fast_url_filter_predicate(
+    url: Column | str,
+    *,
+    host_rules: dict[str, list[str]] | None = None,
+    domain_rules: dict[str, list[str]] | None = None,
+) -> Column:
+    """urlfilter-fast (FastURLFilter.java:51-98): per-host and per-domain
+    DenyPath regex rules. Host rules need the exact hostname; domain rules
+    match the host or any subdomain; the first matching rule rejects.
+    Returns TRUE when the URL survives. Literal rule maps compile to a CASE
+    chain — broadcast-lookup behavior, no shuffle; for >100k rules join a
+    broadcast rules DataFrame instead."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = url_host(c)
+    path = F.coalesce(
+        F.regexp_extract(c, r"^[a-zA-Z+.-]+://[^/?#]+([^#]*)", 1), F.lit("/")
+    )
+    rejected = F.lit(False)
+    for h, patterns in (host_rules or {}).items():
+        for rx in patterns:
+            rejected = rejected | ((host == h.lower()) & path.rlike(rx))
+    for d, patterns in (domain_rules or {}).items():
+        dom = d.lower()
+        in_domain = (host == dom) | host.endswith("." + dom)
+        for rx in patterns:
+            rejected = rejected | (in_domain & path.rlike(rx))
+    return ~rejected

@@ -51,8 +51,14 @@ def crawl_round(
     fetch_fn=synthetic_fetch_fn,
     now: Column | None = None,
     dedup: bool = True,
+    parser: str = "regex",
 ) -> RoundResult:
-    """One generate→fetch→parse→updatedb→invertlinks→dedup round."""
+    """One generate→fetch→parse→updatedb→invertlinks→dedup round.
+
+    ``parser``: "regex" (vectorized JVM fast path) or "html" (tolerant
+    stdlib HTMLParser with charset/base-href handling, operators/parse_html
+    — the parse-html-plugin-grade path). Both produce the same parse_data
+    shape."""
     now = now if now is not None else F.current_timestamp()
 
     fetchlist = generate(crawldb, top_n, cfg=cfg, now=now)
@@ -73,7 +79,12 @@ def crawl_round(
     fetch_log = fetch_log.localCheckpoint(eager=True)
     stats = dict(obs.get)
 
-    parse_data = parse(fetch_log, cfg=cfg)
+    if parser == "html":
+        from nutch_spark.operators.parse_html import parse_html
+
+        parse_data = parse_html(fetch_log, cfg=cfg)
+    else:
+        parse_data = parse(fetch_log, cfg=cfg)
     parse_emits = emit_parse_rows(
         parse_data, crawldb.select("url", "score"), cfg=cfg
     )
@@ -101,6 +112,7 @@ def crawl(
     cfg: NutchConfig = DEFAULT,
     fetch_fn=synthetic_fetch_fn,
     now: Column | None = None,
+    parser: str = "regex",
 ) -> RoundResult:
     """inject + N rounds (bin/crawl:285-430). Returns the final state."""
     spark = seeds.sparkSession
@@ -120,6 +132,7 @@ def crawl(
             cfg=cfg,
             fetch_fn=fetch_fn,
             now=now,
+            parser=parser,
         )
         # truncate lineage between rounds (the reference writes each round's
         # tables to disk; localCheckpoint is the in-session analogue)

@@ -177,3 +177,50 @@ class TestDates:
         assert got[1]["ts"] is not None and got[1]["ts"].month == 5
         assert got[2]["ts"] is not None and got[2]["ts"].minute == 0
         assert got[3]["ts"] is None
+
+
+def test_url_valid(spark):
+    # urlfilter-validator: scheme/host/TLD/port sanity, no whitespace
+    cases = [
+        ("http://example.com/", True),
+        ("https://sub.example.co.uk:8443/a/b?x=1", True),
+        ("ftp://ftp.example.org/file.txt", True),
+        ("http://192.168.1.1/admin", True),
+        ("htp://example.com/", False),          # bad scheme
+        ("http://example/", False),             # no TLD
+        ("http://exa mple.com/", False),        # whitespace
+        ("http://-bad.com/", False),            # host label starts with '-'
+        ("example.com/no-scheme", False),
+    ]
+    from nutch_spark.functions.urls import url_valid
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["ok"] for r in df.select("url", url_valid("url").alias("ok")).collect()}
+    for u, want in cases:
+        assert got[u] == want, u
+
+
+def test_fast_url_filter(spark):
+    # urlfilter-fast: host rules exact, domain rules cover subdomains,
+    # any matching DenyPath rejects
+    from nutch_spark.functions.urls import fast_url_filter_predicate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("http://www.example.org/private/x",),   # host rule hit
+            ("http://www.example.org/ok",),
+            ("http://a.b.example.com/forum/1",),     # domain rule, deep subdomain
+            ("http://example.com/forum/1",),         # domain rule, apex
+            ("http://other.com/forum/1",),           # not covered
+        ],
+        "url string",
+    )
+    keep = fast_url_filter_predicate(
+        "url",
+        host_rules={"www.example.org": [r"^/private/"]},
+        domain_rules={"example.com": [r"^/forum/"]},
+    )
+    got = {r["url"] for r in df.filter(keep).collect()}
+    assert got == {"http://www.example.org/ok", "http://other.com/forum/1"}

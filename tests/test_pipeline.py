@@ -159,3 +159,21 @@ def test_threaded_fetch_overlaps_hosts(spark):
     for host, times in by_host.items():
         a, b = sorted(times)
         assert (b - a).total_seconds() >= 0.14, f"{host} ran concurrently"
+
+
+def test_crawl_with_html_parser_matches_regex_frontier(spark):
+    # the html-parser path must drive the same pipeline shape; on the
+    # synthetic corpus (well-formed pages) both parsers find the same
+    # outlink frontier
+    from nutch_spark.pipeline import crawl
+
+    seeds = spark.createDataFrame(
+        [(f"http://seed{i}.example.com/", {}) for i in range(6)],
+        "url string, metadata map<string,string>",
+    )
+    now = F.lit(__import__("datetime").datetime(2026, 1, 1))
+    a = crawl(seeds, rounds=1, top_n=10, now=now, parser="regex")
+    b = crawl(seeds, rounds=1, top_n=10, now=now, parser="html")
+    urls_a = sorted(r["url"] for r in a.crawldb.select("url").collect())
+    urls_b = sorted(r["url"] for r in b.crawldb.select("url").collect())
+    assert urls_a == urls_b
