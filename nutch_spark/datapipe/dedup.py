@@ -117,6 +117,39 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprints ARRAY<LONG>) — winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003: the rolling-hash local
+    fingerprinting behind MOSS): hash every positional k-token gram, slide a
+    window of ``window`` hashes, keep each window's minimum, dedup.
+    Guarantees any shared run of >= k+window-1 tokens yields a shared
+    fingerprint — the containment-detection primitive exact/minhash dedup
+    misses.
+
+    Shape: pure array expressions per row (no shuffle, no UDF); arrays are
+    O(tokens) like the shingle stages. Join two documents' exploded
+    fingerprints to find containment candidates — an equi-join on the
+    fingerprint, never all-pairs."""
+    toks = tokens(F.col(text))
+    gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    hashes = F.transform(gidx, lambda i: h64(F.concat_ws(" ", F.slice(toks, i, k))))
+    nh = F.size(hashes)
+    widx = F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(0)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    short = (nh > 0) & (nh < window)  # fewer hashes than a window: one min
+    fps = F.array_sort(
+        F.array_distinct(F.when(short, F.array(F.array_min(hashes))).otherwise(mins))
+    )
+    return df.select(F.col(key).alias("id"), fps.alias("fingerprints"))
+
+
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne: products stay inside a long
 
 

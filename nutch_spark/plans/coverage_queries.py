@@ -338,4 +338,54 @@ def d6_mime_adaptive(spark, sf_dir):
     return out.select("url", "fetch_interval", "fetch_time", "modified_time")
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dp_winnowing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                            i -> array_to_string(t[i:i+4], ' ')) AS g
+      FROM toks
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(g, x ->
+               CAST(CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT) AS BIGINT)) AS h
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(h) < 4 THEN [list_min(h)]
+                  ELSE list_transform(range(1, len(h) - 3 + 1),
+                                      i -> list_min(h[i:i+3])) END AS m
+      FROM hashes
+    )
+    SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM wins
+    """,
+)
+def dp_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD 2003 rolling-hash local
+    fingerprinting): k=5 token grams, window=4 minima, dedup'd. Pure array
+    expressions — no shuffle; the oracle recomputes every window minimum."""
+    from nutch_spark.datapipe.dedup import winnowing_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(d, k=5, window=4)
+    return fps.select(
+        F.col("id").alias("doc_id"), F.explode("fingerprints").alias("fp")
+    )
+
+
 assert "a10_anchor_dedup" in REGISTRY

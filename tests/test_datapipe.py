@@ -156,3 +156,22 @@ def test_ivf_topk(spark):
     got = {r["query_id"]: r["neighbor_id"]
            for r in ivf_topk(emb, queries, k=1, n_centroids=8, n_probe=2).collect()}
     assert got == {100 + i: i for i in range(5)}
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # winnowing guarantee: two docs sharing a run of >= k+window-1 tokens
+    # share at least one fingerprint; disjoint docs share none
+    from nutch_spark.datapipe.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remarks"),
+            (2, f"totally different start {shared} other tail content"),
+            (3, "unrelated text with no overlap whatsoever in tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3])
