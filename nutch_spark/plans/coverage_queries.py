@@ -388,4 +388,35 @@ def dp_winnowing(spark, sf_dir):
     )
 
 
+@q(
+    "st_hostdb_state",
+    """
+    SELECT 'h' || CAST(user_id % 50 AS VARCHAR) || '.com' AS host,
+           count(*) FILTER (WHERE event_type != 'error') AS fetched,
+           count(*) FILTER (WHERE event_type = 'error') AS errors,
+           CAST(max(ts) AS TIMESTAMP) AS last_fetch
+    FROM events GROUP BY 1
+    """,
+)
+def st_hostdb_state(spark, sf_dir):
+    """Streaming HostDb state twin (§2.8): the batch-mode semantics of
+    streaming_hostdb's applyInPandasWithState accumulator — per-host
+    fetched/error counters + last activity. The streaming path maintains the
+    same numbers incrementally with GroupState + idle timeout."""
+    from nutch_spark.streaming import streaming_hostdb
+
+    ev = t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 50).cast("string"), F.lit(".com/e"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("event_type") == "error", "fetch_gone")
+        .otherwise("fetch_success")
+        .alias("status"),
+        F.col("ts").alias("fetch_time"),
+    )
+    return streaming_hostdb(log)
+
+
 assert "a10_anchor_dedup" in REGISTRY

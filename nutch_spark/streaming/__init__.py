@@ -6,7 +6,8 @@ watermark/window/stateful primitives over the same tables.
 from nutch_spark.streaming.continuous import (
     continuous_crawl,
     fetch_rate_windows,
+    streaming_hostdb,
     streaming_dedup,
 )
 
-__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_dedup"]
+__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_dedup", "streaming_hostdb"]

@@ -69,6 +69,77 @@ def streaming_dedup(
     return fetch_log.dropDuplicates(["url", "signature"])
 
 
+def streaming_hostdb(
+    fetch_log: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """HostDb as streaming state (the streaming twin of J6 update_hostdb):
+    per-host running counters maintained with ``applyInPandasWithState``
+    (arbitrary stateful processing — GroupState + processing-time timeout).
+    Each micro-batch emits the host's updated totals; a host idle past
+    ``idle_timeout_ms`` is evicted (bounded state — the same role the
+    watermark plays for windows).
+
+    Batch fallback: one groupBy(host) aggregation with identical output —
+    tests and the oracle certify the semantics on the batch path, streaming
+    runs the stateful path.
+    """
+    out_schema = (
+        "host string, fetched long, errors long, last_fetch timestamp"
+    )
+    hosted = fetch_log.withColumn("host", url_host("url"))
+    if not hosted.isStreaming:
+        return hosted.groupBy("host").agg(
+            F.count_if(F.col("status") == "fetch_success").alias("fetched"),
+            F.count_if(F.col("status") != "fetch_success").alias("errors"),
+            F.max("fetch_time").alias("last_fetch"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "fetched long, errors long, last_fetch_ms long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        fetched, errors, last_ms = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            ok = (pdf["status"] == "fetch_success").sum()
+            fetched += int(ok)
+            errors += int(len(pdf) - ok)
+            mx = pdf["fetch_time"].max()
+            if pd.notna(mx):
+                last_ms = max(last_ms, int(mx.value // 1_000_000))
+        state.update((fetched, errors, last_ms))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "fetched": [fetched],
+                "errors": [errors],
+                "last_fetch": [pd.Timestamp(last_ms, unit="ms")],
+            }
+        )
+
+    return (
+        hosted.withWatermark("fetch_time", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def continuous_crawl(
     frontier_stream: DataFrame,
     *,

@@ -68,3 +68,37 @@ def test_windowed_agg_under_readstream(spark, tmp_path):
     assert rates[(T0, "a.com")] == 3
     assert rates[(T0, "b.com")] == 1
     assert rates[(T0 + datetime.timedelta(minutes=10), "a.com")] == 1
+
+
+def test_streaming_hostdb_batch(spark):
+    from nutch_spark.streaming import streaming_hostdb
+
+    log = spark.createDataFrame(fetch_rows(), SCHEMA)
+    out = {r["host"]: r for r in streaming_hostdb(log).collect()}
+    assert out["a.com"]["fetched"] == 3 and out["a.com"]["errors"] == 1
+    assert out["b.com"]["fetched"] == 1 and out["b.com"]["errors"] == 0
+    assert out["a.com"]["last_fetch"] == T0 + datetime.timedelta(minutes=15)
+
+
+def test_streaming_hostdb_stateful(spark, tmp_path):
+    # real streaming execution of the applyInPandasWithState path:
+    # file source -> memory sink, availableNow
+    from nutch_spark.streaming import streaming_hostdb
+
+    src = str(tmp_path / "in_hostdb")
+    log = spark.createDataFrame(fetch_rows(), SCHEMA)
+    log.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(log.schema).parquet(src)
+    q = (
+        streaming_hostdb(stream)
+        .writeStream.format("memory")
+        .queryName("hostdb_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["host"]: r for r in spark.sql("select * from hostdb_state").collect()}
+    assert rows["a.com"]["fetched"] == 3 and rows["a.com"]["errors"] == 1
+    assert rows["b.com"]["fetched"] == 1
