@@ -113,3 +113,49 @@ def test_read_arc_plain_and_gzip(spark, tmp_path):
     got = {r["url"]: r for r in df.collect()}
     assert got["http://b.com/y"]["fetch_time"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
     assert got["http://a.com/x"]["content_type"] == "text/html"
+
+
+# --- S6 IndexWriter protocol ------------------------------------------------
+
+
+def test_index_documents_batching_and_routing(spark, tmp_path):
+    import glob
+    import json
+
+    from nutch_spark.sources.indexers import JsonlIndexWriter, index_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a.com/1", "ADD", "text/html"),
+            ("http://a.com/2", "DELETE", "text/html"),
+            ("http://a.com/3", "SKIP", "text/html"),
+            ("http://b.com/1", "ADD", "application/pdf"),
+        ],
+        "url string, action string, type string",
+    ).coalesce(1)
+
+    all_dir, html_dir = str(tmp_path / "all"), str(tmp_path / "html")
+    index_documents(
+        docs,
+        {
+            "all": lambda: JsonlIndexWriter(all_dir),
+            "html_only": lambda: JsonlIndexWriter(html_dir),
+        },
+        exchanges={"html_only": "type == 'text/html'"},
+    )
+
+    def load(d):
+        out = []
+        for p in glob.glob(d + "/*.jsonl"):
+            out += [json.loads(l) for l in open(p)]
+        return out
+
+    everything = load(all_dir)
+    adds = {e["doc"]["url"] for e in everything if e["action"] == "add"}
+    dels = {e["id"] for e in everything if e["action"] == "delete"}
+    assert adds == {"http://a.com/1", "http://b.com/1"}   # SKIP dropped
+    assert dels == {"http://a.com/2"}
+
+    html = load(html_dir)
+    assert {e["doc"]["url"] for e in html if e["action"] == "add"} == {"http://a.com/1"}
+    assert {e["id"] for e in html if e["action"] == "delete"} == {"http://a.com/2"}
