@@ -133,21 +133,44 @@ def winnowing_fingerprints(
     fingerprint — the containment-detection primitive exact/minhash dedup
     misses.
 
-    Shape: pure array expressions per row (no shuffle, no UDF); arrays are
-    O(tokens) like the shingle stages. Join two documents' exploded
-    fingerprints to find containment candidates — an equi-join on the
-    fingerprint, never all-pairs."""
+    Returns distinct ``(id, fp)`` rows (already exploded — join two
+    documents' fingerprints on ``fp`` for containment candidates, an
+    equi-join, never all-pairs).
+
+    Shape: the gram-hash array is built ONCE per row and exploded; the
+    sliding-window minima are window functions over (id, pos) — one
+    spillable sort per doc id, linear in tokens. (A pure nested-lambda
+    array form re-evaluates the md5 gram hashes for every window position —
+    O(tokens²) md5 calls, measured 470 s vs ~3 s at sf0.1.)"""
+    from pyspark.sql import Window
+
     toks = tokens(F.col(text))
     gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    hashes = F.transform(gidx, lambda i: h64(F.concat_ws(" ", F.slice(toks, i, k))))
-    nh = F.size(hashes)
-    widx = F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(0)))
-    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window)))
-    short = (nh > 0) & (nh < window)  # fewer hashes than a window: one min
-    fps = F.array_sort(
-        F.array_distinct(F.when(short, F.array(F.array_min(hashes))).otherwise(mins))
+    gram_hashes = F.transform(
+        gidx, lambda i: h64(F.concat_ws(" ", F.slice(toks, i, k)))
     )
-    return df.select(F.col(key).alias("id"), fps.alias("fingerprints"))
+    ex = df.select(
+        F.col(key).alias("id"), F.posexplode(gram_hashes).alias("pos", "h")
+    )
+    w_all = Window.partitionBy("id")
+    w_frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    ex = (
+        ex.withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_m", F.min("h").over(w_frame))
+        .withColumn("_mall", F.min("h").over(w_all))
+    )
+    # full windows start at pos 0..n-window; short docs (< window hashes)
+    # contribute the single global min
+    kept = ex.filter(
+        (F.col("pos") <= F.col("_n") - window)
+        | ((F.col("_n") < window) & (F.col("pos") == 0))
+    )
+    return kept.select(
+        "id",
+        F.when(F.col("_n") < window, F.col("_mall")).otherwise(F.col("_m")).alias("fp"),
+    ).dropDuplicates(["id", "fp"])
 
 
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne: products stay inside a long

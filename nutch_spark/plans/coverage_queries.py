@@ -377,15 +377,15 @@ def d6_mime_adaptive(spark, sf_dir):
 )
 def dp_winnowing(spark, sf_dir):
     """Winnowing fingerprints (SIGMOD 2003 rolling-hash local
-    fingerprinting): k=5 token grams, window=4 minima, dedup'd. Pure array
-    expressions — no shuffle; the oracle recomputes every window minimum."""
+    fingerprinting): k=5 token grams, window=4 sliding minima, dedup'd.
+    Gram hashes computed once and exploded; the window minima run as frame
+    window functions — linear in tokens. The oracle recomputes every window
+    minimum."""
     from nutch_spark.datapipe.dedup import winnowing_fingerprints
 
     d = t(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(d, k=5, window=4)
-    return fps.select(
-        F.col("id").alias("doc_id"), F.explode("fingerprints").alias("fp")
-    )
+    return fps.select(F.col("id").alias("doc_id"), "fp")
 
 
 @q(

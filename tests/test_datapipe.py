@@ -172,6 +172,8 @@ def test_winnowing_shared_run_guarantee(spark):
         ],
         "doc_id long, text string",
     )
-    fps = {r["id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(docs).collect()}
+    fps = {}
+    for r in winnowing_fingerprints(docs).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
     assert not (fps[1] & fps[3])
