@@ -359,3 +359,57 @@ def simhash_dedup(
     return out.withColumn("canonical_id", F.min(key).over(w)).withColumn(
         "is_duplicate", F.col(key) != F.col("canonical_id")
     )
+
+
+def paragraph_chunks(
+    text: Column | str, para_tokens: int = 20
+) -> Column:
+    """Split a document into fixed-size token chunks ("paragraphs").
+
+    The synthetic corpus has no newlines, so paragraph boundaries are drawn
+    every ``para_tokens`` word tokens — the CCNet paragraph unit (Wenzek et
+    al. 2020, public paper) re-expressed deterministically. Empty documents
+    yield an empty array (sequence(0, -1) counts DOWN in Spark — guarded).
+    """
+    toks = tokens(text)
+    n_paras = F.floor((F.size(toks) + (para_tokens - 1)) / para_tokens)
+    arr = F.transform(
+        F.sequence(F.lit(0), (n_paras - 1).cast("long")),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * para_tokens + 1).cast("int"), para_tokens)
+        ),
+    )
+    return F.when(F.size(toks) > 0, arr).otherwise(F.array().cast("array<string>"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    para_tokens: int = 20,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup across the whole corpus.
+
+    Output: one row per (doc, paragraph) with ``para_idx`` (0-based),
+    ``para_hash`` (md5) and ``is_duplicate`` — true unless this is the first
+    occurrence corpus-wide, ordered by (doc key, paragraph index).
+
+    Scale shape: explode → ONE shuffle on the paragraph hash; the
+    first-occurrence rule is a row_number window on that same key, so no
+    second exchange. Downstream, docs rebuild their retained text by
+    filtering ``is_duplicate`` and re-grouping on the doc key.
+    """
+    paras = df.select(
+        F.col(key),
+        F.posexplode(paragraph_chunks(F.col(text), para_tokens)).alias(
+            "para_idx", "para"
+        ),
+    ).withColumn("para_hash", F.md5("para"))
+    w = Window.partitionBy("para_hash").orderBy(key, "para_idx")
+    return paras.select(
+        key,
+        "para_idx",
+        "para_hash",
+        (F.row_number().over(w) > 1).alias("is_duplicate"),
+    )

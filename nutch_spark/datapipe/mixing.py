@@ -1,0 +1,57 @@
+"""Training-mixture construction: weighted per-source sampling / upsampling.
+
+A training run rarely consumes a corpus uniformly — each source gets a
+mixture weight (e.g. wiki 3.0, web crawl 0.8). A weight ``w`` means every
+document from that source appears ``floor(w)`` times, plus one more time with
+probability ``frac(w)`` — decided by a deterministic per-document hash so the
+sample is reproducible and shardable (the standard epoch-mixing rule, as in
+the public GPT-3 / Pile training-mixture descriptions).
+
+Scale shape (100 TB): the weights table is a tiny dim — broadcast joined, no
+shuffle on the corpus side; the epoch fan-out is a per-row ``explode`` of a
+≤ ceil(w)-element sequence (narrow); the fractional keep is a hash filter
+pushed below the explode. The corpus is never shuffled at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key: str = "doc_id",
+    source: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Expand/sample ``df`` per-source by mixture weight.
+
+    Returns the input rows with an added ``epoch`` column (0-based); a doc
+    with source weight 2.3 yields epochs {0, 1} always and {2} iff its hash
+    lands in the 30% fractional bucket. Sources missing from ``weights``
+    default to 0 (dropped). Deterministic: same corpus + weights → same rows.
+    """
+    spark = SparkSession.getActiveSession()
+    rows = [
+        (s, int(w), int(round((w - int(w)) * 10000)))
+        for s, w in sorted(weights.items())
+    ]
+    wdf = spark.createDataFrame(rows, f"{source} string, _full int, _frac_bp int")
+    # 4-digit decimal bucket from the first 15 md5 hex chars (same value as
+    # the DuckDB twin CAST('0x'||substr(md5(x),1,15) AS UBIGINT) % 10000).
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15), 16, 10)
+        .cast("decimal(20,0)") % 10000
+    ).cast("int")
+    epochs = F.col("_full") + F.when(bucket < F.col("_frac_bp"), 1).otherwise(0)
+    return (
+        df.join(broadcast(wdf), source)
+        .withColumn("_epochs", epochs)
+        .filter(F.col("_epochs") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_epochs") - 1)))
+        .drop("_full", "_frac_bp", "_epochs")
+    )

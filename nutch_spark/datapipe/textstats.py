@@ -96,6 +96,87 @@ def langid(df: DataFrame, text: str = "text", out_col: str = "lang_pred") -> Dat
     return df.withColumn(out_col, pred)
 
 
+def repetition_metrics(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens,
+    - ``top_unigram_frac``: share of tokens taken by the most frequent token,
+    - ``top_bigram_frac``: share of bigrams taken by the most frequent bigram,
+    - ``mean_token_len``: average token length,
+    - ``passes_repetition``: the composite keep/drop verdict.
+
+    Shape at 100 TB: the per-gram frequencies run explode → two-level
+    groupBy (map-side partial aggregation on (doc, gram)), never a per-row
+    quadratic array lambda; the final join is on the doc key that the
+    aggregations already partitioned by.
+    """
+    toks = tokens(F.col(text))
+    base = df.select(F.col(key), toks.alias("_toks")).withColumns(
+        {
+            "n_tokens": F.size("_toks").cast("long"),
+            "n_uniq": F.size(F.array_distinct("_toks")).cast("long"),
+            "_len_sum": F.aggregate(
+                "_toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+        }
+    )
+    # bigrams keep multiplicity (frequency of the *mode* bigram is the point);
+    # sequence(1, 0) counts DOWN in Spark, hence the n >= 2 guard.
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _top(col: Column, name: str) -> DataFrame:
+        return (
+            base.select(key, F.explode(col).alias("_g"))
+            .groupBy(key, "_g")
+            .count()
+            .groupBy(key)
+            .agg(F.max("count").alias(name))
+        )
+
+    top_u = _top(F.col("_toks"), "_top_u")
+    top_b = _top(bigrams, "_top_b")
+    n_tok = F.col("n_tokens")
+    n_big = F.greatest(n_tok - 1, F.lit(0))
+    out = (
+        base.join(top_u, key, "left")
+        .join(top_b, key, "left")
+        .select(
+            key,
+            "n_tokens",
+            F.when(n_tok > 0, (n_tok - F.col("n_uniq")) / n_tok)
+            .otherwise(0.0)
+            .alias("dup_token_frac"),
+            F.when(n_tok > 0, F.coalesce(F.col("_top_u"), F.lit(0)) / n_tok)
+            .otherwise(0.0)
+            .alias("top_unigram_frac"),
+            F.when(n_big > 0, F.coalesce(F.col("_top_b"), F.lit(0)) / n_big)
+            .otherwise(0.0)
+            .alias("top_bigram_frac"),
+            F.when(n_tok > 0, F.col("_len_sum") / n_tok)
+            .otherwise(0.0)
+            .alias("mean_token_len"),
+        )
+    )
+    passes = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("dup_token_frac") < 0.4)
+        & (F.col("top_unigram_frac") < 0.2)
+        & (F.col("top_bigram_frac") < 0.18)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+    )
+    return out.withColumn("passes_repetition", passes)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     t = F.col(text) if isinstance(text, str) else text

@@ -564,3 +564,154 @@ def dp_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4, round_sim=6)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality, paragraph dedup, mixture sampling
+# ---------------------------------------------------------------------------
+
+# documents + planted repetitive docs (+300000): the first 5 tokens repeated
+# 10 times — trips every Gopher repetition signal.
+_REP_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         repeat(concat_ws(' ', r.t5[1], r.t5[2], r.t5[3], r.t5[4], r.t5[5]) || ' ', 10)
+  FROM (SELECT doc_id, ({_TOKS_SQL})[1:5] AS t5 FROM documents WHERE doc_id % 11 = 0) r
+"""
+
+
+def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks5 = F.concat_ws(
+        " ", F.slice(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 5)
+    )
+    rep = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.repeat(F.concat(toks5, F.lit(" ")), 10).alias("text"),
+    )
+    return d.unionByName(rep)
+
+
+@q(
+    "dp_gopher_repetition",
+    f"""
+    WITH corpus AS ({_REP_CORPUS_SQL}),
+    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_uniq,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS len_sum
+      FROM d
+    ),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM d),
+    uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+    utop AS (SELECT doc_id, max(c) AS top_u FROM uc GROUP BY 1),
+    big AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE [] END AS bgs
+      FROM d
+    ),
+    bx AS (SELECT doc_id, unnest(bgs) AS g FROM big),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bx GROUP BY 1, 2),
+    btop AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY 1),
+    m AS (
+      SELECT b.doc_id,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             CASE WHEN n_tok > 0 THEN (n_tok - n_uniq) / n_tok ELSE 0.0 END AS dup_token_frac,
+             CASE WHEN n_tok > 0 THEN coalesce(top_u, 0) / n_tok ELSE 0.0 END AS top_unigram_frac,
+             CASE WHEN n_tok > 1 THEN coalesce(top_b, 0) / (n_tok - 1) ELSE 0.0 END AS top_bigram_frac,
+             CASE WHEN n_tok > 0 THEN len_sum / n_tok ELSE 0.0 END AS mean_token_len
+      FROM base b
+      LEFT JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
+    )
+    SELECT *,
+           (n_tokens >= 10 AND dup_token_frac < 0.4 AND top_unigram_frac < 0.2
+            AND top_bigram_frac < 0.18 AND mean_token_len >= 2.0
+            AND mean_token_len <= 12.0) AS passes_repetition
+    FROM m
+    """,
+)
+def dp_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-quality signals (Rae et al. 2021 §A1.1): duplicate
+    token fraction, top-unigram/bigram share, mean token length, and the
+    composite keep/drop verdict — over documents plus planted repetitive
+    docs. Frequencies run explode → two-level groupBy (map-side combine),
+    never a quadratic per-row array op."""
+    from nutch_spark.datapipe.textstats import repetition_metrics
+
+    return repetition_metrics(_rep_corpus(spark, sf_dir))
+
+
+@q(
+    "dp_paragraph_dedup",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    chunks AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               list_transform(range(0, CAST(floor((len(toks) + 19) / 20) AS BIGINT)),
+                              i -> array_to_string(toks[i*20+1 : i*20+20], ' '))
+             ELSE [] END AS paras
+      FROM d
+    ),
+    px AS (
+      SELECT doc_id,
+             unnest(range(0, len(paras))) AS para_idx,
+             unnest(paras) AS para
+      FROM chunks
+    ),
+    hashed AS (SELECT doc_id, para_idx, md5(para) AS para_hash FROM px)
+    SELECT doc_id, para_idx, para_hash,
+           row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) > 1
+             AS is_duplicate
+    FROM hashed
+    """,
+)
+def dp_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020) over the
+    planted-duplicate corpus: 20-token paragraph units, md5 per paragraph,
+    first corpus-wide occurrence wins. One shuffle on the paragraph hash;
+    the dedup verdict is a window on that same key."""
+    from nutch_spark.datapipe.dedup import paragraph_dedup
+
+    return paragraph_dedup(_corpus(spark, sf_dir), para_tokens=20)
+
+
+_MIX_WEIGHTS = {
+    "src0": 2.5, "src1": 2.0, "src2": 1.0, "src3": 0.5, "src4": 0.25,
+    "src5": 1.5, "src6": 0.0, "src7": 3.0, "src8": 0.75, "src9": 1.0,
+}
+
+_MIX_WEIGHTS_SQL = "(VALUES " + ", ".join(
+    f"('{s}', {int(w)}, {int(round((w - int(w)) * 10000))})"
+    for s, w in sorted(_MIX_WEIGHTS.items())
+) + ") AS w(source, w_full, w_frac_bp)"
+
+
+@q(
+    "dp_mix_weighted",
+    f"""
+    WITH joined AS (
+      SELECT d.doc_id, d.source, w.w_full
+             + CASE WHEN CAST(concat('0x', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                         % 10000 < w.w_frac_bp THEN 1 ELSE 0 END AS epochs
+      FROM documents d JOIN {_MIX_WEIGHTS_SQL} ON d.source = w.source
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, epochs)) AS BIGINT) AS epoch
+    FROM joined WHERE epochs > 0
+    """,
+)
+def dp_mix_weighted(spark, sf_dir):
+    """Training-mixture construction: per-source weights (floor(w) full
+    epochs + hash-decided fractional epoch, GPT-3/Pile-style mixing).
+    The weights dim is broadcast; the corpus side is map-only (filter +
+    bounded explode) — zero corpus shuffles at any scale."""
+    from nutch_spark.datapipe.mixing import mixture_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(d, _MIX_WEIGHTS)
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))

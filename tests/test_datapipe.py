@@ -177,3 +177,76 @@ def test_winnowing_shared_run_guarantee(spark):
         fps.setdefault(r["id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
     assert not (fps[1] & fps[3])
+
+
+def test_repetition_metrics(spark):
+    from nutch_spark.datapipe.textstats import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over a lazy dog near the old barn gate"),
+            (3, ""),  # empty: all ratios 0, fails the length gate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["top_unigram_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == pytest.approx(11 / 12)
+    assert not out[1]["passes_repetition"]
+    assert out[2]["passes_repetition"]
+    assert out[2]["dup_token_frac"] == pytest.approx(1 / 14)  # 'the' twice
+    assert out[3]["n_tokens"] == 0 and not out[3]["passes_repetition"]
+
+
+def test_paragraph_dedup(spark):
+    from nutch_spark.datapipe.dedup import paragraph_dedup
+
+    chunk_a = " ".join(f"w{i}" for i in range(20))
+    chunk_b = " ".join(f"x{i}" for i in range(20))
+    chunk_c = " ".join(f"y{i}" for i in range(7))  # short tail paragraph
+    docs = spark.createDataFrame(
+        [
+            (1, f"{chunk_a} {chunk_b} {chunk_c}"),
+            (2, f"{chunk_b} {chunk_a}"),  # both paragraphs already seen
+            (3, ""),  # no paragraphs at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = paragraph_dedup(docs, para_tokens=20).collect()
+    by = {(r["doc_id"], r["para_idx"]): r["is_duplicate"] for r in rows}
+    assert by == {
+        (1, 0): False,
+        (1, 1): False,
+        (1, 2): False,
+        (2, 0): True,  # chunk_b first seen at (1,1)
+        (2, 1): True,  # chunk_a first seen at (1,0)
+    }
+
+
+def test_mixture_sample(spark):
+    from nutch_spark.datapipe.mixing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(docs, {"a": 2.5, "b": 0.0})
+    rows = out.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in rows}
+    # source b dropped entirely
+    assert all(d < 100 for d in counts)
+    # every a-doc appears 2 or 3 times; ~50% get the fractional third epoch
+    assert set(counts.values()) <= {2, 3}
+    n3 = sum(1 for v in counts.values() if v == 3)
+    assert 25 <= n3 <= 75
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["count"]
+        for r in mixture_sample(docs, {"a": 2.5, "b": 0.0})
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    }
+    assert again == counts
