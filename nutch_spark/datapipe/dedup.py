@@ -413,3 +413,67 @@ def paragraph_dedup(
         "para_hash",
         (F.row_number().over(w) > 1).alias("is_duplicate"),
     )
+
+
+def dup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) by iterative min-label propagation: every node repeatedly
+    adopts the smallest id reachable through a pair edge; the minimum id of
+    each component becomes its canonical document.
+
+    Output: (key, component, is_duplicate) for every node in ``nodes`` —
+    singletons keep themselves as canonical.
+
+    Scale shape: one shuffle per iteration (join on the edge endpoint), and
+    the iteration count is the component DIAMETER, not size — dedup clusters
+    are near-cliques, so 2-4 rounds in practice; ``max_iter`` bounds
+    pathological chains. Each round materializes eagerly via localCheckpoint
+    (lazy checkpoints re-run the whole lineage). On a real cluster use
+    ``checkpoint()`` to truncate lineage against executor loss.
+    """
+    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).unionByName(
+        pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col(key).cast("long").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("lab").alias("nb_lab"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nb_lab", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(key),
+        F.col("lab").alias("component"),
+        (F.col("id") != F.col("lab")).alias("is_duplicate"),
+    )

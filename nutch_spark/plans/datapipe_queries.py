@@ -715,3 +715,52 @@ def dp_mix_weighted(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     out = mixture_sample(d, _MIX_WEIGHTS)
     return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+@q(
+    "dp_dup_components",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
+    sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
+    ex AS (SELECT id, unnest(s) AS sng FROM sh),
+    freq AS (SELECT sng, count(*) AS f FROM ex GROUP BY sng),
+    exc AS (SELECT e.id, e.sng FROM ex e JOIN freq USING (sng) WHERE f <= {_SHINGLE_CAP}),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM exc a JOIN exc b ON a.sng = b.sng AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+      WHERE c.c / (len(sa.s) + len(sb.s) - c.c) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      -- min reachable id == component label (fixpoint via UNION dedup)
+      WITH RECURSIVE r(id, lab) AS (
+        SELECT id, id FROM d
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b
+      )
+      SELECT id, min(lab) AS component FROM r GROUP BY id
+    )
+    SELECT id AS doc_id, component, id != component AS is_duplicate FROM reach
+    """,
+)
+def dp_dup_components(spark, sf_dir):
+    """Duplicate-cluster construction: exact-Jaccard near-dup pairs (the
+    dp_ngram_jaccard graph) collapsed into connected components by iterative
+    min-label propagation — the step that turns pairwise dedup output into
+    per-cluster canonical documents. Iterations scale with component
+    diameter (near-cliques: 2-4 rounds), one equi-join shuffle per round.
+    The oracle computes the same components with a recursive CTE."""
+    from nutch_spark.datapipe.dedup import dup_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
+    return dup_components(corpus, pairs)

@@ -250,3 +250,17 @@ def test_mixture_sample(spark):
         .collect()
     }
     assert again == counts
+
+
+def test_dup_components_chain(spark):
+    from nutch_spark.datapipe.dedup import dup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2-3 (diameter 3, needs >1 propagation round), pair 4-5, singleton 6
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 4)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in dup_components(nodes, pairs).collect()}
+    assert [out[i]["component"] for i in range(7)] == [0, 0, 0, 0, 4, 4, 6]
+    assert not out[0]["is_duplicate"] and out[3]["is_duplicate"]
+    assert not out[6]["is_duplicate"]
