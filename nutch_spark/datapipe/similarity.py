@@ -245,3 +245,57 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def quantize_int8(vec: Column, *, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of an ARRAY<FLOAT>: clip(floor(x*scale)).
+
+    floor (not round) so Spark and the DuckDB oracle agree bit-for-bit —
+    the two engines disagree on .5 rounding, never on floor.
+    """
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x.cast("double") * scale))
+        ).cast("int"),
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by INTEGER dot product over int8-quantized vectors.
+
+    The memory-bandwidth scale path: 4× smaller vectors than float32, and
+    the ranking score is exact integer arithmetic — deterministic across
+    engines, partitions and retries (no float accumulation order). Same
+    broadcast nested-loop shape as brute_force_topk: queries broadcast,
+    corpus streams, quantization happens once per row BEFORE the join.
+    """
+    q = queries.select(
+        F.col(key).alias("query_id"), quantize_int8(F.col(vec)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"), quantize_int8(F.col(vec)).alias("_cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

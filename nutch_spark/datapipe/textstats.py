@@ -42,6 +42,42 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.regexp_count(t, F.lit(TOKEN_REGEX))
 
 
+# RE2-safe PII patterns (no backrefs/lookaround — identical semantics in
+# Spark and the DuckDB oracle). Deliberately conservative: training-data
+# scrubbing wants high precision; recall tuning belongs to the deployment.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "(?:\\+?[0-9]{1,3}[- .])?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .][0-9]{4}",
+    "ipv4": "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "ssn_like": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+}
+
+
+def pii_scrub(df: DataFrame, text: str = "text", *, redact: str = "<PII>") -> DataFrame:
+    """Count and redact PII-shaped spans (emails, phone numbers, IPv4s,
+    SSN-like ids) — the standard scrub pass before a corpus reaches
+    training. Appends ``n_<kind>`` counts, ``pii_total`` and ``text_scrubbed``
+    with every match replaced by ``redact``.
+
+    Map-only (regexp_count/regexp_replace are JVM codegen'd) — zero shuffles
+    at any scale; patterns apply in a fixed order so counts are unambiguous
+    even when patterns could overlap.
+    """
+    t = F.col(text)
+    counts = {
+        f"n_{kind}": F.regexp_count(t, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    scrubbed = t
+    for pat in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, redact)
+    out = df.withColumns(counts)
+    total = None
+    for name in counts:
+        total = F.col(name) if total is None else total + F.col(name)
+    return out.withColumn("pii_total", total).withColumn("text_scrubbed", scrubbed)
+
+
 def quality_metrics(df: DataFrame, text: str = "text") -> DataFrame:
     """Append standard quality-scoring columns:
 

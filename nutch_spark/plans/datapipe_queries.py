@@ -764,3 +764,98 @@ def dp_dup_components(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
     return dup_components(corpus, pairs)
+
+
+# planted PII suffix (documents are word salad with no PII of their own)
+_PII_SUFFIX = (
+    " contact bob@example.com or call +1 555-123-4567"
+    " from 192.168.10.1 ssn 123-45-6789"
+)
+
+
+def _pii_sql_frags() -> tuple[str, str]:
+    from nutch_spark.datapipe.textstats import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for pat in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<PII>', 'g')"
+    return counts, scrub
+
+
+_PII_COUNTS_SQL, _PII_SCRUB_SQL = _pii_sql_frags()
+
+
+@q(
+    "dp_pii_scrub",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || '{_PII_SUFFIX}' ELSE text END AS text
+      FROM documents
+    ),
+    m AS (SELECT doc_id, {_PII_COUNTS_SQL}, md5({_PII_SCRUB_SQL}) AS scrub_digest
+          FROM corpus)
+    SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn_like,
+           n_email + n_phone + n_ipv4 + n_ssn_like AS pii_total, scrub_digest
+    FROM m
+    """,
+)
+def dp_pii_scrub(spark, sf_dir):
+    """PII scrub pass: count + redact emails / phones / IPv4s / SSN-like ids
+    (planted suffix on doc_id%13). Pure regexp map stage — codegen'd, zero
+    shuffles; the oracle applies the identical RE2 patterns and compares the
+    md5 of the scrubbed text."""
+    from nutch_spark.datapipe.textstats import pii_scrub
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = pii_scrub(d)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn_like", "pii_total",
+        F.md5("text_scrubbed").alias("scrub_digest"),
+    )
+
+
+@q(
+    "dp_int8_topk",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * 127))) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                          i -> q.qv[i] * c.v[i])) AS BIGINT) AS qdot
+      FROM qz c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, qdot
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qdot DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def dp_int8_topk(spark, sf_dir):
+    """Int8-quantized ANN top-k: symmetric floor quantization, integer
+    dot-product ranking (exact, no float accumulation order anywhere),
+    queries broadcast against the streaming corpus. The 4×-smaller-vector
+    scale path for 100 TB embedding sweeps."""
+    from nutch_spark.datapipe.similarity import int8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return int8_topk(emb, qs, k=5).select(
+        "query_id", "neighbor_id", F.col("qdot").cast("long").alias("qdot")
+    )

@@ -264,3 +264,52 @@ def test_dup_components_chain(spark):
     assert [out[i]["component"] for i in range(7)] == [0, 0, 0, 0, 4, 4, 6]
     assert not out[0]["is_duplicate"] and out[3]["is_duplicate"]
     assert not out[6]["is_duplicate"]
+
+
+def test_pii_scrub(spark):
+    from nutch_spark.datapipe.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo.co.uk or x@y.io, call (555) 123-4567 now"),
+            (2, "server at 10.0.0.255 and ssn 123-45-6789"),
+            (3, "clean text with no personal data at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn_like"] == 1
+    assert out[3]["pii_total"] == 0
+    assert out[3]["text_scrubbed"] == "clean text with no personal data at all"
+    assert "@" not in out[1]["text_scrubbed"]
+    assert "4567" not in out[1]["text_scrubbed"]
+    assert "<PII>" in out[2]["text_scrubbed"]
+
+
+def test_int8_topk_tracks_exact_ranking(spark):
+    from nutch_spark.datapipe.similarity import brute_force_topk, int8_topk, quantize_int8
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=5)
+    quant = int8_topk(emb, q, k=5)
+    # quantized top-5 overlaps the exact top-5 heavily (>= 3 of 5 per query)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qd = {}
+    for r in quant.collect():
+        qd.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in e:
+        assert len(e[qid] & qd[qid]) >= 3, (qid, e[qid], qd[qid])
+    # quantization range respected
+    vals = emb.select(F.explode(quantize_int8(F.col("embedding"))).alias("v"))
+    mn, mx = vals.agg(F.min("v"), F.max("v")).first()
+    assert -127 <= mn and mx <= 127
