@@ -54,6 +54,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                           [r"CartesianProduct"]],
     # indexing filter chain is a pure projection: no exchange at all
     "j3_index_fields": [[], [r"Exchange", r"CartesianProduct"]],
+    # repetition metrics: explode + partial-aggregated groupBys, no cross
+    "dp_gopher_repetition": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # paragraph dedup: ONE exchange (on the paragraph hash) feeds the window
+    "dp_paragraph_dedup": [[r"Window"], [r"CartesianProduct"]],
+    # mixture sampling: weights dim broadcasts; corpus is never exchanged
+    "dp_mix_weighted": [[r"BroadcastHashJoin"], [r"Exchange hashpartitioning",
+                                                 r"CartesianProduct"]],
+    # PII scrub: map-only — no exchange, no join
+    "dp_pii_scrub": [[], [r"Exchange", r"Join"]],
+    # int8 ANN: the intended broadcast NLJ (queries tiny, corpus streams)
+    "dp_int8_topk": [[r"BroadcastNestedLoopJoin"], []],
 }
 
 
