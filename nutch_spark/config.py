@@ -54,6 +54,12 @@ class NutchConfig:
     ignore_internal_links: bool = False  # db.ignore.internal.links
     ignore_external_links: bool = False  # db.ignore.external.links
 
+    # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
+    http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
+    fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
+    fetcher_threads: int = 10            # fetcher.threads.fetch
+    fetcher_time_limit_s: float = -1.0   # fetcher.timelimit.mins * 60 (-1 = off)
+
     # --- dedup (crawl/DeduplicationJob.java) -----------------------------------
     dedup_group_mode: str = "none"       # deduplication.group.mode: none|host|domain
     dedup_compare_order: tuple[str, ...] = ("score", "fetchTime", "httpsOverHttp", "urlLength")

@@ -87,6 +87,7 @@ def fetch(
     crawl_delay_s: float = 0.0,
     num_lists: int | None = None,
     threads: int = 1,
+    time_limit_s: float | None = None,
 ) -> DataFrame:
     """P1: polite parallel fetch → fetch_log rows (FETCH_SCHEMA).
 
@@ -109,7 +110,20 @@ def fetch(
     not eligible for the next dispatch). I/O-bound fetches overlap across
     hosts; the politeness clock for a host starts when its request
     COMPLETES, like the reference's FetchItemQueue.finishFetchItem.
+
+    ``time_limit_s`` (fetcher.timelimit.mins, Fetcher.java:188-210) bounds
+    each partition's fetch loop: once the deadline passes, every still-queued
+    URL is emitted as ``fetch_retry`` with metadata _timelimit_=1 — the
+    reference's queue purge that hands leftovers back to the next round
+    instead of hanging the job on slow hosts. Defaults to
+    ``cfg.fetcher_time_limit_s`` (off when negative).
+
+    Fetched content longer than ``cfg.http_content_limit`` is truncated and
+    tagged metadata _truncated_=1 (http.content.limit, 1 MB default).
     """
+    if time_limit_s is None:
+        time_limit_s = cfg.fetcher_time_limit_s
+    content_limit = cfg.http_content_limit
     parts = num_lists or fetchlist.sparkSession.sparkContext.defaultParallelism
     laid_out = fetchlist.repartition(parts, url_host("url")).sortWithinPartitions(
         F.xxhash64("url")
@@ -124,6 +138,14 @@ def fetch(
 
         def fetch_one(url: str) -> dict:
             status, content = fetch_fn(url)
+            meta = {}
+            if (
+                content is not None
+                and content_limit >= 0
+                and len(content) > content_limit
+            ):
+                content = content[:content_limit]
+                meta["_truncated_"] = "1"
             sig = hashlib.md5(content.encode()).digest() if content is not None else None
             return {
                 "url": url,
@@ -132,8 +154,23 @@ def fetch(
                 "content": content,
                 "content_type": "text/html" if content else None,
                 "signature": sig,
-                "metadata": {},
+                "metadata": meta,
             }
+
+        def retry_row(url: str) -> dict:
+            return {
+                "url": url,
+                "status": "fetch_retry",
+                "fetch_time": pd.Timestamp.utcnow().tz_localize(None),
+                "content": None,
+                "content_type": None,
+                "signature": None,
+                "metadata": {"_timelimit_": "1"},
+            }
+
+        deadline = (
+            time.monotonic() + time_limit_s if time_limit_s >= 0 else float("inf")
+        )
 
         for pdf in batches:
             queues: dict[str, deque] = {}
@@ -150,13 +187,24 @@ def fetch(
             def ready_at(host: str) -> float:
                 return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
 
+            def drain_expired() -> bool:
+                if time.monotonic() <= deadline:
+                    return False
+                for q_host in list(queues):
+                    out.extend(retry_row(u) for u in queues.pop(q_host))
+                return True
+
             out = []
             if threads <= 1:
                 while queues:
+                    if drain_expired():
+                        break
                     host = min(queues, key=ready_at)  # earliest-ready first
                     wait = ready_at(host) - time.monotonic()
                     if wait > 0:
-                        time.sleep(wait)
+                        time.sleep(min(wait, max(0.0, deadline - time.monotonic())))
+                        if drain_expired():
+                            break
                     out.append(fetch_one(queues[host].popleft()))
                     last_hit[host] = time.monotonic()
                     if not queues[host]:
@@ -167,6 +215,7 @@ def fetch(
                 with cf.ThreadPoolExecutor(max_workers=threads) as ex:
                     in_flight: dict[str, cf.Future] = {}
                     while queues or in_flight:
+                        drain_expired()
                         for host in [h for h, f in in_flight.items() if f.done()]:
                             out.append(in_flight.pop(host).result())
                             last_hit[host] = time.monotonic()

@@ -177,3 +177,41 @@ def test_crawl_with_html_parser_matches_regex_frontier(spark):
     urls_a = sorted(r["url"] for r in a.crawldb.select("url").collect())
     urls_b = sorted(r["url"] for r in b.crawldb.select("url").collect())
     assert urls_a == urls_b
+
+
+def test_fetch_content_limit_truncates(spark):
+    # http.content.limit (Fetcher/protocol contract): oversized content is
+    # cut at the cap and tagged _truncated_=1; the signature hashes the
+    # TRUNCATED content (what was actually stored).
+    import hashlib
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetcher import fetch
+
+    big = "x" * 500
+    cfg = NutchConfig(http_content_limit=100)
+    fl = spark.createDataFrame([("http://a.com/big",)], "url string")
+    row = fetch(fl, cfg=cfg, fetch_fn=lambda u: ("fetch_success", big)).first()
+    assert len(row["content"]) == 100
+    assert row["metadata"]["_truncated_"] == "1"
+    assert row["signature"] == hashlib.md5(big[:100].encode()).digest()
+
+
+def test_fetch_time_limit_retries_leftovers(spark):
+    # fetcher.timelimit.mins (Fetcher.java:188-210): when the partition's
+    # budget expires, still-queued URLs come back as fetch_retry with
+    # _timelimit_=1 instead of hanging on the politeness clock.
+    from nutch_spark.operators.fetcher import fetch
+
+    fl = spark.createDataFrame(
+        [(f"http://one-host.com/p{i}",) for i in range(5)], "url string"
+    )
+    rows = fetch(fl, crawl_delay_s=5.0, num_lists=1, time_limit_s=0.5).collect()
+    assert len(rows) == 5
+    statuses = [r["status"] for r in rows]
+    # the first URL fetches immediately; the 5 s/URL politeness tail hits the
+    # 0.5 s budget, so the rest are handed back to the next round
+    retried = [r for r in rows if r["status"] == "fetch_retry"]
+    assert len(retried) >= 3, statuses
+    assert all(r["metadata"]["_timelimit_"] == "1" for r in retried)
+    assert any(r["status"] != "fetch_retry" for r in rows)
