@@ -59,6 +59,8 @@ class NutchConfig:
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
     fetcher_threads: int = 10            # fetcher.threads.fetch
     fetcher_time_limit_s: float = -1.0   # fetcher.timelimit.mins * 60 (-1 = off)
+    throughput_threshold_pages: float = -1.0  # fetcher.throughput.threshold.pages (pages/s, -1 = off)
+    throughput_threshold_retries: int = 5     # fetcher.throughput.threshold.retries
 
     # --- dedup (crawl/DeduplicationJob.java) -----------------------------------
     dedup_group_mode: str = "none"       # deduplication.group.mode: none|host|domain

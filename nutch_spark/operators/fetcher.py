@@ -120,10 +120,20 @@ def fetch(
 
     Fetched content longer than ``cfg.http_content_limit`` is truncated and
     tagged metadata _truncated_=1 (http.content.limit, 1 MB default).
+
+    The throughput kill-switch (fetcher.throughput.threshold.*,
+    Fetcher.java:279-356) is checked once per second inside each partition:
+    after ``cfg.throughput_threshold_retries`` consecutive seconds below
+    ``cfg.throughput_threshold_pages`` pages/s, the partition aborts —
+    remaining queued URLs come back as fetch_retry with _throughput_=1.
+    (The reference's check is job-global; per-partition is the Spark
+    analogue — each partition IS an independent fetch task.)
     """
     if time_limit_s is None:
         time_limit_s = cfg.fetcher_time_limit_s
     content_limit = cfg.http_content_limit
+    tp_pages = cfg.throughput_threshold_pages
+    tp_retries = cfg.throughput_threshold_retries
     parts = num_lists or fetchlist.sparkSession.sparkContext.defaultParallelism
     laid_out = fetchlist.repartition(parts, url_host("url")).sortWithinPartitions(
         F.xxhash64("url")
@@ -157,7 +167,7 @@ def fetch(
                 "metadata": meta,
             }
 
-        def retry_row(url: str) -> dict:
+        def retry_row(url: str, reason: str = "_timelimit_") -> dict:
             return {
                 "url": url,
                 "status": "fetch_retry",
@@ -165,7 +175,7 @@ def fetch(
                 "content": None,
                 "content_type": None,
                 "signature": None,
-                "metadata": {"_timelimit_": "1"},
+                "metadata": {reason: "1"},
             }
 
         deadline = (
@@ -187,11 +197,33 @@ def fetch(
             def ready_at(host: str) -> float:
                 return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
 
+            tp = {"t0": time.monotonic(), "n": 0, "low": 0, "dead": False}
+
+            def note_fetched() -> None:
+                tp["n"] += 1
+
+            def throughput_dead() -> bool:
+                # one check per elapsed second, Fetcher.java:279-356 semantics
+                if tp_pages < 0 or tp["dead"]:
+                    return tp["dead"]
+                now = time.monotonic()
+                elapsed = now - tp["t0"]
+                if elapsed >= 1.0:
+                    rate = tp["n"] / elapsed
+                    tp["low"] = tp["low"] + 1 if rate < tp_pages else 0
+                    tp["t0"], tp["n"] = now, 0
+                    if tp["low"] >= tp_retries:
+                        tp["dead"] = True
+                return tp["dead"]
+
             def drain_expired() -> bool:
-                if time.monotonic() <= deadline:
+                expired = time.monotonic() > deadline
+                dead = throughput_dead()
+                if not (expired or dead):
                     return False
+                reason = "_timelimit_" if expired else "_throughput_"
                 for q_host in list(queues):
-                    out.extend(retry_row(u) for u in queues.pop(q_host))
+                    out.extend(retry_row(u, reason) for u in queues.pop(q_host))
                 return True
 
             out = []
@@ -206,6 +238,7 @@ def fetch(
                         if drain_expired():
                             break
                     out.append(fetch_one(queues[host].popleft()))
+                    note_fetched()
                     last_hit[host] = time.monotonic()
                     if not queues[host]:
                         del queues[host]
@@ -218,6 +251,7 @@ def fetch(
                         drain_expired()
                         for host in [h for h, f in in_flight.items() if f.done()]:
                             out.append(in_flight.pop(host).result())
+                            note_fetched()
                             last_hit[host] = time.monotonic()
                         dispatched = False
                         if len(in_flight) < threads:

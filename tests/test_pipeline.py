@@ -99,6 +99,7 @@ def test_politeness_interleaves_hosts_within_partition(spark):
         [(f"http://host{h}.com/p{i}",) for h in range(2) for i in range(3)],
         "url string",
     )
+    fetch(fl, crawl_delay_s=0.0, num_lists=1).count()  # warm python workers
     t0 = _time.monotonic()
     rows = fetch(fl, crawl_delay_s=0.3, num_lists=1).collect()
     elapsed = _time.monotonic() - t0
@@ -215,3 +216,34 @@ def test_fetch_time_limit_retries_leftovers(spark):
     assert len(retried) >= 3, statuses
     assert all(r["metadata"]["_timelimit_"] == "1" for r in retried)
     assert any(r["status"] != "fetch_retry" for r in rows)
+
+
+def test_fetch_throughput_kill_switch(spark):
+    # fetcher.throughput.threshold.* (Fetcher.java:279-356): sustained
+    # sub-threshold pages/s aborts the partition; leftovers retry with
+    # _throughput_=1. Here every fetch takes ~0.4 s → ~2.5 pages/s, far
+    # below the 50 pages/s threshold; 2 consecutive low checks trip it.
+    import time as _time
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetcher import fetch
+
+    cfg = NutchConfig(
+        throughput_threshold_pages=50.0, throughput_threshold_retries=2
+    )
+
+    def slow_fetch(url):
+        _time.sleep(0.4)
+        return "fetch_success", "<html><title>x</title></html>"
+
+    fl = spark.createDataFrame(
+        [(f"http://h{i % 4}.com/p{i}",) for i in range(40)], "url string"
+    )
+    rows = fetch(fl, cfg=cfg, fetch_fn=slow_fetch, num_lists=1).collect()
+    assert len(rows) == 40
+    killed = [r for r in rows if r["status"] == "fetch_retry"]
+    fetched = [r for r in rows if r["status"] == "fetch_success"]
+    assert killed and fetched, [r["status"] for r in rows][:10]
+    assert all(r["metadata"]["_throughput_"] == "1" for r in killed)
+    # abort happened after ~2-3 s, not after all 40 * 0.4 s = 16 s
+    assert len(fetched) < 20
