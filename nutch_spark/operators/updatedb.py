@@ -204,13 +204,30 @@ def update_crawldb(
 
     retry_exhausted = old_retries + 1 > cfg.retry_max
 
+    # signature comparison → modification status (:247-261): NOTMODIFIED when
+    # the protocol says so, or when a fetch_success carries the same non-null
+    # signature as the db row (only success — not redirects, NUTCH-1422)
+    new_sig = F.coalesce(F.col("u.parse_signature"), F.col("u.fetch_signature"))
+    notmodified = has_fetch & (
+        (F.col("u.fetch_status") == "fetch_notmodified")
+        | (
+            (F.col("u.fetch_status") == "fetch_success")
+            & F.col("db.signature").isNotNull()
+            & new_sig.isNotNull()
+            & (F.col("db.signature") == new_sig)
+        )
+    )
+    modified = has_fetch & ~notmodified
+
     status = (
         F.when(
             has_fetch,
             F.when(
                 F.col("u.fetch_status") == "fetch_retry",
                 F.when(retry_exhausted, "db_gone").otherwise("db_unfetched"),
-            ).otherwise(
+            )
+            .when(notmodified, F.lit("db_notmodified"))  # :267-268 override
+            .otherwise(
                 F.element_at(
                     F.create_map(
                         *[F.lit(x) for kv in _FETCH_TO_DB.items() for x in kv]
@@ -222,15 +239,6 @@ def update_crawldb(
         .when(F.col("u.parse_failed") & has_db, F.lit("db_parse_failed"))
         .when(~has_db & has_links, F.lit("db_unfetched"))  # new frontier URL
         .otherwise(F.col("db.status"))
-    )
-
-    # signature comparison → modified flag (:247-261); NOTMODIFIED keeps the
-    # old signature (:267-275)
-    new_sig = F.coalesce(F.col("u.parse_signature"), F.col("u.fetch_signature"))
-    modified = has_fetch & (
-        F.col("db.signature").isNull()
-        | new_sig.isNull()
-        | (F.col("db.signature") != new_sig)
     )
 
     fetched_at_ts = F.coalesce(F.col("u.fetched_at"), now)
@@ -283,6 +291,40 @@ def update_crawldb(
         has_fetch, ref_time + F.make_interval(secs=next_interval.cast("double"))
     ).otherwise(F.coalesce(F.col("db.fetch_time"), now))
 
+    # Gone/retry rescheduling (AbstractFetchSchedule.java:111-154):
+    # - gone-like outcomes (fetch_gone, retry overflow, parse failure) back
+    #   off 50% per round, capped at max*0.9 — "no page is truly GONE, try
+    #   much later" (NUTCH-1245; the cap also keeps a misconfigured default
+    #   interval > 1.5*max from bouncing through forced refetch);
+    # - a plain retry re-queues tomorrow with the interval untouched.
+    gone_like = (
+        has_fetch
+        & (
+            (F.col("u.fetch_status") == "fetch_gone")
+            | ((F.col("u.fetch_status") == "fetch_retry") & retry_exhausted)
+        )
+    ) | (F.col("u.parse_failed") & has_db)
+    retry_like = (
+        has_fetch & (F.col("u.fetch_status") == "fetch_retry") & ~retry_exhausted
+    )
+    gone_interval = (
+        F.when(
+            old_interval * 1.5 < F.lit(float(cfg.fetch_interval_max)),
+            old_interval * 1.5,
+        )
+        .otherwise(F.lit(cfg.fetch_interval_max * 0.9))
+        .cast("int")
+    )
+    next_interval = F.when(gone_like, gone_interval).otherwise(next_interval)
+    next_fetch_time = (
+        F.when(
+            gone_like,
+            fetched_at_ts + F.make_interval(secs=gone_interval.cast("double")),
+        )
+        .when(retry_like, fetched_at_ts + F.make_interval(secs=F.lit(86400.0)))
+        .otherwise(next_fetch_time)
+    )
+
     retries = (
         F.when(has_fetch & (F.col("u.fetch_status") == "fetch_retry"), old_retries + 1)
         .when(has_fetch, F.lit(0))
@@ -292,10 +334,22 @@ def update_crawldb(
     # OPIC: score += Σ inlink contributions (OPICScoringFilter.java:100-112)
     score = (old_score + F.coalesce(F.col("u.link_score"), F.lit(0.0))).cast("float")
 
-    signature = F.when(
-        has_fetch & (F.col("u.fetch_status") == "fetch_notmodified"),
-        F.col("db.signature"),
-    ).otherwise(F.coalesce(new_sig, F.col("db.signature")))
+    # Signature policy (:266-296, :308-337, NUTCH-1422): NOTMODIFIED keeps
+    # the old signature; retry/gone/parse-failed keep the old signature; the
+    # content branch (success + redirects) takes the NEW signature even when
+    # it is null — a redirect must clear the stale signature so the page is
+    # not misdetected as notmodified after the redirect resolves.
+    signature = (
+        F.when(notmodified, F.col("db.signature"))
+        .when(
+            has_fetch
+            & F.col("u.fetch_status").isin("fetch_retry", "fetch_gone"),
+            F.col("db.signature"),
+        )
+        .when(F.col("u.parse_failed") & has_db, F.col("db.signature"))
+        .when(has_fetch, new_sig)
+        .otherwise(F.col("db.signature"))
+    )
 
     # Forced refetch (CrawlDbReducer.java:298-304 → AbstractFetchSchedule.
     # forceRefetch:226-237): if the schedule pushed the interval past
@@ -303,8 +357,11 @@ def update_crawldb(
     # retries 0, signature and modified_time cleared, interval clamped to
     # max*0.9. fetch_time keeps the value the schedule set (asap=false).
     # Applies only to the "fetch set" branch (success/notmodified/redirects),
-    # not retry/gone — same scope as the reducer's case block.
-    fetch_set = F.col("u.fetch_status").isin(*_FETCH_TO_DB)
+    # not retry/gone — same scope as the reducer's case block (gone uses
+    # setPageGoneSchedule above and must NOT bounce back via forced refetch).
+    fetch_set = F.col("u.fetch_status").isin(
+        "fetch_success", "fetch_notmodified", "fetch_redir_temp", "fetch_redir_perm"
+    )
     forced = has_fetch & fetch_set & (
         next_interval.cast("long") > F.lit(cfg.fetch_interval_max)
     )

@@ -469,6 +469,8 @@ def j2_state_machine(spark, sf_dir):
     )
     SELECT url,
       CASE WHEN fetched AND iv > 7776000 THEN 'db_unfetched'
+           WHEN fetched AND NOT changed THEN 'db_notmodified'
+           WHEN fetched THEN 'db_fetched'
            ELSE 'db_fetched' END AS status,
       CASE WHEN fetched THEN t0 + INTERVAL 1 DAY + to_seconds(iv)
            ELSE t0 END AS fetch_time,

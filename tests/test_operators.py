@@ -413,3 +413,138 @@ def test_updatedb_mime_adaptive_rates(spark):
     assert out["http://html.com/"] == 1500    # 1000 * (1 + 0.5)
     assert out["http://pdf.com/"] == 1100     # 1000 * (1 + 0.1)
     assert out["http://other.com/"] == 1400   # default inc 0.4
+
+
+def test_updatedb_full_transition_matrix(spark):
+    """Port of TestCrawlDbStates.testCrawlDbStateTransitionMatrix: every
+    (db status | absent) x (fetch status | inlinks-only) x {0,1,2} inlinks
+    x {default, adaptive} schedule yields exactly one output row with the
+    reference's expected status (fetchDbStatusPairs, TestCrawlDbStates.java:
+    67-77, 100-205). All ~750 cases run as ONE Spark job per schedule."""
+    pairs = [
+        ("fetch_success", "db_fetched"),
+        ("fetch_gone", "db_gone"),
+        ("fetch_redir_temp", "db_redir_temp"),
+        ("fetch_redir_perm", "db_redir_perm"),
+        ("fetch_notmodified", "db_notmodified"),
+    ]
+    db_statuses = [None, "db_unfetched", "db_fetched", "db_gone",
+                   "db_redir_temp", "db_redir_perm", "db_notmodified",
+                   "db_duplicate", "db_orphan"]
+    fetch_statuses = [None] + [p[0] for p in pairs] + ["fetch_retry"]
+    to_db = dict(pairs)
+
+    db_rows, fetch_rows, link_rows, expected = [], [], [], {}
+    for i, from_db in enumerate(db_statuses):
+        for j, fs in enumerate(fetch_statuses):
+            for l in range(3):
+                if fs is None and from_db is None and l == 0:
+                    continue  # no input at all for this URL
+                url = f"http://case-{i}-{j}-{l}.com/"
+                # like the reference's util: datums carry NO signature, so
+                # fetch_success stays db_fetched (no notmodified detection)
+                if from_db is not None:
+                    db_rows.append(db_row(url, from_db))
+                if fs is not None:
+                    fetch_rows.append(fetch_row(url, fs))
+                for _ in range(l):
+                    link_rows.append((url, "linked", 0.1, None))
+                if fs is None:
+                    exp = from_db if from_db is not None else "db_unfetched"
+                elif fs == "fetch_retry":
+                    exp = "db_unfetched"  # fresh datums: retries 0 < max 3
+                else:
+                    exp = to_db[fs]
+                expected[url] = exp
+
+    db = make_db(spark, db_rows)
+    fetches = spark.createDataFrame(fetch_rows, FETCH_SCHEMA)
+    emits = spark.createDataFrame(
+        link_rows, "url string, status string, score float, signature binary"
+    )
+    for schedule in ("default", "adaptive"):
+        out = {
+            r["url"]: r["status"]
+            for r in update_crawldb(
+                db, fetches, emits, schedule=schedule, now=F.lit(NOW)
+            ).collect()
+        }
+        assert len(out) == len(expected), (len(out), len(expected))
+        bad = {u: (out[u], e) for u, e in expected.items() if out[u] != e}
+        assert not bad, f"{schedule}: {dict(list(bad.items())[:8])} (+{len(bad)} total)"
+
+
+def test_updatedb_signature_reset_and_notmodified(spark):
+    """NUTCH-1422 + NUTCH-1341 (CrawlDbReducer.java:247-296, 308-337):
+    - fetch_success with the SAME non-null signature → db_notmodified,
+      old signature kept, modified_time NOT advanced;
+    - redirects RESET the stored signature (else the page is misdetected
+      as notmodified right after the redirect resolves);
+    - retry/gone KEEP the old signature."""
+    old_mt = NOW - datetime.timedelta(days=10)
+    db = make_db(
+        spark,
+        [
+            db_row("http://same.com/", "db_fetched", signature=b"s", modified_time=old_mt),
+            db_row("http://redir.com/", "db_fetched", signature=b"s"),
+            db_row("http://gone.com/", "db_fetched", signature=b"s"),
+            db_row("http://retry.com/", "db_fetched", signature=b"s"),
+            db_row("http://new.com/", "db_fetched", signature=b"s", modified_time=old_mt),
+        ],
+    )
+    fetches = spark.createDataFrame(
+        [
+            fetch_row("http://same.com/", "fetch_success", signature=b"s"),
+            fetch_row("http://redir.com/", "fetch_redir_temp"),
+            fetch_row("http://gone.com/", "fetch_gone"),
+            fetch_row("http://retry.com/", "fetch_retry"),
+            fetch_row("http://new.com/", "fetch_success", signature=b"n"),
+        ],
+        FETCH_SCHEMA,
+    )
+    out = {r["url"]: r for r in update_crawldb(db, fetches, now=F.lit(NOW)).collect()}
+    same = out["http://same.com/"]
+    assert same["status"] == "db_notmodified"
+    assert bytes(same["signature"]) == b"s"
+    assert same["modified_time"] == old_mt          # NUTCH-1341
+    assert out["http://redir.com/"]["signature"] is None   # NUTCH-1422 reset
+    assert out["http://redir.com/"]["status"] == "db_redir_temp"
+    assert bytes(out["http://gone.com/"]["signature"]) == b"s"
+    assert bytes(out["http://retry.com/"]["signature"]) == b"s"
+    changed = out["http://new.com/"]
+    assert changed["status"] == "db_fetched"
+    assert bytes(changed["signature"]) == b"n"
+    assert changed["modified_time"] == NOW          # content change advances it
+
+
+def test_updatedb_gone_and_retry_schedules(spark):
+    """AbstractFetchSchedule.setPageGoneSchedule/setPageRetrySchedule
+    (:111-154, NUTCH-1245): gone pages back off 1.5x (capped max*0.9) and
+    never bounce back through forced refetch; plain retries re-queue
+    tomorrow with the interval untouched."""
+    db = make_db(
+        spark,
+        [
+            db_row("http://gone.com/", "db_fetched", interval=1000),
+            db_row("http://biggone.com/", "db_fetched", interval=8_000_000),
+            db_row("http://retry.com/", "db_unfetched", interval=1000),
+        ],
+    )
+    fetches = spark.createDataFrame(
+        [
+            fetch_row("http://gone.com/", "fetch_gone"),
+            fetch_row("http://biggone.com/", "fetch_gone"),
+            fetch_row("http://retry.com/", "fetch_retry"),
+        ],
+        FETCH_SCHEMA,
+    )
+    out = {r["url"]: r for r in update_crawldb(db, fetches, now=F.lit(NOW)).collect()}
+    g = out["http://gone.com/"]
+    assert g["fetch_interval"] == 1500
+    assert g["fetch_time"] == NOW + datetime.timedelta(seconds=1500)
+    big = out["http://biggone.com/"]
+    assert big["status"] == "db_gone"            # NOT resurrected by forced refetch
+    assert big["fetch_interval"] == int(7_776_000 * 0.9)
+    r = out["http://retry.com/"]
+    assert r["fetch_interval"] == 1000
+    assert r["fetch_time"] == NOW + datetime.timedelta(days=1)
