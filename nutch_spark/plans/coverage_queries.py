@@ -419,4 +419,76 @@ def st_hostdb_state(spark, sf_dir):
     return streaming_hostdb(log)
 
 
+
+@q(
+    "j2_gone_schedule",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS url,
+             CAST(o_orderdate AS TIMESTAMP) AS t0,
+             CASE WHEN o_orderkey % 3 = 0 THEN 8000000 ELSE 1000000 END AS iv,
+             CASE WHEN o_orderkey % 8 = 2 THEN 3 ELSE 0 END AS r0,
+             o_orderkey % 2 = 0 AS fetched,
+             o_orderkey % 4 = 0 AS is_gone
+      FROM orders
+    ),
+    x AS (
+      SELECT *,
+             t0 + INTERVAL 1 DAY AS t1,
+             CASE WHEN iv * 1.5 < 7776000 THEN CAST(iv * 1.5 AS INT)
+                  ELSE CAST(7776000 * 0.9 AS INT) END AS gone_iv,
+             fetched AND (is_gone OR r0 + 1 > 3) AS gone_like
+      FROM base
+    )
+    SELECT url,
+      CASE WHEN NOT fetched THEN 'db_fetched'
+           WHEN is_gone THEN 'db_gone'
+           WHEN r0 + 1 > 3 THEN 'db_gone'
+           ELSE 'db_unfetched' END AS status,
+      CASE WHEN NOT fetched THEN r0
+           WHEN is_gone THEN 0 ELSE r0 + 1 END AS retries,
+      CASE WHEN gone_like THEN gone_iv ELSE iv END AS fetch_interval,
+      CASE WHEN NOT fetched THEN t0
+           WHEN gone_like THEN t1 + to_seconds(gone_iv)
+           ELSE t1 + to_seconds(86400) END AS fetch_time
+    FROM x
+    """,
+)
+def j2_gone_schedule(spark, sf_dir):
+    """Gone/retry rescheduling branch of updatedb
+    (AbstractFetchSchedule.setPageGoneSchedule/setPageRetrySchedule:111-154,
+    NUTCH-1245): gone pages and exhausted retries back off 1.5x capped at
+    max*0.9 and stay db_gone (never resurrected via forced refetch); plain
+    retries re-queue one day later with the interval untouched. Drives the
+    real update_crawldb end to end."""
+    from nutch_spark.operators.updatedb import update_crawldb
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t0 = F.col("o_orderdate").cast("timestamp")
+    iv = F.when(k % 3 == 0, 8_000_000).otherwise(1_000_000)
+    r0 = F.when(k % 8 == 2, 3).otherwise(0)
+    db = o.select(
+        k.alias("url"),
+        F.lit("db_fetched").alias("status"),
+        t0.alias("fetch_time"),
+        r0.alias("retries"),
+        iv.alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(None).cast("timestamp").alias("modified_time"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    fetch = o.filter(k % 2 == 0).select(
+        k.alias("url"),
+        F.when(k % 4 == 0, "fetch_gone").otherwise("fetch_retry").alias("status"),
+        (t0 + F.expr("INTERVAL 1 DAY")).alias("fetch_time"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    out = update_crawldb(db, fetch, now=F.to_timestamp(F.lit("2026-06-01 00:00:00")))
+    return out.select("url", "status", "retries", "fetch_interval", "fetch_time")
+
+
+
 assert "a10_anchor_dedup" in REGISTRY
