@@ -477,3 +477,44 @@ def dup_components(
         F.col("lab").alias("component"),
         (F.col("id") != F.col("lab")).alias("is_duplicate"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-token
+    gram with an evaluation/benchmark set (the published GPT-3 appendix-C
+    style 13-gram overlap rule).
+
+    Output: corpus keys + ``matched_grams`` (distinct benchmark grams hit)
+    + ``contaminated``.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus —
+    broadcast equi-join against the exploded corpus grams, then ONE groupBy
+    on the doc key. The corpus is exploded but never self-joined; shuffle is
+    O(matching grams) only.
+    """
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        corpus.select(F.col(key), F.explode(shingles(F.col(text), n)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy(key)
+        .agg(F.count("*").alias("matched_grams"))
+    )
+    return (
+        corpus.select(key)
+        .join(hits, key, "left")
+        .select(
+            key,
+            F.coalesce("matched_grams", F.lit(0)).alias("matched_grams"),
+            (F.coalesce("matched_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -859,3 +859,62 @@ def dp_int8_topk(spark, sf_dir):
     return int8_topk(emb, qs, k=5).select(
         "query_id", "neighbor_id", F.col("qdot").cast("long").alias("qdot")
     )
+
+
+# 13-token grams as a DuckDB fragment (parity with dedup.shingles(n=13))
+_GRAMS13_SQL = """
+  CASE WHEN len(toks) >= 13 THEN
+    list_distinct(list_transform(generate_series(1, len(toks) - 12),
+      i -> array_to_string(toks[i:i+12], ' ')))
+  ELSE [] END
+"""
+
+
+@q(
+    "dp_decontaminate",
+    f"""
+    WITH bench_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT b.doc_id + 400000,
+             'filler opening words ' ||
+             array_to_string(({_TOKS_SQL})[1:20], ' ') || ' closing filler words'
+      FROM bench_docs b
+    ),
+    bt AS (SELECT {_TOKS_SQL} AS toks FROM bench_docs),
+    bg AS (SELECT DISTINCT unnest({_GRAMS13_SQL}) AS gram FROM bt),
+    ct AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    cg AS (SELECT doc_id, unnest({_GRAMS13_SQL}) AS gram FROM ct),
+    hits AS (
+      SELECT cg.doc_id, count(*) AS matched_grams
+      FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(h.matched_grams, 0) AS matched_grams,
+           coalesce(h.matched_grams, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def dp_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style): flag corpus docs
+    sharing any 13-token gram with the benchmark set. Benchmark docs are
+    documents with doc_id%17; planted contaminated docs (+400000) embed the
+    first 20 benchmark tokens inside filler. Broadcast gram join + one
+    groupBy on the doc key — the corpus is never self-joined."""
+    from nutch_spark.datapipe.dedup import decontaminate
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    toks20 = F.concat_ws(
+        " ",
+        F.slice(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 20),
+    )
+    planted = bench.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.lit("filler opening words "), toks20, F.lit(" closing filler words")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return decontaminate(corpus, bench, n=13)

@@ -313,3 +313,22 @@ def test_int8_topk_tracks_exact_ranking(spark):
     vals = emb.select(F.explode(quantize_int8(F.col("embedding"))).alias("v"))
     mn, mx = vals.agg(F.min("v"), F.max("v")).first()
     assert -127 <= mn and mx <= 127
+
+
+def test_decontaminate(spark):
+    from nutch_spark.datapipe.dedup import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(15))  # 15 tokens → 3 13-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, f"start {bench_text} end"),          # embeds the benchmark run
+            (2, "totally unrelated words " * 10),
+            (3, " ".join(f"b{i}" for i in range(12))),  # only 12 tokens: no gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=13).collect()}
+    assert out[1]["contaminated"] and out[1]["matched_grams"] == 3
+    assert not out[2]["contaminated"] and out[2]["matched_grams"] == 0
+    assert not out[3]["contaminated"]
