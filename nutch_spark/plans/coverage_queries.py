@@ -491,4 +491,43 @@ def j2_gone_schedule(spark, sf_dir):
 
 
 
+
+@q(
+    "st_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 17 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) + INTERVAL 17 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st_session_windows(spark, sf_dir):
+    """Gap-based sessionization via Structured Streaming's session_window —
+    the identical expression runs in batch, which the oracle certifies with
+    the lag + cumulative-sum sessionization twin (events within 17 min of
+    the previous one merge; session_end = last event + gap). Streaming mode
+    adds a watermark so closed sessions evict — bounded state at any key
+    cardinality."""
+    from nutch_spark.streaming.continuous import session_windows
+
+    ev = t(spark, sf_dir, "events")
+    return session_windows(ev, key="user_id", time_col="ts", gap="17 minutes")
+
+
+
 assert "a10_anchor_dedup" in REGISTRY

@@ -196,3 +196,33 @@ def continuous_crawl(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def session_windows(
+    fetch_log: DataFrame,
+    *,
+    key: str = "url",
+    time_col: str = "fetch_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key session windows: events closer than ``gap`` merge into one
+    session (Structured Streaming ``session_window``; the same expression
+    runs in batch, which is how the oracle certifies it).
+
+    Output: (key, session_start, session_end, n_events). With a streaming
+    input the watermark bounds session state; closed sessions are emitted
+    and evicted — the scale path for billions of keys."""
+    df = fetch_log
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(time_col), gap).alias("sw"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -102,3 +102,38 @@ def test_streaming_hostdb_stateful(spark, tmp_path):
     rows = {r["host"]: r for r in spark.sql("select * from hostdb_state").collect()}
     assert rows["a.com"]["fetched"] == 3 and rows["a.com"]["errors"] == 1
     assert rows["b.com"]["fetched"] == 1
+
+
+def test_session_windows_batch_and_stream(spark, tmp_path):
+    from nutch_spark.streaming.continuous import session_windows
+
+    rows = [
+        ("u1", T0),
+        ("u1", T0 + datetime.timedelta(minutes=10)),   # merges (gap 30m)
+        ("u1", T0 + datetime.timedelta(minutes=50)),   # 40m later: new session
+        ("u2", T0 + datetime.timedelta(minutes=5)),
+    ]
+    log = spark.createDataFrame(rows, "url string, fetch_time timestamp")
+    out = session_windows(log, gap="30 minutes").collect()
+    by = {(r["url"], r["session_start"]): r for r in out}
+    assert len(by) == 3
+    s1 = by[("u1", T0)]
+    assert s1["n_events"] == 2
+    assert s1["session_end"] == T0 + datetime.timedelta(minutes=40)  # last + gap
+    assert by[("u1", T0 + datetime.timedelta(minutes=50))]["n_events"] == 1
+
+    # real streaming execution with watermarked session state
+    src = str(tmp_path / "sess_in")
+    log.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(log.schema).parquet(src)
+    q = (
+        session_windows(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["url"], r["session_start"]) for r in spark.sql("select * from sessions").collect()}
+    assert got == set(by)
