@@ -65,6 +65,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_pii_scrub": [[], [r"Exchange", r"Join"]],
     # int8 ANN: the intended broadcast NLJ (queries tiny, corpus streams)
     "dp_int8_topk": [[r"BroadcastNestedLoopJoin"], []],
+    # decontamination: benchmark grams BROADCAST against exploded corpus
+    "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    # sessionization: one exchange on the key feeds the session aggregation
+    "st_session_windows": [[r"HashAggregate|SortAggregate"], [r"CartesianProduct"]],
+    # gone/retry schedule rides the same two-keyed-shuffle updatedb plan
+    "j2_gone_schedule": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                         [r"CartesianProduct"]],
 }
 
 
