@@ -99,3 +99,44 @@ def merge_linkdbs(
             cfg.linkdb_max_inlinks,
         ).alias("inlinks")
     )
+
+
+_REAL_FETCH_STATUSES = (
+    "fetch_success",
+    "fetch_gone",
+    "fetch_redir_temp",
+    "fetch_redir_perm",
+)
+
+
+def merge_segments(
+    parts: list[DataFrame],
+    *,
+    key: str = "url",
+    segment: str = "segment",
+) -> DataFrame:
+    """SegmentMerger fetch-part selection (SegmentMerger.java:478-494,
+    NUTCH-1113/NUTCH-1520): only REAL fetch statuses are candidates —
+    ``linked``, ``fetch_retry`` and ``fetch_notmodified`` rows from a newer
+    segment must never clobber an older real status (the classic
+    "disappearing records" bug). Among candidates the newest segment wins;
+    within one segment ``fetch_success`` outranks other statuses
+    (deterministic stand-in for the reference's arbitrary first-seen).
+    URLs with no candidate anywhere keep their newest row (the reference
+    emits the latest segment's linked entries).
+
+    One window over one shuffle on the url key — same cost as plain
+    latest-version-wins at any scale.
+    """
+    union = parts[0]
+    for d in parts[1:]:
+        union = union.unionByName(d, allowMissingColumns=True)
+    eligible = F.col("status").isin(*_REAL_FETCH_STATUSES).cast("int")
+    w = Window.partitionBy(key).orderBy(
+        F.desc(eligible), F.desc(segment), F.desc("status")
+    )
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

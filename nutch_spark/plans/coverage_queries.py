@@ -530,4 +530,57 @@ def st_session_windows(spark, sf_dir):
 
 
 
+
+@q(
+    "j9_merge_rule",
+    """
+    WITH rows_in AS (
+      SELECT 'http://h' || CAST(user_id % 100 AS VARCHAR) || '/p'
+               || CAST(event_id % 500 AS VARCHAR) AS url,
+             CASE event_type WHEN 'view' THEN 'fetch_success'
+                             WHEN 'click' THEN 'linked'
+                             WHEN 'purchase' THEN 'fetch_redir_perm'
+                             WHEN 'error' THEN 'fetch_retry'
+                             ELSE 'fetch_notmodified' END AS status,
+             's' || CAST(event_id % 5 AS VARCHAR) AS segment
+      FROM events
+    ),
+    ranked AS (
+      SELECT url, status, segment,
+             row_number() OVER (
+               PARTITION BY url
+               ORDER BY CASE WHEN status IN ('fetch_success', 'fetch_gone',
+                                             'fetch_redir_temp', 'fetch_redir_perm')
+                             THEN 1 ELSE 0 END DESC,
+                        segment DESC, status DESC) AS rn
+      FROM rows_in
+    )
+    SELECT url, status, segment FROM ranked WHERE rn = 1
+    """,
+)
+def j9_merge_rule(spark, sf_dir):
+    """SegmentMerger fetch-part candidate rule (SegmentMerger.java:478-494,
+    NUTCH-1113/1520): linked/retry/notmodified rows never clobber a real
+    fetch status; newest segment wins among candidates. Drives the real
+    merge_segments operator; the oracle replays the same ranking."""
+    from nutch_spark.operators.merge import merge_segments
+
+    ev = t(spark, sf_dir, "events")
+    rows = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 100).cast("string"),
+            F.lit("/p"), (F.col("event_id") % 500).cast("string"),
+        ).alias("url"),
+        F.when(F.col("event_type") == "view", "fetch_success")
+        .when(F.col("event_type") == "click", "linked")
+        .when(F.col("event_type") == "purchase", "fetch_redir_perm")
+        .when(F.col("event_type") == "error", "fetch_retry")
+        .otherwise("fetch_notmodified")
+        .alias("status"),
+        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string")).alias("segment"),
+    )
+    return merge_segments([rows])
+
+
+
 assert "a10_anchor_dedup" in REGISTRY

@@ -548,3 +548,35 @@ def test_updatedb_gone_and_retry_schedules(spark):
     r = out["http://retry.com/"]
     assert r["fetch_interval"] == 1000
     assert r["fetch_time"] == NOW + datetime.timedelta(days=1)
+
+
+def test_merge_segments_real_status_wins(spark):
+    """TestSegmentMergerCrawlDatums (NUTCH-1113/1520): linked / retry /
+    notmodified rows in newer segments never clobber an older real fetch
+    status; newest real status wins otherwise; linked survives only when
+    nothing real exists."""
+    from nutch_spark.operators.merge import merge_segments
+
+    seg = lambda name, rows: spark.createDataFrame(
+        [(u, s, name) for u, s in rows], "url string, status string, segment string"
+    )
+    s1 = seg("0000001", [
+        ("http://a.com/", "fetch_success"),
+        ("http://b.com/", "fetch_gone"),
+        ("http://c.com/", "linked"),
+    ])
+    s2 = seg("0000002", [
+        ("http://a.com/", "linked"),            # must NOT clobber success
+        ("http://a.com/", "fetch_retry"),       # must NOT clobber success
+        ("http://b.com/", "fetch_success"),     # newer real: wins
+        ("http://c.com/", "linked"),            # still nothing real: linked kept
+        ("http://d.com/", "fetch_notmodified"), # only temp state: kept as fallback
+    ])
+    out = {r["url"]: r for r in merge_segments([s1, s2]).collect()}
+    assert out["http://a.com/"]["status"] == "fetch_success"
+    assert out["http://a.com/"]["segment"] == "0000001"
+    assert out["http://b.com/"]["status"] == "fetch_success"
+    assert out["http://b.com/"]["segment"] == "0000002"
+    assert out["http://c.com/"]["status"] == "linked"
+    assert out["http://c.com/"]["segment"] == "0000002"
+    assert out["http://d.com/"]["status"] == "fetch_notmodified"
