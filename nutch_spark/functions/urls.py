@@ -39,6 +39,7 @@ _MULTI_SUFFIXES = (
     "co.za", "org.za", "web.za",
     "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
     "co.kr", "or.kr", "go.kr",
+    "uk.com", "us.com", "eu.com",  # domain-suffixes.xml private registries
 )
 
 
@@ -85,7 +86,8 @@ def url_domain(url: Column | str, suffixes: tuple[str, ...] = _MULTI_SUFFIXES) -
     last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1))
     suffix_set = [F.lit(s) for s in suffixes]
     return (
-        F.when(n <= 2, host)
+        F.when(host.rlike(r"^[0-9.]+$"), host)  # IP literal: whole address
+        .when(n <= 2, host)
         .when(last2.isin(*suffix_set), F.when(n >= 3, last3).otherwise(host))
         .otherwise(last2)
     )

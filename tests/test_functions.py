@@ -224,3 +224,24 @@ def test_fast_url_filter(spark):
     )
     got = {r["url"] for r in df.filter(keep).collect()}
     assert got == {"http://www.example.org/ok", "http://other.com/forum/1"}
+
+
+def test_url_domain_urlutil_cases(spark):
+    """Table-driven port of TestURLUtil.testGetDomainName (the cases our
+    literal suffix table covers; the reference reads domain-suffixes.xml)."""
+    cases = [
+        ("http://lucene.apache.org/nutch", "apache.org"),
+        ("http://www.apache.org/", "apache.org"),
+        ("http://en.wikipedia.org/wiki/Java_coffee", "wikipedia.org"),
+        ("http://140.211.11.130/foundation/contributing.html", "140.211.11.130"),
+        ("http://www.example.co.uk:8080/index.html", "example.co.uk"),
+        ("http://com", "com"),
+        ("http://www.example.uk.com", "example.uk.com"),
+        ("https://example.com.au/path", "example.com.au"),
+    ]
+    from nutch_spark.functions.urls import url_domain
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["d"] for r in df.select(url_domain("url").alias("d")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
