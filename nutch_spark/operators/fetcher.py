@@ -352,3 +352,26 @@ def emit_parse_rows(
         F.col("signature"),
     )
     return linked.unionByName(sigs)
+
+
+# OutlinkExtractor.java:55-61 URL_PATTERN, RE2-safe (non-capturing groups)
+TEXT_URL_PATTERN = (
+    "[A-Za-z][A-Za-z0-9+.-]{1,120}:[A-Za-z0-9/]"
+    "(?:[A-Za-z0-9$_.+!*,;/?:@&~=-]|%[A-Fa-f0-9]{2}){1,333}"
+    "(?:#[a-zA-Z0-9][a-zA-Z0-9$_.+!*,;/?:@&~=%-]{0,1000})?"
+)
+
+
+def extract_text_outlinks(
+    text: Column | str, *, cfg: NutchConfig = DEFAULT
+) -> Column:
+    """Outlinks from PLAIN TEXT (parse-text path, OutlinkExtractor.java:95):
+    every absolute URL matched by the reference's activation regex, deduped
+    in order, capped at db.max.outlinks.per.page. Pure regexp column —
+    codegen'd, no UDF."""
+    t = F.col(text) if isinstance(text, str) else text
+    urls = F.regexp_extract_all(t, F.lit(TEXT_URL_PATTERN), F.lit(0))
+    deduped = F.array_distinct(urls)
+    return F.slice(
+        deduped, 1, F.least(F.size(deduped), F.lit(cfg.max_outlinks_per_page))
+    )

@@ -157,7 +157,11 @@ def parse_html_page(
     base = urljoin(url, ex.base_href) if ex.base_href else url
     links: list[tuple[str, str]] = []
     seen: set[str] = set()
-    for href, anchor_parts in ex.outlinks:
+    # robots meta nofollow: discard the page's outlinks entirely
+    # (parse-html HtmlParser.java:165-177 / HTMLMetaProcessor directives)
+    robots = ex.meta.get("robots", "").lower()
+    outlink_src = [] if "nofollow" in robots else ex.outlinks
+    for href, anchor_parts in outlink_src:
         if len(links) >= cfg.max_outlinks_per_page:
             break
         href = href.strip()
