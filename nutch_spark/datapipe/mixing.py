@@ -15,7 +15,7 @@ pushed below the explode. The corpus is never shuffled at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -54,4 +54,39 @@ def mixture_sample(
         .filter(F.col("_epochs") > 0)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_epochs") - 1)))
         .drop("_full", "_frac_bp", "_epochs")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    key: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing (the GPT-2/3 pretraining layout,
+    public papers): documents are laid end-to-end in deterministic ``key``
+    order and the stream is cut every ``budget`` tokens. A document may span
+    bins — ``bins_spanned`` says how many; the trainer splits it there.
+
+    Output: input rows + ``bin_id`` (bin where the doc starts, 0-based) +
+    ``bin_offset`` (token offset inside that bin) + ``bins_spanned``.
+
+    Scale shape: ONE global ordering window (range-partitioned sort) builds
+    the running token sum; bin assignment is pure arithmetic on the cumsum,
+    so the layout is exactly reproducible across partitions and retries.
+    For per-shard packing at extreme scale, run the same expression over a
+    ``partitionBy(shard)`` window instead.
+    """
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    tok = F.col(tokens_col).cast("long")
+    prev_sum = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    bin_id = F.floor(prev_sum / budget)
+    last_bin = F.floor((prev_sum + F.greatest(tok, F.lit(1)) - 1) / budget)
+    return df.withColumns(
+        {
+            "bin_id": bin_id.cast("long"),
+            "bin_offset": (prev_sum % budget).cast("long"),
+            "bins_spanned": (last_bin - bin_id + 1).cast("long"),
+        }
     )

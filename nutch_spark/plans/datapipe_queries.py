@@ -918,3 +918,44 @@ def dp_decontaminate(spark, sf_dir):
     )
     corpus = d.unionByName(planted)
     return decontaminate(corpus, bench, n=13)
+
+
+@q(
+    "dp_seq_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_sum
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(prev_sum / 512) AS BIGINT) AS bin_id,
+           CAST(prev_sum % 512 AS BIGINT) AS bin_offset,
+           CAST(floor((prev_sum + greatest(n_tokens, 1) - 1) / 512)
+                - floor(prev_sum / 512) + 1 AS BIGINT) AS bins_spanned
+    FROM c
+    """,
+)
+def dp_seq_packing(spark, sf_dir):
+    """Concatenate-and-cut sequence packing (GPT-style pretraining layout):
+    whitespace token counts laid end-to-end in doc_id order, cut every 512
+    tokens; bin id / offset / span derive arithmetically from one running
+    sum — exactly reproducible. The oracle replays the same cumsum."""
+    from nutch_spark.datapipe.mixing import pack_sequences
+    from nutch_spark.datapipe.textstats import token_count
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+    return pack_sequences(d, budget=512).select(
+        "doc_id", "n_tokens", "bin_id", "bin_offset", "bins_spanned"
+    )

@@ -332,3 +332,18 @@ def test_decontaminate(spark):
     assert out[1]["contaminated"] and out[1]["matched_grams"] == 3
     assert not out[2]["contaminated"] and out[2]["matched_grams"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_pack_sequences(spark):
+    from nutch_spark.datapipe.mixing import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 5), (4, 25), (5, 1)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(d, budget=10).collect()}
+    # cumsum prefix: 0, 6, 9, 14, 39
+    assert (out[1]["bin_id"], out[1]["bin_offset"], out[1]["bins_spanned"]) == (0, 0, 1)
+    assert (out[2]["bin_id"], out[2]["bin_offset"]) == (0, 6)
+    assert (out[3]["bin_id"], out[3]["bin_offset"], out[3]["bins_spanned"]) == (0, 9, 2)
+    assert (out[4]["bin_id"], out[4]["bin_offset"], out[4]["bins_spanned"]) == (1, 4, 3)
+    assert (out[5]["bin_id"], out[5]["bin_offset"], out[5]["bins_spanned"]) == (3, 9, 1)
