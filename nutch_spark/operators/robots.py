@@ -149,3 +149,21 @@ def filter_allowed(
         verdict.filter(F.col("_allowed"))
         .drop("_rid", "_rhost", "_ragent", "rule_type", "prefix", "_rn", "_allowed", "_host", "_path")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, *, host: str = "host", content: str = "content"
+) -> DataFrame:
+    """Sitemap discovery from robots.txt (SitemapProcessor.java:232-246 via
+    crawler-commons ``rules.getSitemaps()``): every ``Sitemap:`` line,
+    agent-independent per the robots.txt spec, case-insensitive, deduped
+    per host. Output: (host, sitemap_url) — feed the fetcher, then
+    ``parse_sitemap`` / ``expand_sitemap_index``."""
+    urls = F.array_distinct(
+        F.regexp_extract_all(
+            F.col(content), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)
+        )
+    )
+    return robots.select(
+        F.col(host).alias("host"), F.explode(urls).alias("sitemap_url")
+    )

@@ -109,3 +109,24 @@ def parse_sitemap(sitemap_content: DataFrame, *, content: str = "content") -> Da
         )
         .filter(F.col("url") != "")
     )
+
+
+def expand_sitemap_index(
+    sitemap_content: DataFrame, *, content: str = "content"
+) -> DataFrame:
+    """Sitemap INDEX files → child sitemap URLs
+    (SitemapProcessor.java:356-360 SiteMapIndex.getSitemaps): every
+    <sitemap><loc> entry, to be fetched and fed back through
+    ``parse_sitemap`` next round."""
+    entry = F.explode(
+        F.regexp_extract_all(
+            content, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), F.lit(1)
+        )
+    ).alias("entry")
+    loc = F.regexp_extract("entry", r"<loc>\s*([^<\s]+)\s*</loc>", 1)
+    return (
+        sitemap_content.select(entry)
+        .select(loc.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )

@@ -61,3 +61,27 @@ def test_filter_allowed_longest_match(spark):
     assert "http://a.com/private/public/x" in nutch          # inherits '*' allow
     assert "http://a.com/private/x" not in nutch             # inherits '*' disallow
     assert "http://other.com/private/x" in nutch
+
+
+def test_robots_sitemaps_and_index_expansion(spark):
+    from nutch_spark.operators.robots import robots_sitemaps
+    from nutch_spark.sources.exports import expand_sitemap_index
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\nSitemap: http://a.com/s.xml\n"
+                      "sitemap: http://a.com/s2.xml\nSitemap: http://a.com/s.xml"),
+            ("b.com", "User-agent: *\nAllow: /"),
+        ],
+        "host string, content string",
+    )
+    got = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(robots).collect()}
+    assert got == {("a.com", "http://a.com/s.xml"), ("a.com", "http://a.com/s2.xml")}
+
+    idx = spark.createDataFrame(
+        [("<sitemapindex><sitemap><loc>http://a.com/p1.xml</loc></sitemap>"
+          "<sitemap><loc> http://a.com/p2.xml </loc></sitemap></sitemapindex>",)],
+        "content string",
+    )
+    kids = {r["sitemap_url"] for r in expand_sitemap_index(idx).collect()}
+    assert kids == {"http://a.com/p1.xml", "http://a.com/p2.xml"}
