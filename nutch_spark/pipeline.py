@@ -159,3 +159,29 @@ def atomic_install(df: DataFrame, path: str, *, keep_old: bool = True) -> None:
     else:
         shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)
+
+
+def install_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    key: str = "url",
+    buckets: int = 64,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Materialize a db table BUCKETED on its join key (hash buckets +
+    in-bucket sort). Every cross-round join — updatedb's db⋈fetch, inject's
+    db⋈seeds, dedup's merge-back — reuses the bucketing: Spark plans a
+    SortMergeJoin with NO Exchange on the bucketed side(s), which at crawl
+    scale removes the dominant shuffle of every round.
+
+    The reference's MapFile output is sorted-by-key per reducer — this is
+    the same contract expressed in Spark's table format. Bucket count is a
+    deployment constant (64 here; pick ~data/200 MB on a cluster); both
+    sides of a co-located join must share it.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key).sortBy(key).format("parquet")
+    if path is not None:
+        w = w.option("path", path)  # external table location
+    w.saveAsTable(table)

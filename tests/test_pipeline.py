@@ -247,3 +247,33 @@ def test_fetch_throughput_kill_switch(spark):
     assert all(r["metadata"]["_throughput_"] == "1" for r in killed)
     # abort happened after ~2-3 s, not after all 40 * 0.4 s = 16 s
     assert len(fetched) < 20
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # bucketed install: a db⋈updates join on the bucket key must plan with
+    # ZERO Exchange operators on the bucketed sides — the cross-round scale
+    # win (shuffle-free updatedb) that bucketing exists for.
+    from nutch_spark.pipeline import install_bucketed
+
+    db = spark.createDataFrame(
+        [(f"http://h{i % 7}.com/p{i}", float(i)) for i in range(200)],
+        "url string, score float",
+    )
+    ups = spark.createDataFrame(
+        [(f"http://h{i % 7}.com/p{i}", "fetch_success") for i in range(0, 200, 2)],
+        "url string, status string",
+    )
+    install_bucketed(db, "crawldb_b", buckets=8, path=str(tmp_path / "db"))
+    install_bucketed(ups, "updates_b", buckets=8, path=str(tmp_path / "ups"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("crawldb_b").join(spark.table("updates_b"), "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS crawldb_b")
+        spark.sql("DROP TABLE IF EXISTS updates_b")
