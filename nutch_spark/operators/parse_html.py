@@ -93,7 +93,9 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
         self.base_href: str | None = None
         self.outlinks: list[tuple[str, list[str]]] = []  # (href, anchor parts)
+        self.headings: dict[str, list[str]] = {}  # h1/h2 → texts (headings plugin)
         self._in_title = False
+        self._in_heading: str | None = None
         self._skip_depth = 0
         self._open_links: list[int] = []  # indexes into outlinks
 
@@ -109,6 +111,9 @@ class _Extractor(HTMLParser):
             name = a.get("name") or a.get("http-equiv")
             if name and a.get("content") is not None:
                 self.meta.setdefault(name.lower(), a["content"])
+        elif tag in ("h1", "h2"):
+            self._in_heading = tag
+            self.headings.setdefault(tag, []).append("")
         elif tag == "a":
             href = a.get("href")
             if href:
@@ -118,6 +123,8 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag == "title":
             self._in_title = False
+        elif tag in ("h1", "h2") and self._in_heading == tag:
+            self._in_heading = None
         elif tag in _SKIP_TEXT and self._skip_depth:
             self._skip_depth -= 1
         elif tag == "a" and self._open_links:
@@ -129,6 +136,8 @@ class _Extractor(HTMLParser):
         if self._in_title:
             self.title_parts.append(data)
         elif data.strip():
+            if self._in_heading and self.headings[self._in_heading]:
+                self.headings[self._in_heading][-1] += data
             self.text_parts.append(data)
             for idx in self._open_links:
                 self.outlinks[idx][1].append(data)
@@ -175,11 +184,17 @@ def parse_html_page(
             continue
         seen.add(to_url)
         links.append((to_url, _ws_norm(" ".join(anchor_parts))))
+    meta = dict(ex.meta)
+    # headings plugin (HeadingsParseFilter): first h1/h2 land in parse meta
+    for h, texts in ex.headings.items():
+        vals = [_ws_norm(t) for t in texts if _ws_norm(t)]
+        if vals and h not in meta:
+            meta[h] = vals[0]
     return {
         "title": _ws_norm("".join(ex.title_parts)),
         "text": _ws_norm(" ".join(ex.text_parts)),
         "outlinks": links,
-        "meta": ex.meta,
+        "meta": meta,
     }
 
 

@@ -201,3 +201,41 @@ def test_extract_text_outlinks(spark):
     ][:2] + got[2:3]  # trailing-dot handling checked separately below
     assert got[2].startswith("ftp://ftp.kernel.org/pub")
     assert len(got) == 3
+
+
+def test_headings_in_meta():
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    html = "<html><body><h1>Main <b>Title</b></h1><p>x</p><h2>Sub</h2><h1>Again</h1></body></html>"
+    out = parse_html_page("http://x.com/", html)
+    assert out["meta"]["h1"] == "Main Title"   # first h1 wins
+    assert out["meta"]["h2"] == "Sub"
+
+
+def test_parse_feed_rss_and_atom(spark):
+    from nutch_spark.operators.parse_feed import parse_feed
+
+    rss = (
+        '<rss><channel><item><title>First</title>'
+        "<link>http://a.com/1</link><description><![CDATA[Body <b>one</b>]]></description>"
+        "<pubDate>Tue, 01 Jan 2026 10:00:00 GMT</pubDate></item>"
+        "<item><title>NoLink</title></item></channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><title type="text">Second</title>'
+        '<link href="http://b.com/2"/><summary>sum text</summary>'
+        "<updated>2026-01-02T08:30:00Z</updated></entry></feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("http://a.com/feed", rss), ("http://b.com/atom", atom)],
+        "url string, content string",
+    )
+    out = {r["url"]: r for r in parse_feed(feeds).collect()}
+    assert set(out) == {"http://a.com/1", "http://b.com/2"}  # no-link entry dropped
+    r1 = out["http://a.com/1"]
+    assert r1["title"] == "First" and r1["text"] == "Body  one"
+    assert r1["published"] is not None and r1["published"].hour == 10
+    r2 = out["http://b.com/2"]
+    assert r2["title"] == "Second" and r2["text"] == "sum text"
+    assert r2["published"] is not None
