@@ -170,3 +170,75 @@ def metadata_fields(
             content_meta, key
         )
     return doc.withColumns(cols)
+
+
+def anchor_fields(
+    doc: DataFrame,
+    linkdb: DataFrame,
+    *,
+    url: str = "url",
+    max_anchors: int = 100,
+) -> DataFrame:
+    """index-anchor (AnchorIndexingFilter.java): attach the page's deduped
+    inlink anchor texts as an ``anchors`` array field, capped. The linkdb
+    side is already keyed on the target url — one equi-join, no new
+    shuffle when both sides share the url bucketing."""
+    anchors = linkdb.select(
+        F.col(url),
+        F.slice(F.array_distinct(F.col("anchors")), 1, max_anchors).alias("anchors"),
+    )
+    return doc.join(anchors, url, "left").withColumn(
+        "anchors", F.coalesce("anchors", F.array().cast("array<string>"))
+    )
+
+
+def replace_fields(
+    doc: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """index-replace (ReplaceIndexer.java): ordered sed-style rewrites
+    ``(field, pattern, replacement)`` applied in sequence — later rules see
+    earlier rules' output, exactly like the plugin's ordered property list."""
+    out = doc
+    for field, pattern, replacement in rules:
+        out = out.withColumn(field, F.regexp_replace(field, pattern, replacement))
+    return out
+
+
+def jexl_doc_filter(doc: DataFrame, expr: str) -> DataFrame:
+    """index-jexl-filter: keep documents whose fields satisfy the JEXL
+    expression (translated to a SQL predicate by functions.jexl)."""
+    from nutch_spark.functions.jexl import jexl_to_sql
+
+    return doc.filter(F.expr(jexl_to_sql(expr)))
+
+
+def subcollection_field(
+    doc: DataFrame,
+    collections: dict[str, tuple[str, ...]],
+    *,
+    url: str = "url",
+) -> DataFrame:
+    """subcollection plugin: tag each doc with every collection whose URL
+    whitelist prefixes match (Subcollection.java filter semantics). Output
+    column ``subcollections`` is the sorted matching set."""
+    def _any_prefix(prefixes: tuple[str, ...]) -> Column:
+        cond = F.lit(False)
+        for p in prefixes:
+            cond = cond | F.col(url).startswith(p)
+        return cond
+
+    tags = [
+        F.when(_any_prefix(prefixes), F.lit(name))
+        for name, prefixes in sorted(collections.items())
+    ]
+    arr = F.array_sort(
+        F.filter(F.array(*tags), lambda x: x.isNotNull())
+    )
+    return doc.withColumn("subcollections", arr)
+
+
+def tld_field(doc: DataFrame, *, url: str = "url") -> DataFrame:
+    """tld plugin: index the url's top-level domain as a field."""
+    from nutch_spark.functions.urls import url_tld
+
+    return doc.withColumn("tld", url_tld(F.col(url)))

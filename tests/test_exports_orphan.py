@@ -196,3 +196,44 @@ def test_depth_scoring(spark):
         "url string, metadata map<string,string>",
     )
     assert propagate_depth(deeper, parents2, default_max_depth=2).count() == 0
+
+
+def test_index_filter_plugins_extended(spark):
+    from nutch_spark.operators.index_filters import (
+        anchor_fields,
+        jexl_doc_filter,
+        replace_fields,
+        subcollection_field,
+        tld_field,
+    )
+
+    doc = spark.createDataFrame(
+        [
+            ("http://docs.site.org/a", "Hello World", 5.0),
+            ("http://blog.site.com/b", "Other Text", 1.0),
+        ],
+        "url string, title string, boost double",
+    )
+    linkdb = spark.createDataFrame(
+        [("http://docs.site.org/a", ["click", "here", "click"])],
+        "url string, anchors array<string>",
+    )
+    out = anchor_fields(doc, linkdb)
+    rows = {r["url"]: r for r in out.collect()}
+    assert sorted(rows["http://docs.site.org/a"]["anchors"]) == ["click", "here"]
+    assert rows["http://blog.site.com/b"]["anchors"] == []
+
+    rep = replace_fields(doc, [("title", "Hello", "Goodbye"), ("title", "Goodbye World", "GW")])
+    assert rep.filter(F.col("url").endswith("/a")).first()["title"] == "GW"
+
+    kept = jexl_doc_filter(doc, "boost > 2.0")
+    assert [r["url"] for r in kept.collect()] == ["http://docs.site.org/a"]
+
+    sub = subcollection_field(doc, {"docs": ("http://docs.",), "all": ("http://",)})
+    got = {r["url"]: list(r["subcollections"]) for r in sub.collect()}
+    assert got["http://docs.site.org/a"] == ["all", "docs"]
+    assert got["http://blog.site.com/b"] == ["all"]
+
+    t = {r["url"]: r["tld"] for r in tld_field(doc).collect()}
+    assert t["http://docs.site.org/a"] == "org"
+    assert t["http://blog.site.com/b"] == "com"
