@@ -959,3 +959,47 @@ def dp_seq_packing(spark, sf_dir):
     return pack_sequences(d, budget=512).select(
         "doc_id", "n_tokens", "bin_id", "bin_offset", "bins_spanned"
     )
+
+
+@q(
+    "mm_binary_metadata",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 4
+               WHEN 0 THEN unhex('FFD8FF')
+               WHEN 1 THEN unhex('89504E470D0A1A0A')
+               WHEN 2 THEN unhex('474946383961')
+               ELSE unhex('00')
+             END || encode(text) AS payload
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(lower(hex(payload))) AS md5_hex,
+           CASE WHEN lower(hex(payload)) LIKE 'ffd8ff%' THEN 'image/jpeg'
+                WHEN lower(hex(payload)) LIKE '89504e470d0a1a0a%' THEN 'image/png'
+                WHEN lower(hex(payload)) LIKE '474946383961%' THEN 'image/gif'
+                ELSE 'application/octet-stream' END AS sniffed_type
+    FROM media
+    """,
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Multimodal no-decode path: binary payloads (planted magic-byte
+    prefixes + utf8 text bytes) → byte length, md5 digest, magic sniff —
+    all JVM column expressions; the payload never reaches Python. The
+    oracle builds byte-identical blobs with unhex/encode."""
+    from nutch_spark.datapipe.multimodal import binary_metadata
+
+    d = t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("474946383961")))
+        .otherwise(F.unhex(F.lit("00")))
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
+    )
+    return binary_metadata(media, digest="hex")

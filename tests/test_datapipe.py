@@ -347,3 +347,23 @@ def test_pack_sequences(spark):
     assert (out[3]["bin_id"], out[3]["bin_offset"], out[3]["bins_spanned"]) == (0, 9, 2)
     assert (out[4]["bin_id"], out[4]["bin_offset"], out[4]["bins_spanned"]) == (1, 4, 3)
     assert (out[5]["bin_id"], out[5]["bin_offset"], out[5]["bins_spanned"]) == (3, 9, 1)
+
+
+def test_binary_metadata_sniff(spark):
+    from nutch_spark.datapipe.multimodal import binary_metadata
+
+    rows = [
+        (1, bytes.fromhex("ffd8ff") + b"jpegdata"),
+        (2, bytes.fromhex("89504e470d0a1a0a") + b"pngdata"),
+        (3, b"plain bytes"),
+        (4, bytes.fromhex("474946383961") + b"gifdata"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in binary_metadata(media).collect()}
+    assert out[1]["sniffed_type"] == "image/jpeg"
+    assert out[2]["sniffed_type"] == "image/png"
+    assert out[3]["sniffed_type"] == "application/octet-stream"
+    assert out[4]["sniffed_type"] == "image/gif"
+    assert out[1]["n_bytes"] == 3 + 8
+    import hashlib
+    assert out[3]["md5_hex"] == hashlib.md5(b"plain bytes").hexdigest()
