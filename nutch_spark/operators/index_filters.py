@@ -242,3 +242,58 @@ def tld_field(doc: DataFrame, *, url: str = "url") -> DataFrame:
     from nutch_spark.functions.urls import url_tld
 
     return doc.withColumn("tld", url_tld(F.col(url)))
+
+
+def _ip_to_long(ip: Column) -> Column:
+    o = F.split(ip, r"\.")
+    return (
+        F.element_at(o, 1).cast("long") * 16777216
+        + F.element_at(o, 2).cast("long") * 65536
+        + F.element_at(o, 3).cast("long") * 256
+        + F.element_at(o, 4).cast("long")
+    )
+
+
+def geoip_fields(
+    doc: DataFrame,
+    ranges: list[tuple[str, str, str]],
+    *,
+    ip: str = "ip",
+) -> DataFrame:
+    """index-geoip analog: map an IP column to a country via IP-range
+    lookup. The container has no GeoIP database, so ``ranges`` is the
+    caller-supplied (start_ip, end_ip, country) table — the real MaxMind
+    file drops in as the same three columns.
+
+    Scale shape: a naive range join is a broadcast nested loop over every
+    (row x range). Instead each range EXPLODES into the /16 prefix buckets
+    it covers and the lookup becomes a broadcast EQUI-join on the bucket
+    plus a residual range filter — O(rows) work, the standard interval-
+    bucketing rewrite for range joins at scale.
+    """
+    from pyspark.sql import SparkSession
+
+    def to_int(s: str) -> int:
+        a, b, c, d = (int(x) for x in s.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    spark = SparkSession.getActiveSession()
+    rows = [(to_int(s), to_int(e), country) for s, e, country in ranges]
+    rdf = spark.createDataFrame(rows, "r_start long, r_end long, country string")
+    buckets = rdf.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("r_start") / 65536), F.floor(F.col("r_end") / 65536))
+        ),
+    )
+    ip_long = _ip_to_long(F.col(ip))
+    with_bucket = doc.withColumn("_ipl", ip_long).withColumn(
+        "_bucket", F.floor(F.col("_ipl") / 65536)
+    )
+    joined = with_bucket.join(
+        F.broadcast(buckets),
+        (F.col("_bucket") == F.col("bucket"))
+        & F.col("_ipl").between(F.col("r_start"), F.col("r_end")),
+        "left",
+    )
+    return joined.drop("_ipl", "_bucket", "bucket", "r_start", "r_end")

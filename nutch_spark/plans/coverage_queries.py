@@ -583,4 +583,65 @@ def j9_merge_rule(spark, sf_dir):
 
 
 
+
+_GEO_RANGES = [
+    ("10.0.0.0", "10.63.255.255", "US"),
+    ("10.64.0.0", "10.127.255.255", "DE"),
+    ("10.128.0.0", "10.191.255.255", "JP"),
+    ("10.192.0.0", "10.223.255.255", "BR"),
+    # 10.224+ deliberately unmapped → NULL country
+]
+
+_GEO_RANGES_SQL = "(VALUES " + ", ".join(
+    "({}, {}, '{}')".format(
+        sum(int(x) << s for x, s in zip(a.split("."), (24, 16, 8, 0))),
+        sum(int(x) << s for x, s in zip(b.split("."), (24, 16, 8, 0))),
+        c,
+    )
+    for a, b, c in _GEO_RANGES
+) + ") AS g(r_start, r_end, country)"
+
+
+@q(
+    "j_geoip_range",
+    f"""
+    WITH e AS (
+      SELECT event_id,
+             '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                   || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip
+      FROM events
+    ),
+    x AS (
+      SELECT event_id, ip,
+             (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+              + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+              + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+              + CAST(string_split(ip, '.')[4] AS BIGINT)) AS ipl
+      FROM e
+    )
+    SELECT x.event_id, x.ip, g.country
+    FROM x LEFT JOIN {_GEO_RANGES_SQL}
+      ON x.ipl BETWEEN g.r_start AND g.r_end
+    """,
+)
+def j_geoip_range(spark, sf_dir):
+    """index-geoip range lookup as a scale-safe bucketed equi-join: each
+    IP range explodes into its /16 prefix buckets, the lookup joins on the
+    bucket (broadcast) with a residual BETWEEN filter — O(rows), never a
+    per-row scan of the range table. The oracle uses the naive range join,
+    which is result-identical."""
+    from nutch_spark.operators.index_filters import geoip_fields
+
+    ev = t(spark, sf_dir, "events")
+    doc = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 256).cast("string"),
+            F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("ip"),
+    )
+    return geoip_fields(doc, _GEO_RANGES).select("event_id", "ip", "country")
+
+
+
 assert "a10_anchor_dedup" in REGISTRY

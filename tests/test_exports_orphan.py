@@ -237,3 +237,15 @@ def test_index_filter_plugins_extended(spark):
     t = {r["url"]: r["tld"] for r in tld_field(doc).collect()}
     assert t["http://docs.site.org/a"] == "org"
     assert t["http://blog.site.com/b"] == "com"
+
+
+def test_geoip_bucketed_range_join(spark):
+    from nutch_spark.operators.index_filters import geoip_fields
+
+    doc = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.100.3.4"), (3, "10.250.0.1"), (4, "10.63.255.255")],
+        "id long, ip string",
+    )
+    ranges = [("10.0.0.0", "10.63.255.255", "US"), ("10.64.0.0", "10.127.255.255", "DE")]
+    out = {r["id"]: r["country"] for r in geoip_fields(doc, ranges).collect()}
+    assert out == {1: "US", 2: "DE", 3: None, 4: "US"}
