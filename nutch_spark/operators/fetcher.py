@@ -320,11 +320,17 @@ def emit_parse_rows(
     crawldb_scores: DataFrame | None = None,
     *,
     cfg: NutchConfig = DEFAULT,
+    urlmeta_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """P3: per parsed page emit linked/signature carrier rows
     (ParseOutputFormat.java:150-362): one ``linked`` row per outlink target
     carrying the OPIC share = parent_score/outlink_count (D3), plus one
-    ``signature`` row for the source page."""
+    ``signature`` row for the source page.
+
+    ``urlmeta_keys`` (urlmeta plugin, URLMetaScoringFilter.
+    distributeScoreToOutlinks): the listed parse-meta tags propagate from
+    the parent page onto every linked row as a ``metadata`` map, so frontier
+    URLs inherit their discoverer's tags."""
     scored = parse_data
     if crawldb_scores is not None:
         scored = parse_data.join(
@@ -338,12 +344,26 @@ def emit_parse_rows(
         F.size("outlinks"), F.lit(1)
     )
     linked = scored.select(
-        F.explode("outlinks").alias("o"), share.cast("float").alias("score")
+        F.explode("outlinks").alias("o"), share.cast("float").alias("score"),
+        *([F.col("meta")] if urlmeta_keys and "meta" in scored.columns else []),
     ).select(
         F.col("o.to_url").alias("url"),
         F.lit("linked").alias("status"),
         "score",
         F.lit(None).cast("binary").alias("signature"),
+        *(
+            [
+                F.map_filter(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(k) for k in urlmeta_keys]),
+                        F.array(*[F.element_at("meta", k) for k in urlmeta_keys]),
+                    ),
+                    lambda _, v: v.isNotNull(),
+                ).alias("metadata")
+            ]
+            if urlmeta_keys and "meta" in scored.columns
+            else []
+        ),
     )
     sigs = parse_data.select(
         "url",
@@ -351,6 +371,10 @@ def emit_parse_rows(
         F.lit(None).cast("float").alias("score"),
         F.col("signature"),
     )
+    if urlmeta_keys and "metadata" in linked.columns:
+        sigs = sigs.withColumn(
+            "metadata", F.lit(None).cast("map<string,string>")
+        )
     return linked.unionByName(sigs)
 
 

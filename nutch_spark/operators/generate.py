@@ -171,3 +171,33 @@ def generate(
             F.xxhash64(F.col("url"))
         )
     return df.drop("_grp").withColumnRenamed("_sort", "sort_score")
+
+
+def free_generate(
+    urls: DataFrame,
+    *,
+    cfg: NutchConfig = DEFAULT,
+    url: str = "url",
+    normalize: bool = True,
+    filter_urls: bool = True,
+    num_lists: int | None = None,
+) -> DataFrame:
+    """FreeGenerator (tools/FreeGenerator.java): build a fetchlist straight
+    from a URL list, bypassing the CrawlDb — normalize + filter + dedup +
+    politeness layout, no due-check and no scoring. Used to fetch an ad-hoc
+    batch (the reference tool's exact role)."""
+    from nutch_spark.functions.urls import normalize_url, url_filter_predicate, url_host
+
+    out = urls.select(F.col(url).alias("url"))
+    if normalize:
+        out = out.withColumn("url", normalize_url("url"))
+    if filter_urls:
+        # stock conf/regex-urlfilter.txt head rule: skip file:/ftp:/mailto:
+        out = out.filter(
+            url_filter_predicate("url", deny_regex=[r"^(file|ftp|mailto):"])
+        )
+    out = out.filter(F.col("url").isNotNull()).dropDuplicates(["url"])
+    parts = num_lists or out.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(parts, url_host("url")).sortWithinPartitions(
+        F.xxhash64("url")
+    )

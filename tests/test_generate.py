@@ -170,3 +170,19 @@ class TestPolitenessLayout:
             by_pid.setdefault(r["pid"], []).append(r["h"])
         for pid, hs in by_pid.items():
             assert hs == sorted(hs), f"partition {pid} not hash-ordered"
+
+
+def test_free_generate(spark):
+    from nutch_spark.operators.generate import free_generate
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/x",),
+            ("http://a.com/x",),                    # dup collapses
+            ("HTTP://A.com/y#frag",),               # normalizes (case, fragment)
+            ("ftp://b.com/z",),                     # filtered by default chain
+        ],
+        "url string",
+    )
+    got = sorted(r["url"] for r in free_generate(urls).collect())
+    assert got == ["http://a.com/x", "http://a.com/y"]

@@ -277,3 +277,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS crawldb_b")
         spark.sql("DROP TABLE IF EXISTS updates_b")
+
+
+def test_urlmeta_propagates_to_linked_rows(spark):
+    from nutch_spark.operators.fetcher import emit_parse_rows
+
+    parse_data = spark.createDataFrame(
+        [
+            (
+                "http://src.com/",
+                [("http://t1.com/", ""), ("http://t2.com/", "")],
+                b"sig",
+                {"collection": "news", "other": "x"},
+            )
+        ],
+        "url string, outlinks array<struct<to_url:string,anchor:string>>, "
+        "signature binary, meta map<string,string>",
+    )
+    out = emit_parse_rows(parse_data, urlmeta_keys=("collection", "absent"))
+    linked = {r["url"]: r for r in out.filter(F.col("status") == "linked").collect()}
+    assert linked["http://t1.com/"]["metadata"] == {"collection": "news"}
+    assert linked["http://t2.com/"]["metadata"] == {"collection": "news"}
+    # without the flag the column is absent (schema unchanged for updatedb)
+    plain = emit_parse_rows(parse_data)
+    assert "metadata" not in plain.columns
