@@ -207,3 +207,56 @@ def test_dedup_exactly_one_survivor_per_group(spark):
         .collect()
     )
     assert all(r["keepers"] == 1 for r in per_group)
+
+
+def test_paragraph_dedup_first_occurrence_invariants(spark):
+    # over a random corpus with planted duplication: (1) exactly one
+    # non-duplicate per distinct paragraph hash; (2) the keeper is the
+    # (doc_id, para_idx)-minimal occurrence; (3) rebuilt doc coverage —
+    # every (doc, para) appears exactly once in the output
+    from nutch_spark.datapipe.dedup import paragraph_dedup
+
+    words = [f"w{RNG.randrange(40)}" for _ in range(2000)]
+    docs = []
+    for i in range(60):
+        start = RNG.randrange(0, 1500)
+        docs.append((i, " ".join(words[start:start + RNG.randrange(5, 90)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = paragraph_dedup(df, para_tokens=10).collect()
+    by_hash = {}
+    seen_pairs = set()
+    for r in out:
+        key = (r["doc_id"], r["para_idx"])
+        assert key not in seen_pairs
+        seen_pairs.add(key)
+        by_hash.setdefault(r["para_hash"], []).append(r)
+    for h, rows in by_hash.items():
+        keepers = [r for r in rows if not r["is_duplicate"]]
+        assert len(keepers) == 1, h
+        keeper = min(rows, key=lambda r: (r["doc_id"], r["para_idx"]))
+        assert not keeper["is_duplicate"]
+
+
+def test_mixture_sample_count_formula(spark):
+    # every doc appears floor(w) or ceil(w) times; fraction of ceil-docs
+    # per source approximates frac(w) (deterministic given the hash)
+    from nutch_spark.datapipe.mixing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(600)], "doc_id long, source string"
+    )
+    weights = {"s0": 1.75, "s1": 0.5, "s2": 3.0}
+    counts = {
+        (r["doc_id"]): r["count"]
+        for r in mixture_sample(docs, weights).groupBy("doc_id").count().collect()
+    }
+    import math
+    for i in range(600):
+        w = weights[f"s{i % 3}"]
+        lo, hi = math.floor(w), math.ceil(w)
+        if w == int(w):
+            assert counts.get(i, 0) in (0, int(w)) and (w == 0) == (i not in counts)
+        elif i in counts:
+            assert counts[i] in (lo, hi) and counts[i] > 0
+        else:
+            assert lo == 0  # only sub-1 weights may drop a doc entirely
