@@ -90,3 +90,34 @@ def pack_sequences(
             "bins_spanned": (last_bin - bin_id + 1).cast("long"),
         }
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    *,
+    key: str = "doc_id",
+    val_bp: int = 500,
+    test_bp: int = 500,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    (basis points: default 90/5/5). Reproducible and shardable — the split
+    of a document never changes as the corpus grows, so eval sets stay
+    stable across dataset versions. Map-only, no shuffle."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        % 10000
+    ).cast("int")
+    train_bp = 10000 - val_bp - test_bp
+    split = (
+        F.when(bucket < train_bp, "train")
+        .when(bucket < train_bp + val_bp, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

@@ -1003,3 +1003,25 @@ def mm_binary_metadata(spark, sf_dir):
         F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
     )
     return binary_metadata(media, digest="hex")
+
+
+@q(
+    "dp_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     % 10000 < 9000 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dp_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by salted hash — stable as
+    the corpus grows (a doc's split never flips), stratification within any
+    uniform-hash subgroup is automatic. Pure map stage."""
+    from nutch_spark.datapipe.mixing import train_val_test_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_val_test_split(d)

@@ -72,6 +72,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # gone/retry schedule rides the same two-keyed-shuffle updatedb plan
     "j2_gone_schedule": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
                          [r"CartesianProduct"]],
+    # multimodal metadata: map-only, payload never leaves the JVM
+    "mm_binary_metadata": [[], [r"Exchange", r"Join", r"mapInPandas|MapInPandas"]],
+    # geoip: bucketed BROADCAST equi-join, not a nested-loop range scan
+    "j_geoip_range": [[r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin",
+                                               r"CartesianProduct"]],
 }
 
 
