@@ -644,4 +644,55 @@ def j_geoip_range(spark, sf_dir):
 
 
 
+
+@q(
+    "p2_feed_entries",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                          x -> x != ''))[1:10], ' ') AS toks10
+      FROM documents
+    )
+    SELECT 'http://f' || CAST(doc_id AS VARCHAR) AS feed_url,
+           'http://d' || CAST(doc_id AS VARCHAR) || '/' || CAST(n AS VARCHAR) AS url,
+           CASE n WHEN 1 THEN 'T' ELSE 'U' END || CAST(doc_id AS VARCHAR) AS title,
+           toks10 AS text,
+           CASE n WHEN 1 THEN TIMESTAMP '2026-01-01 10:00:00'
+                  ELSE TIMESTAMP '2026-01-02 08:30:00' END AS published
+    FROM d, (VALUES (1), (2)) AS i(n)
+    """,
+)
+def p2_feed_entries(spark, sf_dir):
+    """Feed parse end-to-end: construct a two-item RSS feed per document
+    (titles/links/descriptions/pubDates derived from the row), run the real
+    parse_feed fan-out, and compare against the oracle's directly-computed
+    expected entries — certifying extraction, CDATA/tag stripping and the
+    HTTP-date cascade in one pass."""
+    from nutch_spark.operators.parse_feed import parse_feed
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    toks10 = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 10
+        ),
+    )
+    xml = F.concat(
+        F.lit("<rss><channel><item><title>T"), k,
+        F.lit("</title><link>http://d"), k, F.lit("/1</link><description><![CDATA["),
+        toks10,
+        F.lit("]]></description><pubDate>Thu, 01 Jan 2026 10:00:00 GMT</pubDate></item>"),
+        F.lit("<item><title>U"), k,
+        F.lit("</title><link>http://d"), k, F.lit("/2</link><description>"),
+        toks10,
+        F.lit("</description><pubDate>Fri, 02 Jan 2026 08:30:00 GMT</pubDate></item>"),
+        F.lit("</channel></rss>"),
+    )
+    feeds = d.select(F.concat(F.lit("http://f"), k).alias("url"), xml.alias("content"))
+    return parse_feed(feeds)
+
+
+
 assert "a10_anchor_dedup" in REGISTRY
