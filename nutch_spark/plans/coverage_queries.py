@@ -695,4 +695,71 @@ def p2_feed_entries(spark, sf_dir):
 
 
 
+
+@q(
+    "p2_html_parse",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                          x -> x != ''))[1:8], ' ') AS toks8
+      FROM documents
+    )
+    SELECT 'http://site' || CAST(doc_id AS VARCHAR) || '.com/page' AS url,
+           'T' || CAST(doc_id AS VARCHAR) AS title,
+           'H' || CAST(doc_id AS VARCHAR) AS h1,
+           'utf-8' AS charset,
+           2 AS n_outlinks,
+           'http://base' || CAST(doc_id AS VARCHAR) || '.com/rel' AS outlink1,
+           'http://abs.example.org/x' AS outlink2,
+           'H' || CAST(doc_id AS VARCHAR) || ' anchor text ' || toks8 AS parse_text
+    FROM d
+    """,
+)
+def p2_html_parse(spark, sf_dir):
+    """Real-parser end-to-end (P2 fidelity): one synthetic page per document
+    — title, base-href, h1, relative + absolute links, body text — goes
+    through the BINARY content path of the mapInPandas HTML parser (charset
+    detection included); the oracle computes the expected extraction
+    directly. Certifies the Python parse stage cross-engine, not just the
+    regex fast path."""
+    from nutch_spark.operators.parse_html import parse_html
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    toks8 = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 8
+        ),
+    )
+    html = F.concat(
+        F.lit('<html><head><title>T'), k,
+        F.lit('</title><base href="http://base'), k, F.lit('.com/"></head>'),
+        F.lit("<body><h1>H"), k, F.lit("</h1>"),
+        F.lit('<a href="rel">anchor text</a> '),
+        F.lit('<a href="http://abs.example.org/x"></a>'),
+        toks8,
+        F.lit("</body></html>"),
+    )
+    log = d.select(
+        F.concat(F.lit("http://site"), k, F.lit(".com/page")).alias("url"),
+        F.lit("fetch_success").alias("status"),
+        F.encode(html, "UTF-8").alias("content"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+    )
+    out = parse_html(log)
+    return out.select(
+        "url",
+        "title",
+        F.element_at("meta", "h1").alias("h1"),
+        "charset",
+        F.size("outlinks").alias("n_outlinks"),
+        F.element_at("outlinks", 1)["to_url"].alias("outlink1"),
+        F.element_at("outlinks", 2)["to_url"].alias("outlink2"),
+        "parse_text",
+    )
+
+
+
 assert "a10_anchor_dedup" in REGISTRY
