@@ -70,34 +70,39 @@ def tf_cosine_to_goldstandard(
     gold_counts = Counter(gold_tokens)
     gold_norm = sum(v * v for v in gold_counts.values()) ** 0.5
     toks = tokens(F.col(text))
-    uniq = F.array_distinct(toks)
-    dot = F.aggregate(
-        F.transform(
-            uniq,
-            lambda v: F.size(F.filter(toks, lambda x: x == v))
-            * F.coalesce(
-                F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for kv in gold_counts.items() for x in kv]
-                    ),
-                    v,
-                ),
-                F.lit(0),
+    # dot product only needs the GOLD terms — O(gold x tokens), linear in
+    # the document (never the per-distinct-token quadratic scan)
+    def _eq(term: str):
+        # NB: a 2-arg lambda would be read by Spark as (element, index)
+        return lambda x: x == F.lit(term)
+
+    dot = None
+    for term, weight in sorted(gold_counts.items()):
+        part = F.size(F.filter(toks, _eq(term))) * weight
+        dot = part if dot is None else dot + part
+    # sum of squared term counts in ONE pass over the sorted array
+    # (run-length walk), instead of counting each distinct token separately
+    def _state(prev, run, sq):
+        # named_struct keeps field names stable inside the lambda (plain
+        # struct() aliases are rewritten to col1/col2/... there)
+        return F.named_struct(
+            F.lit("prev"), prev, F.lit("run"), run, F.lit("sq"), sq
+        )
+
+    zero = _state(F.lit(""), F.lit(0).cast("long"), F.lit(0).cast("long"))
+    sumsq = F.aggregate(
+        F.array_sort(toks),
+        zero,
+        lambda acc, x: _state(
+            x,
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            F.when(x == acc["prev"], acc["sq"]).otherwise(
+                acc["sq"] + acc["run"] * acc["run"]
             ),
         ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+        lambda acc: acc["sq"] + acc["run"] * acc["run"],
     )
-    doc_norm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                uniq,
-                lambda v: F.pow(F.size(F.filter(toks, lambda x: x == v)), 2),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    doc_norm = F.sqrt(sumsq.cast("double"))
     sim = F.when(
         (doc_norm > 0) & F.lit(gold_norm > 0), dot / (doc_norm * F.lit(float(gold_norm)))
     ).otherwise(F.lit(0.0))
