@@ -444,8 +444,8 @@ def dup_components(
     )
     edges = sym.distinct().localCheckpoint(eager=True)
     labels = (
-        nodes.select(F.col(key).cast("long").alias("id"))
-        .distinct()
+        nodes.select(F.col(key).alias("id"))  # native key type — min-label
+        .distinct()                            # works for numeric AND string ids
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )

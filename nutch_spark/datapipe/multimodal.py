@@ -98,17 +98,6 @@ def frame_sample_plan(media: DataFrame, *, every_n_seconds: int = 10) -> DataFra
     )
 
 
-def binary_metadata(media: DataFrame) -> DataFrame:
-    """Cheap metadata over binary columns without decoding: byte length and
-    md5 — pure JVM expressions, no UDF."""
-    return media.select(
-        "media_id",
-        F.length("payload").cast("long").alias("n_bytes"),
-        F.md5("payload").alias("digest"),
-        F.col("media_type"),
-    )
-
-
 _MAGIC = {  # (hex prefix, sniffed type) — functions/mime.py magic subset
     "jpeg": "ffd8ff",
     "png": "89504e470d0a1a0a",

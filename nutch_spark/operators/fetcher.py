@@ -149,13 +149,14 @@ def fetch(
         def fetch_one(url: str) -> dict:
             status, content = fetch_fn(url)
             meta = {}
-            if (
-                content is not None
-                and content_limit >= 0
-                and len(content) > content_limit
-            ):
-                content = content[:content_limit]
-                meta["_truncated_"] = "1"
+            if content is not None and content_limit >= 0:
+                # http.content.limit is a BYTE cap — measure and cut in
+                # utf-8 bytes, never characters (a CJK page is ~3x its
+                # character count), and never split a multibyte sequence
+                raw = content.encode("utf-8")
+                if len(raw) > content_limit:
+                    content = raw[:content_limit].decode("utf-8", errors="ignore")
+                    meta["_truncated_"] = "1"
             sig = hashlib.md5(content.encode()).digest() if content is not None else None
             return {
                 "url": url,
@@ -273,7 +274,9 @@ def fetch(
                                 )
                             elif queues:  # everything idle but not yet due
                                 nxt = min(ready_at(h) for h in queues)
-                                time.sleep(max(0.0, nxt - time.monotonic()))
+                                # never sleep past the time-limit deadline
+                                wake = min(nxt, deadline)
+                                time.sleep(max(0.0, wake - time.monotonic()))
             yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
 
     cols = ["url", "metadata"] if has_meta else ["url"]

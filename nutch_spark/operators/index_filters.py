@@ -245,13 +245,15 @@ def tld_field(doc: DataFrame, *, url: str = "url") -> DataFrame:
 
 
 def _ip_to_long(ip: Column) -> Column:
+    # malformed/short IPs degrade to NULL (try_* forms — a bad address must
+    # never kill the job, same policy as url_host), and anything that is not
+    # exactly four octets is rejected outright
     o = F.split(ip, r"\.")
-    return (
-        F.element_at(o, 1).cast("long") * 16777216
-        + F.element_at(o, 2).cast("long") * 65536
-        + F.element_at(o, 3).cast("long") * 256
-        + F.element_at(o, 4).cast("long")
+    octet = lambda i: F.try_element_at(o, F.lit(i)).try_cast("long")  # noqa: E731
+    raw = (
+        octet(1) * 16777216 + octet(2) * 65536 + octet(3) * 256 + octet(4)
     )
+    return F.when(F.size(o) == 4, raw)
 
 
 def geoip_fields(

@@ -58,7 +58,7 @@ def parse_feed(
             # strip residual tags/CDATA from the body text
             F.trim(
                 F.regexp_replace(
-                    F.regexp_replace(body, r"<!\[CDATA\[(.*?)\]\]>", r"$1"),
+                    F.regexp_replace(body, r"(?s)<!\[CDATA\[(.*?)\]\]>", r"$1"),
                     r"<[^>]*>",
                     " ",
                 )

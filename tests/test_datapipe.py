@@ -367,3 +367,12 @@ def test_binary_metadata_sniff(spark):
     assert out[1]["n_bytes"] == 3 + 8
     import hashlib
     assert out[3]["md5_hex"] == hashlib.md5(b"plain bytes").hexdigest()
+
+
+def test_dup_components_string_keys(spark):
+    from nutch_spark.datapipe.dedup import dup_components
+
+    nodes = spark.createDataFrame([("d-a",), ("d-b",), ("d-c",)], "doc_id string")
+    pairs = spark.createDataFrame([("d-b", "d-c")], "id_a string, id_b string")
+    out = {r["doc_id"]: r["component"] for r in dup_components(nodes, pairs).collect()}
+    assert out == {"d-a": "d-a", "d-b": "d-b", "d-c": "d-b"}

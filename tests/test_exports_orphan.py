@@ -249,3 +249,15 @@ def test_geoip_bucketed_range_join(spark):
     ranges = [("10.0.0.0", "10.63.255.255", "US"), ("10.64.0.0", "10.127.255.255", "DE")]
     out = {r["id"]: r["country"] for r in geoip_fields(doc, ranges).collect()}
     assert out == {1: "US", 2: "DE", 3: None, 4: "US"}
+
+
+def test_geoip_malformed_ips_degrade_to_null(spark):
+    from nutch_spark.operators.index_filters import geoip_fields
+
+    doc = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.1.2"), (3, "bad-ip"), (4, None), (5, "10.0.0.1.9")],
+        "id long, ip string",
+    )
+    ranges = [("10.0.0.0", "10.63.255.255", "US")]
+    out = {r["id"]: r["country"] for r in geoip_fields(doc, ranges).collect()}
+    assert out == {1: "US", 2: None, 3: None, 4: None, 5: None}

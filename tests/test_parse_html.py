@@ -239,3 +239,17 @@ def test_parse_feed_rss_and_atom(spark):
     r2 = out["http://b.com/2"]
     assert r2["title"] == "Second" and r2["text"] == "sum text"
     assert r2["published"] is not None
+
+
+def test_parse_feed_multiline_cdata(spark):
+    from nutch_spark.operators.parse_feed import parse_feed
+
+    rss = (
+        "<rss><channel><item><title>T</title><link>http://a.com/1</link>"
+        "<description><![CDATA[line1\nline2 <b>bold</b>]]></description>"
+        "</item></channel></rss>"
+    )
+    feeds = spark.createDataFrame([("http://a.com/f", rss)], "url string, content string")
+    row = parse_feed(feeds).first()
+    assert "line1" in row["text"] and "line2" in row["text"]
+    assert "bold" in row["text"] and "<b>" not in row["text"]

@@ -301,3 +301,16 @@ def test_urlmeta_propagates_to_linked_rows(spark):
     # without the flag the column is absent (schema unchanged for updatedb)
     plain = emit_parse_rows(parse_data)
     assert "metadata" not in plain.columns
+
+
+def test_fetch_content_limit_is_bytes(spark):
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetcher import fetch
+
+    cjk = "世" * 100  # 3 utf-8 bytes per char = 300 bytes
+    cfg = NutchConfig(http_content_limit=30)
+    fl = spark.createDataFrame([("http://a.com/cjk",)], "url string")
+    row = fetch(fl, cfg=cfg, fetch_fn=lambda u: ("fetch_success", cjk)).first()
+    assert row["metadata"]["_truncated_"] == "1"
+    assert len(row["content"].encode("utf-8")) <= 30
+    assert len(row["content"]) == 10  # clean character boundary
