@@ -99,3 +99,24 @@ def cleaning_targets(crawldb: DataFrame) -> DataFrame:
     """CleaningJob (indexer/CleaningJob.java:46-120): URLs whose index entry
     must be deleted. The sink adapter issues the deletes per partition."""
     return crawldb.filter(F.col("status").isin("db_gone", "db_duplicate")).select("url")
+
+
+def mimetype_filter_predicate(
+    mime: Column | str,
+    *,
+    allow: tuple[str, ...] = (),
+    deny: tuple[str, ...] = (),
+) -> Column:
+    """mimetype-filter plugin: keep documents whose mime type passes the
+    white/blacklist (prefix semantics: 'text' matches 'text/html'). An
+    allow list, when present, wins over everything not on it."""
+    c = F.col(mime) if isinstance(mime, str) else mime
+    pred = F.lit(True)
+    for d in deny:
+        pred = pred & ~c.startswith(d)
+    if allow:
+        allowed = F.lit(False)
+        for a in allow:
+            allowed = allowed | c.startswith(a)
+        pred = allowed
+    return pred

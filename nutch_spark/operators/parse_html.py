@@ -275,3 +275,24 @@ def parse_html(
             )
 
     return ok.select(*cols).mapInPandas(run, PARSE_HTML_SCHEMA)
+
+
+def regex_parse_filter(
+    parse_data: DataFrame,
+    rules: dict[str, tuple[str, str]],
+    *,
+    html_col: str = "content",
+    text_col: str = "parse_text",
+) -> DataFrame:
+    """parsefilter-regex (RegexParseFilter.java:56-143): for every rule
+    ``field -> (source, regex)`` with source ``html`` or ``text``, set parse
+    metadata ``field`` to 'true'/'false' by whether the regex matches.
+    Pure rlike columns — codegen'd, no UDF."""
+    out = parse_data
+    for field, (source, regex) in sorted(rules.items()):
+        col = html_col if source == "html" else text_col
+        out = out.withColumn(
+            f"pf_{field}",
+            F.when(F.col(col).rlike(regex), "true").otherwise("false"),
+        )
+    return out

@@ -253,3 +253,31 @@ def test_parse_feed_multiline_cdata(spark):
     row = parse_feed(feeds).first()
     assert "line1" in row["text"] and "line2" in row["text"]
     assert "bold" in row["text"] and "<b>" not in row["text"]
+
+
+def test_regex_parse_filter_and_mimetype_filter(spark):
+    from nutch_spark.operators.indexing import mimetype_filter_predicate
+    from nutch_spark.operators.parse_html import regex_parse_filter
+
+    pd_df = spark.createDataFrame(
+        [("u1", "<html><meta name='x'>spam</html>", "buy cheap pills"),
+         ("u2", "<html>ok</html>", "normal prose here")],
+        "url string, content string, parse_text string",
+    )
+    out = {r["url"]: r for r in regex_parse_filter(
+        pd_df, {"spammy": ("text", "cheap pills"), "has_meta": ("html", "<meta ")}
+    ).collect()}
+    assert out["u1"]["pf_spammy"] == "true" and out["u2"]["pf_spammy"] == "false"
+    assert out["u1"]["pf_has_meta"] == "true" and out["u2"]["pf_has_meta"] == "false"
+
+    mimes = spark.createDataFrame(
+        [("text/html",), ("application/pdf",), ("image/png",)], "m string"
+    )
+    kept = [r["m"] for r in mimes.filter(
+        mimetype_filter_predicate("m", deny=("image",))
+    ).collect()]
+    assert kept == ["text/html", "application/pdf"]
+    kept2 = [r["m"] for r in mimes.filter(
+        mimetype_filter_predicate("m", allow=("text",))
+    ).collect()]
+    assert kept2 == ["text/html"]
