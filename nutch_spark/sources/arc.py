@@ -121,3 +121,88 @@ def read_arc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return files.select("path", "content").mapInPandas(run, ARC_SCHEMA)
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("fetch_time", T.TimestampType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("source_file", T.StringType(), True),
+    ]
+)
+
+
+def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
+    """Split a WARC/1.0 file (plain or gzip) into records.
+
+    Header block = lines until the blank line; the payload is
+    Content-Length bytes. Truncated/garbled records are skipped, never
+    fatal (an import must survive a bad chunk)."""
+    import gzip as _gzip
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _gzip.decompress(data)
+        except OSError:
+            return []
+    out: list[dict] = []
+    pos = 0
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body = data[head_end + 4 : head_end + 4 + length]
+        ts = None
+        raw_date = headers.get("warc-date", "")
+        if raw_date:
+            try:
+                from datetime import datetime
+
+                ts = datetime.strptime(raw_date, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = None
+        out.append(
+            {
+                "url": headers.get("warc-target-uri"),
+                "warc_type": headers.get("warc-type"),
+                "fetch_time": ts,
+                "content": body.decode("utf-8", errors="replace"),
+                "source_file": source,
+            }
+        )
+        pos = head_end + 4 + length
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC import (the CommonCrawl input format): one task per
+    file via binaryFile, records exploded in Arrow batches — the mirror of
+    ``sources.exports.write_warc`` and the same shape ``read_arc`` emits."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                out.extend(parse_warc_bytes(bytes(row.content), row.path))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)

@@ -39,8 +39,8 @@ def warc_records(fetch_log: DataFrame) -> DataFrame:
         F.lit(CRLF),
         F.lit("WARC-Payload-Digest: md5:"), F.md5(content), F.lit(CRLF),
         F.lit("Content-Type: application/http;msgtype=response" + CRLF),
-        F.lit("Content-Length: "),
-        F.length(content).cast("string"),
+        F.lit("Content-Length: "),  # WARC mandates BYTES, not characters
+        F.octet_length(content).cast("string"),
         F.lit(CRLF + CRLF),
     )
     return fetch_log.filter(F.col("status") == "fetch_success").select(

@@ -159,3 +159,32 @@ def test_index_documents_batching_and_routing(spark, tmp_path):
     html = load(html_dir)
     assert {e["doc"]["url"] for e in html if e["action"] == "add"} == {"http://a.com/1"}
     assert {e["id"] for e in html if e["action"] == "delete"} == {"http://a.com/2"}
+
+
+def test_warc_round_trip(spark, tmp_path):
+    # write_warc → read_warc reproduces url/content/fetch_time exactly
+    import datetime as dt
+
+    from nutch_spark.sources.arc import read_warc
+    from nutch_spark.sources.exports import write_warc
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    log = spark.createDataFrame(
+        [
+            ("http://a.com/1", "fetch_success", t0, "<html>one</html>"),
+            ("http://a.com/2", "fetch_success", t0, "cjk \u4e16\u754c two\r\nwith crlf"),
+            ("http://skip.com/", "fetch_gone", t0, None),
+        ],
+        "url string, status string, fetch_time timestamp, content string",
+    )
+    path = str(tmp_path / "warc_out")
+    write_warc(log, path)
+    # .text() writes records line-by-line; read the produced files raw
+    back = read_warc(spark, path + "/*.txt")
+    rows = {r["url"]: r for r in back.collect()}
+    assert set(rows) == {"http://a.com/1", "http://a.com/2"}
+    assert rows["http://a.com/1"]["content"] == "<html>one</html>"
+    assert rows["http://a.com/1"]["warc_type"] == "response"
+    assert rows["http://a.com/1"]["fetch_time"] == t0
+    # multibyte content survives: Content-Length is bytes, not chars
+    assert rows["http://a.com/2"]["content"] == "cjk \u4e16\u754c two\r\nwith crlf"
