@@ -186,3 +186,24 @@ def test_free_generate(spark):
     )
     got = sorted(r["url"] for r in free_generate(urls).collect())
     assert got == ["http://a.com/x", "http://a.com/y"]
+
+
+def test_generate_with_url_filter(spark):
+    """TestGenerator.testFilter: with the filter ON nothing passes a
+    deny-all chain (empty fetchlist); with the filter OFF all three URLs
+    generate. The reference's -filter flag is generate's extra_filter."""
+    from nutch_spark.functions.urls import url_filter_predicate
+    from nutch_spark.operators.generate import generate
+    from tests.test_operators import NOW, db_row, make_db
+
+    db = make_db(
+        spark,
+        [
+            db_row("http://www.example.com/index.html"),
+            db_row("http://www.example.net/index.html"),
+            db_row("http://www.example.org/index.html"),
+        ],
+    )
+    deny_all = url_filter_predicate("url", deny_regex=["."])
+    assert generate(db, 100, extra_filter=deny_all, now=F.lit(NOW)).count() == 0
+    assert generate(db, 100, now=F.lit(NOW)).count() == 3
