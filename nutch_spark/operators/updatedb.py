@@ -126,9 +126,15 @@ def adaptive_interval(
     inc_rate: Column | None = None,
     dec_rate: Column | None = None,
     clamp: bool = True,
+    notmodified: Column | None = None,
 ) -> Column:
     """AdaptiveFetchSchedule interval update (AdaptiveFetchSchedule.java:303-370):
     shrink on change, grow when unchanged, clamp to [min,max].
+
+    Three-state per the reference switch: MODIFIED shrinks, NOTMODIFIED
+    grows, UNKNOWN (no comparable signatures) leaves the interval as is.
+    When ``notmodified`` is omitted the update is two-state (legacy callers:
+    everything not modified grows).
 
     ``inc_rate``/``dec_rate`` may be column expressions — the
     MimeAdaptiveFetchSchedule (MimeAdaptiveFetchSchedule.java:103-126) picks
@@ -136,8 +142,13 @@ def adaptive_interval(
     sync-delta path, which clamps AFTER the delta adjustment (:340-363)."""
     inc = inc_rate if inc_rate is not None else F.lit(float(cfg.adaptive_inc_rate))
     dec = dec_rate if dec_rate is not None else F.lit(float(cfg.adaptive_dec_rate))
-    new_iv = F.when(modified, interval * (F.lit(1.0) - dec)).otherwise(
-        interval * (F.lit(1.0) + inc)
+    grow = (
+        notmodified if notmodified is not None else ~modified
+    )
+    new_iv = (
+        F.when(modified, interval * (F.lit(1.0) - dec))
+        .when(grow, interval * (F.lit(1.0) + inc))
+        .otherwise(interval * F.lit(1.0))
     )
     if not clamp:
         return new_iv
@@ -217,7 +228,15 @@ def update_crawldb(
             & (F.col("db.signature") == new_sig)
         )
     )
-    modified = has_fetch & ~notmodified
+    # strict MODIFIED detection (:253-258): only a success whose signature
+    # provably changed; everything else that is not NOTMODIFIED is UNKNOWN
+    modified = (
+        has_fetch
+        & (F.col("u.fetch_status") == "fetch_success")
+        & F.col("db.signature").isNotNull()
+        & new_sig.isNotNull()
+        & (F.col("db.signature") != new_sig)
+    )
 
     status = (
         F.when(
@@ -255,7 +274,8 @@ def update_crawldb(
             )
             inc, dec = mime_adaptive_rates(ctype, mime_rates, cfg=cfg)
         raw_iv = adaptive_interval(
-            old_interval, modified, cfg=cfg, inc_rate=inc, dec_rate=dec, clamp=False
+            old_interval, modified, cfg=cfg, inc_rate=inc, dec_rate=dec,
+            clamp=False, notmodified=notmodified,
         )
         if cfg.adaptive_sync_delta:
             # Sync with the time of change (AdaptiveFetchSchedule.java:340-357):

@@ -580,3 +580,20 @@ def test_merge_segments_real_status_wins(spark):
     assert out["http://c.com/"]["status"] == "linked"
     assert out["http://c.com/"]["segment"] == "0000002"
     assert out["http://d.com/"]["status"] == "fetch_notmodified"
+
+
+def test_updatedb_adaptive_unknown_keeps_interval(spark):
+    """AdaptiveFetchSchedule.java:340-348 STATUS_UNKNOWN: a success with no
+    comparable signatures must leave the interval untouched (neither the
+    modified shrink nor the notmodified growth applies)."""
+    db = make_db(
+        spark,
+        [db_row("http://u.com/", "db_fetched", interval=1000)],  # no signature
+    )
+    fetches = spark.createDataFrame(
+        [fetch_row("http://u.com/", "fetch_success")],  # no signature either
+        FETCH_SCHEMA,
+    )
+    out = update_crawldb(db, fetches, schedule="adaptive", now=F.lit(NOW)).first()
+    assert out["fetch_interval"] == 1000
+    assert out["status"] == "db_fetched"
