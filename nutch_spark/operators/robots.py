@@ -113,6 +113,23 @@ def filter_allowed(
         "rule_type",
         "prefix",
     )
+    # Wildcard rules (REP/googlebot extensions honored by crawler-commons):
+    # '*' matches any span, a trailing '$' anchors the end. Translate such
+    # rules to a regex ONCE on the (tiny, broadcast) rules side; plain
+    # prefixes keep the cheaper startswith path.
+    ends_anchor = F.col("prefix").endswith("$")
+    core = F.when(
+        ends_anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    escaped = F.regexp_replace(core, r"([.\\+?\[\]^$(){}|])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit("*"), F.lit(".*")),
+        F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    r = r.withColumn(
+        "_wild", F.col("prefix").contains("*") | ends_anchor
+    ).withColumn("_pattern", F.when(F.col("_wild"), pattern))
     fl = (
         fetchlist.withColumn("_rid", F.monotonically_increasing_id())
         .withColumn("_host", url_host(url))
@@ -123,9 +140,12 @@ def filter_allowed(
             ),
         )
     )
+    matches = F.when(
+        F.col("_wild"), F.regexp_like(F.col("_path"), F.col("_pattern"))
+    ).otherwise(F.col("_path").startswith(F.col("prefix")))
     joined = fl.join(
         F.broadcast(r),
-        (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(F.col("prefix")),
+        (F.col("_host") == F.col("_rhost")) & matches,
         "left",
     )
     # Longest matching rule wins; exact-agent rules outrank '*' at equal

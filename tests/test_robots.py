@@ -85,3 +85,32 @@ def test_robots_sitemaps_and_index_expansion(spark):
     )
     kids = {r["sitemap_url"] for r in expand_sitemap_index(idx).collect()}
     assert kids == {"http://a.com/p1.xml", "http://a.com/p2.xml"}
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    # REP wildcard extensions: '*' spans, trailing '$' anchors. A *.pdf$
+    # disallow blocks pdfs anywhere in the path; /private*/x blocks across
+    # the wildcard span; the anchor does NOT block a longer path.
+    from nutch_spark.operators.robots import filter_allowed, parse_robots
+
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /private*/x\nAllow: /")],
+        "host string, content string",
+    )
+    rules = parse_robots(robots)
+    fl = spark.createDataFrame(
+        [
+            ("http://h.com/a/doc.pdf",),        # blocked by /*.pdf$
+            ("http://h.com/a/doc.pdf.html",),   # NOT blocked ($ anchor)
+            ("http://h.com/private123/x",),     # blocked by /private*/x
+            ("http://h.com/private123/y",),     # allowed
+            ("http://h.com/ok",),
+        ],
+        "url string",
+    )
+    got = sorted(r["url"] for r in filter_allowed(fl, rules).collect())
+    assert got == [
+        "http://h.com/a/doc.pdf.html",
+        "http://h.com/ok",
+        "http://h.com/private123/y",
+    ]
