@@ -762,4 +762,66 @@ def p2_html_parse(spark, sf_dir):
 
 
 
+
+_ROBOTS_RULES = [
+    # (host, agent, rule_type, prefix) — literal rule set shared with SQL
+    ("h0.com", "*", "disallow", "/p1"),
+    ("h0.com", "*", "allow", "/p12"),
+    ("h1.com", "*", "disallow", "/"),
+    ("h1.com", "nutch", "allow", "/p2"),
+    ("h2.com", "*", "allow", "/"),
+]
+
+_ROBOTS_RULES_SQL = "(VALUES " + ", ".join(
+    f"('{h}', '{a}', '{t}', '{p}')" for h, a, t, p in _ROBOTS_RULES
+) + ") AS r(rhost, ragent, rule_type, prefix)"
+
+
+@q(
+    "p4_robots_policy",
+    f"""
+    WITH fl AS (
+      SELECT DISTINCT 'http://h' || CAST(user_id % 4 AS VARCHAR) || '.com/p'
+               || CAST(event_id % 30 AS VARCHAR) AS url,
+             'h' || CAST(user_id % 4 AS VARCHAR) || '.com' AS host,
+             '/p' || CAST(event_id % 30 AS VARCHAR) AS path
+      FROM events
+    ),
+    j AS (
+      SELECT fl.url, r.rule_type, r.prefix, r.ragent,
+             row_number() OVER (
+               PARTITION BY fl.url
+               ORDER BY length(r.prefix) DESC,
+                        CASE WHEN r.ragent = 'nutch' THEN 0 ELSE 1 END,
+                        CASE WHEN r.rule_type = 'allow' THEN 0 ELSE 1 END) AS rk
+      FROM fl LEFT JOIN {_ROBOTS_RULES_SQL}
+        ON fl.host = r.rhost AND starts_with(fl.path, r.prefix)
+           AND r.ragent IN ('nutch', '*')
+    )
+    SELECT url FROM j
+    WHERE rk = 1 AND (rule_type IS NULL OR rule_type = 'allow')
+    """,
+)
+def p4_robots_policy(spark, sf_dir):
+    """Robots longest-match policy end to end (P4): a literal rule set over
+    synthetic per-host fetchlists through the REAL filter_allowed operator
+    (broadcast rules, one ranking window per row) — the oracle replays the
+    identical precedence: longest prefix, exact agent over '*', Allow wins
+    ties, no rule = allowed."""
+    from nutch_spark.operators.robots import filter_allowed
+
+    ev = t(spark, sf_dir, "events")
+    fl = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 4).cast("string"),
+            F.lit(".com/p"), (F.col("event_id") % 30).cast("string"),
+        ).alias("url")
+    ).distinct()
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, agent string, rule_type string, prefix string"
+    )
+    return filter_allowed(fl, rules, agent="nutch").select("url")
+
+
+
 assert "a10_anchor_dedup" in REGISTRY
