@@ -111,12 +111,12 @@ def mimetype_filter_predicate(
     white/blacklist (prefix semantics: 'text' matches 'text/html'). An
     allow list, when present, wins over everything not on it."""
     c = F.col(mime) if isinstance(mime, str) else mime
-    pred = F.lit(True)
-    for d in deny:
-        pred = pred & ~c.startswith(d)
-    if allow:
+    if allow:  # a whitelist, when present, is the whole policy
         allowed = F.lit(False)
         for a in allow:
             allowed = allowed | c.startswith(a)
-        pred = allowed
+        return allowed
+    pred = F.lit(True)
+    for d in deny:
+        pred = pred & ~c.startswith(d)
     return pred

@@ -290,6 +290,8 @@ def regex_parse_filter(
     Pure rlike columns — codegen'd, no UDF."""
     out = parse_data
     for field, (source, regex) in sorted(rules.items()):
+        if source not in ("html", "text"):  # RegexParseFilter rejects these
+            raise ValueError(f"unknown parsefilter source {source!r} for {field!r}")
         col = html_col if source == "html" else text_col
         out = out.withColumn(
             f"pf_{field}",

@@ -104,15 +104,26 @@ def filter_allowed(
     agent: str = "*",
     url: str = "url",
 ) -> DataFrame:
-    """Keep fetchlist rows allowed by the longest-matching rule for ``agent``
-    (exact agent rules win over the ``*`` group, RobotRulesParser agent
-    resolution). No matching rule → allowed."""
-    r = rules.filter(F.col("agent").isin(agent.lower(), "*")).select(
+    """Keep fetchlist rows allowed by the longest-matching rule for ``agent``.
+
+    Agent-group resolution per REP / crawler-commons RobotRulesParser: when a
+    host has a group for the EXACT agent, that group applies EXCLUSIVELY —
+    the ``*`` group is ignored for that host; hosts without an exact group
+    fall back to ``*``. No matching rule → allowed."""
+    from pyspark.sql import Window as _W
+
+    cand = rules.filter(F.col("agent").isin(agent.lower(), "*")).select(
         F.col("host").alias("_rhost"),
         F.col("agent").alias("_ragent"),
         "rule_type",
         "prefix",
     )
+    has_exact = F.max((F.col("_ragent") == agent.lower()).cast("int")).over(
+        _W.partitionBy("_rhost")
+    )
+    r = cand.withColumn("_has_exact", has_exact).filter(
+        (F.col("_has_exact") == 1) == (F.col("_ragent") == agent.lower())
+    ).drop("_has_exact")
     # Wildcard rules (REP/googlebot extensions honored by crawler-commons):
     # '*' matches any span, a trailing '$' anchors the end. Translate such
     # rules to a regex ONCE on the (tiny, broadcast) rules side; plain
@@ -148,13 +159,12 @@ def filter_allowed(
         (F.col("_host") == F.col("_rhost")) & matches,
         "left",
     )
-    # Longest matching rule wins; exact-agent rules outrank '*' at equal
-    # length; an equal-length Allow beats Disallow (crawler-commons / REP §2.2
-    # tie resolution). Partition by the row id, not the URL, so duplicate
+    # Longest matching rule of the (already exclusive) agent group wins; an
+    # equal-length Allow beats Disallow (crawler-commons / REP §2.2 tie
+    # resolution). Partition by the row id, not the URL, so duplicate
     # fetchlist rows sharing a URL each get their own verdict.
     w = Window.partitionBy("_rid").orderBy(
         F.desc(F.length(F.coalesce("prefix", F.lit("")))),
-        F.when(F.col("_ragent") == agent.lower(), 0).otherwise(1),
         F.when(F.col("rule_type") == "allow", 0).otherwise(1),
     )
     verdict = (
@@ -167,7 +177,10 @@ def filter_allowed(
     )
     return (
         verdict.filter(F.col("_allowed"))
-        .drop("_rid", "_rhost", "_ragent", "rule_type", "prefix", "_rn", "_allowed", "_host", "_path")
+        .drop(
+            "_rid", "_rhost", "_ragent", "rule_type", "prefix", "_rn",
+            "_allowed", "_host", "_path", "_wild", "_pattern",
+        )
     )
 
 

@@ -142,8 +142,12 @@ def adaptive_interval(
     sync-delta path, which clamps AFTER the delta adjustment (:340-363)."""
     inc = inc_rate if inc_rate is not None else F.lit(float(cfg.adaptive_inc_rate))
     dec = dec_rate if dec_rate is not None else F.lit(float(cfg.adaptive_dec_rate))
+    # legacy two-state callers: NULL modified must still GROW (the old
+    # otherwise-branch behavior) — coalesce before negating
     grow = (
-        notmodified if notmodified is not None else ~modified
+        notmodified
+        if notmodified is not None
+        else ~F.coalesce(modified, F.lit(False))
     )
     new_iv = (
         F.when(modified, interval * (F.lit(1.0) - dec))

@@ -787,16 +787,20 @@ _ROBOTS_RULES_SQL = "(VALUES " + ", ".join(
              '/p' || CAST(event_id % 30 AS VARCHAR) AS path
       FROM events
     ),
+    rall AS (
+      SELECT *, max(CASE WHEN ragent = 'nutch' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY rhost) AS hx
+      FROM {_ROBOTS_RULES_SQL} WHERE ragent IN ('nutch', '*')
+    ),
+    rg AS (SELECT * FROM rall WHERE (hx = 1) = (ragent = 'nutch')),
     j AS (
-      SELECT fl.url, r.rule_type, r.prefix, r.ragent,
+      SELECT fl.url, r.rule_type, r.prefix,
              row_number() OVER (
                PARTITION BY fl.url
                ORDER BY length(r.prefix) DESC,
-                        CASE WHEN r.ragent = 'nutch' THEN 0 ELSE 1 END,
                         CASE WHEN r.rule_type = 'allow' THEN 0 ELSE 1 END) AS rk
-      FROM fl LEFT JOIN {_ROBOTS_RULES_SQL}
+      FROM fl LEFT JOIN rg r
         ON fl.host = r.rhost AND starts_with(fl.path, r.prefix)
-           AND r.ragent IN ('nutch', '*')
     )
     SELECT url FROM j
     WHERE rk = 1 AND (rule_type IS NULL OR rule_type = 'allow')
@@ -806,8 +810,9 @@ def p4_robots_policy(spark, sf_dir):
     """Robots longest-match policy end to end (P4): a literal rule set over
     synthetic per-host fetchlists through the REAL filter_allowed operator
     (broadcast rules, one ranking window per row) — the oracle replays the
-    identical precedence: longest prefix, exact agent over '*', Allow wins
-    ties, no rule = allowed."""
+    identical semantics: the exact-agent group applies EXCLUSIVELY when
+    present (crawler-commons group resolution), longest prefix wins, Allow
+    wins ties, no rule = allowed."""
     from nutch_spark.operators.robots import filter_allowed
 
     ev = t(spark, sf_dir, "events")

@@ -106,21 +106,27 @@ def parse_arc_bytes(data: bytes, source: str) -> list[dict]:
     return records
 
 
+def _read_records(spark: SparkSession, path: str, parser, schema) -> DataFrame:
+    """Shared import scaffold: binaryFile scan (one task per file) →
+    mapInPandas exploding each file's records with ``parser``."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                out.extend(parser(bytes(row.content), row.path))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, schema)
+
+
 def read_arc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed ARC import: one task per file, records exploded in
     Arrow batches. Returns ARC_SCHEMA rows ready for the parse/updatedb
     pipeline (ArcSegmentCreator.java's output shape)."""
-    files = spark.read.format("binaryFile").load(path)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in ARC_SCHEMA.fields]
-        for pdf in batches:
-            out: list[dict] = []
-            for row in pdf.itertuples(index=False):
-                out.extend(parse_arc_bytes(bytes(row.content), row.path))
-            yield pd.DataFrame(out, columns=cols)
-
-    return files.select("path", "content").mapInPandas(run, ARC_SCHEMA)
+    return _read_records(spark, path, parse_arc_bytes, ARC_SCHEMA)
 
 
 WARC_SCHEMA = T.StructType(
@@ -140,13 +146,7 @@ def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
     Header block = lines until the blank line; the payload is
     Content-Length bytes. Truncated/garbled records are skipped, never
     fatal (an import must survive a bad chunk)."""
-    import gzip as _gzip
-
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = _gzip.decompress(data)
-        except OSError:
-            return []
+    data = _decompress(data)  # shared gzip path (multi-member, EOF-safe)
     out: list[dict] = []
     pos = 0
     while True:
@@ -166,6 +166,8 @@ def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:  # missing/garbled/negative: skip record, keep moving
             pos = head_end + 4
             continue
         body = data[head_end + 4 : head_end + 4 + length]
@@ -187,7 +189,9 @@ def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
                 "source_file": source,
             }
         )
-        pos = head_end + 4 + length
+        # always advance strictly past this header block — a lying
+        # Content-Length must never re-find the same record (no hangs)
+        pos = max(head_end + 4 + length, head_end + 4)
     return out
 
 
@@ -195,14 +199,4 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC import (the CommonCrawl input format): one task per
     file via binaryFile, records exploded in Arrow batches — the mirror of
     ``sources.exports.write_warc`` and the same shape ``read_arc`` emits."""
-    files = spark.read.format("binaryFile").load(path)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            out: list[dict] = []
-            for row in pdf.itertuples(index=False):
-                out.extend(parse_warc_bytes(bytes(row.content), row.path))
-            yield pd.DataFrame(out, columns=cols)
-
-    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+    return _read_records(spark, path, parse_warc_bytes, WARC_SCHEMA)

@@ -188,3 +188,22 @@ def test_warc_round_trip(spark, tmp_path):
     assert rows["http://a.com/1"]["fetch_time"] == t0
     # multibyte content survives: Content-Length is bytes, not chars
     assert rows["http://a.com/2"]["content"] == "cjk \u4e16\u754c two\r\nwith crlf"
+
+
+def test_warc_parser_survives_corrupt_records():
+    import gzip
+
+    from nutch_spark.sources.arc import parse_warc_bytes
+
+    # negative Content-Length must not hang or kill the record stream
+    evil = (
+        b"WARC/1.0\r\nContent-Length: -100\r\nWARC-Target-URI: http://bad/\r\n\r\nx"
+        b"WARC/1.0\r\nContent-Length: 2\r\nWARC-Target-URI: http://ok/\r\n\r\nab"
+    )
+    assert [r["url"] for r in parse_warc_bytes(evil, "f")] == ["http://ok/"]
+    # truncated gzip yields no rows instead of raising
+    trunc = gzip.compress(b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab")[:10]
+    assert parse_warc_bytes(trunc, "f") == []
+    # garbled header (non-numeric length) skipped
+    garb = b"WARC/1.0\r\nContent-Length: zz\r\n\r\nWARC/1.0\r\nContent-Length: 1\r\nWARC-Target-URI: http://g/\r\n\r\nz"
+    assert [r["url"] for r in parse_warc_bytes(garb, "f")] == ["http://g/"]

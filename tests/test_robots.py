@@ -58,8 +58,11 @@ def test_filter_allowed_longest_match(spark):
 
     nutch = {r["url"] for r in filter_allowed(fl, rules, agent="nutch").collect()}
     assert "http://a.com/nutch-only/x" not in nutch          # agent rule applies
-    assert "http://a.com/private/public/x" in nutch          # inherits '*' allow
-    assert "http://a.com/private/x" not in nutch             # inherits '*' disallow
+    # crawler-commons group resolution: a.com HAS a nutch group, so the '*'
+    # group is ignored entirely for agent nutch — /private/* has no matching
+    # rule in the nutch group and is therefore allowed
+    assert "http://a.com/private/public/x" in nutch
+    assert "http://a.com/private/x" in nutch
     assert "http://other.com/private/x" in nutch
 
 
