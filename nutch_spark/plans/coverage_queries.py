@@ -829,4 +829,37 @@ def p4_robots_policy(spark, sf_dir):
 
 
 
+
+@q(
+    "s10_sitemap_parse",
+    """
+    SELECT 'http://s' || CAST(doc_id AS VARCHAR) || '.com/p' || CAST(n AS VARCHAR) AS url,
+           CASE WHEN n = 1 THEN 'daily' ELSE 'weekly' END AS changefreq,
+           CASE WHEN n = 1 THEN '0.8' ELSE '0.3' END AS priority
+    FROM documents, (VALUES (1), (2)) AS i(n)
+    """,
+)
+def s10_sitemap_parse(spark, sf_dir):
+    """Sitemap source end to end (S10): a two-entry sitemap per document
+    through the real parse_sitemap regexp extraction; the oracle emits the
+    expected (url, metadata) rows directly."""
+    from nutch_spark.sources.exports import parse_sitemap
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://s"), k, F.lit(".com/p1</loc>"),
+        F.lit("<changefreq>daily</changefreq><priority>0.8</priority></url>"),
+        F.lit("<url><loc> http://s"), k, F.lit(".com/p2 </loc>"),
+        F.lit("<changefreq>weekly</changefreq><priority>0.3</priority></url></urlset>"),
+    )
+    out = parse_sitemap(d.select(xml.alias("content")))
+    return out.select(
+        "url",
+        F.element_at("metadata", "sitemap.changefreq").alias("changefreq"),
+        F.element_at("metadata", "sitemap.priority").alias("priority"),
+    )
+
+
+
 assert "a10_anchor_dedup" in REGISTRY
