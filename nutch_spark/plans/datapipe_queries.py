@@ -1025,3 +1025,47 @@ def dp_split(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return train_val_test_split(d)
+
+
+@q(
+    "dp_cross_corpus_dedup",
+    f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 600000, text || ' fresh addendum content'
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    f1 AS (SELECT md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
+           FROM v1),
+    f2 AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
+           FROM v2)
+    SELECT f2.doc_id, f2.f NOT IN (SELECT f FROM f1) AS is_new
+    FROM f2
+    """,
+)
+def dp_cross_corpus_dedup(spark, sf_dir):
+    """Incremental corpus refresh: version-2 documents anti-joined against
+    the version-1 fingerprint set — exact re-crawls are recognized as old,
+    modified documents as new. One broadcast-or-shuffle semi-join on the
+    fingerprint; the primitive behind 'only train on what changed'."""
+    from nutch_spark.datapipe.textstats import fingerprint
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat("text", F.lit(" fresh addendum content")).alias("text"),
+            )
+        )
+    )
+    v1_fp = d.select(fingerprint(F.col("text")).alias("f")).distinct()
+    f2 = v2.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    seen = f2.join(v1_fp, "f", "left_semi").select("doc_id", F.lit(False).alias("is_new"))
+    fresh = f2.join(v1_fp, "f", "left_anti").select("doc_id", F.lit(True).alias("is_new"))
+    return seen.unionByName(fresh)
