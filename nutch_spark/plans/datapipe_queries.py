@@ -1069,3 +1069,45 @@ def dp_cross_corpus_dedup(spark, sf_dir):
     seen = f2.join(v1_fp, "f", "left_semi").select("doc_id", F.lit(False).alias("is_new"))
     fresh = f2.join(v1_fp, "f", "left_anti").select("doc_id", F.lit(True).alias("is_new"))
     return seen.unionByName(fresh)
+
+
+def _lsh_recall_oracle() -> str:
+    cosine_sql = REGISTRY["dp_cosine_topk"][1]
+    lsh_sql = REGISTRY["dp_lsh_topk"][1]
+    return f"""
+    WITH exact AS ({cosine_sql}),
+    lsh AS ({lsh_sql}),
+    hits AS (
+      SELECT e.query_id, count(l.neighbor_id) AS n_hit
+      FROM exact e LEFT JOIN lsh l
+        ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
+    """
+
+
+@q("dp_lsh_recall", _lsh_recall_oracle())
+def dp_lsh_recall(spark, sf_dir):
+    """Measured approximation quality: recall@5 of hyperplane-LSH ANN
+    against the exact brute-force ranking, per query — the number a user
+    tunes tables/bits against. Both sides reuse the already-certified
+    operators; the oracle composes their certified SQL twins."""
+    from nutch_spark.datapipe.similarity import brute_force_topk, lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, qs, k=5, round_sim=6).select(
+        F.col("query_id").alias("_lq"), F.col("neighbor_id").alias("_ln"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            lsh,
+            (exact["query_id"] == F.col("_lq")) & (exact["neighbor_id"] == F.col("_ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
+    )
