@@ -324,16 +324,42 @@ def emit_parse_rows(
     *,
     cfg: NutchConfig = DEFAULT,
     urlmeta_keys: tuple[str, ...] = (),
+    normalize: bool = True,
+    filter_predicate=None,
 ) -> DataFrame:
     """P3: per parsed page emit linked/signature carrier rows
     (ParseOutputFormat.java:150-362): one ``linked`` row per outlink target
-    carrying the OPIC share = parent_score/outlink_count (D3), plus one
-    ``signature`` row for the source page.
+    carrying the OPIC share = parent_score/valid_outlink_count (D3), plus
+    one ``signature`` row for the source page.
+
+    Outlink hygiene per ParseOutputFormat.java:204-217: every target is
+    NORMALIZED (``normalize``, parse.normalize.urls default true) and may be
+    filtered (``filter_predicate``: url Column → boolean Column); both run
+    on the outlink ARRAY before the share is computed, so the OPIC share
+    divides by the reference's validCount — the number of outlinks that
+    actually survive — with no extra shuffle.
 
     ``urlmeta_keys`` (urlmeta plugin, URLMetaScoringFilter.
     distributeScoreToOutlinks): the listed parse-meta tags propagate from
     the parent page onto every linked row as a ``metadata`` map, so frontier
     URLs inherit their discoverer's tags."""
+    from nutch_spark.functions.urls import normalize_url
+
+    links_arr: Column = F.col("outlinks")
+    if normalize:
+        links_arr = F.filter(
+            F.transform(
+                links_arr,
+                lambda o: F.struct(
+                    normalize_url(o["to_url"]).alias("to_url"),
+                    o["anchor"].alias("anchor"),
+                ),
+            ),
+            lambda o: o["to_url"].isNotNull(),
+        )
+    if filter_predicate is not None:
+        links_arr = F.filter(links_arr, lambda o: filter_predicate(o["to_url"]))
+    parse_data = parse_data.withColumn("outlinks", links_arr)
     scored = parse_data
     if crawldb_scores is not None:
         scored = parse_data.join(

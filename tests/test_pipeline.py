@@ -314,3 +314,32 @@ def test_fetch_content_limit_is_bytes(spark):
     assert row["metadata"]["_truncated_"] == "1"
     assert len(row["content"].encode("utf-8")) <= 30
     assert len(row["content"]) == 10  # clean character boundary
+
+
+def test_emit_parse_rows_normalizes_and_filters_outlinks(spark):
+    # ParseOutputFormat.java:204-217: outlinks are normalized and filtered
+    # BEFORE the OPIC share is computed (share divides by validCount)
+    from nutch_spark.operators.fetcher import emit_parse_rows
+
+    parse_data = spark.createDataFrame(
+        [
+            (
+                "http://src.com/",
+                [
+                    ("HTTP://A.com:80/x#frag", ""),   # normalizes
+                    ("http://b.com/keep", ""),
+                    ("http://spam.com/x", ""),         # filtered out
+                ],
+                b"sig",
+            )
+        ],
+        "url string, outlinks array<struct<to_url:string,anchor:string>>, signature binary",
+    )
+    out = emit_parse_rows(
+        parse_data,
+        filter_predicate=lambda u: ~u.contains("spam.com"),
+    )
+    linked = {r["url"]: r for r in out.filter(F.col("status") == "linked").collect()}
+    assert set(linked) == {"http://a.com/x", "http://b.com/keep"}
+    # share = 1.0 / validCount(=2), not /3
+    assert abs(linked["http://b.com/keep"]["score"] - 0.5) < 1e-6
