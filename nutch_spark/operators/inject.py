@@ -30,9 +30,27 @@ def inject(
     *,
     cfg: NutchConfig = DEFAULT,
     now=None,
+    normalize: bool = True,
+    filter_predicate=None,
 ) -> DataFrame:
-    """Merge seed URLs into the crawldb. ``seeds`` has (url, metadata)."""
+    """Merge seed URLs into the crawldb. ``seeds`` has (url, metadata).
+
+    Seeds are NORMALIZED (and optionally filtered) before the merge, like
+    the reference's InjectMapper (Injector.java:113-180, on by default,
+    -noNormalize/-noFilter to disable): malformed seeds normalize to NULL
+    and drop instead of polluting the db."""
     now = now if now is not None else F.current_timestamp()
+
+    if normalize:
+        from nutch_spark.functions.urls import normalize_url
+
+        seeds = seeds.withColumn("url", normalize_url("url")).filter(
+            F.col("url").isNotNull()
+            # scheme-less garbage = the reference's MalformedURLException drop
+            & F.col("url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+        )
+    if filter_predicate is not None:
+        seeds = seeds.filter(filter_predicate(F.col("url")))
 
     seed_score = F.coalesce(
         F.element_at("metadata", "nutch.score").cast("float"),

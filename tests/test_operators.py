@@ -597,3 +597,17 @@ def test_updatedb_adaptive_unknown_keeps_interval(spark):
     out = update_crawldb(db, fetches, schedule="adaptive", now=F.lit(NOW)).first()
     assert out["fetch_interval"] == 1000
     assert out["status"] == "db_fetched"
+
+
+def test_inject_normalizes_and_drops_malformed_seeds(spark):
+    # Injector.java:113-180: seeds normalize before merging; garbage drops
+    db = make_db(spark, [])
+    seeds = spark.createDataFrame(
+        [
+            ("HTTP://Seed.COM:80/a#frag", {}),
+            ("not a url at all", {}),
+        ],
+        "url string, metadata map<string,string>",
+    )
+    out = [r["url"] for r in inject(db, seeds, now=F.lit(NOW)).collect()]
+    assert out == ["http://seed.com/a"]
