@@ -200,3 +200,54 @@ def robots_sitemaps(
     return robots.select(
         F.col(host).alias("host"), F.explode(urls).alias("sitemap_url")
     )
+
+
+def apply_robots_delays(
+    fetchlist: DataFrame,
+    delays: DataFrame,
+    *,
+    agent: str = "*",
+    url: str = "url",
+    max_crawl_delay_s: float = 30.0,
+) -> DataFrame:
+    """Stamp robots Crawl-delay onto the fetchlist as the fetcher's
+    ``_variableFetchDelay_`` metadata (ms) — the FetchItemQueue crawlDelay
+    wiring of the reference, with ``fetcher.max.crawl.delay`` capping a
+    hostile robots.txt (Fetcher honors at most 30 s by default). Exact
+    agent rows outrank the ``*`` group; hosts without a directive keep
+    their existing metadata untouched. Broadcast join on host."""
+    d = (
+        delays.filter(F.col("agent").isin(agent.lower(), "*"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.when(F.col("agent") == agent.lower(), 0).otherwise(1)
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("host").alias("_dhost"),
+            F.least(F.col("crawl_delay_s"), F.lit(float(max_crawl_delay_s))).alias(
+                "_delay_s"
+            ),
+        )
+    )
+    fl = fetchlist
+    if "metadata" not in fl.columns:
+        fl = fl.withColumn("metadata", F.create_map().cast("map<string,string>"))
+    out = fl.withColumn("_fhost", url_host(url)).join(
+        F.broadcast(d), F.col("_fhost") == F.col("_dhost"), "left"
+    )
+    stamped = F.when(
+        F.col("_delay_s").isNotNull(),
+        F.map_concat(
+            F.coalesce("metadata", F.create_map().cast("map<string,string>")),
+            F.create_map(
+                F.lit("_variableFetchDelay_"),
+                (F.col("_delay_s") * 1000).cast("long").cast("string"),
+            ),
+        ),
+    ).otherwise(F.col("metadata"))
+    return out.withColumn("metadata", stamped).drop("_fhost", "_dhost", "_delay_s")

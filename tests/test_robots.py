@@ -117,3 +117,24 @@ def test_robots_wildcard_and_anchor_rules(spark):
         "http://h.com/ok",
         "http://h.com/private123/y",
     ]
+
+
+def test_apply_robots_delays(spark):
+    from nutch_spark.operators.robots import apply_robots_delays, crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 7\nUser-agent: nutch\nCrawl-delay: 2"),
+            ("hostile.com", "User-agent: *\nCrawl-delay: 9999"),
+        ],
+        "host string, content string",
+    )
+    delays = crawl_delays(robots)
+    fl = spark.createDataFrame(
+        [("http://slow.com/a",), ("http://hostile.com/b",), ("http://free.com/c",)],
+        "url string",
+    )
+    out = {r["url"]: r["metadata"] for r in apply_robots_delays(fl, delays, agent="nutch").collect()}
+    assert out["http://slow.com/a"]["_variableFetchDelay_"] == "2000"  # exact agent wins
+    assert out["http://hostile.com/b"]["_variableFetchDelay_"] == "30000"  # capped
+    assert "_variableFetchDelay_" not in out["http://free.com/c"]
