@@ -43,6 +43,7 @@ def brute_force_topk(
     vec: str = "embedding",
     key: str = "vec_id",
     k: int = 5,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (query_id, neighbor_id, cosine_sim).
 
@@ -59,9 +60,15 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            (
+                F.round(cosine(F.col("_qv"), F.col("_cv")), round_sim)
+                if round_sim is not None
+                else cosine(F.col("_qv"), F.col("_cv"))
+            ).alias("cosine_sim"),
         )
     )
+    # round_sim: rank on the ROUNDED value + id tie-break so float
+    # accumulation order can never flip a cross-engine comparison
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -355,7 +355,10 @@ def emit_parse_rows(
                     o["anchor"].alias("anchor"),
                 ),
             ),
-            lambda o: o["to_url"].isNotNull(),
+            lambda o: o["to_url"].isNotNull()
+            # schemeless/relative/mailto survivors = ParseOutputFormat's
+            # toUrl == null drop (normalize passes unparseable through)
+            & o["to_url"].rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
         )
     if filter_predicate is not None:
         links_arr = F.filter(links_arr, lambda o: filter_predicate(o["to_url"]))

@@ -122,20 +122,13 @@ def generate(
             )
         df = df.join(F.broadcast(hostdb.select(*sel)), "_grp", "left")
         if fetch_delay_expr:
-            delay = F.create_map(
-                F.lit("_variableFetchDelay_"), F.col("_var_delay").cast("string")
-            )
+            from nutch_spark.functions.maps import map_put
+
             df = df.withColumn(
                 "metadata",
                 F.when(
                     F.col("_var_delay").isNotNull(),
-                    F.map_concat(
-                        F.coalesce(
-                            F.col("metadata"),
-                            F.create_map().cast("map<string,string>"),
-                        ),
-                        delay,
-                    ),
+                    map_put("metadata", "_variableFetchDelay_", F.col("_var_delay")),
                 ).otherwise(F.col("metadata")),
             ).drop("_var_delay")
 

@@ -51,6 +51,13 @@ def inject(
         )
     if filter_predicate is not None:
         seeds = seeds.filter(filter_predicate(F.col("url")))
+    # distinct seed strings can normalize to one URL — keep exactly one row
+    # per url (deterministic pick) so the url-keyed db invariant holds
+    seeds = seeds.groupBy("url").agg(
+        F.min_by(
+            "metadata", F.md5(F.coalesce(F.to_json("metadata"), F.lit("")))
+        ).alias("metadata")
+    )
 
     seed_score = F.coalesce(
         F.element_at("metadata", "nutch.score").cast("float"),

@@ -209,20 +209,44 @@ def apply_robots_delays(
     agent: str = "*",
     url: str = "url",
     max_crawl_delay_s: float = 30.0,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Stamp robots Crawl-delay onto the fetchlist as the fetcher's
     ``_variableFetchDelay_`` metadata (ms) — the FetchItemQueue crawlDelay
     wiring of the reference, with ``fetcher.max.crawl.delay`` capping a
-    hostile robots.txt (Fetcher honors at most 30 s by default). Exact
-    agent rows outrank the ``*`` group; hosts without a directive keep
-    their existing metadata untouched. Broadcast join on host."""
+    hostile robots.txt (Fetcher honors at most 30 s by default). Hosts
+    without a directive keep their existing metadata untouched (re-stamping
+    is duplicate-key safe). Broadcast join on host.
+
+    Agent groups resolve EXCLUSIVELY like ``filter_allowed``: pass
+    ``groups`` (the ``parse_robots`` rules, or any (host, agent) frame) so
+    a host whose robots.txt has an exact-agent group without a Crawl-delay
+    is NOT throttled by the ``*`` group's delay. Without ``groups`` the
+    exact/``*`` resolution falls back to the delay rows alone.
+    """
+    cand = delays.filter(F.col("agent").isin(agent.lower(), "*"))
+    if groups is not None:
+        host_has_exact = (
+            groups.filter(F.col("agent") == agent.lower())
+            .select(F.col("host").alias("_gh"))
+            .distinct()
+            .withColumn("_exact_group", F.lit(True))
+        )
+        cand = (
+            cand.join(host_has_exact, cand["host"] == F.col("_gh"), "left")
+            .filter(
+                F.coalesce(F.col("_exact_group"), F.lit(False))
+                == (F.col("agent") == agent.lower())
+            )
+            .drop("_gh", "_exact_group")
+        )
     d = (
-        delays.filter(F.col("agent").isin(agent.lower(), "*"))
-        .withColumn(
+        cand.withColumn(
             "_rk",
             F.row_number().over(
                 Window.partitionBy("host").orderBy(
-                    F.when(F.col("agent") == agent.lower(), 0).otherwise(1)
+                    F.when(F.col("agent") == agent.lower(), 0).otherwise(1),
+                    F.desc("crawl_delay_s"),  # deterministic: politest wins
                 )
             ),
         )
@@ -240,14 +264,14 @@ def apply_robots_delays(
     out = fl.withColumn("_fhost", url_host(url)).join(
         F.broadcast(d), F.col("_fhost") == F.col("_dhost"), "left"
     )
+    from nutch_spark.functions.maps import map_put
+
     stamped = F.when(
         F.col("_delay_s").isNotNull(),
-        F.map_concat(
-            F.coalesce("metadata", F.create_map().cast("map<string,string>")),
-            F.create_map(
-                F.lit("_variableFetchDelay_"),
-                (F.col("_delay_s") * 1000).cast("long").cast("string"),
-            ),
+        map_put(
+            "metadata",
+            "_variableFetchDelay_",
+            (F.col("_delay_s") * 1000).cast("long"),
         ),
     ).otherwise(F.col("metadata"))
     return out.withColumn("metadata", stamped).drop("_fhost", "_dhost", "_delay_s")

@@ -1042,7 +1042,8 @@ def dp_split(spark, sf_dir):
     f2 AS (SELECT doc_id,
                   md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
            FROM v2)
-    SELECT f2.doc_id, f2.f NOT IN (SELECT f FROM f1) AS is_new
+    SELECT f2.doc_id,
+           NOT EXISTS (SELECT 1 FROM f1 WHERE f1.f = f2.f) AS is_new
     FROM f2
     """,
 )
@@ -1097,7 +1098,9 @@ def dp_lsh_recall(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
+        "query_id", "neighbor_id"
+    )
     lsh = lsh_topk(emb, qs, k=5, round_sim=6).select(
         F.col("query_id").alias("_lq"), F.col("neighbor_id").alias("_ln"),
         F.lit(1).alias("_hit"),

@@ -611,3 +611,18 @@ def test_inject_normalizes_and_drops_malformed_seeds(spark):
     )
     out = [r["url"] for r in inject(db, seeds, now=F.lit(NOW)).collect()]
     assert out == ["http://seed.com/a"]
+
+
+def test_inject_dedupes_normalizing_seeds(spark):
+    # distinct seed strings normalizing to one URL must yield ONE db row
+    db = make_db(spark, [])
+    seeds = spark.createDataFrame(
+        [
+            ("http://a.com/", {}),
+            ("HTTP://A.COM:80/", {}),
+            ("http://a.com/#top", {}),
+        ],
+        "url string, metadata map<string,string>",
+    )
+    out = inject(db, seeds, now=F.lit(NOW)).collect()
+    assert len(out) == 1 and out[0]["url"] == "http://a.com/"

@@ -343,3 +343,16 @@ def test_emit_parse_rows_normalizes_and_filters_outlinks(spark):
     assert set(linked) == {"http://a.com/x", "http://b.com/keep"}
     # share = 1.0 / validCount(=2), not /3
     assert abs(linked["http://b.com/keep"]["score"] - 0.5) < 1e-6
+
+
+def test_emit_parse_rows_drops_schemeless_outlinks(spark):
+    from nutch_spark.operators.fetcher import emit_parse_rows
+
+    parse_data = spark.createDataFrame(
+        [("http://s.com/", [("/relative", ""), ("mailto:a@b.c", ""),
+                            ("http://ok.com/x", "")], b"sig")],
+        "url string, outlinks array<struct<to_url:string,anchor:string>>, signature binary",
+    )
+    linked = emit_parse_rows(parse_data).filter(F.col("status") == "linked").collect()
+    assert [r["url"] for r in linked] == ["http://ok.com/x"]
+    assert abs(linked[0]["score"] - 1.0) < 1e-6  # share over validCount=1

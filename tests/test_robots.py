@@ -138,3 +138,31 @@ def test_apply_robots_delays(spark):
     assert out["http://slow.com/a"]["_variableFetchDelay_"] == "2000"  # exact agent wins
     assert out["http://hostile.com/b"]["_variableFetchDelay_"] == "30000"  # capped
     assert "_variableFetchDelay_" not in out["http://free.com/c"]
+
+
+def test_apply_robots_delays_exclusive_group_and_restamp(spark):
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.robots import (
+        apply_robots_delays,
+        crawl_delays,
+        parse_robots,
+    )
+
+    # exempt.com has an exact nutch group WITHOUT a delay → '*' delay must
+    # not throttle nutch when groups are provided
+    robots = spark.createDataFrame(
+        [("exempt.com", "User-agent: nutch\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 10")],
+        "host string, content string",
+    )
+    delays, groups = crawl_delays(robots), parse_robots(robots)
+    fl = spark.createDataFrame([("http://exempt.com/a",)], "url string")
+    out = apply_robots_delays(fl, delays, agent="nutch", groups=groups).first()
+    assert "_variableFetchDelay_" not in out["metadata"]
+    # re-stamping over existing metadata must not raise DUPLICATED_MAP_KEY
+    pre = fl.withColumn(
+        "metadata",
+        F.create_map(F.lit("_variableFetchDelay_"), F.lit("1")),
+    )
+    out2 = apply_robots_delays(pre, delays, agent="*").first()
+    assert out2["metadata"]["_variableFetchDelay_"] == "10000"
