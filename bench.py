@@ -37,18 +37,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "nutch_spark operator inventory wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "nutch_spark operator inventory wall-clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # Stop Spark BEFORE printing so no executor/log output can interleave
+    # with (or truncate) the summary; the JSON must be the last stdout line.
     spark.stop()
+    sys.stderr.flush()
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -16,12 +16,13 @@ land in one partition — Spark's analogue of the no-split fetch list), and a
 ``mapInPandas`` loop enforces the per-host delay imperatively inside each
 partition. Everything downstream (parse, outlink emission) is declarative.
 
-The default ``fetch_fn`` is a DETERMINISTIC SYNTHETIC fetcher (no network in
-this container): status and content derive from md5(url). A real HTTP
-fetcher drops in by passing ``fetch_fn=http_fetch_fn`` — the harness
-(partitioning, politeness, schema) is identical; http_fetch_fn raises
-NotImplementedError unless `requests`/`urllib3` usage is wired by the
-deployment.
+The default ``fetch_fn`` is a DETERMINISTIC SYNTHETIC fetcher (tests need no
+network): status and content derive from md5(url). The real HTTP fetcher is
+``http_fetch_fn`` — stdlib urllib, redirects-as-status, reference-exact code
+mapping — passed as ``fetch_fn=http_fetch_fn``; the harness (partitioning,
+politeness, schema) is identical either way and is tested end-to-end against
+an in-process http.server (tests/test_http_fetch.py), the way the reference
+tests FetcherThread against Jetty (TestFetcher.java).
 """
 
 from __future__ import annotations
@@ -71,12 +72,102 @@ def synthetic_fetch_fn(url: str) -> tuple[str, str | None]:
     return "fetch_gone", None
 
 
-def http_fetch_fn(url: str) -> tuple[str, str | None]:
-    """Real-network fetch hook — wire to an HTTP client in deployment."""
-    raise NotImplementedError(
-        "network fetching is deployment-specific; pass a fetch_fn that wraps "
-        "your HTTP client (the harness handles partitioning and politeness)"
+def http_fetch_fn(
+    url: str,
+    *,
+    timeout_s: float = 10.0,
+    user_agent: str = "nutch-spark/1.0",
+    max_bytes: int = 1 << 20,
+) -> dict:
+    """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
+    they come back as status, exactly like the reference protocol layer.
+
+    Status mapping mirrors lib-http HttpBase.java:382-434 composed with
+    FetcherThread.java:440-515 (ProtocolStatus → CrawlDatum):
+
+      200                    → fetch_success (content + real Content-Type)
+      300/301/305/other 3xx  → fetch_redir_perm   (MOVED)
+      302/303/307            → fetch_redir_temp   (TEMP_MOVED)
+      304                    → fetch_notmodified
+      400/401/404/410        → fetch_gone  (GONE/ACCESS_DENIED/NOTFOUND)
+      any other code         → fetch_retry (EXCEPTION)
+      network error/timeout  → fetch_retry (EXCEPTION)
+
+    metadata carries ``nutch.protocol.code`` (Nutch.java:44), the resolved
+    absolute ``Location`` for redirects (HttpBase.java:386-392 resolves
+    relative Locations against the request URL), and ``_exception_`` for
+    transport failures. At most ``max_bytes`` of body are read
+    (http.content.limit — the harness re-checks and tags _truncated_).
+
+    Politeness, per-host queueing, threading and kill-switches live in the
+    ``fetch`` harness — this function is ONE blocking request. Use
+    ``functools.partial`` to bind timeouts/agent before passing as
+    ``fetch_fn`` (the partial pickles into the Arrow worker cleanly).
+    """
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: D102
+            return None  # surface 3xx as HTTPError instead of following
+
+    def _decode(body: bytes, ctype: str | None) -> str:
+        charset = "utf-8"
+        if ctype and "charset=" in ctype:
+            charset = ctype.split("charset=")[-1].split(";")[0].strip() or "utf-8"
+        try:
+            return body.decode(charset, errors="replace")
+        except (LookupError, UnicodeDecodeError):
+            return body.decode("utf-8", errors="replace")
+
+    req = urllib.request.Request(
+        url,
+        headers={"User-Agent": user_agent, "Accept-Encoding": "identity"},
     )
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        with opener.open(req, timeout=timeout_s) as resp:
+            code = resp.status
+            ctype = resp.headers.get("Content-Type")
+            body = resp.read(max_bytes)
+    except urllib.error.HTTPError as e:
+        code = e.code
+        ctype = e.headers.get("Content-Type") if e.headers else None
+        try:
+            body = e.read(max_bytes)
+        except Exception:
+            body = b""
+        location = (e.headers.get("Location") or e.headers.get("location")) if e.headers else None
+        meta = {"nutch.protocol.code": str(code)}
+        if 300 <= code < 400:
+            # HttpBase.java:392 `new URL(u, location)` — resolve vs request URL
+            meta["Location"] = urllib.parse.urljoin(url, location or "")
+            if code in (302, 303, 307):
+                return {"status": "fetch_redir_temp", "content": None, "metadata": meta}
+            if code == 304:
+                return {"status": "fetch_notmodified", "content": None, "metadata": meta}
+            return {"status": "fetch_redir_perm", "content": None, "metadata": meta}
+        if code in (400, 401, 404, 410):
+            return {"status": "fetch_gone", "content": None, "metadata": meta}
+        return {"status": "fetch_retry", "content": None, "metadata": meta}
+    except Exception as e:  # DNS failure, refused, timeout → EXCEPTION → retry
+        return {
+            "status": "fetch_retry",
+            "content": None,
+            "metadata": {"_exception_": type(e).__name__},
+        }
+    meta = {"nutch.protocol.code": str(code)}
+    if code == 200:
+        return {
+            "status": "fetch_success",
+            "content": _decode(body, ctype),
+            "content_type": (ctype or "").split(";")[0].strip() or None,
+            "metadata": meta,
+        }
+    # non-error status outside the mapped set (e.g. 204, 2xx) — HttpBase's
+    # final else: ProtocolStatus.EXCEPTION → fetch_retry
+    return {"status": "fetch_retry", "content": None, "metadata": meta}
 
 
 def fetch(
@@ -147,8 +238,13 @@ def fetch(
         last_hit: dict[str, float] = {}  # persists across batches
 
         def fetch_one(url: str) -> dict:
-            status, content = fetch_fn(url)
-            meta = {}
+            res = fetch_fn(url)
+            if isinstance(res, dict):  # rich protocol result (http_fetch_fn)
+                status, content = res["status"], res.get("content")
+                ctype, meta = res.get("content_type"), dict(res.get("metadata") or {})
+            else:  # legacy (status, content) tuple
+                status, content = res
+                ctype, meta = None, {}
             if content is not None and content_limit >= 0:
                 # http.content.limit is a BYTE cap — measure and cut in
                 # utf-8 bytes, never characters (a CJK page is ~3x its
@@ -163,7 +259,7 @@ def fetch(
                 "status": status,
                 "fetch_time": pd.Timestamp.utcnow().tz_localize(None),
                 "content": content,
-                "content_type": "text/html" if content else None,
+                "content_type": ctype or ("text/html" if content else None),
                 "signature": sig,
                 "metadata": meta,
             }

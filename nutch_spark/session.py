@@ -48,6 +48,9 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
         .config("spark.default.parallelism", "8")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they interleave with stdout and corrupt
+        # machine-parsed output (the bench prints one JSON summary line).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
 
