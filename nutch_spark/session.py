@@ -58,18 +58,28 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing exotic physical types.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default; read it as nanos-since-epoch (legacy conf) and convert
-    to a proper TimestampType so downstream operators see a real timestamp.
+    Historically ``events.ts`` was written as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default; with the legacy conf it arrives as a
+    BIGINT of nanos-since-epoch. Newer generations of the testdata write a
+    plain ``timestamp[us]`` column. Normalize on the *observed* dtype rather
+    than assuming either generation, so a testdata schema change cannot break
+    every events-touching query again.
     """
     from pyspark.sql import functions as F
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer division: ns-since-epoch ≈ 1.7e18 overflows double's 53-bit
-        # mantissa, so a float divide would corrupt the microsecond digits.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # Integer division: ns-since-epoch ≈ 1.7e18 overflows double's
+            # 53-bit mantissa; a float divide would corrupt microsecond digits.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # Session tz is pinned UTC, so NTZ -> TZ is value-preserving and
+            # keeps downstream operators on one timestamp flavor.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,237 @@
+"""End-to-end tests for the real HTTP fetch path (P1).
+
+Mirrors the reference's TestFetcher.java, which starts an in-process Jetty
+and drives FetcherThread against it
+(/root/reference/src/test/org/apache/nutch/fetcher/TestFetcher.java:55-120).
+Here an in-process ``http.server`` plays Jetty: it serves
+200/301/302/303/304/307/404/410/500, a relative-Location redirect, and an
+oversized body, and the tests assert ``http_fetch_fn``'s status mapping
+(HttpBase.java:382-434 + FetcherThread.java:440-515), absolute Location
+resolution (HttpBase.java:386-392), the ``max_bytes`` read cap, and the full
+``fetch(fetch_fn=http_fetch_fn)`` harness path including per-host politeness.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from nutch_spark.operators.fetcher import fetch, http_fetch_fn
+
+BIG_BODY = b"x" * 4096
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Route table keyed on path; one route per protocol-status branch."""
+
+    # silence per-request logging — it interleaves with pytest output
+    def log_message(self, *args):  # noqa: D102
+        pass
+
+    def do_GET(self):  # noqa: N802, D102
+        p = self.path
+        if p == "/ok":
+            body = b"<html><head><title>ok</title></head><body>hello</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif p == "/perm":
+            self.send_response(301)
+            self.send_header("Location", "http://elsewhere.example.com/new")
+            self.end_headers()
+        elif p == "/temp":
+            self.send_response(302)
+            self.send_header("Location", "/ok")  # RELATIVE — must resolve
+            self.end_headers()
+        elif p == "/see":
+            self.send_response(303)
+            self.send_header("Location", "/ok")
+            self.end_headers()
+        elif p == "/tempredir":
+            self.send_response(307)
+            self.send_header("Location", "/ok")
+            self.end_headers()
+        elif p == "/notmod":
+            self.send_response(304)
+            self.end_headers()
+        elif p == "/missing":
+            self.send_response(404)
+            self.end_headers()
+        elif p == "/gone":
+            self.send_response(410)
+            self.end_headers()
+        elif p == "/boom":
+            self.send_response(500)
+            self.end_headers()
+        elif p == "/big":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(BIG_BODY)))
+            self.end_headers()
+            self.wfile.write(BIG_BODY)
+        elif p == "/latin":
+            body = "café".encode("latin-1")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=latin-1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# http_fetch_fn unit surface — status mapping + headers
+# ---------------------------------------------------------------------------
+
+
+def test_200_success(server):
+    r = http_fetch_fn(f"{server}/ok")
+    assert r["status"] == "fetch_success"
+    assert "<title>ok</title>" in r["content"]
+    assert r["content_type"] == "text/html"
+    assert r["metadata"]["nutch.protocol.code"] == "200"
+
+
+def test_301_perm_redirect_absolute_location(server):
+    r = http_fetch_fn(f"{server}/perm")
+    assert r["status"] == "fetch_redir_perm"
+    assert r["content"] is None
+    assert r["metadata"]["Location"] == "http://elsewhere.example.com/new"
+    assert r["metadata"]["nutch.protocol.code"] == "301"
+
+
+def test_302_temp_redirect_relative_location_resolved(server):
+    # HttpBase.java:392 resolves Location against the REQUEST url
+    r = http_fetch_fn(f"{server}/temp")
+    assert r["status"] == "fetch_redir_temp"
+    assert r["metadata"]["Location"] == f"{server}/ok"
+
+
+@pytest.mark.parametrize("path,code", [("/see", "303"), ("/tempredir", "307")])
+def test_303_307_temp(server, path, code):
+    r = http_fetch_fn(f"{server}{path}")
+    assert r["status"] == "fetch_redir_temp"
+    assert r["metadata"]["nutch.protocol.code"] == code
+
+
+def test_304_notmodified(server):
+    r = http_fetch_fn(f"{server}/notmod")
+    assert r["status"] == "fetch_notmodified"
+    assert r["content"] is None
+
+
+@pytest.mark.parametrize("path,code", [("/missing", "404"), ("/gone", "410")])
+def test_gone_family(server, path, code):
+    r = http_fetch_fn(f"{server}{path}")
+    assert r["status"] == "fetch_gone"
+    assert r["metadata"]["nutch.protocol.code"] == code
+
+
+def test_500_retry(server):
+    r = http_fetch_fn(f"{server}/boom")
+    assert r["status"] == "fetch_retry"
+    assert r["metadata"]["nutch.protocol.code"] == "500"
+
+
+def test_network_error_retry():
+    # nothing listens on this port; connection refused → EXCEPTION → retry
+    r = http_fetch_fn("http://127.0.0.1:1/never", timeout_s=2.0)
+    assert r["status"] == "fetch_retry"
+    assert "_exception_" in r["metadata"]
+
+
+def test_max_bytes_cap(server):
+    r = http_fetch_fn(f"{server}/big", max_bytes=100)
+    assert r["status"] == "fetch_success"
+    assert len(r["content"]) == 100  # ascii body: bytes == chars
+
+
+def test_charset_decode(server):
+    r = http_fetch_fn(f"{server}/latin")
+    assert r["content"] == "café"
+
+
+# ---------------------------------------------------------------------------
+# Full harness: fetch(fetch_fn=http_fetch_fn) over the in-process server
+# ---------------------------------------------------------------------------
+
+
+def test_harness_end_to_end(spark, server):
+    urls = [
+        f"{server}/ok",
+        f"{server}/perm",
+        f"{server}/temp",
+        f"{server}/notmod",
+        f"{server}/missing",
+        f"{server}/gone",
+        f"{server}/boom",
+    ]
+    fl = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = {
+        r["url"]: r
+        for r in fetch(
+            fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
+        ).collect()
+    }
+    assert len(rows) == len(urls)
+    assert rows[f"{server}/ok"]["status"] == "fetch_success"
+    assert rows[f"{server}/ok"]["signature"] is not None
+    assert rows[f"{server}/perm"]["status"] == "fetch_redir_perm"
+    assert (
+        rows[f"{server}/perm"]["metadata"]["Location"]
+        == "http://elsewhere.example.com/new"
+    )
+    assert rows[f"{server}/temp"]["status"] == "fetch_redir_temp"
+    assert rows[f"{server}/temp"]["metadata"]["Location"] == f"{server}/ok"
+    assert rows[f"{server}/notmod"]["status"] == "fetch_notmodified"
+    assert rows[f"{server}/missing"]["status"] == "fetch_gone"
+    assert rows[f"{server}/gone"]["status"] == "fetch_gone"
+    assert rows[f"{server}/boom"]["status"] == "fetch_retry"
+
+
+def test_harness_content_limit_tags_truncated(spark, server):
+    from nutch_spark.config import NutchConfig
+
+    cfg = NutchConfig(http_content_limit=64)
+    fl = spark.createDataFrame([(f"{server}/big",)], ["url"])
+    (row,) = fetch(
+        fl, cfg=cfg, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
+    ).collect()
+    assert row["status"] == "fetch_success"
+    assert len(row["content"].encode()) == 64
+    assert row["metadata"]["_truncated_"] == "1"
+
+
+def test_harness_per_host_delay(spark, server):
+    # 3 URLs on ONE host with a 0.3s delay must take >= 0.6s wall-clock;
+    # single partition so the politeness clock is honestly serialized.
+    fl = spark.createDataFrame(
+        [(f"{server}/ok",), (f"{server}/missing",), (f"{server}/boom",)], ["url"]
+    )
+    t0 = time.monotonic()
+    out = fetch(
+        fl,
+        fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+        crawl_delay_s=0.3,
+        num_lists=1,
+    ).collect()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 3
+    assert elapsed >= 0.6
