@@ -59,15 +59,28 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
-def extract_image_features(media: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload column."""
+def extract_image_features(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    decoder=None,
+) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column.
+
+    ``decoder`` is the injection point for a real image library:
+    ``payload_bytes -> (width, height, feature_list)``. It is captured in the
+    mapInPandas closure, so it pickles to the executors with the stage — a
+    production PIL/libvips decoder (or a test fake) slots in without touching
+    the plan, schema, or batch shape. Defaults to the deterministic stub.
+    """
+    decode = decoder or _decode_image_bytes
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, feat = _decode_image_bytes(raw)
+                w, h, feat = decode(raw)
                 rows.append(
                     {
                         "media_id": media_id,

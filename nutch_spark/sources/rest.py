@@ -71,26 +71,62 @@ class NutchReadApi:
             return [r.asDict(recursive=True) for r in rows]
         raise ValueError(f"unknown DbQuery type {qtype!r}")
 
+    # Hard cap on any single page a read endpoint will return. An open-ended
+    # request (to=0 / end=None) pages up to this many rows instead of
+    # collecting the whole table — on a 100 TB crawldb "all entries" through
+    # a REST endpoint is always a bug, never a requirement.
+    MAX_PAGE = 10_000
+
     # -- GET /db/fetchdb?from=&to= (openapi.yaml:487-530) --------------------
     def db_fetchdb(self, from_: int = 0, to: int = 0) -> list[dict]:
         if self.fetchdb is None:
             raise ValueError("no fetchdb attached")
-        end = to if to and to > 0 else None  # to=0 → all entries from start
+        end = to if to and to > 0 else None  # to=0 → from start, MAX_PAGE cap
         df = self._slice(self.fetchdb, from_, end, "url")
         return [r.asDict(recursive=True) for r in df.collect()]
 
     # -- POST /reader/{link,node,sequence}/read (openapi.yaml:590-771) -------
-    @staticmethod
-    def _slice(df: DataFrame, start: int | None, end: int | None, key: str) -> DataFrame:
-        from pyspark.sql import Window
+    @classmethod
+    def _slice(cls, df: DataFrame, start: int | None, end: int | None, key: str) -> DataFrame:
+        """Bounded offset slice [start, end] of ``df`` ordered by ``key``.
 
-        idx = F.row_number().over(Window.orderBy(key)) - 1
-        out = df.withColumn("_idx", idx)
-        if start is not None:
-            out = out.filter(F.col("_idx") >= start)
-        if end is not None:
-            out = out.filter(F.col("_idx") <= end)
-        return out.drop("_idx")
+        Compiles to a single distributed TakeOrderedAndProject(limit=end+1,
+        offset=start) — every partition contributes its local top rows and
+        only limit-offset rows ever reach the driver. The previous
+        implementation (row_number over an unpartitioned window) forced the
+        ENTIRE table through one partition per page request; at crawl scale
+        that is a single-executor sort of the world. Open-ended slices are
+        capped at MAX_PAGE; deep paging should use :meth:`page_after`
+        (keyset) instead, which is O(page) regardless of depth.
+        """
+        start = start or 0
+        n = (end - start + 1) if end is not None else cls.MAX_PAGE
+        out = df.orderBy(key)
+        if start > 0:
+            out = out.offset(start)
+        return out.limit(max(n, 0))
+
+    @classmethod
+    def page_after(
+        cls, df: DataFrame, key: str, cursor: str | None = None, n: int = 1000
+    ) -> DataFrame:
+        """Keyset pagination: the next ``n`` rows ordered by ``key``, strictly
+        after ``cursor`` (None → first page). The predicate pushes into the
+        parquet scan (PushedFilters: GreaterThan(key, cursor)) and the limit
+        is a distributed top-K, so page cost is O(n) at any depth — the
+        scale-safe way to walk a 100 TB table through the API. The caller
+        feeds the last row's key back as the next cursor."""
+        n = min(n, cls.MAX_PAGE)
+        if cursor is not None:
+            df = df.filter(F.col(key) > cursor)
+        return df.orderBy(key).limit(n)
+
+    def db_fetchdb_after(self, cursor: str | None = None, n: int = 1000) -> list[dict]:
+        """Cursor-paged fetchdb read — the scale path for full-table walks."""
+        if self.fetchdb is None:
+            raise ValueError("no fetchdb attached")
+        rows = self.page_after(self.fetchdb, "url", cursor, n).collect()
+        return [r.asDict(recursive=True) for r in rows]
 
     def link_read(self, start: int | None = None, end: int | None = None) -> list[dict]:
         if self.linkdb is None:

@@ -207,3 +207,54 @@ def test_warc_parser_survives_corrupt_records():
     # garbled header (non-numeric length) skipped
     garb = b"WARC/1.0\r\nContent-Length: zz\r\n\r\nWARC/1.0\r\nContent-Length: 1\r\nWARC-Target-URI: http://g/\r\n\r\nz"
     assert [r["url"] for r in parse_warc_bytes(garb, "f")] == ["http://g/"]
+
+
+# --- pagination scale path (round-4: keyset + distributed offset slice) -----
+
+
+def test_keyset_pagination_equivalence(api):
+    # walking the table cursor-by-cursor reproduces the full sorted order
+    full = [r["url"] for r in api.db_fetchdb(from_=0, to=9)]
+    walked, cursor = [], None
+    while True:
+        page = api.db_fetchdb_after(cursor=cursor, n=3)
+        if not page:
+            break
+        walked.extend(r["url"] for r in page)
+        cursor = page[-1]["url"]
+    assert walked == full == sorted(full)
+
+
+def test_offset_slice_plan_is_take_ordered(api):
+    # _slice must NOT be a global row_number window (single-partition
+    # exchange of the whole table); it must compile to a distributed
+    # top-K (TakeOrderedAndProject / GlobalLimit with offset).
+    plan = (
+        api._slice(api.fetchdb, 2, 5, "url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "TakeOrdered" in plan or "GlobalLimit" in plan
+
+
+def test_keyset_page_plan_pushes_filter(api, spark, tmp_path):
+    # against a parquet-backed table the cursor predicate reaches the scan
+    p = str(tmp_path / "db.parquet")
+    api.fetchdb.write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        NutchReadApi.page_after(df, "url", "http://h0.com/3", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(url" in plan
+    assert "Window" not in plan
+
+
+def test_open_ended_fetchdb_is_capped(spark):
+    big = spark.range(0, 30_000).selectExpr("concat('http://x.com/', id) as url")
+    api = NutchReadApi(fetchdb=big)
+    assert len(api.db_fetchdb()) == NutchReadApi.MAX_PAGE
