@@ -1,0 +1,159 @@
+"""Trained character-trigram language-ID profiles (Cavnar & Trenkle 1994,
+"N-Gram-Based Text Categorization" — public paper; same family as the
+reference's language-identifier plugin, which ships per-language n-gram
+profiles: /root/reference/src/plugin/language-identifier/src/java/org/
+apache/nutch/analysis/lang/NGramProfile.java).
+
+The model is a per-language character-trigram naive-Bayes scorer:
+
+    score(doc, lang) = Σ_trigram  log P(trigram | lang)
+
+with add-one smoothing over the union vocabulary and an out-of-vocabulary
+penalty. Log-probabilities are scaled to INTEGERS (×1000, rounded) so that
+document scores are exact integer sums — bit-identical across Spark, DuckDB
+and any summation order, which keeps the operator oracle-certifiable under
+STRICT_FLOATS.
+
+Training data is a small embedded seed corpus per language (common public
+phrases — enough to separate the five labels the testdata uses). Profiles
+are built deterministically at import; both the Spark literal DataFrame and
+the DuckDB VALUES table render from the same ``profile_rows()`` output, so
+the two engines score with the exact same numbers.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from functools import lru_cache
+
+# ~10 sentences of ordinary prose per language. Deliberately plain,
+# high-frequency text: trigram statistics, not content, are the signal.
+SEED_TEXT: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog. "
+        "this is a simple sentence with some common english words. "
+        "we are going to the market in the morning to buy bread and milk. "
+        "there is nothing better than a good book on a rainy afternoon. "
+        "the weather today is very nice and the children are playing outside. "
+        "i would like to thank everyone for their help with this project. "
+        "she said that the meeting will take place next week on thursday. "
+        "people often forget how important it is to drink enough water. "
+        "the history of the city goes back more than a thousand years. "
+        "it was the best of times and it was the worst of times."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund. "
+        "dies ist ein einfacher satz mit einigen häufigen deutschen wörtern. "
+        "wir gehen morgen früh auf den markt um brot und milch zu kaufen. "
+        "es gibt nichts besseres als ein gutes buch an einem regnerischen nachmittag. "
+        "das wetter ist heute sehr schön und die kinder spielen draußen. "
+        "ich möchte mich bei allen für ihre hilfe bei diesem projekt bedanken. "
+        "sie sagte dass die besprechung nächste woche am donnerstag stattfindet. "
+        "die leute vergessen oft wie wichtig es ist genug wasser zu trinken. "
+        "die geschichte der stadt reicht mehr als tausend jahre zurück. "
+        "es war die beste zeit und es war die schlechteste zeit."
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux. "
+        "ceci est une phrase simple avec quelques mots français courants. "
+        "nous allons au marché demain matin pour acheter du pain et du lait. "
+        "il n'y a rien de mieux qu'un bon livre un après-midi pluvieux. "
+        "le temps est très beau aujourd'hui et les enfants jouent dehors. "
+        "je voudrais remercier tout le monde pour son aide sur ce projet. "
+        "elle a dit que la réunion aura lieu la semaine prochaine jeudi. "
+        "les gens oublient souvent combien il est important de boire assez d'eau. "
+        "l'histoire de la ville remonte à plus de mille ans. "
+        "c'était le meilleur des temps et c'était le pire des temps."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso. "
+        "esta es una frase sencilla con algunas palabras comunes en español. "
+        "vamos al mercado mañana por la mañana a comprar pan y leche. "
+        "no hay nada mejor que un buen libro en una tarde lluviosa. "
+        "el tiempo hoy es muy bueno y los niños están jugando afuera. "
+        "quisiera agradecer a todos por su ayuda con este proyecto. "
+        "ella dijo que la reunión tendrá lugar la próxima semana el jueves. "
+        "la gente olvida a menudo lo importante que es beber suficiente agua. "
+        "la historia de la ciudad se remonta a más de mil años. "
+        "era el mejor de los tiempos y era el peor de los tiempos."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗。"
+        "这是一个包含一些常见中文词语的简单句子。"
+        "我们明天早上去市场买面包和牛奶。"
+        "没有什么比在雨天的下午读一本好书更好的了。"
+        "今天天气很好孩子们在外面玩耍。"
+        "我要感谢大家对这个项目的帮助。"
+        "她说会议将在下周四举行。"
+        "人们常常忘记喝足够的水有多重要。"
+        "这座城市的历史可以追溯到一千多年前。"
+        "这是最好的时代也是最坏的时代。"
+    ),
+}
+
+TOP_N = 200  # trigrams kept per language profile (Cavnar-Trenkle keep ~300)
+SCALE = 1000  # log-prob -> integer scale
+PREFIX_CHARS = 400  # classify on this text prefix (langid-on-prefix standard)
+
+
+def normalize(s: str) -> str:
+    """Lowercase + collapse whitespace — MUST match the engine-side
+    normalization (Spark/DuckDB ``regexp_replace(lower(...), '\\s+', ' ')``)."""
+    return re.sub(r"\s+", " ", s.lower())
+
+
+def _trigrams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+@lru_cache(maxsize=1)
+def build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+    """Returns (profiles, miss): per-language trigram→int score maps and the
+    per-language out-of-vocabulary penalty, both scaled log-probs."""
+    counts = {lang: Counter(_trigrams(normalize(txt))) for lang, txt in SEED_TEXT.items()}
+    vocab = set().union(*[set(c) for c in counts.values()])
+    v = len(vocab)
+    profiles: dict[str, dict[str, int]] = {}
+    miss: dict[str, int] = {}
+    for lang, c in counts.items():
+        total = sum(c.values())
+        top = dict(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N]
+        )
+        profiles[lang] = {
+            tri: round(math.log((n + 1) / (total + v)) * SCALE)
+            for tri, n in top.items()
+        }
+        miss[lang] = round(math.log(1 / (total + v)) * SCALE)
+    return profiles, miss
+
+
+def profile_rows() -> list[tuple[str, str, int]]:
+    """Flat (lang, trigram, score) rows — the single source both the Spark
+    literal DataFrame and the DuckDB VALUES table render from."""
+    profiles, _ = build_profiles()
+    return [
+        (lang, tri, score)
+        for lang in sorted(profiles)
+        for tri, score in sorted(profiles[lang].items())
+    ]
+
+
+def miss_rows() -> list[tuple[str, int]]:
+    _, miss = build_profiles()
+    return sorted(miss.items())
+
+
+def profiles_values_sql() -> tuple[str, str]:
+    """(profiles VALUES clause, miss VALUES clause) for the DuckDB oracle."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    p = ", ".join(
+        f"('{esc(lang)}', '{esc(tri)}', {score})" for lang, tri, score in profile_rows()
+    )
+    m = ", ".join(f"('{esc(lang)}', {score})" for lang, score in miss_rows())
+    return p, m

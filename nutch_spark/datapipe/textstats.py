@@ -132,6 +132,81 @@ def langid(df: DataFrame, text: str = "text", out_col: str = "lang_pred") -> Dat
     return df.withColumn(out_col, pred)
 
 
+def langid_trained(
+    df: DataFrame,
+    text: str = "text",
+    out_col: str = "lang_pred",
+    key: str = "doc_id",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Trained character-trigram language ID (Cavnar-Trenkle / naive-Bayes
+    family — the reference's language-identifier plugin approach,
+    NGramProfile.java). Scores each document's first ``prefix_chars`` chars
+    against per-language trigram profiles embedded as integer scaled
+    log-probs (see datapipe/langid_profiles.py) and predicts the argmax;
+    documents too short for a trigram get 'und'.
+
+    Scale shape: trigram explode is bounded by the prefix (≤ ~400 rows/doc),
+    the profile table (langs × 200 trigrams) and the language list are
+    broadcast, scoring is one (doc, lang) partial-aggregated groupBy, and
+    the argmax is a window partitioned by the doc key — two bounded
+    shuffles total, no global ordering anywhere. Integer scores keep the
+    result bit-identical across engines and summation orders.
+    """
+    from pyspark.sql import Window
+
+    from nutch_spark.datapipe.langid_profiles import (
+        PREFIX_CHARS,
+        miss_rows,
+        profile_rows,
+    )
+
+    spark = df.sparkSession
+    prefix = prefix_chars or PREFIX_CHARS
+    prof = F.broadcast(
+        spark.createDataFrame(profile_rows(), "plang string, tri string, score long")
+    )
+    langs = F.broadcast(
+        spark.createDataFrame(miss_rows(), "plang string, miss long")
+    )
+
+    norm = F.regexp_replace(
+        F.lower(F.substring(F.col(text), 1, prefix)), r"\s+", " "
+    )
+    base = df.select(F.col(key), norm.alias("_t")).withColumn(
+        "n_tri",
+        F.when(F.length("_t") >= 3, F.length("_t") - 2).otherwise(0).cast("long"),
+    )
+    tri = base.filter(F.col("n_tri") > 0).select(
+        key,
+        F.explode(
+            F.expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))")
+        ).alias("tri"),
+    )
+    matched = (
+        tri.join(prof, "tri")
+        .groupBy(key, "plang")
+        .agg(F.sum("score").alias("_s"), F.count("*").alias("_c"))
+    )
+    scored = (
+        base.crossJoin(langs)
+        .join(matched, [key, "plang"], "left")
+        .withColumn(
+            "_total",
+            F.coalesce(F.col("_s"), F.lit(0))
+            + (F.col("n_tri") - F.coalesce(F.col("_c"), F.lit(0))) * F.col("miss"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(key).orderBy(F.col("_total").desc(), F.col("plang").asc())
+    )
+    best = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    pred = F.when(F.col("n_tri") == 0, F.lit("und")).otherwise(F.col("plang"))
+    return df.join(
+        best.select(key, pred.alias(out_col)), key, "left"
+    )
+
+
 def repetition_metrics(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models", §A1.1 repetition filters — public paper):

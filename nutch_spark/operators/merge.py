@@ -101,6 +101,74 @@ def merge_linkdbs(
     )
 
 
+# the six segment part names (SegmentMerger.java:657-668)
+SEGMENT_PARTS = (
+    "content",
+    "crawl_generate",
+    "crawl_fetch",
+    "crawl_parse",
+    "parse_data",
+    "parse_text",
+)
+
+
+def merge_segment_dirs(
+    segments: list[dict[str, DataFrame]],
+    *,
+    key: str = "url",
+    segment: str = "segment",
+    merge_filter=None,
+) -> dict[str, DataFrame]:
+    """Full SegmentMerger job surface over segment *directories*: each input
+    segment is a dict part-name → DataFrame (the Spark analogue of a segment
+    directory with crawl_generate/crawl_fetch/.../parse_text subdirs).
+
+    Two reference behaviors beyond per-part latest-wins:
+
+    - **Lowest-common-set pruning** (SegmentMerger.java:646-676 and the
+      class doc:82-91): only parts present in EVERY input segment are
+      merged; all other data is skipped entirely — if one segment is
+      unfetched, the merge falls back to just fetchlists. Pruning happens
+      BEFORE any plan is built, so skipped parts cost zero I/O (their scans
+      never enter a plan — the Spark twin of never adding the input path).
+    - **SegmentMergeFilter hook** (SegmentMergeFilters.java:64-91,
+      SegmentMergeFilter.java:41-53): ``merge_filter`` receives one
+      DataFrame with the url key plus one STRUCT column per merged part
+      (null when that url has no row in the part — the reducer's null
+      arguments) and returns a boolean Column; urls where it is false are
+      dropped from every output part, like the reducer skipping the key.
+
+    Scale shape: every part merges with one url-key window; the filter is
+    url-key joins throughout (co-partitioned by AQE), and the keep-set
+    semi-join prunes each part in the same shuffle family. No collect, no
+    global ordering.
+    """
+    if not segments:
+        return {}
+    common = set(segments[0])
+    for s in segments[1:]:
+        common &= set(s)
+    merged: dict[str, DataFrame] = {}
+    for part in [p for p in SEGMENT_PARTS if p in common]:
+        parts = [s[part] for s in segments]
+        if part == "crawl_fetch":
+            merged[part] = merge_segments(parts, key=key, segment=segment)
+        else:
+            merged[part] = latest_version_wins(parts, key, segment)
+    if merge_filter is None:
+        return merged
+    combined = None
+    for part, df in merged.items():
+        packed = df.select(
+            key, F.struct(*[c for c in df.columns if c != key]).alias(part)
+        )
+        combined = (
+            packed if combined is None else combined.join(packed, key, "full_outer")
+        )
+    keep = combined.filter(merge_filter(combined)).select(key)
+    return {part: df.join(keep, key, "left_semi") for part, df in merged.items()}
+
+
 _REAL_FETCH_STATUSES = (
     "fetch_success",
     "fetch_gone",

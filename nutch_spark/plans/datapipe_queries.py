@@ -311,7 +311,7 @@ _LANG_CASE = " ".join(
 
 
 @q(
-    "dp_langid",
+    "dp_langid_stopword",
     f"""
     WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
     h AS (SELECT doc_id, lang, toks,
@@ -322,11 +322,70 @@ _LANG_CASE = " ".join(
     FROM h
     """,
 )
-def dp_langid(spark, sf_dir):
-    """Language ID: stopword-overlap heuristic with fixed-priority tie-break;
-    emitted next to the table's labeled ``lang`` for eyeballing accuracy."""
+def dp_langid_stopword(spark, sf_dir):
+    """Language ID baseline: stopword-overlap heuristic with fixed-priority
+    tie-break; emitted next to the labeled ``lang`` for eyeballing."""
     d = t(spark, sf_dir, "documents")
     return langid(d).select("doc_id", "lang", "lang_pred")
+
+
+def _langid_trained_sql() -> str:
+    """DuckDB twin of langid_trained: same integer trigram profiles (rendered
+    from the SAME build_profiles() output), same normalization, same
+    argmax-with-lang-tiebreak — integer scores make the sums exact."""
+    from nutch_spark.datapipe.langid_profiles import PREFIX_CHARS, profiles_values_sql
+
+    prof_sql, miss_sql = profiles_values_sql()
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(substr(text, 1, {PREFIX_CHARS})), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang, t,
+             CASE WHEN length(t) >= 3 THEN length(t) - 2 ELSE 0 END AS n_tri
+      FROM d
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS tri
+      FROM n WHERE n_tri > 0
+    ),
+    p(plang, tri, score) AS (VALUES {prof_sql}),
+    lm(plang, miss) AS (VALUES {miss_sql}),
+    m AS (
+      SELECT tri.doc_id, p.plang, sum(p.score) AS s, count(*) AS c
+      FROM tri JOIN p ON p.tri = tri.tri
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT n.doc_id, n.lang, n.n_tri, lm.plang,
+             coalesce(m.s, 0) + (n.n_tri - coalesce(m.c, 0)) * lm.miss AS total
+      FROM n CROSS JOIN lm
+      LEFT JOIN m ON m.doc_id = n.doc_id AND m.plang = lm.plang
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tri, plang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY total DESC, plang ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_tri = 0 THEN 'und' ELSE plang END AS lang_pred
+    FROM r WHERE rn = 1
+    """
+
+
+@q("dp_langid", _langid_trained_sql())
+def dp_langid(spark, sf_dir):
+    """Trained character-trigram language ID (Cavnar-Trenkle profiles as
+    integer scaled log-probs; see datapipe/langid_profiles.py), next to the
+    labeled ``lang`` column."""
+    from nutch_spark.datapipe.textstats import langid_trained
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return langid_trained(d).select("doc_id", "lang", "lang_pred")
 
 
 # ---------------------------------------------------------------------------

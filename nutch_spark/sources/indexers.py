@@ -13,10 +13,12 @@ not live connections), documents are buffered to ``batch_size`` and flushed,
 backpressure is the executor's own iteration speed, exactly how the
 reference's IndexerOutputFormat streams reducer output into writers.
 
-Network-backed writers (Solr/ES/Kafka) plug in by subclassing IndexWriter;
-this container has no network, so the shipped writers are the filesystem
-JSONL writer (the on-disk twin of a bulk-HTTP batch poster) and an in-memory
-collector for tests.
+Shipped writers: the filesystem JSONL writer (on-disk twin of a bulk-HTTP
+poster), ``EsBulkIndexWriter`` (exact Elasticsearch ``_bulk`` NDJSON framing
+over an injected transport — swap in an HTTP POST for production), and
+``KafkaIndexWriter`` (per-doc messages + tombstone deletes over an injected
+producer factory). The injected transports keep this container network-free
+while the wire formats stay test-asserted (tests/test_index_writers.py).
 """
 
 from __future__ import annotations
@@ -80,6 +82,120 @@ class JsonlIndexWriter(IndexWriter):
             for i in self._deletes:
                 f.write(json.dumps({"action": "delete", "id": i}) + "\n")
         self._adds, self._deletes = [], []
+
+
+class EsBulkIndexWriter(IndexWriter):
+    """Elasticsearch-bulk-shaped writer
+    (src/plugin/indexer-elastic/src/java/org/apache/nutch/indexwriter/
+    elastic/ElasticIndexWriter.java): buffers actions and ships them as
+    ``_bulk`` NDJSON bodies through ``transport`` — in production an HTTP
+    POST to ``/_bulk``; in tests a capturing fake. Framing follows the
+    public ES bulk API exactly:
+
+        {"index": {"_index": <index>, "_id": <id>}}\\n<source-json>\\n
+        {"delete": {"_index": <index>, "_id": <id>}}\\n
+
+    Buffering mirrors the reference's maxBulkDocs / maxBulkLength knobs:
+    a body is flushed when either the action count or the byte length
+    crosses its cap; ``commit`` flushes the remainder. The transport
+    callable must be picklable (it rides to the executor inside the
+    writer factory closure).
+    """
+
+    def __init__(
+        self,
+        transport: Callable[[bytes], None],
+        *,
+        index: str = "nutch",
+        id_field: str = "url",
+        max_bulk_docs: int = 250,
+        max_bulk_bytes: int = 5 << 20,
+    ) -> None:
+        self.transport = transport
+        self.index = index
+        self.id_field = id_field
+        self.max_bulk_docs = max_bulk_docs
+        self.max_bulk_bytes = max_bulk_bytes
+        self._lines: list[bytes] = []
+        self._ndocs = 0
+        self._nbytes = 0
+
+    def _push(self, *lines: bytes) -> None:
+        for ln in lines:
+            self._lines.append(ln)
+            self._nbytes += len(ln) + 1
+        self._ndocs += 1
+        if self._ndocs >= self.max_bulk_docs or self._nbytes >= self.max_bulk_bytes:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._lines:
+            return
+        body = b"\n".join(self._lines) + b"\n"  # bulk bodies are \n-terminated
+        self.transport(body)
+        self._lines, self._ndocs, self._nbytes = [], 0, 0
+
+    def write(self, docs: list[dict]) -> None:
+        for doc in docs:
+            action = {"index": {"_index": self.index, "_id": doc.get(self.id_field)}}
+            self._push(
+                json.dumps(action, sort_keys=True).encode(),
+                json.dumps(doc, default=str, sort_keys=True).encode(),
+            )
+
+    def delete(self, ids: list[str]) -> None:
+        for i in ids:
+            self._push(
+                json.dumps(
+                    {"delete": {"_index": self.index, "_id": i}}, sort_keys=True
+                ).encode()
+            )
+
+    def commit(self) -> None:
+        self._flush()
+
+
+class KafkaIndexWriter(IndexWriter):
+    """Kafka-shaped writer (src/plugin/indexer-kafka/src/java/org/apache/
+    nutch/indexwriter/kafka/KafkaIndexWriter.java): one message per document
+    on ``topic`` — key is the document id, value is the JSON document —
+    and deletes are TOMBSTONES (value=None), the idiomatic Kafka delete for
+    a log-compacted index topic. ``producer_factory`` builds the producer on
+    the executor (a live client must never be pickled); it needs
+    ``send(topic, key: bytes, value: bytes | None)`` and ``flush()``, the
+    subset of the kafka-python Producer surface the reference uses.
+    ``commit`` flushes, so a partition's messages are durable before the
+    task reports success."""
+
+    def __init__(
+        self,
+        producer_factory: Callable[[], object],
+        *,
+        topic: str = "nutch",
+        id_field: str = "url",
+    ) -> None:
+        self.producer_factory = producer_factory
+        self.topic = topic
+        self.id_field = id_field
+        self._producer = None
+
+    def open(self, partition_id: int) -> None:
+        self._producer = self.producer_factory()
+
+    def write(self, docs: list[dict]) -> None:
+        for doc in docs:
+            key = str(doc.get(self.id_field)).encode()
+            self._producer.send(
+                self.topic, key, json.dumps(doc, default=str, sort_keys=True).encode()
+            )
+
+    def delete(self, ids: list[str]) -> None:
+        for i in ids:
+            self._producer.send(self.topic, str(i).encode(), None)
+
+    def commit(self) -> None:
+        if self._producer is not None:
+            self._producer.flush()
 
 
 def index_documents(

@@ -1,0 +1,79 @@
+"""Trained char-trigram language ID (round-4 item 6).
+
+Accuracy is asserted on HELD-OUT real sentences (none appear in the seed
+corpora in datapipe/langid_profiles.py). The synthetic documents table
+cannot test accuracy — its ``lang`` label is independent of its text (all
+31 vocabulary tokens occur in all 5 languages), so the oracle row
+``dp_langid`` checks cross-engine determinism and these tests check that
+the classifier actually classifies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nutch_spark.datapipe.langid_profiles import (
+    SEED_TEXT,
+    build_profiles,
+    normalize,
+    profile_rows,
+)
+from nutch_spark.datapipe.textstats import langid_trained
+
+HELD_OUT = [
+    ("The results of the experiment were published in a scientific journal.", "en"),
+    ("Many people enjoy walking along the river in the early evening.", "en"),
+    ("Die Kinder lernen in der Schule lesen schreiben und rechnen.", "de"),
+    ("Der Zug nach München fährt heute leider eine Stunde später ab.", "de"),
+    ("Le gouvernement a annoncé une nouvelle réforme des retraites hier soir.", "fr"),
+    ("Nous avons passé nos vacances au bord de la mer avec nos amis.", "fr"),
+    ("El museo de la ciudad abre sus puertas todos los días excepto lunes.", "es"),
+    ("Mis abuelos viven en un pequeño pueblo cerca de la montaña.", "es"),
+    ("我们学校的老师每天都认真地给学生们上课。", "zh"),
+    ("昨天晚上我和朋友一起去餐厅吃了晚饭。", "zh"),
+]
+
+
+def test_profiles_deterministic_and_disjoint():
+    p1, m1 = build_profiles()
+    p2, m2 = build_profiles.__wrapped__()  # rebuild without the cache
+    assert p1 == p2 and m1 == m2
+    assert set(p1) == set(SEED_TEXT)
+    for lang, prof in p1.items():
+        assert 0 < len(prof) <= 200
+        assert all(isinstance(v, int) and v < 0 for v in prof.values())
+        assert m1[lang] < min(prof.values())  # OOV scores below every hit
+
+
+def test_profile_rows_sorted_stable():
+    rows = profile_rows()
+    assert rows == sorted(rows)
+    assert {r[0] for r in rows} == set(SEED_TEXT)
+
+
+def test_held_out_accuracy(spark):
+    df = spark.createDataFrame(
+        [(i, s, l) for i, (s, l) in enumerate(HELD_OUT)],
+        "doc_id long, text string, lang string",
+    )
+    out = langid_trained(df).select("lang", "lang_pred").collect()
+    correct = sum(1 for r in out if r["lang"] == r["lang_pred"])
+    assert correct == len(HELD_OUT), [
+        (r["lang"], r["lang_pred"]) for r in out if r["lang"] != r["lang_pred"]
+    ]
+
+
+def test_short_text_is_und(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", "x"), (2, "", "x"), (3, None, "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in langid_trained(df).collect()}
+    assert out[1] == "und" and out[2] == "und"
+    # NULL text: normalization yields NULL -> n_tri 0 via length(NULL);
+    # prediction must not crash and must not claim a language
+    assert out[3] in ("und", None)
+
+
+def test_normalize_matches_engine_semantics():
+    assert normalize("A  B\t\nC") == "a b c"

@@ -626,3 +626,88 @@ def test_inject_dedupes_normalizing_seeds(spark):
     )
     out = inject(db, seeds, now=F.lit(NOW)).collect()
     assert len(out) == 1 and out[0]["url"] == "http://a.com/"
+
+
+def test_merge_segment_dirs_lowest_common_set(spark):
+    # one segment lacks parse parts -> only the common parts are merged
+    from nutch_spark.operators.merge import merge_segment_dirs
+
+    def seg(name, with_parse):
+        parts = {
+            "crawl_generate": spark.createDataFrame(
+                [("http://a.com/", name, "gen")], "url string, segment string, status string"
+            ),
+            "crawl_fetch": spark.createDataFrame(
+                [("http://a.com/", name, "fetch_success")],
+                "url string, segment string, status string",
+            ),
+        }
+        if with_parse:
+            parts["parse_text"] = spark.createDataFrame(
+                [("http://a.com/", name, "text")], "url string, segment string, text string"
+            )
+        return parts
+
+    out = merge_segment_dirs([seg("s1", True), seg("s2", False)])
+    assert set(out) == {"crawl_generate", "crawl_fetch"}  # parse_text pruned
+    assert out["crawl_fetch"].collect()[0]["segment"] == "s2"  # latest wins
+
+
+def test_merge_segment_dirs_filter_hook(spark):
+    # a SegmentMergeFilter predicate drops a url from EVERY output part
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.merge import merge_segment_dirs
+
+    def seg(name):
+        return {
+            "crawl_fetch": spark.createDataFrame(
+                [
+                    ("http://keep.com/", name, "fetch_success"),
+                    ("http://drop.com/", name, "fetch_success"),
+                ],
+                "url string, segment string, status string",
+            ),
+            "parse_text": spark.createDataFrame(
+                [
+                    ("http://keep.com/", name, "good text"),
+                    ("http://drop.com/", name, "spam"),
+                ],
+                "url string, segment string, text string",
+            ),
+        }
+
+    out = merge_segment_dirs(
+        [seg("s1"), seg("s2")],
+        merge_filter=lambda c: ~F.col("parse_text.text").contains("spam"),
+    )
+    for part in ("crawl_fetch", "parse_text"):
+        urls = {r["url"] for r in out[part].collect()}
+        assert urls == {"http://keep.com/"}, part
+
+
+def test_merge_segment_dirs_filter_handles_missing_part_rows(spark):
+    # url present in crawl_fetch but absent from parse_text: the filter sees
+    # a NULL struct (the reducer's null argument) and must be able to keep it
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.merge import merge_segment_dirs
+
+    seg = {
+        "crawl_fetch": spark.createDataFrame(
+            [("http://a.com/", "s1", "fetch_success"), ("http://b.com/", "s1", "fetch_success")],
+            "url string, segment string, status string",
+        ),
+        "parse_text": spark.createDataFrame(
+            [("http://a.com/", "s1", "ok")], "url string, segment string, text string"
+        ),
+    }
+    out = merge_segment_dirs(
+        [seg],
+        merge_filter=lambda c: F.col("parse_text").isNull()
+        | ~F.col("parse_text.text").contains("spam"),
+    )
+    assert {r["url"] for r in out["crawl_fetch"].collect()} == {
+        "http://a.com/",
+        "http://b.com/",
+    }
