@@ -15,20 +15,72 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # magic-byte prefixes, checked against the first bytes of the content
-# (hex for binary magics so the same expression serves BINARY columns)
+# (hex for binary magics so the same expression serves BINARY columns).
+# All signatures are the published file-format magics (the same public set
+# Tika's mimetypes registry encodes).
 _MAGIC_HEX = [
     ("255044462D", "application/pdf"),     # %PDF-
     ("89504E47", "image/png"),
     ("47494638", "image/gif"),             # GIF8
     ("FFD8FF", "image/jpeg"),
+    ("424D", "image/bmp"),
+    ("49492A00", "image/tiff"),            # II*. little-endian
+    ("4D4D002A", "image/tiff"),            # MM.* big-endian
+    ("38425053", "image/vnd.adobe.photoshop"),  # 8BPS
+    ("D0CF11E0A1B11AE1", "application/x-ole-storage"),  # legacy .doc/.xls/.ppt
     ("504B0304", "application/zip"),
     ("1F8B", "application/gzip"),
     ("425A68", "application/x-bzip2"),     # BZh
+    ("FD377A585A00", "application/x-xz"),
+    ("377ABCAF271C", "application/x-7z-compressed"),
+    ("52617221", "application/x-rar-compressed"),  # Rar!
+    ("28B52FFD", "application/zstd"),
+    ("04224D18", "application/x-lz4"),
+    ("7B5C727466", "application/rtf"),     # {\rtf
+    ("252150532D", "application/postscript"),  # %!PS-
     ("4D5A", "application/x-msdownload"),  # MZ
+    ("7F454C46", "application/x-executable"),  # \x7fELF
+    ("CAFEBABE", "application/java-vm"),
+    ("0061736D", "application/wasm"),      # \0asm
+    ("774F4646", "font/woff"),             # wOFF
+    ("774F4632", "font/woff2"),            # wOF2
     ("00000018667479", "video/mp4"),
     ("494433", "audio/mpeg"),              # ID3
-    ("52494646", "audio/x-wav"),           # RIFF (wav/avi family)
+    ("FFFB", "audio/mpeg"),                # bare MPEG-1 layer 3 frame sync
+    ("664C6143", "audio/flac"),            # fLaC
+    ("4F676753", "application/ogg"),       # OggS
+    ("1A45DFA3", "video/webm"),            # EBML (Matroska/WebM family)
+    ("000001BA", "video/mpeg"),
+    ("000001B3", "video/mpeg"),
+    ("52494646", "audio/x-wav"),           # RIFF (refined below: WAVE/AVI/WEBP)
 ]
+
+# container refinements resolved from bytes past the leading magic:
+# (container-prefix hex, (subtype hex at given BYTE offset, mime))
+_RIFF_SUBTYPES = [  # RIFF<size> then the form type at byte offset 8
+    ("57454250", "image/webp"),   # WEBP
+    ("41564920", "video/x-msvideo"),  # 'AVI '
+    ("57415645", "audio/x-wav"),  # WAVE
+]
+_FTYP_BRANDS = [  # ISO-BMFF: 'ftyp' at byte 4, brand at byte 8
+    ("68656963", "image/heic"),   # heic
+    ("61766966", "image/avif"),   # avif
+    ("4D344120", "audio/mp4"),    # 'M4A '
+    ("71742020", "video/quicktime"),  # 'qt  '
+]
+# zip containers refined by URL extension (Tika inspects entry names; the
+# column expression uses the extension, which OOXML/ODF links always carry)
+_ZIP_EXT = {
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+    "jar": "application/java-archive",
+    "epub": "application/epub+zip",
+    "apk": "application/vnd.android.package-archive",
+}
 
 _EXT = {
     "html": "text/html",
@@ -52,6 +104,62 @@ _EXT = {
     "mp4": "video/mp4",
     "rss": "application/rss+xml",
     "atom": "application/atom+xml",
+    "webp": "image/webp",
+    "bmp": "image/bmp",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
+    "heic": "image/heic",
+    "avif": "image/avif",
+    "doc": "application/msword",
+    "xls": "application/vnd.ms-excel",
+    "ppt": "application/vnd.ms-powerpoint",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+    "rtf": "application/rtf",
+    "ps": "application/postscript",
+    "eps": "application/postscript",
+    "csv": "text/csv",
+    "tsv": "text/tab-separated-values",
+    "md": "text/markdown",
+    "yaml": "application/yaml",
+    "yml": "application/yaml",
+    "7z": "application/x-7z-compressed",
+    "rar": "application/x-rar-compressed",
+    "xz": "application/x-xz",
+    "zst": "application/zstd",
+    "bz2": "application/x-bzip2",
+    "tar": "application/x-tar",
+    "jar": "application/java-archive",
+    "war": "application/java-archive",
+    "epub": "application/epub+zip",
+    "apk": "application/vnd.android.package-archive",
+    "wasm": "application/wasm",
+    "woff": "font/woff",
+    "woff2": "font/woff2",
+    "ttf": "font/ttf",
+    "otf": "font/otf",
+    "flac": "audio/flac",
+    "ogg": "application/ogg",
+    "oga": "audio/ogg",
+    "ogv": "video/ogg",
+    "webm": "video/webm",
+    "avi": "video/x-msvideo",
+    "mov": "video/quicktime",
+    "mkv": "video/x-matroska",
+    "m4a": "audio/mp4",
+    "m4v": "video/mp4",
+    "wav": "audio/x-wav",
+    "mid": "audio/midi",
+    "exe": "application/x-msdownload",
+    "dll": "application/x-msdownload",
+    "swf": "application/x-shockwave-flash",
+    "php": "text/x-php",
+    "jsp": "text/x-jsp",
+    "asp": "text/x-asp",
 }
 
 
@@ -82,10 +190,24 @@ def detect_mime(
     if content is not None:
         c = F.col(content) if isinstance(content, str) else content
         head_hex = F.upper(F.hex(F.substring(c.cast("binary"), 1, 16)))
+        ext0 = url_extension(url)
+        # container refinements FIRST so they outrank the generic magics:
+        # RIFF form types (byte 8), ISO-BMFF ftyp brands (bytes 4/8), and
+        # zip refined by extension (OOXML/ODF/jar/epub/apk)
         magic = None
-        for prefix, mime in _MAGIC_HEX:
-            cond = head_hex.startswith(prefix)
+        for sub, mime in _RIFF_SUBTYPES:
+            cond = head_hex.startswith("52494646") & (
+                F.substring(head_hex, 17, 8) == sub
+            )
             magic = F.when(cond, mime) if magic is None else magic.when(cond, mime)
+        is_ftyp = F.substring(head_hex, 9, 8) == "66747970"
+        for brand, mime in _FTYP_BRANDS:
+            magic = magic.when(is_ftyp & (F.substring(head_hex, 17, 8) == brand), mime)
+        magic = magic.when(is_ftyp, "video/mp4")  # unrecognized brand default
+        for e, mime in _ZIP_EXT.items():
+            magic = magic.when(head_hex.startswith("504B0304") & (ext0 == e), mime)
+        for prefix, mime in _MAGIC_HEX:
+            magic = magic.when(head_hex.startswith(prefix), mime)
         # textual magics on the string view
         s = F.ltrim(F.lower(c.cast("string")))
         magic = magic.when(

@@ -861,5 +861,60 @@ def s10_sitemap_parse(spark, sf_dir):
     )
 
 
+@q(
+    "p2_pdf_extract",
+    """
+    SELECT doc_id, 'application/pdf' AS mime, trim(text) AS parse_text,
+           CAST(length(trim(text)) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_pdf_extract(spark, sf_dir):
+    """P2 binary parse end-to-end (parse-tika slot, TikaParser.java:63-160):
+    each document's text is wrapped into a REAL Flate-compressed PDF (BT/Tj
+    content stream, escaped string operands) in one map stage, then pushed
+    through the magic-byte dispatch + PDF extractor of
+    operators/parse_binary.py; the oracle is the round-trip identity. This
+    certifies decompression, text-operator parsing and escape handling on
+    every row cross-engine, not just on fixture files."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                esc = (
+                    (text or "")
+                    .replace("\\", "\\\\")
+                    .replace("(", "\\(")
+                    .replace(")", "\\)")
+                )
+                stream = b"BT (" + esc.encode("latin-1", "replace") + b") Tj ET"
+                body = zlib.compress(stream)
+                data = (
+                    b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length "
+                    + str(len(body)).encode()
+                    + b" >>\nstream\n"
+                    + body
+                    + b"\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+                )
+                rows.append({"url": f"http://doc{doc_id}.com/x.pdf", "content": data})
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
+
 
 assert "a10_anchor_dedup" in REGISTRY

@@ -1,0 +1,188 @@
+"""PDF/OOXML text extraction (P2 binary formats, round-4 item 4).
+
+Fixtures are built in-test: a real Flate-compressed PDF (content stream
+with Tj/TJ/escape/octal cases), real OOXML zips (docx runs-in-paragraphs,
+xlsx shared+inline strings, pptx slides). Reference surface:
+parse-tika TikaParser.java — mime-routed text extraction into ParseText.
+"""
+
+from __future__ import annotations
+
+
+import zipfile
+import zlib
+from io import BytesIO
+
+from nutch_spark.operators.parse_binary import (
+    extract_docx_text,
+    extract_pdf_text,
+    extract_pptx_text,
+    extract_text,
+    extract_xlsx_text,
+    parse_binary,
+)
+
+# ---------------------------------------------------------------------------
+# fixture builders
+# ---------------------------------------------------------------------------
+
+
+def _pdf(content_stream: bytes, *, compress: bool = True, encrypted: bool = False) -> bytes:
+    body = zlib.compress(content_stream) if compress else content_stream
+    filt = b"/Filter /FlateDecode " if compress else b""
+    enc = b"/Encrypt 9 0 R " if encrypted else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << " + filt +
+        b"/Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+        b"trailer << /Root 1 0 R " + enc + b">>\n%%EOF\n"
+    )
+
+
+def _docx(paragraphs: list[list[str]]) -> bytes:
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = "".join(
+        "<w:p>" + "".join(f"<w:r><w:t>{r}</w:t></w:r>" for r in runs) + "</w:p>"
+        for runs in paragraphs
+    )
+    doc = f'<?xml version="1.0"?><w:document xmlns:w="{w}"><w:body>{paras}</w:body></w:document>'
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _xlsx(shared: list[str], inline: list[str]) -> bytes:
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{s}">'
+        + "".join(f"<si><t>{t}</t></si>" for t in shared)
+        + "</sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{s}"><sheetData><row>'
+        + "".join(f'<c t="inlineStr"><is><t>{t}</t></is></c>' for t in inline)
+        + "</row></sheetData></worksheet>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def _pptx(slides: list[list[str]]) -> bytes:
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for i, texts in enumerate(slides, 1):
+            xml = (
+                f'<?xml version="1.0"?><p:sld xmlns:a="{a}" '
+                'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">'
+                + "".join(f"<a:t>{t}</a:t>" for t in texts)
+                + "</p:sld>"
+            )
+            z.writestr(f"ppt/slides/slide{i}.xml", xml)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_tj_and_tj_array():
+    stream = (
+        b"BT /F1 12 Tf 72 700 Td (Hello World) Tj ET\n"
+        b"BT [(frag) -250 (mented)] TJ ET\n"
+    )
+    text = extract_pdf_text(_pdf(stream))
+    assert "Hello World" in text
+    assert "fragmented" in text  # TJ array parts concatenated, kerning ignored
+
+
+def test_pdf_escapes_and_octal():
+    stream = rb"BT (paren \( close \) back\\slash oct\101) Tj ET"
+    text = extract_pdf_text(_pdf(stream))
+    assert "paren ( close )" in text
+    assert "back\\slash" in text
+    assert "octA" in text  # \101 -> 'A'
+
+
+def test_pdf_uncompressed_stream():
+    text = extract_pdf_text(_pdf(b"BT (plain stream) Tj ET", compress=False))
+    assert text == "plain stream"
+
+
+def test_pdf_encrypted_returns_empty():
+    assert extract_pdf_text(_pdf(b"BT (secret) Tj ET", encrypted=True)) == ""
+
+
+def test_pdf_quote_operators():
+    stream = b"BT (line one) Tj (line two) ' ET"
+    text = extract_pdf_text(_pdf(stream))
+    assert "line one" in text and "line two" in text
+
+
+# ---------------------------------------------------------------------------
+# OOXML
+# ---------------------------------------------------------------------------
+
+
+def test_docx_runs_join_within_paragraph():
+    data = _docx([["Hel", "lo"], ["second paragraph"]])
+    assert extract_docx_text(data) == "Hello\nsecond paragraph"
+
+
+def test_xlsx_shared_and_inline():
+    data = _xlsx(["alpha", "beta"], ["inline1"])
+    text = extract_xlsx_text(data)
+    assert text.splitlines() == ["alpha", "beta", "inline1"]
+
+
+def test_pptx_slides_in_order():
+    data = _pptx([["slide one"], ["slide two"]])
+    assert extract_pptx_text(data).splitlines() == ["slide one", "slide two"]
+
+
+# ---------------------------------------------------------------------------
+# dispatch + Spark stage
+# ---------------------------------------------------------------------------
+
+
+def test_extract_text_dispatch():
+    assert extract_text(_pdf(b"BT (x) Tj ET"))[0] == "application/pdf"
+    assert extract_text(_docx([["d"]]))[0].endswith("wordprocessingml.document")
+    assert extract_text(_xlsx(["s"], []))[0].endswith("spreadsheetml.sheet")
+    assert extract_text(_pptx([["p"]]))[0].endswith("presentationml.presentation")
+    mime, text = extract_text(b"just plain text")
+    assert (mime, text) == ("text/plain", "just plain text")
+    assert extract_text(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1rest") == (
+        "application/x-ole-storage",
+        "",
+    )
+
+
+def test_parse_binary_stage(spark):
+    rows = [
+        ("http://a.com/doc.pdf", bytearray(_pdf(b"BT (pdf body text) Tj ET"))),
+        ("http://a.com/r.docx", bytearray(_docx([["word text"]]))),
+        ("http://a.com/s.xlsx", bytearray(_xlsx(["cell text"], []))),
+        ("http://a.com/junk.bin", bytearray(b"\x00\x01\x02\xff")),
+        ("http://a.com/none", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, content binary")
+    out = {r["url"]: r for r in parse_binary(df).collect()}
+    assert len(out) == 4  # NULL content dropped
+    assert out["http://a.com/doc.pdf"]["mime"] == "application/pdf"
+    assert out["http://a.com/doc.pdf"]["parse_text"] == "pdf body text"
+    assert out["http://a.com/r.docx"]["parse_text"] == "word text"
+    assert out["http://a.com/s.xlsx"]["parse_text"] == "cell text"
+    junk = out["http://a.com/junk.bin"]
+    assert junk["mime"] == "application/octet-stream" and junk["n_chars"] == 0

@@ -281,3 +281,40 @@ def test_regex_parse_filter_and_mimetype_filter(spark):
         mimetype_filter_predicate("m", allow=("text",))
     ).collect()]
     assert kept2 == ["text/html"]
+
+
+def test_detect_mime_container_refinements(spark):
+    # RIFF form types, ISO-BMFF ftyp brands, and zip-by-extension refinement
+    riff = bytes.fromhex("52494646") + b"\x10\x00\x00\x00"
+    ftyp = b"\x00\x00\x00\x18" + b"ftyp"
+    zip_magic = bytes.fromhex("504B0304") + b"\x14\x00\x00\x00"
+    rows = [
+        ("http://a.com/p.bin", riff + b"WEBPVP8 ", None, "image/webp"),
+        ("http://a.com/p.bin", riff + b"AVI LIST", None, "video/x-msvideo"),
+        ("http://a.com/p.bin", riff + b"WAVEfmt ", None, "audio/x-wav"),
+        ("http://a.com/v.bin", ftyp + b"heicmif1", None, "image/heic"),
+        ("http://a.com/v.bin", ftyp + b"isomiso2", None, "video/mp4"),
+        ("http://a.com/d.docx", zip_magic + b"word", None,
+         "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+        ("http://a.com/s.xlsx", zip_magic + b"xl/w", None,
+         "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+        ("http://a.com/a.zip", zip_magic + b"misc", None, "application/zip"),
+        ("http://a.com/old.bin", bytes.fromhex("D0CF11E0A1B11AE1"), None,
+         "application/x-ole-storage"),
+        ("http://a.com/x.bin", b"{\\rtf1\\ansi hello}", None, "application/rtf"),
+        ("http://a.com/f.bin", b"fLaC\x00\x00\x00\x22", None, "audio/flac"),
+        ("http://a.com/no-magic.woff2", None, None, "font/woff2"),
+        ("http://a.com/no-magic.odt", None, None,
+         "application/vnd.oasis.opendocument.text"),
+    ]
+    df = spark.createDataFrame(
+        [(u, c, t) for u, c, t, _ in rows],
+        "url string, content binary, content_type string",
+    )
+    got = [
+        r["mime"]
+        for r in df.select(
+            detect_mime("url", "content", "content_type").alias("mime")
+        ).collect()
+    ]
+    assert got == [want for _, _, _, want in rows]
