@@ -132,6 +132,68 @@ def langid(df: DataFrame, text: str = "text", out_col: str = "lang_pred") -> Dat
     return df.withColumn(out_col, pred)
 
 
+def c4_line_clean(
+    df: DataFrame,
+    text: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text Transformer"
+    §2.2 — public paper; same rules FineWeb/CCNet reuse):
+
+    a line is KEPT only if it ends in terminal punctuation (. ! ? or "),
+    has at least ``min_words_per_line`` whitespace words, does not contain
+    the word "javascript" (case-insensitive), and does not contain a curly
+    brace (code). A document is KEPT only if it retains at least
+    ``min_kept_lines`` lines and does not contain "lorem ipsum".
+
+    Appends ``text_clean`` (kept lines re-joined with \\n), ``n_lines``,
+    ``n_kept_lines``, ``c4_keep``. Pure array/regexp column expressions —
+    map-only, codegen'd, no shuffle at any scale.
+    """
+    t = F.col(text)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(ln, " +"), lambda w: w != "")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript")
+        & ~ln.contains("{")
+        & ~ln.contains("}"),
+    )
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept_lines": F.size(kept).cast("long"),
+            "text_clean": F.array_join(kept, "\n"),
+            "c4_keep": (F.size(kept) >= min_kept_lines)
+            & ~F.lower(t).contains("lorem ipsum"),
+        }
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    *,
+    url: str = "url",
+    out_col: str = "url_blocked",
+) -> DataFrame:
+    """URL/domain blocklist flag (the RefinedWeb/FineWeb URL-filtering
+    stage): a url is blocked when its registered host equals a blocked
+    domain or is a subdomain of one. The blocklist travels as a broadcast
+    literal array — map-only at any scale."""
+    host = F.lower(
+        F.regexp_extract(F.col(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    blocked = F.lit(False)
+    for d in sorted(set(b.lower() for b in blocked_domains)):
+        blocked = blocked | (host == d) | host.endswith("." + d)
+    return df.withColumn(out_col, blocked)
+
+
 def langid_trained(
     df: DataFrame,
     text: str = "text",

@@ -1173,3 +1173,110 @@ def dp_lsh_recall(spark, sf_dir):
         .groupBy("query_id")
         .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning + URL blocklist (round-4 additions)
+# ---------------------------------------------------------------------------
+
+_C4_TEXT_SQL = """
+      array_to_string(({toks})[1:8], ' ') || '.' || chr(10)
+      || 'too short' || chr(10)
+      || 'enable javascript for the best experience now.' || chr(10)
+      || array_to_string(({toks})[1:5], ' ') || ' extra words here too?' || chr(10)
+      || 'function() {{ return 1 }}'
+      || CASE WHEN doc_id % 10 = 0
+              THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+              ELSE '' END
+""".format(toks="list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')")
+
+
+@q(
+    "dp_c4_clean",
+    f"""
+    WITH d AS (SELECT doc_id, {_C4_TEXT_SQL} AS t FROM documents),
+    k AS (
+      SELECT doc_id, t,
+             string_split(t, chr(10)) AS lines,
+             list_filter(
+               string_split(t, chr(10)),
+               ln -> regexp_matches(ln, '[.!?"]$')
+                     AND len(list_filter(string_split_regex(ln, ' +'), w -> w != '')) >= 5
+                     AND NOT contains(lower(ln), 'javascript')
+                     AND NOT contains(ln, '{{')
+                     AND NOT contains(ln, '}}')
+             ) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           array_to_string(kept, chr(10)) AS text_clean,
+           len(kept) >= 2 AND NOT contains(lower(t), 'lorem ipsum') AS c4_keep
+    FROM k
+    """,
+)
+def dp_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2): terminal
+    punctuation, min words per line, javascript/brace line drops, lorem
+    ipsum doc drop. A 5-6 line synthetic page per document (good line,
+    short line, javascript line, good question line, code line, and a
+    lorem-ipsum line on every 10th doc) exercises every rule; the oracle
+    re-applies the same rules with DuckDB list lambdas."""
+    from nutch_spark.datapipe.textstats import c4_line_clean
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    multi = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, 8)), F.lit(".\n"),
+        F.lit("too short\n"),
+        F.lit("enable javascript for the best experience now.\n"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)), F.lit(" extra words here too?\n"),
+        F.lit("function() { return 1 }"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+    )
+    out = c4_line_clean(
+        d.select("doc_id", multi.alias("text")), min_kept_lines=2
+    )
+    return out.select("doc_id", "n_lines", "n_kept_lines", "text_clean", "c4_keep")
+
+
+@q(
+    "dp_url_blocklist",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'http://ads.tracker.com/x' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'http://sub.ads.tracker.com/y' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'http://good.example.org/z' || CAST(doc_id AS VARCHAR)
+               ELSE 'http://tracker.com.evil.org/w' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    )
+    SELECT doc_id, url, doc_id % 4 IN (0, 1) AS url_blocked
+    FROM u
+    """,
+)
+def dp_url_blocklist(spark, sf_dir):
+    """URL/domain blocklist stage (RefinedWeb/FineWeb URL filtering): exact
+    domain and subdomain matches block; a domain appearing as a PREFIX of
+    another registered domain (tracker.com.evil.org) must NOT block — the
+    match is suffix-per-label, not substring."""
+    from nutch_spark.datapipe.textstats import url_blocklist_filter
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    s = k.cast("string")
+    url = (
+        F.when(k % 4 == 0, F.concat(F.lit("http://ads.tracker.com/x"), s))
+        .when(k % 4 == 1, F.concat(F.lit("http://sub.ads.tracker.com/y"), s))
+        .when(k % 4 == 2, F.concat(F.lit("http://good.example.org/z"), s))
+        .otherwise(F.concat(F.lit("http://tracker.com.evil.org/w"), s))
+    )
+    return url_blocklist_filter(
+        d.select("doc_id", url.alias("url")), ["ads.tracker.com"]
+    ).select("doc_id", "url", "url_blocked")

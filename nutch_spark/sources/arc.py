@@ -55,14 +55,42 @@ def _decompress(data: bytes) -> bytes:
     return data
 
 
+# plausible starts of an ARC record header line, used to RESYNC after
+# malformed bytes (the reference's reader scans for the next gzip magic the
+# same way: ArcRecordReader.java:229-262 false-positive recovery loop)
+_RESYNC_MARKERS = (b"\nhttp://", b"\nhttps://", b"\nfiledesc://", b"\ndns:")
+
+
+def _decode_header(raw: bytes) -> str:
+    """ARC headers are usually ASCII but legacy crawls carry latin-1 URLs;
+    try strict utf-8 first, fall back to latin-1 (lossless for any byte)."""
+    try:
+        return raw.decode("utf-8").strip()
+    except UnicodeDecodeError:
+        return raw.decode("latin-1").strip()
+
+
 def parse_arc_bytes(data: bytes, source: str) -> list[dict]:
     """Split one ARC file's bytes into records (ArcRecordReader.java:140-239
-    semantics: header line, exact-length payload, record separator)."""
+    semantics: header line, exact-length payload, record separator).
+
+    Tolerates the legacy zoo: ARC v1 (5-field header
+    ``url ip date mime length``) and v2 (10-field, same first-four + trailing
+    length: ArcSegmentCreator-era files), latin-1 bytes in header lines,
+    truncated final records (emitted with the bytes present), and garbage
+    between records — a malformed header RESYNCS to the next plausible
+    record start instead of abandoning the rest of the file, mirroring the
+    reference reader's gzip-magic recovery scan."""
     data = _decompress(data)
     records: list[dict] = []
     pos = 0
     first = True
     n = len(data)
+
+    def resync(p: int) -> int:
+        nxt = [i for m in _RESYNC_MARKERS if (i := data.find(m, p)) != -1]
+        return min(nxt) + 1 if nxt else n
+
     while pos < n:
         # skip blank separator lines
         while pos < n and data[pos : pos + 1] in (b"\n", b"\r"):
@@ -72,22 +100,25 @@ def parse_arc_bytes(data: bytes, source: str) -> list[dict]:
         eol = data.find(b"\n", pos)
         if eol == -1:
             break
-        header = data[pos:eol].decode("utf-8", "replace").strip()
-        pos = eol + 1
+        header = _decode_header(data[pos:eol])
+        body_at = eol + 1
         parts = header.split(" ")
-        if len(parts) < 5:
-            break  # malformed header — stop like the reference's reader
-        length_s = parts[-1]
+        # v1 = 5 fields, v2 = 10; length is ALWAYS the last field
         try:
-            length = int(length_s)
+            length = int(parts[-1]) if len(parts) in (5, 10) else None
         except ValueError:
-            break
-        payload = data[pos : pos + length]
-        pos += length
-        if first:
+            length = None
+        url_ish = "://" in parts[0] or parts[0].startswith("dns:")
+        if length is None or length < 0 or not url_ish:
+            pos = resync(pos)  # garbage — scan to next plausible record
+            continue
+        payload = data[body_at : body_at + length]
+        pos = body_at + length
+        if first and parts[0].startswith("filedesc://"):
             # the version block describes the file itself; skip it
             first = False
             continue
+        first = False
         url, ip, date14, mime = parts[0], parts[1], parts[2], parts[3]
         try:
             ts = pd.to_datetime(date14, format="%Y%m%d%H%M%S")
@@ -99,7 +130,7 @@ def parse_arc_bytes(data: bytes, source: str) -> list[dict]:
                 "ip": ip,
                 "fetch_time": ts,
                 "content_type": mime,
-                "content": payload,
+                "content": payload,  # may be short if the file was truncated
                 "source_file": source,
             }
         )

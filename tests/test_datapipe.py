@@ -376,3 +376,45 @@ def test_dup_components_string_keys(spark):
     pairs = spark.createDataFrame([("d-b", "d-c")], "id_a string, id_b string")
     out = {r["doc_id"]: r["component"] for r in dup_components(nodes, pairs).collect()}
     assert out == {"d-a": "d-a", "d-b": "d-b", "d-c": "d-b"}
+
+
+def test_c4_line_clean_rules(spark):
+    from nutch_spark.datapipe.textstats import c4_line_clean
+
+    text = "\n".join(
+        [
+            "this line has enough words and ends well.",   # kept
+            "short one.",                                   # < 5 words
+            "no terminal punctuation on this line here",    # no punct
+            "please enable JavaScript to view this page.",  # javascript
+            "if (x) { return y; } and some more words.",    # braces
+            'a quoted ending with five good words here"',   # kept (quote)
+        ]
+    )
+    df = spark.createDataFrame([(1, text), (2, "lorem ipsum " + text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(df, min_kept_lines=2).collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept_lines"] == 2
+    assert out[1]["text_clean"].splitlines()[0].startswith("this line")
+    assert out[1]["c4_keep"] is True
+    # doc 2 has an extra unterminated first line merged into line 1? no —
+    # "lorem ipsum " prefixes line 1, which still ends in '.' and has >= 5
+    # words, so line counts match; the doc-level lorem-ipsum rule drops it
+    assert out[2]["c4_keep"] is False
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    from nutch_spark.datapipe.textstats import url_blocklist_filter
+
+    rows = [
+        (1, "http://ads.tracker.com/a"),        # exact
+        (2, "http://x.ads.tracker.com/b"),      # subdomain
+        (3, "http://notads.tracker.com/c"),     # different registered host
+        (4, "http://ads.tracker.com.evil.io/d"),  # prefix spoof — NOT blocked
+        (5, "https://ADS.Tracker.COM/e"),       # case-insensitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r["url_blocked"]
+        for r in url_blocklist_filter(df, ["ads.tracker.com"]).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False, 5: True}

@@ -258,3 +258,46 @@ def test_open_ended_fetchdb_is_capped(spark):
     big = spark.range(0, 30_000).selectExpr("concat('http://x.com/', id) as url")
     api = NutchReadApi(fetchdb=big)
     assert len(api.db_fetchdb()) == NutchReadApi.MAX_PAGE
+
+
+# --- exotic ARC variants (round-4): v2 headers, resync, latin-1, truncation
+
+
+def test_arc_v2_ten_field_header():
+    from nutch_spark.sources.arc import parse_arc_bytes
+
+    payload = b"<html>v2</html>"
+    v2 = (
+        "http://v2.com/p 1.2.3.4 20260102030405 text/html 200 "
+        f"checksum - 0 file.arc {len(payload)}\n"
+    ).encode() + payload + b"\n"
+    recs = parse_arc_bytes(v2, "f")
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["url"] == "http://v2.com/p"
+    assert r["content_type"] == "text/html"
+    assert bytes(r["content"]) == payload
+
+
+def test_arc_resync_after_garbage():
+    from nutch_spark.sources.arc import parse_arc_bytes
+
+    good = b"http://ok.com/a 1.1.1.1 20260101000000 text/plain 5\nhello\n"
+    garbage = b"\x00\xffnot a header at all\nmore junk without structure\n"
+    data = good + garbage + b"http://ok.com/b 2.2.2.2 20260101000001 text/plain 5\nworld\n"
+    recs = parse_arc_bytes(data, "f")
+    # first real record is NOT swallowed as a version block (no filedesc),
+    # and the reader recovers past the garbage to the second record
+    assert [r["url"] for r in recs] == ["http://ok.com/a", "http://ok.com/b"]
+
+
+def test_arc_latin1_header_and_truncated_tail():
+    from nutch_spark.sources.arc import parse_arc_bytes
+
+    latin_url = "http://caf\xe9.example.com/p".encode("latin-1")
+    r1 = latin_url + b" 1.1.1.1 20260101000000 text/html 4\nbody\n"
+    # declared 100 bytes but the file ends early (interrupted transfer)
+    r2 = b"http://tail.com/x 2.2.2.2 20260101000001 text/plain 100\nonly-this"
+    recs = parse_arc_bytes(r1 + r2, "f")
+    assert recs[0]["url"] == "http://caf\xe9.example.com/p"
+    assert bytes(recs[1]["content"]) == b"only-this"  # short tail still emitted
