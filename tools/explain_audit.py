@@ -77,6 +77,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # geoip: bucketed BROADCAST equi-join, not a nested-loop range scan
     "j_geoip_range": [[r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin",
                                                r"CartesianProduct"]],
+    # trained langid: profile table broadcasts; trigram scoring is a keyed
+    # aggregate + doc-partitioned window — never a cross product
+    "dp_langid": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
+    # C4 cleaning: map-only array lambdas — no exchange, no join
+    "dp_c4_clean": [[], [r"Exchange", r"Join"]],
+    # URL blocklist: map-only literal chain
+    "dp_url_blocklist": [[], [r"Exchange", r"Join"]],
+    # PDF round-trip: two chained Python stages, no shuffle between them
+    "p2_pdf_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
 }
 
 
