@@ -88,7 +88,9 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id (string of 0/1) for random-hyperplane LSH."""
     bits = []
     for plane in planes:
-        lit = F.array(*[F.lit(float(x)) for x in plane])
+        # one py4j call for the whole plane literal — element-wise F.lit
+        # chatter made plan BUILD the dominant cost (~3s per ANN query)
+        lit = F.lit([float(x) for x in plane])
         dot = F.aggregate(
             F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -189,7 +191,7 @@ def ivf_topk(
         arr = F.array(
             *[
                 F.struct(
-                    (-cosine(v, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
+                    (-cosine(v, F.lit([float(x) for x in cv]))).alias("neg"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cv in cents

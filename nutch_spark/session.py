@@ -70,17 +70,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
+        if dict(df.dtypes).get("ts") == "bigint":
             # Integer division: ns-since-epoch ≈ 1.7e18 overflows double's
             # 53-bit mantissa; a float divide would corrupt microsecond digits.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dt == "timestamp_ntz":
-            # Session tz is pinned UTC, so NTZ -> TZ is value-preserving and
-            # keeps downstream operators on one timestamp flavor.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Defensive for EVERY table: a regenerated testdata may flip physical
+    # timestamp flavors (it already flipped events.ts once). Session tz is
+    # pinned UTC, so NTZ -> TZ is value-preserving and keeps all operators
+    # on one timestamp flavor regardless of what the writer chose.
+    ntz = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
