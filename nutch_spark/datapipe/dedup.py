@@ -479,6 +479,61 @@ def dup_components(
     )
 
 
+def exact_substring_spans(
+    corpus: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    n: int = 10,
+) -> DataFrame:
+    """ExactSubstr deduplication spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" §4.1 — public paper; the
+    suffix-array pass re-expressed relationally): any ``n``-token gram that
+    occurs more than once ANYWHERE in the corpus marks its token span, and
+    overlapping/adjacent marked positions merge into maximal per-document
+    removal spans.
+
+    Output: one row per maximal duplicated span — (key, span_start,
+    span_end): 1-based token index, end EXCLUSIVE, so the span covers
+    tokens [span_start, span_end).
+
+    Scale shape (the suffix array of the paper is a single-machine
+    construct; this is the cluster shape): positional gram explode → one
+    groupBy on the gram hash for the duplicate set → left-semi join back
+    (no row amplification — semi joins never fan out, so a million-fold
+    repeated gram costs its occurrence count, not occurrences²) → per-doc
+    gaps-and-islands window (one keyed shuffle) to merge positions into
+    spans. Every stage is a bounded keyed shuffle; nothing is quadratic.
+    """
+    toks = tokens(F.col(text))
+    base = corpus.select(F.col(key), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = base.select(
+        key,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))),
+            )
+        ).alias("_p0", "_h"),
+    ).select(key, (F.col("_p0") + 1).alias("pos"), "_h")
+    dup = grams.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
+    hits = grams.join(dup, "_h", "left_semi")
+    w = Window.partitionBy(key).orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos", 1).over(w) <= 1, 0).otherwise(1),
+        )
+        .withColumn("_island", F.sum("_brk").over(w))
+    )
+    return islands.groupBy(key, "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n).cast("long").alias("span_end"),
+    ).select(key, "span_start", "span_end")
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

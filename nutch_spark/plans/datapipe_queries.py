@@ -1280,3 +1280,41 @@ def dp_url_blocklist(spark, sf_dir):
     return url_blocklist_filter(
         d.select("doc_id", url.alias("url")), ["ads.tracker.com"]
     ).select("doc_id", "url", "url_blocked")
+
+
+@q(
+    "dp_substring_spans",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 10),
+    g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos FROM b),
+    g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 md5(array_to_string(toks[pos:pos+9], ' ')) AS h
+          FROM g0),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def dp_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup spans (Lee et al. 2021 §4.1): maximal per-doc token
+    spans whose 10-grams occur more than once in the planted-duplicate
+    corpus. The paper's suffix array becomes gram-hash groupBy + semi-join +
+    gaps-and-islands window; the oracle replays the identical pipeline in
+    SQL windows."""
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    return exact_substring_spans(_corpus(spark, sf_dir), n=10)

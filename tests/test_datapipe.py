@@ -418,3 +418,36 @@ def test_url_blocklist_suffix_semantics(spark):
         for r in url_blocklist_filter(df, ["ads.tracker.com"]).collect()
     }
     assert out == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_exact_substring_spans_merging(spark):
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, duplicated 5-gram
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight nine ten {shared} eleven"),
+        (3, "totally unique words that never repeat anywhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, n=5).collect()
+    }
+    # doc1: the shared 5-gram starts at token 4 -> span [4, 9)
+    assert spans[1] == (4, 9)
+    # doc2: starts at token 5 -> [5, 10)
+    assert spans[2] == (5, 10)
+    assert 3 not in spans  # unique doc has no duplicated grams
+
+
+def test_exact_substring_spans_islands(spark):
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    # two docs sharing their ENTIRE text: every 3-gram repeats, so the
+    # marked positions are contiguous and must merge into ONE maximal span
+    text = "a b c d e f g h"
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = exact_substring_spans(df, n=3).collect()
+    spans = {(r["doc_id"], r["span_start"], r["span_end"]) for r in out}
+    assert spans == {(1, 1, 9), (2, 1, 9)}  # tokens 1..8, end exclusive

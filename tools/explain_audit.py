@@ -86,6 +86,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_url_blocklist": [[], [r"Exchange", r"Join"]],
     # PDF round-trip: two chained Python stages, no shuffle between them
     "p2_pdf_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    # ExactSubstr spans: keyed gram aggregate + semi-join + island window —
+    # never a cartesian, never a row-amplifying inner join on the gram
+    "dp_substring_spans": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
 }
 
 
