@@ -91,5 +91,90 @@ class NutchConfig:
 
     extras: dict = field(default_factory=dict)
 
+    @classmethod
+    def from_properties(cls, props: dict) -> "NutchConfig":
+        """Build a config from nutch-default.xml property names — the
+        ConfManager surface: a REST-created config dict of xml keys becomes
+        a typed NutchConfig. Unknown keys land in ``extras`` (the reference
+        keeps them in the Hadoop Configuration for plugins to read). Values
+        arrive as strings over the API; booleans/numbers are coerced by the
+        target field's current type."""
+        import dataclasses
+
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: dict = {}
+        extras: dict = {}
+        for key, value in (props or {}).items():
+            if key == "fetcher.timelimit.mins":  # stored in seconds here
+                kwargs["fetcher_time_limit_s"] = float(value) * 60.0
+                continue
+            name = PROPERTY_MAP.get(key)
+            if name is None:
+                extras[key] = value
+                continue
+            default = getattr(DEFAULT, name)
+            if isinstance(default, bool):
+                value = str(value).lower() in ("true", "1", "yes")
+            elif isinstance(default, int):
+                value = int(value)
+            elif isinstance(default, float):
+                value = float(value)
+            elif isinstance(default, tuple):
+                value = tuple(value) if not isinstance(value, str) else tuple(
+                    v.strip() for v in value.split(",") if v.strip()
+                )
+            kwargs[name] = value
+        assert set(kwargs) <= set(fields)
+        return cls(**kwargs, extras=extras)
+
+
+# nutch-default.xml property name -> NutchConfig field (the keys cited in
+# the field comments above, plus the fetcher.timelimit.mins conversion)
+PROPERTY_MAP = {
+    "db.injector.update": "inject_update",
+    "db.injector.overwrite": "inject_overwrite",
+    "db.score.injected": "score_injected",
+    "db.fetch.interval.default": "fetch_interval_default",
+    "db.fetch.interval.max": "fetch_interval_max",
+    "generate.min.score": "generate_min_score",
+    "generate.max.count": "generate_max_count",
+    "generate.count.mode": "generate_count_mode",
+    "partition.url.mode": "partition_mode",
+    "db.fetch.retry.max": "retry_max",
+    "db.update.max.inlinks": "update_max_inlinks",
+    "db.update.additions.allowed": "additions_allowed",
+    "db.update.purge.404": "purge_404",
+    "db.update.purge.orphans": "purge_orphans",
+    "db.fetch.schedule.adaptive.inc_rate": "adaptive_inc_rate",
+    "db.fetch.schedule.adaptive.dec_rate": "adaptive_dec_rate",
+    "db.fetch.schedule.adaptive.min_interval": "adaptive_min_interval",
+    "db.fetch.schedule.adaptive.max_interval": "adaptive_max_interval",
+    "db.fetch.schedule.adaptive.sync_delta": "adaptive_sync_delta",
+    "db.fetch.schedule.adaptive.sync_delta_rate": "adaptive_sync_delta_rate",
+    "linkdb.max.inlinks": "linkdb_max_inlinks",
+    "linkdb.max.anchor.length": "linkdb_max_anchor_length",
+    "linkdb.ignore.internal.links": "linkdb_ignore_internal_links",
+    "linkdb.ignore.external.links": "linkdb_ignore_external_links",
+    "db.max.outlinks.per.page": "max_outlinks_per_page",
+    "db.max.outlink.length": "max_outlink_length",
+    "db.ignore.internal.links": "ignore_internal_links",
+    "db.ignore.external.links": "ignore_external_links",
+    "http.content.limit": "http_content_limit",
+    "fetcher.server.delay": "fetcher_server_delay",
+    "fetcher.threads.fetch": "fetcher_threads",
+    "fetcher.throughput.threshold.pages": "throughput_threshold_pages",
+    "fetcher.throughput.threshold.retries": "throughput_threshold_retries",
+    "deduplication.group.mode": "dedup_group_mode",
+    "deduplication.compare.order": "dedup_compare_order",
+    "db.score.link.internal": "score_internal_factor",
+    "db.score.link.external": "score_external_factor",
+    "db.score.count.filtered": "score_count_filtered",
+    "link.score.updater.clear.score": "link_score_updater_clear_score",
+    "link.analyze.num.iterations": "linkrank_iterations",
+    "link.analyze.damping.factor": "linkrank_damping",
+    "link.analyze.initial.score": "linkrank_initial_score",
+    "link.delete.gone": "webgraph_delete_gone",
+}
+
 
 DEFAULT = NutchConfig()

@@ -210,9 +210,41 @@ _OOXML_MARKERS = {
 }
 
 
+# parse-zip bounds: entries parsed per archive and bytes read per entry
+# (a crawler must never let one hostile archive own an executor)
+_ZIP_MAX_ENTRIES = 100
+_ZIP_MAX_ENTRY_BYTES = 1 << 20
+
+
+def _extract_zip_members(data: bytes, depth: int) -> str:
+    """parse-zip (src/plugin/parse-zip ZipTextExtractor.java): each archive
+    entry routes through the same mime-dispatched extraction; texts join in
+    entry order. Depth-capped so zip bombs of nested archives terminate."""
+    texts: list[str] = []
+    try:
+        with zipfile.ZipFile(BytesIO(data)) as z:
+            for info in z.infolist()[:_ZIP_MAX_ENTRIES]:
+                if info.is_dir() or info.file_size > _ZIP_MAX_ENTRY_BYTES:
+                    continue
+                try:
+                    member = z.read(info.filename)
+                except Exception:  # corrupt entry — skip it, keep the rest
+                    continue
+                _, text = _extract_text(member, depth + 1)
+                if text:
+                    texts.append(text)
+    except zipfile.BadZipFile:
+        return ""
+    return "\n".join(texts)
+
+
 def extract_text(data: bytes) -> tuple[str, str]:
     """(mime, text) for one binary document, dispatched on magic bytes —
     the runtime twin of functions.mime.detect_mime's magic branch."""
+    return _extract_text(data, 0)
+
+
+def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
     if data[:5] == b"%PDF-":
         return "application/pdf", extract_pdf_text(data)
     if data[:4] == b"PK\x03\x04":
@@ -224,7 +256,9 @@ def extract_text(data: bytes) -> tuple[str, str]:
         for prefix, (mime, fn) in _OOXML_MARKERS.items():
             if any(n.startswith(prefix) for n in names):
                 return mime, fn(data)
-        return "application/zip", ""
+        if depth >= 2:  # nested-archive cutoff
+            return "application/zip", ""
+        return "application/zip", _extract_zip_members(data, depth)
     if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # legacy OLE .doc/.xls
         return "application/x-ole-storage", ""
     # fall back to plain text for decodable bytes

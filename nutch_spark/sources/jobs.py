@@ -157,19 +157,23 @@ class NutchServer:
         if "crawlId" in job_config:
             args.setdefault("crawlId", job_config["crawlId"])
         job = Job(f"{jtype.lower()}-{uuid.uuid4().hex[:8]}", jtype, conf_id, args)
-        runner = (
-            job_config["jobClassName"]
-            if jtype == "CLASS"
-            else getattr(self, f"_run_{jtype.lower()}")
-        )
+        if jtype == "CLASS":
+            user_fn = job_config["jobClassName"]  # takes (args) like the ref
+            runner = lambda args, cfg: user_fn(args)  # noqa: E731
+        else:
+            runner = getattr(self, f"_run_{jtype.lower()}")
         self.jobs[job.id] = job
+
+        from nutch_spark.config import NutchConfig
+
+        cfg = NutchConfig.from_properties(self.configs[conf_id])
 
         def run() -> None:
             job.state, job.msg = "RUNNING", "running"
             sc = self.spark.sparkContext
             sc.setJobGroup(job.id, f"nutch job {job.id}", interruptOnCancel=True)
             try:
-                job.result = runner(job.args) or {}
+                job.result = runner(job.args, cfg) or {}
                 job.state, job.msg = "FINISHED", "ok"
             except Exception as e:  # cancellation surfaces as a Py4J error
                 if job.state == "KILLING":
@@ -213,7 +217,8 @@ class NutchServer:
         self.tables[name] = df
         return df.count()
 
-    def _run_inject(self, args: dict) -> dict:
+    def _run_inject(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.inject import inject
         from nutch_spark.schemas import CRAWLDB, SEEDS
 
@@ -222,63 +227,74 @@ class NutchServer:
         db = self.tables.get("crawldb")
         if db is None:
             db = self.spark.createDataFrame([], CRAWLDB)
-        merged = inject(db, seeds)
+        merged = inject(db, seeds, cfg=cfg or DEFAULT)
         return {"dbUpdates": self._materialize("crawldb", merged)}
 
-    def _run_generate(self, args: dict) -> dict:
+    def _run_generate(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.generate import generate
 
         fl = generate(
             self.tables["crawldb"],
             int(args.get("topN", 1000)),
+            cfg=cfg or DEFAULT,
             now=F.lit(args["now"]).cast("timestamp") if "now" in args else None,
         )
         return {"fetchlistRows": self._materialize("fetchlist", fl)}
 
-    def _run_fetch(self, args: dict) -> dict:
+    def _run_fetch(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.fetcher import fetch, synthetic_fetch_fn
 
         log = fetch(
             self.tables["fetchlist"],
+            cfg=cfg or DEFAULT,
             fetch_fn=args.get("fetch_fn", synthetic_fetch_fn),
             crawl_delay_s=float(args.get("crawlDelay", 0.0)),
         )
         return {"pagesFetched": self._materialize("fetch_log", log)}
 
-    def _run_parse(self, args: dict) -> dict:
+    def _run_parse(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.fetcher import parse
 
-        pd_ = parse(self.tables["fetch_log"])
+        pd_ = parse(self.tables["fetch_log"], cfg=cfg or DEFAULT)
         return {"pagesParsed": self._materialize("parse_data", pd_)}
 
-    def _run_updatedb(self, args: dict) -> dict:
+    def _run_updatedb(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.fetcher import emit_parse_rows
         from nutch_spark.operators.updatedb import update_crawldb
 
+        cfg = cfg or DEFAULT
         db = self.tables["crawldb"]
-        emits = emit_parse_rows(self.tables["parse_data"], db.select("url", "score"))
+        emits = emit_parse_rows(
+            self.tables["parse_data"], db.select("url", "score"), cfg=cfg
+        )
         fetch_rows = self.tables["fetch_log"].select(
             "url", "status", "fetch_time", "signature", "metadata"
         )
-        new_db = update_crawldb(db, fetch_rows, emits)
+        new_db = update_crawldb(db, fetch_rows, emits, cfg=cfg)
         return {"dbUpdates": self._materialize("crawldb", new_db)}
 
-    def _run_invertlinks(self, args: dict) -> dict:
+    def _run_invertlinks(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.invertlinks import invert_links
 
-        linkdb = invert_links(self.tables["parse_data"])
+        linkdb = invert_links(self.tables["parse_data"], cfg=cfg or DEFAULT)
         return {"linkdbRows": self._materialize("linkdb", linkdb)}
 
-    def _run_dedup(self, args: dict) -> dict:
+    def _run_dedup(self, args: dict, cfg=None) -> dict:
+        from nutch_spark.config import DEFAULT
         from nutch_spark.operators.dedup import deduplicate
 
         return {
             "dbUpdates": self._materialize(
-                "crawldb", deduplicate(self.tables["crawldb"])
+                "crawldb", deduplicate(self.tables["crawldb"], cfg=cfg or DEFAULT)
             )
         }
 
-    def _run_readdb(self, args: dict) -> dict:
+    def _run_readdb(self, args: dict, cfg=None) -> dict:
         from nutch_spark.operators.stats import crawldb_stats
 
         sections = crawldb_stats(self.tables["crawldb"])
@@ -287,7 +303,7 @@ class NutchServer:
             for name, df in sections.items()
         }
 
-    def _run_index(self, args: dict) -> dict:
+    def _run_index(self, args: dict, cfg=None) -> dict:
         from nutch_spark.sources.indexers import JsonlIndexWriter, index_documents
 
         docs = self.tables[args.get("table", "parse_data")].withColumn(

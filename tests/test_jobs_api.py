@@ -133,3 +133,33 @@ def test_server_status_and_stop(server, spark):
     assert server.stop_server(force=False) is False  # refuses while running
     assert server.stop_server(force=True) is True
     assert server.get_job(slow["id"])["state"] in ("KILLED", "FINISHED")
+
+
+def test_config_properties_drive_jobs(server):
+    # generate.max.count via a named config actually changes GENERATE output
+    from nutch_spark.config import NutchConfig
+
+    cfg = NutchConfig.from_properties(
+        {
+            "generate.max.count": "2",
+            "db.fetch.retry.max": "7",
+            "db.injector.update": "true",
+            "fetcher.timelimit.mins": "2",
+            "some.plugin.key": "x",
+        }
+    )
+    assert cfg.generate_max_count == 2
+    assert cfg.retry_max == 7
+    assert cfg.inject_update is True
+    assert cfg.fetcher_time_limit_s == 120.0
+    assert cfg.extras == {"some.plugin.key": "x"}
+
+    # end to end: 20 urls on ONE host; max.count=2 caps the fetchlist at 2
+    urls = [f"http://onehost.example.com/p{i}" for i in range(20)]
+    server.create_job({"type": "INJECT", "args": {"urls": urls}}, sync=True)
+    server.create_config("capped", {"generate.max.count": "2"})
+    j = server.create_job(
+        {"type": "GENERATE", "confId": "capped", "args": {"topN": 100}}, sync=True
+    )
+    assert j["state"] == "FINISHED", j["msg"]
+    assert j["result"]["fetchlistRows"] == 2

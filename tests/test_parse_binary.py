@@ -186,3 +186,34 @@ def test_parse_binary_stage(spark):
     assert out["http://a.com/s.xlsx"]["parse_text"] == "cell text"
     junk = out["http://a.com/junk.bin"]
     assert junk["mime"] == "application/octet-stream" and junk["n_chars"] == 0
+
+
+def test_zip_member_extraction():
+    # parse-zip: entries route through the same dispatch (txt + pdf member)
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a/readme.txt", "plain member text")
+        z.writestr("b/doc.pdf", _pdf(b"BT (pdf member text) Tj ET"))
+        z.writestr("junk.bin", b"\x00\x01\xff")
+    mime, text = extract_text(buf.getvalue())
+    assert mime == "application/zip"
+    assert text.splitlines() == ["plain member text", "pdf member text"]
+
+
+def test_zip_nesting_depth_capped():
+    inner = BytesIO()
+    with zipfile.ZipFile(inner, "w") as z:
+        z.writestr("deep.txt", "level two text")
+    mid = BytesIO()
+    with zipfile.ZipFile(mid, "w") as z:
+        z.writestr("inner.zip", inner.getvalue())
+        z.writestr("mid.txt", "level one text")
+    outer = BytesIO()
+    with zipfile.ZipFile(outer, "w") as z:
+        z.writestr("mid.zip", mid.getvalue())
+        z.writestr("top.txt", "level zero text")
+    mime, text = extract_text(outer.getvalue())
+    assert mime == "application/zip"
+    # depth 0 (top) + depth 1 (mid) extract; depth-2 archives cut off
+    assert "level zero text" in text and "level one text" in text
+    assert "level two text" not in text
