@@ -91,9 +91,72 @@ SEED_TEXT: dict[str, str] = {
         "这座城市的历史可以追溯到一千多年前。"
         "这是最好的时代也是最坏的时代。"
     ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro. "
+        "questa è una frase semplice con alcune parole italiane comuni. "
+        "andiamo al mercato domani mattina per comprare pane e latte. "
+        "non c'è niente di meglio di un buon libro in un pomeriggio piovoso. "
+        "oggi il tempo è molto bello e i bambini giocano fuori. "
+        "vorrei ringraziare tutti per il loro aiuto con questo progetto. "
+        "ha detto che la riunione si terrà la settimana prossima giovedì. "
+        "la gente dimentica spesso quanto sia importante bere abbastanza acqua. "
+        "la storia della città risale a più di mille anni fa. "
+        "era il migliore dei tempi ed era il peggiore dei tempi."
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso. "
+        "esta é uma frase simples com algumas palavras comuns em português. "
+        "vamos ao mercado amanhã de manhã comprar pão e leite. "
+        "não há nada melhor do que um bom livro numa tarde chuvosa. "
+        "o tempo hoje está muito bom e as crianças estão brincando lá fora. "
+        "gostaria de agradecer a todos pela ajuda com este projeto. "
+        "ela disse que a reunião acontecerá na próxima semana na quinta-feira. "
+        "as pessoas esquecem muitas vezes como é importante beber bastante água. "
+        "a história da cidade remonta a mais de mil anos. "
+        "era o melhor dos tempos e era o pior dos tempos."
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond. "
+        "dit is een eenvoudige zin met enkele veelvoorkomende nederlandse woorden. "
+        "we gaan morgenochtend naar de markt om brood en melk te kopen. "
+        "er is niets beters dan een goed boek op een regenachtige middag. "
+        "het weer is vandaag erg mooi en de kinderen spelen buiten. "
+        "ik wil iedereen bedanken voor hun hulp bij dit project. "
+        "ze zei dat de vergadering volgende week donderdag zal plaatsvinden. "
+        "mensen vergeten vaak hoe belangrijk het is om genoeg water te drinken. "
+        "de geschiedenis van de stad gaat meer dan duizend jaar terug. "
+        "het was de beste der tijden en het was de slechtste der tijden. "
+        "wij zijn vrij om zelf te kiezen waar wij willen wonen. "
+        "de jongens fietsen elke dag langs het kanaal naar hun werk. "
+        "zij kijken graag naar oude schilderijen in het museum."
+    ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку. "
+        "это простое предложение с некоторыми распространенными русскими словами. "
+        "завтра утром мы пойдем на рынок купить хлеб и молоко. "
+        "нет ничего лучше хорошей книги дождливым днем. "
+        "сегодня очень хорошая погода и дети играют на улице. "
+        "я хотел бы поблагодарить всех за помощь в этом проекте. "
+        "она сказала что встреча состоится на следующей неделе в четверг. "
+        "люди часто забывают как важно пить достаточно воды. "
+        "история города насчитывает более тысячи лет. "
+        "это было лучшее из времен и это было худшее из времен."
+    ),
+    "ja": (
+        "素早い茶色の狐は怠けた犬を飛び越える。"
+        "これはよく使われる日本語の単語を含む簡単な文です。"
+        "明日の朝パンと牛乳を買いに市場へ行きます。"
+        "雨の午後に良い本を読むことほど良いものはありません。"
+        "今日は天気がとても良くて子供たちは外で遊んでいます。"
+        "このプロジェクトを手伝ってくれた皆さんに感謝します。"
+        "彼女は会議が来週の木曜日に行われると言いました。"
+        "人々は十分な水を飲むことの大切さをよく忘れます。"
+        "この街の歴史は千年以上前にさかのぼります。"
+        "それは最良の時代でもあり最悪の時代でもありました。"
+    ),
 }
 
-TOP_N = 200  # trigrams kept per language profile (Cavnar-Trenkle keep ~300)
+TOP_N = 400  # trigrams kept per language profile (CT paper keeps ~300)
 SCALE = 1000  # log-prob -> integer scale
 PREFIX_CHARS = 400  # classify on this text prefix (langid-on-prefix standard)
 
@@ -111,10 +174,21 @@ def _trigrams(s: str) -> list[str]:
 @lru_cache(maxsize=1)
 def build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
     """Returns (profiles, miss): per-language trigram→int score maps and the
-    per-language out-of-vocabulary penalty, both scaled log-probs."""
+    out-of-vocabulary penalty, both scaled log-probs.
+
+    The OOV penalty is UNIFORM across languages (smoothed against the
+    LARGEST training total): with per-language penalties, the language with
+    the smallest seed corpus wins every all-OOV document purely because its
+    smoothing denominator is smallest — a training-set-size artifact, not a
+    linguistic signal. A uniform miss makes unseen trigrams neutral and
+    leaves discrimination to actual profile hits. (Kept per-language in the
+    return shape so the scoring pipeline and oracle need no special case.)
+    """
     counts = {lang: Counter(_trigrams(normalize(txt))) for lang, txt in SEED_TEXT.items()}
     vocab = set().union(*[set(c) for c in counts.values()])
     v = len(vocab)
+    max_total = max(sum(c.values()) for c in counts.values())
+    miss_score = round(math.log(1 / (max_total + v)) * SCALE)
     profiles: dict[str, dict[str, int]] = {}
     miss: dict[str, int] = {}
     for lang, c in counts.items():
@@ -126,7 +200,7 @@ def build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
             tri: round(math.log((n + 1) / (total + v)) * SCALE)
             for tri, n in top.items()
         }
-        miss[lang] = round(math.log(1 / (total + v)) * SCALE)
+        miss[lang] = miss_score
     return profiles, miss
 
 

@@ -263,7 +263,22 @@ def langid_trained(
         Window.partitionBy(key).orderBy(F.col("_total").desc(), F.col("plang").asc())
     )
     best = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
-    pred = F.when(F.col("n_tri") == 0, F.lit("und")).otherwise(F.col("plang"))
+    # Script override — the standard langid layering (script first,
+    # statistics within script): tiny CJK seed corpora cannot cover held-out
+    # character combinations, so Unicode ranges decide the CJK/Cyrillic
+    # cases and the trigram model decides within Latin script. The \\x{...}
+    # class syntax parses identically in Java regex (Spark) and RE2 (DuckDB).
+    kana = F.regexp_count("_t", F.lit("[\\x{3040}-\\x{30ff}]"))
+    cjk = F.regexp_count("_t", F.lit("[\\x{4e00}-\\x{9fff}]"))
+    cyr = F.regexp_count("_t", F.lit("[\\x{0400}-\\x{04ff}]"))
+    n = F.length("_t")
+    pred = (
+        F.when(F.col("n_tri") == 0, F.lit("und"))
+        .when(kana > 0, F.lit("ja"))
+        .when(cjk * 10 > n * 3, F.lit("zh"))
+        .when(cyr * 10 > n * 3, F.lit("ru"))
+        .otherwise(F.col("plang"))
+    )
     return df.join(
         best.select(key, pred.alias(out_col)), key, "left"
     )

@@ -360,19 +360,23 @@ def _langid_trained_sql() -> str:
       GROUP BY 1, 2
     ),
     sc AS (
-      SELECT n.doc_id, n.lang, n.n_tri, lm.plang,
+      SELECT n.doc_id, n.lang, n.t, n.n_tri, lm.plang,
              coalesce(m.s, 0) + (n.n_tri - coalesce(m.c, 0)) * lm.miss AS total
       FROM n CROSS JOIN lm
       LEFT JOIN m ON m.doc_id = n.doc_id AND m.plang = lm.plang
     ),
     r AS (
-      SELECT doc_id, lang, n_tri, plang,
+      SELECT doc_id, lang, t, n_tri, plang,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY total DESC, plang ASC) AS rn
       FROM sc
     )
     SELECT doc_id, lang,
-           CASE WHEN n_tri = 0 THEN 'und' ELSE plang END AS lang_pred
+           CASE WHEN n_tri = 0 THEN 'und'
+                WHEN len(regexp_extract_all(t, '[\\x{{3040}}-\\x{{30ff}}]')) > 0 THEN 'ja'
+                WHEN len(regexp_extract_all(t, '[\\x{{4e00}}-\\x{{9fff}}]')) * 10 > length(t) * 3 THEN 'zh'
+                WHEN len(regexp_extract_all(t, '[\\x{{0400}}-\\x{{04ff}}]')) * 10 > length(t) * 3 THEN 'ru'
+                ELSE plang END AS lang_pred
     FROM r WHERE rn = 1
     """
 

@@ -21,6 +21,16 @@ from nutch_spark.datapipe.langid_profiles import (
 from nutch_spark.datapipe.textstats import langid_trained
 
 HELD_OUT = [
+    ("Il treno per Milano parte domani alle otto del mattino.", "it"),
+    ("I ristoranti del centro sono sempre pieni durante il fine settimana.", "it"),
+    ("O museu da cidade abre todos os dias menos segunda-feira.", "pt"),
+    ("Meus avós moram numa pequena aldeia perto da montanha.", "pt"),
+    ("Het meisje schrijft elke week een brief aan haar vriendin.", "nl"),
+    ("De studenten bereiden hun examens voor in de bibliotheek.", "nl"),
+    ("Студенты готовятся к экзаменам в университетской библиотеке.", "ru"),
+    ("Вчера вечером мы с друзьями ужинали в ресторане.", "ru"),
+    ("図書館で学生たちが期末試験の準備をしています。", "ja"),
+    ("昨日の夜友達とレストランで夕食を食べました。", "ja"),
     ("The results of the experiment were published in a scientific journal.", "en"),
     ("Many people enjoy walking along the river in the early evening.", "en"),
     ("Die Kinder lernen in der Schule lesen schreiben und rechnen.", "de"),
@@ -39,8 +49,9 @@ def test_profiles_deterministic_and_disjoint():
     p2, m2 = build_profiles.__wrapped__()  # rebuild without the cache
     assert p1 == p2 and m1 == m2
     assert set(p1) == set(SEED_TEXT)
+    assert len(p1) == 10  # 5 testdata labels + it/pt/nl/ru/ja
     for lang, prof in p1.items():
-        assert 0 < len(prof) <= 200
+        assert 0 < len(prof) <= 400
         assert all(isinstance(v, int) and v < 0 for v in prof.values())
         assert m1[lang] < min(prof.values())  # OOV scores below every hit
 
