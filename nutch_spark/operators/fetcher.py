@@ -170,6 +170,80 @@ def http_fetch_fn(
     return {"status": "fetch_retry", "content": None, "metadata": meta}
 
 
+def file_fetch_fn(
+    url: str,
+    *,
+    max_bytes: int = 1 << 20,
+) -> dict:
+    """file:// protocol fetch (src/plugin/protocol-file FileResponse.java:
+    112-183 — "mimics file replies as http response"), composed with the
+    same ProtocolStatus → CrawlDatum mapping as ``http_fetch_fn``:
+
+      readable file        → fetch_success (content + sniffed type)
+      missing (404)        → fetch_gone
+      unreadable (401)     → fetch_gone   (ACCESS_DENIED)
+      symlink (300 + Location to the canonical path) → fetch_redir_perm
+      directory            → fetch_success with an HTML listing
+                             (FileResponse.getDirAsHttpResponse)
+      other error          → fetch_retry
+
+    Drop-in ``fetch_fn`` for the polite-fetch harness — local corpora and
+    tests fetch through the identical pipeline as HTTP."""
+    import os
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme != "file":
+        return {"status": "fetch_retry", "content": None,
+                "metadata": {"_exception_": "NotAFileUrl"}}
+    path = urllib.parse.unquote(parsed.path or "/")
+    try:
+        if not os.path.exists(path):
+            return {"status": "fetch_gone", "content": None,
+                    "metadata": {"nutch.protocol.code": "404"}}
+        if not os.access(path, os.R_OK):
+            return {"status": "fetch_gone", "content": None,
+                    "metadata": {"nutch.protocol.code": "401"}}
+        real = os.path.realpath(path)
+        if real != os.path.normpath(os.path.abspath(path)):
+            # FileResponse.java:147-160: symlink → 300 + canonical Location
+            return {
+                "status": "fetch_redir_perm",
+                "content": None,
+                "metadata": {
+                    "nutch.protocol.code": "300",
+                    "Location": "file://" + urllib.parse.quote(real),
+                },
+            }
+        if os.path.isdir(path):
+            # getDirAsHttpResponse: minimal HTML listing, sorted names
+            rows = "".join(
+                f'<a href="{urllib.parse.quote(n)}">{n}</a>\n'
+                for n in sorted(os.listdir(path))
+            )
+            return {
+                "status": "fetch_success",
+                "content": f"<html><head><title>Index of {path}</title></head>"
+                f"<body><h1>Index of {path}</h1><pre>{rows}</pre></body></html>",
+                "content_type": "text/html",
+                "metadata": {"nutch.protocol.code": "200"},
+            }
+        with open(path, "rb") as f:
+            body = f.read(max_bytes)
+        ctype = "text/html" if body[:100].lstrip()[:14].lower().startswith(
+            (b"<!doctype html", b"<html")
+        ) else "text/plain"
+        return {
+            "status": "fetch_success",
+            "content": body.decode("utf-8", errors="replace"),
+            "content_type": ctype,
+            "metadata": {"nutch.protocol.code": "200"},
+        }
+    except Exception as e:
+        return {"status": "fetch_retry", "content": None,
+                "metadata": {"_exception_": type(e).__name__}}
+
+
 def fetch(
     fetchlist: DataFrame,
     *,

@@ -272,3 +272,63 @@ def test_harness_threads_overlap_across_hosts(spark, server):
         assert elapsed < 3.0
     finally:
         srv2.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# file:// protocol (protocol-file FileResponse semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_file_fetch_success_and_gone(tmp_path):
+    from nutch_spark.operators.fetcher import file_fetch_fn
+
+    p = tmp_path / "page.html"
+    p.write_text("<html><title>local</title></html>")
+    r = file_fetch_fn(f"file://{p}")
+    assert r["status"] == "fetch_success"
+    assert "<title>local</title>" in r["content"]
+    assert r["content_type"] == "text/html"
+
+    missing = file_fetch_fn(f"file://{tmp_path}/nope.html")
+    assert missing["status"] == "fetch_gone"
+    assert missing["metadata"]["nutch.protocol.code"] == "404"
+
+
+def test_file_fetch_directory_listing(tmp_path):
+    from nutch_spark.operators.fetcher import file_fetch_fn
+
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "b.txt").write_text("y")
+    r = file_fetch_fn(f"file://{tmp_path}")
+    assert r["status"] == "fetch_success"
+    assert 'href="a.txt"' in r["content"] and 'href="b.txt"' in r["content"]
+
+
+def test_file_fetch_symlink_redirects(tmp_path):
+    import os
+
+    from nutch_spark.operators.fetcher import file_fetch_fn
+
+    real = tmp_path / "real.txt"
+    real.write_text("content")
+    link = tmp_path / "alias.txt"
+    os.symlink(real, link)
+    r = file_fetch_fn(f"file://{link}")
+    assert r["status"] == "fetch_redir_perm"
+    assert r["metadata"]["nutch.protocol.code"] == "300"
+    assert r["metadata"]["Location"].endswith("real.txt")
+
+
+def test_file_fetch_through_harness(spark, tmp_path):
+    from nutch_spark.operators.fetcher import file_fetch_fn
+
+    for i in range(3):
+        (tmp_path / f"d{i}.html").write_text(f"<html><title>t{i}</title></html>")
+    urls = [f"file://{tmp_path}/d{i}.html" for i in range(3)] + [
+        f"file://{tmp_path}/missing.html"
+    ]
+    fl = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = {r["url"]: r for r in fetch(fl, fetch_fn=file_fetch_fn).collect()}
+    assert len(rows) == 4
+    assert rows[urls[0]]["status"] == "fetch_success"
+    assert rows[urls[3]]["status"] == "fetch_gone"
