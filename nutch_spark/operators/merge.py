@@ -208,3 +208,22 @@ def merge_segments(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def slice_segments(
+    df: DataFrame, slice_size: int, *, key: str = "url"
+) -> DataFrame:
+    """SegmentMerger ``-slice`` option (SegmentMerger.java:128,227-258): the
+    merged segment splits into chunks of ``slice_size`` records, each chunk
+    written as its own segment. The reference slices with a per-reducer
+    running counter; the deterministic distributed analogue assigns
+    ``slice = pmod(xxhash64(key), ceil(rows / slice_size))`` — slices are
+    hash-balanced to ~slice_size without any global ordering or sequential
+    counter (which would serialize the write at scale). Downstream writes
+    partition by the ``slice`` column (``.write.partitionBy("slice")``).
+    """
+    total = df.count()  # export-time op: one count job is the slice planner
+    n_slices = max(1, -(-total // slice_size))
+    return df.withColumn(
+        "slice", F.pmod(F.xxhash64(F.col(key)), F.lit(n_slices)).cast("int")
+    )

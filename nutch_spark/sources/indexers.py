@@ -155,6 +155,69 @@ class EsBulkIndexWriter(IndexWriter):
         self._flush()
 
 
+class CsvIndexWriter(IndexWriter):
+    """CSV-shaped writer (src/plugin/indexer-csv/src/java/org/apache/nutch/
+    indexwriter/csv/CSVIndexWriter.java): an ordered field list becomes the
+    column set; fields containing the separator, quote, or a newline are
+    quoted, quotes escape by doubling; multi-valued fields join on
+    ``value_sep`` (reference: no escape inside a value separator). One file
+    per partition via the injected ``opener`` (csv.fields / csv.separator /
+    csv.quotechar knobs)."""
+
+    def __init__(
+        self,
+        directory: str,
+        fields: list[str],
+        *,
+        sep: str = ",",
+        quote: str = '"',
+        value_sep: str = "|",
+        header: bool = True,
+    ) -> None:
+        self.directory = directory
+        self.fields = list(fields)
+        self.sep = sep
+        self.quote = quote
+        self.value_sep = value_sep
+        self.header = header
+        self._rows: list[str] = []
+
+    def open(self, partition_id: int) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+        self._pid = partition_id
+
+    def _cell(self, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (list, tuple)):
+            v = self.value_sep.join(str(x) for x in v)
+        s = str(v)
+        if self.sep in s or self.quote in s or "\n" in s or "\r" in s:
+            s = self.quote + s.replace(self.quote, self.quote * 2) + self.quote
+        return s
+
+    def write(self, docs: list[dict]) -> None:
+        for doc in docs:
+            self._rows.append(self.sep.join(self._cell(doc.get(f)) for f in self.fields))
+
+    def delete(self, ids: list[str]) -> None:
+        # CSVIndexWriter.delete is a documented no-op (a flat file cannot
+        # delete); the reference logs and drops — same here
+        return
+
+    def commit(self) -> None:
+        if not self._rows:
+            return
+        path = os.path.join(
+            self.directory, f"part-{self._pid}-{uuid.uuid4().hex[:8]}.csv"
+        )
+        with open(path, "w") as f:
+            if self.header:
+                f.write(self.sep.join(self.fields) + "\n")
+            f.write("\n".join(self._rows) + "\n")
+        self._rows = []
+
+
 class KafkaIndexWriter(IndexWriter):
     """Kafka-shaped writer (src/plugin/indexer-kafka/src/java/org/apache/
     nutch/indexwriter/kafka/KafkaIndexWriter.java): one message per document

@@ -174,3 +174,43 @@ class _ListProducer:
         with open(os.path.join(self.directory, f"{uuid.uuid4().hex}.jsonl"), "w") as f:
             for m in self._msgs:
                 f.write(repr(m) + "\n")
+
+
+def test_csv_index_writer_quoting_and_multivalue(spark, tmp_path):
+    from nutch_spark.sources.indexers import CsvIndexWriter
+
+    out = str(tmp_path / "csv")
+    docs = spark.createDataFrame(
+        [
+            ("http://a.com/1", "ADD", 'says "hi", twice', "t1"),
+            ("http://a.com/2", "ADD", "line\nbreak", "t2"),
+            ("http://a.com/3", "DELETE", None, None),  # no-op for CSV
+            ("http://a.com/4", "ADD", "plain", "t4"),
+        ],
+        SCHEMA.replace("type string", "body string"),
+    ).coalesce(1)
+    index_documents(
+        docs,
+        {"csv": lambda: CsvIndexWriter(out, ["url", "body", "title"])},
+    )
+    files = glob.glob(out + "/*.csv")
+    assert len(files) == 1
+    lines = open(files[0]).read().splitlines()
+    assert lines[0] == "url,body,title"
+    body = "\n".join(lines[1:])
+    # embedded quotes double, separators/newlines force quoting
+    assert '"says ""hi"", twice"' in body
+    assert '"line\nbreak"' in body
+    assert "http://a.com/4,plain,t4" in body
+    assert "a.com/3" not in body  # deletes are a documented no-op
+
+
+def test_csv_index_writer_value_separator(tmp_path):
+    from nutch_spark.sources.indexers import CsvIndexWriter
+
+    w = CsvIndexWriter(str(tmp_path), ["url", "tags"], value_sep="|", header=False)
+    w.open(0)
+    w.write([{"url": "http://a.com/", "tags": ["x", "y", "z"]}])
+    w.commit()
+    (f,) = glob.glob(str(tmp_path) + "/*.csv")
+    assert open(f).read() == "http://a.com/,x|y|z\n"

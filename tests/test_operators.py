@@ -711,3 +711,17 @@ def test_merge_segment_dirs_filter_handles_missing_part_rows(spark):
         "http://a.com/",
         "http://b.com/",
     }
+
+
+def test_slice_segments_balanced_chunks(spark):
+    from nutch_spark.operators.merge import slice_segments
+
+    df = spark.range(1000).selectExpr("concat('http://h.com/', id) AS url")
+    out = slice_segments(df, 100)
+    sizes = {r["slice"]: r["count"] for r in out.groupBy("slice").count().collect()}
+    assert len(sizes) == 10  # ceil(1000/100)
+    assert sum(sizes.values()) == 1000
+    assert all(50 <= s <= 160 for s in sizes.values())  # hash-balanced
+    # deterministic: same input -> same assignment
+    again = slice_segments(df, 100)
+    assert out.collect() == again.collect()
