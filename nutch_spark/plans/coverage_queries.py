@@ -918,3 +918,72 @@ def p2_pdf_extract(spark, sf_dir):
 
 
 assert "a10_anchor_dedup" in REGISTRY
+
+
+@q(
+    "j9_dir_merge",
+    """
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    s AS (
+      SELECT 'http://o' || CAST(k AS VARCHAR) AS url, seg.name AS segment,
+             CASE (k + seg.flip) % 5
+               WHEN 0 THEN 'fetch_success' WHEN 1 THEN 'linked'
+               WHEN 2 THEN 'fetch_retry' WHEN 3 THEN 'fetch_gone'
+               ELSE 'fetch_notmodified' END AS status,
+             (k + seg.flip) % 7 = 0 AS spam
+      FROM o CROSS JOIN (VALUES ('s1', 0), ('s2', 1)) AS seg(name, flip)
+    ),
+    ranked AS (
+      SELECT url, segment, status,
+             row_number() OVER (
+               PARTITION BY url ORDER BY
+                 (status IN ('fetch_success','fetch_gone',
+                             'fetch_redir_temp','fetch_redir_perm')) DESC,
+                 segment DESC, status DESC) AS rn
+      FROM s
+    ),
+    keep AS (SELECT url FROM s WHERE segment = 's2' AND NOT spam)
+    SELECT r.url, r.segment, r.status
+    FROM ranked r JOIN keep USING (url) WHERE rn = 1
+    """,
+)
+def j9_dir_merge(spark, sf_dir):
+    """Full SegmentMerger directory surface (J9 round-4): two synthetic
+    segments (crawl_fetch + parse_text parts) merge through
+    merge_segment_dirs — the NUTCH-1113 real-status candidate rule picks
+    the fetch winner, parse_text merges latest-wins, and a
+    SegmentMergeFilter predicate (parse_text contains 'spam') drops those
+    urls from every part. The oracle replays candidate ranking, latest-wins
+    and the keep-set in SQL windows."""
+    from nutch_spark.operators.merge import merge_segment_dirs
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("http://o"), k.cast("string")).alias("url")
+
+    def seg(name: str, flip: int) -> dict:
+        m = (k + flip) % 5
+        status = (
+            F.when(m == 0, "fetch_success")
+            .when(m == 1, "linked")
+            .when(m == 2, "fetch_retry")
+            .when(m == 3, "fetch_gone")
+            .otherwise("fetch_notmodified")
+        )
+        cf = o.select(url, F.lit(name).alias("segment"), status.alias("status"))
+        pt = o.select(
+            url,
+            F.lit(name).alias("segment"),
+            F.when((k + flip) % 7 == 0, "has spam inside")
+            .otherwise("clean text")
+            .alias("text"),
+        )
+        return {"crawl_fetch": cf, "parse_text": pt}
+
+    merged = merge_segment_dirs(
+        [seg("s1", 0), seg("s2", 1)],
+        merge_filter=lambda c: ~F.coalesce(
+            F.col("parse_text.text").contains("spam"), F.lit(False)
+        ),
+    )
+    return merged["crawl_fetch"].select("url", "segment", "status")
