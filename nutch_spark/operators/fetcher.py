@@ -253,6 +253,7 @@ def fetch(
     num_lists: int | None = None,
     threads: int = 1,
     time_limit_s: float | None = None,
+    max_redirects: int = 0,
 ) -> DataFrame:
     """P1: polite parallel fetch → fetch_log rows (FETCH_SCHEMA).
 
@@ -285,6 +286,18 @@ def fetch(
 
     Fetched content longer than ``cfg.http_content_limit`` is truncated and
     tagged metadata _truncated_=1 (http.content.limit, 1 MB default).
+
+    ``max_redirects`` (http.redirect.max, FetcherThread.java:236,453 +
+    handleRedirect:570-640) follows redirects IN-BAND: the redirect row is
+    still emitted (updatedb needs the repr-URL transition), and the
+    Location target joins the per-host queues of the SAME task — politeness
+    applies to the target's host like any queued URL, and a cross-host
+    redirect simply opens a new local queue (the reference fetches it in
+    the same map task too). A target equal to its source, already fetched
+    in this partition, or beyond the depth budget is skipped; the
+    redirect-count-exceeded row is tagged ``_maxRedirectsExceeded_``
+    (http.redirect.max.exceeded.skip semantics). Default 0 = reference
+    default behavior of surfacing redirects as statuses only.
 
     The throughput kill-switch (fetcher.throughput.threshold.*,
     Fetcher.java:279-356) is checked once per second inside each partition:
@@ -356,14 +369,35 @@ def fetch(
         for pdf in batches:
             queues: dict[str, deque] = {}
             delays: dict[str, float] = {}
+            depth: dict[str, int] = {}
+            seen: set[str] = set()
             metas = pdf["metadata"] if has_meta else None
             for i, url in enumerate(pdf["url"]):
                 host = url.split("/")[2] if "://" in url else url
                 queues.setdefault(host, deque()).append(url)
+                seen.add(url)
                 if metas is not None:
                     md = metas.iloc[i]
                     if md and "_variableFetchDelay_" in md:
                         delays[host] = int(md["_variableFetchDelay_"]) / 1000.0
+
+            def follow_redirect(row: dict) -> None:
+                # FetcherThread.handleRedirect: enqueue the Location target
+                # into this task's queues; politeness finds it like any URL
+                if max_redirects <= 0 or not row["status"].startswith("fetch_redir"):
+                    return
+                target = (row["metadata"] or {}).get("Location")
+                src_url = row["url"]
+                d = depth.get(src_url, 0)
+                if not target or target == src_url or target in seen:
+                    return
+                if d >= max_redirects:
+                    row["metadata"]["_maxRedirectsExceeded_"] = "1"
+                    return
+                seen.add(target)
+                depth[target] = d + 1
+                t_host = target.split("/")[2] if "://" in target else target
+                queues.setdefault(t_host, deque()).append(target)
 
             def ready_at(host: str) -> float:
                 return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
@@ -408,10 +442,12 @@ def fetch(
                         time.sleep(min(wait, max(0.0, deadline - time.monotonic())))
                         if drain_expired():
                             break
-                    out.append(fetch_one(queues[host].popleft()))
+                    row = fetch_one(queues[host].popleft())
+                    follow_redirect(row)
+                    out.append(row)
                     note_fetched()
                     last_hit[host] = time.monotonic()
-                    if not queues[host]:
+                    if host in queues and not queues[host]:
                         del queues[host]
             else:
                 import concurrent.futures as cf
@@ -421,7 +457,9 @@ def fetch(
                     while queues or in_flight:
                         drain_expired()
                         for host in [h for h, f in in_flight.items() if f.done()]:
-                            out.append(in_flight.pop(host).result())
+                            row = in_flight.pop(host).result()
+                            follow_redirect(row)
+                            out.append(row)
                             note_fetched()
                             last_hit[host] = time.monotonic()
                         dispatched = False

@@ -332,3 +332,72 @@ def test_file_fetch_through_harness(spark, tmp_path):
     assert len(rows) == 4
     assert rows[urls[0]]["status"] == "fetch_success"
     assert rows[urls[3]]["status"] == "fetch_gone"
+
+
+# ---------------------------------------------------------------------------
+# in-band redirect following (http.redirect.max, FetcherThread.handleRedirect)
+# ---------------------------------------------------------------------------
+
+
+def test_harness_follows_redirects_in_band(spark, server):
+    fl = spark.createDataFrame([(f"{server}/temp",)], ["url"])
+    rows = {
+        r["url"]: r
+        for r in fetch(
+            fl,
+            fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+            max_redirects=1,
+            num_lists=1,
+        ).collect()
+    }
+    # the redirect row is still emitted AND the target was fetched
+    assert rows[f"{server}/temp"]["status"] == "fetch_redir_temp"
+    assert rows[f"{server}/ok"]["status"] == "fetch_success"
+    assert "<title>ok</title>" in rows[f"{server}/ok"]["content"]
+
+
+def test_harness_redirect_depth_budget(spark):
+    # 2-hop chain /a -> /b -> /ok with max_redirects=1: /b is fetched,
+    # its own redirect is NOT followed and gets the exceeded tag
+    class ChainHandler(_Handler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/a":
+                self.send_response(302)
+                self.send_header("Location", "/b")
+                self.end_headers()
+            elif self.path == "/b":
+                self.send_response(302)
+                self.send_header("Location", "/ok")
+                self.end_headers()
+            else:
+                super().do_GET()
+
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), ChainHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        fl = spark.createDataFrame([(f"{base}/a",)], ["url"])
+        rows = {
+            r["url"]: r
+            for r in fetch(
+                fl,
+                fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+                max_redirects=1,
+                num_lists=1,
+            ).collect()
+        }
+        assert set(rows) == {f"{base}/a", f"{base}/b"}  # /ok never fetched
+        assert rows[f"{base}/b"]["metadata"]["_maxRedirectsExceeded_"] == "1"
+    finally:
+        srv.shutdown()
+
+
+def test_harness_redirects_off_by_default(spark, server):
+    fl = spark.createDataFrame([(f"{server}/temp",)], ["url"])
+    rows = fetch(
+        fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
+    ).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "fetch_redir_temp"
