@@ -80,3 +80,19 @@ def test_updatedb_topk_hot_key_bounded(spark):
     want = float(sum(range(HOT - CAP, HOT)))
     assert row["link_score"] == want
     assert row["link_count"] == HOT
+
+
+def test_substring_spans_hot_gram_no_explosion(spark):
+    # 2000 identical docs make every 10-gram maximally hot: the duplicate
+    # set is found via groupBy and joined back LEFT-SEMI, so cost stays
+    # O(occurrences) — never occurrences^2 pair amplification. Each doc
+    # must get exactly ONE whole-doc span.
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "'a b c d e f g h i j k l' AS text"
+    )
+    out = exact_substring_spans(docs, n=10)
+    assert out.count() == 2000
+    spans = out.select("span_start", "span_end").distinct().collect()
+    assert [(r["span_start"], r["span_end"]) for r in spans] == [(1, 13)]
