@@ -138,6 +138,7 @@ def c4_line_clean(
     *,
     min_words_per_line: int = 5,
     min_kept_lines: int = 3,
+    bad_words: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning with a Unified Text-to-Text Transformer"
@@ -169,7 +170,16 @@ def c4_line_clean(
             "n_kept_lines": F.size(kept).cast("long"),
             "text_clean": F.array_join(kept, "\n"),
             "c4_keep": (F.size(kept) >= min_kept_lines)
-            & ~F.lower(t).contains("lorem ipsum"),
+            & ~F.lower(t).contains("lorem ipsum")
+            # bad-word DOCUMENT drop (C4 §2.2's blocklist rule; the deployment
+            # supplies its word list) — token-level match, not substring, so
+            # innocuous superstrings don't false-positive
+            & (
+                F.size(F.array_intersect(tokens(t), F.array(*[F.lit(w) for w in bad_words])))
+                == 0
+                if bad_words
+                else F.lit(True)
+            ),
         }
     )
 

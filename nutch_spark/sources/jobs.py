@@ -89,7 +89,6 @@ class NutchServer:
         self.configs = {"default": {}, **(configs or {})}
         self.jobs: dict[str, Job] = {}
         self.start_date = time.time()
-        self._lock = threading.Lock()
 
     # -- /admin (openapi.yaml:70-127) ---------------------------------------
     def server_status(self) -> dict:

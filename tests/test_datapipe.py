@@ -451,3 +451,24 @@ def test_exact_substring_spans_islands(spark):
     out = exact_substring_spans(df, n=3).collect()
     spans = {(r["doc_id"], r["span_start"], r["span_end"]) for r in out}
     assert spans == {(1, 1, 9), (2, 1, 9)}  # tokens 1..8, end exclusive
+
+
+def test_c4_bad_words_document_drop(spark):
+    from nutch_spark.datapipe.textstats import c4_line_clean
+
+    good_line = "these are six perfectly ordinary words here."
+    df = spark.createDataFrame(
+        [
+            (1, good_line),
+            (2, good_line + "\nthis line mentions badword explicitly today."),
+            (3, good_line + "\nbut badwordish is only a superstring here okay."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["c4_keep"]
+        for r in c4_line_clean(df, min_kept_lines=1, bad_words=("badword",)).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False       # token match drops the doc
+    assert out[3] is True        # substring-only must NOT match
