@@ -56,6 +56,7 @@ class NutchConfig:
 
     # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
+    redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
     fetcher_threads: int = 10            # fetcher.threads.fetch
     fetcher_time_limit_s: float = -1.0   # fetcher.timelimit.mins * 60 (-1 = off)
@@ -160,6 +161,7 @@ PROPERTY_MAP = {
     "db.ignore.internal.links": "ignore_internal_links",
     "db.ignore.external.links": "ignore_external_links",
     "http.content.limit": "http_content_limit",
+    "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",
     "fetcher.threads.fetch": "fetcher_threads",
     "fetcher.throughput.threshold.pages": "throughput_threshold_pages",

@@ -245,11 +245,15 @@ class NutchServer:
         from nutch_spark.config import DEFAULT
         from nutch_spark.operators.fetcher import fetch, synthetic_fetch_fn
 
+        cfg = cfg or DEFAULT
         log = fetch(
             self.tables["fetchlist"],
-            cfg=cfg or DEFAULT,
+            cfg=cfg,
             fetch_fn=args.get("fetch_fn", synthetic_fetch_fn),
-            crawl_delay_s=float(args.get("crawlDelay", 0.0)),
+            # args override; otherwise the config's politeness/redirect knobs
+            crawl_delay_s=float(args.get("crawlDelay", cfg.fetcher_server_delay)),
+            threads=int(args.get("threads", cfg.fetcher_threads)),
+            max_redirects=int(args.get("maxRedirects", cfg.redirect_max)),
         )
         return {"pagesFetched": self._materialize("fetch_log", log)}
 
