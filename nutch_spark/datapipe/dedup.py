@@ -521,10 +521,14 @@ def exact_substring_spans(
     dup = grams.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
     hits = grams.join(dup, "_h", "left_semi")
     w = Window.partitionBy(key).orderBy("pos")
+    # two marked start positions p1 < p2 produce OVERLAPPING or ADJACENT
+    # token spans whenever p2 - p1 <= n ([p1, p1+n) meets [p2, p2+n)), so
+    # that is the island-merge condition — a gap-of-1 rule would emit
+    # overlapping "maximal" spans and double-count shared tokens
     islands = (
         hits.withColumn(
             "_brk",
-            F.when(F.col("pos") - F.lag("pos", 1).over(w) <= 1, 0).otherwise(1),
+            F.when(F.col("pos") - F.lag("pos", 1).over(w) <= n, 0).otherwise(1),
         )
         .withColumn("_island", F.sum("_brk").over(w))
     )

@@ -175,7 +175,14 @@ def c4_line_clean(
             # supplies its word list) — token-level match, not substring, so
             # innocuous superstrings don't false-positive
             & (
-                F.size(F.array_intersect(tokens(t), F.array(*[F.lit(w) for w in bad_words])))
+                # tokens() lowercases, so the list must too (case-insensitive
+                # matching, per C4's blocklist usage)
+                F.size(
+                    F.array_intersect(
+                        tokens(t),
+                        F.array(*[F.lit(w.lower()) for w in bad_words]),
+                    )
+                )
                 == 0
                 if bad_words
                 else F.lit(True)

@@ -389,7 +389,16 @@ def fetch(
                 target = (row["metadata"] or {}).get("Location")
                 src_url = row["url"]
                 d = depth.get(src_url, 0)
-                if not target or target == src_url or target in seen:
+                if not target:
+                    return
+                if "://" not in target:
+                    # a custom fetch_fn may pass the raw (relative) Location
+                    # header through — resolve against the request URL like
+                    # HttpBase.java:392 before it becomes a queue key
+                    from urllib.parse import urljoin
+
+                    target = urljoin(src_url, target)
+                if target == src_url or target in seen:
                     return
                 if d >= max_redirects:
                     row["metadata"]["_maxRedirectsExceeded_"] = "1"

@@ -97,10 +97,12 @@ def extract_pdf_text(data: bytes) -> str:
     blocks: list[bytes] = []
     for m in _STREAM_RE.finditer(data):
         params, body = m.group(1), m.group(2)
-        # /Length is authoritative when it's a direct value: compressed data
+        # /Length is authoritative when it's a DIRECT value: compressed data
         # may legitimately END in EOL bytes, so stripping heuristically can
         # eat real data (a Flate stream ending in 0x0d did exactly that).
-        length = re.search(rb"/Length\s+(\d+)", params)
+        # An INDIRECT reference ('/Length 8 0 R' — what most PDF writers
+        # emit) must NOT match: its object number would truncate the body.
+        length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
         if length and int(length.group(1)) <= len(body):
             body = body[: int(length.group(1))]
         elif body.endswith(b"\r\n"):

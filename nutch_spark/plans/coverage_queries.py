@@ -864,9 +864,18 @@ def s10_sitemap_parse(spark, sf_dir):
 @q(
     "p2_pdf_extract",
     """
-    SELECT doc_id, 'application/pdf' AS mime, trim(text) AS parse_text,
-           CAST(length(trim(text)) AS BIGINT) AS n_chars
-    FROM documents
+    -- PDF literal strings carry BYTES; the generator encodes latin-1 with
+    -- '?' replacement, so the oracle applies the same (deterministic)
+    -- sanitization — today's testdata is ASCII and unaffected, but a
+    -- regenerated corpus with CJK text must not break the round trip
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[^\\x{0000}-\\x{00ff}]', '?', 'g')) AS t
+      FROM documents
+    )
+    SELECT doc_id, 'application/pdf' AS mime, t AS parse_text,
+           CAST(length(t) AS BIGINT) AS n_chars
+    FROM d
     """,
 )
 def p2_pdf_extract(spark, sf_dir):

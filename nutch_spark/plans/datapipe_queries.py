@@ -1299,8 +1299,9 @@ def dp_url_blocklist(spark, sf_dir):
     dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
     hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
     isl AS (
+      -- spans overlap/adjoin whenever start gap <= n (= 10): merge them
       SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
                   THEN 0 ELSE 1 END AS brk
       FROM hits
     ),

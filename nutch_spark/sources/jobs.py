@@ -90,6 +90,10 @@ class NutchServer:
         self.jobs: dict[str, Job] = {}
         self.start_date = time.time()
 
+    # states whose runner thread / Spark job group may still be executing
+    # (cancelJobGroup is async; abort joins precisely because work continues)
+    _ACTIVE_STATES = ("RUNNING", "STOPPING", "KILLING")
+
     # -- /admin (openapi.yaml:70-127) ---------------------------------------
     def server_status(self) -> dict:
         return {
@@ -97,12 +101,12 @@ class NutchServer:
             "configuration": sorted(self.configs),
             "jobs": [j.info() for j in self.jobs.values()],
             "runningJobs": [
-                j.info() for j in self.jobs.values() if j.state == "RUNNING"
+                j.info() for j in self.jobs.values() if j.state in self._ACTIVE_STATES
             ],
         }
 
     def stop_server(self, force: bool = False) -> bool:
-        running = [j for j in self.jobs.values() if j.state == "RUNNING"]
+        running = [j for j in self.jobs.values() if j.state in self._ACTIVE_STATES]
         if running and not force:
             return False  # refuse while jobs run, openapi.yaml:96-99
         for j in running:
@@ -177,6 +181,9 @@ class NutchServer:
             except Exception as e:  # cancellation surfaces as a Py4J error
                 if job.state == "KILLING":
                     job.state, job.msg = "KILLED", "aborted"
+                elif job.state == "STOPPING":
+                    # a deliberate graceful stop must not read as a failure
+                    job.state, job.msg = "KILLED", "stopped"
                 else:
                     job.state, job.msg = "FAILED", f"{type(e).__name__}: {e}"
             finally:

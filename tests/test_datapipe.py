@@ -472,3 +472,29 @@ def test_c4_bad_words_document_drop(spark):
     assert out[1] is True
     assert out[2] is False       # token match drops the doc
     assert out[3] is True        # substring-only must NOT match
+
+
+def test_exact_substring_spans_overlapping_grams_merge(spark):
+    # review regression: duplicated 3-gram starts at positions 1 and 3 of
+    # doc 1 — the spans [1,4) and [3,6) OVERLAP and must merge into [1,6),
+    # never emit as two "maximal" rows double-covering token 3
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5"), (2, "x1 x2 x3 qq x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(df, n=3)
+    doc1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in out.filter("doc_id = 1").collect()
+    )
+    assert doc1 == [(1, 6)]
+    # spans never overlap within a doc, for every doc
+    for did in (1, 2):
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in out.filter(f"doc_id = {did}").collect()
+        )
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, (did, spans)

@@ -163,3 +163,29 @@ def test_config_properties_drive_jobs(server):
     )
     assert j["state"] == "FINISHED", j["msg"]
     assert j["result"]["fetchlistRows"] == 2
+
+
+def test_stop_job_reports_stopped_not_failed(server, spark):
+    # review regression: a deliberate graceful stop must not surface FAILED
+    slow = server.create_job(
+        {
+            "type": "CLASS",
+            "jobClassName": lambda args: {
+                "n": spark.range(0, 1 << 36, 1, 64).selectExpr("sum(id)").collect()
+            },
+        }
+    )
+    deadline = time.monotonic() + 10
+    while server.get_job(slow["id"])["state"] == "IDLE" and time.monotonic() < deadline:
+        time.sleep(0.05)
+    time.sleep(0.5)
+    assert server.stop_job(slow["id"]) is True
+    # the job is ACTIVE (STOPPING) until its thread unwinds: a non-forced
+    # server stop must refuse while the Spark job group may still run
+    state_now = server.get_job(slow["id"])["state"]
+    if state_now == "STOPPING":
+        assert server.stop_server(force=False) is False
+    server.jobs[slow["id"]]._thread.join(timeout=30)
+    info = server.get_job(slow["id"])
+    assert info["state"] == "KILLED", info
+    assert info["msg"] == "stopped"

@@ -217,3 +217,16 @@ def test_zip_nesting_depth_capped():
     # depth 0 (top) + depth 1 (mid) extract; depth-2 archives cut off
     assert "level zero text" in text and "level one text" in text
     assert "level two text" not in text
+
+
+def test_pdf_indirect_length_reference_not_truncated():
+    # review regression: '/Length 8 0 R' is an indirect object reference —
+    # matching the '8' would truncate the stream to 8 bytes and lose the text
+    stream = zlib.compress(b"BT (indirect length works) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length 8 0 R >>\nstream\n"
+        + stream
+        + b"\nendstream\nendobj\n"
+        b"8 0 obj " + str(len(stream)).encode() + b" endobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "indirect length works"
