@@ -299,3 +299,68 @@ def geoip_fields(
         "left",
     )
     return joined.drop("_ipl", "_bucket", "bucket", "r_start", "r_end")
+
+
+# --- microformats-reltag + creativecommons (niche parse/index plugins) ------
+
+_ANCHOR_RE = "<[aA][^>]*>"
+_HREF_RE = "href\\s*=\\s*\"([^\"]*)\""
+
+
+def rel_tag_field(content: Column | str) -> Column:
+    """microformats-reltag (RelTagParser.java:85-136): the distinct set of
+    folksonomy tags from anchors carrying ``rel="tag"`` — the tag is the
+    url-DECODED last path segment of the href. Pure regexp/array columns
+    (codegen'd); order-insensitive distinct set like the reference's Set."""
+    c = F.col(content) if isinstance(content, str) else content
+    anchors = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(0))
+    tagged = F.filter(
+        anchors, lambda a: a.rlike("rel\\s*=\\s*\"?tag\"?") & a.rlike(_HREF_RE)
+    )
+    hrefs = F.transform(tagged, lambda a: F.regexp_extract(a, _HREF_RE, 1))
+    tags = F.transform(
+        hrefs,
+        lambda h: F.try_url_decode(
+            F.substring_index(F.substring_index(F.substring_index(h, "#", 1), "?", 1), "/", -1)
+        ),
+    )
+    return F.array_distinct(
+        F.filter(tags, lambda t: t.isNotNull() & (t != ""))
+    )
+
+
+_CC_PREFIX = "http://creativecommons.org/licenses/"
+
+
+def cc_license_fields(content: Column | str) -> list[Column]:
+    """creativecommons CCParseFilter (CCParseFilter.java:80-140): identify
+    the CC license of a page and where it was found, priority exactly the
+    reference's — (1) RDF in comments, (2) anchor with rel="license"
+    pointing into creativecommons.org/licenses/, (3) any anchor href into
+    the license namespace. Returns [license_url, license_location] columns
+    ('rdf' | 'rel' | 'a' | NULL)."""
+    c = F.col(content) if isinstance(content, str) else content
+    rdf = F.regexp_extract(
+        c, "license\\s+rdf:resource\\s*=\\s*\"([^\"]*)\"", 1
+    )
+    anchors = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(0))
+    rel_anchors = F.filter(
+        anchors,
+        lambda a: a.rlike("rel\\s*=\\s*\"?license\"?")
+        & F.regexp_extract(a, _HREF_RE, 1).startswith(_CC_PREFIX),
+    )
+    cc_anchors = F.filter(
+        anchors, lambda a: F.regexp_extract(a, _HREF_RE, 1).startswith(_CC_PREFIX)
+    )
+    first_href = lambda arr: F.regexp_extract(F.element_at(arr, 1), _HREF_RE, 1)  # noqa: E731
+    url = (
+        F.when(rdf != "", rdf)
+        .when(F.size(rel_anchors) > 0, first_href(rel_anchors))
+        .when(F.size(cc_anchors) > 0, first_href(cc_anchors))
+    )
+    location = (
+        F.when(rdf != "", "rdf")
+        .when(F.size(rel_anchors) > 0, "rel")
+        .when(F.size(cc_anchors) > 0, "a")
+    )
+    return [url.alias("license_url"), location.alias("license_location")]

@@ -261,3 +261,45 @@ def test_geoip_malformed_ips_degrade_to_null(spark):
     ranges = [("10.0.0.0", "10.63.255.255", "US")]
     out = {r["id"]: r["country"] for r in geoip_fields(doc, ranges).collect()}
     assert out == {1: "US", 2: None, 3: None, 4: None, 5: None}
+
+
+def test_rel_tag_and_cc_license_fields(spark):
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.index_filters import cc_license_fields, rel_tag_field
+
+    html_tags = (
+        '<html><a rel="tag" href="http://ex.com/tags/big%20data">x</a>'
+        '<a href="http://ex.com/tags/spark" rel="tag">y</a>'
+        '<a rel="tag" href="http://ex.com/tags/spark">dup</a>'
+        '<a href="http://ex.com/notag">plain</a></html>'
+    )
+    html_cc_rel = (
+        '<html><a rel="license" href="http://creativecommons.org/licenses/by/4.0/">cc</a></html>'
+    )
+    html_cc_rdf = (
+        "<html><!-- <rdf:RDF xmlns:cc='x'><license rdf:resource="
+        '"http://creativecommons.org/licenses/by-sa/2.0/"/></rdf:RDF> -->'
+        '<a rel="license" href="http://creativecommons.org/licenses/by/4.0/">cc</a></html>'
+    )
+    html_cc_plain = (
+        '<html><a href="http://creativecommons.org/licenses/by-nc/3.0/">terms</a></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html_tags), (2, html_cc_rel), (3, html_cc_rdf), (4, html_cc_plain), (5, "<html>none</html>")],
+        "id long, content string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", rel_tag_field("content").alias("tags"), *cc_license_fields("content")
+        ).collect()
+    }
+    assert sorted(out[1]["tags"]) == ["big data", "spark"]  # decoded + distinct
+    assert out[2]["license_url"] == "http://creativecommons.org/licenses/by/4.0/"
+    assert out[2]["license_location"] == "rel"
+    # RDF outranks the rel anchor (CCParseFilter priority)
+    assert out[3]["license_url"] == "http://creativecommons.org/licenses/by-sa/2.0/"
+    assert out[3]["license_location"] == "rdf"
+    assert out[4]["license_location"] == "a"
+    assert out[5]["license_url"] is None and out[5]["license_location"] is None
