@@ -35,11 +35,10 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
-# literal string (no nested-paren handling needed after escape removal pass)
-_TJ_RE = re.compile(rb"\((?:\\.|[^()\\])*\)\s*(?:Tj|')|\((?:\\.|[^()\\])*\)\s*\"")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:\((?:\\.|[^()\\])*\)|[^\]])*)\]\s*TJ")
-_LITERAL_RE = re.compile(rb"\((?:\\.|[^()\\])*\)")
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_SHOW_OP_RE = re.compile(rb"\s*(?:Tj|'|\")")
+_TJ_CLOSE_RE = re.compile(rb"\s*TJ")
+# PDF token delimiters (32000-1 §7.2.2): whitespace + ()<>[]{}/%
+_DELIM_BYTES = frozenset(b"\x00\t\n\x0c\r ()<>[]{}/%")
 
 _PDF_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -70,20 +69,142 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _is_token_at(body: bytes, i: int, length: int) -> bool:
+    """True when body[i:i+length] is a standalone token: bounded on both
+    sides by a PDF delimiter byte or the stream edge."""
+    if i > 0 and body[i - 1] not in _DELIM_BYTES:
+        return False
+    j = i + length
+    return j >= len(body) or body[j] in _DELIM_BYTES
+
+
+def _bt_et_blocks(body: bytes) -> list[bytes]:
+    """Content between each standalone BT..ET operator pair.
+
+    A naive ``BT(.*?)ET`` regex ends the block at the first 'ET' byte-pair
+    even inside a string literal (shown text '(ET) Tj' truncated the whole
+    block — hypothesis found it). This scanner walks the content stream
+    skipping ( ) literals (with backslash escapes and balanced nesting,
+    §7.3.4.2), <...> hex strings, << >> dict delimiters, and % comments,
+    so BT/ET only match as real operators."""
+    blocks: list[bytes] = []
+    i, n = 0, len(body)
+    start = -1
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # '(' literal string
+            depth = 1
+            i += 1
+            while i < n and depth:
+                b = body[i]
+                if b == 0x5C:  # backslash escape: skip next byte
+                    i += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                i += 1
+            continue
+        if c == 0x3C:  # '<' — '<<' dict open or hex string
+            if body[i : i + 2] == b"<<":
+                i += 2
+                continue
+            j = body.find(b">", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x25:  # '%' comment to end of line
+            j = body.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x42 and body[i : i + 2] == b"BT" and _is_token_at(body, i, 2):
+            start = i + 2
+            i += 2
+            continue
+        if c == 0x45 and body[i : i + 2] == b"ET" and _is_token_at(body, i, 2):
+            if start >= 0:
+                blocks.append(body[start:i])
+                start = -1
+            i += 2
+            continue
+        i += 1
+    return blocks
+
+
+def _scan_literal(chunk: bytes, i: int) -> tuple[bytes, int]:
+    """Raw content of the ( ) literal starting at chunk[i] (balanced
+    unescaped parens allowed per §7.3.4.2) and the index after it.
+    Escapes are left in place for _unescape_pdf_string."""
+    n = len(chunk)
+    depth = 1
+    j = i + 1
+    start = j
+    while j < n:
+        b = chunk[j]
+        if b == 0x5C:
+            j += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+            if depth == 0:
+                return chunk[start:j], j + 1
+        j += 1
+    return chunk[start:j], j
+
+
 def _pdf_strings(chunk: bytes) -> list[bytes]:
-    """Shown strings from one content-stream chunk, in order."""
-    found: list[tuple[int, bytes]] = []
-    for m in _TJ_RE.finditer(chunk):
-        lit = _LITERAL_RE.search(m.group(0))
-        if lit:
-            found.append((m.start(), _unescape_pdf_string(lit.group(0)[1:-1])))
-    for m in _TJ_ARRAY_RE.finditer(chunk):
-        parts = [
-            _unescape_pdf_string(s.group(0)[1:-1])
-            for s in _LITERAL_RE.finditer(m.group(1))
-        ]
-        found.append((m.start(), b"".join(parts)))
-    return [s for _, s in sorted(found, key=lambda t: t[0])]
+    """Shown strings from one content-stream chunk, in order: ( ) literals
+    followed by a Tj / ' / " operator, and [ ... ] TJ array elements.
+    Literal strings are scanned (not regex-matched) so balanced nested
+    parens and operator lookalikes inside literals are handled."""
+    found: list[bytes] = []
+    i, n = 0, len(chunk)
+    while i < n:
+        c = chunk[i]
+        if c == 0x28:  # '(' literal — shown only when Tj / ' / " follows
+            raw, i = _scan_literal(chunk, i)
+            m = _SHOW_OP_RE.match(chunk, i)
+            if m:
+                found.append(_unescape_pdf_string(raw))
+                i = m.end()
+            continue
+        if c == 0x5B:  # '[' — TJ array of strings and kerning numbers
+            parts: list[bytes] = []
+            j = i + 1
+            closed = False
+            while j < n:
+                b = chunk[j]
+                if b == 0x28:
+                    raw, j = _scan_literal(chunk, j)
+                    parts.append(_unescape_pdf_string(raw))
+                    continue
+                if b == 0x5D:  # ']'
+                    m = _TJ_CLOSE_RE.match(chunk, j + 1)
+                    if m:
+                        found.append(b"".join(parts))
+                        j = m.end()
+                        closed = True
+                    else:
+                        j += 1
+                    break
+                j += 1
+            i = j if closed else i + 1
+            continue
+        if c == 0x3C:  # '<<' dict or hex string (hex-Tj not extracted)
+            if chunk[i : i + 2] == b"<<":
+                i += 2
+                continue
+            k = chunk.find(b">", i + 1)
+            i = n if k < 0 else k + 1
+            continue
+        if c == 0x25:  # comment
+            k = chunk.find(b"\n", i)
+            i = n if k < 0 else k + 1
+            continue
+        i += 1
+    return found
 
 
 def extract_pdf_text(data: bytes) -> str:
@@ -116,8 +237,8 @@ def extract_pdf_text(data: bytes) -> str:
                 continue
         elif b"/Filter" in params:
             continue  # DCT/LZW/ASCII85... — image or unsupported filter
-        for bt in _BT_ET_RE.finditer(body):
-            strings = _pdf_strings(bt.group(1))
+        for block in _bt_et_blocks(body):
+            strings = _pdf_strings(block)
             if strings:
                 blocks.append(b" ".join(strings))
     out = b"\n".join(blocks)

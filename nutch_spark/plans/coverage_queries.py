@@ -867,10 +867,17 @@ def s10_sitemap_parse(spark, sf_dir):
     -- PDF literal strings carry BYTES; the generator encodes latin-1 with
     -- '?' replacement, so the oracle applies the same (deterministic)
     -- sanitization — today's testdata is ASCII and unaffected, but a
-    -- regenerated corpus with CJK text must not break the round trip
+    -- regenerated corpus with CJK text must not break the round trip.
+    -- The '(ET) BT Tj \\ guard: ' prefix plants operator lookalikes and an
+    -- escape INSIDE the literal, certifying string-aware BT..ET scanning.
+    -- Strip mirrors Python str.strip() (all isspace chars, not just ' ').
     WITH d AS (
       SELECT doc_id,
-             trim(regexp_replace(text, '[^\\x{0000}-\\x{00ff}]', '?', 'g')) AS t
+             regexp_replace(
+               '(ET) BT Tj \\ guard: ' ||
+                 regexp_replace(text, '[^\\x{0000}-\\x{00ff}]', '?', 'g'),
+               '^[\\x09-\\x0d\\x20\\x1c-\\x1f\\x85\\xa0]+|[\\x09-\\x0d\\x20\\x1c-\\x1f\\x85\\xa0]+$',
+               '', 'g') AS t
       FROM documents
     )
     SELECT doc_id, 'application/pdf' AS mime, t AS parse_text,
@@ -899,7 +906,7 @@ def p2_pdf_extract(spark, sf_dir):
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 esc = (
-                    (text or "")
+                    ("(ET) BT Tj \\ guard: " + (text or ""))
                     .replace("\\", "\\\\")
                     .replace("(", "\\(")
                     .replace(")", "\\)")

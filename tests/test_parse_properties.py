@@ -48,6 +48,50 @@ def test_pdf_text_roundtrip_any_latin1(s):
     assert extract_pdf_text(pdf) == s.strip()
 
 
+def _wrap_stream(stream: bytes) -> bytes:
+    body = zlib.compress(stream)
+    return (
+        b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_operator_tokens_inside_literals():
+    # 'ET'/'BT'/'Tj' byte-pairs inside a shown string must not terminate the
+    # BT..ET block (the old BT(.*?)ET regex truncated at the first 'ET')
+    for s in ["ET", "BT", "(ET)", "xETy", "hello ET world", "Tj Tj", "a ] TJ b"]:
+        raw = s.encode("latin-1")
+        stream = b"BT (" + _escape_pdf(raw) + b") Tj ET"
+        assert extract_pdf_text(_wrap_stream(stream)) == s.strip(), s
+
+
+def test_pdf_nested_unescaped_parens():
+    # balanced unescaped parens are legal inside literals (PDF 32000-1
+    # §7.3.4.2) — the scanner must keep them and not split the string
+    stream = b"BT (outer (inner (deep ET)) tail) Tj ET"
+    assert extract_pdf_text(_wrap_stream(stream)) == "outer (inner (deep ET)) tail"
+
+
+def test_pdf_multiblock_with_comments_and_hex():
+    stream = (
+        b"% comment mentioning ET BT Tj\n"
+        b"BT (first) Tj ET\n"
+        b"q 1 0 0 1 10 10 cm Q\n"
+        b"BT [(a) -20 (b)] TJ ET\n"
+        b"BT <4554> Tj (after hex) Tj ET"
+    )
+    # hex-string Tj operands are skipped (not extracted), literals kept
+    assert extract_pdf_text(_wrap_stream(stream)) == "first\nab\nafter hex"
+
+
+def test_pdf_unterminated_literal_does_not_hang():
+    stream = b"BT (never closed Tj ET"
+    assert isinstance(extract_pdf_text(_wrap_stream(stream)), str)
+
+
 _URL = st.from_regex(r"http://[a-z]{1,10}\.com/[a-z0-9]{0,10}", fullmatch=True)
 _PAYLOAD = st.binary(min_size=0, max_size=300)
 
