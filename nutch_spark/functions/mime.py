@@ -23,7 +23,6 @@ _MAGIC_HEX = [
     ("89504E47", "image/png"),
     ("47494638", "image/gif"),             # GIF8
     ("FFD8FF", "image/jpeg"),
-    ("424D", "image/bmp"),
     ("49492A00", "image/tiff"),            # II*. little-endian
     ("4D4D002A", "image/tiff"),            # MM.* big-endian
     ("38425053", "image/vnd.adobe.photoshop"),  # 8BPS
@@ -38,7 +37,6 @@ _MAGIC_HEX = [
     ("04224D18", "application/x-lz4"),
     ("7B5C727466", "application/rtf"),     # {\rtf
     ("252150532D", "application/postscript"),  # %!PS-
-    ("4D5A", "application/x-msdownload"),  # MZ
     ("7F454C46", "application/x-executable"),  # \x7fELF
     ("CAFEBABE", "application/java-vm"),
     ("0061736D", "application/wasm"),      # \0asm
@@ -46,7 +44,6 @@ _MAGIC_HEX = [
     ("774F4632", "font/woff2"),            # wOF2
     ("00000018667479", "video/mp4"),
     ("494433", "audio/mpeg"),              # ID3
-    ("FFFB", "audio/mpeg"),                # bare MPEG-1 layer 3 frame sync
     ("664C6143", "audio/flac"),            # fLaC
     ("4F676753", "application/ogg"),       # OggS
     ("1A45DFA3", "video/webm"),            # EBML (Matroska/WebM family)
@@ -187,6 +184,22 @@ def detect_mime(
     def chain(c: Column, nxt: Column) -> Column:
         return F.coalesce(c, nxt) if c is not None else nxt
 
+    # a non-empty cleaned header of a *textual* family vetoes the weak 2-byte
+    # magics below (a CSV that happens to start with 'BM' or 'MZ' must stay
+    # text — Tika's magic entries for those carry a higher-priority text
+    # detector; the column form encodes the same precedence as a veto)
+    header_is_text = F.lit(False)
+    if content_type is not None:
+        _h = F.col(content_type) if isinstance(content_type, str) else content_type
+        _cleaned0 = clean_content_type(_h)
+        header_is_text = F.coalesce(
+            _cleaned0.startswith("text/")
+            | _cleaned0.isin(
+                "application/json", "application/xml", "application/javascript"
+            ),
+            F.lit(False),
+        )
+
     if content is not None:
         c = F.col(content) if isinstance(content, str) else content
         head_hex = F.upper(F.hex(F.substring(c.cast("binary"), 1, 16)))
@@ -208,6 +221,18 @@ def detect_mime(
             magic = magic.when(head_hex.startswith("504B0304") & (ext0 == e), mime)
         for prefix, mime in _MAGIC_HEX:
             magic = magic.when(head_hex.startswith(prefix), mime)
+        # weak 2-byte magics need a stronger discriminator than the prefix:
+        # BMP is confirmed by its zero reserved bytes at offset 6; bare 'MZ'
+        # and an MP3 frame-sync yield to a textual Content-Type header
+        magic = magic.when(
+            head_hex.startswith("424D")
+            & (F.substring(head_hex, 13, 8) == "00000000"),
+            "image/bmp",
+        )
+        magic = magic.when(
+            head_hex.startswith("4D5A") & ~header_is_text,
+            "application/x-msdownload",
+        ).when(head_hex.startswith("FFFB") & ~header_is_text, "audio/mpeg")
         # textual magics on the string view
         s = F.ltrim(F.lower(c.cast("string")))
         magic = magic.when(

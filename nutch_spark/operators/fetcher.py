@@ -189,6 +189,7 @@ def file_fetch_fn(
 
     Drop-in ``fetch_fn`` for the polite-fetch harness — local corpora and
     tests fetch through the identical pipeline as HTTP."""
+    import html as html_mod
     import os
     import urllib.parse
 
@@ -216,15 +217,18 @@ def file_fetch_fn(
                 },
             }
         if os.path.isdir(path):
-            # getDirAsHttpResponse: minimal HTML listing, sorted names
+            # getDirAsHttpResponse: minimal HTML listing, sorted names.
+            # Names/path are entity-escaped (the reference escapes via its
+            # HTML pipeline) so <, " or & in filenames can't break markup.
             rows = "".join(
-                f'<a href="{urllib.parse.quote(n)}">{n}</a>\n'
+                f'<a href="{urllib.parse.quote(n)}">{html_mod.escape(n)}</a>\n'
                 for n in sorted(os.listdir(path))
             )
+            esc_path = html_mod.escape(path)
             return {
                 "status": "fetch_success",
-                "content": f"<html><head><title>Index of {path}</title></head>"
-                f"<body><h1>Index of {path}</h1><pre>{rows}</pre></body></html>",
+                "content": f"<html><head><title>Index of {esc_path}</title></head>"
+                f"<body><h1>Index of {esc_path}</h1><pre>{rows}</pre></body></html>",
                 "content_type": "text/html",
                 "metadata": {"nutch.protocol.code": "200"},
             }

@@ -56,6 +56,11 @@ class Job:
         self.result: dict | None = None
         self.crawl_id = args.get("crawlId", "")
         self._thread: threading.Thread | None = None
+        # Serializes state transitions between the runner thread's terminal
+        # FINISHED/FAILED set and stop/abort's check-then-set — without it an
+        # abort racing a normal finish can strand the job in KILLING (an
+        # _ACTIVE_STATES member), making server_status report it forever.
+        self._state_lock = threading.Lock()
 
     def info(self) -> dict:
         return {
@@ -177,15 +182,17 @@ class NutchServer:
             sc.setJobGroup(job.id, f"nutch job {job.id}", interruptOnCancel=True)
             try:
                 job.result = runner(job.args, cfg) or {}
-                job.state, job.msg = "FINISHED", "ok"
+                with job._state_lock:
+                    job.state, job.msg = "FINISHED", "ok"
             except Exception as e:  # cancellation surfaces as a Py4J error
-                if job.state == "KILLING":
-                    job.state, job.msg = "KILLED", "aborted"
-                elif job.state == "STOPPING":
-                    # a deliberate graceful stop must not read as a failure
-                    job.state, job.msg = "KILLED", "stopped"
-                else:
-                    job.state, job.msg = "FAILED", f"{type(e).__name__}: {e}"
+                with job._state_lock:
+                    if job.state == "KILLING":
+                        job.state, job.msg = "KILLED", "aborted"
+                    elif job.state == "STOPPING":
+                        # a deliberate graceful stop must not read as a failure
+                        job.state, job.msg = "KILLED", "stopped"
+                    else:
+                        job.state, job.msg = "FAILED", f"{type(e).__name__}: {e}"
             finally:
                 sc.setJobGroup("", "")
 
@@ -200,17 +207,19 @@ class NutchServer:
         STOPPING transition (the reference's stop asks the job to finish;
         Spark's unit of graceful is the job group)."""
         job = self.jobs[job_id]
-        if job.state != "RUNNING":
-            return False
-        job.state = "STOPPING"
+        with job._state_lock:
+            if job.state != "RUNNING":
+                return False
+            job.state = "STOPPING"
         self.spark.sparkContext.cancelJobGroup(job_id)
         return True
 
     def abort_job(self, job_id: str) -> bool:
         job = self.jobs[job_id]
-        if job.state not in ("RUNNING", "STOPPING"):
-            return False
-        job.state = "KILLING"
+        with job._state_lock:
+            if job.state not in ("RUNNING", "STOPPING"):
+                return False
+            job.state = "KILLING"
         self.spark.sparkContext.cancelJobGroup(job_id)
         if job._thread is not None:
             job._thread.join(timeout=30)

@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 from nutch_spark.operators.stats import crawldb_stats, top_n
 
 
+class PageTruncatedError(RuntimeError):
+    """An open-ended read would exceed MAX_PAGE — the caller must paginate.
+
+    Raised instead of silently returning a capped page so existing callers
+    of to=0/end=None reads can't mistake a truncated result for the whole
+    table. An HTTP frontend maps this to 413/416 with the same message."""
+
+
 class NutchReadApi:
     """Read-endpoint handlers. Construct with the tables a crawl produced."""
 
@@ -74,8 +82,25 @@ class NutchReadApi:
     # Hard cap on any single page a read endpoint will return. An open-ended
     # request (to=0 / end=None) pages up to this many rows instead of
     # collecting the whole table — on a 100 TB crawldb "all entries" through
-    # a REST endpoint is always a bug, never a requirement.
+    # a REST endpoint is always a bug, never a requirement. Truncation is
+    # NEVER silent: an open-ended read whose result would exceed the cap
+    # raises PageTruncatedError pointing at the keyset-paged endpoints.
     MAX_PAGE = 10_000
+
+    @classmethod
+    def _collect_open_page(cls, df: DataFrame) -> list:
+        """Collect an open-ended slice; raise instead of silently truncating.
+
+        ``_slice`` over-fetches one row past MAX_PAGE for open-ended
+        requests, so a full-length result here proves there was more."""
+        rows = df.collect()
+        if len(rows) > cls.MAX_PAGE:
+            raise PageTruncatedError(
+                f"open-ended read exceeds MAX_PAGE={cls.MAX_PAGE}; use "
+                "cursor pagination (db_fetchdb_after / page_after) or pass "
+                "an explicit end bound"
+            )
+        return rows
 
     # -- GET /db/fetchdb?from=&to= (openapi.yaml:487-530) --------------------
     def db_fetchdb(self, from_: int = 0, to: int = 0) -> list[dict]:
@@ -83,7 +108,8 @@ class NutchReadApi:
             raise ValueError("no fetchdb attached")
         end = to if to and to > 0 else None  # to=0 → from start, MAX_PAGE cap
         df = self._slice(self.fetchdb, from_, end, "url")
-        return [r.asDict(recursive=True) for r in df.collect()]
+        rows = df.collect() if end is not None else self._collect_open_page(df)
+        return [r.asDict(recursive=True) for r in rows]
 
     # -- POST /reader/{link,node,sequence}/read (openapi.yaml:590-771) -------
     @classmethod
@@ -100,7 +126,9 @@ class NutchReadApi:
         (keyset) instead, which is O(page) regardless of depth.
         """
         start = start or 0
-        n = (end - start + 1) if end is not None else cls.MAX_PAGE
+        # open-ended: fetch one row past the cap so the collector can tell
+        # "exactly MAX_PAGE rows" from "truncated" and raise
+        n = (end - start + 1) if end is not None else cls.MAX_PAGE + 1
         out = df.orderBy(key)
         if start > 0:
             out = out.offset(start)
@@ -131,10 +159,9 @@ class NutchReadApi:
     def link_read(self, start: int | None = None, end: int | None = None) -> list[dict]:
         if self.linkdb is None:
             raise ValueError("no linkdb attached")
-        return [
-            r.asDict(recursive=True)
-            for r in self._slice(self.linkdb, start, end, "to_url").collect()
-        ]
+        df = self._slice(self.linkdb, start, end, "to_url")
+        rows = df.collect() if end is not None else self._collect_open_page(df)
+        return [r.asDict(recursive=True) for r in rows]
 
     def link_schema(self) -> dict:
         return {f.name: f.dataType.simpleString() for f in (self.linkdb or _empty()).schema}
@@ -142,10 +169,9 @@ class NutchReadApi:
     def node_read(self, start: int | None = None, end: int | None = None) -> list[dict]:
         if self.nodedb is None:
             raise ValueError("no nodedb attached")
-        return [
-            r.asDict(recursive=True)
-            for r in self._slice(self.nodedb, start, end, "url").collect()
-        ]
+        df = self._slice(self.nodedb, start, end, "url")
+        rows = df.collect() if end is not None else self._collect_open_page(df)
+        return [r.asDict(recursive=True) for r in rows]
 
     def node_schema(self) -> dict:
         return {f.name: f.dataType.simpleString() for f in (self.nodedb or _empty()).schema}
@@ -154,7 +180,9 @@ class NutchReadApi:
         self, df: DataFrame, start: int | None = None, end: int | None = None
     ) -> list[list]:
         key = df.columns[0]
-        return [list(r) for r in self._slice(df, start, end, key).collect()]
+        sliced = self._slice(df, start, end, key)
+        rows = sliced.collect() if end is not None else self._collect_open_page(sliced)
+        return [list(r) for r in rows]
 
     # -- GET /seed/ + POST /seed/create (openapi.yaml:535-589) ---------------
     def get_seed_lists(self) -> dict[str, list[str]]:

@@ -128,3 +128,38 @@ def test_robots_duplicate_fetchlist_rows_survive(spark):
     )
     out = sorted((r["url"], r["seq"]) for r in filter_allowed(fl, rules).collect())
     assert out == [("http://a.com/ok", 1), ("http://a.com/ok", 2)]
+
+
+# --- round-4 ADVICE findings (job-state race, dir-listing escaping) --------
+
+
+def test_abort_after_finish_does_not_strand_killing(spark):
+    """Round-4 ADVICE: abort racing a normal finish must not leave the job
+    in KILLING (an active state server_status would report forever)."""
+    from nutch_spark.sources.jobs import NutchServer
+
+    srv = NutchServer(spark)
+    info = srv.create_job(
+        {"type": "CLASS", "jobClassName": lambda args: {"ok": 1}}, sync=True
+    )
+    jid = info["id"]
+    assert info["state"] == "FINISHED"
+    # the job already finished: abort/stop must refuse and not mutate state
+    assert srv.abort_job(jid) is False
+    assert srv.stop_job(jid) is False
+    assert srv.get_job(jid)["state"] == "FINISHED"
+    assert srv.server_status()["runningJobs"] == []
+
+
+def test_file_listing_escapes_hostile_names(tmp_path):
+    from nutch_spark.operators.fetcher import file_fetch_fn
+
+    (tmp_path / 'a<b>&"c.txt').write_text("x")
+    (tmp_path / "plain.txt").write_text("y")
+    resp = file_fetch_fn(f"file://{tmp_path}")
+    assert resp["status"] == "fetch_success"
+    body = resp["content"]
+    assert "a&lt;b&gt;&amp;&quot;c.txt" in body
+    # no raw < from the filename leaks into markup (only real tags remain)
+    assert "<b>&" not in body
+    assert "plain.txt" in body

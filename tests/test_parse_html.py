@@ -318,3 +318,31 @@ def test_detect_mime_container_refinements(spark):
         ).collect()
     ]
     assert got == [want for _, _, _, want in rows]
+
+
+def test_detect_mime_weak_two_byte_magics(spark):
+    # a real BMP carries zero reserved bytes at offset 6; text bodies that
+    # merely start with 'BM'/'MZ'/MP3-sync must not outrank a textual header
+    bmp = b"BM" + b"\x46\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x36\x00\x00\x00"
+    rows = [
+        ("http://a.com/r.bin", bmp, None, "image/bmp"),
+        ("http://a.com/r.bin", bmp, "text/plain", "image/bmp"),  # struct wins
+        ("http://a.com/d.csv", b"BM,ID,VALUE\n1,2,3\n", "text/csv", "text/csv"),
+        ("http://a.com/d.csv", b"MZ,ID,VALUE\n1,2,3\n", "text/csv", "text/csv"),
+        ("http://a.com/p.bin", b"MZ\x90\x00\x03\x00", None,
+         "application/x-msdownload"),
+        ("http://a.com/s.bin", b"\xff\xfb\x90\x44", None, "audio/mpeg"),
+        ("http://a.com/s.txt", b"\xff\xfbhello", "text/plain; charset=x",
+         "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(u, c, t) for u, c, t, _ in rows],
+        "url string, content binary, content_type string",
+    )
+    got = [
+        r["mime"]
+        for r in df.select(
+            detect_mime("url", "content", "content_type").alias("mime")
+        ).collect()
+    ]
+    assert got == [want for _, _, _, want in rows]

@@ -254,10 +254,21 @@ def test_keyset_page_plan_pushes_filter(api, spark, tmp_path):
     assert "Window" not in plan
 
 
-def test_open_ended_fetchdb_is_capped(spark):
+def test_open_ended_fetchdb_raises_on_truncation(spark):
+    import pytest as _pytest
+
+    from nutch_spark.sources.rest import PageTruncatedError
+
     big = spark.range(0, 30_000).selectExpr("concat('http://x.com/', id) as url")
     api = NutchReadApi(fetchdb=big)
-    assert len(api.db_fetchdb()) == NutchReadApi.MAX_PAGE
+    # truncated open-ended read surfaces as an error pointing at keyset paging
+    with _pytest.raises(PageTruncatedError, match="db_fetchdb_after"):
+        api.db_fetchdb()
+    # a bounded request of any size still works
+    assert len(api.db_fetchdb(0, 19_999)) == 20_000
+    # an open-ended read that fits under the cap returns everything
+    small = spark.range(0, 5).selectExpr("concat('http://x.com/', id) as url")
+    assert len(NutchReadApi(fetchdb=small).db_fetchdb()) == 5
 
 
 # --- exotic ARC variants (round-4): v2 headers, resync, latin-1, truncation
