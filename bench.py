@@ -26,9 +26,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # Warm the JVM/parquet-footer caches once so per-query numbers measure the
-    # plan, not first-touch class loading.
+    # Warm-up: per-query numbers must measure the plan, not run position.
+    # Registry order rotates between rounds (least-recently-certified first),
+    # so without this the queries that happen to lead absorb first-touch
+    # JVM codegen class loading and the Python-worker pool fork (~2-4s) and
+    # look regressed round-over-round. Warm all three cold paths once:
+    # parquet footers, whole-stage-codegen of a shuffle agg, and the
+    # Arrow/pandas worker pool.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    warm = spark.range(0, 1 << 18, 1, 8)
+    warm.limit(4096).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # one pass through the dominant plan shapes of the registry (explode of
+    # a transform/sequence lambda, broadcast semi-join, window, hash agg) so
+    # their whole-stage-codegen classes compile here, not inside the first
+    # timed query that happens to use them
+    arr = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: F.md5(F.concat_ws(" ", i.cast("string"))),
+    )
+    small = spark.range(0, 100).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy(F.col("id") % 7).orderBy("id")
+    (
+        warm.select("id", arr.alias("arr"))
+        .select("id", F.explode("arr").alias("h"))
+        .join(F.broadcast(small), "h", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy((F.col("id") % 97).alias("g"))
+        .agg(F.count("*").alias("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     for name, (fn, _oracle) in REGISTRY.items():
         t0 = time.perf_counter()

@@ -438,7 +438,15 @@ def dup_components(
     pathological chains. Each round materializes eagerly via localCheckpoint
     (lazy checkpoints re-run the whole lineage). On a real cluster use
     ``checkpoint()`` to truncate lineage against executor loss.
+
+    Convergence is detected with ``Observation`` metrics harvested from the
+    SAME job that materializes the round — the new label is compared to the
+    old one row-wise in the step select, so there is no separate
+    count()-with-self-join driver sync per iteration (each round is exactly
+    one Spark job).
     """
+    from pyspark.sql import Observation
+
     sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).unionByName(
         pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
     )
@@ -449,28 +457,27 @@ def dup_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("lab").alias("nb_lab"))
         )
-        new_labels = (
-            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nb_lab", "lab")).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(nb_min, labels["id"] == nb_min["a"], "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nb_lab", "lab")).alias("lab"),
+            (F.least(F.col("lab"), F.coalesce("nb_lab", "lab")) != F.col("lab"))
+            .cast("long")
+            .alias("_chg"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
+        obs = Observation(f"dup_components_iter_{it}")
+        new_labels = (
+            stepped.observe(obs, F.sum("_chg").alias("changed"))
+            .drop("_chg")
+            .localCheckpoint(eager=True)  # the one job of the round
         )
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:  # metric from the checkpoint job — free
             break
     return labels.select(
         F.col("id").alias(key),
