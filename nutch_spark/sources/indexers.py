@@ -13,12 +13,21 @@ not live connections), documents are buffered to ``batch_size`` and flushed,
 backpressure is the executor's own iteration speed, exactly how the
 reference's IndexerOutputFormat streams reducer output into writers.
 
-Shipped writers: the filesystem JSONL writer (on-disk twin of a bulk-HTTP
-poster), ``EsBulkIndexWriter`` (exact Elasticsearch ``_bulk`` NDJSON framing
-over an injected transport — swap in an HTTP POST for production), and
-``KafkaIndexWriter`` (per-doc messages + tombstone deletes over an injected
-producer factory). The injected transports keep this container network-free
-while the wire formats stay test-asserted (tests/test_index_writers.py).
+Shipped writers — one per reference indexer plugin, each over an injected
+transport so the container stays network-free while the wire format is
+test-asserted (tests/test_index_writers.py):
+
+- ``JsonlIndexWriter`` — filesystem twin of a bulk-HTTP poster
+- ``EsBulkIndexWriter`` / ``OpenSearchBulkIndexWriter`` — exact ``_bulk``
+  NDJSON framing (indexer-elastic, indexer-opensearch-1x)
+- ``SolrIndexWriter`` — Solr JSON update API: batched adds/deletes,
+  commit, basic/header auth (indexer-solr, the reference default)
+- ``KafkaIndexWriter`` — per-doc messages + tombstone deletes
+- ``RabbitIndexWriter`` — single/multiple commit modes, Gson-shaped
+  message bodies (indexer-rabbit)
+- ``CloudSearchIndexWriter`` — SHA-512 ids, cleaned field names, 5 MiB
+  batch JSON arrays (indexer-cloudsearch)
+- ``CsvIndexWriter`` — quoting/multivalue rules of indexer-csv
 """
 
 from __future__ import annotations
@@ -259,6 +268,379 @@ class KafkaIndexWriter(IndexWriter):
     def commit(self) -> None:
         if self._producer is not None:
             self._producer.flush()
+
+
+def _iso_instant(dt) -> str:
+    """java.time.DateTimeFormatter.ISO_INSTANT rendering: UTC, trailing Z,
+    fractional seconds only when present (SolrIndexWriter.java:209-211)."""
+    import datetime
+
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if dt.microsecond:
+        base += f".{dt.microsecond:06d}".rstrip("0")
+    return base + "Z"
+
+
+def strip_noncharacters(s: str) -> str:
+    """SolrUtils.stripNonCharCodepoints (indexer-solr/.../SolrUtils.java:154):
+    drop Unicode noncharacters (U+nFFFE/U+nFFFF every plane, U+FDD0-FDEF)
+    and control chars other than tab/newline/carriage-return before a field
+    reaches the index."""
+    return "".join(
+        ch
+        for ch in s
+        if ord(ch) % 0x10000 not in (0xFFFF, 0xFFFE)
+        and (ord(ch) <= 0xFDD0 or ord(ch) >= 0xFDEF)
+        and (ord(ch) > 0x1F or ord(ch) in (0x9, 0xA, 0xD))
+    )
+
+
+class SolrIndexWriter(IndexWriter):
+    """Solr-shaped writer (src/plugin/indexer-solr/src/java/org/apache/nutch/
+    indexwriter/solr/SolrIndexWriter.java) — the reference's DEFAULT sink.
+
+    SolrJ's javabin transport is replaced by Solr's public JSON update API,
+    framed exactly as documented: adds POST a JSON array of documents to
+    ``<url>/update``, deletes POST ``{"delete": [ids...]}``, commit POSTs
+    ``{"commit": {}}``. ``transport(url, body_bytes, headers)`` performs the
+    POST — production wires an HTTP client; tests a capturing fake. All
+    configured URLs receive every request (the reference fans out over its
+    ``solrClients`` list, SolrIndexWriter.java:259-276).
+
+    Mirrored semantics:
+
+    - ``batch_size`` (solr ``commitSize``, default 1000): a push fires when
+      buffered adds + deletes reach it (SolrIndexWriter.java:225-229)
+    - ``delete`` gate: delete requests are ONLY buffered when the indexer's
+      delete flag is on (IndexerMapReduce.INDEXER_DELETE)
+    - date field values render as ISO_INSTANT strings; ``content`` and
+      ``title`` pass through :func:`strip_noncharacters`
+    - ``weight_field``: when set, each document gains that field from its
+      ``weight`` value (doc.getWeight())
+    - ``params`` (indexer.additional.params, "k=v&k2=v2"): appended to the
+      update URL's query string
+    - auth: a custom header pair outranks basic auth, which is sent as a
+      standard ``Authorization: Basic`` header (SolrUtils.java builds the
+      same via HttpClient interceptors)
+    - the reference "escapes" '!' in delete ids with ``replaceAll("!",
+      "\\\\!")`` — a Java replacement-string NO-OP (``\\!`` unescapes to a
+      literal ``!``), so observable behavior is the unmodified key; we
+      reproduce that observable behavior (SolrIndexWriter.java:179-181)
+    """
+
+    def __init__(
+        self,
+        transport: Callable[[str, bytes, dict], None],
+        *,
+        urls: list[str] | str,
+        collection: str | None = None,
+        batch_size: int = 1000,
+        id_field: str = "url",
+        delete: bool = False,
+        weight_field: str = "",
+        params: str | None = None,
+        username: str | None = None,
+        password: str | None = None,
+        auth_header_name: str = "",
+        auth_header_value: str = "",
+    ) -> None:
+        if not urls:
+            raise ValueError("Missing SOLR URL")  # SolrIndexWriter.java:96-99
+        self.transport = transport
+        self.urls = [urls] if isinstance(urls, str) else list(urls)
+        self.collection = collection
+        self.batch_size = batch_size
+        self.id_field = id_field
+        self.delete_enabled = delete
+        self.weight_field = weight_field
+        # indexer.additional.params: "k=v&k2=v2"; fragments without '='
+        # are skipped, as in init()'s kv.length < 2 guard
+        good = [
+            kv.split("=", 1) for kv in (params or "").split("&") if "=" in kv
+        ]
+        self.query = "?" + "&".join(f"{k}={v}" for k, v in good) if good else ""
+        self.headers = {"Content-Type": "application/json"}
+        if auth_header_name and auth_header_value:
+            self.headers[auth_header_name] = auth_header_value
+        elif username and password:
+            import base64
+
+            cred = base64.b64encode(f"{username}:{password}".encode()).decode()
+            self.headers["Authorization"] = f"Basic {cred}"
+        self._adds: list[dict] = []
+        self._deletes: list[str] = []
+
+    def _update_url(self, base: str) -> str:
+        path = base.rstrip("/")
+        if self.collection:
+            path += "/" + self.collection
+        return path + "/update" + self.query
+
+    def _post(self, body) -> None:
+        data = json.dumps(body, default=str, sort_keys=True).encode()
+        for base in self.urls:
+            self.transport(self._update_url(base), data, dict(self.headers))
+
+    def _normalize(self, doc: dict) -> dict:
+        import datetime
+
+        out = {}
+        for k, v in doc.items():
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            norm = []
+            for val in vals:
+                if isinstance(val, datetime.datetime):
+                    val = _iso_instant(val)
+                elif isinstance(val, datetime.date):
+                    val = _iso_instant(
+                        datetime.datetime(val.year, val.month, val.day)
+                    )
+                if k in ("content", "title") and isinstance(val, str):
+                    val = strip_noncharacters(val)
+                norm.append(val)
+            out[k] = norm if isinstance(v, (list, tuple)) else norm[0]
+        if self.weight_field and "weight" in doc:
+            out[self.weight_field] = doc["weight"]
+        return out
+
+    def _maybe_push(self) -> None:
+        if len(self._adds) + len(self._deletes) >= self.batch_size:
+            self._push()
+
+    def write(self, docs: list[dict]) -> None:
+        for doc in docs:
+            self._adds.append(self._normalize(doc))
+            self._maybe_push()
+
+    def delete(self, ids: list[str]) -> None:
+        if not self.delete_enabled:
+            return
+        for i in ids:
+            self._deletes.append(str(i))
+            self._maybe_push()
+
+    def _push(self) -> None:
+        if self._adds:
+            self._post(self._adds)
+            self._adds = []
+        if self._deletes:
+            self._post({"delete": self._deletes})
+            self._deletes = []
+
+    def commit(self) -> None:
+        self._push()
+        self._post({"commit": {}})
+
+
+class OpenSearchBulkIndexWriter(EsBulkIndexWriter):
+    """OpenSearch writer (src/plugin/indexer-opensearch-1x/.../
+    OpenSearchIndexWriter.java): OpenSearch 1.x speaks the identical public
+    ``_bulk`` NDJSON protocol as Elasticsearch — same framing, same
+    maxBulkDocs/maxBulkLength buffering — so the writer is the ES writer
+    with an OpenSearch endpoint. Kept as a distinct registered type to
+    mirror the reference's separate plugin id."""
+
+
+class RabbitIndexWriter(IndexWriter):
+    """RabbitMQ-shaped writer (src/plugin/indexer-rabbit/.../
+    RabbitIndexWriter.java). ``publish(exchange, routing_key, body_bytes,
+    headers)`` is injected — production binds a pika channel; tests capture.
+
+    Mirrored semantics:
+
+    - buffers adds + deletes; a COMMIT fires when the combined buffer
+      reaches ``commit_size`` (default 250, RabbitIndexWriter.java:95,136)
+    - ``commit_mode="multiple"`` (default): ONE message whose body is the
+      whole buffered message JSON — ``{"docsToWrite": [...],
+      "docsToUpdate": [...], "docsToDelete": [urls]}`` with each document
+      as ``{"fields": [{"key", "weight", "values"}], "documentBoost"}``,
+      the exact Gson rendering of RabbitMessage/RabbitDocument
+    - ``commit_mode="single"``: one message per action — deletes first
+      (body = url bytes, header action=delete), then writes (body =
+      document JSON, header action=write), RabbitIndexWriter.java:171-204
+    - static headers (k=v,k2=v2) ride on every message
+    """
+
+    def __init__(
+        self,
+        publish: Callable[[str, str, bytes, dict], None],
+        *,
+        exchange: str = "nutch.exchange",
+        routing_key: str = "nutch.key",
+        commit_size: int = 250,
+        commit_mode: str = "multiple",
+        headers_static: str = "",
+        id_field: str = "url",
+    ) -> None:
+        self.publish = publish
+        self.exchange = exchange
+        self.routing_key = routing_key
+        self.commit_size = commit_size
+        self.commit_mode = commit_mode
+        self.id_field = id_field
+        self.headers = dict(
+            kv.split("=", 1) for kv in headers_static.split(",") if "=" in kv
+        )
+        self._writes: list[dict] = []
+        self._deletes: list[str] = []
+
+    @staticmethod
+    def _rabbit_doc(doc: dict) -> dict:
+        fields = [
+            {
+                "key": k,
+                "weight": 1.0,
+                "values": v if isinstance(v, (list, tuple)) else [v],
+            }
+            for k, v in doc.items()
+        ]
+        return {"fields": fields, "documentBoost": float(doc.get("weight", 1.0))}
+
+    def _size(self) -> int:
+        return len(self._writes) + len(self._deletes)
+
+    def write(self, docs: list[dict]) -> None:
+        for doc in docs:
+            self._writes.append(self._rabbit_doc(doc))
+            if self._size() >= self.commit_size:
+                self.commit()
+
+    def delete(self, ids: list[str]) -> None:
+        for i in ids:
+            self._deletes.append(str(i))
+            if self._size() >= self.commit_size:
+                self.commit()
+
+    def commit(self) -> None:
+        if not self._size():
+            return
+        if self.commit_mode == "single":
+            for url in self._deletes:
+                self.publish(
+                    self.exchange,
+                    self.routing_key,
+                    url.encode(),
+                    {**self.headers, "action": "delete"},
+                )
+            for doc in self._writes:
+                self.publish(
+                    self.exchange,
+                    self.routing_key,
+                    json.dumps(doc, default=str).encode(),
+                    {**self.headers, "action": "write"},
+                )
+        else:
+            body = {
+                "docsToWrite": self._writes,
+                "docsToUpdate": [],
+                "docsToDelete": self._deletes,
+            }
+            self.publish(
+                self.exchange,
+                self.routing_key,
+                json.dumps(body, default=str).encode(),
+                dict(self.headers),
+            )
+        self._writes, self._deletes = [], []
+
+
+class CloudSearchIndexWriter(IndexWriter):
+    """AWS CloudSearch-shaped writer (src/plugin/indexer-cloudsearch/.../
+    CloudSearchIndexWriter.java): document-batch JSON arrays POSTed through
+    the injected ``upload(body_bytes)`` (production: the CloudSearch domain
+    ``documents/batch`` endpoint).
+
+    Mirrored semantics (CloudSearchIndexWriter.java:167-330):
+
+    - document id = hex SHA-512 of the url (CloudSearchUtils.getID)
+    - batch entries are ``{"type": "add", "id": ..., "fields": {...}}`` /
+      ``{"type": "delete", "id": ...}``
+    - field names lower-case with ``[^a-z_0-9]`` → ``_`` (cleanFieldName);
+      string values pass stripNonCharCodepoints; dates render as
+      ``yyyy-MM-dd'T'HH:mm:ss.SSS'Z'``
+    - a single doc larger than ``MAX_SIZE_DOC_BYTES`` (1 MiB) is SKIPPED
+      with an error, never shipped; the batch flushes when adding a doc
+      would cross ``MAX_SIZE_BATCH_BYTES`` (5 MiB) or when
+      ``max_docs_in_batch`` is reached
+    """
+
+    MAX_SIZE_BATCH_BYTES = 5242880
+    MAX_SIZE_DOC_BYTES = 1048576
+
+    def __init__(
+        self,
+        upload: Callable[[bytes], None],
+        *,
+        max_docs_in_batch: int = -1,
+        id_field: str = "url",
+    ) -> None:
+        self.upload = upload
+        self.max_docs_in_batch = max_docs_in_batch
+        self.id_field = id_field
+        self._entries: list[bytes] = []
+        self._nbytes = 1  # the opening '['
+
+    @staticmethod
+    def doc_id(url: str) -> str:
+        import hashlib
+
+        return hashlib.sha512(url.encode()).hexdigest()
+
+    @staticmethod
+    def clean_field_name(name: str) -> str:
+        import re
+
+        return re.sub(r"[^a-z_0-9]", "_", name.lower())
+
+    def _add_to_batch(self, entry: dict) -> None:
+        blob = json.dumps(entry, default=str, sort_keys=True, indent=2).encode()
+        if len(blob) > self.MAX_SIZE_DOC_BYTES:
+            return  # doc too large: logged and skipped in the reference
+        if len(blob) + 2 + self._nbytes >= self.MAX_SIZE_BATCH_BYTES:
+            self.commit()
+        self._entries.append(blob)
+        self._nbytes += len(blob) + 1
+        if 0 < self.max_docs_in_batch == len(self._entries):
+            self.commit()
+
+    def write(self, docs: list[dict]) -> None:
+        import datetime
+
+        for doc in docs:
+            url = str(doc.get(self.id_field))
+            fields: dict = {}
+            for k, v in doc.items():
+                name = self.clean_field_name(k)
+                for val in v if isinstance(v, (list, tuple)) else [v]:
+                    if isinstance(val, datetime.datetime):
+                        val = (
+                            val.strftime("%Y-%m-%dT%H:%M:%S.")
+                            + f"{val.microsecond // 1000:03d}Z"
+                        )
+                    elif isinstance(val, str):
+                        val = strip_noncharacters(val)
+                    if name in fields:  # JSONObject.accumulate semantics
+                        prev = fields[name]
+                        fields[name] = (
+                            prev + [val] if isinstance(prev, list) else [prev, val]
+                        )
+                    else:
+                        fields[name] = val
+            self._add_to_batch(
+                {"type": "add", "id": self.doc_id(url), "fields": fields}
+            )
+
+    def delete(self, ids: list[str]) -> None:
+        for i in ids:
+            self._add_to_batch({"type": "delete", "id": self.doc_id(str(i))})
+
+    def commit(self) -> None:
+        if not self._entries:
+            return
+        self.upload(b"[" + b",".join(self._entries) + b"]")
+        self._entries, self._nbytes = [], 1
 
 
 def index_documents(

@@ -214,3 +214,218 @@ def test_csv_index_writer_value_separator(tmp_path):
     w.commit()
     (f,) = glob.glob(str(tmp_path) + "/*.csv")
     assert open(f).read() == "http://a.com/,x|y|z\n"
+
+
+# --- Solr (indexer-solr/.../SolrIndexWriter.java) ---------------------------
+
+
+def _solr_capture(directory: str):
+    """Capturing transport closure (cloudpickle ships it by value to the
+    executor): records (url, parsed-body, headers) to a spool directory."""
+
+    def transport(url: str, body: bytes, headers: dict) -> None:
+        os.makedirs(directory, exist_ok=True)
+        rec = {"url": url, "body": json.loads(body), "headers": headers}
+        with open(os.path.join(directory, uuid.uuid4().hex + ".json"), "w") as f:
+            json.dump(rec, f)
+
+    return transport
+
+
+def _solr_posts(directory: str) -> list[dict]:
+    return [json.load(open(p)) for p in glob.glob(directory + "/*.json")]
+
+
+def test_solr_json_update_framing(spark, tmp_path):
+    from nutch_spark.sources.indexers import SolrIndexWriter
+
+    cap = str(tmp_path / "solr")
+
+    def transport(url: str, body: bytes, headers: dict) -> None:
+        os.makedirs(cap, exist_ok=True)
+        rec = {"url": url, "body": json.loads(body), "headers": headers}
+        with open(os.path.join(cap, uuid.uuid4().hex + ".json"), "w") as f:
+            json.dump(rec, f)
+
+    docs = spark.createDataFrame(DOCS, SCHEMA).coalesce(1)
+    index_documents(
+        docs,
+        {
+            "solr": lambda: SolrIndexWriter(
+                transport, urls="http://solr:8983/solr/nutch", delete=True
+            )
+        },
+    )
+    posts = _solr_posts(cap)
+    adds = [p for p in posts if isinstance(p["body"], list)]
+    dels = [p for p in posts if isinstance(p["body"], dict) and "delete" in p["body"]]
+    commits = [p for p in posts if isinstance(p["body"], dict) and "commit" in p["body"]]
+    assert len(commits) == 1  # one commit per partition
+    ids = {d["url"] for p in adds for d in p["body"]}
+    assert ids == {"http://a.com/1", "http://b.com/1", "http://b.com/2"}  # SKIP dropped
+    assert {i for p in dels for i in p["body"]["delete"]} == {"http://a.com/2"}
+    for p in posts:
+        assert p["url"] == "http://solr:8983/solr/nutch/update"
+        assert p["headers"]["Content-Type"] == "application/json"
+
+
+def test_solr_delete_gate_and_batch_size(tmp_path):
+    from nutch_spark.sources.indexers import SolrIndexWriter
+
+    cap = str(tmp_path / "solr")
+    w = SolrIndexWriter(_solr_capture(cap), urls="http://s/solr/c", batch_size=3)
+    w.open(0)
+    # delete flag off (IndexerMapReduce.INDEXER_DELETE false): deletes dropped
+    w.delete(["http://a.com/x"])
+    w.write([{"url": f"http://a.com/{i}"} for i in range(4)])  # crosses batch=3
+    mid = _solr_posts(cap)
+    assert len(mid) == 1 and len(mid[0]["body"]) == 3  # pushed mid-stream
+    w.commit()
+    posts = _solr_posts(cap)
+    assert not any("delete" in p["body"] for p in posts if isinstance(p["body"], dict))
+    all_ids = [d["url"] for p in posts if isinstance(p["body"], list) for d in p["body"]]
+    assert len(all_ids) == 4
+
+
+def test_solr_auth_params_fanout_and_field_hygiene(tmp_path):
+    import datetime
+
+    from nutch_spark.sources.indexers import SolrIndexWriter
+
+    cap = str(tmp_path / "solr")
+    w = SolrIndexWriter(
+        _solr_capture(cap),
+        urls=["http://s1/solr/c", "http://s2/solr/c"],
+        username="u",
+        password="p",
+        params="update.chain=dedup&commitWithin=1000",
+        weight_field="boost",
+    )
+    w.open(0)
+    w.write(
+        [
+            {
+                "url": "http://a.com/1",
+                "title": "bad\x00ctl﷕ok￿",
+                "content": "tab\tand\nnewline stay",
+                "tstamp": datetime.datetime(2026, 1, 2, 3, 4, 5),
+                "weight": 2.5,
+            }
+        ]
+    )
+    w.commit()
+    posts = _solr_posts(cap)
+    # fan-out: every request goes to both configured urls, with params
+    urls = {p["url"] for p in posts}
+    assert urls == {
+        "http://s1/solr/c/update?update.chain=dedup&commitWithin=1000",
+        "http://s2/solr/c/update?update.chain=dedup&commitWithin=1000",
+    }
+    # basic auth header present
+    assert all(p["headers"]["Authorization"].startswith("Basic ") for p in posts)
+    doc = next(p["body"] for p in posts if isinstance(p["body"], list))[0]
+    assert doc["title"] == "badctlok"  # NUL, U+FDD5 noncharacter, U+FFFF stripped
+    assert doc["content"] == "tab\tand\nnewline stay"  # \t \n survive
+    assert doc["tstamp"] == "2026-01-02T03:04:05Z"  # ISO_INSTANT
+    assert doc["boost"] == 2.5  # weight field
+
+
+# --- RabbitMQ (indexer-rabbit/.../RabbitIndexWriter.java) -------------------
+
+
+def test_rabbit_multiple_mode_frames_one_message(tmp_path):
+    from nutch_spark.sources.indexers import RabbitIndexWriter
+
+    sent = []
+    w = RabbitIndexWriter(
+        lambda ex, rk, body, hdrs: sent.append((ex, rk, json.loads(body), hdrs)),
+        headers_static="app=nutch,env=test",
+    )
+    w.open(0)
+    w.write([{"url": "http://a.com/1", "title": "t1", "weight": 2.0}])
+    w.delete(["http://a.com/2"])
+    assert sent == []  # nothing until commit
+    w.commit()
+    (ex, rk, body, hdrs), = sent
+    assert (ex, rk) == ("nutch.exchange", "nutch.key")
+    assert hdrs == {"app": "nutch", "env": "test"}
+    # Gson rendering of RabbitMessage/RabbitDocument
+    assert body["docsToDelete"] == ["http://a.com/2"]
+    assert body["docsToUpdate"] == []
+    (doc,) = body["docsToWrite"]
+    assert doc["documentBoost"] == 2.0
+    fields = {f["key"]: f["values"] for f in doc["fields"]}
+    assert fields["url"] == ["http://a.com/1"] and fields["title"] == ["t1"]
+
+
+def test_rabbit_single_mode_and_commit_size(tmp_path):
+    from nutch_spark.sources.indexers import RabbitIndexWriter
+
+    sent = []
+    w = RabbitIndexWriter(
+        lambda ex, rk, body, hdrs: sent.append((body, hdrs)),
+        commit_mode="single",
+        commit_size=3,
+    )
+    w.open(0)
+    w.delete(["http://a.com/del"])
+    w.write([{"url": f"http://a.com/{i}"} for i in range(2)])  # buffer hits 3
+    # commit_size crossed mid-write: deletes publish first, then writes
+    assert [h["action"] for _, h in sent] == ["delete", "write", "write"]
+    assert sent[0][0] == b"http://a.com/del"
+    sent.clear()
+    w.commit()
+    assert sent == []  # buffer already flushed
+
+
+# --- CloudSearch (indexer-cloudsearch/.../CloudSearchIndexWriter.java) ------
+
+
+def test_cloudsearch_batch_format(tmp_path):
+    import datetime
+    import hashlib
+
+    from nutch_spark.sources.indexers import CloudSearchIndexWriter
+
+    batches = []
+    w = CloudSearchIndexWriter(lambda body: batches.append(json.loads(body)))
+    w.open(0)
+    w.write(
+        [
+            {
+                "url": "http://a.com/1",
+                "Content-Type": "text/html",  # cleaned to content_type
+                "tstamp": datetime.datetime(2026, 1, 2, 3, 4, 5, 789000),
+                "anchor": ["a1", "a2"],
+            }
+        ]
+    )
+    w.delete(["http://a.com/2"])
+    w.commit()
+    (batch,) = batches
+    add, dele = batch
+    assert add["type"] == "add"
+    assert add["id"] == hashlib.sha512(b"http://a.com/1").hexdigest()
+    assert add["fields"]["content_type"] == "text/html"  # cleanFieldName
+    assert add["fields"]["tstamp"] == "2026-01-02T03:04:05.789Z"
+    assert add["fields"]["anchor"] == ["a1", "a2"]  # accumulate
+    assert dele == {
+        "type": "delete",
+        "id": hashlib.sha512(b"http://a.com/2").hexdigest(),
+    }
+
+
+def test_cloudsearch_max_docs_and_oversize_skip():
+    from nutch_spark.sources.indexers import CloudSearchIndexWriter
+
+    batches = []
+    w = CloudSearchIndexWriter(
+        lambda body: batches.append(json.loads(body)), max_docs_in_batch=2
+    )
+    w.open(0)
+    w.write([{"url": f"http://a.com/{i}"} for i in range(5)])
+    w.write([{"url": "http://big.com/", "content": "x" * (2 << 20)}])  # >1MiB: skip
+    w.commit()
+    assert [len(b) for b in batches] == [2, 2, 1]
+    all_types = [e["type"] for b in batches for e in b]
+    assert all_types == ["add"] * 5  # the oversized doc never shipped
