@@ -54,6 +54,9 @@ class NutchConfig:
     ignore_internal_links: bool = False  # db.ignore.internal.links
     ignore_external_links: bool = False  # db.ignore.external.links
 
+    # --- parse-metatags (MetaTagsParser.java:55-62) ----------------------------
+    metatags_names: tuple[str, ...] = ("*",)  # metatags.names ('*' = all)
+
     # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
@@ -160,6 +163,7 @@ PROPERTY_MAP = {
     "db.max.outlink.length": "max_outlink_length",
     "db.ignore.internal.links": "ignore_internal_links",
     "db.ignore.external.links": "ignore_external_links",
+    "metatags.names": "metatags_names",
     "http.content.limit": "http_content_limit",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",

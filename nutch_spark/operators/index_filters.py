@@ -155,20 +155,43 @@ def metadata_fields(
     db_meta: str = "metadata",
     parse_meta: str = "parse_meta",
     content_meta: str = "content_meta",
+    separator: str | None = None,
+    mv_fields: tuple[str, ...] = (),
 ) -> DataFrame:
     """index-metadata: copy chosen metadata entries into doc fields, column
-    name prefixed by source the way the plugin namespaces conflicts."""
+    name prefixed by source the way the plugin namespaces conflicts.
+
+    ``separator`` + ``mv_fields`` mirror MetadataIndexer.add
+    (index.metadata.separator / index.metadata.multivalued.fields,
+    MetadataIndexer.java:93-108): a key listed in ``mv_fields`` whose value
+    contains the separator becomes an ARRAY column of trimmed non-empty
+    parts; all other values are trimmed, empty → NULL. parse-metatags
+    values arrive '\\t'-joined, so ``separator="\\t"`` re-expands them."""
+
+    def shaped(key: str, raw: Column) -> Column:
+        if separator is not None and key in mv_fields:
+            parts = F.split(raw, F.lit(separator), -1)
+            # single-arg lambda: transform would otherwise feed the element
+            # INDEX into trim's optional trim-character parameter
+            arr = F.filter(
+                F.transform(parts, lambda v: F.trim(v)), lambda v: v != ""
+            )
+            return F.when(F.size(arr) > 0, arr)
+        trimmed = F.trim(raw)
+        return F.when(trimmed != "", trimmed)
+
+    def colname(src: str, key: str) -> str:
+        return f"meta_{src}_" + "".join(
+            c if c.isalnum() else "_" for c in key.lower()
+        )
+
     cols: dict[str, Column] = {}
     for key in db_keys:
-        cols[f"meta_db_{key.lower().replace('-', '_')}"] = F.element_at(db_meta, key)
+        cols[colname("db", key)] = shaped(key, F.element_at(db_meta, key))
     for key in parse_keys:
-        cols[f"meta_parse_{key.lower().replace('-', '_')}"] = F.element_at(
-            parse_meta, key
-        )
+        cols[colname("parse", key)] = shaped(key, F.element_at(parse_meta, key))
     for key in content_keys:
-        cols[f"meta_content_{key.lower().replace('-', '_')}"] = F.element_at(
-            content_meta, key
-        )
+        cols[colname("content", key)] = shaped(key, F.element_at(content_meta, key))
     return doc.withColumns(cols)
 
 

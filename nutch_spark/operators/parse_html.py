@@ -91,6 +91,9 @@ class _Extractor(HTMLParser):
         self.title_parts: list[str] = []
         self.text_parts: list[str] = []
         self.meta: dict[str, str] = {}
+        # parse-metatags (MetaTagsParser.java): EVERY occurrence, in order,
+        # keyed by lowercase name — multi-valued (DC.creator can repeat)
+        self.metatags: dict[str, list[str]] = {}
         self.base_href: str | None = None
         self.outlinks: list[tuple[str, list[str]]] = []  # (href, anchor parts)
         self.headings: dict[str, list[str]] = {}  # h1/h2 → texts (headings plugin)
@@ -111,6 +114,7 @@ class _Extractor(HTMLParser):
             name = a.get("name") or a.get("http-equiv")
             if name and a.get("content") is not None:
                 self.meta.setdefault(name.lower(), a["content"])
+                self.metatags.setdefault(name.lower(), []).append(a["content"])
         elif tag in ("h1", "h2"):
             self._in_heading = tag
             self.headings.setdefault(tag, []).append("")
@@ -190,6 +194,15 @@ def parse_html_page(
         vals = [_ws_norm(t) for t in texts if _ws_norm(t)]
         if vals and h not in meta:
             meta[h] = vals[0]
+    # parse-metatags (MetaTagsParser.java:67-78, filter:96-125): every meta
+    # name/http-equiv tag lands in parse meta under 'metatag.<lowercase>',
+    # restricted by metatags.names ('*' = all, matched ignoring case).
+    # Multi-valued tags (Metadata.add appends) join on '\t' — the map column
+    # is string-valued; index-metadata splits on the same separator.
+    wanted = {n.lower() for n in cfg.metatags_names}
+    for name, values in ex.metatags.items():
+        if "*" in wanted or name in wanted:
+            meta["metatag." + name] = "\t".join(values)
     return {
         "title": _ws_norm("".join(ex.title_parts)),
         "text": _ws_norm(" ".join(ex.text_parts)),

@@ -763,6 +763,61 @@ def p2_html_parse(spark, sf_dir):
 
 
 
+@q(
+    "p2_metatags",
+    """
+    SELECT 'http://m' || CAST(doc_id AS VARCHAR) || '.com/p' AS url,
+           'kw-a ' || CAST(doc_id AS VARCHAR) || CHR(9) || 'kw-b' AS metatag_keywords,
+           'kw-a ' || CAST(doc_id AS VARCHAR) || '|kw-b' AS keywords_joined,
+           2 AS n_keywords,
+           'c1|c2' AS creators_joined,
+           'en' AS content_language
+    FROM documents
+    """,
+)
+def p2_metatags(spark, sf_dir):
+    """parse-metatags + index-metadata end-to-end (MetaTagsParser.java:96-125,
+    MetadataIndexer.java:60-108): every page carries case-varied multi-valued
+    Keywords, repeated DC.creator and an http-equiv Content-Language; the
+    real HTML parser surfaces them as tab-joined 'metatag.*' parse metadata,
+    and the index-metadata pass re-expands the multivalued fields via the
+    configured separator. The oracle states the expected extraction."""
+    from nutch_spark.operators.index_filters import metadata_fields
+    from nutch_spark.operators.parse_html import parse_html
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta name="Keywords" content="kw-a '), k,
+        F.lit('"><meta name="KEYWORDS" content="kw-b">'),
+        F.lit('<meta name="DC.creator" content="c1">'),
+        F.lit('<meta name="DC.creator" content="c2">'),
+        F.lit('<meta http-equiv="Content-Language" content="en">'),
+        F.lit("</head><body>b</body></html>"),
+    )
+    log = d.select(
+        F.concat(F.lit("http://m"), k, F.lit(".com/p")).alias("url"),
+        F.lit("fetch_success").alias("status"),
+        F.encode(html, "UTF-8").alias("content"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+    )
+    doc = parse_html(log).withColumnRenamed("meta", "parse_meta")
+    doc = metadata_fields(
+        doc,
+        parse_keys=("metatag.keywords", "metatag.dc.creator", "metatag.content-language"),
+        separator="\t",
+        mv_fields=("metatag.keywords", "metatag.dc.creator"),
+    )
+    return doc.select(
+        "url",
+        F.element_at("parse_meta", "metatag.keywords").alias("metatag_keywords"),
+        F.concat_ws("|", "meta_parse_metatag_keywords").alias("keywords_joined"),
+        F.size("meta_parse_metatag_keywords").alias("n_keywords"),
+        F.concat_ws("|", "meta_parse_metatag_dc_creator").alias("creators_joined"),
+        F.col("meta_parse_metatag_content_language").alias("content_language"),
+    )
+
+
 _ROBOTS_RULES = [
     # (host, agent, rule_type, prefix) — literal rule set shared with SQL
     ("h0.com", "*", "disallow", "/p1"),

@@ -346,3 +346,69 @@ def test_detect_mime_weak_two_byte_magics(spark):
         ).collect()
     ]
     assert got == [want for _, _, _, want in rows]
+
+
+def test_parse_metatags_basic():
+    # parse-metatags/sample/testMetatags.html: Keywords + Description
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    html = (
+        "<html><head>"
+        '<meta name="Keywords" content="This is a test of keywords" />'
+        '<meta name="Description" content="This is a test of description" />'
+        "</head><body>text of the document</body></html>"
+    )
+    out = parse_html_page("http://x.com/", html)
+    assert out["meta"]["metatag.keywords"] == "This is a test of keywords"
+    assert out["meta"]["metatag.description"] == "This is a test of description"
+
+
+def test_parse_metatags_multivalue_and_filter():
+    # parse-metatags/sample/testMultivalueMetatags.html: repeated DC.creator
+    # and case-varied keywords accumulate in document order
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    html = (
+        "<html><head>"
+        '<meta name="DC.creator" content="Doug Cutting">'
+        '<meta name="DC.creator" content="Michael Cafarella">'
+        '<meta name="keywords" lang="en" content="web crawler" />'
+        '<meta name="Keywords" lang="fr" content="robot d\'indexation" />'
+        '<meta name="KEYWORDS" lang="de" content="Webcrawler" />'
+        "</head><body>A test for multi-valued metatags.</body></html>"
+    )
+    out = parse_html_page("http://x.com/", html)
+    assert out["meta"]["metatag.dc.creator"] == "Doug Cutting\tMichael Cafarella"
+    assert (
+        out["meta"]["metatag.keywords"]
+        == "web crawler\trobot d'indexation\tWebcrawler"
+    )
+    # metatags.names restricts the extracted set (MetaTagsParser.java:55-62)
+    cfg = NutchConfig(metatags_names=("DC.CREATOR",))  # matched ignoring case
+    out2 = parse_html_page("http://x.com/", html, cfg=cfg)
+    assert "metatag.dc.creator" in out2["meta"]
+    assert "metatag.keywords" not in out2["meta"]
+
+
+def test_index_metadata_separator_split(spark):
+    from nutch_spark.operators.index_filters import metadata_fields
+
+    doc = spark.createDataFrame(
+        [
+            ("http://a.com/1", {"metatag.keywords": "a\tb\t  \tc "}),
+            ("http://a.com/2", {"metatag.keywords": "solo"}),
+            ("http://a.com/3", {}),
+        ],
+        "url string, parse_meta map<string,string>",
+    )
+    out = metadata_fields(
+        doc,
+        parse_keys=("metatag.keywords",),
+        separator="\t",
+        mv_fields=("metatag.keywords",),
+    )
+    rows = {r["url"]: r["meta_parse_metatag_keywords"] for r in out.collect()}
+    assert rows["http://a.com/1"] == ["a", "b", "c"]  # trimmed, empties dropped
+    assert rows["http://a.com/2"] == ["solo"]
+    assert rows["http://a.com/3"] is None
