@@ -65,7 +65,12 @@ def main() -> None:
         .save()
     )
 
-    for name, (fn, _oracle) in REGISTRY.items():
+    # Fixed alphabetical order: REGISTRY rotates per round (least-recently-
+    # certified first, for the driver's correctness sampling), and run
+    # position shifts first-touch codegen costs between queries — sorting
+    # keeps per-query times comparable round-over-round.
+    for name in sorted(REGISTRY):
+        fn, _oracle = REGISTRY[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

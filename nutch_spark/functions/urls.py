@@ -13,33 +13,71 @@ Reference behaviour:
 Everything is built-in-function based (parse_url / regexp_replace / lower) so
 Catalyst keeps it inside whole-stage codegen; no Python UDFs.
 
-eTLD+1: the reference embeds a public-suffix table (conf/domain-suffixes.xml).
-We ship a compact set of multi-label public suffixes; ``url_domain`` computes
-registrable domain = one label left of the longest matching public suffix.
-For full parity with the live PSL, pass a custom ``suffixes`` list (it becomes
-a literal IN set — effectively a broadcast lookup, never a shuffle).
+eTLD+1: the reference resolves registrable domains through crawler-commons'
+EffectiveTldFinder over the public suffix list, ICANN section only
+(URLUtil.java:116-142). We vendor a PSL snapshot
+(nutch_spark/data/public_suffix_list.dat, publicsuffix.org, MPL-2.0) and
+compile its ICANN rules — normal, wildcard (``*.ck``) and exception
+(``!www.ck``), plus punycode twins of IDN entries — into literal IN sets
+grouped by label count. Catalyst turns each IN into an ``InSet`` hash
+lookup, so the full-PSL match is O(1) per row inside whole-stage codegen:
+no UDF, no join, no shuffle, and executors never need the data file (the
+sets ride in the plan). Non-strict semantics match the reference: a host
+with no matching suffix (or that IS a suffix) returns unchanged.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Common multi-label public suffixes (subset of the PSL / the reference's
-# conf/domain-suffixes.xml). Single-label TLDs need no table: eTLD+1 is then
-# just the last two labels.
-_MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
-    "co.nz", "net.nz", "org.nz",
-    "co.za", "org.za", "web.za",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
-    "co.kr", "or.kr", "go.kr",
-    "uk.com", "us.com", "eu.com",  # domain-suffixes.xml private registries
+def _load_psl() -> tuple[dict[int, frozenset[str]], dict[int, frozenset[str]], dict[int, frozenset[str]]]:
+    """Parse the vendored PSL snapshot's ICANN section into rule sets
+    grouped by label count: (normal, wildcard-bases, exceptions). IDN
+    entries gain punycode twins so both host spellings match (the reference
+    matches via IDN conversion: TestURLUtil 'xn--mori-qsa.nz' == 'māori.nz').
+    Driver-side, import-time, ~8 k rules."""
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "public_suffix_list.dat")
+    normal: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    in_icann = False
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip()
+            if "===BEGIN ICANN DOMAINS===" in s:
+                in_icann = True
+                continue
+            if "===END ICANN DOMAINS===" in s:
+                break
+            if not in_icann or not s or s.startswith("//"):
+                continue
+            rule = s.split()[0].lower()
+            if rule.startswith("!"):
+                target, name = exc, rule[1:]
+            elif rule.startswith("*."):
+                target, name = wild, rule[2:]
+            else:
+                target, name = normal, rule
+            forms = {name}
+            try:
+                puny = name.encode("idna").decode("ascii")
+                forms.add(puny)
+            except UnicodeError:
+                pass
+            for f in forms:
+                target.setdefault(f.count(".") + 1, set()).add(f)
+    froze = lambda d: {k: frozenset(v) for k, v in d.items()}  # noqa: E731
+    return froze(normal), froze(wild), froze(exc)
+
+
+_PSL_NORMAL, _PSL_WILD, _PSL_EXC = _load_psl()
+# deepest lookup needed: longest normal rule, or wildcard base + 1,
+# or exception label count
+_PSL_MAX_LABELS = max(
+    max(_PSL_NORMAL), max(_PSL_WILD) + 1, max(_PSL_EXC)
 )
 
 
@@ -73,23 +111,221 @@ def url_tld(url: Column | str) -> Column:
     return F.element_at(F.split(host, r"\."), -1)
 
 
-def url_domain(url: Column | str, suffixes: tuple[str, ...] = _MULTI_SUFFIXES) -> Column:
-    """Registrable domain (eTLD+1), URLUtil.getDomainName semantics.
+def _psl_sql_body(want: str) -> str:
+    """The PSL resolution CASE chain as SQL text (same logic as
+    :func:`_psl_chain`), wrapped in ``transform(array(h), x -> ...)`` so the
+    host parameter is evaluated exactly once however many probes reference
+    it. Emitted as the body of a SQL scalar function: the ~9k rule literals
+    are parsed JVM-side from ONE statement instead of marshaled through
+    py4j per call (2.8 s/call → sub-millisecond)."""
 
-    host = a.b.example.co.uk -> example.co.uk; a.b.example.com -> example.com.
-    The multi-label suffix set is a literal lookup (no shuffle, no UDF).
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    x = "x"
+    n = f"(length({x}) - length(replace({x}, '.', '')) + 1)"
+
+    def last_k(k: int) -> str:
+        return f"substring_index({x}, '.', -{k})"
+
+    def in_set(expr: str, vals: frozenset[str]) -> str:
+        return f"{expr} IN ({', '.join(q(v) for v in sorted(vals))})"
+
+    def result(k: int) -> str:
+        if want == "suffix":
+            return last_k(k)
+        return f"CASE WHEN {n} > {k} THEN {last_k(k + 1)} ELSE {x} END"
+
+    no_match = x if want == "domain" else "CAST(NULL AS STRING)"
+    whens = [f"WHEN {x} RLIKE '^[0-9.]+$' THEN {no_match}"]  # IP literal
+    for k in sorted(_PSL_EXC, reverse=True):
+        whens.append(
+            f"WHEN {n} >= {k} AND {in_set(last_k(k), _PSL_EXC[k])} "
+            f"THEN {result(k - 1)}"
+        )
+    for k in range(_PSL_MAX_LABELS, 0, -1):
+        conds = []
+        if k in _PSL_NORMAL:
+            conds.append(f"({n} >= {k} AND {in_set(last_k(k), _PSL_NORMAL[k])})")
+        if (k - 1) in _PSL_WILD:
+            conds.append(
+                f"({n} >= {k} AND {in_set(last_k(k - 1), _PSL_WILD[k - 1])})"
+            )
+        if conds:
+            whens.append(f"WHEN {' OR '.join(conds)} THEN {result(k)}")
+    case = "CASE " + " ".join(whens) + f" ELSE {no_match} END"
+    return f"transform(array(h), {x} -> {case})[0]"  # SQL [] is 0-based
+
+
+# sessions whose catalog already carries the nutch_psl_* SQL functions
+_PSL_FN_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def _ensure_psl_functions(spark) -> bool:
+    """Register the PSL SQL scalar functions in ``spark``'s catalog once.
+    Returns False when SQL UDFs are unavailable (caller falls back to the
+    pure-Column builder)."""
+    global _PSL_FN_SESSIONS
+    import weakref
+
+    if _PSL_FN_SESSIONS is None:
+        _PSL_FN_SESSIONS = weakref.WeakSet()
+    if spark in _PSL_FN_SESSIONS:
+        return True
+    try:
+        for name, want in (("nutch_psl_domain", "domain"), ("nutch_psl_suffix", "suffix")):
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(h STRING) "
+                f"RETURNS STRING RETURN {_psl_sql_body(want)}"
+            )
+    except Exception:  # noqa: BLE001 — older runtime without SQL UDFs
+        return False
+    _PSL_FN_SESSIONS.add(spark)
+    return True
+
+
+def _psl_chain(host: Column, want: str) -> Column:
+    """One CASE chain resolving ``host`` against the ICANN PSL rules,
+    returning the registrable domain (``want='domain'``) or the matched
+    public suffix (``want='suffix'``); NULL when no rule matches.
+
+    Exceptions beat wildcard/normal; otherwise the longest rule wins (the
+    PSL algorithm). Performance shape: every probe is
+    ``substring_index(host, '.', -k)`` + an ``isin`` that Catalyst turns
+    into an InSet hash lookup — pure string ops, no array materialization.
+    (A split/slice formulation re-built the label array in every CASE
+    branch — conditional branches defeat subexpression elimination — and
+    ran ~30× slower.) Each branch emits its RESULT directly, so the rule
+    sets are probed exactly once per row."""
+    # label count via dot count — string-level, no split
+    n = F.length(host) - F.length(F.regexp_replace(host, r"[^.]", "")) + 1
+
+    def last_k(k: int) -> Column:
+        return F.substring_index(host, ".", -k)
+
+    def result(suffix_labels: int) -> Column:
+        """What the branch yields once a suffix of ``suffix_labels`` won."""
+        if want == "suffix":
+            return last_k(suffix_labels)
+        # domain = suffix + one label; a host that IS the suffix stays whole
+        return F.when(
+            n > suffix_labels, last_k(suffix_labels + 1)
+        ).otherwise(host)
+
+    expr: Column | None = None
+
+    def add(cond: Column, res: Column) -> None:
+        nonlocal expr
+        expr = F.when(cond, res) if expr is None else expr.when(cond, res)
+
+    # exception rules first: '!www.ck' → www.ck is NOT a suffix; the
+    # enclosing rule minus one label is (suffix labels = k-1)
+    for k in sorted(_PSL_EXC, reverse=True):
+        add((n >= k) & last_k(k).isin(*_PSL_EXC[k]), result(k - 1))
+    # longest-match over normal + wildcard rules, deepest first
+    for k in range(_PSL_MAX_LABELS, 0, -1):
+        cond = None
+        if k in _PSL_NORMAL:
+            cond = (n >= k) & last_k(k).isin(*_PSL_NORMAL[k])
+        if (k - 1) in _PSL_WILD:  # '*.base' matches any extra label
+            wc = (n >= k) & last_k(k - 1).isin(*_PSL_WILD[k - 1])
+            cond = wc if cond is None else cond | wc
+        if cond is not None:
+            add(cond, result(k))
+    return expr
+
+
+def _clean_host(url: Column | str) -> Column:
+    """Host with a trailing dot stripped (EffectiveTldFinder normalizes
+    'lucene.apache.org.' before matching, TestURLUtil.java:44-45).
+
+    try_parse_url rejects non-ASCII authorities, but java.net.URL (the
+    reference's parser) accepts IDN hosts like 例え.jp — fall back to a
+    regex authority extraction so unicode hosts resolve domains too."""
+    u = F.col(url) if isinstance(url, str) else url
+    raw = F.coalesce(
+        url_host(url),
+        F.lower(
+            F.regexp_extract(
+                u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+            )
+        ),
+    )
+    return F.regexp_replace(raw, r"\.$", "")
+
+
+def url_domain(url: Column | str, suffixes: tuple[str, ...] | None = None) -> Column:
+    """Registrable domain (eTLD+1), URLUtil.getDomainName semantics —
+    crawler-commons EffectiveTldFinder.getAssignedDomain(host, false, true)
+    over the ICANN section of the full public suffix list
+    (URLUtil.java:116-142).
+
+    host = a.b.example.co.uk → example.co.uk; a.b.example.com → example.com;
+    www.example.plc.co.im → example.plc.co.im (3-label suffix);
+    www.example.co.uk.com → uk.com (private registries excluded: ICANN only);
+    example.com.nn → example.com.nn (no match, non-strict → host unchanged);
+    IP literals return the whole address.
+
+    ``suffixes``: optional override set of multi-label suffixes (legacy
+    surface, used by tests to pin a tiny table); None → the vendored PSL.
     """
-    host = url_host(url)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1))
-    suffix_set = [F.lit(s) for s in suffixes]
-    return (
-        F.when(host.rlike(r"^[0-9.]+$"), host)  # IP literal: whole address
-        .when(n <= 2, host)
-        .when(last2.isin(*suffix_set), F.when(n >= 3, last3).otherwise(host))
-        .otherwise(last2)
+    host = _clean_host(url)
+    if suffixes is not None:  # legacy explicit-table path
+        parts = F.split(host, r"\.")
+        n = F.size(parts)
+        last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+        last3 = F.concat_ws(
+            ".",
+            F.element_at(parts, -3),
+            F.element_at(parts, -2),
+            F.element_at(parts, -1),
+        )
+        return (
+            F.when(host.rlike(r"^[0-9.]+$"), host)
+            .when(n <= 2, host)
+            .when(last2.isin(*[F.lit(s) for s in suffixes]), F.when(n >= 3, last3).otherwise(host))
+            .otherwise(last2)
+        )
+    # Preferred path: the registered SQL scalar function — ~9k rule
+    # literals live JVM-side, so building this Column costs one py4j call
+    # (the naive isin() construction marshaled every literal per call:
+    # 2.8 s). The body binds the host once and probes via InSet.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and _ensure_psl_functions(spark):
+        return F.call_function("nutch_psl_domain", host)
+    # fallback (no active session / no SQL-UDF support): pure Column build,
+    # host bound ONCE as a lambda variable — the CASE chain references it
+    # ~30 times and conditional branches defeat subexpression elimination
+    # (unbound, try_parse_url re-runs per branch: 12 µs/row vs 1.4 µs/row)
+    return F.element_at(
+        F.transform(
+            F.array(host),
+            lambda h: F.when(h.rlike(r"^[0-9.]+$"), h)  # IP literal
+            # non-strict fallback: unknown TLD → host as-is
+            .otherwise(F.coalesce(_psl_chain(h, "domain"), h)),
+        ),
+        1,
+    )
+
+
+def url_suffix(url: Column | str) -> Column:
+    """Matched public suffix of the URL's host (URLUtil.getDomainSuffix):
+    'co.uk' for www.example.co.uk, 'edu.tr' for subdomain.example.edu.tr,
+    NULL when no ICANN rule matches."""
+    from pyspark.sql import SparkSession
+
+    host = _clean_host(url)
+    spark = SparkSession.getActiveSession()
+    if spark is not None and _ensure_psl_functions(spark):
+        return F.call_function("nutch_psl_suffix", host)
+    return F.element_at(
+        F.transform(
+            F.array(host),
+            lambda h: F.when(~h.rlike(r"^[0-9.]+$"), _psl_chain(h, "suffix")),
+        ),
+        1,
     )
 
 

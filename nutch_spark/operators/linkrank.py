@@ -57,15 +57,21 @@ def linkrank(
         .union(page_uniq.select(F.col(dst).alias("url")))
         .distinct()
     )
-    # Cache the static tables: reused every iteration. The contribution
-    # denominator is the node's FULL webgraph outlink count
+    # Materialize the static tables eagerly: reused every iteration. The
+    # contribution denominator is the node's FULL webgraph outlink count
     # (Node.getNumOutlinks, set before the per-target domain dedup) — so
     # out_deg comes from page_uniq, not the domain-deduped edge set.
+    # localCheckpoint, NOT cache: cache keeps the logical plan, and the
+    # domain-dedup window carries the full-PSL InSet literals — re-analyzing
+    # that plan in all 10 iteration jobs costs more driver time than the
+    # whole computation. Checkpointing truncates it to a LogicalRDD.
     out_deg = (
-        page_uniq.groupBy(src).agg(F.count(F.lit(1)).alias("num_outlinks")).cache()
+        page_uniq.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("num_outlinks"))
+        .localCheckpoint(eager=True)
     )
-    uniq = uniq.repartition(F.col(src)).cache()
-    nodes = nodes.cache()
+    uniq = uniq.repartition(F.col(src)).localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # LinkRank.java:90-178 (counter job)
     rank_one = 1.0 / max(n_nodes, 1)
 

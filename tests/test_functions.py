@@ -227,21 +227,59 @@ def test_fast_url_filter(spark):
 
 
 def test_url_domain_urlutil_cases(spark):
-    """Table-driven port of TestURLUtil.testGetDomainName (the cases our
-    literal suffix table covers; the reference reads domain-suffixes.xml)."""
+    """Full port of TestURLUtil.testGetDomainName against the vendored PSL
+    (ICANN section, crawler-commons EffectiveTldFinder semantics —
+    URLUtil.java:116-142): trailing dots, IP literals, private registries
+    excluded (uk.com), non-matching TLDs unchanged, 3-label suffixes,
+    wildcard (*.ck) and exception (!www.ck) rules, IDN in unicode AND
+    punycode spellings."""
     cases = [
         ("http://lucene.apache.org/nutch", "apache.org"),
+        ("https://lucene.apache.org./nutch", "apache.org"),  # trailing dot
         ("http://www.apache.org/", "apache.org"),
         ("http://en.wikipedia.org/wiki/Java_coffee", "wikipedia.org"),
         ("http://140.211.11.130/foundation/contributing.html", "140.211.11.130"),
         ("http://www.example.co.uk:8080/index.html", "example.co.uk"),
         ("http://com", "com"),
-        ("http://www.example.uk.com", "example.uk.com"),
+        ("http://www.example.co.uk.com", "uk.com"),  # ICANN only: com wins
+        ("http://example.com.nn", "example.com.nn"),  # nn unknown: host as-is
+        ("http://www.edu.tr.xyz", "tr.xyz"),
+        ("http://www.example.c.se", "example.c.se"),
+        ("http://www.example.plc.co.im", "example.plc.co.im"),  # 3-label
+        ("http://www.example.2000.hu", "example.2000.hu"),
+        ("http://www.example.flå.no", "example.flå.no"),  # IDN unicode
+        ("http://www.example.栃木.jp", "example.栃木.jp"),
+        ("http://www.example.xn--mori-qsa.nz", "example.xn--mori-qsa.nz"),
+        ("http://www.city.kawasaki.jp", "city.kawasaki.jp"),  # !exception
+        ("http://sub.foo.bar.ck", "foo.bar.ck"),  # *.ck wildcard
         ("https://example.com.au/path", "example.com.au"),
     ]
     from nutch_spark.functions.urls import url_domain
 
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["d"] for r in df.select(url_domain("url").alias("d")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_suffix_urlutil_cases(spark):
+    """Port of TestURLUtil.testGetDomainSuffix: the matched public suffix
+    itself, private registries (presse.fr) excluded by ICANN-only."""
+    cases = [
+        ("http://lucene.apache.org/nutch", "org"),
+        ("http://www.example.co.uk:8080/index.html", "co.uk"),
+        ("http://www.edu.tr.xyz", "xyz"),
+        ("http://subdomain.example.edu.tr", "edu.tr"),
+        ("http://subdomain.example.presse.fr", "fr"),
+        ("http://subdomain.example.presse.tr", "tr"),
+        ("http://www.example.plc.co.im", "plc.co.im"),
+        ("http://www.example.2000.hu", "2000.hu"),
+        ("http://www.example.xn--mori-qsa.nz", "xn--mori-qsa.nz"),
+        ("http://example.com.nn", None),  # no ICANN rule matches
+    ]
+    from nutch_spark.functions.urls import url_suffix
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(url_suffix("url").alias("s")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
