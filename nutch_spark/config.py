@@ -57,6 +57,10 @@ class NutchConfig:
     # --- parse-metatags (MetaTagsParser.java:55-62) ----------------------------
     metatags_names: tuple[str, ...] = ("*",)  # metatags.names ('*' = all)
 
+    # --- parse-js (JSParseFilter.java) -----------------------------------------
+    # opt-in like the reference (parse-js is not in default plugin.includes)
+    parse_js_filter: bool = False  # parse.js.enabled (our activation switch)
+
     # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
@@ -164,6 +168,7 @@ PROPERTY_MAP = {
     "db.ignore.internal.links": "ignore_internal_links",
     "db.ignore.external.links": "ignore_external_links",
     "metatags.names": "metatags_names",
+    "parse.js.enabled": "parse_js_filter",
     "http.content.limit": "http_content_limit",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",

@@ -97,17 +97,32 @@ class _Extractor(HTMLParser):
         self.base_href: str | None = None
         self.outlinks: list[tuple[str, list[str]]] = []  # (href, anchor parts)
         self.headings: dict[str, list[str]] = {}  # h1/h2 → texts (headings plugin)
+        # parse-js (JSParseFilter.walk): script bodies, on* handler attrs
+        # and javascript: hrefs collected for the optional JS link filter
+        self.js_fragments: list[str] = []
         self._in_title = False
+        self._in_script = False
         self._in_heading: str | None = None
         self._skip_depth = 0
         self._open_links: list[int] = []  # indexes into outlinks
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        # JSParseFilter.walk:137-152 — every on* event handler attribute and
+        # javascript: href is a JS fragment candidate
+        for name, value in attrs:
+            if value and (
+                name.startswith("on")
+                or (name == "href" and "javascript:" in value.lower())
+            ):
+                self.js_fragments.append(value)
         if tag == "title":
             self._in_title = True
         elif tag in _SKIP_TEXT:
             self._skip_depth += 1
+            if tag == "script":
+                self._in_script = True
+                self.js_fragments.append("")  # open a script buffer
         elif tag == "base" and a.get("href") and self.base_href is None:
             self.base_href = a["href"]
         elif tag == "meta":
@@ -131,11 +146,15 @@ class _Extractor(HTMLParser):
             self._in_heading = None
         elif tag in _SKIP_TEXT and self._skip_depth:
             self._skip_depth -= 1
+            if tag == "script":
+                self._in_script = False
         elif tag == "a" and self._open_links:
             self._open_links.pop()
 
     def handle_data(self, data):
         if self._skip_depth:
+            if self._in_script and self.js_fragments:
+                self.js_fragments[-1] += data  # script body text
             return
         if self._in_title:
             self.title_parts.append(data)
@@ -173,7 +192,18 @@ def parse_html_page(
     # robots meta nofollow: discard the page's outlinks entirely
     # (parse-html HtmlParser.java:165-177 / HTMLMetaProcessor directives)
     robots = ex.meta.get("robots", "").lower()
-    outlink_src = [] if "nofollow" in robots else ex.outlinks
+    outlink_src = [(h, a) for h, a in ex.outlinks]
+    # parse-js filter (opt-in, like the reference's plugin.includes): links
+    # harvested from script bodies / on* handlers / javascript: hrefs join
+    # the outlink stream with empty anchors (JSParseFilter.filter:96-160)
+    if cfg.parse_js_filter and "nofollow" not in robots:
+        from nutch_spark.operators.parse_js import extract_js_links
+
+        for frag in ex.js_fragments:
+            for js_url in extract_js_links(frag, base):
+                outlink_src.append((js_url, []))
+    if "nofollow" in robots:
+        outlink_src = []
     for href, anchor_parts in outlink_src:
         if len(links) >= cfg.max_outlinks_per_page:
             break

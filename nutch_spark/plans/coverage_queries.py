@@ -818,6 +818,44 @@ def p2_metatags(spark, sf_dir):
     )
 
 
+@q(
+    "p2_js_outlinks",
+    """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents)
+    SELECT 'http://js' || k || '.com/dir/app.js' AS url, ol
+    FROM d CROSS JOIN (VALUES (1), (2), (3)) AS v(i),
+    LATERAL (SELECT CASE v.i
+       WHEN 1 THEN 'http://search' || k || '.com/p:nutch'
+       WHEN 2 THEN 'http://js' || k || '.com/dir/about_files/m' || k || '.js'
+       ELSE 'http://www.mirror' || k || '.org/x'
+     END AS ol) AS l
+    ORDER BY url, ol
+    """,
+)
+def p2_js_outlinks(spark, sf_dir):
+    """parse-js end-to-end (JSParseFilter.java:172-266): per document a
+    synthetic script with an absolute URL string, a relative path (resolved
+    against the .js url), a www.-prefixed host (gains http://) and two
+    non-URL literals (rejected by the URI shape test); the oracle states the
+    expected link set."""
+    from nutch_spark.operators.parse_js import parse_js
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    js = F.concat(
+        F.lit('form.action = "http://search'), k, F.lit('.com/p:nutch";\n'),
+        F.lit("load('about_files/m"), k, F.lit(".js');\n"),
+        F.lit('mirror = "www.mirror'), k, F.lit('.org/x";\n'),
+        F.lit('notaurl = "plainword"; days = "90";\n'),
+    )
+    src = d.select(
+        F.concat(F.lit("http://js"), k, F.lit(".com/dir/app.js")).alias("url"),
+        F.encode(js, "UTF-8").alias("content"),
+    )
+    out = parse_js(src)
+    return out.select("url", F.explode("outlinks").alias("ol"))
+
+
 _ROBOTS_RULES = [
     # (host, agent, rule_type, prefix) — literal rule set shared with SQL
     ("h0.com", "*", "disallow", "/p1"),
