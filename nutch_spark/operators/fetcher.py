@@ -170,6 +170,117 @@ def http_fetch_fn(
     return {"status": "fetch_retry", "content": None, "metadata": meta}
 
 
+def ftp_fetch_fn(
+    url: str,
+    *,
+    timeout_s: float = 30.0,
+    user_name: str = "anonymous",
+    password: str = "anonymous@example.com",
+    max_bytes: int = 1 << 20,
+) -> dict:
+    """FTP fetch over stdlib ftplib (protocol-ftp, Ftp.java:143-188 +
+    FtpResponse.java): anonymous login by default, binary transfers, the
+    same ProtocolStatus → CrawlDatum mapping as ``http_fetch_fn``:
+
+      file retrieved         → fetch_success (200)
+      path is a directory    → without trailing '/': 300 redirect to
+                               path + '/' (FtpResponse:391-414 semantics);
+                               with trailing '/': LIST rendered as the
+                               same HTML listing shape as file_fetch_fn
+      login rejected         → fetch_gone (401 ACCESS_DENIED,
+                               FtpResponse.java:190)
+      no such file (550)     → fetch_gone (404, FtpResponse.java:391)
+      connect/transport err  → fetch_retry (500 + _exception_)
+
+    Drop-in ``fetch_fn`` for the polite-fetch harness — per-host queues,
+    delays and kill-switches stay in ``fetch``; this is ONE blocking
+    retrieval. Bind credentials/timeouts with ``functools.partial``.
+    """
+    import ftplib
+    import html as html_mod
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme != "ftp":
+        return {"status": "fetch_retry", "content": None,
+                "metadata": {"_exception_": "NotAnFtpUrl"}}
+    path = urllib.parse.unquote(parsed.path or "/")
+    try:
+        ftp = ftplib.FTP()
+        ftp.connect(parsed.hostname, parsed.port or 21, timeout=timeout_s)
+        try:
+            try:
+                ftp.login(parsed.username or user_name,
+                          parsed.password or password)
+            except ftplib.error_perm:
+                return {"status": "fetch_gone", "content": None,
+                        "metadata": {"nutch.protocol.code": "401"}}
+
+            if path.endswith("/"):
+                # directory listing → minimal HTML, sorted names (the
+                # reference renders LIST output as an HTML page too)
+                names: list[str] = []
+                ftp.cwd(path or "/")
+                ftp.retrlines("NLST", names.append)
+                names = sorted(n for n in names if n not in (".", ".."))
+                rows = "".join(
+                    f'<a href="{urllib.parse.quote(n)}">{html_mod.escape(n)}</a>\n'
+                    for n in names
+                )
+                esc = html_mod.escape(path)
+                return {
+                    "status": "fetch_success",
+                    "content": f"<html><head><title>Index of {esc}</title>"
+                    f"</head><body><h1>Index of {esc}</h1><pre>{rows}</pre>"
+                    "</body></html>",
+                    "content_type": "text/html",
+                    "metadata": {"nutch.protocol.code": "200"},
+                }
+
+            buf = bytearray()
+
+            def sink(chunk: bytes) -> None:
+                if len(buf) < max_bytes:
+                    buf.extend(chunk[: max_bytes - len(buf)])
+
+            try:
+                ftp.voidcmd("TYPE I")  # binary, FtpResponse.java:196
+                ftp.retrbinary(f"RETR {path}", sink)
+            except ftplib.error_perm:
+                # 550: missing file OR a directory fetched without '/' —
+                # cwd distinguishes (FtpResponse.java:391-414)
+                try:
+                    ftp.cwd(path)
+                except ftplib.error_perm:
+                    return {"status": "fetch_gone", "content": None,
+                            "metadata": {"nutch.protocol.code": "404"}}
+                loc = urllib.parse.urlunparse(parsed._replace(path=parsed.path + "/"))
+                return {
+                    "status": "fetch_redir_perm",
+                    "content": None,
+                    "metadata": {"nutch.protocol.code": "300", "Location": loc},
+                }
+            body = bytes(buf)
+            ctype = "text/html" if body[:100].lstrip()[:14].lower().startswith(
+                (b"<!doctype html", b"<html")
+            ) else "text/plain"
+            return {
+                "status": "fetch_success",
+                "content": body.decode("utf-8", errors="replace"),
+                "content_type": ctype,
+                "metadata": {"nutch.protocol.code": "200"},
+            }
+        finally:
+            try:
+                ftp.quit()
+            except Exception:  # noqa: BLE001 — best-effort close
+                ftp.close()
+    except Exception as e:  # noqa: BLE001 — transport errors retry
+        return {"status": "fetch_retry", "content": None,
+                "metadata": {"nutch.protocol.code": "500",
+                             "_exception_": type(e).__name__}}
+
+
 def file_fetch_fn(
     url: str,
     *,
