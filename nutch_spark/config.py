@@ -53,6 +53,7 @@ class NutchConfig:
     max_outlink_length: int = 4096       # db.max.outlink.length
     ignore_internal_links: bool = False  # db.ignore.internal.links
     ignore_external_links: bool = False  # db.ignore.external.links
+    ignore_external_links_mode: str = "byHost"  # db.ignore.external.links.mode
 
     # --- parse-metatags (MetaTagsParser.java:55-62) ----------------------------
     metatags_names: tuple[str, ...] = ("*",)  # metatags.names ('*' = all)
@@ -167,6 +168,7 @@ PROPERTY_MAP = {
     "db.max.outlink.length": "max_outlink_length",
     "db.ignore.internal.links": "ignore_internal_links",
     "db.ignore.external.links": "ignore_external_links",
+    "db.ignore.external.links.mode": "ignore_external_links_mode",
     "metatags.names": "metatags_names",
     "parse.js.enabled": "parse_js_filter",
     "http.content.limit": "http_content_limit",

@@ -310,6 +310,24 @@ def url_domain(url: Column | str, suffixes: tuple[str, ...] | None = None) -> Co
     )
 
 
+def url_domain_inline(url: Column) -> Column:
+    """``url_domain`` for HOF-lambda contexts: a registered SQL function
+    cannot reference another lambda's variable (inlining fails with
+    MISSING_ATTRIBUTES), so this always builds the pure-Column chain.
+    Construction marshals the rule literals through py4j (~2s) — use inside
+    ``F.filter``/``F.transform`` lambdas only; everywhere else call
+    :func:`url_domain`."""
+    host = _clean_host(url)
+    return F.element_at(
+        F.transform(
+            F.array(host),
+            lambda h: F.when(h.rlike(r"^[0-9.]+$"), h)
+            .otherwise(F.coalesce(_psl_chain(h, "domain"), h)),
+        ),
+        1,
+    )
+
+
 def url_suffix(url: Column | str) -> Column:
     """Matched public suffix of the URL's host (URLUtil.getDomainSuffix):
     'co.uk' for www.example.co.uk, 'edu.tr' for subdomain.example.edu.tr,

@@ -656,8 +656,10 @@ def emit_parse_rows(
     *,
     cfg: NutchConfig = DEFAULT,
     urlmeta_keys: tuple[str, ...] = (),
+    datum_meta_keys: tuple[str, ...] = (),
     normalize: bool = True,
     filter_predicate=None,
+    exempt_predicate=None,
 ) -> DataFrame:
     """P3: per parsed page emit linked/signature carrier rows
     (ParseOutputFormat.java:150-362): one ``linked`` row per outlink target
@@ -674,8 +676,28 @@ def emit_parse_rows(
     ``urlmeta_keys`` (urlmeta plugin, URLMetaScoringFilter.
     distributeScoreToOutlinks): the listed parse-meta tags propagate from
     the parent page onto every linked row as a ``metadata`` map, so frontier
-    URLs inherit their discoverer's tags."""
-    from nutch_spark.functions.urls import normalize_url
+    URLs inherit their discoverer's tags. ``datum_meta_keys``
+    (scoring-metadata plugin, MetadataScoringFilter: the CRAWLDB datum's
+    metadata rides through content/parse onto outlink targets) does the
+    same for keys of the parent's crawldb ``metadata`` map (requires
+    ``crawldb_scores`` to carry a ``metadata`` column); when a key exists
+    in both, the parse-meta (urlmeta) value wins — it is fresher.
+
+    External/internal outlink ignoring (ParseOutputFormat.java:156-287):
+    ``cfg.ignore_external_links`` drops outlinks leaving the source's host
+    (or registrable domain with ``cfg.ignore_external_links_mode =
+    'byDomain'``); ``cfg.ignore_internal_links`` drops the ones staying.
+    ``exempt_predicate`` (urlfilter-ignoreexempt, ExemptionUrlFilter.java:
+    62-75: regex rules in regex-urlfilter format) re-admits matching
+    EXTERNAL targets — static-asset CDNs etc. — despite the external ban;
+    it never overrides the internal ban, like the reference (the exemption
+    hook only fires on the ignoreExternal branch)."""
+    from nutch_spark.functions.urls import (
+        normalize_url,
+        url_domain,
+        url_domain_inline,
+        url_host,
+    )
 
     links_arr: Column = F.col("outlinks")
     if normalize:
@@ -694,22 +716,51 @@ def emit_parse_rows(
         )
     if filter_predicate is not None:
         links_arr = F.filter(links_arr, lambda o: filter_predicate(o["to_url"]))
+    if cfg.ignore_external_links or cfg.ignore_internal_links:
+        by_domain = cfg.ignore_external_links_mode.lower() == "bydomain"
+        origin = (url_domain if by_domain else url_host)(F.col("url"))
+        # inside the array-filter lambda the SQL-function form of
+        # url_domain can't bind the lambda variable — use the inline build
+        elem_fn = url_domain_inline if by_domain else url_host
+
+        def _same(o):  # same host/domain as the source page
+            return elem_fn(o["to_url"]) == origin
+
+        if cfg.ignore_external_links:
+            if exempt_predicate is not None:
+                links_arr = F.filter(
+                    links_arr, lambda o: _same(o) | exempt_predicate(o["to_url"])
+                )
+            else:
+                links_arr = F.filter(links_arr, _same)
+        else:
+            links_arr = F.filter(links_arr, lambda o: ~_same(o))
     parse_data = parse_data.withColumn("outlinks", links_arr)
     scored = parse_data
     if crawldb_scores is not None:
-        scored = parse_data.join(
-            crawldb_scores.select("url", F.col("score").alias("_parent_score")),
-            "url",
-            "left",
-        )
+        db_cols = ["url", F.col("score").alias("_parent_score")]
+        if datum_meta_keys and "metadata" in crawldb_scores.columns:
+            db_cols.append(F.col("metadata").alias("_parent_meta"))
+        scored = parse_data.join(crawldb_scores.select(*db_cols), "url", "left")
     else:
         scored = scored.withColumn("_parent_score", F.lit(1.0))
     share = F.coalesce(F.col("_parent_score"), F.lit(0.0)) / F.greatest(
         F.size("outlinks"), F.lit(1)
     )
+
+    # metadata each linked row inherits: key → source column expression.
+    # scoring-metadata keys come from the parent's crawldb datum, urlmeta
+    # keys from its parse meta; a key on both lists takes the parse value.
+    prop: dict[str, Column] = {}
+    if datum_meta_keys and "_parent_meta" in scored.columns:
+        prop.update({k: F.element_at("_parent_meta", k) for k in datum_meta_keys})
+    if urlmeta_keys and "meta" in scored.columns:
+        prop.update({k: F.element_at("meta", k) for k in urlmeta_keys})
+
+    carry = [c for c in ("meta", "_parent_meta") if c in scored.columns and prop]
     linked = scored.select(
         F.explode("outlinks").alias("o"), share.cast("float").alias("score"),
-        *([F.col("meta")] if urlmeta_keys and "meta" in scored.columns else []),
+        *[F.col(c) for c in carry],
     ).select(
         F.col("o.to_url").alias("url"),
         F.lit("linked").alias("status"),
@@ -719,13 +770,13 @@ def emit_parse_rows(
             [
                 F.map_filter(
                     F.map_from_arrays(
-                        F.array(*[F.lit(k) for k in urlmeta_keys]),
-                        F.array(*[F.element_at("meta", k) for k in urlmeta_keys]),
+                        F.array(*[F.lit(k) for k in prop]),
+                        F.array(*prop.values()),
                     ),
                     lambda _, v: v.isNotNull(),
                 ).alias("metadata")
             ]
-            if urlmeta_keys and "meta" in scored.columns
+            if prop
             else []
         ),
     )
@@ -735,7 +786,7 @@ def emit_parse_rows(
         F.lit(None).cast("float").alias("score"),
         F.col("signature"),
     )
-    if urlmeta_keys and "metadata" in linked.columns:
+    if "metadata" in linked.columns:
         sigs = sigs.withColumn(
             "metadata", F.lit(None).cast("map<string,string>")
         )

@@ -140,6 +140,54 @@ def links_indexing_fields(
     return out
 
 
+def language_field(
+    doc: DataFrame,
+    *,
+    text: str = "text",
+    key: str = "url",
+    content_meta: str = "content_meta",
+    parse_meta: str = "parse_meta",
+    out_col: str = "lang",
+) -> DataFrame:
+    """language-identifier plugin (language-identifier/.../
+    LanguageIndexingFilter.java + HTMLLanguageParser): the indexed ``lang``
+    field, resolved in the reference's precedence order —
+
+      1. parse-detected language (HTMLLanguageParser writes parse-meta
+         'lang' from <html lang>/meta tags)
+      2. the Content-Language HTTP header (content metadata)
+      3. statistical identification over the document text (the plugin's
+         Tika LanguageIdentifier ≙ our trained trigram classifier,
+         datapipe/textstats.langid_trained)
+
+    Only rows where 1-2 miss pay the classification (the classifier runs on
+    the full frame but its result is coalesced last, and the trigram
+    explode is prefix-bounded, so the added cost is two bounded shuffles).
+    """
+    from nutch_spark.datapipe.textstats import langid_trained
+
+    classified = langid_trained(doc, text=text, out_col="_lang_stat", key=key)
+    detected = F.coalesce(
+        F.element_at(parse_meta, "lang") if parse_meta in doc.columns else F.lit(None),
+        F.element_at(parse_meta, "metatag.content-language")
+        if parse_meta in doc.columns
+        else F.lit(None),
+        F.lower(
+            F.trim(
+                F.split_part(
+                    F.element_at(content_meta, "Content-Language"),
+                    F.lit(","),
+                    F.lit(1),
+                )
+            )
+        )
+        if content_meta in doc.columns
+        else F.lit(None),
+        F.col("_lang_stat"),
+    )
+    return classified.withColumn(out_col, detected).drop("_lang_stat")
+
+
 def static_fields(doc: DataFrame, fields: dict[str, str]) -> DataFrame:
     """index-static: constant fields (index.static 'f1:v1,f2:v2' parsed by
     the caller into a dict)."""

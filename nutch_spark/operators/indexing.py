@@ -40,8 +40,16 @@ def indexing_join(
     *,
     cfg: NutchConfig = DEFAULT,
     title_max_length: int = 100,
+    boost_expr: Column | None = None,
 ) -> DataFrame:
-    """Assemble index documents with an `action` column (ADD/DELETE/SKIP)."""
+    """Assemble index documents with an `action` column (ADD/DELETE/SKIP).
+
+    ``boost_expr`` overrides the document boost — the indexerScore hook of
+    the scoring-filter chain. Default is OPIC's ``pow(score, 0.5)``
+    (OPICScoringFilter.java:178-187); pass
+    :func:`nutch_spark.operators.scoring.link_indexer_boost` for
+    scoring-link's ``normalizedScore * dbDatum.score``
+    (LinkAnalysisScoringFilter.java:52-59)."""
     pd = parse_data.select(
         "url", "title", "content_meta", "parse_meta", F.col("segment_id")
     )
@@ -88,7 +96,11 @@ def indexing_join(
             ),
             "content_type": F.element_at("content_meta", "Content-Type"),
             "last_modified": parse_http_date(F.element_at("content_meta", "Last-Modified")),
-            "boost": F.pow(F.coalesce(F.col("score"), F.lit(0.0)), 0.5),
+            "boost": (
+                boost_expr
+                if boost_expr is not None
+                else F.pow(F.coalesce(F.col("score"), F.lit(0.0)), 0.5)
+            ),
             "digest": F.hex(F.coalesce("signature", "fetch_signature")),
         }
     )

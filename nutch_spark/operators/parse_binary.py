@@ -355,7 +355,8 @@ def _extract_zip_members(data: bytes, depth: int) -> str:
                     continue
                 _, text = _extract_text(member, depth + 1)
                 if text:
-                    texts.append(text)
+                    # ZipTextExtractor.java:105: 'entryname text' per entry
+                    texts.append(f"{info.filename} {text}")
     except zipfile.BadZipFile:
         return ""
     return "\n".join(texts)

@@ -118,6 +118,10 @@ class _Extractor(HTMLParser):
                 self.js_fragments.append(value)
         if tag == "title":
             self._in_title = True
+        elif tag == "html" and a.get("lang"):
+            # HTMLLanguageParser (language-identifier): <html lang="..">
+            # lands in parse meta as the detected language
+            self.meta.setdefault("lang", a["lang"].strip().lower())
         elif tag in _SKIP_TEXT:
             self._skip_depth += 1
             if tag == "script":

@@ -17,6 +17,8 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # then those last checked before the round-4 code changes, then the rest in
 # registration order.
 _CERTIFY_FIRST = [
+    # new this round — never seen by any driver sample
+    "p2_metatags", "p2_js_outlinks",
     # never in any CORRECTNESS_r0*.json sample
     "dp_langid_stopword", "dp_gopher_repetition", "dp_paragraph_dedup",
     "dp_mix_weighted", "dp_dup_components", "dp_pii_scrub", "dp_int8_topk",
