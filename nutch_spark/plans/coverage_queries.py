@@ -1096,3 +1096,142 @@ def j9_dir_merge(spark, sf_dir):
         ),
     )
     return merged["crawl_fetch"].select("url", "segment", "status")
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-regex — boolean parse-meta fields from content regexes
+# (RegexParseFilter.java:56-143)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pf_regex_fields",
+    """
+    -- rule sources: 'text' matches the extracted text, 'html' the raw markup
+    -- (here reconstructed deterministically around the text column)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, 'data( |$)')
+                THEN 'true' ELSE 'false' END AS pf_has_data,
+           CASE WHEN regexp_matches(
+                  '<html><body><p>' || text || '</p></body></html>',
+                  '<p>the ')
+                THEN 'true' ELSE 'false' END AS pf_first_the
+    FROM documents
+    """,
+)
+def pf_regex_fields(spark, sf_dir):
+    """parsefilter-regex (RegexParseFilter.java:56-90 filter + readConfiguration
+    rules ``field source regex``): each rule sets parse-meta ``field`` to
+    'true'/'false' by regex find() over the chosen source. Pure rlike columns,
+    codegen'd, map-only — no shuffle, no UDF."""
+    from nutch_spark.operators.parse_html import regex_parse_filter
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("parse_text"),
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("content"),
+    )
+    out = regex_parse_filter(
+        d,
+        {"has_data": ("text", "data( |$)"), "first_the": ("html", "<p>the ")},
+    )
+    return out.select("doc_id", "pf_has_data", "pf_first_the")
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-naivebayes — train + classify, end-to-end in both engines
+# (Train.java:55-120, Classify.java:47-110)
+# ---------------------------------------------------------------------------
+
+_NB_TOK_SQL = (
+    "string_split(lower(regexp_replace({src}, '[^a-zA-Z ]', '', 'g')), ' ')"
+)
+
+
+@q(
+    "pf_nb_classify",
+    f"""
+    -- Full naive-Bayes focused-crawl pipeline replayed in SQL: train on
+    -- doc_id %% 3 = 0 (label: text contains 'data'), classify the rest.
+    -- Weights are the reference's log(freq)+1-log(numwords+V) quantized to
+    -- integers (floor(x*1e6+0.5)) so sums are associative and the decision
+    -- is bit-deterministic across engines and partitionings.
+    WITH train AS (
+      SELECT CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END AS label, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    tok AS (
+      SELECT label, u.w AS word
+      FROM train, unnest({_NB_TOK_SQL.format(src="text")}) AS u(w)
+      WHERE u.w <> ''
+    ),
+    wc AS (
+      SELECT word,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS f_ir,
+             SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS f_r
+      FROM tok GROUP BY word
+    ),
+    c AS (
+      SELECT (SELECT COALESCE(SUM(f_ir), 0) FROM wc) AS nw_ir,
+             (SELECT COALESCE(SUM(f_r), 0) FROM wc) AS nw_r,
+             (SELECT COUNT(*) FROM wc) AS v,
+             (SELECT COUNT(*) FROM train WHERE label = 0) AS n_ir,
+             (SELECT COUNT(*) FROM train WHERE label = 1) AS n_r
+    ),
+    defaults AS (
+      SELECT
+        CAST(floor((1 - ln(CAST(nw_ir + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS d_ir,
+        CAST(floor((1 - ln(CAST(nw_r + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS d_r,
+        CAST(floor((ln(CAST(n_ir AS DOUBLE)) - ln(CAST(n_ir + n_r AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS prior_ir,
+        CAST(floor((ln(CAST(n_r AS DOUBLE)) - ln(CAST(n_ir + n_r AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS prior_r
+      FROM c
+    ),
+    wt AS (
+      SELECT word,
+        CASE WHEN f_ir > 0
+          THEN CAST(floor((ln(CAST(f_ir AS DOUBLE)) + 1 - ln(CAST(nw_ir + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+          ELSE d.d_ir END AS w_ir,
+        CASE WHEN f_r > 0
+          THEN CAST(floor((ln(CAST(f_r AS DOUBLE)) + 1 - ln(CAST(nw_r + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+          ELSE d.d_r END AS w_r
+      FROM wc, c, defaults d
+    ),
+    test AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    ttok AS (
+      SELECT doc_id, u.w AS word
+      FROM test, unnest({_NB_TOK_SQL.format(src="text")}) AS u(w)
+      WHERE u.w <> ''
+    ),
+    scored AS (
+      SELECT tt.doc_id,
+             SUM(COALESCE(wt.w_ir, (SELECT d_ir FROM defaults))) AS s_ir,
+             SUM(COALESCE(wt.w_r, (SELECT d_r FROM defaults))) AS s_r
+      FROM ttok tt LEFT JOIN wt USING (word)
+      GROUP BY tt.doc_id
+    )
+    SELECT test.doc_id,
+           NOT (COALESCE(scored.s_ir, 0) + (SELECT prior_ir FROM defaults)
+                > COALESCE(scored.s_r, 0) + (SELECT prior_r FROM defaults))
+             AS relevant
+    FROM test LEFT JOIN scored USING (doc_id)
+    """,
+)
+def pf_nb_classify(spark, sf_dir):
+    """parsefilter-naivebayes end-to-end (Train.java:55-120 one-pass training
+    aggregation; Classify.java:47-110 per-doc scoring): train on a labeled
+    third of the corpus, classify the held-out rest. Training is one
+    explode+hash-agg shuffle; classification is explode_outer + broadcast
+    join on the vocab + one groupBy — never all-pairs, never a Python UDF.
+    Integer-quantized log weights make the decision order-independent."""
+    from nutch_spark.operators.parse_nb import nb_classify, train_nb_model
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % 3 == 0).select(
+        F.when(F.col("text").contains("data"), 1).otherwise(0).alias("label"),
+        "text",
+    )
+    model = train_nb_model(train)
+    test = d.where(F.col("doc_id") % 3 != 0)
+    return nb_classify(test, model, id_col="doc_id", text_col="text")

@@ -197,7 +197,11 @@ def test_zip_member_extraction():
         z.writestr("junk.bin", b"\x00\x01\xff")
     mime, text = extract_text(buf.getvalue())
     assert mime == "application/zip"
-    assert text.splitlines() == ["plain member text", "pdf member text"]
+    # entry names prefix each member's text (ZipTextExtractor.java:105)
+    assert text.splitlines() == [
+        "a/readme.txt plain member text",
+        "b/doc.pdf pdf member text",
+    ]
 
 
 def test_zip_nesting_depth_capped():
