@@ -6,9 +6,10 @@ nutch/parse/tika/TikaParser.java:63-160). Tika itself is a large external
 library; this module re-implements the two families a crawl actually meets —
 PDF text operators and OOXML (docx/xlsx/pptx) — with the stdlib only
 (zlib for FlateDecode, zipfile + ElementTree for OOXML), and plugs into the
-same mapInPandas parse slot as parse_html. Formats beyond that (legacy OLE
-.doc/.xls, encrypted PDFs) degrade to empty text with the mime still
-detected, mirroring Tika's empty-parse on unsupported input.
+same mapInPandas parse slot as parse_html. Legacy OLE formats (.doc/.xls/
+.ppt via a pure-stdlib [MS-CFB] reader) and RTF live in operators/ole.py and
+dispatch from here; encrypted documents degrade to empty text with the mime
+still detected, mirroring Tika's empty-parse on password-protected input.
 
 Scale shape: extraction is a narrow Arrow-batched map over (url, content) —
 no shuffle, payload column pruned everywhere else. The extractors are
@@ -383,8 +384,14 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         if depth >= 2:  # nested-archive cutoff
             return "application/zip", ""
         return "application/zip", _extract_zip_members(data, depth)
-    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # legacy OLE .doc/.xls
-        return "application/x-ole-storage", ""
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # legacy OLE container
+        from nutch_spark.operators.ole import extract_ole_text
+
+        return extract_ole_text(data)  # .doc/.xls/.ppt via [MS-CFB] reader
+    if data[:5] == b"{\\rtf":
+        from nutch_spark.operators.ole import extract_rtf_text
+
+        return "application/rtf", extract_rtf_text(data)
     # fall back to plain text for decodable bytes
     try:
         return "text/plain", data.decode("utf-8").strip()

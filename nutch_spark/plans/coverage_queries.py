@@ -1235,3 +1235,64 @@ def pf_nb_classify(spark, sf_dir):
     model = train_nb_model(train)
     test = d.where(F.col("doc_id") % 3 != 0)
     return nb_classify(test, model, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# P2 legacy-format parse: Word 97 .doc round trip through the [MS-CFB] reader
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p2_doc_extract",
+    """
+    -- Round-trip identity: each document's text is wrapped into a REAL
+    -- Word 97 compound file (FIB + two-piece Clx piece table) and pushed
+    -- through the CFB/piece-table extractor. Both engines sanitize to
+    -- printable ASCII first (cp1252 piece encoding would '?'-replace
+    -- anything else; non-ASCII paths are hypothesis-tested in pytest).
+    SELECT doc_id, 'application/msword' AS mime,
+           trim('doc guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                ' ') AS parse_text,
+           CAST(length(trim('doc guard: ' ||
+                regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) AS BIGINT)
+             AS n_chars
+    FROM documents
+    """,
+)
+def p2_doc_extract(spark, sf_dir):
+    """P2 legacy OLE parse end-to-end (parse-tika slot, TikaParser.java:63-160
+    routing application/msword): every row's text becomes a valid .doc — CFB
+    container, FIB, piece table split across a cp1252 and (odd doc_ids) a
+    UTF-16 piece — then flows through parse_binary's magic dispatch into
+    operators/ole.py's [MS-CFB]+[MS-DOC] extractors. Certifies the container
+    FAT/miniFAT walk, piece-table decode and both encodings on every row
+    cross-engine."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from nutch_spark.operators.ole import build_doc_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "doc guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                data = build_doc_bytes(body, unicode_pieces=bool(doc_id % 2))
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/x.doc", "content": data}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
