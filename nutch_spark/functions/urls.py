@@ -656,3 +656,74 @@ def fast_url_filter_predicate(
         for rx in patterns:
             rejected = rejected | (in_domain & path.rlike(rx))
     return ~rejected
+
+
+def _validate_automaton_regex(pattern: str) -> None:
+    """Reject dk.brics.automaton operators with no java.util.regex
+    equivalent (complement '~', intersection '&', any-string '@', numeric
+    interval '<n-m>', quoted string '"..."') when they appear OUTSIDE a
+    character class — inside [...] they are ordinary characters, which is
+    how the reference's own sample rules use '@'."""
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch in "~&@<\"":
+            raise ValueError(
+                f"automaton operator {ch!r} in {pattern!r} has no regex "
+                "translation — rewrite the rule or use the java dialect"
+            )
+        i += 1
+
+
+def regex_rules_predicate(
+    url: Column | str, rules: list[str] | str, *, dialect: str = "java"
+) -> Column:
+    """Ordered ±regex rule chain with FIRST-MATCH-WINS semantics — the exact
+    contract of RegexURLFilterBase.filter (lib-regex-filter/.../
+    RegexURLFilterBase.java:175-190: rules run in file order, the first
+    matching rule's sign decides, no match rejects).
+
+    - ``dialect='java'``: urlfilter-regex — java.util.regex ``find()``
+      (substring) matching, which is exactly ``rlike``.
+    - ``dialect='automaton'``: urlfilter-automaton — dk.brics automata match
+      the WHOLE url (RunAutomaton.run), so each pattern is anchored
+      ``^(?:...)$``; the translatable subset is validated and the exotic
+      automaton-only operators rejected loudly at plan-build time.
+
+    ``rules`` is a list of lines or one newline-joined string in the
+    plugin's file format: '#' comments and blanks skipped, each rule
+    ``+regex`` (accept) or ``-regex`` (reject). Compiles to ONE chained
+    CASE expression — codegen'd, map-only, no UDF; rule order is preserved
+    bit-for-bit."""
+    c = F.col(url) if isinstance(url, str) else url
+    if isinstance(rules, str):
+        rules = rules.splitlines()
+    pred = None
+    for line in rules:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        sign = line[0]
+        if sign not in "+-":
+            raise ValueError(f"rule must start with + or -: {line!r}")
+        rx = line[1:]
+        if dialect == "automaton":
+            _validate_automaton_regex(rx)
+            rx = f"^(?:{rx})$"
+        elif dialect != "java":
+            raise ValueError(f"unknown rule dialect {dialect!r}")
+        cond = c.rlike(rx)
+        verdict = F.lit(sign == "+")
+        pred = F.when(cond, verdict) if pred is None else pred.when(cond, verdict)
+    if pred is None:
+        return F.lit(False)  # no rules: everything rejected (base contract)
+    return pred.otherwise(F.lit(False))

@@ -283,3 +283,68 @@ def test_url_suffix_urlutil_cases(spark):
     got = [r["s"] for r in df.select(url_suffix("url").alias("s")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_regex_rules_first_match_wins_automaton(spark):
+    # urlfilter-automaton sample (WholeWebCrawling.rules + .urls): the
+    # plugin's own test vectors, full-match dialect
+    from nutch_spark.functions.urls import regex_rules_predicate
+
+    rules = [
+        "# skip file: ftp: and mailto: urls",
+        "-(file|ftp|mailto):.*",
+        r"-.*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe)",
+        "-.*[?*!@=].*",
+        "+.*",
+    ]
+    vectors = [
+        ("file://home/jc/nutch/index.html", False),
+        ("ftp://ftp.apache.org/nutch.html", False),
+        ("mailto:x@gmail.com", False),
+        ("news://any.news.server/comp.lang.java", True),
+        ("whois:/nutch.org", True),
+        ("http://www.nutch.org/nutch.gif", False),
+        ("http://www.nutch.org/nutch?q=nutch", False),
+        ("http://www.nutch.org/index.html", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], ["url"])
+    out = df.select(
+        "url", regex_rules_predicate("url", rules, dialect="automaton").alias("ok")
+    )
+    got = {r["url"]: r["ok"] for r in out.collect()}
+    assert got == dict(vectors)
+
+
+def test_regex_rules_java_dialect_substring_and_order(spark):
+    from nutch_spark.functions.urls import regex_rules_predicate
+
+    # first match wins: the +allow for /docs/ precedes the catch-all deny
+    rules = "+/docs/\n-private\n+.*"
+    df = spark.createDataFrame(
+        [("http://a.com/docs/private/x",), ("http://a.com/private/y",),
+         ("http://a.com/pub/z",)],
+        ["url"],
+    )
+    got = {
+        r["url"]: r["ok"]
+        for r in df.select(
+            "url", regex_rules_predicate("url", rules).alias("ok")
+        ).collect()
+    }
+    assert got == {
+        "http://a.com/docs/private/x": True,  # rule 1 fired first
+        "http://a.com/private/y": False,
+        "http://a.com/pub/z": True,
+    }
+
+
+def test_automaton_dialect_rejects_untranslatable():
+    import pytest as _pytest
+
+    from nutch_spark.functions.urls import regex_rules_predicate
+
+    for bad in ("+a&b", "+~x", "+<1-3>", '+"lit"', "+a@b"):
+        with _pytest.raises(ValueError):
+            regex_rules_predicate("url", [bad], dialect="automaton")
+    # but the same characters inside a class are fine
+    regex_rules_predicate("url", ["-.*[?*!@=].*"], dialect="automaton")
