@@ -86,6 +86,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_url_blocklist": [[], [r"Exchange", r"Join"]],
     # PDF round-trip: two chained Python stages, no shuffle between them
     "p2_pdf_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    # legacy .doc round trip: same narrow map-only shape as the PDF path
+    "p2_doc_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    # NB classify: vocab joins via broadcast, one groupBy shuffle, no cross
+    "pf_nb_classify": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
+    # regex parse filter: pure map, no exchange at all
+    "pf_regex_fields": [[r"Project"], [r"Exchange|CartesianProduct"]],
     # ExactSubstr spans: keyed gram aggregate + semi-join + island window —
     # never a cartesian, never a row-amplifying inner join on the gram
     "dp_substring_spans": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
