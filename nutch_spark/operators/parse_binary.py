@@ -208,40 +208,201 @@ def _pdf_strings(chunk: bytes) -> list[bytes]:
     return found
 
 
+def _stream_text_blocks(params: bytes, body: bytes) -> list[bytes]:
+    """Shown-string blocks of one stream: /Length trim, FlateDecode,
+    BT..ET walk."""
+    # /Length is authoritative when it's a DIRECT value: compressed data
+    # may legitimately END in EOL bytes, so stripping heuristically can
+    # eat real data (a Flate stream ending in 0x0d did exactly that).
+    # An INDIRECT reference ('/Length 8 0 R' — what most PDF writers
+    # emit) must NOT match: its object number would truncate the body.
+    length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
+    if length and int(length.group(1)) <= len(body):
+        body = body[: int(length.group(1))]
+    elif body.endswith(b"\r\n"):
+        body = body[:-2]
+    elif body.endswith(b"\n"):
+        body = body[:-1]
+    if b"/FlateDecode" in params:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return []
+    elif b"/Filter" in params:
+        return []  # DCT/LZW/ASCII85... — image or unsupported filter
+    blocks = []
+    for block in _bt_et_blocks(body):
+        strings = _pdf_strings(block)
+        if strings:
+            blocks.append(b" ".join(strings))
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (PDF 32000-1 §7.6.3): RC4 with the EMPTY user
+# password — the common "owner-locked" PDF a crawler meets. AES (/V >= 4)
+# and real user passwords stay out of scope (a password hook would go here,
+# like TikaParser's PasswordProvider).
+# ---------------------------------------------------------------------------
+
+# §7.6.3.3 Algorithm 2 padding string
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_string_entry(d: bytes, name: bytes) -> bytes | None:
+    """Value of a /Name ( literal ) or /Name <hex> dictionary entry."""
+    m = re.search(re.escape(name) + rb"\s*", d)
+    if not m:
+        return None
+    i = m.end()
+    if i < len(d) and d[i] == 0x28:  # '(' literal
+        raw, _ = _scan_literal(d, i)
+        return _unescape_pdf_string(raw)
+    if i < len(d) and d[i] == 0x3C:  # '<hex>'
+        j = d.find(b">", i + 1)
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s", b"", d[i + 1 : j])
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    return None
+
+
+def _pdf_encryption_key(data: bytes) -> bytes | None:
+    """File encryption key for the empty user password, or None when the
+    handler is unsupported / the password is actually required.
+
+    Implements §7.6.3.3 Algorithm 2 (key derivation) + Algorithms 4/5 (user
+    password verification) for /Filter /Standard, /V 1-2, /R 2-3 (RC4)."""
+    import hashlib
+    import struct
+
+    m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
+    if m:
+        om = re.search(
+            rb"(?<!\d)" + m.group(1) + rb"\s+" + m.group(2) + rb"\s+obj\b(.*?)endobj",
+            data,
+            re.DOTALL,
+        )
+        enc = om.group(1) if om else b""
+    else:
+        m = re.search(rb"/Encrypt\s*<<(.*?)>>", data, re.DOTALL)
+        enc = m.group(1) if m else b""
+    if not enc or b"/Standard" not in enc:
+        return None
+    v_m = re.search(rb"/V\s+(\d+)", enc)
+    r_m = re.search(rb"/R\s+(\d+)", enc)
+    p_m = re.search(rb"/P\s+(-?\d+)", enc)
+    v = int(v_m.group(1)) if v_m else 0
+    r = int(r_m.group(1)) if r_m else 0
+    if v not in (1, 2) or r not in (2, 3) or not p_m:
+        return None  # AES (/V 4/5) or exotic revision
+    length_m = re.search(rb"/Length\s+(\d+)", enc)
+    nbytes = (int(length_m.group(1)) // 8) if (length_m and v == 2) else 5
+    o_entry = _pdf_string_entry(enc, b"/O")
+    u_entry = _pdf_string_entry(enc, b"/U")
+    if not o_entry or not u_entry:
+        return None
+    id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    id0 = (
+        bytes.fromhex(re.sub(rb"\s", b"", id_m.group(1)).decode("ascii"))
+        if id_m
+        else b""
+    )
+    # Algorithm 2 with the empty user password
+    h = hashlib.md5()
+    h.update(_PDF_PAD)  # pad(empty password)
+    h.update(o_entry[:32])
+    h.update(struct.pack("<i", int(p_m.group(1))))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+    # verify the user password actually is empty (Algorithms 4/5)
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u_entry[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u_entry[:16]
+    return key if ok else None
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: per-object RC4 key."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(
+        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 def extract_pdf_text(data: bytes) -> str:
-    """Text of an unencrypted PDF: every BT..ET text block's shown strings,
-    FlateDecode-decompressed where needed, newline-joined in stream order.
-    Encrypted PDFs (an /Encrypt trailer entry) return '' — string operands
-    are ciphertext without the RC4/AES key schedule, which is out of scope
-    (TikaParser also needs a password hook there)."""
-    if b"/Encrypt" in data:
-        return ""
+    """Text of a PDF: every BT..ET text block's shown strings, FlateDecode-
+    decompressed where needed, newline-joined in stream order.
+
+    Encrypted files (an /Encrypt trailer entry) are decrypted when the
+    standard security handler with an EMPTY user password applies (RC4
+    /V 1-2 /R 2-3 — the ubiquitous owner-locked case); AES or a real user
+    password yields '' (a password hook would slot in like TikaParser's
+    PasswordProvider)."""
     blocks: list[bytes] = []
-    for m in _STREAM_RE.finditer(data):
-        params, body = m.group(1), m.group(2)
-        # /Length is authoritative when it's a DIRECT value: compressed data
-        # may legitimately END in EOL bytes, so stripping heuristically can
-        # eat real data (a Flate stream ending in 0x0d did exactly that).
-        # An INDIRECT reference ('/Length 8 0 R' — what most PDF writers
-        # emit) must NOT match: its object number would truncate the body.
-        length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
-        if length and int(length.group(1)) <= len(body):
-            body = body[: int(length.group(1))]
-        elif body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n"):
-            body = body[:-1]
-        if b"/FlateDecode" in params:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
+    if b"/Encrypt" in data:
+        key = _pdf_encryption_key(data)
+        if key is None:
+            return ""
+        for om in _OBJ_RE.finditer(data):
+            num, gen, body = int(om.group(1)), int(om.group(2)), om.group(3)
+            sm = _STREAM_RE.search(body)
+            if not sm:
                 continue
-        elif b"/Filter" in params:
-            continue  # DCT/LZW/ASCII85... — image or unsupported filter
-        for block in _bt_et_blocks(body):
-            strings = _pdf_strings(block)
-            if strings:
-                blocks.append(b" ".join(strings))
+            obj_key = _object_key(key, num, gen)
+            params, raw = sm.group(1), sm.group(2)
+            length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
+            if length and int(length.group(1)) <= len(raw):
+                raw = raw[: int(length.group(1))]
+            elif raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n"):
+                raw = raw[:-1]
+            blocks += _stream_text_blocks(
+                re.sub(rb"/Length\s+\d+", b"", params), _rc4(obj_key, raw)
+            )
+    else:
+        for m in _STREAM_RE.finditer(data):
+            blocks += _stream_text_blocks(m.group(1), m.group(2))
     out = b"\n".join(blocks)
     return out.decode("latin-1", errors="replace").strip()
 

@@ -234,3 +234,98 @@ def test_pdf_indirect_length_reference_not_truncated():
         b"8 0 obj " + str(len(stream)).encode() + b" endobj\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == "indirect length works"
+
+
+# ---------------------------------------------------------------------------
+# encrypted PDFs: standard security handler, RC4, empty user password
+# ---------------------------------------------------------------------------
+
+
+def _encrypted_pdf(text: bytes, *, revision: int = 3, owner_pw: bytes = b"owner",
+                   mangle_u: bool = False) -> bytes:
+    """Spec-correct RC4-encrypted PDF (PDF 32000-1 §7.6.3 Algorithms 2/3/4/5)
+    with an empty user password — the fixture side of what
+    _pdf_encryption_key verifies."""
+    import hashlib
+    import struct
+    import zlib
+
+    from nutch_spark.operators.parse_binary import _PDF_PAD, _rc4, _object_key
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    p_val = -44
+    nbytes = 5 if revision == 2 else 16
+    id0 = bytes(range(16))
+    # Algorithm 3: the /O entry
+    okey = hashlib.md5(pad(owner_pw)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:nbytes]).digest()
+    okey = okey[:nbytes]
+    o_entry = _rc4(okey, pad(b""))  # user password is empty
+    if revision >= 3:
+        for i in range(1, 20):
+            o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+    # Algorithm 2: file key for the empty user password
+    h = hashlib.md5()
+    h.update(pad(b""))
+    h.update(o_entry)
+    h.update(struct.pack("<i", p_val))
+    h.update(id0)
+    key = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+    # Algorithms 4/5: the /U entry
+    if revision == 2:
+        u_entry = _rc4(key, _PDF_PAD)
+    else:
+        u_entry = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            u_entry = _rc4(bytes(b ^ i for b in key), u_entry)
+        u_entry += b"\x00" * 16  # arbitrary 16-byte padding per spec
+    if mangle_u:
+        u_entry = bytes(b ^ 0xFF for b in u_entry)
+    # content stream: compress THEN encrypt with the per-object key (obj 4 0)
+    stream = b"BT (" + text.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)") + b") Tj ET"
+    body = _rc4(_object_key(key, 4, 0), zlib.compress(stream))
+    enc_extra = b"" if revision == 2 else b" /Length 128"
+    return (
+        b"%PDF-1.4\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Filter /Standard /V " + str(1 if revision == 2 else 2).encode()
+        + b" /R " + str(revision).encode() + enc_extra
+        + b" /P " + str(p_val).encode()
+        + b" /O <" + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def test_encrypted_pdf_r3_round_trip():
+    data = _encrypted_pdf(b"rc4 encrypted body text", revision=3)
+    mime, text = extract_text(data)
+    assert mime == "application/pdf"
+    assert text == "rc4 encrypted body text"
+
+
+def test_encrypted_pdf_r2_round_trip():
+    data = _encrypted_pdf(b"forty-bit rc4 (ET) BT guard", revision=2)
+    assert extract_text(data)[1] == "forty-bit rc4 (ET) BT guard"
+
+
+def test_encrypted_pdf_real_user_password_refused():
+    # a mangled /U means the empty user password does not verify -> ''
+    data = _encrypted_pdf(b"secret", revision=3, mangle_u=True)
+    assert extract_text(data) == ("application/pdf", "")
+
+
+def test_encrypted_pdf_aes_refused():
+    data = _encrypted_pdf(b"secret", revision=3)
+    data = data.replace(b"/V 2", b"/V 4")  # AES — unsupported, must bail
+    assert extract_text(data) == ("application/pdf", "")
