@@ -308,3 +308,96 @@ def int8_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    round_sim: int = 6,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540
+    — public paper): cluster the embedding space, then inside each cluster
+    drop every example whose cosine similarity to a KEPT example exceeds
+    ``threshold``, keeping the example FARTHEST from the cluster centroid
+    (the paper's keep-low-centroid-similarity rule: boundary examples are
+    the informative ones).
+
+    Output: (key, cell, cent_sim, is_kept) for every corpus row.
+
+    Deviations from the paper, both documented and deterministic: centroids
+    are the ``n_centroids`` md5-smallest corpus vectors (one assignment
+    pass, no Lloyd iterations — the ivf_topk sampling; k-means would move
+    centroids but not the mechanics), and the within-cluster sweep is the
+    greedy prefix rule — a row is dropped when ANY row ranked before it
+    (farther from the centroid, id tie-break) is ``>= threshold`` similar,
+    whether or not that earlier row itself survived. This makes the result
+    a pure function of the pair set — no sequential scan to parallelize
+    away — at the cost of occasionally dropping a row whose only similar
+    predecessor was itself dropped (transitively-similar rows, which the
+    paper's cluster-level dedup also removes).
+
+    Scale shape: one map-only assignment pass against broadcast centroid
+    literals, then a within-cell self-join — O(sum cell²). Cells must stay
+    bounded: scale ``n_centroids`` with the corpus (the paper uses 50k
+    clusters for LAION-440M; target cell size, not cluster count, is the
+    invariant). Cosines are rounded to ``round_sim`` BEFORE thresholding so
+    the keep/drop decision is reproducible across engines.
+    """
+    cent_rows = (
+        corpus.select(key, vec)
+        .orderBy(F.md5(F.col(key).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
+
+    def best_cell(v: Column) -> Column:
+        arr = F.array(
+            *[
+                F.struct(
+                    (-cosine(v, F.lit(cv))).alias("neg"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        return F.element_at(F.array_sort(arr), 1)
+
+    assigned = corpus.select(
+        F.col(key).alias("id"),
+        F.col(vec).alias("v"),
+        best_cell(F.col(vec)).alias("_b"),
+    ).select(
+        "id",
+        "v",
+        F.col("_b.cid").alias("cell"),
+        F.round(-F.col("_b.neg"), round_sim).alias("cent_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.asc("cent_sim"), F.asc("id"))
+    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_sim)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("_dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(key),
+            "cell",
+            "cent_sim",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -1323,3 +1323,60 @@ def dp_substring_spans(spark, sf_dir):
     from nutch_spark.datapipe.dedup import exact_substring_spans
 
     return exact_substring_spans(_corpus(spark, sf_dir), n=10)
+
+
+@q(
+    "dp_semantic_dedup",
+    f"""
+    -- SemDeDup (Abbas et al. 2023): md5-sampled centroids, one assignment
+    -- pass, within-cell greedy prefix dedup keeping the example farthest
+    -- from its centroid. Corpus plants exact copies at vec_id+100000.
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+             embedding AS cv
+      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round({_COS_SQL.format(a="e.embedding", b="c.cv")}, 6) AS s
+      FROM corpus e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell, s AS cent_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM assign) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cell
+                                   ORDER BY cent_sim ASC, vec_id ASC) AS rk
+      FROM cells
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk
+      WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.99
+    )
+    SELECT r.vec_id, r.cell, r.cent_sim,
+           d.vec_id IS NULL AS is_kept
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+    """,
+)
+def dp_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup end-to-end (datapipe/similarity.py
+    semantic_dedup): Voronoi-cell clustering around deterministic centroids,
+    within-cell greedy dedup at cosine >= 0.99 keeping the boundary example.
+    One map-only assignment against broadcast centroids + one within-cell
+    equi-join — never a corpus cross product; cluster count scales with the
+    corpus so cells stay bounded (the paper's 50k-cluster regime)."""
+    from nutch_spark.datapipe.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    return semantic_dedup(corpus, threshold=0.99, n_centroids=16)

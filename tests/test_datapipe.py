@@ -498,3 +498,30 @@ def test_exact_substring_spans_overlapping_grams_merge(spark):
         )
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2, (did, spans)
+
+
+def test_semantic_dedup_keeps_boundary_example(spark):
+    from nutch_spark.datapipe.similarity import semantic_dedup
+
+    # two exact-duplicate groups + two singletons in a 4-dim space
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.9999, 0.0001, 0.0]),  # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, threshold=0.99, n_centroids=2).collect()}
+    assert len(out) == 6
+    # exactly one of each duplicate pair survives; singletons always survive
+    assert out[1]["is_kept"] != out[2]["is_kept"] or (
+        out[1]["cell"] != out[2]["cell"])  # same-cell dups: one dropped
+    assert out[1]["is_kept"] or out[2]["is_kept"]
+    assert out[3]["is_kept"] or out[4]["is_kept"]
+    assert out[5]["is_kept"] and out[6]["is_kept"]
+    # identical vectors land in the same cell with the same cent_sim
+    assert out[1]["cell"] == out[2]["cell"]
+    assert out[1]["cent_sim"] == out[2]["cent_sim"]
