@@ -78,6 +78,9 @@ def http_fetch_fn(
     timeout_s: float = 10.0,
     user_agent: str = "nutch-spark/1.0",
     max_bytes: int = 1 << 20,
+    auth: dict[str, tuple[str, str]] | None = None,
+    cookies: dict[str, str] | None = None,
+    headers: dict[str, str] | None = None,
 ) -> dict:
     """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
     they come back as status, exactly like the reference protocol layer.
@@ -121,10 +124,24 @@ def http_fetch_fn(
         except (LookupError, UnicodeDecodeError):
             return body.decode("utf-8", errors="replace")
 
-    req = urllib.request.Request(
-        url,
-        headers={"User-Agent": user_agent, "Accept-Encoding": "identity"},
-    )
+    # protocol-httpclient surface (Http.java:258-340 http.auth.file scopes,
+    # HttpResponse cookie pass-through): per-host basic credentials and a
+    # static cookie jar. Bind with functools.partial before passing as
+    # fetch_fn; digest/NTLM negotiation stays deployment-supplied.
+    hdrs = {"User-Agent": user_agent, "Accept-Encoding": "identity"}
+    if headers:
+        hdrs.update(headers)
+    if cookies:
+        hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(cookies.items()))
+    if auth:
+        host = urllib.parse.urlsplit(url).hostname or ""
+        cred = auth.get(host) or auth.get("*")
+        if cred:
+            import base64
+
+            token = base64.b64encode(f"{cred[0]}:{cred[1]}".encode()).decode()
+            hdrs["Authorization"] = f"Basic {token}"
+    req = urllib.request.Request(url, headers=hdrs)
     opener = urllib.request.build_opener(_NoRedirect)
     try:
         with opener.open(req, timeout=timeout_s) as resp:

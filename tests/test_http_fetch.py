@@ -401,3 +401,55 @@ def test_harness_redirects_off_by_default(spark, server):
         fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
     ).collect()
     assert len(rows) == 1 and rows[0]["status"] == "fetch_redir_temp"
+
+
+def test_basic_auth_and_cookies_headers():
+    """protocol-httpclient surface: per-host basic credentials + cookie jar
+    + extra headers reach the wire (Http.java:258-340 auth scopes)."""
+    import base64
+
+    seen = {}
+
+    class AuthHandler(_Handler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/private":
+                seen["auth"] = self.headers.get("Authorization")
+                seen["cookie"] = self.headers.get("Cookie")
+                seen["extra"] = self.headers.get("X-Extra")
+                if self.headers.get("Authorization", "").startswith("Basic "):
+                    body = b"granted"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(401)
+                    self.end_headers()
+            else:
+                super().do_GET()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), AuthHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        # no credentials -> 401 -> fetch_gone (ACCESS_DENIED mapping)
+        out = http_fetch_fn(f"{base}/private")
+        assert out["status"] == "fetch_gone"
+        out = http_fetch_fn(
+            f"{base}/private",
+            auth={"127.0.0.1": ("alice", "s3cret")},
+            cookies={"sid": "abc", "a": "1"},
+            headers={"X-Extra": "yes"},
+        )
+        assert out["status"] == "fetch_success" and out["content"] == "granted"
+        expect = base64.b64encode(b"alice:s3cret").decode()
+        assert seen["auth"] == f"Basic {expect}"
+        assert seen["cookie"] == "a=1; sid=abc"
+        assert seen["extra"] == "yes"
+        # wildcard scope applies when the host has no specific entry
+        out = http_fetch_fn(f"{base}/private", auth={"*": ("bob", "pw")})
+        assert out["status"] == "fetch_success"
+    finally:
+        srv.shutdown()
