@@ -386,3 +386,110 @@ def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(F.trim(F.regexp_replace(F.lower(t), "[ \\t\\n]+", " ")))
+
+
+def train_bigram_lm(
+    reference: DataFrame, text: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Add-one-smoothed bigram language model from a reference corpus —
+    the model half of CCNet-style perplexity filtering (Wenzek et al. 2020,
+    arXiv:1911.00359, which ranks documents by LM perplexity against a
+    clean reference; KenLM's 5-gram is collapsed to a bigram with the same
+    smoothing family so the model stays a broadcastable DataFrame).
+
+    Returns (bigrams, unigrams, vocab): bigram rows (w1, w2, nll_q) carry
+    the integer-quantized negative log-prob floor((ln(c1+V)-ln(c12+1))*1e6
+    +0.5); unigram rows (w1, miss_q) carry the unseen-bigram cost
+    floor(ln(c1+V)*1e6+0.5). Both tables are vocabulary-sized. One
+    explode + two hash aggregations — map-side combined, one shuffle each.
+    """
+    toks = reference.select(tokens(text).alias("_t")).filter(F.size("_t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni_counts = big.groupBy("w1").agg(F.count("*").alias("c1")).persist()
+    vocab = uni_counts.count()
+    q = 1_000_000
+    unigrams = uni_counts.select(
+        "w1",
+        F.floor(F.log(F.col("c1") + F.lit(float(vocab))) * q + 0.5)
+        .cast("long")
+        .alias("miss_q"),
+    )
+    bigrams = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .join(uni_counts, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                (
+                    F.log(F.col("c1") + F.lit(float(vocab)))
+                    - F.log(F.col("c12") + F.lit(1.0))
+                )
+                * q
+                + 0.5
+            )
+            .cast("long")
+            .alias("nll_q"),
+        )
+    )
+    return bigrams, unigrams, vocab
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab: int,
+    *,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-prob (scaled 1e6) under the bigram
+    model — the CCNet quality signal: LOW avg_nll_q ≈ head-like fluent
+    text, HIGH ≈ tail/garbage. Output: (key, n_bigrams, avg_nll_q), with
+    avg_nll_q = floor(sum(nll_q) / n_bigrams) so the score is bit-identical
+    under any partitioning; token-free docs score NULL.
+
+    Scale shape: explode to bigram rows, two BroadcastHashJoins against the
+    vocabulary-sized model tables, one groupBy(key) — never a Python UDF,
+    never a per-document collect."""
+    q = 1_000_000
+    import math
+
+    oov_q = math.floor(math.log(vocab) * q + 0.5) if vocab else 0
+    base = docs.select(F.col(key), tokens(text).alias("_t"))
+    pairs = base.filter(F.size("_t") >= 2).select(
+        key,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(key, "bg.w1", "bg.w2")
+    scored = (
+        pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(unigrams), "w1", "left")
+        .select(
+            key,
+            F.coalesce(
+                F.col("nll_q"),  # seen bigram
+                F.col("miss_q"),  # seen w1, unseen bigram: ln(c1+V)-ln(1)
+                F.lit(oov_q),  # unseen w1: uniform 1/V
+            ).alias("_nll"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.floor(F.sum("_nll") / F.count("*")).cast("long").alias("avg_nll_q"),
+        )
+    )
+    return base.select(key).join(scored, key, "left")

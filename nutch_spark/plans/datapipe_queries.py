@@ -1380,3 +1380,74 @@ def dp_semantic_dedup(spark, sf_dir):
     )
     corpus = emb.unionByName(copies)
     return semantic_dedup(corpus, threshold=0.99, n_centroids=16)
+
+
+@q(
+    "dp_lm_perplexity",
+    f"""
+    -- CCNet-style perplexity filter (Wenzek et al. 2020): add-one bigram LM
+    -- trained on doc_id %% 4 = 0, scoring the held-out rest. Integer-
+    -- quantized negative log-probs; avg = floor(sum/double count).
+    WITH ref AS (SELECT {{toks}} AS t FROM documents WHERE doc_id % 4 = 0),
+    refbg AS (
+      SELECT bg['w1'] AS w1, bg['w2'] AS w2
+      FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> {{{{'w1': t[i], 'w2': t[i+1]}}}})) AS bg
+            FROM ref WHERE len(t) >= 2)
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY w1),
+    v AS (SELECT count(*) AS vocab FROM uni),
+    bgq AS (
+      SELECT b.w1, b.w2,
+             CAST(floor((ln(CAST(u.c1 + v.vocab AS DOUBLE))
+                         - ln(CAST(b.c12 + 1 AS DOUBLE))) * 1000000 + 0.5)
+                  AS BIGINT) AS nll_q
+      FROM (SELECT w1, w2, count(*) AS c12 FROM refbg GROUP BY w1, w2) b
+      JOIN uni u USING (w1) CROSS JOIN v
+    ),
+    uq AS (
+      SELECT w1, CAST(floor(ln(CAST(c1 + v.vocab AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS miss_q
+      FROM uni, v
+    ),
+    test AS (SELECT doc_id, {{toks}} AS t FROM documents WHERE doc_id % 4 <> 0),
+    pairs AS (
+      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+      FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> {{{{'w1': t[i], 'w2': t[i+1]}}}})) AS bg
+            FROM test WHERE len(t) >= 2)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             COALESCE(bq.nll_q, uq.miss_q,
+                      (SELECT CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5)
+                                   AS BIGINT) FROM v)) AS nll
+      FROM pairs p
+      LEFT JOIN bgq bq USING (w1, w2)
+      LEFT JOIN uq USING (w1)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_q
+      FROM scored GROUP BY doc_id
+    )
+    SELECT t.doc_id, a.n_bigrams, a.avg_nll_q
+    FROM test t LEFT JOIN agg a USING (doc_id)
+    """.format(toks=_TOKS_SQL),
+)
+def dp_lm_perplexity(spark, sf_dir):
+    """LM-perplexity quality scoring (the CCNet head/tail signal): bigram
+    model trained on a quarter of the corpus as one aggregation pass, scored
+    over the held-out docs via two BroadcastHashJoins + one groupBy.
+    Integer-quantized log-probs make the score partitioning-independent;
+    the oracle replays the identical train+score pipeline."""
+    from nutch_spark.datapipe.textstats import (
+        lm_perplexity_score,
+        train_bigram_lm,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bigrams, unigrams, vocab = train_bigram_lm(d.where(F.col("doc_id") % 4 == 0))
+    return lm_perplexity_score(
+        d.where(F.col("doc_id") % 4 != 0), bigrams, unigrams, vocab
+    )

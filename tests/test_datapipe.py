@@ -525,3 +525,31 @@ def test_semantic_dedup_keeps_boundary_example(spark):
     # identical vectors land in the same cell with the same cent_sim
     assert out[1]["cell"] == out[2]["cell"]
     assert out[1]["cent_sim"] == out[2]["cent_sim"]
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from nutch_spark.datapipe.textstats import (
+        lm_perplexity_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([Row(doc_id=0, text="a b a b")])
+    bigrams, unigrams, vocab = train_bigram_lm(ref)
+    assert vocab == 2  # bigram heads: a, b
+    bq = {(r["w1"], r["w2"]): r["nll_q"] for r in bigrams.collect()}
+    q = lambda x: math.floor(x * 1_000_000 + 0.5)  # noqa: E731
+    assert bq[("a", "b")] == q(math.log(4) - math.log(3))  # c1=2,c12=2,V=2
+    assert bq[("b", "a")] == q(math.log(3) - math.log(2))  # c1=1,c12=1
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="solo")]
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity_score(
+        docs, bigrams, unigrams, vocab).collect()}
+    # (a,b) seen + (b,c) backs off to miss(b)=ln(1+2)... c1(b)=1 -> ln(3)
+    expect = (q(math.log(4) - math.log(3)) + q(math.log(3))) // 2
+    assert out[1]["n_bigrams"] == 2 and out[1]["avg_nll_q"] == expect
+    assert out[2]["n_bigrams"] is None  # <2 tokens: unscored, still present

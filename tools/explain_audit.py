@@ -36,6 +36,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # dedup family: shuffles keyed on band/shingle, no cross product
     "dp_minhash_lsh": [[r"HashAggregate"], [r"CartesianProduct"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # LM perplexity: model joins broadcast, one groupBy, no cross product
+    "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
     # SemDeDup: within-cell equi-join, never a corpus cross product
     "dp_semantic_dedup": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], [r"CartesianProduct"]],
     # embedding near-dup must be a bucket equi-join, NOT a cross product
