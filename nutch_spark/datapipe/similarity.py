@@ -187,11 +187,15 @@ def ivf_topk(
         """Cell ids ordered nearest-first. One struct array, each centroid
         cosine computed exactly once — a chained when/greatest fold would
         duplicate every cosine subtree per comparison and blow the plan up
-        exponentially (the first draft took minutes to analyze)."""
+        exponentially (the first draft took minutes to analyze). Cosines
+        are rounded to 6 before ranking so the cid tie-break matches the
+        SQL oracle's round(s,6) ... ORDER BY s DESC, cid exactly."""
         arr = F.array(
             *[
                 F.struct(
-                    (-cosine(v, F.lit([float(x) for x in cv]))).alias("neg"),
+                    (-F.round(cosine(v, F.lit([float(x) for x in cv])), 6)).alias(
+                        "neg"
+                    ),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cv in cents
@@ -356,10 +360,14 @@ def semantic_dedup(
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
 
     def best_cell(v: Column) -> Column:
+        # centroid cosines are ROUNDED before the argmax so assignment (and
+        # its cid tie-break) is bit-identical to the SQL oracle's
+        # round(s, 6) ... ORDER BY s DESC, cid — an unrounded sort could
+        # pick a different cell than the oracle within 1e-6 of a tie
         arr = F.array(
             *[
                 F.struct(
-                    (-cosine(v, F.lit(cv))).alias("neg"),
+                    (-F.round(cosine(v, F.lit(cv)), round_sim)).alias("neg"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cv in cents

@@ -400,7 +400,9 @@ def train_bigram_lm(
     Returns (bigrams, unigrams, vocab): bigram rows (w1, w2, nll_q) carry
     the integer-quantized negative log-prob floor((ln(c1+V)-ln(c12+1))*1e6
     +0.5); unigram rows (w1, miss_q) carry the unseen-bigram cost
-    floor(ln(c1+V)*1e6+0.5). Both tables are vocabulary-sized. One
+    floor(ln(c1+V)*1e6+0.5). The unigram table is vocabulary-sized; the
+    bigram table is O(distinct bigram types) — bounded by the reference
+    corpus, not the scored corpus, but large on a web-scale reference. One
     explode + two hash aggregations — map-side combined, one shuffle each.
     """
     toks = reference.select(tokens(text).alias("_t")).filter(F.size("_t") >= 2)
@@ -412,6 +414,9 @@ def train_bigram_lm(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
+    # persist is released before returning (the model tables below are
+    # materialized first via localCheckpoint) — a leaked cache pin would
+    # accumulate across repeated model builds in a long-lived driver
     uni_counts = big.groupBy("w1").agg(F.count("*").alias("c1")).persist()
     vocab = uni_counts.count()
     q = 1_000_000
@@ -440,6 +445,9 @@ def train_bigram_lm(
             .alias("nll_q"),
         )
     )
+    bigrams = bigrams.localCheckpoint(eager=True)
+    unigrams = unigrams.localCheckpoint(eager=True)
+    uni_counts.unpersist()
     return bigrams, unigrams, vocab
 
 
@@ -458,9 +466,10 @@ def lm_perplexity_score(
     avg_nll_q = floor(sum(nll_q) / n_bigrams) so the score is bit-identical
     under any partitioning; token-free docs score NULL.
 
-    Scale shape: explode to bigram rows, two BroadcastHashJoins against the
-    vocabulary-sized model tables, one groupBy(key) — never a Python UDF,
-    never a per-document collect."""
+    Scale shape: explode to bigram rows, a broadcast join on the
+    vocabulary-sized unigram table plus an optimizer-chosen join on the
+    bigram table, one groupBy(key) — never a Python UDF, never a
+    per-document collect."""
     q = 1_000_000
     import math
 
@@ -475,8 +484,12 @@ def lm_perplexity_score(
             )
         ).alias("bg"),
     ).select(key, "bg.w1", "bg.w2")
+    # the unigram table is vocabulary-sized -> always broadcast; the bigram
+    # table is O(distinct bigram TYPES) and can reach hundreds of millions
+    # of rows on a web-scale reference corpus, so its join strategy is left
+    # to the optimizer (AQE broadcasts it when it is actually small)
     scored = (
-        pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        pairs.join(bigrams, ["w1", "w2"], "left")
         .join(F.broadcast(unigrams), "w1", "left")
         .select(
             key,

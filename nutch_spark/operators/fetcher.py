@@ -79,7 +79,7 @@ def http_fetch_fn(
     user_agent: str = "nutch-spark/1.0",
     max_bytes: int = 1 << 20,
     auth: dict[str, tuple[str, str]] | None = None,
-    cookies: dict[str, str] | None = None,
+    cookies: dict[str, dict[str, str]] | None = None,
     headers: dict[str, str] | None = None,
 ) -> dict:
     """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
@@ -125,16 +125,20 @@ def http_fetch_fn(
             return body.decode("utf-8", errors="replace")
 
     # protocol-httpclient surface (Http.java:258-340 http.auth.file scopes,
-    # HttpResponse cookie pass-through): per-host basic credentials and a
-    # static cookie jar. Bind with functools.partial before passing as
-    # fetch_fn; digest/NTLM negotiation stays deployment-supplied.
+    # HttpResponse cookie pass-through): HOST-SCOPED basic credentials and
+    # cookie jars — both keyed host -> value ('*' = any host; never send a
+    # site's session cookie to a third-party domain the crawl discovers).
+    # Bind with functools.partial before passing as fetch_fn; digest/NTLM
+    # negotiation stays deployment-supplied.
     hdrs = {"User-Agent": user_agent, "Accept-Encoding": "identity"}
     if headers:
         hdrs.update(headers)
+    host = urllib.parse.urlsplit(url).hostname or ""
     if cookies:
-        hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(cookies.items()))
+        jar = cookies.get(host) or cookies.get("*")
+        if jar:
+            hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(jar.items()))
     if auth:
-        host = urllib.parse.urlsplit(url).hostname or ""
         cred = auth.get(host) or auth.get("*")
         if cred:
             import base64

@@ -76,7 +76,7 @@ class CfbFile:
         first_difat = _u32(data, 68)
         n_difat = _u32(data, 72)
 
-        max_sect = max(0, (len(data) - 512) // self.sector_size)
+        max_sect = max(0, (len(data) - self.sector_size) // self.sector_size)
         # DIFAT: 109 header entries + chained DIFAT sectors
         difat = [_u32(data, 76 + 4 * i) for i in range(109)]
         s = first_difat
@@ -119,7 +119,10 @@ class CfbFile:
         ]
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.sector_size
+        # [MS-CFB] 2.2: sector #n begins at (n+1)*sector_size — for v4
+        # (4096 B sectors) the header block occupies a FULL first sector,
+        # not just its 512 header bytes
+        off = (n + 1) * self.sector_size
         return self._data[off : off + self.sector_size]
 
     def _read_chain(self, start: int, size: int | None) -> bytes:
@@ -578,12 +581,14 @@ def extract_rtf_text(data: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
-def build_cfb(streams: dict[str, bytes]) -> bytes:
-    """A valid v3 compound file holding the given streams ([MS-CFB] layout:
+def build_cfb(streams: dict[str, bytes], *, v4: bool = False) -> bytes:
+    """A valid compound file holding the given streams ([MS-CFB] layout:
     header DIFAT → FAT → directory → miniFAT → mini stream → large streams).
     Streams under 4096 bytes go through the mini stream, exercising the
-    reader's miniFAT path; larger ones use regular sectors."""
-    ssz, msz, cutoff = 512, 64, 4096
+    reader's miniFAT path; larger ones use regular sectors. ``v4`` emits a
+    major-version-4 file (4096-byte sectors) — the variant whose sector
+    offsets start at a FULL first sector, not at byte 512."""
+    ssz, msz, cutoff = (4096 if v4 else 512), 64, 4096
 
     def pad(b: bytes, size: int) -> bytes:
         return b + b"\x00" * (-len(b) % size)
@@ -704,13 +709,15 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
     dir_bytes = pad(b"".join(entries), ssz)
     assert len(dir_bytes) // ssz == n_dir_sects
 
-    header = bytearray(512)
+    header = bytearray(ssz)  # v4: the header block is a FULL 4096 B sector
     header[0:8] = OLE_MAGIC
     struct.pack_into("<H", header, 24, 0x3E)  # minor
-    struct.pack_into("<H", header, 26, 3)  # major (512 B sectors)
+    struct.pack_into("<H", header, 26, 4 if v4 else 3)  # major
     struct.pack_into("<H", header, 28, 0xFFFE)
-    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 30, 12 if v4 else 9)
     struct.pack_into("<H", header, 32, 6)
+    if v4:
+        struct.pack_into("<I", header, 40, n_dir_sects)  # v4 tracks dir count
     struct.pack_into("<I", header, 44, n_fat)
     struct.pack_into("<I", header, 48, dir_start)
     struct.pack_into("<I", header, 56, cutoff)
@@ -734,7 +741,7 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
         + mini_stream
         + b"".join(pad(streams[n], ssz) for n in large)
     )
-    assert (len(body) - 512) // ssz == total_sects
+    assert (len(body) - ssz) // ssz == total_sects
     return body
 
 

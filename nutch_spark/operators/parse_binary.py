@@ -208,16 +208,23 @@ def _pdf_strings(chunk: bytes) -> list[bytes]:
     return found
 
 
-def _stream_text_blocks(params: bytes, body: bytes) -> list[bytes]:
+def _stream_text_blocks(
+    params: bytes, body: bytes, *, pre_trimmed: bool = False
+) -> list[bytes]:
     """Shown-string blocks of one stream: /Length trim, FlateDecode,
-    BT..ET walk."""
+    BT..ET walk. ``pre_trimmed`` skips the trim for callers that already
+    cut the body to its exact length (the decrypt path — re-applying the
+    EOL heuristic there would eat a real trailing 0x0A of decrypted data,
+    ~1/256 of Flate streams)."""
     # /Length is authoritative when it's a DIRECT value: compressed data
     # may legitimately END in EOL bytes, so stripping heuristically can
     # eat real data (a Flate stream ending in 0x0d did exactly that).
     # An INDIRECT reference ('/Length 8 0 R' — what most PDF writers
     # emit) must NOT match: its object number would truncate the body.
     length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
-    if length and int(length.group(1)) <= len(body):
+    if pre_trimmed:
+        pass
+    elif length and int(length.group(1)) <= len(body):
         body = body[: int(length.group(1))]
     elif body.endswith(b"\r\n"):
         body = body[:-2]
@@ -336,11 +343,13 @@ def _pdf_encryption_key(data: bytes) -> bytes | None:
         if id_m
         else b""
     )
-    # Algorithm 2 with the empty user password
+    # Algorithm 2 with the empty user password. /P is a SIGNED 32-bit value
+    # but several producers serialize it unsigned (4294967252 for -44) —
+    # mask to 32 bits like every tolerant parser does.
     h = hashlib.md5()
     h.update(_PDF_PAD)  # pad(empty password)
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", int(p_m.group(1))))
+    h.update(struct.pack("<I", int(p_m.group(1)) & 0xFFFFFFFF))
     h.update(id0)
     key = h.digest()
     if r >= 3:
@@ -398,7 +407,7 @@ def extract_pdf_text(data: bytes) -> str:
             elif raw.endswith(b"\n"):
                 raw = raw[:-1]
             blocks += _stream_text_blocks(
-                re.sub(rb"/Length\s+\d+", b"", params), _rc4(obj_key, raw)
+                params, _rc4(obj_key, raw), pre_trimmed=True
             )
     else:
         for m in _STREAM_RE.finditer(data):
@@ -513,9 +522,9 @@ def _extract_zip_members(data: bytes, depth: int) -> str:
                     continue
                 try:
                     member = z.read(info.filename)
+                    _, text = _extract_text(member, depth + 1)
                 except Exception:  # corrupt entry — skip it, keep the rest
                     continue
-                _, text = _extract_text(member, depth + 1)
                 if text:
                     # ZipTextExtractor.java:105: 'entryname text' per entry
                     texts.append(f"{info.filename} {text}")

@@ -105,7 +105,7 @@ def train_nb_model(
         F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("f_ir"),
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("f_r"),
     )
-    wc = wc.persist()
+    wc = wc.persist()  # released below once the weight table materializes
     # class scalars: derived from the (small) word×class aggregate + doc counts
     totals = wc.agg(
         F.coalesce(F.sum("f_ir"), F.lit(0)).alias("numwords_ir"),
@@ -144,6 +144,8 @@ def train_nb_model(
         .cast("long")
         .alias("w_r"),
     )
+    words = words.localCheckpoint(eager=True)  # materialize the model...
+    wc.unpersist()  # ...then release the intermediate cache pin
     return NBModel(
         words=words,
         default_ir=_q(1.0 - denom_ir),

@@ -440,12 +440,14 @@ def test_basic_auth_and_cookies_headers():
         out = http_fetch_fn(
             f"{base}/private",
             auth={"127.0.0.1": ("alice", "s3cret")},
-            cookies={"sid": "abc", "a": "1"},
+            cookies={"127.0.0.1": {"sid": "abc", "a": "1"},
+                     "other.example.com": {"leak": "no"}},
             headers={"X-Extra": "yes"},
         )
         assert out["status"] == "fetch_success" and out["content"] == "granted"
         expect = base64.b64encode(b"alice:s3cret").decode()
         assert seen["auth"] == f"Basic {expect}"
+        # only THIS host's jar is sent — never another host's cookies
         assert seen["cookie"] == "a=1; sid=abc"
         assert seen["extra"] == "yes"
         # wildcard scope applies when the host has no specific entry

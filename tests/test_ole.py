@@ -271,3 +271,14 @@ def test_dispatch_doc_and_rtf():
         "application/rtf",
         "rtf body",
     )
+
+
+def test_cfb_v4_4096_byte_sectors():
+    # v4: sector #n begins at (n+1)*4096 — the header occupies a FULL
+    # first sector ([MS-CFB] 2.2); regression for the 512-offset bug
+    streams = {"Mini": b"small", "Huge": b"z" * 9000}
+    data = build_cfb(streams, v4=True)
+    cfb = CfbFile(data)
+    assert cfb.sector_size == 4096
+    assert cfb.read("Mini") == b"small"
+    assert cfb.read("Huge") == streams["Huge"]

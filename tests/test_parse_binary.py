@@ -329,3 +329,23 @@ def test_encrypted_pdf_aes_refused():
     data = _encrypted_pdf(b"secret", revision=3)
     data = data.replace(b"/V 2", b"/V 4")  # AES — unsupported, must bail
     assert extract_text(data) == ("application/pdf", "")
+
+
+def test_encrypted_pdf_decrypted_stream_ending_in_newline():
+    """Regression: the decrypt path must NOT re-apply the EOL trim to the
+    exact-length decrypted body — a Flate stream whose ciphertext-decrypt
+    ends in 0x0A (~1/256 of streams) lost its last byte and the whole text."""
+    import zlib
+
+    from nutch_spark.operators.parse_binary import _object_key, _rc4
+
+    # construct a payload whose COMPRESSED bytes end in 0x0A: zlib output
+    # ends with the adler32 whose LAST byte is (1 + sum(bytes)) % 65521
+    # % 256 — solve for a padding count of 'a's that lands it on 0x0A
+    base = b"newline tail hunt"
+    stream_sum = sum(b"BT (" + base + b") Tj ET")
+    k = ((0x0A - 1 - stream_sum) * pow(97, -1, 256)) % 256
+    text = base + b"a" * k
+    assert zlib.compress(b"BT (" + text + b") Tj ET").endswith(b"\n")
+    data = _encrypted_pdf(text, revision=3)
+    assert extract_text(data)[1] == text.decode()
