@@ -610,7 +610,13 @@ def url_filter_predicate(
     for s in deny_suffixes or []:
         pred = pred & ~F.lower(c).endswith(s.lower())
     if deny_domains:
-        pred = pred & ~url_domain(c).isin(*[F.lit(d.lower()) for d in deny_domains])
+        # url_domain_inline, not url_domain: this predicate is documented
+        # for HOF-lambda contexts (emit_parse_rows filter_predicate over
+        # the outlinks array), where the registered-SQL-function fast path
+        # cannot bind the lambda variable (MISSING_ATTRIBUTES at plan time)
+        pred = pred & ~url_domain_inline(c).isin(
+            *[F.lit(d.lower()) for d in deny_domains]
+        )
     return pred
 
 

@@ -191,6 +191,35 @@ def http_fetch_fn(
     return {"status": "fetch_retry", "content": None, "metadata": meta}
 
 
+def _dir_listing_html(path: str, names: list[str]) -> str:
+    """Minimal directory-listing page shared by the file:// and ftp://
+    protocols (getDirAsHttpResponse shape): sorted names, entity-escaped
+    (the reference escapes via its HTML pipeline) so <, " or & in
+    filenames can't break markup."""
+    import html as html_mod
+    import urllib.parse
+
+    rows = "".join(
+        f'<a href="{urllib.parse.quote(n)}">{html_mod.escape(n)}</a>\n'
+        for n in sorted(names)
+    )
+    esc = html_mod.escape(path)
+    return (
+        f"<html><head><title>Index of {esc}</title></head>"
+        f"<body><h1>Index of {esc}</h1><pre>{rows}</pre></body></html>"
+    )
+
+
+def _sniff_html(body: bytes) -> str:
+    """text/html when the body starts like an HTML document, else
+    text/plain — the local-protocol content-type heuristic."""
+    return (
+        "text/html"
+        if body[:100].lstrip()[:14].lower().startswith((b"<!doctype html", b"<html"))
+        else "text/plain"
+    )
+
+
 def ftp_fetch_fn(
     url: str,
     *,
@@ -218,7 +247,6 @@ def ftp_fetch_fn(
     retrieval. Bind credentials/timeouts with ``functools.partial``.
     """
     import ftplib
-    import html as html_mod
     import urllib.parse
 
     parsed = urllib.parse.urlparse(url)
@@ -243,30 +271,37 @@ def ftp_fetch_fn(
                 names: list[str] = []
                 ftp.cwd(path or "/")
                 ftp.retrlines("NLST", names.append)
-                names = sorted(n for n in names if n not in (".", ".."))
-                rows = "".join(
-                    f'<a href="{urllib.parse.quote(n)}">{html_mod.escape(n)}</a>\n'
-                    for n in names
-                )
-                esc = html_mod.escape(path)
                 return {
                     "status": "fetch_success",
-                    "content": f"<html><head><title>Index of {esc}</title>"
-                    f"</head><body><h1>Index of {esc}</h1><pre>{rows}</pre>"
-                    "</body></html>",
+                    "content": _dir_listing_html(
+                        path, [n for n in names if n not in (".", "..")]
+                    ),
                     "content_type": "text/html",
                     "metadata": {"nutch.protocol.code": "200"},
                 }
 
             buf = bytearray()
+            truncated = False
+
+            class _CapReached(Exception):
+                pass
 
             def sink(chunk: bytes) -> None:
-                if len(buf) < max_bytes:
-                    buf.extend(chunk[: max_bytes - len(buf)])
+                buf.extend(chunk[: max_bytes - len(buf)])
+                if len(buf) >= max_bytes:
+                    # ABORT the transfer — without this a multi-GB file is
+                    # received in full just to keep its first max_bytes,
+                    # stalling the per-host fetch queue for the whole
+                    # download (http_fetch_fn reads only max_bytes)
+                    raise _CapReached()
 
             try:
                 ftp.voidcmd("TYPE I")  # binary, FtpResponse.java:196
-                ftp.retrbinary(f"RETR {path}", sink)
+                try:
+                    ftp.retrbinary(f"RETR {path}", sink)
+                except _CapReached:
+                    truncated = True  # data conn dropped; quit() falls
+                    # back to close() in the finally below
             except ftplib.error_perm:
                 # 550: missing file OR a directory fetched without '/' —
                 # cwd distinguishes (FtpResponse.java:391-414)
@@ -282,14 +317,14 @@ def ftp_fetch_fn(
                     "metadata": {"nutch.protocol.code": "300", "Location": loc},
                 }
             body = bytes(buf)
-            ctype = "text/html" if body[:100].lstrip()[:14].lower().startswith(
-                (b"<!doctype html", b"<html")
-            ) else "text/plain"
+            meta = {"nutch.protocol.code": "200"}
+            if truncated:
+                meta["_truncated_"] = "1"
             return {
                 "status": "fetch_success",
                 "content": body.decode("utf-8", errors="replace"),
-                "content_type": ctype,
-                "metadata": {"nutch.protocol.code": "200"},
+                "content_type": _sniff_html(body),
+                "metadata": meta,
             }
         finally:
             try:
@@ -321,7 +356,6 @@ def file_fetch_fn(
 
     Drop-in ``fetch_fn`` for the polite-fetch harness — local corpora and
     tests fetch through the identical pipeline as HTTP."""
-    import html as html_mod
     import os
     import urllib.parse
 
@@ -349,30 +383,20 @@ def file_fetch_fn(
                 },
             }
         if os.path.isdir(path):
-            # getDirAsHttpResponse: minimal HTML listing, sorted names.
-            # Names/path are entity-escaped (the reference escapes via its
-            # HTML pipeline) so <, " or & in filenames can't break markup.
-            rows = "".join(
-                f'<a href="{urllib.parse.quote(n)}">{html_mod.escape(n)}</a>\n'
-                for n in sorted(os.listdir(path))
-            )
-            esc_path = html_mod.escape(path)
+            # getDirAsHttpResponse: shared listing page (see
+            # _dir_listing_html — escaped names, sorted)
             return {
                 "status": "fetch_success",
-                "content": f"<html><head><title>Index of {esc_path}</title></head>"
-                f"<body><h1>Index of {esc_path}</h1><pre>{rows}</pre></body></html>",
+                "content": _dir_listing_html(path, os.listdir(path)),
                 "content_type": "text/html",
                 "metadata": {"nutch.protocol.code": "200"},
             }
         with open(path, "rb") as f:
             body = f.read(max_bytes)
-        ctype = "text/html" if body[:100].lstrip()[:14].lower().startswith(
-            (b"<!doctype html", b"<html")
-        ) else "text/plain"
         return {
             "status": "fetch_success",
             "content": body.decode("utf-8", errors="replace"),
-            "content_type": ctype,
+            "content_type": _sniff_html(body),
             "metadata": {"nutch.protocol.code": "200"},
         }
     except Exception as e:
@@ -747,6 +771,9 @@ def emit_parse_rows(
         def _same(o):  # same host/domain as the source page
             return elem_fn(o["to_url"]) == origin
 
+        # the two checks apply INDEPENDENTLY (ParseOutputFormat tests each
+        # flag on every outlink): with both set, internal links always drop
+        # and external links survive only through the exemption filter
         if cfg.ignore_external_links:
             if exempt_predicate is not None:
                 links_arr = F.filter(
@@ -754,7 +781,7 @@ def emit_parse_rows(
                 )
             else:
                 links_arr = F.filter(links_arr, _same)
-        else:
+        if cfg.ignore_internal_links:
             links_arr = F.filter(links_arr, lambda o: ~_same(o))
     parse_data = parse_data.withColumn("outlinks", links_arr)
     scored = parse_data

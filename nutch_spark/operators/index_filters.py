@@ -218,7 +218,14 @@ def metadata_fields(
 
     def shaped(key: str, raw: Column) -> Column:
         if separator is not None and key in mv_fields:
-            parts = F.split(raw, F.lit(separator), -1)
+            # the reference splits on a LITERAL separator string
+            # (MetadataIndexer.java value.split is regex too, but the conf
+            # contract is a literal like '|' or '\t') — F.split takes a
+            # Java regex, so escape metacharacters ('|' would otherwise
+            # split at every position and keep the separators as values)
+            import re as _re
+
+            parts = F.split(raw, F.lit(_re.escape(separator)), -1)
             # single-arg lambda: transform would otherwise feed the element
             # INDEX into trim's optional trim-character parameter
             arr = F.filter(

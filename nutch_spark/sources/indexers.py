@@ -292,7 +292,9 @@ def strip_noncharacters(s: str) -> str:
         ch
         for ch in s
         if ord(ch) % 0x10000 not in (0xFFFF, 0xFFFE)
-        and (ord(ch) <= 0xFDD0 or ord(ch) >= 0xFDEF)
+        # U+FDD0..U+FDEF are noncharacters INCLUSIVE of both boundaries
+        # (SolrUtils uses ch < 0xfdd0 || ch > 0xfdef)
+        and (ord(ch) < 0xFDD0 or ord(ch) > 0xFDEF)
         and (ord(ch) > 0x1F or ord(ch) in (0x9, 0xA, 0xD))
     )
 

@@ -246,3 +246,44 @@ def test_zip_entry_names_in_text():
     # ZipTextExtractor: 'entryname text' per entry
     assert "docs/readme.txt alpha beta" in text
     assert "notes.txt gamma" in text
+
+
+def test_both_ignore_flags_drop_every_outlink(spark):
+    # ParseOutputFormat applies the flags INDEPENDENTLY: both set -> no
+    # outlink survives (regression: the else-branch skipped the internal
+    # filter whenever ignore_external_links was set)
+    cfg = NutchConfig(ignore_external_links=True, ignore_internal_links=True)
+    pd = _pd(spark, "http://a.com/p", ["http://a.com/x", "http://b.com/y"])
+    linked = emit_parse_rows(pd, cfg=cfg).filter(F.col("status") == "linked")
+    assert linked.count() == 0
+
+
+def test_metadata_separator_is_literal(spark):
+    # index.metadata.separator is a literal string, not a regex: '|' must
+    # split values, not explode every character
+    from nutch_spark.operators.index_filters import metadata_fields
+
+    doc = spark.createDataFrame(
+        [("u", {"tags": "a|b|c"})], "url string, parse_meta map<string,string>"
+    )
+    out = metadata_fields(
+        doc, parse_keys=("tags",), separator="|", mv_fields=("tags",)
+    ).collect()[0]
+    assert out["meta_parse_tags"] == ["a", "b", "c"]
+
+
+def test_url_filter_predicate_deny_domains_inside_hof_lambda(spark):
+    # regression: deny_domains must work inside an array-filter lambda
+    # (the emit_parse_rows filter_predicate contract) — the registered-SQL
+    # fast path of url_domain cannot bind lambda variables
+    from nutch_spark.functions.urls import url_filter_predicate
+
+    df = spark.createDataFrame(
+        [(["http://ok.com/a", "http://bad.com/b"],)], "links array<string>"
+    )
+    kept = df.select(
+        F.filter(
+            "links", lambda u: url_filter_predicate(u, deny_domains=["bad.com"])
+        ).alias("kept")
+    ).collect()[0]["kept"]
+    assert kept == ["http://ok.com/a"]
