@@ -1451,3 +1451,47 @@ def dp_lm_perplexity(spark, sf_dir):
     return lm_perplexity_score(
         d.where(F.col("doc_id") % 4 != 0), bigrams, unigrams, vocab
     )
+
+
+def _ivf_recall_oracle() -> str:
+    cosine_sql = REGISTRY["dp_cosine_topk"][1]
+    ivf_sql = REGISTRY["dp_ivf_topk"][1]
+    return f"""
+    WITH exact AS ({cosine_sql}),
+    ivf AS ({ivf_sql}),
+    hits AS (
+      SELECT e.query_id, count(i.neighbor_id) AS n_hit
+      FROM exact e LEFT JOIN ivf i
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
+    """
+
+
+@q("dp_ivf_recall", _ivf_recall_oracle())
+def dp_ivf_recall(spark, sf_dir):
+    """Recall@5 of IVF ANN (n_probe=4 of 16 cells) against the exact
+    brute-force ranking — the tuning number for the second ANN scale path,
+    measured the same way as dp_lsh_recall. Both sides reuse certified
+    operators; the oracle composes their certified SQL twins."""
+    from nutch_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4, round_sim=6).select(
+        F.col("query_id").alias("_iq"), F.col("neighbor_id").alias("_in"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact["query_id"] == F.col("_iq")) & (exact["neighbor_id"] == F.col("_in")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
+    )
