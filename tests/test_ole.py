@@ -282,3 +282,50 @@ def test_cfb_v4_4096_byte_sectors():
     assert cfb.sector_size == 4096
     assert cfb.read("Mini") == b"small"
     assert cfb.read("Huge") == streams["Huge"]
+
+
+# ---------------------------------------------------------------------------
+# hostile-input fuzz: a crawler's parser must never raise, whatever the bytes
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    prefix=st.sampled_from(
+        [b"", b"%PDF-", b"PK\x03\x04",
+         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", b"{\\rtf1 "]
+    ),
+    data=st.binary(max_size=2048),
+)
+def test_extract_text_never_raises_on_fuzz(prefix, data):
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(prefix + data)
+    assert isinstance(mime, str) and isinstance(text, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    name=st.sampled_from(["WordDocument", "Workbook", "PowerPoint Document"]),
+    data=st.binary(max_size=2048),
+    extra=st.binary(max_size=200),
+)
+def test_ole_stream_fuzz_never_raises(name, data, extra):
+    streams = {name: data}
+    if name == "WordDocument":
+        streams["1Table"] = extra
+    mime, text = extract_ole_text(build_cfb(streams))
+    assert isinstance(mime, str) and isinstance(text, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(fib=st.binary(max_size=1024), table=st.binary(max_size=512))
+def test_doc_fuzzed_fib_never_raises(fib, table):
+    # wIdent valid, every other FIB field (flags, fcClx/lcbClx, ccpText)
+    # attacker-controlled, piece table pointing into fuzzed bytes
+    wd = b"\xec\xa5" + fib
+    wd = wd + b"\x00" * max(0, 0x200 - len(wd))
+    mime, text = extract_ole_text(
+        build_cfb({"WordDocument": wd, "1Table": table, "0Table": table})
+    )
+    assert isinstance(text, str)
