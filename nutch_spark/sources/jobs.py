@@ -331,3 +331,108 @@ class NutchServer:
         directory = args["outputDir"]
         index_documents(docs, {"file": lambda: JsonlIndexWriter(directory)})
         return {"indexed": docs.count()}
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer — NutchServer.java:75-130 embeds a CXF JAX-RS endpoint; here the
+# same resource routes (openapi.yaml: /admin, /config, /job) ride a stdlib
+# ThreadingHTTPServer so `python -m nutch_spark startserver` is deployable
+# without any web framework.  Handlers stay pure (tested directly); this
+# layer only routes + (de)serializes.
+# ---------------------------------------------------------------------------
+
+
+def make_http_handler(server: "NutchServer"):
+    import json as _json
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, obj, code: int = 200) -> None:
+            body = _json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _route(self, method: str) -> None:
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            q = {}
+            if "?" in self.path:
+                from urllib.parse import parse_qsl
+
+                q = dict(parse_qsl(self.path.split("?", 1)[1]))
+            body = {}
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                body = _json.loads(self.rfile.read(length) or b"{}")
+            try:
+                self._send(self._dispatch(method, parts, q, body))
+            except (KeyError, IndexError):
+                self._send({"error": "not found"}, 404)
+            except ValueError as e:
+                self._send({"error": str(e)}, 409)
+
+        def _dispatch(self, method: str, parts: list[str], q: dict, body: dict):
+            if parts == ["admin"]:
+                return server.server_status()
+            if parts == ["admin", "stop"]:
+                return {"stopped": server.stop_server(force=q.get("force") == "true")}
+            if parts == ["config"]:
+                if method == "POST":
+                    return {
+                        "id": server.create_config(
+                            body.get("configId"),
+                            body.get("params", {}),
+                            force=bool(body.get("force")),
+                        )
+                    }
+                return server.get_configs()
+            if parts[0] == "config" and len(parts) == 2:
+                if method == "DELETE":
+                    server.delete_config(parts[1])
+                    return {"deleted": parts[1]}
+                return server.get_config(parts[1])
+            if parts[0] == "config" and len(parts) == 3:
+                return {parts[2]: server.get_config_property(parts[1], parts[2])}
+            if parts == ["job"]:
+                return server.get_jobs(q.get("crawlId"))
+            if parts == ["job", "create"] and method == "POST":
+                return server.create_job(body)
+            if parts[0] == "job" and len(parts) == 2:
+                return server.get_job(parts[1])
+            if parts[0] == "job" and len(parts) == 3 and parts[2] == "stop":
+                return {"stopping": server.stop_job(parts[1])}
+            if parts[0] == "job" and len(parts) == 3 and parts[2] == "abort":
+                return {"aborting": server.abort_job(parts[1])}
+            raise KeyError(self.path)
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            self._route("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._route("POST")
+
+        def do_DELETE(self):  # noqa: N802
+            self._route("DELETE")
+
+        def log_message(self, *a):  # quiet: Spark logs own the console
+            pass
+
+    return Handler
+
+
+def serve_http(server: "NutchServer", *, port: int = 8081, background: bool = False):
+    """Serve the REST API; ``background=True`` returns the live HTTPServer
+    (tests), otherwise blocks like the reference's embedded server."""
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_http_handler(server))
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+    return httpd

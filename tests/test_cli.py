@@ -1,0 +1,356 @@
+"""End-to-end tests for the bin/nutch-equivalent CLI (nutch_spark/cli.py).
+
+A tiny file:// site is crawled through the ON-DISK lifecycle the reference
+user runs: inject -> generate -> fetch -> parse -> updatedb -> invertlinks ->
+dedup -> readdb/readseg/index/stats -> webgraph family -> bin/crawl loop.
+Every command goes through ``cli.main(argv)`` — the same entry as
+``python -m nutch_spark ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nutch_spark.cli import main
+
+
+def _write_site(root: str, pages: int = 6) -> str:
+    """A small static site with internal cross-links."""
+    site = os.path.join(root, "site")
+    os.makedirs(site, exist_ok=True)
+    for i in range(pages):
+        nxt = (i + 1) % pages
+        other = (i + 2) % pages
+        with open(os.path.join(site, f"p{i}.html"), "w") as fh:
+            fh.write(
+                f"<html><head><title>page {i}</title>"
+                f'<meta name="keywords" content="k{i}"></head>'
+                f'<body><a href="p{nxt}.html">next</a> '
+                f'<a href="p{other}.html">other</a> body text {i}</body></html>'
+            )
+    return site
+
+
+@pytest.fixture(scope="module")
+def crawl_env(spark, tmp_path_factory):
+    """inject → generate → fetch → parse → updatedb → invertlinks, on disk."""
+    root = str(tmp_path_factory.mktemp("cli"))
+    site = _write_site(root)
+    seeds = os.path.join(root, "seeds")
+    os.makedirs(seeds)
+    with open(os.path.join(seeds, "seed.txt"), "w") as fh:
+        fh.write(f"file://{site}/p0.html\tnutch.score=2.0\n")
+        fh.write("# a comment line\n")
+        fh.write(f"file://{site}/p1.html\n")
+
+    crawldb = os.path.join(root, "crawldb")
+    segments = os.path.join(root, "segments")
+    linkdb = os.path.join(root, "linkdb")
+
+    assert main(["inject", crawldb, seeds]) == 0
+    assert (
+        main(
+            [
+                "generate", crawldb, segments,
+                "-topN", "10", "-segmentName", "seg1",
+            ]
+        )
+        == 0
+    )
+    seg = os.path.join(segments, "seg1")
+    assert main(["fetch", seg, "-fetcher", "file"]) == 0
+    assert main(["parse", seg]) == 0
+    assert main(["updatedb", crawldb, seg]) == 0
+    assert main(["invertlinks", linkdb, seg]) == 0
+    return {
+        "root": root,
+        "site": site,
+        "crawldb": crawldb,
+        "segments": segments,
+        "seg": seg,
+        "linkdb": linkdb,
+    }
+
+
+def test_inject_generate_fetch_parse(spark, crawl_env):
+    seg = crawl_env["seg"]
+    fl = spark.read.parquet(os.path.join(seg, "crawl_generate"))
+    assert fl.count() == 2  # both seeds due
+    log = spark.read.parquet(os.path.join(seg, "crawl_fetch"))
+    rows = {r["url"]: r for r in log.collect()}
+    assert len(rows) == 2
+    assert all(r["status"] == "fetch_success" for r in rows.values())
+    assert all(r["segment_id"] == "seg1" for r in rows.values())
+
+    pd_rows = spark.read.parquet(os.path.join(seg, "parse_data")).collect()
+    assert {r["title"] for r in pd_rows} == {"page 0", "page 1"}
+    # outlinks resolved against base url, metatags captured by the html parser
+    assert all(len(r["outlinks"]) == 2 for r in pd_rows)
+    pt = spark.read.parquet(os.path.join(seg, "parse_text")).collect()
+    assert any("body text" in r["text"] for r in pt)
+    cp = spark.read.parquet(os.path.join(seg, "crawl_parse"))
+    assert cp.filter(cp.status == "linked").count() > 0
+
+
+def test_updatedb_state(spark, crawl_env):
+    db = spark.read.parquet(crawl_env["crawldb"])
+    by_status = {r["status"]: r["n"] for r in db.groupBy("status").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert by_status.get("db_fetched", 0) == 2  # the two seeds
+    assert by_status.get("db_unfetched", 0) >= 1  # discovered outlinks
+
+
+def test_readdb_stats_and_topn(capsys, crawl_env):
+    assert main(["readdb", crawl_env["crawldb"], "-stats"]) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL urls:" in out
+    assert "status db_fetched:\t2" in out
+
+    topn_out = os.path.join(crawl_env["root"], "topn")
+    assert (
+        main(["readdb", crawl_env["crawldb"], "-topN", "3", topn_out, "-format", "csv"])
+        == 0
+    )
+    files = [f for f in os.listdir(topn_out) if f.endswith(".csv")]
+    assert files
+
+
+def test_readdb_url_lookup(capsys, crawl_env):
+    url = f"file://{crawl_env['site']}/p0.html"
+    assert main(["readdb", crawl_env["crawldb"], "-url", url]) == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["url"] == url
+    assert row["status"] == "db_fetched"
+
+
+def test_readseg_list(capsys, crawl_env):
+    assert main(["readseg", "-list", crawl_env["seg"]]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["crawl_fetch"] == 2
+    assert info["parse_data"] == 2
+
+
+def test_readlinkdb(spark, crawl_env):
+    ldb = spark.read.parquet(crawl_env["linkdb"])
+    # cross-page links on one host are internal; default config ignores them,
+    # so the linkdb exists but may be empty — the READER must still work
+    assert ldb.columns[:1] == ["to_url"]
+
+
+def test_dedup_and_index(spark, crawl_env):
+    assert main(["dedup", crawl_env["crawldb"]]) == 0
+    out = os.path.join(crawl_env["root"], "index_out")
+    assert (
+        main(
+            [
+                "index", crawl_env["crawldb"], crawl_env["seg"],
+                "-linkdb", crawl_env["linkdb"],
+                "-out", out, "-writer", "jsonl",
+            ]
+        )
+        == 0
+    )
+    docs = []
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as fh:
+            docs += [json.loads(l) for l in fh if l.strip()]
+    assert {d["doc"]["title_indexed"] for d in docs} == {"page 0", "page 1"}
+    assert all(d["action"] == "add" for d in docs)
+
+
+def test_stats_commands(crawl_env):
+    root = crawl_env["root"]
+    for cmd, out in (
+        (["domainstats", crawl_env["crawldb"], os.path.join(root, "ds"), "host"], "ds"),
+        (["protocolstats", crawl_env["crawldb"], os.path.join(root, "ps")], "ps"),
+        (["crawlcomplete", crawl_env["crawldb"], os.path.join(root, "cc")], "cc"),
+    ):
+        assert main(cmd + ["-format", "csv"]) == 0
+        assert os.listdir(os.path.join(root, out))
+
+
+def test_webgraph_family(spark, crawl_env, capsys):
+    root = crawl_env["root"]
+    wg = os.path.join(root, "webgraphdb")
+    assert main(["webgraph", "-webgraphdb", wg, crawl_env["seg"]]) == 0
+    nodes = spark.read.parquet(os.path.join(wg, "nodes"))
+    assert {"url", "num_outlinks", "num_inlinks"} <= set(nodes.columns)
+    assert nodes.count() > 0
+
+    assert main(["linkrank", "-webgraphdb", wg, "-iterations", "2"]) == 0
+    scored = spark.read.parquet(os.path.join(wg, "nodes"))
+    assert "score" in scored.columns
+
+    assert main(["scoreupdater", "-crawldb", crawl_env["crawldb"], "-webgraphdb", wg]) == 0
+    nd_out = os.path.join(root, "nodedump")
+    assert (
+        main(
+            [
+                "nodedumper", "-webgraphdb", wg, "-out", nd_out,
+                "-inlinks", "-topn", "5", "-format", "csv",
+            ]
+        )
+        == 0
+    )
+    assert os.listdir(nd_out)
+
+
+def test_hostdb_commands(spark, crawl_env):
+    root = crawl_env["root"]
+    hostdb = os.path.join(root, "hostdb")
+    assert main(["updatehostdb", "-crawldb", crawl_env["crawldb"], "-hostdb", hostdb]) == 0
+    hosts = spark.read.parquet(hostdb)
+    assert hosts.count() >= 1
+    out = os.path.join(root, "hostdump")
+    assert main(["readhostdb", hostdb, out, "-format", "csv"]) == 0
+    assert os.listdir(out)
+
+
+def test_exports(crawl_env):
+    root = crawl_env["root"]
+    warc_out = os.path.join(root, "warc_out")
+    assert main(["warc", warc_out, crawl_env["seg"]]) == 0
+    assert os.listdir(warc_out)
+    cc_out = os.path.join(root, "ccdump")
+    assert main(["commoncrawldump", cc_out, crawl_env["seg"]]) == 0
+    assert os.listdir(cc_out)
+    dump_out = os.path.join(root, "filedump")
+    assert main(["dump", dump_out, crawl_env["seg"]]) == 0
+    assert os.listdir(dump_out)
+
+
+def test_mergedb_and_mergesegs(spark, crawl_env):
+    root = crawl_env["root"]
+    merged = os.path.join(root, "merged_db")
+    assert main(["mergedb", merged, crawl_env["crawldb"], crawl_env["crawldb"]]) == 0
+    orig = spark.read.parquet(crawl_env["crawldb"]).count()
+    assert spark.read.parquet(merged).count() == orig
+
+    seg_out = os.path.join(root, "merged_segs")
+    assert (
+        main(["mergesegs", seg_out, crawl_env["seg"], "-segmentName", "m1"]) == 0
+    )
+    m = spark.read.parquet(os.path.join(seg_out, "m1", "crawl_fetch"))
+    assert m.count() == 2
+
+
+def test_sitemap_inject(spark, crawl_env, tmp_path):
+    sm = tmp_path / "sitemap.xml"
+    sm.write_text(
+        "<urlset><url><loc>http://sm.example.com/a</loc>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url></urlset>"
+    )
+    db = os.path.join(str(tmp_path), "sm_crawldb")
+    assert main(["sitemap", db, "-sitemap", str(sm)]) == 0
+    rows = spark.read.parquet(db).collect()
+    assert rows[0]["url"] == "http://sm.example.com/a"
+    assert rows[0]["metadata"]["sitemap.changefreq"] == "daily"
+
+
+def test_checkers(capsys, crawl_env, tmp_path):
+    url = f"file://{crawl_env['site']}/p0.html"
+    assert main(["parsechecker", url]) == 0
+    out = capsys.readouterr().out
+    assert "title: page 0" in out
+    assert "outlink:" in out
+
+    assert main(["normalizerchecker", "HTTP://Example.COM:80/a/../b"]) == 0
+    out = capsys.readouterr().out
+    assert "-> http://example.com/b" in out
+
+    assert main(["filterchecker", "http://example.com/ok", "not a url"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith("+")
+    assert out[1].startswith("-")
+
+
+def test_robotsparser(capsys, tmp_path):
+    robots = tmp_path / "robots.txt"
+    robots.write_text("User-agent: *\nDisallow: /private/\n")
+    urls = tmp_path / "urls.txt"
+    urls.write_text(
+        "http://e.com/public/page.html\nhttp://e.com/private/page.html\n"
+    )
+    assert main(["robotsparser", str(robots), str(urls)]) == 0
+    out = capsys.readouterr().out
+    assert "allowed:\thttp://e.com/public/page.html" in out
+    assert "forbidden:\thttp://e.com/private/page.html" in out
+
+
+def test_showproperties(capsys):
+    assert main(["showproperties", "-D", "db.fetch.retry.max=7"]) == 0
+    out = capsys.readouterr().out
+    assert "db.fetch.retry.max=7" in out
+    assert "generate.max.count=-1" in out
+
+
+def test_replaced_commands(capsys):
+    assert main(["junit"]) == 2
+    assert "pytest" in capsys.readouterr().err
+
+
+def test_crawl_loop(spark, tmp_path):
+    """bin/crawl parity: two on-disk rounds over the synthetic fetcher."""
+    site_root = str(tmp_path)
+    seeds = os.path.join(site_root, "seeds")
+    os.makedirs(seeds)
+    with open(os.path.join(seeds, "s.txt"), "w") as fh:
+        # md5 bucket 5 → synthetic_fetch_fn returns fetch_success (a seed in
+        # the retry/gone buckets would legitimately leave the frontier empty)
+        fh.write("http://host1.example.com/start\n")
+    crawl_dir = os.path.join(site_root, "crawl")
+    assert (
+        main(
+            [
+                "crawl", crawl_dir, "2", "-s", seeds,
+                "-fetcher", "synthetic", "-topN", "20",
+            ]
+        )
+        == 0
+    )
+    db = spark.read.parquet(os.path.join(crawl_dir, "crawldb"))
+    statuses = {r["status"] for r in db.select("status").distinct().collect()}
+    assert "db_fetched" in statuses
+    assert db.count() > 1  # frontier grew beyond the seed
+    segs = os.listdir(os.path.join(crawl_dir, "segments"))
+    assert len(segs) == 2
+    assert os.path.isdir(os.path.join(crawl_dir, "linkdb"))
+
+
+def test_startserver_http_roundtrip(spark):
+    """The REST layer over a real socket (NutchServer.java:75-130)."""
+    import urllib.request
+
+    from nutch_spark.sources.jobs import NutchServer, serve_http
+
+    server = NutchServer(spark)
+    httpd = serve_http(server, port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/admin") as r:
+            status = json.loads(r.read())
+        assert "startDate" in status and status["jobs"] == []
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/config",
+            data=json.dumps(
+                {"configId": "c1", "params": {"db.fetch.retry.max": 5}}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["id"] == "c1"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/config/c1") as r:
+            assert json.loads(r.read()) == {"db.fetch.retry.max": 5}
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/nope") as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # the /nope route
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
