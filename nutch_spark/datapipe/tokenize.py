@@ -1,0 +1,169 @@
+"""Distributed BPE tokenizer: train over a word-frequency vocabulary,
+apply as a vectorized merge chain.
+
+Training-data pipelines need a tokenizer in the loop (token counting for
+mixture weights, sequence packing, contamination checks measured in tokens).
+``textstats.bpe_ish_token_count`` counts pre-tokens; this module goes the
+rest of the way: learn byte-pair merges from the corpus and tokenize with
+them — the Sennrich et al. 2016 algorithm re-expressed for Spark.
+
+Scale design (the part that matters at 100 TB):
+
+- **Training never iterates over the corpus.**  The corpus collapses ONCE
+  into a ``(word, freq)`` vocabulary (one explode + one hash-agg shuffle —
+  the same shape as ``dp_token_stats``); every merge iteration then runs
+  over the vocab, whose size is bounded by distinct word forms (Heaps' law:
+  ~10^6-10^7 rows even for a web-scale corpus), not by corpus bytes.  This
+  is exactly the classic implementation's ``vocab`` dict, kept distributed.
+- Each iteration = one explode→hash-agg over the vocab (partial agg: the
+  shuffle carries one row per distinct pair per partition) + a ``limit(1)``
+  collect of the SINGLE best pair — the only driver traffic, O(1) per
+  round.  The vocab state is ``localCheckpoint``ed per iteration so the
+  merge-replace chain never stacks into a mega-plan (same discipline as
+  G3 LinkRank's iteration loop).
+- **Apply is a narrow map stage**: the learned merges compile into a chain
+  of literal ``replace`` calls on a separator-guarded symbol string —
+  whole-stage-codegen JVM string ops, no Python, no shuffle.
+
+Merge semantics, precisely: symbols are joined with the U+001F unit
+separator and a merge ``(l, r)`` is the literal replacement
+``\\x1f l \\x1f r \\x1f -> \\x1f lr \\x1f``, scanning left to right without
+overlap.  For a self-overlapping pair (``l`` == ``r``) a run of 2k symbols
+merges to ``k`` pairs EXCEPT across a just-replaced boundary
+("a a a a" -> "aa a a" in one pass, not "aa aa" — the trailing separator of
+a replacement is consumed).  This is deterministic, identical in Spark and
+DuckDB ``replace`` (verified), and declared as this tokenizer's behavior;
+reference BPE implementations differ among themselves on the same edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# U+001F unit separator: guards symbol boundaries so a merge needle
+# ``SlSrS`` can never match across two unrelated symbols (a pair (a, b)
+# must not fire on symbols ["xa", "b"]).  Stripped from the word alphabet.
+SEP = "\x1f"
+
+# GPT-2-ish pre-tokenization (the same family as textstats'
+# bpe_ish_token_count): letter runs, digit runs, single other marks.
+# \s and the separator are excluded from the alphabet.
+WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x1f]"
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(WORD_RE), F.lit(0))
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the ONE corpus-wide pass of BPE training."""
+    return (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def symbolize(word: Column | str) -> Column:
+    """word → separator-guarded symbol string: ``the`` → ``StShSeS``."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.lit(SEP), F.regexp_replace(c, "(.)", "$1" + SEP))
+
+
+def symbols_array(s: Column | str) -> Column:
+    c = F.col(s) if isinstance(s, str) else s
+    return F.filter(F.split(c, SEP), lambda x: x != "")
+
+
+def pair_counts(vocab: DataFrame, s: str = "s", freq: str = "freq") -> DataFrame:
+    """Adjacent-symbol pair frequencies over the vocabulary state.
+
+    explode + partial-aggregated groupBy — the per-iteration cost of
+    training. ``cnt`` weighs each pair by the word's corpus frequency."""
+    a = symbols_array(s)
+    n = F.size(a)
+    pairs = F.arrays_zip(
+        F.slice(a, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+        F.slice(a, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), F.col(freq))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum(freq).alias("cnt"))
+    )
+
+
+def merge_expr(s: Column | str, left: str, right: str) -> Column:
+    """One learned merge as a literal (non-regex) replace."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.replace(
+        c, F.lit(SEP + left + SEP + right + SEP), F.lit(SEP + left + right + SEP)
+    )
+
+
+def bpe_train(
+    vocab: DataFrame,
+    num_merges: int,
+    *,
+    word: str = "word",
+    freq: str = "freq",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges from a (word, freq) vocabulary.
+
+    Deterministic: ties break on (left, right) lexicographically, so the
+    merge list is independent of partitioning.  Each iteration is one
+    Spark job over the vocab plus a 1-row collect; the evolving symbol
+    state is eagerly localCheckpoint'ed (lineage O(1), executor-loss
+    re-execution bounded to one round — use checkpoint() on a cluster).
+    """
+    state = vocab.select(
+        symbolize(word).alias("s"), F.col(freq).cast("long").alias("freq")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (
+            pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        state = state.withColumn("s", merge_expr("s", left, right)).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def apply_merges_to_word(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """word → its BPE token array under ``merges`` (applied in rank order)."""
+    s = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", "$1" + SEP))
+    for left, right in merges:
+        s = F.replace(
+            s, F.lit(SEP + left + SEP + right + SEP), F.lit(SEP + left + right + SEP)
+        )
+    return F.filter(F.split(s, SEP), lambda x: x != "")
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list.
+
+    Narrow map stage: pre-tokenize, symbolize each word, run the merge
+    chain (literal replaces — codegen'd JVM string ops), split back.  No
+    shuffle, no UDF; the merge list compiles into the expression tree, the
+    executor-side analogue of broadcasting the tokenizer model."""
+    toks = F.flatten(
+        F.transform(words(text_col), lambda w: apply_merges_to_word(w, merges))
+    )
+    return docs.withColumn(out, toks)

@@ -1495,3 +1495,159 @@ def dp_ivf_recall(spark, sf_dir):
         .groupBy("query_id")
         .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer family (datapipe/tokenize.py): pair statistics, merge-chain
+# apply, and full training — the Sennrich et al. 2016 algorithm with the
+# corpus collapsed to a (word, freq) vocabulary so iterations never touch
+# corpus bytes.  Oracle parity notes: symbols are joined on chr(31) (U+001F,
+# excluded from the word alphabet) and a merge is a LITERAL left-to-right
+# non-overlapping replace — verified byte-identical between Spark `replace`
+# and DuckDB `replace`, including the self-overlapping-pair edge.
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS_SQL = (
+    r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x1f]')"
+)
+_BPE_SYM_SQL = r"chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')"
+_BPE_VOCAB_SQL = f"""
+  wf AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest({_BPE_WORDS_SQL}) AS word FROM documents)
+    GROUP BY word
+  ),
+  s0 AS (SELECT {_BPE_SYM_SQL} AS s, freq FROM wf)
+"""
+_BPE_PAIRS_TMPL = """
+  SELECT a[j] AS l, a[j + 1] AS r, SUM(freq) AS cnt
+  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS a, freq
+        FROM {state}),
+       unnest(range(1, len(a))) AS u(j)
+  GROUP BY 1, 2
+"""
+
+
+@q(
+    "dp_bpe_pair_counts",
+    f"""
+    WITH {_BPE_VOCAB_SQL},
+    p AS ({_BPE_PAIRS_TMPL.format(state="s0")})
+    SELECT l AS l_sym, r AS r_sym, CAST(cnt AS BIGINT) AS cnt
+    FROM p ORDER BY cnt DESC, l_sym, r_sym LIMIT 100
+    """,
+)
+def dp_bpe_pair_counts(spark, sf_dir):
+    """BPE training's per-iteration statistic: adjacent-symbol pair
+    frequencies over the (word, freq) vocabulary, top 100 under the
+    deterministic (cnt desc, pair) training order. One explode + one
+    partial-aggregated shuffle over the vocab — corpus-size-independent."""
+    from nutch_spark.datapipe.tokenize import pair_counts, symbolize, word_freqs
+
+    d = t(spark, sf_dir, "documents")
+    vocab = word_freqs(d).select(symbolize("word").alias("s"), "freq")
+    return (
+        pair_counts(vocab)
+        .select(
+            F.col("left").alias("l_sym"),
+            F.col("right").alias("r_sym"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym"))
+        .limit(100)
+    )
+
+
+# a fixed rank-ordered merge list exercising chained merges (th+e builds on
+# t+h) — any list works for correctness, this one fires often on English
+_BPE_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("an", "d"),
+]
+
+
+def _bpe_apply_chain_sql(expr: str) -> str:
+    for left, right in _BPE_FIXED_MERGES:
+        needle = f"chr(31) || '{left}' || chr(31) || '{right}' || chr(31)"
+        repl = f"chr(31) || '{left}{right}' || chr(31)"
+        expr = f"replace({expr}, {needle}, {repl})"
+    return expr
+
+
+@q(
+    "dp_bpe_apply",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             flatten(list_transform(
+               {_BPE_WORDS_SQL},
+               word -> list_filter(
+                 string_split({_bpe_apply_chain_sql(_BPE_SYM_SQL)}, chr(31)),
+                 x -> x != '')
+             )) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(toks, '|')) AS tok_sig
+    FROM d
+    """,
+)
+def dp_bpe_apply(spark, sf_dir):
+    """Tokenize every document with a fixed 6-merge BPE model. Narrow map
+    stage — the merge chain compiles to literal JVM string replaces inside
+    whole-stage codegen (no UDF, no shuffle); token identity is certified
+    via an md5 over the full token stream."""
+    from nutch_spark.datapipe.tokenize import bpe_apply
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_apply(d, _BPE_FIXED_MERGES).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("|", "bpe_tokens")).alias("tok_sig"),
+    )
+
+
+def _bpe_train_oracle(n_merges: int, min_count: int = 2) -> str:
+    """Unrolled training: each iteration = pair counts over the previous
+    vocab state, deterministic top-1, literal-replace vocab update (the
+    same unrolled-CTE discipline as g3_linkrank's oracle)."""
+    sql = f"WITH {_BPE_VOCAB_SQL}"
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        # chr(30) fallback: if no pair clears min_count the replace becomes
+        # a guaranteed no-op instead of NULLing the state
+        needle = (
+            f"coalesce((SELECT chr(31) || l || chr(31) || r || chr(31) FROM t{i}), chr(30))"
+        )
+        repl = f"coalesce((SELECT chr(31) || l || r || chr(31) FROM t{i}), chr(30))"
+        sql += f""",
+  p{i} AS ({_BPE_PAIRS_TMPL.format(state=prev)}),
+  t{i} AS (SELECT l, r FROM p{i} WHERE cnt >= {min_count}
+           ORDER BY cnt DESC, l, r LIMIT 1),
+  s{i} AS (SELECT replace(s, {needle}, {repl}) AS s, freq FROM {prev})"""
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS l_sym, r AS r_sym FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return sql + f"\nSELECT * FROM ({union})"
+
+
+@q("dp_bpe_train", _bpe_train_oracle(6))
+def dp_bpe_train(spark, sf_dir):
+    """Full BPE training, 6 merges: the corpus collapses once into the
+    (word, freq) vocab, then each merge is one explode+hash-agg job over
+    the vocab plus a single-row collect — O(1) driver traffic per round,
+    localCheckpoint'ed state. The oracle unrolls the identical 6 rounds."""
+    from nutch_spark.datapipe.tokenize import bpe_train, word_freqs
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(word_freqs(d), 6)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, l_sym string, r_sym string",
+    )

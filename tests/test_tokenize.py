@@ -1,0 +1,121 @@
+"""Unit tests for the distributed BPE tokenizer (datapipe/tokenize.py):
+hand-computed merges on tiny corpora, the self-overlap replace semantics,
+alphabet/separator safety, and the apply/train plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nutch_spark.datapipe.tokenize import (
+    SEP,
+    bpe_apply,
+    bpe_train,
+    pair_counts,
+    symbolize,
+    word_freqs,
+)
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_word_freqs_pretokenization(spark):
+    d = _docs(spark, "low lower low, low-er 42x")
+    wf = {r["word"]: r["freq"] for r in word_freqs(d).collect()}
+    # letter runs, digit runs, single marks — "42x" splits into "42" + "x"
+    assert wf == {
+        "low": 3,
+        "lower": 1,
+        ",": 1,
+        "-": 1,
+        "er": 1,
+        "42": 1,
+        "x": 1,
+    }
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    vocab = spark.createDataFrame(
+        [("ab", 3), ("abc", 2)], "word string, freq long"
+    ).select(symbolize("word").alias("s"), "freq")
+    pc = {(r["left"], r["right"]): r["cnt"] for r in pair_counts(vocab).collect()}
+    assert pc == {("a", "b"): 5, ("b", "c"): 2}
+
+
+def test_bpe_train_hand_computed(spark):
+    # classic Sennrich toy: 'aaab' x3, 'ab' x2 — first merge is the most
+    # frequent pair (a,a)=6, then (aa,ab)? recount: after (a,a):
+    # 'aa a b' x3, 'a b' x2 → pairs (aa,a)=3, (a,b)=5 → merge (a,b);
+    # then 'aa ab' x3, 'ab' x2 → (aa,ab)=3 → merge (aa,ab)
+    d = _docs(spark, "aaab aaab aaab ab ab")
+    merges = bpe_train(word_freqs(d), 3)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+
+def test_bpe_train_ties_break_lexicographically(spark):
+    # 'xy' and 'ab' both appear twice → (a,b) wins over (x,y) on the pair
+    d = _docs(spark, "xy ab xy ab")
+    merges = bpe_train(word_freqs(d), 2)
+    assert merges == [("a", "b"), ("x", "y")]
+
+
+def test_bpe_train_min_count_stops(spark):
+    d = _docs(spark, "ab ab cd")  # (c,d) appears once < min_count=2
+    merges = bpe_train(word_freqs(d), 5, min_count=2)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_apply_tokens(spark):
+    d = _docs(spark, "the thin then!")
+    out = bpe_apply(d, [("t", "h"), ("th", "e"), ("i", "n")]).collect()[0]
+    assert out["bpe_tokens"] == ["the", "th", "in", "the", "n", "!"]
+
+
+def test_self_overlap_documented_semantics(spark):
+    # declared behavior: one non-overlapping left-to-right pass — a run of
+    # four 'a' under merge (a,a) yields [aa, a, a], NOT [aa, aa]
+    d = _docs(spark, "aaaa")
+    out = bpe_apply(d, [("a", "a")]).collect()[0]
+    assert out["bpe_tokens"] == ["aa", "a", "a"]
+
+
+def test_separator_never_merges_across_symbols(spark):
+    # pair (a, b) must not fire on adjacent symbols ('xa', 'b')
+    d = _docs(spark, "xab")
+    out = bpe_apply(d, [("x", "a"), ("a", "b")]).collect()[0]
+    # (x,a) fires first → symbols [xa, b]; (a,b) must NOT match inside
+    assert out["bpe_tokens"] == ["xa", "b"]
+
+
+def test_separator_excluded_from_alphabet(spark):
+    # U+001F in the input text is dropped by the word regex, so it can
+    # never forge a symbol boundary
+    d = _docs(spark, f"a{SEP}b")
+    out = bpe_apply(d, [("a", "b")]).collect()[0]
+    assert out["bpe_tokens"] == ["a", "b"]  # NOT merged: separate words
+
+
+def test_bpe_apply_is_narrow(spark):
+    """Tokenization must stay a map-only stage: no Exchange in the plan."""
+    d = _docs(spark, "the quick brown fox")
+    plan = (
+        bpe_apply(d, [("t", "h")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_train_roundtrip_compresses(spark):
+    """Learned merges reduce token count vs character tokenization."""
+    text = "the cat and the hat and the bat " * 4
+    d = _docs(spark, text)
+    merges = bpe_train(word_freqs(d), 8)
+    assert len(merges) == 8
+    toks = bpe_apply(d, merges).select(F.size("bpe_tokens").alias("n")).collect()
+    chars = bpe_apply(d, []).select(F.size("bpe_tokens").alias("n")).collect()
+    assert toks[0]["n"] < chars[0]["n"]

@@ -99,6 +99,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # ExactSubstr spans: keyed gram aggregate + semi-join + island window —
     # never a cartesian, never a row-amplifying inner join on the gram
     "dp_substring_spans": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
+    # BPE apply: the merge chain is a pure map stage (literal replaces in
+    # codegen) — tokenization must never shuffle the corpus
+    "dp_bpe_apply": [[r"Project"], [r"Exchange", r"CartesianProduct"]],
+    # BPE pair stats: explode + partially-aggregated groupBy over the vocab
+    "dp_bpe_pair_counts": [[r"HashAggregate"], [r"CartesianProduct"]],
 }
 
 
