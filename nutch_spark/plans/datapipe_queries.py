@@ -780,9 +780,7 @@ def dp_mix_weighted(spark, sf_dir):
     return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
-@q(
-    "dp_dup_components",
-    f"""
+_DUP_COMPONENTS_ORACLE = f"""
     WITH corpus AS ({_CORPUS_SQL}),
     d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
     sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
@@ -813,8 +811,10 @@ def dp_mix_weighted(spark, sf_dir):
       SELECT id, min(lab) AS component FROM r GROUP BY id
     )
     SELECT id AS doc_id, component, id != component AS is_duplicate FROM reach
-    """,
-)
+    """
+
+
+@q("dp_dup_components", _DUP_COMPONENTS_ORACLE)
 def dp_dup_components(spark, sf_dir):
     """Duplicate-cluster construction: exact-Jaccard near-dup pairs (the
     dp_ngram_jaccard graph) collapsed into connected components by iterative
@@ -827,6 +827,21 @@ def dp_dup_components(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
     return dup_components(corpus, pairs)
+
+
+@q("dp_dup_components_star", _DUP_COMPONENTS_ORACLE)
+def dp_dup_components_star(spark, sf_dir):
+    """The same duplicate clusters via alternating large-star/small-star
+    rounds (Kiveris et al. 2014) — O(log n)-round convergence independent of
+    component diameter, the shape that survives duplication CHAINS at
+    100 TB. Certified against the identical recursive-CTE oracle as
+    dp_dup_components: both algorithms must produce byte-identical
+    components."""
+    from nutch_spark.datapipe.dedup import dup_components_star
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
+    return dup_components_star(corpus, pairs)
 
 
 # planted PII suffix (documents are word salad with no PII of their own)

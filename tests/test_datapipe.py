@@ -553,3 +553,50 @@ def test_lm_perplexity_hand_computed(spark):
     expect = (q(math.log(4) - math.log(3)) + q(math.log(3))) // 2
     assert out[1]["n_bigrams"] == 2 and out[1]["avg_nll_q"] == expect
     assert out[2]["n_bigrams"] is None  # <2 tokens: unscored, still present
+
+
+def test_dup_components_star_matches_propagation(spark):
+    """Both CC algorithms must label identically — near-clique + chain mix."""
+    from nutch_spark.datapipe.dedup import dup_components, dup_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    # a triangle {1,2,3}, a pair {10,11}, a short chain 20-21-22-23
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    a = {(r["doc_id"], r["component"], r["is_duplicate"])
+         for r in dup_components(nodes, pairs).collect()}
+    b = {(r["doc_id"], r["component"], r["is_duplicate"])
+         for r in dup_components_star(nodes, pairs).collect()}
+    assert a == b
+    assert (5, 5, False) in b  # singleton keeps itself
+    assert (23, 20, True) in b  # chain collapses to its min
+
+
+def test_dup_components_star_long_chain_logarithmic(spark):
+    """A 200-node duplication chain: label propagation needs 199 rounds
+    (diameter), large-star/small-star converges within ~log2(200) + slack —
+    the 100 TB motivation for the variant."""
+    from nutch_spark.datapipe.dedup import dup_components_star
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dup_components_star(nodes, pairs, max_iter=12).collect()
+    assert all(r["component"] == 0 for r in out)
+    assert sum(r["is_duplicate"] for r in out) == n - 1
+
+
+def test_dup_components_star_string_ids(spark):
+    from nutch_spark.datapipe.dedup import dup_components_star
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame([("b", "c"), ("c", "a")], "id_a string, id_b string")
+    got = {r["doc_id"]: r["component"] for r in
+           dup_components_star(nodes, pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
