@@ -683,3 +683,53 @@ def dup_components_star(
             (F.coalesce("lab", "id") != F.col("id")).alias("is_duplicate"),
         )
     )
+
+
+def exact_substring_removal(
+    corpus: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    n: int = 10,
+) -> DataFrame:
+    """Apply ExactSubstr spans: drop every token inside a duplicated span
+    (Lee et al. 2021 §4.1's actual treatment — the paper REMOVES the
+    duplicated substring from the training corpus, keeping the remainder).
+
+    Output: (key, kept_tokens) — the document's token array minus all
+    spans, order preserved; documents with no spans keep everything.
+
+    Policy note: this removes EVERY occurrence of duplicated text (the
+    conservative variant). The paper removes all-but-one copy; keep-one
+    needs a canonical-occurrence choice (e.g. min doc id per gram hash) —
+    a policy layer over the same spans, not a different pipeline.
+
+    Scale shape: the spans pipeline's keyed shuffles plus ONE extra
+    groupBy(key) to pack a doc's spans into an array and ONE join back to
+    the corpus — both on the same doc key. The token surgery itself is a
+    narrow per-row array filter (position-indexed lambda, codegen'd);
+    span counts per doc are small (merged maximal islands), so the
+    per-row cost is O(tokens × spans) with tiny constants, never a
+    shuffle."""
+    spans = exact_substring_spans(corpus, text=text, key=key, n=n)
+    packed = spans.groupBy(key).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = corpus.select(F.col(key), tokens(F.col(text)).alias("_toks"))
+    joined = base.join(packed, key, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+    )
+    # F.filter's second lambda arg is the 0-BASED element index; spans are
+    # 1-based [start, end) token positions
+    kept = F.filter(
+        "_toks",
+        lambda x, i: ~F.exists(
+            "_spans",
+            lambda s: (s["span_start"] <= i + 1) & (i + 1 < s["span_end"]),
+        ),
+    )
+    return joined.select(F.col(key), kept.alias("kept_tokens"))

@@ -1301,10 +1301,8 @@ def dp_url_blocklist(spark, sf_dir):
     ).select("doc_id", "url", "url_blocked")
 
 
-@q(
-    "dp_substring_spans",
-    f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+_SUBSTRING_SPANS_CTES = f"""
+    corpus AS ({_CORPUS_SQL}),
     d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
     b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 10),
     g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos FROM b),
@@ -1324,9 +1322,19 @@ def dp_url_blocklist(spark, sf_dir):
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+      FROM isl2 GROUP BY doc_id, island
     )
-    SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
-    FROM isl2 GROUP BY doc_id, island
+"""
+
+
+@q(
+    "dp_substring_spans",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES}
+    SELECT doc_id, span_start, span_end FROM spans
     """,
 )
 def dp_substring_spans(spark, sf_dir):
@@ -1338,6 +1346,47 @@ def dp_substring_spans(spark, sf_dir):
     from nutch_spark.datapipe.dedup import exact_substring_spans
 
     return exact_substring_spans(_corpus(spark, sf_dir), n=10)
+
+
+@q(
+    "dp_substring_removal",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES},
+    packed AS (
+      SELECT doc_id, list({{'span_start': span_start, 'span_end': span_end}}) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT d.doc_id,
+             list_transform(
+               list_filter(range(1, len(d.toks) + 1),
+                 i -> len(list_filter(coalesce(p.sp, []),
+                          s -> s.span_start <= i AND i < s.span_end)) = 0),
+               i -> d.toks[i]) AS kept
+      FROM d LEFT JOIN packed p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_sig
+    FROM cut
+    """,
+)
+def dp_substring_removal(spark, sf_dir):
+    """ExactSubstr dedup APPLIED (Lee et al. 2021): duplicated token spans
+    are cut out of each document, remainder preserved in order — the
+    training-corpus treatment the spans query only locates. One extra
+    doc-keyed groupBy + join over the spans pipeline; the token surgery is
+    a narrow position-indexed array filter. Token-stream identity is
+    certified via md5."""
+    from nutch_spark.datapipe.dedup import exact_substring_removal
+
+    out = exact_substring_removal(_corpus(spark, sf_dir), n=10)
+    return out.select(
+        "doc_id",
+        F.size("kept_tokens").cast("long").alias("n_kept_tokens"),
+        F.md5(F.concat_ws(" ", "kept_tokens")).alias("kept_sig"),
+    )
 
 
 @q(
@@ -1608,7 +1657,8 @@ def _bpe_apply_chain_sql(expr: str) -> str:
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-           md5(array_to_string(toks, '|')) AS tok_sig
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
+           md5(coalesce(array_to_string(toks, '|'), '')) AS tok_sig
     FROM d
     """,
 )

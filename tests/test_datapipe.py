@@ -600,3 +600,23 @@ def test_dup_components_star_string_ids(spark):
     got = {r["doc_id"]: r["component"] for r in
            dup_components_star(nodes, pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_exact_substring_removal_cuts_spans(spark):
+    from nutch_spark.datapipe.dedup import exact_substring_removal
+
+    shared = " ".join(f"w{i}" for i in range(12))  # a 12-token duplicated run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, "totally unrelated text with nothing repeated here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["kept_tokens"] for r in
+           exact_substring_removal(docs, n=10).collect()}
+    # the shared run disappears from BOTH docs; unique framing survives
+    assert out[1] == ["alpha", "beta", "gamma"]
+    assert out[2] == ["delta", "epsilon", "zeta"]
+    assert len(out[3]) == 9  # untouched
