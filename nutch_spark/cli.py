@@ -298,7 +298,7 @@ def cmd_parse(args) -> int:
         )
     else:
         parsed = parse(log, cfg=cfg)
-        parse_meta = F.create_map()
+        parse_meta = F.create_map().cast("map<string,string>")
 
     ctypes = log.select("url", "content_type")
     parse_data = (

@@ -586,12 +586,10 @@ def decontaminate(
     )
 
 
-def _resymmetrize(e: DataFrame) -> DataFrame:
-    return (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both directions of a directed edge set — narrow (no shuffle).  When
+    ``e`` is canonical (a > b, distinct) the result is dup-free too."""
+    return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
 def dup_components_star(
@@ -617,46 +615,52 @@ def dup_components_star(
     ``dup_components`` remains the cheaper default; this is the variant to
     select when cluster shapes are unknown.
 
-    Per round: one groupBy(min) + one equi-join on the node key — the SAME
-    shuffle family as label propagation, no extra exchange. Large-star
-    hangs every node's larger neighbors under its neighborhood minimum
-    (halves tall structures); small-star re-parents the smaller neighbors.
-    Convergence = edge-set fixpoint, detected by a (count, hash-sum)
-    signature harvested via ``Observation`` from the round's own
-    localCheckpoint job — no extra action, same discipline as
-    :func:`dup_components`.
+    Per round: two groupBy(min)+equi-join passes (large then small star) —
+    the same shuffle family as label propagation — and exactly ONE
+    ``distinct`` on the round's output.  The edge state is kept CANONICAL
+    (child > parent, distinct): both stars provably emit child-above-parent
+    edges (large: v > u >= m; small: m = min <= v), so only the
+    neighborhood views need symmetrizing, and that is a narrow dup-free
+    union of a canonical set with its swap.  Convergence = edge-set
+    fixpoint, detected by a (count, hash-sum) signature harvested via
+    ``Observation`` from the round's own localCheckpoint job — no extra
+    action, same discipline as :func:`dup_components`.
     """
     from pyspark.sql import Observation
 
-    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).unionByName(
-        pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (  # canonical: child (greater id) -> parent (smaller id)
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = _resymmetrize(sym).localCheckpoint(eager=True)
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
-        mins = e.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
-        joined = e.join(mins, "a")
+    def star(sym: DataFrame, large: bool) -> DataFrame:
+        """One star pass over a SYMMETRIC edge view; returns directed
+        child->parent edges (possibly with duplicates — min-aggregates
+        absorb them and the round-end distinct removes them)."""
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        joined = sym.join(mins, "a")
         if large:
             # hang strictly-larger neighbors under the neighborhood min
-            out = joined.filter(F.col("b") > F.col("a")).select(
-                F.col("b").alias("x"), F.col("m").alias("y")
+            return joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
             )
-        else:
-            # re-parent the <= neighbors (and u itself) under the min
-            out = joined.filter(F.col("b") <= F.col("a")).select(
-                F.col("b").alias("x"), F.col("m").alias("y")
-            ).unionByName(
-                mins.select(F.col("a").alias("x"), F.col("m").alias("y"))
-            )
-        return _resymmetrize(
-            out.filter(F.col("x") != F.col("y")).select(
-                F.col("x").alias("a"), F.col("y").alias("b")
-            )
+        # re-parent the <= neighbors AND u itself under the min
+        return (
+            joined.filter(F.col("b") <= F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins.select("a", F.col("m").alias("b")))
         )
 
     prev_sig = None
     for it in range(max_iter):
-        stepped = star(star(edges, large=True), large=False)
+        big = star(_symmetrize(edges), large=True)
+        small = star(_symmetrize(big), large=False)
+        stepped = small.filter(F.col("a") != F.col("b")).distinct()
         obs = Observation(f"dup_components_star_{it}")
         edges = stepped.observe(
             obs,
@@ -669,11 +673,8 @@ def dup_components_star(
             break
         prev_sig = sig
 
-    # at the fixpoint every component is a star around its min id: a node's
-    # label is the min over itself and its neighbors
-    labels = (
-        edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lab"))
-    )
+    # at the fixpoint every component is a star: child -> root(min id)
+    labels = edges.groupBy("a").agg(F.min("b").alias("lab"))
     all_nodes = nodes.select(F.col(key).alias("id")).distinct()
     return (
         all_nodes.join(labels, all_nodes["id"] == labels["a"], "left")

@@ -354,3 +354,18 @@ def test_startserver_http_roundtrip(spark):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_parse_regex_path(spark, crawl_env, tmp_path):
+    """The vectorized regex parser must produce the same segment layout."""
+    import shutil
+
+    seg2 = str(tmp_path / "seg_rx")
+    shutil.copytree(os.path.join(crawl_env["seg"], "crawl_generate"),
+                    os.path.join(seg2, "crawl_generate"))
+    shutil.copytree(os.path.join(crawl_env["seg"], "crawl_fetch"),
+                    os.path.join(seg2, "crawl_fetch"))
+    assert main(["parse", seg2, "-parser", "regex"]) == 0
+    pd_rows = spark.read.parquet(os.path.join(seg2, "parse_data")).collect()
+    assert {r["title"] for r in pd_rows} == {"page 0", "page 1"}
+    assert all(r["parse_meta"] == {} for r in pd_rows)
