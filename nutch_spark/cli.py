@@ -199,10 +199,19 @@ def cmd_inject(args) -> int:
 
 
 def cmd_generate(args) -> int:
-    """Generator.java main (usage :700-712): generate <crawldb> <segments_dir>
-    [-topN N] [-numFetchers n] [-maxCount k] [-hostdb path] [-expr jexl]."""
+    """Generator.java main (usage :1188): generate <crawldb> <segments_dir>
+    [-hostdb <hostdb>] [-topN N] [-numFetchers n] [-expr <jexl>]
+    [-maxCount k] [-maxCountExpr <jexl>].
+
+    ``-expr`` is the reference's GENERATOR_EXPR: a JEXL row FILTER over the
+    CrawlDatum (Generator.java:114,225-240), translated via jexl_to_sql;
+    ``-maxCountExpr`` is the hostdb-driven per-host quota expression
+    (generate.max.count.expr)."""
     from dataclasses import replace
 
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.jexl import jexl_to_sql
     from nutch_spark.operators.generate import generate
     from nutch_spark.schemas import CRAWLDB
 
@@ -218,7 +227,8 @@ def cmd_generate(args) -> int:
         cfg=cfg,
         num_lists=args.numFetchers,
         hostdb=hostdb,
-        max_count_expr=args.expr,
+        extra_filter=F.expr(jexl_to_sql(args.expr)) if args.expr else None,
+        max_count_expr=args.maxCountExpr,
     )
     name = args.segmentName or _new_segment_name()
     seg = os.path.join(args.segments_dir, name)
@@ -1020,6 +1030,7 @@ def cmd_crawl(args) -> int:
                 maxCount=None,
                 hostdb=None,
                 expr=None,
+                maxCountExpr=None,
                 segmentName=name,
                 **common,
             )
@@ -1102,7 +1113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-numFetchers", dest="numFetchers", type=int)
     p.add_argument("-maxCount", dest="maxCount", type=int)
     p.add_argument("-hostdb")
-    p.add_argument("-expr", help="JEXL max-count expression over hostdb fields")
+    p.add_argument("-expr", help="JEXL row filter over the CrawlDatum")
+    p.add_argument(
+        "-maxCountExpr", help="JEXL per-host quota expression over hostdb fields"
+    )
     p.add_argument("-segmentName", help="segment dir name (default: timestamp)")
     _add_D(p)
     p.set_defaults(fn=cmd_generate)

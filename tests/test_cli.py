@@ -369,3 +369,22 @@ def test_parse_regex_path(spark, crawl_env, tmp_path):
     pd_rows = spark.read.parquet(os.path.join(seg2, "parse_data")).collect()
     assert {r["title"] for r in pd_rows} == {"page 0", "page 1"}
     assert all(r["parse_meta"] == {} for r in pd_rows)
+
+
+def test_generate_jexl_expr_filter(spark, crawl_env, tmp_path):
+    """-expr is the GENERATOR_EXPR JEXL row filter (Generator.java:114)."""
+    segs = str(tmp_path / "segs")
+    assert (
+        main(
+            [
+                "generate", crawl_env["crawldb"], segs,
+                "-segmentName", "je", "-expr", "status == 'db_unfetched'",
+            ]
+        )
+        == 0
+    )
+    fl = spark.read.parquet(os.path.join(segs, "je", "crawl_generate"))
+    assert fl.count() > 0
+    assert {r["status"] for r in fl.select("status").distinct().collect()} == {
+        "db_unfetched"
+    }
