@@ -268,15 +268,31 @@ def cmd_fetch(args) -> int:
     fl = _seg_part(spark, args.segment, "crawl_generate")
     if fl is None:
         raise SystemExit(f"no crawl_generate under {args.segment}")
-    log = fetch(
-        fl,
-        cfg=_cfg(args),
-        fetch_fn=_resolve_fetch_fn(args.fetcher),
-        crawl_delay_s=args.delay,
-        threads=args.threads,
-        time_limit_s=args.timelimit * 60 if args.timelimit is not None else None,
-        max_redirects=args.redirects,
-    ).withColumn("segment_id", F.lit(os.path.basename(args.segment)))
+    if args.robots:
+        from nutch_spark.operators.robots import fetch_with_robots
+
+        log, robots_log = fetch_with_robots(
+            fl,
+            cfg=_cfg(args),
+            fetch_fn=_resolve_fetch_fn(args.fetcher),
+            agent=args.agent,
+            crawl_delay_s=args.delay,
+            threads=args.threads,
+        )
+        robots_log.write.mode("overwrite").parquet(
+            os.path.join(args.segment, "robots")
+        )
+    else:
+        log = fetch(
+            fl,
+            cfg=_cfg(args),
+            fetch_fn=_resolve_fetch_fn(args.fetcher),
+            crawl_delay_s=args.delay,
+            threads=args.threads,
+            time_limit_s=args.timelimit * 60 if args.timelimit is not None else None,
+            max_redirects=args.redirects,
+        )
+    log = log.withColumn("segment_id", F.lit(os.path.basename(args.segment)))
     log.write.mode("overwrite").parquet(os.path.join(args.segment, "crawl_fetch"))
     print(f"Fetcher: done — {os.path.join(args.segment, 'crawl_fetch')}")
     return 0
@@ -1044,6 +1060,8 @@ def cmd_crawl(args) -> int:
                 delay=args.delay,
                 timelimit=None,
                 redirects=0,
+                robots=False,
+                agent="*",
                 **common,
             )
         )
@@ -1141,6 +1159,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-delay", type=float, default=0.0, help="per-host delay (s)")
     p.add_argument("-timelimit", type=float, help="fetcher.timelimit.mins")
     p.add_argument("-redirects", type=int, default=0, help="http.redirect.max")
+    p.add_argument(
+        "-robots",
+        action="store_true",
+        help="fetch robots.txt per host first; deny + Crawl-delay enforced",
+    )
+    p.add_argument("-agent", default="*", help="robots agent name")
     _add_D(p)
     p.set_defaults(fn=cmd_fetch)
 

@@ -275,3 +275,102 @@ def apply_robots_delays(
         ),
     ).otherwise(F.col("metadata"))
     return out.withColumn("metadata", stamped).drop("_fhost", "_dhost", "_delay_s")
+
+
+def fetch_with_robots(
+    fetchlist: DataFrame,
+    *,
+    fetch_fn,
+    cfg=None,
+    agent: str = "*",
+    crawl_delay_s: float = 0.0,
+    threads: int = 1,
+    num_lists: int | None = None,
+    max_crawl_delay_s: float = 30.0,
+) -> tuple[DataFrame, DataFrame]:
+    """P4 wired into P1: the reference fetcher's in-protocol robots handling
+    (FetcherThread.java:380-400: ``!rules.isAllowed`` -> output with
+    ProtocolStatus.STATUS_ROBOTS_DENIED as STATUS_FETCH_GONE; RobotRulesParser
+    caches one ruleset per host) as a two-round fetch:
+
+    1. ONE robots.txt fetch per distinct host through the same polite
+       harness (the Spark analogue of the per-host robots cache — distinct
+       hosts are orders of magnitude fewer rows than urls).
+    2. ``filter_allowed`` drops forbidden urls (emitted as ``fetch_gone``
+       rows tagged ``_robots_denied_`` so updatedb sees the GONE
+       transition, exactly the reference's output shape), Crawl-delay
+       directives stamp ``_variableFetchDelay_`` (capped at
+       ``max_crawl_delay_s`` = fetcher.max.crawl.delay), then the surviving
+       fetchlist fetches normally.
+
+    Hosts whose robots.txt is missing or fails to fetch allow everything —
+    the reference's default posture (http.robots.403.allow=true; a 404
+    robots means no restrictions).
+
+    Returns ``(fetch_log, robots_log)``: the page log (fetched + denied
+    rows, FETCH_SCHEMA) and the robots round's own log — feed the latter to
+    ``robots_sitemaps`` for sitemap discovery.
+    """
+    from nutch_spark.config import DEFAULT
+    from nutch_spark.operators.fetcher import fetch
+
+    cfg = cfg or DEFAULT
+    hosts = (
+        fetchlist.select(
+            url_host("url").alias("host"),
+            F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1).alias(
+                "scheme"
+            ),
+            # full authority (host:port) — url_host strips the port, which
+            # must key the RULES but not the fetch URL
+            F.regexp_extract(
+                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+            ).alias("authority"),
+        )
+        .filter(F.col("host").isNotNull() & (F.col("scheme") != ""))
+        .groupBy("host")
+        .agg(F.min("scheme").alias("scheme"), F.min("authority").alias("authority"))
+    )
+    robots_fl = hosts.select(
+        F.concat("scheme", F.lit("://"), "authority", F.lit("/robots.txt")).alias(
+            "url"
+        )
+    )
+    robots_log = fetch(
+        robots_fl,
+        cfg=cfg,
+        fetch_fn=fetch_fn,
+        crawl_delay_s=crawl_delay_s,
+        threads=threads,
+        num_lists=num_lists,
+    ).localCheckpoint(eager=True)  # consumed 3x: rules, delays, caller
+
+    robots_content = robots_log.filter(
+        (F.col("status") == "fetch_success") & F.col("content").isNotNull()
+    ).select(url_host("url").alias("host"), "content")
+    rules = parse_robots(robots_content)
+    allowed = filter_allowed(fetchlist, rules, agent=agent)
+    denied = fetchlist.join(allowed.select("url"), "url", "left_anti")
+    delays = crawl_delays(robots_content)
+    stamped = apply_robots_delays(
+        allowed, delays, agent=agent, groups=rules,
+        max_crawl_delay_s=max_crawl_delay_s,
+    )
+    page_log = fetch(
+        stamped,
+        cfg=cfg,
+        fetch_fn=fetch_fn,
+        crawl_delay_s=crawl_delay_s,
+        threads=threads,
+        num_lists=num_lists,
+    )
+    denied_rows = denied.select(
+        "url",
+        F.lit("fetch_gone").alias("status"),
+        F.current_timestamp().alias("fetch_time"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.create_map(F.lit("_robots_denied_"), F.lit("1")).alias("metadata"),
+    )
+    return page_log.unionByName(denied_rows), robots_log

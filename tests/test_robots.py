@@ -166,3 +166,67 @@ def test_apply_robots_delays_exclusive_group_and_restamp(spark):
     )
     out2 = apply_robots_delays(pre, delays, agent="*").first()
     assert out2["metadata"]["_variableFetchDelay_"] == "10000"
+
+
+def test_fetch_with_robots_end_to_end(spark):
+    """P4 wired into P1 (FetcherThread.java:380-400): robots.txt fetched
+    once per host through the harness, forbidden urls emitted as
+    fetch_gone/_robots_denied_, Crawl-delay stamped, allowed pages fetched."""
+    import functools
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from nutch_spark.operators.fetcher import http_fetch_fn
+    from nutch_spark.operators.robots import fetch_with_robots, robots_sitemaps
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body = (
+                    b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+                    b"Sitemap: http://x.example.com/sitemap.xml\n"
+                )
+            elif self.path.startswith("/private/"):
+                body = b"<html><title>secret</title></html>"
+            else:
+                body = b"<html><head><title>open</title></head><body>ok</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        fl = spark.createDataFrame(
+            [(f"{base}/open.html",), (f"{base}/private/x.html",)], "url string"
+        )
+        log, robots_log = fetch_with_robots(
+            fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
+        )
+        rows = {r["url"]: r for r in log.collect()}
+        assert rows[f"{base}/open.html"]["status"] == "fetch_success"
+        denied = rows[f"{base}/private/x.html"]
+        assert denied["status"] == "fetch_gone"
+        assert denied["metadata"]["_robots_denied_"] == "1"
+        # the robots round fetched exactly one robots.txt for the host
+        from pyspark.sql import functions as F
+
+        r_rows = robots_log.collect()
+        assert len(r_rows) == 1
+        assert r_rows[0]["url"] == f"{base}/robots.txt"
+        assert "Crawl-delay: 2" in r_rows[0]["content"]
+
+        content = robots_log.filter(F.col("status") == "fetch_success").select(
+            F.lit("127.0.0.1").alias("host"), "content"
+        )
+        sm = robots_sitemaps(content).collect()
+        assert sm[0]["sitemap_url"] == "http://x.example.com/sitemap.xml"
+    finally:
+        srv.shutdown()
+        srv.server_close()
