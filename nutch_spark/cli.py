@@ -186,13 +186,26 @@ def cmd_inject(args) -> int:
     from nutch_spark.schemas import CRAWLDB
     from nutch_spark.sources.seeds import read_seeds
 
+    from nutch_spark.functions.urls import url_valid
+
     spark = _spark()
     cfg = _cfg(args)
     if args.overwrite or args.update:
         cfg = replace(cfg, inject_overwrite=args.overwrite, inject_update=args.update)
     db = _read_db(spark, args.crawldb, CRAWLDB)
     seeds = read_seeds(spark, args.url_dir)
-    out = inject(db, seeds, cfg=cfg, normalize=not args.noNormalize)
+    # the reference runs the urlfilter chain on seeds by DEFAULT
+    # (Injector.java:113-180, -noFilter disables); the validator chain here
+    # mirrors the stock regex-urlfilter posture — it admits http/https/ftp
+    # only, so file:// seed corpora need -noFilter (as they need an edited
+    # regex-urlfilter.txt in the reference)
+    out = inject(
+        db,
+        seeds,
+        cfg=cfg,
+        normalize=not args.noNormalize,
+        filter_predicate=None if args.noFilter else url_valid,
+    )
     _install(out, args.crawldb)
     print(f"Injector: done — crawldb now at {args.crawldb}")
     return 0
@@ -278,6 +291,8 @@ def cmd_fetch(args) -> int:
             agent=args.agent,
             crawl_delay_s=args.delay,
             threads=args.threads,
+            time_limit_s=args.timelimit * 60 if args.timelimit is not None else None,
+            max_redirects=args.redirects,
         )
         robots_log.write.mode("overwrite").parquet(
             os.path.join(args.segment, "robots")
@@ -959,20 +974,28 @@ def cmd_robotsparser(args) -> int:
         urls = [l.strip() for l in fh if l.strip() and not l.startswith("#")]
     # the reference tool applies ONE robots file to every test url
     # (RobotRulesParser.java main) — mirror that by registering the file
-    # under every host appearing in the url list
-    hosts = sorted({urlparse(u).netloc for u in urls if urlparse(u).netloc})
-    robots = spark.createDataFrame(
-        [(h, robots_txt) for h in hosts] or [("*", robots_txt)],
-        "host string, content string",
-    )
-    rules = parse_robots(robots)
-    fl = spark.createDataFrame([(u,) for u in urls], "url string")
-    allowed = {
-        r["url"]
-        for r in filter_allowed(fl, rules, agent=args.agent, url="url").collect()
-    }
+    # under every host appearing in the url list; urls without a parseable
+    # host (the reference's MalformedURLException branch) are reported as
+    # malformed, not silently "allowed"
+    ok_urls = [u for u in urls if urlparse(u).netloc]
+    hosts = sorted({urlparse(u).netloc for u in ok_urls})
+    rules = None
+    allowed: set[str] = set()
+    if hosts:
+        robots = spark.createDataFrame(
+            [(h, robots_txt) for h in hosts], "host string, content string"
+        )
+        rules = parse_robots(robots)
+        fl = spark.createDataFrame([(u,) for u in ok_urls], "url string")
+        allowed = {
+            r["url"]
+            for r in filter_allowed(fl, rules, agent=args.agent, url="url").collect()
+        }
     for u in urls:
-        print(("allowed:\t" if u in allowed else "forbidden:\t") + u)
+        if u not in ok_urls:
+            print("malformed:\t" + u)
+        else:
+            print(("allowed:\t" if u in allowed else "forbidden:\t") + u)
     return 0
 
 

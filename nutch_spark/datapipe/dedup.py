@@ -656,7 +656,7 @@ def dup_components_star(
             .unionByName(mins.select("a", F.col("m").alias("b")))
         )
 
-    prev_sig = None
+    prev_sig, converged = None, False
     for it in range(max_iter):
         big = star(_symmetrize(edges), large=True)
         small = star(_symmetrize(big), large=False)
@@ -670,8 +670,18 @@ def dup_components_star(
         ).localCheckpoint(eager=True)
         sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-fixpoint edge set yields INCONSISTENT labels (a child's
+        # parent may itself still have a smaller parent) — unlike label
+        # propagation's still-meaningful partial minima, so fail loudly
+        raise RuntimeError(
+            f"dup_components_star did not reach the edge-set fixpoint in "
+            f"{max_iter} rounds; raise max_iter (rounds needed ~ "
+            f"log2(largest component size))"
+        )
 
     # at the fixpoint every component is a star: child -> root(min id)
     labels = edges.groupBy("a").agg(F.min("b").alias("lab"))

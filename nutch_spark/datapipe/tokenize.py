@@ -28,12 +28,14 @@ Scale design (the part that matters at 100 TB):
 Merge semantics, precisely: symbols are joined with the U+001F unit
 separator and a merge ``(l, r)`` is the literal replacement
 ``\\x1f l \\x1f r \\x1f -> \\x1f lr \\x1f``, scanning left to right without
-overlap.  For a self-overlapping pair (``l`` == ``r``) a run of 2k symbols
-merges to ``k`` pairs EXCEPT across a just-replaced boundary
-("a a a a" -> "aa a a" in one pass, not "aa aa" — the trailing separator of
-a replacement is consumed).  This is deterministic, identical in Spark and
-DuckDB ``replace`` (verified), and declared as this tokenizer's behavior;
-reference BPE implementations differ among themselves on the same edge.
+overlap.  Because the needle and replacement both END in the separator, a
+replacement CONSUMES the boundary shared with an immediately following
+occurrence of the same pair: any directly adjacent repeat of the pair —
+"a a a a" under (a, a), but equally "t h t h" under (t, h) — merges only
+its odd occurrences in that pass ("aa a a", "th t h"), where reference BPE
+implementations would merge both.  Non-adjacent occurrences are unaffected.
+This is deterministic, identical in Spark and DuckDB ``replace``
+(verified byte-for-byte), and declared as this tokenizer's behavior.
 """
 
 from __future__ import annotations
@@ -142,12 +144,10 @@ def bpe_train(
 
 def apply_merges_to_word(word: Column, merges: list[tuple[str, str]]) -> Column:
     """word → its BPE token array under ``merges`` (applied in rank order)."""
-    s = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", "$1" + SEP))
+    s = symbolize(word)
     for left, right in merges:
-        s = F.replace(
-            s, F.lit(SEP + left + SEP + right + SEP), F.lit(SEP + left + right + SEP)
-        )
-    return F.filter(F.split(s, SEP), lambda x: x != "")
+        s = merge_expr(s, left, right)
+    return symbols_array(s)
 
 
 def bpe_apply(

@@ -287,6 +287,8 @@ def fetch_with_robots(
     threads: int = 1,
     num_lists: int | None = None,
     max_crawl_delay_s: float = 30.0,
+    time_limit_s: float | None = None,
+    max_redirects: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """P4 wired into P1: the reference fetcher's in-protocol robots handling
     (FetcherThread.java:380-400: ``!rules.isAllowed`` -> output with
@@ -363,6 +365,8 @@ def fetch_with_robots(
         crawl_delay_s=crawl_delay_s,
         threads=threads,
         num_lists=num_lists,
+        time_limit_s=time_limit_s,
+        max_redirects=max_redirects,
     )
     denied_rows = denied.select(
         "url",

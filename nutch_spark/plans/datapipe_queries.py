@@ -1579,7 +1579,7 @@ def dp_ivf_recall(spark, sf_dir):
 # corpus bytes.  Oracle parity notes: symbols are joined on chr(31) (U+001F,
 # excluded from the word alphabet) and a merge is a LITERAL left-to-right
 # non-overlapping replace — verified byte-identical between Spark `replace`
-# and DuckDB `replace`, including the self-overlapping-pair edge.
+# and DuckDB `replace`, including the adjacent-repeat boundary edge.
 # ---------------------------------------------------------------------------
 
 _BPE_WORDS_SQL = (

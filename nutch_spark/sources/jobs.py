@@ -365,7 +365,13 @@ def make_http_handler(server: "NutchServer"):
             body = {}
             length = int(self.headers.get("Content-Length") or 0)
             if length:
-                body = _json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    body = _json.loads(self.rfile.read(length) or b"{}")
+                except _json.JSONDecodeError as e:
+                    # malformed request body is the CLIENT's error (400),
+                    # not a create_config conflict (ValueError -> 409)
+                    self._send({"error": f"bad request body: {e}"}, 400)
+                    return
             try:
                 self._send(self._dispatch(method, parts, q, body))
             except (KeyError, IndexError):
@@ -377,7 +383,15 @@ def make_http_handler(server: "NutchServer"):
             if parts == ["admin"]:
                 return server.server_status()
             if parts == ["admin", "stop"]:
-                return {"stopped": server.stop_server(force=q.get("force") == "true")}
+                stopped = server.stop_server(force=q.get("force") == "true")
+                if stopped:
+                    # terminate the HTTP loop too (NutchServer.java stops
+                    # the embedded endpoint); shutdown() must run off the
+                    # handler thread or serve_forever deadlocks
+                    threading.Thread(
+                        target=self.server.shutdown, daemon=True
+                    ).start()
+                return {"stopped": stopped}
             if parts == ["config"]:
                 if method == "POST":
                     return {

@@ -50,7 +50,9 @@ def crawl_env(spark, tmp_path_factory):
     segments = os.path.join(root, "segments")
     linkdb = os.path.join(root, "linkdb")
 
-    assert main(["inject", crawldb, seeds]) == 0
+    # -noFilter: the default filter chain (like the reference's stock
+    # regex-urlfilter.txt) rejects file:// urls
+    assert main(["inject", crawldb, seeds, "-noFilter"]) == 0
     assert (
         main(
             [
@@ -388,3 +390,68 @@ def test_generate_jexl_expr_filter(spark, crawl_env, tmp_path):
     assert {r["status"] for r in fl.select("status").distinct().collect()} == {
         "db_unfetched"
     }
+
+
+def test_inject_default_filter_rejects_invalid(spark, tmp_path):
+    """Injector.java:113-180: the urlfilter chain runs on seeds by default;
+    -noFilter disables it."""
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    (seeds / "s.txt").write_text(
+        "http://good.example.com/ok\nfile:///etc/passwd\nhttp://bad host/x\n"
+    )
+    db1 = str(tmp_path / "db_filtered")
+    assert main(["inject", db1, str(seeds)]) == 0
+    urls = {r["url"] for r in spark.read.parquet(db1).collect()}
+    assert urls == {"http://good.example.com/ok"}
+
+    db2 = str(tmp_path / "db_unfiltered")
+    assert main(["inject", db2, str(seeds), "-noFilter"]) == 0
+    urls2 = {r["url"] for r in spark.read.parquet(db2).collect()}
+    assert "file:///etc/passwd" in urls2
+
+
+def test_http_server_stop_and_bad_json(spark):
+    import json as _json
+    import time
+    import urllib.error
+    import urllib.request
+
+    from nutch_spark.sources.jobs import NutchServer, serve_http
+
+    server = NutchServer(spark)
+    httpd = serve_http(server, port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        # malformed body -> 400, not a 409 config conflict
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/config",
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # /admin/stop actually terminates the serve loop
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/admin/stop"
+        ) as r:
+            assert _json.loads(r.read())["stopped"] is True
+        deadline = time.time() + 5
+        alive = True
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/admin", timeout=1
+                )
+                time.sleep(0.1)
+            except (urllib.error.URLError, ConnectionError, OSError):
+                alive = False
+                break
+        assert not alive
+    finally:
+        httpd.server_close()

@@ -620,3 +620,17 @@ def test_exact_substring_removal_cuts_spans(spark):
     assert out[1] == ["alpha", "beta", "gamma"]
     assert out[2] == ["delta", "epsilon", "zeta"]
     assert len(out[3]) == 9  # untouched
+
+
+def test_dup_components_star_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from nutch_spark.datapipe.dedup import dup_components_star
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        dup_components_star(nodes, pairs, max_iter=1)

