@@ -492,6 +492,7 @@ def exact_substring_spans(
     key: str = "doc_id",
     *,
     n: int = 10,
+    keep: str = "none",
 ) -> DataFrame:
     """ExactSubstr deduplication spans (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better" §4.1 — public paper; the
@@ -499,6 +500,11 @@ def exact_substring_spans(
     occurs more than once ANYWHERE in the corpus marks its token span, and
     overlapping/adjacent marked positions merge into maximal per-document
     removal spans.
+
+    ``keep``: "none" marks EVERY occurrence of duplicated text (the
+    conservative variant); "first" exempts each gram's canonical first
+    occurrence (min (doc, pos)) — the paper's "leave one copy" treatment,
+    so one copy of the duplicated text survives removal.
 
     Output: one row per maximal duplicated span — (key, span_start,
     span_end): 1-based token index, end EXCLUSIVE, so the span covers
@@ -511,7 +517,12 @@ def exact_substring_spans(
     repeated gram costs its occurrence count, not occurrences²) → per-doc
     gaps-and-islands window (one keyed shuffle) to merge positions into
     spans. Every stage is a bounded keyed shuffle; nothing is quadratic.
+    The keep="first" path swaps the semi-join for ONE window over the gram
+    hash (rank by (doc, pos), keep rank > 1) — same shuffle key, a hot
+    gram costs a spillable sort of its occurrence count.
     """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     toks = tokens(F.col(text))
     base = corpus.select(F.col(key), toks.alias("_toks")).filter(
         F.size("_toks") >= n
@@ -525,8 +536,17 @@ def exact_substring_spans(
             )
         ).alias("_p0", "_h"),
     ).select(key, (F.col("_p0") + 1).alias("pos"), "_h")
-    dup = grams.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
-    hits = grams.join(dup, "_h", "left_semi")
+    if keep == "first":
+        wg = Window.partitionBy("_h").orderBy(F.col(key).asc(), F.col("pos").asc())
+        ranked = grams.withColumn("_rk", F.row_number().over(wg)).withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
+        hits = ranked.filter((F.col("_cnt") >= 2) & (F.col("_rk") > 1)).select(
+            key, "pos", "_h"
+        )
+    else:
+        dup = grams.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
+        hits = grams.join(dup, "_h", "left_semi")
     w = Window.partitionBy(key).orderBy("pos")
     # two marked start positions p1 < p2 produce OVERLAPPING or ADJACENT
     # token spans whenever p2 - p1 <= n ([p1, p1+n) meets [p2, p2+n)), so
@@ -702,6 +722,7 @@ def exact_substring_removal(
     key: str = "doc_id",
     *,
     n: int = 10,
+    keep: str = "none",
 ) -> DataFrame:
     """Apply ExactSubstr spans: drop every token inside a duplicated span
     (Lee et al. 2021 §4.1's actual treatment — the paper REMOVES the
@@ -710,10 +731,9 @@ def exact_substring_removal(
     Output: (key, kept_tokens) — the document's token array minus all
     spans, order preserved; documents with no spans keep everything.
 
-    Policy note: this removes EVERY occurrence of duplicated text (the
-    conservative variant). The paper removes all-but-one copy; keep-one
-    needs a canonical-occurrence choice (e.g. min doc id per gram hash) —
-    a policy layer over the same spans, not a different pipeline.
+    ``keep="none"`` removes EVERY occurrence of duplicated text (the
+    conservative variant); ``keep="first"`` exempts each gram's canonical
+    first occurrence — the paper's "leave one copy" rule.
 
     Scale shape: the spans pipeline's keyed shuffles plus ONE extra
     groupBy(key) to pack a doc's spans into an array and ONE join back to
@@ -722,7 +742,7 @@ def exact_substring_removal(
     span counts per doc are small (merged maximal islands), so the
     per-row cost is O(tokens × spans) with tiny constants, never a
     shuffle."""
-    spans = exact_substring_spans(corpus, text=text, key=key, n=n)
+    spans = exact_substring_spans(corpus, text=text, key=key, n=n, keep=keep)
     packed = spans.groupBy(key).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

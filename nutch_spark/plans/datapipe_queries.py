@@ -1312,7 +1312,26 @@ def dp_url_blocklist(spark, sf_dir):
     ).select("doc_id", "url", "url_blocked")
 
 
-_SUBSTRING_SPANS_CTES = f"""
+def _substring_hits_sql(keep: str) -> str:
+    if keep == "first":
+        # exempt each gram's canonical first occurrence (min doc, pos) —
+        # the paper's "leave one copy" rule
+        return """
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+               count(*) OVER (PARTITION BY h) AS cnt
+        FROM g)
+      WHERE cnt >= 2 AND rk > 1
+    ),"""
+    return """
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),"""
+
+
+def _substring_spans_ctes(keep: str = "none") -> str:
+    return f"""
     corpus AS ({_CORPUS_SQL}),
     d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
     b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 10),
@@ -1320,8 +1339,7 @@ _SUBSTRING_SPANS_CTES = f"""
     g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                  md5(array_to_string(toks[pos:pos+9], ' ')) AS h
           FROM g0),
-    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    {_substring_hits_sql(keep)}
     isl AS (
       -- spans overlap/adjoin whenever start gap <= n (= 10): merge them
       SELECT doc_id, pos,
@@ -1344,7 +1362,7 @@ _SUBSTRING_SPANS_CTES = f"""
 @q(
     "dp_substring_spans",
     f"""
-    WITH {_SUBSTRING_SPANS_CTES}
+    WITH {_substring_spans_ctes()}
     SELECT doc_id, span_start, span_end FROM spans
     """,
 )
@@ -1360,9 +1378,26 @@ def dp_substring_spans(spark, sf_dir):
 
 
 @q(
+    "dp_substring_keepone",
+    f"""
+    WITH {_substring_spans_ctes("first")}
+    SELECT doc_id, span_start, span_end FROM spans
+    """,
+)
+def dp_substring_keepone(spark, sf_dir):
+    """ExactSubstr spans under the paper's "leave one copy" rule: each
+    duplicated gram's canonical first occurrence (min doc, pos) is exempt,
+    so one copy of every duplicated run survives removal. Same pipeline
+    with the semi-join swapped for one window over the gram hash."""
+    from nutch_spark.datapipe.dedup import exact_substring_spans
+
+    return exact_substring_spans(_corpus(spark, sf_dir), n=10, keep="first")
+
+
+@q(
     "dp_substring_removal",
     f"""
-    WITH {_SUBSTRING_SPANS_CTES},
+    WITH {_substring_spans_ctes()},
     packed AS (
       SELECT doc_id, list({{'span_start': span_start, 'span_end': span_end}}) AS sp
       FROM spans GROUP BY doc_id

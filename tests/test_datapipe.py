@@ -634,3 +634,18 @@ def test_dup_components_star_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="fixpoint"):
         dup_components_star(nodes, pairs, max_iter=1)
+
+
+def test_exact_substring_removal_keep_first(spark):
+    from nutch_spark.datapipe.dedup import exact_substring_removal
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"alpha {shared} beta"), (2, f"gamma {shared} delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["kept_tokens"] for r in
+           exact_substring_removal(docs, n=10, keep="first").collect()}
+    # doc 1 holds the canonical first occurrence — untouched
+    assert out[1] == ["alpha"] + shared.split() + ["beta"]
+    assert out[2] == ["gamma", "delta"]
