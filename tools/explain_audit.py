@@ -99,6 +99,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # ExactSubstr spans: keyed gram aggregate + semi-join + island window —
     # never a cartesian, never a row-amplifying inner join on the gram
     "dp_substring_spans": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
+    # span removal: the spans side keeps the semi-join; the apply is a
+    # doc-keyed join + narrow array filter — no cross product
+    "dp_substring_removal": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
+    # keep-one swaps the semi-join for ONE window on the gram hash
+    "dp_substring_keepone": [[r"Window"], [r"CartesianProduct"]],
     # BPE apply: the merge chain is a pure map stage (literal replaces in
     # codegen) — tokenization must never shuffle the corpus
     "dp_bpe_apply": [[r"Project"], [r"Exchange", r"CartesianProduct"]],
