@@ -1101,6 +1101,21 @@ def cmd_crawl(args) -> int:
         )
         cmd_invertlinks(ns(linkdb=linkdb, dir=None, segments=[seg], **common))
         cmd_dedup(ns(crawldb=crawldb, group=None, compareOrder=None, **common))
+        if args.index:
+            # bin/crawl's -i/--index: deliver each round's documents
+            # (bin/crawl:405-418 runs nutch index after dedup)
+            cmd_index(
+                ns(
+                    crawldb=crawldb,
+                    linkdb=linkdb,
+                    dir=None,
+                    segments=[seg],
+                    out=os.path.join(args.crawl_dir, "index"),
+                    writer="jsonl",
+                    deleteGone=True,
+                    **common,
+                )
+            )
     print(f"crawl finished: {args.crawl_dir}")
     return 0
 
@@ -1418,6 +1433,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("crawl_dir")
     p.add_argument("num_rounds", type=int)
     p.add_argument("-s", dest="seed_dir", help="seed dir (inject before round 1)")
+    p.add_argument(
+        "-i", "--index", action="store_true",
+        help="index each round's documents into <crawl_dir>/index",
+    )
     p.add_argument("-topN", dest="topN", type=int, default=50_000)
     p.add_argument("-threads", type=int, default=4)
     p.add_argument(

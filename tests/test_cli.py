@@ -308,7 +308,7 @@ def test_crawl_loop(spark, tmp_path):
     assert (
         main(
             [
-                "crawl", crawl_dir, "2", "-s", seeds,
+                "crawl", crawl_dir, "2", "-s", seeds, "-i",
                 "-fetcher", "synthetic", "-topN", "20",
             ]
         )
@@ -321,6 +321,9 @@ def test_crawl_loop(spark, tmp_path):
     segs = os.listdir(os.path.join(crawl_dir, "segments"))
     assert len(segs) == 2
     assert os.path.isdir(os.path.join(crawl_dir, "linkdb"))
+    # -i indexed each round's documents (bin/crawl:405-418)
+    idx = os.path.join(crawl_dir, "index")
+    assert os.listdir(idx)
 
 
 def test_startserver_http_roundtrip(spark):

@@ -122,3 +122,48 @@ def test_train_roundtrip_compresses(spark):
     toks = bpe_apply(d, merges).select(F.size("bpe_tokens").alias("n")).collect()
     chars = bpe_apply(d, []).select(F.size("bpe_tokens").alias("n")).collect()
     assert toks[0]["n"] < chars[0]["n"]
+
+
+def test_cross_engine_merge_semantics(spark):
+    """Property: the merge chain is byte-identical between Spark `replace`
+    and DuckDB `replace` for arbitrary symbol strings — the invariant the
+    dp_bpe_* oracles rest on (hypothesis over adversarial words: repeats,
+    overlaps, separator-adjacent shapes)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nutch_spark.datapipe.tokenize import apply_merges_to_word
+
+    merges = [("a", "b"), ("ab", "a"), ("b", "b"), ("abb", "ab")]
+    con = duckdb.connect()
+
+    def duck_tokens(word: str) -> list[str]:
+        expr = "chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')"
+        for left, right in merges:
+            needle = f"chr(31) || '{left}' || chr(31) || '{right}' || chr(31)"
+            repl = f"chr(31) || '{left}{right}' || chr(31)"
+            expr = f"replace({expr}, {needle}, {repl})"
+        sql = (
+            f"SELECT list_filter(string_split({expr}, chr(31)), x -> x != '') "
+            f"FROM (SELECT ? AS w)"
+        )
+        return con.execute(sql, [word]).fetchone()[0]
+
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=12),
+                    min_size=1, max_size=6))
+    @settings(max_examples=25, deadline=None)
+    def check(words):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = [
+            r["t"]
+            for r in df.select(
+                apply_merges_to_word(F.col("word"), merges).alias("t")
+            ).collect()
+        ]
+        want = [duck_tokens(w) for w in words]
+        assert got == want
+
+    check()
