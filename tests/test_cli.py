@@ -458,3 +458,22 @@ def test_http_server_stop_and_bad_json(spark):
         assert not alive
     finally:
         httpd.server_close()
+
+
+def test_generic_D_options_reach_operators(spark, crawl_env, tmp_path):
+    """Hadoop-style -D generic options flow through PROPERTY_MAP into the
+    operator configs (generate.max.count=1 caps the per-host quota)."""
+    segs = str(tmp_path / "segs")
+    assert (
+        main(
+            [
+                "generate", crawl_env["crawldb"], segs,
+                "-segmentName", "dcap",
+                "-D", "generate.max.count=1",
+            ]
+        )
+        == 0
+    )
+    fl = spark.read.parquet(os.path.join(segs, "dcap", "crawl_generate"))
+    # all urls share one file:// host -> quota of 1 row
+    assert fl.count() == 1
