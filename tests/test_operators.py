@@ -725,3 +725,42 @@ def test_slice_segments_balanced_chunks(spark):
     # deterministic: same input -> same assignment
     again = slice_segments(df, 100)
     assert out.collect() == again.collect()
+
+
+def test_update_crawldb_purge_404(spark):
+    """Port of TestCrawlDbFilter.testUrl404Purging (reference
+    src/test/org/apache/nutch/crawl/TestCrawlDbFilter.java:79-120): with
+    db.update.purge.404 on, db_gone rows drop out of the updated crawldb;
+    fetched and unfetched rows survive."""
+    from dataclasses import replace
+
+    from nutch_spark.config import DEFAULT
+    from nutch_spark.operators.updatedb import update_crawldb
+
+    db = spark.createDataFrame(
+        [
+            ("http://www.example.com", "db_gone"),
+            ("http://www.example1.com", "db_fetched"),
+            ("http://www.example2.com", "db_unfetched"),
+        ],
+        "url string, status string",
+    ).selectExpr(
+        "url", "status",
+        "CAST('2026-01-01' AS TIMESTAMP) AS fetch_time",
+        "0 AS retries", "2592000 AS fetch_interval",
+        "CAST(0.0 AS FLOAT) AS score", "CAST(NULL AS BINARY) AS signature",
+        "CAST(NULL AS TIMESTAMP) AS modified_time",
+        "map() AS metadata",
+    )
+    empty_fetch = spark.createDataFrame(
+        [],
+        "url string, status string, fetch_time timestamp, "
+        "signature binary, metadata map<string,string>",
+    )
+    cfg = replace(DEFAULT, purge_404=True)
+    out = update_crawldb(db, empty_fetch, None, cfg=cfg)
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {"http://www.example1.com", "http://www.example2.com"}
+
+    kept = update_crawldb(db, empty_fetch, None, cfg=DEFAULT)
+    assert kept.count() == 3  # purge off: gone row retained
