@@ -121,3 +121,33 @@ def train_val_test_split(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    source: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture weights from source sizes — the
+    multilingual-LM sampling rule (exponential smoothing, as published for
+    XLM/mBERT-style training: p_i ∝ (c_i / Σc)^α, α < 1 upsamples small
+    sources).
+
+    Output per source: ``n_docs``, the raw share ``p_raw``, the smoothed
+    share ``p_temp`` and ``up_factor`` = p_temp / p_raw — the number to
+    feed :func:`mixture_sample` as that source's weight (scaled by the
+    desired epoch budget).
+
+    Scale shape: ONE partial-aggregated groupBy over the corpus; every
+    window after that runs on the aggregated table, whose row count is the
+    number of SOURCES (tiny by construction), so the unpartitioned windows
+    are a few-row reduction, not a corpus sort."""
+    counts = df.groupBy(source).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    out = counts.withColumn(
+        "p_raw", F.col("n_docs") / F.sum("n_docs").over(w)
+    ).withColumn("_pa", F.pow("p_raw", F.lit(alpha)))
+    return out.withColumn(
+        "p_temp", F.col("_pa") / F.sum("_pa").over(w)
+    ).withColumn("up_factor", F.col("p_temp") / F.col("p_raw")).drop("_pa")

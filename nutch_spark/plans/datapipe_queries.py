@@ -780,6 +780,40 @@ def dp_mix_weighted(spark, sf_dir):
     return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+@q(
+    "dp_mix_temperature",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT source, n_docs,
+                 n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p_raw
+          FROM c),
+    s AS (SELECT source, n_docs, p_raw, POWER(p_raw, 0.3) AS pa FROM t)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(pa / SUM(pa) OVER (), 6) AS p_temp,
+           ROUND((pa / SUM(pa) OVER ()) / p_raw, 6) AS up_factor
+    FROM s
+    """,
+)
+def dp_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights (α = 0.3): per-source raw share,
+    smoothed share and upsampling factor — the multilingual-LM sampling
+    rule feeding mixture_sample. One corpus groupBy; every window after it
+    runs over the sources-sized aggregate. Shares rounded to 6 digits on
+    both engines for float determinism."""
+    from nutch_spark.datapipe.mixing import temperature_weights
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_weights(d, alpha=0.3)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("p_temp", 6).alias("p_temp"),
+        F.round("up_factor", 6).alias("up_factor"),
+    )
+
+
 def _dup_components_oracle(corpus_filter: str = "TRUE") -> str:
     return f"""
     WITH corpus AS ({_CORPUS_SQL}),

@@ -649,3 +649,22 @@ def test_exact_substring_removal_keep_first(spark):
     # doc 1 holds the canonical first occurrence — untouched
     assert out[1] == ["alpha"] + shared.split() + ["beta"]
     assert out[2] == ["gamma", "delta"]
+
+
+def test_temperature_weights_upsamples_small_sources(spark):
+    from nutch_spark.datapipe.mixing import temperature_weights
+
+    rows = [(i, "big") for i in range(90)] + [(i + 1000, "small") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_weights(d, alpha=0.3).collect()}
+    assert out["big"]["n_docs"] == 90 and out["small"]["n_docs"] == 10
+    assert abs(out["big"]["p_raw"] - 0.9) < 1e-9
+    # α < 1 flattens: the small source's share rises, the big one's falls
+    assert out["small"]["p_temp"] > out["small"]["p_raw"]
+    assert out["big"]["p_temp"] < out["big"]["p_raw"]
+    assert out["small"]["up_factor"] > 1 > out["big"]["up_factor"]
+    # shares stay a distribution
+    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-9
+    # α = 1 is the identity
+    ident = {r["source"]: r for r in temperature_weights(d, alpha=1.0).collect()}
+    assert abs(ident["big"]["up_factor"] - 1.0) < 1e-9
