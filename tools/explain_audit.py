@@ -109,6 +109,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_bpe_apply": [[r"Project"], [r"Exchange", r"CartesianProduct"]],
     # BPE pair stats: explode + partially-aggregated groupBy over the vocab
     "dp_bpe_pair_counts": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # temperature weights: one corpus hash-agg; windows only on the
+    # sources-sized aggregate
+    "dp_mix_temperature": [[r"HashAggregate"], [r"CartesianProduct"]],
 }
 
 
