@@ -764,3 +764,50 @@ def test_update_crawldb_purge_404(spark):
 
     kept = update_crawldb(db, empty_fetch, None, cfg=DEFAULT)
     assert kept.count() == 3  # purge off: gone row retained
+
+
+def test_linkdb_merger_reference_vectors(spark):
+    """Port of TestLinkDbMerger.testMerge (reference
+    src/test/org/apache/nutch/crawl/TestLinkDbMerger.java:46-120): merging
+    two linkdbs unions each target's inlink set; targets present in only
+    one db pass through unchanged."""
+    from dataclasses import replace
+
+    from nutch_spark.config import DEFAULT
+    from nutch_spark.operators.merge import merge_linkdbs
+
+    def ldb(entries):
+        return spark.createDataFrame(
+            [
+                (to, [{"from_url": f, "anchor": ""} for f in froms])
+                for to, froms in entries.items()
+            ],
+            "to_url string, inlinks array<struct<from_url:string,anchor:string>>",
+        )
+
+    db1 = ldb({
+        "http://example.com/foo": ["http://example.com/100", "http://example.com/101"],
+        "http://example.com/": ["http://example.com/110", "http://example.com/111"],
+    })
+    db2 = ldb({
+        "http://example.com/": ["http://foo.com/200", "http://foo.com/201"],
+        "http://example.com/bar": ["http://foo.com/210", "http://foo.com/211"],
+    })
+    out = {
+        r["to_url"]: sorted(i["from_url"] for i in r["inlinks"])
+        for r in merge_linkdbs([db1, db2]).collect()
+    }
+    assert out == {
+        "http://example.com/foo": ["http://example.com/100", "http://example.com/101"],
+        "http://example.com/": [
+            "http://example.com/110", "http://example.com/111",
+            "http://foo.com/200", "http://foo.com/201",
+        ],
+        "http://example.com/bar": ["http://foo.com/210", "http://foo.com/211"],
+    }
+
+    # the reference's companion behavior: linkdb.max.inlinks caps the
+    # merged set (LinkDbMerger.java:95-110)
+    capped = merge_linkdbs([db1, db2], cfg=replace(DEFAULT, linkdb_max_inlinks=3))
+    row = {r["to_url"]: r["inlinks"] for r in capped.collect()}
+    assert len(row["http://example.com/"]) == 3
