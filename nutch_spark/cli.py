@@ -977,8 +977,11 @@ def cmd_robotsparser(args) -> int:
     # under every host appearing in the url list; urls without a parseable
     # host (the reference's MalformedURLException branch) are reported as
     # malformed, not silently "allowed"
-    ok_urls = [u for u in urls if urlparse(u).netloc]
-    hosts = sorted({urlparse(u).netloc for u in ok_urls})
+    # key rules by urlparse().hostname (lowercased, port-stripped) — the
+    # same normalization filter_allowed's url_host applies to the test urls;
+    # raw netloc would keep ':8080'/case and never match
+    ok_urls = [u for u in urls if urlparse(u).hostname]
+    hosts = sorted({urlparse(u).hostname for u in ok_urls})
     rules = None
     allowed: set[str] = set()
     if hosts:
@@ -1053,7 +1056,7 @@ def cmd_crawl(args) -> int:
                 overwrite=False,
                 update=False,
                 noNormalize=False,
-                noFilter=False,
+                noFilter=args.noFilter,
                 **common,
             )
         )
@@ -1436,6 +1439,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-i", "--index", action="store_true",
         help="index each round's documents into <crawl_dir>/index",
+    )
+    p.add_argument(
+        "-noFilter", action="store_true",
+        help="skip the seed url filter chain (needed for file:// corpora)",
     )
     p.add_argument("-topN", dest="topN", type=int, default=50_000)
     p.add_argument("-threads", type=int, default=4)

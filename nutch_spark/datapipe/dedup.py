@@ -537,12 +537,13 @@ def exact_substring_spans(
         ).alias("_p0", "_h"),
     ).select(key, (F.col("_p0") + 1).alias("pos"), "_h")
     if keep == "first":
+        # rank > 1 already implies the gram occurs >= 2 times — no separate
+        # count window needed
         wg = Window.partitionBy("_h").orderBy(F.col(key).asc(), F.col("pos").asc())
-        ranked = grams.withColumn("_rk", F.row_number().over(wg)).withColumn(
-            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-        )
-        hits = ranked.filter((F.col("_cnt") >= 2) & (F.col("_rk") > 1)).select(
-            key, "pos", "_h"
+        hits = (
+            grams.withColumn("_rk", F.row_number().over(wg))
+            .filter(F.col("_rk") > 1)
+            .select(key, "pos", "_h")
         )
     else:
         dup = grams.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
@@ -741,7 +742,10 @@ def exact_substring_removal(
     narrow per-row array filter (position-indexed lambda, codegen'd);
     span counts per doc are small (merged maximal islands), so the
     per-row cost is O(tokens × spans) with tiny constants, never a
-    shuffle."""
+    shuffle.  Tokenization runs once per CONSUMER (the spans branch and
+    the apply branch each re-derive it from the scan) — deliberate: at
+    corpus scale, caching a tokenized copy of the data costs far more
+    memory than re-running the narrow regex stage."""
     spans = exact_substring_spans(corpus, text=text, key=key, n=n, keep=keep)
     packed = spans.groupBy(key).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")

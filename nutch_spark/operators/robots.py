@@ -331,12 +331,18 @@ def fetch_with_robots(
         )
         .filter(F.col("host").isNotNull() & (F.col("scheme") != ""))
         .groupBy("host")
-        .agg(F.min("scheme").alias("scheme"), F.min("authority").alias("authority"))
+        # ONE struct-min: scheme and authority must come from the SAME
+        # fetchlist row — independent mins could pair one row's scheme with
+        # another row's authority, probing an origin no url uses
+        .agg(F.min(F.struct("scheme", "authority")).alias("_origin"))
     )
     robots_fl = hosts.select(
-        F.concat("scheme", F.lit("://"), "authority", F.lit("/robots.txt")).alias(
-            "url"
-        )
+        F.concat(
+            F.col("_origin.scheme"),
+            F.lit("://"),
+            F.col("_origin.authority"),
+            F.lit("/robots.txt"),
+        ).alias("url")
     )
     robots_log = fetch(
         robots_fl,

@@ -1349,15 +1349,14 @@ def dp_url_blocklist(spark, sf_dir):
 def _substring_hits_sql(keep: str) -> str:
     if keep == "first":
         # exempt each gram's canonical first occurrence (min doc, pos) —
-        # the paper's "leave one copy" rule
+        # the paper's "leave one copy" rule; rk > 1 implies >= 2 occurrences
         return """
     hits AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
-               count(*) OVER (PARTITION BY h) AS cnt
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
         FROM g)
-      WHERE cnt >= 2 AND rk > 1
+      WHERE rk > 1
     ),"""
     return """
     dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),

@@ -367,7 +367,7 @@ def make_http_handler(server: "NutchServer"):
             if length:
                 try:
                     body = _json.loads(self.rfile.read(length) or b"{}")
-                except _json.JSONDecodeError as e:
+                except (_json.JSONDecodeError, UnicodeDecodeError) as e:
                     # malformed request body is the CLIENT's error (400),
                     # not a create_config conflict (ValueError -> 409)
                     self._send({"error": f"bad request body: {e}"}, 400)

@@ -283,6 +283,22 @@ def test_robotsparser(capsys, tmp_path):
     assert "forbidden:\thttp://e.com/private/page.html" in out
 
 
+def test_robotsparser_port_case_and_malformed(capsys, tmp_path):
+    """Rules must key on the normalized hostname: explicit ports and
+    uppercase hosts still match; host-less urls report as malformed."""
+    robots = tmp_path / "robots.txt"
+    robots.write_text("User-agent: *\nDisallow: /\n")
+    urls = tmp_path / "urls.txt"
+    urls.write_text(
+        "http://e.com:8080/secret\nhttp://E.com/secret\n/relative/path\n"
+    )
+    assert main(["robotsparser", str(robots), str(urls)]) == 0
+    out = capsys.readouterr().out
+    assert "forbidden:\thttp://e.com:8080/secret" in out
+    assert "forbidden:\thttp://E.com/secret" in out
+    assert "malformed:\t/relative/path" in out
+
+
 def test_showproperties(capsys):
     assert main(["showproperties", "-D", "db.fetch.retry.max=7"]) == 0
     out = capsys.readouterr().out

@@ -103,12 +103,21 @@ def test_mostly_redirects(spark):
     assert _merged_status(spark, parts) == "fetch_success"
 
 
-@pytest.mark.parametrize("expected", ["fetch_success", "fetch_gone",
-                                      "fetch_redir_temp", "fetch_redir_perm"])
+_SEQ_SEEDS = {
+    "fetch_success": 1616,
+    "fetch_gone": 1617,
+    "fetch_redir_temp": 1618,
+    "fetch_redir_perm": 1619,
+}
+
+
+@pytest.mark.parametrize("expected", sorted(_SEQ_SEEDS))
 def test_randomized_sequences(spark, expected):
     """testRandomizedSequences: any real expected status (retry/notmodified
-    excluded like the reference:131-156) survives a random middle."""
-    rng = random.Random(hash(expected) & 0xFFFF)
+    excluded like the reference:131-156) survives a random middle.  Fixed
+    per-parameter seeds — Python's salted str hash would make a failing
+    sequence unreproducible across runs."""
+    rng = random.Random(_SEQ_SEEDS[expected])
     first = rng.choice(["fetch_success", "fetch_gone"])
     assert _execute_sequence(spark, first, expected, 12, False, rng) == expected
 
