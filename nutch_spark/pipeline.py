@@ -52,17 +52,33 @@ def crawl_round(
     now: Column | None = None,
     dedup: bool = True,
     parser: str = "regex",
+    robots: bool = False,
+    robots_agent: str = "*",
 ) -> RoundResult:
     """One generate→fetch→parse→updatedb→invertlinks→dedup round.
 
     ``parser``: "regex" (vectorized JVM fast path) or "html" (tolerant
     stdlib HTMLParser with charset/base-href handling, operators/parse_html
     — the parse-html-plugin-grade path). Both produce the same parse_data
-    shape."""
+    shape.
+
+    ``robots=True`` enforces robots.txt inside the fetch step (the
+    reference fetcher's in-protocol handling): one robots fetch per host,
+    forbidden urls become fetch_gone/_robots_denied_ rows — which this
+    round's updatedb then transitions to db_gone — and Crawl-delay rides
+    the per-host variable delay. Off by default: the synthetic test
+    fetcher has no robots to fetch."""
     now = now if now is not None else F.current_timestamp()
 
     fetchlist = generate(crawldb, top_n, cfg=cfg, now=now)
-    fetch_log = fetch(fetchlist, cfg=cfg, fetch_fn=fetch_fn)
+    if robots:
+        from nutch_spark.operators.robots import fetch_with_robots
+
+        fetch_log, _robots_log = fetch_with_robots(
+            fetchlist, cfg=cfg, fetch_fn=fetch_fn, agent=robots_agent
+        )
+    else:
+        fetch_log = fetch(fetchlist, cfg=cfg, fetch_fn=fetch_fn)
     # A12 counters (the reference's per-job MR counters, NutchMetrics):
     # observe() rides the materialization below — no extra pass.
     obs = Observation("round_metrics")
@@ -113,6 +129,8 @@ def crawl(
     fetch_fn=synthetic_fetch_fn,
     now: Column | None = None,
     parser: str = "regex",
+    robots: bool = False,
+    robots_agent: str = "*",
 ) -> RoundResult:
     """inject + N rounds (bin/crawl:285-430). Returns the final state."""
     spark = seeds.sparkSession
@@ -133,6 +151,8 @@ def crawl(
             fetch_fn=fetch_fn,
             now=now,
             parser=parser,
+            robots=robots,
+            robots_agent=robots_agent,
         )
         # truncate lineage between rounds (the reference writes each round's
         # tables to disk; localCheckpoint is the in-session analogue)

@@ -374,3 +374,58 @@ def test_emit_parse_rows_drops_schemeless_outlinks(spark):
     linked = emit_parse_rows(parse_data).filter(F.col("status") == "linked").collect()
     assert [r["url"] for r in linked] == ["http://ok.com/x"]
     assert abs(linked[0]["score"] - 1.0) < 1e-6  # share over validCount=1
+
+
+def test_crawl_round_with_robots(spark):
+    """robots=True: the round's fetch enforces robots.txt and updatedb
+    transitions denied urls to db_gone in the same round."""
+    import functools
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from nutch_spark.operators.fetcher import http_fetch_fn
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.pipeline import crawl_round
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /private/\n"
+            else:
+                body = b"<html><head><title>t</title></head><body>x</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        empty = spark.createDataFrame(
+            [],
+            "url string, status string, fetch_time timestamp, retries int, "
+            "fetch_interval int, score float, signature binary, "
+            "modified_time timestamp, metadata map<string,string>",
+        )
+        seeds = spark.createDataFrame(
+            [(f"{base}/open.html", {}), (f"{base}/private/x.html", {})],
+            "url string, metadata map<string,string>",
+        )
+        db = inject(empty, seeds)
+        result = crawl_round(
+            db,
+            None,
+            fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+            robots=True,
+        )
+        statuses = {r["url"]: r["status"] for r in result.crawldb.collect()}
+        assert statuses[f"{base}/open.html"] == "db_fetched"
+        assert statuses[f"{base}/private/x.html"] == "db_gone"
+    finally:
+        srv.shutdown()
+        srv.server_close()
