@@ -984,6 +984,47 @@ def dp_int8_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# The composed cleaning pipeline: exact dedup -> quality gate -> PII scrub ->
+# benchmark decontamination, as ONE certified query. Each stage is already
+# individually certified (dp_exact_dedup / dp_quality / dp_pii_scrub /
+# dp_decontaminate); this row certifies that they COMPOSE — the actual
+# shape of a production corpus-cleaning run.
+# ---------------------------------------------------------------------------
+
+
+_PIPELINE_CLEAN_SQL_TMPL = """
+    WITH base AS ({corpus}),
+    planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || '{pii_suffix}' ELSE text END AS text
+      FROM base
+    ),
+    fp AS (SELECT doc_id, text,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
+           FROM planted),
+    dd AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
+           WHERE doc_id = canon),
+    q AS (SELECT doc_id, text, {toks} AS toks FROM dd),
+    qf AS (SELECT doc_id, text FROM q
+           WHERE len(toks) >= 10 AND len(list_distinct(toks)) / len(toks) > 0.1),
+    sc AS (SELECT doc_id, {pii_scrub} AS text FROM qf),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    bt AS (SELECT {toks} AS toks FROM bench),
+    bg AS (SELECT DISTINCT unnest({grams13}) AS gram FROM bt),
+    ct AS (SELECT doc_id, text, {toks} AS toks FROM sc),
+    cont AS (SELECT DISTINCT cg.doc_id
+             FROM (SELECT doc_id, unnest({grams13}) AS gram FROM ct) cg
+             JOIN bg USING (gram)),
+    clean AS (SELECT ct.doc_id, ct.text, ct.toks
+              FROM ct LEFT JOIN cont USING (doc_id)
+              WHERE cont.doc_id IS NULL)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, md5(text) AS clean_sig
+    FROM clean
+"""
+
+
 # 13-token grams as a DuckDB fragment (parity with dedup.shingles(n=13))
 _GRAMS13_SQL = """
   CASE WHEN len(toks) >= 13 THEN
@@ -1794,4 +1835,53 @@ def dp_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "merge_rank int, l_sym string, r_sym string",
+    )
+
+
+@q(
+    "dp_pipeline_clean",
+    _PIPELINE_CLEAN_SQL_TMPL.format(
+        corpus=_CORPUS_SQL,
+        pii_suffix=_PII_SUFFIX,
+        toks=_TOKS_SQL,
+        pii_scrub=_PII_SCRUB_SQL,
+        grams13=_GRAMS13_SQL,
+    ),
+)
+def dp_pipeline_clean(spark, sf_dir):
+    """The composed production cleaning run over the planted corpus:
+    exact dedup (drop copies) -> quality gate (>=10 tokens, >10% unique)
+    -> PII scrub -> 13-gram benchmark decontamination. Every stage reuses
+    its individually-certified operator; this row certifies the
+    COMPOSITION — output is each surviving doc's token count and an md5
+    over its scrubbed text. Plan: one fingerprint shuffle, map-only gate +
+    scrub, broadcast gram join — no stage adds a corpus self-join."""
+    from nutch_spark.datapipe.dedup import decontaminate, exact_dedup
+    from nutch_spark.datapipe.textstats import pii_scrub, tokens
+
+    corpus = _corpus(spark, sf_dir)
+    planted = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(_PII_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    dd = exact_dedup(planted).filter(~F.col("is_duplicate")).select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    qf = dd.filter(
+        (F.size(toks) >= 10)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) > 0.1)
+    )
+    sc = pii_scrub(qf).select("doc_id", F.col("text_scrubbed").alias("text"))
+    bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    verdicts = decontaminate(sc, bench)
+    clean = sc.join(
+        verdicts.filter(F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    return clean.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5("text").alias("clean_sig"),
     )

@@ -112,6 +112,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # temperature weights: one corpus hash-agg; windows only on the
     # sources-sized aggregate
     "dp_mix_temperature": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # composed cleaning pipeline: fingerprint window + broadcast gram join,
+    # never a corpus self-join
+    "dp_pipeline_clean": [[r"Window", r"BroadcastHashJoin"], [r"CartesianProduct"]],
 }
 
 
