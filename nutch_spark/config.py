@@ -87,6 +87,10 @@ class NutchConfig:
     linkrank_initial_score: float = 1.0  # link.analyze.initial.score
     webgraph_delete_gone: bool = False   # link.delete.gone
 
+    # --- indexer (IndexerMapReduce.java:66-75) --------------------------------
+    indexer_add_binary_content: bool = False  # indexer.add.binary.content
+    indexer_binary_base64: bool = False       # indexer.binary.base64
+
     # --- hostdb (conf/nutch-default.xml:2957-2974) ------------------------------
     hostdb_numeric_fields: tuple[str, ...] = ()
     hostdb_string_fields: tuple[str, ...] = ()
@@ -187,6 +191,8 @@ PROPERTY_MAP = {
     "link.analyze.damping.factor": "linkrank_damping",
     "link.analyze.initial.score": "linkrank_initial_score",
     "link.delete.gone": "webgraph_delete_gone",
+    "indexer.add.binary.content": "indexer_add_binary_content",
+    "indexer.binary.base64": "indexer_binary_base64",
 }
 
 

@@ -54,12 +54,15 @@ def indexing_join(
         "url", "title", "content_meta", "parse_meta", F.col("segment_id")
     )
     pt = parse_text.select("url", "text")
-    fl = fetch_log.select(
+    fl_cols = [
         "url",
         F.col("status").alias("fetch_status"),
         F.col("fetch_time").alias("fetched_at"),
         F.col("signature").alias("fetch_signature"),
-    )
+    ]
+    if cfg.indexer_add_binary_content and "content" in fetch_log.columns:
+        fl_cols.append(F.col("content").alias("_raw_content"))
+    fl = fetch_log.select(*fl_cols)
     db = crawldb.select(
         "url", F.col("status").alias("db_status"), "score", "signature"
     )
@@ -104,6 +107,16 @@ def indexing_join(
             "digest": F.hex(F.coalesce("signature", "fetch_signature")),
         }
     )
+    # indexer.add.binary.content (IndexerMapReduce.java:66-75 + the
+    # TestIndexerMapReduce.testBinaryContentBase64 contract): ship the raw
+    # fetched content on the document, base64-encoded when
+    # indexer.binary.base64 is set
+    if cfg.indexer_add_binary_content and "_raw_content" in out.columns:
+        raw = F.col("_raw_content").cast("binary")
+        out = out.withColumn(
+            "binary_content",
+            F.base64(raw) if cfg.indexer_binary_base64 else F.col("_raw_content"),
+        ).drop("_raw_content")
     return out
 
 

@@ -303,3 +303,52 @@ def test_rel_tag_and_cc_license_fields(spark):
     assert out[3]["license_location"] == "rdf"
     assert out[4]["license_location"] == "a"
     assert out[5]["license_url"] is None and out[5]["license_location"] is None
+
+
+def test_indexing_binary_content_base64(spark):
+    """Port of TestIndexerMapReduce.testBinaryContentBase64 (reference
+    src/test/org/apache/nutch/indexer/TestIndexerMapReduce.java:159-205):
+    with indexer.add.binary.content + indexer.binary.base64, the document
+    carries the fetched content base64-encoded and it round-trips."""
+    import base64
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import DEFAULT
+    from nutch_spark.operators.indexing import indexing_join
+
+    html = "<html><head><title>t</title></head><body>content çeský</body></html>"
+    url = "http://nutch.apache.org/"
+    fetch_log = spark.createDataFrame(
+        [(url, "fetch_success", None, None, html)],
+        "url string, status string, fetch_time timestamp, signature binary, "
+        "content string",
+    )
+    parse_data = spark.createDataFrame(
+        [(url, "s1", "t", [], {}, {})],
+        "url string, segment_id string, title string, "
+        "outlinks array<struct<to_url:string,anchor:string>>, "
+        "content_meta map<string,string>, parse_meta map<string,string>",
+    )
+    parse_text = spark.createDataFrame(
+        [(url, "s1", "content")], "url string, segment_id string, text string"
+    )
+    db = spark.createDataFrame(
+        [(url, "db_fetched", 1.0, None)],
+        "url string, status string, score float, signature binary",
+    ).withColumn("score", F.col("score").cast("float"))
+
+    cfg = replace(
+        DEFAULT, indexer_add_binary_content=True, indexer_binary_base64=True
+    )
+    doc = indexing_join(db, fetch_log, parse_data, parse_text, None, cfg=cfg).collect()[0]
+    assert base64.b64decode(doc["binary_content"]).decode("utf-8") == html
+
+    raw_cfg = replace(DEFAULT, indexer_add_binary_content=True)
+    doc2 = indexing_join(db, fetch_log, parse_data, parse_text, None, cfg=raw_cfg).collect()[0]
+    assert doc2["binary_content"] == html
+
+    # off by default: no binary_content column
+    doc3 = indexing_join(db, fetch_log, parse_data, parse_text, None).collect()[0]
+    assert "binary_content" not in doc3.asDict()
