@@ -8,6 +8,7 @@ from nutch_spark.streaming.continuous import (
     fetch_rate_windows,
     streaming_hostdb,
     streaming_dedup,
+    streaming_clean,
 )
 
-__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_dedup", "streaming_hostdb"]
+__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_hostdb"]

@@ -226,3 +226,63 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def streaming_clean(
+    docs: DataFrame,
+    benchmark_grams: list[str],
+    *,
+    text: str = "text",
+    key: str = "doc_id",
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    min_tokens: int = 10,
+    min_uniq_ratio: float = 0.1,
+) -> DataFrame:
+    """The corpus-cleaning pipeline in STREAMING form — clean documents as
+    they arrive instead of in a batch sweep (dp_pipeline_clean's streaming
+    twin; identical rules by construction, so a backfilled batch and the
+    live stream agree).
+
+    Stages, each stream-safe:
+    - quality gate + PII scrub: stateless maps (identical expressions as
+      the batch operators);
+    - exact dedup: ``dropDuplicatesWithinWatermark`` on the content
+      fingerprint — state bounded by the watermark horizon, the streaming
+      replacement for the batch fingerprint window (first-seen wins, which
+      within a watermark equals the batch min-key rule under at-once
+      arrival and is the only causal choice on a stream);
+    - decontamination: ``arrays_overlap`` against the benchmark 13-gram
+      set compiled into the plan as a literal — benchmarks are SMALL by
+      construction (same argument as batch decontaminate's broadcast), so
+      the gram set ships like a broadcast dim; no stream-stream join, no
+      unbounded state.
+
+    ``benchmark_grams``: precompute once on the static side with
+    ``dedup.shingles(text, 13)`` over the benchmark corpus and collect —
+    bounded by benchmark size, not corpus size.
+    """
+    from nutch_spark.datapipe.dedup import shingles
+    from nutch_spark.datapipe.textstats import fingerprint, pii_scrub, tokens
+
+    toks = tokens(F.col(text))
+    gated = docs.filter(
+        (F.size(toks) >= min_tokens)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) > min_uniq_ratio)
+    )
+    scrubbed = pii_scrub(gated, text).withColumn("_fp", fingerprint(F.col(text)))
+    deduped = scrubbed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        ["_fp"]
+    )
+    gram_lits = F.array(*[F.lit(g) for g in benchmark_grams]) if benchmark_grams else None
+    out = deduped
+    if gram_lits is not None:
+        out = out.filter(
+            ~F.arrays_overlap(shingles(F.col("text_scrubbed"), 13), gram_lits)
+        )
+    return out.select(
+        key,
+        ts,
+        F.col("text_scrubbed").alias("clean_text"),
+        F.size(tokens(F.col("text_scrubbed"))).alias("n_tokens"),
+    )

@@ -137,3 +137,44 @@ def test_session_windows_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["url"], r["session_start"]) for r in spark.sql("select * from sessions").collect()}
     assert got == set(by)
+
+
+def test_streaming_clean_end_to_end(spark, tmp_path):
+    """The cleaning pipeline over a REAL readStream: quality gate, PII
+    scrub, watermarked fingerprint dedup, benchmark-gram drop."""
+    from nutch_spark.datapipe.dedup import shingles
+    from nutch_spark.streaming import streaming_clean
+
+    bench_text = " ".join(f"bench{i}" for i in range(15))
+    good = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, good + " mail me at bob@example.com", T0),
+        (2, good + " mail me at bob@example.com", T0 + datetime.timedelta(minutes=1)),  # dup of 1
+        (3, "short text", T0),                                 # fails quality gate
+        (4, "repeat " * 40, T0),                               # uniq ratio too low
+        (5, f"lead {bench_text} tail " + good, T0),            # contaminated
+        (6, " ".join(f"other{i}" for i in range(25)), T0),
+    ]
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    grams = [r["g"] for r in bench.select(
+        F.explode(shingles(F.col("text"), 13)).alias("g")).collect()]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_clean(stream, grams)
+        .writeStream.format("memory")
+        .queryName("clean_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r for r in spark.sql("SELECT * FROM clean_sink").collect()}
+    assert set(out) == {1, 6} or set(out) == {2, 6}  # one of the dup pair
+    survivor = out.get(1) or out.get(2)
+    assert "<PII>" in survivor["clean_text"]          # email scrubbed
+    assert "bob@example.com" not in survivor["clean_text"]
+    assert out[6]["n_tokens"] == 25
