@@ -768,3 +768,58 @@ def exact_substring_removal(
         ),
     )
     return joined.select(F.col(key), kept.alias("kept_tokens"))
+
+
+def winnowing_containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_fp_freq: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Containment candidate pairs from winnowing fingerprints — the use
+    case the fingerprints exist for: ``containment`` = shared fingerprints
+    / the SMALLER document's fingerprint count, so a document embedded
+    inside a larger one scores ~1 even though its Jaccard is tiny (the
+    copy-inside-boilerplate case n-gram Jaccard structurally misses).
+
+    Output: (id_a, id_b, shared_fps, containment) for pairs at or above
+    ``threshold`` (containment rounded to ``round_to`` digits BEFORE the
+    threshold so the cut is engine-reproducible).
+
+    Scale shape: the same inverted-index discipline as
+    :func:`ngram_jaccard_pairs` — equi-join on the fingerprint with
+    ``max_fp_freq`` dropping ubiquitous fingerprints (boilerplate shared
+    by millions of docs must not form a quadratic bucket); sizes join on
+    the doc key. Never all-pairs.
+    """
+    fps = winnowing_fingerprints(df, text, key, k=k, window=window)
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nf"))
+    use = fps
+    if max_fp_freq:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("f"))
+        use = fps.join(freq.filter(F.col("f") <= max_fp_freq).select("fp"), "fp")
+    a, b = use.alias("a"), use.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("nf").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("nf").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared_fps") / F.least("n_a", "n_b"), round_to
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"), "containment")
+    )

@@ -1885,3 +1885,58 @@ def dp_pipeline_clean(spark, sf_dir):
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.md5("text").alias("clean_sig"),
     )
+
+
+@q(
+    "dp_winnowing_containment",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                            i -> array_to_string(t[i:i+4], ' ')) AS g
+      FROM tk
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(g, x ->
+               CAST(CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT) AS BIGINT)) AS h
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(h) < 4 THEN [list_min(h)]
+                  ELSE list_transform(range(1, len(h) - 3 + 1),
+                                      i -> list_min(h[i:i+3])) END AS m
+      FROM hashes
+    ),
+    fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM wins),
+    sizes AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
+    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+    f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keepfp USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_fps,
+           ROUND(shared / least(sa.nf, sb.nf), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(shared / least(sa.nf, sb.nf), 6) >= 0.5
+    """,
+)
+def dp_winnowing_containment(spark, sf_dir):
+    """Containment pairs from winnowing fingerprints over the planted
+    corpus: shared-fingerprint count / the smaller doc's fingerprint count,
+    the score that catches a document EMBEDDED in another (boilerplate
+    wrap, quote farms) which symmetric Jaccard structurally misses. Same
+    inverted-index + hot-key-cap discipline as dp_ngram_jaccard."""
+    from nutch_spark.datapipe.dedup import winnowing_containment_pairs
+
+    return winnowing_containment_pairs(
+        _corpus(spark, sf_dir), k=5, window=4, threshold=0.5
+    )

@@ -668,3 +668,30 @@ def test_temperature_weights_upsamples_small_sources(spark):
     # α = 1 is the identity
     ident = {r["source"]: r for r in temperature_weights(d, alpha=1.0).collect()}
     assert abs(ident["big"]["up_factor"] - 1.0) < 1e-9
+
+
+def test_winnowing_containment_catches_embedding(spark):
+    """A short document embedded inside a long one: containment ~1 while
+    symmetric Jaccard is far below any dedup threshold."""
+    from nutch_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+        winnowing_containment_pairs,
+    )
+
+    inner = " ".join(f"core{i}" for i in range(20))
+    outer = (
+        " ".join(f"pre{i}" for i in range(80))
+        + " " + inner + " "
+        + " ".join(f"post{i}" for i in range(80))
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    pairs = winnowing_containment_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["containment"] >= 0.8  # nearly all of the inner doc's fps shared
+    # symmetric Jaccard misses the same pair entirely at any usable threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []
