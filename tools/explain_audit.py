@@ -115,6 +115,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # composed cleaning pipeline: fingerprint window + broadcast gram join,
     # never a corpus self-join
     "dp_pipeline_clean": [[r"Window", r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    # containment pairs: inverted fingerprint index equi-join, capped hot
+    # keys — never all-pairs
+    "dp_winnowing_containment": [[r"HashAggregate"], [r"CartesianProduct"]],
 }
 
 
