@@ -531,7 +531,27 @@ def cmd_readdb(args) -> int:
             print(f"retry {row['retries']}:\t{row['count']}")
         print("CrawlDb statistics: done")
     elif args.dump:
-        _dump(db, args.dump, args.format)
+        # CrawlDbReader -dump filters (:1102-1122): -regex on the url,
+        # -status equality, -retry minimum, -expr JEXL over the datum,
+        # -sample deterministic fraction
+        out_df = db
+        if args.regex:
+            out_df = out_df.filter(F.col("url").rlike(args.regex))
+        if args.status:
+            out_df = out_df.filter(F.col("status") == args.status)
+        if args.retry is not None:
+            out_df = out_df.filter(F.col("retries") >= args.retry)
+        if args.expr:
+            from nutch_spark.functions.jexl import jexl_to_sql
+
+            out_df = out_df.filter(F.expr(jexl_to_sql(args.expr)))
+        if args.sample is not None:
+            # hash-deterministic sample (the f8 family), not rand(): a
+            # re-run dumps the same rows
+            out_df = out_df.filter(
+                F.abs(F.xxhash64("url")) % 10_000 < int(args.sample * 10_000)
+            )
+        _dump(out_df, args.dump, args.format)
         print(f"CrawlDb dump: {args.dump}")
     elif args.topN:
         k, out = int(args.topN[0]), args.topN[1]
@@ -1261,6 +1281,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dump", metavar="out")
     p.add_argument("-topN", nargs="+", metavar=("k", "out"))
     p.add_argument("-url")
+    p.add_argument("-regex", help="dump only urls matching the regex")
+    p.add_argument("-status", help="dump only rows with this status")
+    p.add_argument("-retry", type=int, help="dump only rows with >= N retries")
+    p.add_argument("-expr", help="JEXL filter over the CrawlDatum")
+    p.add_argument("-sample", type=float, help="deterministic sample fraction")
     _add_format(p)
     _add_D(p)
     p.set_defaults(fn=cmd_readdb)

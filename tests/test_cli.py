@@ -493,3 +493,58 @@ def test_generic_D_options_reach_operators(spark, crawl_env, tmp_path):
     fl = spark.read.parquet(os.path.join(segs, "dcap", "crawl_generate"))
     # all urls share one file:// host -> quota of 1 row
     assert fl.count() == 1
+
+
+def test_readdb_dump_filters(spark, crawl_env, tmp_path):
+    """CrawlDbReader -dump filter options (:1102-1122): -status, -regex,
+    -retry, -expr, -sample compose on the dump."""
+    out1 = str(tmp_path / "d1")
+    assert (
+        main(
+            [
+                "readdb", crawl_env["crawldb"], "-dump", out1,
+                "-format", "json", "-status", "db_fetched",
+            ]
+        )
+        == 0
+    )
+    rows = []
+    for f in os.listdir(out1):
+        if f.endswith(".json"):
+            with open(os.path.join(out1, f)) as fh:
+                rows += [json.loads(l) for l in fh if l.strip()]
+    assert rows and all(r["status"] == "db_fetched" for r in rows)
+
+    out2 = str(tmp_path / "d2")
+    assert (
+        main(
+            [
+                "readdb", crawl_env["crawldb"], "-dump", out2,
+                "-format", "json", "-regex", r"p0\.html$",
+            ]
+        )
+        == 0
+    )
+    rows2 = []
+    for f in os.listdir(out2):
+        if f.endswith(".json"):
+            with open(os.path.join(out2, f)) as fh:
+                rows2 += [json.loads(l) for l in fh if l.strip()]
+    assert len(rows2) == 1 and rows2[0]["url"].endswith("p0.html")
+
+    out3 = str(tmp_path / "d3")
+    assert (
+        main(
+            [
+                "readdb", crawl_env["crawldb"], "-dump", out3,
+                "-format", "json", "-expr", "status == 'db_unfetched'",
+            ]
+        )
+        == 0
+    )
+    rows3 = []
+    for f in os.listdir(out3):
+        if f.endswith(".json"):
+            with open(os.path.join(out3, f)) as fh:
+                rows3 += [json.loads(l) for l in fh if l.strip()]
+    assert rows3 and all(r["status"] == "db_unfetched" for r in rows3)
