@@ -572,6 +572,8 @@ def cmd_readlinkdb(args) -> int:
     spark = _spark()
     db = spark.read.parquet(args.linkdb)
     if args.dump:
+        if args.regex:  # LinkDbReader -regex (LinkDbReader.java main)
+            db = db.filter(F.col("to_url").rlike(args.regex))
         _dump(db.select("to_url", F.to_json("inlinks").alias("inlinks")), args.dump, args.format)
         print(f"LinkDb dump: {args.dump}")
     elif args.url:
@@ -1294,6 +1296,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("linkdb")
     p.add_argument("-dump", metavar="out")
     p.add_argument("-url")
+    p.add_argument("-regex", help="dump only targets matching the regex")
     _add_format(p)
     _add_D(p)
     p.set_defaults(fn=cmd_readlinkdb)
