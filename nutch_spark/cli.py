@@ -536,9 +536,12 @@ def cmd_readdb(args) -> int:
         # -sample deterministic fraction
         out_df = db
         if args.regex:
-            out_df = out_df.filter(F.col("url").rlike(args.regex))
+            # reference semantics are FULL-string match
+            # (CrawlDbReader.java:939-941 Pattern.matches), not find
+            out_df = out_df.filter(F.col("url").rlike(f"^(?:{args.regex})$"))
         if args.status:
-            out_df = out_df.filter(F.col("status") == args.status)
+            # equalsIgnoreCase (CrawlDbReader.java:933-935)
+            out_df = out_df.filter(F.lower("status") == args.status.lower())
         if args.retry is not None:
             out_df = out_df.filter(F.col("retries") >= args.retry)
         if args.expr:
@@ -546,10 +549,11 @@ def cmd_readdb(args) -> int:
 
             out_df = out_df.filter(F.expr(jexl_to_sql(args.expr)))
         if args.sample is not None:
-            # hash-deterministic sample (the f8 family), not rand(): a
-            # re-run dumps the same rows
+            # hash-deterministic sample (the f8/pmod idiom), not rand(): a
+            # re-run dumps the same rows; round() avoids float truncation
             out_df = out_df.filter(
-                F.abs(F.xxhash64("url")) % 10_000 < int(args.sample * 10_000)
+                F.pmod(F.xxhash64("url"), F.lit(10_000))
+                < round(args.sample * 10_000)
             )
         _dump(out_df, args.dump, args.format)
         print(f"CrawlDb dump: {args.dump}")
@@ -572,8 +576,8 @@ def cmd_readlinkdb(args) -> int:
     spark = _spark()
     db = spark.read.parquet(args.linkdb)
     if args.dump:
-        if args.regex:  # LinkDbReader -regex (LinkDbReader.java main)
-            db = db.filter(F.col("to_url").rlike(args.regex))
+        if args.regex:  # LinkDbReader -regex, FULL match (LinkDbReader.java:143)
+            db = db.filter(F.col("to_url").rlike(f"^(?:{args.regex})$"))
         _dump(db.select("to_url", F.to_json("inlinks").alias("inlinks")), args.dump, args.format)
         print(f"LinkDb dump: {args.dump}")
     elif args.url:

@@ -506,3 +506,20 @@ def lm_perplexity_score(
         )
     )
     return base.select(key).join(scored, key, "left")
+
+
+def quality_gate(
+    text: Column | str,
+    *,
+    min_tokens: int = 10,
+    min_uniq_ratio: float = 0.1,
+) -> Column:
+    """The minimal keep/drop quality predicate shared by the batch cleaning
+    pipeline (dp_pipeline_clean) and its streaming twin (streaming_clean):
+    at least ``min_tokens`` word tokens and a unique-token ratio above
+    ``min_uniq_ratio``.  ONE definition so a backfilled batch and the live
+    stream cannot silently diverge when the gate is tuned."""
+    toks = tokens(F.col(text) if isinstance(text, str) else text)
+    return (F.size(toks) >= min_tokens) & (
+        (F.size(F.array_distinct(toks)) / F.size(toks)) > min_uniq_ratio
+    )

@@ -1857,7 +1857,7 @@ def dp_pipeline_clean(spark, sf_dir):
     over its scrubbed text. Plan: one fingerprint shuffle, map-only gate +
     scrub, broadcast gram join — no stage adds a corpus self-join."""
     from nutch_spark.datapipe.dedup import decontaminate, exact_dedup
-    from nutch_spark.datapipe.textstats import pii_scrub, tokens
+    from nutch_spark.datapipe.textstats import pii_scrub, quality_gate, tokens
 
     corpus = _corpus(spark, sf_dir)
     planted = corpus.withColumn(
@@ -1867,11 +1867,7 @@ def dp_pipeline_clean(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     dd = exact_dedup(planted).filter(~F.col("is_duplicate")).select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    qf = dd.filter(
-        (F.size(toks) >= 10)
-        & ((F.size(F.array_distinct(toks)) / F.size(toks)) > 0.1)
-    )
+    qf = dd.filter(quality_gate("text", min_tokens=10, min_uniq_ratio=0.1))
     sc = pii_scrub(qf).select("doc_id", F.col("text_scrubbed").alias("text"))
     bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
     verdicts = decontaminate(sc, bench)

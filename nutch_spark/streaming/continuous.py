@@ -263,12 +263,15 @@ def streaming_clean(
     bounded by benchmark size, not corpus size.
     """
     from nutch_spark.datapipe.dedup import shingles
-    from nutch_spark.datapipe.textstats import fingerprint, pii_scrub, tokens
+    from nutch_spark.datapipe.textstats import (
+        fingerprint,
+        pii_scrub,
+        quality_gate,
+        tokens,
+    )
 
-    toks = tokens(F.col(text))
     gated = docs.filter(
-        (F.size(toks) >= min_tokens)
-        & ((F.size(F.array_distinct(toks)) / F.size(toks)) > min_uniq_ratio)
+        quality_gate(text, min_tokens=min_tokens, min_uniq_ratio=min_uniq_ratio)
     )
     scrubbed = pii_scrub(gated, text).withColumn("_fp", fingerprint(F.col(text)))
     deduped = scrubbed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(

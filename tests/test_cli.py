@@ -520,7 +520,7 @@ def test_readdb_dump_filters(spark, crawl_env, tmp_path):
         main(
             [
                 "readdb", crawl_env["crawldb"], "-dump", out2,
-                "-format", "json", "-regex", r"p0\.html$",
+                "-format", "json", "-regex", r".*p0\.html",
             ]
         )
         == 0
