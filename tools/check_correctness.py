@@ -74,6 +74,7 @@ def main() -> None:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
+    results = {}  # name -> {status, rows, hash} (CERT_OUT json artifact)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,10 +84,12 @@ def main() -> None:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
+            results[name] = {"status": "FAIL", "error": f"spark: {ex}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
+            results[name] = {"status": "ROWS_ONLY", "rows": len(s_rows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -94,6 +97,7 @@ def main() -> None:
             d_rows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
+            results[name] = {"status": "FAIL", "error": f"duckdb: {ex}"}
             n_fail += 1
             continue
         problems = []
@@ -107,11 +111,37 @@ def main() -> None:
                 problems.append(f"hash {sh} vs {dh}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            results[name] = {"status": "FAIL", "error": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
+            results[name] = {
+                "status": "PASS",
+                "rows": len(s_rows),
+                "value_hash": value_hash(s_cols, s_rows),
+            }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    cert_out = os.environ.get("CERT_OUT")
+    if cert_out:
+        import json
+        import time
+
+        with open(cert_out, "w") as fh:
+            json.dump(
+                {
+                    "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "sf_dir": sf_dir,
+                    "strict_floats": STRICT_FLOATS,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {cert_out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
