@@ -485,13 +485,20 @@ def fetch(
         last_hit: dict[str, float] = {}  # persists across batches
 
         def fetch_one(url: str) -> dict:
+            _t0 = time.monotonic()
             res = fetch_fn(url)
+            _latency_ms = int((time.monotonic() - _t0) * 1000)
             if isinstance(res, dict):  # rich protocol result (http_fetch_fn)
                 status, content = res["status"], res.get("content")
                 ctype, meta = res.get("content_type"), dict(res.get("metadata") or {})
             else:  # legacy (status, content) tuple
                 status, content = res
                 ctype, meta = None, {}
+            # per-fetch latency (NutchMetrics LatencyTracker,
+            # TestFetcherReducer.java — percentile counters over fetch
+            # times); rides metadata so stats.fetch_latency_stats can
+            # aggregate without a new column in FETCH_SCHEMA
+            meta["_latency_ms_"] = str(_latency_ms)
             if content is not None and content_limit >= 0:
                 # http.content.limit is a BYTE cap — measure and cut in
                 # utf-8 bytes, never characters (a CJK page is ~3x its

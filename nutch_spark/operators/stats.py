@@ -157,3 +157,28 @@ def group_stats(
     for p in percentiles:
         aggs.append(F.expr(f"percentile({numeric}, {p})").alias(f"pct{int(p * 100)}_{numeric}"))
     return df.groupBy(g.alias(group_alias)).agg(*aggs)
+
+
+def fetch_latency_stats(
+    fetch_log: DataFrame,
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Fetch-latency percentiles per status (the reference's
+    NutchMetrics/LatencyTracker counters, TestFetcherReducer.java): each
+    fetch stamps ``_latency_ms_`` into its metadata; this aggregates the
+    mergeable percentile sketch over it — one partial-aggregated groupBy,
+    the 100 TB path (exact percentile would sort the world)."""
+    lat = F.element_at("metadata", "_latency_ms_").cast("long")
+    return (
+        fetch_log.filter(lat.isNotNull())
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(lat).alias("avg_ms"),
+            F.max(lat).alias("max_ms"),
+            F.percentile_approx(lat, list(percentiles), 10_000).alias(
+                "percentiles_ms"
+            ),
+        )
+    )

@@ -429,3 +429,31 @@ def test_crawl_round_with_robots(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_fetch_latency_tracking(spark):
+    """Port of the TestFetcherReducer latency-counter contract: every fetch
+    stamps its latency; percentiles aggregate per status."""
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+    from nutch_spark.operators.stats import fetch_latency_stats
+
+    def slow(url):
+        _time.sleep(0.12)
+        return "fetch_success", "x"
+
+    fl = spark.createDataFrame(
+        [(f"http://h{i}.com/p",) for i in range(4)], "url string"
+    )
+    log = fetch(fl, fetch_fn=slow, num_lists=1)
+    rows = log.collect()
+    lats = [int(r["metadata"]["_latency_ms_"]) for r in rows]
+    assert all(lat >= 110 for lat in lats)  # ~120ms each
+
+    stats = {r["status"]: r for r in fetch_latency_stats(log).collect()}
+    s = stats["fetch_success"]
+    assert s["n"] == 4
+    assert s["avg_ms"] >= 110
+    assert len(s["percentiles_ms"]) == 4
+    assert all(p >= 110 for p in s["percentiles_ms"])
