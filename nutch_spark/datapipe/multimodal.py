@@ -144,3 +144,127 @@ def binary_metadata(
         dig.alias("md5_hex"),
         sniff.alias("sniffed_type"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def _resize_image_bytes(
+    payload: bytes, width: int, height: int
+) -> tuple[int, int, bytes]:
+    """STUB resize: deterministic fake — source dims from the decode stub,
+    output bytes = a tagged digest of (payload, target dims). Production:
+    PIL `Image.open(...).resize((width, height))` + re-encode; the
+    signature (payload, w, h) -> (src_w, src_h, resized_bytes) is the
+    injection contract."""
+    if payload is None:
+        raise NotImplementedError("real image resizing requires PIL/libvips")
+    src_w, src_h, _ = _decode_image_bytes(payload)
+    tag = f"resized:{width}x{height}:".encode()
+    return src_w, src_h, tag + hashlib.sha256(payload).digest()
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    *,
+    batch_partitions: int | None = None,
+    resizer=None,
+) -> DataFrame:
+    """Batch image resize over the binary payload column — the same
+    mapInPandas slot as ``extract_image_features`` (Arrow batches, narrow,
+    one Python invocation per batch). ``resizer`` injects a real library:
+    ``(payload, w, h) -> (src_w, src_h, resized_bytes)``."""
+    do_resize = resizer or _resize_image_bytes
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                sw, sh, out = do_resize(raw, width, height)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "src_width": sw,
+                        "src_height": sh,
+                        "width": width,
+                        "height": height,
+                        "resized": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    src = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(_run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.FloatType(), True),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
+    """STUB audio decode: deterministic fake (sample_rate, duration,
+    13-dim mfcc-like vector). Production: soundfile/librosa — signature
+    ``payload -> (sample_rate, duration_s, mfcc_list)``."""
+    if payload is None:
+        raise NotImplementedError("real audio decoding requires soundfile/librosa")
+    digest = hashlib.sha256(b"audio:" + payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    duration = round(0.5 + digest[1] / 16.0, 3)
+    mfcc = [round(b / 127.5 - 1.0, 6) for b in digest[2:15]]
+    return sample_rate, duration, mfcc
+
+
+def extract_audio_features(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    decoder=None,
+) -> DataFrame:
+    """Audio feature extraction over the binary payload — identical Arrow
+    plumbing to the image path; ``decoder`` injects a real audio library."""
+    decode = decoder or _decode_audio_bytes
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                sr, dur, mfcc = decode(raw)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(raw),
+                        "sample_rate": sr,
+                        "duration_s": dur,
+                        "mfcc": mfcc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(_run, AUDIO_FEATURES_SCHEMA)

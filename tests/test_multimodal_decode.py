@@ -80,3 +80,63 @@ def test_default_stub_still_deterministic(spark):
     assert a == b
     assert 64 <= a["width"] < 256 and 64 <= a["height"] < 256
     assert len(a["feature"]) == 8
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+        "meta map<string,string>"
+    )
+
+
+def test_resize_images_plumbing_and_injection(spark):
+    from nutch_spark.datapipe.multimodal import resize_images
+
+    media = _media(
+        spark,
+        [
+            (1, "image", b"\xff\xd8\xffjpegbytes", {}),
+            (2, "audio", b"wavbytes", {}),  # filtered out
+        ],
+    )
+    out = resize_images(media, 224, 224).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (224, 224)
+    assert r["resized"].startswith(b"resized:224x224:")
+    assert r["src_width"] >= 64  # from the decode stub
+
+    # injectable real resizer slots in without plan/schema changes
+    def fake_resizer(payload, w, h):
+        return 640, 480, b"REAL" + payload[:4]
+
+    out2 = resize_images(media, 32, 32, resizer=fake_resizer).collect()[0]
+    assert (out2["src_width"], out2["src_height"]) == (640, 480)
+    assert out2["resized"] == b"REAL\xff\xd8\xffj"
+
+
+def test_extract_audio_features_deterministic(spark):
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    media = _media(
+        spark,
+        [
+            (1, "audio", b"first clip", {}),
+            (2, "audio", b"second clip", {}),
+            (3, "image", b"not audio", {}),
+        ],
+    )
+    a = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(a) == {1, 2}
+    assert a[1]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert len(a[1]["mfcc"]) == 13
+    assert a[1]["duration_s"] > 0
+    # determinism: same bytes, same features
+    b = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert a[1]["mfcc"] == b[1]["mfcc"]
+
+    def fake_decoder(payload):
+        return 48000, 1.5, [0.0] * 13
+
+    c = extract_audio_features(media, decoder=fake_decoder).collect()[0]
+    assert c["sample_rate"] == 48000 and c["duration_s"] == 1.5
