@@ -1936,3 +1936,41 @@ def dp_winnowing_containment(spark, sf_dir):
     return winnowing_containment_pairs(
         _corpus(spark, sf_dir), k=5, window=4, threshold=0.5
     )
+
+
+@q(
+    "mm_frame_samples",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+             -- deterministic planted duration: 1..120 seconds
+             1 + (doc_id * 37) % 120 AS duration_s
+      FROM documents
+    )
+    SELECT media_id, CAST(unnest(range(0, greatest(duration_s - 1, 0) + 1, 10)) AS BIGINT) AS frame_ts
+    FROM media WHERE media_type = 'video'
+    """,
+)
+def mm_frame_samples(spark, sf_dir):
+    """Video frame-sampling plan: one row per (media_id, frame_ts) every
+    10 s of planted duration metadata — the decode-free half of frame
+    sampling (the decode itself is the injectable mapInPandas stub).
+    Narrow explode of an arithmetic sequence; frame counts are bounded by
+    duration/stride, never by payload bytes."""
+    from nutch_spark.datapipe.multimodal import frame_sample_plan
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias(
+            "media_type"
+        ),
+        F.create_map(
+            F.lit("duration_s"),
+            (1 + (F.col("doc_id") * 37) % 120).cast("string"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n_seconds=10).select(
+        "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
+    )
