@@ -18,7 +18,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # registration order.
 _CERTIFY_FIRST = [
     # new this round — never seen by any driver sample
-    "mm_frame_samples", "dp_winnowing_containment", "dp_pipeline_clean", "dp_mix_temperature", "dp_substring_keepone", "dp_substring_removal", "dp_dup_components_star", "dp_bpe_train", "dp_bpe_apply", "dp_bpe_pair_counts",
+    "dp_shard_balance", "mm_frame_samples", "dp_winnowing_containment", "dp_pipeline_clean", "dp_mix_temperature", "dp_substring_keepone", "dp_substring_removal", "dp_dup_components_star", "dp_bpe_train", "dp_bpe_apply", "dp_bpe_pair_counts",
     "pf_regex_fields", "pf_nb_classify", "p2_doc_extract", "dp_semantic_dedup", "dp_lm_perplexity", "dp_ivf_recall",
     "p2_metatags", "p2_js_outlinks",
     # never in any CORRECTNESS_r0*.json sample

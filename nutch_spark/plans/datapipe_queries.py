@@ -1974,3 +1974,35 @@ def mm_frame_samples(spark, sf_dir):
     return frame_sample_plan(media, every_n_seconds=10).select(
         "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
     )
+
+
+@q(
+    "dp_shard_balance",
+    """
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 16 AS INT) AS INT) AS shard,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS w
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_weight
+    FROM sharded GROUP BY shard
+    """,
+)
+def dp_shard_balance(spark, sf_dir):
+    """Deterministic output sharding (16 hash shards) with the balance
+    report: per-shard doc count and token-weight sum. Hash assignment is
+    ZERO-shuffle (the write's partitionBy does the only exchange) and any
+    reader recomputes a doc's shard from its key alone; balance follows
+    from the law of large numbers rather than a global-rank bin-pack that
+    cannot scale."""
+    from nutch_spark.datapipe.mixing import shard_balance
+    from nutch_spark.datapipe.textstats import tokens
+
+    d = t(spark, sf_dir, "documents")
+    return shard_balance(
+        d.withColumn("w", F.size(tokens(F.col("text"))).cast("long")),
+        16,
+        weight="w",
+    ).select("shard", "n_docs", F.col("total_weight").cast("long").alias("total_weight"))

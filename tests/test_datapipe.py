@@ -695,3 +695,19 @@ def test_winnowing_containment_catches_embedding(spark):
     # symmetric Jaccard misses the same pair entirely at any usable threshold
     jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []
+
+
+def test_shard_assignment_balanced_and_stable(spark):
+    from nutch_spark.datapipe.mixing import assign_shards, shard_balance
+
+    d = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    bal = {r["shard"]: r["n_docs"] for r in shard_balance(d, 8).collect()}
+    assert set(bal) == set(range(8))
+    # law-of-large-numbers balance: each shard within ~25% of the mean
+    assert max(bal.values()) < 1.25 * 500 and min(bal.values()) > 0.75 * 500
+    # stability: a doc's shard never depends on the rest of the corpus
+    one = assign_shards(
+        spark.createDataFrame([(42,)], "doc_id long"), 8
+    ).collect()[0]["shard"]
+    full = {r["doc_id"]: r["shard"] for r in assign_shards(d, 8).collect()}
+    assert full[42] == one
