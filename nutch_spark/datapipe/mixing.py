@@ -15,9 +15,24 @@ pushed below the explode. The corpus is never shuffled at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+
+def _hash_bucket(key: Column, salt: str, mod: int) -> Column:
+    """Deterministic md5 bucket shared by mixing/splitting/sharding — ONE
+    definition so the three mappings (and their DuckDB twins:
+    CAST('0x'||substr(md5(salt||key),1,15) AS UBIGINT) % mod) cannot
+    silently diverge."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        % mod
+    ).cast("int")
 
 
 def mixture_sample(
@@ -43,10 +58,7 @@ def mixture_sample(
     wdf = spark.createDataFrame(rows, f"{source} string, _full int, _frac_bp int")
     # 4-digit decimal bucket from the first 15 md5 hex chars (same value as
     # the DuckDB twin CAST('0x'||substr(md5(x),1,15) AS UBIGINT) % 10000).
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15), 16, 10)
-        .cast("decimal(20,0)") % 10000
-    ).cast("int")
+    bucket = _hash_bucket(F.col(key), salt, 10000)
     epochs = F.col("_full") + F.when(bucket < F.col("_frac_bp"), 1).otherwise(0)
     return (
         df.join(broadcast(wdf), source)
@@ -104,16 +116,7 @@ def train_val_test_split(
     (basis points: default 90/5/5). Reproducible and shardable — the split
     of a document never changes as the corpus grows, so eval sets stay
     stable across dataset versions. Map-only, no shuffle."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("decimal(20,0)")
-        % 10000
-    ).cast("int")
+    bucket = _hash_bucket(F.col(key), salt, 10000)
     train_bp = 10000 - val_bp - test_bp
     split = (
         F.when(bucket < train_bp, "train")
@@ -170,17 +173,7 @@ def assign_shards(
     exchange), and any reader can recompute a doc's shard from its key
     alone. md5-based like every other engine hash, so the oracle and any
     other system agree on the mapping."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("decimal(20,0)")
-        % n_shards
-    ).cast("int")
-    return df.withColumn("shard", bucket)
+    return df.withColumn("shard", _hash_bucket(F.col(key), salt, n_shards))
 
 
 def shard_balance(
@@ -198,4 +191,14 @@ def shard_balance(
     if weight is not None:
         w = F.col(weight) if isinstance(weight, str) else weight
         aggs.append(F.sum(w).alias("total_weight"))
-    return sharded.groupBy("shard").agg(*aggs)
+    got = sharded.groupBy("shard").agg(*aggs)
+    # EMPTY shards are exactly what a balance check must surface — a plain
+    # groupBy would silently omit them
+    spark = df.sparkSession
+    all_shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    out = all_shards.join(got, "shard", "left").withColumn(
+        "n_docs", F.coalesce("n_docs", F.lit(0))
+    )
+    if weight is not None:
+        out = out.withColumn("total_weight", F.coalesce("total_weight", F.lit(0)))
+    return out

@@ -44,6 +44,39 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _map_media(
+    media: DataFrame,
+    media_type: str | None,
+    schema: T.StructType,
+    row_fn,
+    null_row_fn,
+    batch_partitions: int | None,
+) -> DataFrame:
+    """Shared Arrow mapInPandas plumbing for every media stage: optional
+    media_type filter, (media_id, payload) projection, per-batch loop with
+    the NULL-payload short-circuit (missing media yields the stage's null
+    row — a decoder never sees b''). One definition so batch handling and
+    the null policy cannot diverge across image/audio/resize."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(null_row_fn(media_id))
+                else:
+                    rows.append(row_fn(media_id, bytes(payload)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = media
+    if media_type is not None:
+        src = src.filter(F.col("media_type") == media_type)
+    src = src.select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(_run, schema)
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode: deterministic fake (width, height, 8-dim feature).
 
@@ -75,28 +108,30 @@ def extract_image_features(
     """
     decode = decoder or _decode_image_bytes
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                w, h, feat = decode(raw)
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "n_bytes": len(raw),
-                        "sha1": hashlib.sha1(raw).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+    def row(media_id, raw):
+        w, h, feat = decode(raw)
+        return {
+            "media_id": media_id,
+            "n_bytes": len(raw),
+            "sha1": hashlib.sha1(raw).hexdigest(),
+            "width": w,
+            "height": h,
+            "feature": feat,
+        }
 
-    src = media.select("media_id", "payload")
-    if batch_partitions:
-        src = src.repartition(batch_partitions)
-    return src.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "n_bytes": 0,
+            "sha1": None,
+            "width": None,
+            "height": None,
+            "feature": None,
+        }
+
+    return _map_media(
+        media, None, IMAGE_FEATURES_SCHEMA, row, null_row, batch_partitions
+    )
 
 
 def frame_sample_plan(media: DataFrame, *, every_n_seconds: int = 10) -> DataFrame:
@@ -187,28 +222,30 @@ def resize_images(
     ``(payload, w, h) -> (src_w, src_h, resized_bytes)``."""
     do_resize = resizer or _resize_image_bytes
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                sw, sh, out = do_resize(raw, width, height)
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "src_width": sw,
-                        "src_height": sh,
-                        "width": width,
-                        "height": height,
-                        "resized": out,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+    def row(media_id, raw):
+        sw, sh, out = do_resize(raw, width, height)
+        return {
+            "media_id": media_id,
+            "src_width": sw,
+            "src_height": sh,
+            "width": width,
+            "height": height,
+            "resized": out,
+        }
 
-    src = media.filter(F.col("media_type") == "image").select("media_id", "payload")
-    if batch_partitions:
-        src = src.repartition(batch_partitions)
-    return src.mapInPandas(_run, RESIZED_SCHEMA)
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "src_width": None,
+            "src_height": None,
+            "width": width,
+            "height": height,
+            "resized": None,
+        }
+
+    return _map_media(
+        media, "image", RESIZED_SCHEMA, row, null_row, batch_partitions
+    )
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -245,26 +282,25 @@ def extract_audio_features(
     plumbing to the image path; ``decoder`` injects a real audio library."""
     decode = decoder or _decode_audio_bytes
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                sr, dur, mfcc = decode(raw)
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "n_bytes": len(raw),
-                        "sample_rate": sr,
-                        "duration_s": dur,
-                        "mfcc": mfcc,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
-            )
+    def row(media_id, raw):
+        sr, dur, mfcc = decode(raw)
+        return {
+            "media_id": media_id,
+            "n_bytes": len(raw),
+            "sample_rate": sr,
+            "duration_s": dur,
+            "mfcc": mfcc,
+        }
 
-    src = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
-    if batch_partitions:
-        src = src.repartition(batch_partitions)
-    return src.mapInPandas(_run, AUDIO_FEATURES_SCHEMA)
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "n_bytes": 0,
+            "sample_rate": None,
+            "duration_s": None,
+            "mfcc": None,
+        }
+
+    return _map_media(
+        media, "audio", AUDIO_FEATURES_SCHEMA, row, null_row, batch_partitions
+    )

@@ -170,15 +170,15 @@ def fetch_latency_stats(
     mergeable percentile sketch over it — one partial-aggregated groupBy,
     the 100 TB path (exact percentile would sort the world)."""
     lat = F.element_at("metadata", "_latency_ms_").cast("long")
-    return (
-        fetch_log.filter(lat.isNotNull())
-        .groupBy("status")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(lat).alias("avg_ms"),
-            F.max(lat).alias("max_ms"),
-            F.percentile_approx(lat, list(percentiles), 10_000).alias(
-                "percentiles_ms"
-            ),
-        )
+    return fetch_log.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # rows without a latency stamp (queue purges emit retry rows
+        # without fetching; pre-upgrade logs) are REPORTED, not silently
+        # dropped — n_timed < n_rows flags them
+        F.count(lat).alias("n_timed"),
+        F.avg(lat).alias("avg_ms"),
+        F.max(lat).alias("max_ms"),
+        F.percentile_approx(lat, list(percentiles), 10_000).alias(
+            "percentiles_ms"
+        ),
     )

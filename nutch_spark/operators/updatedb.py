@@ -410,7 +410,13 @@ def update_crawldb(
         score.alias("score"),
         signature.alias("signature"),
         modified_time.alias("modified_time"),
-        F.coalesce(F.col("u.fetch_metadata"), F.col("db.metadata")).alias("metadata"),
+        # per-fetch wall-clock bookkeeping (_latency_ms_) is a REPORT input
+        # (stats.fetch_latency_stats), not crawl state: persisting it would
+        # make two byte-identical rounds produce differing crawldbs
+        F.map_filter(
+            F.coalesce(F.col("u.fetch_metadata"), F.col("db.metadata")),
+            lambda k, _v: k != "_latency_ms_",
+        ).alias("metadata"),
     )
     if cfg.purge_404:
         out = out.filter(F.col("status") != "db_gone")

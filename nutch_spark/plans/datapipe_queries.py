@@ -1985,9 +1985,14 @@ def mm_frame_samples(spark, sf_dir):
              len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS w
       FROM documents
     )
-    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(w) AS BIGINT) AS total_weight
-    FROM sharded GROUP BY shard
+    , agg AS (
+      SELECT shard, count(*) AS n_docs, sum(w) AS total_weight
+      FROM sharded GROUP BY shard
+    )
+    SELECT CAST(g.range AS INT) AS shard,
+           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(a.total_weight, 0) AS BIGINT) AS total_weight
+    FROM range(16) g LEFT JOIN agg a ON a.shard = g.range
     """,
 )
 def dp_shard_balance(spark, sf_dir):

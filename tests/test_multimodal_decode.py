@@ -140,3 +140,27 @@ def test_extract_audio_features_deterministic(spark):
 
     c = extract_audio_features(media, decoder=fake_decoder).collect()[0]
     assert c["sample_rate"] == 48000 and c["duration_s"] == 1.5
+
+
+def test_null_payload_yields_null_features(spark):
+    """Missing media must yield NULL feature columns — never fabricated
+    values from decoding b''."""
+    from nutch_spark.datapipe.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+    )
+
+    media = _media(
+        spark,
+        [(1, "image", None, {}), (2, "audio", None, {}), (3, "image", b"x", {})],
+    )
+    img = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert img[1]["feature"] is None and img[1]["sha1"] is None
+    assert img[3]["feature"] is not None
+
+    rs = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert rs[1]["resized"] is None and rs[3]["resized"] is not None
+
+    au = extract_audio_features(media).collect()[0]
+    assert au["mfcc"] is None and au["sample_rate"] is None

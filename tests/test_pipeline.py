@@ -453,7 +453,7 @@ def test_fetch_latency_tracking(spark):
 
     stats = {r["status"]: r for r in fetch_latency_stats(log).collect()}
     s = stats["fetch_success"]
-    assert s["n"] == 4
+    assert s["n_rows"] == 4 and s["n_timed"] == 4
     assert s["avg_ms"] >= 110
     assert len(s["percentiles_ms"]) == 4
     assert all(p >= 110 for p in s["percentiles_ms"])

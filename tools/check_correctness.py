@@ -118,7 +118,7 @@ def main() -> None:
             results[name] = {
                 "status": "PASS",
                 "rows": len(s_rows),
-                "value_hash": value_hash(s_cols, s_rows),
+                "value_hash": sh,  # already computed for the compare
             }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
