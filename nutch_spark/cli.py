@@ -767,11 +767,18 @@ def cmd_nodedumper(args) -> int:
     -out <out> (-scores | -inlinks | -outlinks) [-topn N]."""
     from nutch_spark.operators.webgraph import top_nodes
 
+    from nutch_spark.operators.webgraph import node_rollup
+
     spark = _spark()
     nodes = spark.read.parquet(os.path.join(args.webgraphdb, "nodes"))
     metric = (
         "score" if args.scores else "num_inlinks" if args.inlinks else "num_outlinks"
     )
+    if args.group:  # NodeDumper -group host|domain [-method sum|max]
+        out = node_rollup(nodes, by=args.group, metric=metric, agg=args.method)
+        _dump(out, args.out, args.format)
+        print(f"NodeDumper: {args.out}")
+        return 0
     out = top_nodes(nodes, args.topn, metric) if args.topn else nodes
     _dump(out.select("url", metric), args.out, args.format)
     print(f"NodeDumper: {args.out}")
@@ -1385,6 +1392,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-inlinks", action="store_true")
     p.add_argument("-outlinks", action="store_true")
     p.add_argument("-topn", type=int)
+    p.add_argument("-group", choices=("host", "domain"), help="rollup by host/domain")
+    p.add_argument("-method", choices=("sum", "max"), default="sum")
     _add_format(p)
     _add_D(p)
     p.set_defaults(fn=cmd_nodedumper)

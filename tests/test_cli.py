@@ -200,6 +200,19 @@ def test_webgraph_family(spark, crawl_env, capsys):
     )
     assert os.listdir(nd_out)
 
+    # NodeDumper -group host: rollup instead of per-url dump
+    grp_out = os.path.join(root, "nodegroup")
+    assert (
+        main(
+            [
+                "nodedumper", "-webgraphdb", wg, "-out", grp_out,
+                "-inlinks", "-group", "host", "-format", "csv",
+            ]
+        )
+        == 0
+    )
+    assert os.listdir(grp_out)
+
 
 def test_hostdb_commands(spark, crawl_env):
     root = crawl_env["root"]
