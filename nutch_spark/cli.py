@@ -799,9 +799,23 @@ def cmd_updatehostdb(args) -> int:
 
 
 def cmd_readhostdb(args) -> int:
-    """ReadHostDb.java main: readhostdb <hostdb> <out>."""
+    """ReadHostDb.java main (:85-130): readhostdb <hostdb> <out>
+    [-dumpHostnames] [-expr <jexl>].
+
+    ``-expr`` filters on the HostDatum fields (the same variable names the
+    reference's JexlContext binds: unfetched, fetched, gone, redir_temp,
+    redir_perm, not_modified — our hostdb column names)."""
+    from pyspark.sql import functions as F
+
     spark = _spark()
-    _dump(spark.read.parquet(args.hostdb), args.out, args.format)
+    db = spark.read.parquet(args.hostdb)
+    if args.expr:
+        from nutch_spark.functions.jexl import jexl_to_sql
+
+        db = db.filter(F.expr(jexl_to_sql(args.expr)))
+    if args.dumpHostnames:
+        db = db.select("host")
+    _dump(db, args.out, args.format)
     print(f"ReadHostDb: {args.out}")
     return 0
 
@@ -1407,6 +1421,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("readhostdb", help="dump the hostdb")
     p.add_argument("hostdb")
     p.add_argument("out")
+    p.add_argument("-dumpHostnames", action="store_true")
+    p.add_argument("-expr", help="JEXL filter over the HostDatum fields")
     _add_format(p)
     _add_D(p)
     p.set_defaults(fn=cmd_readhostdb)

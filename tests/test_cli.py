@@ -224,6 +224,25 @@ def test_hostdb_commands(spark, crawl_env):
     assert main(["readhostdb", hostdb, out, "-format", "csv"]) == 0
     assert os.listdir(out)
 
+    # -dumpHostnames + JEXL -expr (ReadHostDb.java:85-130)
+    out2 = os.path.join(root, "hostnames")
+    assert (
+        main(
+            [
+                "readhostdb", hostdb, out2, "-format", "csv",
+                "-dumpHostnames", "-expr", "fetched > 0",
+            ]
+        )
+        == 0
+    )
+    lines = []
+    for f in os.listdir(out2):
+        if f.endswith(".csv"):
+            with open(os.path.join(out2, f)) as fh:
+                lines += [l.strip() for l in fh if l.strip()]
+    assert any("host" == l or l for l in lines)  # hostnames only, one column
+    assert all("," not in l for l in lines)
+
 
 def test_exports(crawl_env):
     root = crawl_env["root"]
