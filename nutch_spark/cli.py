@@ -1133,8 +1133,8 @@ def cmd_crawl(args) -> int:
                 delay=args.delay,
                 timelimit=None,
                 redirects=0,
-                robots=False,
-                agent="*",
+                robots=args.robots,
+                agent=args.agent,
                 **common,
             )
         )
@@ -1501,6 +1501,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-noFilter", action="store_true",
         help="skip the seed url filter chain (needed for file:// corpora)",
     )
+    p.add_argument(
+        "-robots", action="store_true",
+        help="enforce robots.txt during each round's fetch",
+    )
+    p.add_argument("-agent", default="*", help="robots agent name")
     p.add_argument("-topN", dest="topN", type=int, default=50_000)
     p.add_argument("-threads", type=int, default=4)
     p.add_argument(
