@@ -118,6 +118,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # containment pairs: inverted fingerprint index equi-join, capped hot
     # keys — never all-pairs
     "dp_winnowing_containment": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # sharding balance: one corpus hash-agg; the empty-shard join is
+    # against a range() dim, never a corpus re-shuffle
+    "dp_shard_balance": [[r"HashAggregate"], [r"CartesianProduct"]],
 }
 
 
