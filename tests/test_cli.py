@@ -580,3 +580,13 @@ def test_readdb_dump_filters(spark, crawl_env, tmp_path):
             with open(os.path.join(out3, f)) as fh:
                 rows3 += [json.loads(l) for l in fh if l.strip()]
     assert rows3 and all(r["status"] == "db_unfetched" for r in rows3)
+
+
+def test_indexchecker(capsys, crawl_env):
+    url = f"file://{crawl_env['site']}/p0.html"
+    assert main(["indexchecker", url]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert row["url"] == url
+    assert row["action"] == "ADD"
+    assert row["title_indexed"] == "page 0"
+    assert row["digest"]  # md5 of the fetched content
