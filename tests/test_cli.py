@@ -590,3 +590,20 @@ def test_indexchecker(capsys, crawl_env):
     assert row["action"] == "ADD"
     assert row["title_indexed"] == "page 0"
     assert row["digest"]  # md5 of the fetched content
+
+
+def test_mergesegs_slice(spark, crawl_env, tmp_path):
+    """SegmentMerger -slice: the merged segment splits into hash chunks."""
+    out = str(tmp_path / "sliced")
+    assert (
+        main(
+            [
+                "mergesegs", out, crawl_env["seg"],
+                "-slice", "1", "-segmentName", "s",
+            ]
+        )
+        == 0
+    )
+    m = spark.read.parquet(os.path.join(out, "s", "crawl_fetch"))
+    assert m.count() == 2
+    assert "slice" in m.columns  # the chunk assignment downstream writes partition by
