@@ -21,7 +21,10 @@ _FORMATS = (
     "MMM dd HH:mm:ss yyyy zzz",
     "dd MMM yyyy HH:mm:ss zzz",
     "dd MMM yyyy HH:mm:ss",
-    "dd-MMM-yy HH:mm:ss zzz",
+    # single-digit day variant ("Sun, 6 Nov 1994 ..." — HttpDateFormat's
+    # lenient parse accepts it, TestHttpDateFormat.java:50-52)
+    "d MMM yyyy HH:mm:ss zzz",
+    "d MMM yyyy HH:mm:ss",
     "yyyy/MM/dd HH:mm:ss.SSS zzz",
     "yyyy/MM/dd HH:mm:ss.SSS",
     "yyyy/MM/dd HH:mm:ss zzz",
@@ -50,4 +53,14 @@ def parse_http_date(col: Column | str) -> Column:
     # normalize "GMT"-style zone names the new parser rejects in some spots
     attempts = [F.try_to_timestamp(c)]
     attempts += [F.try_to_timestamp(c, F.lit(fmt)) for fmt in _FORMATS]
+    # RFC 850 two-digit years ("06-Nov-94"): Spark's yy maps to 20yy, but
+    # SimpleDateFormat pivots on now-80/+20 — a parse landing more than 20
+    # years in the future is a last-century date (2094 -> 1994). Applied
+    # ONLY to the yy format so genuine far-future Expires headers survive.
+    rfc850 = F.try_to_timestamp(c, F.lit("dd-MMM-yy HH:mm:ss zzz"))
+    rfc850 = F.when(
+        F.year(rfc850) > F.year(F.current_date()) + 20,
+        rfc850 - F.expr("INTERVAL 100 YEARS"),
+    ).otherwise(rfc850)
+    attempts.append(rfc850)
     return F.coalesce(*attempts)

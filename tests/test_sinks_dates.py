@@ -62,6 +62,14 @@ def test_text_dump_and_sink_routing(spark, tmp_path):
 def test_http_date_cascade(spark):
     samples = [
         ("Sun, 06 Nov 1994 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        # single-digit day (TestHttpDateFormat.java:50-52)
+        ("Sun, 6 Nov 1994 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        # RFC 850 two-digit year pivots to LAST century (SimpleDateFormat parity)
+        ("Sunday, 06-Nov-94 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        # single-digit day (TestHttpDateFormat.java:50-52)
+        ("Sun, 6 Nov 1994 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
+        # RFC 850 two-digit year pivots to LAST century (NUTCH parity)
+        ("Sunday, 06-Nov-94 08:49:37 GMT", datetime.datetime(1994, 11, 6, 8, 49, 37)),
         ("06 Nov 1994 08:49:37", datetime.datetime(1994, 11, 6, 8, 49, 37)),
         ("1994/11/06 08:49:37", datetime.datetime(1994, 11, 6, 8, 49, 37)),
         ("1994-11-06T08:49:37", datetime.datetime(1994, 11, 6, 8, 49, 37)),
