@@ -235,9 +235,52 @@ def detect_mime(
         ).when(head_hex.startswith("FFFB") & ~header_is_text, "audio/mpeg")
         # textual magics on the string view
         s = F.ltrim(F.lower(c.cast("string")))
+        # an XML-subtype header (application/xhtml+xml, image/svg+xml, ...)
+        # is MORE specific than the generic '<?xml' magic — let it through
+        # (TestMimeUtil.java xhtml vector)
+        header_is_xmlish = F.lit(False)
+        if content_type is not None:
+            _h2 = (
+                F.col(content_type) if isinstance(content_type, str) else content_type
+            )
+            header_is_xmlish = F.coalesce(
+                clean_content_type(_h2).endswith("+xml"), F.lit(False)
+            )
         magic = magic.when(
             s.startswith("<!doctype html") | s.startswith("<html"), "text/html"
-        ).when(s.startswith("<?xml"), "application/xml")
+        ).when(s.startswith("<?xml") & ~header_is_xmlish, "application/xml")
+        # NUTCH-2606 (TestMimeUtil.java text/plain vector): a server claiming
+        # a binary format whose magic did NOT match, over content that sniffs
+        # as plain ASCII text, is lying — Tika's text detector wins. Lowest
+        # magic priority: every real magic above already had its chance.
+        if content_type is not None:
+            _h3 = (
+                F.col(content_type) if isinstance(content_type, str) else content_type
+            )
+            header_claims_magic_binary = F.coalesce(
+                clean_content_type(_h3).isin(
+                    "application/msword",
+                    "application/vnd.ms-excel",
+                    "application/vnd.ms-powerpoint",
+                    "application/pdf",
+                    "application/zip",
+                    "application/gzip",
+                    "application/x-ole-storage",
+                    "image/png",
+                    "image/jpeg",
+                    "image/gif",
+                )
+                | clean_content_type(_h3).startswith(
+                    "application/vnd.openxmlformats-officedocument"
+                ),
+                F.lit(False),
+            )
+            looks_text = (F.length(s) > 0) & F.substring(s, 1, 512).rlike(
+                r"^[\t\n\r\x20-\x7e]*$"
+            )
+            magic = magic.when(
+                header_claims_magic_binary & looks_text, "text/plain"
+            )
         expr = chain(expr, magic)
 
     if content_type is not None:

@@ -348,3 +348,54 @@ def test_automaton_dialect_rejects_untranslatable():
             regex_rules_predicate("url", [bad], dialect="automaton")
     # but the same characters inside a class are fine
     regex_rules_predicate("url", ["-.*[?*!@=].*"], dialect="automaton")
+
+
+def test_mime_reference_vectors(spark):
+    """Port of TestMimeUtil.java textBasedFormats (:49-81): header+magic
+    resolution incl. the xhtml-header-over-generic-xml-magic case and the
+    NUTCH-2606 erroneous-binary-header-over-plain-text case."""
+    from nutch_spark.functions.mime import detect_mime
+
+    rows = [
+        (
+            "http://example.com/test.html",
+            "text/html; charset=utf-8",
+            b'<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01//EN">\n<html><body>Hello, World!</body></html>',
+            "text/html",
+        ),
+        (
+            "http://example.com/test.html",
+            None,
+            b"<!DOCTYPE html>\n<html><body>Hello, World!</body></html>",
+            "text/html",
+        ),
+        (
+            "http://example.com/test.html",
+            "application/xhtml+xml; charset=utf-8",
+            b'<?xml version="1.0"?>\n<html xmlns="http://www.w3.org/1999/xhtml"><body>Hello</body></html>',
+            "application/xhtml+xml",
+        ),
+        (  # NUTCH-2606: erroneous msword header over plain text
+            "http://example.com/test.doc",
+            "application/msword",
+            b"This is a plain text document",
+            "text/plain",
+        ),
+        (  # the header was truthful: real OLE magic wins as msword family
+            "http://example.com/test.doc",
+            "application/msword",
+            bytes.fromhex("D0CF11E0A1B11AE1") + b"\x00" * 8,
+            "application/x-ole-storage",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(u, h, c) for u, h, c, _ in rows],
+        "url string, ctype string, content binary",
+    )
+    got = [
+        r["mime"]
+        for r in df.select(
+            detect_mime("url", "content", "ctype").alias("mime")
+        ).collect()
+    ]
+    assert got == [want for _, _, _, want in rows]
