@@ -52,7 +52,21 @@ def detect_charset(data: bytes, content_type: str | None = None) -> str:
     if content_type:
         m = _CHARSET_IN_TYPE.search(content_type)
         if m:
-            return m.group(1).lower()
+            claimed = m.group(1).lower()
+            # servers lie (TestEncodingDetector.java:75-83 — with
+            # autodetection on, statistically-valid UTF-8 beats a wrong
+            # header clue): when the claimed charset is not a UTF family
+            # but the bytes decode STRICTLY as UTF-8 with at least one
+            # multibyte sequence, trust the bytes. Pure-ASCII content
+            # keeps the claimed charset (identical decode either way).
+            if not claimed.startswith(("utf-8", "utf8")):
+                try:
+                    data.decode("utf-8")
+                    if any(b >= 0x80 for b in data[:8192]):
+                        return "utf-8"
+                except UnicodeDecodeError:
+                    pass
+            return claimed
     m = _CHARSET_IN_META.search(data[:8192])
     if m:
         return m.group(1).decode("ascii", "replace").lower()

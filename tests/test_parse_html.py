@@ -412,3 +412,26 @@ def test_index_metadata_separator_split(spark):
     assert rows["http://a.com/1"] == ["a", "b", "c"]  # trimmed, empties dropped
     assert rows["http://a.com/2"] == ["solo"]
     assert rows["http://a.com/3"] is None
+
+
+def test_charset_autodetect_beats_lying_header():
+    """TestEncodingDetector.java:75-83 behavior: UTF-8 bytes with a header
+    claiming another charset decode as UTF-8 (statistical detection beats
+    the wrong clue); pure-ASCII content keeps the claimed charset."""
+    from nutch_spark.operators.parse_html import decode_content, detect_charset
+
+    utf8_bytes = "çñôöøДЛжҶ".encode("utf-8")
+    assert detect_charset(utf8_bytes, "text/plain; charset=UTF-16") == "utf-8"
+    text, charset = decode_content(utf8_bytes, "text/plain; charset=windows-1254")
+    assert text == "çñôöøДЛжҶ" and charset == "utf-8"
+
+    # ASCII body: the claimed charset stands (decode identical anyway)
+    assert (
+        detect_charset(b"plain ascii", "text/plain; charset=windows-1254")
+        == "windows-1254"
+    )
+    # genuinely non-UTF-8 bytes: header honored
+    cp1252 = "café".encode("cp1252")
+    assert detect_charset(cp1252, "text/html; charset=windows-1252") == "windows-1252"
+    # no clues at all, invalid utf-8 -> windows-1252 default (:44-46 vector)
+    assert detect_charset(cp1252, None) == "windows-1252"
