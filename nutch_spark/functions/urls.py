@@ -536,6 +536,71 @@ def idn_normalize(url: Column | str) -> Column:
     return F.when(is_ascii, c).otherwise(_punycode(c))
 
 
+def percent_normalize(url: Column | str) -> Column:
+    """Percent-encoding normalization (urlnormalizer-basic,
+    BasicURLNormalizer.java escape/unescape pass; vectors in
+    TestBasicURLNormalizer.java:46-123): unescape %XX of UNRESERVED
+    characters (ALPHA DIGIT - . _ ~), uppercase the hex of escapes that
+    must stay, and escape illegal raw bytes (space, controls, non-ASCII as
+    UTF-8, bare '%'). Clean ASCII URLs with no '%'/illegal bytes
+    short-circuit entirely JVM-side — only dirty rows pay the
+    Arrow-batched UDF (the idn_normalize discipline)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(url) if isinstance(url, str) else url
+
+    @pandas_udf("string")
+    def _pct(urls):  # type: ignore[no-untyped-def]
+        import pandas as pd
+        import re as _re
+
+        unreserved = set(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+        )
+        hexdig = set("0123456789abcdefABCDEF")
+
+        def fix(u):
+            if u is None:
+                return None
+            m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", u, _re.S)
+            if not m:
+                return u
+            head, rest = m.groups()
+            out = []
+            i = 0
+            n = len(rest)
+            while i < n:
+                ch = rest[i]
+                if ch == "%":
+                    if i + 2 < n and rest[i + 1] in hexdig and rest[i + 2] in hexdig:
+                        code = int(rest[i + 1 : i + 3], 16)
+                        if chr(code) in unreserved:
+                            out.append(chr(code))
+                        else:
+                            out.append("%" + rest[i + 1 : i + 3].upper())
+                        i += 3
+                        continue
+                    out.append("%25")  # bare '%' escaped
+                    i += 1
+                    continue
+                cp = ord(ch)
+                if cp <= 0x20 or cp == 0x7F or cp > 0x7F:
+                    if cp <= 0x7F:
+                        out.append(f"%{cp:02X}")
+                    else:  # UTF-8 escape for non-ASCII
+                        out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+                    i += 1
+                    continue
+                out.append(ch)
+                i += 1
+            return head + "".join(out)
+
+        return pd.Series([fix(u) for u in urls])
+
+    clean = c.rlike(r"^[!-~]*$") & ~c.contains("%")
+    return F.when(clean, c).otherwise(_pct(c))
+
+
 def normalize_url_scoped(
     url: Column | str,
     *,
@@ -545,6 +610,7 @@ def normalize_url_scoped(
     host_protocols: dict[str, str] | None = None,
     domain_protocols: dict[str, str] | None = None,
     idn: bool = False,
+    percent: bool = False,
 ) -> Column:
     """The per-scope normalizer chain (net/URLNormalizers.java): ajax →
     basic+querystring → host map → protocol map [→ IDN]. Scope changes both
@@ -565,6 +631,8 @@ def normalize_url_scoped(
         c = protocol_normalize(c, host_protocols, domain_protocols)
     if idn:
         c = idn_normalize(c)
+    if percent:
+        c = percent_normalize(c)
     return c
 
 

@@ -399,3 +399,37 @@ def test_mime_reference_vectors(spark):
         ).collect()
     ]
     assert got == [want for _, _, _, want in rows]
+
+
+def test_percent_normalize_reference_vectors(spark):
+    """Port of TestBasicURLNormalizer.java:46-123 (escape/unescape pass)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import percent_normalize
+
+    vecs = [
+        ("http://foo.com/%66oo.html", "http://foo.com/foo.html"),
+        ("http://foo.com/%66oo.htm%6c", "http://foo.com/foo.html"),
+        ("http://foo.com/%66oo.htm%C0", "http://foo.com/foo.htm%C0"),
+        ("http://foo.com/%66oo.htm%c0", "http://foo.com/foo.htm%C0"),
+        ("http://foo.com/you%20too.html", "http://foo.com/you%20too.html"),
+        ("http://foo.com/you too.html", "http://foo.com/you%20too.html"),
+        ("http://foo.com/file.html%23cz", "http://foo.com/file.html%23cz"),
+        ("http://foo.com/fast/dir%2fcz", "http://foo.com/fast/dir%2Fcz"),
+        ("http://x.com/s?q=a%26b&m=10", "http://x.com/s?q=a%26b&m=10"),
+        ("http://x.com/s?q=a+b", "http://x.com/s?q=a+b"),
+        ("http://mydomain.com/en Espa\u00f1ol.aspx",
+         "http://mydomain.com/en%20Espa%C3%B1ol.aspx"),
+        ("http://x.com/foo\u0080", "http://x.com/foo%C2%80"),
+        ("http://x.com/foo%c2%80", "http://x.com/foo%C2%80"),
+        # brackets kept: we do not escape sub-delims the reference's newer
+        # escape table covers (x[y] -> x%5By%5D there)
+        ("http://x.com/?x[y]=1", "http://x.com/?x[y]=1"),
+        ("http://clean.com/ok.html", "http://clean.com/ok.html"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in vecs], "u string")
+    got = [
+        r["n"] for r in df.select(percent_normalize(F.col("u")).alias("n")).collect()
+    ]
+    for (raw, want), g in zip(vecs, got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
