@@ -295,3 +295,50 @@ def detect_mime(
         by_ext = F.when(cond, mime) if by_ext is None else by_ext.when(cond, mime)
     expr = chain(expr, by_ext)
     return F.coalesce(expr, F.lit("application/octet-stream"))
+
+
+# SpellCheckedMetadata (metadata/SpellCheckedMetadata.java:40-107): HTTP
+# header names seen in the wild are misspelled ("ContentType",
+# "content_typ"); the reference canonicalizes against the known-header set
+# by stripping non-alphanumerics + case, then a small-distance match.
+_KNOWN_HEADERS = (
+    "Content-Type",
+    "Content-Length",
+    "Content-Encoding",
+    "Content-Language",
+    "Content-Disposition",
+    "Content-Location",
+    "Content-MD5",
+    "Last-Modified",
+    "Location",
+)
+_HEADER_CANON = {
+    "".join(ch for ch in h.lower() if ch.isalnum()): h for h in _KNOWN_HEADERS
+}
+
+
+def spellcheck_header_name(name: str) -> str:
+    """Canonical header name for a possibly-misspelled one — driver/parser
+    side helper (SpellCheckedMetadata.getNormalizedName): 'ContentType',
+    'content-type', 'Content_Typ e' all resolve to 'Content-Type'; unknown
+    names pass through unchanged."""
+    if not name:
+        return name
+    key = "".join(ch for ch in name.lower() if ch.isalnum())
+    if key in _HEADER_CANON:
+        return _HEADER_CANON[key]
+    # one-typo tolerance on the normalized form (the reference's small
+    # Levenshtein threshold): single char missing/extra/substituted
+    for k, canon in _HEADER_CANON.items():
+        if abs(len(k) - len(key)) <= 1:
+            # cheap edit-distance<=1 check without an import
+            if len(k) == len(key):
+                diffs = sum(a != b for a, b in zip(k, key))
+                if diffs <= 1:
+                    return canon
+            else:
+                longer, shorter = (k, key) if len(k) > len(key) else (key, k)
+                for i in range(len(longer)):
+                    if longer[:i] + longer[i + 1:] == shorter:
+                        return canon
+    return name

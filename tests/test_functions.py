@@ -433,3 +433,17 @@ def test_percent_normalize_reference_vectors(spark):
     ]
     for (raw, want), g in zip(vecs, got):
         assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
+def test_spellcheck_header_name():
+    """Port of TestSpellCheckedMetadata.testGetNormalizedName vectors."""
+    from nutch_spark.functions.mime import spellcheck_header_name
+
+    assert spellcheck_header_name("Content-Type") == "Content-Type"
+    assert spellcheck_header_name("ContentType") == "Content-Type"
+    assert spellcheck_header_name("Content-type") == "Content-Type"
+    assert spellcheck_header_name("contenttype") == "Content-Type"
+    assert spellcheck_header_name("contenttyp") == "Content-Type"   # 1 typo
+    assert spellcheck_header_name("last_modified") == "Last-Modified"
+    assert spellcheck_header_name("X-Custom-Header") == "X-Custom-Header"
+    assert spellcheck_header_name("") == ""
