@@ -117,6 +117,93 @@ def quality_metrics(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+# Gopher's 8 "stop words" (Rae et al. 2021 §A1.1) — a doc must contain ≥2
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """The full Gopher quality-filter rule set (Rae et al. 2021 §A1.1),
+    appended as metric + verdict columns:
+
+    - word count in [50, 100000]             (whitespace words)
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - <= 90% of lines start with a bullet ('-', '*', '•')
+    - <= 30% of lines end with an ellipsis ('...' or '…')
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct Gopher stop words present
+
+    All map-only column math (ratios are single int/int divisions —
+    bit-identical across engines); at 100 TB this is a pure codegen stage
+    with no shuffle. Reference anchor: Nutch's indexing filters gate on
+    similar per-document signals (index-more/MoreIndexingFilter.java);
+    this is the LLM-corpus analogue.
+    """
+    t = F.col(text)
+    words = F.filter(F.split(t, "[ \\t\\n]+"), lambda x: x != "")
+    n_words = F.size(words)
+    word_len_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words > 0, word_len_sum / n_words).otherwise(0.0)
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell_count = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ell_count) / n_words
+    ).otherwise(0.0)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.endswith("...") | x.endswith("…"),
+        )
+    )
+    frac_bullet = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(0.0)
+    frac_ellipsis = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(0.0)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha = F.when(n_words > 0, alpha_words / n_words).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(t)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "frac_bullet_lines": frac_bullet,
+            "frac_ellipsis_lines": frac_ellipsis,
+            "frac_alpha_words": frac_alpha,
+            "gopher_stopword_hits": stop_hits.cast("long"),
+        }
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("gopher_stopword_hits") >= 2)
+    )
+    return out.withColumn("passes_gopher_quality", passes)
+
+
 def langid(df: DataFrame, text: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-overlap language guess with deterministic tie-break
     (language order as in STOPWORDS; 'und' = undetermined when no hits)."""

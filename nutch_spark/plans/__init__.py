@@ -17,7 +17,9 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # then those last checked before the round-4 code changes, then the rest in
 # registration order.
 _CERTIFY_FIRST = [
-    # new this round — never seen by any driver sample
+    # new in round 6 — never seen by any driver sample
+    "dp_gopher_quality", "dp_bm25_topk", "dp_dsir_weights",
+    # new in round 5
     "dp_shard_balance", "mm_frame_samples", "dp_winnowing_containment", "dp_pipeline_clean", "dp_mix_temperature", "dp_substring_keepone", "dp_substring_removal", "dp_dup_components_star", "dp_bpe_train", "dp_bpe_apply", "dp_bpe_pair_counts",
     "pf_regex_fields", "pf_nb_classify", "p2_doc_extract", "dp_semantic_dedup", "dp_lm_perplexity", "dp_ivf_recall",
     "p2_metatags", "p2_js_outlinks",

@@ -2011,3 +2011,210 @@ def dp_shard_balance(spark, sf_dir):
         16,
         weight="w",
     ).select("shard", "n_docs", F.col("total_weight").cast("long").alias("total_weight"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Gopher quality rules, BM25 retrieval, DSIR importance weights
+# ---------------------------------------------------------------------------
+
+# documents + planted rule-breakers: bullet-heavy (+800000), ellipsis-heavy
+# (+850000), symbol-separated (+900000), and a stopword-enriched passer
+# (+950000) — each constructed identically in Spark and the oracle.
+_GQ_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 800000,
+    repeat('- ' || array_to_string(({_TOKS_SQL})[1:5], ' ') || chr(10), 12)
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id + 850000,
+    repeat(array_to_string(({_TOKS_SQL})[1:5], ' ') || '...' || chr(10), 12)
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id + 900000,
+    array_to_string(({_TOKS_SQL})[1:50], ' # ')
+  FROM documents WHERE doc_id % 13 = 5
+  UNION ALL SELECT doc_id + 950000,
+    text || ' to of and the with that have table'
+  FROM documents WHERE doc_id % 13 = 3
+"""
+
+
+def _gq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    t5 = F.concat_ws(" ", F.slice(tk, 1, 5))
+    bullet = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.repeat(F.concat(F.lit("- "), t5, F.lit("\n")), 12).alias("text"),
+    )
+    ellip = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 850000).alias("doc_id"),
+        F.repeat(F.concat(t5, F.lit("...\n")), 12).alias("text"),
+    )
+    symb = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.array_join(F.slice(tk, 1, 50), " # ").alias("text"),
+    )
+    passer = d.filter(F.col("doc_id") % 13 == 3).select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" to of and the with that have table")
+        ).alias("text"),
+    )
+    return d.unionByName(bullet).unionByName(ellip).unionByName(symb).unionByName(passer)
+
+
+@q(
+    "dp_gopher_quality",
+    f"""
+    WITH corpus AS ({_GQ_CORPUS_SQL}),
+    m AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n]+'), x -> x != '') AS words,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS lines,
+             {_TOKS_SQL} AS toks,
+             length(text) AS nc,
+             length(replace(text, '#', '')) AS nc_nohash,
+             length(replace(text, '...', '')) AS nc_noell
+      FROM corpus
+    ),
+    g AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               coalesce(list_sum(list_transform(words, x -> length(x))), 0) / len(words)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN
+               ((nc - nc_nohash) + (nc - nc_noell) / 3) / len(words)
+             ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•'))) / len(lines)
+             ELSE 0.0 END AS frac_bullet_lines,
+             CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) / len(lines)
+             ELSE 0.0 END AS frac_ellipsis_lines,
+             CASE WHEN len(words) > 0 THEN
+               len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)
+             ELSE 0.0 END AS frac_alpha_words,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with'])) AS gopher_stopword_hits
+      FROM m
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+           frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+           CAST(gopher_stopword_hits AS BIGINT) AS gopher_stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+            AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+            AND gopher_stopword_hits >= 2) AS passes_gopher_quality
+    FROM g
+    """,
+)
+def dp_gopher_quality(spark, sf_dir):
+    """Full Gopher quality-rule set (Rae et al. 2021 §A1.1) over documents
+    plus planted rule-breakers (bullet lines, ellipsis lines, symbol runs)
+    and a stopword-enriched passer. Map-only column math — at 100 TB this
+    is a shuffle-free codegen stage; every ratio is a single int/int
+    division so both engines produce bit-identical doubles."""
+    from nutch_spark.datapipe.textstats import gopher_quality
+
+    return gopher_quality(_gq_corpus(spark, sf_dir)).drop("text")
+
+
+_BM25_TERMS = ["merge", "stream", "vector"]
+
+
+@q(
+    "dp_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (
+      SELECT term, doc_id, dl, count(*) AS tf FROM post
+      WHERE term IN ('merge', 'stream', 'vector')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      FROM tf JOIN dfreq USING (term) CROSS JOIN s
+    ),
+    agg AS (SELECT doc_id, sum(contrib_q) AS bm25_q FROM scored GROUP BY doc_id)
+    SELECT doc_id, CAST(bm25_q AS BIGINT) AS bm25_q, CAST(rk AS INT) AS rank
+    FROM (SELECT doc_id, bm25_q,
+                 row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
+          FROM agg)
+    WHERE rk <= 10
+    """,
+)
+def dp_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a three-term query (the Lucene similarity Nutch's
+    index sinks feed): inverted postings filtered to the query terms BEFORE
+    the shuffle, document frequencies + (n_docs, avgdl) broadcast, integer-
+    quantized per-term contributions summed per doc (order-independent),
+    global top-k. Nothing quadratic; the only global is a 1-row scalar."""
+    from nutch_spark.datapipe.retrieval import bm25_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, _BM25_TERMS, k=10)
+
+
+_DSIR_GRAMS_SQL = """
+  CASE WHEN len(toks) >= 2 THEN
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1])
+  ELSE [] END
+"""
+
+
+@q(
+    "dp_dsir_weights",
+    f"""
+    WITH rawd AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tgtd AS (SELECT doc_id, toks FROM rawd WHERE doc_id % 17 = 0),
+    rg AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5('dsir' || g), 1, 15) AS UBIGINT) % 1024 AS INT) AS bucket
+           FROM (SELECT doc_id, unnest({_DSIR_GRAMS_SQL}) AS g FROM rawd)),
+    tg AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5('dsir' || g), 1, 15) AS UBIGINT) % 1024 AS INT) AS bucket
+           FROM (SELECT doc_id, unnest({_DSIR_GRAMS_SQL}) AS g FROM tgtd)),
+    rc AS (SELECT bucket, count(*) AS c_r FROM rg GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS c_t FROM tg GROUP BY bucket),
+    rt AS (SELECT count(*) AS c FROM rg),
+    tt AS (SELECT count(*) AS c FROM tg),
+    tbl AS (
+      SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+             CAST(floor(
+               ln(((coalesce(tc.c_t, 0) + 1.0) * (rt.c + 1024))
+                  / ((coalesce(rc.c_r, 0) + 1.0) * (tt.c + 1024)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+      FROM rc FULL JOIN tc ON rc.bucket = tc.bucket
+      CROSS JOIN rt CROSS JOIN tt
+    ),
+    pd AS (
+      SELECT rg.doc_id, count(*) AS n_grams, sum(tbl.lr_q) AS lr_q_sum
+      FROM rg JOIN tbl USING (bucket) GROUP BY rg.doc_id
+    )
+    SELECT r.doc_id,
+           CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(pd.lr_q_sum, 0) AS BIGINT) AS lr_q_sum,
+           coalesce(pd.lr_q_sum, 0) > 0 AS selected
+    FROM rawd r LEFT JOIN pd USING (doc_id)
+    """,
+)
+def dp_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    distributions for the target slice (doc_id %% 17) vs the raw corpus,
+    each raw doc scored by its summed quantized log-likelihood ratio.
+    Bucket tables are mod-1024-bounded → broadcast; scoring 100 TB is a map
+    stage after two hash-aggregates. ``selected`` is the deterministic
+    more-target-like-than-raw core of DSIR's resampling step."""
+    from nutch_spark.datapipe.retrieval import dsir_log_ratio_weights
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_log_ratio_weights(d, d.filter(F.col("doc_id") % 17 == 0), buckets=1024)

@@ -121,6 +121,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # sharding balance: one corpus hash-agg; the empty-shard join is
     # against a range() dim, never a corpus re-shuffle
     "dp_shard_balance": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # Gopher quality rules: map-only column math — no exchange, no join
+    "dp_gopher_quality": [[], [r"Exchange hashpartitioning", r"Join"]],
+    # BM25: term-filtered postings aggregate; df + global scalars broadcast;
+    # top-k, never a corpus self-join
+    "dp_bm25_topk": [[r"HashAggregate", r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    # DSIR: bucket ratio table broadcasts into the scoring join
+    "dp_dsir_weights": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
 }
 
 
