@@ -246,10 +246,11 @@ def _stream_text_blocks(
 
 
 # ---------------------------------------------------------------------------
-# Standard security handler (PDF 32000-1 §7.6.3): RC4 with the EMPTY user
-# password — the common "owner-locked" PDF a crawler meets. AES (/V >= 4)
-# and real user passwords stay out of scope (a password hook would go here,
-# like TikaParser's PasswordProvider).
+# Standard security handler (PDF 32000-1 §7.6.3 + ISO 32000-2 §7.6.4):
+# RC4 /V 1-2, AES-128 /V 4 (/CFM /AESV2) and AES-256 /V 5 /R 5-6 with the
+# EMPTY user password — the owner-locked PDFs a crawler meets. Real user
+# passwords stay out of scope (a password hook would go here, like
+# TikaParser's PasswordProvider).
 # ---------------------------------------------------------------------------
 
 # §7.6.3.3 Algorithm 2 padding string
@@ -302,12 +303,40 @@ def _pdf_string_entry(d: bytes, name: bytes) -> bytes | None:
     return None
 
 
-def _pdf_encryption_key(data: bytes) -> bytes | None:
-    """File encryption key for the empty user password, or None when the
-    handler is unsupported / the password is actually required.
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 password hash): iterated
+    SHA-256/384/512 keyed by an AES-128-CBC pass over 64 repetitions."""
+    import hashlib
+
+    from nutch_spark.functions.aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _pdf_encryption_key(data: bytes) -> tuple[bytes, str] | None:
+    """(file key, cipher) for the empty user password, or None when the
+    handler is unsupported / the password is actually required. Cipher is
+    'rc4' (V 1-2 R 2-3, or V 4 with /CFM /V2), 'aesv2' (V 4 /CFM /AESV2) or
+    'aesv3' (V 5 R 5-6, AES-256).
 
     Implements §7.6.3.3 Algorithm 2 (key derivation) + Algorithms 4/5 (user
-    password verification) for /Filter /Standard, /V 1-2, /R 2-3 (RC4)."""
+    password verification), and ISO 32000-2 §7.6.4.3.3/.4 (Algorithms 2.A/
+    2.B) for V 5; AES blocks come from functions/aes.py (FIPS-197)."""
     import hashlib
     import struct
 
@@ -329,13 +358,45 @@ def _pdf_encryption_key(data: bytes) -> bytes | None:
     p_m = re.search(rb"/P\s+(-?\d+)", enc)
     v = int(v_m.group(1)) if v_m else 0
     r = int(r_m.group(1)) if r_m else 0
-    if v not in (1, 2) or r not in (2, 3) or not p_m:
-        return None  # AES (/V 4/5) or exotic revision
-    length_m = re.search(rb"/Length\s+(\d+)", enc)
-    nbytes = (int(length_m.group(1)) // 8) if (length_m and v == 2) else 5
     o_entry = _pdf_string_entry(enc, b"/O")
     u_entry = _pdf_string_entry(enc, b"/U")
     if not o_entry or not u_entry:
+        return None
+
+    if v == 5 and r in (5, 6):
+        # AES-256: /U = hash(32) + validation salt(8) + key salt(8); the
+        # file key is AES-256-CBC(no pad, zero IV) decrypted from /UE.
+        from nutch_spark.functions.aes import cbc_decrypt
+
+        ue_entry = _pdf_string_entry(enc, b"/UE")
+        if len(u_entry) < 48 or not ue_entry or len(ue_entry) < 32:
+            return None
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 5:
+            if hashlib.sha256(b"" + vsalt).digest() != u_entry[:32]:
+                return None
+            ikey = hashlib.sha256(b"" + ksalt).digest()
+        else:
+            if _hash_2b(b"", vsalt) != u_entry[:32]:
+                return None
+            ikey = _hash_2b(b"", ksalt)
+        return cbc_decrypt(ikey, b"\x00" * 16, ue_entry[:32]), "aesv3"
+
+    if v == 4 and r == 4:
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if not cfm or cfm.group(1) not in (b"AESV2", b"V2"):
+            return None  # /CFM /None or an exotic crypt filter
+        cipher = "aesv2" if cfm.group(1) == b"AESV2" else "rc4"
+        length_m = re.search(rb"/Length\s+(\d+)", enc)
+        nbytes = (int(length_m.group(1)) // 8) if length_m else 16
+        nbytes = nbytes if nbytes in range(5, 17) else 16
+    elif v in (1, 2) and r in (2, 3):
+        cipher = "rc4"
+        length_m = re.search(rb"/Length\s+(\d+)", enc)
+        nbytes = (int(length_m.group(1)) // 8) if (length_m and v == 2) else 5
+    else:
+        return None  # exotic version/revision combination
+    if not p_m:
         return None
     id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     id0 = (
@@ -351,6 +412,8 @@ def _pdf_encryption_key(data: bytes) -> bytes | None:
     h.update(o_entry[:32])
     h.update(struct.pack("<I", int(p_m.group(1)) & 0xFFFFFFFF))
     h.update(id0)
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -364,18 +427,38 @@ def _pdf_encryption_key(data: bytes) -> bytes | None:
         for i in range(1, 20):
             x = _rc4(bytes(b ^ i for b in key), x)
         ok = x == u_entry[:16]
-    return key if ok else None
+    return (key, cipher) if ok else None
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int, cipher: str = "rc4") -> bytes:
+    """§7.6.2 Algorithm 1: per-object key. AESV2 appends the 'sAlT' marker
+    bytes to the md5 input; AESV3 uses the file key for every object."""
     import hashlib
     import struct
 
+    if cipher == "aesv3":
+        return file_key
+    suffix = b"sAlT" if cipher == "aesv2" else b""
     h = hashlib.md5(
-        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2] + suffix
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_pdf_bytes(cipher: str, obj_key: bytes, raw: bytes) -> bytes:
+    """Decrypt one encrypted string/stream body: RC4 directly; AES-CBC with
+    the 16-byte IV prefix and PKCS#7 padding per §7.6.2."""
+    if cipher == "rc4":
+        return _rc4(obj_key, raw)
+    from nutch_spark.functions.aes import cbc_decrypt
+
+    if len(raw) < 32:
+        return b""
+    pt = cbc_decrypt(obj_key, raw[:16], raw[16:])
+    pad = pt[-1] if pt else 0
+    if 1 <= pad <= 16 and pt.endswith(bytes([pad]) * pad):
+        pt = pt[:-pad]
+    return pt
 
 
 def extract_pdf_text(data: bytes) -> str:
@@ -383,21 +466,23 @@ def extract_pdf_text(data: bytes) -> str:
     decompressed where needed, newline-joined in stream order.
 
     Encrypted files (an /Encrypt trailer entry) are decrypted when the
-    standard security handler with an EMPTY user password applies (RC4
-    /V 1-2 /R 2-3 — the ubiquitous owner-locked case); AES or a real user
-    password yields '' (a password hook would slot in like TikaParser's
+    standard security handler with an EMPTY user password applies — RC4
+    /V 1-2 /R 2-3 (the ubiquitous owner-locked case), AES-128 /V 4 /CFM
+    /AESV2, and AES-256 /V 5 /R 5-6 /CFM /AESV3; a real user password
+    yields '' (a password hook would slot in like TikaParser's
     PasswordProvider)."""
     blocks: list[bytes] = []
     if b"/Encrypt" in data:
-        key = _pdf_encryption_key(data)
-        if key is None:
+        kc = _pdf_encryption_key(data)
+        if kc is None:
             return ""
+        key, cipher = kc
         for om in _OBJ_RE.finditer(data):
             num, gen, body = int(om.group(1)), int(om.group(2)), om.group(3)
             sm = _STREAM_RE.search(body)
             if not sm:
                 continue
-            obj_key = _object_key(key, num, gen)
+            obj_key = _object_key(key, num, gen, cipher)
             params, raw = sm.group(1), sm.group(2)
             length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
             if length and int(length.group(1)) <= len(raw):
@@ -407,7 +492,7 @@ def extract_pdf_text(data: bytes) -> str:
             elif raw.endswith(b"\n"):
                 raw = raw[:-1]
             blocks += _stream_text_blocks(
-                params, _rc4(obj_key, raw), pre_trimmed=True
+                params, _decrypt_pdf_bytes(cipher, obj_key, raw), pre_trimmed=True
             )
     else:
         for m in _STREAM_RE.finditer(data):
