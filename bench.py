@@ -77,15 +77,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    summary = json.dumps(
-        {
-            "metric": "nutch_spark operator inventory wall-clock",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
+    # Full per-query record goes to a repo artifact — the driver keeps only
+    # the LAST ~2000 chars of stdout, and a 110-query JSON line is ~2.9k
+    # (r04/r06 artifacts carry "parsed": null with a truncated "tail").
+    full = {
+        "metric": "nutch_spark operator inventory wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_FULL_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+
+    # The printed line must parse from a 2000-char stdout tail: cap it at
+    # 1900 chars by construction. Include the slowest queries first (the
+    # ones that matter for perf grading); the rest live in the artifact.
+    base = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_total": len(timings),
+        "detail": "BENCH_FULL_LOCAL.json",
+        "queries": {},
+    }
+    budget = 1900 - len(json.dumps(base, separators=(",", ":")))
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        entry_len = len(json.dumps({name: timings[name]}, separators=(",", ":")))
+        if budget - entry_len < 0:
+            break
+        base["queries"][name] = timings[name]
+        budget -= entry_len
+    summary = json.dumps(base, separators=(",", ":"))
     # Stop Spark BEFORE printing so no executor/log output can interleave
     # with (or truncate) the summary; the JSON must be the last stdout line.
     spark.stop()

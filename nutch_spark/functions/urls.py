@@ -649,6 +649,7 @@ def url_filter_predicate(
     allow_prefixes: list[str] | None = None,
     deny_suffixes: list[str] | None = None,
     deny_domains: list[str] | None = None,
+    inline: bool = False,
 ) -> Column:
     """Composite boolean predicate mirroring the urlfilter-* plugin chain.
 
@@ -660,6 +661,14 @@ def url_filter_predicate(
     All literal lists compile to IN / startswith expressions — at scale these
     behave like broadcast lookups. For very large deny lists (>100k), join
     against a broadcast DataFrame instead.
+
+    ``inline``: set True ONLY when the predicate is built inside a
+    higher-order-function lambda (``F.filter``/``F.transform``) — there the
+    registered ``nutch_psl_domain`` SQL function cannot bind the lambda
+    variable (MISSING_ATTRIBUTES at plan time), so ``deny_domains`` falls
+    back to the pure-Column PSL chain. That fallback marshals ~9k rule
+    literals through py4j per call (~2 s of plan-build), so the default
+    (False) uses the one-py4j-call registered function everywhere else.
     """
     c = F.col(url) if isinstance(url, str) else url
     pred = F.lit(True)
@@ -678,13 +687,13 @@ def url_filter_predicate(
     for s in deny_suffixes or []:
         pred = pred & ~F.lower(c).endswith(s.lower())
     if deny_domains:
-        # url_domain_inline, not url_domain: this predicate is documented
-        # for HOF-lambda contexts (emit_parse_rows filter_predicate over
-        # the outlinks array), where the registered-SQL-function fast path
-        # cannot bind the lambda variable (MISSING_ATTRIBUTES at plan time)
-        pred = pred & ~url_domain_inline(c).isin(
-            *[F.lit(d.lower()) for d in deny_domains]
-        )
+        # Top-level contexts use url_domain (registered JVM-side
+        # nutch_psl_domain, one py4j call); HOF-lambda contexts
+        # (emit_parse_rows filter_predicate over the outlinks array) must
+        # pass inline=True to get the pure-Column chain the lambda variable
+        # can bind into.
+        dom = url_domain_inline(c) if inline else url_domain(c)
+        pred = pred & ~dom.isin(*[F.lit(d.lower()) for d in deny_domains])
     return pred
 
 

@@ -283,23 +283,28 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _pdf_string_entry(d: bytes, name: bytes) -> bytes | None:
-    """Value of a /Name ( literal ) or /Name <hex> dictionary entry."""
-    m = re.search(re.escape(name) + rb"\s*", d)
-    if not m:
-        return None
-    i = m.end()
-    if i < len(d) and d[i] == 0x28:  # '(' literal
-        raw, _ = _scan_literal(d, i)
-        return _unescape_pdf_string(raw)
-    if i < len(d) and d[i] == 0x3C:  # '<hex>'
-        j = d.find(b">", i + 1)
-        if j < 0:
-            return None
-        hx = re.sub(rb"\s", b"", d[i + 1 : j])
-        try:
-            return bytes.fromhex(hx.decode("ascii"))
-        except ValueError:
-            return None
+    """Value of a /Name ( literal ) or /Name <hex> dictionary entry.
+
+    The key match requires a non-name-character delimiter: ``/U`` must not
+    match at ``/UE`` (PDF dicts are unordered, so ``/UE`` may precede ``/U``
+    in AES-256 /V 5 Encrypt dicts). Scans every occurrence until one is
+    followed by a string value — ``/Name`` tokens also appear as VALUES of
+    other keys (e.g. ``/Filter /Standard``), which must not shadow the key.
+    """
+    for m in re.finditer(re.escape(name) + rb"(?![A-Za-z0-9#])\s*", d):
+        i = m.end()
+        if i < len(d) and d[i] == 0x28:  # '(' literal
+            raw, _ = _scan_literal(d, i)
+            return _unescape_pdf_string(raw)
+        if i < len(d) and d[i] == 0x3C and not d.startswith(b"<<", i):  # '<hex>'
+            j = d.find(b">", i + 1)
+            if j < 0:
+                return None
+            hx = re.sub(rb"\s", b"", d[i + 1 : j])
+            try:
+                return bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                return None
     return None
 
 

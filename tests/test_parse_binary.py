@@ -325,9 +325,12 @@ def test_encrypted_pdf_real_user_password_refused():
     assert extract_text(data) == ("application/pdf", "")
 
 
-def test_encrypted_pdf_aes_refused():
+def test_encrypted_pdf_malformed_v4_dict_refused():
+    # a /V 4 dict with /R 3 and NO /CFM crypt filter is malformed — the
+    # handler must bail to '' rather than guess a cipher (AESV2 proper is
+    # round-tripped below in test_encrypted_pdf_aesv2_round_trip)
     data = _encrypted_pdf(b"secret", revision=3)
-    data = data.replace(b"/V 2", b"/V 4")  # AES — unsupported, must bail
+    data = data.replace(b"/V 2", b"/V 4")
     assert extract_text(data) == ("application/pdf", "")
 
 
@@ -349,3 +352,168 @@ def test_encrypted_pdf_decrypted_stream_ending_in_newline():
     assert zlib.compress(b"BT (" + text + b") Tj ET").endswith(b"\n")
     data = _encrypted_pdf(text, revision=3)
     assert extract_text(data)[1] == text.decode()
+
+
+# ---------------------------------------------------------------------------
+# encrypted PDFs: AES — AESV2 (/V 4 /R 4) and AESV3 (/V 5 /R 5-6)
+# ---------------------------------------------------------------------------
+
+
+def _pkcs7(data: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    return data + bytes([pad]) * pad
+
+
+def _aes_stream_obj(num: int, obj_key: bytes, text: bytes) -> bytes:
+    """One FlateDecode stream object, AES-CBC encrypted per §7.6.2 (random
+    IV prefix replaced by a fixed one — determinism beats entropy in tests)."""
+    import zlib
+
+    from nutch_spark.functions.aes import cbc_encrypt
+
+    stream = b"BT (" + text.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)") + b") Tj ET"
+    iv = bytes(range(16))
+    body = iv + cbc_encrypt(obj_key, iv, _pkcs7(zlib.compress(stream)))
+    return (
+        str(num).encode() + b" 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" >>\nstream\n" + body
+        + b"\nendstream\nendobj\n"
+    )
+
+
+def _aesv2_encrypted_pdf(text: bytes, *, encrypt_metadata: bool = True) -> bytes:
+    """Spec-correct AES-128 /V 4 /R 4 /CFM /AESV2 PDF, empty user password
+    (PDF 32000-1 §7.6.3 Algorithm 2 + §7.6.2 AES object keys)."""
+    import hashlib
+    import struct
+
+    from nutch_spark.operators.parse_binary import _PDF_PAD, _rc4, _object_key
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    p_val = -44
+    nbytes = 16
+    id0 = bytes(range(16))
+    okey = hashlib.md5(pad(b"owner")).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey[:nbytes]).digest()
+    okey = okey[:nbytes]
+    o_entry = _rc4(okey, pad(b""))
+    for i in range(1, 20):
+        o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+    h = hashlib.md5()
+    h.update(pad(b""))
+    h.update(o_entry)
+    h.update(struct.pack("<i", p_val))
+    h.update(id0)
+    if not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+    u_entry = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u_entry = _rc4(bytes(b ^ i for b in key), u_entry)
+    u_entry += b"\x00" * 16
+    meta = b" /EncryptMetadata false" if not encrypt_metadata else b""
+    return (
+        b"%PDF-1.6\n"
+        + _aes_stream_obj(4, _object_key(key, 4, 0, "aesv2"), text)
+        + b"5 0 obj << /Filter /Standard /V 4 /R 4 /Length 128"
+        + meta
+        + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        + b" /P " + str(p_val).encode()
+        + b" /O <" + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def _aesv3_encrypted_pdf(text: bytes, *, revision: int = 6, ue_first: bool = False) -> bytes:
+    """AES-256 /V 5 PDF with an empty user password — /R 5 (deprecated
+    Adobe extension, plain SHA-256) or /R 6 (ISO 32000-2 Algorithm 2.B).
+    ``ue_first`` serializes /UE and /OE BEFORE /U and /O — PDF dicts are
+    unordered, and key-prefix matching (/U hitting /UE) is a real parser
+    bug this fixture pins down."""
+    import hashlib
+
+    from nutch_spark.functions.aes import cbc_encrypt
+    from nutch_spark.operators.parse_binary import _hash_2b
+
+    file_key = bytes(range(100, 132))  # 32-byte content key
+    vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+    if revision == 5:
+        u_hash = hashlib.sha256(b"" + vsalt).digest()
+        ikey = hashlib.sha256(b"" + ksalt).digest()
+    else:
+        u_hash = _hash_2b(b"", vsalt)
+        ikey = _hash_2b(b"", ksalt)
+    u_entry = u_hash + vsalt + ksalt
+    ue_entry = cbc_encrypt(ikey, b"\x00" * 16, file_key)
+    # /O and /OE are only checked for the owner-password path — any
+    # well-formed 48/32-byte strings satisfy the user-password fixture
+    o_entry, oe_entry = bytes(48), bytes(32)
+    if ue_first:
+        entries = (
+            b" /UE <" + ue_entry.hex().encode() + b"> /OE <" + oe_entry.hex().encode()
+            + b"> /U <" + u_entry.hex().encode() + b"> /O <" + o_entry.hex().encode() + b">"
+        )
+    else:
+        entries = (
+            b" /O <" + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+            + b"> /OE <" + oe_entry.hex().encode() + b"> /UE <" + ue_entry.hex().encode() + b">"
+        )
+    return (
+        b"%PDF-2.0\n"
+        + _aes_stream_obj(4, file_key, text)  # AESV3: object key == file key
+        + b"5 0 obj << /Filter /Standard /V 5 /R " + str(revision).encode()
+        + b" /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF"
+        + entries
+        + b" /P -4 >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n"
+    )
+
+
+def test_encrypted_pdf_aesv2_round_trip():
+    data = _aesv2_encrypted_pdf(b"aes-128 cbc body text")
+    assert extract_text(data) == ("application/pdf", "aes-128 cbc body text")
+
+
+def test_encrypted_pdf_aesv2_encrypt_metadata_false():
+    # /EncryptMetadata false changes the Algorithm 2 key derivation
+    # (ffffffff suffix) — both sides must agree or the /U check fails
+    data = _aesv2_encrypted_pdf(b"metadata stays clear", encrypt_metadata=False)
+    assert extract_text(data) == ("application/pdf", "metadata stays clear")
+
+
+def test_encrypted_pdf_aesv3_r5_round_trip():
+    data = _aesv3_encrypted_pdf(b"aes-256 r5 body", revision=5)
+    assert extract_text(data) == ("application/pdf", "aes-256 r5 body")
+
+
+def test_encrypted_pdf_aesv3_r6_round_trip():
+    data = _aesv3_encrypted_pdf(b"aes-256 r6 hash-2b body", revision=6)
+    assert extract_text(data) == ("application/pdf", "aes-256 r6 hash-2b body")
+
+
+def test_encrypted_pdf_aesv3_ue_before_u_key_order():
+    # regression: /U must not prefix-match at /UE when /UE precedes it in
+    # the (unordered) Encrypt dict — parse_binary._pdf_string_entry requires
+    # a non-name-char delimiter after the key
+    data = _aesv3_encrypted_pdf(b"dict order is a writer choice", revision=6, ue_first=True)
+    assert extract_text(data) == ("application/pdf", "dict order is a writer choice")
+
+
+def test_encrypted_pdf_aesv3_wrong_user_password_refused():
+    data = _aesv3_encrypted_pdf(b"secret", revision=6)
+    # corrupt the validation hash: empty-user-password check must fail -> ''
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{96})>", data)
+    u = bytes.fromhex(m.group(1).decode())
+    bad = bytes(b ^ 0xFF for b in u[:32]) + u[32:]
+    data = data.replace(m.group(1), bad.hex().encode())
+    assert extract_text(data) == ("application/pdf", "")

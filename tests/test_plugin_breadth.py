@@ -283,7 +283,8 @@ def test_url_filter_predicate_deny_domains_inside_hof_lambda(spark):
     )
     kept = df.select(
         F.filter(
-            "links", lambda u: url_filter_predicate(u, deny_domains=["bad.com"])
+            "links",
+            lambda u: url_filter_predicate(u, deny_domains=["bad.com"], inline=True),
         ).alias("kept")
     ).collect()[0]["kept"]
     assert kept == ["http://ok.com/a"]
