@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed in Arrow-batched Pandas UDFs.
 
-The decode step is STUBBED (image/audio libraries are not in this container):
-``decode_image_stub`` produces deterministic fake features so the Spark-side
-plumbing — schema, batch shape, partitioning, mapInPandas signature — is real
-and tested end-to-end. Swap ``_decode_image_bytes`` for a PIL/libvips call in
-production; nothing else changes.
+Default decoders are REAL header-level parsers (datapipe/mediacodec.py,
+stdlib + numpy only): PNG/GIF/BMP/JPEG dimensions from container headers and
+PCM WAV sample-rate/duration/spectral stats. What genuinely needs a codec
+library — pixel decode, resample/re-encode, compressed audio — stays behind
+the injectable ``decoder=``/``resizer=`` seams (no PIL/libvips/soundfile in
+this container); undecodable formats yield NULL feature columns, never a
+failed job.
 
 Scale notes: binary payloads ride in their own column so column pruning keeps
 them out of every query that doesn't touch them; feature extraction is
@@ -78,18 +80,24 @@ def _map_media(
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode: deterministic fake (width, height, 8-dim feature).
+    """Default decode: REAL header-only dimension parse for PNG/GIF/BMP/JPEG
+    (datapipe/mediacodec.py, pure struct reads — no PIL) plus a normalized
+    byte-histogram content feature. Formats without a stdlib header parser
+    (TIFF, WebP, AVIF, ...) raise NotImplementedError — the mapInPandas row
+    loop converts that into NULL feature columns, and a full pixel decoder
+    injects via the ``decoder=`` seam without touching the plan."""
+    from nutch_spark.datapipe.mediacodec import byte_histogram, sniff_image_dimensions
 
-    Production: replace with PIL.Image.open(io.BytesIO(payload)) +
-    a real feature extractor. Raises on None to mirror decode failures.
-    """
     if payload is None:
         raise NotImplementedError("real image decoding requires PIL/libvips")
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    feature = [round(b / 255.0, 6) for b in digest[2:10]]
-    return width, height, feature
+    dims = sniff_image_dimensions(payload)
+    if dims is None:
+        raise NotImplementedError(
+            "no stdlib header parser for this image format — inject a "
+            "PIL/libvips decoder via extract_image_features(decoder=...)"
+        )
+    _fmt, width, height = dims
+    return width, height, byte_histogram(payload)
 
 
 def extract_image_features(
@@ -109,7 +117,12 @@ def extract_image_features(
     decode = decoder or _decode_image_bytes
 
     def row(media_id, raw):
-        w, h, feat = decode(raw)
+        try:
+            w, h, feat = decode(raw)
+        except NotImplementedError:
+            # undecodable format: byte-level columns stay real, decoded
+            # columns go NULL — a 100 TB job must not die on one exotic blob
+            w = h = feat = None
         return {
             "media_id": media_id,
             "n_bytes": len(raw),
@@ -196,11 +209,12 @@ RESIZED_SCHEMA = T.StructType(
 def _resize_image_bytes(
     payload: bytes, width: int, height: int
 ) -> tuple[int, int, bytes]:
-    """STUB resize: deterministic fake — source dims from the decode stub,
-    output bytes = a tagged digest of (payload, target dims). Production:
-    PIL `Image.open(...).resize((width, height))` + re-encode; the
-    signature (payload, w, h) -> (src_w, src_h, resized_bytes) is the
-    injection contract."""
+    """Default resize: REAL source dimensions from the stdlib header parse;
+    the re-encoded output is a tagged digest placeholder (pixel resampling
+    + re-encode genuinely needs a codec — PIL injects via ``resizer=``).
+    The signature (payload, w, h) -> (src_w, src_h, resized_bytes) is the
+    injection contract. Raises NotImplementedError for formats the header
+    parser doesn't cover; the row loop converts that to a NULL row."""
     if payload is None:
         raise NotImplementedError("real image resizing requires PIL/libvips")
     src_w, src_h, _ = _decode_image_bytes(payload)
@@ -223,7 +237,10 @@ def resize_images(
     do_resize = resizer or _resize_image_bytes
 
     def row(media_id, raw):
-        sw, sh, out = do_resize(raw, width, height)
+        try:
+            sw, sh, out = do_resize(raw, width, height)
+        except NotImplementedError:
+            sw = sh = out = None
         return {
             "media_id": media_id,
             "src_width": sw,
@@ -260,16 +277,24 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
-    """STUB audio decode: deterministic fake (sample_rate, duration,
-    13-dim mfcc-like vector). Production: soundfile/librosa — signature
-    ``payload -> (sample_rate, duration_s, mfcc_list)``."""
+    """Default audio decode: REAL RIFF/WAVE PCM parse (sample rate, exact
+    duration from the data chunk) with a 13-bin rFFT spectral envelope as
+    the mfcc-slot feature (datapipe/mediacodec.py, stdlib + numpy only).
+    Non-WAV / compressed audio raises NotImplementedError — the row loop
+    NULLs the feature columns; a real codec injects via ``decoder=``
+    (signature ``payload -> (sample_rate, duration_s, mfcc_list)``)."""
+    from nutch_spark.datapipe.mediacodec import parse_wav, spectral_envelope
+
     if payload is None:
         raise NotImplementedError("real audio decoding requires soundfile/librosa")
-    digest = hashlib.sha256(b"audio:" + payload).digest()
-    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
-    duration = round(0.5 + digest[1] / 16.0, 3)
-    mfcc = [round(b / 127.5 - 1.0, 6) for b in digest[2:15]]
-    return sample_rate, duration, mfcc
+    wav = parse_wav(payload)
+    if wav is None:
+        raise NotImplementedError(
+            "no stdlib parser for this audio format (PCM WAV only) — inject "
+            "a soundfile/librosa decoder via extract_audio_features(decoder=...)"
+        )
+    env = spectral_envelope(wav["samples"], wav["sample_rate"])
+    return wav["sample_rate"], wav["duration_s"], env
 
 
 def extract_audio_features(
@@ -283,7 +308,10 @@ def extract_audio_features(
     decode = decoder or _decode_audio_bytes
 
     def row(media_id, raw):
-        sr, dur, mfcc = decode(raw)
+        try:
+            sr, dur, mfcc = decode(raw)
+        except NotImplementedError:
+            sr = dur = mfcc = None
         return {
             "media_id": media_id,
             "n_bytes": len(raw),

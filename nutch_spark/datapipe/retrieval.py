@@ -158,36 +158,54 @@ def dsir_log_ratio_weights(
 
     Both bucket tables have at most ``buckets`` rows — broadcast joins, so
     scoring 100 TB of raw text is a map stage after two hash-aggregates.
+
+    Fully lazy: gram totals come from the (≤ ``buckets``-row) bucket-count
+    aggregates via 1-row broadcast cross-joins — no eager ``count()`` jobs
+    at plan-construction time, and the raw corpus is scanned twice (bucket
+    distribution + scoring), not three times.
     """
-    def bucket_stream(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(
-                _hashed_bigrams(tokens(text), buckets=buckets, salt=salt)
-            ).alias("bucket"),
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    _hashed_bigrams(tokens(text), buckets=buckets, salt=salt)
+                ).alias("bucket"),
+            )
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("n"))
         )
 
-    tgt = bucket_stream(target)
-    rawb = bucket_stream(raw)
-    tgt_counts = tgt.groupBy("bucket").agg(F.count("*").alias("c_t"))
-    raw_counts = rawb.groupBy("bucket").agg(F.count("*").alias("c_r"))
-    tgt_total = tgt.count()  # scalar; bounded work (one aggregate each)
-    raw_total = rawb.count()
+    raw_doc_buckets = doc_buckets(raw)
+    tgt_counts = (
+        doc_buckets(target).groupBy("bucket").agg(F.sum("n").alias("c_t"))
+    )
+    raw_counts = raw_doc_buckets.groupBy("bucket").agg(F.sum("n").alias("c_r"))
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).alias("raw_total")
+    )
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("tgt_total")
+    )
     # ln of one exact double ratio per bucket; both engines evaluate the
-    # identical expression tree: ((c_t+1)*(raw_total+B)) / ((c_r+1)*(tgt_total+B))
+    # identical expression tree: ((c_t+1)*(raw_total+B)) / ((c_r+1)*(tgt_total+B)).
+    # The totals are 1-row aggregates of the bucket tables — broadcast
+    # nested-loop cross-joins, evaluated inside the same job as the table.
     table = (
         raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
         .select(
             "bucket",
             F.floor(
                 F.log(
                     (
                         (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-                        * float(raw_total + buckets)
+                        * (F.col("raw_total") + buckets)
                     )
                     / (
                         (F.coalesce(F.col("c_r"), F.lit(0)) + 1.0)
-                        * float(tgt_total + buckets)
+                        * (F.col("tgt_total") + buckets)
                     )
                 )
                 * _Q
@@ -198,9 +216,12 @@ def dsir_log_ratio_weights(
         )
     )
     per_doc = (
-        rawb.join(F.broadcast(table), "bucket")
+        raw_doc_buckets.join(F.broadcast(table), "bucket")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_grams"), F.sum("lr_q").alias("lr_q_sum"))
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr_q")).alias("lr_q_sum"),
+        )
     )
     return raw.select(id_col).join(per_doc, id_col, "left").select(
         id_col,

@@ -1169,6 +1169,131 @@ def mm_binary_metadata(spark, sf_dir):
     return binary_metadata(media, digest="hex")
 
 
+# byte-exact media header templates shared by the mm_* decode queries: the
+# Spark side concatenates REAL container headers (hex) around per-row dims
+# and runs the stdlib header decoders over the resulting bytes; the oracle
+# states the closed-form answer, so any parser drift hash-mismatches.
+_PNG_PRE = "89504E470D0A1A0A0000000D49484452000000"  # sig + IHDR len/tag + BE pad
+_PNG_POST = "080600000000000000"  # bitdepth/colortype/... + (unchecked) CRC
+_GIF_PRE = "474946383961"
+_BMP_PRE = "424D000000000000000036000000" + "28000000"  # BM hdr + BITMAPINFOHEADER
+_JPG_PRE = "FFD8FFC000110800"  # SOI + SOF0 + len 17 + precision 8 + BE h pad
+_JPG_POST = "03011100021101031101FFD9"
+_MM_IMG_BYTES = {  # total payload length per format branch
+    "png": (len(_PNG_PRE) + 2 + 6 + 2 + len(_PNG_POST)) // 2,
+    "gif": (len(_GIF_PRE) + 4 + 4 + 6) // 2,
+    "bmp": (len(_BMP_PRE) + 2 + 6 + 2 + 6 + 8) // 2,
+    "jpeg": (len(_JPG_PRE) + 2 + 2 + 2 + len(_JPG_POST)) // 2,
+}
+
+
+@q(
+    "mm_image_dimensions",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN {_MM_IMG_BYTES["png"]}
+                                WHEN 1 THEN {_MM_IMG_BYTES["gif"]}
+                                WHEN 2 THEN {_MM_IMG_BYTES["bmp"]}
+                                ELSE {_MM_IMG_BYTES["jpeg"]} END AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 240 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 240 AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_image_dimensions(spark, sf_dir):
+    """REAL image decode, no PIL: per-row PNG/GIF/BMP/JPEG container headers
+    are assembled byte-exactly in JVM column expressions (dims encoded
+    big/little-endian per format), then the stdlib header decoder
+    (datapipe/mediacodec.sniff_image_dimensions) parses them back inside the
+    Arrow mapInPandas stage. The oracle is the closed form of the planted
+    dims — a decoder regression on any format hash-mismatches. Map-only:
+    at 100 TB this is scan → codegen concat → one Python batch stage."""
+    from nutch_spark.datapipe.multimodal import extract_image_features
+
+    d = t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    w2 = F.lpad(F.hex(16 + F.col("doc_id") % 240), 2, "0")
+    h2 = F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 240), 2, "0")
+    payload_hex = (
+        # PNG: 4-byte big-endian dims in IHDR
+        F.when(m == 0, F.concat(F.lit(_PNG_PRE), w2, F.lit("000000"), h2, F.lit(_PNG_POST)))
+        # GIF: little-endian uint16 logical screen size
+        .when(m == 1, F.concat(F.lit(_GIF_PRE), w2, F.lit("00"), h2, F.lit("00F70000")))
+        # BMP: little-endian int32 dims in BITMAPINFOHEADER
+        .when(m == 2, F.concat(F.lit(_BMP_PRE), w2, F.lit("000000"), h2, F.lit("00000001001800")))
+        # JPEG: big-endian uint16 height THEN width in the SOF0 frame header
+        .otherwise(F.concat(F.lit(_JPG_PRE), h2, F.lit("00"), w2, F.lit(_JPG_POST)))
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return extract_image_features(media).select(
+        "media_id", "n_bytes", "width", "height"
+    )
+
+
+_WAV_RATE_HEX = {  # (sample_rate LE4, byte_rate LE4) per doc_id % 4 branch
+    i: (
+        __import__("struct").pack("<I", r).hex().upper(),
+        __import__("struct").pack("<I", 2 * r).hex().upper(),
+    )
+    for i, r in enumerate((8000, 16000, 22050, 44100))
+}
+
+
+@q(
+    "mm_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(44 + 4 * (32 + doc_id % 32) AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(2 * (32 + doc_id % 32) AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode, no soundfile: byte-exact PCM-16 RIFF/WAVE files
+    (planted rate by doc_id%4, sample count by doc_id%32, alternating
+    [1, 32767] samples) assembled in JVM column expressions, parsed back by
+    the stdlib WAV parser (datapipe/mediacodec.parse_wav) in the Arrow map
+    stage. n_samples is recovered from the float32 duration_s × sample_rate
+    (exact for these counts); the oracle is the closed form."""
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    d = t(spark, sf_dir, "documents")
+    n_pairs = (32 + F.col("doc_id") % 32).cast("int")
+    data_size = n_pairs * 4  # 2 samples of 2 bytes per repeated pattern
+
+    def le4(v):  # little-endian uint32 hex of a (< 65536) column value
+        h4 = F.lpad(F.hex(v), 4, "0")
+        return F.concat(F.substring(h4, 3, 2), F.substring(h4, 1, 2), F.lit("0000"))
+
+    mm = F.col("doc_id") % 4
+    rate_hex = F.when(mm == 0, _WAV_RATE_HEX[0][0]).when(mm == 1, _WAV_RATE_HEX[1][0]).when(mm == 2, _WAV_RATE_HEX[2][0]).otherwise(_WAV_RATE_HEX[3][0])
+    byte_rate_hex = F.when(mm == 0, _WAV_RATE_HEX[0][1]).when(mm == 1, _WAV_RATE_HEX[1][1]).when(mm == 2, _WAV_RATE_HEX[2][1]).otherwise(_WAV_RATE_HEX[3][1])
+    payload_hex = F.concat(
+        F.lit("52494646"), le4(data_size + 36), F.lit("57415645"),  # RIFF size WAVE
+        F.lit("666D74201000000001000100"),  # 'fmt ' len16 PCM mono
+        rate_hex, byte_rate_hex, F.lit("02001000"),  # block align 2, 16 bit
+        F.lit("64617461"), le4(data_size),  # 'data' + size
+        F.repeat(F.lit("0100FF7F"), n_pairs),  # samples: 1, 32767, ...
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return extract_audio_features(media).select(
+        "media_id",
+        "n_bytes",
+        "sample_rate",
+        F.floor(F.col("duration_s").cast("double") * F.col("sample_rate") + 0.5)
+        .cast("long")
+        .alias("n_samples"),
+    )
+
+
 @q(
     "dp_split",
     """
@@ -2132,7 +2257,7 @@ _BM25_TERMS = ["merge", "stream", "vector"]
     post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
     tf AS (
       SELECT term, doc_id, dl, count(*) AS tf FROM post
-      WHERE term IN ('merge', 'stream', 'vector')
+      WHERE term IN ({", ".join(f"'{t_}'" for t_ in _BM25_TERMS)})
       GROUP BY 1, 2, 3
     ),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

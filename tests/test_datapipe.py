@@ -124,12 +124,20 @@ def test_similarity_brute_force_vs_lsh(spark):
 
 
 def test_multimodal_plumbing(spark):
-    payloads = [(i, bytes([i]) * (10 + i), "image", {"src": f"cam{i}"}) for i in range(6)]
+    # GIF headers (little-endian uint16 dims at offset 6) so the default
+    # stdlib decoder resolves real dimensions; payload tail varies per row
+    def gif(i):
+        import struct
+
+        return b"GIF89a" + struct.pack("<HH", 10 + i, 20 + i) + bytes([i]) * i
+
+    payloads = [(i, gif(i), "image", {"src": f"cam{i}"}) for i in range(6)]
     media = spark.createDataFrame(payloads, MEDIA_SCHEMA)
     feats = extract_image_features(media, batch_partitions=2).collect()
     assert len(feats) == 6
     by_id = {r["media_id"]: r for r in feats}
-    assert by_id[3]["n_bytes"] == 13
+    assert by_id[3]["n_bytes"] == len(gif(3))
+    assert (by_id[3]["width"], by_id[3]["height"]) == (13, 23)
     assert len(by_id[3]["feature"]) == 8
     # deterministic: same payload → same feature vector
     again = {r["media_id"]: r for r in extract_image_features(media).collect()}

@@ -1,19 +1,22 @@
-"""Image-decode plumbing certificate (round-4 item 8).
+"""Multimodal decode layer: real stdlib header parsing + the injection seam.
 
-The container has no PIL, so production decode stays stubbed — but the
-injection point must be proven: a custom decoder passed to
-``extract_image_features`` must travel through the mapInPandas closure to the
-Arrow workers and see the REAL payload bytes. The fake decoder here parses
-the PNG IHDR chunk (width/height are big-endian uint32 at bytes 16-24), so a
-correct result certifies end-to-end byte fidelity through the Arrow batch
-path, exactly what a PIL-backed decoder would need.
+The container has no PIL/soundfile, so the DEFAULT decoders read container
+headers (datapipe/mediacodec.py): PNG/GIF/BMP/JPEG dimensions and PCM WAV
+rate/duration/spectral stats. Full pixel/sample decoding stays injectable —
+a custom decoder passed to ``extract_image_features`` must travel through
+the mapInPandas closure to the Arrow workers and see the REAL payload bytes.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
+from nutch_spark.datapipe.mediacodec import (
+    parse_wav,
+    sniff_image_dimensions,
+)
 from nutch_spark.datapipe.multimodal import (
     MEDIA_SCHEMA,
     extract_image_features,
@@ -39,6 +42,107 @@ def _png(width: int, height: int) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def _gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+
+
+def _bmp(width: int, height: int, *, core: bool = False) -> bytes:
+    if core:  # ancient BITMAPCOREHEADER
+        dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    else:
+        dib = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+    header = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib))
+    return header + dib
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(rate: int, samples: list[int], *, bits: int = 16, channels: int = 1) -> bytes:
+    bps = bits // 8
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    block_align = bps * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+# ---------------------------------------------------------------------------
+# mediacodec unit level
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_dimensions_all_formats():
+    assert sniff_image_dimensions(_png(120, 44)) == ("png", 120, 44)
+    assert sniff_image_dimensions(_gif(320, 200)) == ("gif", 320, 200)
+    assert sniff_image_dimensions(_bmp(64, 48)) == ("bmp", 64, 48)
+    assert sniff_image_dimensions(_bmp(33, 21, core=True)) == ("bmp", 33, 21)
+    assert sniff_image_dimensions(_jpeg(640, 480)) == ("jpeg", 640, 480)
+    # top-down BMP stores a negative height
+    assert sniff_image_dimensions(_bmp(10, -12)) == ("bmp", 10, 12)
+
+
+def test_sniff_dimensions_rejects_exotic_and_truncated():
+    assert sniff_image_dimensions(b"II*\x00tiff-ish") is None  # TIFF
+    assert sniff_image_dimensions(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
+    assert sniff_image_dimensions(_png(5, 5)[:20]) is None  # truncated IHDR
+    assert sniff_image_dimensions(b"\xff\xd8\xff\xd9") is None  # JPEG, no SOF
+
+
+def test_jpeg_sof2_progressive_and_skipped_segments():
+    # progressive JPEG (SOF2) behind a fat comment segment
+    com = b"\xff\xfe" + struct.pack(">H", 102) + b"x" * 100
+    sof2 = (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 17, 8, 99, 77, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert sniff_image_dimensions(b"\xff\xd8" + com + sof2) == ("jpeg", 77, 99)
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    assert sniff_image_dimensions(b"\xff\xd8" + dht + sof2) == ("jpeg", 77, 99)
+
+
+def test_parse_wav_pcm16():
+    samples = [0, 1000, -1000, 32767, -32768, 0, 500, -500]
+    wav = parse_wav(_wav(16000, samples))
+    assert wav["sample_rate"] == 16000
+    assert wav["n_samples"] == len(samples)
+    assert wav["duration_s"] == len(samples) / 16000
+    assert list(wav["samples"]) == samples
+    assert wav["bits"] == 16 and wav["n_channels"] == 1
+
+
+def test_parse_wav_rejects_non_pcm_and_junk():
+    assert parse_wav(b"not a wav at all, nope") is None
+    # audio_format 85 = MP3-in-WAV: must be refused, not misparsed
+    mp3ish = _wav(8000, [1, 2, 3, 4]).replace(
+        b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x55\x00"
+    )
+    assert parse_wav(mp3ish) is None
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing with the REAL default decoders
+# ---------------------------------------------------------------------------
 
 
 def test_injected_decoder_sees_real_bytes(spark):
@@ -71,15 +175,33 @@ def test_injected_decoder_sees_real_bytes(spark):
         assert row["n_bytes"] == len(_png(w, h))
 
 
-def test_default_stub_still_deterministic(spark):
+def test_default_decoder_real_dimensions_no_pil(spark):
+    """The round-6 verdict item: real width/height on PNG/JPEG fixtures
+    without PIL; exotic formats yield NULL dims (not a dead executor)."""
     media = spark.createDataFrame(
-        [(1, bytearray(b"payload-a"), "image", {})], MEDIA_SCHEMA
+        [
+            (0, bytearray(_png(123, 45)), "image", {}),
+            (1, bytearray(_jpeg(201, 99)), "image", {}),
+            (2, bytearray(_gif(31, 17)), "image", {}),
+            (3, bytearray(_bmp(88, 66)), "image", {}),
+            (4, bytearray(b"II*\x00exotic-tiff"), "image", {}),
+        ],
+        MEDIA_SCHEMA,
     )
-    a = extract_image_features(media).collect()[0]
-    b = extract_image_features(media).collect()[0]
-    assert a == b
-    assert 64 <= a["width"] < 256 and 64 <= a["height"] < 256
-    assert len(a["feature"]) == 8
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (123, 45)
+    assert (out[1]["width"], out[1]["height"]) == (201, 99)
+    assert (out[2]["width"], out[2]["height"]) == (31, 17)
+    assert (out[3]["width"], out[3]["height"]) == (88, 66)
+    # exotic: byte-level columns real, decoded columns NULL
+    assert out[4]["width"] is None and out[4]["feature"] is None
+    assert out[4]["n_bytes"] == len(b"II*\x00exotic-tiff")
+    assert out[4]["sha1"] is not None
+    # the byte-histogram feature is a real distribution (sums to ~1)
+    assert math.isclose(sum(out[0]["feature"]), 1.0, abs_tol=1e-3)
+    # determinism
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert again[0] == out[0] and again[4] == out[4]
 
 
 def _media(spark, rows):
@@ -95,16 +217,18 @@ def test_resize_images_plumbing_and_injection(spark):
     media = _media(
         spark,
         [
-            (1, "image", b"\xff\xd8\xffjpegbytes", {}),
+            (1, "image", _jpeg(300, 150), {}),
             (2, "audio", b"wavbytes", {}),  # filtered out
+            (3, "image", b"II*\x00exotic", {}),  # undecodable -> NULL row
         ],
     )
-    out = resize_images(media, 224, 224).collect()
-    assert len(out) == 1
-    r = out[0]
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert set(out) == {1, 3}
+    r = out[1]
     assert (r["width"], r["height"]) == (224, 224)
     assert r["resized"].startswith(b"resized:224x224:")
-    assert r["src_width"] >= 64  # from the decode stub
+    assert (r["src_width"], r["src_height"]) == (300, 150)  # real header dims
+    assert out[3]["src_width"] is None and out[3]["resized"] is None
 
     # injectable real resizer slots in without plan/schema changes
     def fake_resizer(payload, w, h):
@@ -112,25 +236,31 @@ def test_resize_images_plumbing_and_injection(spark):
 
     out2 = resize_images(media, 32, 32, resizer=fake_resizer).collect()[0]
     assert (out2["src_width"], out2["src_height"]) == (640, 480)
-    assert out2["resized"] == b"REAL\xff\xd8\xffj"
+    assert out2["resized"] == b"REAL\xff\xd8\xff\xe0"
 
 
-def test_extract_audio_features_deterministic(spark):
+def test_extract_audio_features_real_wav(spark):
     from nutch_spark.datapipe.multimodal import extract_audio_features
 
+    clip1 = _wav(16000, [0, 8000, -8000, 16000] * 8)  # 32 samples
+    clip2 = _wav(8000, [100, -100] * 50)  # 100 samples
     media = _media(
         spark,
         [
-            (1, "audio", b"first clip", {}),
-            (2, "audio", b"second clip", {}),
-            (3, "image", b"not audio", {}),
+            (1, "audio", clip1, {}),
+            (2, "audio", clip2, {}),
+            (3, "image", b"not audio", {}),  # filtered out
+            (4, "audio", b"OggS compressed", {}),  # undecodable -> NULLs
         ],
     )
     a = {r["media_id"]: r for r in extract_audio_features(media).collect()}
-    assert set(a) == {1, 2}
-    assert a[1]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert set(a) == {1, 2, 4}
+    assert a[1]["sample_rate"] == 16000
+    assert abs(a[1]["duration_s"] - 32 / 16000) < 1e-6
+    assert a[2]["sample_rate"] == 8000
+    assert abs(a[2]["duration_s"] - 100 / 8000) < 1e-6
     assert len(a[1]["mfcc"]) == 13
-    assert a[1]["duration_s"] > 0
+    assert a[4]["sample_rate"] is None and a[4]["mfcc"] is None
     # determinism: same bytes, same features
     b = {r["media_id"]: r for r in extract_audio_features(media).collect()}
     assert a[1]["mfcc"] == b[1]["mfcc"]
@@ -153,7 +283,11 @@ def test_null_payload_yields_null_features(spark):
 
     media = _media(
         spark,
-        [(1, "image", None, {}), (2, "audio", None, {}), (3, "image", b"x", {})],
+        [
+            (1, "image", None, {}),
+            (2, "audio", None, {}),
+            (3, "image", _png(9, 9), {}),
+        ],
     )
     img = {r["media_id"]: r for r in extract_image_features(media).collect()}
     assert img[1]["feature"] is None and img[1]["sha1"] is None
