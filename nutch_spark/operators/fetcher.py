@@ -72,6 +72,79 @@ def synthetic_fetch_fn(url: str) -> tuple[str, str | None]:
     return "fetch_gone", None
 
 
+def _parse_auth_challenge(header: str) -> tuple[str, dict[str, str]]:
+    """(scheme, params) of a WWW-Authenticate header value. Params handle
+    both quoted-string and token forms (RFC 7235 §2.1)."""
+    import re
+
+    scheme, _, rest = header.strip().partition(" ")
+    params = {
+        m.group(1).lower(): m.group(2) if m.group(2) is not None else m.group(3)
+        for m in re.finditer(r'([A-Za-z0-9_-]+)\s*=\s*(?:"([^"]*)"|([^\s,]+))', rest)
+    }
+    return scheme.lower(), params
+
+
+def _digest_auth_header(
+    method: str,
+    url: str,
+    challenge: dict[str, str],
+    user: str,
+    password: str,
+    *,
+    cnonce: str | None = None,
+) -> str | None:
+    """RFC 7616 / 2617 Digest Authorization header for one request, or None
+    when the challenge is unusable (unknown algorithm / qop).
+
+    Parity target: protocol-httpclient's HttpAuthenticationFactory +
+    commons HttpClient DigestScheme (Http.java:258-340 resolves host-scoped
+    credentials; the challenge/response math is the public RFC). Supports
+    MD5, MD5-sess, SHA-256, SHA-256-sess and qop=auth (or no qop).
+    """
+    import hashlib
+    import os
+    import urllib.parse
+
+    algorithm = challenge.get("algorithm", "MD5").upper()
+    base_alg = algorithm[:-5] if algorithm.endswith("-SESS") else algorithm
+    hashers = {"MD5": hashlib.md5, "SHA-256": hashlib.sha256}
+    if base_alg not in hashers:
+        return None
+    qop_offered = [q.strip() for q in challenge.get("qop", "").split(",") if q.strip()]
+    if qop_offered and "auth" not in qop_offered:
+        return None  # auth-int needs the body hash; not offered by crawlers
+    realm = challenge.get("realm", "")
+    nonce = challenge.get("nonce", "")
+
+    def h(s: str) -> str:
+        return hashers[base_alg](s.encode()).hexdigest()
+
+    split = urllib.parse.urlsplit(url)
+    uri = (split.path or "/") + (f"?{split.query}" if split.query else "")
+    cnonce = cnonce or os.urandom(8).hex()
+    ha1 = h(f"{user}:{realm}:{password}")
+    if algorithm.endswith("-SESS"):
+        ha1 = h(f"{ha1}:{nonce}:{cnonce}")
+    ha2 = h(f"{method}:{uri}")
+    parts = [
+        f'username="{user}"',
+        f'realm="{realm}"',
+        f'nonce="{nonce}"',
+        f'uri="{uri}"',
+        f"algorithm={algorithm}",
+    ]
+    if qop_offered:
+        nc = "00000001"
+        response = h(f"{ha1}:{nonce}:{nc}:{cnonce}:auth:{ha2}")
+        parts += [f'response="{response}"', "qop=auth", f"nc={nc}", f'cnonce="{cnonce}"']
+    else:
+        parts.append(f'response="{h(f"{ha1}:{nonce}:{ha2}")}"')
+    if "opaque" in challenge:
+        parts.append(f'opaque="{challenge["opaque"]}"')
+    return "Digest " + ", ".join(parts)
+
+
 def http_fetch_fn(
     url: str,
     *,
@@ -125,33 +198,54 @@ def http_fetch_fn(
             return body.decode("utf-8", errors="replace")
 
     # protocol-httpclient surface (Http.java:258-340 http.auth.file scopes,
-    # HttpResponse cookie pass-through): HOST-SCOPED basic credentials and
-    # cookie jars — both keyed host -> value ('*' = any host; never send a
-    # site's session cookie to a third-party domain the crawl discovers).
-    # Bind with functools.partial before passing as fetch_fn; digest/NTLM
-    # negotiation stays deployment-supplied.
+    # HttpResponse cookie pass-through): HOST-SCOPED credentials and cookie
+    # jars — both keyed host -> value ('*' = any host; never send a site's
+    # session cookie to a third-party domain the crawl discovers). Basic is
+    # sent preemptively; a 401 Digest challenge is answered ONCE with the
+    # same scoped credentials (HttpAuthenticationFactory challenge path).
+    # Bind with functools.partial before passing as fetch_fn; NTLM stays
+    # deployment-supplied.
     hdrs = {"User-Agent": user_agent, "Accept-Encoding": "identity"}
     if headers:
         hdrs.update(headers)
     host = urllib.parse.urlsplit(url).hostname or ""
+    cred = (auth.get(host) or auth.get("*")) if auth else None
     if cookies:
         jar = cookies.get(host) or cookies.get("*")
         if jar:
             hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(jar.items()))
-    if auth:
-        cred = auth.get(host) or auth.get("*")
-        if cred:
-            import base64
+    if cred:
+        import base64
 
-            token = base64.b64encode(f"{cred[0]}:{cred[1]}".encode()).decode()
-            hdrs["Authorization"] = f"Basic {token}"
-    req = urllib.request.Request(url, headers=hdrs)
+        token = base64.b64encode(f"{cred[0]}:{cred[1]}".encode()).decode()
+        hdrs["Authorization"] = f"Basic {token}"
     opener = urllib.request.build_opener(_NoRedirect)
     try:
-        with opener.open(req, timeout=timeout_s) as resp:
-            code = resp.status
-            ctype = resp.headers.get("Content-Type")
-            body = resp.read(max_bytes)
+        try:
+            req = urllib.request.Request(url, headers=hdrs)
+            with opener.open(req, timeout=timeout_s) as resp:
+                code = resp.status
+                ctype = resp.headers.get("Content-Type")
+                body = resp.read(max_bytes)
+        except urllib.error.HTTPError as e:
+            # digest challenge/response: answer a 401 once when scoped
+            # credentials exist and the server asked for Digest
+            www = (e.headers.get("WWW-Authenticate") or "") if e.headers else ""
+            if e.code != 401 or not cred or not www.lower().startswith("digest"):
+                raise
+            scheme, challenge = _parse_auth_challenge(www)
+            digest_hdr = _digest_auth_header(
+                "GET", url, challenge, cred[0], cred[1]
+            )
+            if digest_hdr is None:
+                raise
+            retry_hdrs = dict(hdrs)
+            retry_hdrs["Authorization"] = digest_hdr
+            req = urllib.request.Request(url, headers=retry_hdrs)
+            with opener.open(req, timeout=timeout_s) as resp:
+                code = resp.status
+                ctype = resp.headers.get("Content-Type")
+                body = resp.read(max_bytes)
     except urllib.error.HTTPError as e:
         code = e.code
         ctype = e.headers.get("Content-Type") if e.headers else None

@@ -59,6 +59,118 @@ class IndexWriter:
         """Called once per partition after the last batch."""
 
 
+class IndexWriteError(RuntimeError):
+    """A live sink rejected or failed a batch. Raised out of the executor's
+    foreachPartition so Spark retries the task — the same failure semantics
+    as the reference's SolrServerException path
+    (SolrIndexWriter.java:233-248 wraps push failures into IOException)."""
+
+
+def solr_http_transport(
+    *, timeout: float = 30.0, max_retries: int = 2, backoff_s: float = 1.0
+) -> Callable[[str, bytes, dict], None]:
+    """The opt-in LIVE transport for :class:`SolrIndexWriter` — a stdlib
+    urllib POST client (reference: SolrIndexWriter.java:163-248 opens a real
+    HttpSolrClient; this is its javabin-free twin over the public JSON
+    update API). Connection failures and 5xx retry ``max_retries`` times
+    with linear backoff; 4xx fail immediately (a malformed document will
+    not become valid by retrying). Picklable: constructed per-executor
+    inside the writer factory closure."""
+
+    def post(url: str, body: bytes, headers: dict) -> None:
+        import time
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url, data=body, headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    resp.read()
+                return
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    raise IndexWriteError(
+                        f"solr update rejected ({e.code}): {e.read()[:500]!r}"
+                    ) from e
+                last = e
+            except (urllib.error.URLError, OSError) as e:
+                last = e
+            if attempt < max_retries:
+                time.sleep(backoff_s * (attempt + 1))
+        raise IndexWriteError(f"solr update failed after retries: {last}") from last
+
+    return post
+
+
+def es_bulk_http_transport(
+    base_url: str,
+    *,
+    headers: dict | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 2,
+    backoff_s: float = 1.0,
+) -> Callable[[bytes], None]:
+    """The opt-in LIVE transport for :class:`EsBulkIndexWriter` /
+    :class:`OpenSearchBulkIndexWriter`: POST NDJSON bodies to
+    ``<base_url>/_bulk`` with the documented ``application/x-ndjson``
+    content type, then parse the response — Elasticsearch signals
+    per-action failures with ``"errors": true`` inside an HTTP 200
+    (ElasticIndexWriter.java's BulkProcessor listener checks
+    ``response.hasFailures()``), so a 200 alone is NOT success."""
+    hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
+    bulk_url = base_url.rstrip("/") + "/_bulk"
+
+    def post(body: bytes) -> None:
+        import time
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    bulk_url, data=body, headers=dict(hdrs), method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = resp.read()
+                try:
+                    parsed = json.loads(payload)
+                except ValueError as e:
+                    raise IndexWriteError(
+                        f"unparseable _bulk response: {payload[:500]!r}"
+                    ) from e
+                if parsed.get("errors"):
+                    failed = [
+                        item
+                        for item in parsed.get("items", [])
+                        if next(iter(item.values()), {}).get("error")
+                    ]
+                    raise IndexWriteError(
+                        f"_bulk reported {len(failed)} failed actions: "
+                        f"{json.dumps(failed[:3])[:500]}"
+                    )
+                return
+            except IndexWriteError:
+                raise
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    raise IndexWriteError(
+                        f"_bulk rejected ({e.code}): {e.read()[:500]!r}"
+                    ) from e
+                last = e
+            except (urllib.error.URLError, OSError) as e:
+                last = e
+            if attempt < max_retries:
+                time.sleep(backoff_s * (attempt + 1))
+        raise IndexWriteError(f"_bulk failed after retries: {last}") from last
+
+    return post
+
+
 class JsonlIndexWriter(IndexWriter):
     """Filesystem stand-in for a bulk-HTTP backend: each commit writes the
     partition's buffered actions as one JSONL file (one bulk request)."""
@@ -113,13 +225,21 @@ class EsBulkIndexWriter(IndexWriter):
 
     def __init__(
         self,
-        transport: Callable[[bytes], None],
+        transport: Callable[[bytes], None] | None = None,
         *,
+        live_url: str | None = None,
         index: str = "nutch",
         id_field: str = "url",
         max_bulk_docs: int = 250,
         max_bulk_bytes: int = 5 << 20,
     ) -> None:
+        if transport is None:
+            if not live_url:
+                raise ValueError(
+                    "EsBulkIndexWriter needs a transport: pass live_url=... "
+                    "for the stdlib HTTP _bulk client or inject transport=..."
+                )
+            transport = es_bulk_http_transport(live_url)
         self.transport = transport
         self.index = index
         self.id_field = id_field
@@ -307,7 +427,8 @@ class SolrIndexWriter(IndexWriter):
     framed exactly as documented: adds POST a JSON array of documents to
     ``<url>/update``, deletes POST ``{"delete": [ids...]}``, commit POSTs
     ``{"commit": {}}``. ``transport(url, body_bytes, headers)`` performs the
-    POST — production wires an HTTP client; tests a capturing fake. All
+    POST — ``live=True`` wires the stdlib urllib client
+    (:func:`solr_http_transport`); tests inject a capturing fake. All
     configured URLs receive every request (the reference fans out over its
     ``solrClients`` list, SolrIndexWriter.java:259-276).
 
@@ -334,8 +455,9 @@ class SolrIndexWriter(IndexWriter):
 
     def __init__(
         self,
-        transport: Callable[[str, bytes, dict], None],
+        transport: Callable[[str, bytes, dict], None] | None = None,
         *,
+        live: bool = False,
         urls: list[str] | str,
         collection: str | None = None,
         batch_size: int = 1000,
@@ -350,6 +472,13 @@ class SolrIndexWriter(IndexWriter):
     ) -> None:
         if not urls:
             raise ValueError("Missing SOLR URL")  # SolrIndexWriter.java:96-99
+        if transport is None:
+            if not live:
+                raise ValueError(
+                    "SolrIndexWriter needs a transport: pass live=True for "
+                    "the stdlib HTTP client or inject transport=..."
+                )
+            transport = solr_http_transport()
         self.transport = transport
         self.urls = [urls] if isinstance(urls, str) else list(urls)
         self.collection = collection

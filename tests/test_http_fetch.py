@@ -455,3 +455,128 @@ def test_basic_auth_and_cookies_headers():
         assert out["status"] == "fetch_success"
     finally:
         srv.shutdown()
+
+
+def _expected_digest(method, uri, challenge, user, password, cnonce, nc="00000001"):
+    """Server-side RFC 7616 verification twin (MD5 or SHA-256, qop=auth)."""
+    import hashlib
+
+    alg = challenge.get("algorithm", "MD5").upper()
+    h = (hashlib.sha256 if alg.startswith("SHA-256") else hashlib.md5)
+
+    def hx(s):
+        return h(s.encode()).hexdigest()
+
+    ha1 = hx(f"{user}:{challenge['realm']}:{password}")
+    if alg.endswith("-SESS"):
+        ha1 = hx(f"{ha1}:{challenge['nonce']}:{cnonce}")
+    ha2 = hx(f"{method}:{uri}")
+    if challenge.get("qop"):
+        return hx(f"{ha1}:{challenge['nonce']}:{nc}:{cnonce}:auth:{ha2}")
+    return hx(f"{ha1}:{challenge['nonce']}:{ha2}")
+
+
+def _digest_server(challenge_header, challenge_params, user, password):
+    """401-with-Digest-challenge server that VERIFIES the client response."""
+    from nutch_spark.operators.fetcher import _parse_auth_challenge
+
+    class DigestHandler(_Handler):
+        def do_GET(self):  # noqa: N802
+            authz = self.headers.get("Authorization", "")
+            if not authz.lower().startswith("digest"):
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", challenge_header)
+                self.end_headers()
+                return
+            _, got = _parse_auth_challenge(authz)
+            expected = _expected_digest(
+                "GET", got["uri"], challenge_params, user, password,
+                got.get("cnonce", ""), got.get("nc", "00000001"),
+            )
+            if got.get("response") == expected and got.get("username") == user:
+                body = b"digest granted"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(403)
+                self.end_headers()
+
+    return ThreadingHTTPServer(("127.0.0.1", 0), DigestHandler)
+
+
+def test_digest_auth_md5_qop_auth():
+    """protocol-httpclient HttpAuthenticationFactory parity: a 401 Digest
+    challenge is answered once with the host-scoped credentials (RFC 7616
+    MD5 + qop=auth), and the server VERIFIES the response hash."""
+    params = {"realm": "crawl", "nonce": "abc123nonce", "qop": "auth",
+              "algorithm": "MD5", "opaque": "xyz"}
+    hdr = ('Digest realm="crawl", nonce="abc123nonce", qop="auth", '
+           'algorithm=MD5, opaque="xyz"')
+    srv = _digest_server(hdr, params, "alice", "s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(f"{base}/private?x=1", auth={"127.0.0.1": ("alice", "s3cret")})
+        assert out["status"] == "fetch_success"
+        assert out["content"] == "digest granted"
+        # wrong password -> server rejects the hash -> 403 -> retry mapping
+        out = http_fetch_fn(f"{base}/private", auth={"127.0.0.1": ("alice", "wrong")})
+        assert out["status"] != "fetch_success"
+        # no credentials at all -> the 401 surfaces as fetch_gone
+        out = http_fetch_fn(f"{base}/private")
+        assert out["status"] == "fetch_gone"
+    finally:
+        srv.shutdown()
+
+
+def test_digest_auth_sha256_no_qop():
+    """RFC 7616 SHA-256 and the legacy no-qop RFC 2069 response form."""
+    params = {"realm": "r2", "nonce": "n0n", "algorithm": "SHA-256"}
+    hdr = 'Digest realm="r2", nonce="n0n", algorithm=SHA-256'
+    srv = _digest_server(hdr, params, "bob", "pw2")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(f"{base}/private", auth={"*": ("bob", "pw2")})
+        assert out["status"] == "fetch_success" and out["content"] == "digest granted"
+    finally:
+        srv.shutdown()
+
+
+def test_digest_header_math_known_vector():
+    """RFC 2617 §3.5's published example: user Mufasa, realm
+    testrealm@host.com, the exact response hash from the spec."""
+    from nutch_spark.operators.fetcher import _digest_auth_header, _parse_auth_challenge
+
+    scheme, ch = _parse_auth_challenge(
+        'Digest realm="testrealm@host.com", qop="auth,auth-int", '
+        'nonce="dcd98b7102dd2f0e8b11d0f600bfb0c093", '
+        'opaque="5ccc069c403ebaf9f0171e9517f40e41"'
+    )
+    assert scheme == "digest"
+    hdr = _digest_auth_header(
+        "GET", "http://www.nowhere.org/dir/index.html", ch,
+        "Mufasa", "Circle Of Life", cnonce="0a4f113b",
+    )
+    assert 'response="6629fae49393a05397450978507c4ef1"' in hdr
+    assert 'uri="/dir/index.html"' in hdr and "nc=00000001" in hdr
+
+
+def test_digest_unusable_challenge_falls_through():
+    """auth-int-only or unknown-algorithm challenges must NOT crash the
+    fetch — the original 401 maps to fetch_gone like any denied page."""
+    hdr = 'Digest realm="r", nonce="n", qop="auth-int", algorithm=MD5'
+    srv = _digest_server(hdr, {}, "u", "p")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(f"{base}/private", auth={"*": ("u", "p")})
+        assert out["status"] == "fetch_gone"
+    finally:
+        srv.shutdown()
