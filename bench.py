@@ -98,21 +98,28 @@ def main() -> None:
     # The printed line must parse from a 2000-char stdout tail: cap it at
     # 1900 chars by construction. Include the slowest queries first (the
     # ones that matter for perf grading); the rest live in the artifact.
+    # Per-query values rounded to 10 ms in the printed line (full-precision
+    # timings live in BENCH_FULL_LOCAL.json) so more of the registry fits
+    # under the cap; slowest-first so a truncated tail only loses the
+    # cheapest queries.
     base = {
         "metric": full["metric"],
         "value": total,
         "unit": "sec",
         "sf": sf,
         "queries_total": len(timings),
-        "detail": "BENCH_FULL_LOCAL.json",
         "queries": {},
     }
-    budget = 1900 - len(json.dumps(base, separators=(",", ":")))
+    # 1985 = the driver's 2000-char stdout tail minus newline slack; greedy
+    # skip-packing (don't stop at the first too-long entry — later, shorter-
+    # named ones may still fit) maximizes the visible row count.
+    budget = 1985 - len(json.dumps(base, separators=(",", ":")))
     for name in sorted(timings, key=lambda n: -timings[n]):
-        entry_len = len(json.dumps({name: timings[name]}, separators=(",", ":")))
+        val = round(timings[name], 2)
+        entry_len = len(json.dumps({name: val}, separators=(",", ":")))
         if budget - entry_len < 0:
-            break
-        base["queries"][name] = timings[name]
+            continue
+        base["queries"][name] = val
         budget -= entry_len
     summary = json.dumps(base, separators=(",", ":"))
     # Stop Spark BEFORE printing so no executor/log output can interleave

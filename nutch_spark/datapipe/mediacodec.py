@@ -1,6 +1,6 @@
-"""Stdlib-only media header codecs: image dimensions from PNG/GIF/BMP/JPEG
-headers (pure struct reads — no PIL/libvips) and PCM WAV parsing with
-numpy-computed signal statistics.
+"""Stdlib-only media header codecs: image dimensions from PNG/GIF/BMP/JPEG/
+TIFF headers plus JPEG/TIFF EXIF orientation (pure struct reads — no
+PIL/libvips) and PCM WAV parsing with numpy-computed signal statistics.
 
 These are the default decoders behind datapipe/multimodal.py. They read
 container HEADERS, not pixel/sample payload decode chains, so they cover the
@@ -15,9 +15,41 @@ from __future__ import annotations
 import struct
 
 
+def _tiff_ifd_entries(payload: bytes, ifd_off: int, endian: str) -> dict[int, int]:
+    """tag → scalar value for the SHORT(3)/LONG(4) count-1 entries of one
+    TIFF IFD (the fields that carry dims/orientation). Other types/counts
+    are skipped — callers only need the scalar tags."""
+    out: dict[int, int] = {}
+    if ifd_off + 2 > len(payload):
+        return out
+    (n_entries,) = struct.unpack(f"{endian}H", payload[ifd_off : ifd_off + 2])
+    for k in range(min(n_entries, 512)):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            break
+        tag, typ, count = struct.unpack(f"{endian}HHI", payload[e : e + 8])
+        if count != 1:
+            continue
+        if typ == 3:  # SHORT lives in the first 2 bytes of the value field
+            (out[tag],) = struct.unpack(f"{endian}H", payload[e + 8 : e + 10])
+        elif typ == 4:  # LONG fills the value field
+            (out[tag],) = struct.unpack(f"{endian}I", payload[e + 8 : e + 12])
+    return out
+
+
+def _tiff_endian(payload: bytes) -> str | None:
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        return "<"
+    if payload[:4] == b"MM\x00*":
+        return ">"
+    return None
+
+
 def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from the container header, or None when the
-    format is not one of png/gif/bmp/jpeg (or the header is truncated).
+    format is not one of png/gif/bmp/jpeg/tiff (or the header is truncated).
 
     - PNG:  IHDR width/height, big-endian uint32 at bytes 16-24
     - GIF:  87a/89a logical screen descriptor, little-endian uint16 at 6-10
@@ -25,6 +57,9 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
             the ancient BITMAPCOREHEADER (size 12) uint16 at 18-22
     - JPEG: first SOFn frame header (height then width, big-endian uint16),
             skipping non-frame segments by their declared lengths
+    - TIFF: IFD0 ImageWidth(256)/ImageLength(257), both byte orders,
+            SHORT or LONG entries (TIFF 6.0 §2; Tika's TiffParser reads
+            the same two tags for metadata-only dimension extraction)
     """
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         if payload[12:16] != b"IHDR":
@@ -69,7 +104,64 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
                 return "jpeg", int(w), int(h)
             i += 2 + seg_len
         return None
+    endian = _tiff_endian(payload)
+    if endian is not None:
+        (ifd_off,) = struct.unpack(f"{endian}I", payload[4:8])
+        tags = _tiff_ifd_entries(payload, ifd_off, endian)
+        if 256 in tags and 257 in tags and tags[256] > 0 and tags[257] > 0:
+            return "tiff", int(tags[256]), int(tags[257])
+        return None
     return None
+
+
+def exif_orientation(payload: bytes) -> int | None:
+    """EXIF Orientation (tag 274, 1..8) from a JPEG APP1 ``Exif\\0\\0``
+    segment or a bare TIFF header, or None when absent. Values 5-8 mean the
+    display dimensions are the stored dimensions swapped — the piece of EXIF
+    a filtering/bucketing pipeline actually needs (Tika exposes the same tag
+    as ``tiff:Orientation``)."""
+    endian = _tiff_endian(payload)
+    if endian is not None:
+        (ifd_off,) = struct.unpack(f"{endian}I", payload[4:8])
+        val = _tiff_ifd_entries(payload, ifd_off, endian).get(274)
+        return val if val is not None and 1 <= val <= 8 else None
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / start of scan: no more metadata
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            return exif_orientation(payload[i + 10 : i + 2 + seg_len])
+        i += 2 + seg_len
+    return None
+
+
+def effective_dimensions(payload: bytes) -> tuple[str, int, int] | None:
+    """``sniff_image_dimensions`` with EXIF orientation applied: for
+    orientation 5-8 (transpose/transverse/90° rotations) width and height
+    swap, matching what a viewer renders."""
+    dims = sniff_image_dimensions(payload)
+    if dims is None:
+        return None
+    fmt, w, h = dims
+    o = exif_orientation(payload)
+    if o is not None and o >= 5:
+        w, h = h, w
+    return fmt, w, h
 
 
 def parse_wav(payload: bytes) -> dict | None:
@@ -129,8 +221,11 @@ def byte_histogram(payload: bytes, bins: int = 8) -> list[float]:
         return [0.0] * bins
     import numpy as np
 
+    # value * bins // 256 gives `bins` equal-width buckets for ANY bin
+    # count (a pure right-shift only works for powers of two — with e.g.
+    # bins=10 the top buckets would always be empty).
     counts = np.bincount(
-        np.frombuffer(payload, dtype=np.uint8) >> (8 - bins.bit_length() + 1),
+        np.frombuffer(payload, dtype=np.uint8).astype(np.int32) * bins // 256,
         minlength=bins,
     )[:bins]
     return [round(float(c) / len(payload), 6) for c in counts]

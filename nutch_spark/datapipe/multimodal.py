@@ -80,10 +80,10 @@ def _map_media(
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """Default decode: REAL header-only dimension parse for PNG/GIF/BMP/JPEG
-    (datapipe/mediacodec.py, pure struct reads — no PIL) plus a normalized
-    byte-histogram content feature. Formats without a stdlib header parser
-    (TIFF, WebP, AVIF, ...) raise NotImplementedError — the mapInPandas row
+    """Default decode: REAL header-only dimension parse for PNG/GIF/BMP/
+    JPEG/TIFF (datapipe/mediacodec.py, pure struct reads — no PIL) plus a
+    normalized byte-histogram content feature. Formats without a stdlib
+    header parser (WebP, AVIF, ...) raise NotImplementedError — the mapInPandas row
     loop converts that into NULL feature columns, and a full pixel decoder
     injects via the ``decoder=`` seam without touching the plan."""
     from nutch_spark.datapipe.mediacodec import byte_histogram, sniff_image_dimensions

@@ -662,15 +662,23 @@ def url_filter_predicate(
     behave like broadcast lookups. For very large deny lists (>100k), join
     against a broadcast DataFrame instead.
 
-    ``inline``: set True ONLY when the predicate is built inside a
-    higher-order-function lambda (``F.filter``/``F.transform``) — there the
+    ``inline``: force the pure-Column PSL chain for ``deny_domains``. Inside
+    a higher-order-function lambda (``F.filter``/``F.transform``) the
     registered ``nutch_psl_domain`` SQL function cannot bind the lambda
-    variable (MISSING_ATTRIBUTES at plan time), so ``deny_domains`` falls
-    back to the pure-Column PSL chain. That fallback marshals ~9k rule
-    literals through py4j per call (~2 s of plan-build), so the default
-    (False) uses the one-py4j-call registered function everywhere else.
+    variable (MISSING_ATTRIBUTES at plan time); that case is DETECTED
+    automatically (the unresolved expression tree carries an
+    UnresolvedNamedLambdaVariable node), so callers building the predicate
+    in a lambda keep working without passing ``inline=True``. The inline
+    chain marshals ~9k rule literals through py4j per call (~2 s of
+    plan-build), so everywhere else the default uses the one-py4j-call
+    registered function.
     """
     c = F.col(url) if isinstance(url, str) else url
+    if not inline and deny_domains:
+        try:  # classic-mode introspection; on failure keep the fast path
+            inline = "UnresolvedNamedLambdaVariable" in str(c._jc.node())
+        except Exception:
+            pass
     pred = F.lit(True)
     for rx in deny_regex or []:
         pred = pred & ~c.rlike(rx)

@@ -140,6 +140,11 @@ def _digest_auth_header(
         parts += [f'response="{response}"', "qop=auth", f"nc={nc}", f'cnonce="{cnonce}"']
     else:
         parts.append(f'response="{h(f"{ha1}:{nonce}:{ha2}")}"')
+        if algorithm.endswith("-SESS"):
+            # -SESS mixes the cnonce into HA1; without qop the cnonce param
+            # only travels in the qop branch, so emit it here too or the
+            # server can never recompute HA1 (RFC 7616 §3.4.2).
+            parts.append(f'cnonce="{cnonce}"')
     if "opaque" in challenge:
         parts.append(f'opaque="{challenge["opaque"]}"')
     return "Digest " + ", ".join(parts)
@@ -205,7 +210,10 @@ def http_fetch_fn(
     # same scoped credentials (HttpAuthenticationFactory challenge path).
     # Bind with functools.partial before passing as fetch_fn; NTLM stays
     # deployment-supplied.
-    hdrs = {"User-Agent": user_agent, "Accept-Encoding": "identity"}
+    # HttpBase sends Accept-Encoding and decompresses with GZIPUtils.
+    # unzipBestEffort (HttpBase.java:632-670) — truncated-by-content-limit
+    # gzip streams still yield their decodable prefix instead of garbage
+    hdrs = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
     if headers:
         hdrs.update(headers)
     host = urllib.parse.urlsplit(url).hostname or ""
@@ -226,6 +234,7 @@ def http_fetch_fn(
             with opener.open(req, timeout=timeout_s) as resp:
                 code = resp.status
                 ctype = resp.headers.get("Content-Type")
+                cenc = (resp.headers.get("Content-Encoding") or "").lower()
                 body = resp.read(max_bytes)
         except urllib.error.HTTPError as e:
             # digest challenge/response: answer a 401 once when scoped
@@ -245,6 +254,7 @@ def http_fetch_fn(
             with opener.open(req, timeout=timeout_s) as resp:
                 code = resp.status
                 ctype = resp.headers.get("Content-Type")
+                cenc = (resp.headers.get("Content-Encoding") or "").lower()
                 body = resp.read(max_bytes)
     except urllib.error.HTTPError as e:
         code = e.code
@@ -267,13 +277,35 @@ def http_fetch_fn(
             return {"status": "fetch_gone", "content": None, "metadata": meta}
         return {"status": "fetch_retry", "content": None, "metadata": meta}
     except Exception as e:  # DNS failure, refused, timeout → EXCEPTION → retry
+        from nutch_spark.functions.textutil import categorize_error
+
         return {
             "status": "fetch_retry",
             "content": None,
-            "metadata": {"_exception_": type(e).__name__},
+            "metadata": {
+                "_exception_": type(e).__name__,
+                # ErrorTracker.categorize (metrics/ErrorTracker.java:285) —
+                # bounded taxonomy for job counters / stats rollups
+                "_error_category_": categorize_error(e),
+            },
         }
     meta = {"nutch.protocol.code": str(code)}
     if code == 200:
+        if cenc in ("gzip", "x-gzip") or (cenc == "deflate"):
+            from nutch_spark.functions.textutil import (
+                inflate_best_effort,
+                unzip_best_effort,
+            )
+
+            plain = (
+                unzip_best_effort(body, max_bytes)
+                if cenc != "deflate"
+                else inflate_best_effort(body, max_bytes)
+            )
+            if plain is None:
+                meta["_undecodable_encoding_"] = cenc
+            else:
+                body = plain
         return {
             "status": "fetch_success",
             "content": _decode(body, ctype),

@@ -99,6 +99,12 @@ def generate(
     if extra_filter is not None:
         df = df.filter(extra_filter)
 
+    # URLs whose scheme the reference's java.net.URL cannot parse throw
+    # MalformedURLException in the selector/partitioner and are silently
+    # dropped (Generator.java:558-570; TestGenerator.testURLNoHost: xyz://
+    # is skipped while host-less file: URLs survive). One rlike, codegen.
+    df = df.filter(F.col("url").rlike(r"^(?i)(https?|ftp|file):"))
+
     sort_val = sort_score if sort_score is not None else F.col("score")
     group = url_host("url") if cfg.generate_count_mode == "host" else url_domain("url")
     df = df.withColumn("_grp", group).withColumn("_sort", sort_val)

@@ -566,6 +566,75 @@ def extract_xlsx_text(data: bytes) -> str:
     return "\n".join(parts).strip()
 
 
+_ODF_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+
+
+def _odf_para_text(el) -> str:
+    """Serialize one ODF <text:p>/<text:h> subtree: <text:s text:c=N> is N
+    spaces (default 1), <text:tab> a tab, <text:line-break> a newline; other
+    descendants contribute text + tail in document order (ODF 1.2 §6.1)."""
+    parts: list[str] = []
+
+    def walk(node) -> None:
+        local = node.tag.rpartition("}")[2]
+        if local == "s":
+            parts.append(" " * int(node.get(f"{{{_ODF_TEXT_NS}}}c", "1") or "1"))
+        elif local == "tab":
+            parts.append("\t")
+        elif local == "line-break":
+            parts.append("\n")
+        else:
+            if node.text:
+                parts.append(node.text)
+            for child in node:
+                walk(child)
+                if child.tail:
+                    parts.append(child.tail)
+
+    if el.text:
+        parts.append(el.text)
+    for child in el:
+        walk(child)
+        if child.tail:
+            parts.append(child.tail)
+    return "".join(parts)
+
+
+def extract_odf_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for an OpenDocument package (odt/ods/odp): the mime comes
+    from the mandatory ``mimetype`` zip entry, the text from ``content.xml``
+    <text:p>/<text:h> paragraphs (newline-joined). The same extraction covers
+    writer, calc (cell paragraphs) and impress (frame paragraphs) — ODF uses
+    the text namespace for all of them. Reference: parse-tika delegates ODF
+    to Tika's OpenDocumentParser, which reads the same two package parts."""
+    try:
+        with zipfile.ZipFile(BytesIO(data)) as z:
+            names = set(z.namelist())
+            mime = (
+                z.read("mimetype").decode("ascii", "replace").strip()
+                if "mimetype" in names
+                else "application/vnd.oasis.opendocument"
+            )
+            xml = z.read("content.xml") if "content.xml" in names else b""
+    except (zipfile.BadZipFile, KeyError, OSError):
+        return "application/vnd.oasis.opendocument", ""
+    if not xml:
+        return mime, ""
+    try:
+        root = ElementTree.fromstring(xml)
+    except ElementTree.ParseError:
+        return mime, ""
+    paras = []
+    for el in root.iter():
+        if el.tag.rpartition("}")[2] in ("p", "h") and el.tag.startswith(
+            f"{{{_ODF_TEXT_NS}}}"
+        ):
+            txt = _odf_para_text(el)
+            if txt:
+                paras.append(txt)
+    return mime, "\n".join(paras).strip()
+
+
 def extract_pptx_text(data: bytes) -> str:
     """<a:t> runs of every slide in deck order (DrawingML)."""
     parts: list[str] = []
@@ -636,8 +705,17 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         try:
             with zipfile.ZipFile(BytesIO(data)) as z:
                 names = z.namelist()
-        except zipfile.BadZipFile:
+                odf_mime = (
+                    z.read("mimetype").decode("ascii", "replace").strip()
+                    if "mimetype" in names
+                    else ""
+                )
+        except (zipfile.BadZipFile, KeyError):
             return "application/zip", ""
+        # OpenDocument packages declare themselves via the mandatory
+        # ``mimetype`` entry (first, stored) — check before OOXML markers
+        if odf_mime.startswith("application/vnd.oasis.opendocument"):
+            return extract_odf_text(data)
         for prefix, (mime, fn) in _OOXML_MARKERS.items():
             if any(n.startswith(prefix) for n in names):
                 return mime, fn(data)

@@ -11,41 +11,40 @@ from nutch_spark.plans import datapipe_queries  # noqa: E402,F401  (registers dp
 from nutch_spark.plans import graph_queries  # noqa: E402,F401  (registers g/j/w/st_*)
 from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d7_*)
 
-# The driver's correctness harness samples a prefix of this registry each
-# round. Rotate least-recently-certified queries to the front so every query
-# gets a driver-green row. Round-7 ordering (per the round-6 verdict):
-# a9_node_rollup's only driver row ever (r01) was a FAIL, so it leads; then
-# the 9 queries last driver-certified in r01-r03; then queries touched by
-# this round's code changes (f2 predicate fix); then the rest of the r06
-# rotation order.
+# The driver's correctness harness samples a ~50-query prefix of this
+# registry each round. Rotate least-recently-certified queries to the front
+# so every query gets a driver-green row. Round-8 ordering (per the round-7
+# verdict): brand-new r08 queries lead (never driver-sampled), then the 49
+# queries whose newest driver-green row is r04 — starting with the ones
+# whose code changed since r04 (p2_pdf_extract's parser changed in r07),
+# then j9_*/w1_* and the rest in r04 registry order. Every other query has
+# an r06/r07 driver row; r09 mops up whatever falls past the window.
 _CERTIFY_FIRST = [
-    # never driver-green: its only sample (r01) predates the r02 fix
-    "a9_node_rollup",
-    # last driver-certified in r01-r03
-    "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup", "j6_hostdb_agg",
-    "st_tumbling_window", "j10_crawldb_merge", "f1_url_normalize",
-    "f1_url_parts", "d7_text_profile_sig",
-    # code changed this round (url_filter_predicate fast path) — recertify
-    "f2_filter_chain",
-    # new in round 7 (multimodal stdlib decoders, fetch bench support)
-    "mm_image_dimensions", "mm_audio_features",
-    # r06-certified, keep cycling in recency order (oldest first)
-    "dp_langid_stopword", "dp_gopher_repetition", "dp_paragraph_dedup",
-    "dp_mix_weighted", "dp_dup_components", "dp_pii_scrub", "dp_int8_topk",
-    "dp_decontaminate", "dp_seq_packing", "mm_binary_metadata", "dp_split",
-    "dp_cross_corpus_dedup", "dp_lsh_recall", "dp_c4_clean",
-    "dp_url_blocklist", "dp_substring_spans", "f1_scoped_normalize",
-    "dp_minhash_lsh", "dp_simhash", "dp_token_stats", "dp_quality",
-    "dp_langid", "dp_cosine_topk", "dp_embedding_near_dup", "dp_lsh_topk",
-    "dp_ivf_topk", "g3_linkrank", "j4_score_update",
-    "dp_gopher_quality", "dp_bm25_topk", "dp_dsir_weights",
-    "dp_shard_balance", "mm_frame_samples", "dp_winnowing_containment",
-    "dp_pipeline_clean", "dp_mix_temperature", "dp_substring_keepone",
-    "dp_substring_removal", "dp_dup_components_star", "dp_bpe_train",
-    "dp_bpe_apply", "dp_bpe_pair_counts",
-    "pf_regex_fields", "pf_nb_classify", "p2_doc_extract",
-    "dp_semantic_dedup", "dp_lm_perplexity", "dp_ivf_recall",
-    "p2_metatags", "p2_js_outlinks",
+    # new in round 8 (TIFF/EXIF dims, OpenDocument text, politeness fetch
+    # harness under oracle) — never driver-sampled
+    "mm_tiff_dimensions", "p2_odt_extract", "p1_politeness",
+    # code changed since its r04 row (PDF string-entry delimiter fix, r07)
+    "p2_pdf_extract",
+    # r04-certified, code-adjacent groups first
+    "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
+    "w1_generate_topk", "w1_host_limit",
+    "p2_html_parse", "p2_feed_entries", "p4_robots_policy",
+    "s10_sitemap_parse", "s1_seed_parse",
+    # remaining r04-certified, registry order
+    "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
+    "a1_quantiles", "a3_group_numeric", "a3_value_counts", "a4_group_count",
+    "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
+    "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
+    "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
+    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample", "w5_topk_contribs",
+    "d3_opic_share", "d6_adaptive_schedule", "d6_mime_adaptive",
+    "u1_union_distinct", "a10_anchor_dedup", "d4_depth_propagation",
+    "d8_orphan_mark", "d2_cleaning_targets", "d5_similarity_score",
+    "dp_winnowing", "st_hostdb_state", "st_session_windows", "j_geoip_range",
+    "dp_exact_dedup", "dp_ngram_jaccard",
+    # r07-certified queries touched by round-8 code changes (url predicate
+    # lambda autodetect) — recertify if the window allows
+    "f2_filter_chain", "f1_url_normalize", "f1_url_parts",
 ]
 
 

@@ -1296,3 +1296,136 @@ def p2_doc_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_odt_extract",
+    """
+    -- Round-trip identity: each document's text becomes a REAL OpenDocument
+    -- package (stored-mimetype + content.xml with a text:h heading and a
+    -- text:p paragraph) and flows through the ODF extractor. Both engines
+    -- sanitize to printable ASCII first; XML escaping round-trips through
+    -- ElementTree so the oracle sees the original sanitized text.
+    SELECT doc_id,
+           'application/vnd.oasis.opendocument.text' AS mime,
+           trim('H ' || CAST(doc_id AS VARCHAR) || chr(10) || 'odt guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ') AS parse_text,
+           CAST(length(trim('H ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'odt guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                ' ')) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_odt_extract(spark, sf_dir):
+    """P2 OpenDocument parse end-to-end (parse-tika slot — TikaParser.java
+    routes application/vnd.oasis.opendocument.* to Tika's
+    OpenDocumentParser): every row's text is wrapped into a real ODT package
+    (mandatory ``mimetype`` entry + content.xml heading/paragraph), then
+    flows through parse_binary's zip dispatch into extract_odf_text
+    (operators/parse_binary.py). Certifies the mimetype-entry routing, the
+    text-namespace paragraph walk and XML unescaping on every row
+    cross-engine. Map-only at any scale."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        ns = (
+            '<office:document-content '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "odt guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                content = (
+                    '<?xml version="1.0" encoding="UTF-8"?>' + ns
+                    + "<office:body><office:text>"
+                    + f"<text:h>H {doc_id}</text:h>"
+                    + f"<text:p>{escape(body)}</text:p>"
+                    + "</office:text></office:body></office:document-content>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                    z.writestr(
+                        "mimetype", "application/vnd.oasis.opendocument.text"
+                    )
+                    z.writestr("content.xml", content)
+                rows.append(
+                    {
+                        "url": f"http://doc{doc_id}.com/x.odt",
+                        "content": buf.getvalue(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
+
+
+@q(
+    "p1_politeness",
+    """
+    -- The politeness fetch harness end-to-end: 4000 synthetic URLs over 200
+    -- hosts through the per-host-FIFO / earliest-ready-first drain with a
+    -- real 20 ms per-host delay. Row CONTENT is fully deterministic (status
+    -- derives from md5(url) — synthetic_fetch_fn), so the oracle states it
+    -- closed-form; the timing SHAPE (wall ~ max per-host chain, per-host
+    -- request spacing >= delay) is certified by this query's BENCH row and
+    -- tests/test_pipeline.py's spacing invariant.
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 200 AS VARCHAR) || '.example.com' AS host,
+             'http://h' || CAST(doc_id % 200 AS VARCHAR) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 4000)
+    SELECT host,
+           CASE WHEN CAST(concat('0x', substr(md5(url), 1, 2)) AS INT) % 10 < 8
+                  THEN 'fetch_success'
+                WHEN CAST(concat('0x', substr(md5(url), 1, 2)) AS INT) % 10 = 8
+                  THEN 'fetch_retry'
+                ELSE 'fetch_gone' END AS status,
+           count(*) AS n
+    FROM u GROUP BY host, status
+    """,
+)
+def p1_politeness(spark, sf_dir):
+    """P1 (fetcher/Fetcher.java:67-102 FetchItemQueues + FetchItemQueue.java:
+    49-106): the ONLY operator family previously invisible to BENCH. Drives
+    the real polite fetch harness — per-host FIFO queues, 20 ms politeness
+    delay, 2 fetch threads per partition, per-queue=1 — over 4000
+    deterministic URLs on 200 hosts, then aggregates the fetch log per
+    (host, status). 100 TB shape: hosts hash into num_lists partitions, one
+    Arrow stage, wall scales with the longest per-host chain (not the URL
+    count) exactly like the reference fetcher."""
+    from nutch_spark.operators.fetcher import fetch
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    fl = d.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    log = fetch(fl, crawl_delay_s=0.02, threads=2, num_lists=32)
+    return (
+        log.select(F.split(F.col("url"), "/").getItem(2).alias("host"), "status")
+        .groupBy("host", "status")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1232,6 +1232,85 @@ def mm_image_dimensions(spark, sf_dir):
     )
 
 
+@q(
+    "mm_tiff_dimensions",
+    """
+    SELECT doc_id AS media_id,
+           CAST(50 AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 + (doc_id * 7) % 240
+                     ELSE 16 + doc_id % 240 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 + doc_id % 240
+                     ELSE 16 + (doc_id * 7) % 240 END AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_tiff_dimensions(spark, sf_dir):
+    """REAL TIFF decode, no PIL: per-row TIFF headers — alternating II
+    (little-endian, SHORT dims) and MM (big-endian, LONG dims) byte orders —
+    with a planted EXIF Orientation tag (274) are assembled byte-exactly in
+    JVM column expressions, then parsed back by the stdlib IFD walker
+    (mediacodec.sniff_image_dimensions / exif_orientation /
+    effective_dimensions) in an Arrow mapInPandas stage. Orientation >= 5
+    swaps the reported display dims, and the oracle states the closed form —
+    a regression in either the IFD walk (both endians, both entry types) or
+    the orientation swap hash-mismatches. Map-only at any scale."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    w2 = F.lpad(F.hex(16 + F.col("doc_id") % 240), 2, "0")
+    h2 = F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 240), 2, "0")
+    o2 = F.lpad(F.hex(1 + F.col("doc_id") % 8), 2, "0")
+    ii = F.concat(
+        F.lit("49492A00" + "08000000" + "0300"),          # II*, IFD@8, 3 entries
+        F.lit("0001" + "0300" + "01000000"), w2, F.lit("000000"),  # 256 SHORT w
+        F.lit("0101" + "0300" + "01000000"), h2, F.lit("000000"),  # 257 SHORT h
+        F.lit("1201" + "0300" + "01000000"), o2, F.lit("000000"),  # 274 SHORT o
+        F.lit("00000000"),
+    )
+    mm = F.concat(
+        F.lit("4D4D002A" + "00000008" + "0003"),          # MM*, IFD@8, 3 entries
+        F.lit("0100" + "0004" + "00000001" + "000000"), w2,        # 256 LONG w
+        F.lit("0101" + "0004" + "00000001" + "000000"), h2,        # 257 LONG h
+        F.lit("0112" + "0003" + "00000001" + "00"), o2, F.lit("0000"),  # 274 SHORT
+        F.lit("00000000"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, ii).otherwise(mm)).alias("payload"),
+    )
+
+    def decode(batches):
+        from nutch_spark.datapipe.mediacodec import (
+            effective_dimensions,
+            exif_orientation,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(raw)
+                dims = effective_dimensions(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(data),
+                        "orientation": exif_orientation(data),
+                        "width": dims[1] if dims else None,
+                        "height": dims[2] if dims else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "orientation", "width", "height"],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "media_id long, n_bytes long, orientation int, width int, height int",
+    )
+
+
 _WAV_RATE_HEX = {  # (sample_rate LE4, byte_rate LE4) per doc_id % 4 branch
     i: (
         __import__("struct").pack("<I", r).hex().upper(),

@@ -120,7 +120,15 @@ def es_bulk_http_transport(
     content type, then parse the response — Elasticsearch signals
     per-action failures with ``"errors": true`` inside an HTTP 200
     (ElasticIndexWriter.java's BulkProcessor listener checks
-    ``response.hasFailures()``), so a 200 alone is NOT success."""
+    ``response.hasFailures()``), so a 200 alone is NOT success.
+
+    Delivery is AT-LEAST-ONCE: a 5xx/connection failure re-POSTs the whole
+    ``_bulk`` body, so actions that partially applied server-side before the
+    failure are re-applied. All writers in this module emit id-keyed
+    ``index``/``delete`` actions (idempotent on replay — the reference's
+    BulkProcessor retry behaves identically); do NOT hand this transport
+    bodies whose correctness depends on delete-then-index ordering across
+    retries, and treat per-action 409s on a retried batch as success."""
     hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
     bulk_url = base_url.rstrip("/") + "/_bulk"
 

@@ -607,3 +607,26 @@ def test_mergesegs_slice(spark, crawl_env, tmp_path):
     m = spark.read.parquet(os.path.join(out, "s", "crawl_fetch"))
     assert m.count() == 2
     assert "slice" in m.columns  # the chunk assignment downstream writes partition by
+
+
+def test_driver_entry_smoke(spark):
+    """The driver's smoke path: __spark_entry__.entry(spark) must run the
+    flagship query at sf0.001 and return rows with a stable schema — guard
+    against registry refactors breaking the contract module."""
+    import importlib
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    try:
+        mod = importlib.import_module("__spark_entry__")
+        df = mod.entry(spark)
+        rows = df.count()
+        assert rows > 0
+        assert df.columns  # stable, non-empty schema
+        q = mod.queries()
+        o = mod.oracle_sql()
+        assert len(q) >= 112
+        assert set(o) <= set(q)
+    finally:
+        sys.path.remove(repo_root)

@@ -207,3 +207,27 @@ def test_generate_with_url_filter(spark):
     deny_all = url_filter_predicate("url", deny_regex=["."])
     assert generate(db, 100, extra_filter=deny_all, now=F.lit(NOW)).count() == 0
     assert generate(db, 100, now=F.lit(NOW)).count() == 3
+
+
+class TestURLNoHost:
+    """TestGenerator.java:312-353 testURLNoHost: host-less ``file:`` URLs
+    survive generation under host/domain count modes, while unknown-scheme
+    URLs (java.net.URL throws MalformedURLException) are silently dropped."""
+
+    def test_file_url_kept_unknown_scheme_dropped(self, spark):
+        db = _db(
+            spark,
+            [
+                _row("file:/path/index.html", 1),
+                _row("xyz://foobar/path/index.html", 1),
+            ],
+        )
+        for mode in ("host", "domain"):
+            cfg = NutchConfig(generate_count_mode=mode, generate_max_count=-1)
+            got = [
+                r["url"]
+                for r in generate(
+                    db, top_n=10_000_000, cfg=cfg, now=F.lit(NOW)
+                ).collect()
+            ]
+            assert got == ["file:/path/index.html"], mode

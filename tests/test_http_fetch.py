@@ -580,3 +580,77 @@ def test_digest_unusable_challenge_falls_through():
         assert out["status"] == "fetch_gone"
     finally:
         srv.shutdown()
+
+
+def test_digest_auth_sess_algorithm_without_qop_emits_cnonce():
+    """MD5-sess with NO qop: the cnonce is mixed into HA1, so it MUST still
+    be emitted in the Authorization header or the server can never recompute
+    HA1 (r7 ADVICE finding). The live server below recomputes HA1 from the
+    header's cnonce and verifies the legacy no-qop response form."""
+    from nutch_spark.operators.fetcher import _digest_auth_header, _parse_auth_challenge
+
+    params = {"realm": "s1", "nonce": "sessnonce", "algorithm": "MD5-sess"}
+    hdr = 'Digest realm="s1", nonce="sessnonce", algorithm=MD5-sess'
+    # header-level: cnonce param present even though qop is absent
+    authz = _digest_auth_header("GET", "http://h/x", params, "u", "p")
+    _, got = _parse_auth_challenge(authz)
+    assert got.get("cnonce"), authz
+    assert "qop" not in got
+    # end-to-end against a verifying server
+    srv = _digest_server(hdr, params, "carol", "pw3")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(f"{base}/private", auth={"*": ("carol", "pw3")})
+        assert out["status"] == "fetch_success"
+        assert out["content"] == "digest granted"
+    finally:
+        srv.shutdown()
+
+
+def test_gzip_and_deflate_content_encoding_decoded():
+    """HttpBase.java:632-670 processGzipEncoded/processDeflateEncoded parity:
+    Content-Encoding responses are decompressed (best-effort — a stream cut
+    by the byte cap still yields its decodable prefix, GZIPUtils semantics)."""
+    import gzip as gzip_mod
+    import zlib
+
+    text = "compressed page body " * 50
+
+    class GzHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            if self.path == "/gz":
+                body = gzip_mod.compress(text.encode())
+                enc = "gzip"
+            elif self.path == "/deflate":
+                body = zlib.compress(text.encode())
+                enc = "deflate"
+            else:  # /plain — no Content-Encoding header at all
+                body = text.encode()
+                enc = None
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            if enc:
+                self.send_header("Content-Encoding", enc)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), GzHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        for path in ("/gz", "/deflate", "/plain"):
+            out = http_fetch_fn(f"{base}{path}")
+            assert out["status"] == "fetch_success", path
+            assert out["content"] == text, path
+        # Accept-Encoding is advertised so servers know they may compress
+        out = http_fetch_fn(f"{base}/gz")
+        assert out["metadata"].get("_undecodable_encoding_") is None
+    finally:
+        srv.shutdown()

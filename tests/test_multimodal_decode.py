@@ -298,3 +298,71 @@ def test_null_payload_yields_null_features(spark):
 
     au = extract_audio_features(media).collect()[0]
     assert au["mfcc"] is None and au["sample_rate"] is None
+
+
+def _tiff(w, h, *, endian="<", long_type=False, orientation=None):
+    e = endian
+    entries = [(256, w), (257, h)]
+    if orientation is not None:
+        entries.append((274, orientation))
+    typ = 4 if long_type else 3
+    b = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(f"{e}I", 8)
+    b += struct.pack(f"{e}H", len(entries))
+    for tag, val in entries:
+        etyp = 3 if tag == 274 else typ
+        b += struct.pack(f"{e}HHI", tag, etyp, 1)
+        if etyp == 3:
+            b += struct.pack(f"{e}H", val) + b"\x00\x00"
+        else:
+            b += struct.pack(f"{e}I", val)
+    return b + struct.pack(f"{e}I", 0)
+
+
+def test_tiff_dimensions_both_endians_and_types():
+    assert sniff_image_dimensions(_tiff(123, 456)) == ("tiff", 123, 456)
+    assert sniff_image_dimensions(_tiff(123, 456, endian=">")) == ("tiff", 123, 456)
+    # LONG-typed dims (large scans exceed uint16)
+    assert sniff_image_dimensions(_tiff(70000, 3, long_type=True)) == (
+        "tiff", 70000, 3,
+    )
+    assert sniff_image_dimensions(
+        _tiff(70000, 3, endian=">", long_type=True)
+    ) == ("tiff", 70000, 3)
+    # missing ImageLength tag / truncated IFD → None
+    assert sniff_image_dimensions(_tiff(5, 5)[:14]) is None
+    assert sniff_image_dimensions(b"II*\x00" + struct.pack("<I", 9999)) is None
+
+
+def test_exif_orientation_tiff_and_jpeg_app1():
+    from nutch_spark.datapipe.mediacodec import effective_dimensions, exif_orientation
+
+    assert exif_orientation(_tiff(9, 9, orientation=6)) == 6
+    assert exif_orientation(_tiff(9, 9, endian=">", orientation=8)) == 8
+    assert exif_orientation(_tiff(9, 9)) is None
+    assert exif_orientation(_tiff(9, 9, orientation=11)) is None  # out of range
+    # JPEG carrying the EXIF blob in APP1, SOF0 after it
+    exif = b"Exif\x00\x00" + _tiff(0, 0, orientation=7)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+    jpg = b"\xff\xd8" + app1 + _jpeg(300, 200)[2:]
+    assert exif_orientation(jpg) == 7
+    # orientation >= 5 swaps display dims; < 5 doesn't
+    assert effective_dimensions(jpg) == ("jpeg", 200, 300)
+    assert effective_dimensions(_tiff(40, 30, orientation=3)) == ("tiff", 40, 30)
+    assert effective_dimensions(_tiff(40, 30, orientation=5)) == ("tiff", 30, 40)
+    # plain JPEG without EXIF: orientation None, dims unchanged
+    assert exif_orientation(_jpeg(300, 200)) is None
+
+
+def test_byte_histogram_arbitrary_bin_counts():
+    from nutch_spark.datapipe.mediacodec import byte_histogram
+
+    # non-power-of-two bins must still spread mass over ALL bins and sum ~1
+    for bins in (8, 10, 13):
+        h = byte_histogram(bytes(range(256)) * 4, bins)
+        assert len(h) == bins
+        assert abs(sum(h) - 1.0) < 1e-4
+        assert all(v > 0 for v in h), (bins, h)
+    assert byte_histogram(b"", 10) == [0.0] * 10
+    # all-0xFF payload lands in the LAST bin, not out of range
+    h = byte_histogram(b"\xff" * 16, 10)
+    assert h[-1] == 1.0 and sum(h[:-1]) == 0.0

@@ -517,3 +517,87 @@ def test_encrypted_pdf_aesv3_wrong_user_password_refused():
     bad = bytes(b ^ 0xFF for b in u[:32]) + u[32:]
     data = data.replace(m.group(1), bad.hex().encode())
     assert extract_text(data) == ("application/pdf", "")
+
+
+# ---------------------------------------------------------------------------
+# OpenDocument (ODF 1.2): mimetype routing + text-namespace paragraph walk
+# ---------------------------------------------------------------------------
+
+_ODF_NS = (
+    '<office:document-content '
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+)
+
+
+def _odf(body_xml: str, mime: str = "application/vnd.oasis.opendocument.text"):
+    content = (
+        '<?xml version="1.0"?>' + _ODF_NS + "<office:body><office:text>"
+        + body_xml + "</office:text></office:body></office:document-content>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("mimetype", mime)
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_odt_headings_paragraphs_and_whitespace_elements():
+    from nutch_spark.operators.parse_binary import extract_odf_text
+
+    data = _odf(
+        "<text:h>Title</text:h>"
+        '<text:p>a<text:s text:c="3"/>b<text:tab/>c<text:line-break/>d</text:p>'
+        "<text:p><text:span>styled </text:span>run tail</text:p>"
+        "<text:p/>"  # empty paragraph contributes nothing
+    )
+    mime, text = extract_odf_text(data)
+    assert mime == "application/vnd.oasis.opendocument.text"
+    assert text == "Title\na   b\tc\nd\nstyled run tail"
+
+
+def test_ods_cell_paragraphs_and_dispatch():
+    # spreadsheet cells hold ordinary text:p elements — same walk applies,
+    # and extract_text must route on the mimetype entry, not the extension
+    data = _odf(
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>c1</text:p></table:table-cell>"
+        "<table:table-cell><text:p>c2</text:p></table:table-cell>"
+        "</table:table-row></table:table>",
+        mime="application/vnd.oasis.opendocument.spreadsheet",
+    )
+    mime, text = extract_text(data)
+    assert mime == "application/vnd.oasis.opendocument.spreadsheet"
+    assert text == "c1\nc2"
+
+
+def test_odf_xml_escapes_round_trip():
+    from nutch_spark.operators.parse_binary import extract_odf_text
+
+    data = _odf("<text:p>a &amp; b &lt; c &gt; d</text:p>")
+    assert extract_odf_text(data)[1] == "a & b < c > d"
+
+
+def test_odf_malformed_content_xml_is_empty_not_fatal():
+    from nutch_spark.operators.parse_binary import extract_odf_text
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", "<broken")
+    mime, text = extract_odf_text(buf.getvalue())
+    assert mime == "application/vnd.oasis.opendocument.text"
+    assert text == ""
+
+
+def test_plain_zip_with_mimetype_member_not_misrouted():
+    # a generic archive that happens to contain a file named "mimetype"
+    # (non-ODF content) must still go through the zip member extractor
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "text/weird")
+        z.writestr("readme.txt", "hello zip")
+    mime, text = extract_text(buf.getvalue())
+    assert mime == "application/zip"
+    assert "hello zip" in text

@@ -457,3 +457,47 @@ def test_fetch_latency_tracking(spark):
     assert s["avg_ms"] >= 110
     assert len(s["percentiles_ms"]) == 4
     assert all(p >= 110 for p in s["percentiles_ms"])
+
+
+def test_per_host_request_spacing_invariant(spark):
+    """FetchItemQueue.java:49-106 politeness contract, asserted per REQUEST:
+    consecutive fetches against the SAME host are spaced >= crawl_delay
+    apart (clock starts at completion), while distinct hosts interleave
+    freely. The fetch_fn stamps each request's monotonic start time into the
+    row metadata, so the invariant is checked from the fetch log itself."""
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+
+    def stamping_fetch(url):
+        return {
+            "status": "fetch_success",
+            "content": "x",
+            "metadata": {"_t_": repr(_time.monotonic())},
+        }
+
+    delay = 0.12
+    fl = spark.createDataFrame(
+        [(f"http://host{h}.com/p{i}",) for h in range(3) for i in range(5)],
+        "url string",
+    )
+    rows = fetch(fl, fetch_fn=stamping_fetch, crawl_delay_s=delay, num_lists=1).collect()
+    assert len(rows) == 15
+    by_host: dict[str, list[float]] = {}
+    for r in rows:
+        host = r["url"].split("/")[2]
+        by_host.setdefault(host, []).append(float(r["metadata"]["_t_"]))
+    assert len(by_host) == 3
+    for host, times in by_host.items():
+        times.sort()
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert len(gaps) == 4
+        # start-to-start spacing >= delay (instant fetch: completion==start;
+        # 10% slack for clock granularity)
+        assert all(g >= delay * 0.9 for g in gaps), (host, gaps)
+    # interleaving: total span ~ one host's chain (4*delay), nowhere near
+    # the 12*delay full serialization
+    span = max(t for ts in by_host.values() for t in ts) - min(
+        t for ts in by_host.values() for t in ts
+    )
+    assert span < 12 * delay * 0.75, span

@@ -288,3 +288,22 @@ def test_url_filter_predicate_deny_domains_inside_hof_lambda(spark):
         ).alias("kept")
     ).collect()[0]["kept"]
     assert kept == ["http://ok.com/a"]
+
+
+def test_url_filter_predicate_lambda_autodetected_without_inline_flag(spark):
+    # r7 ADVICE: external callers that build the predicate inside an
+    # F.filter/F.transform lambda (the previously documented use) must not
+    # need the inline= opt-in — the lambda variable is detected from the
+    # unresolved expression tree and deny_domains falls back automatically.
+    from nutch_spark.functions.urls import url_filter_predicate
+
+    df = spark.createDataFrame(
+        [(["http://ok.com/a", "http://sub.bad.com/b"],)], "links array<string>"
+    )
+    kept = df.select(
+        F.filter(
+            "links",
+            lambda u: url_filter_predicate(u, deny_domains=["bad.com"]),
+        ).alias("kept")
+    ).collect()[0]["kept"]
+    assert kept == ["http://ok.com/a"]
