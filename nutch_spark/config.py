@@ -64,6 +64,7 @@ class NutchConfig:
 
     # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
+    http_agent_name: str = "nutch-spark"  # http.agent.name ("" = refuse fetch)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
     fetcher_threads: int = 10            # fetcher.threads.fetch
@@ -176,6 +177,7 @@ PROPERTY_MAP = {
     "metatags.names": "metatags_names",
     "parse.js.enabled": "parse_js_filter",
     "http.content.limit": "http_content_limit",
+    "http.agent.name": "http_agent_name",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",
     "fetcher.threads.fetch": "fetcher_threads",

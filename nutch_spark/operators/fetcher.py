@@ -593,6 +593,10 @@ def fetch(
     (The reference's check is job-global; per-partition is the Spark
     analogue — each partition IS an independent fetch task.)
     """
+    # Fetcher.java checkConfiguration (TestFetcher.testAgentNameCheck): an
+    # empty http.agent.name refuses to fetch — a crawler must identify itself
+    if not (cfg.http_agent_name or "").strip():
+        raise ValueError("Fetcher: No agents listed in 'http.agent.name' property.")
     if time_limit_s is None:
         time_limit_s = cfg.fetcher_time_limit_s
     content_limit = cfg.http_content_limit
@@ -798,7 +802,27 @@ def fetch(
 # ---------------------------------------------------------------------------
 
 
-def parse(fetch_log: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:
+def is_truncated(
+    metadata: Column | str = "metadata", content: Column | str = "content"
+) -> Column:
+    """ParseSegment.isTruncated (TestParseSegment.java:47-84): the explicit
+    truncation flag wins in EITHER direction when present; otherwise compare
+    the declared Content-Length against the actual byte count. Truncated
+    pages parse to broken trees, so parser.skip.truncated drops them."""
+    m = F.col(metadata) if isinstance(metadata, str) else metadata
+    c = F.col(content) if isinstance(content, str) else content
+    flag = F.coalesce(
+        F.element_at(m, "_truncated_"), F.element_at(m, "Truncated-Content")
+    )
+    declared = F.element_at(m, "Content-Length").cast("long")
+    return F.when(flag.isNotNull(), flag.isin("1", "true")).otherwise(
+        declared.isNotNull() & (declared > F.octet_length(c))
+    )
+
+
+def parse(
+    fetch_log: DataFrame, *, cfg: NutchConfig = DEFAULT, skip_truncated: bool = False
+) -> DataFrame:
     """content → parse_data(url, title, outlinks[], parse_text).
 
     The reference delegates to plugin parsers (parse-html/tika); for the
@@ -806,10 +830,14 @@ def parse(fetch_log: DataFrame, *, cfg: NutchConfig = DEFAULT) -> DataFrame:
     ``regexp_extract(_all)`` covers the synthetic corpus and keeps parsing
     inside whole-stage codegen. A tika-quality parser would slot in as a
     pandas UDF without touching the plan shape (ParseSegment.java:87-276).
+    ``skip_truncated`` is parser.skip.truncated (ParseSegment.java:108-118):
+    pages cut by http.content.limit are excluded from parsing.
     """
     ok = fetch_log.filter(
         (F.col("status") == "fetch_success") & F.col("content").isNotNull()
     )
+    if skip_truncated:
+        ok = ok.filter(~is_truncated())
     outlinks = F.transform(
         F.slice(
             F.regexp_extract_all("content", F.lit('href="([^"]{1,4096})"'), F.lit(1)),

@@ -501,3 +501,56 @@ def test_per_host_request_spacing_invariant(spark):
         t for ts in by_host.values() for t in ts
     )
     assert span < 12 * delay * 0.75, span
+
+
+def test_fetch_refuses_empty_agent_name(spark):
+    # TestFetcher.java:229-246 testAgentNameCheck: empty http.agent.name
+    # must refuse to fetch with the reference's exact message
+    import pytest as _pytest
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetcher import fetch
+
+    fl = spark.createDataFrame([("http://host0.com/p0",)], "url string")
+    with _pytest.raises(ValueError, match="No agents listed in 'http.agent.name'"):
+        fetch(fl, cfg=NutchConfig(http_agent_name=""))
+    # the from_properties surface maps the xml key
+    cfg = NutchConfig.from_properties({"http.agent.name": "  "})
+    with _pytest.raises(ValueError):
+        fetch(fl, cfg=cfg)
+
+
+def test_is_truncated_parity(spark):
+    # TestParseSegment.java:47-84: explicit flag overrides in BOTH
+    # directions; otherwise declared Content-Length vs actual bytes decides
+    from nutch_spark.operators.fetcher import is_truncated, parse
+
+    rows = [
+        ("http://a/flag1", {"_truncated_": "1"}, "x" * 10),
+        ("http://a/flagtrue", {"Truncated-Content": "true"}, "x" * 10),
+        # flag=false overrides a mismatched length field
+        ("http://a/flag0", {"Truncated-Content": "false", "Content-Length": "99"}, "x"),
+        ("http://a/len-ok", {"Content-Length": "4"}, "abcd"),
+        ("http://a/len-short", {"Content-Length": "8"}, "abcd"),
+        ("http://a/no-meta", {}, "abcd"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, metadata map<string,string>, content string"
+    )
+    got = {
+        r["url"]: r["t"] for r in df.select("url", is_truncated().alias("t")).collect()
+    }
+    assert got == {
+        "http://a/flag1": True,
+        "http://a/flagtrue": True,
+        "http://a/flag0": False,
+        "http://a/len-ok": False,
+        "http://a/len-short": True,
+        "http://a/no-meta": False,
+    }
+    # parser.skip.truncated drops the cut pages from the parse
+    log = df.withColumn("status", F.lit("fetch_success")).withColumn(
+        "signature", F.lit(None).cast("binary")
+    )
+    kept = {r["url"] for r in parse(log, skip_truncated=True).select("url").collect()}
+    assert kept == {"http://a/flag0", "http://a/len-ok", "http://a/no-meta"}

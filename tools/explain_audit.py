@@ -126,8 +126,23 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # BM25: term-filtered postings aggregate; df + global scalars broadcast;
     # top-k, never a corpus self-join
     "dp_bm25_topk": [[r"HashAggregate", r"BroadcastHashJoin"], [r"CartesianProduct"]],
-    # DSIR: bucket ratio table broadcasts into the scoring join
-    "dp_dsir_weights": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
+    # DSIR: bucket ratio table broadcasts into the scoring join; the 1-row
+    # gram-total tables ride the intended broadcast nested-loop cross join
+    # (r7 rework: NO plan-build count() actions survive)
+    "dp_dsir_weights": [[r"BroadcastHashJoin", r"HashAggregate",
+                         r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]],
+    # multimodal decode certifications: JVM header assembly → ONE Arrow map
+    # stage — no shuffle, no join, at any corpus size
+    "mm_image_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
+    "mm_tiff_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
+    "mm_audio_features": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
+    # ODT round-trip: two chained Python stages, no shuffle between them
+    "p2_odt_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    # politeness fetch: ONE host-keyed exchange lays out the fetchlist, the
+    # Arrow fetch stage runs per-partition, then a partial-agg rollup —
+    # never a second corpus shuffle before the fetch
+    "p1_politeness": [[r"MapInPandas|mapInPandas", r"HashAggregate"],
+                      [r"CartesianProduct", r"Join"]],
 }
 
 
