@@ -111,7 +111,65 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
         if 256 in tags and 257 in tags and tags[256] > 0 and tags[257] > 0:
             return "tiff", int(tags[256]), int(tags[257])
         return None
+    if (
+        len(payload) >= 25  # RIFF hdr 12 + chunk hdr 8 + 5-byte VP8L minimum
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        # WebP container spec: first chunk decides the flavor
+        chunk = payload[12:16]
+        body = payload[20:]
+        if chunk == b"VP8X" and len(body) >= 10:
+            # canvas dims, 24-bit little-endian minus-one
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return "webp", w, h
+        if chunk == b"VP8 " and len(body) >= 10:
+            # lossy: keyframe start code 9D 01 2A, then 14-bit LE dims
+            if body[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return "webp", w, h
+        if chunk == b"VP8L" and len(body) >= 5:
+            # lossless: signature 0x2F, then two packed 14-bit minus-one dims
+            if body[0] != 0x2F:
+                return None
+            bits = int.from_bytes(body[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return "webp", w, h
+        return None
     return None
+
+
+def parse_flac_streaminfo(payload: bytes) -> dict | None:
+    """FLAC STREAMINFO header parse (format spec §9.1 — the first metadata
+    block is mandatory and always STREAMINFO): sample rate (20 bits),
+    channels (3 bits + 1), bits-per-sample (5 bits + 1), total samples
+    (36 bits) → duration. Header-only — compressed frames need a codec."""
+    if len(payload) < 4 + 4 + 34 or payload[:4] != b"fLaC":
+        return None
+    block_type = payload[4] & 0x7F
+    (block_len,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if block_type != 0 or block_len < 34:
+        return None
+    si = payload[8 : 8 + 34]
+    packed = int.from_bytes(si[10:18], "big")  # rate|chan|bps|total, 64 bits
+    sample_rate = packed >> 44
+    n_channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & 0xFFFFFFFFF
+    if sample_rate == 0:
+        return None
+    return {
+        "format": "flac",
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "bits": int(bits),
+        "n_samples": int(total_samples),
+        "duration_s": total_samples / sample_rate,
+    }
 
 
 def exif_orientation(payload: bytes) -> int | None:

@@ -283,15 +283,25 @@ def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
     Non-WAV / compressed audio raises NotImplementedError — the row loop
     NULLs the feature columns; a real codec injects via ``decoder=``
     (signature ``payload -> (sample_rate, duration_s, mfcc_list)``)."""
-    from nutch_spark.datapipe.mediacodec import parse_wav, spectral_envelope
+    from nutch_spark.datapipe.mediacodec import (
+        parse_flac_streaminfo,
+        parse_wav,
+        spectral_envelope,
+    )
 
     if payload is None:
         raise NotImplementedError("real audio decoding requires soundfile/librosa")
     wav = parse_wav(payload)
     if wav is None:
+        # FLAC: STREAMINFO gives real rate/duration without decoding frames;
+        # the spectral feature stays NULL (samples are compressed)
+        flac = parse_flac_streaminfo(payload)
+        if flac is not None:
+            return flac["sample_rate"], flac["duration_s"], None
         raise NotImplementedError(
-            "no stdlib parser for this audio format (PCM WAV only) — inject "
-            "a soundfile/librosa decoder via extract_audio_features(decoder=...)"
+            "no stdlib parser for this audio format (PCM WAV / FLAC headers "
+            "only) — inject a soundfile/librosa decoder via "
+            "extract_audio_features(decoder=...)"
         )
     env = spectral_envelope(wav["samples"], wav["sample_rate"])
     return wav["sample_rate"], wav["duration_s"], env

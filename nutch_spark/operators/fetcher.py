@@ -240,6 +240,25 @@ def http_fetch_fn(
             # digest challenge/response: answer a 401 once when scoped
             # credentials exist and the server asked for Digest
             www = (e.headers.get("WWW-Authenticate") or "") if e.headers else ""
+            if e.code == 401 and cred and www.upper().startswith("NTLM"):
+                # NTLMv2 3-leg handshake on ONE kept-alive connection
+                # (HttpAuthenticationFactory.java:79 → NTLMScheme; the
+                # connection-bound legs can't ride urllib's pooling)
+                from nutch_spark.functions.ntlm import ntlm_fetch
+
+                code, rhdrs, body = ntlm_fetch(
+                    url, cred[0], cred[1], headers=hdrs,
+                    timeout_s=timeout_s, max_bytes=max_bytes,
+                )
+                if code == 200:
+                    ctype = rhdrs.get("Content-Type")
+                    return {
+                        "status": "fetch_success",
+                        "content": _decode(body, ctype),
+                        "content_type": (ctype or "").split(";")[0].strip() or None,
+                        "metadata": {"nutch.protocol.code": "200"},
+                    }
+                raise
             if e.code != 401 or not cred or not www.lower().startswith("digest"):
                 raise
             scheme, challenge = _parse_auth_challenge(www)

@@ -1236,30 +1236,37 @@ def mm_image_dimensions(spark, sf_dir):
     "mm_tiff_dimensions",
     """
     SELECT doc_id AS media_id,
-           CAST(50 AS BIGINT) AS n_bytes,
-           CAST(1 + doc_id % 8 AS INT) AS orientation,
-           CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 + (doc_id * 7) % 240
+           CAST(CASE doc_id % 4 WHEN 2 THEN 30 WHEN 3 THEN 29
+                ELSE 50 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 4 < 2 THEN 1 + doc_id % 8
+                ELSE NULL END AS INT) AS orientation,
+           CAST(CASE WHEN doc_id % 4 < 2 AND doc_id % 8 >= 4
+                     THEN 16 + (doc_id * 7) % 240
                      ELSE 16 + doc_id % 240 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 + doc_id % 240
+           CAST(CASE WHEN doc_id % 4 < 2 AND doc_id % 8 >= 4
+                     THEN 16 + doc_id % 240
                      ELSE 16 + (doc_id * 7) % 240 END AS INT) AS height
     FROM documents
     """,
 )
 def mm_tiff_dimensions(spark, sf_dir):
-    """REAL TIFF decode, no PIL: per-row TIFF headers — alternating II
-    (little-endian, SHORT dims) and MM (big-endian, LONG dims) byte orders —
-    with a planted EXIF Orientation tag (274) are assembled byte-exactly in
-    JVM column expressions, then parsed back by the stdlib IFD walker
+    """REAL TIFF + WebP decode, no PIL: per-row headers — TIFF in BOTH byte
+    orders (II with SHORT dims, MM with LONG dims) carrying a planted EXIF
+    Orientation tag (274), and WebP in the VP8X (24-bit canvas) and VP8L
+    (packed 14-bit) flavors — assembled byte-exactly in JVM column
+    expressions, then parsed back by the stdlib decoders
     (mediacodec.sniff_image_dimensions / exif_orientation /
     effective_dimensions) in an Arrow mapInPandas stage. Orientation >= 5
-    swaps the reported display dims, and the oracle states the closed form —
-    a regression in either the IFD walk (both endians, both entry types) or
-    the orientation swap hash-mismatches. Map-only at any scale."""
+    swaps the reported TIFF display dims (WebP has none → NULL), and the
+    oracle states the closed form — a regression in the IFD walk, either
+    WebP bit layout, or the orientation swap hash-mismatches. Map-only."""
     import pandas as pd
 
     d = t(spark, sf_dir, "documents")
-    w2 = F.lpad(F.hex(16 + F.col("doc_id") % 240), 2, "0")
-    h2 = F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 240), 2, "0")
+    w = 16 + F.col("doc_id") % 240
+    h = 16 + (F.col("doc_id") * 7) % 240
+    w2 = F.lpad(F.hex(w), 2, "0")
+    h2 = F.lpad(F.hex(h), 2, "0")
     o2 = F.lpad(F.hex(1 + F.col("doc_id") % 8), 2, "0")
     ii = F.concat(
         F.lit("49492A00" + "08000000" + "0300"),          # II*, IFD@8, 3 entries
@@ -1275,9 +1282,31 @@ def mm_tiff_dimensions(spark, sf_dir):
         F.lit("0112" + "0003" + "00000001" + "00"), o2, F.lit("0000"),  # 274 SHORT
         F.lit("00000000"),
     )
+    wm1 = F.lpad(F.hex(w - 1), 2, "0")  # dims <= 256: minus-one fits one byte
+    hm1 = F.lpad(F.hex(h - 1), 2, "0")
+    vp8x = F.concat(
+        F.lit("52494646" + "16000000" + "57454250"),       # RIFF size=22 WEBP
+        F.lit("56503858" + "0A000000" + "00000000"),       # VP8X len=10 flags
+        wm1, F.lit("0000"), hm1, F.lit("0000"),            # 24-bit LE minus-one
+    )
+    # VP8L: 0x2F then (w-1) | (h-1)<<14 as a little-endian uint32
+    bits = (w - 1) + (h - 1) * 16384
+    bbe = F.lpad(F.hex(bits), 8, "0")
+    ble = F.concat(
+        F.substring(bbe, 7, 2), F.substring(bbe, 5, 2),
+        F.substring(bbe, 3, 2), F.substring(bbe, 1, 2),
+    )
+    vp8l = F.concat(
+        F.lit("52494646" + "15000000" + "57454250"),       # RIFF size=21 WEBP
+        F.lit("5650384C" + "09000000" + "2F"),             # VP8L len=9 sig
+        ble, F.lit("00000000"),
+    )
+    m4 = F.col("doc_id") % 4
+    payload_hex = (
+        F.when(m4 == 0, ii).when(m4 == 1, mm).when(m4 == 2, vp8x).otherwise(vp8l)
+    )
     media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.unhex(F.when(F.col("doc_id") % 2 == 0, ii).otherwise(mm)).alias("payload"),
+        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
     )
 
     def decode(batches):

@@ -366,3 +366,76 @@ def test_byte_histogram_arbitrary_bin_counts():
     # all-0xFF payload lands in the LAST bin, not out of range
     h = byte_histogram(b"\xff" * 16, 10)
     assert h[-1] == 1.0 and sum(h[:-1]) == 0.0
+
+
+def _webp_vp8x(w, h):
+    body = b"\x00\x00\x00\x00" + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8(w, h):
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 8
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 4
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_dimensions_all_three_flavors():
+    assert sniff_image_dimensions(_webp_vp8x(1920, 1080)) == ("webp", 1920, 1080)
+    assert sniff_image_dimensions(_webp_vp8(640, 480)) == ("webp", 640, 480)
+    assert sniff_image_dimensions(_webp_vp8l(333, 77)) == ("webp", 333, 77)
+    # bad VP8 sync code / bad VP8L signature → None, not garbage dims
+    broken = bytearray(_webp_vp8(10, 10))
+    broken[23] ^= 0xFF  # clobber the 9D 01 2A start code
+    assert sniff_image_dimensions(bytes(broken)) is None
+    assert sniff_image_dimensions(_webp_vp8x(5, 5)[:16]) is None
+
+
+def test_flac_streaminfo_parse():
+    from nutch_spark.datapipe.mediacodec import parse_flac_streaminfo
+
+    def flac(rate, channels, bits, total):
+        packed = (
+            (rate << 44)
+            | ((channels - 1) << 41)
+            | ((bits - 1) << 36)
+            | total
+        )
+        si = struct.pack(">HH", 4096, 4096) + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+        assert len(si) == 34
+        return b"fLaC" + b"\x80" + struct.pack(">I", 34)[1:] + si
+
+    got = parse_flac_streaminfo(flac(44100, 2, 16, 441000))
+    assert got is not None
+    assert got["sample_rate"] == 44100
+    assert got["n_channels"] == 2
+    assert got["bits"] == 16
+    assert got["n_samples"] == 441000
+    assert abs(got["duration_s"] - 10.0) < 1e-9
+    assert parse_flac_streaminfo(b"fLaC" + b"\x00" * 10) is None
+    assert parse_flac_streaminfo(b"not flac") is None
+    # zero sample rate is invalid per spec
+    assert parse_flac_streaminfo(flac(0, 2, 16, 100)) is None
+
+
+def test_flac_through_audio_features(spark):
+    # header-only FLAC: rate/duration real, spectral feature NULL
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    packed = (22050 << 44) | (0 << 41) | (15 << 36) | 66150
+    si = struct.pack(">HH", 4096, 4096) + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+    blob = b"fLaC" + b"\x80" + struct.pack(">I", 34)[1:] + si
+    df = spark.createDataFrame(
+        [(1, "audio", blob)], "media_id long, media_type string, payload binary"
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row["sample_rate"] == 22050
+    assert abs(row["duration_s"] - 3.0) < 1e-6
+    assert row["mfcc"] is None
