@@ -140,6 +140,180 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
             h = ((bits >> 14) & 0x3FFF) + 1
             return "webp", w, h
         return None
+    if len(payload) >= 16 and payload[4:8] == b"ftyp":
+        info = sniff_isobmff(payload)
+        if info and "width" in info:
+            brand = info["brand"].lower()
+            fmt = "avif" if brand.startswith("avi") else (
+                "heic" if brand.startswith(("hei", "mif", "msf")) else "isobmff"
+            )
+            return fmt, info["width"], info["height"]
+        return None
+    if len(payload) >= 8 and payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        # ICO/CUR directory: report the LARGEST image entry (0 byte = 256)
+        (count,) = struct.unpack("<H", payload[4:6])
+        best = None
+        for k in range(min(count, 64)):
+            e = 6 + 16 * k
+            if e + 2 > len(payload):
+                break
+            w = payload[e] or 256
+            h = payload[e + 1] or 256
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h)
+        return ("ico", best[0], best[1]) if best else None
+    head = payload[:1024].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if head.startswith(b"<?xml") or head.startswith(b"<svg"):
+        svg = _svg_dimensions(payload)
+        if svg is not None:
+            return svg
+        return None
+    return None
+
+
+def _svg_dimensions(payload: bytes) -> tuple[str, int, int] | None:
+    """width/height attributes of the root <svg> (unitless or px), else the
+    viewBox extent — text inspection only, bounded to the first 4 KiB."""
+    import re
+
+    text = payload[:4096].decode("utf-8", errors="replace")
+    m = re.search(r"<svg\b[^>]*>", text, re.DOTALL)
+    if m is None:
+        return None
+    tag = m.group(0)
+
+    def attr(name: str) -> float | None:
+        am = re.search(rf'{name}\s*=\s*"([0-9.]+)(?:px)?"', tag)
+        return float(am.group(1)) if am else None
+
+    w, h = attr("width"), attr("height")
+    if w and h:
+        return "svg", int(round(w)), int(round(h))
+    vb = re.search(r'viewBox\s*=\s*"\s*[-0-9.]+[ ,]+[-0-9.]+[ ,]+([0-9.]+)[ ,]+([0-9.]+)', tag)
+    if vb:
+        return "svg", int(round(float(vb.group(1)))), int(round(float(vb.group(2))))
+    return None
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """(type, body_start, body_end) for each ISO-BMFF box in buf[start:end]
+    (ISO/IEC 14496-12 §4.2; 64-bit largesize handled, depth left to caller)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        btype = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def _find_box(buf: bytes, path: list[bytes], start: int, end: int) -> tuple[int, int] | None:
+    """(body_start, body_end) of the first box at the given nesting path.
+    FullBox headers (version+flags) inside container boxes on the path are
+    the caller's concern — ``meta`` is the one full-box container here."""
+    for btype, b0, b1 in _iter_boxes(buf, start, end):
+        if btype != path[0]:
+            continue
+        if btype == b"meta":  # FullBox: skip version+flags
+            b0 += 4
+        if len(path) == 1:
+            return b0, b1
+        return _find_box(buf, path[1:], b0, b1)
+    return None
+
+
+def sniff_isobmff(payload: bytes) -> dict | None:
+    """Header-only facts from an ISO-BMFF container (AVIF/HEIC/MP4/MOV):
+    ``{brand}`` always; ``width``/``height`` from the ``ispe`` property box
+    (AVIF/HEIC — Tika reads the same box); ``duration_s``/``timescale``
+    from ``mvhd`` (MP4/MOV) for the frame-sampling plan. None when the
+    payload is not ISO-BMFF."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    out: dict = {"brand": payload[8:12].decode("latin-1").strip()}
+    ispe = _find_box(payload, [b"meta", b"iprp", b"ipco", b"ispe"], 0, n)
+    if ispe is not None:
+        b0, b1 = ispe
+        if b1 - b0 >= 12:  # version/flags + two uint32 dims
+            w, h = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+            if w > 0 and h > 0:
+                out["width"], out["height"] = int(w), int(h)
+    mvhd = _find_box(payload, [b"moov", b"mvhd"], 0, n)
+    if mvhd is not None:
+        b0, b1 = mvhd
+        version = payload[b0]
+        if version == 1 and b1 - b0 >= 32:
+            timescale, duration = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
+        elif version == 0 and b1 - b0 >= 24:
+            timescale, duration = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+        else:
+            timescale = 0
+        if timescale:
+            out["timescale"] = int(timescale)
+            out["duration_s"] = duration / timescale
+    return out
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_info(payload: bytes) -> dict | None:
+    """Header-only MP3 facts: sample rate, channel mode, bitrate of the
+    first Layer-III frame and a CBR duration estimate (audio_bytes × 8 /
+    bitrate — the honest no-decode answer; VBR files need a frame walk).
+    Skips a leading ID3v2 tag (syncsafe size). None for non-MPEG data."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        i = 10 + size
+    # find the first frame sync within a bounded window
+    limit = min(n - 4, i + 4096)
+    while i <= limit:
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+            version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3  # 1 = Layer III
+            bitrate_idx = (b2 >> 4) & 0xF
+            rate_idx = (b2 >> 2) & 0x3
+            if (
+                version != 1
+                and layer == 1
+                and 0 < bitrate_idx < 15
+                and rate_idx < 3
+            ):
+                table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+                bitrate_kbps = table[bitrate_idx]
+                sample_rate = _MP3_RATES[version][rate_idx]
+                mode = (b3 >> 6) & 0x3
+                audio_bytes = n - i
+                return {
+                    "format": "mp3",
+                    "sample_rate": sample_rate,
+                    "bitrate_kbps": bitrate_kbps,
+                    "n_channels": 1 if mode == 3 else 2,
+                    "duration_s": audio_bytes * 8 / (bitrate_kbps * 1000),
+                }
+            i += 1
+        else:
+            i += 1
     return None
 
 

@@ -147,6 +147,51 @@ def extract_image_features(
     )
 
 
+MEDIA_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def probe_media_info(
+    media: DataFrame, *, batch_partitions: int | None = None
+) -> DataFrame:
+    """Header-only ISO-BMFF probe (AVIF/HEIC/MP4/MOV): brand, ispe dims,
+    mvhd duration — the real-decoder replacement for carrying ``duration_s``
+    in the metadata map. Feed the result's ``duration_s`` into
+    :func:`frame_sample_plan` via ``element_at``-style metadata, or join it
+    back on ``media_id``. Map-only; non-BMFF payloads yield NULL columns."""
+    from nutch_spark.datapipe.mediacodec import sniff_isobmff
+
+    def row(media_id, raw):
+        info = sniff_isobmff(raw) or {}
+        return {
+            "media_id": media_id,
+            "brand": info.get("brand"),
+            "width": info.get("width"),
+            "height": info.get("height"),
+            "duration_s": info.get("duration_s"),
+        }
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "brand": None,
+            "width": None,
+            "height": None,
+            "duration_s": None,
+        }
+
+    return _map_media(
+        media, None, MEDIA_INFO_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 def frame_sample_plan(media: DataFrame, *, every_n_seconds: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) derived
     from duration metadata — the decode itself is the stubbed map stage."""
@@ -293,14 +338,18 @@ def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
         raise NotImplementedError("real audio decoding requires soundfile/librosa")
     wav = parse_wav(payload)
     if wav is None:
-        # FLAC: STREAMINFO gives real rate/duration without decoding frames;
-        # the spectral feature stays NULL (samples are compressed)
-        flac = parse_flac_streaminfo(payload)
-        if flac is not None:
-            return flac["sample_rate"], flac["duration_s"], None
+        # FLAC STREAMINFO / MP3 frame headers give real rate/duration
+        # without decoding frames; the spectral feature stays NULL
+        # (samples are compressed)
+        from nutch_spark.datapipe.mediacodec import parse_mp3_info
+
+        for probe in (parse_flac_streaminfo, parse_mp3_info):
+            info = probe(payload)
+            if info is not None:
+                return info["sample_rate"], info["duration_s"], None
         raise NotImplementedError(
-            "no stdlib parser for this audio format (PCM WAV / FLAC headers "
-            "only) — inject a soundfile/librosa decoder via "
+            "no stdlib parser for this audio format (PCM WAV / FLAC / MP3 "
+            "headers only) — inject a soundfile/librosa decoder via "
             "extract_audio_features(decoder=...)"
         )
     env = spectral_envelope(wav["samples"], wav["sample_rate"])

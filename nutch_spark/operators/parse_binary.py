@@ -635,6 +635,91 @@ def extract_odf_text(data: bytes) -> tuple[str, str]:
     return mime, "\n".join(paras).strip()
 
 
+def _xhtml_body_text(xml: bytes) -> str:
+    """Visible text of one (X)HTML spine document: body subtree text joined
+    in document order, whitespace-collapsed. Falls back to a tag-strip regex
+    when the entry is HTML soup rather than well-formed XML."""
+    import re as _re
+
+    try:
+        root = ElementTree.fromstring(xml)
+        body = next(
+            (el for el in root.iter() if el.tag.rpartition("}")[2] == "body"), root
+        )
+        text = " ".join(t.strip() for t in body.itertext() if t.strip())
+    except ElementTree.ParseError:
+        stripped = _re.sub(rb"<[^>]*>", b" ", xml)
+        text = " ".join(stripped.decode("utf-8", "replace").split())
+    return text
+
+
+def extract_epub_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for an EPUB package: spine documents in reading order
+    via META-INF/container.xml → OPF manifest/spine (EPUB OCF/OPF specs);
+    falls back to all (x)html members in name order when the manifest is
+    broken. Reference: parse-tika delegates EPUB to Tika's EpubParser,
+    which walks the same container → rootfile → spine chain."""
+    mime = "application/epub+zip"
+    try:
+        with zipfile.ZipFile(BytesIO(data)) as z:
+            names = z.namelist()
+
+            def read(name: str) -> bytes | None:
+                try:
+                    return z.read(name)
+                except KeyError:
+                    return None
+
+            spine_docs: list[str] = []
+            container = read("META-INF/container.xml")
+            if container is not None:
+                try:
+                    croot = ElementTree.fromstring(container)
+                    opf_path = next(
+                        (
+                            el.get("full-path")
+                            for el in croot.iter()
+                            if el.tag.rpartition("}")[2] == "rootfile"
+                            and el.get("full-path")
+                        ),
+                        None,
+                    )
+                except ElementTree.ParseError:
+                    opf_path = None
+                opf = read(opf_path) if opf_path else None
+                if opf is not None:
+                    try:
+                        oroot = ElementTree.fromstring(opf)
+                        hrefs = {
+                            el.get("id"): el.get("href")
+                            for el in oroot.iter()
+                            if el.tag.rpartition("}")[2] == "item"
+                        }
+                        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+                        for el in oroot.iter():
+                            if el.tag.rpartition("}")[2] == "itemref":
+                                href = hrefs.get(el.get("idref"))
+                                if href:
+                                    spine_docs.append(base + href)
+                    except ElementTree.ParseError:
+                        pass
+            if not spine_docs:  # broken/missing manifest: all markup members
+                spine_docs = sorted(
+                    n for n in names if n.lower().endswith((".xhtml", ".html", ".htm"))
+                )
+            parts = []
+            for name in spine_docs[:_ZIP_MAX_ENTRIES]:
+                xml = read(name)
+                if xml is None or len(xml) > _ZIP_MAX_ENTRY_BYTES:
+                    continue
+                text = _xhtml_body_text(xml)
+                if text:
+                    parts.append(text)
+    except (zipfile.BadZipFile, OSError):
+        return mime, ""
+    return mime, "\n".join(parts).strip()
+
+
 def extract_pptx_text(data: bytes) -> str:
     """<a:t> runs of every slide in deck order (DrawingML)."""
     parts: list[str] = []
@@ -712,10 +797,12 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
                 )
         except (zipfile.BadZipFile, KeyError):
             return "application/zip", ""
-        # OpenDocument packages declare themselves via the mandatory
+        # OpenDocument/EPUB packages declare themselves via the mandatory
         # ``mimetype`` entry (first, stored) — check before OOXML markers
         if odf_mime.startswith("application/vnd.oasis.opendocument"):
             return extract_odf_text(data)
+        if odf_mime == "application/epub+zip":
+            return extract_epub_text(data)
         for prefix, (mime, fn) in _OOXML_MARKERS.items():
             if any(n.startswith(prefix) for n in names):
                 return mime, fn(data)

@@ -1429,3 +1429,92 @@ def p1_politeness(spark, sf_dir):
         .groupBy("host", "status")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "p2_epub_extract",
+    """
+    -- Round-trip identity: each document's text becomes a REAL EPUB
+    -- (mimetype entry + META-INF/container.xml + OPF manifest/spine + two
+    -- XHTML chapters) and flows through the OCF/OPF spine walk. Chapter 2
+    -- carries the doc_id so spine ORDER is hash-checked, not just content.
+    SELECT doc_id,
+           'application/epub+zip' AS mime,
+           trim('c0 guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')
+             || chr(10) || 'c1 tail ' || CAST(doc_id AS VARCHAR) AS parse_text,
+           CAST(length(trim('c0 guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' '))
+                + 1 + length('c1 tail ' || CAST(doc_id AS VARCHAR))
+             AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_epub_extract(spark, sf_dir):
+    """P2 EPUB parse end-to-end (parse-tika slot — Tika's EpubParser walks
+    container.xml → rootfile → OPF spine): every row's text is wrapped into
+    a real two-chapter EPUB, then flows through parse_binary's mimetype
+    routing into extract_epub_text (operators/parse_binary.py). Certifies
+    the OCF container walk, spine reading order and XHTML body-text
+    extraction on every row cross-engine. Map-only."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body0 = "c0 guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                body1 = f"c1 tail {doc_id}"
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                    z.writestr("mimetype", "application/epub+zip")
+                    z.writestr(
+                        "META-INF/container.xml",
+                        '<?xml version="1.0"?><container xmlns="urn:oasis:'
+                        'names:tc:opendocument:xmlns:container"><rootfiles>'
+                        '<rootfile full-path="OEBPS/content.opf"/>'
+                        "</rootfiles></container>",
+                    )
+                    z.writestr(
+                        "OEBPS/content.opf",
+                        '<?xml version="1.0"?>'
+                        '<package xmlns="http://www.idpf.org/2007/opf">'
+                        '<manifest>'
+                        '<item id="a" href="ch0.xhtml"/>'
+                        '<item id="b" href="ch1.xhtml"/>'
+                        "</manifest>"
+                        '<spine><itemref idref="a"/><itemref idref="b"/></spine>'
+                        "</package>",
+                    )
+                    for i, body in enumerate((body0, body1)):
+                        z.writestr(
+                            f"OEBPS/ch{i}.xhtml",
+                            '<html xmlns="http://www.w3.org/1999/xhtml">'
+                            "<head><title>skip</title></head>"
+                            f"<body><p>{escape(body)}</p></body></html>",
+                        )
+                rows.append(
+                    {
+                        "url": f"http://doc{doc_id}.com/x.epub",
+                        "content": buf.getvalue(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

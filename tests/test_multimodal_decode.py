@@ -439,3 +439,121 @@ def test_flac_through_audio_features(spark):
     assert row["sample_rate"] == 22050
     assert abs(row["duration_s"] - 3.0) < 1e-6
     assert row["mfcc"] is None
+
+
+def _box(btype, body):
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _avif(w, h, brand=b"avif"):
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    ispe = _box(b"ispe", struct.pack(">III", 0, w, h))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    meta = _box(b"meta", struct.pack(">I", 0) + iprp)  # FullBox version/flags
+    return ftyp + meta
+
+
+def _mp4(duration, timescale, version=0):
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    if version == 0:
+        mvhd = _box(b"mvhd", struct.pack(">I", 0) + struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = _box(b"mvhd", struct.pack(">B3s", 1, b"\x00" * 3) + struct.pack(">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+    return ftyp + _box(b"moov", mvhd)
+
+
+def test_isobmff_avif_heic_dimensions():
+    from nutch_spark.datapipe.mediacodec import sniff_isobmff
+
+    assert sniff_image_dimensions(_avif(800, 600)) == ("avif", 800, 600)
+    assert sniff_image_dimensions(_avif(64, 32, brand=b"heic")) == ("heic", 64, 32)
+    info = sniff_isobmff(_avif(800, 600))
+    assert info["brand"] == "avif" and info["width"] == 800
+    # not BMFF at all
+    assert sniff_isobmff(b"plainbytes" * 4) is None
+    # ftyp but no ispe → brand only, dimension sniff returns None
+    assert sniff_image_dimensions(_mp4(300, 30)) is None
+
+
+def test_isobmff_mp4_duration_both_versions():
+    from nutch_spark.datapipe.mediacodec import sniff_isobmff
+
+    v0 = sniff_isobmff(_mp4(90000, 600))
+    assert v0["brand"] == "isom"
+    assert abs(v0["duration_s"] - 150.0) < 1e-9
+    v1 = sniff_isobmff(_mp4(48000 * 7, 48000, version=1))
+    assert abs(v1["duration_s"] - 7.0) < 1e-9
+
+
+def test_probe_media_info_stage(spark):
+    from nutch_spark.datapipe.multimodal import probe_media_info
+
+    rows = [
+        (1, _avif(320, 240)),
+        (2, _mp4(1800, 600)),
+        (3, b"not a container"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in probe_media_info(df).collect()}
+    assert got[1]["width"] == 320 and got[1]["brand"] == "avif"
+    assert abs(got[2]["duration_s"] - 3.0) < 1e-9 and got[2]["width"] is None
+    assert got[3]["brand"] is None
+    assert got[4]["brand"] is None
+
+
+def test_mp3_header_with_id3_skip():
+    from nutch_spark.datapipe.mediacodec import parse_mp3_info
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo
+    frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+    audio = frame_hdr + b"\x00" * (16000 - 4)  # 16 kB of audio ≈ 1 s at 128kbps
+    info = parse_mp3_info(audio)
+    assert info["sample_rate"] == 44100
+    assert info["bitrate_kbps"] == 128
+    assert info["n_channels"] == 2
+    assert abs(info["duration_s"] - 1.0) < 0.01
+    # ID3v2 tag (syncsafe size 100) before the first frame
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 100]) + b"\x00" * 100
+    info2 = parse_mp3_info(id3 + audio)
+    assert info2["sample_rate"] == 44100
+    assert abs(info2["duration_s"] - 1.0) < 0.01
+    # MPEG2 Layer III mono 8 kbps @ 22050
+    hdr2 = bytes([0xFF, 0xF3, 0x10, 0xC0])
+    info3 = parse_mp3_info(hdr2 + b"\x00" * 996)
+    assert info3["sample_rate"] == 22050
+    assert info3["n_channels"] == 1
+    assert info3["bitrate_kbps"] == 8
+    assert parse_mp3_info(b"not audio at all " * 10) is None
+
+
+def test_ico_and_svg_dimensions():
+    # ICO: two entries, the LARGER one (0 means 256) is reported
+    ico = (
+        b"\x00\x00\x01\x00\x02\x00"
+        + bytes([16, 16]) + b"\x00" * 14
+        + bytes([0, 0]) + b"\x00" * 14  # 256x256
+    )
+    assert sniff_image_dimensions(ico) == ("ico", 256, 256)
+    svg = b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg" width="120" height="80.4"><rect/></svg>'
+    assert sniff_image_dimensions(svg) == ("svg", 120, 80)
+    svg_vb = b'<svg viewBox="0 0 640 360"></svg>'
+    assert sniff_image_dimensions(svg_vb) == ("svg", 640, 360)
+    # percentage widths / no dims → None, never garbage
+    assert sniff_image_dimensions(b'<svg width="100%" height="100%"/>') is None
+    assert sniff_image_dimensions(b"<?xml version='1.0'?><notsvg/>") is None
+
+
+def test_mp3_through_audio_features(spark):
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+    blob = frame_hdr + b"\x00" * (32000 - 4)  # ≈2 s at 128 kbps
+    df = spark.createDataFrame(
+        [(9, "audio", blob)], "media_id long, media_type string, payload binary"
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row["sample_rate"] == 44100
+    assert abs(row["duration_s"] - 2.0) < 0.02
+    assert row["mfcc"] is None

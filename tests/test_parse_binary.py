@@ -601,3 +601,72 @@ def test_plain_zip_with_mimetype_member_not_misrouted():
     mime, text = extract_text(buf.getvalue())
     assert mime == "application/zip"
     assert "hello zip" in text
+
+
+# ---------------------------------------------------------------------------
+# EPUB (OCF/OPF): container → rootfile → spine reading order
+# ---------------------------------------------------------------------------
+
+
+def _epub(chapters, *, broken_manifest=False):
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        if not broken_manifest:
+            z.writestr(
+                "META-INF/container.xml",
+                '<?xml version="1.0"?>'
+                '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+                '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+                'media-type="application/oebps-package+xml"/></rootfiles></container>',
+            )
+            items = "".join(
+                f'<item id="c{i}" href="ch{i}.xhtml" media-type="application/xhtml+xml"/>'
+                for i in range(len(chapters))
+            )
+            # spine deliberately reverses manifest order to prove spine wins
+            refs = "".join(
+                f'<itemref idref="c{i}"/>' for i in reversed(range(len(chapters)))
+            )
+            z.writestr(
+                "OEBPS/content.opf",
+                '<?xml version="1.0"?>'
+                '<package xmlns="http://www.idpf.org/2007/opf">'
+                f"<manifest>{items}</manifest><spine>{refs}</spine></package>",
+            )
+        for i, text in enumerate(chapters):
+            z.writestr(
+                f"OEBPS/ch{i}.xhtml",
+                '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+                f"<title>skip</title></head><body><p>{text}</p></body></html>",
+            )
+    return buf.getvalue()
+
+
+def test_epub_spine_reading_order():
+    from nutch_spark.operators.parse_binary import extract_epub_text
+
+    mime, text = extract_epub_text(_epub(["first chapter", "second chapter"]))
+    assert mime == "application/epub+zip"
+    # spine order (reversed in the fixture) wins over zip entry order,
+    # and <head> content is excluded
+    assert text == "second chapter\nfirst chapter"
+    assert "skip" not in text
+
+
+def test_epub_dispatch_and_broken_manifest_fallback():
+    data = _epub(["alpha", "beta"], broken_manifest=True)
+    mime, text = extract_text(data)
+    assert mime == "application/epub+zip"
+    assert text == "alpha\nbeta"  # name-order fallback
+
+
+def test_epub_html_soup_chapter_survives():
+    from nutch_spark.operators.parse_binary import extract_epub_text
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("ch1.html", "<html><body><p>unclosed soup<br>text</body>")
+    _, text = extract_epub_text(buf.getvalue())
+    assert "unclosed soup" in text and "text" in text

@@ -136,8 +136,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "mm_image_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
     "mm_tiff_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
     "mm_audio_features": [[r"MapInPandas|mapInPandas"], [r"Exchange", r"Join"]],
-    # ODT round-trip: two chained Python stages, no shuffle between them
+    # ODT/EPUB round-trips: two chained Python stages, no shuffle between
     "p2_odt_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    "p2_epub_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     # politeness fetch: ONE host-keyed exchange lays out the fetchlist, the
     # Arrow fetch stage runs per-partition, then a partial-agg rollup —
     # never a second corpus shuffle before the fetch
