@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame
 
 class RabbitMQPublisher:
     """RabbitMQPublisherImpl: one JSON message per event through the
-    injected ``publish(exchange, routing_key, body_bytes, headers)``."""
+    injected ``publish(exchange, routing_key, body_bytes, headers)``.
+    For a live broker, ``sources/amqp_wire.amqp_publisher_factory`` builds
+    a socket-level AMQP 0-9-1 client whose ``publish`` matches this
+    signature (tested end-to-end in tests/test_amqp_wire.py)."""
 
     def __init__(
         self,

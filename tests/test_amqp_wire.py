@@ -1,0 +1,276 @@
+"""RabbitMQ live publisher: the socket-level AMQP 0-9-1 client behind
+RabbitIndexWriter / publish-rabbitmq. A fake in-process broker SPEAKS the
+real server side of the protocol — Start/Tune/Open negotiation with SASL
+PLAIN verification, channel/exchange/queue/bind methods, content-frame
+reassembly across split body frames — over actual TCP. Reference:
+indexer-rabbit RabbitIndexWriter.java opens a real amqp-client Connection
+with the same handshake."""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+import socket as socket_mod
+
+import pytest
+
+from nutch_spark.sources.amqp_wire import (
+    FRAME_BODY,
+    FRAME_END,
+    FRAME_HEADER,
+    FRAME_METHOD,
+    AmqpWireClient,
+    AmqpWireError,
+    amqp_publisher_factory,
+    decode_table,
+    encode_table,
+)
+
+
+def test_field_table_round_trip():
+    table = {"s": "text", "i": -42, "b": True, "nested": {"k": "v"}}
+    got, end = decode_table(encode_table(table))
+    assert got == table
+    blob = encode_table(table)
+    assert end == len(blob)
+    assert decode_table(encode_table({}))[0] == {}
+
+
+class FakeAmqpBroker:
+    """Server side of the publish path, strict about the frame grammar."""
+
+    def __init__(self, user="guest", password="guest", frame_max=4096):
+        self.user, self.password = user, password
+        self.frame_max = frame_max
+        self.messages: list[dict] = []
+        self.declared: list[tuple] = []
+        self.client_props: dict = {}
+        self.lock = threading.Lock()
+        self.sock = socket_mod.socket()
+        self.sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(8)
+        self.port = self.sock.getsockname()[1]
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._session, args=(conn,), daemon=True).start()
+
+    def _read_exact(self, conn, n):
+        buf = bytearray()
+        while len(buf) < n:
+            piece = conn.recv(n - len(buf))
+            if not piece:
+                raise ConnectionError
+            buf += piece
+        return bytes(buf)
+
+    def _read_frame(self, conn):
+        ftype, channel, size = struct.unpack(">BHI", self._read_exact(conn, 7))
+        payload = self._read_exact(conn, size)
+        assert self._read_exact(conn, 1)[0] == FRAME_END
+        return ftype, channel, payload
+
+    def _send_method(self, conn, channel, cid, mid, args=b""):
+        payload = struct.pack(">HH", cid, mid) + args
+        conn.sendall(
+            struct.pack(">BHI", FRAME_METHOD, channel, len(payload))
+            + payload
+            + bytes([FRAME_END])
+        )
+
+    @staticmethod
+    def _shortstr(s):
+        raw = s.encode()
+        return bytes([len(raw)]) + raw
+
+    def _session(self, conn):
+        try:
+            assert self._read_exact(conn, 8) == b"AMQP\x00\x00\x09\x01"
+            # connection.start
+            self._send_method(
+                conn, 0, 10, 10,
+                bytes([0, 9]) + encode_table({}) + struct.pack(">I", 5)
+                + b"PLAIN" + struct.pack(">I", 5) + b"en_US",
+            )
+            # start-ok: client props, mechanism, SASL response, locale
+            _, _, payload = self._read_frame(conn)
+            cid, mid = struct.unpack_from(">HH", payload)
+            assert (cid, mid) == (10, 11)
+            pos = 4
+            props, pos = decode_table(payload, pos)
+            mech_len = payload[pos]
+            mech = payload[pos + 1 : pos + 1 + mech_len].decode()
+            pos += 1 + mech_len
+            (resp_len,) = struct.unpack_from(">I", payload, pos)
+            resp = payload[pos + 4 : pos + 4 + resp_len]
+            assert mech == "PLAIN"
+            _, user, password = resp.split(b"\x00")
+            with self.lock:
+                self.client_props = props
+            if user.decode() != self.user or password.decode() != self.password:
+                self._send_method(  # connection.close: ACCESS_REFUSED
+                    conn, 0, 10, 50,
+                    struct.pack(">H", 403) + self._shortstr("ACCESS_REFUSED")
+                    + struct.pack(">HH", 0, 0),
+                )
+                return
+            self._send_method(
+                conn, 0, 10, 30, struct.pack(">HIH", 0, self.frame_max, 0)
+            )
+            _, _, payload = self._read_frame(conn)  # tune-ok
+            assert struct.unpack_from(">HH", payload) == (10, 31)
+            _, _, payload = self._read_frame(conn)  # connection.open
+            assert struct.unpack_from(">HH", payload) == (10, 40)
+            self._send_method(conn, 0, 10, 41, self._shortstr(""))
+            while True:
+                ftype, channel, payload = self._read_frame(conn)
+                if ftype != FRAME_METHOD:
+                    continue
+                cid, mid = struct.unpack_from(">HH", payload)
+                if (cid, mid) == (20, 10):  # channel.open
+                    self._send_method(conn, channel, 20, 11, struct.pack(">I", 0))
+                elif (cid, mid) == (40, 10):  # exchange.declare
+                    name_len = payload[6]
+                    name = payload[7 : 7 + name_len].decode()
+                    with self.lock:
+                        self.declared.append(("exchange", name))
+                    self._send_method(conn, channel, 40, 11)
+                elif (cid, mid) == (50, 10):  # queue.declare
+                    name_len = payload[6]
+                    name = payload[7 : 7 + name_len].decode()
+                    with self.lock:
+                        self.declared.append(("queue", name))
+                    self._send_method(
+                        conn, channel, 50, 11,
+                        self._shortstr(name) + struct.pack(">II", 0, 0),
+                    )
+                elif (cid, mid) == (50, 20):  # queue.bind
+                    with self.lock:
+                        self.declared.append(("bind",))
+                    self._send_method(conn, channel, 50, 21)
+                elif (cid, mid) == (60, 40):  # basic.publish
+                    pos = 6
+                    xlen = payload[pos]
+                    exchange = payload[pos + 1 : pos + 1 + xlen].decode()
+                    pos += 1 + xlen
+                    klen = payload[pos]
+                    rkey = payload[pos + 1 : pos + 1 + klen].decode()
+                    # content header
+                    ftype, _, hdr = self._read_frame(conn)
+                    assert ftype == FRAME_HEADER
+                    hcid, _w, body_size, flags = struct.unpack_from(">HHQH", hdr)
+                    assert hcid == 60
+                    hpos = 14
+                    headers = {}
+                    if flags & 0x2000:
+                        headers, hpos = decode_table(hdr, hpos)
+                    delivery_mode = hdr[hpos] if flags & 0x1000 else None
+                    body = bytearray()
+                    while len(body) < body_size:
+                        ftype, _, piece = self._read_frame(conn)
+                        assert ftype == FRAME_BODY
+                        assert len(piece) <= self.frame_max
+                        body += piece
+                    with self.lock:
+                        self.messages.append(
+                            {
+                                "exchange": exchange,
+                                "routing_key": rkey,
+                                "headers": headers,
+                                "delivery_mode": delivery_mode,
+                                "body": bytes(body),
+                            }
+                        )
+                elif (cid, mid) == (10, 50):  # connection.close
+                    self._send_method(conn, 0, 10, 51)
+                    return
+        except (ConnectionError, AssertionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture()
+def broker():
+    b = FakeAmqpBroker()
+    yield b
+    b.close()
+
+
+def test_handshake_declare_publish_and_frame_split(broker):
+    client = AmqpWireClient("127.0.0.1", broker.port)
+    client.declare_direct("nutch.exchange", "nutch.queue", "nutch.key")
+    big = b"x" * 10_000  # > the broker's 4096 frame-max → multiple frames
+    client.publish("nutch.exchange", "nutch.key", big, {"action": "write"})
+    client.publish("nutch.exchange", "nutch.key", b"", {"action": "empty"})
+    client.close()
+    import time
+
+    for _ in range(100):
+        with broker.lock:
+            if len(broker.messages) == 2:
+                break
+        time.sleep(0.05)
+    assert ("exchange", "nutch.exchange") in broker.declared
+    assert ("queue", "nutch.queue") in broker.declared
+    assert ("bind",) in broker.declared
+    m = broker.messages[0]
+    assert m["body"] == big and m["headers"] == {"action": "write"}
+    assert m["delivery_mode"] == 1 and m["routing_key"] == "nutch.key"
+    assert broker.messages[1]["body"] == b""
+    assert broker.client_props.get("product") == "nutch-spark"
+
+
+def test_bad_credentials_rejected():
+    b = FakeAmqpBroker(user="u", password="right")
+    try:
+        with pytest.raises(AmqpWireError, match="closed"):
+            AmqpWireClient("127.0.0.1", b.port, user="u", password="wrong")
+    finally:
+        b.close()
+
+
+def test_rabbit_index_writer_live_round_trip(spark, broker):
+    """The full live-sink pattern: Spark partitions → RabbitIndexWriter
+    (multiple-commit envelope) → AMQP wire client → fake broker."""
+    from nutch_spark.sources.indexers import RabbitIndexWriter, index_documents
+
+    factory = amqp_publisher_factory("127.0.0.1", broker.port)
+
+    def writer():
+        # the client lives as long as the writer (per-partition); its socket
+        # closes when the executor worker drops the object after commit()
+        client = factory()
+        w = RabbitIndexWriter(client.publish)
+        w._amqp_client = client
+        return w
+
+    docs = spark.createDataFrame(
+        [
+            ("http://r.example.com/1", "ADD", "rabbit doc"),
+            ("http://r.example.com/2", "DELETE", None),
+        ],
+        "url string, action string, content string",
+    ).coalesce(1)
+    index_documents(docs, {"rabbit": writer})
+    import time
+
+    for _ in range(100):
+        with broker.lock:
+            if broker.messages:
+                break
+        time.sleep(0.05)
+    assert broker.messages, "no message reached the broker"
+    envelope = json.loads(broker.messages[0]["body"])
+    assert [d["fields"][0]["values"] for d in envelope["docsToWrite"]]
+    assert envelope["docsToDelete"] == ["http://r.example.com/2"]
