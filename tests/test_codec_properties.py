@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) over the pure wire/byte codecs added in
+round 8 — no Spark session needed, so hundreds of examples run in seconds.
+Each property is a round-trip or a cross-check against an independent
+reference implementation written from the same public spec."""
+
+from __future__ import annotations
+
+import gzip
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nutch_spark.datapipe.mediacodec import byte_histogram
+from nutch_spark.functions.textutil import (
+    mask,
+    reverse_url,
+    unreverse_url,
+    unzip_best_effort,
+)
+from nutch_spark.sources.amqp_wire import decode_table, encode_table
+from nutch_spark.sources.kafka_wire import (
+    crc32c,
+    decode_record_batch,
+    decode_varint,
+    encode_record_batch,
+    encode_varint,
+)
+
+# ---------------------------------------------------------------------------
+# kafka wire
+# ---------------------------------------------------------------------------
+
+INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(INT64)
+def test_varint_round_trip_any_int64(n):
+    buf = encode_varint(n)
+    val, pos = decode_varint(buf, 0)
+    assert (val, pos) == (n, len(buf))
+
+
+@given(st.lists(INT64, min_size=2, max_size=20))
+def test_varint_concatenation_parses_in_sequence(ns):
+    blob = b"".join(encode_varint(n) for n in ns)
+    pos, out = 0, []
+    while pos < len(blob):
+        v, pos = decode_varint(blob, pos)
+        out.append(v)
+    assert out == ns
+
+
+_RECORD = st.tuples(
+    st.one_of(st.none(), st.binary(max_size=64)),
+    st.one_of(st.none(), st.binary(max_size=256)),
+)
+
+
+@given(st.lists(_RECORD, min_size=1, max_size=25), st.integers(0, 2**40))
+@settings(max_examples=50)
+def test_record_batch_round_trip_any_records(records, ts):
+    assert decode_record_batch(encode_record_batch(records, ts)) == records
+
+
+def _crc32c_bitwise(data: bytes) -> int:
+    """Independent bit-at-a-time CRC-32C from the Castagnoli polynomial —
+    cross-checks the table-driven implementation."""
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+@given(st.binary(max_size=128))
+@settings(max_examples=100)
+def test_crc32c_matches_bitwise_reference(data):
+    assert crc32c(data) == _crc32c_bitwise(data)
+
+
+# ---------------------------------------------------------------------------
+# amqp wire
+# ---------------------------------------------------------------------------
+
+_KEY = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=20
+)
+_VALUE = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.text(max_size=40),
+)
+
+
+@given(st.dictionaries(_KEY, _VALUE, max_size=8))
+@settings(max_examples=100)
+def test_amqp_table_round_trip(table):
+    blob = encode_table(table)
+    got, end = decode_table(blob)
+    assert got == table and end == len(blob)
+
+
+# ---------------------------------------------------------------------------
+# textutil
+# ---------------------------------------------------------------------------
+
+_HOST_LABEL = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+
+
+@given(
+    st.sampled_from(["http", "https", "ftp"]),
+    st.lists(_HOST_LABEL, min_size=1, max_size=4),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    st.lists(_HOST_LABEL, max_size=3),
+)
+def test_reverse_unreverse_url_round_trip(scheme, labels, port, path_segs):
+    host = ".".join(labels)
+    port_part = f":{port}" if port else ""
+    path = "/" + "/".join(path_segs) if path_segs else "/"
+    url = f"{scheme}://{host}{port_part}{path}"
+    assert unreverse_url(reverse_url(url)) == url
+    # the reversed key groups by domain: same-host urls share the key prefix
+    assert reverse_url(url).startswith(".".join(reversed(labels)) + ":")
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=50)
+def test_unzip_best_effort_inverts_gzip(data):
+    assert unzip_best_effort(gzip.compress(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=2048), st.integers(min_value=1, max_value=32))
+@settings(max_examples=100)
+def test_byte_histogram_properties(payload, bins):
+    h = byte_histogram(payload, bins)
+    assert len(h) == bins
+    assert abs(sum(h) - 1.0) < 1e-3  # rounding of per-bin fractions
+    assert all(0.0 <= v <= 1.0 for v in h)
+
+
+@given(st.text(max_size=100))
+def test_mask_full_is_length_preserving_and_opaque(s):
+    m = mask(s)
+    assert len(m) == len(s) and set(m) <= {"*"}
