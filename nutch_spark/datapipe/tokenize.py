@@ -167,3 +167,50 @@ def bpe_apply(
         F.transform(words(text_col), lambda w: apply_merges_to_word(w, merges))
     )
     return docs.withColumn(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# document chunking — corpus prep's "split long docs into training windows"
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunking: each document becomes
+    ``ceil((n_tokens - overlap) / stride)`` chunks of up to ``chunk_tokens``
+    whitespace tokens, consecutive chunks sharing ``overlap`` tokens
+    (``stride = chunk_tokens - overlap``); a document at or under the window
+    yields exactly one chunk. The shape every context-window pipeline uses
+    between cleaning and packing (packing concatenates ACROSS documents —
+    ``mixing.pack_sequences``; chunking splits WITHIN one).
+
+    100 TB shape: split → sequence → explode → slice, all JVM array ops in
+    one narrow stage — no shuffle, no Python, no driver state. Output keeps
+    ``(id_col, chunk_idx)`` as the new key plus ``n_tokens`` per chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    d = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_tokens"),
+    )

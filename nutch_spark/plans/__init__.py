@@ -23,6 +23,7 @@ _CERTIFY_FIRST = [
     # new in round 8 (TIFF/EXIF dims, OpenDocument text, politeness fetch
     # harness under oracle) — never driver-sampled
     "mm_tiff_dimensions", "p2_odt_extract", "p2_epub_extract", "p1_politeness",
+    "dp_chunking",
     # code changed since its r04 row (PDF string-entry delimiter fix, r07)
     "p2_pdf_extract",
     # r04-certified, code-adjacent groups first

@@ -2451,3 +2451,43 @@ def dp_dsir_weights(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return dsir_log_ratio_weights(d, d.filter(F.col("doc_id") % 17 == 0), buckets=1024)
+
+
+@q(
+    "dp_chunking",
+    """
+    -- Sliding token-window chunking, stated closed-form: stride 24 =
+    -- 32 - 8; docs at/under one window yield exactly one chunk; DuckDB
+    -- list slicing is 1-based inclusive like Spark's slice().
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 8) / 24.0) AS INT) END AS n_chunks
+      FROM t),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS i
+      FROM c)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+           CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INT) AS n_tokens
+    FROM e
+    """,
+)
+def dp_chunking(spark, sf_dir):
+    """Document → training-window chunking (32-token windows, 8-token
+    overlap — sized so the synthetic docs, 10-99 tokens, split for real): the corpus-prep step between cleaning and sequence packing —
+    packing concatenates across documents, chunking splits within one.
+    Plan: split → sequence → explode → slice, all JVM array expressions in
+    ONE narrow stage (no shuffle, no UDF) — at 100 TB this is a pure map
+    over the corpus scan, and the chunk key (doc_id, chunk_idx) feeds
+    straight into dp_seq_packing."""
+    from nutch_spark.datapipe.tokenize import chunk_documents
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)

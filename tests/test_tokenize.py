@@ -167,3 +167,39 @@ def test_cross_engine_merge_semantics(spark):
         assert got == want
 
     check()
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from nutch_spark.datapipe.tokenize import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(toks)),          # 25 tokens: 3 chunks at 10/4 (stride 6)
+        (2, "a b c"),                 # under one window: exactly 1 chunk
+        (3, ""),                      # empty: 1 chunk, 0 tokens
+        (4, "  x   y  "),             # messy whitespace
+        (5, " ".join(f"u{i}" for i in range(10))),  # exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap=4)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: ceil((25-4)/6) = 4 chunks at starts 0,6,12,18
+    assert {k[1] for k in got if k[0] == 1} == {0, 1, 2, 3}
+    assert got[(1, 0)][0] == " ".join(toks[0:10])
+    assert got[(1, 1)][0] == " ".join(toks[6:16])   # 4-token overlap
+    assert got[(1, 3)][0] == " ".join(toks[18:25])  # last chunk is short
+    assert got[(1, 3)][1] == 7
+    assert got[(2, 0)] == ("a b c", 3)
+    assert got[(3, 0)] == ("", 0)
+    assert got[(4, 0)] == ("x y", 2)
+    assert {k[1] for k in got if k[0] == 5} == {0}  # boundary: single chunk
+    # every non-final chunk repeats the previous chunk's last `overlap` tokens
+    c0, c1 = got[(1, 0)][0].split(), got[(1, 1)][0].split()
+    assert c0[-4:] == c1[:4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
