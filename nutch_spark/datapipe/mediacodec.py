@@ -65,17 +65,21 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
         if payload[12:16] != b"IHDR":
             return None
         w, h = struct.unpack(">II", payload[16:24])
-        return "png", int(w), int(h)
+        return ("png", int(w), int(h)) if w and h else None
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
-        return "gif", int(w), int(h)
+        return ("gif", int(w), int(h)) if w and h else None
     if len(payload) >= 26 and payload[:2] == b"BM":
         (dib_size,) = struct.unpack("<I", payload[14:18])
         if dib_size == 12:  # BITMAPCOREHEADER
             w, h = struct.unpack("<HH", payload[18:22])
-            return "bmp", int(w), int(h)
+            return ("bmp", int(w), int(h)) if w and h else None
         if dib_size >= 40:  # BITMAPINFOHEADER / V4 / V5
             w, h = struct.unpack("<ii", payload[18:26])
+            # spec: width strictly positive; height may be negative
+            # (top-down DIB) but never 0 or INT32_MIN (abs() overflow)
+            if w <= 0 or h == 0 or h == -(1 << 31):
+                return None
             return "bmp", int(w), abs(int(h))  # negative h = top-down DIB
         return None
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
@@ -101,7 +105,7 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
                 if i + 9 > n:
                     return None
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return "jpeg", int(w), int(h)
+                return ("jpeg", int(w), int(h)) if w and h else None
             i += 2 + seg_len
         return None
     endian = _tiff_endian(payload)
@@ -130,7 +134,7 @@ def sniff_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
                 return None
             w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
             h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
-            return "webp", w, h
+            return ("webp", w, h) if w and h else None
         if chunk == b"VP8L" and len(body) >= 5:
             # lossless: signature 0x2F, then two packed 14-bit minus-one dims
             if body[0] != 0x2F:
