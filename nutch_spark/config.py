@@ -67,7 +67,9 @@ class NutchConfig:
     http_agent_name: str = "nutch-spark"  # http.agent.name ("" = refuse fetch)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
+    fetcher_server_min_delay: float = 0.0  # fetcher.server.min.delay (s, used when threads.per.queue > 1)
     fetcher_threads: int = 10            # fetcher.threads.fetch
+    fetcher_threads_per_queue: int = 1   # fetcher.threads.per.queue
     fetcher_time_limit_s: float = -1.0   # fetcher.timelimit.mins * 60 (-1 = off)
     throughput_threshold_pages: float = -1.0  # fetcher.throughput.threshold.pages (pages/s, -1 = off)
     throughput_threshold_retries: int = 5     # fetcher.throughput.threshold.retries
@@ -180,7 +182,9 @@ PROPERTY_MAP = {
     "http.agent.name": "http_agent_name",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",
+    "fetcher.server.min.delay": "fetcher_server_min_delay",
     "fetcher.threads.fetch": "fetcher_threads",
+    "fetcher.threads.per.queue": "fetcher_threads_per_queue",
     "fetcher.throughput.threshold.pages": "throughput_threshold_pages",
     "fetcher.throughput.threshold.retries": "throughput_threshold_retries",
     "deduplication.group.mode": "dedup_group_mode",

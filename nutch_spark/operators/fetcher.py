@@ -557,6 +557,8 @@ def fetch(
     crawl_delay_s: float = 0.0,
     num_lists: int | None = None,
     threads: int = 1,
+    threads_per_queue: int = 1,
+    min_crawl_delay_s: float = 0.0,
     time_limit_s: float | None = None,
     max_redirects: int = 0,
 ) -> DataFrame:
@@ -576,11 +578,20 @@ def fetch(
     path, Generator.java:529-545) overrides ``crawl_delay_s`` for that host.
 
     ``threads`` > 1 runs that many fetch threads per partition
-    (fetcher.threads.fetch, with fetcher.threads.per.queue=1 semantics: a
-    host never has more than one request in flight — a busy host is simply
-    not eligible for the next dispatch). I/O-bound fetches overlap across
-    hosts; the politeness clock for a host starts when its request
-    COMPLETES, like the reference's FetchItemQueue.finishFetchItem.
+    (fetcher.threads.fetch; by default fetcher.threads.per.queue=1
+    semantics: a host never has more than one request in flight — a busy
+    host is simply not eligible for the next dispatch). I/O-bound fetches
+    overlap across hosts; the politeness clock for a host starts when its
+    request COMPLETES, like the reference's FetchItemQueue.finishFetchItem.
+
+    ``threads_per_queue`` > 1 (fetcher.threads.per.queue,
+    FetchItemQueue.java:124 ``inProgress >= maxThreads``) allows that many
+    CONCURRENT requests to one host, and the per-completion politeness gap
+    switches from ``crawl_delay_s`` to ``min_crawl_delay_s``
+    (fetcher.server.min.delay — FetchItemQueue.setEndTime:171 uses
+    minCrawlDelay exactly when maxThreads > 1, and the variable per-host
+    delay is likewise bypassed). Impolite by design — the reference
+    documents it for servers you own.
 
     ``time_limit_s`` (fetcher.timelimit.mins, Fetcher.java:188-210) bounds
     each partition's fetch loop: once the deadline passes, every still-queued
@@ -725,6 +736,8 @@ def fetch(
                 queues.setdefault(t_host, deque()).append(target)
 
             def ready_at(host: str) -> float:
+                if threads_per_queue > 1:  # FetchItemQueue.setEndTime:171
+                    return last_hit.get(host, NEVER) + min_crawl_delay_s
                 return last_hit.get(host, NEVER) + delays.get(host, crawl_delay_s)
 
             tp = {"t0": time.monotonic(), "n": 0, "low": 0, "dead": False}
@@ -778,30 +791,43 @@ def fetch(
                 import concurrent.futures as cf
 
                 with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-                    in_flight: dict[str, cf.Future] = {}
+                    in_flight: dict[str, list[cf.Future]] = {}
                     while queues or in_flight:
                         drain_expired()
-                        for host in [h for h, f in in_flight.items() if f.done()]:
-                            row = in_flight.pop(host).result()
-                            follow_redirect(row)
-                            out.append(row)
-                            note_fetched()
-                            last_hit[host] = time.monotonic()
+                        for host in list(in_flight):
+                            done = [f for f in in_flight[host] if f.done()]
+                            for f in done:
+                                in_flight[host].remove(f)
+                                row = f.result()
+                                follow_redirect(row)
+                                out.append(row)
+                                note_fetched()
+                                last_hit[host] = time.monotonic()
+                            if not in_flight[host]:
+                                del in_flight[host]
                         dispatched = False
-                        if len(in_flight) < threads:
-                            avail = [h for h in queues if h not in in_flight]
+                        n_flight = sum(len(v) for v in in_flight.values())
+                        if n_flight < threads:
+                            # a host is eligible while its in-progress count
+                            # is under maxThreads (FetchItemQueue.java:124)
+                            avail = [
+                                h for h in queues
+                                if len(in_flight.get(h, ())) < threads_per_queue
+                            ]
                             if avail:
                                 host = min(avail, key=ready_at)
                                 if ready_at(host) <= time.monotonic():
                                     url = queues[host].popleft()
                                     if not queues[host]:
                                         del queues[host]
-                                    in_flight[host] = ex.submit(fetch_one, url)
+                                    in_flight.setdefault(host, []).append(
+                                        ex.submit(fetch_one, url)
+                                    )
                                     dispatched = True
                         if not dispatched:
                             if in_flight:
                                 cf.wait(
-                                    list(in_flight.values()),
+                                    [f for v in in_flight.values() for f in v],
                                     timeout=0.005,
                                     return_when=cf.FIRST_COMPLETED,
                                 )

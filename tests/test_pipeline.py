@@ -104,9 +104,10 @@ def test_politeness_interleaves_hosts_within_partition(spark):
     rows = fetch(fl, crawl_delay_s=0.3, num_lists=1).collect()
     elapsed = _time.monotonic() - t0
     assert len(rows) == 6
-    # max-shaped: ~0.6 s of forced delay (+ fetch overhead), far below the
-    # ~1.2 s the summed serialization would take. Generous ceiling for CI.
-    assert elapsed < 1.1, f"hosts were serialized: {elapsed:.2f}s"
+    # max-shaped: ~0.6 s of forced delay (+ fetch overhead); full
+    # serialization costs >= 1.2 s of delay + the same overhead (>= 1.7 s
+    # observed), so a 1.5 s ceiling still discriminates under CI load.
+    assert elapsed < 1.5, f"hosts were serialized: {elapsed:.2f}s"
 
 
 def test_politeness_variable_delay_from_metadata(spark):
@@ -124,11 +125,15 @@ def test_politeness_variable_delay_from_metadata(spark):
         ],
         "url string, metadata map<string,string>",
     )
+    # warm the Arrow worker pool so the timed window measures ONLY the
+    # delay semantics (first mapInPandas in a session pays seconds of
+    # cold start — bites when this test runs first under -k filters)
+    fetch(fl.select("url"), crawl_delay_s=0.0, num_lists=1).count()
     t0 = _time.monotonic()
     rows = fetch(fl, crawl_delay_s=0.0, num_lists=1).collect()
     elapsed = _time.monotonic() - t0
     assert len(rows) == 4
-    assert 0.4 <= elapsed < 1.0, f"variable delay not honored: {elapsed:.2f}s"
+    assert 0.4 <= elapsed < 1.5, f"variable delay not honored: {elapsed:.2f}s"
 
 
 def test_threaded_fetch_overlaps_hosts(spark):
@@ -554,3 +559,58 @@ def test_is_truncated_parity(spark):
     )
     kept = {r["url"] for r in parse(log, skip_truncated=True).select("url").collect()}
     assert kept == {"http://a/flag0", "http://a/len-ok", "http://a/no-meta"}
+
+
+def test_threads_per_queue_allows_concurrent_same_host_requests(spark):
+    """fetcher.threads.per.queue parity (FetchItemQueue.java:124 inProgress
+    >= maxThreads; setEndTime:171 switches crawl_delay -> min_crawl_delay
+    when maxThreads > 1): one host's requests overlap up to the cap, and
+    the big crawl_delay is bypassed for the min delay."""
+    import time as _time
+
+    from nutch_spark.operators.fetcher import fetch
+
+    def stamped_slow(url):
+        t0 = _time.monotonic()
+        _time.sleep(0.2)
+        return {
+            "status": "fetch_success",
+            "content": "x",
+            "metadata": {"_t0_": repr(t0), "_t1_": repr(_time.monotonic())},
+        }
+
+    fl = spark.createDataFrame(
+        [(f"http://onehost.com/p{i}",) for i in range(6)], "url string"
+    )
+    # warm the worker pool outside the timed window
+    fetch(fl, num_lists=1).collect()
+    t0 = _time.monotonic()
+    rows = fetch(
+        fl,
+        fetch_fn=stamped_slow,
+        crawl_delay_s=10.0,  # would force ~50 s serially — must be bypassed
+        min_crawl_delay_s=0.0,
+        threads=3,
+        threads_per_queue=3,
+        num_lists=1,
+    ).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(rows) == 6
+    # 6 requests at 0.2 s with 3 in flight ≈ 2 waves (~0.4 s); generous CI
+    # ceiling still proves both the overlap and the min-delay switch
+    assert elapsed < 3.0, f"no same-host concurrency: {elapsed:.2f}s"
+    spans = sorted(
+        (float(r["metadata"]["_t0_"]), float(r["metadata"]["_t1_"])) for r in rows
+    )
+    # at least one pair of same-host requests overlapped in time...
+    overlaps = sum(
+        1 for (a0, a1), (b0, b1) in zip(spans, spans[1:]) if b0 < a1
+    )
+    assert overlaps >= 1, spans
+    # ...and never more than 3 in flight at once (the per-queue cap)
+    events = sorted([(t0_, 1) for t0_, _ in spans] + [(t1, -1) for _, t1 in spans])
+    depth = peak = 0
+    for _, d in events:
+        depth += d
+        peak = max(peak, depth)
+    assert peak <= 3, peak
