@@ -284,13 +284,16 @@ def cmd_fetch(args) -> int:
     if args.robots:
         from nutch_spark.operators.robots import fetch_with_robots
 
+        cfg = _cfg(args)
         log, robots_log = fetch_with_robots(
             fl,
-            cfg=_cfg(args),
+            cfg=cfg,
             fetch_fn=_resolve_fetch_fn(args.fetcher),
             agent=args.agent,
             crawl_delay_s=args.delay,
             threads=args.threads,
+            threads_per_queue=cfg.fetcher_threads_per_queue,
+            min_crawl_delay_s=cfg.fetcher_server_min_delay,
             time_limit_s=args.timelimit * 60 if args.timelimit is not None else None,
             max_redirects=args.redirects,
         )
@@ -298,12 +301,15 @@ def cmd_fetch(args) -> int:
             os.path.join(args.segment, "robots")
         )
     else:
+        cfg = _cfg(args)
         log = fetch(
             fl,
-            cfg=_cfg(args),
+            cfg=cfg,
             fetch_fn=_resolve_fetch_fn(args.fetcher),
             crawl_delay_s=args.delay,
             threads=args.threads,
+            threads_per_queue=cfg.fetcher_threads_per_queue,
+            min_crawl_delay_s=cfg.fetcher_server_min_delay,
             time_limit_s=args.timelimit * 60 if args.timelimit is not None else None,
             max_redirects=args.redirects,
         )

@@ -285,6 +285,8 @@ def fetch_with_robots(
     agent: str = "*",
     crawl_delay_s: float = 0.0,
     threads: int = 1,
+    threads_per_queue: int = 1,
+    min_crawl_delay_s: float = 0.0,
     num_lists: int | None = None,
     max_crawl_delay_s: float = 30.0,
     time_limit_s: float | None = None,
@@ -370,6 +372,8 @@ def fetch_with_robots(
         fetch_fn=fetch_fn,
         crawl_delay_s=crawl_delay_s,
         threads=threads,
+        threads_per_queue=threads_per_queue,
+        min_crawl_delay_s=min_crawl_delay_s,
         num_lists=num_lists,
         time_limit_s=time_limit_s,
         max_redirects=max_redirects,
