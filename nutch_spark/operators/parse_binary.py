@@ -155,20 +155,43 @@ def _scan_literal(chunk: bytes, i: int) -> tuple[bytes, int]:
     return chunk[start:j], j
 
 
+_TEXT_MOVE_OPS = (b"Td", b"TD", b"T*", b"TL", b"Tm")
+
+
 def _pdf_strings(chunk: bytes) -> list[bytes]:
-    """Shown strings from one content-stream chunk, in order: ( ) literals
+    """Shown text RUNS from one content-stream chunk, in order: ( ) literals
     followed by a Tj / ' / " operator, and [ ... ] TJ array elements.
     Literal strings are scanned (not regex-matched) so balanced nested
-    parens and operator lookalikes inside literals are handled."""
+    parens and operator lookalikes inside literals are handled.
+
+    Run semantics (the r8 real-file fix — parse-tika/sample/pdftest.pdf
+    shows 'A VERY SMALL PDF FIL' and 'E' as two Tj ops with only Tc/Tw
+    between them): consecutive shown strings CONCATENATE into one run
+    unless a text-positioning operator (Td/TD/T*/TL/Tm, or the
+    newline-implying ' / " show forms) intervenes — PDFBox's glyph-position
+    heuristic reduced to the operator stream. Callers join runs with a
+    space, so position moves become word/line breaks."""
     found: list[bytes] = []
+    pending_break = True
     i, n = 0, len(chunk)
+
+    def emit(s: bytes, *, breaking: bool) -> None:
+        nonlocal pending_break
+        if found and not (pending_break or breaking):
+            found[-1] += s
+        else:
+            found.append(s)
+        pending_break = False
+
     while i < n:
         c = chunk[i]
         if c == 0x28:  # '(' literal — shown only when Tj / ' / " follows
             raw, i = _scan_literal(chunk, i)
             m = _SHOW_OP_RE.match(chunk, i)
             if m:
-                found.append(_unescape_pdf_string(raw))
+                # ' and " move to the next line before showing
+                op_breaks = m.group(0).lstrip()[:1] in (b"'", b'"')
+                emit(_unescape_pdf_string(raw), breaking=op_breaks)
                 i = m.end()
             continue
         if c == 0x5B:  # '[' — TJ array of strings and kerning numbers
@@ -184,7 +207,7 @@ def _pdf_strings(chunk: bytes) -> list[bytes]:
                 if b == 0x5D:  # ']'
                     m = _TJ_CLOSE_RE.match(chunk, j + 1)
                     if m:
-                        found.append(b"".join(parts))
+                        emit(b"".join(parts), breaking=False)
                         j = m.end()
                         closed = True
                     else:
@@ -192,6 +215,12 @@ def _pdf_strings(chunk: bytes) -> list[bytes]:
                     break
                 j += 1
             i = j if closed else i + 1
+            continue
+        if c == 0x54 and chunk[i : i + 2] in _TEXT_MOVE_OPS and _is_token_at(
+            chunk, i, 2
+        ):
+            pending_break = True
+            i += 2
             continue
         if c == 0x3C:  # '<<' dict or hex string (hex-Tj not extracted)
             if chunk[i : i + 2] == b"<<":
@@ -221,7 +250,7 @@ def _stream_text_blocks(
     # eat real data (a Flate stream ending in 0x0d did exactly that).
     # An INDIRECT reference ('/Length 8 0 R' — what most PDF writers
     # emit) must NOT match: its object number would truncate the body.
-    length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
+    length = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", params)
     if pre_trimmed:
         pass
     elif length and int(length.group(1)) <= len(body):
@@ -489,7 +518,7 @@ def extract_pdf_text(data: bytes) -> str:
                 continue
             obj_key = _object_key(key, num, gen, cipher)
             params, raw = sm.group(1), sm.group(2)
-            length = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
+            length = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", params)
             if length and int(length.group(1)) <= len(raw):
                 raw = raw[: int(length.group(1))]
             elif raw.endswith(b"\r\n"):
@@ -551,35 +580,98 @@ def extract_docx_text(data: bytes) -> str:
 
 
 def extract_xlsx_text(data: bytes) -> str:
-    """Shared strings + inline strings of every sheet (SpreadsheetML)."""
+    """Cell values of every sheet in cell order (SpreadsheetML): shared-
+    string cells (``t="s"``) resolve their index into sharedStrings.xml,
+    inline strings (``t="inlineStr"``) concatenate their runs, and direct
+    values (``t="str"`` formula results, numbers) emit their ``<v>`` text —
+    the same cell walk Tika's XSSF extractor performs (the r8 real-file
+    check: parse-tika/sample/test.xlsx stores everything as ``t="str"``
+    cells, which a sharedStrings-only read misses entirely)."""
     parts: list[str] = []
     try:
         with zipfile.ZipFile(BytesIO(data)) as z:
             names = set(z.namelist())
+            shared: list[str] = []
             if "xl/sharedStrings.xml" in names:
-                parts += _xml_texts(z.read("xl/sharedStrings.xml"), "t")
+                try:
+                    sst = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+                    shared = [
+                        "".join(
+                            t.text
+                            for t in si.iter()
+                            if t.tag.rpartition("}")[2] == "t" and t.text
+                        )
+                        for si in sst
+                    ]
+                except ElementTree.ParseError:
+                    pass
             for n in sorted(names):
-                if n.startswith("xl/worksheets/") and n.endswith(".xml"):
-                    parts += _xml_texts(z.read(n), "t")  # inline strings
+                if not (n.startswith("xl/worksheets/") and n.endswith(".xml")):
+                    continue
+                try:
+                    sheet = ElementTree.fromstring(z.read(n))
+                except ElementTree.ParseError:
+                    continue
+                for c in sheet.iter():
+                    if c.tag.rpartition("}")[2] != "c":
+                        continue
+                    ctype = c.get("t", "")
+                    if ctype == "inlineStr":
+                        runs = "".join(
+                            t.text
+                            for t in c.iter()
+                            if t.tag.rpartition("}")[2] == "t" and t.text
+                        )
+                        if runs:
+                            parts.append(runs)
+                        continue
+                    v = next(
+                        (
+                            el.text
+                            for el in c.iter()
+                            if el.tag.rpartition("}")[2] == "v" and el.text
+                        ),
+                        None,
+                    )
+                    if v is None:
+                        continue
+                    if ctype == "s":
+                        try:
+                            parts.append(shared[int(v)])
+                        except (ValueError, IndexError):
+                            continue
+                    else:  # "str" formula results and plain numeric cells
+                        parts.append(v)
     except (zipfile.BadZipFile, KeyError):
         return ""
-    return "\n".join(parts).strip()
+    return "\n".join(p for p in parts if p).strip()
 
 
-_ODF_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+# OASIS OpenDocument and its StarOffice/OpenOffice-1.x predecessor (.sxw,
+# mimetype application/vnd.sun.xml.*) share the same text model under
+# different namespaces — Tika's OpenDocumentParser handles both.
+_ODF_TEXT_NSES = (
+    "urn:oasis:names:tc:opendocument:xmlns:text:1.0",
+    "http://openoffice.org/2000/text",
+)
+_ODF_TEXT_NS = _ODF_TEXT_NSES[0]
 
 
 def _odf_para_text(el) -> str:
     """Serialize one ODF <text:p>/<text:h> subtree: <text:s text:c=N> is N
-    spaces (default 1), <text:tab> a tab, <text:line-break> a newline; other
-    descendants contribute text + tail in document order (ODF 1.2 §6.1)."""
+    spaces (default 1), <text:tab>/<text:tab-stop> a tab, <text:line-break>
+    a newline; other descendants contribute text + tail in document order
+    (ODF 1.2 §6.1; the sun.xml dialect names the tab element tab-stop)."""
     parts: list[str] = []
 
     def walk(node) -> None:
         local = node.tag.rpartition("}")[2]
         if local == "s":
-            parts.append(" " * int(node.get(f"{{{_ODF_TEXT_NS}}}c", "1") or "1"))
-        elif local == "tab":
+            count = "1"
+            for ns in _ODF_TEXT_NSES:
+                count = node.get(f"{{{ns}}}c") or count
+            parts.append(" " * int(count or "1"))
+        elif local in ("tab", "tab-stop"):
             parts.append("\t")
         elif local == "line-break":
             parts.append("\n")
@@ -626,8 +718,8 @@ def extract_odf_text(data: bytes) -> tuple[str, str]:
         return mime, ""
     paras = []
     for el in root.iter():
-        if el.tag.rpartition("}")[2] in ("p", "h") and el.tag.startswith(
-            f"{{{_ODF_TEXT_NS}}}"
+        if el.tag.rpartition("}")[2] in ("p", "h") and any(
+            el.tag.startswith(f"{{{ns}}}") for ns in _ODF_TEXT_NSES
         ):
             txt = _odf_para_text(el)
             if txt:
@@ -799,7 +891,9 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
             return "application/zip", ""
         # OpenDocument/EPUB packages declare themselves via the mandatory
         # ``mimetype`` entry (first, stored) — check before OOXML markers
-        if odf_mime.startswith("application/vnd.oasis.opendocument"):
+        if odf_mime.startswith(
+            ("application/vnd.oasis.opendocument", "application/vnd.sun.xml")
+        ):
             return extract_odf_text(data)
         if odf_mime == "application/epub+zip":
             return extract_epub_text(data)

@@ -65,9 +65,11 @@ def _xlsx(shared: list[str], inline: list[str]) -> bytes:
         + "".join(f"<si><t>{t}</t></si>" for t in shared)
         + "</sst>"
     )
+    cells = "".join(f'<c t="s"><v>{i}</v></c>' for i in range(len(shared)))
+    cells += "".join(f'<c t="inlineStr"><is><t>{t}</t></is></c>' for t in inline)
     sheet = (
         f'<?xml version="1.0"?><worksheet xmlns="{s}"><sheetData><row>'
-        + "".join(f'<c t="inlineStr"><is><t>{t}</t></is></c>' for t in inline)
+        + cells
         + "</row></sheetData></worksheet>"
     )
     buf = BytesIO()

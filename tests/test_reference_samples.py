@@ -1,0 +1,150 @@
+"""Extraction checks against the reference's REAL sample documents
+(src/plugin/parse-tika/sample, src/plugin/parse-zip/sample — public Apache
+test fixtures). Synthetic fixtures certify exact semantics; these certify
+that files produced by real-world writers (StarOffice, MS Word 97, Acrobat)
+actually parse. Round 8 found three genuine bugs this way:
+
+- /Length regex backtracking truncated streams with MULTI-digit indirect
+  length refs ('/Length 10 0 R' matched as length 1)
+- xlsx extraction read only sharedStrings/<t>, missing t="str" value cells
+  (this sample stores ALL its text that way)
+- consecutive Tj runs were space-joined, splitting words shown as two runs
+  ('A VERY SMALL PDF FIL' + 'E')
+
+Expectations ported from TestPdfParser.java (both PDFs must contain
+'A VERY SMALL PDF FILE' — the encrypted one decrypts with the empty user
+password) and TestOOParser.java (ootest.* non-empty, matches ootest.txt).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SAMPLE = "/root/reference/src/plugin/parse-tika/sample"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SAMPLE), reason="reference samples not mounted"
+)
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(SAMPLE, name), "rb") as fh:
+        return fh.read()
+
+
+def test_pdftest_pdf_reference_expectation():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("pdftest.pdf"))
+    assert mime == "application/pdf"
+    # TestPdfParser.java:34 expectedText
+    assert "A VERY SMALL PDF FILE" in text
+
+
+def test_encrypted_pdf_decrypts_with_empty_user_password():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("encrypted.pdf"))
+    assert mime == "application/pdf"
+    assert "A VERY SMALL PDF FILE" in text  # RC4 /V1 /R3, 40-bit
+
+
+def test_ootest_odt_matches_expected_text():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    expected = _read("ootest.txt").decode("utf-8-sig")
+    mime, text = extract_text(_read("ootest.odt"))
+    assert mime == "application/vnd.oasis.opendocument.text"
+    norm = " ".join(text.split())
+    for phrase in ("Abcedfg", "Lorem ipsum dolor sit amet", "Cell1", "TOTAL"):
+        assert phrase in norm, phrase
+        assert phrase in " ".join(expected.split())
+    assert norm  # TestOOParser.java: non-empty after normalization
+
+
+def test_ootest_sxw_staroffice_namespace():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("ootest.sxw"))
+    assert mime == "application/vnd.sun.xml.writer"
+    norm = " ".join(text.split())
+    for phrase in ("Abcedfg", "Lorem ipsum dolor sit amet", "Cell1"):
+        assert phrase in norm, phrase
+
+
+def test_word97_doc():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("word97.doc"))
+    assert mime == "application/msword"
+    assert text == "This is a sample doc file prepared for nutch."
+
+
+def test_rtf_sample():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("test.rtf"))
+    assert mime == "application/rtf"
+    assert "The quick brown fox jumps over the lazy dog" in text
+
+
+def test_xlsx_value_cells():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("test.xlsx"))
+    assert mime.endswith("spreadsheetml.sheet")
+    # the r8 real-file fix: every cell here is a t="str" <v> value
+    assert text.split("\n") == ["This", "is", "a", "test", "for", "spreadsheets", "xlsx"]
+
+
+def test_recursive_embedded_docx_main_part():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    mime, text = extract_text(_read("test_recursive_embedded.docx"))
+    assert mime.endswith("wordprocessingml.document")
+    # main document part only — embedded-object recursion is Tika's
+    # RecursiveParserWrapper, out of scope (documented limitation)
+    assert "embed_0" in text
+
+
+def test_gif_logo_dimensions():
+    from nutch_spark.datapipe.mediacodec import sniff_image_dimensions
+
+    fmt, w, h = sniff_image_dimensions(_read("nutch_logo_tm.gif"))
+    assert fmt == "gif" and w > 0 and h > 0
+
+
+def test_rss_sample_parses(spark):
+    from nutch_spark.operators.parse_feed import parse_feed
+
+    df = spark.createDataFrame(
+        [("http://r/feed", "fetch_success",
+          _read("rsstest.rss").decode("utf-8", "replace"), "application/rss+xml")],
+        "url string, status string, content string, content_type string",
+    )
+    rows = parse_feed(df).collect()
+    assert rows, "no entries from rsstest.rss"
+    assert any(r["title"] for r in rows)
+
+
+def test_zip_sample_members():
+    from nutch_spark.operators.parse_binary import extract_text
+
+    with open(
+        "/root/reference/src/plugin/parse-zip/sample/test.zip", "rb"
+    ) as fh:
+        mime, text = extract_text(fh.read())
+    assert mime == "application/zip"
+    # ZipTextExtractor emits 'entryname text' per member
+    assert "textfile.txt" in text and "text file number 1" in text
+
+
+def test_nutch_html_title_and_outlinks():
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    doc = parse_html_page(
+        "http://nutch.apache.org/", _read("nutch.html").decode("utf-8", "replace")
+    )
+    assert doc["title"]
+    assert doc["outlinks"], "real page should yield outlinks"
