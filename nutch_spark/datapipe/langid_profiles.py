@@ -154,6 +154,56 @@ SEED_TEXT: dict[str, str] = {
         "この街の歴史は千年以上前にさかのぼります。"
         "それは最良の時代でもあり最悪の時代でもありました。"
     ),
+    # round 8: the four reference test languages (language-identifier
+    # plugin's da/el/fi/sv samples) the profile set was missing
+    "da": (
+        "den hurtige brune ræv springer over den dovne hund. "
+        "dette er en enkel sætning med nogle almindelige danske ord. "
+        "vi skal på markedet i morgen tidlig for at købe brød og mælk. "
+        "der er ikke noget bedre end en god bog en regnfuld eftermiddag. "
+        "vejret er meget godt i dag og børnene leger udenfor. "
+        "jeg vil gerne takke alle for deres hjælp med dette projekt. "
+        "hun sagde at mødet finder sted i næste uge om torsdagen. "
+        "folk glemmer ofte hvor vigtigt det er at drikke nok vand. "
+        "byens historie går mere end tusind år tilbage. "
+        "det var den bedste tid og det var den værste tid."
+    ),
+    "sv": (
+        "den snabba bruna räven hoppar över den lata hunden. "
+        "detta är en enkel mening med några vanliga svenska ord. "
+        "vi ska gå till marknaden i morgon bitti för att köpa bröd och mjölk. "
+        "det finns inget bättre än en bra bok en regnig eftermiddag. "
+        "vädret är mycket fint i dag och barnen leker utomhus. "
+        "jag skulle vilja tacka alla för deras hjälp med detta projekt. "
+        "hon sade att mötet kommer att äga rum nästa vecka på torsdagen. "
+        "människor glömmer ofta hur viktigt det är att dricka tillräckligt med vatten. "
+        "stadens historia går mer än tusen år tillbaka. "
+        "det var den bästa av tider och det var den värsta av tider."
+    ),
+    "fi": (
+        "nopea ruskea kettu hyppää laiskan koiran yli. "
+        "tämä on yksinkertainen lause jossa on joitakin yleisiä suomalaisia sanoja. "
+        "menemme huomenna aamulla torille ostamaan leipää ja maitoa. "
+        "ei ole mitään parempaa kuin hyvä kirja sateisena iltapäivänä. "
+        "sää on tänään erittäin kaunis ja lapset leikkivät ulkona. "
+        "haluaisin kiittää kaikkia heidän avustaan tässä projektissa. "
+        "hän sanoi että kokous pidetään ensi viikolla torstaina. "
+        "ihmiset unohtavat usein kuinka tärkeää on juoda tarpeeksi vettä. "
+        "kaupungin historia ulottuu yli tuhannen vuoden taakse. "
+        "se oli parhainta aikaa ja se oli pahinta aikaa."
+    ),
+    "el": (
+        "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί. "
+        "αυτή είναι μια απλή πρόταση με μερικές συνηθισμένες ελληνικές λέξεις. "
+        "θα πάμε στην αγορά αύριο το πρωί για να αγοράσουμε ψωμί και γάλα. "
+        "δεν υπάρχει τίποτα καλύτερο από ένα καλό βιβλίο ένα βροχερό απόγευμα. "
+        "ο καιρός σήμερα είναι πολύ καλός και τα παιδιά παίζουν έξω. "
+        "θα ήθελα να ευχαριστήσω όλους για τη βοήθειά τους σε αυτό το έργο. "
+        "είπε ότι η συνάντηση θα γίνει την επόμενη εβδομάδα την πέμπτη. "
+        "οι άνθρωποι συχνά ξεχνούν πόσο σημαντικό είναι να πίνουν αρκετό νερό. "
+        "η ιστορία της πόλης πηγαίνει πίσω περισσότερα από χίλια χρόνια. "
+        "ήταν η καλύτερη εποχή και ήταν η χειρότερη εποχή."
+    ),
 }
 
 TOP_N = 400  # trigrams kept per language profile (CT paper keeps ~300)

@@ -49,7 +49,7 @@ def test_profiles_deterministic_and_disjoint():
     p2, m2 = build_profiles.__wrapped__()  # rebuild without the cache
     assert p1 == p2 and m1 == m2
     assert set(p1) == set(SEED_TEXT)
-    assert len(p1) == 10  # 5 testdata labels + it/pt/nl/ru/ja
+    assert len(p1) == 14  # 5 testdata labels + it/pt/nl/ru/ja + r8 da/sv/fi/el
     for lang, prof in p1.items():
         assert 0 < len(prof) <= 400
         assert all(isinstance(v, int) and v < 0 for v in prof.values())

@@ -148,3 +148,28 @@ def test_nutch_html_title_and_outlinks():
     )
     assert doc["title"]
     assert doc["outlinks"], "real page should yield outlinks"
+
+
+def test_language_identifier_samples_all_classified(spark):
+    """TestHTMLLanguageParser's sample corpus (language-identifier plugin,
+    Europarl excerpts in 11 languages): the trained trigram langid must
+    classify every file correctly — round 8 added the da/sv/fi/el profiles
+    the set was missing."""
+    import glob
+
+    from nutch_spark.datapipe.textstats import langid_trained
+
+    d = (
+        "/root/reference/src/plugin/language-identifier/src/test/org/apache/"
+        "nutch/analysis/lang"
+    )
+    files = sorted(glob.glob(d + "/*.test"))
+    assert len(files) == 11
+    rows = [
+        (os.path.basename(f).split(".")[0],
+         open(f, encoding="utf-8", errors="replace").read())
+        for f in files
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in langid_trained(df, key="doc_id").collect()}
+    assert got == {lang: lang for lang, _ in rows}, got
