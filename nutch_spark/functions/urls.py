@@ -720,32 +720,83 @@ def url_valid(url: Column | str) -> Column:
     return c.rlike(pattern) & ~c.rlike(r"\s")
 
 
+def parse_fast_urlfilter_rules(
+    text: str,
+) -> tuple[dict[str, list[tuple[str, str]]], dict[str, list[tuple[str, str]]]]:
+    """(host_rules, domain_rules) from the urlfilter-fast file format
+    (FastURLFilter.java:45-98): ``Host <name>`` / ``Domain <name>`` blocks
+    whose indented ``DenyPath <regex>`` / ``DenyPathQuery <regex>`` lines
+    become ("path"|"pathquery", regex) tuples. ``Domain .`` collects the
+    global rules applied to every URL."""
+    host_rules: dict[str, list[tuple[str, str]]] = {}
+    domain_rules: dict[str, list[tuple[str, str]]] = {}
+    current: list[tuple[str, str]] | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1)
+        kind = parts[0]
+        if kind == "Host" and len(parts) == 2:
+            current = host_rules.setdefault(parts[1].strip().lower(), [])
+        elif kind == "Domain" and len(parts) == 2:
+            current = domain_rules.setdefault(parts[1].strip().lower(), [])
+        elif kind == "DenyPath" and len(parts) == 2 and current is not None:
+            current.append(("path", parts[1].strip()))
+        elif kind == "DenyPathQuery" and len(parts) == 2 and current is not None:
+            current.append(("pathquery", parts[1].strip()))
+    return host_rules, domain_rules
+
+
 def fast_url_filter_predicate(
     url: Column | str,
     *,
-    host_rules: dict[str, list[str]] | None = None,
-    domain_rules: dict[str, list[str]] | None = None,
+    host_rules: dict[str, list] | None = None,
+    domain_rules: dict[str, list] | None = None,
 ) -> Column:
-    """urlfilter-fast (FastURLFilter.java:51-98): per-host and per-domain
-    DenyPath regex rules. Host rules need the exact hostname; domain rules
-    match the host or any subdomain; the first matching rule rejects.
-    Returns TRUE when the URL survives. Literal rule maps compile to a CASE
-    chain — broadcast-lookup behavior, no shuffle; for >100k rules join a
-    broadcast rules DataFrame instead."""
+    """urlfilter-fast (FastURLFilter.java:45-98): per-host and per-domain
+    deny rules. Host rules need the exact hostname; domain rules match the
+    host or any dot-suffix of it, and the ``"."`` domain holds GLOBAL rules
+    applied to every URL — including host-less ones like ``file:/path``
+    (the reference checks those against globals only). ``DenyPath`` rules
+    match the PATH, ``DenyPathQuery`` rules the path + ``?query``; the
+    first matching rule rejects. Rule values are ("path"|"pathquery",
+    regex) tuples from :func:`parse_fast_urlfilter_rules`; bare regex
+    strings are accepted as path-query rules (legacy surface). Returns TRUE
+    when the URL survives. Literal rule maps compile to a CASE chain —
+    broadcast-lookup behavior, no shuffle; for >100k rules join a broadcast
+    rules DataFrame instead."""
     c = F.col(url) if isinstance(url, str) else url
     host = url_host(c)
+    # authority form first; scheme-only URLs (file:/path) fall back so
+    # global rules still see their path (java.net.URL getPath behavior)
     path = F.coalesce(
-        F.regexp_extract(c, r"^[a-zA-Z+.-]+://[^/?#]+([^#]*)", 1), F.lit("/")
+        F.nullif(F.regexp_extract(c, r"^[a-zA-Z+.-]+://[^/?#]+([^?#]*)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(c, r"^[a-zA-Z+.-]+:(/[^?#]*)", 1), F.lit("")),
+        F.lit("/"),
     )
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    pathquery = F.when(query != "", F.concat(path, F.lit("?"), query)).otherwise(path)
+
+    def haystack(rule) -> tuple[str, Column]:
+        kind, rx = rule if isinstance(rule, tuple) else ("pathquery", rule)
+        return rx, (path if kind == "path" else pathquery)
+
     rejected = F.lit(False)
-    for h, patterns in (host_rules or {}).items():
-        for rx in patterns:
-            rejected = rejected | ((host == h.lower()) & path.rlike(rx))
-    for d, patterns in (domain_rules or {}).items():
+    for h, rules in (host_rules or {}).items():
+        for rule in rules:
+            rx, hay = haystack(rule)
+            rejected = rejected | ((host == h.lower()) & hay.rlike(rx))
+    for d, rules in (domain_rules or {}).items():
         dom = d.lower()
-        in_domain = (host == dom) | host.endswith("." + dom)
-        for rx in patterns:
-            rejected = rejected | (in_domain & path.rlike(rx))
+        in_domain = (
+            F.lit(True)
+            if dom == "."
+            else (host == dom) | host.endswith("." + dom)
+        )
+        for rule in rules:
+            rx, hay = haystack(rule)
+            rejected = rejected | (in_domain & hay.rlike(rx))
     return ~rejected
 
 
@@ -818,3 +869,42 @@ def regex_rules_predicate(
     if pred is None:
         return F.lit(False)  # no rules: everything rejected (base contract)
     return pred.otherwise(F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# urlnormalizer-regex: user-supplied ordered substitution rules from the
+# regex-normalize.xml format (RegexURLNormalizer.java — the plugin in the
+# reference's DEFAULT normalizer chain; per-scope rule files supported by
+# handing this function the right file's rules).
+# ---------------------------------------------------------------------------
+
+
+def parse_regex_normalize_rules(xml: str | bytes) -> list[tuple[str, str]]:
+    """(pattern, substitution) pairs from a ``regex-normalize.xml`` file, in
+    file order (order is semantic — RegexURLNormalizer.java applies each
+    rule's ``replaceAll`` sequentially). Java regex syntax passes through
+    untouched: Spark's ``regexp_replace`` runs the SAME java.util.regex
+    engine, so ``(?i)``, ``\\b`` and ``$N`` group substitutions behave
+    identically to the reference."""
+    from xml.etree import ElementTree
+
+    root = ElementTree.fromstring(xml)
+    rules: list[tuple[str, str]] = []
+    for rx in root.iter("regex"):
+        pattern = rx.findtext("pattern")
+        substitution = rx.findtext("substitution")
+        if pattern is not None:
+            rules.append((pattern, substitution or ""))
+    return rules
+
+
+def regex_normalize(
+    url: Column | str, rules: list[tuple[str, str]]
+) -> Column:
+    """Apply an ordered regex-normalize rule chain as chained JVM
+    ``regexp_replace`` expressions — whole-stage codegen, no UDF; at scale
+    this is a pure map over the scan like every other normalizer."""
+    c = F.col(url) if isinstance(url, str) else url
+    for pattern, substitution in rules:
+        c = F.regexp_replace(c, pattern, substitution)
+    return c

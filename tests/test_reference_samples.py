@@ -173,3 +173,90 @@ def test_language_identifier_samples_all_classified(spark):
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = {r["doc_id"]: r["lang_pred"] for r in langid_trained(df, key="doc_id").collect()}
     assert got == {lang: lang for lang, _ in rows}, got
+
+
+def _pm_vectors(path: str) -> list[tuple[str, bool]]:
+    out = []
+    for line in open(path):
+        line = line.strip()
+        if line and not line.startswith("#"):
+            out.append((line[1:], line[0] == "+"))
+    return out
+
+
+@pytest.mark.parametrize("ruleset", ["WholeWebCrawling", "IntranetCrawling", "Benchmarks"])
+@pytest.mark.parametrize("plugin,dialect", [("urlfilter-regex", "java"),
+                                            ("urlfilter-automaton", "automaton")])
+def test_urlfilter_sample_rules(spark, plugin, dialect, ruleset):
+    """The reference's OWN rule/url sample pairs (TestRegexURLFilter /
+    TestAutomatonURLFilter drive exactly these files): every URL's +/-
+    verdict must match under first-match-wins chain semantics."""
+    from nutch_spark.functions.urls import regex_rules_predicate
+
+    base = f"/root/reference/src/plugin/{plugin}/sample/{ruleset}"
+    rules = open(base + ".rules").read()
+    vecs = _pm_vectors(base + ".urls")
+    assert vecs
+    df = spark.createDataFrame(vecs, "url string, expected boolean")
+    bad = df.select(
+        "url", "expected",
+        regex_rules_predicate("url", rules, dialect=dialect).alias("ok"),
+    ).filter("ok != expected").collect()
+    assert not bad, [(r["url"], r["ok"]) for r in bad]
+
+
+def test_fast_urlfilter_sample_rules(spark):
+    """urlfilter-fast's own rules + 21 test URLs: Host/Domain blocks,
+    DenyPath vs DenyPathQuery, the 'Domain .' global rule and host-less
+    file: URLs (round 8 upgraded the predicate to the full semantics)."""
+    from nutch_spark.functions.urls import (
+        fast_url_filter_predicate,
+        parse_fast_urlfilter_rules,
+    )
+
+    S = "/root/reference/src/plugin/urlfilter-fast/sample/"
+    host_rules, domain_rules = parse_fast_urlfilter_rules(
+        open(S + "fast-urlfilter-test.txt").read()
+    )
+    assert host_rules["www.example.org"][0] == ("path", "^/path/to/be/excluded")
+    assert domain_rules["example.org"][0][0] == "pathquery"
+    assert "." in domain_rules  # the global loop-breaker rule
+    vecs = _pm_vectors(S + "test.urls")
+    assert len(vecs) == 21
+    df = spark.createDataFrame(vecs, "url string, expected boolean")
+    bad = df.select(
+        "url", "expected",
+        fast_url_filter_predicate(
+            "url", host_rules=host_rules, domain_rules=domain_rules
+        ).alias("ok"),
+    ).filter("ok != expected").collect()
+    assert not bad, [(r["url"], r["ok"]) for r in bad]
+
+
+@pytest.mark.parametrize("scope", ["default", "scope1"])
+def test_regex_normalizer_sample_rules(spark, scope):
+    """urlnormalizer-regex's own xml rules + .test vectors (71 in total):
+    the chained regexp_replace runs the SAME java.util.regex engine as the
+    reference, so session-id stripping, default-page collapse and the
+    scope1 host-crunch rule must reproduce byte-for-byte."""
+    from nutch_spark.functions.urls import (
+        parse_regex_normalize_rules,
+        regex_normalize,
+    )
+
+    S = "/root/reference/src/plugin/urlnormalizer-regex/sample/"
+    rules = parse_regex_normalize_rules(
+        open(S + f"regex-normalize-{scope}.xml").read()
+    )
+    assert rules
+    vecs = []
+    for line in open(S + f"regex-normalize-{scope}.test"):
+        line = line.strip()
+        if line and not line.startswith("#"):
+            src, expected = line.split()
+            vecs.append((src, expected))
+    df = spark.createDataFrame(vecs, "url string, expected string")
+    bad = df.select(
+        "url", "expected", regex_normalize("url", rules).alias("got")
+    ).filter("got != expected").collect()
+    assert not bad, [(r["url"], r["got"], r["expected"]) for r in bad]
