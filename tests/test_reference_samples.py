@@ -260,3 +260,70 @@ def test_regex_normalizer_sample_rules(spark, scope):
         "url", "expected", regex_normalize("url", rules).alias("got")
     ).filter("got != expected").collect()
     assert not bad, [(r["url"], r["got"], r["expected"]) for r in bad]
+
+
+def test_fetch_test_site_end_to_end(spark):
+    """TestFetcher.java:85-180 ported over the REAL fetch-test-site pages:
+    inject → generate → polite HTTP fetch of all six documents from an
+    in-process server, then verify every page arrived with the reference's
+    marker text and that the per-host delay actually shaped the wall time
+    (the reference asserts time > (n+1) * fetcher.server.delay)."""
+    import functools
+    import threading
+    import time as _time
+    from functools import partial
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.fetcher import fetch, http_fetch_fn
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.schemas import CRAWLDB
+
+    site = "/root/reference/src/testresources/fetch-test-site"
+    handler = functools.partial(SimpleHTTPRequestHandler, directory=site)
+    handler.log_message = lambda *a: None
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        pages = [
+            "index.html", "pagea.html", "pageb.html", "dup_of_pagea.html",
+            "nested_spider_trap.html", "exception.html",
+        ]
+        seeds = spark.createDataFrame(
+            [(f"{base}/{p}", {}) for p in pages],
+            "url string, metadata map<string,string>",
+        )
+        crawldb = spark.createDataFrame([], CRAWLDB)
+        db = inject(crawldb, seeds)
+        fetchlist = generate(db, top_n=100, num_lists=1)
+        assert fetchlist.count() == len(pages)
+        # warm the worker pool; then the timed fetch with a real delay
+        fetch(fetchlist.select("url"), num_lists=1).count()
+        delay = 0.25
+        t0 = _time.monotonic()
+        log = fetch(
+            fetchlist.select("url"),
+            fetch_fn=partial(http_fetch_fn, timeout_s=5.0),
+            crawl_delay_s=delay,
+            num_lists=1,
+        ).localCheckpoint(eager=True)
+        elapsed = _time.monotonic() - t0
+        rows = log.collect()
+        assert len(rows) == len(pages)
+        handled = sorted(
+            r["url"].rsplit("/", 1)[1]
+            for r in rows
+            if r["content"] and "Nutch fetcher test page" in r["content"]
+        )
+        assert handled == sorted(pages)
+        assert all(r["status"] == "fetch_success" for r in rows)
+        # politeness: one host, n pages → at least (n-1) delay gaps
+        assert elapsed >= (len(pages) - 1) * delay, elapsed
+        # the robots.txt of the site is fetchable too (used by robots tests)
+        out = http_fetch_fn(f"{base}/robots.txt")
+        assert out["status"] == "fetch_success"
+    finally:
+        srv.shutdown()
