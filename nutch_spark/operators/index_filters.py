@@ -442,3 +442,29 @@ def cc_license_fields(content: Column | str) -> list[Column]:
         .when(F.size(cc_anchors) > 0, "a")
     )
     return [url.alias("license_url"), location.alias("license_location")]
+
+
+def mimetype_filter_predicate(mime, rules_text: str):
+    """mimetype-filter (MimeTypeIndexingFilter.java): the rules file's first
+    ``+``/``-`` line sets the default (``+`` accept-unless-listed, ``-``
+    deny-unless-listed); the remaining lines are mime-type PREFIXES matched
+    the way the reference's TrieStringMatcher does (``image`` matches
+    ``image/png``). Returns TRUE when the document stays in the index.
+    Pure startswith chain — codegen, no UDF."""
+    c = F.col(mime) if isinstance(mime, str) else mime
+    accept_default = True
+    prefixes: list[str] = []
+    for raw in rules_text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line == "+":
+            accept_default = True
+        elif line == "-":
+            accept_default = False
+        else:
+            prefixes.append(line)
+    listed = F.lit(False)
+    for p in prefixes:
+        listed = listed | F.lower(c).startswith(p.lower())
+    return ~listed if accept_default else listed

@@ -327,3 +327,23 @@ def test_fetch_test_site_end_to_end(spark):
         assert out["status"] == "fetch_success"
     finally:
         srv.shutdown()
+
+
+def test_mimetype_filter_sample_configs(spark):
+    """mimetype-filter's own config files: allow-images.txt ('-' deny-all
+    then allow the image prefix), block-html.txt ('+' accept-all then block
+    text/html)."""
+    from nutch_spark.operators.index_filters import mimetype_filter_predicate
+
+    S = "/root/reference/src/plugin/mimetype-filter/sample/"
+    df = spark.createDataFrame(
+        [("image/png",), ("image/jpeg",), ("text/html",), ("application/pdf",)],
+        "mime string",
+    )
+
+    def kept(rules_file):
+        pred = mimetype_filter_predicate("mime", open(S + rules_file).read())
+        return {r["mime"] for r in df.filter(pred).collect()}
+
+    assert kept("allow-images.txt") == {"image/png", "image/jpeg"}
+    assert kept("block-html.txt") == {"image/png", "image/jpeg", "application/pdf"}
