@@ -468,3 +468,88 @@ def mimetype_filter_predicate(mime, rules_text: str):
     for p in prefixes:
         listed = listed | F.lower(c).startswith(p.lower())
     return ~listed if accept_default else listed
+
+
+def parse_replace_rules(
+    property_text: str,
+) -> list[tuple[str, str, list[tuple[str, str, str, str]]]]:
+    """The ``index.replace.regexp`` property format (ReplaceIndexer.java):
+    lines of ``field[:target]=/pattern/replacement/[flags]``, optionally
+    scoped by preceding ``hostmatch=<regex>`` / ``urlmatch=<regex>`` lines.
+    Returns ordered groups ``(scope_kind, scope_regex, rules)`` where
+    scope_kind is ``"global"``/``"host"``/``"url"`` and each rule is
+    ``(field, target, pattern, replacement)``. Java Pattern flag integers
+    map to inline flags (2→(?i), 8→(?m), 32→(?s)). Invalid lines are
+    SKIPPED silently, exactly like the reference (TestIndexReplace.
+    testInvalidPatterns: a broken pattern must not fail the filter or
+    touch its field)."""
+    import re as _re
+
+    groups: list[tuple[str, str, list]] = []
+    current = ("global", "", [])
+    groups.append(current)
+    for raw in property_text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("hostmatch="):
+            current = ("host", line.split("=", 1)[1].strip(), [])
+            groups.append(current)
+            continue
+        if line.startswith("urlmatch="):
+            current = ("url", line.split("=", 1)[1].strip(), [])
+            groups.append(current)
+            continue
+        m = _re.match(r"^([\w.]+)(?::([\w.]+))?=/(.+)/(.*)/(\d*)$", line)
+        if not m:
+            continue  # incomplete property — skipped like the reference
+        field, target, pattern, replacement, flags = m.groups()
+        try:
+            _re.compile(pattern)
+        except _re.error:
+            continue  # invalid pattern — skipped
+        if flags:
+            inline = "".join(
+                ch
+                for bit, ch in ((2, "i"), (8, "m"), (32, "s"))
+                if int(flags) & bit
+            )
+            if inline:
+                pattern = f"(?{inline}){pattern}"
+        current[2].append((field, target or field, pattern, replacement))
+    return [g for g in groups if g[2]]
+
+
+def replace_fields_scoped(
+    doc: DataFrame,
+    groups: list[tuple[str, str, list[tuple[str, str, str, str]]]],
+    *,
+    url: str = "url",
+) -> DataFrame:
+    """Apply :func:`parse_replace_rules` groups in order: global groups
+    rewrite every row; host/url-scoped groups rewrite only rows whose
+    host/url matches the scope regex (ReplaceIndexer's hostmatch/urlmatch
+    sections). Conditional regexp_replace chain — map-only, codegen."""
+    from nutch_spark.functions.urls import url_host
+
+    def col(name: str):  # dotted field names (metatag.author) need backticks
+        return F.col(f"`{name}`") if "." in name else F.col(name)
+
+    out = doc
+    for scope_kind, scope_rx, rules in groups:
+        if scope_kind == "host":
+            cond = url_host(F.col(url)).rlike(scope_rx)
+        elif scope_kind == "url":
+            cond = F.col(url).rlike(scope_rx)
+        else:
+            cond = F.lit(True)
+        for field, target, pattern, replacement in rules:
+            if field not in out.columns:
+                continue
+            base = col(target) if target in out.columns else col(field)
+            out = out.withColumn(
+                target,
+                F.when(cond, F.regexp_replace(col(field), pattern, replacement))
+                .otherwise(base),
+            )
+    return out

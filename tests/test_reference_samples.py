@@ -347,3 +347,85 @@ def test_mimetype_filter_sample_configs(spark):
 
     assert kept("allow-images.txt") == {"image/png", "image/jpeg"}
     assert kept("block-html.txt") == {"image/png", "image/jpeg", "application/pdf"}
+
+
+def _index_replace_doc(spark):
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    html = open(
+        "/root/reference/src/plugin/index-replace/sample/testIndexReplace.html"
+    ).read()
+    doc = parse_html_page("http://www.example.com/testIndexReplace.html", html)
+    return spark.createDataFrame(
+        [(
+            "http://www.example.com/testIndexReplace.html",
+            doc["meta"]["metatag.description"],
+            doc["meta"]["metatag.keywords"],
+            doc["meta"]["metatag.author"],
+        )],
+        "url string, `metatag.description` string, `metatag.keywords` string, "
+        "`metatag.author` string",
+    )
+
+
+def test_index_replace_global(spark):
+    """TestIndexReplace.testGlobalReplacement over the plugin's own sample
+    page: the exact three property rules and expected field values."""
+    from nutch_spark.operators.index_filters import (
+        parse_replace_rules,
+        replace_fields_scoped,
+    )
+
+    prop = (
+        "  metatag.description=/this(.*)plugin/this awesome plugin/\n"
+        "  metatag.keywords=/\\,/\\!/\n"
+        "  metatag.author=/\\s+/ D. /\n"
+    )
+    out = replace_fields_scoped(
+        _index_replace_doc(spark), parse_replace_rules(prop)
+    ).collect()[0]
+    assert out["metatag.description"] == (
+        "With this awesome plugin, I control the description! Bwuhuhuhaha!"
+    )
+    assert out["metatag.keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    assert out["metatag.author"] == "Peter D. Ciuffetti"
+
+
+def test_index_replace_invalid_patterns_ignored(spark):
+    """TestIndexReplace.testInvalidPatterns: a broken pattern, bad flags and
+    an incomplete property must be skipped without touching the fields."""
+    from nutch_spark.operators.index_filters import (
+        parse_replace_rules,
+        replace_fields_scoped,
+    )
+
+    prop = (
+        "  metatag.description=/this\\s+**plugin/this awesome plugin/\n"
+        "  metatag.keywords=/\\,/\\!/what\n"
+        " metatag.author=#notcomplete"
+    )
+    groups = parse_replace_rules(prop)
+    assert groups == []  # every line invalid
+    out = replace_fields_scoped(_index_replace_doc(spark), groups).collect()[0]
+    assert out["metatag.description"] == (
+        "With this plugin, I control the description! Bwuhuhuhaha!"
+    )
+    assert out["metatag.keywords"] == "Breathtaking, Riveting, Two Thumbs Up!"
+    assert out["metatag.author"] == "Peter Ciuffetti"
+
+
+def test_index_replace_host_scoping(spark):
+    """ReplaceIndexer hostmatch sections: rules under a non-matching host
+    scope leave the doc alone; a matching scope rewrites."""
+    from nutch_spark.operators.index_filters import (
+        parse_replace_rules,
+        replace_fields_scoped,
+    )
+
+    prop_miss = "hostmatch=other\\.example\\.org\nmetatag.author=/Peter/Paul/\n"
+    prop_hit = "hostmatch=.*\\.example\\.com\nmetatag.author=/Peter/Paul/\n"
+    doc = _index_replace_doc(spark)
+    miss = replace_fields_scoped(doc, parse_replace_rules(prop_miss)).collect()[0]
+    assert miss["metatag.author"] == "Peter Ciuffetti"
+    hit = replace_fields_scoped(doc, parse_replace_rules(prop_hit)).collect()[0]
+    assert hit["metatag.author"] == "Paul Ciuffetti"
