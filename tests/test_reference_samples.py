@@ -429,3 +429,43 @@ def test_index_replace_host_scoping(spark):
     assert miss["metatag.author"] == "Peter Ciuffetti"
     hit = replace_fields_scoped(doc, parse_replace_rules(prop_hit)).collect()[0]
     assert hit["metatag.author"] == "Paul Ciuffetti"
+
+
+def test_shipped_default_rule_templates_load_and_run(spark):
+    """The reference's SHIPPED conf templates — what an operator actually
+    deploys — must load through our rule engines and behave: the default
+    regex-normalize chain strips a session id, the default regex-urlfilter
+    chain rejects media/query URLs and accepts plain pages."""
+    from nutch_spark.functions.urls import (
+        parse_regex_normalize_rules,
+        regex_normalize,
+        regex_rules_predicate,
+    )
+
+    conf = "/root/reference/conf/"
+    rules = parse_regex_normalize_rules(
+        open(conf + "regex-normalize.xml.template").read()
+    )
+    assert len(rules) >= 5
+    filt = open(conf + "regex-urlfilter.txt.template").read()
+    df = spark.createDataFrame(
+        [
+            # the default chain REJECTS query URLs outright (-[?*!@=]);
+            # the normalizer still strips the session id upstream of it
+            ("http://foo.com/a.php?PHPSESSID=deadbeef&x=1", False, False),
+            ("http://foo.com/pic.PNG", False, True),
+            ("ftp://foo.com/file.txt", False, True),
+            ("http://foo.com/page.html", True, True),
+        ],
+        "url string, keep boolean, normalized_same boolean",
+    )
+    rows = df.select(
+        "url", "keep", "normalized_same",
+        regex_rules_predicate("url", filt).alias("ok"),
+        regex_normalize("url", rules).alias("norm"),
+    ).collect()
+    for r in rows:
+        assert r["ok"] == r["keep"], r["url"]
+        assert (r["norm"] == r["url"]) == r["normalized_same"], (r["url"], r["norm"])
+    sess = next(r for r in rows if "PHPSESSID" in r["url"])
+    assert sess["norm"] == "http://foo.com/a.php?x=1"
