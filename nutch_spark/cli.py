@@ -1546,3 +1546,70 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def parse_host_protocol_mapping(text: str) -> tuple[dict[str, str], dict[str, str]]:
+    """host-protocol-mapping.txt (ProtocolFactory.java:55-91): tab-separated
+    ``host<TAB>implementation`` lines, with ``protocol:<scheme>`` keys
+    setting the per-scheme default implementation. Returns
+    (host_or_domain -> impl, scheme -> impl)."""
+    hosts: dict[str, str] = {}
+    defaults: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1) if "\t" not in line else line.split("\t", 1)
+        if len(parts) != 2:
+            continue
+        key, impl = parts[0].strip(), parts[1].strip()
+        if key.startswith("protocol:"):
+            defaults[key.split(":", 1)[1].lower()] = impl
+        else:
+            hosts[key.lower()] = impl
+    return hosts, defaults
+
+
+def host_dispatch_fetch_fn(
+    mapping_text: str,
+    *,
+    implementations: dict[str, "object"] | None = None,
+):
+    """Per-host protocol-implementation dispatch (ProtocolFactory.java:
+    getProtocol): exact host first, then the registrable domain, then the
+    ``protocol:<scheme>`` default, then plain scheme dispatch
+    (auto_fetch_fn). ``implementations`` maps the file's implementation ids
+    to fetch functions; the reference's own class names resolve to our
+    protocol layers by default (http/okhttp/httpclient → the stdlib HTTP
+    fetcher; file/ftp → their fetchers)."""
+    from nutch_spark.functions.textutil import reverse_url  # noqa: F401 (doc aid)
+    from nutch_spark.operators import fetcher as _f
+
+    impls = {
+        "org.apache.nutch.protocol.http.Http": _f.http_fetch_fn,
+        "org.apache.nutch.protocol.okhttp.OkHttp": _f.http_fetch_fn,
+        "org.apache.nutch.protocol.httpclient.Http": _f.http_fetch_fn,
+        "org.apache.nutch.protocol.file.File": _f.file_fetch_fn,
+        "org.apache.nutch.protocol.ftp.Ftp": _f.ftp_fetch_fn,
+        **(implementations or {}),
+    }
+    hosts, defaults = parse_host_protocol_mapping(mapping_text)
+
+    def dispatch(url: str):
+        import urllib.parse
+
+        from nutch_spark.functions.urls import registrable_domain_py
+
+        sp = urllib.parse.urlsplit(url)
+        host = (sp.hostname or "").lower()
+        impl_id = hosts.get(host)
+        if impl_id is None and host:
+            impl_id = hosts.get(registrable_domain_py(host))
+        if impl_id is None:
+            impl_id = defaults.get(sp.scheme.lower())
+        fn = impls.get(impl_id) if impl_id else None
+        if fn is None:
+            return auto_fetch_fn(url)
+        return fn(url)
+
+    return dispatch

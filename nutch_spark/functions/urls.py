@@ -908,3 +908,31 @@ def regex_normalize(
     for pattern, substitution in rules:
         c = F.regexp_replace(c, pattern, substitution)
     return c
+
+
+def registrable_domain_py(host: str) -> str:
+    """Scalar twin of the PSL eTLD+1 resolution (same ICANN rule sets the
+    Column chain compiles): exception rules first, then the longest normal/
+    wildcard suffix; a host with no matching suffix (or that IS one)
+    returns unchanged — URLUtil.getDomainName semantics for driver-side
+    callers (e.g. the per-host protocol dispatch)."""
+    host = (host or "").lower().rstrip(".")
+    if not host or host.replace(".", "").isdigit():
+        return host
+    labels = host.split(".")
+    n = len(labels)
+
+    def last(k: int) -> str:
+        return ".".join(labels[n - k :])
+
+    for k in sorted(_PSL_EXC, reverse=True):
+        if n >= k and last(k) in _PSL_EXC[k]:
+            suffix_len = k - 1
+            return last(suffix_len + 1) if n > suffix_len else host
+    for k in range(_PSL_MAX_LABELS, 0, -1):
+        hit = (k in _PSL_NORMAL and n >= k and last(k) in _PSL_NORMAL[k]) or (
+            (k - 1) in _PSL_WILD and n >= k and last(k - 1) in _PSL_WILD[k - 1]
+        )
+        if hit:
+            return last(k + 1) if n > k else host
+    return host

@@ -469,3 +469,62 @@ def test_shipped_default_rule_templates_load_and_run(spark):
         assert (r["norm"] == r["url"]) == r["normalized_same"], (r["url"], r["norm"])
     sess = next(r for r in rows if "PHPSESSID" in r["url"])
     assert sess["norm"] == "http://foo.com/a.php?x=1"
+
+
+def test_host_protocol_mapping_dispatch(spark):
+    """ProtocolFactory.java host-protocol-mapping resolution order over the
+    reference's own mapping file: exact host, then registrable domain, then
+    the protocol:<scheme> default, then plain scheme dispatch."""
+    from nutch_spark.cli import host_dispatch_fetch_fn, parse_host_protocol_mapping
+
+    text = open("/root/reference/src/test/host-protocol-mapping.txt").read()
+    hosts, defaults = parse_host_protocol_mapping(text)
+    assert hosts["nutch.apache.org"].endswith("protocol.http.Http")
+    assert defaults["https"].endswith("okhttp.OkHttp")
+
+    calls = []
+
+    def fake(tag):
+        def fn(url):
+            calls.append((tag, url))
+            return {"status": "fetch_success", "content": tag}
+        return fn
+
+    dispatch = host_dispatch_fetch_fn(
+        text,
+        implementations={
+            "org.apache.nutch.protocol.http.Http": fake("http-plugin"),
+            "org.apache.nutch.protocol.okhttp.OkHttp": fake("okhttp"),
+            "org.apache.nutch.protocol.httpclient.Http": fake("httpclient"),
+            "org.apache.nutch.protocol.selenium.Http": fake("selenium"),
+        },
+    )
+    # exact host match
+    assert dispatch("https://nutch.apache.org/x")["content"] == "http-plugin"
+    # domain-level match: www.tika.apache.org is not listed, tika.apache.org
+    # is a host entry — NOT the registrable domain (apache.org), so the walk
+    # falls through to the scheme default
+    assert dispatch("https://www.other.example.com/")["content"] == "okhttp"
+    # registrable-domain match: selenium.dev entry catches www.selenium.dev
+    assert dispatch("http://www.selenium.dev/docs")["content"] == "selenium"
+    # scheme default for http is the http plugin
+    assert dispatch("http://unlisted.example.net/")["content"] == "http-plugin"
+
+
+def test_registrable_domain_scalar_matches_column(spark):
+    """The driver-side PSL twin must agree with the codegen Column chain."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import registrable_domain_py, url_domain
+
+    hosts = [
+        "www.nutch.apache.org", "nutch.apache.org", "a.b.example.co.uk",
+        "example.com", "www.example.com", "square.github.io", "localhost",
+        "www.bbc.co.uk", "sub.domain.kawasaki.jp", "city.kawasaki.jp",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host", url_domain(F.concat(F.lit("http://"), F.col("host"), F.lit("/"))).alias("d")
+    )
+    col_result = {r["host"]: r["d"] for r in df.collect()}
+    for h in hosts:
+        assert registrable_domain_py(h) == col_result[h], h
