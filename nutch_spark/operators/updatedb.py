@@ -118,6 +118,59 @@ def default_schedule(fetch_time: Column, interval: Column) -> tuple[Column, Colu
     return fetch_time + F.make_interval(secs=interval.cast("double")), interval
 
 
+def parse_host_specific_intervals(
+    text: str, default_min: float, default_max: float
+) -> dict[str, tuple[float, float]]:
+    """adaptive-host-specific-intervals.txt (AdaptiveFetchSchedule.java:
+    133-240): ``host min max`` triplets where ``default``/``0`` means "use
+    the default bound". The reference's full validation matrix is mirrored:
+    malformed lines, non-numeric values, both-default lines, negative
+    intervals, min > max, and bounds outside [default_min, default_max] are
+    all SKIPPED (logged-and-ignored in the reference)."""
+    out: dict[str, tuple[float, float]] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 3:
+            continue
+        host = parts[0].lower()
+        try:
+            m = 0.0 if parts[1].lower() == "default" else float(parts[1])
+            big = 0.0 if parts[2].lower() == "default" else float(parts[2])
+        except ValueError:
+            continue
+        if m == 0 and big == 0:
+            continue
+        if m == 0:
+            m = default_min
+        elif big == 0:
+            big = default_max
+        if m < 0 or big < 0 or m > big or m < default_min or big > default_max:
+            continue
+        out[host] = (m, big)
+    return out
+
+
+def host_specific_bounds(
+    url: Column, host_intervals: dict[str, tuple[float, float]], *, cfg: NutchConfig = DEFAULT
+) -> tuple[Column, Column]:
+    """(min_interval, max_interval) columns per URL host — listed hosts get
+    their custom clamp bounds, everything else the defaults
+    (AdaptiveFetchSchedule.getMinInterval/getMaxInterval by hostname).
+    Literal CASE chain, codegen, no shuffle."""
+    from nutch_spark.functions.urls import url_host
+
+    host = url_host(url)
+    lo: Column = F.lit(float(cfg.adaptive_min_interval))
+    hi: Column = F.lit(float(cfg.adaptive_max_interval))
+    for h, (m, big) in sorted(host_intervals.items()):
+        lo = F.when(host == h, F.lit(float(m))).otherwise(lo)
+        hi = F.when(host == h, F.lit(float(big))).otherwise(hi)
+    return lo, hi
+
+
 def adaptive_interval(
     interval: Column,
     modified: Column,
@@ -127,6 +180,8 @@ def adaptive_interval(
     dec_rate: Column | None = None,
     clamp: bool = True,
     notmodified: Column | None = None,
+    min_interval: Column | None = None,
+    max_interval: Column | None = None,
 ) -> Column:
     """AdaptiveFetchSchedule interval update (AdaptiveFetchSchedule.java:303-370):
     shrink on change, grow when unchanged, clamp to [min,max].
@@ -139,7 +194,10 @@ def adaptive_interval(
     ``inc_rate``/``dec_rate`` may be column expressions — the
     MimeAdaptiveFetchSchedule (MimeAdaptiveFetchSchedule.java:103-126) picks
     per-MIME rates this way. ``clamp=False`` defers the bound check for the
-    sync-delta path, which clamps AFTER the delta adjustment (:340-363)."""
+    sync-delta path, which clamps AFTER the delta adjustment (:340-363).
+    ``min_interval``/``max_interval`` override the clamp bounds per row —
+    :func:`host_specific_bounds` builds them from
+    adaptive-host-specific-intervals.txt."""
     inc = inc_rate if inc_rate is not None else F.lit(float(cfg.adaptive_inc_rate))
     dec = dec_rate if dec_rate is not None else F.lit(float(cfg.adaptive_dec_rate))
     # legacy two-state callers: NULL modified must still GROW (the old
@@ -156,10 +214,9 @@ def adaptive_interval(
     )
     if not clamp:
         return new_iv
-    return F.least(
-        F.greatest(new_iv, F.lit(float(cfg.adaptive_min_interval))),
-        F.lit(float(cfg.adaptive_max_interval)),
-    ).cast("int")
+    lo = min_interval if min_interval is not None else F.lit(float(cfg.adaptive_min_interval))
+    hi = max_interval if max_interval is not None else F.lit(float(cfg.adaptive_max_interval))
+    return F.least(F.greatest(new_iv, lo), hi).cast("int")
 
 
 def mime_adaptive_rates(

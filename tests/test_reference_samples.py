@@ -528,3 +528,61 @@ def test_registrable_domain_scalar_matches_column(spark):
     col_result = {r["host"]: r["d"] for r in df.collect()}
     for h in hosts:
         assert registrable_domain_py(h) == col_result[h], h
+
+
+def test_host_specific_adaptive_intervals(spark):
+    """AdaptiveFetchSchedule.setHostSpecificIntervals over the shipped
+    template file + the validation matrix, and the per-host clamp bounds
+    flowing into adaptive_interval."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.updatedb import (
+        adaptive_interval,
+        host_specific_bounds,
+        parse_host_specific_intervals,
+    )
+
+    text = open(
+        "/root/reference/conf/adaptive-host-specific-intervals.txt.template"
+    ).read()
+    got = parse_host_specific_intervals(text, 60.0, 31_536_000.0)
+    assert got == {
+        "www.example.com": (60.0, 1728000.0),
+        "www.apache.org": (1296000.0, 31_536_000.0),
+        "nutch.apache.org": (864000.0, 2160000.0),
+    }
+    # validation matrix: each bad line must be skipped
+    bad = "\n".join([
+        "onlytwo.example.com 100",            # wrong arity
+        "nan.example.com abc 100",            # non-numeric
+        "alldef.example.com default 0",       # both default
+        "neg.example.com -5 100",             # negative
+        "inv.example.com 500 100",            # min > max
+        "low.example.com 1 100",              # min below default_min
+        "high.example.com 100 99999999999",   # max above default_max
+        "ok.example.com 120 600",
+    ])
+    assert parse_host_specific_intervals(bad, 60.0, 1000.0) == {
+        "ok.example.com": (120.0, 600.0)
+    }
+    # the bounds clamp per host: nutch.apache.org's min is 864000 so a
+    # small interval clamps UP there but not elsewhere
+    cfg = NutchConfig()
+    df = spark.createDataFrame(
+        [("https://nutch.apache.org/a", 1000.0), ("https://other.org/b", 1000.0)],
+        "url string, interval double",
+    )
+    lo, hi = host_specific_bounds(F.col("url"), got, cfg=cfg)
+    out = {
+        r["url"]: r["iv"]
+        for r in df.select(
+            "url",
+            adaptive_interval(
+                F.col("interval"), F.lit(False), cfg=cfg,
+                min_interval=lo, max_interval=hi,
+            ).alias("iv"),
+        ).collect()
+    }
+    assert out["https://nutch.apache.org/a"] == 864000
+    assert out["https://other.org/b"] == 1400  # 1000 * (1 + 0.4 inc_rate)
