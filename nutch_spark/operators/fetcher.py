@@ -150,11 +150,34 @@ def _digest_auth_header(
     return "Digest " + ", ".join(parts)
 
 
+def parse_host_cookies(text: str) -> dict[str, str]:
+    """cookies.txt (HttpBase.java:299-325, http.agent.host.cookie.file):
+    ``host<TAB>cookie-header-value`` lines, '#' lines skipped, malformed
+    lines ignored. The values are RAW Cookie header strings — pass the
+    result as ``http_fetch_fn(cookies=...)`` (string jars are sent
+    verbatim)."""
+    out: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or "#" in line:
+            continue
+        parts = line.split("\t")
+        if len(parts) == 2:
+            out[parts[0]] = parts[1]
+    return out
+
+
+def parse_agent_names(text: str) -> list[str]:
+    """agents.txt (HttpBase.java:259-283, http.agent.rotate.file): one user
+    agent per line; an empty list disables rotation like the reference."""
+    return [ln.strip() for ln in text.splitlines() if ln.strip()]
+
+
 def http_fetch_fn(
     url: str,
     *,
     timeout_s: float = 10.0,
-    user_agent: str = "nutch-spark/1.0",
+    user_agent: str | list[str] | tuple[str, ...] = "nutch-spark/1.0",
     max_bytes: int = 1 << 20,
     auth: dict[str, tuple[str, str]] | None = None,
     cookies: dict[str, dict[str, str]] | None = None,
@@ -213,6 +236,12 @@ def http_fetch_fn(
     # HttpBase sends Accept-Encoding and decompresses with GZIPUtils.
     # unzipBestEffort (HttpBase.java:632-670) — truncated-by-content-limit
     # gzip streams still yield their decodable prefix instead of garbage
+    if isinstance(user_agent, (list, tuple)):
+        # http.agent.rotate: a random agent from the list per request
+        # (HttpBase.getUserAgent uses ThreadLocalRandom the same way)
+        import random
+
+        user_agent = random.choice(user_agent) if user_agent else "nutch-spark/1.0"
     hdrs = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
     if headers:
         hdrs.update(headers)
@@ -220,7 +249,9 @@ def http_fetch_fn(
     cred = (auth.get(host) or auth.get("*")) if auth else None
     if cookies:
         jar = cookies.get(host) or cookies.get("*")
-        if jar:
+        if isinstance(jar, str):  # raw header value from cookies.txt
+            hdrs["Cookie"] = jar
+        elif jar:
             hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(jar.items()))
     if cred:
         import base64

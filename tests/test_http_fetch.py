@@ -654,3 +654,46 @@ def test_gzip_and_deflate_content_encoding_decoded():
         assert out["metadata"].get("_undecodable_encoding_") is None
     finally:
         srv.shutdown()
+
+
+def test_host_cookie_file_and_agent_rotation():
+    """HttpBase parity: cookies.txt raw host jars ride the Cookie header
+    verbatim, and http.agent.rotate picks agents from the list."""
+    from nutch_spark.operators.fetcher import parse_agent_names, parse_host_cookies
+
+    cookie_text = "example.com\tsid=abc; theme=dark\n# comment\nbad-line\nother.org\ta=1\n"
+    jars = parse_host_cookies(cookie_text)
+    assert jars == {"example.com": "sid=abc; theme=dark", "other.org": "a=1"}
+    agents = parse_agent_names("AgentOne/1.0\n\n  AgentTwo/2.0  \n")
+    assert agents == ["AgentOne/1.0", "AgentTwo/2.0"]
+
+    seen = {}
+
+    class JarHandler(_Handler):
+        def do_GET(self):  # noqa: N802, D102
+            seen["cookie"] = self.headers.get("Cookie")
+            seen.setdefault("agents", set()).add(self.headers.get("User-Agent"))
+            body = b"ok"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), JarHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(
+            f"{base}/x",
+            cookies={"127.0.0.1": "sid=abc; theme=dark"},
+            user_agent=agents,
+        )
+        assert out["status"] == "fetch_success"
+        assert seen["cookie"] == "sid=abc; theme=dark"  # raw jar, verbatim
+        for _ in range(20):
+            http_fetch_fn(f"{base}/x", user_agent=agents)
+        # with 21 random draws both agents should have appeared
+        assert seen["agents"] >= set(agents)
+    finally:
+        srv.shutdown()
