@@ -457,17 +457,43 @@ def ajax_normalize(url: Column | str, *, scope: str = "default") -> Column:
     return F.when(c.contains(AJAX_PART), rebuilt).otherwise(c)
 
 
+def parse_host_normalizer_rules(text: str) -> dict[str, str]:
+    """host-urlnormalizer.txt (HostURLNormalizer.java:60-80): whitespace-
+    separated ``host target`` pairs, '#' comments skipped; ``*.suffix``
+    wildcard sources supported (matched by :func:`host_normalize`)."""
+    out: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) == 2:
+            out[parts[0].lower()] = parts[1]
+    return out
+
+
 def host_normalize(url: Column | str, host_map: dict[str, str]) -> Column:
     """urlnormalizer-host (HostURLNormalizer.java): rewrite configured
-    hostnames (e.g. www.example.org -> example.org). The map compiles to a
-    literal CASE chain — broadcast-lookup behavior, no shuffle."""
+    hostnames (e.g. www.example.org -> example.org). ``*.suffix`` wildcard
+    sources match any host with at least one extra label before the suffix,
+    checked exact-first then shortest-suffix-first (the reference's
+    TLD-outward walk, :150-175). The map compiles to a literal CASE chain —
+    broadcast-lookup behavior, no shuffle."""
     c = F.col(url) if isinstance(url, str) else url
     if not host_map:
         return c
     host = url_host(c)
+    exact = [(k, v) for k, v in host_map.items() if not k.startswith("*.")]
+    wild = sorted(
+        ((k[2:].lower(), v) for k, v in host_map.items() if k.startswith("*.")),
+        key=lambda kv: kv[0].count("."),
+    )
     mapped: Column | None = None
-    for src, dst in host_map.items():
+    for src, dst in exact:
         cond = host == src.lower()
+        mapped = F.when(cond, dst) if mapped is None else mapped.when(cond, dst)
+    for suffix, dst in wild:
+        cond = host.endswith("." + suffix)
         mapped = F.when(cond, dst) if mapped is None else mapped.when(cond, dst)
     rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(.*)$", 1)
     scheme = url_protocol(c)

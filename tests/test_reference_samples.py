@@ -586,3 +586,35 @@ def test_host_specific_adaptive_intervals(spark):
     }
     assert out["https://nutch.apache.org/a"] == 864000
     assert out["https://other.org/b"] == 1400  # 1000 * (1 + 0.4 inc_rate)
+
+
+def test_host_urlnormalizer_template_with_wildcards(spark):
+    """host-urlnormalizer.txt template: exact and *.wildcard sources;
+    wildcards need at least one extra label (HostURLNormalizer's TLD-outward
+    walk never matches the bare suffix)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import host_normalize, parse_host_normalizer_rules
+
+    rules = parse_host_normalizer_rules(
+        open("/root/reference/conf/host-urlnormalizer.txt.template").read()
+    )
+    assert rules == {"www.apache.org": "apache.org", "*.example.org": "example.org"}
+    df = spark.createDataFrame(
+        [
+            ("http://www.apache.org/x",),      # exact
+            ("http://a.b.example.org/y",),     # wildcard, deep
+            ("http://www.example.org/z",),     # wildcard, one label
+            ("http://example.org/w",),         # bare suffix: NOT matched
+            ("http://other.com/v",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["n"] for r in df.select(
+        "url", host_normalize(F.col("url"), rules).alias("n")
+    ).collect()}
+    assert got["http://www.apache.org/x"] == "http://apache.org/x"
+    assert got["http://a.b.example.org/y"] == "http://example.org/y"
+    assert got["http://www.example.org/z"] == "http://example.org/z"
+    assert got["http://example.org/w"] == "http://example.org/w"
+    assert got["http://other.com/v"] == "http://other.com/v"
