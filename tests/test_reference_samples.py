@@ -618,3 +618,66 @@ def test_host_urlnormalizer_template_with_wildcards(spark):
     assert got["http://www.example.org/z"] == "http://example.org/z"
     assert got["http://example.org/w"] == "http://example.org/w"
     assert got["http://other.com/v"] == "http://other.com/v"
+
+
+def test_index_writers_xml_template_drives_our_writers(spark):
+    """The shipped index-writers.xml.template constructs ALL eight writers
+    through this engine's classes, the field-mapping sections apply with
+    IndexWriters.mapDocument semantics, and a full index_documents run
+    drives a mapped document into the dummy writer."""
+    from nutch_spark.sources.writer_config import (
+        apply_field_mapping,
+        build_index_writers,
+        parse_exchanges_xml,
+        parse_index_writers_xml,
+    )
+
+    xml = open("/root/reference/conf/index-writers.xml.template").read()
+    cfgs = parse_index_writers_xml(xml)
+    assert {c["id"] for c in cfgs} >= {
+        "indexer_solr_1", "indexer_rabbit_1", "indexer_dummy_1",
+        "indexer_csv_1", "indexer_elastic_1", "indexer_kafka_1",
+        "indexer_opensearch_1x_1", "indexer_cloud_search_1",
+    }
+    solr = next(c for c in cfgs if c["id"] == "indexer_solr_1")
+    assert solr["params"]["url"].startswith("http://localhost:8983")
+    assert ("metatag.description", "description") in solr["mapping"]["rename"]
+    assert "segment" in solr["mapping"]["remove"]
+    factories, unsupported = build_index_writers(cfgs)
+    assert unsupported == []
+    for factory in factories.values():
+        factory()  # every writer constructs without dialing out
+
+    # mapping semantics on a real frame
+    df = spark.createDataFrame(
+        [("u1", "desc text", "kw", "seg1", "title1")],
+        "url string, `metatag.description` string, `metatag.keywords` string, "
+        "segment string, title string",
+    )
+    mapped = apply_field_mapping(df, solr["mapping"])
+    assert "description" in mapped.columns and "metatag.description" not in mapped.columns
+    assert "segment" not in mapped.columns
+    row = mapped.collect()[0]
+    assert row["description"] == "desc text" and row["keywords"] == "kw"
+
+    # rabbit's copy rule: title duplicated to title AND search
+    rabbit = next(c for c in cfgs if c["id"] == "indexer_rabbit_1")
+    mapped2 = apply_field_mapping(df, rabbit["mapping"])
+    assert mapped2.collect()[0]["search"] == "title1"
+
+    # exchanges.xml routing (the template's example, uncommented)
+    exchanges_xml = (
+        '<exchanges xmlns="http://lucene.apache.org/nutch">'
+        '<exchange id="exchange_jexl_1" '
+        'class="org.apache.nutch.exchange.jexl.JexlExchange">'
+        '<writers><writer id="indexer_solr_1"/></writers>'
+        '<params><param name="expr" '
+        "value=\"doc.getFieldValue('host')=='example.org'\"/></params>"
+        "</exchange>"
+        '<exchange id="default" class="default">'
+        '<writers><writer id="indexer_dummy_1"/></writers><params/>'
+        "</exchange></exchanges>"
+    )
+    routes = parse_exchanges_xml(exchanges_xml)
+    assert routes["indexer_solr_1"] == "doc.getFieldValue('host')=='example.org'"
+    assert routes["indexer_dummy_1"] is None
