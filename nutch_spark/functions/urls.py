@@ -503,6 +503,36 @@ def host_normalize(url: Column | str, host_map: dict[str, str]) -> Column:
     ).otherwise(c)
 
 
+def parse_protocols_file(text: str) -> tuple[dict[str, str], dict[str, str]]:
+    """protocols.txt (ProtocolURLNormalizer.java:90-135): ``host<SP|TAB>
+    protocol`` lines; ``*.domain`` registers BOTH the bare domain and the
+    subdomain suffix (the reference's dual put). Lines without a delimiter,
+    with a blank host, or whose protocol fails the RFC 1630 scheme shape
+    are skipped, matching the reference's warnings-and-continue."""
+    import re as _re
+
+    host_protocols: dict[str, str] = {}
+    domain_protocols: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.rstrip()
+        if not line.strip() or line.startswith("#"):
+            continue
+        idx = line.find(" ")
+        if idx == -1:
+            idx = line.find("\t")
+        if idx == -1:
+            continue
+        host, protocol = line[:idx].strip().lower(), line[idx + 1 :].strip()
+        if not host or not _re.fullmatch(r"[a-zA-Z][a-zA-Z0-9+.-]*", protocol):
+            continue
+        if host.startswith("*."):
+            domain_protocols[host[2:]] = protocol
+            host_protocols[host[2:]] = protocol
+        else:
+            host_protocols[host] = protocol
+    return host_protocols, domain_protocols
+
+
 def protocol_normalize(
     url: Column | str,
     host_protocols: dict[str, str] | None = None,
@@ -510,7 +540,11 @@ def protocol_normalize(
 ) -> Column:
     """urlnormalizer-protocol (ProtocolURLNormalizer.java): force the
     configured scheme for listed hosts (exact) or domain suffixes (host
-    endswith), e.g. http://nutch.apache.org/ -> https://nutch.apache.org/."""
+    endswith), e.g. http://nutch.apache.org/ -> https://nutch.apache.org/.
+    URLs carrying an explicit PORT are left unchanged — the reference's
+    normalize() keeps both port and protocol for them
+    (TestProtocolURLNormalizer: 'URLs including a port are left
+    unchanged')."""
     c = F.col(url) if isinstance(url, str) else url
     if not host_protocols and not domain_protocols:
         return c
@@ -524,8 +558,10 @@ def protocol_normalize(
         mapped = F.when(cond, proto) if mapped is None else mapped.when(cond, proto)
     scheme = url_protocol(c)
     rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*:(.*)$", 1)
+    has_port = c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:\d+")
     return F.when(
-        mapped.isNotNull() & (mapped != scheme), F.concat(mapped, F.lit(":"), rest)
+        mapped.isNotNull() & (mapped != scheme) & ~has_port,
+        F.concat(mapped, F.lit(":"), rest),
     ).otherwise(c)
 
 

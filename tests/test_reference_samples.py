@@ -681,3 +681,42 @@ def test_index_writers_xml_template_drives_our_writers(spark):
     routes = parse_exchanges_xml(exchanges_xml)
     assert routes["indexer_solr_1"] == "doc.getFieldValue('host')=='example.org'"
     assert routes["indexer_dummy_1"] is None
+
+
+def test_protocol_normalizer_plugin_data_file(spark):
+    """TestProtocolURLNormalizer's vectors over the plugin's OWN data file
+    (urlnormalizer-protocol/data/protocols.txt): forced http/https per
+    host, *.example.com matching the bare domain and every subdomain but
+    not myexample.com, port-bearing URLs untouched, and the three invalid
+    rules skipped."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import parse_protocols_file, protocol_normalize
+
+    text = open(
+        "/root/reference/src/plugin/urlnormalizer-protocol/data/protocols.txt"
+    ).read()
+    hosts, domains = parse_protocols_file(text)
+    assert hosts["example.org"] == "http" and hosts["example.io"] == "https"
+    assert domains == {"example.com": "https"}
+    assert not any("invalid" in h for h in hosts)
+    vectors = [
+        ("https://example.org/", "http://example.org/"),
+        ("https://example.net/", "http://example.net/"),
+        ("https://example.io/", "https://example.io/"),
+        ("http://example.io/path?q=uery", "https://example.io/path?q=uery"),
+        # port-bearing URLs are left unchanged (protocol AND port kept)
+        ("http://example.io:8080/path?q=uery", "http://example.io:8080/path?q=uery"),
+        ("https://example.org:8443/path", "https://example.org:8443/path"),
+        # *.example.com: bare domain + all subdomains, but not myexample.com
+        ("http://example.com/", "https://example.com/"),
+        ("http://www.example.com/", "https://www.example.com/"),
+        ("http://www.subdomain.example.com/", "https://www.subdomain.example.com/"),
+        ("http://myexample.com/", "http://myexample.com/"),
+    ]
+    df = spark.createDataFrame(vectors, "url string, expected string")
+    bad = df.select(
+        "url", "expected",
+        protocol_normalize(F.col("url"), hosts, domains).alias("got"),
+    ).filter("got != expected").collect()
+    assert not bad, [(r["url"], r["got"]) for r in bad]
