@@ -13,39 +13,38 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 
 # The driver's correctness harness samples a ~50-query prefix of this
 # registry each round. Rotate least-recently-certified queries to the front
-# so every query gets a driver-green row. Round-8 ordering (per the round-7
-# verdict): brand-new r08 queries lead (never driver-sampled), then the 49
-# queries whose newest driver-green row is r04 — starting with the ones
-# whose code changed since r04 (p2_pdf_extract's parser changed in r07),
-# then j9_*/w1_* and the rest in r04 registry order. Every other query has
-# an r06/r07 driver row; r09 mops up whatever falls past the window.
+# so every query gets a driver-green row. Round-9 ordering: brand-new r09
+# queries lead (never driver-sampled), then the 4 queries whose newest
+# driver-green row is still r04 (they fell past the r08 window), then the
+# 13 r06-certified queries, then the r07-certified 50 oldest-first; the
+# r08-certified 50 sit last — they are the freshest records.
 _CERTIFY_FIRST = [
-    # new in round 8 (TIFF/EXIF dims, OpenDocument text, politeness fetch
-    # harness under oracle) — never driver-sampled
-    "mm_tiff_dimensions", "p2_odt_extract", "p2_epub_extract", "p1_politeness",
-    "dp_chunking",
-    # code changed since its r04 row (PDF string-entry delimiter fix, r07)
-    "p2_pdf_extract",
-    # r04-certified, code-adjacent groups first
-    "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
-    "w1_generate_topk", "w1_host_limit",
-    "p2_html_parse", "p2_feed_entries", "p4_robots_policy",
-    "s10_sitemap_parse", "s1_seed_parse",
-    # remaining r04-certified, registry order
-    "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
-    "a1_quantiles", "a3_group_numeric", "a3_value_counts", "a4_group_count",
-    "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
-    "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
-    "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
-    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample", "w5_topk_contribs",
-    "d3_opic_share", "d6_adaptive_schedule", "d6_mime_adaptive",
-    "u1_union_distinct", "a10_anchor_dedup", "d4_depth_propagation",
-    "d8_orphan_mark", "d2_cleaning_targets", "d5_similarity_score",
-    "dp_winnowing", "st_hostdb_state", "st_session_windows", "j_geoip_range",
-    "dp_exact_dedup", "dp_ngram_jaccard",
-    # r07-certified queries touched by round-8 code changes (url predicate
-    # lambda autodetect) — recertify if the window allows
-    "f2_filter_chain", "f1_url_normalize", "f1_url_parts",
+    # new in round 9 — never driver-sampled (populated as queries land)
+    # stale r04 rows — the only pre-r06 driver records left
+    "st_session_windows", "j_geoip_range", "dp_exact_dedup",
+    "dp_ngram_jaccard",
+    # r06-certified
+    "p2_metatags", "p2_js_outlinks", "pf_regex_fields", "pf_nb_classify",
+    "p2_doc_extract", "dp_dup_components_star", "dp_substring_removal",
+    "dp_semantic_dedup", "dp_lm_perplexity", "dp_ivf_recall",
+    "dp_bpe_pair_counts", "dp_bpe_apply", "dp_bpe_train",
+    # r07-certified (registry order); ~33 of these fit a 50-query window —
+    # r10 mops up the tail
+    "f2_filter_chain", "f1_url_normalize", "f1_url_parts", "dp_minhash_lsh",
+    "dp_simhash", "dp_token_stats", "dp_quality", "dp_langid_stopword",
+    "dp_langid", "dp_cosine_topk", "dp_embedding_near_dup", "dp_lsh_topk",
+    "dp_ivf_topk", "dp_gopher_repetition", "dp_paragraph_dedup",
+    "dp_mix_weighted", "dp_mix_temperature", "dp_dup_components",
+    "dp_pii_scrub", "dp_int8_topk", "dp_decontaminate", "dp_seq_packing",
+    "mm_binary_metadata", "mm_image_dimensions", "mm_audio_features",
+    "dp_split", "dp_cross_corpus_dedup", "dp_lsh_recall", "dp_c4_clean",
+    "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
+    "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",
+    "dp_shard_balance", "dp_gopher_quality", "dp_bm25_topk",
+    "dp_dsir_weights", "g3_linkrank", "j4_score_update", "a9_node_rollup",
+    "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup", "j6_hostdb_agg",
+    "st_tumbling_window", "j10_crawldb_merge", "f1_scoped_normalize",
+    "d7_text_profile_sig",
 ]
 
 
