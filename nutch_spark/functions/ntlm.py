@@ -224,7 +224,12 @@ def ntlm_fetch(
         conn.request("GET", path,
                      headers={**base_hdrs, "Authorization": f"NTLM {token1}"})
         resp = conn.getresponse()
-        resp.read(max_bytes)  # drain so the connection can be reused
+        # drain to EOF so the keep-alive connection can be reused — a
+        # single capped read could leave bytes on the socket and corrupt
+        # the third leg's response parse (401 bodies are small; the loop
+        # terminates quickly)
+        while resp.read(1 << 16):
+            pass
         www = resp.getheader("WWW-Authenticate") or ""
         if resp.status != 401 or not www.startswith("NTLM "):
             return resp.status, dict(resp.getheaders()), b""

@@ -281,31 +281,32 @@ def http_fetch_fn(
                     url, cred[0], cred[1], headers=hdrs,
                     timeout_s=timeout_s, max_bytes=max_bytes,
                 )
-                if code == 200:
-                    ctype = rhdrs.get("Content-Type")
-                    return {
-                        "status": "fetch_success",
-                        "content": _decode(body, ctype),
-                        "content_type": (ctype or "").split(";")[0].strip() or None,
-                        "metadata": {"nutch.protocol.code": "200"},
-                    }
+                if code != 200:
+                    raise
+                # fall through to the shared 200 handling below so a
+                # gzip/deflate Content-Encoding on the authenticated
+                # response is decompressed exactly like the normal path
+                # (we advertised Accept-Encoding on every leg)
+                lhdrs = {k.lower(): v for k, v in rhdrs.items()}
+                ctype = lhdrs.get("content-type")
+                cenc = (lhdrs.get("content-encoding") or "").lower()
+            elif e.code == 401 and cred and www.lower().startswith("digest"):
+                scheme, challenge = _parse_auth_challenge(www)
+                digest_hdr = _digest_auth_header(
+                    "GET", url, challenge, cred[0], cred[1]
+                )
+                if digest_hdr is None:
+                    raise
+                retry_hdrs = dict(hdrs)
+                retry_hdrs["Authorization"] = digest_hdr
+                req = urllib.request.Request(url, headers=retry_hdrs)
+                with opener.open(req, timeout=timeout_s) as resp:
+                    code = resp.status
+                    ctype = resp.headers.get("Content-Type")
+                    cenc = (resp.headers.get("Content-Encoding") or "").lower()
+                    body = resp.read(max_bytes)
+            else:
                 raise
-            if e.code != 401 or not cred or not www.lower().startswith("digest"):
-                raise
-            scheme, challenge = _parse_auth_challenge(www)
-            digest_hdr = _digest_auth_header(
-                "GET", url, challenge, cred[0], cred[1]
-            )
-            if digest_hdr is None:
-                raise
-            retry_hdrs = dict(hdrs)
-            retry_hdrs["Authorization"] = digest_hdr
-            req = urllib.request.Request(url, headers=retry_hdrs)
-            with opener.open(req, timeout=timeout_s) as resp:
-                code = resp.status
-                ctype = resp.headers.get("Content-Type")
-                cenc = (resp.headers.get("Content-Encoding") or "").lower()
-                body = resp.read(max_bytes)
     except urllib.error.HTTPError as e:
         code = e.code
         ctype = e.headers.get("Content-Type") if e.headers else None

@@ -232,8 +232,16 @@ class AmqpWireClient:
             self._send_frame(FRAME_BODY, 1, body[i : i + max_body])
 
     def close(self) -> None:
+        # connection.close (10,50) args per AMQP 0-9-1 §1.4.2.6:
+        # reply-code(short), reply-text(shortstr), class-id(short),
+        # method-id(short) — in THAT order; strict brokers log a frame
+        # error on the wrong layout and treat it as an abrupt close
         try:
-            self._send_method(0, 10, 50, struct.pack(">HHH", 0, 0, 0) + _shortstr(""))
+            self._send_method(
+                0, 10, 50,
+                struct.pack(">H", 200) + _shortstr("Goodbye")
+                + struct.pack(">HH", 0, 0),
+            )
         except OSError:
             pass
         finally:

@@ -46,6 +46,7 @@ class FakeAmqpBroker:
         self.messages: list[dict] = []
         self.declared: list[tuple] = []
         self.client_props: dict = {}
+        self.close_args: tuple | None = None
         self.lock = threading.Lock()
         self.sock = socket_mod.socket()
         self.sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
@@ -189,6 +190,23 @@ class FakeAmqpBroker:
                             }
                         )
                 elif (cid, mid) == (10, 50):  # connection.close
+                    # strict arg grammar (AMQP 0-9-1 §1.4.2.6):
+                    # reply-code(short) reply-text(shortstr)
+                    # class-id(short) method-id(short)
+                    pos = 4
+                    (reply_code,) = struct.unpack_from(">H", payload, pos)
+                    pos += 2
+                    tlen = payload[pos]
+                    reply_text = payload[pos + 1 : pos + 1 + tlen].decode()
+                    pos += 1 + tlen
+                    fail_class, fail_method = struct.unpack_from(
+                        ">HH", payload, pos
+                    )
+                    assert pos + 4 == len(payload)
+                    with self.lock:
+                        self.close_args = (
+                            reply_code, reply_text, fail_class, fail_method,
+                        )
                     self._send_method(conn, 0, 10, 51)
                     return
         except (ConnectionError, AssertionError, OSError):
@@ -229,6 +247,15 @@ def test_handshake_declare_publish_and_frame_split(broker):
     assert m["delivery_mode"] == 1 and m["routing_key"] == "nutch.key"
     assert broker.messages[1]["body"] == b""
     assert broker.client_props.get("product") == "nutch-spark"
+    # clean shutdown: connection.close carried the spec field order
+    # (reply-code, reply-text, class-id, method-id) — the strict parser
+    # above would have dropped the session otherwise
+    for _ in range(100):
+        with broker.lock:
+            if broker.close_args is not None:
+                break
+        time.sleep(0.05)
+    assert broker.close_args == (200, "Goodbye", 0, 0)
 
 
 def test_bad_credentials_rejected():

@@ -106,7 +106,14 @@ def _make_challenge(server_challenge: bytes, target_info: bytes) -> bytes:
     )
 
 
-def _ntlm_server(user: str, password: str, domain: str):
+def _ntlm_server(
+    user: str,
+    password: str,
+    domain: str,
+    *,
+    gzip_granted: bool = False,
+    challenge_body: bytes = b"",
+):
     server_challenge = bytes.fromhex("0011223344556677")
     target_info = _SPEC_TI
 
@@ -136,7 +143,9 @@ def _ntlm_server(user: str, password: str, domain: str):
                 token = base64.b64encode(
                     _make_challenge(server_challenge, target_info)
                 ).decode()
-                self._reply(401, b"", {"WWW-Authenticate": f"NTLM {token}"})
+                self._reply(
+                    401, challenge_body, {"WWW-Authenticate": f"NTLM {token}"}
+                )
                 return
             assert mtype == 3
             nt_len, _, nt_off = struct.unpack("<HHI", msg[20:28])
@@ -149,7 +158,16 @@ def _ntlm_server(user: str, password: str, domain: str):
             key = ntowf_v2(got_user, password, domain)
             expected = _hmac.new(key, server_challenge + blob, "md5").digest()
             if got_user == user and _hmac.compare_digest(proof, expected):
-                self._reply(200, b"ntlm granted")
+                if gzip_granted:
+                    import gzip as _gzip
+
+                    self._reply(
+                        200,
+                        _gzip.compress(b"ntlm granted"),
+                        {"Content-Encoding": "gzip"},
+                    )
+                else:
+                    self._reply(200, b"ntlm granted")
             else:
                 self._reply(403, b"bad proof")
 
@@ -187,5 +205,39 @@ def test_http_fetch_fn_answers_ntlm_challenge():
         # no credentials: the 401 surfaces as fetch_gone, like basic/digest
         out = http_fetch_fn(f"{base}/private")
         assert out["status"] == "fetch_gone"
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_fn_decompresses_gzipped_ntlm_response():
+    """The NTLM success path must honour Content-Encoding like the
+    normal 200 path — we advertise Accept-Encoding on every leg, so a
+    server that gzips the authenticated response must not yield
+    garbage text."""
+    srv = _ntlm_server("bob", "pw2", "", gzip_granted=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = http_fetch_fn(f"{base}/private", auth={"127.0.0.1": ("bob", "pw2")})
+        assert out["status"] == "fetch_success"
+        assert out["content"] == "ntlm granted"
+    finally:
+        srv.shutdown()
+
+
+def test_ntlm_fetch_drains_oversized_challenge_body():
+    """A 401 challenge body larger than max_bytes must be drained to
+    EOF, or the unread bytes corrupt the third leg's response parse on
+    the shared keep-alive connection."""
+    srv = _ntlm_server("eve", "pw3", "", challenge_body=b"e" * 4096)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, _hdrs, body = ntlm_fetch(
+            f"{base}/private", "eve", "pw3", max_bytes=64
+        )
+        assert status == 200 and body == b"ntlm granted"[:64]
     finally:
         srv.shutdown()
