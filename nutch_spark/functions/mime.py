@@ -36,6 +36,8 @@ _MAGIC_HEX = [
     ("28B52FFD", "application/zstd"),
     ("04224D18", "application/x-lz4"),
     ("7B5C727466", "application/rtf"),     # {\rtf
+    ("FF575043", "application/vnd.wordperfect"),  # \xFFWPC prefix header
+    ("49545346", "application/vnd.ms-htmlhelp"),  # ITSF (compiled HTML help)
     ("252150532D", "application/postscript"),  # %!PS-
     ("7F454C46", "application/x-executable"),  # \x7fELF
     ("CAFEBABE", "application/java-vm"),

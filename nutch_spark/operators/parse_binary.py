@@ -900,6 +900,14 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         for prefix, (mime, fn) in _OOXML_MARKERS.items():
             if any(n.startswith(prefix) for n in names):
                 return mime, fn(data)
+        from nutch_spark.operators.parse_tail import (
+            extract_iwork_text,
+            is_iwork13,
+            iwork_index_entry,
+        )
+
+        if iwork_index_entry(names) or is_iwork13(names):
+            return extract_iwork_text(data)
         if depth >= 2:  # nested-archive cutoff
             return "application/zip", ""
         return "application/zip", _extract_zip_members(data, depth)
@@ -911,6 +919,14 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.ole import extract_rtf_text
 
         return "application/rtf", extract_rtf_text(data)
+    if data[:4] == b"\xffWPC":
+        from nutch_spark.operators.parse_tail import extract_wpd_text
+
+        return extract_wpd_text(data)
+    if data[:4] == b"ITSF":
+        from nutch_spark.operators.parse_tail import extract_chm_text
+
+        return extract_chm_text(data)
     # fall back to plain text for decodable bytes
     try:
         return "text/plain", data.decode("utf-8").strip()

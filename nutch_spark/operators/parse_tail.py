@@ -1,0 +1,371 @@
+"""Long-tail document formats: legacy iWork packages, WordPerfect, CHM.
+
+Reference: the parse-tika plugin (src/plugin/parse-tika/src/java/org/apache/
+nutch/parse/tika/TikaParser.java:63-160) routes every mime Nutch can't parse
+natively through Apache Tika, whose long tail includes Apple iWork
+(IWorkPackageParser / IWork13PackageParser), WordPerfect (WordPerfectParser)
+and compiled HTML help (ChmParser). This module re-implements the
+highest-value slices of that tail from the PUBLIC container specifications:
+
+- iWork '05-'09 packages are zip archives holding an ``index.xml`` /
+  ``index.apxl`` (optionally gzipped) Apple-XML document; text lives in
+  ``sf:p`` paragraphs. iWork '13+ bundles (``Index/*.iwa``, snappy-framed
+  protobuf) are detected and typed the way Tika's IWork13PackageParser does
+  (distinguishing entry names) but not text-extracted — that would need the
+  IWA protobuf schema, which stays behind the documented seam.
+- WordPerfect 5.x/6.x+ documents ("\\xFFWPC" prefix header) get best-effort
+  body-text extraction: literals pass through, single-byte function codes map
+  to their spacing equivalents, fixed/variable multi-byte function groups are
+  skipped structurally (variable groups carry an embedded u16 size and close
+  with their own code byte — both checked, with a scan-to-closing-byte
+  fallback). Encrypted documents (non-zero key in the prefix header) degrade
+  to mime-only, like encrypted PDFs/Office files elsewhere in the repo.
+- CHM (ITSF) containers: the ITSF/ITSP headers and the PMGL directory
+  listing are parsed (names are stored uncompressed); entries stored in
+  content section 0 (the uncompressed section) are recursively text-
+  extracted. Section-1 content is LZX-compressed and stays a documented
+  gap — the directory walk still yields the entry inventory.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zipfile
+from io import BytesIO
+from xml.etree import ElementTree
+
+IWORK_PAGES = "application/vnd.apple.pages"
+IWORK_NUMBERS = "application/vnd.apple.numbers"
+IWORK_KEYNOTE = "application/vnd.apple.keynote"
+WPD_MIME = "application/vnd.wordperfect"
+CHM_MIME = "application/vnd.ms-htmlhelp"
+
+# Apple XML namespaces (iWork '05-'09): sl = Pages page-layout, ls = Numbers,
+# key = Keynote; sf = shared "sfa" text/storage namespace used by all three.
+_NS_PAGES = "http://developer.apple.com/namespaces/sl"
+_NS_NUMBERS = "http://developer.apple.com/namespaces/ls"
+_NS_KEYNOTE = "http://developer.apple.com/namespaces/keynote2"
+
+
+def iwork_index_entry(names: list[str]) -> str | None:
+    """The package's document XML entry name, or None if not legacy iWork."""
+    for cand in ("index.xml", "index.xml.gz", "index.apxl", "index.apxl.gz"):
+        if cand in names:
+            return cand
+    return None
+
+
+def is_iwork13(names: list[str]) -> bool:
+    """iWork '13+ bundle: protobuf-in-snappy .iwa parts under Index/."""
+    return any(n.startswith("Index/") and n.endswith(".iwa") for n in names)
+
+
+def iwork13_mime(names: list[str]) -> str:
+    """Type a '13+ bundle from its distinguishing entries, mirroring Tika's
+    IWork13PackageParser: slides → Keynote, calculation engine → Numbers,
+    otherwise a Document.iwa is a Pages document."""
+    if any(
+        n in ("Index/MasterSlide.iwa", "Index/Slide.iwa")
+        or n.startswith(("Index/MasterSlide-", "Index/Slide-"))
+        for n in names
+    ):
+        return IWORK_KEYNOTE
+    if "Index/CalculationEngine.iwa" in names:
+        return IWORK_NUMBERS
+    return IWORK_PAGES
+
+
+def extract_iwork_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for an iWork zip package (detected by the caller).
+
+    Legacy packages: gunzip the index entry if needed, then collect the
+    ``sf:p`` paragraph texts (any iWork dialect uses the shared sf text
+    namespace) in document order, newline-joined. The root element's
+    namespace decides the mime. '13+ bundles return their mime with empty
+    text (IWA decode stays behind the documented seam)."""
+    try:
+        with zipfile.ZipFile(BytesIO(data)) as z:
+            names = z.namelist()
+            entry = iwork_index_entry(names)
+            if entry is None:
+                if is_iwork13(names):
+                    return iwork13_mime(names), ""
+                return "application/zip", ""
+            xml = z.read(entry)
+    except (zipfile.BadZipFile, KeyError, OSError):
+        return "application/zip", ""
+    if entry.endswith(".gz"):
+        try:
+            xml = gzip.decompress(xml)
+        except OSError:
+            return IWORK_PAGES, ""
+    try:
+        root = ElementTree.fromstring(xml)
+    except ElementTree.ParseError:
+        return IWORK_PAGES, ""
+    ns = root.tag.partition("}")[0].lstrip("{")
+    if ns == _NS_NUMBERS:
+        mime = IWORK_NUMBERS
+    elif ns == _NS_KEYNOTE or entry.startswith("index.apxl"):
+        mime = IWORK_KEYNOTE
+    else:
+        mime = IWORK_PAGES
+    paras: list[str] = []
+    for el in root.iter():
+        if el.tag.rpartition("}")[2] == "p":
+            txt = "".join(el.itertext())
+            if txt:
+                paras.append(txt)
+    return mime, "\n".join(paras).strip()
+
+
+# --------------------------------------------------------------------------
+# WordPerfect
+# --------------------------------------------------------------------------
+
+
+def extract_wpd_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for a WordPerfect document, best-effort.
+
+    Prefix header (WP 5.0+ file-format spec): "\\xFFWPC", u32le pointer to
+    the document area, product type, file type, major/minor version, u16le
+    encryption key (0 = plaintext), u16le index-area pointer. Body byte
+    classes: 0x01-0x1F control (WP5 uses 0x0A hard return / 0x0D soft
+    return in-band), 0x20-0x7E literal ASCII, 0x80-0xBF single-byte
+    functions (0x80 soft space and 0x81 hard space map to ' ', the rest are
+    formatting and skip), 0xC0-0xCF fixed-length multi-byte functions
+    (0xC0 = extended character [0xC0, char, charset, 0xC0]; all close with
+    their own code byte), 0xD0-0xFF variable-length groups
+    [code, subgroup, u16le size, ..., code] skipped via the embedded size
+    when it lands on the closing code byte, else by scanning to the next
+    closing byte. Unmappable extended characters contribute '?'."""
+    if len(data) < 16 or data[:4] != b"\xffWPC":
+        return WPD_MIME, ""
+    (doc_start,) = struct.unpack_from("<I", data, 4)
+    (enc_key,) = struct.unpack_from("<H", data, 12)
+    if enc_key != 0 or not 16 <= doc_start < len(data):
+        return WPD_MIME, ""  # encrypted or corrupt → mime-only
+    out: list[str] = []
+    i, n = doc_start, len(data)
+    while i < n:
+        c = data[i]
+        if 0x20 <= c <= 0x7E:
+            out.append(chr(c))
+            i += 1
+        elif c == 0x0A:  # WP5 hard return
+            out.append("\n")
+            i += 1
+        elif c in (0x0D, 0x09):  # WP5 soft return / tab
+            out.append(" " if c == 0x0D else "\t")
+            i += 1
+        elif c < 0x80:  # remaining control bytes carry no text
+            i += 1
+        elif c <= 0xBF:  # single-byte functions
+            if c in (0x80, 0x81):  # soft / hard space
+                out.append(" ")
+            elif c in (0x8C, 0x8D):  # hard return variants (WP6)
+                out.append("\n")
+            i += 1
+        elif c <= 0xCF:  # fixed-length multi-byte, closes with code byte
+            if c == 0xC0 and i + 3 < n and data[i + 3] == 0xC0:
+                ch, charset = data[i + 1], data[i + 2]
+                out.append(chr(ch) if charset == 0 and 0x20 <= ch <= 0x7E else "?")
+                i += 4
+            else:
+                j = data.find(bytes([c]), i + 1, i + 40)
+                i = j + 1 if j != -1 else i + 1
+        else:  # 0xD0-0xFF variable-length group
+            if i + 4 <= n:
+                (size,) = struct.unpack_from("<H", data, i + 2)
+                if size >= 5 and i + size <= n and data[i + size - 1] == c:
+                    i += size
+                    continue
+            j = data.find(bytes([c]), i + 1)
+            i = j + 1 if j != -1 else n
+    text = "".join(out).strip()
+    return WPD_MIME, text
+
+
+def build_wpd_bytes(text: str, *, version: int = 6) -> bytes:
+    """A minimal valid WordPerfect file for fixtures/oracles: prefix header
+    + body where spaces become soft-space function bytes (WP6) and newlines
+    hard returns, exercising the literal, single-byte and variable-group
+    paths (a trailing no-op 0xD0 group is appended)."""
+    body = bytearray()
+    for ch in text:
+        if ch == " ":
+            body.append(0x80 if version >= 6 else 0x20)
+        elif ch == "\n":
+            body.append(0x8C if version >= 6 else 0x0A)
+        elif 0x20 <= ord(ch) <= 0x7E:
+            body.append(ord(ch))
+        else:
+            body += bytes([0xC0, ord("?"), 0x00, 0xC0])
+    # variable-length no-op group: code, subgroup, size(=6), pad, code
+    body += bytes([0xD0, 0x01, 0x06, 0x00, 0x00, 0xD0])
+    header = (
+        b"\xffWPC"
+        + struct.pack("<I", 16)  # document area right after the header
+        + bytes([1, 0x0A, 2 if version >= 6 else 0, 0])  # product/type/ver
+        + struct.pack("<H", 0)  # not encrypted
+        + struct.pack("<H", 0)  # no index area
+    )
+    return bytes(header + body)
+
+
+# --------------------------------------------------------------------------
+# CHM
+# --------------------------------------------------------------------------
+
+
+def _encint(data: bytes, i: int) -> tuple[int, int]:
+    """ITSS ENCINT: big-endian 7-bit groups, high bit = continuation."""
+    val = 0
+    while i < len(data):
+        b = data[i]
+        i += 1
+        val = (val << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    return val, i
+
+
+def _encint_encode(val: int) -> bytes:
+    """Inverse of _encint, for fixture building."""
+    groups = [val & 0x7F]
+    val >>= 7
+    while val:
+        groups.append(0x80 | (val & 0x7F))
+        val >>= 7
+    return bytes(reversed(groups))
+
+
+def build_chm_bytes(files: dict[str, bytes], *, language_id: int = 0x409) -> bytes:
+    """A minimal valid ITSF v3 container for fixtures: all files stored in
+    content section 0 (uncompressed), one PMGL directory chunk."""
+    block_len = 0x1000
+    hdr_len, sec0_len, itsp_len = 0x60, 0x18, 0x54
+    dir_off = hdr_len + sec0_len
+    content0_off = dir_off + itsp_len + block_len
+    payload = bytearray()
+    entries = bytearray()
+    for name, blob in files.items():
+        entries += _encint_encode(len(name.encode()))
+        entries += name.encode()
+        entries += _encint_encode(0)  # section 0
+        entries += _encint_encode(len(payload))
+        entries += _encint_encode(len(blob))
+        payload += blob
+    chunk = b"PMGL" + struct.pack("<IIii", 0, 0, -1, -1) + bytes(entries)
+    assert len(chunk) <= block_len, "fixture exceeds one directory chunk"
+    chunk += b"\x00" * (block_len - len(chunk))
+    itsp = (
+        b"ITSP"
+        + struct.pack("<III", 1, itsp_len, 0x0A)
+        + struct.pack("<IIII", block_len, 2, 1, 0xFFFFFFFF)  # density/depth/root
+        + struct.pack("<II", 0, 0)  # first/last PMGL chunk
+        + struct.pack("<I", 0xFFFFFFFF)
+        + struct.pack("<I", 1)  # num_blocks
+        + struct.pack("<I", language_id)
+        + b"\x00" * 16  # guid
+        + struct.pack("<I", itsp_len)
+        + b"\x00" * 12
+    )
+    itsp = itsp[:itsp_len].ljust(itsp_len, b"\x00")
+    header = (
+        b"ITSF"
+        + struct.pack("<III", 3, hdr_len, 1)
+        + struct.pack("<I", 0)  # timestamp
+        + struct.pack("<I", language_id)
+        + b"\x00" * 32  # the two GUIDs
+        + struct.pack("<QQ", hdr_len, sec0_len)  # section 0 (file-size info)
+        + struct.pack("<QQ", dir_off, itsp_len + block_len)  # directory
+        + struct.pack("<Q", content0_off)
+    )
+    assert len(header) == hdr_len
+    sec0 = struct.pack("<IIQI", 0x01FE, 0, 0, 0).ljust(sec0_len, b"\x00")
+    return bytes(header + sec0 + itsp + chunk + payload)
+
+
+def parse_chm_directory(data: bytes) -> dict:
+    """Parse a CHM (ITSF v2/v3) container's headers and PMGL directory.
+
+    Returns {"version", "language_id", "entries": [(name, section, offset,
+    length), ...]} — names are stored uncompressed in the directory chunks,
+    so the full entry inventory is available without LZX."""
+    if data[:4] != b"ITSF" or len(data) < 0x58:
+        return {}
+    version, header_len = struct.unpack_from("<II", data, 4)
+    (lang,) = struct.unpack_from("<I", data, 0x14)
+    # header-section table: two (offset u64le, length u64le) entries at 0x38
+    dir_off, dir_len = struct.unpack_from("<QQ", data, 0x48)
+    content0_off = None
+    if version >= 3 and header_len >= 0x60:
+        (content0_off,) = struct.unpack_from("<Q", data, 0x58)
+    if dir_off + 0x54 > len(data) or data[dir_off : dir_off + 4] != b"ITSP":
+        return {"version": version, "language_id": lang, "entries": []}
+    (block_len,) = struct.unpack_from("<I", data, dir_off + 0x10)
+    (num_blocks,) = struct.unpack_from("<I", data, dir_off + 0x2C)
+    entries: list[tuple[str, int, int, int]] = []
+    chunk_base = dir_off + 0x54
+    for b in range(num_blocks):
+        start = chunk_base + b * block_len
+        chunk = data[start : start + block_len]
+        if chunk[:4] != b"PMGL":
+            continue  # PMGI index chunks carry no new names
+        (quickref_len,) = struct.unpack_from("<I", chunk, 4)
+        i, end = 0x14, max(0x14, block_len - quickref_len)
+        while i < end:
+            name_len, i = _encint(chunk, i)
+            if name_len == 0 or i + name_len > end:
+                break
+            name = chunk[i : i + name_len].decode("utf-8", "replace")
+            i += name_len
+            section, i = _encint(chunk, i)
+            offset, i = _encint(chunk, i)
+            length, i = _encint(chunk, i)
+            entries.append((name, section, offset, length))
+    return {
+        "version": version,
+        "language_id": lang,
+        "entries": entries,
+        "content0_offset": content0_off,
+    }
+
+
+def extract_chm_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for a CHM container: directory-listed entries stored in
+    content section 0 (uncompressed) are recursively extracted (HTML pages
+    flow through the HTML text path); section-1 (LZX) content is the
+    documented gap and contributes nothing."""
+    d = parse_chm_directory(data)
+    if not d:
+        return CHM_MIME, ""
+    base = d.get("content0_offset")
+    texts: list[str] = []
+    if base is not None:
+        from nutch_spark.operators.parse_binary import _extract_text
+
+        for name, section, offset, length in d["entries"]:
+            if section != 0 or not name or name.startswith(("::", "/$")):
+                continue
+            if length == 0 or base + offset + length > len(data):
+                continue
+            blob = data[base + offset : base + offset + length]
+            try:
+                if name.lower().endswith((".htm", ".html")):
+                    from nutch_spark.operators.parse_html import (
+                        decode_content,
+                        parse_html_page,
+                    )
+
+                    html, _cs = decode_content(blob, "text/html")
+                    txt = parse_html_page("chm:" + name, html)["text"]
+                else:
+                    _, txt = _extract_text(blob, 2)
+            except Exception:
+                continue
+            if txt:
+                texts.append(txt)
+    return CHM_MIME, "\n".join(texts).strip()

@@ -1,0 +1,157 @@
+"""Long-tail formats (operators/parse_tail.py): legacy/modern iWork
+packages, WordPerfect 5/6 best-effort text, CHM container directory +
+section-0 extraction — the slices of parse-tika's Tika delegation
+(TikaParser.java:63-160) beyond the office/PDF mass."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import zipfile
+
+from nutch_spark.operators.parse_binary import extract_text
+from nutch_spark.operators.parse_tail import (
+    CHM_MIME,
+    IWORK_KEYNOTE,
+    IWORK_NUMBERS,
+    IWORK_PAGES,
+    WPD_MIME,
+    build_chm_bytes,
+    build_wpd_bytes,
+    extract_chm_text,
+    extract_wpd_text,
+    iwork13_mime,
+    parse_chm_directory,
+)
+
+_SL = "http://developer.apple.com/namespaces/sl"
+_LS = "http://developer.apple.com/namespaces/ls"
+_KEY = "http://developer.apple.com/namespaces/keynote2"
+_SF = "http://developer.apple.com/namespaces/sf"
+
+
+def _iwork_zip(entry: str, xml: str, gz: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(entry, gzip.compress(xml.encode()) if gz else xml)
+        z.writestr("QuickLook/Thumbnail.jpg", b"\xff\xd8\xff")
+    return buf.getvalue()
+
+
+def _doc_xml(root_ns: str, root: str = "document") -> str:
+    return (
+        f'<sl:{root} xmlns:sl="{root_ns}" xmlns:sf="{_SF}">'
+        "<sf:text-storage><sf:text-body>"
+        "<sf:p>First paragraph</sf:p>"
+        "<sf:p>Second <sf:span>styled</sf:span> para</sf:p>"
+        f"</sf:text-body></sf:text-storage></sl:{root}>"
+    )
+
+
+def test_iwork_legacy_pages_gzipped_index():
+    mime, text = extract_text(_iwork_zip("index.xml.gz", _doc_xml(_SL), gz=True))
+    assert mime == IWORK_PAGES
+    assert text == "First paragraph\nSecond styled para"
+
+
+def test_iwork_legacy_numbers_and_keynote():
+    mime, text = extract_text(_iwork_zip("index.xml", _doc_xml(_LS)))
+    assert mime == IWORK_NUMBERS and "First paragraph" in text
+    mime, text = extract_text(_iwork_zip("index.apxl", _doc_xml(_KEY, "presentation")))
+    assert mime == IWORK_KEYNOTE and "styled para" in text
+
+
+def test_iwork13_bundle_typing():
+    # typed from distinguishing entries, like Tika's IWork13PackageParser
+    assert iwork13_mime(["Index/Slide-1.iwa", "Index/Document.iwa"]) == IWORK_KEYNOTE
+    assert (
+        iwork13_mime(["Index/CalculationEngine.iwa", "Index/Document.iwa"])
+        == IWORK_NUMBERS
+    )
+    assert iwork13_mime(["Index/Document.iwa"]) == IWORK_PAGES
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("Index/Document.iwa", b"\x00\x12\x00\x00")
+        z.writestr("Metadata/Properties.plist", b"")
+    mime, text = extract_text(buf.getvalue())
+    assert mime == IWORK_PAGES and text == ""  # IWA decode: documented seam
+
+
+def test_wpd_round_trip_wp6_and_wp5():
+    body = "Hello WordPerfect world\nsecond line"
+    assert extract_text(build_wpd_bytes(body)) == (WPD_MIME, body)
+    assert extract_text(build_wpd_bytes(body, version=5)) == (WPD_MIME, body)
+
+
+def test_wpd_extended_char_and_unknown_function_codes():
+    # extended char in charset 0 passes through; other charsets become '?'
+    data = build_wpd_bytes("caf") + bytes([0xC0, ord("e"), 0x00, 0xC0])
+    assert extract_wpd_text(data)[1].endswith("cafe")
+    data = build_wpd_bytes("nai") + bytes([0xC0, 0x24, 0x01, 0xC0])
+    assert extract_wpd_text(data)[1].endswith("nai?")
+    # a variable-length group with a bogus size falls back to the
+    # closing-code-byte scan instead of swallowing the document
+    bogus = build_wpd_bytes("before") + bytes([0xD3, 0x05, 0xFF, 0xFF, 0xD3]) + b"after"
+    assert extract_wpd_text(bogus)[1] == "beforeafter"
+
+
+def test_wpd_encrypted_degrades_to_mime_only():
+    data = bytearray(build_wpd_bytes("secret text"))
+    struct.pack_into("<H", data, 12, 0xBEEF)  # non-zero encryption key
+    assert extract_text(bytes(data)) == (WPD_MIME, "")
+
+
+def test_wpd_truncated_and_garbage_safe():
+    assert extract_wpd_text(b"\xffWPC")[1] == ""
+    assert extract_wpd_text(b"\xffWPC" + b"\x00" * 12)[1] == ""
+    junk = b"\xffWPC" + struct.pack("<I", 16) + b"\x01\x0a\x02\x00" + b"\x00\x00" + b"\x00\x00" + bytes(range(0xC1, 0xD0))
+    mime, _ = extract_wpd_text(junk)  # must terminate, not loop
+    assert mime == WPD_MIME
+
+
+def test_chm_directory_and_section0_text():
+    chm = build_chm_bytes(
+        {
+            "/page.html": b"<html><body><p>Help page body text</p></body></html>",
+            "/readme.txt": b"plain readme",
+            "::DataSpace/Storage/MSCompressed/Content": b"\x00" * 8,
+        },
+        language_id=0x407,
+    )
+    d = parse_chm_directory(chm)
+    assert d["version"] == 3 and d["language_id"] == 0x407
+    names = [e[0] for e in d["entries"]]
+    assert "/page.html" in names and "/readme.txt" in names
+    mime, text = extract_text(chm)
+    assert mime == CHM_MIME
+    # HTML entry flows through the HTML text path, txt through plain text;
+    # the ::DataSpace system entry is skipped
+    assert "Help page body text" in text and "plain readme" in text
+
+
+def test_chm_garbage_safe():
+    assert parse_chm_directory(b"ITSF" + b"\x00" * 10) == {}
+    assert extract_chm_text(b"ITSF" + b"\x00" * 200)[0] == CHM_MIME
+
+
+def test_detect_mime_magic_for_new_formats(spark):
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.mime import detect_mime
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/doc.wpd", bytearray(build_wpd_bytes("x")), None),
+            ("http://a.com/help.chm", bytearray(build_chm_bytes({"/a.txt": b"t"})), None),
+        ],
+        "url string, content binary, ctype string",
+    )
+    got = {
+        r["url"]: r["mime"]
+        for r in df.select(
+            "url", detect_mime("url", "content", "ctype").alias("mime")
+        ).collect()
+    }
+    assert got["http://a.com/doc.wpd"] == WPD_MIME
+    assert got["http://a.com/help.chm"] == CHM_MIME
