@@ -19,7 +19,8 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # 13 r06-certified queries, then the r07-certified 50 oldest-first; the
 # r08-certified 50 sit last — they are the freshest records.
 _CERTIFY_FIRST = [
-    # new in round 9 — never driver-sampled (populated as queries land)
+    # new in round 9 — never driver-sampled
+    "p2_wpd_extract", "p2_iwork_extract",
     # stale r04 rows — the only pre-r06 driver records left
     "st_session_windows", "j_geoip_range", "dp_exact_dedup",
     "dp_ngram_jaccard",

@@ -1518,3 +1518,139 @@ def p2_epub_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_wpd_extract",
+    """
+    -- Round-trip identity: each document's text becomes a WordPerfect 6
+    -- body (prefix header + literals, soft-space 0x80 / hard-return 0x8C
+    -- function bytes, trailing variable-length no-op group) and flows
+    -- through the magic-dispatched best-effort extractor. Both engines
+    -- sanitize to printable ASCII first.
+    SELECT doc_id, 'application/vnd.wordperfect' AS mime,
+           trim('wpd guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                ' ') AS parse_text,
+           CAST(length(trim('wpd guard: ' ||
+                regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) AS BIGINT)
+             AS n_chars
+    FROM documents
+    """,
+)
+def p2_wpd_extract(spark, sf_dir):
+    """P2 WordPerfect parse end-to-end (parse-tika slot — TikaParser.java
+    routes application/vnd.wordperfect to Tika's WordPerfectParser): every
+    row's text becomes a valid WP6 file (operators/parse_tail.py
+    build_wpd_bytes: prefix header, soft-space/hard-return single-byte
+    functions, a trailing 0xD0 variable-length group) and flows through
+    parse_binary's \\xFFWPC dispatch into extract_wpd_text. Certifies the
+    header walk, every byte-class branch and the structural group skip on
+    every row cross-engine. Map-only at any scale."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from nutch_spark.operators.parse_tail import build_wpd_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "wpd guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                rows.append(
+                    {
+                        "url": f"http://doc{doc_id}.com/x.wpd",
+                        "content": build_wpd_bytes(body),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
+
+
+@q(
+    "p2_iwork_extract",
+    """
+    -- Round-trip identity: each document's text becomes a legacy iWork
+    -- Pages package (zip + gzipped index.xml, sl document namespace, two
+    -- sf:p paragraphs) and flows through the magic-dispatched Apple-XML
+    -- extractor. Both engines sanitize to printable ASCII first; XML
+    -- escaping round-trips through ElementTree.
+    SELECT doc_id, 'application/vnd.apple.pages' AS mime,
+           trim('H ' || CAST(doc_id AS VARCHAR) || chr(10) || 'iwork guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ') AS parse_text,
+           CAST(length(trim('H ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'iwork guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                ' ')) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_iwork_extract(spark, sf_dir):
+    """P2 legacy iWork parse end-to-end (parse-tika slot — TikaParser.java
+    routes application/vnd.apple.* to Tika's IWorkPackageParser): every
+    row's text is wrapped into a real Pages '08-style package (zip holding
+    a GZIPPED index.xml in the sl/sf namespaces), then flows through
+    parse_binary's zip dispatch into extract_iwork_text
+    (operators/parse_tail.py). Certifies the index-entry routing, gzip
+    decode, namespace-based typing and sf:p paragraph walk on every row
+    cross-engine. Map-only at any scale."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import gzip
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        ns = (
+            '<sl:document xmlns:sl="http://developer.apple.com/namespaces/sl" '
+            'xmlns:sf="http://developer.apple.com/namespaces/sf">'
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "iwork guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>' + ns
+                    + "<sf:text-storage><sf:text-body>"
+                    + f"<sf:p>H {doc_id}</sf:p>"
+                    + f"<sf:p>{escape(body)}</sf:p>"
+                    + "</sf:text-body></sf:text-storage></sl:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                    z.writestr("index.xml.gz", gzip.compress(xml.encode()))
+                    z.writestr("buildVersionHistory.plist", "<plist/>")
+                rows.append(
+                    {
+                        "url": f"http://doc{doc_id}.com/x.pages",
+                        "content": buf.getvalue(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
