@@ -139,6 +139,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # ODT/EPUB round-trips: two chained Python stages, no shuffle between
     "p2_odt_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     "p2_epub_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    "p2_wpd_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    "p2_iwork_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     # chunking: split → sequence → explode → slice, all JVM — no shuffle
     "dp_chunking": [[r"Generate|Explode"], [r"Exchange", r"Join", r"MapInPandas|mapInPandas"]],
     # politeness fetch: ONE host-keyed exchange lays out the fetchlist, the
