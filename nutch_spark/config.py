@@ -62,6 +62,11 @@ class NutchConfig:
     # opt-in like the reference (parse-js is not in default plugin.includes)
     parse_js_filter: bool = False  # parse.js.enabled (our activation switch)
 
+    # --- parsefilter-debug (DebugParseFilter.java) -----------------------------
+    # opt-in like the reference (activated by plugin.includes there); stores
+    # the re-serialized markup under parse meta key "DOM"
+    parse_debug_dom: bool = False  # parse.debug.dom (our activation switch)
+
     # --- fetcher (fetcher/Fetcher.java, conf/nutch-default.xml) ----------------
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
     http_agent_name: str = "nutch-spark"  # http.agent.name ("" = refuse fetch)
@@ -178,6 +183,7 @@ PROPERTY_MAP = {
     "db.ignore.external.links.mode": "ignore_external_links_mode",
     "metatags.names": "metatags_names",
     "parse.js.enabled": "parse_js_filter",
+    "parse.debug.dom": "parse_debug_dom",
     "http.content.limit": "http_content_limit",
     "http.agent.name": "http_agent_name",
     "http.redirect.max": "redirect_max",

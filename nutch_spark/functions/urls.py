@@ -1010,3 +1010,70 @@ def registrable_domain_py(host: str) -> str:
         if hit:
             return last(k + 1) if n > k else host
     return host
+
+
+def parse_slashes_file(text: str) -> dict[str, bool]:
+    """urlnormalizer-slash rule file (SlashURLNormalizer.java:60-89,
+    data/slashes.txt): ``host<sep>+`` forces a trailing slash on paths,
+    any other rule value removes it. Hosts are lowercased for matching
+    (url_host lowercases too); comment/blank lines skipped."""
+    rules: dict[str, bool] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        idx = line.find(" ")
+        if idx == -1:
+            idx = line.find("\t")
+        if idx == -1:
+            continue
+        host, rule = line[:idx].strip().lower(), line[idx + 1 :].strip()
+        if host:
+            rules[host] = rule == "+"
+    return rules
+
+
+def slash_normalize(url: Column | str, rules: dict[str, bool]) -> Column:
+    """urlnormalizer-slash (SlashURLNormalizer.java:151-210): per-host
+    trailing-slash policy. '+' hosts gain a trailing slash on non-root
+    paths UNLESS the path appears to end in an extension — the reference's
+    exact guard: paths shorter than 6 chars always qualify, otherwise the
+    LAST dot anywhere in the path sitting within the final 6 characters
+    blocks the slash. '-' hosts lose their trailing slash. Faithful
+    quirks preserved: the rebuilt URL is protocol://host+path(+?query), so
+    port, userinfo and fragment are DROPPED exactly as the reference's
+    StringBuilder rebuild drops them; root paths ('/' or empty) are
+    untouched."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not rules:
+        return c
+    add_hosts = [h for h, v in rules.items() if v]
+    rem_hosts = [h for h, v in rules.items() if not v]
+    lhost = url_host(c)
+    host_raw = F.try_parse_url(c, F.lit("HOST"))
+    proto = url_protocol(c)
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    qpart = F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(
+        F.lit("")
+    )
+    plen = F.length(path)
+    trailing = path.endswith("/")
+    # lastIndexOf('.') >= length-6 ==> the tail after the LAST dot is at
+    # most 5 chars (any chars, even slashes — the reference checks the
+    # whole path, not the basename).
+    ext_blocked = (plen >= 6) & path.rlike(r"\.[^.]{0,5}$")
+    add_ok = (
+        lhost.isin(add_hosts) & (plen > 1) & ~trailing & ~ext_blocked
+    )
+    rem_ok = lhost.isin(rem_hosts) & (plen > 1) & trailing
+    rebuilt_add = F.concat(proto, F.lit("://"), host_raw, path, F.lit("/"), qpart)
+    rebuilt_rem = F.concat(
+        proto, F.lit("://"), host_raw,
+        F.substring(path, 1, plen - 1).cast("string"), qpart,
+    )
+    return (
+        F.when(add_ok, rebuilt_add)
+        .when(rem_ok, rebuilt_rem)
+        .otherwise(c)
+    )

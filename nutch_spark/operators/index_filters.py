@@ -553,3 +553,33 @@ def replace_fields_scoped(
                 .otherwise(base),
             )
     return out
+
+
+def arbitrary_fields(doc: DataFrame, adds: list[dict]) -> DataFrame:
+    """index-arbitrary (ArbitraryIndexingFilter.java:153-260): user-defined
+    per-document field values. The reference reflection-loads
+    ``index.arbitrary.function.N.class``/``.method`` and sets (overwrite) or
+    adds (append → multi-valued) the returned value; the Spark-first
+    equivalent takes the user's logic as a Column expression, a SQL string,
+    or a callable(DataFrame) -> Column over the document's fields — the
+    same power as the reference's allFieldsAccess constructor, minus the
+    JVM classloading. Each spec: {"field": name, "expr": Column|str|callable,
+    "overwrite": bool (default False, like the reference)}. With
+    overwrite=False and an existing column, the new value is appended and
+    the field becomes multi-valued (NutchDocument.add semantics)."""
+    from pyspark.sql import types as T
+
+    for spec in adds:
+        name = spec["field"]
+        expr = spec["expr"]
+        if isinstance(expr, str):
+            expr = F.expr(expr)
+        elif callable(expr) and not isinstance(expr, Column):
+            expr = expr(doc)
+        if spec.get("overwrite", False) or name not in doc.columns:
+            doc = doc.withColumn(name, expr)
+        elif isinstance(doc.schema[name].dataType, T.ArrayType):
+            doc = doc.withColumn(name, F.concat(F.col(name), F.array(expr)))
+        else:
+            doc = doc.withColumn(name, F.array(F.col(name), expr))
+    return doc

@@ -184,6 +184,56 @@ class _Extractor(HTMLParser):
                 self.outlinks[idx][1].append(data)
 
 
+class _Reserializer(HTMLParser):
+    """Event-stream re-serializer for parsefilter-debug: emits normalized
+    markup (lowercased tags, double-quoted escaped attributes, entity-escaped
+    text) from whatever tag soup came in."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+
+    @staticmethod
+    def _esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def _fmt(self, tag: str, attrs) -> str:
+        parts = [tag]
+        for k, v in attrs:
+            parts.append(
+                f'{k}="{(v or "").replace("&", "&amp;").replace(chr(34), "&quot;")}"'
+            )
+        return " ".join(parts)
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        self.out.append(f"<{self._fmt(tag, attrs)}>")
+
+    def handle_startendtag(self, tag, attrs):  # noqa: D102
+        self.out.append(f"<{self._fmt(tag, attrs)}/>")
+
+    def handle_endtag(self, tag):  # noqa: D102
+        self.out.append(f"</{tag}>")
+
+    def handle_data(self, data):  # noqa: D102
+        self.out.append(self._esc(data))
+
+    def handle_comment(self, data):  # noqa: D102
+        self.out.append(f"<!--{data}-->")
+
+    def handle_decl(self, decl):  # noqa: D102
+        self.out.append(f"<!{decl}>")
+
+
+def _reserialize_markup(content: str) -> str:
+    r = _Reserializer()
+    try:
+        r.feed(content)
+        r.close()
+    except Exception:  # noqa: BLE001 — emit what was seen
+        pass
+    return "".join(r.out)
+
+
 def _ws_norm(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
@@ -251,6 +301,12 @@ def parse_html_page(
     for name, values in ex.metatags.items():
         if "*" in wanted or name in wanted:
             meta["metatag." + name] = "\t".join(values)
+    # parsefilter-debug (DebugParseFilter.java:45-52): serialize the parsed
+    # markup into parse meta "DOM". The reference saves the DOM tree via
+    # DomUtil.saveDom; our parser is event-based, so the stored form is the
+    # normalized re-emission of the event stream (balanced as received).
+    if cfg.parse_debug_dom:
+        meta["DOM"] = _reserialize_markup(content)
     return {
         "title": _ws_norm("".join(ex.title_parts)),
         "text": _ws_norm(" ".join(ex.text_parts)),

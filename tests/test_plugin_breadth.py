@@ -307,3 +307,90 @@ def test_url_filter_predicate_lambda_autodetected_without_inline_flag(spark):
         ).alias("kept")
     ).collect()[0]["kept"]
     assert kept == ["http://ok.com/a"]
+
+
+def test_slash_normalizer_plugin_data_file(spark):
+    """urlnormalizer-slash over the plugin's OWN data file
+    (urlnormalizer-slash/data/slashes.txt): www.example.org gains trailing
+    slashes (unless the path looks extension-terminated), www.example.net
+    loses them; unlisted hosts and root paths untouched. Faithful quirks:
+    the rebuild drops port/fragment (SlashURLNormalizer.java:171-205)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import parse_slashes_file, slash_normalize
+
+    rules = parse_slashes_file(
+        open("/root/reference/src/plugin/urlnormalizer-slash/data/slashes.txt").read()
+    )
+    assert rules == {"www.example.org": True, "www.example.net": False}
+    vectors = [
+        ("http://www.example.org/path", "http://www.example.org/path/"),
+        ("http://www.example.org/path/", "http://www.example.org/path/"),
+        ("http://www.example.org/a?q=1", "http://www.example.org/a/?q=1"),
+        # extension within the final 6 chars blocks the added slash
+        ("http://www.example.org/page.html", "http://www.example.org/page.html"),
+        # short paths (< 6 chars) always qualify, even with a dot
+        ("http://www.example.org/a.db", "http://www.example.org/a.db/"),
+        # dot further than 6 chars from the end does not block
+        ("http://www.example.org/file.verylongext",
+         "http://www.example.org/file.verylongext/"),
+        # root path untouched
+        ("http://www.example.org/", "http://www.example.org/"),
+        ("http://www.example.net/path/", "http://www.example.net/path"),
+        ("http://www.example.net/path", "http://www.example.net/path"),
+        ("http://www.example.net/a/?q=2", "http://www.example.net/a?q=2"),
+        # unlisted host untouched
+        ("http://other.example.com/path", "http://other.example.com/path"),
+        # the reference's StringBuilder rebuild drops port and fragment
+        ("http://www.example.net:8080/x/", "http://www.example.net/x"),
+    ]
+    df = spark.createDataFrame(vectors, "url string, expected string")
+    bad = df.select(
+        "url", "expected", slash_normalize(F.col("url"), rules).alias("got")
+    ).filter("got != expected").collect()
+    assert not bad, [(r["url"], r["got"]) for r in bad]
+
+
+def test_arbitrary_indexing_filter_set_and_add(spark):
+    """index-arbitrary (ArbitraryIndexingFilter): user expressions set a new
+    field, overwrite an existing one, or append (making it multi-valued,
+    NutchDocument.add semantics)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.index_filters import arbitrary_fields
+
+    doc = spark.createDataFrame(
+        [("http://a.com/x", "hello world")], "url string, title string"
+    )
+    out = arbitrary_fields(
+        doc,
+        [
+            {"field": "wordcount", "expr": "size(split(title, ' '))"},
+            {"field": "title", "expr": F.upper("title"), "overwrite": True},
+            {"field": "title", "expr": F.lit("extra")},  # append → multi-valued
+            {"field": "hostlen", "expr": lambda d: F.length(F.col("url"))},
+        ],
+    ).collect()[0]
+    assert out["wordcount"] == 2
+    assert out["title"] == ["HELLO WORLD", "extra"]
+    assert out["hostlen"] == len("http://a.com/x")
+
+
+def test_parsefilter_debug_dom_meta():
+    """parsefilter-debug: with parse.debug.dom on, the normalized markup
+    re-serialization lands in parse meta 'DOM' (DebugParseFilter.java:45-52
+    stores DomUtil.saveDom output the same way)."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.parse_html import parse_html_page
+
+    html = "<HTML><Body class=Main>Hi &amp; <b>bye</b><br/></body></html>"
+    page = parse_html_page(
+        "http://a.com/", html, cfg=NutchConfig(parse_debug_dom=True)
+    )
+    dom = page["meta"]["DOM"]
+    assert dom == (
+        '<html><body class="Main">Hi &amp; <b>bye</b><br/></body></html>'
+    )
+    # off by default — no DOM key (the reference only runs the filter when
+    # plugin.includes activates it)
+    assert "DOM" not in parse_html_page("http://a.com/", html)["meta"]
