@@ -241,9 +241,45 @@ def _encint_encode(val: int) -> bytes:
     return bytes(reversed(groups))
 
 
-def build_chm_bytes(files: dict[str, bytes], *, language_id: int = 0x409) -> bytes:
-    """A minimal valid ITSF v3 container for fixtures: all files stored in
-    content section 0 (uncompressed), one PMGL directory chunk."""
+def build_chm_bytes(
+    files: dict[str, bytes],
+    *,
+    language_id: int = 0x409,
+    compressed_files: dict[str, bytes] | None = None,
+) -> bytes:
+    """A minimal valid ITSF v3 container for fixtures: ``files`` stored raw
+    in content section 0, ``compressed_files`` LZX-compressed into the
+    ``MSCompressed`` section-1 machinery (LZXC ControlData v2 + transform
+    ResetTable + Content blob, one reset block per 0x8000 uncompressed
+    bytes), one PMGL directory chunk."""
+    sec1_entries: list[tuple[str, int, int]] = []
+    if compressed_files:
+        from nutch_spark.functions.lzx import lzx_compress_block
+
+        sec1 = bytearray()
+        for name, blob in compressed_files.items():
+            sec1_entries.append((name, len(sec1), len(blob)))
+            sec1 += blob
+        reset_size = 0x8000
+        comp = bytearray()
+        offsets = []
+        for i in range(0, len(sec1), reset_size):
+            offsets.append(len(comp))
+            comp += lzx_compress_block(bytes(sec1[i : i + reset_size]), 16)
+        control = (
+            struct.pack("<I", 6)
+            + b"LZXC"
+            + struct.pack("<IIIII", 2, 1, 2, 0, 0)  # v2, interval 1, window 2
+        )  # units of 0x8000: reset every 32 KiB, 64 KiB window
+        reset_table = (
+            struct.pack("<IIII", 2, len(offsets), 8, 0x28)
+            + struct.pack("<QQQ", len(sec1), len(comp), reset_size)
+            + b"".join(struct.pack("<Q", o) for o in offsets)
+        )
+        files = dict(files)
+        files[_CHM_STORAGE + "ControlData"] = control
+        files[_CHM_RESET_TABLE] = reset_table
+        files[_CHM_STORAGE + "Content"] = bytes(comp)
     block_len = 0x1000
     hdr_len, sec0_len, itsp_len = 0x60, 0x18, 0x54
     dir_off = hdr_len + sec0_len
@@ -257,6 +293,12 @@ def build_chm_bytes(files: dict[str, bytes], *, language_id: int = 0x409) -> byt
         entries += _encint_encode(len(payload))
         entries += _encint_encode(len(blob))
         payload += blob
+    for name, off, ln in sec1_entries:
+        entries += _encint_encode(len(name.encode()))
+        entries += name.encode()
+        entries += _encint_encode(1)  # compressed section
+        entries += _encint_encode(off)
+        entries += _encint_encode(ln)
     chunk = b"PMGL" + struct.pack("<IIii", 0, 0, -1, -1) + bytes(entries)
     assert len(chunk) <= block_len, "fixture exceeds one directory chunk"
     chunk += b"\x00" * (block_len - len(chunk))
@@ -334,38 +376,108 @@ def parse_chm_directory(data: bytes) -> dict:
     }
 
 
+_CHM_STORAGE = "::DataSpace/Storage/MSCompressed/"
+_CHM_RESET_TABLE = (
+    _CHM_STORAGE
+    + "Transform/{7FC28940-9D31-11D0-9B27-00A0C91E9C7C}/InstanceData/ResetTable"
+)
+
+
+def _chm_section1_data(data: bytes, d: dict) -> bytes:
+    """Decompress the ``MSCompressed`` content section: LZXC ControlData
+    gives window size + reset interval (version-2 values in 0x8000-byte
+    units), the transform ResetTable gives the compressed offset of each
+    reset block, and each block decodes independently through a fresh
+    LZX state (functions/lzx.py). Returns b'' when absent/undecodable."""
+    base = d.get("content0_offset")
+    if base is None:
+        return b""
+    sec0 = {
+        name: (offset, length)
+        for name, section, offset, length in d["entries"]
+        if section == 0
+    }
+    need = (_CHM_STORAGE + "ControlData", _CHM_RESET_TABLE, _CHM_STORAGE + "Content")
+    if not all(n in sec0 for n in need):
+        return b""
+
+    def blob(name: str) -> bytes:
+        off, ln = sec0[name]
+        return data[base + off : base + off + ln]
+
+    try:
+        cd = blob(_CHM_STORAGE + "ControlData")
+        if cd[4:8] != b"LZXC":
+            return b""
+        version, reset_iv, window = struct.unpack_from("<III", cd, 8)
+        if version == 2:  # v2 fields are in 0x8000-byte units
+            reset_iv *= 0x8000
+            window *= 0x8000
+        window_bits = max(15, min(21, window.bit_length() - 1))
+        rt = blob(_CHM_RESET_TABLE)
+        _ver, nentries, _esz, hdr_len = struct.unpack_from("<IIII", rt, 0)
+        (unc_len,) = struct.unpack_from("<Q", rt, 0x10)
+        offsets = [
+            struct.unpack_from("<Q", rt, hdr_len + 8 * i)[0]
+            for i in range(nentries)
+        ]
+        comp = blob(_CHM_STORAGE + "Content")
+        from nutch_spark.functions.lzx import LzxDecoder
+
+        out = bytearray()
+        dec = LzxDecoder(window_bits)
+        for i, off in enumerate(offsets):
+            end = offsets[i + 1] if i + 1 < len(offsets) else len(comp)
+            out_len = min(reset_iv, unc_len - len(out))
+            if out_len <= 0:
+                break
+            dec.reset()
+            out += dec.decompress(comp[off:end], out_len)
+        return bytes(out)
+    except Exception:  # noqa: BLE001 — corrupt stream degrades to empty
+        return b""
+
+
 def extract_chm_text(data: bytes) -> tuple[str, str]:
-    """(mime, text) for a CHM container: directory-listed entries stored in
-    content section 0 (uncompressed) are recursively extracted (HTML pages
-    flow through the HTML text path); section-1 (LZX) content is the
-    documented gap and contributes nothing."""
+    """(mime, text) for a CHM container: the PMGL directory names every
+    entry; section-0 entries are stored raw, section-1 entries live in the
+    LZX-compressed ``MSCompressed/Content`` blob and are decompressed with
+    the from-spec decoder (functions/lzx.py) before the same recursive
+    extraction (HTML pages flow through the HTML text path)."""
     d = parse_chm_directory(data)
     if not d:
         return CHM_MIME, ""
     base = d.get("content0_offset")
+    sec1 = _chm_section1_data(data, d)
     texts: list[str] = []
-    if base is not None:
-        from nutch_spark.operators.parse_binary import _extract_text
+    from nutch_spark.operators.parse_binary import _extract_text
 
-        for name, section, offset, length in d["entries"]:
-            if section != 0 or not name or name.startswith(("::", "/$")):
-                continue
-            if length == 0 or base + offset + length > len(data):
+    for name, section, offset, length in d["entries"]:
+        if not name or name.startswith(("::", "/$")) or length == 0:
+            continue
+        if section == 0 and base is not None:
+            if base + offset + length > len(data):
                 continue
             blob = data[base + offset : base + offset + length]
-            try:
-                if name.lower().endswith((".htm", ".html")):
-                    from nutch_spark.operators.parse_html import (
-                        decode_content,
-                        parse_html_page,
-                    )
-
-                    html, _cs = decode_content(blob, "text/html")
-                    txt = parse_html_page("chm:" + name, html)["text"]
-                else:
-                    _, txt = _extract_text(blob, 2)
-            except Exception:
+        elif section == 1 and sec1:
+            if offset + length > len(sec1):
                 continue
-            if txt:
-                texts.append(txt)
+            blob = sec1[offset : offset + length]
+        else:
+            continue
+        try:
+            if name.lower().endswith((".htm", ".html")):
+                from nutch_spark.operators.parse_html import (
+                    decode_content,
+                    parse_html_page,
+                )
+
+                html, _cs = decode_content(blob, "text/html")
+                txt = parse_html_page("chm:" + name, html)["text"]
+            else:
+                _, txt = _extract_text(blob, 2)
+        except Exception:
+            continue
+        if txt:
+            texts.append(txt)
     return CHM_MIME, "\n".join(texts).strip()
