@@ -157,3 +157,39 @@ def test_chm_corrupt_compressed_section_degrades():
     chm[-40:] = b"\x00" * 40
     mime, text = extract_chm_text(bytes(chm))
     assert mime == "application/vnd.ms-htmlhelp" and text == ""
+
+
+def test_aligned_offset_block_path():
+    """Hand-rolled aligned-offset block: slot-8 match (3 extra bits) takes
+    the 0 verbatim + 3 aligned-tree bits split; aligned tree is 8 exact
+    3-bit codes. Offset = base[8] + aligned_sym - 2 = 16 → copies 'efg'."""
+    import math
+
+    from nutch_spark.functions.lzx import (
+        _BLOCK_ALIGNED,
+        _EXTRA_BITS,
+        _POSITION_BASE,
+    )
+
+    assert _EXTRA_BITS[8] == 3 and _POSITION_BASE[8] == 16
+    lits = b"abcdefghijklmnopqrst"
+    expect = lits + b"efg"
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(_BLOCK_ALIGNED, 3)
+    bw.write(len(expect) >> 8, 16)
+    bw.write(len(expect) & 0xFF, 8)
+    for _ in range(8):
+        bw.write(3, 3)  # aligned tree: all length 3
+    n_main = 256 + 8 * _position_slots(16)
+    main = [9] * 256 + [0] * (n_main - 256)
+    main[256] = 2
+    main[321] = 2  # slot 8, length header 1 -> match length 3
+    _write_tree(bw, main[:256], [0] * 256)
+    _write_tree(bw, main[256:], [0] * (n_main - 256))
+    _write_zero_lengths(bw, 249)
+    for ch in lits:
+        bw.write((0b10 << 7) + ch, 9)
+    bw.write(0b01, 2)  # canonical len-2 codes: sym 256 -> 00, sym 321 -> 01
+    bw.write(2, 3)  # aligned symbol 2
+    assert LzxDecoder(16).decompress(bw.bytes(), len(expect)) == expect
