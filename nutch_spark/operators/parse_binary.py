@@ -844,6 +844,8 @@ _OOXML_MARKERS = {
 # (a crawler must never let one hostile archive own an executor)
 _ZIP_MAX_ENTRIES = 100
 _ZIP_MAX_ENTRY_BYTES = 1 << 20
+# single-file compressor (gz/bz2/xz) decompressed-payload cap
+_COMPRESSOR_MAX_BYTES = 4 << 20
 
 
 def _extract_zip_members(data: bytes, depth: int) -> str:
@@ -927,11 +929,56 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.parse_tail import extract_chm_text
 
         return extract_chm_text(data)
-    # fall back to plain text for decodable bytes
+    # single-file compressors (Tika's CompressorParser slot): bounded
+    # decompress, then re-dispatch on the inner payload's magic. The
+    # depth guard caps compressor nesting like the zip path; the size cap
+    # stops decompression bombs from owning an executor.
+    comp_mime = None
+    if data[:2] == b"\x1f\x8b":
+        comp_mime = "application/gzip"
+    elif data[:3] == b"BZh" and len(data) > 4 and data[3:4].isdigit():
+        comp_mime = "application/x-bzip2"
+    elif data[:6] == b"\xfd7zXZ\x00":
+        comp_mime = "application/x-xz"
+    if comp_mime and depth < 2:
+        inner = None
+        try:
+            if comp_mime == "application/gzip":
+                import gzip as _gzip
+
+                with _gzip.GzipFile(fileobj=BytesIO(data)) as gz:
+                    inner = gz.read(_COMPRESSOR_MAX_BYTES + 1)
+            elif comp_mime == "application/x-bzip2":
+                import bz2 as _bz2
+
+                inner = _bz2.BZ2Decompressor().decompress(
+                    data, _COMPRESSOR_MAX_BYTES + 1
+                )
+            else:
+                import lzma as _lzma
+
+                inner = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ).decompress(
+                    data, _COMPRESSOR_MAX_BYTES + 1
+                )
+        except Exception:  # noqa: BLE001 — corrupt member → mime only
+            inner = None
+        if inner is not None and 0 < len(inner) <= _COMPRESSOR_MAX_BYTES:
+            _, text = _extract_text(inner, depth + 1)
+            return comp_mime, text
+        return comp_mime, ""
+    # fall back to plain text for decodable bytes; clearly-HTML payloads
+    # (inside compressors/archives — standalone HTML never reaches this
+    # dispatcher) go through the HTML text extractor instead
     try:
-        return "text/plain", data.decode("utf-8").strip()
+        decoded = data.decode("utf-8").strip()
     except UnicodeDecodeError:
         return "application/octet-stream", ""
+    sniff = decoded[:256].lstrip().lower()
+    if sniff.startswith(("<!doctype html", "<html")):
+        from nutch_spark.operators.parse_html import parse_html_page
+
+        return "text/html", parse_html_page("container:member", decoded)["text"]
+    return "text/plain", decoded
 
 
 PARSE_BINARY_SCHEMA = T.StructType(

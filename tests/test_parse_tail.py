@@ -155,3 +155,34 @@ def test_detect_mime_magic_for_new_formats(spark):
     }
     assert got["http://a.com/doc.wpd"] == WPD_MIME
     assert got["http://a.com/help.chm"] == CHM_MIME
+
+
+def test_compressor_dispatch_gz_bz2_xz():
+    """Single-file compressors (Tika CompressorParser slot): bounded
+    decompress then re-dispatch on the inner magic; HTML payloads flow
+    through the HTML text extractor; bombs and corrupt members degrade to
+    mime-only."""
+    import bz2
+    import gzip
+    import lzma
+
+    html = b"<html><body><p>inner page text</p></body></html>"
+    assert extract_text(gzip.compress(html)) == ("application/gzip", "inner page text")
+    assert extract_text(bz2.compress(b"plain inner text")) == (
+        "application/x-bzip2",
+        "plain inner text",
+    )
+    assert extract_text(lzma.compress(html, format=lzma.FORMAT_XZ)) == (
+        "application/x-xz",
+        "inner page text",
+    )
+    # a compressed WordPerfect document re-dispatches into the WPD path
+    assert extract_text(gzip.compress(build_wpd_bytes("zipped wpd body"))) == (
+        "application/gzip",
+        "zipped wpd body",
+    )
+    # depth guard: double-wrapped still extracts (2 levels allowed)
+    assert extract_text(gzip.compress(gzip.compress(b"deep text")))[1] == "deep text"
+    # decompression bomb and corrupt stream: mime only, no text, no error
+    assert extract_text(gzip.compress(b"\x00" * (10 << 20))) == ("application/gzip", "")
+    assert extract_text(b"\x1f\x8b\x08garbage") == ("application/gzip", "")
