@@ -339,37 +339,52 @@ def _write_zero_lengths(bw: _BitWriter, count: int) -> None:
 
 
 def lzx_compress_block(
-    data: bytes, window_bits: int = 16, *, intel_filesize: int = 0
+    data: bytes,
+    window_bits: int = 16,
+    *,
+    intel_filesize: int = 0,
+    first: bool = True,
+    prev_literal_len: int = 0,
 ) -> bytes:
     """One spec-conformant verbatim LZX block encoding ``data`` with
     literal-only Huffman coding (every literal 8 bits — an exact canonical
     code; match symbols and the length tree are declared all-zero through
     real pretrees). Decodes with any conforming LZX decoder. A non-zero
     ``intel_filesize`` sets the E8 translation header (the caller supplies
-    already-translated bytes; the decoder undoes the translation)."""
+    already-translated bytes; the decoder undoes the translation).
+
+    For continuation blocks of the SAME stream (e.g. per-CFDATA frames in
+    a cabinet folder), pass ``first=False`` (the E8 header appears once
+    per stream) and ``prev_literal_len`` = the previous block's literal
+    path length (8) so the delta-coded tree update is correct."""
     if not data:
         raise ValueError("empty input")
     bw = _BitWriter()
-    if intel_filesize:
-        bw.write(1, 1)
-        bw.write(intel_filesize >> 16, 16)
-        bw.write(intel_filesize & 0xFFFF, 16)
-    else:
-        bw.write(0, 1)  # no E8 translation
+    if first:
+        if intel_filesize:
+            bw.write(1, 1)
+            bw.write(intel_filesize >> 16, 16)
+            bw.write(intel_filesize & 0xFFFF, 16)
+        else:
+            bw.write(0, 1)  # no E8 translation
     bw.write(_BLOCK_VERBATIM, 3)
     bw.write(len(data) >> 8, 16)
     bw.write(len(data) & 0xFF, 8)
-    # main tree part 1: 256 literal lengths, all 8. Delta from prev=0:
-    # code c with (0 + 17 - c) % 17 == 8 -> c = 9. Pretree: symbol 9 only.
+    # main tree part 1: 256 literal lengths, all 8, delta-coded vs the
+    # previous tree: code c with (prev + 17 - c) % 17 == 8. Pretree: that
+    # single symbol at 1 bit.
+    delta = (prev_literal_len + 17 - 8) % 17
     for sym in range(20):
-        bw.write(1 if sym == 9 else 0, 4)
+        bw.write(1 if sym == delta else 0, 4)
     for _ in range(256):
-        bw.write(0, 1)  # symbol 9's 1-bit code
+        bw.write(0, 1)  # the delta symbol's 1-bit code
     # main tree part 2 (8 * slots match headers) + length tree: all zero
     _write_zero_lengths(bw, 8 * _position_slots(window_bits))
     _write_zero_lengths(bw, 249)
-    for b in data:
+    for i, b in enumerate(data):
         bw.write(b, 8)  # canonical 8-bit code of literal b IS b
+        if (i + 1) % FRAME == 0:  # 16-bit realignment at each 32 KiB frame
+            bw.align16()
     return bw.bytes()
 
 

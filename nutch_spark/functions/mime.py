@@ -38,6 +38,7 @@ _MAGIC_HEX = [
     ("7B5C727466", "application/rtf"),     # {\rtf
     ("FF575043", "application/vnd.wordperfect"),  # \xFFWPC prefix header
     ("49545346", "application/vnd.ms-htmlhelp"),  # ITSF (compiled HTML help)
+    ("4D534346", "application/vnd.ms-cab-compressed"),  # MSCF cabinet
     ("252150532D", "application/postscript"),  # %!PS-
     ("7F454C46", "application/x-executable"),  # \x7fELF
     ("CAFEBABE", "application/java-vm"),

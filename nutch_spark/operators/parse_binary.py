@@ -929,6 +929,10 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.parse_tail import extract_chm_text
 
         return extract_chm_text(data)
+    if data[:4] == b"MSCF":
+        from nutch_spark.operators.parse_tail import extract_cab_text
+
+        return extract_cab_text(data)
     # single-file compressors (Tika's CompressorParser slot): bounded
     # decompress, then re-dispatch on the inner payload's magic. The
     # depth guard caps compressor nesting like the zip path; the size cap

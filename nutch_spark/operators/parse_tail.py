@@ -21,10 +21,16 @@ highest-value slices of that tail from the PUBLIC container specifications:
   fallback). Encrypted documents (non-zero key in the prefix header) degrade
   to mime-only, like encrypted PDFs/Office files elsewhere in the repo.
 - CHM (ITSF) containers: the ITSF/ITSP headers and the PMGL directory
-  listing are parsed (names are stored uncompressed); entries stored in
-  content section 0 (the uncompressed section) are recursively text-
-  extracted. Section-1 content is LZX-compressed and stays a documented
-  gap — the directory walk still yields the entry inventory.
+  listing are parsed (names are stored uncompressed); section-0 entries
+  are read raw and section-1 entries decompress through the from-spec LZX
+  decoder (functions/lzx.py) driven by the LZXC ControlData + transform
+  ResetTable, reset block by reset block; every entry then recursively
+  text-extracts.
+- CAB ([MS-CAB]) cabinets: CFHEADER/CFFOLDER/CFFILE/CFDATA walk with all
+  three common codecs — stored, MSZIP (per-frame raw deflate with LZ77
+  history carried via the previous frame as zlib dictionary) and LZX (one
+  continuous stream across CFDATA blocks); members route through the same
+  recursive dispatch as zip entries.
 """
 
 from __future__ import annotations
@@ -481,3 +487,197 @@ def extract_chm_text(data: bytes) -> tuple[str, str]:
         if txt:
             texts.append(txt)
     return CHM_MIME, "\n".join(texts).strip()
+
+
+# --------------------------------------------------------------------------
+# CAB
+# --------------------------------------------------------------------------
+
+CAB_MIME = "application/vnd.ms-cab-compressed"
+
+
+def parse_cab(data: bytes) -> list[tuple[str, bytes]]:
+    """Parse a Microsoft cabinet ([MS-CAB]): CFHEADER/CFFOLDER/CFFILE/
+    CFDATA. Folder payloads decompress per typeCompress — 0 stored,
+    1 MSZIP (per-frame raw deflate, 'CK' signature, LZ77 history carried
+    across frames via the previous frame as dictionary), 3|bits<<8 LZX
+    (one continuous stream across CFDATA blocks → functions/lzx.py).
+    Returns [(name, bytes)] for every extractable member; a folder that
+    fails to decompress drops only its own files."""
+    import zlib
+
+    if data[:4] != b"MSCF" or len(data) < 36:
+        return []
+    (coff_files,) = struct.unpack_from("<I", data, 16)
+    c_folders, c_files, flags = struct.unpack_from("<HHH", data, 26)
+    pos = 36
+    cb_cfdata_reserve = 0
+    if flags & 0x0004:  # optional per-structure reserve areas
+        cb_header, cb_folder_res, cb_cfdata_reserve = struct.unpack_from(
+            "<HBB", data, 36
+        )
+        pos = 40 + cb_header
+    else:
+        cb_folder_res = 0
+    folders = []
+    for _ in range(c_folders):
+        start, n_blocks, ctype = struct.unpack_from("<IHH", data, pos)
+        folders.append((start, n_blocks, ctype))
+        pos += 8 + cb_folder_res
+    files = []
+    pos = coff_files
+    for _ in range(c_files):
+        cb_file, uoff, ifolder = struct.unpack_from("<IIH", data, pos)
+        pos += 16
+        end = data.index(b"\x00", pos)
+        raw_name = data[pos:end]
+        pos = end + 1
+        try:
+            name = raw_name.decode("utf-8")
+        except UnicodeDecodeError:
+            name = raw_name.decode("latin-1")
+        files.append((name, cb_file, uoff, ifolder))
+
+    def folder_bytes(start: int, n_blocks: int, ctype: int) -> bytes:
+        frames: list[bytes] = []
+        p = start
+        for _ in range(n_blocks):
+            _csum, cb_data, cb_uncomp = struct.unpack_from("<IHH", data, p)
+            p += 8 + cb_cfdata_reserve
+            frames.append((data[p : p + cb_data], cb_uncomp))
+            p += cb_data
+        method = ctype & 0x000F
+        if method == 0:  # stored
+            return b"".join(f for f, _ in frames)
+        if method == 1:  # MSZIP
+            out = bytearray()
+            prev = b""
+            for payload, cb_uncomp in frames:
+                if payload[:2] != b"CK":
+                    raise ValueError("bad MSZIP signature")
+                d = (
+                    zlib.decompressobj(-15, zdict=prev)
+                    if prev
+                    else zlib.decompressobj(-15)
+                )
+                cur = d.decompress(payload[2:], cb_uncomp)
+                out += cur
+                prev = cur
+            return bytes(out)
+        if method == 3:  # LZX; window bits ride the high byte
+            from nutch_spark.functions.lzx import LzxDecoder
+
+            total = sum(u for _, u in frames)
+            joined = b"".join(f for f, _ in frames)
+            return LzxDecoder(ctype >> 8).decompress(joined, total)
+        raise ValueError(f"unsupported CAB compression {method}")
+
+    out: list[tuple[str, bytes]] = []
+    cache: dict[int, bytes | None] = {}
+    for name, cb_file, uoff, ifolder in files:
+        if ifolder >= len(folders):
+            continue
+        if ifolder not in cache:
+            try:
+                cache[ifolder] = folder_bytes(*folders[ifolder])
+            except Exception:  # noqa: BLE001 — bad folder → skip its files
+                cache[ifolder] = None
+        blob = cache[ifolder]
+        if blob is None or uoff + cb_file > len(blob):
+            continue
+        out.append((name, blob[uoff : uoff + cb_file]))
+    return out
+
+
+def extract_cab_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for a cabinet: members route through the same
+    recursive dispatch as zip entries ('entryname text' per member, like
+    parse-zip's ZipTextExtractor)."""
+    from nutch_spark.operators.parse_binary import _extract_text
+
+    texts: list[str] = []
+    for name, blob in parse_cab(data)[:100]:
+        try:
+            _, txt = _extract_text(blob, 2)
+        except Exception:  # noqa: BLE001
+            continue
+        if txt:
+            texts.append(f"{name} {txt}")
+    return CAB_MIME, "\n".join(texts).strip()
+
+
+def build_cab_bytes(
+    files: dict[str, bytes], *, compression: str = "lzx"
+) -> bytes:
+    """A minimal single-folder cabinet for fixtures, compressed with
+    'none', 'mszip' (real zlib raw-deflate frames with history carry) or
+    'lzx' (functions/lzx.py literal blocks, window 2^16)."""
+    import zlib
+
+    folder_data = bytearray()
+    file_entries = []
+    for name, blob in files.items():
+        file_entries.append((name, len(blob), len(folder_data)))
+        folder_data += blob
+    frames: list[tuple[bytes, int]] = []
+    if compression == "none":
+        ctype = 0
+        for i in range(0, max(1, len(folder_data)), 0x8000):
+            chunk = bytes(folder_data[i : i + 0x8000])
+            frames.append((chunk, len(chunk)))
+    elif compression == "mszip":
+        ctype = 1
+        prev = b""
+        for i in range(0, max(1, len(folder_data)), 0x8000):
+            chunk = bytes(folder_data[i : i + 0x8000])
+            c = (
+                zlib.compressobj(6, zlib.DEFLATED, -15, zdict=prev)
+                if prev
+                else zlib.compressobj(6, zlib.DEFLATED, -15)
+            )
+            frames.append((b"CK" + c.compress(chunk) + c.flush(), len(chunk)))
+            prev = chunk
+    elif compression == "lzx":
+        from nutch_spark.functions.lzx import lzx_compress_block
+
+        ctype = 3 | (16 << 8)
+        # one continuous stream, one CFDATA per 32 KiB frame (cbData is
+        # u16): continuation blocks carry tree deltas vs the previous one
+        first = True
+        for i in range(0, max(1, len(folder_data)), 0x8000):
+            chunk = bytes(folder_data[i : i + 0x8000])
+            frames.append(
+                (
+                    lzx_compress_block(
+                        chunk, 16, first=first,
+                        prev_literal_len=0 if first else 8,
+                    ),
+                    len(chunk),
+                )
+            )
+            first = False
+    else:
+        raise ValueError(compression)
+    cfdata = b"".join(
+        struct.pack("<IHH", 0, len(payload), uncomp) + payload
+        for payload, uncomp in frames
+    )
+    cffile = b""
+    for name, cb, uoff in file_entries:
+        cffile += struct.pack("<IIHHHH", cb, uoff, 0, 0x5A21, 0x5A21, 0x20)
+        cffile += name.encode() + b"\x00"
+    coff_files = 36 + 8  # header + one folder entry
+    coff_data = coff_files + len(cffile)
+    header = (
+        b"MSCF"
+        + struct.pack("<I", 0)
+        + struct.pack("<I", coff_data + len(cfdata))
+        + struct.pack("<I", 0)
+        + struct.pack("<I", coff_files)
+        + struct.pack("<I", 0)
+        + bytes([3, 1])  # version 1.3
+        + struct.pack("<HHHHH", 1, len(file_entries), 0, 0x1234, 0)
+    )
+    assert len(header) == 36
+    cffolder = struct.pack("<IHH", coff_data, len(frames), ctype)
+    return header + cffolder + cffile + cfdata

@@ -186,3 +186,44 @@ def test_compressor_dispatch_gz_bz2_xz():
     # decompression bomb and corrupt stream: mime only, no text, no error
     assert extract_text(gzip.compress(b"\x00" * (10 << 20))) == ("application/gzip", "")
     assert extract_text(b"\x1f\x8b\x08garbage") == ("application/gzip", "")
+
+
+def test_cab_all_codecs_round_trip():
+    """[MS-CAB] cabinets: stored, MSZIP (deflate with history carry) and
+    LZX folders all extract; members route through the recursive dispatch
+    (HTML member -> HTML text path). Multi-frame folders (> 32 KiB) prove
+    the MSZIP zdict carry and the LZX cross-CFDATA tree-delta stream."""
+    from nutch_spark.operators.parse_tail import (
+        CAB_MIME,
+        build_cab_bytes,
+        parse_cab,
+    )
+
+    files = {
+        "readme.txt": b"cab readme text",
+        "page.html": b"<html><body><p>cab html body</p></body></html>",
+    }
+    for comp in ("none", "mszip", "lzx"):
+        cab = build_cab_bytes(files, compression=comp)
+        assert dict(parse_cab(cab)) == files
+        mime, text = extract_text(cab)
+        assert mime == CAB_MIME
+        assert "readme.txt cab readme text" in text
+        assert "cab html body" in text and "<p>" not in text
+    big = {"big.txt": b"repetitive cab content line\n" * 2500}
+    for comp in ("mszip", "lzx"):
+        cab = build_cab_bytes(big, compression=comp)
+        assert dict(parse_cab(cab)) == big
+
+
+def test_cab_garbage_safe():
+    from nutch_spark.operators.parse_tail import parse_cab
+
+    assert parse_cab(b"MSCF" + b"\x00" * 8) == []
+    assert parse_cab(b"not a cab at all") == []
+    # corrupt folder drops its files without raising
+    from nutch_spark.operators.parse_tail import build_cab_bytes
+
+    cab = bytearray(build_cab_bytes({"/a.txt": b"text body here"}, compression="mszip"))
+    cab[-10:] = b"\x00" * 10
+    assert parse_cab(bytes(cab)) == []
