@@ -9,10 +9,12 @@ highest-value slices of that tail from the PUBLIC container specifications:
 
 - iWork '05-'09 packages are zip archives holding an ``index.xml`` /
   ``index.apxl`` (optionally gzipped) Apple-XML document; text lives in
-  ``sf:p`` paragraphs. iWork '13+ bundles (``Index/*.iwa``, snappy-framed
-  protobuf) are detected and typed the way Tika's IWork13PackageParser does
-  (distinguishing entry names) but not text-extracted — that would need the
-  IWA protobuf schema, which stays behind the documented seam.
+  ``sf:p`` paragraphs. iWork '13+ bundles (``Index/*.iwa``) are typed the
+  way Tika's IWork13PackageParser does (distinguishing entry names) AND
+  text-swept: the .iwa parts decode through a from-spec raw-snappy
+  decompressor and a protobuf wire-format walk that collects prose-like
+  string fields (the IWA SCHEMA is unpublished, so the sweep is
+  structural — documented heuristic; Tika extracts no '13 text at all).
 - WordPerfect 5.x/6.x+ documents ("\\xFFWPC" prefix header) get best-effort
   body-text extraction: literals pass through, single-byte function codes map
   to their spacing equivalents, fixed/variable multi-byte function groups are
@@ -88,15 +90,16 @@ def extract_iwork_text(data: bytes) -> tuple[str, str]:
     Legacy packages: gunzip the index entry if needed, then collect the
     ``sf:p`` paragraph texts (any iWork dialect uses the shared sf text
     namespace) in document order, newline-joined. The root element's
-    namespace decides the mime. '13+ bundles return their mime with empty
-    text (IWA decode stays behind the documented seam)."""
+    namespace decides the mime. '13+ bundles are typed from their entry
+    names and text-swept through the snappy + protobuf walk
+    (:func:`iwork13_text`)."""
     try:
         with zipfile.ZipFile(BytesIO(data)) as z:
             names = z.namelist()
             entry = iwork_index_entry(names)
             if entry is None:
                 if is_iwork13(names):
-                    return iwork13_mime(names), ""
+                    return iwork13_mime(names), iwork13_text(data)
                 return "application/zip", ""
             xml = z.read(entry)
     except (zipfile.BadZipFile, KeyError, OSError):
@@ -681,3 +684,186 @@ def build_cab_bytes(
     assert len(header) == 36
     cffolder = struct.pack("<IHH", coff_data, len(frames), ctype)
     return header + cffolder + cffile + cfdata
+
+
+# --------------------------------------------------------------------------
+# iWork '13+ IWA (snappy-framed protobuf)
+# --------------------------------------------------------------------------
+
+
+def snappy_decompress(block: bytes) -> bytes:
+    """Raw snappy block decode (the public format: varint uncompressed
+    length, then literal/copy tags). iWork .iwa chunks use exactly this
+    block format without the framing-stream wrapper."""
+    # varint preamble
+    n, i, shift = 0, 0, 0
+    while True:
+        if i >= len(block):
+            raise ValueError("truncated snappy preamble")
+        b = block[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    out = bytearray()
+    while i < len(block) and len(out) < n:
+        tag = block[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60-63: length in the next 1-4 LE bytes
+                nb = ln - 59
+                ln = int.from_bytes(block[i : i + nb], "little")
+                i += nb
+            ln += 1
+            out += block[i : i + ln]
+            i += ln
+        else:
+            if kind == 1:  # 1-byte offset copy
+                ln = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | block[i]
+                i += 1
+            elif kind == 2:  # 2-byte offset copy
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(block[i : i + 2], "little")
+                i += 2
+            else:  # 4-byte offset copy
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(block[i : i + 4], "little")
+                i += 4
+            if off == 0 or off > len(out):
+                raise ValueError("snappy copy before stream start")
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != n:
+        raise ValueError("snappy output length mismatch")
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """All-literal snappy block (valid per the spec) for fixtures."""
+    out = bytearray()
+    n = len(data)
+    while n:  # varint length preamble
+        out.append((n & 0x7F) | (0x80 if n > 0x7F else 0))
+        n >>= 7
+    if not data:
+        out.append(0)
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+        i += len(chunk)
+    return bytes(out)
+
+
+def iwa_chunks(data: bytes) -> list[bytes]:
+    """Split an .iwa file into its decompressed chunks: each is a 4-byte
+    header (type 0x00 + uint24le length) followed by a raw snappy block."""
+    chunks: list[bytes] = []
+    i = 0
+    while i + 4 <= len(data):
+        ctype = data[i]
+        ln = int.from_bytes(data[i + 1 : i + 4], "little")
+        i += 4
+        if ctype != 0 or i + ln > len(data):
+            break
+        try:
+            chunks.append(snappy_decompress(data[i : i + ln]))
+        except ValueError:
+            pass
+        i += ln
+    return chunks
+
+
+def _proto_strings(buf: bytes, depth: int = 0, out: list[str] | None = None) -> list[str]:
+    """Best-effort sweep of a protobuf wire message for human text: walk
+    the tag/wire-type structure, recurse into length-delimited fields that
+    parse as messages, and keep UTF-8 payloads that look like prose. The
+    IWA protobuf SCHEMA is unpublished, so this is a structural sweep of
+    the published wire format — enough to surface TSWP text storage."""
+    if out is None:
+        out = []
+    if depth > 6:
+        return out
+    i = 0
+    while i < len(buf):
+        # varint key
+        key, shift = 0, 0
+        start = i
+        while i < len(buf):
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        else:
+            return out
+        if shift > 35 or i == start:
+            return out
+        wire = key & 7
+        if wire == 0:  # varint
+            while i < len(buf) and buf[i] & 0x80:
+                i += 1
+            i += 1
+        elif wire == 1:
+            i += 8
+        elif wire == 5:
+            i += 4
+        elif wire == 2:
+            ln, shift = 0, 0
+            while i < len(buf):
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            if ln < 0 or i + ln > len(buf):
+                return out
+            payload = buf[i : i + ln]
+            i += ln
+            try:
+                text = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                text = None
+            if (
+                text
+                and len(text) >= 3
+                and text.isprintable()
+                and any(c.isalpha() for c in text)
+                and sum(c.isalnum() or c in " .,;:!?'\"-()" for c in text)
+                >= 0.9 * len(text)
+            ):
+                out.append(text)
+            elif ln >= 2:
+                _proto_strings(payload, depth + 1, out)
+        else:
+            return out  # wire types 3/4 (groups) unused in IWA
+    return out
+
+
+def iwork13_text(data: bytes) -> str:
+    """Text sweep of a '13+ iWork bundle: decompress every Index/*.iwa
+    part (bounded) and collect prose-like protobuf string fields in
+    bundle order. Exceeds Tika here (its IWork13PackageParser types the
+    bundle but extracts no text)."""
+    texts: list[str] = []
+    try:
+        with zipfile.ZipFile(BytesIO(data)) as z:
+            for info in z.infolist()[:200]:
+                if not (
+                    info.filename.startswith("Index/")
+                    and info.filename.endswith(".iwa")
+                    and info.file_size <= (8 << 20)
+                ):
+                    continue
+                for chunk in iwa_chunks(z.read(info.filename)):
+                    texts.extend(_proto_strings(chunk))
+    except (zipfile.BadZipFile, OSError):
+        return ""
+    return "\n".join(texts).strip()

@@ -227,3 +227,52 @@ def test_cab_garbage_safe():
     cab = bytearray(build_cab_bytes({"/a.txt": b"text body here"}, compression="mszip"))
     cab[-10:] = b"\x00" * 10
     assert parse_cab(bytes(cab)) == []
+
+
+def test_snappy_round_trip_and_copy_tags():
+    from nutch_spark.operators.parse_tail import (
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    for payload in (b"short", b"x" * 500, bytes(range(256))):
+        assert snappy_decompress(snappy_compress_literal(payload)) == payload
+    # hand-rolled 1-byte-offset copy: "abcd" + copy(off=4, len=4)
+    blk = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([1, 4])
+    assert snappy_decompress(blk) == b"abcdabcd"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes([8, 1, 4]))  # copy before stream start
+
+
+def test_iwork13_iwa_text_sweep():
+    """'13+ bundle: .iwa chunks (snappy-framed protobuf) decode and the
+    wire-format walk surfaces prose string fields — more than Tika's
+    IWork13PackageParser (type-only) manages."""
+    from nutch_spark.operators.parse_tail import snappy_compress_literal
+
+    def pb_string(field, s):
+        b = s.encode()
+        return bytes([(field << 3) | 2, len(b)]) + b
+
+    inner = (
+        pb_string(3, "Hello from Pages thirteen.")
+        + bytes([(1 << 3) | 0, 5])  # a varint field between the strings
+        + pb_string(7, "Second paragraph of text")
+    )
+    outer = (
+        bytes([(2 << 3) | 2, len(inner)])
+        + inner
+        + bytes([(4 << 3) | 5])
+        + b"\x01\x02\x03\x04"  # fixed32 noise
+    )
+    snapped = snappy_compress_literal(outer)
+    iwa = b"\x00" + len(snapped).to_bytes(3, "little") + snapped
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("Index/Document.iwa", iwa)
+        z.writestr("Metadata/Properties.plist", b"")
+    mime, text = extract_text(buf.getvalue())
+    assert mime == IWORK_PAGES
+    assert text == "Hello from Pages thirteen.\nSecond paragraph of text"
