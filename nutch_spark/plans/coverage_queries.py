@@ -1654,3 +1654,70 @@ def p2_iwork_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_chm_extract",
+    """
+    -- Round-trip identity: each document's text becomes a REAL CHM
+    -- container (ITSF v3 + PMGL directory + LZXC ControlData/ResetTable)
+    -- whose members live in the LZX-COMPRESSED section 1: a fixed HTML
+    -- page and the document body as /doc.txt. The Spark side compresses
+    -- with the from-spec fixture encoder and decompresses with the real
+    -- LZX decoder; the oracle states the expected text closed-form.
+    SELECT doc_id, 'application/vnd.ms-htmlhelp' AS mime,
+           trim('H ' || CAST(doc_id AS VARCHAR) || chr(10) || 'chm guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ') AS parse_text,
+           CAST(length(trim('H ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'chm guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                ' ')) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_chm_extract(spark, sf_dir):
+    """P2 CHM parse end-to-end (parse-tika slot — TikaParser.java routes
+    application/vnd.ms-htmlhelp to Tika's ChmParser): every row's text is
+    packed into a real CHM whose content section is LZX-compressed
+    (operators/parse_tail.py build_chm_bytes + functions/lzx.py), then
+    flows through parse_binary's ITSF dispatch: directory walk, LZXC/
+    ResetTable-driven decompression, member re-dispatch (HTML member
+    through the HTML text path, txt member through plain text). Certifies
+    the whole decode chain on every row cross-engine. Map-only at any
+    scale."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from nutch_spark.operators.parse_tail import build_chm_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "chm guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                chm = build_chm_bytes(
+                    {},
+                    compressed_files={
+                        "/index.html": (
+                            f"<html><body><p>H {doc_id}</p></body></html>"
+                        ).encode(),
+                        "/doc.txt": body.encode(),
+                    },
+                )
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/x.chm", "content": chm}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

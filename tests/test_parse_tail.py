@@ -276,3 +276,27 @@ def test_iwork13_iwa_text_sweep():
     mime, text = extract_text(buf.getvalue())
     assert mime == IWORK_PAGES
     assert text == "Hello from Pages thirteen.\nSecond paragraph of text"
+
+
+def test_tar_member_extraction():
+    """tar archives (Tika PackageParser slot): members route through the
+    recursive dispatch, '.tar.gz' flows compressor -> tar."""
+    import gzip
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, blob in (
+            ("docs/readme.txt", b"tar member text"),
+            ("docs/page.html", b"<html><body><p>tar html body</p></body></html>"),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    tar = buf.getvalue()
+    assert extract_text(tar) == (
+        "application/x-tar",
+        "docs/readme.txt tar member text\ndocs/page.html tar html body",
+    )
+    mime, text = extract_text(gzip.compress(tar))
+    assert mime == "application/gzip" and "tar member text" in text
