@@ -73,6 +73,10 @@ class _BitReader:
             elif self.pos < len(self.data):
                 word = self.data[self.pos]
             else:
+                # a forged header that promises more output than the
+                # stream encodes would otherwise decode padding forever
+                if self.pos > len(self.data) + 16:
+                    raise ValueError("LZX input exhausted")
                 word = 0
             self.pos += 2
             self.buf = (self.buf << 16) | word

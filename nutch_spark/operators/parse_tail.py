@@ -360,6 +360,11 @@ def parse_chm_directory(data: bytes) -> dict:
     (num_blocks,) = struct.unpack_from("<I", data, dir_off + 0x2C)
     entries: list[tuple[str, int, int, int]] = []
     chunk_base = dir_off + 0x54
+    # hostile headers: a forged chunk size / count must not turn the walk
+    # into a billion-iteration loop (or a zero-size division elsewhere)
+    if not 0x54 <= block_len <= 0x100000:
+        return {"version": version, "language_id": lang, "entries": []}
+    num_blocks = min(num_blocks, (len(data) - chunk_base) // block_len + 1)
     for b in range(num_blocks):
         start = chunk_base + b * block_len
         chunk = data[start : start + block_len]
@@ -431,6 +436,10 @@ def _chm_section1_data(data: bytes, d: dict) -> bytes:
             for i in range(nentries)
         ]
         comp = blob(_CHM_STORAGE + "Content")
+        # decompression-bomb guard: a forged ResetTable length must not
+        # allocate unbounded output (cap: 64 MiB or 200x the compressed)
+        if unc_len > max(64 << 20, 200 * len(comp)):
+            return b""
         from nutch_spark.functions.lzx import LzxDecoder
 
         out = bytearray()
@@ -511,6 +520,13 @@ def parse_cab(data: bytes) -> list[tuple[str, bytes]]:
 
     if data[:4] != b"MSCF" or len(data) < 36:
         return []
+    try:
+        return _parse_cab_inner(data, zlib)
+    except Exception:  # noqa: BLE001 — hostile/corrupt header → no members
+        return []
+
+
+def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
     (coff_files,) = struct.unpack_from("<I", data, 16)
     c_folders, c_files, flags = struct.unpack_from("<HHH", data, 26)
     pos = 36
@@ -706,6 +722,8 @@ def snappy_decompress(block: bytes) -> bytes:
         shift += 7
         if not b & 0x80:
             break
+    if n > 1 << 26:  # 64 MiB output cap — snappy bomb guard
+        raise ValueError("snappy payload too large")
     out = bytearray()
     while i < len(block) and len(out) < n:
         tag = block[i]

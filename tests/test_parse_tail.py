@@ -300,3 +300,45 @@ def test_tar_member_extraction():
     )
     mime, text = extract_text(gzip.compress(tar))
     assert mime == "application/gzip" and "tar member text" in text
+
+
+def test_hostile_container_headers_terminate_quickly():
+    """Forged counts/sizes must neither loop for minutes nor allocate
+    unbounded output: CHM with a huge num_blocks / zero block_len, a CAB
+    whose header points past the buffer, a ResetTable promising 2^40
+    uncompressed bytes, a snappy preamble promising 1 GiB."""
+    import time
+
+    from nutch_spark.operators.parse_tail import (
+        build_chm_bytes,
+        extract_chm_text,
+        parse_cab,
+        parse_chm_directory,
+        snappy_decompress,
+    )
+
+    t0 = time.monotonic()
+    # CHM: forge num_blocks (dir_off+0x2C) and block_len (dir_off+0x10)
+    chm = bytearray(build_chm_bytes({"/a.txt": b"x"}))
+    dir_off = 0x60 + 0x18
+    struct.pack_into("<I", chm, dir_off + 0x2C, 0xFFFFFFF0)
+    assert parse_chm_directory(bytes(chm))["entries"] is not None
+    struct.pack_into("<I", chm, dir_off + 0x10, 0)
+    assert parse_chm_directory(bytes(chm))["entries"] == []
+    # CHM: forge the ResetTable's uncompressed length into a bomb
+    chm2 = bytearray(build_chm_bytes({}, compressed_files={"/a.txt": b"tiny"}))
+    rt = bytes(chm2).index(struct.pack("<IIII", 2, 1, 8, 0x28))
+    assert extract_chm_text(bytes(chm2))[1] == "tiny"  # sane before forgery
+    chm2[rt + 0x10 : rt + 0x18] = struct.pack("<Q", 1 << 40)  # unc_len
+    assert extract_chm_text(bytes(chm2))[1] == ""
+    # CAB: file table offset beyond the buffer
+    cab = bytearray(b"MSCF" + b"\x00" * 32)
+    struct.pack_into("<I", cab, 16, 0xFFFFFF)
+    struct.pack_into("<HH", cab, 26, 1, 5)
+    assert parse_cab(bytes(cab)) == []
+    # snappy preamble bomb
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snappy_decompress(b"\x80\x80\x80\x80\x04" + b"\x00" * 10)
+    assert time.monotonic() - t0 < 5.0
