@@ -188,7 +188,7 @@ def test_media_sniffers_never_raise_on_hostile_bytes(prefix, junk):
 
 
 @given(st.binary(max_size=200))
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_document_extractors_never_raise_on_hostile_bytes(junk):
     from nutch_spark.operators.parse_binary import extract_text
 
@@ -215,3 +215,88 @@ def test_record_batch_decoder_never_hangs_on_junk(blob):
 
 
 import struct  # noqa: E402  (used by the junk-batch property above)
+
+
+# ---------------------------------------------------------------------------
+# round-9 codecs: LZX, snappy, WordPerfect, CAB, CHM
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(min_size=1, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzx_verbatim_round_trip_any_bytes(payload):
+    from nutch_spark.functions.lzx import LzxDecoder, lzx_compress_block
+
+    comp = lzx_compress_block(payload, 16)
+    assert LzxDecoder(16).decompress(comp, len(payload)) == payload
+
+
+@given(st.binary(min_size=1, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzx_uncompressed_round_trip_any_bytes(payload):
+    from nutch_spark.functions.lzx import (
+        LzxDecoder,
+        lzx_compress_uncompressed_block,
+    )
+
+    comp = lzx_compress_uncompressed_block(payload)
+    assert LzxDecoder(16).decompress(comp, len(payload)) == payload
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=100, deadline=None)
+def test_snappy_round_trip_any_bytes(payload):
+    from nutch_spark.operators.parse_tail import (
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress_literal(payload)) == payload
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=300,
+    ).map(lambda s: s.strip()),
+    st.sampled_from([5, 6]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wpd_round_trip_any_printable_text(text, version):
+    from nutch_spark.operators.parse_tail import build_wpd_bytes, extract_wpd_text
+
+    assert extract_wpd_text(build_wpd_bytes(text, version=version))[1] == text
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[A-Za-z][A-Za-z0-9_.]{0,20}", fullmatch=True),
+        st.binary(min_size=0, max_size=500),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from(["none", "mszip", "lzx"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_cab_member_round_trip_any_contents(files, compression):
+    from nutch_spark.operators.parse_tail import build_cab_bytes, parse_cab
+
+    cab = build_cab_bytes(files, compression=compression)
+    assert dict(parse_cab(cab)) == files
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_round9_parsers_never_raise_on_hostile_bytes(junk):
+    from nutch_spark.operators.parse_binary import extract_text
+    from nutch_spark.operators.parse_tail import (
+        parse_cab,
+        parse_chm_directory,
+    )
+
+    for prefix in (b"", b"\xffWPC", b"ITSF", b"MSCF", b"\x1f\x8b", b"BZh9",
+                   b"\xfd7zXZ\x00"):
+        mime, text = extract_text(prefix + junk)  # must not raise
+        assert isinstance(mime, str) and isinstance(text, str)
+    parse_cab(b"MSCF" + junk)
+    parse_chm_directory(b"ITSF" + junk)
