@@ -80,6 +80,9 @@ _ZIP_EXT = {
     "jar": "application/java-archive",
     "epub": "application/epub+zip",
     "apk": "application/vnd.android.package-archive",
+    "pages": "application/vnd.apple.pages",
+    "numbers": "application/vnd.apple.numbers",
+    "key": "application/vnd.apple.keynote",
 }
 
 _EXT = {
@@ -137,6 +140,11 @@ _EXT = {
     "war": "application/java-archive",
     "epub": "application/epub+zip",
     "apk": "application/vnd.android.package-archive",
+    "wpd": "application/vnd.wordperfect",
+    "chm": "application/vnd.ms-htmlhelp",
+    "cab": "application/vnd.ms-cab-compressed",
+    "pages": "application/vnd.apple.pages",
+    "numbers": "application/vnd.apple.numbers",
     "wasm": "application/wasm",
     "woff": "font/woff",
     "woff2": "font/woff2",
