@@ -226,10 +226,17 @@ def ntlm_fetch(
         resp = conn.getresponse()
         # drain to EOF so the keep-alive connection can be reused — a
         # single capped read could leave bytes on the socket and corrupt
-        # the third leg's response parse (401 bodies are small; the loop
-        # terminates quickly)
-        while resp.read(1 << 16):
-            pass
+        # the third leg's response parse. 401 bodies are small, so cap
+        # the drain; a server streaming more than the cap can't be
+        # reused for the connection-bound leg 3 → give up cleanly.
+        drained, cap = 0, max(max_bytes, 1 << 20)
+        while drained <= cap:
+            chunk = resp.read(1 << 16)
+            if not chunk:
+                break
+            drained += len(chunk)
+        else:
+            return resp.status, dict(resp.getheaders()), b""
         www = resp.getheader("WWW-Authenticate") or ""
         if resp.status != 401 or not www.startswith("NTLM "):
             return resp.status, dict(resp.getheaders()), b""

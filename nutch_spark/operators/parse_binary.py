@@ -909,7 +909,9 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         )
 
         if iwork_index_entry(names) or is_iwork13(names):
-            return extract_iwork_text(data)
+            iwork = extract_iwork_text(data)
+            if iwork is not None:  # None: not actually iWork → zip path
+                return iwork
         if depth >= 2:  # nested-archive cutoff
             return "application/zip", ""
         return "application/zip", _extract_zip_members(data, depth)

@@ -84,36 +84,41 @@ def iwork13_mime(names: list[str]) -> str:
     return IWORK_PAGES
 
 
-def extract_iwork_text(data: bytes) -> tuple[str, str]:
-    """(mime, text) for an iWork zip package (detected by the caller).
+def extract_iwork_text(data: bytes) -> tuple[str, str] | None:
+    """(mime, text) for an iWork zip package, or None when the archive is
+    not actually iWork (caller falls back to generic zip-member
+    extraction — a plain zip that happens to carry an ``index.xml`` in a
+    non-Apple namespace must not lose its other members' text).
 
     Legacy packages: gunzip the index entry if needed, then collect the
     ``sf:p`` paragraph texts (any iWork dialect uses the shared sf text
     namespace) in document order, newline-joined. The root element's
     namespace decides the mime. '13+ bundles are typed from their entry
     names and text-swept through the snappy + protobuf walk
-    (:func:`iwork13_text`)."""
+    (:func:`iwork13_text`) on the same open archive."""
     try:
         with zipfile.ZipFile(BytesIO(data)) as z:
             names = z.namelist()
             entry = iwork_index_entry(names)
             if entry is None:
                 if is_iwork13(names):
-                    return iwork13_mime(names), iwork13_text(data)
-                return "application/zip", ""
+                    return iwork13_mime(names), _iwork13_text_from_zip(z)
+                return None
             xml = z.read(entry)
     except (zipfile.BadZipFile, KeyError, OSError):
-        return "application/zip", ""
+        return None
     if entry.endswith(".gz"):
         try:
             xml = gzip.decompress(xml)
         except OSError:
-            return IWORK_PAGES, ""
+            return None
     try:
         root = ElementTree.fromstring(xml)
     except ElementTree.ParseError:
-        return IWORK_PAGES, ""
+        return None
     ns = root.tag.partition("}")[0].lstrip("{")
+    if not ns.startswith("http://developer.apple.com/namespaces/"):
+        return None  # index.xml, but not Apple's — some other zip
     if ns == _NS_NUMBERS:
         mime = IWORK_NUMBERS
     elif ns == _NS_KEYNOTE or entry.startswith("index.apxl"):
@@ -352,7 +357,7 @@ def parse_chm_directory(data: bytes) -> dict:
     # header-section table: two (offset u64le, length u64le) entries at 0x38
     dir_off, dir_len = struct.unpack_from("<QQ", data, 0x48)
     content0_off = None
-    if version >= 3 and header_len >= 0x60:
+    if version >= 3 and header_len >= 0x60 and len(data) >= 0x60:
         (content0_off,) = struct.unpack_from("<Q", data, 0x58)
     if dir_off + 0x54 > len(data) or data[dir_off : dir_off + 4] != b"ITSP":
         return {"version": version, "language_id": lang, "entries": []}
@@ -538,6 +543,13 @@ def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
         pos = 40 + cb_header
     else:
         cb_folder_res = 0
+    # multi-volume chain names sit between the reserve area and the
+    # CFFOLDER entries: (szCabinetPrev, szDiskPrev) when flags&1,
+    # (szCabinetNext, szDiskNext) when flags&2 — skip them so this
+    # cabinet's own folders still parse
+    n_strings = (2 if flags & 0x0001 else 0) + (2 if flags & 0x0002 else 0)
+    for _ in range(n_strings):
+        pos = data.index(b"\x00", pos) + 1
     folders = []
     for _ in range(c_folders):
         start, n_blocks, ctype = struct.unpack_from("<IHH", data, pos)
@@ -626,7 +638,10 @@ def extract_cab_text(data: bytes) -> tuple[str, str]:
 
 
 def build_cab_bytes(
-    files: dict[str, bytes], *, compression: str = "lzx"
+    files: dict[str, bytes],
+    *,
+    compression: str = "lzx",
+    prev_cabinet: tuple[str, str] | None = None,
 ) -> bytes:
     """A minimal single-folder cabinet for fixtures, compressed with
     'none', 'mszip' (real zlib raw-deflate frames with history carry) or
@@ -685,7 +700,12 @@ def build_cab_bytes(
     for name, cb, uoff in file_entries:
         cffile += struct.pack("<IIHHHH", cb, uoff, 0, 0x5A21, 0x5A21, 0x20)
         cffile += name.encode() + b"\x00"
-    coff_files = 36 + 8  # header + one folder entry
+    chain = b""
+    cab_flags = 0
+    if prev_cabinet:  # (szCabinetPrev, szDiskPrev) before the CFFOLDERs
+        cab_flags |= 0x0001
+        chain = prev_cabinet[0].encode() + b"\x00" + prev_cabinet[1].encode() + b"\x00"
+    coff_files = 36 + len(chain) + 8  # header + chain strings + one folder
     coff_data = coff_files + len(cffile)
     header = (
         b"MSCF"
@@ -695,11 +715,11 @@ def build_cab_bytes(
         + struct.pack("<I", coff_files)
         + struct.pack("<I", 0)
         + bytes([3, 1])  # version 1.3
-        + struct.pack("<HHHHH", 1, len(file_entries), 0, 0x1234, 0)
+        + struct.pack("<HHHHH", 1, len(file_entries), cab_flags, 0x1234, 0)
     )
     assert len(header) == 36
     cffolder = struct.pack("<IHH", coff_data, len(frames), ctype)
-    return header + cffolder + cffile + cfdata
+    return header + chain + cffolder + cffile + cfdata
 
 
 # --------------------------------------------------------------------------
@@ -740,6 +760,8 @@ def snappy_decompress(block: bytes) -> bytes:
             i += ln
         else:
             if kind == 1:  # 1-byte offset copy
+                if i >= len(block):
+                    raise ValueError("truncated snappy copy tag")
                 ln = ((tag >> 2) & 7) + 4
                 off = ((tag >> 5) << 8) | block[i]
                 i += 1
@@ -791,7 +813,7 @@ def iwa_chunks(data: bytes) -> list[bytes]:
             break
         try:
             chunks.append(snappy_decompress(data[i : i + ln]))
-        except ValueError:
+        except (ValueError, IndexError):  # truncated tag bytes → skip chunk
             pass
         i += ln
     return chunks
@@ -865,23 +887,30 @@ def _proto_strings(buf: bytes, depth: int = 0, out: list[str] | None = None) -> 
     return out
 
 
+def _iwork13_text_from_zip(z: "zipfile.ZipFile") -> str:
+    texts: list[str] = []
+    try:
+        for info in z.infolist()[:200]:
+            if not (
+                info.filename.startswith("Index/")
+                and info.filename.endswith(".iwa")
+                and info.file_size <= (8 << 20)
+            ):
+                continue
+            for chunk in iwa_chunks(z.read(info.filename)):
+                texts.extend(_proto_strings(chunk))
+    except (zipfile.BadZipFile, OSError):
+        return ""
+    return "\n".join(texts).strip()
+
+
 def iwork13_text(data: bytes) -> str:
     """Text sweep of a '13+ iWork bundle: decompress every Index/*.iwa
     part (bounded) and collect prose-like protobuf string fields in
     bundle order. Exceeds Tika here (its IWork13PackageParser types the
     bundle but extracts no text)."""
-    texts: list[str] = []
     try:
         with zipfile.ZipFile(BytesIO(data)) as z:
-            for info in z.infolist()[:200]:
-                if not (
-                    info.filename.startswith("Index/")
-                    and info.filename.endswith(".iwa")
-                    and info.file_size <= (8 << 20)
-                ):
-                    continue
-                for chunk in iwa_chunks(z.read(info.filename)):
-                    texts.extend(_proto_strings(chunk))
+            return _iwork13_text_from_zip(z)
     except (zipfile.BadZipFile, OSError):
         return ""
-    return "\n".join(texts).strip()

@@ -206,3 +206,23 @@ def test_protocol_normalize_longest_suffix_wins(spark):
         protocol_normalize(F.col("url"), {}, domains).alias("got"),
     ).filter("got != expected").collect()
     assert not bad, [(r["url"], r["got"]) for r in bad]
+
+
+def test_protocol_normalize_ipv6_port_detection(spark):
+    """Round-9 review finding: a bracketed IPv6 host's own colons are not
+    a port delimiter, but '[::1]:8080' IS ported (left unchanged) while
+    unported '[::1]' still normalizes."""
+    from nutch_spark.functions.urls import protocol_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("http://[::1]/p", "https://[::1]/p"),
+            ("http://[::1]:8080/p", "http://[::1]:8080/p"),
+        ],
+        "url string, expected string",
+    )
+    bad = df.select(
+        "url", "expected",
+        protocol_normalize(F.col("url"), {"[::1]": "https"}, {}).alias("got"),
+    ).filter("got != expected").collect()
+    assert not bad, [(r["url"], r["got"]) for r in bad]

@@ -241,3 +241,18 @@ def test_ntlm_fetch_drains_oversized_challenge_body():
         assert status == 200 and body == b"ntlm granted"[:64]
     finally:
         srv.shutdown()
+
+
+def test_ntlm_fetch_gives_up_on_unbounded_challenge_body():
+    """A challenge leg whose body exceeds the drain cap can't safely share
+    the keep-alive connection — ntlm_fetch returns the 401 instead of
+    looping forever (round-9 review finding)."""
+    srv = _ntlm_server("eve", "pw3", "", challenge_body=b"e" * ((1 << 20) + 4096))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, _hdrs, body = ntlm_fetch(f"{base}/private", "eve", "pw3")
+        assert status == 401 and body == b""
+    finally:
+        srv.shutdown()

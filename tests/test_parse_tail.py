@@ -342,3 +342,53 @@ def test_hostile_container_headers_terminate_quickly():
     with _pytest.raises(ValueError):
         snappy_decompress(b"\x80\x80\x80\x80\x04" + b"\x00" * 10)
     assert time.monotonic() - t0 < 5.0
+
+
+def test_review_regressions_round9():
+    """Regressions for the round-9 self-review findings: non-Apple
+    index.xml falls back to zip-member extraction; truncated snappy copy
+    tags raise ValueError and a corrupt .iwa chunk doesn't kill the
+    bundle; a 0x58-byte ITSF v3 header degrades cleanly; a chained
+    (prev-cabinet) CAB still yields this volume's members."""
+    import pytest as _pytest
+
+    from nutch_spark.operators.parse_tail import (
+        build_cab_bytes,
+        extract_chm_text,
+        parse_cab,
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    # 1. plain zip with a non-Apple index.xml: other members survive
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("index.xml", "<site><p>hello</p></site>")
+        z.writestr("readme.txt", "other member text")
+    mime, text = extract_text(buf.getvalue())
+    assert mime == "application/zip"
+    assert "other member text" in text
+    # 2. truncated 1-byte-offset copy tag: ValueError, not IndexError
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes([4, 0b01010101]))
+    # ...and one corrupt chunk doesn't lose the rest of the bundle
+    good = snappy_compress_literal(bytes([(3 << 3) | 2, 12]) + b"good text ok")
+    iwa = (
+        b"\x00" + (2).to_bytes(3, "little") + bytes([4, 0b01010101])
+        + b"\x00" + len(good).to_bytes(3, "little") + good
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("Index/Document.iwa", iwa)
+    mime, text = extract_text(buf.getvalue())
+    assert mime == IWORK_PAGES and text == "good text ok"
+    # 3. ITSF v3 header truncated to exactly 0x58 bytes: degrade contract
+    hdr = bytearray(build_chm_bytes({"/a.txt": b"x"})[:0x58])
+    assert extract_chm_text(bytes(hdr)) == (CHM_MIME, "")
+    # 4. multi-volume CAB: prev-cabinet strings skipped, members parse
+    cab = build_cab_bytes(
+        {"vol2.txt": b"second volume text"},
+        compression="mszip",
+        prev_cabinet=("part1.cab", "disk one"),
+    )
+    assert dict(parse_cab(cab)) == {"vol2.txt": b"second volume text"}
