@@ -90,6 +90,14 @@ class _BitReader:
         self.nbits -= n
         return val
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (zero-padded past stream end)."""
+        self._fill()
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+
     def align16(self) -> None:
         self.nbits -= self.nbits % 16
 
@@ -100,27 +108,33 @@ class _BitReader:
 
 
 class _Huffman:
-    """Canonical-code decoder from a path-length array."""
+    """Canonical-code decoder from a path-length array, via a direct
+    2^16 prefix lookup (one table index per symbol instead of one dict
+    probe per bit — the literal loop is the decode hot path)."""
 
     def __init__(self, lengths: list[int]) -> None:
-        self.table: dict[tuple[int, int], int] = {}
+        maxlen = max((l for l in lengths if l), default=0)
+        self.shift = 16 - maxlen
+        self.lut: list[tuple[int, int] | None] = [None] * (1 << maxlen)
         code = 0
-        for ln in range(1, 17):
+        n = 0
+        for ln in range(1, maxlen + 1):
             code <<= 1
+            span = 1 << (maxlen - ln)
             for sym, l in enumerate(lengths):
                 if l == ln:
-                    self.table[(ln, code)] = sym
+                    base = code << (maxlen - ln)
+                    self.lut[base : base + span] = [(sym, ln)] * span
                     code += 1
-        self.empty = not self.table
+                    n += 1
+        self.empty = n == 0
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid LZX Huffman code")
+        entry = self.lut[br.peek16() >> self.shift]
+        if entry is None:
+            raise ValueError("invalid LZX Huffman code")
+        br.consume(entry[1])
+        return entry[0]
 
 
 def _read_lengths(br: _BitReader, prev: list[int], first: int, last: int) -> None:
@@ -308,13 +322,12 @@ class _BitWriter:
         self.ncur = 0
 
     def write(self, val: int, n: int) -> None:
-        for shift in range(n - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((val >> shift) & 1)
-            self.ncur += 1
-            if self.ncur == 16:
-                self.words.append(self.cur)
-                self.cur = 0
-                self.ncur = 0
+        self.cur = (self.cur << n) | (val & ((1 << n) - 1))
+        self.ncur += n
+        while self.ncur >= 16:
+            self.ncur -= 16
+            self.words.append((self.cur >> self.ncur) & 0xFFFF)
+        self.cur &= (1 << self.ncur) - 1
 
     def align16(self) -> None:
         if self.ncur:

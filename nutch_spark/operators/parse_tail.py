@@ -654,15 +654,17 @@ def build_cab_bytes(
         file_entries.append((name, len(blob), len(folder_data)))
         folder_data += blob
     frames: list[tuple[bytes, int]] = []
-    if compression == "none":
+    if not folder_data:  # all-empty members: a folder with zero CFDATA
+        ctype = {"none": 0, "mszip": 1, "lzx": 3 | (16 << 8)}[compression]
+    elif compression == "none":
         ctype = 0
-        for i in range(0, max(1, len(folder_data)), 0x8000):
+        for i in range(0, len(folder_data), 0x8000):
             chunk = bytes(folder_data[i : i + 0x8000])
             frames.append((chunk, len(chunk)))
     elif compression == "mszip":
         ctype = 1
         prev = b""
-        for i in range(0, max(1, len(folder_data)), 0x8000):
+        for i in range(0, len(folder_data), 0x8000):
             chunk = bytes(folder_data[i : i + 0x8000])
             c = (
                 zlib.compressobj(6, zlib.DEFLATED, -15, zdict=prev)
@@ -678,7 +680,7 @@ def build_cab_bytes(
         # one continuous stream, one CFDATA per 32 KiB frame (cbData is
         # u16): continuation blocks carry tree deltas vs the previous one
         first = True
-        for i in range(0, max(1, len(folder_data)), 0x8000):
+        for i in range(0, len(folder_data), 0x8000):
             chunk = bytes(folder_data[i : i + 0x8000])
             frames.append(
                 (
