@@ -20,7 +20,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # r08-certified 50 sit last — they are the freshest records.
 _CERTIFY_FIRST = [
     # new in round 9 — never driver-sampled
-    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract",
+    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract", "p2_cab_extract",
     # stale r04 rows — the only pre-r06 driver records left
     "st_session_windows", "j_geoip_range", "dp_exact_dedup",
     "dp_ngram_jaccard",

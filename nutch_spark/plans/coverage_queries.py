@@ -1721,3 +1721,70 @@ def p2_chm_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_cab_extract",
+    """
+    -- Round-trip identity: each document's text becomes a REAL cabinet
+    -- ([MS-CAB] CFHEADER/CFFOLDER/CFFILE/CFDATA) whose single MSZIP
+    -- folder holds a fixed HTML member and the body as doc.txt; members
+    -- re-dispatch through the recursive extractor ('name text' per
+    -- member, like parse-zip). The oracle states the text closed-form.
+    SELECT doc_id, 'application/vnd.ms-cab-compressed' AS mime,
+           trim('page.html H ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'doc.txt cab guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ') AS parse_text,
+           CAST(length(trim('page.html H ' || CAST(doc_id AS VARCHAR)
+                || chr(10) || 'doc.txt cab guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) AS BIGINT)
+             AS n_chars
+    FROM documents
+    """,
+)
+def p2_cab_extract(spark, sf_dir):
+    """P2 cabinet parse end-to-end (parse-tika slot — Tika routes
+    application/vnd.ms-cab-compressed through its package parsers): every
+    row's text is packed into a real single-folder MSZIP cabinet
+    (operators/parse_tail.py build_cab_bytes: per-frame raw deflate with
+    LZ77 history carry), then flows through parse_binary's MSCF dispatch:
+    header/folder/file walk, frame decompression, member re-dispatch.
+    Certifies the whole chain on every row cross-engine. Map-only at any
+    scale."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from nutch_spark.operators.parse_tail import build_cab_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "cab guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                cab = build_cab_bytes(
+                    {
+                        "page.html": (
+                            f"<html><body><p>H {doc_id}</p></body></html>"
+                        ).encode(),
+                        "doc.txt": body.encode(),
+                    },
+                    compression="mszip",
+                )
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/x.cab", "content": cab}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

@@ -142,6 +142,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "p2_wpd_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     "p2_iwork_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     "p2_chm_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
+    "p2_cab_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     # chunking: split → sequence → explode → slice, all JVM — no shuffle
     "dp_chunking": [[r"Generate|Explode"], [r"Exchange", r"Join", r"MapInPandas|mapInPandas"]],
     # politeness fetch: ONE host-keyed exchange lays out the fetchlist, the
