@@ -118,12 +118,18 @@ class _Huffman:
         self.lut: list[tuple[int, int] | None] = [None] * (1 << maxlen)
         code = 0
         n = 0
+        size = 1 << maxlen
         for ln in range(1, maxlen + 1):
             code <<= 1
             span = 1 << (maxlen - ln)
             for sym, l in enumerate(lengths):
                 if l == ln:
                     base = code << (maxlen - ln)
+                    if base + span > size:
+                        # over-subscribed code space: a hostile tree
+                        # declaration must fail loudly, not silently grow
+                        # the table (slice-assign past the end APPENDS)
+                        raise ValueError("oversubscribed LZX Huffman tree")
                     self.lut[base : base + span] = [(sym, ln)] * span
                     code += 1
                     n += 1

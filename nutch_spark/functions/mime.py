@@ -145,6 +145,9 @@ _EXT = {
     "cab": "application/vnd.ms-cab-compressed",
     "pages": "application/vnd.apple.pages",
     "numbers": "application/vnd.apple.numbers",
+    # ".key" deliberately NOT mapped to Keynote here: on a crawl, .key
+    # URLs are usually private-key/license files; Keynote packages still
+    # type via the zip/iWork content dispatch
     "wasm": "application/wasm",
     "woff": "font/woff",
     "woff2": "font/woff2",

@@ -930,14 +930,20 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
     if data[:4] == b"ITSF":
         from nutch_spark.operators.parse_tail import extract_chm_text
 
-        return extract_chm_text(data)
+        if depth >= 2:  # nested-archive cutoff, like the zip path
+            return "application/vnd.ms-htmlhelp", ""
+        return extract_chm_text(data, depth)
     if data[:4] == b"MSCF":
         from nutch_spark.operators.parse_tail import extract_cab_text
 
-        return extract_cab_text(data)
+        if depth >= 2:
+            return "application/vnd.ms-cab-compressed", ""
+        return extract_cab_text(data, depth)
     if data[257:262] == b"ustar":  # POSIX/GNU tar member header magic
         import tarfile
 
+        if depth >= 2:
+            return "application/x-tar", ""
         texts = []
         try:
             with tarfile.open(fileobj=BytesIO(data)) as tf:

@@ -107,18 +107,29 @@ def extract_iwork_text(data: bytes) -> tuple[str, str] | None:
             xml = z.read(entry)
     except (zipfile.BadZipFile, KeyError, OSError):
         return None
+    # a gzipped index or an .apxl entry is unambiguously Apple's even
+    # when the payload is corrupt — keep the iWork mime with empty text;
+    # only a PLAIN index.xml that isn't Apple XML falls back to the
+    # generic zip path
+    unambiguous = entry != "index.xml"
+    corrupt = (
+        IWORK_KEYNOTE if entry.startswith("index.apxl") else IWORK_PAGES,
+        "",
+    )
     if entry.endswith(".gz"):
         try:
             xml = gzip.decompress(xml)
-        except OSError:
-            return None
+        except (OSError, EOFError):  # BadGzipFile is OSError; truncation EOF
+            return corrupt if unambiguous else None
     try:
         root = ElementTree.fromstring(xml)
     except ElementTree.ParseError:
-        return None
+        return corrupt if unambiguous else None
     ns = root.tag.partition("}")[0].lstrip("{")
     if not ns.startswith("http://developer.apple.com/namespaces/"):
-        return None  # index.xml, but not Apple's — some other zip
+        if unambiguous:
+            return corrupt
+        return None  # plain index.xml, not Apple's — some other zip
     if ns == _NS_NUMBERS:
         mime = IWORK_NUMBERS
     elif ns == _NS_KEYNOTE or entry.startswith("index.apxl"):
@@ -461,12 +472,13 @@ def _chm_section1_data(data: bytes, d: dict) -> bytes:
         return b""
 
 
-def extract_chm_text(data: bytes) -> tuple[str, str]:
+def extract_chm_text(data: bytes, depth: int = 0) -> tuple[str, str]:
     """(mime, text) for a CHM container: the PMGL directory names every
     entry; section-0 entries are stored raw, section-1 entries live in the
     LZX-compressed ``MSCompressed/Content`` blob and are decompressed with
     the from-spec decoder (functions/lzx.py) before the same recursive
-    extraction (HTML pages flow through the HTML text path)."""
+    extraction (HTML pages flow through the HTML text path), carrying the
+    caller's nesting depth."""
     d = parse_chm_directory(data)
     if not d:
         return CHM_MIME, ""
@@ -498,7 +510,7 @@ def extract_chm_text(data: bytes) -> tuple[str, str]:
                 html, _cs = decode_content(blob, "text/html")
                 txt = parse_html_page("chm:" + name, html)["text"]
             else:
-                _, txt = _extract_text(blob, 2)
+                _, txt = _extract_text(blob, max(depth + 1, 2))
         except Exception:
             continue
         if txt:
@@ -513,25 +525,32 @@ def extract_chm_text(data: bytes) -> tuple[str, str]:
 CAB_MIME = "application/vnd.ms-cab-compressed"
 
 
-def parse_cab(data: bytes) -> list[tuple[str, bytes]]:
+def parse_cab(
+    data: bytes, *, max_members: int = 100
+) -> list[tuple[str, bytes]]:
     """Parse a Microsoft cabinet ([MS-CAB]): CFHEADER/CFFOLDER/CFFILE/
     CFDATA. Folder payloads decompress per typeCompress — 0 stored,
     1 MSZIP (per-frame raw deflate, 'CK' signature, LZ77 history carried
     across frames via the previous frame as dictionary), 3|bits<<8 LZX
     (one continuous stream across CFDATA blocks → functions/lzx.py).
-    Returns [(name, bytes)] for every extractable member; a folder that
-    fails to decompress drops only its own files."""
+    Returns [(name, bytes)] for the first ``max_members`` extractable
+    members (the cap applies BEFORE decompression, so unreferenced
+    folders never decompress); a folder whose total declared output
+    exceeds max(64 MiB, 200x its compressed bytes) — or that fails to
+    decode — drops only its own files."""
     import zlib
 
     if data[:4] != b"MSCF" or len(data) < 36:
         return []
     try:
-        return _parse_cab_inner(data, zlib)
+        return _parse_cab_inner(data, zlib, max_members)
     except Exception:  # noqa: BLE001 — hostile/corrupt header → no members
         return []
 
 
-def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
+def _parse_cab_inner(
+    data: bytes, zlib, max_members: int
+) -> list[tuple[str, bytes]]:
     (coff_files,) = struct.unpack_from("<I", data, 16)
     c_folders, c_files, flags = struct.unpack_from("<HHH", data, 26)
     pos = 36
@@ -577,6 +596,13 @@ def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
             p += 8 + cb_cfdata_reserve
             frames.append((data[p : p + cb_data], cb_uncomp))
             p += cb_data
+        # decompression-bomb guard (same policy as the CHM section): the
+        # declared output is attacker-controlled up to 65535 frames x
+        # 64 KiB — never materialize more than 64 MiB / 200x compressed
+        total = sum(u for _, u in frames)
+        comp_len = sum(len(f) for f, _ in frames)
+        if total > max(64 << 20, 200 * max(1, comp_len)):
+            raise ValueError("CAB folder output exceeds bomb guard")
         method = ctype & 0x000F
         if method == 0:  # stored
             return b"".join(f for f, _ in frames)
@@ -598,14 +624,15 @@ def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
         if method == 3:  # LZX; window bits ride the high byte
             from nutch_spark.functions.lzx import LzxDecoder
 
-            total = sum(u for _, u in frames)
             joined = b"".join(f for f, _ in frames)
             return LzxDecoder(ctype >> 8).decompress(joined, total)
         raise ValueError(f"unsupported CAB compression {method}")
 
     out: list[tuple[str, bytes]] = []
     cache: dict[int, bytes | None] = {}
-    for name, cb_file, uoff, ifolder in files:
+    # cap BEFORE decompression: folders only referenced past the cap
+    # never decompress at all
+    for name, cb_file, uoff, ifolder in files[:max_members]:
         if ifolder >= len(folders):
             continue
         if ifolder not in cache:
@@ -620,16 +647,17 @@ def _parse_cab_inner(data: bytes, zlib) -> list[tuple[str, bytes]]:
     return out
 
 
-def extract_cab_text(data: bytes) -> tuple[str, str]:
+def extract_cab_text(data: bytes, depth: int = 0) -> tuple[str, str]:
     """(mime, text) for a cabinet: members route through the same
     recursive dispatch as zip entries ('entryname text' per member, like
-    parse-zip's ZipTextExtractor)."""
+    parse-zip's ZipTextExtractor), carrying the caller's nesting depth so
+    cab-in-cab chains stop at the same cutoff as zips."""
     from nutch_spark.operators.parse_binary import _extract_text
 
     texts: list[str] = []
-    for name, blob in parse_cab(data)[:100]:
+    for name, blob in parse_cab(data):
         try:
-            _, txt = _extract_text(blob, 2)
+            _, txt = _extract_text(blob, depth + 1)
         except Exception:  # noqa: BLE001
             continue
         if txt:
@@ -892,17 +920,22 @@ def _proto_strings(buf: bytes, depth: int = 0, out: list[str] | None = None) -> 
 def _iwork13_text_from_zip(z: "zipfile.ZipFile") -> str:
     texts: list[str] = []
     try:
-        for info in z.infolist()[:200]:
-            if not (
-                info.filename.startswith("Index/")
-                and info.filename.endswith(".iwa")
-                and info.file_size <= (8 << 20)
-            ):
-                continue
-            for chunk in iwa_chunks(z.read(info.filename)):
-                texts.extend(_proto_strings(chunk))
+        infos = z.infolist()[:200]
     except (zipfile.BadZipFile, OSError):
         return ""
+    for info in infos:
+        if not (
+            info.filename.startswith("Index/")
+            and info.filename.endswith(".iwa")
+            and info.file_size <= (8 << 20)
+        ):
+            continue
+        try:
+            raw = z.read(info.filename)
+        except Exception:  # noqa: BLE001 — one corrupt member (zlib.error
+            continue  # included) must not lose the rest of the bundle
+        for chunk in iwa_chunks(raw):
+            texts.extend(_proto_strings(chunk))
     return "\n".join(texts).strip()
 
 

@@ -392,3 +392,80 @@ def test_review_regressions_round9():
         prev_cabinet=("part1.cab", "disk one"),
     )
     assert dict(parse_cab(cab)) == {"vol2.txt": b"second volume text"}
+
+
+def test_second_review_regressions_round9():
+    """Second self-review pass: CAB output-bomb guard, oversubscribed LZX
+    tree rejection, cab-in-cab depth cutoff, corrupt .iwa member skip,
+    unambiguous-iWork corrupt-index typing."""
+    import time
+
+    import pytest as _pytest
+
+    from nutch_spark.functions.lzx import LzxDecoder, _BitWriter
+    from nutch_spark.operators.parse_tail import (
+        build_cab_bytes,
+        parse_cab,
+        snappy_compress_literal,
+    )
+
+    t0 = time.monotonic()
+    # 1. CAB claiming ~4.3 GB of output from a tiny body: no members, fast
+    bomb = bytearray(build_cab_bytes({"a.txt": b"x" * 100}, compression="mszip"))
+    # CFDATA header sits right after CFFOLDER+CFFILE; forge cbUncomp high
+    # via a synthetic frame list instead: simplest — forge the folder's
+    # block count and let the strict parse drop the folder
+    idx = bytes(bomb).index(struct.pack("<IHH", 0, 0, 0)[:0])  # no-op anchor
+    cab2 = bytearray(build_cab_bytes({"b.bin": b"\x00" * 0x8000}, compression="mszip"))
+    # locate the CFDATA entry (csum=0) and inflate its cbUncomp
+    off = bytes(cab2).index(b"CK") - 8
+    struct.pack_into("<H", cab2, off + 6, 0xFFFF)
+    parse_cab(bytes(cab2))  # must not allocate per forged claim nor raise
+    # 2. oversubscribed Huffman tree fails loudly (no silent list growth)
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(1, 3)  # verbatim
+    bw.write(0, 16)
+    bw.write(8, 8)
+    # pretree: symbol 16 at 1 bit -> every length delta decodes to 1;
+    # 256 length-1 literals is a massively oversubscribed code space
+    for sym in range(20):
+        bw.write(1 if sym == 16 else 0, 4)
+    for _ in range(256):
+        bw.write(0, 1)
+    with _pytest.raises(ValueError):
+        LzxDecoder(16).decompress(bw.bytes(), 8)
+    # 3. cab-in-cab extracts leaf members (same 2-container allowance as
+    # zips); a third container level hits the cutoff cleanly
+    inner = build_cab_bytes({"leaf.txt": b"leaf text"}, compression="none")
+    outer = build_cab_bytes({"inner.cab": inner}, compression="none")
+    mime, text = extract_text(outer)
+    assert mime == "application/vnd.ms-cab-compressed"
+    assert "leaf text" in text
+    deep = outer
+    for _ in range(4):
+        deep = build_cab_bytes({"d.cab": deep}, compression="none")
+    mime, text = extract_text(deep)  # must terminate promptly, no error
+    assert mime == "application/vnd.ms-cab-compressed"
+    assert "leaf text" not in text  # beyond the nesting cutoff
+    # 4. one corrupt .iwa member doesn't lose the bundle
+    good = snappy_compress_literal(bytes([(3 << 3) | 2, 7]) + b"kept ok")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("Index/Broken.iwa", b"\x00\xff\xff\xff")  # huge chunk len
+        z.writestr(
+            "Index/Document.iwa",
+            b"\x00" + len(good).to_bytes(3, "little") + good,
+        )
+    mime, text = extract_text(buf.getvalue())
+    assert mime == IWORK_PAGES and text == "kept ok"
+    # 5. corrupt gzipped index keeps the iWork mime; corrupt apxl -> keynote
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("index.xml.gz", b"\x1f\x8b\x08truncated")
+    assert extract_text(buf.getvalue()) == (IWORK_PAGES, "")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("index.apxl", b"<not-xml")
+    assert extract_text(buf.getvalue()) == (IWORK_KEYNOTE, "")
+    assert time.monotonic() - t0 < 20.0
