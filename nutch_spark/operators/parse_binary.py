@@ -944,24 +944,33 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
 
         if depth >= 2:
             return "application/x-tar", ""
-        texts = []
         try:
-            with tarfile.open(fileobj=BytesIO(data)) as tf:
-                for member in tf.getmembers()[:_ZIP_MAX_ENTRIES]:
-                    if not member.isfile() or member.size > _ZIP_MAX_ENTRY_BYTES:
-                        continue
-                    fh = tf.extractfile(member)
-                    if fh is None:
-                        continue
-                    try:
-                        _, txt = _extract_text(fh.read(), depth + 1)
-                    except Exception:  # noqa: BLE001 — skip bad member
-                        continue
-                    if txt:
-                        texts.append(f"{member.name} {txt}")
+            tf = tarfile.open(fileobj=BytesIO(data))
         except (tarfile.TarError, OSError):
-            return "application/x-tar", ""
-        return "application/x-tar", "\n".join(texts)
+            tf = None  # "ustar" at 257 by coincidence (e.g. plain text):
+            # fall through to the text/binary fallback below
+        if tf is not None:
+            texts = []
+            try:
+                with tf:
+                    for member in tf.getmembers()[:_ZIP_MAX_ENTRIES]:
+                        if (
+                            not member.isfile()
+                            or member.size > _ZIP_MAX_ENTRY_BYTES
+                        ):
+                            continue
+                        fh = tf.extractfile(member)
+                        if fh is None:
+                            continue
+                        try:
+                            _, txt = _extract_text(fh.read(), depth + 1)
+                        except Exception:  # noqa: BLE001 — skip bad member
+                            continue
+                        if txt:
+                            texts.append(f"{member.name} {txt}")
+            except (tarfile.TarError, OSError):
+                pass  # truncated archive: keep what extracted
+            return "application/x-tar", "\n".join(texts)
     # single-file compressors (Tika's CompressorParser slot): bounded
     # decompress, then re-dispatch on the inner payload's magic. The
     # depth guard caps compressor nesting like the zip path; the size cap

@@ -949,3 +949,36 @@ def iwork13_text(data: bytes) -> str:
             return _iwork13_text_from_zip(z)
     except (zipfile.BadZipFile, OSError):
         return ""
+
+
+def parse_chm_system(data: bytes) -> dict:
+    """Metadata from the CHM ``/#SYSTEM`` entry (the chmspec-documented
+    record stream: u32 version, then (u16 code, u16 length, payload)
+    records). Surfaces the fields Tika's ChmParser exposes as document
+    metadata: 0 = contents file, 2 = default topic, 3 = title,
+    4 = default font, 9 = generator version, 16 = default font charset."""
+    d = parse_chm_directory(data)
+    base = d.get("content0_offset") if d else None
+    if base is None:
+        return {}
+    blob = None
+    for name, section, offset, length in d["entries"]:
+        if name == "/#SYSTEM" and section == 0:
+            if base + offset + length <= len(data):
+                blob = data[base + offset : base + offset + length]
+            break
+    if not blob or len(blob) < 4:
+        return {}
+    out: dict = {"version": struct.unpack_from("<I", blob, 0)[0]}
+    names = {0: "contents_file", 2: "default_topic", 3: "title",
+             4: "default_font", 9: "generator", 16: "font_charset"}
+    i = 4
+    while i + 4 <= len(blob):
+        code, ln = struct.unpack_from("<HH", blob, i)
+        i += 4
+        payload = blob[i : i + ln]
+        i += ln
+        key = names.get(code)
+        if key and key not in out:
+            out[key] = payload.rstrip(b"\x00").decode("utf-8", "replace")
+    return out

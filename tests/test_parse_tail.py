@@ -469,3 +469,23 @@ def test_second_review_regressions_round9():
         z.writestr("index.apxl", b"<not-xml")
     assert extract_text(buf.getvalue()) == (IWORK_KEYNOTE, "")
     assert time.monotonic() - t0 < 20.0
+
+
+def test_chm_system_metadata_and_tar_false_positive():
+    """CHM /#SYSTEM record stream surfaces title/topic/generator (the
+    fields Tika's ChmParser exposes); a text file that happens to carry
+    'ustar' at offset 257 keeps its text instead of parsing as tar."""
+    from nutch_spark.operators.parse_tail import parse_chm_system
+
+    system = struct.pack("<I", 3)
+    for code, val in ((3, b"My Help Title"), (2, b"index.html"), (9, b"HHA 4.74")):
+        system += struct.pack("<HH", code, len(val) + 1) + val + b"\x00"
+    chm = build_chm_bytes({"/#SYSTEM": system, "/a.txt": b"body"})
+    info = parse_chm_system(chm)
+    assert info["title"] == "My Help Title"
+    assert info["default_topic"] == "index.html"
+    assert info["generator"] == "HHA 4.74" and info["version"] == 3
+    assert parse_chm_system(b"ITSF" + b"\x00" * 64) == {}
+    txt = (b"x" * 257 + b"ustar plain text after the magic").ljust(600, b"y")
+    mime, text = extract_text(txt)
+    assert mime == "text/plain" and "ustar" in text
