@@ -96,3 +96,35 @@ def test_substring_spans_hot_gram_no_explosion(spark):
     assert out.count() == 2000
     spans = out.select("span_start", "span_end").distinct().collect()
     assert [(r["span_start"], r["span_end"]) for r in spans] == [(1, 13)]
+
+
+def test_bucketed_crawldb_join_is_exchange_free(spark, tmp_path):
+    """SCALE.md's production-layout claim, proven at the plan level:
+    crawldb/segment tables bucketed+sorted on url make the url-keyed merge
+    a zipper SortMergeJoin with NO Exchange on either side (the shuffle
+    happened once, at write time). This is the layout every url-keyed job
+    (inject/updatedb/dedup/merge) rides at 100 TB."""
+    rows = [(f"http://h{i % 7}.com/p{i}", float(i)) for i in range(200)]
+    a = spark.createDataFrame(rows, "url string, score double")
+    b = spark.createDataFrame(rows, "url string, fetch_interval double")
+    for name, df in (("t_crawldb_bucketed", a), ("t_segment_bucketed", b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "url")
+            .sortBy("url")
+            .saveAsTable(name)
+        )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_crawldb_bucketed").join(
+            spark.table("t_segment_bucketed"), "url"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_crawldb_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_segment_bucketed")
