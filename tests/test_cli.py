@@ -630,3 +630,24 @@ def test_driver_entry_smoke(spark):
         assert set(o) <= set(q)
     finally:
         sys.path.remove(repo_root)
+
+
+def test_solr_era_aliases_are_live(spark, tmp_path):
+    """bin/nutch keeps solrindex/solrdedup/solrclean as working aliases of
+    index/dedup/clean (bin/nutch:272-281) — ours run the real commands."""
+    from nutch_spark.cli import build_parser
+
+    p = build_parser()
+    for alias, canonical in (
+        ("solrindex", "index"),
+        ("solrdedup", "dedup"),
+        ("solrclean", "clean"),
+    ):
+        args = (
+            [alias, "db", "-out", str(tmp_path)]
+            if alias != "solrdedup"
+            else [alias, "db"]
+        )
+        a = p.parse_args(args)
+        b = p.parse_args([canonical] + args[1:])
+        assert a.fn is b.fn and a.fn is not None
