@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """All pairs (a, b), a<b, with shingle-set Jaccard >= threshold.
 
@@ -82,8 +83,20 @@ def ngram_jaccard_pairs(
     shingle, count common shingles per pair, divide by the union size.
     ``max_shingle_freq`` drops ubiquitous shingles (stop-phrases) before the
     join — the standard guard against quadratic hot buckets at scale.
+
+    ``hash_shingles=True`` replaces the n-token shingle STRING with its
+    60-bit h64 before the frequency count and self-join, shrinking the
+    shuffled key from tens of bytes to one long — the knob for
+    network-bound clusters where exchange bytes dominate. Measured at
+    sf0.1 local[32] the two are at PARITY (~10 s each: md5 hashing costs
+    what the smaller memory-local shuffle saves), so the bitwise-exact
+    string join stays the default; results differ only under h64
+    collisions (~d^2/2^61 pairs over d distinct shingles — none observed:
+    identical 2317 pairs both ways at sf0.1).
     """
     sh = df.select(F.col(key).alias("id"), F.explode(shingles(text, n)).alias("sh"))
+    if hash_shingles:
+        sh = sh.select("id", h64(F.col("sh")).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
