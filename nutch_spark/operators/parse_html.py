@@ -364,12 +364,56 @@ def parse_html(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        from nutch_spark.operators.fetcher import TEXT_URL_PATTERN
+
+        url_re = _re.compile(TEXT_URL_PATTERN)
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 ctype = getattr(row, "content_type", None)
                 if content_is_binary:
-                    text, charset = decode_content(bytes(row.content), ctype)
+                    raw = bytes(row.content)
+                    # ParserFactory routing (parse/ParserFactory.java:96-142
+                    # via parse-plugins.xml): text/html|xhtml → parse-html;
+                    # everything else → the binary dispatch (the parse-tika
+                    # slot), whose plain-text output feeds the
+                    # OutlinkExtractor activation regex exactly like
+                    # parse-text. No declared mime → sniff for markup.
+                    base = (ctype or "").split(";")[0].strip().lower()
+                    markup = base in ("text/html", "application/xhtml+xml") or (
+                        not base
+                        and raw[:256].lstrip()[:10].lower().startswith(b"<")
+                    )
+                    if not markup:
+                        from nutch_spark.operators.parse_binary import (
+                            extract_text as _extract_binary,
+                        )
+
+                        mime, btext = _extract_binary(raw)
+                        links, seen = [], set()
+                        for m in url_re.finditer(btext or ""):
+                            u = m.group(0)
+                            if u in seen:
+                                continue
+                            seen.add(u)
+                            links.append({"to_url": u, "anchor": ""})
+                            if len(links) >= cfg.max_outlinks_per_page:
+                                break
+                        out.append(
+                            {
+                                "url": row.url,
+                                "title": "",
+                                "outlinks": links,
+                                "parse_text": btext,
+                                "meta": {"Content-Type": mime},
+                                "charset": None,
+                                "signature": getattr(row, "signature", None),
+                            }
+                        )
+                        continue
+                    text, charset = decode_content(raw, ctype)
                 else:
                     text, charset = row.content, None
                 parsed = parse_html_page(row.url, text, cfg=cfg)

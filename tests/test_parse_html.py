@@ -435,3 +435,38 @@ def test_charset_autodetect_beats_lying_header():
     assert detect_charset(cp1252, "text/html; charset=windows-1252") == "windows-1252"
     # no clues at all, invalid utf-8 -> windows-1252 default (:44-46 vector)
     assert detect_charset(cp1252, None) == "windows-1252"
+
+
+def test_parse_html_routes_binary_payloads_by_mime(spark):
+    """ParserFactory routing (parse/ParserFactory.java:96-142): the crawl
+    parse step sends text/html through the HTML parser and every other
+    payload through the binary dispatch — a fetched PDF yields its real
+    text (plus activation-regex outlinks), not HTML-soup garbage."""
+    from nutch_spark.operators.parse_tail import build_wpd_bytes
+
+    pdf_like = build_wpd_bytes(
+        "wpd body text see http://linked.example.com/next for more"
+    )
+    rows = [
+        (
+            "http://a.com/page.html",
+            bytearray(b"<html><title>T</title><body><a href='/x'>anchor</a></body></html>"),
+            "text/html",
+            "fetch_success",
+        ),
+        ("http://a.com/doc.wpd", bytearray(pdf_like), None, "fetch_success"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string, status string"
+    )
+    got = {r["url"]: r for r in parse_html(df).collect()}
+    html_row = got["http://a.com/page.html"]
+    assert html_row["title"] == "T"
+    assert html_row["outlinks"][0]["to_url"] == "http://a.com/x"
+    wpd_row = got["http://a.com/doc.wpd"]
+    assert "wpd body text" in wpd_row["parse_text"]
+    assert wpd_row["meta"]["Content-Type"] == "application/vnd.wordperfect"
+    # OutlinkExtractor activation over the extracted text (parse-text path)
+    assert {o["to_url"] for o in wpd_row["outlinks"]} == {
+        "http://linked.example.com/next"
+    }
