@@ -1284,23 +1284,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_D(p)
     p.set_defaults(fn=cmd_invertlinks)
 
-    # "solrdedup"/"solrindex"/"solrclean": the reference bin/nutch keeps
-    # these deprecated Solr-era aliases for dedup/index/clean — preserved
-    # for drop-in parity (bin/nutch:272-281)
-    p = sub.add_parser(
-        "dedup", aliases=["solrdedup"],
-        help="mark duplicate pages in the crawldb",
-    )
+    p = sub.add_parser("dedup", help="mark duplicate pages in the crawldb")
     p.add_argument("crawldb")
     p.add_argument("-group", choices=("none", "host", "domain"))
     p.add_argument("-compareOrder", help="e.g. score,fetchTime,urlLength")
     _add_D(p)
     p.set_defaults(fn=cmd_dedup)
 
-    p = sub.add_parser(
-        "index", aliases=["solrindex"],
-        help="run the indexing join into offline writers",
-    )
+    p = sub.add_parser("index", help="run the indexing join into offline writers")
     p.add_argument("crawldb")
     p.add_argument("-linkdb")
     _add_segment_inputs(p)
@@ -1310,10 +1301,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_D(p)
     p.set_defaults(fn=cmd_index)
 
-    p = sub.add_parser(
-        "clean", aliases=["solrclean"],
-        help="export index deletion targets",
-    )
+    p = sub.add_parser("clean", help="export index deletion targets")
     p.add_argument("crawldb")
     p.add_argument("-out", required=True)
     _add_format(p)
@@ -1535,11 +1523,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_D(p)
     p.set_defaults(fn=cmd_crawl)
 
-    # solrindex/solrdedup/solrclean are live aliases of index/dedup/clean
-    # above (bin/nutch:272-281 keeps the deprecated Solr-era names working)
+    # the reference REMOVED the Solr-era commands (bin/nutch:272-275 prints
+    # "The command X was replaced by the command Y" and exits non-zero) —
+    # mirror that exactly rather than resurrecting them as aliases
     for legacy, repl in (
         ("plugin", "JVM plugin loader — Python equivalents are importable modules"),
         ("junit", "use: python -m pytest tests/"),
+        ("solrindex", "index"),
+        ("solrdedup", "dedup"),
+        ("solrclean", "clean"),
     ):
         p = sub.add_parser(legacy, help=f"(replaced) {repl}")
         p.set_defaults(fn=None, replacement=repl)

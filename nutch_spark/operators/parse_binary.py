@@ -942,13 +942,14 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
     if data[257:262] == b"ustar":  # POSIX/GNU tar member header magic
         import tarfile
 
-        if depth >= 2:
-            return "application/x-tar", ""
         try:
             tf = tarfile.open(fileobj=BytesIO(data))
         except (tarfile.TarError, OSError):
             tf = None  # "ustar" at 257 by coincidence (e.g. plain text):
             # fall through to the text/binary fallback below
+        if tf is not None and depth >= 2:  # nested-archive cutoff — but
+            tf.close()  # only for REAL tars; false positives still fall
+            return "application/x-tar", ""  # through at any depth
         if tf is not None:
             texts = []
             try:

@@ -272,8 +272,15 @@ def parse_html_page(
                 outlink_src.append((js_url, []))
     if "nofollow" in robots:
         outlink_src = []
+    # negative db.max.outlinks.per.page = unlimited
+    # (ParseOutputFormat.java:150: maxOutlinks < 0 → Integer.MAX_VALUE)
+    max_links = (
+        cfg.max_outlinks_per_page
+        if cfg.max_outlinks_per_page >= 0
+        else float("inf")
+    )
     for href, anchor_parts in outlink_src:
-        if len(links) >= cfg.max_outlinks_per_page:
+        if len(links) >= max_links:
             break
         href = href.strip()
         if not href or href.startswith(("javascript:", "mailto:", "#")):
@@ -339,6 +346,62 @@ PARSE_HTML_SCHEMA = T.StructType(
 )
 
 
+def _parse_nonhtml_row(row, raw: bytes, base: str, url_re, cfg) -> dict:
+    """One non-HTML fetch row → parse-row dict (the parse-text /
+    parse-tika slots of ParserFactory routing). Declared ``text/*`` goes
+    through decode_content (EncodingDetector: BOM → header charset →
+    sniff → windows-1252 fallback, so non-UTF-8 text keeps its content);
+    everything else through the binary dispatch. Outlinks come from the
+    OutlinkExtractor activation regex over the extracted text
+    (OutlinkExtractor.java:95), capped at db.max.outlinks.per.page
+    (negative = unlimited, ParseOutputFormat.java:150). CHM documents
+    surface their #SYSTEM metadata (title/generator/default topic) the
+    way Tika's ChmParser does."""
+    title = ""
+    meta: dict[str, str] = {}
+    charset = None
+    if base.startswith("text/"):
+        btext, charset = decode_content(raw, base)
+        meta["Content-Type"] = base
+    else:
+        from nutch_spark.operators.parse_binary import extract_text
+
+        mime, btext = extract_text(raw)
+        meta["Content-Type"] = mime
+        if mime == "application/vnd.ms-htmlhelp":
+            from nutch_spark.operators.parse_tail import parse_chm_system
+
+            info = parse_chm_system(raw)
+            title = info.get("title", "")
+            for k in ("default_topic", "generator"):
+                if info.get(k):
+                    meta[f"chm.{k}"] = info[k]
+    cap = (
+        cfg.max_outlinks_per_page
+        if cfg.max_outlinks_per_page >= 0
+        else float("inf")
+    )
+    links: list[dict] = []
+    seen: set[str] = set()
+    for m in url_re.finditer(btext or ""):
+        if len(links) >= cap:
+            break
+        u = m.group(0)
+        if u in seen:
+            continue
+        seen.add(u)
+        links.append({"to_url": u, "anchor": ""})
+    return {
+        "url": row.url,
+        "title": title,
+        "outlinks": links,
+        "parse_text": btext,
+        "meta": meta,
+        "charset": charset,
+        "signature": getattr(row, "signature", None),
+    }
+
+
 def parse_html(
     fetch_log: DataFrame,
     *,
@@ -376,42 +439,21 @@ def parse_html(
                 if content_is_binary:
                     raw = bytes(row.content)
                     # ParserFactory routing (parse/ParserFactory.java:96-142
-                    # via parse-plugins.xml): text/html|xhtml → parse-html;
-                    # everything else → the binary dispatch (the parse-tika
-                    # slot), whose plain-text output feeds the
-                    # OutlinkExtractor activation regex exactly like
-                    # parse-text. No declared mime → sniff for markup.
+                    # via parse-plugins.xml): text/html|xhtml and sniffed
+                    # markup → parse-html; declared text/* → the parse-text
+                    # path (EncodingDetector charset handling + the
+                    # OutlinkExtractor activation regex); everything else →
+                    # the binary dispatch (the parse-tika slot). The
+                    # undeclared-mime sniff decodes through decode_content
+                    # first so BOM-prefixed / UTF-16 markup routes right.
                     base = (ctype or "").split(";")[0].strip().lower()
-                    markup = base in ("text/html", "application/xhtml+xml") or (
-                        not base
-                        and raw[:256].lstrip()[:10].lower().startswith(b"<")
-                    )
+                    markup = base in ("text/html", "application/xhtml+xml")
+                    if not base:
+                        preview, _ = decode_content(raw[:1024], ctype)
+                        markup = preview.lstrip()[:1].startswith("<")
                     if not markup:
-                        from nutch_spark.operators.parse_binary import (
-                            extract_text as _extract_binary,
-                        )
-
-                        mime, btext = _extract_binary(raw)
-                        links, seen = [], set()
-                        for m in url_re.finditer(btext or ""):
-                            u = m.group(0)
-                            if u in seen:
-                                continue
-                            seen.add(u)
-                            links.append({"to_url": u, "anchor": ""})
-                            if len(links) >= cfg.max_outlinks_per_page:
-                                break
-                        out.append(
-                            {
-                                "url": row.url,
-                                "title": "",
-                                "outlinks": links,
-                                "parse_text": btext,
-                                "meta": {"Content-Type": mime},
-                                "charset": None,
-                                "signature": getattr(row, "signature", None),
-                            }
-                        )
+                        row_out = _parse_nonhtml_row(row, raw, base, url_re, cfg)
+                        out.append(row_out)
                         continue
                     text, charset = decode_content(raw, ctype)
                 else:

@@ -632,22 +632,17 @@ def test_driver_entry_smoke(spark):
         sys.path.remove(repo_root)
 
 
-def test_solr_era_aliases_are_live(spark, tmp_path):
-    """bin/nutch keeps solrindex/solrdedup/solrclean as working aliases of
-    index/dedup/clean (bin/nutch:272-281) — ours run the real commands."""
-    from nutch_spark.cli import build_parser
+def test_solr_era_commands_print_replacement(capsys):
+    """bin/nutch:272-275 REMOVED solrindex/solrdedup/solrclean: it prints
+    'The command X was replaced by the command Y' and exits non-zero —
+    mirror that, don't resurrect the commands as live aliases."""
+    from nutch_spark.cli import main
 
-    p = build_parser()
-    for alias, canonical in (
+    for legacy, repl in (
         ("solrindex", "index"),
         ("solrdedup", "dedup"),
         ("solrclean", "clean"),
     ):
-        args = (
-            [alias, "db", "-out", str(tmp_path)]
-            if alias != "solrdedup"
-            else [alias, "db"]
-        )
-        a = p.parse_args(args)
-        b = p.parse_args([canonical] + args[1:])
-        assert a.fn is b.fn and a.fn is not None
+        assert main([legacy]) != 0
+        err = capsys.readouterr().err
+        assert legacy in err and repl in err

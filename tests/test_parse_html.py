@@ -470,3 +470,47 @@ def test_parse_html_routes_binary_payloads_by_mime(spark):
     assert {o["to_url"] for o in wpd_row["outlinks"]} == {
         "http://linked.example.com/next"
     }
+
+
+def test_third_review_regressions_round9(spark):
+    """Third self-review pass: non-UTF-8 declared-text payloads keep their
+    content via the EncodingDetector path; BOM/UTF-16 markup without a
+    declared mime routes to the HTML parser; negative
+    db.max.outlinks.per.page means unlimited; CHM title lands in parse
+    output."""
+    import struct as _struct
+
+    from nutch_spark.operators.parse_tail import build_chm_bytes
+
+    cp1252_text = "café menu naïve — voilà http://t.example.com/a".encode("cp1252")
+    bom_html = "﻿<html><title>BomT</title><body><a href='/r'>x</a></body></html>".encode("utf-8")
+    u16_html = "<html><title>U16</title></html>".encode("utf-16")
+    system = _struct.pack("<I", 3) + _struct.pack("<HH", 3, 8) + b"ChmTitl\x00"
+    chm = build_chm_bytes({"/#SYSTEM": system},
+                          compressed_files={"/b.txt": b"chm body"})
+    rows = [
+        ("http://a.com/notes.txt", bytearray(cp1252_text), "text/plain; charset=windows-1252", "fetch_success"),
+        ("http://a.com/bom", bytearray(bom_html), None, "fetch_success"),
+        ("http://a.com/u16", bytearray(u16_html), None, "fetch_success"),
+        ("http://a.com/help.chm", bytearray(chm), None, "fetch_success"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string, status string"
+    )
+    got = {r["url"]: r for r in parse_html(df).collect()}
+    assert "café menu naïve" in got["http://a.com/notes.txt"]["parse_text"]
+    assert got["http://a.com/notes.txt"]["outlinks"][0]["to_url"] == "http://t.example.com/a"
+    assert got["http://a.com/bom"]["title"] == "BomT"
+    assert got["http://a.com/bom"]["outlinks"][0]["to_url"] == "http://a.com/r"
+    assert got["http://a.com/u16"]["title"] == "U16"
+    chm_row = got["http://a.com/help.chm"]
+    assert chm_row["title"] == "ChmTitl" and "chm body" in chm_row["parse_text"]
+    # negative cap = unlimited (ParseOutputFormat.java:150)
+    from nutch_spark.config import NutchConfig
+
+    many = "".join(f'<a href="/l{i}">x</a>' for i in range(150))
+    page = parse_html_page(
+        "http://a.com/", f"<html><body>{many}</body></html>",
+        cfg=NutchConfig(max_outlinks_per_page=-1),
+    )
+    assert len(page["outlinks"]) == 150
