@@ -1526,15 +1526,28 @@ def build_parser() -> argparse.ArgumentParser:
     # the reference REMOVED the Solr-era commands (bin/nutch:272-275 prints
     # "The command X was replaced by the command Y" and exits non-zero) —
     # mirror that exactly rather than resurrecting them as aliases
-    for legacy, repl in (
-        ("plugin", "JVM plugin loader — Python equivalents are importable modules"),
-        ("junit", "use: python -m pytest tests/"),
-        ("solrindex", "index"),
-        ("solrdedup", "dedup"),
-        ("solrclean", "clean"),
+    for legacy, repl, msg in (
+        (
+            "plugin",
+            "JVM plugin loader — Python equivalents are importable modules",
+            None,
+        ),
+        ("junit", "use: python -m pytest tests/", None),
+        # bin/nutch:272-275's EXACT wording for the removed Solr commands
+        ("solrindex", "index",
+         "The command solrindex was replaced by the command index"),
+        ("solrdedup", "dedup",
+         "The command solrdedup was replaced by the command dedup"),
+        ("solrclean", "clean",
+         "The command solrclean was replaced by the command clean"),
     ):
         p = sub.add_parser(legacy, help=f"(replaced) {repl}")
-        p.set_defaults(fn=None, replacement=repl)
+        p.set_defaults(
+            fn=None,
+            replacement=repl,
+            replacement_msg=msg
+            or f"'{legacy}' is replaced here: {repl}",
+        )
 
     return ap
 
@@ -1542,7 +1555,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.fn is None:
-        print(f"'{args.command}' is replaced here: {args.replacement}", file=sys.stderr)
+        print(
+            getattr(
+                args,
+                "replacement_msg",
+                f"'{args.command}' is replaced here: {args.replacement}",
+            ),
+            file=sys.stderr,
+        )
         return 2
     return args.fn(args)
 

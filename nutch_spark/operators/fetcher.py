@@ -915,12 +915,14 @@ def parse(
     )
     if skip_truncated:
         ok = ok.filter(~is_truncated())
+    from nutch_spark.operators.parse_html import _outlink_limit
+
     outlinks = F.transform(
         F.slice(
             F.regexp_extract_all("content", F.lit('href="([^"]{1,4096})"'), F.lit(1)),
             1,
-            cfg.max_outlinks_per_page,
-        ),
+            _outlink_limit(cfg),  # negative cap = unlimited, and slice()
+        ),  # rejects negative lengths at runtime
         lambda u: F.struct(u.alias("to_url"), F.lit("").alias("anchor")),
     )
     text = F.trim(F.regexp_replace("content", "<[^>]*>", " "))
@@ -1095,8 +1097,10 @@ def extract_text_outlinks(
     in order, capped at db.max.outlinks.per.page. Pure regexp column —
     codegen'd, no UDF."""
     t = F.col(text) if isinstance(text, str) else text
+    from nutch_spark.operators.parse_html import _outlink_limit
+
     urls = F.regexp_extract_all(t, F.lit(TEXT_URL_PATTERN), F.lit(0))
     deduped = F.array_distinct(urls)
     return F.slice(
-        deduped, 1, F.least(F.size(deduped), F.lit(cfg.max_outlinks_per_page))
+        deduped, 1, F.least(F.size(deduped), F.lit(_outlink_limit(cfg)))
     )

@@ -272,13 +272,7 @@ def parse_html_page(
                 outlink_src.append((js_url, []))
     if "nofollow" in robots:
         outlink_src = []
-    # negative db.max.outlinks.per.page = unlimited
-    # (ParseOutputFormat.java:150: maxOutlinks < 0 → Integer.MAX_VALUE)
-    max_links = (
-        cfg.max_outlinks_per_page
-        if cfg.max_outlinks_per_page >= 0
-        else float("inf")
-    )
+    max_links = _outlink_limit(cfg)
     for href, anchor_parts in outlink_src:
         if len(links) >= max_links:
             break
@@ -346,41 +340,55 @@ PARSE_HTML_SCHEMA = T.StructType(
 )
 
 
-def _parse_nonhtml_row(row, raw: bytes, base: str, url_re, cfg) -> dict:
+def _outlink_limit(cfg: NutchConfig) -> int:
+    """Effective db.max.outlinks.per.page: negative = unlimited
+    (ParseOutputFormat.java:150: maxOutlinks < 0 → Integer.MAX_VALUE)."""
+    cap = cfg.max_outlinks_per_page
+    return cap if cap >= 0 else (1 << 31) - 1
+
+
+def _parse_nonhtml_row(row, raw: bytes, ctype: str | None, base: str, url_re, cfg) -> dict:
     """One non-HTML fetch row → parse-row dict (the parse-text /
     parse-tika slots of ParserFactory routing). Declared ``text/*`` goes
-    through decode_content (EncodingDetector: BOM → header charset →
-    sniff → windows-1252 fallback, so non-UTF-8 text keeps its content);
-    everything else through the binary dispatch. Outlinks come from the
-    OutlinkExtractor activation regex over the extracted text
-    (OutlinkExtractor.java:95), capped at db.max.outlinks.per.page
-    (negative = unlimited, ParseOutputFormat.java:150). CHM documents
-    surface their #SYSTEM metadata (title/generator/default topic) the
-    way Tika's ChmParser does."""
+    through decode_content with the FULL Content-Type (EncodingDetector:
+    BOM → header charset= param → sniff → windows-1252 fallback, so
+    non-UTF-8 text keeps its content); everything else through the binary
+    dispatch — and when that yields nothing for magic-less undeclared
+    bytes, the text fallback decodes them like the parse-text path would.
+    Outlinks come from the OutlinkExtractor activation regex over the
+    extracted text (OutlinkExtractor.java:95), capped at
+    db.max.outlinks.per.page (negative = unlimited). CHM documents surface
+    their #SYSTEM metadata (title/generator/default topic) the way Tika's
+    ChmParser does."""
     title = ""
     meta: dict[str, str] = {}
     charset = None
     if base.startswith("text/"):
-        btext, charset = decode_content(raw, base)
+        btext, charset = decode_content(raw, ctype)
         meta["Content-Type"] = base
     else:
         from nutch_spark.operators.parse_binary import extract_text
 
         mime, btext = extract_text(raw)
+        if mime == "application/octet-stream" and not btext and not base:
+            # no magic, no declared type, not UTF-8 — the pre-routing
+            # behavior decoded it as text (charset detection + cp1252
+            # fallback); keep that for undeclared non-UTF-8 text pages
+            btext, charset = decode_content(raw, ctype)
+            mime = "text/plain" if btext.strip() else mime
         meta["Content-Type"] = mime
-        if mime == "application/vnd.ms-htmlhelp":
+        from nutch_spark.operators.parse_tail import CHM_MIME
+
+        if mime == CHM_MIME:
             from nutch_spark.operators.parse_tail import parse_chm_system
 
+            # second pass is the PMGL directory walk only (no LZX work)
             info = parse_chm_system(raw)
             title = info.get("title", "")
             for k in ("default_topic", "generator"):
                 if info.get(k):
                     meta[f"chm.{k}"] = info[k]
-    cap = (
-        cfg.max_outlinks_per_page
-        if cfg.max_outlinks_per_page >= 0
-        else float("inf")
-    )
+    cap = _outlink_limit(cfg)
     links: list[dict] = []
     seen: set[str] = set()
     for m in url_re.finditer(btext or ""):
@@ -452,8 +460,9 @@ def parse_html(
                         preview, _ = decode_content(raw[:1024], ctype)
                         markup = preview.lstrip()[:1].startswith("<")
                     if not markup:
-                        row_out = _parse_nonhtml_row(row, raw, base, url_re, cfg)
-                        out.append(row_out)
+                        out.append(
+                            _parse_nonhtml_row(row, raw, ctype, base, url_re, cfg)
+                        )
                         continue
                     text, charset = decode_content(raw, ctype)
                 else:

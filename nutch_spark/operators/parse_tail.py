@@ -510,7 +510,7 @@ def extract_chm_text(data: bytes, depth: int = 0) -> tuple[str, str]:
                 html, _cs = decode_content(blob, "text/html")
                 txt = parse_html_page("chm:" + name, html)["text"]
             else:
-                _, txt = _extract_text(blob, max(depth + 1, 2))
+                _, txt = _extract_text(blob, depth + 1)
         except Exception:
             continue
         if txt:

@@ -645,4 +645,6 @@ def test_solr_era_commands_print_replacement(capsys):
     ):
         assert main([legacy]) != 0
         err = capsys.readouterr().err
-        assert legacy in err and repl in err
+        assert (
+            f"The command {legacy} was replaced by the command {repl}" in err
+        )

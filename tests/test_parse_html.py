@@ -514,3 +514,48 @@ def test_third_review_regressions_round9(spark):
         cfg=NutchConfig(max_outlinks_per_page=-1),
     )
     assert len(page["outlinks"]) == 150
+
+
+def test_fourth_review_regressions_round9(spark):
+    """Fourth self-review pass: declared charset= params reach the
+    decoder; undeclared-mime non-UTF-8 text keeps its content; negative
+    outlink cap works in the regex fast path and extract_text_outlinks."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetcher import extract_text_outlinks, parse
+
+    sjis = "日本語のテキスト http://jp.example.com/x".encode("shift_jis")
+    cp1252_untyped = "café naïve voilà encore".encode("cp1252")
+    rows = [
+        ("http://a.com/sjis.txt", bytearray(sjis), "text/plain; charset=shift_jis", "fetch_success"),
+        ("http://a.com/undeclared", bytearray(cp1252_untyped), None, "fetch_success"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string, status string"
+    )
+    got = {r["url"]: r for r in parse_html(df).collect()}
+    assert "日本語のテキスト" in got["http://a.com/sjis.txt"]["parse_text"]
+    assert (
+        got["http://a.com/sjis.txt"]["outlinks"][0]["to_url"]
+        == "http://jp.example.com/x"
+    )
+    assert "café naïve" in got["http://a.com/undeclared"]["parse_text"]
+    assert got["http://a.com/undeclared"]["meta"]["Content-Type"] == "text/plain"
+    # negative cap = unlimited in the JVM fast path too (no slice() error)
+    cfg = NutchConfig(max_outlinks_per_page=-1)
+    many = "".join(f'<a href="http://h.com/l{i}">x</a>' for i in range(120))
+    fl = spark.createDataFrame(
+        [("http://a.com/", f"<html><body>{many}</body></html>",
+          "fetch_success", None)],
+        "url string, content string, status string, signature binary",
+    )
+    fast = parse(fl, cfg=cfg).collect()[0]
+    assert len(fast["outlinks"]) == 120
+    tdf = spark.createDataFrame(
+        [(" ".join(f"http://t.com/{i}" for i in range(120)),)], "text string"
+    )
+    n = tdf.select(
+        F.size(extract_text_outlinks("text", cfg=cfg)).alias("n")
+    ).collect()[0]["n"]
+    assert n == 120

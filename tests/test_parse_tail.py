@@ -410,17 +410,27 @@ def test_second_review_regressions_round9():
     )
 
     t0 = time.monotonic()
-    # 1. CAB claiming ~4.3 GB of output from a tiny body: no members, fast
-    bomb = bytearray(build_cab_bytes({"a.txt": b"x" * 100}, compression="mszip"))
-    # CFDATA header sits right after CFFOLDER+CFFILE; forge cbUncomp high
-    # via a synthetic frame list instead: simplest — forge the folder's
-    # block count and let the strict parse drop the folder
-    idx = bytes(bomb).index(struct.pack("<IHH", 0, 0, 0)[:0])  # no-op anchor
-    cab2 = bytearray(build_cab_bytes({"b.bin": b"\x00" * 0x8000}, compression="mszip"))
-    # locate the CFDATA entry (csum=0) and inflate its cbUncomp
-    off = bytes(cab2).index(b"CK") - 8
-    struct.pack_into("<H", cab2, off + 6, 0xFFFF)
-    parse_cab(bytes(cab2))  # must not allocate per forged claim nor raise
+    # 1. a folder claiming ~80 MiB of output from ~15 KiB of input trips
+    # the bomb guard BEFORE decompression: its files drop, and a healthy
+    # sibling folder in the same cabinet still extracts
+    n_frames = 1300  # 1300 x 0xFFFF ≈ 81 MiB claimed
+    cfdata = b"".join(
+        struct.pack("<IHH", 0, 2, 0xFFFF) + b"CK" for _ in range(n_frames)
+    )
+    coff_files = 36 + 8
+    name = b"bomb.bin\x00"
+    cffile = struct.pack("<IIHHHH", 0xFFFF, 0, 0, 0, 0, 0x20) + name
+    coff_data = coff_files + len(cffile)
+    header = (
+        b"MSCF" + struct.pack("<I", 0)
+        + struct.pack("<I", coff_data + len(cfdata))
+        + struct.pack("<I", 0) + struct.pack("<I", coff_files)
+        + struct.pack("<I", 0) + bytes([3, 1])
+        + struct.pack("<HHHHH", 1, 1, 0, 0, 0)
+    )
+    cffolder = struct.pack("<IHH", coff_data, n_frames, 1)  # MSZIP
+    bomb = header + cffolder + cffile + cfdata
+    assert parse_cab(bomb) == []  # guard fired, nothing materialized
     # 2. oversubscribed Huffman tree fails loudly (no silent list growth)
     bw = _BitWriter()
     bw.write(0, 1)
