@@ -44,7 +44,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("fetch_time", T.TimestampType(), True),
-        T.StructField("content", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
         T.StructField("content_type", T.StringType(), True),
         T.StructField("signature", T.BinaryType(), True),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
@@ -216,15 +216,6 @@ def http_fetch_fn(
         def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: D102
             return None  # surface 3xx as HTTPError instead of following
 
-    def _decode(body: bytes, ctype: str | None) -> str:
-        charset = "utf-8"
-        if ctype and "charset=" in ctype:
-            charset = ctype.split("charset=")[-1].split(";")[0].strip() or "utf-8"
-        try:
-            return body.decode(charset, errors="replace")
-        except (LookupError, UnicodeDecodeError):
-            return body.decode("utf-8", errors="replace")
-
     # protocol-httpclient surface (Http.java:258-340 http.auth.file scopes,
     # HttpResponse cookie pass-through): HOST-SCOPED credentials and cookie
     # jars — both keyed host -> value ('*' = any host; never send a site's
@@ -357,9 +348,15 @@ def http_fetch_fn(
                 meta["_undecodable_encoding_"] = cenc
             else:
                 body = plain
+        # Content.content stays byte[] end-to-end (the reference's
+        # protocol layer never decodes; EncodingDetector runs at PARSE
+        # time) — the FULL Content-Type header (charset param included)
+        # rides metadata so parse_html.decode_content sees it
+        if ctype:
+            meta["Content-Type"] = ctype
         return {
             "status": "fetch_success",
-            "content": _decode(body, ctype),
+            "content": body,
             "content_type": (ctype or "").split(";")[0].strip() or None,
             "metadata": meta,
         }
@@ -452,7 +449,7 @@ def ftp_fetch_fn(
                     "status": "fetch_success",
                     "content": _dir_listing_html(
                         path, [n for n in names if n not in (".", "..")]
-                    ),
+                    ).encode("utf-8"),
                     "content_type": "text/html",
                     "metadata": {"nutch.protocol.code": "200"},
                 }
@@ -499,7 +496,7 @@ def ftp_fetch_fn(
                 meta["_truncated_"] = "1"
             return {
                 "status": "fetch_success",
-                "content": body.decode("utf-8", errors="replace"),
+                "content": body,
                 "content_type": _sniff_html(body),
                 "metadata": meta,
             }
@@ -564,7 +561,7 @@ def file_fetch_fn(
             # _dir_listing_html — escaped names, sorted)
             return {
                 "status": "fetch_success",
-                "content": _dir_listing_html(path, os.listdir(path)),
+                "content": _dir_listing_html(path, os.listdir(path)).encode("utf-8"),
                 "content_type": "text/html",
                 "metadata": {"nutch.protocol.code": "200"},
             }
@@ -572,7 +569,7 @@ def file_fetch_fn(
             body = f.read(max_bytes)
         return {
             "status": "fetch_success",
-            "content": body.decode("utf-8", errors="replace"),
+            "content": body,
             "content_type": _sniff_html(body),
             "metadata": {"nutch.protocol.code": "200"},
         }
@@ -691,15 +688,21 @@ def fetch(
             # times); rides metadata so stats.fetch_latency_stats can
             # aggregate without a new column in FETCH_SCHEMA
             meta["_latency_ms_"] = str(_latency_ms)
+            if isinstance(content, str):
+                # legacy/synthetic fetch_fns return decoded text; the log
+                # stores raw bytes (Content.content is byte[]) — utf-8 is
+                # the round-trip-exact encoding for text they produce
+                content = content.encode("utf-8")
             if content is not None and content_limit >= 0:
-                # http.content.limit is a BYTE cap — measure and cut in
-                # utf-8 bytes, never characters (a CJK page is ~3x its
-                # character count), and never split a multibyte sequence
-                raw = content.encode("utf-8")
-                if len(raw) > content_limit:
-                    content = raw[:content_limit].decode("utf-8", errors="ignore")
+                # http.content.limit is a BYTE cap over the raw protocol
+                # bytes (HttpBase.java truncates the stream, multibyte
+                # sequences split and all — the parser's charset decode
+                # replaces the dangling tail)
+                if len(content) > content_limit:
+                    content = content[:content_limit]
                     meta["_truncated_"] = "1"
-            sig = hashlib.md5(content.encode()).digest() if content is not None else None
+            # MD5Signature digests the raw content bytes (MD5Signature.java)
+            sig = hashlib.md5(content).digest() if content is not None else None
             return {
                 "url": url,
                 "status": status,
@@ -917,18 +920,30 @@ def parse(
         ok = ok.filter(~is_truncated())
     from nutch_spark.operators.parse_html import _outlink_limit
 
+    # content is raw bytes (FETCH_SCHEMA) — decode JVM-side for the regex
+    # pulls; legacy string-content logs pass through unchanged. Malformed
+    # sequences replace, never raise — set codingErrorAction on the ACTIVE
+    # session (a driver-built vanilla session lacks our factory configs;
+    # it is a runtime SQL conf, so setting it here is effective).
+    if isinstance(fetch_log.schema["content"].dataType, T.BinaryType):
+        fetch_log.sparkSession.conf.set(
+            "spark.sql.legacy.codingErrorAction", "true"
+        )
+        html = F.decode(F.col("content"), "UTF-8")
+    else:
+        html = F.col("content")
     outlinks = F.transform(
         F.slice(
-            F.regexp_extract_all("content", F.lit('href="([^"]{1,4096})"'), F.lit(1)),
+            F.regexp_extract_all(html, F.lit('href="([^"]{1,4096})"'), F.lit(1)),
             1,
             _outlink_limit(cfg),  # negative cap = unlimited, and slice()
         ),  # rejects negative lengths at runtime
         lambda u: F.struct(u.alias("to_url"), F.lit("").alias("anchor")),
     )
-    text = F.trim(F.regexp_replace("content", "<[^>]*>", " "))
+    text = F.trim(F.regexp_replace(html, "<[^>]*>", " "))
     return ok.select(
         "url",
-        F.regexp_extract("content", "<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(html, "<title>([^<]*)</title>", 1).alias("title"),
         outlinks.alias("outlinks"),
         text.alias("parse_text"),
         "signature",

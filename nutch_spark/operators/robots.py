@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 from nutch_spark.functions.urls import url_host
 
 
+def _text_col(robots: DataFrame, content: str) -> F.Column:
+    """The content column as STRING: raw fetch bytes (FETCH_SCHEMA) decode
+    utf-8-replace (RFC 9309 §2.3 says robots.txt is UTF-8); already-decoded
+    string columns pass through."""
+    from pyspark.sql import types as T
+
+    col = F.col(content)
+    if isinstance(robots.schema[content].dataType, T.BinaryType):
+        # replace-malformed decode must hold on driver-built vanilla
+        # sessions too — runtime SQL conf, effective when set here
+        robots.sparkSession.conf.set("spark.sql.legacy.codingErrorAction", "true")
+        return F.decode(col, "UTF-8")
+    return col
+
+
 def _directives(content: str = "content") -> F.Column:
     """Explode robots.txt lines into (field, value) pairs, tracking the
     active user-agent group the way SimpleRobotRules does."""
@@ -39,7 +54,7 @@ def parse_robots(robots: DataFrame, *, host: str = "host", content: str = "conte
     """
     lines = robots.select(
         F.col(host).alias("host"),
-        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(_text_col(robots, content), "\n")).alias("pos", "line"),
     ).select(
         "host",
         "pos",
@@ -75,7 +90,7 @@ def crawl_delays(robots: DataFrame, *, host: str = "host", content: str = "conte
     """(host, agent, crawl_delay_s) from Crawl-delay directives."""
     lines = robots.select(
         F.col(host).alias("host"),
-        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(_text_col(robots, content), "\n")).alias("pos", "line"),
     )
     w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     agented = lines.withColumn(
@@ -194,7 +209,8 @@ def robots_sitemaps(
     ``parse_sitemap`` / ``expand_sitemap_index``."""
     urls = F.array_distinct(
         F.regexp_extract_all(
-            F.col(content), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)
+            _text_col(robots, content),
+            F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1),
         )
     )
     return robots.select(
@@ -357,7 +373,12 @@ def fetch_with_robots(
 
     robots_content = robots_log.filter(
         (F.col("status") == "fetch_success") & F.col("content").isNotNull()
-    ).select(url_host("url").alias("host"), "content")
+    ).select(
+        url_host("url").alias("host"),
+        # fetch content is raw bytes; robots.txt is ASCII/UTF-8 by spec
+        # (RFC 9309 §2.3) — decode once at the boundary, replace-malformed
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+    )
     rules = parse_robots(robots_content)
     allowed = filter_allowed(fetchlist, rules, agent=agent)
     denied = fetchlist.join(allowed.select("url"), "url", "left_anti")
@@ -382,7 +403,7 @@ def fetch_with_robots(
         "url",
         F.lit("fetch_gone").alias("status"),
         F.current_timestamp().alias("fetch_time"),
-        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("binary").alias("content"),
         F.lit(None).cast("string").alias("content_type"),
         F.lit(None).cast("binary").alias("signature"),
         F.create_map(F.lit("_robots_denied_"), F.lit("1")).alias("metadata"),

@@ -1788,3 +1788,89 @@ def p2_cab_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# P1+P2+MM — binary content END-TO-END through the live fetch harness
+# ---------------------------------------------------------------------------
+
+
+def _gif_fetch_fn(url: str) -> dict:
+    """Deterministic binary protocol stub: serves a real 13-byte GIF89a
+    whose logical-screen dims derive from the doc id in the url — the
+    harness-side contract (raw bytes in, raw bytes stored) is what this
+    exercises; the response shape matches http_fetch_fn's dict."""
+    import re
+    import struct
+
+    doc_id = int(re.search(r"img(\d+)\.gif$", url).group(1))
+    w = 16 + doc_id % 240
+    h = 16 + (doc_id * 7) % 240
+    body = b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+    return {
+        "status": "fetch_success",
+        "content": body,
+        "content_type": "image/gif",
+        "metadata": {"nutch.protocol.code": "200"},
+    }
+
+
+@q(
+    "p1_fetch_binary_pipeline",
+    """
+    -- Certifies the round-10 FETCH_SCHEMA binary-content migration end to
+    -- end: the polite fetch harness stores the protocol layer's RAW bytes
+    -- (Content.content is byte[] in the reference — Content.java) and
+    -- md5-digests exactly those bytes (MD5Signature.java). The oracle
+    -- states the full 13-byte GIF payload in closed form, so ANY
+    -- corruption on the byte path (Arrow transfer, cap, str/bytes
+    -- coercion) hash-mismatches; sig_ok pins signature = md5(content)
+    -- (checked Spark-side — DuckDB has no md5-over-blob).
+    SELECT doc_id AS media_id,
+           CAST(13 AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 240 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+           lower('474946383961'
+             || lpad(to_hex(16 + doc_id % 240), 2, '0') || '00'
+             || lpad(to_hex(16 + (doc_id * 7) % 240), 2, '0') || '00'
+             || 'f70000') AS payload_hex,
+           TRUE AS sig_ok
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def p1_fetch_binary_pipeline(spark, sf_dir):
+    """P1→MM: binary documents through the REAL fetch harness. A protocol
+    stub serves per-url GIF89a bytes; ``fetch`` (operators/fetcher.py)
+    queues by host and stores the raw bytes in FETCH_SCHEMA's BINARY
+    content column. Width/height are then decoded from the STORED bytes
+    with JVM hex arithmetic (little-endian uint16 logical-screen dims) —
+    the stdlib Python decoder over the same container formats is
+    certified separately by mm_image_dimensions; THIS query pins the
+    byte-path integrity of the harness itself. 100 TB shape: hosts hash
+    into partitions, one Arrow fetch stage, then pure codegen — no
+    Python, no shuffle."""
+    from nutch_spark.operators.fetcher import fetch
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    fl = d.select(
+        F.concat(
+            F.lit("http://media"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/img"),
+            F.col("doc_id").cast("string"),
+            F.lit(".gif"),
+        ).alias("url")
+    )
+    log = fetch(fl, fetch_fn=_gif_fetch_fn, num_lists=16)
+    hx = F.lower(F.hex("content"))
+    le16 = lambda lo, hi: F.conv(
+        F.concat(F.substring(hx, hi, 2), F.substring(hx, lo, 2)), 16, 10
+    ).cast("int")
+    return log.select(
+        F.regexp_extract("url", r"img(\d+)\.gif", 1).cast("long").alias("media_id"),
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+        le16(13, 15).alias("width"),
+        le16(17, 19).alias("height"),
+        hx.alias("payload_hex"),
+        (F.lower(F.hex("signature")) == F.md5("content")).alias("sig_ok"),
+    )

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
         # reference disables speculation for db-writing jobs (Injector.java:413).
         .config("spark.speculation", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # decode(binary, charset) replaces malformed input instead of
+        # raising — fetch content is raw bytes (FETCH_SCHEMA) and the
+        # JVM-side text paths (fetcher.parse, robots, sitemaps) must
+        # tolerate mojibake exactly like java's new String(bytes, cs)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         # Tiny local DataFrames (tests, seed lists) should not fan out to one
         # task per core; parquet scans size their own splits independently.
         .config("spark.sql.leafNodeDefaultParallelism", "4")

@@ -171,8 +171,12 @@ WARC_SCHEMA = T.StructType(
 )
 
 
-def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
+def parse_warc_bytes(data: bytes, source: str, *, binary: bool = False) -> list[dict]:
     """Split a WARC/1.0 file (plain or gzip) into records.
+
+    ``binary=True`` keeps each record block as raw bytes (the mirror of a
+    binary-content ``write_warc`` — byte-exact round trip for non-text
+    payloads); default decodes utf-8 replace for the legacy text shape.
 
     Header block = lines until the blank line; the payload is
     Content-Length bytes. Truncated/garbled records are skipped, never
@@ -216,7 +220,7 @@ def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
                 "url": headers.get("warc-target-uri"),
                 "warc_type": headers.get("warc-type"),
                 "fetch_time": ts,
-                "content": body.decode("utf-8", errors="replace"),
+                "content": body if binary else body.decode("utf-8", errors="replace"),
                 "source_file": source,
             }
         )
@@ -226,8 +230,24 @@ def parse_warc_bytes(data: bytes, source: str) -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+WARC_BINARY_SCHEMA = T.StructType(
+    [f if f.name != "content" else T.StructField("content", T.BinaryType(), True)
+     for f in WARC_SCHEMA.fields]
+)
+
+
+def read_warc(spark: SparkSession, path: str, *, binary: bool = False) -> DataFrame:
     """Distributed WARC import (the CommonCrawl input format): one task per
     file via binaryFile, records exploded in Arrow batches — the mirror of
-    ``sources.exports.write_warc`` and the same shape ``read_arc`` emits."""
+    ``sources.exports.write_warc`` and the same shape ``read_arc`` emits.
+    ``binary=True`` returns ``content`` as BINARY (raw record block bytes,
+    FETCH_SCHEMA-compatible) instead of utf-8-replace text."""
+    if binary:
+        import functools
+
+        return _read_records(
+            spark, path,
+            functools.partial(parse_warc_bytes, binary=True),
+            WARC_BINARY_SCHEMA,
+        )
     return _read_records(spark, path, parse_warc_bytes, WARC_SCHEMA)

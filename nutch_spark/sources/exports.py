@@ -24,12 +24,21 @@ CRLF = "\r\n"
 
 
 def warc_records(fetch_log: DataFrame) -> DataFrame:
-    """S7: render fetch rows as WARC/1.0 'response' records (one text row per
+    """S7: render fetch rows as WARC/1.0 'response' records (one row per
     record; concatenate a partition's rows for a .warc chunk).
 
     Follows the WARC-Record layout WARCExporter.java emits: version line,
-    WARC-Type/Target-URI/Date headers, Content-Length, blank line, block."""
-    content = F.coalesce(F.col("content"), F.lit(""))
+    WARC-Type/Target-URI/Date headers, Content-Length, blank line, block.
+
+    BINARY ``content`` (FETCH_SCHEMA — raw fetch bytes) yields a BINARY
+    ``value``: the record block is the exact payload bytes, so a PDF or
+    gzip member round-trips byte-for-byte (the reference archives raw
+    ``Content.content``). STRING content keeps the legacy text record."""
+    from pyspark.sql import types as T
+
+    is_binary = isinstance(fetch_log.schema["content"].dataType, T.BinaryType)
+    empty = F.lit(b"" if is_binary else "")
+    content = F.coalesce(F.col("content"), empty)
     header = F.concat(
         F.lit("WARC/1.0" + CRLF),
         F.lit("WARC-Type: response" + CRLF),
@@ -43,20 +52,66 @@ def warc_records(fetch_log: DataFrame) -> DataFrame:
         F.octet_length(content).cast("string"),
         F.lit(CRLF + CRLF),
     )
+    if is_binary:
+        value = F.concat(F.encode(header, "UTF-8"), content, F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+    else:
+        value = F.concat(header, content, F.lit(CRLF + CRLF))
     return fetch_log.filter(F.col("status") == "fetch_success").select(
-        F.concat(header, content, F.lit(CRLF + CRLF)).alias("value")
+        value.alias("value")
     )
 
 
 def write_warc(fetch_log: DataFrame, path: str, *, mode: str = "overwrite") -> None:
-    """Write WARC chunks (one file per partition)."""
-    warc_records(fetch_log).write.mode(mode).text(path)
+    """Write WARC chunks (one file per partition).
+
+    String records go through the text writer (legacy path). Binary
+    records are written bytes-exact: one ``part-NNNNN.warc`` per
+    partition via foreachPartition — Spark has no binary file WRITER, so
+    each task streams its records to the target directory directly (on a
+    cluster this path is a shared filesystem / fuse mount; the 100 TB
+    deployment would swap in a Hadoop-FS OutputStream in the same loop —
+    the per-partition streaming shape is already right)."""
+    from pyspark.sql import types as T
+
+    recs = warc_records(fetch_log)
+    if not isinstance(recs.schema["value"].dataType, T.BinaryType):
+        recs.write.mode(mode).text(path)
+        return
+    import os
+    import shutil
+
+    if mode == "overwrite" and os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def dump(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = None
+        try:
+            for row in rows:
+                if out is None:  # open lazily: empty partitions write nothing
+                    out = open(os.path.join(path, f"part-{pid:05d}.warc"), "wb")
+                out.write(bytes(row.value))
+        finally:
+            if out is not None:
+                out.close()
+
+    recs.foreachPartition(dump)
 
 
 def commoncrawl_dump(fetch_log: DataFrame, parse_data: DataFrame) -> DataFrame:
     """S8: CommonCrawl-style JSON rows (CommonCrawlDataDumper.java field
     mapping: url, timestamp, mime, digest, text/html payload)."""
+    from pyspark.sql import types as T
+
     pd = parse_data.select("url", "title", "parse_text")
+    empty = F.lit(
+        b""
+        if isinstance(fetch_log.schema["content"].dataType, T.BinaryType)
+        else ""
+    )
     return (
         fetch_log.filter(F.col("status") == "fetch_success")
         .join(pd, "url", "left")
@@ -64,7 +119,7 @@ def commoncrawl_dump(fetch_log: DataFrame, parse_data: DataFrame) -> DataFrame:
             F.col("url"),
             F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),
             F.coalesce("content_type", F.lit("text/html")).alias("mime"),
-            F.md5(F.coalesce("content", F.lit(""))).alias("digest"),
+            F.md5(F.coalesce(F.col("content"), empty)).alias("digest"),
             F.col("title"),
             F.col("parse_text").alias("text"),
         )

@@ -685,11 +685,77 @@ class RabbitIndexWriter(IndexWriter):
         self._writes, self._deletes = [], []
 
 
+def cloudsearch_http_transport(
+    endpoint_url: str,
+    *,
+    headers: dict | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 2,
+    backoff_s: float = 1.0,
+) -> Callable[[bytes], None]:
+    """The opt-in LIVE transport for :class:`CloudSearchIndexWriter`: POST
+    SDF batch JSON to the domain's public batch endpoint
+    ``<endpoint>/2013-01-01/documents/batch`` with ``application/json``
+    (the documented CloudSearch document-service API the reference reaches
+    through AmazonCloudSearchDomainClient.uploadDocuments,
+    CloudSearchIndexWriter.java:296-330). CloudSearch reports per-document
+    failures as ``"status": "error"`` + an ``errors`` array inside an HTTP
+    200, so a 200 alone is NOT success. 5xx/connection failures re-POST the
+    whole batch (at-least-once; adds/deletes are id-keyed and idempotent on
+    replay); 4xx and in-body errors fail immediately."""
+    import json as _json
+
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+    url = endpoint_url.rstrip("/")
+    if not url.endswith("/documents/batch"):
+        url += "/2013-01-01/documents/batch"
+
+    def upload(body: bytes) -> None:
+        import time
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url, data=body, headers=dict(hdrs), method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = resp.read()
+                try:
+                    doc = _json.loads(payload.decode("utf-8", errors="replace"))
+                except ValueError:
+                    doc = {}
+                if doc.get("status") == "error" or doc.get("errors"):
+                    raise IndexWriteError(
+                        f"cloudsearch batch rejected: {payload[:500]!r}"
+                    )
+                return
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    raise IndexWriteError(
+                        f"cloudsearch batch rejected ({e.code}): "
+                        f"{e.read()[:500]!r}"
+                    ) from e
+                last = e
+            except (urllib.error.URLError, OSError) as e:
+                last = e
+            if attempt < max_retries:
+                time.sleep(backoff_s * (attempt + 1))
+        raise IndexWriteError(
+            f"cloudsearch batch failed after retries: {last}"
+        ) from last
+
+    return upload
+
+
 class CloudSearchIndexWriter(IndexWriter):
     """AWS CloudSearch-shaped writer (src/plugin/indexer-cloudsearch/.../
     CloudSearchIndexWriter.java): document-batch JSON arrays POSTed through
-    the injected ``upload(body_bytes)`` (production: the CloudSearch domain
-    ``documents/batch`` endpoint).
+    ``upload(body_bytes)`` — ``live_url=`` wires the stdlib urllib client
+    (:func:`cloudsearch_http_transport`, the domain's public
+    ``documents/batch`` endpoint); tests inject a capturing fake.
 
     Mirrored semantics (CloudSearchIndexWriter.java:167-330):
 
@@ -710,11 +776,20 @@ class CloudSearchIndexWriter(IndexWriter):
 
     def __init__(
         self,
-        upload: Callable[[bytes], None],
+        upload: Callable[[bytes], None] | None = None,
         *,
+        live_url: str | None = None,
         max_docs_in_batch: int = -1,
         id_field: str = "url",
     ) -> None:
+        if upload is None:
+            if not live_url:
+                raise ValueError(
+                    "CloudSearchIndexWriter needs a transport: pass "
+                    "live_url=<doc endpoint> for the stdlib HTTP client "
+                    "or inject upload=..."
+                )
+            upload = cloudsearch_http_transport(live_url)
         self.upload = upload
         self.max_docs_in_batch = max_docs_in_batch
         self.id_field = id_field

@@ -253,8 +253,19 @@ def build_index_writers(
         elif cls == "CloudSearchIndexWriter":
 
             def make_cloudsearch(p=p):
-                # live CloudSearch needs the AWS SDK upload seam
-                return ix.CloudSearchIndexWriter(lambda body: None)
+                # the reference's indexer-cloudsearch reads an 'endpoint'
+                # param (CloudSearchIndexWriter.java via the SDK domain
+                # client); with one configured the live urllib transport
+                # engages, otherwise the writer stays a dry-run stub
+                endpoint = p.get("endpoint", "").strip()
+                batch = int(p.get("batch", p.get("maxDocsInBatch", -1)) or -1)
+                if endpoint:
+                    return ix.CloudSearchIndexWriter(
+                        live_url=endpoint, max_docs_in_batch=batch
+                    )
+                return ix.CloudSearchIndexWriter(
+                    lambda body: None, max_docs_in_batch=batch
+                )
 
             factories[wid] = make_cloudsearch
         elif cls == "DummyIndexWriter":

@@ -158,7 +158,7 @@ def test_file_listing_escapes_hostile_names(tmp_path):
     (tmp_path / "plain.txt").write_text("y")
     resp = file_fetch_fn(f"file://{tmp_path}")
     assert resp["status"] == "fetch_success"
-    body = resp["content"]
+    body = resp["content"].decode("utf-8")
     assert "a&lt;b&gt;&amp;&quot;c.txt" in body
     # no raw < from the filename leaks into markup (only real tags remain)
     assert "<b>&" not in body

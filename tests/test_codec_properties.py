@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import gzip
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from nutch_spark.datapipe.mediacodec import byte_histogram
@@ -57,7 +57,7 @@ _RECORD = st.tuples(
 
 
 @given(st.lists(_RECORD, min_size=1, max_size=25), st.integers(0, 2**40))
-@settings(max_examples=50)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=50)
 def test_record_batch_round_trip_any_records(records, ts):
     assert decode_record_batch(encode_record_batch(records, ts)) == records
 
@@ -74,7 +74,7 @@ def _crc32c_bitwise(data: bytes) -> int:
 
 
 @given(st.binary(max_size=128))
-@settings(max_examples=100)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100)
 def test_crc32c_matches_bitwise_reference(data):
     assert crc32c(data) == _crc32c_bitwise(data)
 
@@ -94,7 +94,7 @@ _VALUE = st.one_of(
 
 
 @given(st.dictionaries(_KEY, _VALUE, max_size=8))
-@settings(max_examples=100)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100)
 def test_amqp_table_round_trip(table):
     blob = encode_table(table)
     got, end = decode_table(blob)
@@ -125,13 +125,13 @@ def test_reverse_unreverse_url_round_trip(scheme, labels, port, path_segs):
 
 
 @given(st.binary(min_size=0, max_size=4096))
-@settings(max_examples=50)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=50)
 def test_unzip_best_effort_inverts_gzip(data):
     assert unzip_best_effort(gzip.compress(data)) == data
 
 
 @given(st.binary(min_size=1, max_size=2048), st.integers(min_value=1, max_value=32))
-@settings(max_examples=100)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100)
 def test_byte_histogram_properties(payload, bins):
     h = byte_histogram(payload, bins)
     assert len(h) == bins
@@ -159,7 +159,7 @@ _SNIFF_PREFIXES = [
 
 
 @given(st.sampled_from(_SNIFF_PREFIXES), st.binary(max_size=256))
-@settings(max_examples=300)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=300)
 def test_media_sniffers_never_raise_on_hostile_bytes(prefix, junk):
     from nutch_spark.datapipe.mediacodec import (
         effective_dimensions,
@@ -188,7 +188,7 @@ def test_media_sniffers_never_raise_on_hostile_bytes(prefix, junk):
 
 
 @given(st.binary(max_size=200))
-@settings(max_examples=200, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200, deadline=None)
 def test_document_extractors_never_raise_on_hostile_bytes(junk):
     from nutch_spark.operators.parse_binary import extract_text
 
@@ -198,7 +198,7 @@ def test_document_extractors_never_raise_on_hostile_bytes(junk):
 
 
 @given(st.binary(max_size=128))
-@settings(max_examples=100)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100)
 def test_record_batch_decoder_never_hangs_on_junk(blob):
     import pytest as _pytest
 
@@ -223,7 +223,7 @@ import struct  # noqa: E402  (used by the junk-batch property above)
 
 
 @given(st.binary(min_size=1, max_size=4000))
-@settings(max_examples=60, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=60, deadline=None)
 def test_lzx_verbatim_round_trip_any_bytes(payload):
     from nutch_spark.functions.lzx import LzxDecoder, lzx_compress_block
 
@@ -232,7 +232,7 @@ def test_lzx_verbatim_round_trip_any_bytes(payload):
 
 
 @given(st.binary(min_size=1, max_size=4000))
-@settings(max_examples=60, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=60, deadline=None)
 def test_lzx_uncompressed_round_trip_any_bytes(payload):
     from nutch_spark.functions.lzx import (
         LzxDecoder,
@@ -244,7 +244,7 @@ def test_lzx_uncompressed_round_trip_any_bytes(payload):
 
 
 @given(st.binary(max_size=4000))
-@settings(max_examples=100, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100, deadline=None)
 def test_snappy_round_trip_any_bytes(payload):
     from nutch_spark.operators.parse_tail import (
         snappy_compress_literal,
@@ -261,7 +261,7 @@ def test_snappy_round_trip_any_bytes(payload):
     ).map(lambda s: s.strip()),
     st.sampled_from([5, 6]),
 )
-@settings(max_examples=100, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100, deadline=None)
 def test_wpd_round_trip_any_printable_text(text, version):
     from nutch_spark.operators.parse_tail import build_wpd_bytes, extract_wpd_text
 
@@ -277,7 +277,7 @@ def test_wpd_round_trip_any_printable_text(text, version):
     ),
     st.sampled_from(["none", "mszip", "lzx"]),
 )
-@settings(max_examples=60, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=60, deadline=None)
 def test_cab_member_round_trip_any_contents(files, compression):
     from nutch_spark.operators.parse_tail import build_cab_bytes, parse_cab
 
@@ -286,7 +286,7 @@ def test_cab_member_round_trip_any_contents(files, compression):
 
 
 @given(st.binary(max_size=300))
-@settings(max_examples=150, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150, deadline=None)
 def test_round9_parsers_never_raise_on_hostile_bytes(junk):
     from nutch_spark.operators.parse_binary import extract_text
     from nutch_spark.operators.parse_tail import (

@@ -108,7 +108,7 @@ def ftp_server():
 def test_ftp_file_success(ftp_server):
     r = ftp_fetch_fn(f"ftp://{ftp_server}/pub/readme.txt")
     assert r["status"] == "fetch_success"
-    assert r["content"] == "hello from ftp"
+    assert r["content"] == b"hello from ftp"
     assert r["content_type"] == "text/plain"
     assert r["metadata"]["nutch.protocol.code"] == "200"
 
@@ -124,8 +124,8 @@ def test_ftp_directory_listing(ftp_server):
     assert r["status"] == "fetch_success"
     assert r["content_type"] == "text/html"
     # names sorted, entity-escaped markup like file_fetch_fn's listing
-    assert '<a href="index.html">index.html</a>' in r["content"]
-    assert r["content"].index("index.html") < r["content"].index("readme.txt")
+    assert b'<a href="index.html">index.html</a>' in r["content"]
+    assert r["content"].index(b"index.html") < r["content"].index(b"readme.txt")
 
 
 def test_ftp_dir_without_slash_redirects(ftp_server):
@@ -157,7 +157,7 @@ def test_ftp_connection_refused_retries():
 def test_ftp_truncation(ftp_server):
     r = ftp_fetch_fn(f"ftp://{ftp_server}/pub/readme.txt", max_bytes=5)
     assert r["status"] == "fetch_success"
-    assert r["content"] == "hello"
+    assert r["content"] == b"hello"
 
 
 def test_ftp_through_fetch_harness(spark, ftp_server):

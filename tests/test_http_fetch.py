@@ -104,7 +104,7 @@ def server():
 def test_200_success(server):
     r = http_fetch_fn(f"{server}/ok")
     assert r["status"] == "fetch_success"
-    assert "<title>ok</title>" in r["content"]
+    assert b"<title>ok</title>" in r["content"]  # raw bytes (Content.content)
     assert r["content_type"] == "text/html"
     assert r["metadata"]["nutch.protocol.code"] == "200"
 
@@ -160,12 +160,18 @@ def test_network_error_retry():
 def test_max_bytes_cap(server):
     r = http_fetch_fn(f"{server}/big", max_bytes=100)
     assert r["status"] == "fetch_success"
-    assert len(r["content"]) == 100  # ascii body: bytes == chars
+    assert len(r["content"]) == 100  # raw byte cap
 
 
 def test_charset_decode(server):
+    # the protocol layer keeps RAW bytes; the charset decode happens at
+    # parse time from the full Content-Type riding metadata
+    from nutch_spark.operators.parse_html import decode_content
+
     r = http_fetch_fn(f"{server}/latin")
-    assert r["content"] == "café"
+    assert r["content"] == "café".encode("latin-1")
+    text, charset = decode_content(r["content"], r["metadata"]["Content-Type"])
+    assert text == "café" and charset in ("latin-1", "iso-8859-1")
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +221,7 @@ def test_harness_content_limit_tags_truncated(spark, server):
         fl, cfg=cfg, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
     ).collect()
     assert row["status"] == "fetch_success"
-    assert len(row["content"].encode()) == 64
+    assert len(row["content"]) == 64
     assert row["metadata"]["_truncated_"] == "1"
 
 
@@ -286,7 +292,7 @@ def test_file_fetch_success_and_gone(tmp_path):
     p.write_text("<html><title>local</title></html>")
     r = file_fetch_fn(f"file://{p}")
     assert r["status"] == "fetch_success"
-    assert "<title>local</title>" in r["content"]
+    assert b"<title>local</title>" in r["content"]
     assert r["content_type"] == "text/html"
 
     missing = file_fetch_fn(f"file://{tmp_path}/nope.html")
@@ -301,7 +307,7 @@ def test_file_fetch_directory_listing(tmp_path):
     (tmp_path / "b.txt").write_text("y")
     r = file_fetch_fn(f"file://{tmp_path}")
     assert r["status"] == "fetch_success"
-    assert 'href="a.txt"' in r["content"] and 'href="b.txt"' in r["content"]
+    assert b'href="a.txt"' in r["content"] and b'href="b.txt"' in r["content"]
 
 
 def test_file_fetch_symlink_redirects(tmp_path):
@@ -353,7 +359,7 @@ def test_harness_follows_redirects_in_band(spark, server):
     # the redirect row is still emitted AND the target was fetched
     assert rows[f"{server}/temp"]["status"] == "fetch_redir_temp"
     assert rows[f"{server}/ok"]["status"] == "fetch_success"
-    assert "<title>ok</title>" in rows[f"{server}/ok"]["content"]
+    assert b"<title>ok</title>" in rows[f"{server}/ok"]["content"]
 
 
 def test_harness_redirect_depth_budget(spark):
@@ -444,7 +450,7 @@ def test_basic_auth_and_cookies_headers():
                      "other.example.com": {"leak": "no"}},
             headers={"X-Extra": "yes"},
         )
-        assert out["status"] == "fetch_success" and out["content"] == "granted"
+        assert out["status"] == "fetch_success" and out["content"] == b"granted"
         expect = base64.b64encode(b"alice:s3cret").decode()
         assert seen["auth"] == f"Basic {expect}"
         # only THIS host's jar is sent — never another host's cookies
@@ -522,7 +528,7 @@ def test_digest_auth_md5_qop_auth():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         out = http_fetch_fn(f"{base}/private?x=1", auth={"127.0.0.1": ("alice", "s3cret")})
         assert out["status"] == "fetch_success"
-        assert out["content"] == "digest granted"
+        assert out["content"] == b"digest granted"
         # wrong password -> server rejects the hash -> 403 -> retry mapping
         out = http_fetch_fn(f"{base}/private", auth={"127.0.0.1": ("alice", "wrong")})
         assert out["status"] != "fetch_success"
@@ -543,7 +549,7 @@ def test_digest_auth_sha256_no_qop():
     try:
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         out = http_fetch_fn(f"{base}/private", auth={"*": ("bob", "pw2")})
-        assert out["status"] == "fetch_success" and out["content"] == "digest granted"
+        assert out["status"] == "fetch_success" and out["content"] == b"digest granted"
     finally:
         srv.shutdown()
 
@@ -604,7 +610,7 @@ def test_digest_auth_sess_algorithm_without_qop_emits_cnonce():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         out = http_fetch_fn(f"{base}/private", auth={"*": ("carol", "pw3")})
         assert out["status"] == "fetch_success"
-        assert out["content"] == "digest granted"
+        assert out["content"] == b"digest granted"
     finally:
         srv.shutdown()
 
@@ -648,7 +654,7 @@ def test_gzip_and_deflate_content_encoding_decoded():
         for path in ("/gz", "/deflate", "/plain"):
             out = http_fetch_fn(f"{base}{path}")
             assert out["status"] == "fetch_success", path
-            assert out["content"] == text, path
+            assert out["content"] == text.encode("utf-8"), path
         # Accept-Encoding is advertised so servers know they may compress
         out = http_fetch_fn(f"{base}/gz")
         assert out["metadata"].get("_undecodable_encoding_") is None

@@ -18,10 +18,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 
 from nutch_spark.sources.indexers import (
+    CloudSearchIndexWriter,
     EsBulkIndexWriter,
     IndexWriteError,
     SolrIndexWriter,
     es_bulk_http_transport,
+    cloudsearch_http_transport,
     index_documents,
     solr_http_transport,
 )
@@ -63,6 +65,21 @@ class _SinkHandler(BaseHTTPRequestHandler):
             if errors and items:
                 items[0] = {"index": {"status": 400, "error": {"type": "mapper_parsing_exception"}}}
             payload = json.dumps({"errors": errors, "items": items}).encode()
+        elif self.path.endswith("/documents/batch"):
+            if self.path.startswith("/cserr"):
+                payload = json.dumps(
+                    {"status": "error",
+                     "errors": [{"message": "Field \"bad\" does not exist"}]}
+                ).encode()
+            else:
+                sdf = json.loads(body)
+                payload = json.dumps(
+                    {
+                        "status": "success",
+                        "adds": sum(1 for e in sdf if e["type"] == "add"),
+                        "deletes": sum(1 for e in sdf if e["type"] == "delete"),
+                    }
+                ).encode()
         else:
             payload = json.dumps({"responseHeader": {"status": 0}}).encode()
         self.send_response(200)
@@ -132,6 +149,8 @@ def test_writers_require_transport_or_live():
         SolrIndexWriter(urls="http://solr:8983/solr")
     with pytest.raises(ValueError, match="live_url"):
         EsBulkIndexWriter()
+    with pytest.raises(ValueError, match="live_url"):
+        CloudSearchIndexWriter()
 
 
 # ---------------------------------------------------------------------------
@@ -192,3 +211,44 @@ def test_index_documents_live_es_round_trip(spark, sink_server):
     lines = [json.loads(ln) for ln in bulk[0]["body"].split(b"\n") if ln.strip()]
     actions = [next(iter(ln)) for ln in lines if set(ln) & {"index", "delete"}]
     assert "index" in actions and "delete" in actions
+
+
+def test_cloudsearch_transport_success_error_and_4xx(sink_server):
+    up = cloudsearch_http_transport(f"{sink_server}/cs", max_retries=0)
+    up(json.dumps([{"type": "add", "id": "a" * 128, "fields": {"t": "x"}}]).encode())
+    req = _recorded()[0]
+    assert req["path"] == "/cs/2013-01-01/documents/batch"
+    assert req["content_type"] == "application/json"
+
+    # CloudSearch reports document errors INSIDE an HTTP 200 — not success
+    failing = cloudsearch_http_transport(f"{sink_server}/cserr", max_retries=0)
+    with pytest.raises(IndexWriteError, match="rejected"):
+        failing(json.dumps([{"type": "add", "id": "x", "fields": {}}]).encode())
+
+    rejecting = cloudsearch_http_transport(f"{sink_server}/reject", max_retries=0)
+    with pytest.raises(IndexWriteError, match="rejected"):
+        rejecting(b"[]")
+
+
+def test_index_documents_live_cloudsearch_round_trip(spark, sink_server):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [("http://c.example.com/1", "ADD", "doc one"),
+         ("http://c.example.com/2", "DELETE", None)],
+        "url string, action string, content string",
+    ).coalesce(1)
+    url = f"{sink_server}/cs"
+    index_documents(
+        docs,
+        {"cloudsearch": lambda: CloudSearchIndexWriter(live_url=url)},
+    )
+    reqs = [r for r in _recorded() if r["path"].endswith("/documents/batch")]
+    assert reqs, "no batch reached the server"
+    sdf = json.loads(reqs[0]["body"])
+    by_type = {e["type"]: e for e in sdf}
+    # document id = hex SHA-512 of the url (CloudSearchUtils.getID)
+    assert by_type["add"]["id"] == hashlib.sha512(
+        b"http://c.example.com/1").hexdigest()
+    assert by_type["delete"]["id"] == hashlib.sha512(
+        b"http://c.example.com/2").hexdigest()

@@ -201,7 +201,7 @@ def test_http_fetch_fn_answers_ntlm_challenge():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         out = http_fetch_fn(f"{base}/private", auth={"127.0.0.1": ("bob", "pw2")})
         assert out["status"] == "fetch_success"
-        assert out["content"] == "ntlm granted"
+        assert out["content"] == b"ntlm granted"
         # no credentials: the 401 surfaces as fetch_gone, like basic/digest
         out = http_fetch_fn(f"{base}/private")
         assert out["status"] == "fetch_gone"
@@ -221,7 +221,7 @@ def test_http_fetch_fn_decompresses_gzipped_ntlm_response():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         out = http_fetch_fn(f"{base}/private", auth={"127.0.0.1": ("bob", "pw2")})
         assert out["status"] == "fetch_success"
-        assert out["content"] == "ntlm granted"
+        assert out["content"] == b"ntlm granted"
     finally:
         srv.shutdown()
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import struct
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from nutch_spark.operators.ole import (
@@ -37,7 +37,7 @@ def test_cfb_round_trip_mini_and_regular_streams():
     assert cfb.read("WordDocument") is None
 
 
-@settings(max_examples=25, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=25, deadline=None)
 @given(
     small=st.binary(min_size=0, max_size=300),
     seed=st.binary(min_size=1, max_size=64),
@@ -106,7 +106,7 @@ def test_doc_encrypted_returns_empty():
     assert extract_doc_text(CfbFile(enc)) == ""
 
 
-@settings(max_examples=25, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=25, deadline=None)
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0xFFFD,
                                       blacklist_categories=("Cs",)),
                min_size=0, max_size=400))
@@ -289,7 +289,7 @@ def test_cfb_v4_4096_byte_sectors():
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=60, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=60, deadline=None)
 @given(
     prefix=st.sampled_from(
         [b"", b"%PDF-", b"PK\x03\x04",
@@ -304,7 +304,7 @@ def test_extract_text_never_raises_on_fuzz(prefix, data):
     assert isinstance(mime, str) and isinstance(text, str)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=40, deadline=None)
 @given(
     name=st.sampled_from(["WordDocument", "Workbook", "PowerPoint Document"]),
     data=st.binary(max_size=2048),
@@ -318,7 +318,7 @@ def test_ole_stream_fuzz_never_raises(name, data, extra):
     assert isinstance(mime, str) and isinstance(text, str)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=40, deadline=None)
 @given(fib=st.binary(max_size=1024), table=st.binary(max_size=512))
 def test_doc_fuzzed_fib_never_raises(fib, table):
     # wIdent valid, every other FIB field (flags, fcClx/lcbClx, ccpText)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import zlib
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from nutch_spark.operators.parse_binary import (
@@ -26,13 +26,13 @@ def _escape_pdf(s: bytes) -> bytes:
 
 
 @given(st.binary(min_size=0, max_size=200))
-@settings(max_examples=200, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200, deadline=None)
 def test_pdf_escape_unescape_roundtrip(payload):
     assert _unescape_pdf_string(_escape_pdf(payload)) == payload
 
 
 @given(st.text(alphabet=st.characters(codec="latin-1"), max_size=120))
-@settings(max_examples=100, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100, deadline=None)
 def test_pdf_text_roundtrip_any_latin1(s):
     # any latin-1 string survives: escape -> wrap in a Flate stream -> extract
     raw = s.encode("latin-1")
@@ -97,7 +97,7 @@ _PAYLOAD = st.binary(min_size=0, max_size=300)
 
 
 @given(st.lists(st.tuples(_URL, _PAYLOAD), min_size=0, max_size=8))
-@settings(max_examples=100, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=100, deadline=None)
 def test_arc_roundtrip_arbitrary_payloads(records):
     # payloads may contain newlines, header-lookalikes, gzip magic — the
     # length-prefixed format must recover every record exactly
@@ -110,7 +110,7 @@ def test_arc_roundtrip_arbitrary_payloads(records):
 
 
 @given(st.binary(min_size=0, max_size=500))
-@settings(max_examples=200, deadline=None)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200, deadline=None)
 def test_arc_never_crashes_on_garbage(junk):
     # arbitrary bytes: the parser may salvage records but must never raise
     out = parse_arc_bytes(junk, "f")

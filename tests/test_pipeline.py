@@ -335,8 +335,10 @@ def test_fetch_content_limit_is_bytes(spark):
     fl = spark.createDataFrame([("http://a.com/cjk",)], "url string")
     row = fetch(fl, cfg=cfg, fetch_fn=lambda u: ("fetch_success", cjk)).first()
     assert row["metadata"]["_truncated_"] == "1"
-    assert len(row["content"].encode("utf-8")) <= 30
-    assert len(row["content"]) == 10  # clean character boundary
+    # http.content.limit cuts the RAW byte stream (HttpBase.java) — 30
+    # bytes even mid-sequence; the parse-time charset decode replaces the
+    # dangling tail
+    assert len(row["content"]) == 30
 
 
 def test_emit_parse_rows_normalizes_and_filters_outlinks(spark):

@@ -316,7 +316,7 @@ def test_fetch_test_site_end_to_end(spark):
         handled = sorted(
             r["url"].rsplit("/", 1)[1]
             for r in rows
-            if r["content"] and "Nutch fetcher test page" in r["content"]
+            if r["content"] and b"Nutch fetcher test page" in r["content"]
         )
         assert handled == sorted(pages)
         assert all(r["status"] == "fetch_success" for r in rows)

@@ -113,5 +113,5 @@ def test_rendering_fetch_fn_in_polite_harness(spark):
     rows = log.collect()
     assert len(rows) == 6
     assert all(r["status"] == "fetch_success" for r in rows)
-    assert all("rendered http://" in r["content"] for r in rows)
+    assert all(b"rendered http://" in r["content"] for r in rows)
     assert all(r["metadata"]["_rendered_"] == "1" for r in rows)

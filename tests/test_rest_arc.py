@@ -312,3 +312,34 @@ def test_arc_latin1_header_and_truncated_tail():
     recs = parse_arc_bytes(r1 + r2, "f")
     assert recs[0]["url"] == "http://caf\xe9.example.com/p"
     assert bytes(recs[1]["content"]) == b"only-this"  # short tail still emitted
+
+
+def test_warc_round_trip_binary(spark, tmp_path):
+    # round-10 byte-exact path: BINARY fetch content (FETCH_SCHEMA) writes
+    # binary WARC records (one part-NNNNN.warc per partition) and
+    # read_warc(binary=True) reproduces the payload bytes exactly —
+    # including \r\n\r\n sequences and non-UTF-8 bytes inside the block
+    import datetime as dt
+
+    from nutch_spark.sources.arc import read_warc
+    from nutch_spark.sources.exports import write_warc
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    payload_a = b"%PDF-1.4\x00\xff\xfe binary\r\n\r\nWARC/1.0 fake header"
+    payload_b = "cjk 世界".encode("utf-8")
+    log = spark.createDataFrame(
+        [
+            ("http://a.com/x.pdf", "fetch_success", t0, bytearray(payload_a)),
+            ("http://a.com/t.txt", "fetch_success", t0, bytearray(payload_b)),
+            ("http://skip.com/", "fetch_gone", t0, None),
+        ],
+        "url string, status string, fetch_time timestamp, content binary",
+    )
+    path = str(tmp_path / "warc_bin")
+    write_warc(log, path)
+    back = read_warc(spark, path + "/*.warc", binary=True)
+    rows = {r["url"]: r for r in back.collect()}
+    assert set(rows) == {"http://a.com/x.pdf", "http://a.com/t.txt"}
+    assert bytes(rows["http://a.com/x.pdf"]["content"]) == payload_a
+    assert bytes(rows["http://a.com/t.txt"]["content"]) == payload_b
+    assert rows["http://a.com/x.pdf"]["fetch_time"] == t0

@@ -220,7 +220,7 @@ def test_fetch_with_robots_end_to_end(spark):
         r_rows = robots_log.collect()
         assert len(r_rows) == 1
         assert r_rows[0]["url"] == f"{base}/robots.txt"
-        assert "Crawl-delay: 2" in r_rows[0]["content"]
+        assert b"Crawl-delay: 2" in r_rows[0]["content"]
 
         content = robots_log.filter(F.col("status") == "fetch_success").select(
             F.lit("127.0.0.1").alias("host"), "content"

@@ -130,7 +130,7 @@ def test_cross_engine_merge_semantics(spark):
     dp_bpe_* oracles rest on (hypothesis over adversarial words: repeats,
     overlaps, separator-adjacent shapes)."""
     import duckdb
-    from hypothesis import given, settings
+    from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     from nutch_spark.datapipe.tokenize import apply_merges_to_word
@@ -152,7 +152,7 @@ def test_cross_engine_merge_semantics(spark):
 
     @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=12),
                     min_size=1, max_size=6))
-    @settings(max_examples=25, deadline=None)
+    @settings(suppress_health_check=[HealthCheck.too_slow], max_examples=25, deadline=None)
     def check(words):
         from pyspark.sql import functions as F
 

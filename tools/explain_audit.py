@@ -150,6 +150,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # never a second corpus shuffle before the fetch
     "p1_politeness": [[r"MapInPandas|mapInPandas", r"HashAggregate"],
                       [r"CartesianProduct", r"Join"]],
+    # round-10 binary byte path: one Arrow fetch stage then pure codegen —
+    # no Python decode stage after the harness, no join, no aggregate
+    "p1_fetch_binary_pipeline": [[r"MapInPandas|mapInPandas"],
+                                 [r"CartesianProduct", r"Join", r"HashAggregate"]],
 }
 
 
