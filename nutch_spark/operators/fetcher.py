@@ -182,6 +182,7 @@ def http_fetch_fn(
     auth: dict[str, tuple[str, str]] | None = None,
     cookies: dict[str, dict[str, str]] | None = None,
     headers: dict[str, str] | None = None,
+    if_modified_since: float | None = None,
 ) -> dict:
     """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
     they come back as status, exactly like the reference protocol layer.
@@ -234,6 +235,13 @@ def http_fetch_fn(
 
         user_agent = random.choice(user_agent) if user_agent else "nutch-spark/1.0"
     hdrs = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
+    if if_modified_since is not None and if_modified_since > 0:
+        # protocol-http HttpResponse.java:242-245: If-Modified-Since from
+        # datum.getModifiedTime() via HttpDateFormat (RFC 1123 GMT);
+        # email.utils.formatdate(usegmt=True) is the stdlib twin
+        from email.utils import formatdate
+
+        hdrs["If-Modified-Since"] = formatdate(if_modified_since, usegmt=True)
     if headers:
         hdrs.update(headers)
     host = urllib.parse.urlsplit(url).hostname or ""
@@ -666,6 +674,24 @@ def fetch(
         F.xxhash64("url")
     )
     has_meta = "metadata" in fetchlist.columns
+    # conditional re-fetch (HttpBase.java:187 enableIfModifiedsinceHeader,
+    # default true; protocol-http HttpResponse.java:242): when the
+    # fetchlist carries the datum's modified_time AND the bound fetch_fn
+    # accepts if_modified_since (http_fetch_fn does; synthetic/custom fns
+    # need not), each request goes out conditional and a 304 maps to
+    # fetch_notmodified for the D6 re-fetch schedules
+    import inspect
+
+    ims_capable = False
+    if cfg.http_if_modified_since and "modified_time" in fetchlist.columns:
+        try:
+            target = fetch_fn.func if hasattr(fetch_fn, "func") else fetch_fn
+            params = inspect.signature(target).parameters
+            ims_capable = "if_modified_since" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            ims_capable = False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import deque
@@ -673,9 +699,16 @@ def fetch(
         NEVER = float("-inf")
         last_hit: dict[str, float] = {}  # persists across batches
 
+        ims_ts: dict[str, float] = {}  # url -> modified_time epoch seconds
+
         def fetch_one(url: str) -> dict:
             _t0 = time.monotonic()
-            res = fetch_fn(url)
+            ts = ims_ts.get(url)
+            res = (
+                fetch_fn(url, if_modified_since=ts)
+                if ims_capable and ts
+                else fetch_fn(url)
+            )
             _latency_ms = int((time.monotonic() - _t0) * 1000)
             if isinstance(res, dict):  # rich protocol result (http_fetch_fn)
                 status, content = res["status"], res.get("content")
@@ -734,10 +767,13 @@ def fetch(
             depth: dict[str, int] = {}
             seen: set[str] = set()
             metas = pdf["metadata"] if has_meta else None
+            mods = pdf["modified_time"] if ims_capable else None
             for i, url in enumerate(pdf["url"]):
                 host = url.split("/")[2] if "://" in url else url
                 queues.setdefault(host, deque()).append(url)
                 seen.add(url)
+                if mods is not None and pd.notna(mods.iloc[i]):
+                    ims_ts[url] = mods.iloc[i].timestamp()
                 if metas is not None:
                     md = metas.iloc[i]
                     if md and "_variableFetchDelay_" in md:
@@ -873,7 +909,9 @@ def fetch(
                                 time.sleep(max(0.0, wake - time.monotonic()))
             yield pd.DataFrame(out, columns=[f.name for f in FETCH_SCHEMA.fields])
 
-    cols = ["url", "metadata"] if has_meta else ["url"]
+    cols = ["url"] + (["metadata"] if has_meta else []) + (
+        ["modified_time"] if ims_capable else []
+    )
     return laid_out.select(*cols).mapInPandas(run, FETCH_SCHEMA)
 
 

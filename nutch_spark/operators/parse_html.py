@@ -430,7 +430,19 @@ def parse_html(
     ok = fetch_log.filter(
         (F.col("status") == "fetch_success") & F.col("content").isNotNull()
     )
-    cols = ["url", "content"] + (["content_type"] if has_type else []) + (
+    # the content_type COLUMN is the stripped base type; live fetches carry
+    # the FULL Content-Type header (charset= param included) in metadata —
+    # prefer it so EncodingDetector's header-charset step sees the param
+    # (http_fetch_fn stores it; EncodingDetector.java:157-229 reads the
+    # header before sniffing)
+    type_col = None
+    if "metadata" in fetch_log.columns and has_type:
+        type_col = F.coalesce(
+            F.element_at("metadata", "Content-Type"), F.col("content_type")
+        ).alias("content_type")
+    elif has_type:
+        type_col = F.col("content_type")
+    cols = ["url", "content"] + ([type_col] if type_col is not None else []) + (
         ["signature"] if has_sig else []
     )
 

@@ -703,3 +703,109 @@ def test_host_cookie_file_and_agent_rotation():
         assert seen["agents"] >= set(agents)
     finally:
         srv.shutdown()
+
+
+def test_live_http_binary_document_parses_end_to_end(spark):
+    """The round-10 headline path: a REAL PDF served over live HTTP flows
+    fetch harness → BINARY content column → mime-routed parse dispatch →
+    extracted text (before the binary migration the body was decoded with
+    errors='replace' at fetch time and the PDF was unparseable)."""
+    import zlib
+
+    text = "binary pipeline end to end"
+    stream = b"BT (" + text.encode() + b") Tj ET"
+    body = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+    class PdfHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            self.send_response(200)
+            self.send_header("Content-Type", "application/pdf")
+            self.send_header("Content-Length", str(len(pdf)))
+            self.end_headers()
+            self.wfile.write(pdf)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), PdfHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from nutch_spark.operators.parse_html import parse_html
+
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        fl = spark.createDataFrame([(f"{base}/doc.pdf",)], ["url"])
+        log = fetch(
+            fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0)
+        ).localCheckpoint(eager=True)
+        (row,) = log.collect()
+        assert bytes(row["content"]) == pdf  # stored bytes are the wire bytes
+        assert row["content_type"] == "application/pdf"
+        (parsed,) = parse_html(log).collect()
+        assert parsed["meta"]["Content-Type"] == "application/pdf"
+        assert text in parsed["parse_text"]
+    finally:
+        srv.shutdown()
+
+
+def test_if_modified_since_conditional_fetch(spark):
+    """http.enable.if.modified.since.header (HttpBase.java:187, default
+    true) + protocol-http HttpResponse.java:242-245: when the fetchlist
+    carries the datum's modified_time, the request goes out with an RFC
+    1123 If-Modified-Since header and a 304 maps to fetch_notmodified."""
+    import datetime as dt
+
+    seen_headers: list[str | None] = []
+
+    class CondHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            ims = self.headers.get("If-Modified-Since")
+            seen_headers.append(ims)
+            if ims:
+                self.send_response(304)
+                self.end_headers()
+                return
+            body = b"<html>fresh</html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), CondHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        # direct fn: header format is RFC 1123 GMT
+        r = http_fetch_fn(f"{base}/x", if_modified_since=86400.0)
+        assert r["status"] == "fetch_notmodified"
+        assert seen_headers[-1] == "Fri, 02 Jan 1970 00:00:00 GMT"
+
+        # harness: modified_time column -> conditional; 304 row
+        fl = spark.createDataFrame(
+            [(f"{base}/cond", dt.datetime(2026, 1, 1)),
+             (f"{base}/plain", None)],
+            "url string, modified_time timestamp",
+        )
+        rows = {
+            r["url"]: r
+            for r in fetch(
+                fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+                num_lists=1,
+            ).collect()
+        }
+        assert rows[f"{base}/cond"]["status"] == "fetch_notmodified"
+        assert rows[f"{base}/cond"]["metadata"]["nutch.protocol.code"] == "304"
+        # no modified_time -> unconditional 200 with content
+        assert rows[f"{base}/plain"]["status"] == "fetch_success"
+        assert bytes(rows[f"{base}/plain"]["content"]) == b"<html>fresh</html>"
+    finally:
+        srv.shutdown()

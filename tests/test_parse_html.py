@@ -559,3 +559,28 @@ def test_fourth_review_regressions_round9(spark):
         F.size(extract_text_outlinks("text", cfg=cfg)).alias("n")
     ).collect()[0]["n"]
     assert n == 120
+
+
+def test_parse_html_uses_full_content_type_from_metadata(spark):
+    # live HTTP keeps the FULL Content-Type (charset= param) in metadata
+    # while the content_type COLUMN is the stripped base — the parse stage
+    # must decode with the header charset (EncodingDetector header step),
+    # not fall through to the UTF-8/cp1252 sniff
+    from nutch_spark.operators.parse_html import parse_html
+
+    log = spark.createDataFrame(
+        [
+            (
+                "http://a.com/latin",
+                "fetch_success",
+                bytearray("café au lait".encode("latin-1")),
+                "text/plain",
+                {"Content-Type": "text/plain; charset=latin-1"},
+            )
+        ],
+        "url string, status string, content binary, content_type string, "
+        "metadata map<string,string>",
+    )
+    (row,) = parse_html(log).collect()
+    assert row["parse_text"] == "café au lait"
+    assert (row["charset"] or "").lower() in ("latin-1", "iso-8859-1")

@@ -230,3 +230,23 @@ def test_fetch_with_robots_end_to_end(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_parse_robots_accepts_binary_content(spark):
+    # robots bodies arrive as raw fetch bytes (FETCH_SCHEMA binary) —
+    # the parsers decode utf-8-replace at the boundary, surviving stray
+    # non-UTF-8 bytes without failing the round
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.robots import crawl_delays, parse_robots
+
+    rb = spark.createDataFrame(
+        [("h1", bytearray(b"User-agent: *\nDisallow: /private\nCrawl-delay: 3\n\xff"))],
+        "host string, content binary",
+    )
+    rules = parse_robots(rb).collect()
+    assert [(r["agent"], r["rule_type"], r["prefix"]) for r in rules] == [
+        ("*", "disallow", "/private")
+    ]
+    (d,) = crawl_delays(rb).collect()
+    assert d["crawl_delay_s"] == 3.0
