@@ -140,14 +140,16 @@ def _print_rows(df, limit: int = 20) -> None:
 # ---------------------------------------------------------------------------
 
 
-def auto_fetch_fn(url: str) -> dict:
+def auto_fetch_fn(url: str, **kw) -> dict:
     """Scheme-dispatching fetch: the ProtocolFactory analogue
-    (protocol/ProtocolFactory.java:61-98 picks the plugin by URL scheme)."""
+    (protocol/ProtocolFactory.java:61-98 picks the plugin by URL scheme).
+    Conditional-fetch/cookie kwargs forward to the HTTP plugin only (the
+    file/ftp protocols have no request headers)."""
     from nutch_spark.operators import fetcher as _f
 
     scheme = url.split(":", 1)[0].lower() if ":" in url else ""
     if scheme in ("http", "https"):
-        return _f.http_fetch_fn(url)
+        return _f.http_fetch_fn(url, **kw)
     if scheme == "file":
         return _f.file_fetch_fn(url)
     if scheme == "ftp":

@@ -183,6 +183,10 @@ def http_fetch_fn(
     cookies: dict[str, dict[str, str]] | None = None,
     headers: dict[str, str] | None = None,
     if_modified_since: float | None = None,
+    cookie: str | None = None,
+    accept: str = "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    accept_language: str = "en-us,en-gb,en;q=0.7,*;q=0.3",
+    accept_charset: str = "utf-8,iso-8859-1;q=0.7,*;q=0.7",
 ) -> dict:
     """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
     they come back as status, exactly like the reference protocol layer.
@@ -235,6 +239,16 @@ def http_fetch_fn(
 
         user_agent = random.choice(user_agent) if user_agent else "nutch-spark/1.0"
     hdrs = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
+    # HttpBase.java:108-114,235-238: Accept / Accept-Language /
+    # Accept-Charset with the reference's defaults; a value that trims to
+    # empty (the documented "space character" convention) omits the header
+    for hname, hval in (
+        ("Accept", accept),
+        ("Accept-Language", accept_language),
+        ("Accept-Charset", accept_charset),
+    ):
+        if (hval or "").strip():
+            hdrs[hname] = hval.strip()
     if if_modified_since is not None and if_modified_since > 0:
         # protocol-http HttpResponse.java:242-245: If-Modified-Since from
         # datum.getModifiedTime() via HttpDateFormat (RFC 1123 GMT);
@@ -252,6 +266,10 @@ def http_fetch_fn(
             hdrs["Cookie"] = jar
         elif jar:
             hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(jar.items()))
+    if cookie is not None:
+        # protocol-http HttpResponse.java:224-240: the DATUM's Cookie
+        # metadata outranks the host cookie file (http.agent.host.cookie)
+        hdrs["Cookie"] = cookie
     if cred:
         import base64
 
@@ -682,16 +700,27 @@ def fetch(
     # fetch_notmodified for the D6 re-fetch schedules
     import inspect
 
-    ims_capable = False
-    if cfg.http_if_modified_since and "modified_time" in fetchlist.columns:
+    def _accepts(kw: str) -> bool:
         try:
             target = fetch_fn.func if hasattr(fetch_fn, "func") else fetch_fn
             params = inspect.signature(target).parameters
-            ims_capable = "if_modified_since" in params or any(
+            return kw in params or any(
                 p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
             )
         except (TypeError, ValueError):
-            ims_capable = False
+            return False
+
+    ims_capable = (
+        cfg.http_if_modified_since
+        and "modified_time" in fetchlist.columns
+        and _accepts("if_modified_since")
+    )
+    # per-datum Cookie header (protocol-http HttpResponse.java:224-240,
+    # http.enable.cookie.header default true): a "Cookie" key in the
+    # fetchlist row's metadata rides the request, outranking any host jar
+    cookie_capable = (
+        cfg.http_enable_cookie_header and has_meta and _accepts("cookie")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import deque
@@ -700,15 +729,16 @@ def fetch(
         last_hit: dict[str, float] = {}  # persists across batches
 
         ims_ts: dict[str, float] = {}  # url -> modified_time epoch seconds
+        datum_cookie: dict[str, str] = {}  # url -> Cookie header value
 
         def fetch_one(url: str) -> dict:
             _t0 = time.monotonic()
-            ts = ims_ts.get(url)
-            res = (
-                fetch_fn(url, if_modified_since=ts)
-                if ims_capable and ts
-                else fetch_fn(url)
-            )
+            kw = {}
+            if ims_capable and ims_ts.get(url):
+                kw["if_modified_since"] = ims_ts[url]
+            if cookie_capable and url in datum_cookie:
+                kw["cookie"] = datum_cookie[url]
+            res = fetch_fn(url, **kw) if kw else fetch_fn(url)
             _latency_ms = int((time.monotonic() - _t0) * 1000)
             if isinstance(res, dict):  # rich protocol result (http_fetch_fn)
                 status, content = res["status"], res.get("content")
@@ -774,6 +804,10 @@ def fetch(
                 seen.add(url)
                 if mods is not None and pd.notna(mods.iloc[i]):
                     ims_ts[url] = mods.iloc[i].timestamp()
+                if cookie_capable and metas is not None:
+                    md = metas.iloc[i]
+                    if md and md.get("Cookie"):
+                        datum_cookie[url] = md["Cookie"]
                 if metas is not None:
                     md = metas.iloc[i]
                     if md and "_variableFetchDelay_" in md:

@@ -809,3 +809,65 @@ def test_if_modified_since_conditional_fetch(spark):
         assert bytes(rows[f"{base}/plain"]["content"]) == b"<html>fresh</html>"
     finally:
         srv.shutdown()
+
+
+def test_accept_headers_and_datum_cookie(spark):
+    """HttpBase.java:108-114 Accept/Accept-Language/Accept-Charset defaults
+    (a value trimming to empty omits the header — the reference's 'space
+    character' convention), and protocol-http HttpResponse.java:224-240:
+    a 'Cookie' key in the datum's metadata outranks the host cookie jar."""
+    captured: list[dict] = []
+
+    class EchoHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            captured.append(dict(self.headers))
+            body = b"ok"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), EchoHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        http_fetch_fn(f"{base}/a")
+        h = captured[-1]
+        assert h["Accept"] == "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"
+        assert h["Accept-Language"] == "en-us,en-gb,en;q=0.7,*;q=0.3"
+        assert h["Accept-Charset"] == "utf-8,iso-8859-1;q=0.7,*;q=0.7"
+
+        # the documented ' ' (space) value drops the header entirely
+        http_fetch_fn(f"{base}/b", accept_charset=" ", accept_language=" ")
+        h = captured[-1]
+        assert "Accept-Charset" not in h and "Accept-Language" not in h
+        assert "Accept" in h
+
+        # datum cookie beats the host jar
+        http_fetch_fn(
+            f"{base}/c",
+            cookies={"127.0.0.1": "jar=host"},
+            cookie="datum=wins",
+        )
+        assert captured[-1]["Cookie"] == "datum=wins"
+
+        # harness end-to-end: Cookie rides the fetchlist metadata
+        fl = spark.createDataFrame(
+            [(f"{base}/meta", {"Cookie": "session=abc123"}),
+             (f"{base}/nometa", {})],
+            "url string, metadata map<string,string>",
+        )
+        rows = fetch(
+            fl, fetch_fn=functools.partial(http_fetch_fn, timeout_s=5.0),
+            num_lists=1,
+        ).collect()
+        assert all(r["status"] == "fetch_success" for r in rows)
+        cookies_sent = [h.get("Cookie") for h in captured[-2:]]
+        assert "session=abc123" in cookies_sent
+        assert cookies_sent.count(None) == 1  # the metadata-less row sent none
+    finally:
+        srv.shutdown()
