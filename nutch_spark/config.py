@@ -71,6 +71,7 @@ class NutchConfig:
     http_content_limit: int = 1_048_576  # http.content.limit (bytes; -1 = off)
     http_if_modified_since: bool = True  # http.enable.if.modified.since.header
     http_enable_cookie_header: bool = True  # http.enable.cookie.header
+    http_store_responsetime: bool = True  # http.store.responsetime
     http_agent_name: str = "nutch-spark"  # http.agent.name ("" = refuse fetch)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
@@ -189,6 +190,7 @@ PROPERTY_MAP = {
     "http.content.limit": "http_content_limit",
     "http.enable.if.modified.since.header": "http_if_modified_since",
     "http.enable.cookie.header": "http_enable_cookie_header",
+    "http.store.responsetime": "http_store_responsetime",
     "http.agent.name": "http_agent_name",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",

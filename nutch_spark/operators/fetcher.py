@@ -751,6 +751,12 @@ def fetch(
             # times); rides metadata so stats.fetch_latency_stats can
             # aggregate without a new column in FETCH_SCHEMA
             meta["_latency_ms_"] = str(_latency_ms)
+            if cfg.http_store_responsetime:
+                # HttpBase.java:61,370 http.store.responsetime (default
+                # true): elapsed fetch ms under the reference's "_rs_" key,
+                # so downstream consumers of the reference's datum metadata
+                # read the same field here
+                meta["_rs_"] = str(_latency_ms)
             if isinstance(content, str):
                 # legacy/synthetic fetch_fns return decoded text; the log
                 # stores raw bytes (Content.content is byte[]) — utf-8 is

@@ -467,12 +467,16 @@ def update_crawldb(
         score.alias("score"),
         signature.alias("signature"),
         modified_time.alias("modified_time"),
-        # per-fetch wall-clock bookkeeping (_latency_ms_) is a REPORT input
-        # (stats.fetch_latency_stats), not crawl state: persisting it would
-        # make two byte-identical rounds produce differing crawldbs
+        # per-fetch wall-clock bookkeeping (_latency_ms_ and the
+        # reference's _rs_ key, HttpBase.java:61) is a REPORT input
+        # (stats.fetch_latency_stats, segment dumps), not crawl state:
+        # persisting it would make two byte-identical rounds produce
+        # differing crawldbs (deliberate divergence — the reference DOES
+        # persist _rs_ into the datum; the timing stays readable in the
+        # segment's crawl_fetch part here)
         F.map_filter(
             F.coalesce(F.col("u.fetch_metadata"), F.col("db.metadata")),
-            lambda k, _v: k != "_latency_ms_",
+            lambda k, _v: ~k.isin("_latency_ms_", "_rs_"),
         ).alias("metadata"),
     )
     if cfg.purge_404:

@@ -616,3 +616,16 @@ def test_threads_per_queue_allows_concurrent_same_host_requests(spark):
         depth += d
         peak = max(peak, depth)
     assert peak <= 3, peak
+
+
+def test_response_time_rides_rs_key_but_not_crawldb(spark):
+    # http.store.responsetime (HttpBase.java:61,370 — default true): the
+    # fetch row's metadata carries the elapsed ms under the reference's
+    # "_rs_" key; updatedb deliberately drops it (with _latency_ms_) so
+    # byte-identical rounds produce identical crawldbs
+    from nutch_spark.operators.fetcher import fetch
+
+    fl = spark.createDataFrame([("http://host1.example.com/p",)], "url string")
+    (row,) = fetch(fl).collect()
+    assert "_rs_" in row["metadata"]
+    assert row["metadata"]["_rs_"] == row["metadata"]["_latency_ms_"]
