@@ -187,6 +187,8 @@ def http_fetch_fn(
     accept: str = "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
     accept_language: str = "en-us,en-gb,en;q=0.7,*;q=0.3",
     accept_charset: str = "utf-8,iso-8859-1;q=0.7,*;q=0.7",
+    proxy: str | None = None,
+    proxy_exceptions: set[str] | frozenset[str] | None = None,
 ) -> dict:
     """Real HTTP(S) fetch over stdlib urllib — redirects are NOT followed,
     they come back as status, exactly like the reference protocol layer.
@@ -275,7 +277,16 @@ def http_fetch_fn(
 
         token = base64.b64encode(f"{cred[0]}:{cred[1]}".encode()).decode()
         hdrs["Authorization"] = f"Basic {token}"
-    opener = urllib.request.build_opener(_NoRedirect)
+    handlers: list = [_NoRedirect]
+    if proxy and host not in (proxy_exceptions or ()):
+        # HttpBase.java:76-89,454-466 (http.proxy.host/port +
+        # http.proxy.exception.list): route through the HTTP proxy except
+        # for exception-listed hosts. "host:port" or a full proxy URL.
+        purl = proxy if "://" in proxy else f"http://{proxy}"
+        handlers.append(
+            urllib.request.ProxyHandler({"http": purl, "https": purl})
+        )
+    opener = urllib.request.build_opener(*handlers)
     try:
         try:
             req = urllib.request.Request(url, headers=hdrs)

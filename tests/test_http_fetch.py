@@ -871,3 +871,58 @@ def test_accept_headers_and_datum_cookie(spark):
         assert cookies_sent.count(None) == 1  # the metadata-less row sent none
     finally:
         srv.shutdown()
+
+
+def test_http_proxy_and_exception_list():
+    """HttpBase.java:76-89,454-466 (http.proxy.host/port +
+    http.proxy.exception.list): requests route through the proxy in
+    absolute-URI form; exception-listed hosts connect direct."""
+    proxied: list[str] = []
+
+    class ProxyHandlerSrv(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            # a forward proxy receives the absolute URL in the request line
+            proxied.append(self.path)
+            body = b"via proxy"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    class DirectSrv(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def do_GET(self):  # noqa: N802, D102
+            body = b"direct"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    proxy_srv = ThreadingHTTPServer(("127.0.0.1", 0), ProxyHandlerSrv)
+    direct_srv = ThreadingHTTPServer(("127.0.0.1", 0), DirectSrv)
+    for srv in (proxy_srv, direct_srv):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        proxy_addr = f"127.0.0.1:{proxy_srv.server_address[1]}"
+        target = f"http://127.0.0.1:{direct_srv.server_address[1]}/page"
+
+        r = http_fetch_fn(target, proxy=proxy_addr)
+        assert r["content"] == b"via proxy"
+        assert proxied == [target]  # absolute-form request line
+
+        # exception-listed host bypasses the proxy
+        r = http_fetch_fn(
+            target, proxy=proxy_addr, proxy_exceptions={"127.0.0.1"}
+        )
+        assert r["content"] == b"direct"
+        assert len(proxied) == 1  # no new proxy hit
+    finally:
+        proxy_srv.shutdown()
+        direct_srv.shutdown()
