@@ -90,6 +90,8 @@ _EXT = {
     "htm": "text/html",
     "xhtml": "application/xhtml+xml",
     "xml": "application/xml",
+    "eml": "message/rfc822",
+    "mbox": "application/mbox",
     "txt": "text/plain",
     "css": "text/css",
     "js": "application/javascript",
@@ -263,6 +265,11 @@ def detect_mime(
         magic = magic.when(
             s.startswith("<!doctype html") | s.startswith("<html"), "text/html"
         ).when(s.startswith("<?xml") & ~header_is_xmlish, "application/xml")
+        # mbox: the classic "From " separator opening the file (Tika's
+        # MBoxFileTypeDetector reads the same 5 bytes, case-sensitive)
+        magic = magic.when(
+            F.substring(c.cast("string"), 1, 5) == "From ", "application/mbox"
+        )
         # NUTCH-2606 (TestMimeUtil.java text/plain vector): a server claiming
         # a binary format whose magic did NOT match, over content that sniffs
         # as plain ASCII text, is lying — Tika's text detector wins. Lowest

@@ -1009,6 +1009,19 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
             _, text = _extract_text(inner, depth + 1)
             return comp_mime, text
         return comp_mime, ""
+    # email (Tika RFC822Parser/MboxParser slot): mbox archives open with
+    # the classic "From " separator; bare RFC 822 messages are detected by
+    # header shape — both before the generic text fallback so a mail body
+    # surfaces decoded (RFC 2047 subjects, base64/qp transfer encodings)
+    # rather than as raw MIME source
+    if data[:5] == b"From ":
+        from nutch_spark.operators.parse_tail import extract_mbox_text
+
+        return extract_mbox_text(data)
+    from nutch_spark.operators.parse_tail import extract_eml_text, looks_like_rfc822
+
+    if looks_like_rfc822(data):
+        return extract_eml_text(data)
     # fall back to plain text for decodable bytes; clearly-HTML payloads
     # (inside compressors/archives — standalone HTML never reaches this
     # dispatcher) go through the HTML text extractor instead

@@ -38,6 +38,7 @@ highest-value slices of that tail from the PUBLIC container specifications:
 from __future__ import annotations
 
 import gzip
+import re
 import struct
 import zipfile
 from io import BytesIO
@@ -982,3 +983,124 @@ def parse_chm_system(data: bytes) -> dict:
         if key and key not in out:
             out[key] = payload.rstrip(b"\x00").decode("utf-8", "replace")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Email: RFC 822/2045 messages and mbox archives (Tika's RFC822Parser /
+# MboxParser slot — parse-tika TikaParser.java routes message/rfc822 and
+# application/mbox there). The stdlib ``email`` package IS an RFC
+# 822/2045/2047 implementation, so parsing is real, not heuristic.
+# ---------------------------------------------------------------------------
+
+_EML_HEADER_KEYS = (
+    b"received:", b"from:", b"to:", b"cc:", b"subject:", b"date:",
+    b"message-id:", b"mime-version:", b"return-path:", b"delivered-to:",
+    b"reply-to:", b"sender:",
+)
+
+
+def looks_like_rfc822(data: bytes) -> bool:
+    """Header-shaped sniff (Tika detects message/rfc822 the same way):
+    at least two distinct RFC 822 header keys opening the first lines."""
+    hits = 0
+    for line in data[:2048].split(b"\n")[:30]:
+        low = line.strip().lower()
+        if any(low.startswith(k) for k in _EML_HEADER_KEYS):
+            hits += 1
+        elif not low:
+            break  # blank line = end of the header block
+    return hits >= 2
+
+
+def _email_part_text(part) -> str:
+    """One leaf MIME part → text. text/plain decodes with its declared
+    charset (email handles base64/quoted-printable transfer encodings);
+    text/html goes through the HTML text extractor; everything else
+    (attachments, images) contributes its filename only, like Tika's
+    embedded-document naming."""
+    ctype = part.get_content_type()
+    if ctype.startswith("multipart/"):
+        return ""
+    if ctype in ("text/plain", "text/html") and not part.get_filename():
+        try:
+            body = part.get_content()
+        except Exception:  # undecodable charset/encoding → raw best effort
+            payload = part.get_payload(decode=True) or b""
+            body = payload.decode("utf-8", errors="replace")
+        if ctype == "text/html":
+            from nutch_spark.operators.parse_html import parse_html_page
+
+            return parse_html_page("mail:part", body)["text"]
+        return body.strip()
+    name = part.get_filename()
+    return name or ""
+
+
+def extract_eml_text(data: bytes) -> tuple[str, str]:
+    """One RFC 822 message → ("message/rfc822", text). The text leads with
+    the RFC 2047-decoded Subject (the title slot), then From/To, then each
+    MIME part's extracted text. multipart/alternative keeps only the BEST
+    alternative (last-preferred = richest per RFC 2046 §5.1.4 — we prefer
+    text/plain when present, else the html part's text), matching how a
+    search index wants one copy of the body, not two."""
+    import email
+    from email import policy
+
+    try:
+        msg = email.message_from_bytes(data, policy=policy.default)
+    except Exception:
+        return "message/rfc822", ""
+    pieces: list[str] = []
+    for hdr in ("Subject", "From", "To"):
+        try:
+            val = msg.get(hdr)
+        except Exception:
+            val = None
+        if val:
+            pieces.append(str(val))
+
+    def walk(part) -> None:
+        ctype = part.get_content_type()
+        if ctype == "multipart/alternative":
+            subparts = list(part.iter_parts())
+            chosen = None
+            for sp in subparts:  # prefer text/plain, else first extractable
+                if sp.get_content_type() == "text/plain":
+                    chosen = sp
+                    break
+            for sp in subparts if chosen is None else [chosen]:
+                walk(sp)
+                if chosen is None and sp.get_content_type().startswith("text/"):
+                    break
+            return
+        if part.is_multipart():
+            for sp in part.iter_parts():
+                walk(sp)
+            return
+        txt = _email_part_text(part)
+        if txt:
+            pieces.append(txt)
+
+    try:
+        walk(msg)
+    except Exception:  # noqa: BLE001 — malformed MIME keeps header text
+        pass
+    return "message/rfc822", "\n".join(p for p in pieces if p).strip()
+
+
+def extract_mbox_text(data: bytes) -> tuple[str, str]:
+    """mbox archive → ("application/mbox", text): classic "From " message
+    separators (mboxrd quoting left to the per-message parser), each
+    message through extract_eml_text, joined in order."""
+    if not data.startswith(b"From "):
+        return "application/mbox", ""
+    texts: list[str] = []
+    # split on separator lines; the first chunk starts at offset 0
+    chunks = re.split(rb"(?:^|\n)From [^\n]*\n", data)
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        _, txt = extract_eml_text(chunk)
+        if txt:
+            texts.append(txt)
+    return "application/mbox", "\n\n".join(texts)

@@ -20,8 +20,8 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # queries that missed both the r08 and r09 windows, then the r08-certified
 # block, then the r09-certified 50 (freshest records last).
 _CERTIFY_FIRST = [
-    # fetch-harness code changed in round 10 — certify first
-    "p1_fetch_binary_pipeline", "p1_politeness",
+    # fetch-harness code changed in round 10 — certify first; p2_eml is new
+    "p1_fetch_binary_pipeline", "p1_politeness", "p2_eml_extract",
     # r07-certified, missed the r08 and r09 windows
     "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
     "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",

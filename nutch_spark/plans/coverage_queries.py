@@ -1874,3 +1874,84 @@ def p1_fetch_binary_pipeline(spark, sf_dir):
         hx.alias("payload_hex"),
         (F.lower(F.hex("signature")) == F.md5("content")).alias("sig_ok"),
     )
+
+
+@q(
+    "p2_eml_extract",
+    """
+    -- Round-trip identity: each document becomes a REAL multipart RFC 822
+    -- message (RFC 2047-encoded non-ASCII Subject, base64 text/plain +
+    -- html alternative, multipart/alternative preferring plain) and flows
+    -- through the stdlib-email extractor. The guard transform keeps the
+    -- body ASCII so whitespace semantics match between engines.
+    SELECT doc_id,
+           'message/rfc822' AS mime,
+           'café ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'Alice Crawler <alice@example.com>' || chr(10) ||
+           'bob@example.com' || chr(10) ||
+           trim('eml guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')
+             AS parse_text,
+           CAST(length('café ' || CAST(doc_id AS VARCHAR)) + 1
+                + length('Alice Crawler <alice@example.com>') + 1
+                + length('bob@example.com') + 1
+                + length(trim('eml guard: '
+                    || regexp_replace(text, '[^ -~]', '?', 'g'), ' '))
+             AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_eml_extract(spark, sf_dir):
+    """P2 email tail (parse-tika's RFC822Parser/MboxParser slot,
+    TikaParser.java:63-160 routing): documents become real multipart MIME
+    messages — RFC 2047 Subject, base64 transfer encoding, an html
+    alternative that must LOSE to the plain part — and the stdlib-email
+    extractor (operators/parse_tail.extract_eml_text) round-trips them
+    through the same mapInPandas dispatch as every other binary format.
+    100 TB shape: map-only, one Python batch stage, no shuffle."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import base64
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "eml guard: " + _re.sub(r"[^ -~]", "?", text or "")
+                subj_b64 = base64.b64encode(
+                    f"café {doc_id}".encode()
+                ).decode()
+                eml = (
+                    "Return-Path: <alice@example.com>\r\n"
+                    "From: Alice Crawler <alice@example.com>\r\n"
+                    "To: bob@example.com\r\n"
+                    f"Subject: =?utf-8?b?{subj_b64}?=\r\n"
+                    "MIME-Version: 1.0\r\n"
+                    "Content-Type: multipart/alternative; boundary=XX\r\n"
+                    "\r\n"
+                    "--XX\r\n"
+                    "Content-Type: text/plain; charset=utf-8\r\n"
+                    "Content-Transfer-Encoding: base64\r\n\r\n"
+                    + base64.b64encode(body.encode()).decode() + "\r\n"
+                    "--XX\r\n"
+                    "Content-Type: text/html\r\n\r\n"
+                    "<html><body>must not surface</body></html>\r\n"
+                    "--XX--\r\n"
+                ).encode()
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/m.eml", "content": eml}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

@@ -499,3 +499,99 @@ def test_chm_system_metadata_and_tar_false_positive():
     txt = (b"x" * 257 + b"ustar plain text after the magic").ljust(600, b"y")
     mime, text = extract_text(txt)
     assert mime == "text/plain" and "ustar" in text
+
+
+# ---------------------------------------------------------------------------
+# Email: RFC 822 / mbox (Tika RFC822Parser / MboxParser slot)
+# ---------------------------------------------------------------------------
+
+
+def _mk_eml(subject="café report", body="hello café plain", html="hello <b>html</b>"):
+    import base64
+
+    return (
+        b"Return-Path: <a@example.com>\r\n"
+        b"From: Alice <a@example.com>\r\n"
+        b"To: b@example.com\r\n"
+        b"Subject: =?utf-8?q?" + subject.replace(" ", "_").encode() + b"?=\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/alternative; boundary=BB\r\n\r\n"
+        b"--BB\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        + base64.b64encode(body.encode()) + b"\r\n"
+        b"--BB\r\nContent-Type: text/html\r\n\r\n<html><body>"
+        + html.encode() + b"</body></html>\r\n--BB--\r\n"
+    )
+
+
+def test_eml_rfc2047_subject_base64_body_alternative_preference():
+    from nutch_spark.operators.parse_tail import extract_eml_text
+
+    mime, text = extract_eml_text(_mk_eml())
+    assert mime == "message/rfc822"
+    lines = text.split("\n")
+    assert lines[0] == "café report"        # RFC 2047 decoded
+    assert "hello café plain" in text        # base64 part decoded
+    assert "html" not in text                     # alternative: plain wins
+
+
+def test_eml_html_only_and_quoted_printable():
+    from nutch_spark.operators.parse_tail import extract_eml_text
+
+    eml = (
+        b"From: x@example.com\r\nTo: y@example.com\r\n"
+        b"Subject: qp\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        b"<html><body>caf=C3=A9 <i>markup</i> stripped</body></html>\r\n"
+    )
+    mime, text = extract_eml_text(eml)
+    assert mime == "message/rfc822"
+    assert "café markup stripped" in text    # qp decoded, tags stripped
+
+
+def test_eml_attachment_contributes_filename_only():
+    from nutch_spark.operators.parse_tail import extract_eml_text
+
+    eml = (
+        b"From: x@example.com\r\nSubject: att\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/mixed; boundary=MM\r\n\r\n"
+        b"--MM\r\nContent-Type: text/plain\r\n\r\nbody here\r\n"
+        b"--MM\r\nContent-Type: application/octet-stream\r\n"
+        b'Content-Disposition: attachment; filename="report.bin"\r\n'
+        b"Content-Transfer-Encoding: base64\r\n\r\nAAAA\r\n--MM--\r\n"
+    )
+    _, text = extract_eml_text(eml)
+    assert "body here" in text
+    assert "report.bin" in text and "AAAA" not in text
+
+
+def test_mbox_splits_messages_and_dispatch_routes():
+    from nutch_spark.operators.parse_binary import extract_text
+    from nutch_spark.operators.parse_tail import extract_mbox_text
+
+    one = _mk_eml().replace(b"\r\n", b"\n")
+    two = b"From: Bob <b@x.com>\nSubject: second\n\nbody two\n"
+    mbox = (
+        b"From a@example.com Thu Jan  1 00:00:00 2026\n" + one +
+        b"\nFrom b@x.com Thu Jan  1 00:00:01 2026\n" + two
+    )
+    mime, text = extract_mbox_text(mbox)
+    assert mime == "application/mbox"
+    assert "hello café plain" in text and "body two" in text
+
+    # the binary dispatcher routes both shapes
+    assert extract_text(mbox)[0] == "application/mbox"
+    assert extract_text(_mk_eml())[0] == "message/rfc822"
+    # and header-less plain text does NOT misroute as mail
+    assert extract_text(b"just some plain text\nwith lines\n")[0] == "text/plain"
+
+
+def test_eml_hostile_bytes_never_raise():
+    from nutch_spark.operators.parse_tail import extract_eml_text, extract_mbox_text
+
+    for blob in (b"", b"From: \xff\xfe\x00", b"From \n\x00" * 50,
+                 b"Subject: x\r\nContent-Type: multipart/mixed\r\n\r\n--"):
+        m1, _ = extract_eml_text(blob)
+        m2, _ = extract_mbox_text(blob)
+        assert m1 == "message/rfc822" and m2 == "application/mbox"

@@ -154,6 +154,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # no Python decode stage after the harness, no join, no aggregate
     "p1_fetch_binary_pipeline": [[r"MapInPandas|mapInPandas"],
                                  [r"CartesianProduct", r"Join", r"HashAggregate"]],
+    # email tail: one Python batch stage, no shuffle
+    "p2_eml_extract": [[r"MapInPandas|mapInPandas"],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
 }
 
 
