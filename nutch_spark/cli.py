@@ -162,13 +162,39 @@ def auto_fetch_fn(url: str, **kw) -> dict:
     }
 
 
-def _resolve_fetch_fn(name: str):
+def _resolve_fetch_fn(name: str, cfg=None):
+    import functools
+
     from nutch_spark.operators import fetcher as _f
 
+    http_fn = _f.http_fetch_fn
+    if cfg is not None:
+        # bind the conf-driven request surface (HttpBase.setConf parity):
+        # proxy routing + exception list, Accept* header values
+        kw = {
+            "accept": cfg.http_accept,
+            "accept_language": cfg.http_accept_language,
+            "accept_charset": cfg.http_accept_charset,
+        }
+        if (cfg.http_proxy_host or "").strip():
+            kw["proxy"] = f"{cfg.http_proxy_host.strip()}:{cfg.http_proxy_port}"
+            kw["proxy_exceptions"] = {
+                h.strip()
+                for h in cfg.http_proxy_exception_list.split(",")
+                if h.strip()
+            }
+        http_fn = functools.partial(_f.http_fetch_fn, **kw)
+
+    def auto(url: str, **akw) -> dict:
+        scheme = url.split(":", 1)[0].lower() if ":" in url else ""
+        if scheme in ("http", "https"):
+            return http_fn(url, **akw)
+        return auto_fetch_fn(url, **akw)
+
     return {
-        "auto": auto_fetch_fn,
+        "auto": auto,
         "synthetic": _f.synthetic_fetch_fn,
-        "http": _f.http_fetch_fn,
+        "http": http_fn,
         "file": _f.file_fetch_fn,
         "ftp": _f.ftp_fetch_fn,
     }[name]
@@ -290,7 +316,7 @@ def cmd_fetch(args) -> int:
         log, robots_log = fetch_with_robots(
             fl,
             cfg=cfg,
-            fetch_fn=_resolve_fetch_fn(args.fetcher),
+            fetch_fn=_resolve_fetch_fn(args.fetcher, cfg),
             agent=args.agent,
             crawl_delay_s=args.delay,
             threads=args.threads,
@@ -307,7 +333,7 @@ def cmd_fetch(args) -> int:
         log = fetch(
             fl,
             cfg=cfg,
-            fetch_fn=_resolve_fetch_fn(args.fetcher),
+            fetch_fn=_resolve_fetch_fn(args.fetcher, cfg),
             crawl_delay_s=args.delay,
             threads=args.threads,
             threads_per_queue=cfg.fetcher_threads_per_queue,

@@ -72,6 +72,12 @@ class NutchConfig:
     http_if_modified_since: bool = True  # http.enable.if.modified.since.header
     http_enable_cookie_header: bool = True  # http.enable.cookie.header
     http_store_responsetime: bool = True  # http.store.responsetime
+    http_proxy_host: str = ""            # http.proxy.host ("" = no proxy)
+    http_proxy_port: int = 8080          # http.proxy.port
+    http_proxy_exception_list: str = ""  # http.proxy.exception.list (csv hosts)
+    http_accept: str = "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"  # http.accept
+    http_accept_language: str = "en-us,en-gb,en;q=0.7,*;q=0.3"  # http.accept.language
+    http_accept_charset: str = "utf-8,iso-8859-1;q=0.7,*;q=0.7"  # http.accept.charset
     http_agent_name: str = "nutch-spark"  # http.agent.name ("" = refuse fetch)
     redirect_max: int = 0                # http.redirect.max (0 = record, don't follow)
     fetcher_server_delay: float = 5.0    # fetcher.server.delay (s)
@@ -191,6 +197,12 @@ PROPERTY_MAP = {
     "http.enable.if.modified.since.header": "http_if_modified_since",
     "http.enable.cookie.header": "http_enable_cookie_header",
     "http.store.responsetime": "http_store_responsetime",
+    "http.proxy.host": "http_proxy_host",
+    "http.proxy.port": "http_proxy_port",
+    "http.proxy.exception.list": "http_proxy_exception_list",
+    "http.accept": "http_accept",
+    "http.accept.language": "http_accept_language",
+    "http.accept.charset": "http_accept_charset",
     "http.agent.name": "http_agent_name",
     "http.redirect.max": "redirect_max",
     "fetcher.server.delay": "fetcher_server_delay",

@@ -482,3 +482,189 @@ def spectral_envelope(samples, sample_rate: int, n_bins: int = 13) -> list[float
     if norm == 0.0:
         return [0.0] * n_bins
     return [round(float(m) / norm, 6) for m in mags]
+
+
+# ---------------------------------------------------------------------------
+# Pixel decode (stdlib-only): uncompressed 24-bit BMP and non-interlaced
+# 8-bit PNG. PNG's IDAT is zlib (stdlib) and the five scanline filters are
+# defined in the public spec (RFC 2083 §6 / PNG spec §9) — so FULL pixel
+# decode needs no codec library for these two formats, which is exactly
+# enough to run real perceptual hashing (dHash) over crawl images.
+# ---------------------------------------------------------------------------
+
+_MAX_PIXELS = 64_000_000  # 8k x 8k ceiling — bomb guard for forged headers
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Uncompressed 24-bit BMP → (width, height, list of gray rows,
+    top-down). Gray = integer (r*299 + g*587 + b*114) // 1000 (the
+    classic ITU-R 601 luma weights). Returns None for compressed /
+    non-24bpp / forged-header files."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER: 16-bit dims, no 24bpp promise
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+        return None
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if data_off + row_bytes * h > len(payload):
+        return None
+    rows = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        off = data_off + src_y * row_bytes
+        row = []
+        for x in range(w):
+            b, g, r = payload[off + 3 * x : off + 3 * x + 3]
+            row.append((r * 299 + g * 587 + b * 114) // 1000)
+        rows.append(row)
+    return w, h, rows
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png_pixels(payload: bytes):
+    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
+    (width, height, gray rows top-down), implementing the five scanline
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9). Returns None for
+    palette, 16-bit, interlaced, or malformed files."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            length, tag = struct.unpack_from(">I4s", payload, pos)
+            body = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+                if (
+                    depth != 8
+                    or ctype not in _PNG_CHANNELS
+                    or interlace != 0
+                    or not (0 < w and 0 < h and w * h <= _MAX_PIXELS)
+                ):
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat), bufsize=min(len(idat) * 64, 1 << 26))
+    except (struct.error, zlib.error, ValueError):
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(raw) < (stride + 1) * h:
+        return None
+    rows = []
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        prev = line
+        if ch == 1:
+            rows.append(list(line))
+        elif ch == 2:  # gray + alpha
+            rows.append([line[i] for i in range(0, stride, 2)])
+        else:  # rgb / rgba
+            rows.append(
+                [
+                    (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
+                    for i in range(0, stride, ch)
+                ]
+            )
+    return w, h, rows
+
+
+def decode_gray_pixels(payload: bytes):
+    """Magic-dispatching pixel decode: BMP or PNG → (w, h, gray rows), or
+    None when the format needs a codec library (JPEG/GIF-LZW/...)."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    return None
+
+
+def _box_resample(rows, w: int, h: int, out_w: int, out_h: int):
+    """Integer box resample to (out_w, out_h) — mean of each source box.
+    Deterministic (pure integer arithmetic), no codec dependency."""
+    out = []
+    for oy in range(out_h):
+        y0, y1 = oy * h // out_h, max((oy + 1) * h // out_h, oy * h // out_h + 1)
+        row = []
+        for ox in range(out_w):
+            x0 = ox * w // out_w
+            x1 = max((ox + 1) * w // out_w, x0 + 1)
+            acc = 0
+            for y in range(y0, y1):
+                r = rows[y]
+                for x in range(x0, x1):
+                    acc += r[x]
+            row.append(acc // ((y1 - y0) * (x1 - x0)))
+        out.append(row)
+    return out
+
+
+def dhash64(payload: bytes) -> int | None:
+    """64-bit difference hash (the standard perceptual near-dup hash):
+    grayscale → 9x8 box resample → bit = left pixel > right neighbor,
+    row-major, MSB first. None when pixels can't be decoded without a
+    codec library."""
+    decoded = decode_gray_pixels(payload)
+    if decoded is None:
+        return None
+    w, h, rows = decoded
+    if w < 2 or h < 1:
+        return None
+    grid = _box_resample(rows, w, h, 9, 8)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
+    return bits

@@ -391,3 +391,99 @@ def extract_audio_features(
     return _map_media(
         media, "audio", AUDIO_FEATURES_SCHEMA, row, null_row, batch_partitions
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: dHash (difference hash) + banded Hamming join
+# ---------------------------------------------------------------------------
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),  # 64-bit, None=undecodable
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """(media_id, payload) → (media_id, dhash): the standard 64-bit
+    difference hash over REAL decoded pixels — uncompressed 24-bit BMP and
+    non-interlaced 8-bit PNG decode with the stdlib (zlib IDAT + the five
+    PNG scanline filters, mediacodec.decode_png_pixels); formats needing a
+    codec library (JPEG/GIF) yield NULL and would plug in through
+    ``hash_fn`` exactly like the decoder seams elsewhere. Map-only."""
+    from nutch_spark.datapipe.mediacodec import dhash64
+
+    compute = hash_fn or dhash64
+
+    def row(media_id, raw):
+        try:
+            h = compute(bytes(raw))
+        except Exception:  # noqa: BLE001 — one bad blob never kills the job
+            h = None
+        # store as SIGNED 64-bit (Spark LongType): wrap the top bit
+        if h is not None and h >= 1 << 63:
+            h -= 1 << 64
+        return {"media_id": media_id, "dhash": h}
+
+    def null_row(media_id):
+        return {"media_id": media_id, "dhash": None}
+
+    return _map_media(
+        media, None, IMAGE_DHASH_SCHEMA, row, null_row, batch_partitions
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame, *, max_hamming: int = 4, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash values: (id_a, id_b, hamming)
+    with id_a < id_b and hamming <= max_hamming.
+
+    100 TB shape — the SimHash trick, not an all-pairs join: a pair within
+    Hamming distance d must agree EXACTLY on at least one of ``bands``
+    disjoint bit-bands whenever d < bands (pigeonhole), so candidates come
+    from ``bands`` equi-joins on 16-bit band keys, then one JVM-side
+    ``bit_count(xor)`` verifies the true distance. Requires
+    max_hamming < bands (the pigeonhole guarantee — asserted)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole guarantee), got bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("dhash").isNotNull())
+    cand = None
+    for b in range(bands):
+        key = F.shiftrightunsigned(F.col("dhash"), b * width).bitwiseAND(
+            F.lit(mask)
+        )
+        banded = h.select(
+            F.col("media_id"), F.col("dhash"), key.alias("_band_key")
+        )
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        ).select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            F.col("l.dhash").alias("_ha"),
+            F.col("r.dhash").alias("_hb"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2491,3 +2491,154 @@ def dp_chunking(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (dHash over REAL decoded pixels)
+# ---------------------------------------------------------------------------
+
+# Grid formula for the planted 9x8 images: gray(x, y) = (x*50 + y*59 +
+# (doc_id % 16) * 44) % 47. The expected dHash per residue class is the
+# CLOSED FORM of that formula (computed here from the arithmetic alone,
+# not by running the decoder) — 16 distinct values, minimum cross-class
+# Hamming distance 8, so near-dup at max_hamming=3 pairs classes exactly.
+_DHASH_MX, _DHASH_MY, _DHASH_MK, _DHASH_MOD = 50, 59, 44, 47
+
+
+def _dhash_expected(k: int) -> int:
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            a = (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
+            b = ((x + 1) * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
+            bits = (bits << 1) | (1 if a > b else 0)
+    return bits - (1 << 64 if bits >= 1 << 63 else 0)  # signed 64-bit
+
+
+_DHASH_CASE = "CASE doc_id % 16 " + " ".join(
+    f"WHEN {k} THEN CAST({_dhash_expected(k)} AS BIGINT)" for k in range(16)
+) + " END"
+
+
+def _planted_image_rows(pdf):
+    """doc_id → one REAL 9x8 image: PNG (grayscale, zlib IDAT, Up filter on
+    odd rows so the unfilter path is exercised) for even ids, uncompressed
+    24-bit bottom-up BMP for odd ids. Both decode to the same gray grid."""
+    import struct
+    import zlib
+
+    rows = []
+    for doc_id in pdf["doc_id"]:
+        k = int(doc_id) % 16
+        grid = [
+            [
+                (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
+                for x in range(9)
+            ]
+            for y in range(8)
+        ]
+        if doc_id % 2 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
+            raw = bytearray()
+            prev = [0] * 9
+            for y, line in enumerate(grid):
+                if y % 2 == 0:
+                    raw.append(0)
+                    raw += bytes(line)
+                else:
+                    raw.append(2)
+                    raw += bytes((line[i] - prev[i]) & 0xFF for i in range(9))
+                prev = line
+
+            def chunk(tag, body):
+                return (
+                    struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body))
+                )
+
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+        else:  # BMP: 24bpp, rows padded to 4 bytes, stored bottom-up
+            data = bytearray()
+            for y in range(7, -1, -1):
+                row = bytearray()
+                for gval in grid[y]:
+                    row += bytes([gval, gval, gval])
+                row += b"\x00" * ((-len(row)) % 4)
+                data += row
+            payload = (
+                b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, 9, 8, 1, 24, 0, len(data), 0, 0, 0, 0)
+                + bytes(data)
+            )
+        rows.append({"media_id": int(doc_id), "payload": payload})
+    return rows
+
+
+def _planted_dhashes(spark, sf_dir, limit=None):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    if limit is not None:
+        d = d.filter(F.col("doc_id") < limit)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _planted_image_rows(pdf), columns=["media_id", "payload"]
+            )
+
+    from nutch_spark.datapipe.multimodal import image_dhash
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return image_dhash(media)
+
+
+@q(
+    "mm_image_dhash",
+    f"""
+    -- REAL pixel decode, no codec library: each doc becomes a 9x8 image —
+    -- grayscale PNG (zlib IDAT, None+Up scanline filters) for even ids,
+    -- uncompressed 24-bit bottom-up BMP for odd ids — and the stdlib
+    -- decoders produce identical gray grids, so the 64-bit difference
+    -- hash matches the closed form of the planted gradient formula.
+    SELECT doc_id AS media_id, {_DHASH_CASE} AS dhash FROM documents
+    """,
+)
+def mm_image_dhash(spark, sf_dir):
+    """Perceptual image hashing over REAL pixels (datapipe/mediacodec:
+    decode_png_pixels implements zlib IDAT + the five PNG scanline
+    filters from the public spec; decode_bmp_pixels the classic DIB
+    layout) → dhash64. The oracle states the hash in closed form from
+    the planted-gradient arithmetic — a pixel-decode or resample bug on
+    EITHER format hash-mismatches. 100 TB: map-only Arrow stage; the
+    payload column prunes away from every non-image query."""
+    return _planted_dhashes(spark, sf_dir)
+
+
+@q(
+    "mm_dhash_neardup",
+    """
+    -- Near-dup pairs via banded Hamming join: images in the same residue
+    -- class share an identical hash (distance 0); distinct classes sit at
+    -- Hamming >= 8, above the max_hamming=3 cut — so the pair set is
+    -- exactly the within-class pairs.
+    SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, 0 AS hamming
+    FROM documents d1 JOIN documents d2
+      ON d1.doc_id % 16 = d2.doc_id % 16 AND d1.doc_id < d2.doc_id
+    WHERE d1.doc_id < 320 AND d2.doc_id < 320
+    """,
+)
+def mm_dhash_neardup(spark, sf_dir):
+    """Image near-dup at scale: dhash_near_dup uses the SimHash pigeonhole
+    — a pair within Hamming 3 must agree exactly on one of 4 disjoint
+    16-bit bands, so candidates come from 4 band equi-joins (never an
+    all-pairs cross) and one JVM bit_count(xor) verifies the distance.
+    The planted classes make the expected pair set closed-form."""
+    from nutch_spark.datapipe.multimodal import dhash_near_dup
+
+    hashes = _planted_dhashes(spark, sf_dir, limit=320)
+    return dhash_near_dup(hashes, max_hamming=3, bands=4)

@@ -648,3 +648,26 @@ def test_solr_era_commands_print_replacement(capsys):
         assert (
             f"The command {legacy} was replaced by the command {repl}" in err
         )
+
+
+def test_resolve_fetch_fn_binds_conf_surface():
+    # -D http.proxy.host / http.accept* flow from NutchConfig into the
+    # bound HTTP fetcher (HttpBase.setConf parity)
+    from nutch_spark.cli import _resolve_fetch_fn
+    from nutch_spark.config import NutchConfig
+
+    cfg = NutchConfig.from_properties(
+        {
+            "http.proxy.host": "proxy.example.com",
+            "http.proxy.port": "3128",
+            "http.proxy.exception.list": "a.com, b.com",
+            "http.accept": " ",
+        }
+    )
+    bound = _resolve_fetch_fn("http", cfg)
+    assert bound.keywords["proxy"] == "proxy.example.com:3128"
+    assert bound.keywords["proxy_exceptions"] == {"a.com", "b.com"}
+    assert bound.keywords["accept"] == " "  # space = omit header convention
+    # no proxy configured -> no proxy kwarg bound
+    plain = _resolve_fetch_fn("http", NutchConfig())
+    assert "proxy" not in plain.keywords

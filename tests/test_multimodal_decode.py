@@ -557,3 +557,170 @@ def test_mp3_through_audio_features(spark):
     assert row["sample_rate"] == 44100
     assert abs(row["duration_s"] - 2.0) < 0.02
     assert row["mfcc"] is None
+
+
+# ---------------------------------------------------------------------------
+# Pixel decode + dHash (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _mk_png(w, h, gray_rows, filters=None, ctype=0):
+    """Real PNG encoder for tests: per-row filter choice exercises every
+    unfilter path; ctype 0/2/4/6 exercises the channel collapse."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        gray = gray_rows[y]
+        if ctype == 0:
+            line = list(gray)
+        elif ctype == 2:
+            line = [v for g in gray for v in (g, g, g)]
+        elif ctype == 4:
+            line = [v for g in gray for v in (g, 255)]
+        else:
+            line = [v for g in gray for v in (g, g, g, 255)]
+        ft = (filters or [0] * h)[y]
+        if ft == 0:
+            enc = line[:]
+        elif ft == 1:  # Sub
+            enc = [(line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                   for i in range(len(line))]
+        elif ft == 2:  # Up
+            enc = [(line[i] - prev[i]) & 0xFF for i in range(len(line))]
+        elif ft == 3:  # Average
+            enc = [(line[i] - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                   & 0xFF for i in range(len(line))]
+        else:  # Paeth
+            enc = []
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((line[i] - pred) & 0xFF)
+        raw.append(ft)
+        raw += bytes(enc)
+        prev = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _mk_bmp(w, h, gray_rows, top_down=False):
+    import struct
+
+    data = bytearray()
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for g in gray_rows[y]:
+            row += bytes([g, g, g])
+        row += b"\x00" * ((-len(row)) % 4)
+        data += row
+    hh = -h if top_down else h
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, len(data), 0, 0, 0, 0)
+            + bytes(data))
+
+
+def test_png_pixel_decode_every_filter_and_color_type():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    w, h = 11, 7
+    gray = [[(x * 37 + y * 91) % 256 for x in range(w)] for y in range(h)]
+    for ctype in (0, 2, 4, 6):
+        for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4, 2, 1]):
+            out = decode_png_pixels(_mk_png(w, h, gray, filters, ctype))
+            assert out is not None, (ctype, filters)
+            pw, ph, rows = out
+            assert (pw, ph) == (w, h)
+            if ctype in (0, 4):  # gray channels round-trip exactly
+                assert rows == gray, (ctype, filters)
+            else:  # rgb luma of (g,g,g) == g
+                assert rows == gray
+
+
+def test_bmp_pixel_decode_both_row_orders():
+    from nutch_spark.datapipe.mediacodec import decode_bmp_pixels
+
+    gray = [[(x * 19 + y * 5) % 256 for x in range(6)] for y in range(4)]
+    for td in (False, True):
+        w, h, rows = decode_bmp_pixels(_mk_bmp(6, 4, gray, top_down=td))
+        assert (w, h) == (6, 4) and rows == gray, td
+
+
+def test_pixel_decode_guards():
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import (
+        decode_bmp_pixels,
+        decode_gray_pixels,
+        decode_png_pixels,
+    )
+
+    assert decode_gray_pixels(b"GIF89a......") is None  # needs LZW
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 80) is None
+    # forged giant dims refuse before allocating
+    huge = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1 << 20, 1 << 20, 1, 24, 0,
+                          0, 0, 0, 0, 0))
+    assert decode_bmp_pixels(huge) is None
+
+
+def test_dhash_flip_and_noise_distance():
+    from nutch_spark.datapipe.mediacodec import dhash64
+
+    w, h = 36, 32  # resamples 4x4 boxes onto the 9x8 grid
+    base = [[(x * 7 + y * 3) % 97 for x in range(w)] for y in range(h)]
+    a = dhash64(_mk_png(w, h, base))
+    b = dhash64(_mk_bmp(w, h, base))
+    assert a == b  # format-independent: same pixels, same hash
+    # small noise: flip a few pixels slightly -> small hamming distance
+    noisy = [row[:] for row in base]
+    for i in range(4):
+        noisy[i][i] = (noisy[i][i] + 2) % 97
+    c = dhash64(_mk_png(w, h, noisy))
+    assert bin(a ^ c).count("1") <= 6
+    # inversion: gradient reversed -> most bits flip
+    inv = [[96 - v for v in row] for row in base]
+    d = dhash64(_mk_png(w, h, inv))
+    assert bin(a ^ d).count("1") >= 48
+
+
+def test_dhash_near_dup_guard_and_spark_path(spark):
+    import pytest as _pytest
+
+    from nutch_spark.datapipe.multimodal import dhash_near_dup, image_dhash
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup(spark.range(0), max_hamming=4, bands=4)
+
+    w, h = 18, 16
+    base = [[(x * 11 + y * 7) % 89 for x in range(w)] for y in range(h)]
+    other = [[(95 - x * 9 + y) % 89 for x in range(w)] for y in range(h)]
+    rows = [
+        (0, bytearray(_mk_png(w, h, base))),
+        (1, bytearray(_mk_bmp(w, h, base))),      # same pixels as 0
+        (2, bytearray(_mk_png(w, h, other))),     # far away
+        (3, bytearray(b"GIF89a lzw-needed")),     # undecodable -> NULL
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_dhash(media)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert got[0] == got[1] and got[3] is None
+    pairs = dhash_near_dup(hashes, max_hamming=3, bands=4).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]

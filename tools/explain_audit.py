@@ -157,6 +157,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # email tail: one Python batch stage, no shuffle
     "p2_eml_extract": [[r"MapInPandas|mapInPandas"],
                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # dHash: map-only decode stage
+    "mm_image_dhash": [[r"MapInPandas|mapInPandas"],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # banded Hamming join: equi-joins on band keys, never an all-pairs cross
+    "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
 }
 
 
