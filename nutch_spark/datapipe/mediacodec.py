@@ -668,3 +668,45 @@ def dhash64(payload: bytes) -> int | None:
         for x in range(8):
             bits = (bits << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
     return bits
+
+
+def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int | None:
+    """64-bit spectral-peak fingerprint over real PCM WAV audio: the signal
+    splits into ``frames`` equal time frames; each frame's rFFT energy is
+    summed into ``bands`` equal-width frequency bands (0 .. Nyquist), and
+    bit (f, b) is set when band b carries more than 1/4 of frame f's total
+    spectral energy — a dominant-band one-hot per frame, robust to FFT
+    leakage (leakage never approaches the 25% cut). The same shape as the
+    image dHash (8x8 bits), so ``dhash_near_dup``'s banded Hamming join
+    pairs near-identical audio the same way. None for non-PCM payloads."""
+    import numpy as np
+
+    info = parse_wav(payload)
+    if info is None or info["n_samples"] == 0:
+        return None
+    samples = info["samples"]
+    if info["n_channels"] > 1:  # mixdown: mean over interleaved channels
+        ch = info["n_channels"]
+        usable = len(samples) - len(samples) % ch
+        samples = samples[:usable].reshape(-1, ch).mean(axis=1)
+    n = len(samples)
+    if n < frames:
+        return None
+    bits = 0
+    frame_len = n // frames
+    for f in range(frames):
+        seg = np.asarray(
+            samples[f * frame_len : (f + 1) * frame_len], dtype=np.float64
+        )
+        energy = np.abs(np.fft.rfft(seg)) ** 2
+        # drop the DC bin (a constant offset is not spectral content)
+        energy = energy[1:]
+        if len(energy) < bands:
+            return None
+        total = float(energy.sum())
+        cut = len(energy) // bands
+        for b in range(bands):
+            seg_e = float(energy[b * cut : (b + 1) * cut].sum())
+            bit = 1 if total > 0 and seg_e > total / 4 else 0
+            bits = (bits << 1) | bit
+    return bits

@@ -487,3 +487,42 @@ def dhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),  # 64-bit, None=non-PCM
+    ]
+)
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    fingerprint_fn=None,
+) -> DataFrame:
+    """(media_id, payload) → (media_id, afp): the 64-bit spectral-peak
+    fingerprint over REAL PCM WAV decode (mediacodec.audio_fingerprint —
+    rFFT per time frame, dominant-band one-hot bits). Same 64-bit shape as
+    the image dHash, so ``dhash_near_dup`` pairs near-identical audio with
+    the identical banded Hamming join. Compressed audio (mp3/flac) needs a
+    codec library → NULL, pluggable through ``fingerprint_fn``."""
+    from nutch_spark.datapipe.mediacodec import audio_fingerprint
+
+    compute = fingerprint_fn or audio_fingerprint
+
+    def row(media_id, raw):
+        try:
+            fp = compute(bytes(raw))
+        except Exception:  # noqa: BLE001
+            fp = None
+        if fp is not None and fp >= 1 << 63:
+            fp -= 1 << 64
+        return {"media_id": media_id, "afp": fp}
+
+    def null_row(media_id):
+        return {"media_id": media_id, "afp": None}
+
+    return _map_media(media, None, AUDIO_FP_SCHEMA, row, null_row, batch_partitions)

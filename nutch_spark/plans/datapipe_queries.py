@@ -2642,3 +2642,73 @@ def mm_dhash_neardup(spark, sf_dir):
 
     hashes = _planted_dhashes(spark, sf_dir, limit=320)
     return dhash_near_dup(hashes, max_hamming=3, bands=4)
+
+
+_AFP_TERMS = " + ".join(
+    f"CAST((128 >> ((doc_id * 5 + {f * 3}) % 8)) AS HUGEINT)"
+    f" * CAST({256 ** (7 - f)} AS HUGEINT)"
+    for f in range(8)
+)
+
+
+@q(
+    "mm_audio_fingerprint",
+    f"""
+    -- REAL audio decode + FFT, no codec library: each doc becomes a PCM16
+    -- WAV whose 8 time frames carry a sine at one band center each; the
+    -- spectral-peak fingerprint is then the one-hot of those bands — a
+    -- closed form of the tone schedule t(f) = (doc_id*5 + f*3) %% 8,
+    -- signed-64 wrapped like the Spark LongType column.
+    SELECT doc_id AS media_id,
+           CAST(({_AFP_TERMS})
+                - CASE WHEN ({_AFP_TERMS})
+                         >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN CAST('18446744073709551616' AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END
+             AS BIGINT) AS afp
+    FROM documents WHERE doc_id < 320
+    """,
+)
+def mm_audio_fingerprint(spark, sf_dir):
+    """Audio near-dup fingerprinting over REAL samples: a synthesized PCM16
+    RIFF/WAVE per document (8 frames x 1024 samples, one band-center sine
+    per frame) flows through mediacodec.parse_wav + numpy rFFT into the
+    64-bit spectral-peak signature (audio_fingerprint). The oracle states
+    the signature in closed form from the tone schedule — a WAV-parse,
+    mixdown, FFT-binning or bit-packing bug all hash-mismatch. Same 64-bit
+    shape as the image dHash: dhash_near_dup's banded Hamming join pairs
+    near-identical audio unchanged. 100 TB: map-only Arrow stage."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import audio_fingerprints
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 320)
+
+    def gen(batches):
+        import math
+        import struct
+
+        rate, frame_len = 8000, 1024
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                sig = bytearray()
+                for f in range(8):
+                    band = (int(doc_id) * 5 + f * 3) % 8
+                    freq = (band + 0.5) * (rate / 2) / 8
+                    for i in range(frame_len):
+                        sig += struct.pack(
+                            "<h",
+                            int(12000 * math.sin(2 * math.pi * freq * i / rate)),
+                        )
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                wav = (
+                    b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(sig)) + bytes(sig)
+                )
+                rows.append({"media_id": int(doc_id), "payload": wav})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return audio_fingerprints(media)

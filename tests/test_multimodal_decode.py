@@ -724,3 +724,69 @@ def test_dhash_near_dup_guard_and_spark_path(spark):
     assert got[0] == got[1] and got[3] is None
     pairs = dhash_near_dup(hashes, max_hamming=3, bands=4).collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_audio_fingerprint_tone_schedule_and_guards():
+    import math
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import audio_fingerprint
+
+    def mk_wav(tones, rate=8000, frame_len=1024, channels=1):
+        sig = bytearray()
+        for t in tones:
+            freq = (t + 0.5) * (rate / 2) / 8
+            for i in range(frame_len):
+                v = int(12000 * math.sin(2 * math.pi * freq * i / rate))
+                for _ in range(channels):
+                    sig += struct.pack("<h", v)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+        )
+        return (b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(sig)) + bytes(sig))
+
+    tones = [0, 3, 7, 1, 5, 2, 6, 4]
+    expected = 0
+    for t in tones:
+        expected = (expected << 8) | (0x80 >> t)
+    assert audio_fingerprint(mk_wav(tones)) == expected
+    # stereo mixdown gives the same signature
+    assert audio_fingerprint(mk_wav(tones, channels=2)) == expected
+    # non-WAV / empty payloads refuse cleanly
+    assert audio_fingerprint(b"ID3\x03mp3 needs a codec") is None
+    assert audio_fingerprint(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_audio_fingerprint_near_dup_join(spark):
+    import math
+    import struct
+
+    from nutch_spark.datapipe.multimodal import audio_fingerprints, dhash_near_dup
+
+    def mk_wav(tones):
+        rate, frame_len = 8000, 512
+        sig = bytearray()
+        for t in tones:
+            freq = (t + 0.5) * (rate / 2) / 8
+            for i in range(frame_len):
+                sig += struct.pack(
+                    "<h", int(9000 * math.sin(2 * math.pi * freq * i / rate))
+                )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(sig)) + bytes(sig))
+
+    a = [0, 3, 7, 1, 5, 2, 6, 4]
+    rows = [
+        (0, bytearray(mk_wav(a))),
+        (1, bytearray(mk_wav(a))),            # identical schedule
+        (2, bytearray(mk_wav(list(reversed(a))))),  # far away
+        (3, bytearray(b"not audio")),          # NULL
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = audio_fingerprints(media).withColumnRenamed("afp", "dhash")
+    pairs = dhash_near_dup(fps, max_hamming=3, bands=4).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
