@@ -1018,6 +1018,11 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.parse_tail import extract_mbox_text
 
         return extract_mbox_text(data)
+    from nutch_spark.operators.parse_tail import extract_vcal_text, looks_like_vcal
+
+    if looks_like_vcal(data):
+        # vCard / iCalendar (Tika VCardParser/ICalParser slot)
+        return extract_vcal_text(data)
     from nutch_spark.operators.parse_tail import extract_eml_text, looks_like_rfc822
 
     if looks_like_rfc822(data):

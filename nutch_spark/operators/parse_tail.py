@@ -1104,3 +1104,118 @@ def extract_mbox_text(data: bytes) -> tuple[str, str]:
         if txt:
             texts.append(txt)
     return "application/mbox", "\n\n".join(texts)
+
+
+# ---------------------------------------------------------------------------
+# vCard / iCalendar (Tika's VCardParser / ICalParser slot): RFC 6350/6351
+# contact cards and RFC 5545 calendars — line-folded key:value text with
+# escaping rules, fully parseable with the stdlib.
+# ---------------------------------------------------------------------------
+
+_VCAL_TEXT_PROPS = (
+    "SUMMARY", "DESCRIPTION", "LOCATION", "COMMENT", "CATEGORIES",
+)
+_VCARD_TEXT_PROPS = (
+    "FN", "N", "ORG", "TITLE", "ROLE", "EMAIL", "TEL", "ADR", "NOTE",
+    "URL", "NICKNAME",
+)
+
+
+def _unfold_ics(data: bytes) -> list[str]:
+    """RFC 5545 §3.1 / RFC 6350 §3.2 line unfolding: a CRLF (or bare LF)
+    followed by SPACE/HTAB continues the previous line."""
+    text = data.decode("utf-8", errors="replace")
+    out: list[str] = []
+    for raw in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        if raw[:1] in (" ", "\t") and out:
+            out[-1] += raw[1:]
+        else:
+            out.append(raw)
+    return out
+
+
+def _ics_unescape(value: str) -> str:
+    """RFC 5545 §3.3.11 TEXT escaping: \\n newline, \\, \; literals."""
+    return (
+        value.replace("\\n", "\n").replace("\\N", "\n")
+        .replace("\\,", ",").replace("\;", ";").replace("\\\\", "\\")
+    )
+
+
+def _ics_prop(line: str) -> tuple[str, dict[str, str], str] | None:
+    """One unfolded content line → (NAME, params, value). Params may carry
+    quoted values (RFC 5545 §3.2)."""
+    head, sep, value = line.partition(":")
+    if not sep:
+        return None
+    parts = head.split(";")
+    name = parts[0].strip().upper()
+    if not name:
+        return None
+    params: dict[str, str] = {}
+    for p in parts[1:]:
+        k, _, v = p.partition("=")
+        params[k.strip().upper()] = v.strip().strip('"')
+    return name, params, value
+
+
+def _decode_prop_value(value: str, params: dict[str, str]) -> str:
+    """vCard 2.1-era per-property transfer encodings: QUOTED-PRINTABLE
+    (with its trailing '=' soft breaks already unfolded) and BASE64."""
+    enc = params.get("ENCODING", "").upper()
+    if enc == "QUOTED-PRINTABLE":
+        import quopri
+
+        charset = params.get("CHARSET", "utf-8")
+        try:
+            return quopri.decodestring(value.encode("ascii", "replace")).decode(
+                charset, errors="replace"
+            )
+        except Exception:  # noqa: BLE001
+            return value
+    if enc in ("BASE64", "B"):
+        return ""  # binary payload (photo/logo) — not text
+    return value
+
+
+def extract_vcal_text(data: bytes) -> tuple[str, str]:
+    """iCalendar / vCard → (mime, text): each component's human-readable
+    properties in document order — SUMMARY/DESCRIPTION/... for calendar
+    components, FN/ORG/EMAIL/... for cards — plus attendee/organizer
+    display names (CN params). Unknown X- props skip; escaping and 2.1
+    quoted-printable decode for real."""
+    lines = _unfold_ics(data)
+    is_cal = any(
+        ln.strip().upper().startswith("BEGIN:VCALENDAR") for ln in lines[:3]
+    )
+    mime = "text/calendar" if is_cal else "text/vcard"
+    wanted = _VCAL_TEXT_PROPS if is_cal else _VCARD_TEXT_PROPS
+    pieces: list[str] = []
+    for ln in lines:
+        prop = _ics_prop(ln)
+        if prop is None:
+            continue
+        name, params, value = prop
+        if name in ("BEGIN", "END", "VERSION", "PRODID"):
+            continue
+        if name in ("ATTENDEE", "ORGANIZER"):
+            cn = params.get("CN")
+            if cn:
+                pieces.append(cn)
+            continue
+        if name in wanted or (not is_cal and name in _VCAL_TEXT_PROPS):
+            val = _ics_unescape(_decode_prop_value(value, params))
+            if name in ("N", "ADR", "ORG", "CATEGORIES"):
+                # structured values: semicolon/comma components to spaces
+                val = " ".join(
+                    c for c in val.replace(";", "\n").replace(",", "\n").split("\n")
+                    if c.strip()
+                )
+            if val.strip():
+                pieces.append(val.strip())
+    return mime, "\n".join(pieces)
+
+
+def looks_like_vcal(data: bytes) -> bool:
+    head = data[:64].lstrip(b"\xef\xbb\xbf \t\r\n").upper()
+    return head.startswith((b"BEGIN:VCALENDAR", b"BEGIN:VCARD"))

@@ -1955,3 +1955,84 @@ def p2_eml_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_ical_extract",
+    """
+    -- Round-trip identity: each document becomes a REAL RFC 5545 calendar
+    -- (folded lines, TEXT escaping for backslash/comma/semicolon, CN
+    -- attendee params) and flows through the iCalendar extractor. The
+    -- escape/unescape pair is the identity, so the oracle states the
+    -- guarded text verbatim.
+    SELECT doc_id,
+           'text/calendar' AS mime,
+           'event ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           trim('ical guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')
+             || chr(10) ||
+           'Room ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+           'Attendee ' || CAST(doc_id % 5 AS VARCHAR) AS parse_text,
+           CAST(length('event ' || CAST(doc_id AS VARCHAR)) + 1
+                + length(trim('ical guard: '
+                    || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) + 1
+                + length('Room ' || CAST(doc_id % 7 AS VARCHAR)) + 1
+                + length('Attendee ' || CAST(doc_id % 5 AS VARCHAR))
+             AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_ical_extract(spark, sf_dir):
+    """P2 calendar tail (parse-tika's ICalParser slot): documents become
+    real VCALENDAR components — 75-octet folded DESCRIPTION lines, RFC
+    5545 TEXT escaping, an ATTENDEE whose CN param must surface while its
+    mailto value must not — and extract through
+    operators/parse_tail.extract_vcal_text via the shared binary
+    dispatch. 100 TB shape: map-only, no shuffle."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                guarded = "ical guard: " + _re.sub(r"[^ -~]", "?", text or "")
+                esc = (
+                    guarded.replace("\\", "\\\\")
+                    .replace(",", "\\,")
+                    .replace(";", "\;")
+                )
+                desc_line = "DESCRIPTION:" + esc
+                # RFC 5545 §3.1: fold content lines at 75 octets
+                folded = "\r\n ".join(
+                    desc_line[i : i + 74] for i in range(0, len(desc_line), 74)
+                )
+                ics = (
+                    "BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"
+                    "PRODID:-//nutch-spark//certification//EN\r\n"
+                    "BEGIN:VEVENT\r\n"
+                    f"SUMMARY:event {doc_id}\r\n"
+                    f"{folded}\r\n"
+                    f"LOCATION:Room {doc_id % 7}\r\n"
+                    f"ATTENDEE;CN=Attendee {doc_id % 5};ROLE=REQ-PARTICIPANT:"
+                    f"mailto:a{doc_id}@example.com\r\n"
+                    "DTSTART:20260815T120000Z\r\n"
+                    "END:VEVENT\r\nEND:VCALENDAR\r\n"
+                ).encode()
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/e.ics", "content": ics}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

@@ -595,3 +595,45 @@ def test_eml_hostile_bytes_never_raise():
         m1, _ = extract_eml_text(blob)
         m2, _ = extract_mbox_text(blob)
         assert m1 == "message/rfc822" and m2 == "application/mbox"
+
+
+def test_vcal_ical_extraction():
+    from nutch_spark.operators.parse_binary import extract_text
+    from nutch_spark.operators.parse_tail import extract_vcal_text
+
+    ics = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\nPRODID:-//t//x//EN\r\n"
+        b"BEGIN:VEVENT\r\nSUMMARY:Team sync\\, weekly\r\n"
+        b"DESCRIPTION:Line one\\nfolded continua\r\n tion here\r\n"
+        b"LOCATION:Room 12\r\n"
+        b"ATTENDEE;CN=Alice Example;ROLE=CHAIR:mailto:a@x.com\r\n"
+        b'ORGANIZER;CN="Bob B.":mailto:b@x.com\r\n'
+        b"DTSTART:20260815T120000Z\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n"
+    )
+    mime, text = extract_vcal_text(ics)
+    assert mime == "text/calendar"
+    assert "Team sync, weekly" in text          # escaped comma decoded
+    assert "folded continuation here" in text    # line unfolding
+    assert "Alice Example" in text and "Bob B." in text  # CN params
+    assert "mailto:" not in text                  # raw cal-address excluded
+    assert extract_text(ics)[0] == "text/calendar"  # dispatch routes
+
+
+def test_vcard_21_quoted_printable_and_base64_photo():
+    from nutch_spark.operators.parse_binary import extract_text
+    from nutch_spark.operators.parse_tail import extract_vcal_text
+
+    vcf = (
+        b"BEGIN:VCARD\r\nVERSION:2.1\r\n"
+        b"FN;ENCODING=QUOTED-PRINTABLE;CHARSET=UTF-8:Caf=C3=A9 Person\r\n"
+        b"N:Person;Caf\xc3\xa9;;;\r\nORG:ACME;R&D\r\nEMAIL:c@x.com\r\n"
+        b"PHOTO;ENCODING=BASE64;TYPE=JPEG:AAAAAAAA\r\nEND:VCARD\r\n"
+    )
+    mime, text = extract_vcal_text(vcf)
+    assert mime == "text/vcard"
+    assert "Café Person" in text                 # vCard 2.1 qp decoded
+    assert "ACME R&D" in text and "c@x.com" in text
+    assert "AAAAAAAA" not in text                 # binary photo excluded
+    assert extract_text(vcf)[0] == "text/vcard"
+    # hostile bytes never raise
+    extract_vcal_text(b"BEGIN:VCARD\r\n\xff\xfe\x00:::\r\n")
