@@ -610,3 +610,60 @@ def quality_gate(
     return (F.size(toks) >= min_tokens) & (
         (F.size(F.array_distinct(toks)) / F.size(toks)) > min_uniq_ratio
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling (writing-system detection)
+# ---------------------------------------------------------------------------
+
+# Principal Unicode block per writing system — endpoints written as literal
+# characters so the SAME pattern compiles under Java regex (Spark) and any
+# engine without \uXXXX escapes. Coverage targets the high-traffic scripts
+# of web crawl + training-data pipelines.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿݐ-ݿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿㐀-䶿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+    "thai": "฀-๿",
+}
+
+
+def script_profile(
+    df: DataFrame, *, text: str = "text", scripts: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-document writing-system profile: one ``n_<script>`` count column
+    per script (JVM ``regexp_count`` — no Python in the plan) plus
+    ``script``, the dominant system (most characters; ties break
+    alphabetically; no script characters at all → 'und').
+
+    Complements the trigram language identifier (``langid``): script
+    detection is exact and cheap (a codegen'd regexp per block over one
+    scan), and for single-script languages it is the stronger router —
+    langid's broadcast profiles then only disambiguate WITHIN a script
+    (e.g. Latin-script languages). 100 TB: map-only, no shuffle."""
+    ranges = scripts or SCRIPT_RANGES
+    out = df
+    for name, rng in ranges.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text), F.lit(f"[{rng}]")).cast("long"),
+        )
+    best = None
+    for name in sorted(ranges):
+        cnt = F.col(f"n_{name}")
+        if best is None:
+            best = F.struct(cnt.alias("n"), F.lit(name).alias("s"))
+        else:
+            cand = F.struct(cnt.alias("n"), F.lit(name).alias("s"))
+            # higher count wins; equal count keeps the alphabetically
+            # EARLIER name (struct comparison would prefer later — invert)
+            best = F.when(cand["n"] > best["n"], cand).otherwise(best)
+    return out.withColumn(
+        "script", F.when(best["n"] > 0, best["s"]).otherwise(F.lit("und"))
+    )

@@ -2712,3 +2712,66 @@ def mm_audio_fingerprint(spark, sf_dir):
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+@q(
+    "dp_script_detect",
+    """
+    -- Closed-form construction: each doc's text gets a known quantity of
+    -- Cyrillic / CJK / Arabic characters appended by residue class, so
+    -- the per-script counts and the dominant script are stated from the
+    -- arithmetic (ASCII letters in the base text counted by the oracle's
+    -- own regexp — identical [A-Za-z] semantics in both engines).
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'cjk' WHEN 3 THEN 'arabic'
+             ELSE (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+                        THEN 'latin' ELSE 'und' END)
+           END AS script,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+             AS n_latin,
+           CAST(CASE doc_id % 4 WHEN 1
+                THEN 5 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                ELSE 0 END AS BIGINT) AS n_cyrillic,
+           CAST(CASE doc_id % 4 WHEN 2
+                THEN 2 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                ELSE 0 END AS BIGINT) AS n_cjk,
+           CAST(CASE doc_id % 4 WHEN 3
+                THEN 4 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                ELSE 0 END AS BIGINT) AS n_arabic
+    FROM documents
+    """,
+)
+def dp_script_detect(spark, sf_dir):
+    """Writing-system detection (datapipe/textstats.script_profile): pure
+    JVM regexp_count per Unicode block, argmax with deterministic
+    tie-break — the exact, shuffle-free router that complements trigram
+    langid. The planted mix appends enough Cyrillic / CJK / Arabic per
+    residue class to outvote the base ASCII (counts scale WITH the doc's
+    own letter count, so dominance is structural, not data-dependent)."""
+    from nutch_spark.datapipe.textstats import SCRIPT_RANGES, script_profile
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ascii = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    mixed = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 1, F.repeat(F.lit("слово"), n_ascii + 20)
+            )
+            .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit("中文"), n_ascii + 20))
+            .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit("كلمة"), n_ascii + 20))
+            .otherwise(F.lit("")),
+        ),
+    )
+    prof = script_profile(
+        mixed,
+        scripts={
+            k: v for k, v in SCRIPT_RANGES.items()
+            if k in ("latin", "cyrillic", "cjk", "arabic")
+        },
+    )
+    return prof.select(
+        "doc_id", "script", "n_latin", "n_cyrillic", "n_cjk", "n_arabic"
+    )

@@ -719,3 +719,30 @@ def test_shard_assignment_balanced_and_stable(spark):
     ).collect()[0]["shard"]
     full = {r["doc_id"]: r["shard"] for r in assign_shards(d, 8).collect()}
     assert full[42] == one
+
+
+def test_script_profile_detection_and_tiebreak(spark):
+    from nutch_spark.datapipe.textstats import script_profile
+
+    rows = [
+        (0, "plain english text"),
+        (1, "русский текст доминирует here"),
+        (2, "日本語のテキスト with かな"),
+        (3, "한국어 텍스트"),
+        (4, "نص عربي طويل جدا هنا"),
+        (5, "1234 !!! ???"),          # no script chars -> und
+        (6, "ab ок"),                   # 2 latin vs 2 cyrillic tie -> alphabetical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["script"] for r in script_profile(df).collect()}
+    assert got[0] == "latin"
+    assert got[1] == "cyrillic"
+    assert got[2] in ("kana", "cjk")  # mixed Japanese: kana + kanji
+    assert got[3] == "hangul"
+    assert got[4] == "arabic"
+    assert got[5] == "und"
+    assert got[6] == "cyrillic"  # tie: 'cyrillic' < 'latin' alphabetically
+    # counts are exact
+    (r1,) = script_profile(df).filter("doc_id = 1").collect()
+    assert r1["n_cyrillic"] == len("русскийтекстдоминирует")
+    assert r1["n_latin"] == len("here")

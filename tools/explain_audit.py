@@ -164,6 +164,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_ical_extract": [[r"MapInPandas|mapInPandas"],
                         [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # script detection: pure JVM regexp_count, map-only
+    "dp_script_detect": [[], [r"CartesianProduct", r"Join", r"HashAggregate",
+                              r"MapInPandas|mapInPandas", r"Exchange"]],
     # audio fingerprint: map-only decode+FFT stage
     "mm_audio_fingerprint": [[r"MapInPandas|mapInPandas"],
                              [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
