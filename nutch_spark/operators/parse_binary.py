@@ -933,6 +933,12 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         if depth >= 2:  # nested-archive cutoff, like the zip path
             return "application/vnd.ms-htmlhelp", ""
         return extract_chm_text(data, depth)
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        from nutch_spark.operators.parse_tail import extract_7z_text
+
+        if depth >= 2:
+            return "application/x-7z-compressed", ""
+        return extract_7z_text(data, depth)
     if data[:4] == b"MSCF":
         from nutch_spark.operators.parse_tail import extract_cab_text
 

@@ -1138,7 +1138,7 @@ def _ics_unescape(value: str) -> str:
     """RFC 5545 §3.3.11 TEXT escaping: \\n newline, \\, \; literals."""
     return (
         value.replace("\\n", "\n").replace("\\N", "\n")
-        .replace("\\,", ",").replace("\;", ";").replace("\\\\", "\\")
+        .replace("\\,", ",").replace("\\;", ";").replace("\\\\", "\\")
     )
 
 
@@ -1219,3 +1219,441 @@ def extract_vcal_text(data: bytes) -> tuple[str, str]:
 def looks_like_vcal(data: bytes) -> bool:
     head = data[:64].lstrip(b"\xef\xbb\xbf \t\r\n").upper()
     return head.startswith((b"BEGIN:VCALENDAR", b"BEGIN:VCARD"))
+
+
+# ---------------------------------------------------------------------------
+# 7z archives (the public 7zFormat.txt spec; Tika routes them through
+# commons-compress SevenZFile). Reader: single-coder folders with Copy /
+# LZMA1 / LZMA2 (stdlib lzma raw decoders) — the overwhelmingly common
+# shapes — including LZMA-compressed headers (kEncodedHeader) and
+# multi-substream folders; encrypted / multi-coder folders degrade to
+# mime-only members. Writer: Copy or LZMA2 folders for fixtures/tests.
+# ---------------------------------------------------------------------------
+
+_7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"
+_7Z_MAX_UNPACK = 1 << 26  # 64 MiB bomb guard, shared posture with zip/CAB
+_7Z_MAX_MEMBERS = 64
+
+
+def _7z_read_number(data: bytes, pos: int) -> tuple[int, int]:
+    """7zFormat.txt ReadNumber: first-byte mask encodes how many extra
+    little-endian bytes follow."""
+    first = data[pos]
+    pos += 1
+    mask = 0x80
+    value = 0
+    for i in range(8):
+        if not (first & mask):
+            value |= (first & (mask - 1)) << (8 * i)
+            return value, pos
+        value |= data[pos] << (8 * i)
+        pos += 1
+        mask >>= 1
+    return value, pos
+
+
+def _7z_lzma2_filters(props: bytes) -> list[dict]:
+    b = props[0] if props else 40
+    dict_size = 0xFFFFFFFF if b >= 40 else (2 | (b & 1)) << (b // 2 + 11)
+    import lzma
+
+    return [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}]
+
+
+def _7z_lzma1_filters(props: bytes) -> list[dict]:
+    import struct as _s
+
+    import lzma
+
+    d = props[0]
+    lc, rem = d % 9, d // 9
+    lp, pb = rem % 5, rem // 5
+    dict_size = _s.unpack("<I", props[1:5])[0] if len(props) >= 5 else 1 << 23
+    return [{"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
+             "dict_size": max(dict_size, 4096)}]
+
+
+def _7z_decode_folder(coder_id: bytes, props: bytes, packed: bytes,
+                      unpack_size: int) -> bytes | None:
+    """One single-coder folder's packed bytes → unpacked, or None for
+    unsupported methods. Output capped at the declared unpack size."""
+    import lzma
+
+    if unpack_size > _7Z_MAX_UNPACK:
+        return None
+    try:
+        if coder_id == b"\x00":  # Copy
+            return packed[:unpack_size]
+        if coder_id == b"\x21":  # LZMA2
+            out = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW, filters=_7z_lzma2_filters(props)
+            ).decompress(packed, unpack_size)
+            return out[:unpack_size]
+        if coder_id == b"\x03\x01\x01":  # LZMA1
+            out = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW, filters=_7z_lzma1_filters(props)
+            ).decompress(packed, unpack_size)
+            return out[:unpack_size]
+    except (lzma.LZMAError, ValueError, IndexError):
+        return None
+    return None
+
+
+def _7z_parse_streams_info(data: bytes, pos: int) -> tuple[dict, int]:
+    """StreamsInfo → {pack_sizes, folders:[{coder_id, props, unpack_size}],
+    substreams:[counts], sub_sizes} with pos after kEnd. Raises ValueError
+    on malformed structures (caller contains)."""
+    info: dict = {"pack_sizes": [], "folders": [], "substreams": None,
+                  "sub_sizes": None, "pack_pos": 0}
+    while True:
+        prop = data[pos]
+        pos += 1
+        if prop == 0x00:  # kEnd
+            return info, pos
+        if prop == 0x06:  # PackInfo
+            info["pack_pos"], pos = _7z_read_number(data, pos)
+            n_pack, pos = _7z_read_number(data, pos)
+            if n_pack > _7Z_MAX_MEMBERS * 4:
+                raise ValueError("pack streams")
+            while True:
+                sub = data[pos]
+                pos += 1
+                if sub == 0x00:
+                    break
+                if sub == 0x09:  # kSize
+                    sizes = []
+                    for _ in range(n_pack):
+                        v, pos = _7z_read_number(data, pos)
+                        sizes.append(v)
+                    info["pack_sizes"] = sizes
+                elif sub == 0x0A:  # kCRC — digests-defined vector + crcs
+                    raise ValueError("packinfo crc unsupported layout")
+                else:
+                    raise ValueError("packinfo prop")
+        elif prop == 0x07:  # UnpackInfo
+            if data[pos] != 0x0B:
+                raise ValueError("expected kFolder")
+            pos += 1
+            n_folders, pos = _7z_read_number(data, pos)
+            if n_folders > _7Z_MAX_MEMBERS * 4:
+                raise ValueError("folders")
+            if data[pos] != 0x00:  # external folders unsupported
+                raise ValueError("external folders")
+            pos += 1
+            folders = []
+            for _ in range(n_folders):
+                n_coders, pos = _7z_read_number(data, pos)
+                coder_id = None
+                props = b""
+                supported = n_coders == 1
+                total_out = 0
+                for ci in range(n_coders):
+                    flags = data[pos]
+                    pos += 1
+                    id_size = flags & 0x0F
+                    cid = data[pos : pos + id_size]
+                    pos += id_size
+                    n_in = n_out = 1
+                    if flags & 0x10:  # complex
+                        n_in, pos = _7z_read_number(data, pos)
+                        n_out, pos = _7z_read_number(data, pos)
+                    if flags & 0x20:  # attributes
+                        psize, pos = _7z_read_number(data, pos)
+                        p = data[pos : pos + psize]
+                        pos += psize
+                    else:
+                        p = b""
+                    total_out += n_out
+                    if ci == 0:
+                        coder_id, props = cid, p
+                # bind pairs + packed indices (multi-coder folders)
+                for _ in range(total_out - 1):
+                    _, pos = _7z_read_number(data, pos)
+                    _, pos = _7z_read_number(data, pos)
+                folders.append(
+                    {"coder_id": coder_id if supported else None,
+                     "props": props, "unpack_size": 0}
+                )
+            if data[pos] != 0x0C:  # kCodersUnpackSize
+                raise ValueError("expected unpack sizes")
+            pos += 1
+            for f in folders:
+                v, pos = _7z_read_number(data, pos)
+                f["unpack_size"] = v
+            while True:
+                sub = data[pos]
+                pos += 1
+                if sub == 0x00:
+                    break
+                if sub == 0x0A:  # kCRC: allDefined + crcs
+                    all_def = data[pos]
+                    pos += 1
+                    n_def = len(folders)
+                    if all_def == 0:
+                        bits = (n_def + 7) // 8
+                        vec = data[pos : pos + bits]
+                        pos += bits
+                        n_def = sum(bin(b).count("1") for b in vec)
+                    pos += 4 * n_def
+                else:
+                    raise ValueError("unpackinfo prop")
+            info["folders"] = folders
+        elif prop == 0x08:  # SubStreamsInfo
+            counts = None
+            sizes = []
+            while True:
+                sub = data[pos]
+                pos += 1
+                if sub == 0x00:
+                    break
+                if sub == 0x0D:  # kNumUnpackStream
+                    counts = []
+                    for _ in range(len(info["folders"])):
+                        v, pos = _7z_read_number(data, pos)
+                        counts.append(v)
+                elif sub == 0x09:  # kSize: all but the last of each folder
+                    eff = counts or [1] * len(info["folders"])
+                    for n in eff:
+                        for _ in range(max(n - 1, 0)):
+                            v, pos = _7z_read_number(data, pos)
+                            sizes.append(v)
+                    info["sub_sizes"] = sizes
+                elif sub == 0x0A:  # kCRC
+                    eff = counts or [1] * len(info["folders"])
+                    n_digests = sum(eff)
+                    all_def = data[pos]
+                    pos += 1
+                    if all_def == 0:
+                        bits = (n_digests + 7) // 8
+                        vec = data[pos : pos + bits]
+                        pos += bits
+                        n_digests = sum(bin(b).count("1") for b in vec)
+                    pos += 4 * n_digests
+                else:
+                    raise ValueError("substreams prop")
+            info["substreams"] = counts
+        else:
+            raise ValueError(f"streams prop {prop:#x}")
+
+
+def parse_7z(data: bytes) -> list[tuple[str, bytes | None]]:
+    """7z archive → [(name, member_bytes | None)] — None marks a member
+    whose folder uses an unsupported coder (encryption, BCJ chains).
+    Malformed archives raise ValueError (callers catch and degrade)."""
+    import struct as _s
+
+    if data[:6] != _7Z_MAGIC or len(data) < 32:
+        raise ValueError("not 7z")
+    nh_off, nh_size = _s.unpack("<QQ", data[12:28])
+    base = 32
+    hdr = data[base + nh_off : base + nh_off + nh_size]
+    if not hdr:
+        raise ValueError("missing header")
+
+    def parse_header(h: bytes) -> list[tuple[str, bytes | None]]:
+        pos = 0
+        if h[pos] == 0x17:  # kEncodedHeader: streams info for the header
+            info, _ = _7z_parse_streams_info(h, pos + 1)
+            f = info["folders"][0]
+            start = base + info["pack_pos"]
+            packed = data[start : start + (info["pack_sizes"] or [0])[0]]
+            if f["coder_id"] is None:
+                raise ValueError("encrypted header")
+            real = _7z_decode_folder(
+                f["coder_id"], f["props"], packed, f["unpack_size"]
+            )
+            if real is None:
+                raise ValueError("undecodable header")
+            return parse_header(real)
+        if h[pos] != 0x01:  # kHeader
+            raise ValueError("unexpected header id")
+        pos += 1
+        streams = None
+        names: list[str] = []
+        empty_stream_bits: list[int] = []
+        n_files = 0
+        while pos < len(h):
+            prop = h[pos]
+            pos += 1
+            if prop == 0x00:
+                break
+            if prop == 0x04:  # MainStreamsInfo
+                streams, pos = _7z_parse_streams_info(h, pos)
+            elif prop == 0x05:  # FilesInfo
+                n_files, pos = _7z_read_number(h, pos)
+                if n_files > _7Z_MAX_MEMBERS:
+                    raise ValueError("too many members")
+                while True:
+                    ptype, pos = _7z_read_number(h, pos)
+                    if ptype == 0x00:
+                        break
+                    psize, pos = _7z_read_number(h, pos)
+                    body = h[pos : pos + psize]
+                    pos += psize
+                    if ptype == 0x11:  # kName
+                        if body[:1] != b"\x00":
+                            continue  # external names unsupported
+                        raw = body[1:].decode("utf-16-le", errors="replace")
+                        names = raw.split("\x00")[:-1]
+                    elif ptype == 0x0E:  # kEmptyStream bit vector
+                        empty_stream_bits = [
+                            (body[i // 8] >> (7 - i % 8)) & 1
+                            for i in range(n_files)
+                        ]
+            else:  # ArchiveProperties etc: size-prefixed, skip
+                psize, pos = _7z_read_number(h, pos)
+                pos += psize
+        # unpack folders, then split into substream members
+        members: list[tuple[str, bytes | None]] = []
+        blobs: list[bytes | None] = []
+        if streams:
+            pack_off = base + streams["pack_pos"]
+            pack_idx = 0
+            counts = streams["substreams"] or [1] * len(streams["folders"])
+            sub_sizes = list(streams["sub_sizes"] or [])
+            for fi, f in enumerate(streams["folders"]):
+                psize = (
+                    streams["pack_sizes"][pack_idx]
+                    if pack_idx < len(streams["pack_sizes"])
+                    else 0
+                )
+                packed = data[pack_off : pack_off + psize]
+                pack_off += psize
+                pack_idx += 1
+                unpacked = (
+                    None
+                    if f["coder_id"] is None
+                    else _7z_decode_folder(
+                        f["coder_id"], f["props"], packed, f["unpack_size"]
+                    )
+                )
+                n_sub = counts[fi] if fi < len(counts) else 1
+                if n_sub == 1:
+                    blobs.append(unpacked)
+                    continue
+                off = 0
+                for si in range(n_sub):
+                    if si < n_sub - 1:
+                        size = sub_sizes.pop(0) if sub_sizes else 0
+                    else:
+                        size = (f["unpack_size"] - off)
+                    blobs.append(
+                        None if unpacked is None
+                        else unpacked[off : off + size]
+                    )
+                    off += size
+        bi = 0
+        for i in range(n_files or len(names)):
+            name = names[i] if i < len(names) else f"member{i}"
+            is_empty = bool(empty_stream_bits[i]) if i < len(empty_stream_bits) else False
+            if is_empty:
+                members.append((name, b""))
+            else:
+                members.append((name, blobs[bi] if bi < len(blobs) else None))
+                bi += 1
+        return members
+
+    return parse_header(hdr)
+
+
+def extract_7z_text(data: bytes, depth: int = 0) -> tuple[str, str]:
+    """7z member texts through the shared recursive dispatch (zip/CAB
+    posture: per-member caps, nested-archive depth cutoff upstream)."""
+    from nutch_spark.operators.parse_binary import _extract_text
+
+    mime = "application/x-7z-compressed"
+    try:
+        members = parse_7z(data)
+    except (ValueError, IndexError, struct.error):
+        return mime, ""
+    texts = []
+    for name, blob in members[:_7Z_MAX_MEMBERS]:
+        if not blob:
+            continue
+        try:
+            _, txt = _extract_text(blob, depth + 1)
+        except Exception:  # noqa: BLE001 — skip the bad member
+            continue
+        if txt:
+            texts.append(f"{name} {txt}")
+    return mime, "\n".join(texts)
+
+
+def build_7z_bytes(
+    files: dict[str, bytes], *, compression: str = "copy"
+) -> bytes:
+    """Minimal honest 7z writer for fixtures: one folder per file, Copy or
+    raw-LZMA2 coders, real CRC32s in the signature header."""
+    import struct as _s
+    import zlib as _z
+
+    def num(v: int) -> bytes:
+        if v < 0x80:
+            return bytes([v])
+        out = bytearray()
+        first = 0
+        mask = 0x80
+        for i in range(8):
+            out.append(v & 0xFF)
+            v >>= 8
+            first |= mask
+            mask >>= 1
+            if v == 0 and i < 7:
+                break
+        # first byte: set bits for count, remaining low bits carry high part
+        return bytes([first | (v & (mask - 1) if mask else 0)]) + bytes(out)
+
+    import lzma
+
+    packed_blobs = []
+    folders = []
+    for name, body in files.items():
+        if compression == "lzma2":
+            blob = lzma.compress(
+                body, format=lzma.FORMAT_RAW,
+                filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}],
+            )
+            folders.append((b"\x21", b"\x18", len(body)))  # dict byte 0x18
+        else:
+            blob = body
+            folders.append((b"\x00", b"", len(body)))
+        packed_blobs.append(blob)
+
+    hdr = bytearray()
+    hdr += b"\x01"          # kHeader
+    hdr += b"\x04"          # kMainStreamsInfo
+    hdr += b"\x06" + num(0) + num(len(packed_blobs))  # PackInfo, packPos 0
+    hdr += b"\x09"
+    for b in packed_blobs:
+        hdr += num(len(b))
+    hdr += b"\x00"          # end PackInfo
+    hdr += b"\x07"          # UnpackInfo
+    hdr += b"\x0b" + num(len(folders)) + b"\x00"
+    for cid, props, _size in folders:
+        hdr += num(1)  # numCoders
+        flags = len(cid) | (0x20 if props else 0)
+        hdr += bytes([flags]) + cid
+        if props:
+            hdr += num(len(props)) + props
+    hdr += b"\x0c"
+    for _cid, _props, size in folders:
+        hdr += num(size)
+    hdr += b"\x00"          # end UnpackInfo
+    hdr += b"\x00"          # end StreamsInfo
+    hdr += b"\x05" + num(len(files))  # FilesInfo
+    # names: external=0 then each name NUL-terminated utf-16le
+    names = b"\x00" + b"".join(
+        n.encode("utf-16-le") + b"\x00\x00" for n in files
+    )
+    hdr += b"\x11" + num(len(names)) + names
+    hdr += b"\x00"          # end FilesInfo
+    hdr += b"\x00"          # end Header
+
+    pack_area = b"".join(packed_blobs)
+    nh_off = len(pack_area)
+    start_header = _s.pack("<QQI", nh_off, len(hdr), _z.crc32(bytes(hdr)))
+    return (
+        _7Z_MAGIC + b"\x00\x04"
+        + _s.pack("<I", _z.crc32(start_header))
+        + start_header + pack_area + bytes(hdr)
+    )

@@ -23,7 +23,7 @@ _CERTIFY_FIRST = [
     # fetch-harness code changed in round 10 — certify first; p2_eml is new
     "p1_fetch_binary_pipeline", "p1_politeness", "p2_eml_extract",
     "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
-    "p2_ical_extract", "dp_script_detect",
+    "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
     # r07-certified, missed the r08 and r09 windows
     "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
     "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",

@@ -2036,3 +2036,70 @@ def p2_ical_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+@q(
+    "p2_7z_extract",
+    """
+    -- Round-trip identity: each document's text becomes a REAL 7z archive
+    -- (7zFormat.txt: signature header + CRCs, one folder per member) with
+    -- a fixed HTML member and the body as doc.txt — Copy coder for even
+    -- ids, raw LZMA2 for odd ids, so BOTH decode paths certify. Members
+    -- re-dispatch through the recursive extractor ('name text' per
+    -- member); the oracle states the text closed-form.
+    SELECT doc_id, 'application/x-7z-compressed' AS mime,
+           trim('page.html S ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'doc.txt 7z guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ') AS parse_text,
+           CAST(length(trim('page.html S ' || CAST(doc_id AS VARCHAR)
+                || chr(10) || 'doc.txt 7z guard: '
+                || regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) AS BIGINT)
+             AS n_chars
+    FROM documents
+    """,
+)
+def p2_7z_extract(spark, sf_dir):
+    """P2 7z parse end-to-end (the Tika/commons-compress SevenZFile slot):
+    per-document archives built by the honest writer (build_7z_bytes —
+    real signature CRCs, folder tables, UTF-16 name section) decode
+    through the from-spec reader (parse_7z: ReadNumber varints, folder
+    coder tables, stdlib raw-LZMA2) and the shared recursive member
+    dispatch. Even ids use the Copy coder, odd ids raw LZMA2 — one
+    format, both decode paths pinned by the same closed-form oracle."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from nutch_spark.operators.parse_tail import build_7z_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "7z guard: " + "".join(
+                    c if " " <= c <= "~" else "?" for c in (text or "")
+                )
+                blob = build_7z_bytes(
+                    {
+                        "page.html": (
+                            f"<html><body><p>S {doc_id}</p></body></html>"
+                        ).encode(),
+                        "doc.txt": body.encode(),
+                    },
+                    compression="copy" if doc_id % 2 == 0 else "lzma2",
+                )
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/x.7z", "content": blob}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

@@ -637,3 +637,102 @@ def test_vcard_21_quoted_printable_and_base64_photo():
     assert extract_text(vcf)[0] == "text/vcard"
     # hostile bytes never raise
     extract_vcal_text(b"BEGIN:VCARD\r\n\xff\xfe\x00:::\r\n")
+
+
+# ---------------------------------------------------------------------------
+# 7z archives
+# ---------------------------------------------------------------------------
+
+
+def test_7z_round_trip_copy_and_lzma2():
+    from nutch_spark.operators.parse_binary import extract_text
+    from nutch_spark.operators.parse_tail import build_7z_bytes, parse_7z
+
+    files = {
+        "a.txt": b"hello seven zip",
+        "docs/page.html": b"<html><title>inner</title>seven zip body</html>",
+        "big.txt": b"abcdefgh" * 2000,
+    }
+    for comp in ("copy", "lzma2"):
+        blob = build_7z_bytes(files, compression=comp)
+        assert dict(parse_7z(blob)) == files, comp
+        mime, text = extract_text(blob)
+        assert mime == "application/x-7z-compressed"
+        assert "hello seven zip" in text and "seven zip body" in text
+
+
+def test_7z_encoded_header():
+    """kEncodedHeader (0x17): real 7z tools LZMA-compress the header; the
+    reader must unpack it through the folder machinery, then re-parse."""
+    import lzma
+    import struct
+    import zlib
+
+    from nutch_spark.operators.parse_tail import build_7z_bytes, parse_7z
+
+    files = {"x.txt": b"payload under an encoded header"}
+    plain = build_7z_bytes(files, compression="lzma2")
+    nh_off, nh_size = struct.unpack("<QQ", plain[12:28])
+    pack_area = plain[32 : 32 + nh_off]
+    hdr = plain[32 + nh_off : 32 + nh_off + nh_size]
+    chdr = lzma.compress(
+        hdr, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+
+    def num(v):
+        assert v < 0x80
+        return bytes([v])
+
+    enc = bytearray()
+    enc += b"\x17"  # kEncodedHeader = StreamsInfo of the header folder
+    enc += b"\x06" + num(len(pack_area)) + num(1)  # PackInfo at header pos
+    enc += b"\x09" + num(len(chdr)) + b"\x00"
+    enc += b"\x07\x0b" + num(1) + b"\x00"
+    enc += num(1) + bytes([0x21 | 0x20, 0x21]) + num(1) + b"\x18"
+    enc += b"\x0c" + num(len(hdr)) + b"\x00\x00"
+    blob = (
+        plain[:32] + pack_area + bytes(chdr) + bytes(enc)
+    )
+    start = struct.pack("<QQI", len(pack_area) + len(chdr), len(enc),
+                        zlib.crc32(bytes(enc)))
+    blob = (plain[:8] + struct.pack("<I", zlib.crc32(start)) + start
+            + pack_area + bytes(chdr) + bytes(enc))
+    assert dict(parse_7z(blob)) == files
+
+
+def test_7z_guards_and_hostile_bytes():
+    import struct
+
+    from nutch_spark.operators.parse_tail import (
+        _7Z_MAGIC,
+        build_7z_bytes,
+        extract_7z_text,
+        parse_7z,
+    )
+
+    # forged unpack size over the bomb cap -> member None, no allocation
+    blob = bytearray(build_7z_bytes({"a.txt": b"x" * 64}, compression="lzma2"))
+    nh_off, nh_size = struct.unpack("<QQ", bytes(blob[12:28]))
+    hdr = bytearray(blob[32 + nh_off : 32 + nh_off + nh_size])
+    i = hdr.find(b"\x0c") + 1  # kCodersUnpackSize value
+    hdr[i : i + 1] = bytes([0xC0, 0, 0, 0, 0, 0, 0x40])  # huge number
+    # (re-assembled blob has a lying header; parse must degrade, not die)
+    forged = bytes(blob[: 32 + nh_off]) + bytes(hdr) + b"\x00" * 8
+    try:
+        members = parse_7z(forged[: 32 + nh_off + len(hdr)])
+        assert all(v in (None, b"") or len(v) <= 64 for _n, v in members)
+    except ValueError:
+        pass  # rejecting outright is fine too
+    # hostile/truncated bytes never raise out of the extractor
+    import random
+
+    rng = random.Random(9)
+    base = build_7z_bytes({"a.txt": b"hello"}, compression="copy")
+    for _ in range(200):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(6, len(b))
+        mime, _txt = extract_7z_text(bytes(b[:cut]) if cut < len(b) else bytes(b))
+        assert mime == "application/x-7z-compressed"
