@@ -628,6 +628,8 @@ def decode_gray_pixels(payload: bytes):
         return decode_bmp_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     return None
 
 
@@ -710,3 +712,130 @@ def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int
             bit = 1 if total > 0 and seg_e > total / 4 else 0
             bits = (bits << 1) | bit
     return bits
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF's variable-width LZW (GIF89a spec appendix F): codes start at
+    min_code_size+1 bits, dictionary grows to 12 bits, CLEAR resets.
+    Returns the index stream (list of palette indices) or None."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    pos = 0
+    while pos < len(data) or bits >= code_size:
+        while bits < code_size and pos < len(data):
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        if bits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        if len(out) > max_pixels:
+            return None
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(payload: bytes):
+    """GIF87a/89a first frame → (width, height, gray rows): logical-screen
+    walk, global/local color tables, interlace reorder, from-spec LZW.
+    Animated GIFs contribute their first image (the thumbnail/near-dup
+    semantics Tika-based pipelines use). None for malformed streams."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    try:
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        global_table = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            global_table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(payload) and payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _ix, _iy, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+                pos += 9
+                table = global_table
+                if iflags & 0x80:
+                    n = 2 << (iflags & 7)
+                    table = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                if table is None or not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while pos < len(payload) and payload[pos]:
+                    size = payload[pos]
+                    lzw += payload[pos + 1 : pos + 1 + size]
+                    pos += size + 1
+                if not (2 <= min_code <= 11):
+                    return None
+                idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                n_colors = len(table) // 3
+                gray = [0] * n_colors
+                for c in range(n_colors):
+                    r, g, b = table[3 * c : 3 * c + 3]
+                    gray[c] = (r * 299 + g * 587 + b * 114) // 1000
+                rows = [[0] * w for _ in range(h)]
+                if iflags & 0x40:  # interlaced: 4 passes
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                else:
+                    order = list(range(h))
+                i = 0
+                for y in order:
+                    for x in range(w):
+                        ci = idx[i]
+                        i += 1
+                        rows[y][x] = gray[ci] if ci < n_colors else 0
+                return w, h, rows
+            elif block == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except (struct.error, IndexError):
+        return None
+    return None

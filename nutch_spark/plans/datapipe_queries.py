@@ -2521,9 +2521,10 @@ _DHASH_CASE = "CASE doc_id % 16 " + " ".join(
 
 
 def _planted_image_rows(pdf):
-    """doc_id → one REAL 9x8 image: PNG (grayscale, zlib IDAT, Up filter on
-    odd rows so the unfilter path is exercised) for even ids, uncompressed
-    24-bit bottom-up BMP for odd ids. Both decode to the same gray grid."""
+    """doc_id → one REAL 9x8 image, format rotating by id % 3: PNG
+    (grayscale, zlib IDAT, None+Up filters), uncompressed 24-bit
+    bottom-up BMP, or GIF89a (from-spec LZW sub-blocks). All three decode
+    to the same gray grid, so ONE closed-form oracle pins every decoder."""
     import struct
     import zlib
 
@@ -2537,7 +2538,33 @@ def _planted_image_rows(pdf):
             ]
             for y in range(8)
         ]
-        if doc_id % 2 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
+        if doc_id % 3 == 2:  # GIF89a: 256-gray global table, 9-bit literal
+            # LZW codes with a leading CLEAR (spec appendix F packing)
+            gif = bytearray(b"GIF89a")
+            gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
+            for c in range(256):
+                gif += bytes([c, c, c])
+            gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
+            codes = [256] + [v for row in grid for v in row] + [257]
+            acc = bits = 0
+            lzw = bytearray()
+            for c in codes:
+                acc |= c << bits
+                bits += 9
+                while bits >= 8:
+                    lzw.append(acc & 0xFF)
+                    acc >>= 8
+                    bits -= 8
+            if bits:
+                lzw.append(acc & 0xFF)
+            gif += bytes([8])
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                gif += bytes([len(chunk)]) + chunk
+            gif += b"\x00\x3b"
+            rows.append({"media_id": int(doc_id), "payload": bytes(gif)})
+            continue
+        if doc_id % 3 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
             raw = bytearray()
             prev = [0] * 9
             for y, line in enumerate(grid):
@@ -2561,7 +2588,7 @@ def _planted_image_rows(pdf):
                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b"")
             )
-        else:  # BMP: 24bpp, rows padded to 4 bytes, stored bottom-up
+        else:  # id%3==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
             data = bytearray()
             for y in range(7, -1, -1):
                 row = bytearray()

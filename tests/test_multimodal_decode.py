@@ -790,3 +790,79 @@ def test_audio_fingerprint_near_dup_join(spark):
     fps = audio_fingerprints(media).withColumnRenamed("afp", "dhash")
     pairs = dhash_near_dup(fps, max_hamming=3, bands=4).collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def _mk_gif(w, h, gray_rows, interlace=False):
+    """Real GIF89a encoder (uncompressed-LZW style: literal codes with
+    periodic CLEAR so the code width never grows) — grayscale palette."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # 256-color global
+    for c in range(256):
+        out += bytes([c, c, c])
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    min_code = 8
+    clear, end = 256, 257
+    codes = []
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+    else:
+        order = list(range(h))
+    pix = [gray_rows[y][x] for y in order for x in range(w)]
+    codes.append(clear)
+    since_clear = 0
+    for p in pix:
+        codes.append(p)
+        since_clear += 1
+        if since_clear >= 250:  # keep table under 512 -> width stays 9
+            codes.append(clear)
+            since_clear = 0
+    codes.append(end)
+    # pack 9-bit codes LSB-first
+    acc = bits = 0
+    lzw = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 9
+        while bits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        lzw.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_pixel_decode_plain_and_interlaced():
+    from nutch_spark.datapipe.mediacodec import decode_gif_pixels, dhash64
+
+    w, h = 18, 16
+    gray = [[(x * 13 + y * 7) % 256 for x in range(w)] for y in range(h)]
+    for inter in (False, True):
+        out = decode_gif_pixels(_mk_gif(w, h, gray, interlace=inter))
+        assert out is not None, inter
+        gw, gh, rows = out
+        assert (gw, gh) == (w, h) and rows == gray, inter
+    # dHash format-independence now includes GIF
+    a = dhash64(_mk_gif(w, h, gray))
+    b = dhash64(_mk_png(w, h, gray))
+    assert a == b
+
+
+def test_gif_decode_guards():
+    from nutch_spark.datapipe.mediacodec import decode_gif_pixels
+
+    assert decode_gif_pixels(b"GIF89a\x00") is None          # truncated
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 20) is None  # no image
+    # corrupt LZW degrades to None, never raises
+    blob = bytearray(_mk_gif(8, 8, [[x * 30 for x in range(8)]] * 8))
+    blob[-10] ^= 0xFF
+    decode_gif_pixels(bytes(blob))
