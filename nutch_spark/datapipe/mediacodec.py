@@ -572,11 +572,19 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length
         if w is None or not idat:
             return None
-        raw = zlib.decompress(bytes(idat), bufsize=min(len(idat) * 64, 1 << 26))
+        # Cap the inflate at the declared raster size: a forged IDAT with a
+        # ~1000:1 zlib ratio must not allocate beyond (stride+1)*h bytes.
+        ch = _PNG_CHANNELS[ctype]
+        stride = w * ch
+        want = (stride + 1) * h
+        dec = zlib.decompressobj()
+        # want+1 so a stream that ends exactly at `want` drains its trailer;
+        # any byte past `want` means the IDAT lies about the raster size.
+        raw = dec.decompress(bytes(idat), want + 1)
+        if len(raw) > want:
+            return None
     except (struct.error, zlib.error, ValueError):
         return None
-    ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
     if len(raw) < (stride + 1) * h:
         return None
     rows = []

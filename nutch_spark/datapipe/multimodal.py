@@ -440,7 +440,7 @@ def image_dhash(
 
 
 def dhash_near_dup(
-    hashes: DataFrame, *, max_hamming: int = 4, bands: int = 4
+    hashes: DataFrame, *, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash values: (id_a, id_b, hamming)
     with id_a < id_b and hamming <= max_hamming.

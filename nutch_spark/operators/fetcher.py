@@ -345,12 +345,14 @@ def http_fetch_fn(
         location = (e.headers.get("Location") or e.headers.get("location")) if e.headers else None
         meta = {"nutch.protocol.code": str(code)}
         if 300 <= code < 400:
+            if code == 304:
+                # Not a redirect: the reference records Location only for
+                # actual redirects, never for Not-Modified responses.
+                return {"status": "fetch_notmodified", "content": None, "metadata": meta}
             # HttpBase.java:392 `new URL(u, location)` — resolve vs request URL
             meta["Location"] = urllib.parse.urljoin(url, location or "")
             if code in (302, 303, 307):
                 return {"status": "fetch_redir_temp", "content": None, "metadata": meta}
-            if code == 304:
-                return {"status": "fetch_notmodified", "content": None, "metadata": meta}
             return {"status": "fetch_redir_perm", "content": None, "metadata": meta}
         if code in (400, 401, 404, 410):
             return {"status": "fetch_gone", "content": None, "metadata": meta}
@@ -745,10 +747,15 @@ def fetch(
         def fetch_one(url: str) -> dict:
             _t0 = time.monotonic()
             kw = {}
-            if ims_capable and ims_ts.get(url):
-                kw["if_modified_since"] = ims_ts[url]
-            if cookie_capable and url in datum_cookie:
-                kw["cookie"] = datum_cookie[url]
+            # pop (not get): each URL is fetched once per partition, so
+            # keeping its entry after the kwargs are built would grow
+            # executor memory without bound on large fetchlists
+            ims = ims_ts.pop(url, None)
+            if ims_capable and ims:
+                kw["if_modified_since"] = ims
+            cookie = datum_cookie.pop(url, None)
+            if cookie_capable and cookie is not None:
+                kw["cookie"] = cookie
             res = fetch_fn(url, **kw) if kw else fetch_fn(url)
             _latency_ms = int((time.monotonic() - _t0) * 1000)
             if isinstance(res, dict):  # rich protocol result (http_fetch_fn)

@@ -135,6 +135,9 @@ def test_304_notmodified(server):
     r = http_fetch_fn(f"{server}/notmod")
     assert r["status"] == "fetch_notmodified"
     assert r["content"] is None
+    # the reference records Location only for actual redirects — a 304 must
+    # not smuggle the request URL into crawldb metadata via updatedb
+    assert "Location" not in (r["metadata"] or {})
 
 
 @pytest.mark.parametrize("path,code", [("/missing", "404"), ("/gone", "410")])

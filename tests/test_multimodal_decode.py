@@ -681,6 +681,48 @@ def test_pixel_decode_guards():
     assert decode_bmp_pixels(huge) is None
 
 
+def test_png_inflate_capped_at_declared_raster():
+    """A forged PNG declaring tiny dims but carrying a high-ratio IDAT must
+    not materialize the full decompressed stream (OOM/DoS on untrusted
+    content): the inflate is capped at the declared (stride+1)*h bytes."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # declares 4x4 gray (raster = 5*4 = 20 bytes) but inflates to 64 MiB
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < 100_000  # the attack payload itself is tiny
+    tracemalloc.start()
+    assert decode_png_pixels(bomb) is None
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 4 << 20  # nowhere near the 64 MiB the stream declares
+
+    # a PNG whose stream ends exactly at the raster size still decodes
+    gray = [[(x * 3 + y) % 256 for x in range(4)] for y in range(4)]
+    out = decode_png_pixels(_mk_png(4, 4, gray))
+    assert out is not None and out[2] == gray
+
+
+def test_dhash_near_dup_defaults_satisfy_pigeonhole(spark):
+    from nutch_spark.datapipe.multimodal import dhash_near_dup
+
+    hashes = spark.createDataFrame(
+        [(0, 7), (1, 7)], "media_id long, dhash long"
+    )
+    pairs = dhash_near_dup(hashes).collect()  # defaults must not raise
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
 def test_dhash_flip_and_noise_distance():
     from nutch_spark.datapipe.mediacodec import dhash64
 
