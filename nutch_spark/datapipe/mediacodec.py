@@ -630,14 +630,17 @@ def decode_png_pixels(payload: bytes):
 
 
 def decode_gray_pixels(payload: bytes):
-    """Magic-dispatching pixel decode: BMP or PNG → (w, h, gray rows), or
-    None when the format needs a codec library (JPEG/GIF-LZW/...)."""
+    """Magic-dispatching pixel decode: BMP, PNG, GIF, or baseline JPEG →
+    (w, h, gray rows), or None when the format needs a codec library
+    (progressive JPEG, WebP, AVIF, ...)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_pixels(payload)
     return None
 
 
@@ -847,3 +850,312 @@ def decode_gif_pixels(payload: bytes):
     except (struct.error, IndexError):
         return None
     return None
+
+
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG pixel decode (ITU-T T.81 §F, from the public spec)
+# ---------------------------------------------------------------------------
+
+# zigzag position -> natural (row-major, row = vertical frequency) index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_JPEG_IDCT_MAT = None  # lazy 8x8 DCT-basis matrix (needs numpy)
+
+
+def _jpeg_idct_mat(np):
+    """A[u, x] = c(u)/2 * cos((2x+1) u pi / 16) — the orthonormal 8-point
+    DCT basis, so a 2-D block inverts as f = A.T @ F @ A (T.81 A.3.3)."""
+    global _JPEG_IDCT_MAT
+    if _JPEG_IDCT_MAT is None:
+        import math
+
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+            for x in range(8):
+                a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _JPEG_IDCT_MAT = a
+    return _JPEG_IDCT_MAT
+
+
+def _jpeg_huff_table(bits, vals):
+    """Canonical JPEG Huffman table (T.81 Annex C code assignment):
+    {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                return None
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment: un-stuffs
+    0xFF 0x00, stops (sets .eof) at any real marker, and byte-aligns
+    across RSTn restart markers."""
+
+    __slots__ = ("data", "pos", "acc", "n", "eof")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.eof = False
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d = self.data
+            p = self.pos
+            if p >= len(d):
+                self.eof = True
+                return 0
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos = p + 2
+                else:  # a real marker terminates this entropy segment
+                    self.eof = True
+                    return 0
+            else:
+                self.pos = p + 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> bool:
+        """Discard pad bits, consume one RSTn marker; False when absent."""
+        self.n = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes before the marker
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            self.eof = False
+            return True
+        return False
+
+
+def _jpeg_decode_sym(br: _JpegBits, table) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: an s-bit magnitude whose top bit is 0 encodes
+    a negative value offset by 2^s - 1."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Baseline-sequential JPEG (ITU-T T.81 §F) → (width, height, gray rows),
+    luma only: the interleaved scan forces entropy-decoding EVERY component
+    to stay bit-synchronized, but only the first (Y) component is
+    dequantized + IDCT'd — chroma coefficients are decoded and dropped, so
+    grayscale output costs no IDCT on Cb/Cr. Handles SOF0/SOF1 Huffman
+    frames, arbitrary sampling factors (the luma plane nearest-upsamples if
+    Y itself is subsampled), restart intervals, and single-component
+    non-interleaved scans. None for progressive (SOF2), arithmetic,
+    hierarchical, lossless, 12-bit, or malformed streams. Reference parity:
+    parse-tika's image handling (TikaParser.java:63-160) obtains pixels via
+    javax.imageio's baseline JPEG reader."""
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    qt: dict[int, list[int]] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    frame = None  # (w, h, [(cid, hs, vs, tq), ...])
+    ri = 0
+    pos = 2
+    n = len(payload)
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if seglen < 2 or pos + 2 + seglen > n:
+                return None
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT — one or more tables, zigzag order
+                i = 0
+                while i + 65 <= len(seg) + 1 and i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0 or i + 65 > len(seg):
+                        return None  # 16-bit tables imply 12-bit precision
+                    qt[tq] = list(seg[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:  # DHT — one or more tables
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1 : i + 17])
+                    nv = sum(bits)
+                    if i + 17 + nv > len(seg) or tc > 1:
+                        return None
+                    vals = list(seg[i + 17 : i + 17 + nv])
+                    tab = _jpeg_huff_table(bits, vals)
+                    if tab is None:
+                        return None
+                    (hdc if tc == 0 else hac)[th] = tab
+                    i += 17 + nv
+            elif marker in (0xC0, 0xC1):  # SOF0/1 — sequential Huffman
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or not (0 < fw and 0 < fh) or fw * fh > _MAX_PIXELS:
+                    return None
+                if nc == 0 or len(seg) < 6 + 3 * nc:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    hs, vs = hv >> 4, hv & 15
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        return None
+                    comps.append((cid, hs, vs, tq))
+                frame = (fw, fh, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic / hier
+            elif marker == 0xDD:  # DRI
+                (ri,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows the header
+                if frame is None:
+                    return None
+                ns = seg[0]
+                if len(seg) < 1 + 2 * ns + 3:
+                    return None
+                scomps = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                return _jpeg_decode_scan(
+                    np, payload, pos + 2 + seglen, frame, scomps,
+                    qt, hdc, hac, ri,
+                )
+            pos += 2 + seglen
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(np, payload, pos, frame, scomps, qt, hdc, hac, ri):
+    fw, fh, comps = frame
+    if len(scomps) != len(comps):
+        return None  # multi-scan sequential: out of baseline scope
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    if len(comps) == 1:
+        # non-interleaved scan: one 8x8 data unit per MCU, sampling
+        # factors do not expand the MCU (T.81 A.2.2)
+        hmax = vmax = 1
+        geom = {comps[0][0]: (1, 1)}
+    else:
+        hmax = max(hs for _, hs, _, _ in comps)
+        vmax = max(vs for _, _, vs, _ in comps)
+        geom = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    plan = []  # (is_luma, hs, vs, quant ndarray, dc table, ac table)
+    for i, (cs, td, ta) in enumerate(scomps):
+        if cs not in byid:
+            return None
+        _, _, tq = byid[cs]
+        hs, vs = geom[cs]
+        if tq not in qt or td not in hdc or ta not in hac:
+            return None
+        q = np.array(qt[tq], dtype=np.float64)
+        plan.append((cs == comps[0][0], hs, vs, q, hdc[td], hac[ta]))
+    hs0, vs0 = geom[comps[0][0]]
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    lw, lh = mcux * hs0 * 8, mcuy * vs0 * 8
+    luma = np.zeros((lh, lw), dtype=np.float64)
+    a = _jpeg_idct_mat(np)
+    at = a.T
+    zz = _JPEG_ZIGZAG
+    br = _JpegBits(payload, pos)
+    pred = [0] * len(plan)
+    coef = np.zeros(64, dtype=np.float64)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m_index = my * mcux + mx
+            if ri and m_index and m_index % ri == 0:
+                if not br.align_restart():
+                    return None
+                pred = [0] * len(plan)
+            for ci, (is_l, chs, cvs, q, dtab, atab) in enumerate(plan):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        s = _jpeg_decode_sym(br, dtab)
+                        if s is None or s > 11:
+                            return None
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        if is_l:
+                            coef[:] = 0.0
+                            coef[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_sym(br, atab)
+                            if rs is None:
+                                return None
+                            r, ssz = rs >> 4, rs & 15
+                            if ssz == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                return None
+                            v = _jpeg_extend(br.bits(ssz), ssz)
+                            if is_l:
+                                # quant tables are stored zigzag-ordered,
+                                # so q[k] pairs with zigzag position k
+                                coef[zz[k]] = v * q[k]
+                            k += 1
+                        if is_l:
+                            blk = at @ coef.reshape(8, 8) @ a
+                            y0 = (my * cvs + by) * 8
+                            x0 = (mx * chs + bx) * 8
+                            luma[y0 : y0 + 8, x0 : x0 + 8] = blk
+    # crop the padded plane to the component raster, then nearest-upsample
+    # to frame dims when Y itself is subsampled (rare but legal)
+    cw = -(-fw * hs0 // hmax)
+    ch = -(-fh * vs0 // vmax)
+    out = np.clip(np.rint(luma[:ch, :cw]) + 128, 0, 255).astype(np.int64)
+    if (cw, ch) != (fw, fh):
+        xs = np.minimum(np.arange(fw) * hs0 // hmax, cw - 1)
+        ys = np.minimum(np.arange(fh) * vs0 // vmax, ch - 1)
+        out = out[np.ix_(ys, xs)]
+    return fw, fh, [[int(v) for v in row] for row in out]

@@ -2520,11 +2520,69 @@ _DHASH_CASE = "CASE doc_id % 16 " + " ".join(
 ) + " END"
 
 
+def _planted_jpeg(grid):
+    """72x64 baseline-sequential JPEG (T.81 §F) of DC-only 8x8 blocks:
+    block (bx, by) is exactly flat at grid[by][bx]. Quant DC step 8 with
+    quantized DC = g-128 makes the IDCT output exact ((g-128)*8/8 + 128
+    = g), so the lossy format reproduces the planted grid bit-for-bit —
+    and dhash64's 9x8 box resample averages each flat block back to the
+    grid value. Tables are minimal canonical Huffman: DC categories 0-8
+    as 4-bit codes, one 1-bit AC EOB."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.append(0xFF)
+        out.append(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes([8] * 64))
+    seg(0xC0, struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [0] * 16
+    dc_bits[3] = 9  # nine 4-bit codes: canonical 0000..1000 = category
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(9)))
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # one 1-bit code '0': EOB
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bits = []
+    pred = 0
+    for by in range(8):
+        for bx in range(9):  # non-interleaved scan: blocks row-major
+            dc = grid[by][bx] - 128
+            diff = dc - pred
+            pred = dc
+            s = abs(diff).bit_length()
+            for i in range(3, -1, -1):
+                bits.append((s >> i) & 1)
+            if s:
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                for i in range(s - 1, -1, -1):
+                    bits.append((v >> i) & 1)
+            bits.append(0)  # EOB: DC-only block
+    while len(bits) % 8:
+        bits.append(1)
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i : i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def _planted_image_rows(pdf):
-    """doc_id → one REAL 9x8 image, format rotating by id % 3: PNG
-    (grayscale, zlib IDAT, None+Up filters), uncompressed 24-bit
-    bottom-up BMP, or GIF89a (from-spec LZW sub-blocks). All three decode
-    to the same gray grid, so ONE closed-form oracle pins every decoder."""
+    """doc_id → one REAL image, format rotating by id % 4: 9x8 grayscale
+    PNG (zlib IDAT, None+Up filters), 9x8 uncompressed 24-bit bottom-up
+    BMP, 9x8 GIF89a (from-spec LZW sub-blocks), or a 72x64 baseline JPEG
+    of DC-only 8x8 blocks (block (bx,by) carries grid[by][bx], so the 9x8
+    box-resample recovers the grid EXACTLY despite JPEG being lossy). All
+    four decode paths land on the same gray grid, so ONE closed-form
+    oracle pins every decoder."""
     import struct
     import zlib
 
@@ -2538,7 +2596,12 @@ def _planted_image_rows(pdf):
             ]
             for y in range(8)
         ]
-        if doc_id % 3 == 2:  # GIF89a: 256-gray global table, 9-bit literal
+        if doc_id % 4 == 3:  # baseline JPEG, DC-only blocks (T.81 §F)
+            rows.append(
+                {"media_id": int(doc_id), "payload": _planted_jpeg(grid)}
+            )
+            continue
+        if doc_id % 4 == 2:  # GIF89a: 256-gray global table, 9-bit literal
             # LZW codes with a leading CLEAR (spec appendix F packing)
             gif = bytearray(b"GIF89a")
             gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
@@ -2564,7 +2627,7 @@ def _planted_image_rows(pdf):
             gif += b"\x00\x3b"
             rows.append({"media_id": int(doc_id), "payload": bytes(gif)})
             continue
-        if doc_id % 3 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
+        if doc_id % 4 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
             raw = bytearray()
             prev = [0] * 9
             for y, line in enumerate(grid):
@@ -2588,7 +2651,7 @@ def _planted_image_rows(pdf):
                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b"")
             )
-        else:  # id%3==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
+        else:  # id%4==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
             data = bytearray()
             for y in range(7, -1, -1):
                 row = bytearray()
@@ -2627,11 +2690,13 @@ def _planted_dhashes(spark, sf_dir, limit=None):
 @q(
     "mm_image_dhash",
     f"""
-    -- REAL pixel decode, no codec library: each doc becomes a 9x8 image —
-    -- grayscale PNG (zlib IDAT, None+Up scanline filters) for even ids,
-    -- uncompressed 24-bit bottom-up BMP for odd ids — and the stdlib
-    -- decoders produce identical gray grids, so the 64-bit difference
-    -- hash matches the closed form of the planted gradient formula.
+    -- REAL pixel decode, no codec library: each doc becomes an image in a
+    -- format rotating by id %% 4 — grayscale PNG (zlib IDAT, None+Up
+    -- filters), uncompressed 24-bit bottom-up BMP, GIF89a (from-spec LZW),
+    -- or baseline JPEG (T.81 Huffman + IDCT, DC-only blocks so the lossy
+    -- format is exact) — and the from-spec decoders produce identical gray
+    -- grids, so the 64-bit difference hash matches the closed form of the
+    -- planted gradient formula.
     SELECT doc_id AS media_id, {_DHASH_CASE} AS dhash FROM documents
     """,
 )
@@ -2639,10 +2704,12 @@ def mm_image_dhash(spark, sf_dir):
     """Perceptual image hashing over REAL pixels (datapipe/mediacodec:
     decode_png_pixels implements zlib IDAT + the five PNG scanline
     filters from the public spec; decode_bmp_pixels the classic DIB
-    layout) → dhash64. The oracle states the hash in closed form from
-    the planted-gradient arithmetic — a pixel-decode or resample bug on
-    EITHER format hash-mismatches. 100 TB: map-only Arrow stage; the
-    payload column prunes away from every non-image query."""
+    layout; decode_gif_pixels from-spec LZW; decode_jpeg_pixels the
+    T.81 baseline-sequential Huffman + IDCT path) → dhash64. The oracle
+    states the hash in closed form from the planted-gradient arithmetic —
+    a pixel-decode or resample bug on ANY format hash-mismatches.
+    100 TB: map-only Arrow stage; the payload column prunes away from
+    every non-image query."""
     return _planted_dhashes(spark, sf_dir)
 
 

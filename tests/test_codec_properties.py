@@ -300,3 +300,20 @@ def test_round9_parsers_never_raise_on_hostile_bytes(junk):
         assert isinstance(mime, str) and isinstance(text, str)
     parse_cab(b"MSCF" + junk)
     parse_chm_directory(b"ITSF" + junk)
+
+
+@given(st.binary(max_size=512))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_jpeg_pixel_decode_never_raises_on_hostile_bytes(junk):
+    """decode_jpeg_pixels sits in the dHash path where arbitrary crawl
+    bytes reach it: any byte salad behind the JPEG magic must decode to
+    None or a well-formed (w, h, rows), never raise or hang."""
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    for payload in (junk, b"\xff\xd8\xff" + junk):
+        out = decode_jpeg_pixels(payload)
+        if out is not None:
+            w, h, rows = out
+            assert len(rows) == h and all(len(r) == w for r in rows)
+            assert all(0 <= v <= 255 for r in rows for v in r)

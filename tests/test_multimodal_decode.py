@@ -908,3 +908,284 @@ def test_gif_decode_guards():
     blob = bytearray(_mk_gif(8, 8, [[x * 30 for x in range(8)]] * 8))
     blob[-10] ^= 0xFF
     decode_gif_pixels(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode (from-spec decoder vs a test-side from-spec encoder)
+# ---------------------------------------------------------------------------
+
+def _mk_jpeg(gray, *, comps=None, restart=0, q=1):
+    """Test-side baseline JPEG encoder: real forward DCT + quantization,
+    canonical Huffman tables built from the emitted symbol set (equal-length
+    codes — valid, deliberately non-standard, so the decoder's canonical
+    builder is exercised beyond Annex K). ``comps`` is a list of
+    (component_id, h_samp, v_samp); the FIRST is luma carrying ``gray``
+    box-downsampled to its raster, the rest are all-zero chroma. Default:
+    single-component grayscale."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if comps is None:
+        comps = [(1, 1, 1)]
+    h, w = len(gray), len(gray[0])
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    zz = (
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    )
+
+    # luma raster: box-downsample gray to ceil(dim * samp / max)
+    hs0, vs0 = comps[0][1], comps[0][2]
+    cw, ch = -(-w * hs0 // hmax), -(-h * vs0 // vmax)
+    src = np.array(gray, dtype=np.float64)
+    plane = np.zeros((ch, cw))
+    for y in range(ch):
+        y0, y1 = y * h // ch, max((y + 1) * h // ch, y * h // ch + 1)
+        for x in range(cw):
+            x0, x1 = x * w // cw, max((x + 1) * w // cw, x * w // cw + 1)
+            plane[y, x] = src[y0:y1, x0:x1].mean()
+
+    interleaved = len(comps) > 1
+    if interleaved:
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    else:
+        mcux, mcuy = -(-cw // 8), -(-ch // 8)
+    # pad the luma plane to full MCU coverage (edge replicate)
+    pw, ph = mcux * (hs0 if interleaved else 1) * 8, mcuy * (vs0 if interleaved else 1) * 8
+    padded = np.zeros((ph, pw))
+    padded[: plane.shape[0], : plane.shape[1]] = plane
+    if plane.shape[1] < pw:
+        padded[: plane.shape[0], plane.shape[1]:] = plane[:, -1:]
+    if plane.shape[0] < ph:
+        padded[plane.shape[0]:, :] = padded[plane.shape[0] - 1 : plane.shape[0], :]
+
+    def category(v):
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    # first pass: emit (kind, payload) token stream per MCU so tables can be
+    # built from the actual symbols before serializing bits
+    mcu_tokens = []
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m_index = my * mcux + mx
+            if restart and m_index and m_index % restart == 0:
+                pred = [0] * len(comps)
+            toks = []
+            for ci, (cid, chs, cvs) in enumerate(comps):
+                bh = chs if interleaved else 1
+                bv = cvs if interleaved else 1
+                for by in range(bv):
+                    for bx in range(bh):
+                        if ci == 0:
+                            y0, x0 = (my * bv + by) * 8, (mx * bh + bx) * 8
+                            blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                            fq = np.rint((a @ blk @ a.T) / q).astype(int)
+                            coefs = [int(fq.flat[zz[k]]) for k in range(64)]
+                        else:
+                            coefs = [0] * 64
+                        diff = coefs[0] - pred[ci]
+                        pred[ci] = coefs[0]
+                        s = category(diff)
+                        toks.append(("dc", s, diff))
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if coefs[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if coefs[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                toks.append(("ac", 0xF0, 0))
+                                run -= 16
+                            sz = category(coefs[k])
+                            toks.append(("ac", (run << 4) | sz, coefs[k]))
+                            run = 0
+                        if last_nz < 63:
+                            toks.append(("ac", 0x00, 0))
+            mcu_tokens.append(toks)
+
+    dc_syms = sorted({t[1] for toks in mcu_tokens for t in toks if t[0] == "dc"})
+    ac_syms = sorted({t[1] for toks in mcu_tokens for t in toks if t[0] == "ac"})
+
+    def build_table(syms):
+        length = max(2, (len(syms) + 1).bit_length())  # leave all-ones free
+        bits = [0] * 16
+        bits[length - 1] = len(syms)
+        enc = {s: (length, i) for i, s in enumerate(syms)}
+        return bits, list(syms), enc
+
+    dc_bits, dc_vals, dc_enc = build_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = build_table(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.append(0xFF)
+        out.append(marker)
+        out.extend(struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, chs, cvs in comps:
+        sof += bytes([cid, (chs << 4) | cvs, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bitbuf = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def flush(pad=1):
+        while len(bitbuf) % 8:
+            bitbuf.append(pad)
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for bit in bitbuf[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    rst = 0
+    for m_index, toks in enumerate(mcu_tokens):
+        if restart and m_index and m_index % restart == 0:
+            flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        for kind, sym, val in toks:
+            ln, code = dc_enc[sym] if kind == "dc" else ac_enc[sym]
+            put(code, ln)
+            sz = sym & 15 if kind == "ac" else sym
+            if kind == "dc":
+                sz = sym
+            if sz:
+                put(val if val >= 0 else val + (1 << sz) - 1, sz)
+    flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _maxdiff(rows_a, rows_b):
+    return max(
+        abs(a - b) for ra, rb in zip(rows_a, rows_b) for a, b in zip(ra, rb)
+    )
+
+
+def test_jpeg_baseline_grayscale_roundtrip():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 21, 14  # non-multiple-of-8: exercises MCU padding + crop
+    gray = [[(x * 9 + y * 13) % 200 + 20 for x in range(w)] for y in range(h)]
+    out = decode_jpeg_pixels(_mk_jpeg(gray))
+    assert out is not None
+    pw, ph, rows = out
+    assert (pw, ph) == (w, h)
+    assert _maxdiff(rows, gray) <= 3  # q=1: only DCT rounding error
+
+
+def test_jpeg_color_420_interleaved_luma():
+    """4:2:0 YCbCr frame (all-zero chroma): the decoder must entropy-decode
+    six blocks per MCU to stay synchronized but output luma only."""
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 35, 22
+    gray = [[(x * 7 + y * 11 + (x * y) // 5) % 230 for x in range(w)] for y in range(h)]
+    jpg = _mk_jpeg(gray, comps=[(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    out = decode_jpeg_pixels(jpg)
+    assert out is not None
+    pw, ph, rows = out
+    assert (pw, ph) == (w, h)
+    assert _maxdiff(rows, gray) <= 3
+
+
+def test_jpeg_restart_intervals():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 48, 17  # 6x3 MCUs at 1x1 sampling
+    gray = [[(x * 3 + y * 29) % 251 for x in range(w)] for y in range(h)]
+    plain = decode_jpeg_pixels(_mk_jpeg(gray))
+    rst = decode_jpeg_pixels(_mk_jpeg(gray, restart=2))
+    assert plain is not None and rst is not None
+    assert plain == rst
+    assert _maxdiff(rst[2], gray) <= 3
+
+
+def test_jpeg_subsampled_luma_upsamples():
+    """Legal-but-rare frame where Y is NOT the max-sampled component: the
+    luma raster is half-size and the decoder nearest-upsamples to frame
+    dims."""
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 16, 16
+    gray = [[((x // 2) * 16 + (y // 2) * 2) % 256 for x in range(w)] for y in range(h)]
+    jpg = _mk_jpeg(gray, comps=[(1, 1, 1), (2, 2, 2)])
+    out = decode_jpeg_pixels(jpg)
+    assert out is not None
+    pw, ph, rows = out
+    assert (pw, ph) == (w, h)
+    # 2x2-constant source → downsample+upsample is (near-)lossless
+    assert _maxdiff(rows, gray) <= 4
+
+
+def test_jpeg_rejects_progressive_and_hostile():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    gray = [[x * 16 for x in range(8)] for _ in range(8)]
+    jpg = bytearray(_mk_jpeg(gray))
+    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not misparse
+    sof_at = bytes(jpg).index(b"\xff\xc0")
+    prog = bytes(jpg[:sof_at]) + b"\xff\xc2" + bytes(jpg[sof_at + 2:])
+    assert decode_jpeg_pixels(prog) is None
+    # truncations and bit flips never raise
+    valid = bytes(jpg)
+    for cut in range(0, len(valid), 7):
+        r = decode_jpeg_pixels(valid[:cut])
+        assert r is None or len(r) == 3
+    for flip_at in range(2, min(len(valid), 60)):
+        mutated = bytearray(valid)
+        mutated[flip_at] ^= 0xFF
+        r = decode_jpeg_pixels(bytes(mutated))
+        assert r is None or len(r) == 3
+    assert decode_jpeg_pixels(b"\xff\xd8\xff" + b"\x00" * 50) is None
+
+
+def test_jpeg_dhash_format_independence():
+    """Same pixels through PNG and JPEG (q=1, near-lossless) produce dHash
+    within a couple of bits — and a flat-block DC-only-style image matches
+    exactly, which is what the planted oracle queries rely on."""
+    from nutch_spark.datapipe.mediacodec import dhash64
+
+    w, h = 36, 32
+    base = [[(x * 7 + y * 3) % 97 for x in range(w)] for y in range(h)]
+    a = dhash64(_mk_png(w, h, base))
+    b = dhash64(_mk_jpeg(base))
+    assert a is not None and b is not None
+    assert bin(a ^ b).count("1") <= 2
+
+    # flat 8x8 blocks survive JPEG exactly (DC-only blocks, q=1)
+    flat = [[((x // 8) * 50 + (y // 8) * 59) % 47 + 40 for x in range(72)]
+            for y in range(64)]
+    assert dhash64(_mk_jpeg(flat)) == dhash64(_mk_bmp(72, 64, flat))
