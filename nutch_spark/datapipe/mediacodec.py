@@ -691,10 +691,14 @@ def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int
     spectral energy — a dominant-band one-hot per frame, robust to FFT
     leakage (leakage never approaches the 25% cut). The same shape as the
     image dHash (8x8 bits), so ``dhash_near_dup``'s banded Hamming join
-    pairs near-identical audio the same way. None for non-PCM payloads."""
+    pairs near-identical audio the same way. Accepts PCM WAV and FLAC
+    (from-spec lossless decode, so the fingerprint is IDENTICAL to the
+    same audio's WAV fingerprint). None for other payloads."""
     import numpy as np
 
     info = parse_wav(payload)
+    if info is None and payload[:4] == b"fLaC":
+        info = decode_flac_samples(payload)
     if info is None or info["n_samples"] == 0:
         return None
     samples = info["samples"]
@@ -1159,3 +1163,344 @@ def _jpeg_decode_scan(np, payload, pos, frame, scomps, qt, hdc, hac, ri):
         ys = np.minimum(np.arange(fh) * vs0 // vmax, ch - 1)
         out = out[np.ix_(ys, xs)]
     return fw, fh, [[int(v) for v in row] for row in out]
+
+
+# ---------------------------------------------------------------------------
+# FLAC frame decode (RFC 9639 / xiph format spec, from the public spec)
+# ---------------------------------------------------------------------------
+
+_FLAC_RATES = (0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+               32000, 44100, 48000, 96000)
+_FLAC_BPS = (0, 8, 12, 0, 16, 20, 24, 32)
+_MAX_AUDIO_SAMPLES = 64_000_000  # same spirit as _MAX_PIXELS
+
+
+class _FlacBits:
+    """MSB-first bit reader for FLAC frames."""
+
+    __slots__ = ("data", "bitpos", "nbits")
+
+    def __init__(self, data: bytes, byte_pos: int):
+        self.data = data
+        self.bitpos = byte_pos * 8
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int | None:
+        p = self.bitpos
+        if p + n > self.nbits:
+            return None
+        self.bitpos = p + n
+        # gather the covering bytes, then slice the bit window
+        start, end = p >> 3, (p + n + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        return (chunk >> ((end << 3) - p - n)) & ((1 << n) - 1)
+
+    def signed(self, n: int) -> int | None:
+        v = self.read(n)
+        if v is None:
+            return None
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int | None:
+        q = 0
+        while True:
+            b = self.read(1)
+            if b is None:
+                return None
+            if b:
+                return q
+            q += 1
+            if q > self.nbits:  # pathological stream: bail, don't spin
+                return None
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _flac_utf8_number(br: _FlacBits) -> int | None:
+    """The UTF-8-style coded frame/sample number (up to 7 bytes)."""
+    b0 = br.read(8)
+    if b0 is None:
+        return None
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        return None
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        b = br.read(8)
+        if b is None or (b & 0xC0) != 0x80:
+            return None
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_residuals(br: _FlacBits, blocksize: int, order: int):
+    """Rice/Rice2-coded residual section of one subframe (spec §9.2.7)."""
+    method = br.read(2)
+    if method is None or method > 1:
+        return None
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    if po is None:
+        return None
+    nparts = 1 << po
+    if blocksize % nparts:
+        return None  # spec: block must split evenly into partitions
+    out = []
+    for p in range(nparts):
+        count = (blocksize >> po) - (order if p == 0 else 0)
+        if count < 0:
+            return None
+        param = br.read(pbits)
+        if param is None:
+            return None
+        if param == escape:  # raw n-bit residuals
+            rawbits = br.read(5)
+            if rawbits is None:
+                return None
+            for _ in range(count):
+                v = br.signed(rawbits) if rawbits else 0
+                if v is None:
+                    return None
+                out.append(v)
+        else:
+            for _ in range(count):
+                q = br.unary()
+                if q is None:
+                    return None
+                r = br.read(param) if param else 0
+                if r is None:
+                    return None
+                v = (q << param) | r
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int):
+    """One subframe → list of ``blocksize`` ints (spec §9.2.5-9.2.8)."""
+    if br.read(1) != 0:  # mandatory zero pad bit
+        return None
+    stype = br.read(6)
+    wflag = br.read(1)
+    if stype is None or wflag is None:
+        return None
+    wasted = 0
+    if wflag:
+        k = br.unary()
+        if k is None:
+            return None
+        wasted = k + 1
+    eff = bps - wasted
+    if eff <= 0 or eff > 33:
+        return None
+    if stype == 0:  # CONSTANT
+        v = br.signed(eff)
+        if v is None:
+            return None
+        samples = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = []
+        for _ in range(blocksize):
+            v = br.signed(eff)
+            if v is None:
+                return None
+            samples.append(v)
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        if order > blocksize:
+            return None
+        samples = []
+        for _ in range(order):
+            v = br.signed(eff)
+            if v is None:
+                return None
+            samples.append(v)
+        res = _flac_residuals(br, blocksize, order)
+        if res is None or len(res) != blocksize - order:
+            return None
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * samples[-1 - j]
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        if order > blocksize:
+            return None
+        samples = []
+        for _ in range(order):
+            v = br.signed(eff)
+            if v is None:
+                return None
+            samples.append(v)
+        prec = br.read(4)
+        if prec is None or prec == 15:
+            return None
+        prec += 1
+        shift = br.signed(5)
+        if shift is None or shift < 0:
+            return None
+        coefs = []
+        for _ in range(order):
+            c = br.signed(prec)
+            if c is None:
+                return None
+            coefs.append(c)
+        res = _flac_residuals(br, blocksize, order)
+        if res is None or len(res) != blocksize - order:
+            return None
+        for r in res:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * samples[-1 - j]
+            samples.append(r + (acc >> shift))
+    else:
+        return None  # reserved subframe type
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac_samples(payload: bytes) -> dict | None:
+    """From-spec FLAC decode (RFC 9639): CONSTANT / VERBATIM / FIXED /
+    LPC subframes, Rice + Rice2 residuals with escape partitions, all
+    four channel assignments (independent, left/side, right/side,
+    mid/side), wasted bits, and UTF-8-coded frame numbers. Returns the
+    ``parse_wav`` dict shape (interleaved int samples, numpy array) so
+    ``audio_fingerprint`` and the spectral features run unchanged on
+    lossless-compressed audio. CRC-8/CRC-16 are parsed but not verified
+    (best-effort crawl decode). None for malformed/non-FLAC streams."""
+    import numpy as np
+
+    info = parse_flac_streaminfo(payload)
+    if info is None:
+        return None
+    if info["n_samples"] > _MAX_AUDIO_SAMPLES:
+        return None
+    # walk metadata blocks to the first audio frame
+    pos = 4
+    n = len(payload)
+    while pos + 4 <= n:
+        hdr = payload[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        pos += 4 + blen
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if pos >= n:
+        return None
+    nch = info["n_channels"]
+    channels: list[list[int]] = [[] for _ in range(nch)]
+    total = info["n_samples"]
+    br = _FlacBits(payload, pos)
+    while br.bitpos + 40 <= br.nbits:
+        if total and len(channels[0]) >= total:
+            break
+        if br.read(14) != 0x3FFE:
+            break  # lost sync / EOF padding: stop at what we have
+        if br.read(1) != 0:
+            return None
+        br.read(1)  # blocking strategy (fixed vs variable) — number below
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_asgn = br.read(4)
+        ss_code = br.read(3)
+        if None in (bs_code, sr_code, ch_asgn, ss_code) or br.read(1) != 0:
+            return None
+        if _flac_utf8_number(br) is None:
+            return None
+        # block size (§9.1.1): 1=192, 2-5=576<<(n-2), 6/7=coded at end,
+        # 8-15=256<<(n-8)
+        if bs_code == 0:
+            return None
+        if bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            b = br.read(8)
+            if b is None:
+                return None
+            blocksize = b + 1
+        elif bs_code == 7:
+            b = br.read(16)
+            if b is None:
+                return None
+            blocksize = b + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            if br.read(8) is None:
+                return None
+        elif sr_code in (13, 14):
+            if br.read(16) is None:
+                return None
+        elif sr_code == 15:
+            return None
+        if br.read(8) is None:  # CRC-8 (not verified)
+            return None
+        if ch_asgn <= 7:
+            frame_nch = ch_asgn + 1
+        elif ch_asgn <= 10:
+            frame_nch = 2
+        else:
+            return None
+        if frame_nch != nch:
+            return None
+        bps = _FLAC_BPS[ss_code] or info["bits"]
+        if bps == 0:
+            return None
+        if len(channels[0]) + blocksize > _MAX_AUDIO_SAMPLES:
+            return None
+        subs = []
+        for ci in range(frame_nch):
+            extra = 1 if (
+                (ch_asgn == 8 and ci == 1)      # left/side: side has +1 bit
+                or (ch_asgn == 9 and ci == 0)   # right(!)/side stores side first
+                or (ch_asgn == 10 and ci == 1)  # mid/side
+            ) else 0
+            s = _flac_subframe(br, blocksize, bps + extra)
+            if s is None:
+                return None
+            subs.append(s)
+        br.align()
+        if br.read(16) is None:  # CRC-16 (not verified)
+            return None
+        if ch_asgn == 8:  # left/side → right = left - side
+            subs = [subs[0], [l - s for l, s in zip(subs[0], subs[1])]]
+        elif ch_asgn == 9:  # side/right → left = right + side
+            subs = [[r + s for s, r in zip(subs[0], subs[1])], subs[1]]
+        elif ch_asgn == 10:  # mid/side (mid stored floor-halved)
+            left, right = [], []
+            for m, s in zip(subs[0], subs[1]):
+                mm = (m << 1) | (s & 1)
+                left.append((mm + s) >> 1)
+                right.append((mm - s) >> 1)
+            subs = [left, right]
+        for ci in range(nch):
+            channels[ci].extend(subs[ci])
+    got = len(channels[0])
+    if got == 0:
+        return None
+    if total:
+        got = min(got, total)
+    interleaved = np.empty(got * nch, dtype=np.int64)
+    for ci in range(nch):
+        interleaved[ci::nch] = channels[ci][:got]
+    return {
+        "format": "flac",
+        "sample_rate": info["sample_rate"],
+        "n_channels": nch,
+        "bits": info["bits"],
+        "n_samples": got,
+        "duration_s": got / info["sample_rate"],
+        "samples": interleaved,
+    }

@@ -337,10 +337,15 @@ def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
     if payload is None:
         raise NotImplementedError("real audio decoding requires soundfile/librosa")
     wav = parse_wav(payload)
+    if wav is None and payload[:4] == b"fLaC":
+        # lossless from-spec FLAC decode → full samples, same features
+        from nutch_spark.datapipe.mediacodec import decode_flac_samples
+
+        wav = decode_flac_samples(payload)
     if wav is None:
-        # FLAC STREAMINFO / MP3 frame headers give real rate/duration
-        # without decoding frames; the spectral feature stays NULL
-        # (samples are compressed)
+        # FLAC STREAMINFO (when frame decode failed) / MP3 frame headers
+        # give real rate/duration without decoding frames; the spectral
+        # feature stays NULL (samples are compressed)
         from nutch_spark.datapipe.mediacodec import parse_mp3_info
 
         for probe in (parse_flac_streaminfo, parse_mp3_info):
@@ -504,11 +509,13 @@ def audio_fingerprints(
     fingerprint_fn=None,
 ) -> DataFrame:
     """(media_id, payload) → (media_id, afp): the 64-bit spectral-peak
-    fingerprint over REAL PCM WAV decode (mediacodec.audio_fingerprint —
-    rFFT per time frame, dominant-band one-hot bits). Same 64-bit shape as
-    the image dHash, so ``dhash_near_dup`` pairs near-identical audio with
-    the identical banded Hamming join. Compressed audio (mp3/flac) needs a
-    codec library → NULL, pluggable through ``fingerprint_fn``."""
+    fingerprint over REAL audio decode (mediacodec.audio_fingerprint —
+    rFFT per time frame, dominant-band one-hot bits) of PCM WAV or FLAC
+    (from-spec lossless decode, so WAV and FLAC of the same audio
+    fingerprint identically). Same 64-bit shape as the image dHash, so
+    ``dhash_near_dup`` pairs near-identical audio with the identical
+    banded Hamming join. Lossy audio (mp3) needs a codec library → NULL,
+    pluggable through ``fingerprint_fn``."""
     from nutch_spark.datapipe.mediacodec import audio_fingerprint
 
     compute = fingerprint_fn or audio_fingerprint

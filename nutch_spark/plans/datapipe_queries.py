@@ -2748,10 +2748,11 @@ _AFP_TERMS = " + ".join(
 @q(
     "mm_audio_fingerprint",
     f"""
-    -- REAL audio decode + FFT, no codec library: each doc becomes a PCM16
-    -- WAV whose 8 time frames carry a sine at one band center each; the
-    -- spectral-peak fingerprint is then the one-hot of those bands — a
-    -- closed form of the tone schedule t(f) = (doc_id*5 + f*3) %% 8,
+    -- REAL audio decode + FFT, no codec library: each doc's tone schedule
+    -- (8 frames, one band-center sine each) ships as PCM16 WAV (even ids)
+    -- or lossless from-spec FLAC (odd ids); both decode to identical
+    -- samples, so the spectral-peak fingerprint is the one-hot of the
+    -- schedule t(f) = (doc_id*5 + f*3) %% 8 for BOTH containers,
     -- signed-64 wrapped like the Spark LongType column.
     SELECT doc_id AS media_id,
            CAST(({_AFP_TERMS})
@@ -2764,14 +2765,16 @@ _AFP_TERMS = " + ".join(
     """,
 )
 def mm_audio_fingerprint(spark, sf_dir):
-    """Audio near-dup fingerprinting over REAL samples: a synthesized PCM16
-    RIFF/WAVE per document (8 frames x 1024 samples, one band-center sine
-    per frame) flows through mediacodec.parse_wav + numpy rFFT into the
-    64-bit spectral-peak signature (audio_fingerprint). The oracle states
-    the signature in closed form from the tone schedule — a WAV-parse,
-    mixdown, FFT-binning or bit-packing bug all hash-mismatch. Same 64-bit
-    shape as the image dHash: dhash_near_dup's banded Hamming join pairs
-    near-identical audio unchanged. 100 TB: map-only Arrow stage."""
+    """Audio near-dup fingerprinting over REAL samples: each document's
+    tone schedule (8 frames x 1024 samples, one band-center sine per
+    frame) is containerized as PCM16 RIFF/WAVE for even ids and as FLAC
+    (from-spec verbatim-subframe frame, RFC 9639) for odd ids — FLAC is
+    lossless, so BOTH decode paths (mediacodec.parse_wav and
+    decode_flac_samples) recover identical samples and ONE closed-form
+    oracle pins the WAV parse, the FLAC frame decode, the numpy rFFT
+    binning, and the bit packing at once. Same 64-bit shape as the image
+    dHash: dhash_near_dup's banded Hamming join pairs near-identical
+    audio unchanged. 100 TB: map-only Arrow stage."""
     import pandas as pd
 
     from nutch_spark.datapipe.multimodal import audio_fingerprints
@@ -2786,22 +2789,42 @@ def mm_audio_fingerprint(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                sig = bytearray()
+                samples = []
                 for f in range(8):
                     band = (int(doc_id) * 5 + f * 3) % 8
                     freq = (band + 0.5) * (rate / 2) / 8
-                    for i in range(frame_len):
-                        sig += struct.pack(
-                            "<h",
-                            int(12000 * math.sin(2 * math.pi * freq * i / rate)),
-                        )
-                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-                wav = (
-                    b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
-                    + b"fmt " + struct.pack("<I", 16) + fmt
-                    + b"data" + struct.pack("<I", len(sig)) + bytes(sig)
-                )
-                rows.append({"media_id": int(doc_id), "payload": wav})
+                    samples.extend(
+                        int(12000 * math.sin(2 * math.pi * freq * i / rate))
+                        for i in range(frame_len)
+                    )
+                total = len(samples)
+                if doc_id % 2:  # FLAC: one verbatim-subframe frame. The
+                    # 64-bit frame header + 8-bit subframe header land
+                    # byte-aligned, so 16-bit samples pack directly.
+                    si = (
+                        struct.pack(">HH", total, total)
+                        + b"\x00\x00\x10" * 2
+                        + ((8000 << 44) | (15 << 36) | total).to_bytes(8, "big")
+                        + b"\x00" * 16
+                    )
+                    payload = (
+                        b"fLaC\x80" + len(si).to_bytes(3, "big") + si
+                        # sync+fixed | bs=16bit,sr=streaminfo | mono,16bit |
+                        # frame#0 | blocksize-1 | crc8 | verbatim subframe
+                        + bytes([0xFF, 0xF8, 0x70, 0x08, 0x00])
+                        + struct.pack(">H", total - 1) + b"\x00\x02"
+                        + b"".join(struct.pack(">h", s) for s in samples)
+                        + b"\x00\x00"  # frame crc16 (parsed, unverified)
+                    )
+                else:  # PCM16 RIFF/WAVE
+                    sig = b"".join(struct.pack("<h", s) for s in samples)
+                    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16) + fmt
+                        + b"data" + struct.pack("<I", len(sig)) + sig
+                    )
+                rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
