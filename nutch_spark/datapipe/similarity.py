@@ -160,18 +160,25 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iter: int = 0,
     round_sim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned into
     Voronoi cells around centroids; each query scores only the ``n_probe``
     nearest cells. The second ANN scale path next to ``lsh_topk``.
 
-    Centroids are picked deterministically as the ``n_centroids`` corpus
-    vectors with the smallest md5(key) — a pseudo-random but reproducible
-    spread computable by any engine (k-means would refine them;
-    assignment/probe mechanics, the scale-relevant part, are identical).
-    Only those K rows are collected (TakeOrderedAndProject — never the
-    corpus) and inlined as literals. Shuffle: corpus scored once against
+    Seed centroids are picked deterministically as the ``n_centroids``
+    corpus vectors with the smallest md5(key) — a pseudo-random but
+    reproducible spread computable by any engine. ``n_iter`` rounds of
+    Lloyd's k-means then refine them (assign each corpus vector to its
+    nearest cell by the same rounded-cosine/cid ranking, re-center each
+    cell at the element-wise mean, empty cells keep their centroid) —
+    fully deterministic, so a SQL oracle can mirror every round. Only K
+    centroid rows are ever collected (the corpus never is): the seed via
+    TakeOrderedAndProject, then one K-row groupBy-avg collect per
+    iteration — the classic distributed k-means shape (same driver-side
+    pattern as the BPE train loop). Shuffle: per iteration one partial
+    aggregation on cell id; at query time corpus scored once against
     n_centroids (map-only), then one equi-join on cell id —
     O(rows·n_probe/n_centroids) pair work.
     """
@@ -183,25 +190,46 @@ def ivf_topk(
     )
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
 
-    def cell_rank(v: Column) -> Column:
-        """Cell ids ordered nearest-first. One struct array, each centroid
-        cosine computed exactly once — a chained when/greatest fold would
-        duplicate every cosine subtree per comparison and blow the plan up
-        exponentially (the first draft took minutes to analyze). Cosines
-        are rounded to 6 before ranking so the cid tie-break matches the
-        SQL oracle's round(s,6) ... ORDER BY s DESC, cid exactly."""
-        arr = F.array(
-            *[
-                F.struct(
-                    (-F.round(cosine(v, F.lit([float(x) for x in cv])), 6)).alias(
-                        "neg"
-                    ),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
+    def make_cell_rank(cur):
+        def cell_rank(v: Column) -> Column:
+            """Cell ids ordered nearest-first. One struct array, each
+            centroid cosine computed exactly once — a chained
+            when/greatest fold would duplicate every cosine subtree per
+            comparison and blow the plan up exponentially (the first
+            draft took minutes to analyze). Cosines are rounded to 6
+            before ranking so the cid tie-break matches the SQL oracle's
+            round(s,6) ... ORDER BY s DESC, cid exactly."""
+            arr = F.array(
+                *[
+                    F.struct(
+                        (-F.round(cosine(v, F.lit([float(x) for x in cv])), 6)).alias(
+                            "neg"
+                        ),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in cur
+                ]
+            )
+            return F.transform(F.array_sort(arr), lambda x: x["cid"])
+
+        return cell_rank
+
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(n_iter):
+        rank = make_cell_rank(cents)
+        assigned = corpus.select(
+            F.element_at(rank(F.col(vec)), 1).alias("cell"),
+            F.col(vec).alias("_v"),
         )
-        return F.transform(F.array_sort(arr), lambda x: x["cid"])
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        new = dict(cents)
+        for r in means.collect():  # ≤ n_centroids rows
+            new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = sorted(new.items())
+
+    cell_rank = make_cell_rank(cents)
 
     c = corpus.select(
         F.col(key).alias("neighbor_id"),

@@ -572,15 +572,48 @@ _COS_SQL = (
     " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
 )
 
+_EMB_DIM = 64  # embeddings.parquet element count (TESTDATA.md)
+_IVF_ITERS = 3  # Lloyd refinement rounds — mirrored in ivf_topk(n_iter=...)
+
+
+def _ivf_centroid_ctes(n_iter=_IVF_ITERS, dim=_EMB_DIM, n_cent=16):
+    """CTE chain mirroring ivf_topk's deterministic centroid construction:
+    md5-smallest seed rows, then ``n_iter`` Lloyd rounds (assign each
+    vector to its nearest cell by round(cos,6) DESC, cid; re-center at the
+    element-wise mean; empty cells keep their centroid). Ends in ``cents``."""
+    means_cols = ", ".join(f"avg(embedding[{i + 1}]) AS m{i}" for i in range(dim))
+    mean_arr = "[" + ", ".join(f"m.m{i}" for i in range(dim)) + "]"
+    ctes = [f"""cents0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cent}
+    )"""]
+    for it in range(n_iter):
+        cos = _COS_SQL.format(a="e.embedding", b="c.cv")
+        ctes.append(f"""assign{it} AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents{it} c
+    )""")
+        ctes.append(f"""means{it + 1} AS (
+      SELECT cid, {means_cols} FROM assign{it} WHERE rn = 1 GROUP BY cid
+    )""")
+        ctes.append(f"""cents{it + 1} AS (
+      SELECT s.cid, CASE WHEN m.cid IS NULL THEN s.cv ELSE {mean_arr} END AS cv
+      FROM cents{it} s LEFT JOIN means{it + 1} m ON s.cid = m.cid
+    )""")
+    ctes.append(f"cents AS (SELECT cid, cv FROM cents{n_iter})")
+    return ",\n    ".join(ctes)
+
+
+_IVF_CENTROID_CTES = _ivf_centroid_ctes()
+
 
 @q(
     "dp_ivf_topk",
     f"""
-    WITH cents AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-             embedding AS cv
-      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
-    ),
+    WITH {_IVF_CENTROID_CTES},
     assign AS (
       SELECT e.vec_id, c.cid, {_COS_SQL.format(a="e.embedding", b="c.cv")} AS s
       FROM embeddings e CROSS JOIN cents c
@@ -588,13 +621,13 @@ _COS_SQL = (
     corpus_cell AS (
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid) AS rn
         FROM assign) WHERE rn = 1
     ),
     query_cells AS (
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid) AS rn
         FROM assign WHERE vec_id < 20) WHERE rn <= 4
     ),
     pairs AS (
@@ -618,15 +651,19 @@ _COS_SQL = (
 )
 def dp_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the second ANN scale path): Voronoi-cell
-    partitioning around md5-sampled centroids, n_probe nearest cells scored
+    partitioning around Lloyd-refined centroids (md5-sampled seeds +
+    _IVF_ITERS deterministic k-means rounds), n_probe nearest cells scored
     per query — O(rows·n_probe/n_centroids) pair work after one map-only
-    assignment pass. The oracle recomputes the identical centroid set
-    (smallest md5(vec_id)), assignment argmax, and probe ranking."""
+    assignment pass. The oracle recomputes the identical centroid
+    construction (seed, every Lloyd round's assignment argmax and cell
+    means), assignment, and probe ranking."""
     from nutch_spark.datapipe.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4, round_sim=6)
+    return ivf_topk(
+        emb, qs, k=5, n_centroids=16, n_probe=4, n_iter=_IVF_ITERS, round_sim=6
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1899,7 +1936,9 @@ def dp_ivf_recall(spark, sf_dir):
     exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
         "query_id", "neighbor_id"
     )
-    ivf = ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4, round_sim=6).select(
+    ivf = ivf_topk(
+        emb, qs, k=5, n_centroids=16, n_probe=4, n_iter=_IVF_ITERS, round_sim=6
+    ).select(
         F.col("query_id").alias("_iq"), F.col("neighbor_id").alias("_in"),
         F.lit(1).alias("_hit"),
     )
