@@ -14,31 +14,21 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-10 ordering: the two fetch-harness queries lead (the
-# harness switched to BINARY content this round — p1_fetch_binary_pipeline
-# is new, p1_politeness runs the changed code), then the 21 r07-certified
-# queries that missed both the r08 and r09 windows, then the r08-certified
-# block, then the r09-certified 50 (freshest records last).
+# certifies. Round-11 ordering: the queries whose code changed THIS round
+# lead (JPEG pixel decode behind mm_image_dhash/mm_dhash_neardup, FLAC
+# frame decode behind mm_audio_fingerprint/mm_audio_features, Lloyd-refined
+# centroids behind dp_ivf_topk/dp_ivf_recall, fetcher 304/metadata fixes
+# behind p1_*), then the r08-certified rows whose newest driver-green row
+# is three rounds old (includes the j1/j2 state-machine rows), then the
+# r09-certified block (the verdict-named p2/pf parser rows first), then
+# the r10-certified 50 (freshest records last).
 _CERTIFY_FIRST = [
-    # fetch-harness code changed in round 10 — certify first; p2_eml is new
-    "p1_fetch_binary_pipeline", "p1_politeness", "p2_eml_extract",
+    # code changed in round 11 — certify first
     "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
-    "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
-    # r07-certified, missed the r08 and r09 windows
-    "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
-    "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",
-    "dp_shard_balance", "dp_gopher_quality", "dp_bm25_topk",
-    "dp_dsir_weights", "g3_linkrank", "j4_score_update", "a9_node_rollup",
-    "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup", "j6_hostdb_agg",
-    "st_tumbling_window", "j10_crawldb_merge", "f1_scoped_normalize",
-    "d7_text_profile_sig",
-    # r08-certified
-    "mm_tiff_dimensions", "p2_odt_extract", "p2_epub_extract", "dp_chunking",
-    "p2_pdf_extract", "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
-    "w1_generate_topk", "w1_host_limit", "p2_html_parse", "p2_feed_entries",
-    "p4_robots_policy", "s10_sitemap_parse", "s1_seed_parse",
-    "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
-    "a1_quantiles", "a3_group_numeric", "a3_value_counts", "a4_group_count",
+    "mm_audio_features", "dp_ivf_topk", "dp_ivf_recall",
+    "p1_fetch_binary_pipeline", "p1_politeness",
+    # r08-certified, missed the r09 and r10 windows (stale 3 rounds)
+    "a3_group_numeric", "a3_value_counts", "a4_group_count",
     "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
     "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
     "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
@@ -47,21 +37,36 @@ _CERTIFY_FIRST = [
     "d6_mime_adaptive", "u1_union_distinct", "a10_anchor_dedup",
     "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
     "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
-    # r09-certified (freshest)
+    # r09-certified (stale 2 rounds); verdict-named parser rows first
     "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract", "p2_cab_extract",
+    "p2_doc_extract", "pf_regex_fields", "pf_nb_classify",
     "st_session_windows", "j_geoip_range", "dp_exact_dedup",
-    "dp_ngram_jaccard", "p2_metatags", "p2_js_outlinks", "pf_regex_fields",
-    "pf_nb_classify", "p2_doc_extract", "dp_dup_components_star",
-    "dp_substring_removal", "dp_semantic_dedup", "dp_lm_perplexity",
-    "dp_ivf_recall", "dp_bpe_pair_counts", "dp_bpe_apply", "dp_bpe_train",
+    "dp_ngram_jaccard", "p2_metatags", "p2_js_outlinks",
+    "dp_dup_components_star", "dp_substring_removal", "dp_semantic_dedup",
+    "dp_lm_perplexity", "dp_bpe_pair_counts", "dp_bpe_apply", "dp_bpe_train",
     "f2_filter_chain", "f1_url_normalize", "f1_url_parts", "dp_minhash_lsh",
     "dp_simhash", "dp_token_stats", "dp_quality", "dp_langid_stopword",
     "dp_langid", "dp_cosine_topk", "dp_embedding_near_dup", "dp_lsh_topk",
-    "dp_ivf_topk", "dp_gopher_repetition", "dp_paragraph_dedup",
+    "dp_gopher_repetition", "dp_paragraph_dedup",
     "dp_mix_weighted", "dp_mix_temperature", "dp_dup_components",
     "dp_pii_scrub", "dp_int8_topk", "dp_decontaminate", "dp_seq_packing",
-    "mm_binary_metadata", "mm_image_dimensions", "mm_audio_features",
+    "mm_binary_metadata", "mm_image_dimensions",
     "dp_split", "dp_cross_corpus_dedup", "dp_lsh_recall", "dp_c4_clean",
+    # r10-certified (freshest)
+    "p2_eml_extract", "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
+    "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
+    "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",
+    "dp_shard_balance", "dp_gopher_quality", "dp_bm25_topk",
+    "dp_dsir_weights", "g3_linkrank", "j4_score_update", "a9_node_rollup",
+    "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup", "j6_hostdb_agg",
+    "st_tumbling_window", "j10_crawldb_merge", "f1_scoped_normalize",
+    "d7_text_profile_sig",
+    "mm_tiff_dimensions", "p2_odt_extract", "p2_epub_extract", "dp_chunking",
+    "p2_pdf_extract", "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
+    "w1_generate_topk", "w1_host_limit", "p2_html_parse", "p2_feed_entries",
+    "p4_robots_policy", "s10_sitemap_parse", "s1_seed_parse",
+    "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
+    "a1_quantiles",
 ]
 
 

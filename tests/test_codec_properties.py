@@ -317,3 +317,103 @@ def test_jpeg_pixel_decode_never_raises_on_hostile_bytes(junk):
             w, h, rows = out
             assert len(rows) == h and all(len(r) == w for r in rows)
             assert all(0 <= v <= 255 for r in rows for v in r)
+
+
+# ---------------------------------------------------------------------------
+# email / vCard / iCalendar extractors under hostile structured input
+# (these sit in the crawl parse dispatch, where arbitrary web bytes reach
+# them — random-byte fuzz rarely forms MIME boundaries, so build semi-valid
+# messages and then break them: truncation, corrupt base64, RFC 2047 edge
+# encodings, folded/garbled iCal lines)
+# ---------------------------------------------------------------------------
+
+_RFC2047_TOKENS = st.sampled_from([
+    "=?utf-8?B?Zm9vYmFy?=",            # valid base64 word
+    "=?utf-8?Q?a_b=C3=A9?=",           # valid quoted-printable word
+    "=?utf-8?B?###not-base64###?=",    # corrupt payload
+    "=?bogus-charset?B?Zm9v?=",        # unknown charset
+    "=?utf-8?X?unknown-encoding?=",    # bad encoding letter
+    "=?utf-8?Q?truncated",             # unterminated encoded word
+    "=?utf-8?B??=",                    # empty payload
+    "plain subject",
+])
+
+_BODY_ENCODINGS = st.sampled_from([
+    ("base64", "Zm9vIGJhciBiYXo="),     # valid
+    ("base64", "!!!corrupt!!!"),        # broken base64
+    ("base64", "Zm9vIGJhciBiYX"),       # bad padding
+    ("quoted-printable", "caf=C3=A9 line=\nfolded"),
+    ("quoted-printable", "bad =Z escape ="),
+    ("7bit", "plain text body"),
+])
+
+
+@given(
+    _RFC2047_TOKENS,
+    st.lists(_BODY_ENCODINGS, min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=100),  # truncation percentage
+    st.booleans(),                            # break the closing boundary
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_eml_extract_survives_hostile_mime(subject, parts, cut_pct, break_end):
+    from nutch_spark.operators.parse_tail import (
+        extract_eml_text,
+        extract_mbox_text,
+    )
+
+    bnd = "==bnd42=="
+    body = []
+    for enc, payload in parts:
+        body.append(
+            f"--{bnd}\r\nContent-Type: text/plain; charset=utf-8\r\n"
+            f"Content-Transfer-Encoding: {enc}\r\n\r\n{payload}\r\n"
+        )
+    if not break_end:
+        body.append(f"--{bnd}--\r\n")
+    raw = (
+        f"Subject: {subject}\r\nFrom: a@example.com\r\nTo: b@example.com\r\n"
+        f"MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/alternative; boundary="{bnd}"\r\n\r\n'
+        + "".join(body)
+    ).encode("utf-8", errors="replace")
+    raw = raw[: max(1, len(raw) * cut_pct // 100)]  # truncated multipart
+    mime, text = extract_eml_text(raw)
+    assert mime == "message/rfc822" and isinstance(text, str)
+    # the same bytes as an mbox message (and with a corrupted separator)
+    mb_mime, mb_text = extract_mbox_text(b"From hostile@x Mon Jan 1\n" + raw)
+    assert mb_mime == "application/mbox" and isinstance(mb_text, str)
+
+
+_ICAL_LINES = st.sampled_from([
+    "SUMMARY:plain event",
+    "SUMMARY;LANGUAGE=en:escaped \\n \\, \; text",
+    " folded continuation without a preceding property",
+    "\tfolded-tab continuation",
+    "DESCRIPTION;ENCODING=QUOTED-PRINTABLE:caf=C3=A9=\n soft break",
+    "PHOTO;ENCODING=BASE64:!!!corrupt-base64!!!",
+    "NO-COLON-LINE",
+    ":empty-name",
+    "ATTENDEE;CN=\"Quoted, Name\";ROLE=REQ:mailto:x@y",
+    "X-GARBAGE;===;;;:value",
+    "BEGIN:VEVENT",
+    "END:VEVENT",
+])
+
+
+@given(
+    st.booleans(),                               # calendar vs card wrapper
+    st.lists(_ICAL_LINES, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=100),     # truncation percentage
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_vcal_extract_survives_hostile_lines(is_cal, lines, cut_pct):
+    from nutch_spark.operators.parse_tail import extract_vcal_text
+
+    kind = "VCALENDAR" if is_cal else "VCARD"
+    raw = "\r\n".join([f"BEGIN:{kind}", *lines, f"END:{kind}"]).encode()
+    raw = raw[: max(1, len(raw) * cut_pct // 100)]
+    mime, text = extract_vcal_text(raw)
+    assert isinstance(text, str)
+    assert mime in ("text/calendar", "text/vcard")
