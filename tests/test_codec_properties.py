@@ -387,7 +387,7 @@ def test_eml_extract_survives_hostile_mime(subject, parts, cut_pct, break_end):
 
 _ICAL_LINES = st.sampled_from([
     "SUMMARY:plain event",
-    "SUMMARY;LANGUAGE=en:escaped \\n \\, \; text",
+    "SUMMARY;LANGUAGE=en:escaped \\n \\, \\; text",
     " folded continuation without a preceding property",
     "\tfolded-tab continuation",
     "DESCRIPTION;ENCODING=QUOTED-PRINTABLE:caf=C3=A9=\n soft break",
