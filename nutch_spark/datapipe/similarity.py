@@ -151,6 +151,48 @@ def lsh_topk(
     return pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def _lloyd_refine(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    vec: str,
+    n_iter: int,
+    round_sim: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """``n_iter`` rounds of deterministic Lloyd's k-means over (cid, vector)
+    centroids: assign every corpus vector to its nearest cell (cosine
+    rounded to ``round_sim``, cid tie-break — the same ranking the callers
+    use at query time, so a SQL oracle can mirror each round), re-center
+    each cell at the element-wise mean via one distributed groupBy-avg,
+    and keep the old centroid for empty cells. Only K centroid rows reach
+    the driver per round — the corpus is never collected."""
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(n_iter):
+        arr = F.array(
+            *[
+                F.struct(
+                    (-F.round(cosine(F.col("_v"), F.lit(cv)), round_sim)).alias(
+                        "neg"
+                    ),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        assigned = corpus.select(F.col(vec).alias("_v")).select(
+            F.element_at(F.array_sort(arr), 1)["cid"].alias("cell"),
+            F.col("_v"),
+        )
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        new = dict(cents)
+        for r in means.collect():  # <= n_centroids rows
+            new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = sorted(new.items())
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -214,21 +256,7 @@ def ivf_topk(
 
         return cell_rank
 
-    dim = len(cents[0][1]) if cents else 0
-    for _ in range(n_iter):
-        rank = make_cell_rank(cents)
-        assigned = corpus.select(
-            F.element_at(rank(F.col(vec)), 1).alias("cell"),
-            F.col(vec).alias("_v"),
-        )
-        means = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)]
-        )
-        new = dict(cents)
-        for r in means.collect():  # ≤ n_centroids rows
-            new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
-        cents = sorted(new.items())
-
+    cents = _lloyd_refine(corpus, cents, vec=vec, n_iter=n_iter)
     cell_rank = make_cell_rank(cents)
 
     c = corpus.select(
@@ -349,6 +377,7 @@ def semantic_dedup(
     key: str = "vec_id",
     threshold: float = 0.95,
     n_centroids: int = 16,
+    n_iter: int = 0,
     round_sim: int = 6,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540
@@ -361,9 +390,10 @@ def semantic_dedup(
     Output: (key, cell, cent_sim, is_kept) for every corpus row.
 
     Deviations from the paper, both documented and deterministic: centroids
-    are the ``n_centroids`` md5-smallest corpus vectors (one assignment
-    pass, no Lloyd iterations — the ivf_topk sampling; k-means would move
-    centroids but not the mechanics), and the within-cluster sweep is the
+    seed from the ``n_centroids`` md5-smallest corpus vectors (the
+    ivf_topk sampling), optionally refined by ``n_iter`` deterministic
+    Lloyd rounds (_lloyd_refine — the oracle mirrors each round), and
+    the within-cluster sweep is the
     greedy prefix rule — a row is dropped when ANY row ranked before it
     (farther from the centroid, id tie-break) is ``>= threshold`` similar,
     whether or not that earlier row itself survived. This makes the result
@@ -386,6 +416,7 @@ def semantic_dedup(
         .collect()
     )
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
+    cents = _lloyd_refine(corpus, cents, vec=vec, n_iter=n_iter, round_sim=round_sim)
 
     def best_cell(v: Column) -> Column:
         # centroid cosines are ROUNDED before the argmax so assignment (and

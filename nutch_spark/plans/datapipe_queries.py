@@ -576,17 +576,19 @@ _EMB_DIM = 64  # embeddings.parquet element count (TESTDATA.md)
 _IVF_ITERS = 3  # Lloyd refinement rounds — mirrored in ivf_topk(n_iter=...)
 
 
-def _ivf_centroid_ctes(n_iter=_IVF_ITERS, dim=_EMB_DIM, n_cent=16):
-    """CTE chain mirroring ivf_topk's deterministic centroid construction:
-    md5-smallest seed rows, then ``n_iter`` Lloyd rounds (assign each
-    vector to its nearest cell by round(cos,6) DESC, cid; re-center at the
-    element-wise mean; empty cells keep their centroid). Ends in ``cents``."""
+def _ivf_centroid_ctes(n_iter=_IVF_ITERS, dim=_EMB_DIM, n_cent=16,
+                       src="embeddings"):
+    """CTE chain mirroring _lloyd_refine's deterministic centroid
+    construction over ``src``: md5-smallest seed rows, then ``n_iter``
+    Lloyd rounds (assign each vector to its nearest cell by round(cos,6)
+    DESC, cid; re-center at the element-wise mean; empty cells keep their
+    centroid). Ends in ``cents``."""
     means_cols = ", ".join(f"avg(embedding[{i + 1}]) AS m{i}" for i in range(dim))
     mean_arr = "[" + ", ".join(f"m.m{i}" for i in range(dim)) + "]"
     ctes = [f"""cents0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
              CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cent}
+      FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cent}
     )"""]
     for it in range(n_iter):
         cos = _COS_SQL.format(a="e.embedding", b="c.cv")
@@ -594,7 +596,7 @@ def _ivf_centroid_ctes(n_iter=_IVF_ITERS, dim=_EMB_DIM, n_cent=16):
       SELECT e.vec_id, e.embedding, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                                 ORDER BY round({cos}, 6) DESC, c.cid) AS rn
-      FROM embeddings e CROSS JOIN cents{it} c
+      FROM {src} e CROSS JOIN cents{it} c
     )""")
         ctes.append(f"""means{it + 1} AS (
       SELECT cid, {means_cols} FROM assign{it} WHERE rn = 1 GROUP BY cid
@@ -1782,18 +1784,15 @@ def dp_substring_removal(spark, sf_dir):
 @q(
     "dp_semantic_dedup",
     f"""
-    -- SemDeDup (Abbas et al. 2023): md5-sampled centroids, one assignment
-    -- pass, within-cell greedy prefix dedup keeping the example farthest
-    -- from its centroid. Corpus plants exact copies at vec_id+100000.
+    -- SemDeDup (Abbas et al. 2023): md5-seeded + Lloyd-refined centroids,
+    -- one assignment pass, within-cell greedy prefix dedup keeping the
+    -- example farthest from its centroid. Corpus plants exact copies at
+    -- vec_id+100000.
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0
     ),
-    cents AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-             embedding AS cv
-      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
-    ),
+    {_ivf_centroid_ctes(src="corpus")},
     assign AS (
       SELECT e.vec_id, e.embedding, c.cid,
              round({_COS_SQL.format(a="e.embedding", b="c.cv")}, 6) AS s
@@ -1833,7 +1832,9 @@ def dp_semantic_dedup(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(copies)
-    return semantic_dedup(corpus, threshold=0.99, n_centroids=16)
+    return semantic_dedup(
+        corpus, threshold=0.99, n_centroids=16, n_iter=_IVF_ITERS
+    )
 
 
 @q(
