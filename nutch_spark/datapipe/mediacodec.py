@@ -535,14 +535,90 @@ def decode_bmp_pixels(payload: bytes):
     return w, h, rows
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, rgb, palette, gray+a, rgba
+
+
+_PNG_DEPTHS = {  # legal bit depths per color type (PNG spec §11.2.2)
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec §8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(line: bytearray, prev: bytes, ftype: int, bpp: int) -> bool:
+    """In-place scanline unfilter (the five PNG §9 filters); False on an
+    unknown filter type."""
+    n = len(line)
+    if ftype == 0:
+        return True
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 0xFF
+    else:
+        return False
+    return True
+
+
+def _png_line_gray(line, pw: int, depth: int, ctype: int, plte):
+    """One unfiltered scanline → ``pw`` gray values (0-255). 16-bit samples
+    keep their high byte; sub-8-bit gray scales to full range; palette
+    indexes map through the PLTE luma table."""
+    if depth >= 8:
+        ch = _PNG_CHANNELS[ctype]
+        step = ch * (depth // 8)
+        if ctype in (0, 4):
+            return [line[i] for i in range(0, pw * step, step)]
+        if ctype == 3:
+            return [
+                plte[line[i]] if line[i] < len(plte) else 0 for i in range(pw)
+            ]
+        g = depth // 8  # byte gap between color samples
+        return [
+            (line[i] * 299 + line[i + g] * 587 + line[i + 2 * g] * 114) // 1000
+            for i in range(0, pw * step, step)
+        ]
+    maxv = (1 << depth) - 1
+    out = []
+    for i in range(pw):
+        bit = i * depth
+        v = (line[bit >> 3] >> (8 - depth - (bit & 7))) & maxv
+        if ctype == 3:
+            out.append(plte[v] if v < len(plte) else 0)
+        else:
+            out.append(v * 255 // maxv)
+    return out
 
 
 def decode_png_pixels(payload: bytes):
-    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
-    (width, height, gray rows top-down), implementing the five scanline
-    filters (None/Sub/Up/Average/Paeth, PNG spec §9). Returns None for
-    palette, 16-bit, interlaced, or malformed files."""
+    """PNG → (width, height, gray rows top-down), from the public spec:
+    all five scanline filters (§9), every legal color-type/bit-depth combo
+    (gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 via PLTE, gray+alpha and
+    RGBA 8/16 — alpha ignored for luma), and Adam7 interlacing (§8.2).
+    Returns None for malformed files."""
     import struct
     import zlib
 
@@ -550,6 +626,7 @@ def decode_png_pixels(payload: bytes):
         return None
     pos, w = 8, None
     idat = bytearray()
+    plte_rgb = None
     try:
         while pos + 8 <= len(payload):
             length, tag = struct.unpack_from(">I4s", payload, pos)
@@ -559,12 +636,13 @@ def decode_png_pixels(payload: bytes):
                     ">IIBBBBB", body[:13]
                 )
                 if (
-                    depth != 8
-                    or ctype not in _PNG_CHANNELS
-                    or interlace != 0
+                    depth not in _PNG_DEPTHS.get(ctype, ())
+                    or interlace > 1
                     or not (0 < w and 0 < h and w * h <= _MAX_PIXELS)
                 ):
                     return None
+            elif tag == b"PLTE":
+                plte_rgb = body
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -572,60 +650,57 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length
         if w is None or not idat:
             return None
-        # Cap the inflate at the declared raster size: a forged IDAT with a
-        # ~1000:1 zlib ratio must not allocate beyond (stride+1)*h bytes.
+        if ctype == 3:
+            if plte_rgb is None or len(plte_rgb) % 3:
+                return None
+            plte = [
+                (plte_rgb[i] * 299 + plte_rgb[i + 1] * 587 + plte_rgb[i + 2] * 114)
+                // 1000
+                for i in range(0, len(plte_rgb), 3)
+            ]
+        else:
+            plte = ()
         ch = _PNG_CHANNELS[ctype]
-        stride = w * ch
-        want = (stride + 1) * h
+        bits_pp = ch * depth
+        bpp = max(1, bits_pp // 8)  # filter byte offset (spec §9)
+        if interlace:  # Adam7: per-pass sub-image geometry
+            passes = []
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw > 0 and ph > 0:
+                    passes.append((x0, y0, dx, dy, pw, ph))
+        else:
+            passes = [(0, 0, 1, 1, w, h)]
+        # Cap the inflate at the declared raster size: a forged IDAT with a
+        # ~1000:1 zlib ratio must not allocate beyond the raster bytes.
+        want = sum(
+            ph * (1 + (pw * bits_pp + 7) // 8) for _, _, _, _, pw, ph in passes
+        )
         dec = zlib.decompressobj()
         # want+1 so a stream that ends exactly at `want` drains its trailer;
         # any byte past `want` means the IDAT lies about the raster size.
         raw = dec.decompress(bytes(idat), want + 1)
-        if len(raw) > want:
+        if len(raw) != want:
             return None
     except (struct.error, zlib.error, ValueError):
         return None
-    if len(raw) < (stride + 1) * h:
-        return None
-    rows = []
-    prev = bytearray(stride)
-    for y in range(h):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            return None
-        prev = line
-        if ch == 1:
-            rows.append(list(line))
-        elif ch == 2:  # gray + alpha
-            rows.append([line[i] for i in range(0, stride, 2)])
-        else:  # rgb / rgba
-            rows.append(
-                [
-                    (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
-                    for i in range(0, stride, ch)
-                ]
-            )
+    rows = [[0] * w for _ in range(h)]
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = (pw * bits_pp + 7) // 8
+        prev = bytearray(stride)
+        for j in range(ph):
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if not _png_unfilter(line, prev, ftype, bpp):
+                return None
+            prev = line
+            y = y0 + j * dy
+            row = rows[y]
+            for i, g in enumerate(_png_line_gray(line, pw, depth, ctype, plte)):
+                row[x0 + i * dx] = g
     return w, h, rows
 
 

@@ -1368,3 +1368,151 @@ def test_flac_hostile_bytes_never_raise():
         r = decode_flac_samples(bytes(mutated))
         assert r is None or r["n_samples"] >= 1
     assert decode_flac_samples(b"fLaC" + b"\x00" * 40) is None
+
+
+# ---------------------------------------------------------------------------
+# PNG completeness: palette / sub-8-bit / 16-bit / Adam7 interlace
+# ---------------------------------------------------------------------------
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _mk_png2(values, *, depth=8, ctype=0, interlace=0, plte=None,
+             filters=0):
+    """General PNG builder: ``values`` are raw sample values per pixel
+    (gray level, palette index, or gray to replicate into RGB). Packs any
+    legal depth/ctype combo, optional Adam7 interlace, filter 0 or Sub."""
+    h, w = len(values), len(values[0])
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+    def pack_line(vals):
+        out = bytearray()
+        if depth < 8:
+            acc = bits = 0
+            for v in vals:
+                acc = (acc << depth) | v
+                bits += depth
+                if bits == 8:
+                    out.append(acc)
+                    acc = bits = 0
+            if bits:
+                out.append(acc << (8 - bits))
+            return out
+        for v in vals:
+            samples = {0: [v], 2: [v, v, v], 3: [v], 4: [v, 170],
+                       6: [v, v, v, 170]}[ctype]
+            for s in samples:
+                out += bytes([s, 0x5A]) if depth == 16 else bytes([s])
+        return out
+
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        sub = [[values[y][x] for x in range(x0, w, dx)]
+               for y in range(y0, h, dy)]
+        if not sub or not sub[0]:
+            continue
+        for vals in sub:
+            line = pack_line(vals)
+            if filters == 1 and depth >= 8:  # Sub-filter the pass lines
+                enc = bytearray(line)
+                for i in range(len(line) - 1, bpp - 1, -1):
+                    enc[i] = (line[i] - line[i - bpp]) & 0xFF
+                raw.append(1)
+                raw += enc
+            else:
+                raw.append(0)
+                raw += line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    out = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0,
+                                        0, interlace)))
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(b for rgb in plte for b in rgb))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    plte = [(i, 255 - i, (i * 3) % 256) for i in range(16)]
+    luma = [(r * 299 + g * 587 + b * 114) // 1000 for r, g, b in plte]
+    idx = [[(x + y) % 16 for x in range(11)] for y in range(6)]
+    for depth in (4, 8):
+        out = decode_png_pixels(
+            _mk_png2(idx, depth=depth, ctype=3, plte=plte)
+        )
+        assert out is not None, depth
+        w, h, rows = out
+        assert (w, h) == (11, 6)
+        assert rows == [[luma[v] for v in r] for r in idx], depth
+    # out-of-range palette index → 0, not a crash
+    out = decode_png_pixels(_mk_png2([[9]], depth=8, ctype=3, plte=plte[:4]))
+    assert out == (1, 1, [[0]])
+    # palette without PLTE is malformed
+    assert decode_png_pixels(_mk_png2(idx, depth=8, ctype=3)) is None
+
+
+def test_png_low_bit_depth_gray():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        idx = [[(x * y + x) % (maxv + 1) for x in range(13)] for y in range(5)]
+        out = decode_png_pixels(_mk_png2(idx, depth=depth, ctype=0))
+        assert out is not None, depth
+        w, h, rows = out
+        assert (w, h) == (13, 5)
+        assert rows == [[v * 255 // maxv for v in r] for r in idx], depth
+
+
+def test_png_16bit_gray_and_rgb():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    gray = [[(x * 31 + y * 7) % 256 for x in range(9)] for y in range(4)]
+    for ctype in (0, 2, 4, 6):
+        out = decode_png_pixels(_mk_png2(gray, depth=16, ctype=ctype))
+        assert out is not None, ctype
+        w, h, rows = out
+        assert (w, h) == (9, 4)
+        assert rows == gray, ctype  # high byte carries the planted value
+
+
+def test_png_adam7_interlace():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    # > 8x8 so every pass is non-empty; Sub filter inside passes exercises
+    # the per-pass prev-line reset
+    gray = [[(x * 17 + y * 29) % 251 for x in range(19)] for y in range(13)]
+    for ctype, filters in ((0, 0), (0, 1), (2, 1), (6, 0)):
+        out = decode_png_pixels(
+            _mk_png2(gray, ctype=ctype, interlace=1, filters=filters)
+        )
+        assert out is not None, (ctype, filters)
+        w, h, rows = out
+        assert (w, h) == (19, 13)
+        assert rows == gray, (ctype, filters)
+    # tiny interlaced image: most Adam7 passes are EMPTY
+    tiny = [[200, 100], [50, 25]]
+    out = decode_png_pixels(_mk_png2(tiny, interlace=1))
+    assert out == (2, 2, tiny)
+
+
+def test_png_interlaced_palette_16bit_combo():
+    from nutch_spark.datapipe.mediacodec import decode_png_pixels
+
+    plte = [(v * 16, v * 16, v * 16) for v in range(16)]
+    luma = [(v * 16 * 299 + v * 16 * 587 + v * 16 * 114) // 1000
+            for v in range(16)]
+    idx = [[(x ^ y) % 16 for x in range(10)] for y in range(9)]
+    out = decode_png_pixels(
+        _mk_png2(idx, depth=4, ctype=3, plte=plte, interlace=1)
+    )
+    assert out is not None
+    assert out == (10, 9, [[luma[v] for v in r] for r in idx])
