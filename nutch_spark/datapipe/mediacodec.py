@@ -705,9 +705,9 @@ def decode_png_pixels(payload: bytes):
 
 
 def decode_gray_pixels(payload: bytes):
-    """Magic-dispatching pixel decode: BMP, PNG, GIF, or baseline JPEG →
-    (w, h, gray rows), or None when the format needs a codec library
-    (progressive JPEG, WebP, AVIF, ...)."""
+    """Magic-dispatching pixel decode: BMP, PNG, GIF, or JPEG (baseline +
+    progressive) → (w, h, gray rows), or None when the format needs a
+    codec library (WebP, AVIF, ...)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1051,6 +1051,38 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+_MAX_PROGRESSIVE_PIXELS = 16_000_000  # 4k x 4k: coef buffer = 1 int / pixel
+
+
+def _jpeg_parse_dqt(seg: bytes, qt: dict) -> bool:
+    """DQT segment → 8-bit quant tables (zigzag order), possibly several."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 15
+        if pq != 0 or i + 65 > len(seg):
+            return False  # 16-bit tables imply 12-bit precision
+        qt[tq] = list(seg[i + 1 : i + 65])
+        i += 65
+    return True
+
+
+def _jpeg_parse_dht(seg: bytes, hdc: dict, hac: dict) -> bool:
+    """DHT segment → canonical Huffman tables, possibly several."""
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        bits = list(seg[i + 1 : i + 17])
+        nv = sum(bits)
+        if i + 17 + nv > len(seg) or tc > 1:
+            return False
+        tab = _jpeg_huff_table(bits, list(seg[i + 17 : i + 17 + nv]))
+        if tab is None:
+            return False
+        (hdc if tc == 0 else hac)[th] = tab
+        i += 17 + nv
+    return True
+
+
 def decode_jpeg_pixels(payload: bytes):
     """Baseline-sequential JPEG (ITU-T T.81 §F) → (width, height, gray rows),
     luma only: the interleaved scan forces entropy-decoding EVERY component
@@ -1059,10 +1091,12 @@ def decode_jpeg_pixels(payload: bytes):
     grayscale output costs no IDCT on Cb/Cr. Handles SOF0/SOF1 Huffman
     frames, arbitrary sampling factors (the luma plane nearest-upsamples if
     Y itself is subsampled), restart intervals, and single-component
-    non-interleaved scans. None for progressive (SOF2), arithmetic,
+    non-interleaved scans — plus progressive (SOF2) frames via
+    _jpeg_decode_progressive (T.81 Annex G: spectral selection +
+    successive approximation, Huffman). None for arithmetic,
     hierarchical, lossless, 12-bit, or malformed streams. Reference parity:
     parse-tika's image handling (TikaParser.java:63-160) obtains pixels via
-    javax.imageio's baseline JPEG reader."""
+    javax.imageio's JPEG reader."""
     import numpy as np
 
     if payload[:3] != b"\xff\xd8\xff":
@@ -1071,6 +1105,7 @@ def decode_jpeg_pixels(payload: bytes):
     hdc: dict[int, dict] = {}
     hac: dict[int, dict] = {}
     frame = None  # (w, h, [(cid, hs, vs, tq), ...])
+    progressive = False
     ri = 0
     pos = 2
     n = len(payload)
@@ -1090,31 +1125,17 @@ def decode_jpeg_pixels(payload: bytes):
                 return None
             seg = payload[pos + 4 : pos + 2 + seglen]
             if marker == 0xDB:  # DQT — one or more tables, zigzag order
-                i = 0
-                while i + 65 <= len(seg) + 1 and i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 15
-                    if pq != 0 or i + 65 > len(seg):
-                        return None  # 16-bit tables imply 12-bit precision
-                    qt[tq] = list(seg[i + 1 : i + 65])
-                    i += 65
+                if not _jpeg_parse_dqt(seg, qt):
+                    return None
             elif marker == 0xC4:  # DHT — one or more tables
-                i = 0
-                while i + 17 <= len(seg):
-                    tc, th = seg[i] >> 4, seg[i] & 15
-                    bits = list(seg[i + 1 : i + 17])
-                    nv = sum(bits)
-                    if i + 17 + nv > len(seg) or tc > 1:
-                        return None
-                    vals = list(seg[i + 17 : i + 17 + nv])
-                    tab = _jpeg_huff_table(bits, vals)
-                    if tab is None:
-                        return None
-                    (hdc if tc == 0 else hac)[th] = tab
-                    i += 17 + nv
-            elif marker in (0xC0, 0xC1):  # SOF0/1 — sequential Huffman
+                if not _jpeg_parse_dht(seg, hdc, hac):
+                    return None
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
                 prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or not (0 < fw and 0 < fh) or fw * fh > _MAX_PIXELS:
                     return None
+                if marker == 0xC2 and fw * fh > _MAX_PROGRESSIVE_PIXELS:
+                    return None  # coefficient buffer = one int per pixel
                 if nc == 0 or len(seg) < 6 + 3 * nc:
                     return None
                 comps = []
@@ -1125,14 +1146,19 @@ def decode_jpeg_pixels(payload: bytes):
                         return None
                     comps.append((cid, hs, vs, tq))
                 frame = (fw, fh, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic / hier
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xDD:  # DRI
                 (ri,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS — entropy data follows the header
                 if frame is None:
                     return None
+                if progressive:
+                    return _jpeg_decode_progressive(
+                        np, payload, pos, frame, qt, hdc, hac, ri
+                    )
                 ns = seg[0]
                 if len(seg) < 1 + 2 * ns + 3:
                     return None
@@ -1236,6 +1262,273 @@ def _jpeg_decode_scan(np, payload, pos, frame, scomps, qt, hdc, hac, ri):
     if (cw, ch) != (fw, fh):
         xs = np.minimum(np.arange(fw) * hs0 // hmax, cw - 1)
         ys = np.minimum(np.arange(fh) * vs0 // vmax, ch - 1)
+        out = out[np.ix_(ys, xs)]
+    return fw, fh, [[int(v) for v in row] for row in out]
+
+
+
+def _jpeg_entropy_end(payload: bytes, pos: int) -> int:
+    """Position of the next REAL marker after an entropy-coded segment
+    (skips 0xFF00 byte stuffing and RSTn restart markers)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            b = payload[pos + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _jpeg_ac_first(br, atab, blk, zz, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2): run-length
+    coefficients shifted by the point transform, with EOB-run coding.
+    Returns the new eobrun, or None on a malformed stream."""
+    if eobrun > 0:
+        return eobrun - 1  # this block's band is entirely zero
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_sym(br, atab)
+        if rs is None:
+            return None
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            return None
+        blk[zz[k]] = _jpeg_extend(br.bits(sz), sz) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, atab, blk, zz, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    correction bits for coefficients already nonzero, ±1<<al for newly
+    significant ones, zero-history run lengths, EOB runs. Returns the new
+    eobrun, or None on a malformed stream."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_sym(br, atab)
+            if rs is None:
+                return None
+            r, sz = rs >> 4, rs & 15
+            val = 0
+            if sz == 0:
+                if r != 15:  # EOB run (includes this block)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    return None  # spec: refinement appends only ±1
+                val = p1 if br.bit() else m1
+            while k <= se:
+                z = zz[k]
+                if blk[z]:
+                    if br.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[zz[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            z = zz[k]
+            if blk[z]:
+                if br.bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_progressive(np, payload, pos, frame, qt, hdc, hac, ri):
+    """Progressive JPEG (SOF2, T.81 Annex G, Huffman): accumulates Y
+    coefficients across DC/AC spectral-selection and successive-
+    approximation scans, entropy-decoding interleaved DC scans fully (the
+    bitstream interleaves all components) while skipping single-component
+    chroma scans outright (their entropy segments are self-contained), then
+    dequantizes + IDCTs the luma plane once at EOI."""
+    fw, fh, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    y_cid, y_hs, y_vs, y_tq = comps[0]
+    if len(comps) == 1:
+        y_hs = y_vs = hmax = vmax = 1
+        mcux, mcuy = -(-fw // 8), -(-fh // 8)
+    ybw, ybh = mcux * y_hs, mcuy * y_vs  # padded (interleaved) block grid
+    y_cw = -(-fw * y_hs // hmax)
+    y_ch = -(-fh * y_vs // vmax)
+    nbw, nbh = -(-y_cw // 8), -(-y_ch // 8)  # non-interleaved scan grid
+    coef = [[0] * 64 for _ in range(ybw * ybh)]
+    zz = _JPEG_ZIGZAG
+    n = len(payload)
+    byid = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI: reconstruct
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:
+            if not _jpeg_parse_dht(seg, hdc, hac):
+                return None
+        elif marker == 0xDB:
+            if not _jpeg_parse_dqt(seg, qt):
+                return None
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                return None
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if se > 63 or ss > se or al > 13:
+                return None
+            data = pos + 2 + seglen
+            if ns == 1 and scomps[0][0] != y_cid:
+                # single-component chroma scan: the entropy segment is
+                # self-contained — skip without decoding
+                pos = _jpeg_entropy_end(payload, data)
+                continue
+            if any(cs not in byid for cs, _, _ in scomps):
+                return None
+            br = _JpegBits(payload, data)
+            if ss == 0:  # DC scan (interleaved or single-component)
+                if se != 0:
+                    return None
+                dtabs = {}
+                for cs, td, _ta in scomps:
+                    if ah == 0 and td not in hdc:
+                        return None
+                    dtabs[cs] = hdc.get(td)
+                pred = {cs: 0 for cs, _, _ in scomps}
+                if ns > 1:
+                    if len(scomps) != len(comps):
+                        return None
+                    units = []  # (cid, is_y, mcu-relative block coords)
+                    for cid, chs, cvs, _tq in comps:
+                        for by in range(cvs):
+                            for bx in range(chs):
+                                units.append((cid, cid == y_cid, bx, by))
+                    total_mcus = mcux * mcuy
+                    for m in range(total_mcus):
+                        if ri and m and m % ri == 0:
+                            if not br.align_restart():
+                                return None
+                            pred = {cs: 0 for cs, _, _ in scomps}
+                        my, mx = divmod(m, mcux)
+                        for cid, is_y, bx, by in units:
+                            if ah == 0:
+                                sym = _jpeg_decode_sym(br, dtabs[cid])
+                                if sym is None or sym > 11:
+                                    return None
+                                diff = (
+                                    _jpeg_extend(br.bits(sym), sym) if sym else 0
+                                )
+                                pred[cid] += diff
+                                if is_y:
+                                    idx = (my * y_vs + by) * ybw + mx * y_hs + bx
+                                    coef[idx][0] = pred[cid] << al
+                            else:
+                                bit = br.bit()
+                                if is_y:
+                                    idx = (my * y_vs + by) * ybw + mx * y_hs + bx
+                                    coef[idx][0] |= bit << al
+                else:  # single-component Y DC scan
+                    for b in range(nbw * nbh):
+                        if ri and b and b % ri == 0:
+                            if not br.align_restart():
+                                return None
+                            pred[y_cid] = 0
+                        by, bx = divmod(b, nbw)
+                        idx = by * ybw + bx
+                        if ah == 0:
+                            sym = _jpeg_decode_sym(br, dtabs[y_cid])
+                            if sym is None or sym > 11:
+                                return None
+                            diff = _jpeg_extend(br.bits(sym), sym) if sym else 0
+                            pred[y_cid] += diff
+                            coef[idx][0] = pred[y_cid] << al
+                        else:
+                            coef[idx][0] |= br.bit() << al
+            else:  # AC scan: always single-component (T.81 G.1.1.1.1)
+                if ns != 1:
+                    return None
+                ta = scomps[0][2]
+                if ta not in hac:
+                    return None
+                atab = hac[ta]
+                step = _jpeg_ac_refine if ah else _jpeg_ac_first
+                eobrun = 0
+                for b in range(nbw * nbh):
+                    if ri and b and b % ri == 0:
+                        if not br.align_restart():
+                            return None
+                        eobrun = 0
+                    by, bx = divmod(b, nbw)
+                    eobrun = step(
+                        br, atab, coef[by * ybw + bx], zz, ss, se, al, eobrun
+                    )
+                    if eobrun is None:
+                        return None
+            pos = _jpeg_entropy_end(payload, br.pos)
+            continue
+        pos += 2 + seglen
+    if y_tq not in qt:
+        return None
+    qnat = [0] * 64
+    for k in range(64):
+        qnat[zz[k]] = qt[y_tq][k]  # quant tables are stored zigzag-ordered
+    qv = np.array(qnat, dtype=np.float64)
+    a = _jpeg_idct_mat(np)
+    at = a.T
+    luma = np.zeros((ybh * 8, ybw * 8), dtype=np.float64)
+    for by in range(ybh):
+        for bx in range(ybw):
+            fq = np.array(coef[by * ybw + bx], dtype=np.float64) * qv
+            luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                at @ fq.reshape(8, 8) @ a
+            )
+    out = np.clip(np.rint(luma[:y_ch, :y_cw]) + 128, 0, 255).astype(np.int64)
+    if (y_cw, y_ch) != (fw, fh):
+        xs = np.minimum(np.arange(fw) * y_hs // hmax, y_cw - 1)
+        ys = np.minimum(np.arange(fh) * y_vs // vmax, y_ch - 1)
         out = out[np.ix_(ys, xs)]
     return fw, fh, [[int(v) for v in row] for row in out]
 

@@ -1516,3 +1516,366 @@ def test_png_interlaced_palette_16bit_combo():
     )
     assert out is not None
     assert out == (10, 9, [[luma[v] for v in r] for r in idx])
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): test-side encoder with spectral selection +
+# successive approximation, mirrored against the from-spec decoder
+# ---------------------------------------------------------------------------
+
+class _JWriter:
+    """Entropy bit/byte writer with 0xFF stuffing and per-scan tables."""
+
+    def __init__(self):
+        self.out = bytearray(b"\xff\xd8")
+        self.bits = []
+
+    def seg(self, marker, body):
+        import struct as _s
+        self.out += bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    def bit(self, b):
+        self.bits.append(b & 1)
+
+    def nbits(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def flush(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.bits.clear()
+
+
+def _jtables(syms):
+    """Equal-length canonical table for a symbol set → (bits16, vals, enc)."""
+    syms = sorted(set(syms))
+    length = max(2, (len(syms) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms, {s: (length, i) for i, s in enumerate(syms)}
+
+
+def _cat(v):
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _mk_jpeg_progressive(gray, *, dc_al=1, ac_al=1, color=False, q=1):
+    """Progressive JPEG encoder (tests only): quantizes with a flat table,
+    then emits DC-first (interleaved when color), DC-refine, two Y AC
+    spectral bands at ``ac_al``, chroma AC scans (all-zero, EOB-run coded),
+    and Y AC refinement scans down to level 0."""
+    import math
+    import struct
+
+    import numpy as np
+
+    h, w = len(gray), len(gray[0])
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    zz = (0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)] if color else [(1, 1, 1, 0)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    y_hs, y_vs = comps[0][1], comps[0][2]
+    if not color:
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+    ybw, ybh = mcux * y_hs, mcuy * y_vs
+    # natural (non-interleaved) Y grid: what single-component scans cover
+    y_cw, y_ch = -(-w * y_hs // hmax), -(-h * y_vs // vmax)
+    nbw, nbh = -(-y_cw // 8), -(-y_ch // 8)
+    # quantized Y coefficient blocks (natural order), edge-replicated pad
+    src = np.zeros((ybh * 8, ybw * 8))
+    src[:h, :w] = np.array(gray, dtype=np.float64)
+    src[:h, w:] = src[:h, w - 1 : w]
+    src[h:, :] = src[h - 1 : h, :]
+    blocks = []
+    for by in range(ybh):
+        for bx in range(ybw):
+            blk = src[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            blocks.append(
+                [int(v) for v in np.rint((a @ blk @ a.T) / q).astype(int).flat]
+            )
+
+    jw = _JWriter()
+    jw.seg(0xDB, bytes([0]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, chs, cvs, tq in comps:
+        sof += bytes([cid, (chs << 4) | cvs, tq])
+    jw.seg(0xC2, sof)
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        jw.seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dht(tc, bits, vals):
+        jw.seg(0xC4, bytes([(tc << 4)]) + bytes(bits) + bytes(vals))
+
+    # ---- scan 1: DC first (interleaved when color), Al=dc_al ----
+    units = []
+    for ci, (cid, chs, cvs, _tq) in enumerate(comps):
+        for _ in range(chs * cvs):
+            units.append(ci)
+    dc_syms, toks = [], []
+    pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        ui = 0
+        for ci, (cid, chs, cvs, _tq) in enumerate(comps):
+            for by in range(cvs if color else 1):
+                for bx in range(chs if color else 1):
+                    if ci == 0:
+                        idx = (my * y_vs + by) * ybw + mx * y_hs + bx
+                        v = blocks[idx][0] >> dc_al
+                    else:
+                        v = 0
+                    d = v - pred[ci]
+                    pred[ci] = v
+                    s = _cat(d)
+                    dc_syms.append(s)
+                    toks.append((s, d))
+                    ui += 1
+    bits16, vals, enc = _jtables(dc_syms)
+    dht(0, bits16, vals)
+    sos([(cid, 0, 0) for cid, _, _, _ in comps], 0, 0, 0, dc_al)
+    for s, d in toks:
+        ln, code = enc[s]
+        jw.nbits(code, ln)
+        if s:
+            jw.nbits(d if d >= 0 else d + (1 << s) - 1, s)
+    jw.flush()
+
+    # ---- DC refinement scans down to level 0 ----
+    for lvl in range(dc_al - 1, -1, -1):
+        sos([(comps[0][0], 0, 0)], 0, 0, lvl + 1, lvl)
+        for b in range(nbw * nbh):
+            by, bx = divmod(b, nbw)
+            jw.bit(blocks[by * ybw + bx][0] >> lvl)
+        jw.flush()
+        for cid, _, _, _ in comps[1:]:
+            sos([(cid, 0, 0)], 0, 0, lvl + 1, lvl)
+            n_c = (-(-(-(-w * 1 // hmax)) // 8)) * (-(-(-(-h * 1 // vmax)) // 8))
+            for _ in range(n_c):
+                jw.bit(0)
+            jw.flush()
+
+    # ---- Y AC first scans: two spectral bands at ac_al ----
+    def ac_first_scan(ss, se, al):
+        syms, stream = [], []
+        eob_pending = 0
+
+        def flush_eob():
+            nonlocal eob_pending
+            while eob_pending:
+                r = eob_pending.bit_length() - 1
+                run = min(eob_pending, (1 << (r + 1)) - 1)
+                syms.append(r << 4)
+                stream.append(("sym", r << 4))
+                if r:
+                    stream.append(("bits", run - (1 << r), r))
+                eob_pending -= run
+
+        for b in range(nbw * nbh):
+            by, bx = divmod(b, nbw)
+            blk = blocks[by * ybw + bx]
+            band = [(k, blk[zz[k]]) for k in range(ss, se + 1)]
+            coeffs = [(k, t // (1 << al) if t >= 0 else -((-t) >> al))
+                      for k, t in band]
+            nz = [(k, v) for k, v in coeffs if v]
+            if not nz:
+                eob_pending += 1
+                continue
+            flush_eob()
+            prev = ss - 1
+            for k, v in nz:
+                r = k - prev - 1
+                while r > 15:
+                    syms.append(0xF0)
+                    stream.append(("sym", 0xF0))
+                    r -= 16
+                s = _cat(v)
+                syms.append((r << 4) | s)
+                stream.append(("sym", (r << 4) | s))
+                stream.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+                prev = k
+            if prev < se:
+                eob_pending += 1  # EOB terminates this block's band
+                # (merged into the next EOB run)
+                flushed_here = False
+                # defer: eob covering THIS block must come before next
+                # block's coefficients — flush now
+                flush_eob()
+        flush_eob()
+        bits16, vals, enc = _jtables(syms or [0x00])
+        dht(1, bits16, vals)
+        sos([(comps[0][0], 0, 0)], ss, se, 0, al)
+        for item in stream:
+            if item[0] == "sym":
+                ln, code = enc[item[1]]
+                jw.nbits(code, ln)
+            else:
+                jw.nbits(item[1], item[2])
+        jw.flush()
+
+    mid = 5
+    ac_first_scan(1, mid, ac_al)
+    ac_first_scan(mid + 1, 63, ac_al)
+
+    # ---- chroma AC scans (all zero → pure EOB runs; decoder skips) ----
+    if color:
+        for cid, _, _, _ in comps[1:]:
+            cw = -(-w // hmax)
+            chh = -(-h // vmax)
+            nc = (-(-cw // 8)) * (-(-chh // 8))
+            bits16, vals, enc = _jtables([0xE0])  # EOB run symbol r=14
+            # encode nc as successive EOB runs with r=14 max (16383)
+            dht(1, bits16, vals)
+            sos([(cid, 0, 0)], 1, 63, 0, 0)
+            left = nc
+            while left:
+                run = min(left, (1 << 14) + ((1 << 14) - 1))
+                r = 14
+                jw.nbits(enc[0xE0][1], enc[0xE0][0])
+                jw.nbits(run - (1 << r), r)
+                left -= run
+            jw.flush()
+
+    # ---- Y AC refinement scans down to level 0 ----
+    for lvl in range(ac_al - 1, -1, -1):
+        ah = lvl + 1
+        syms, stream = [], []
+        for b in range(nbw * nbh):
+            by, bx = divmod(b, nbw)
+            blk = blocks[by * ybw + bx]
+            events = []
+            rz = 0
+            for k in range(1, 64):
+                t = blk[zz[k]]
+                hist = abs(t) >> ah
+                if hist:
+                    events.append(("c", (abs(t) >> lvl) & 1))
+                elif (abs(t) >> lvl) & 1:  # newly significant
+                    i = 0
+                    while rz > 15:
+                        syms.append(0xF0)
+                        stream.append(("sym", 0xF0))
+                        z = 0
+                        while z < 16:
+                            ev = events[i]
+                            i += 1
+                            if ev[0] == "c":
+                                stream.append(("bit", ev[1]))
+                            else:
+                                z += 1
+                        rz -= 16
+                    syms.append((rz << 4) | 1)
+                    stream.append(("sym", (rz << 4) | 1))
+                    stream.append(("bit", 1 if t > 0 else 0))
+                    for ev in events[i:]:
+                        if ev[0] == "c":
+                            stream.append(("bit", ev[1]))
+                    events, rz = [], 0
+                else:
+                    events.append(("z",))
+                    rz += 1
+            if events:
+                syms.append(0x00)
+                stream.append(("sym", 0x00))
+                for ev in events:
+                    if ev[0] == "c":
+                        stream.append(("bit", ev[1]))
+        bits16, vals, enc = _jtables(syms or [0x00])
+        dht(1, bits16, vals)
+        sos([(comps[0][0], 0, 0)], 1, 63, ah, lvl)
+        for item in stream:
+            if item[0] == "sym":
+                ln, code = enc[item[1]]
+                jw.nbits(code, ln)
+            else:
+                jw.bit(item[1])
+        jw.flush()
+
+    jw.out += b"\xff\xd9"
+    return bytes(jw.out)
+
+
+def test_jpeg_progressive_grayscale_roundtrip():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 21, 14
+    gray = [[(x * 9 + y * 13) % 200 + 20 for x in range(w)] for y in range(h)]
+    out = decode_jpeg_pixels(_mk_jpeg_progressive(gray))
+    assert out is not None
+    pw, ph, rows = out
+    assert (pw, ph) == (w, h)
+    assert _maxdiff(rows, gray) <= 3  # q=1: only DCT rounding error
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive and baseline encodings of the same quantized data decode
+    to (near-)identical pixels — the successive-approximation accumulation
+    must reconstruct the full coefficients."""
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 24, 16
+    gray = [[(x * 7 + y * 11 + (x * y) // 3) % 240 for x in range(w)]
+            for y in range(h)]
+    prog = decode_jpeg_pixels(_mk_jpeg_progressive(gray))
+    base = decode_jpeg_pixels(_mk_jpeg(gray))
+    assert prog is not None and base is not None
+    assert _maxdiff(prog[2], base[2]) <= 1
+
+
+def test_jpeg_progressive_color_interleaved_dc_and_skipped_chroma():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 35, 22
+    gray = [[(x * 5 + y * 17) % 230 for x in range(w)] for y in range(h)]
+    out = decode_jpeg_pixels(_mk_jpeg_progressive(gray, color=True))
+    assert out is not None
+    pw, ph, rows = out
+    assert (pw, ph) == (w, h)
+    assert _maxdiff(rows, gray) <= 3
+
+
+def test_jpeg_progressive_deeper_approximation():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w, h = 17, 9
+    gray = [[(x * 29 + y * 41) % 255 for x in range(w)] for y in range(h)]
+    out = decode_jpeg_pixels(
+        _mk_jpeg_progressive(gray, dc_al=2, ac_al=2)
+    )
+    assert out is not None
+    assert _maxdiff(out[2], gray) <= 3
+
+
+def test_jpeg_progressive_hostile():
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    gray = [[(x * 3 + y) % 200 for x in range(10)] for y in range(10)]
+    valid = _mk_jpeg_progressive(gray)
+    for cut in range(0, len(valid), 11):
+        r = decode_jpeg_pixels(valid[:cut])
+        assert r is None or len(r) == 3
+    for flip_at in range(2, min(len(valid), 70), 3):
+        mutated = bytearray(valid)
+        mutated[flip_at] ^= 0xFF
+        r = decode_jpeg_pixels(bytes(mutated))
+        assert r is None or len(r) == 3
