@@ -1879,3 +1879,52 @@ def test_jpeg_progressive_hostile():
         mutated[flip_at] ^= 0xFF
         r = decode_jpeg_pixels(bytes(mutated))
         assert r is None or len(r) == 3
+
+
+def test_flac_full_decode_through_audio_features(spark):
+    # FLAC WITH frames: the spectral feature is real (and equals the WAV
+    # feature of the same samples), not NULL like the header-only case
+    import math
+
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    rate, n = 8000, 1024
+    samples = [int(9000 * math.sin(2 * math.pi * 500 * i / rate))
+               for i in range(n)]
+    rows = [
+        (1, "audio", _mk_flac([samples], rate=rate)),
+        (2, "audio", _wav(rate, samples)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] == rate and got[1]["mfcc"] is not None
+    assert got[1]["mfcc"] == got[2]["mfcc"]  # lossless: identical feature
+    assert abs(got[1]["duration_s"] - n / rate) < 1e-6
+
+
+def test_jpeg_progressive_zrl_in_refinement():
+    """A sparse spectrum (flat image + one tiny high-frequency component)
+    forces >16 zero-history runs in the AC refinement scan — the ZRL path
+    with interleaved correction bits."""
+    import math
+
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    w = h = 8
+    # one strong low-frequency cosine + a weak (7,7) component that only
+    # becomes significant at the final approximation level
+    gray = [
+        [
+            int(128 + 60 * math.cos((2 * x + 1) * math.pi / 16)
+                + 2 * math.cos((2 * x + 1) * 7 * math.pi / 16)
+                * math.cos((2 * y + 1) * 7 * math.pi / 16))
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    prog = decode_jpeg_pixels(_mk_jpeg_progressive(gray, ac_al=1))
+    base = decode_jpeg_pixels(_mk_jpeg(gray))
+    assert prog is not None and base is not None
+    assert _maxdiff(prog[2], base[2]) <= 1
