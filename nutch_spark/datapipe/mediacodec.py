@@ -739,15 +739,43 @@ def _box_resample(rows, w: int, h: int, out_w: int, out_h: int):
     return out
 
 
+def _orient_rows(rows, orientation: int):
+    """Apply an EXIF orientation (tag 274, values 2-8) to row-major pixel
+    rows so the result is upright — the same transforms PIL's
+    exif_transpose applies (flips, 90/180/270 rotations, transpose /
+    transverse)."""
+    if orientation == 2:  # mirror horizontal
+        return [list(reversed(r)) for r in rows]
+    if orientation == 3:  # rotate 180
+        return [list(reversed(r)) for r in reversed(rows)]
+    if orientation == 4:  # mirror vertical
+        return [list(r) for r in reversed(rows)]
+    if orientation == 5:  # transpose (main diagonal)
+        return [list(c) for c in zip(*rows)]
+    if orientation == 6:  # stored needs 90° CW to display upright
+        return [list(c) for c in zip(*reversed(rows))]
+    if orientation == 7:  # transverse (anti-diagonal)
+        return [list(c) for c in zip(*[list(reversed(r)) for r in reversed(rows)])]
+    if orientation == 8:  # stored needs 90° CCW to display upright
+        return [list(c) for c in zip(*rows)][::-1]
+    return rows
+
+
 def dhash64(payload: bytes) -> int | None:
     """64-bit difference hash (the standard perceptual near-dup hash):
-    grayscale → 9x8 box resample → bit = left pixel > right neighbor,
-    row-major, MSB first. None when pixels can't be decoded without a
-    codec library."""
+    grayscale → EXIF-orientation normalization (a rotated/flipped copy of
+    an image hashes identically to the upright original) → 9x8 box
+    resample → bit = left pixel > right neighbor, row-major, MSB first.
+    None when pixels can't be decoded without a codec library."""
     decoded = decode_gray_pixels(payload)
     if decoded is None:
         return None
     w, h, rows = decoded
+    if payload[:3] == b"\xff\xd8\xff":
+        o = exif_orientation(payload)
+        if o and o != 1:
+            rows = _orient_rows(rows, o)
+            h, w = len(rows), len(rows[0])
     if w < 2 or h < 1:
         return None
     grid = _box_resample(rows, w, h, 9, 8)

@@ -1928,3 +1928,52 @@ def test_jpeg_progressive_zrl_in_refinement():
     base = decode_jpeg_pixels(_mk_jpeg(gray))
     assert prog is not None and base is not None
     assert _maxdiff(prog[2], base[2]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# EXIF-orientation-normalized dHash
+# ---------------------------------------------------------------------------
+
+def test_orient_rows_all_eight():
+    from nutch_spark.datapipe.mediacodec import _orient_rows
+
+    m = [[1, 2, 3], [4, 5, 6]]
+    assert _orient_rows(m, 1) == m
+    assert _orient_rows(m, 2) == [[3, 2, 1], [6, 5, 4]]
+    assert _orient_rows(m, 3) == [[6, 5, 4], [3, 2, 1]]
+    assert _orient_rows(m, 4) == [[4, 5, 6], [1, 2, 3]]
+    assert _orient_rows(m, 5) == [[1, 4], [2, 5], [3, 6]]
+    assert _orient_rows(m, 6) == [[4, 1], [5, 2], [6, 3]]
+    assert _orient_rows(m, 7) == [[6, 3], [5, 2], [4, 1]]
+    assert _orient_rows(m, 8) == [[3, 6], [2, 5], [1, 4]]
+    # round-trips: involutions and the 6/8 inverse pair
+    for o, inv in ((2, 2), (3, 3), (4, 4), (5, 5), (7, 7), (6, 8), (8, 6)):
+        assert _orient_rows(_orient_rows(m, inv), o) == m, o
+
+
+def test_dhash_exif_orientation_normalized():
+    """A JPEG stored rotated/flipped but tagged with its EXIF orientation
+    hashes IDENTICALLY to the upright original — rotated re-posts of the
+    same image land in the same near-dup cluster."""
+    from nutch_spark.datapipe.mediacodec import _orient_rows, dhash64
+
+    w, h = 32, 24
+    base = [[(x * 5 + y * 9 + (x * y) // 7) % 231 for x in range(w)]
+            for y in range(h)]
+    upright_hash = dhash64(_mk_bmp(w, h, base))
+    assert upright_hash is not None
+    inv = {2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o in range(2, 9):
+        stored = _orient_rows(base, inv[o])
+        exif = b"Exif\x00\x00" + _tiff(0, 0, orientation=o)
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+        jpg = _mk_jpeg(stored)
+        tagged = jpg[:2] + app1 + jpg[2:]
+        got = dhash64(tagged)
+        assert got is not None, o
+        # q=1 JPEG round-trip wobbles pixels by ≤3 greys: allow ≤2 bits
+        assert bin(got ^ upright_hash).count("1") <= 2, o
+        # sanity: WITHOUT the tag, a rotated copy hashes far away
+        if o in (3, 6, 8):
+            untagged = dhash64(jpg)
+            assert bin(untagged ^ upright_hash).count("1") > 8, o
