@@ -400,6 +400,80 @@ def effective_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     return fmt, w, h
 
 
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_adpcm_step(nibble: int, state: list) -> int:
+    """One IMA ADPCM nibble → 16-bit sample; state = [predictor, index]."""
+    step = _IMA_STEP_TABLE[state[1]]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        diff = -diff
+    pred = state[0] + diff
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    state[0] = pred
+    idx = state[1] + _IMA_INDEX_TABLE[nibble]
+    state[1] = 0 if idx < 0 else (88 if idx > 88 else idx)
+    return pred
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA/DVI ADPCM 'data' chunk → interleaved 16-bit samples (numpy).
+    Blocks carry a 4-byte header per channel (predictor + step index),
+    then nibble data in 4-byte per-channel interleave (IMA WAV layout)."""
+    import numpy as np
+
+    if block_align < 4 * channels or channels > 8:
+        return None
+    out: list[int] = []
+    for base in range(0, len(data) - 4 * channels + 1, block_align):
+        block = data[base : base + block_align]
+        states = []
+        for c in range(channels):
+            pred = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            idx = block[4 * c + 2]
+            if idx > 88:
+                return None
+            states.append([pred, idx])
+        # the header predictor IS the block's first sample per channel
+        out.extend(st[0] for st in states)
+        body = block[4 * channels :]
+        # 4-byte (8-nibble) chunks per channel, channels round-robin
+        chunk_samples: list[list[int]] = [[] for _ in range(channels)]
+        for off in range(0, len(body) - 3, 4):
+            c = (off // 4) % channels
+            st = states[c]
+            for b in body[off : off + 4]:
+                chunk_samples[c].append(_ima_adpcm_step(b & 0xF, st))
+                chunk_samples[c].append(_ima_adpcm_step(b >> 4, st))
+        n = min(len(ch) for ch in chunk_samples) if channels > 1 else len(
+            chunk_samples[0]
+        )
+        for i in range(n):
+            for c in range(channels):
+                out.append(chunk_samples[c][i])
+    if not out:
+        return None
+    return np.array(out, dtype=np.int64)
+
+
 def parse_wav(payload: bytes) -> dict | None:
     """Parse a RIFF/WAVE container with integer PCM samples.
 
@@ -428,8 +502,25 @@ def parse_wav(payload: bytes) -> dict | None:
     if fmt is None or data is None:
         return None
     audio_format, channels, rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16, 32) or channels < 1 or rate < 1:
-        return None  # only integer PCM here — compressed WAVs need a codec
+    if channels < 1 or rate < 1:
+        return None
+    if audio_format == 0x11 and bits == 4:  # IMA ADPCM (from the public
+        # Microsoft/IMA spec): decode blocks to 16-bit PCM
+        samples = _ima_adpcm_decode(data, channels, block_align)
+        if samples is None:
+            return None
+        n_frames = len(samples) // channels
+        return {
+            "format": "wav",
+            "sample_rate": int(rate),
+            "n_channels": int(channels),
+            "bits": 16,  # decoded width
+            "n_samples": n_frames,
+            "duration_s": n_frames / rate,
+            "samples": samples,
+        }
+    if audio_format != 1 or bits not in (8, 16, 32):
+        return None  # other compressed WAVs (MP3-in-WAV, ...) need a codec
     bytes_per_sample = bits // 8
     if block_align != bytes_per_sample * channels or block_align == 0:
         return None

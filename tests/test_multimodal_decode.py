@@ -1977,3 +1977,71 @@ def test_dhash_exif_orientation_normalized():
         if o in (3, 6, 8):
             untagged = dhash64(jpg)
             assert bin(untagged ^ upright_hash).count("1") > 8, o
+
+
+def test_ima_adpcm_wav_decode():
+    """IMA ADPCM WAV (format 0x11): the test encoder reuses the decoder's
+    step function, so its own reconstruction is the exact expected output —
+    decode must match it bit-for-bit, and track the source within ADPCM
+    quantization error."""
+    import math
+
+    from nutch_spark.datapipe.mediacodec import (
+        _ima_adpcm_step,
+        _IMA_STEP_TABLE,
+        parse_wav,
+    )
+
+    rate, n = 8000, 1028
+    src = [int(11000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+
+    block_samples = 505  # 4-byte header + 252 data bytes → block_align 256
+    block_align = 4 + (block_samples - 1) // 2
+    data = bytearray()
+    expected = []
+    i = 0
+    while i < n:
+        chunk = src[i : i + block_samples]
+        i += block_samples
+        state = [chunk[0], 44]
+        data += int(state[0] & 0xFFFF).to_bytes(2, "little")
+        data += bytes([state[1], 0])
+        expected.append(state[0])
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[state[1]]
+            diff = s - state[0]
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            expected.append(_ima_adpcm_step(nib, state))
+            nibbles.append(nib)
+        while len(nibbles) % 8:  # pad to full 4-byte chunks
+            expected.append(_ima_adpcm_step(0, state))
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            data += bytes([nibbles[j] | (nibbles[j + 1] << 4)])
+
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, rate // 2, block_align, 4)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(data)) + bytes(data))
+    out = parse_wav(wav)
+    assert out is not None
+    assert out["sample_rate"] == rate and out["bits"] == 16
+    got = list(out["samples"])
+    assert got == expected  # bit-exact vs the encoder's reconstruction
+    err = max(abs(g - s) for g, s in zip(got, src))
+    # adaptation lag on a steep sine: within ~half the max step size
+    assert err < 6000
+    # hostile: bad step index / truncated blocks refuse or truncate cleanly
+    assert parse_wav(wav.replace(bytes([44, 0]), bytes([99, 0]), 1)) is None
