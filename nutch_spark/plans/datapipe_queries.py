@@ -2560,14 +2560,16 @@ _DHASH_CASE = "CASE doc_id % 16 " + " ".join(
 ) + " END"
 
 
-def _planted_jpeg(grid):
-    """72x64 baseline-sequential JPEG (T.81 §F) of DC-only 8x8 blocks:
-    block (bx, by) is exactly flat at grid[by][bx]. Quant DC step 8 with
-    quantized DC = g-128 makes the IDCT output exact ((g-128)*8/8 + 128
-    = g), so the lossy format reproduces the planted grid bit-for-bit —
-    and dhash64's 9x8 box resample averages each flat block back to the
-    grid value. Tables are minimal canonical Huffman: DC categories 0-8
-    as 4-bit codes, one 1-bit AC EOB."""
+def _planted_jpeg(grid, progressive=False):
+    """72x64 JPEG (T.81) of DC-only 8x8 blocks: block (bx, by) is exactly
+    flat at grid[by][bx]. Quant DC step 8 with quantized DC = g-128 makes
+    the IDCT output exact ((g-128)*8/8 + 128 = g), so the lossy format
+    reproduces the planted grid bit-for-bit — and dhash64's 9x8 box
+    resample averages each flat block back to the grid value. Baseline
+    (SOF0, per-block DC + AC-EOB) or progressive (SOF2, one DC-only scan
+    — every AC coefficient stays zero, a complete progressive image).
+    Tables are minimal canonical Huffman: DC categories 0-8 as 4-bit
+    codes, one 1-bit AC EOB (baseline only)."""
     import struct
 
     out = bytearray(b"\xff\xd8")
@@ -2579,14 +2581,18 @@ def _planted_jpeg(grid):
         out.extend(body)
 
     seg(0xDB, bytes([0]) + bytes([8] * 64))
-    seg(0xC0, struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0]))
+    sof = struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0])
+    seg(0xC2 if progressive else 0xC0, sof)
     dc_bits = [0] * 16
     dc_bits[3] = 9  # nine 4-bit codes: canonical 0000..1000 = category
     seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(9)))
-    ac_bits = [0] * 16
-    ac_bits[0] = 1  # one 1-bit code '0': EOB
-    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
-    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    if progressive:
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC scan, Ah=Al=0
+    else:
+        ac_bits = [0] * 16
+        ac_bits[0] = 1  # one 1-bit code '0': EOB
+        seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     bits = []
     pred = 0
     for by in range(8):
@@ -2601,7 +2607,8 @@ def _planted_jpeg(grid):
                 v = diff if diff >= 0 else diff + (1 << s) - 1
                 for i in range(s - 1, -1, -1):
                     bits.append((v >> i) & 1)
-            bits.append(0)  # EOB: DC-only block
+            if not progressive:
+                bits.append(0)  # EOB: DC-only block
     while len(bits) % 8:
         bits.append(1)
     for i in range(0, len(bits), 8):
@@ -2636,9 +2643,15 @@ def _planted_image_rows(pdf):
             ]
             for y in range(8)
         ]
-        if doc_id % 4 == 3:  # baseline JPEG, DC-only blocks (T.81 §F)
+        if doc_id % 4 == 3:  # JPEG, DC-only blocks: baseline (T.81 §F) or
+            # progressive (§G — single DC scan) alternating by id % 8
             rows.append(
-                {"media_id": int(doc_id), "payload": _planted_jpeg(grid)}
+                {
+                    "media_id": int(doc_id),
+                    "payload": _planted_jpeg(
+                        grid, progressive=doc_id % 8 == 7
+                    ),
+                }
             )
             continue
         if doc_id % 4 == 2:  # GIF89a: 256-gray global table, 9-bit literal
