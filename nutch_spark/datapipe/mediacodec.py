@@ -796,9 +796,9 @@ def decode_png_pixels(payload: bytes):
 
 
 def decode_gray_pixels(payload: bytes):
-    """Magic-dispatching pixel decode: BMP, PNG, GIF, or JPEG (baseline +
-    progressive) → (w, h, gray rows), or None when the format needs a
-    codec library (WebP, AVIF, ...)."""
+    """Magic-dispatching pixel decode: BMP, PNG, GIF, JPEG (baseline +
+    progressive), or baseline TIFF → (w, h, gray rows), or None when the
+    format needs a codec library (WebP, AVIF, ...)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -807,6 +807,8 @@ def decode_gray_pixels(payload: bytes):
         return decode_gif_pixels(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg_pixels(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_pixels(payload)
     return None
 
 
@@ -862,7 +864,7 @@ def dhash64(payload: bytes) -> int | None:
     if decoded is None:
         return None
     w, h, rows = decoded
-    if payload[:3] == b"\xff\xd8\xff":
+    if payload[:3] == b"\xff\xd8\xff" or payload[:4] in (b"II*\x00", b"MM\x00*"):
         o = exif_orientation(payload)
         if o and o != 1:
             rows = _orient_rows(rows, o)
@@ -1991,3 +1993,222 @@ def decode_flac_samples(payload: bytes) -> dict | None:
         "duration_s": got / info["sample_rate"],
         "samples": interleaved,
     }
+
+
+# ---------------------------------------------------------------------------
+# TIFF pixel decode (TIFF 6.0 spec: strips, PackBits, LZW, Deflate)
+# ---------------------------------------------------------------------------
+
+def _tiff_full_ifd(payload: bytes, ifd_off: int, endian: str):
+    """All IFD0 entries → {tag: list_of_values} for BYTE/SHORT/LONG types,
+    following value offsets when the data doesn't fit inline."""
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(f"{endian}H", payload, ifd_off)
+    out: dict[int, list[int]] = {}
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    for k in range(min(n_entries, 512)):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            return None
+        tag, typ, count = struct.unpack_from(f"{endian}HHI", payload, e)
+        if typ not in sizes or count == 0 or count > 1 << 20:
+            continue
+        total = sizes[typ] * count
+        off = e + 8
+        if total > 4:
+            (off,) = struct.unpack_from(f"{endian}I", payload, e + 8)
+        if off + total > len(payload):
+            continue
+        out[tag] = list(
+            struct.unpack_from(f"{endian}{count}{fmts[typ]}", payload, off)
+        )
+    return out
+
+
+def _packbits_decode(data: bytes, want: int):
+    """TIFF PackBits RLE (spec §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < want:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 = noop
+    return bytes(out[:want])
+
+
+def _tiff_lzw_decode(data: bytes, want: int):
+    """TIFF LZW (spec §13): MSB-first variable-width codes 9-12 bits,
+    Clear=256, EOI=257, with the early-change width bump (the code width
+    grows one code EARLIER than GIF's LZW)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:want])
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                else:
+                    return None
+                # early change: width grows when the NEXT code would not fit
+                if len(table) + 1 >= (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+            if len(out) >= want:
+                return bytes(out[:want])
+    return bytes(out[:want])
+
+
+def decode_tiff_pixels(payload: bytes):
+    """Baseline TIFF 6.0 → (width, height, gray rows): 8-bit grayscale
+    (both photometric polarities), RGB(A), and palette-color images in
+    strips, with Compression 1 (none), 5 (LZW incl. early change),
+    8/32946 (Deflate), or 32773 (PackBits), and horizontal-differencing
+    Predictor 2. Tiled, sub-8-bit, and CCITT fax TIFFs return None (the
+    injectable decoder seam covers them). Reference parity: Tika's
+    TiffParser delegates to the same TIFF 6.0 baseline feature set."""
+    import zlib
+
+    endian = _tiff_endian(payload)
+    if endian is None:
+        return None
+    try:
+        (ifd_off,) = struct.unpack(f"{endian}I", payload[4:8])
+        tags = _tiff_full_ifd(payload, ifd_off, endian)
+        if not tags:
+            return None
+        if 322 in tags or 324 in tags:
+            return None  # tiled layout
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        if not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+            return None
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bps = tags.get(258, [8] * spp)
+        if any(b != 8 for b in bps) or len(bps) < spp or spp > 8:
+            return None
+        if photo not in (0, 1, 2, 3) or (photo == 2 and spp < 3):
+            return None
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            return None
+        rows_per_strip = tags.get(278, [h])[0] or h
+        predictor = tags.get(317, [1])[0]
+        if predictor not in (1, 2):
+            return None
+        cmap = None
+        if photo == 3:
+            cm = tags.get(320)
+            if not cm or len(cm) < 3 * 256:
+                return None
+            # 16-bit palette entries; luma from the high bytes
+            cmap = [
+                (
+                    (cm[i] >> 8) * 299
+                    + (cm[256 + i] >> 8) * 587
+                    + (cm[512 + i] >> 8) * 114
+                )
+                // 1000
+                for i in range(256)
+            ]
+        stride = w * spp
+        raster = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            if nrows <= 0:
+                break
+            want = stride * nrows
+            chunk = payload[off : off + cnt]
+            if len(chunk) < cnt:
+                return None
+            if comp == 1:
+                data = chunk[:want]
+            elif comp == 32773:
+                data = _packbits_decode(chunk, want)
+            elif comp == 5:
+                data = _tiff_lzw_decode(chunk, want)
+            elif comp in (8, 32946):
+                dec = zlib.decompressobj()
+                data = dec.decompress(chunk, want)
+            else:
+                return None  # CCITT fax & friends need a codec library
+            if data is None or len(data) < want:
+                return None
+            data = bytearray(data)
+            if predictor == 2:  # horizontal differencing per channel
+                for r in range(nrows):
+                    base = r * stride
+                    for i in range(spp, stride):
+                        data[base + i] = (
+                            data[base + i] + data[base + i - spp]
+                        ) & 0xFF
+            raster += data
+        if len(raster) < stride * h:
+            return None
+        rows = []
+        for y in range(h):
+            base = y * stride
+            if photo == 2:  # RGB(A)
+                rows.append(
+                    [
+                        (
+                            raster[base + x * spp] * 299
+                            + raster[base + x * spp + 1] * 587
+                            + raster[base + x * spp + 2] * 114
+                        )
+                        // 1000
+                        for x in range(w)
+                    ]
+                )
+            elif photo == 3:  # palette
+                rows.append([cmap[raster[base + x * spp]] for x in range(w)])
+            elif photo == 0:  # WhiteIsZero
+                rows.append([255 - raster[base + x * spp] for x in range(w)])
+            else:  # BlackIsZero grayscale
+                rows.append([raster[base + x * spp] for x in range(w)])
+        return w, h, rows
+    except (struct.error, IndexError, ValueError, zlib.error):
+        return None

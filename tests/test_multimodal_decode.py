@@ -2045,3 +2045,247 @@ def test_ima_adpcm_wav_decode():
     assert err < 6000
     # hostile: bad step index / truncated blocks refuse or truncate cleanly
     assert parse_wav(wav.replace(bytes([44, 0]), bytes([99, 0]), 1)) is None
+
+
+# ---------------------------------------------------------------------------
+# TIFF pixel decode (strips, PackBits / LZW / Deflate, predictor 2)
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (tests only): MSB-first variable width with
+    the early-change rule, Clear up front, EOI at the end."""
+    out_bits: list[int] = []
+    width = 9
+
+    def put(code):
+        for i in range(width - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(256)  # Clear
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run])
+        table[cand] = next_code
+        next_code += 1
+        # early change: width grows when next_code+1 would overflow
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes([byte])
+    if run:
+        put(table[run])
+    put(257)  # EOI
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        int("".join(map(str, out_bits[i : i + 8])), 2)
+        for i in range(0, len(out_bits), 8)
+    )
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j + 1 < len(data) and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of identical bytes
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+        else:
+            j = i
+            while (
+                j + 1 < len(data)
+                and (j + 2 >= len(data) or data[j + 1] != data[j + 2])
+                and j - i < 127
+            ):
+                j += 1
+            out += bytes([j - i]) + data[i : j + 1]
+            i = j + 1
+    return bytes(out)
+
+
+def _mk_tiff_image(gray, *, comp=1, photo=1, spp=1, rows_per_strip=None,
+                   predictor=1, endian="<", cmap=None, orientation=None):
+    """Full TIFF writer (tests only): strips, optional compression,
+    predictor-2 differencing, gray/RGB/palette layouts."""
+    import zlib as _z
+
+    h, w = len(gray), len(gray[0])
+    rows_per_strip = rows_per_strip or h
+    stride = w * spp
+
+    def raster_rows(y0, y1):
+        raw = bytearray()
+        for y in range(y0, y1):
+            line = bytearray()
+            for g in gray[y]:
+                if photo == 2:
+                    line += bytes([g, g, g] + [255] * (spp - 3))
+                elif photo == 0:
+                    line += bytes([255 - g] * spp)
+                else:
+                    line += bytes([g] * spp)
+            if predictor == 2:
+                enc = bytearray(line)
+                for i in range(stride - 1, spp - 1, -1):
+                    enc[i] = (line[i] - line[i - spp]) & 0xFF
+                line = enc
+            raw += line
+        return bytes(raw)
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = raster_rows(y0, min(y0 + rows_per_strip, h))
+        if comp == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif comp == 8:
+            strips.append(_z.compress(raw))
+        elif comp == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [comp]))
+    entries.append((262, 3, 1, [photo]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rows_per_strip]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [predictor]))
+    if cmap is not None:
+        entries.append((320, 3, len(cmap), cmap))
+    if orientation is not None:
+        entries.append((274, 3, 1, [orientation]))
+    # layout: header(8) + IFD + external value area + strip data
+    n_with_strips = len(entries) + 2
+    ifd_size = 2 + 12 * n_with_strips + 4
+    ext = bytearray()
+    ext_base = 8 + ifd_size
+
+    def value_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack(f"{endian}{fmt}", v) for v in vals)
+
+    fixed = []
+    for tag, typ, count, vals in entries:
+        vb = value_bytes(typ, vals)
+        if len(vb) <= 4:
+            fixed.append((tag, typ, count, vb.ljust(4, b"\x00")))
+        else:
+            fixed.append(
+                (tag, typ, count,
+                 struct.pack(f"{endian}I", ext_base + len(ext)))
+            )
+            ext += vb
+    # strip offsets/counts go after ext; compute strip data base
+    n_strips = len(strips)
+    so_bytes = 4 * n_strips
+    strip_meta_off = ext_base + len(ext)
+    data_base = strip_meta_off + (2 * so_bytes if n_strips > 1 else 0)
+    offs, pos = [], data_base
+    for sdata in strips:
+        offs.append(pos)
+        pos += len(sdata)
+    if n_strips > 1:
+        fixed.append((273, 4, n_strips, struct.pack(f"{endian}I", strip_meta_off)))
+        fixed.append((279, 4, n_strips,
+                      struct.pack(f"{endian}I", strip_meta_off + so_bytes)))
+        ext += b"".join(struct.pack(f"{endian}I", o) for o in offs)
+        ext += b"".join(struct.pack(f"{endian}I", len(sd)) for sd in strips)
+    else:
+        fixed.append((273, 4, 1, struct.pack(f"{endian}I", offs[0]).ljust(4, b"\x00")))
+        fixed.append((279, 4, 1, struct.pack(f"{endian}I", len(strips[0])).ljust(4, b"\x00")))
+    fixed.sort(key=lambda e: e[0])
+    out = bytearray(b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += struct.pack(f"{endian}I", 8)
+    out += struct.pack(f"{endian}H", len(fixed))
+    for tag, typ, count, vb in fixed:
+        out += struct.pack(f"{endian}HHI", tag, typ, count) + vb
+    out += struct.pack(f"{endian}I", 0)  # next IFD
+    out += ext
+    for sdata in strips:
+        out += sdata
+    return bytes(out)
+
+
+def test_tiff_pixel_decode_compressions_and_layouts():
+    from nutch_spark.datapipe.mediacodec import decode_tiff_pixels
+
+    w, h = 23, 11
+    gray = [[(x * 13 + y * 31) % 251 for x in range(w)] for y in range(h)]
+    for comp in (1, 5, 8, 32773):
+        for endian in ("<", ">"):
+            out = decode_tiff_pixels(
+                _mk_tiff_image(gray, comp=comp, endian=endian,
+                               rows_per_strip=4)
+            )
+            assert out == (w, h, gray), (comp, endian)
+    # RGB with extra alpha sample + predictor 2 under LZW
+    out = decode_tiff_pixels(
+        _mk_tiff_image(gray, comp=5, photo=2, spp=4, predictor=2,
+                       rows_per_strip=3)
+    )
+    assert out == (w, h, gray)
+    # WhiteIsZero inverts
+    out = decode_tiff_pixels(_mk_tiff_image(gray, photo=0))
+    assert out == (w, h, gray)
+    # grayscale predictor-2 uncompressed
+    out = decode_tiff_pixels(_mk_tiff_image(gray, predictor=2))
+    assert out == (w, h, gray)
+
+
+def test_tiff_palette_and_guards():
+    from nutch_spark.datapipe.mediacodec import decode_tiff_pixels
+
+    # palette: indexes 0..15, 16-bit colormap entries (v<<8 makes luma==v*?)
+    idx = [[(x + y) % 16 for x in range(9)] for y in range(5)]
+    cmap = [i * 17 << 8 for i in range(16)] + [0] * 240  # R plane
+    cmap += [i * 17 << 8 for i in range(16)] + [0] * 240  # G plane
+    cmap += [i * 17 << 8 for i in range(16)] + [0] * 240  # B plane
+    out = decode_tiff_pixels(_mk_tiff_image(idx, photo=3, cmap=cmap))
+    assert out is not None
+    w, h, rows = out
+    luma = [(v * 17 * 299 + v * 17 * 587 + v * 17 * 114) // 1000
+            for v in range(16)]
+    assert rows == [[luma[v] for v in r] for r in idx]
+    # hostile: truncated strips, bogus compression
+    valid = _mk_tiff_image(idx)
+    for cut in range(0, len(valid), 7):
+        r = decode_tiff_pixels(valid[:cut])
+        assert r is None or len(r) == 3
+    bad = _mk_tiff_image(idx, comp=1).replace(
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1).ljust(4, b"\x00"),
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 4).ljust(4, b"\x00"),
+    )
+    assert decode_tiff_pixels(bad) is None  # CCITT → needs codec
+
+
+def test_tiff_dhash_format_independence_and_orientation():
+    from nutch_spark.datapipe.mediacodec import _orient_rows, dhash64
+
+    w, h = 36, 32
+    base = [[(x * 7 + y * 3) % 97 for x in range(w)] for y in range(h)]
+    assert dhash64(_mk_tiff_image(base, comp=5)) == dhash64(_mk_bmp(w, h, base))
+    # TIFF orientation tag (274) normalizes exactly like JPEG EXIF
+    upright = dhash64(_mk_bmp(w, h, base))
+    inv = {2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o in (3, 6, 8):
+        stored = _orient_rows(base, inv[o])
+        tagged = _mk_tiff_image(stored, orientation=o)
+        assert dhash64(tagged) == upright, o
+        assert dhash64(_mk_tiff_image(stored)) != upright, o
