@@ -2623,13 +2623,14 @@ def _planted_jpeg(grid, progressive=False):
 
 
 def _planted_image_rows(pdf):
-    """doc_id → one REAL image, format rotating by id % 4: 9x8 grayscale
-    PNG (zlib IDAT, None+Up filters), 9x8 uncompressed 24-bit bottom-up
-    BMP, 9x8 GIF89a (from-spec LZW sub-blocks), or a 72x64 baseline JPEG
-    of DC-only 8x8 blocks (block (bx,by) carries grid[by][bx], so the 9x8
-    box-resample recovers the grid EXACTLY despite JPEG being lossy). All
-    four decode paths land on the same gray grid, so ONE closed-form
-    oracle pins every decoder."""
+    """doc_id → one REAL image, format rotating by id: 9x8 grayscale PNG
+    (zlib IDAT, None+Up filters), 9x8 uncompressed 24-bit bottom-up BMP
+    or 9x8 single-strip grayscale TIFF (split by id % 8), 9x8 GIF89a
+    (from-spec LZW sub-blocks), or a 72x64 JPEG of DC-only 8x8 blocks —
+    baseline or progressive by id % 8 — where block (bx,by) carries
+    grid[by][bx], so the 9x8 box-resample recovers the grid EXACTLY
+    despite JPEG being lossy. All five container formats land on the
+    same gray grid, so ONE closed-form oracle pins every decoder."""
     import struct
     import zlib
 
@@ -2704,7 +2705,22 @@ def _planted_image_rows(pdf):
                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b"")
             )
-        else:  # id%4==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
+        elif doc_id % 8 == 5:  # TIFF: 8-bit gray, one uncompressed strip
+            raster = bytes(v for row in grid for v in row)
+            ifd = [
+                (256, 3, 1, 9), (257, 3, 1, 8), (258, 3, 1, 8),
+                (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+                (278, 3, 1, 8),
+                (273, 4, 1, 8 + 2 + 12 * 9 + 4),  # strip follows the IFD
+                (279, 4, 1, len(raster)),
+            ]
+            ifd.sort()
+            payload = b"II*\x00" + struct.pack("<I", 8)
+            payload += struct.pack("<H", len(ifd))
+            for tag, typ, count, val in ifd:
+                payload += struct.pack("<HHII", tag, typ, count, val)
+            payload += struct.pack("<I", 0) + raster
+        else:  # id%8==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
             data = bytearray()
             for y in range(7, -1, -1):
                 row = bytearray()
