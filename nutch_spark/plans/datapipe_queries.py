@@ -2760,12 +2760,13 @@ def _planted_dhashes(spark, sf_dir, limit=None):
     "mm_image_dhash",
     f"""
     -- REAL pixel decode, no codec library: each doc becomes an image in a
-    -- format rotating by id %% 4 — grayscale PNG (zlib IDAT, None+Up
-    -- filters), uncompressed 24-bit bottom-up BMP, GIF89a (from-spec LZW),
-    -- or baseline JPEG (T.81 Huffman + IDCT, DC-only blocks so the lossy
-    -- format is exact) — and the from-spec decoders produce identical gray
-    -- grids, so the 64-bit difference hash matches the closed form of the
-    -- planted gradient formula.
+    -- rotating container format — grayscale PNG (zlib IDAT, None+Up
+    -- filters), uncompressed 24-bit bottom-up BMP, single-strip gray TIFF,
+    -- GIF89a (from-spec LZW), or JPEG (T.81 Huffman + IDCT, baseline AND
+    -- progressive, DC-only blocks so the lossy format is exact) — and the
+    -- from-spec decoders produce identical gray grids, so the 64-bit
+    -- difference hash matches the closed form of the planted gradient
+    -- formula.
     SELECT doc_id AS media_id, {_DHASH_CASE} AS dhash FROM documents
     """,
 )
