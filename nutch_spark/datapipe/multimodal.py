@@ -533,3 +533,69 @@ def audio_fingerprints(
         return {"media_id": media_id, "afp": None}
 
     return _map_media(media, None, AUDIO_FP_SCHEMA, row, null_row, batch_partitions)
+
+
+EMBEDDED_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("img_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def embedded_image_dhash(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    max_images: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """Perceptual hashes of the raster images EMBEDDED in container
+    documents: ``parse_binary.extract_embedded_images`` unpacks each blob
+    (PDF DCTDecode XObjects, zip-packaged OOXML/ODF/EPUB media members,
+    email image/* parts — Tika's EmbeddedDocumentExtractor surface), and
+    each image hashes through ``dhash64``. Output keys (media_id,
+    img_idx), one row per embedded image (documents without images emit
+    nothing), so embedded media joins ``dhash_near_dup``'s banded Hamming
+    space alongside fetched standalone images — a re-packaged copy of a
+    picture clusters with its original. 100 TB shape: identical to
+    image_dhash — one map-only Arrow stage, zero shuffle; the payload
+    column prunes away from every non-media query."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.mediacodec import dhash64
+    from nutch_spark.operators.parse_binary import extract_embedded_images
+
+    compute = hash_fn or dhash64
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    images = extract_embedded_images(
+                        bytes(payload), max_images=max_images
+                    )
+                except Exception:  # noqa: BLE001 — one bad container
+                    continue
+                for idx, img in enumerate(images):
+                    try:
+                        h = compute(img)
+                    except Exception:  # noqa: BLE001
+                        h = None
+                    if h is not None and h >= 1 << 63:
+                        h -= 1 << 64  # signed-64 wrap like image_dhash
+                    rows.append(
+                        {"media_id": media_id, "img_idx": idx, "dhash": h}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "img_idx", "dhash"]
+            )
+
+    src = media.select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(run, EMBEDDED_DHASH_SCHEMA)

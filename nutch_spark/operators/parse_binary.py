@@ -1084,3 +1084,96 @@ def parse_binary(
 
     src = fetch_log.filter(F.col(content).isNotNull()).select(url, content)
     return src.mapInPandas(run, PARSE_BINARY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Embedded raster images (Tika's EmbeddedDocumentExtractor surface)
+# ---------------------------------------------------------------------------
+
+_IMAGE_MAGICS = (
+    b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a", b"BM", b"\xff\xd8\xff",
+    b"II*\x00", b"MM\x00*",
+)
+_IMAGE_EXTS = ("png", "jpg", "jpeg", "gif", "bmp", "tif", "tiff")
+
+
+def _looks_image(blob: bytes) -> bool:
+    return any(blob.startswith(m) for m in _IMAGE_MAGICS)
+
+
+def extract_embedded_images(
+    data: bytes, *, max_images: int = 64, max_bytes: int = 1 << 24
+) -> list[bytes]:
+    """The raster images embedded in a container document, as standalone
+    image files (reference parity: parse-tika's EmbeddedDocumentExtractor
+    recursion, TikaParser.java routing):
+
+    - PDF: image XObjects whose filter is DCTDecode — the stream bytes ARE
+      a JPEG file (PDF 32000-1 §7.4.8); Flate/JPX-coded images need the
+      raster re-wrapped and are skipped.
+    - Zip-packaged documents (OOXML word|ppt|xl/media/, ODF Pictures/,
+      EPUB images/...): members with image extensions whose bytes carry a
+      known raster magic.
+    - RFC 822 email: image/* MIME parts (decoded payloads).
+
+    Bounded at ``max_images`` blobs of ``max_bytes`` each so a hostile
+    container can't balloon the row. Feeds ``image_dhash`` so embedded
+    media joins the perceptual near-dup space alongside fetched images."""
+    out: list[bytes] = []
+    if data[:5] == b"%PDF-":
+        for m in _STREAM_RE.finditer(data):
+            params, raw = m.group(1), m.group(2)
+            if b"/Image" not in params or b"/DCTDecode" not in params:
+                continue
+            length = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", params)
+            if length and int(length.group(1)) <= len(raw):
+                raw = raw[: int(length.group(1))]
+            elif raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n"):
+                raw = raw[:-1]
+            if raw[:3] == b"\xff\xd8\xff" and len(raw) <= max_bytes:
+                out.append(bytes(raw))
+                if len(out) >= max_images:
+                    break
+        return out
+    if data[:2] == b"PK":
+        try:
+            with zipfile.ZipFile(BytesIO(data)) as z:
+                for info in z.infolist():
+                    ext = info.filename.lower().rsplit(".", 1)[-1]
+                    if ext not in _IMAGE_EXTS or info.file_size > max_bytes:
+                        continue
+                    try:
+                        blob = z.read(info)
+                    except Exception:  # noqa: BLE001 — one bad member
+                        continue
+                    if _looks_image(blob):
+                        out.append(blob)
+                        if len(out) >= max_images:
+                            break
+        except (zipfile.BadZipFile, OSError, EOFError):
+            pass
+        return out
+    from nutch_spark.operators.parse_tail import looks_like_rfc822
+
+    if looks_like_rfc822(data):
+        import email
+        from email import policy
+
+        try:
+            msg = email.message_from_bytes(data, policy=policy.default)
+            for part in msg.walk():
+                if part.get_content_maintype() != "image":
+                    continue
+                try:
+                    blob = part.get_payload(decode=True)
+                except Exception:  # noqa: BLE001 — broken transfer encoding
+                    continue
+                if blob and len(blob) <= max_bytes and _looks_image(blob):
+                    out.append(blob)
+                    if len(out) >= max_images:
+                        break
+        except Exception:  # noqa: BLE001 — malformed MIME yields no images
+            pass
+    return out

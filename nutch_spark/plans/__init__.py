@@ -23,7 +23,8 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # r09-certified block (the verdict-named p2/pf parser rows first), then
 # the r10-certified 50 (freshest records last).
 _CERTIFY_FIRST = [
-    # code changed in round 11 — certify first
+    # code changed / added in round 11 — certify first
+    "mm_embedded_dhash",
     "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
     "mm_audio_features", "dp_ivf_topk", "dp_ivf_recall",
     "p1_fetch_binary_pipeline", "p1_politeness",

@@ -2560,6 +2560,117 @@ _DHASH_CASE = "CASE doc_id % 16 " + " ".join(
 ) + " END"
 
 
+def _planted_grid(doc_id: int):
+    k = doc_id % 16
+    return [
+        [
+            (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
+            for x in range(9)
+        ]
+        for y in range(8)
+    ]
+
+
+def _planted_png(grid):
+    """9x8 grayscale PNG of the planted grid (filters None on even rows,
+    Up on odd rows)."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    prev = [0] * 9
+    for y, line in enumerate(grid):
+        if y % 2 == 0:
+            raw.append(0)
+            raw += bytes(line)
+        else:
+            raw.append(2)
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(9))
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _planted_gif(grid):
+    """9x8 GIF89a of the planted grid: 256-gray global table, 9-bit
+    literal LZW codes with a leading CLEAR (spec appendix F packing)."""
+    import struct
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
+    for c in range(256):
+        gif += bytes([c, c, c])
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
+    codes = [256] + [v for row in grid for v in row] + [257]
+    acc = bits = 0
+    lzw = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 9
+        while bits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        lzw.append(acc & 0xFF)
+    gif += bytes([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+def _planted_bmp(grid):
+    """9x8 24bpp bottom-up BMP of the planted grid, rows padded to 4."""
+    import struct
+
+    data = bytearray()
+    for y in range(7, -1, -1):
+        row = bytearray()
+        for gval in grid[y]:
+            row += bytes([gval, gval, gval])
+        row += b"\x00" * ((-len(row)) % 4)
+        data += row
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 9, 8, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + bytes(data)
+    )
+
+
+def _planted_tiff(grid):
+    """9x8 8-bit grayscale TIFF of the planted grid: one uncompressed
+    strip directly after the IFD."""
+    import struct
+
+    raster = bytes(v for row in grid for v in row)
+    ifd = [
+        (256, 3, 1, 9), (257, 3, 1, 8), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (278, 3, 1, 8),
+        (273, 4, 1, 8 + 2 + 12 * 9 + 4),
+        (279, 4, 1, len(raster)),
+    ]
+    ifd.sort()
+    payload = b"II*\x00" + struct.pack("<I", 8)
+    payload += struct.pack("<H", len(ifd))
+    for tag, typ, count, val in ifd:
+        payload += struct.pack("<HHII", tag, typ, count, val)
+    return payload + struct.pack("<I", 0) + raster
+
+
 def _planted_jpeg(grid, progressive=False):
     """72x64 JPEG (T.81) of DC-only 8x8 blocks: block (bx, by) is exactly
     flat at grid[by][bx]. Quant DC step 8 with quantized DC = g-128 makes
@@ -2631,108 +2742,19 @@ def _planted_image_rows(pdf):
     grid[by][bx], so the 9x8 box-resample recovers the grid EXACTLY
     despite JPEG being lossy. All five container formats land on the
     same gray grid, so ONE closed-form oracle pins every decoder."""
-    import struct
-    import zlib
-
     rows = []
     for doc_id in pdf["doc_id"]:
-        k = int(doc_id) % 16
-        grid = [
-            [
-                (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
-                for x in range(9)
-            ]
-            for y in range(8)
-        ]
-        if doc_id % 4 == 3:  # JPEG, DC-only blocks: baseline (T.81 §F) or
-            # progressive (§G — single DC scan) alternating by id % 8
-            rows.append(
-                {
-                    "media_id": int(doc_id),
-                    "payload": _planted_jpeg(
-                        grid, progressive=doc_id % 8 == 7
-                    ),
-                }
-            )
-            continue
-        if doc_id % 4 == 2:  # GIF89a: 256-gray global table, 9-bit literal
-            # LZW codes with a leading CLEAR (spec appendix F packing)
-            gif = bytearray(b"GIF89a")
-            gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
-            for c in range(256):
-                gif += bytes([c, c, c])
-            gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
-            codes = [256] + [v for row in grid for v in row] + [257]
-            acc = bits = 0
-            lzw = bytearray()
-            for c in codes:
-                acc |= c << bits
-                bits += 9
-                while bits >= 8:
-                    lzw.append(acc & 0xFF)
-                    acc >>= 8
-                    bits -= 8
-            if bits:
-                lzw.append(acc & 0xFF)
-            gif += bytes([8])
-            for i in range(0, len(lzw), 255):
-                chunk = lzw[i : i + 255]
-                gif += bytes([len(chunk)]) + chunk
-            gif += b"\x00\x3b"
-            rows.append({"media_id": int(doc_id), "payload": bytes(gif)})
-            continue
-        if doc_id % 4 == 0:  # PNG, filter 0 on even rows / filter 2 (Up) odd
-            raw = bytearray()
-            prev = [0] * 9
-            for y, line in enumerate(grid):
-                if y % 2 == 0:
-                    raw.append(0)
-                    raw += bytes(line)
-                else:
-                    raw.append(2)
-                    raw += bytes((line[i] - prev[i]) & 0xFF for i in range(9))
-                prev = line
-
-            def chunk(tag, body):
-                return (
-                    struct.pack(">I", len(body)) + tag + body
-                    + struct.pack(">I", zlib.crc32(tag + body))
-                )
-
-            payload = (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
-                + chunk(b"IDAT", zlib.compress(bytes(raw)))
-                + chunk(b"IEND", b"")
-            )
-        elif doc_id % 8 == 5:  # TIFF: 8-bit gray, one uncompressed strip
-            raster = bytes(v for row in grid for v in row)
-            ifd = [
-                (256, 3, 1, 9), (257, 3, 1, 8), (258, 3, 1, 8),
-                (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
-                (278, 3, 1, 8),
-                (273, 4, 1, 8 + 2 + 12 * 9 + 4),  # strip follows the IFD
-                (279, 4, 1, len(raster)),
-            ]
-            ifd.sort()
-            payload = b"II*\x00" + struct.pack("<I", 8)
-            payload += struct.pack("<H", len(ifd))
-            for tag, typ, count, val in ifd:
-                payload += struct.pack("<HHII", tag, typ, count, val)
-            payload += struct.pack("<I", 0) + raster
-        else:  # id%8==1 — BMP: 24bpp, rows padded to 4 bytes, bottom-up
-            data = bytearray()
-            for y in range(7, -1, -1):
-                row = bytearray()
-                for gval in grid[y]:
-                    row += bytes([gval, gval, gval])
-                row += b"\x00" * ((-len(row)) % 4)
-                data += row
-            payload = (
-                b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-                + struct.pack("<IiiHHIIiiII", 40, 9, 8, 1, 24, 0, len(data), 0, 0, 0, 0)
-                + bytes(data)
-            )
+        grid = _planted_grid(int(doc_id))
+        if doc_id % 4 == 3:  # JPEG: baseline or progressive by id % 8
+            payload = _planted_jpeg(grid, progressive=doc_id % 8 == 7)
+        elif doc_id % 4 == 2:
+            payload = _planted_gif(grid)
+        elif doc_id % 4 == 0:
+            payload = _planted_png(grid)
+        elif doc_id % 8 == 5:
+            payload = _planted_tiff(grid)
+        else:  # id%8==1
+            payload = _planted_bmp(grid)
         rows.append({"media_id": int(doc_id), "payload": payload})
     return rows
 
@@ -2806,6 +2828,91 @@ def mm_dhash_neardup(spark, sf_dir):
 
     hashes = _planted_dhashes(spark, sf_dir, limit=320)
     return dhash_near_dup(hashes, max_hamming=3, bands=4)
+
+
+def _planted_container_rows(pdf):
+    """doc_id → one CONTAINER document embedding the planted class image,
+    rotating by id % 3: a PDF with a DCTDecode image XObject (the planted
+    JPEG bytes ride the stream verbatim, PDF 32000-1 §7.4.8), an
+    OOXML-shaped zip carrying word/media/image1.png (the planted PNG), or
+    an RFC 822 multipart email with a base64 image/gif part."""
+    import base64
+    import zipfile
+    from io import BytesIO
+
+    rows = []
+    for doc_id in pdf["doc_id"]:
+        grid = _planted_grid(int(doc_id))
+        r = doc_id % 3
+        if r == 0:
+            jpg = _planted_jpeg(grid)
+            payload = (
+                b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image"
+                b" /Filter /DCTDecode /Width 72 /Height 64 /Length "
+                + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
+                + b"\nendstream\nendobj\n%%EOF\n"
+            )
+        elif r == 1:
+            buf = BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                for name, body in (
+                    ("word/document.xml", b"<w:document/>"),
+                    ("word/media/image1.png", _planted_png(grid)),
+                ):
+                    info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                    z.writestr(info, body)
+            payload = buf.getvalue()
+        else:
+            b64 = base64.encodebytes(_planted_gif(grid)).decode()
+            payload = (
+                "MIME-Version: 1.0\r\nFrom: crawler@example.com\r\n"
+                "Subject: planted container\r\n"
+                "Content-Type: multipart/mixed; boundary=BB\r\n\r\n"
+                "--BB\r\nContent-Type: text/plain\r\n\r\nbody text\r\n"
+                "--BB\r\nContent-Type: image/gif\r\n"
+                "Content-Transfer-Encoding: base64\r\n\r\n"
+                + b64 + "--BB--\r\n"
+            ).encode()
+        rows.append({"media_id": int(doc_id), "payload": payload})
+    return rows
+
+
+@q(
+    "mm_embedded_dhash",
+    f"""
+    -- Embedded-media dedup: each doc becomes a CONTAINER (PDF DCTDecode
+    -- XObject / OOXML zip media member / multipart-email attachment, by
+    -- id %% 3) holding the planted class image; container extraction +
+    -- pixel decode + dHash must land on the same closed form as the
+    -- standalone images, keyed (media_id, img_idx=0).
+    SELECT doc_id AS media_id, 0 AS img_idx, {_DHASH_CASE} AS dhash
+    FROM documents WHERE doc_id < 320
+    """,
+)
+def mm_embedded_dhash(spark, sf_dir):
+    """Perceptual hashing of EMBEDDED media (multimodal.
+    embedded_image_dhash → parse_binary.extract_embedded_images, Tika's
+    EmbeddedDocumentExtractor surface): images inside PDFs, zip-packaged
+    documents, and email attachments join the same banded-Hamming
+    near-dup space as standalone images — a re-packaged copy of a
+    picture clusters with its original. 100 TB: one map-only Arrow stage
+    (container unzip + pixel decode per row), zero shuffle."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import embedded_image_dhash
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 320
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _planted_container_rows(pdf), columns=["media_id", "payload"]
+            )
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return embedded_image_dhash(media)
 
 
 _AFP_TERMS = " + ".join(

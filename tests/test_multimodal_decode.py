@@ -2289,3 +2289,90 @@ def test_tiff_dhash_format_independence_and_orientation():
         tagged = _mk_tiff_image(stored, orientation=o)
         assert dhash64(tagged) == upright, o
         assert dhash64(_mk_tiff_image(stored)) != upright, o
+
+
+# ---------------------------------------------------------------------------
+# Embedded-image extraction (PDF / zip containers / email)
+# ---------------------------------------------------------------------------
+
+def test_extract_embedded_images_all_containers():
+    import base64
+    import zipfile
+    from io import BytesIO
+
+    from nutch_spark.operators.parse_binary import extract_embedded_images
+
+    w, h = 24, 16
+    gray = [[(x * 9 + y * 5) % 210 for x in range(w)] for y in range(h)]
+    jpg = _mk_jpeg(gray)
+    png = _png(8, 8)  # header-level PNG: magic is what matters here
+
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image"
+           b" /Filter /DCTDecode /Length " + str(len(jpg)).encode()
+           + b" >>\nstream\n" + jpg + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length 8 >>\nstream\nBT ET xx\nendstream\nendobj\n"
+           b"%%EOF\n")
+    got = extract_embedded_images(pdf)
+    assert got == [jpg]  # the text stream is not an image
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", "<w/>")
+        z.writestr("word/media/image1.png", png)
+        z.writestr("word/media/fake.png", b"not an image at all")
+        z.writestr("word/media/pic2.jpeg", jpg)
+    got = extract_embedded_images(buf.getvalue())
+    assert got == [png, jpg]  # extension match + magic check, order kept
+
+    eml = ("From: a@x\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+           "Content-Type: multipart/mixed; boundary=qq\r\n\r\n"
+           "--qq\r\nContent-Type: text/plain\r\n\r\nhello\r\n"
+           "--qq\r\nContent-Type: image/jpeg\r\n"
+           "Content-Transfer-Encoding: base64\r\n\r\n"
+           + base64.encodebytes(jpg).decode()
+           + "--qq--\r\n").encode()
+    got = extract_embedded_images(eml)
+    assert got == [jpg]
+
+    # hostile: corrupt base64 part, truncated zip, junk bytes → no crash
+    corrupt = eml.replace(base64.encodebytes(jpg)[:8], b"#!@$%^&*")
+    for blob in extract_embedded_images(corrupt):
+        assert isinstance(blob, bytes)
+    assert extract_embedded_images(buf.getvalue()[:40]) == []
+    assert extract_embedded_images(b"\x00" * 100) == []
+    # cap respected
+    many = BytesIO()
+    with zipfile.ZipFile(many, "w") as z:
+        for i in range(80):
+            z.writestr(f"m/{i}.png", png)
+    assert len(extract_embedded_images(many.getvalue(), max_images=5)) == 5
+
+
+def test_embedded_image_dhash_spark(spark):
+    import zipfile
+    from io import BytesIO
+
+    from nutch_spark.datapipe.mediacodec import dhash64
+    from nutch_spark.datapipe.multimodal import embedded_image_dhash
+
+    w, h = 36, 32
+    base = [[(x * 7 + y * 3) % 97 for x in range(w)] for y in range(h)]
+    jpg = _mk_jpeg(base)
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("Pictures/a.bmp", _mk_bmp(w, h, base))
+    rows = [
+        (0, bytearray(b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Filter "
+                      b"/DCTDecode /Length " + str(len(jpg)).encode()
+                      + b" >>\nstream\n" + jpg + b"\nendstream\nendobj\n")),
+        (1, bytearray(buf.getvalue())),
+        (2, bytearray(b"plain text, no images")),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["media_id"], r["img_idx"]): r["dhash"]
+           for r in embedded_image_dhash(media).collect()}
+    expect = dhash64(_mk_bmp(w, h, base))
+    assert set(got) == {(0, 0), (1, 0)}  # imageless/null docs emit nothing
+    assert got[(1, 0)] == expect
+    assert bin((got[(0, 0)] & ((1 << 64) - 1)) ^ expect).count("1") <= 2
