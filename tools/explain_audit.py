@@ -172,6 +172,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio fingerprint: map-only decode+FFT stage
     "mm_audio_fingerprint": [[r"MapInPandas|mapInPandas"],
                              [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # embedded-media dHash: container unzip + pixel decode, map-only
+    "mm_embedded_dhash": [[r"MapInPandas|mapInPandas"],
+                          [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
 }
 
 
