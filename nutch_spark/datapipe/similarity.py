@@ -151,6 +151,60 @@ def lsh_topk(
     return pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def vec_norm(v: Column) -> Column:
+    """sqrt(sum(x^2)) of an ARRAY<FLOAT/DOUBLE> column (double math) —
+    the same accumulation order as :func:`cosine`'s norm subterm, so
+    dot/(norm_v * lit_norm) is bit-identical to cosine(v, lit)."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def _dlit(x: float) -> str:
+    """A Spark SQL DOUBLE literal that round-trips ``x`` exactly."""
+    r = repr(float(x))
+    if "e" in r or "E" in r or "n" in r:  # scientific notation / nan / inf
+        return f"cast('{r}' as double)"
+    return f"{r}D"
+
+
+def _cents_rank(vcol: str, norm_col: str, cents, round_sim: int = 6) -> Column:
+    """Cell ids ordered nearest-first against literal centroids. One
+    struct array, each centroid DOT computed exactly once — a chained
+    when/greatest fold would duplicate every cosine subtree per
+    comparison and blow the plan up exponentially (the first draft took
+    minutes to analyze). The row norm comes in as column ``norm_col``
+    (computed ONCE per row) and each centroid norm as a driver-side
+    literal — recomputing the row norm inside all K cosines tripled the
+    higher-order-function evaluation cost per row. Same IEEE doubles as
+    cosine(): identical accumulation order, math.sqrt == JVM sqrt. The
+    whole expression is built as ONE SQL string (F.expr): constructing
+    K struct/HOF Columns through py4j cost ~1 s of driver chatter per
+    plan, the parser does it in ~0.2 s. Cosines are rounded before
+    ranking so the cid tie-break matches the SQL oracle's
+    round(s, 6) ... ORDER BY s DESC, cid exactly."""
+    arr = _cents_struct_array_sql(vcol, norm_col, cents, round_sim)
+    return F.expr(f"transform(array_sort({arr}), x -> x.cid)")
+
+
+def _cents_struct_array_sql(
+    vcol: str, norm_col: str, cents, round_sim: int = 6
+) -> str:
+    """SQL text for the (neg=-round(cosine), cid) struct array — see
+    _cents_rank."""
+    parts = []
+    for cid, cv in cents:
+        lit = "array(" + ",".join(_dlit(x) for x in cv) + ")"
+        cn = _dlit(math.sqrt(sum(float(x) * float(x) for x in cv)))
+        dot = (
+            f"aggregate(zip_with(`{vcol}`, {lit}, (x, y) ->"
+            " cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(
+            f"named_struct('neg', -round({dot} / (`{norm_col}` * {cn}),"
+            f" {round_sim}), 'cid', {cid})"
+        )
+    return f"array({','.join(parts)})"
+
+
 def _lloyd_refine(
     corpus: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -167,28 +221,32 @@ def _lloyd_refine(
     and keep the old centroid for empty cells. Only K centroid rows reach
     the driver per round — the corpus is never collected."""
     dim = len(cents[0][1]) if cents else 0
+    base = corpus.select(
+        F.col(vec).alias("_v"), vec_norm(F.col(vec)).alias("_n")
+    )
     for _ in range(n_iter):
-        arr = F.array(
-            *[
-                F.struct(
-                    (-F.round(cosine(F.col("_v"), F.lit(cv)), round_sim)).alias(
-                        "neg"
-                    ),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-        assigned = corpus.select(F.col(vec).alias("_v")).select(
-            F.element_at(F.array_sort(arr), 1)["cid"].alias("cell"),
+        assigned = base.select(
+            F.element_at(_cents_rank("_v", "_n", cents, round_sim), 1).alias(
+                "cell"
+            ),
             F.col("_v"),
         )
-        means = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)]
+        # element-wise mean via posexplode: one avg over (cell, pos) keys
+        # (map-side partial agg; <= K*dim groups) instead of `dim` separate
+        # avg expressions — the small plan analyzes in a fraction of the
+        # time and shuffles the same K*dim partials
+        means = (
+            assigned.select("cell", F.posexplode("_v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
         )
         new = dict(cents)
-        for r in means.collect():  # <= n_centroids rows
-            new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        acc: dict[int, dict[int, float]] = {}
+        for r in means.collect():  # <= n_centroids * dim rows
+            acc.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+        for cell, by_pos in acc.items():
+            if len(by_pos) == dim:
+                new[cell] = [by_pos[i] for i in range(dim)]
         cents = sorted(new.items())
     return cents
 
@@ -232,42 +290,27 @@ def ivf_topk(
     )
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
 
-    def make_cell_rank(cur):
-        def cell_rank(v: Column) -> Column:
-            """Cell ids ordered nearest-first. One struct array, each
-            centroid cosine computed exactly once — a chained
-            when/greatest fold would duplicate every cosine subtree per
-            comparison and blow the plan up exponentially (the first
-            draft took minutes to analyze). Cosines are rounded to 6
-            before ranking so the cid tie-break matches the SQL oracle's
-            round(s,6) ... ORDER BY s DESC, cid exactly."""
-            arr = F.array(
-                *[
-                    F.struct(
-                        (-F.round(cosine(v, F.lit([float(x) for x in cv])), 6)).alias(
-                            "neg"
-                        ),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cv in cur
-                ]
-            )
-            return F.transform(F.array_sort(arr), lambda x: x["cid"])
-
-        return cell_rank
-
     cents = _lloyd_refine(corpus, cents, vec=vec, n_iter=n_iter)
-    cell_rank = make_cell_rank(cents)
 
     c = corpus.select(
         F.col(key).alias("neighbor_id"),
         F.col(vec).alias("_cv"),
-        F.element_at(cell_rank(F.col(vec)), 1).alias("cell"),
+        vec_norm(F.col(vec)).alias("_n"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.element_at(_cents_rank("_cv", "_n", cents), 1).alias("cell"),
     )
     q = queries.select(
         F.col(key).alias("query_id"),
         F.col(vec).alias("_qv"),
-        F.explode(F.slice(cell_rank(F.col(vec)), 1, n_probe)).alias("cell"),
+        vec_norm(F.col(vec)).alias("_n"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.slice(_cents_rank("_qv", "_n", cents), 1, n_probe)
+        ).alias("cell"),
     )
     sim = cosine(F.col("_qv"), F.col("_cv"))
     if round_sim is not None:
@@ -418,26 +461,26 @@ def semantic_dedup(
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
     cents = _lloyd_refine(corpus, cents, vec=vec, n_iter=n_iter, round_sim=round_sim)
 
-    def best_cell(v: Column) -> Column:
-        # centroid cosines are ROUNDED before the argmax so assignment (and
-        # its cid tie-break) is bit-identical to the SQL oracle's
-        # round(s, 6) ... ORDER BY s DESC, cid — an unrounded sort could
-        # pick a different cell than the oracle within 1e-6 of a tie
-        arr = F.array(
-            *[
-                F.struct(
-                    (-F.round(cosine(v, F.lit(cv)), round_sim)).alias("neg"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-        return F.element_at(F.array_sort(arr), 1)
-
+    # centroid cosines are ROUNDED before the argmax so assignment (and
+    # its cid tie-break) is bit-identical to the SQL oracle's
+    # round(s, 6) ... ORDER BY s DESC, cid — an unrounded sort could
+    # pick a different cell than the oracle within 1e-6 of a tie; the
+    # row norm is computed once per row (see _cents_rank)
     assigned = corpus.select(
         F.col(key).alias("id"),
         F.col(vec).alias("v"),
-        best_cell(F.col(vec)).alias("_b"),
+        vec_norm(F.col(vec)).alias("_n"),
+    ).select(
+        "id",
+        "v",
+        F.element_at(
+            F.expr(
+                "array_sort("
+                + _cents_struct_array_sql("v", "_n", cents, round_sim)
+                + ")"
+            ),
+            1,
+        ).alias("_b"),
     ).select(
         "id",
         "v",
