@@ -84,20 +84,21 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (string of 0/1) for random-hyperplane LSH."""
+def lsh_bucket(vec: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (string of 0/1) for random-hyperplane LSH
+    over column name ``vec``. The whole expression renders as ONE SQL
+    string: constructing bits-many HOF Columns through py4j costs ~1 s
+    of driver chatter per plan (see _cents_rank), the parser does it in
+    a fraction."""
     bits = []
     for plane in planes:
-        # one py4j call for the whole plane literal — element-wise F.lit
-        # chatter made plan BUILD the dominant cost (~3s per ANN query)
-        lit = F.lit([float(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        lit = "array(" + ",".join(_dlit(x) for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec}`, {lit}, (x, y) ->"
+            " cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        bits.append(f"case when {dot} >= 0.0D then '1' else '0' end")
+    return F.expr("concat(" + ",".join(bits) + ")")
 
 
 def lsh_topk(
@@ -128,7 +129,7 @@ def lsh_topk(
                     F.col(key).alias(id_alias),
                     F.col(vec).alias(f"_v_{id_alias}"),
                     F.lit(t).alias("table"),
-                    lsh_bucket(F.col(vec), planes).alias("bucket"),
+                    lsh_bucket(vec, planes).alias("bucket"),
                 )
             )
         res = out[0]
@@ -340,7 +341,7 @@ def embedding_near_dup_pairs(
     cands = None
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + t)
-        b = ids.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        b = ids.withColumn("bucket", lsh_bucket("v", planes))
         a_, b_ = b.alias("a"), b.alias("b")
         c = a_.join(
             b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
