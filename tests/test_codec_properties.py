@@ -417,3 +417,16 @@ def test_vcal_extract_survives_hostile_lines(is_cal, lines, cut_pct):
     mime, text = extract_vcal_text(raw)
     assert isinstance(text, str)
     assert mime in ("text/calendar", "text/vcard")
+
+
+@given(st.sampled_from([b"II*\x00", b"MM\x00*"]), st.binary(max_size=400))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_tiff_pixel_decode_never_raises_on_hostile_bytes(magic, junk):
+    from nutch_spark.datapipe.mediacodec import decode_tiff_pixels
+
+    out = decode_tiff_pixels(magic + junk)
+    if out is not None:
+        w, h, rows = out
+        assert len(rows) == h and all(len(r) == w for r in rows)
+        assert all(0 <= v <= 255 for r in rows for v in r)
