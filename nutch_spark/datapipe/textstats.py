@@ -667,3 +667,64 @@ def script_profile(
     return out.withColumn(
         "script", F.when(best["n"] > 0, best["s"]).otherwise(F.lit("und"))
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+) -> DataFrame:
+    """Group-scoped boilerplate-line removal (the RefinedWeb/CCNet trick
+    C4's rule-based line filter can't do): a line appearing in >=
+    ``min_df`` DISTINCT documents of the same group (host/source) is
+    template chrome — cookie banners, nav bars, copyright footers — and
+    every occurrence is dropped; document-unique content survives.
+
+    Returns (id_col, group_col, clean_text, n_kept) with original line
+    order preserved (empty string when every line was boilerplate).
+
+    100 TB shape: split+posexplode (narrow) → one hash-aggregate on
+    (group, line) with map-side partial agg (document-frequency counting,
+    the classic combiner-friendly key) → equi-join back on (group, line)
+    → per-doc re-assembly via array_sort over (pos, line) structs. All
+    JVM expressions, no UDF; a pathologically hot group rides AQE skew
+    handling like any other join key."""
+    lines = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy(group_col, "line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select(group_col, "line", F.lit(True).alias("_bp"))
+    )
+    kept = (
+        lines.join(boiler, [group_col, "line"], "left")
+        .filter(F.col("_bp").isNull())
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select(id_col, group_col)
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

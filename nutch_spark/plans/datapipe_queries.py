@@ -2830,6 +2830,76 @@ def mm_dhash_neardup(spark, sf_dir):
     return dhash_near_dup(hashes, max_hamming=3, bands=4)
 
 
+@q(
+    "dp_boilerplate_lines",
+    """
+    -- Host-scoped boilerplate-line removal (RefinedWeb/CCNet): every doc
+    -- of a source gains the SAME two template lines (cookie banner +
+    -- copyright, df = docs-per-source >= 5) and one doc-unique line
+    -- (df = 1); lines at df >= 5 within the source drop, unique content
+    -- survives, original order preserved. The oracle recomputes the
+    -- document frequencies itself, so organically-duplicated base texts
+    -- are handled identically by both engines.
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             text || chr(10) || 'COOKIE NOTICE for ' || source
+                  || chr(10) || 'unique-' || CAST(doc_id AS VARCHAR)
+                  || chr(10) || '(c) ' || source || ' all rights reserved'
+               AS text2
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             unnest(string_split(text2, chr(10))) AS line,
+             unnest(range(len(string_split(text2, chr(10))))) AS pos
+      FROM docs2
+    ),
+    boiler AS (
+      SELECT source, line FROM (
+        SELECT source, line, count(DISTINCT doc_id) AS df
+        FROM lines GROUP BY source, line
+      ) WHERE df >= 5
+    ),
+    kept AS (
+      SELECT l.doc_id,
+             string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+             count(*) AS n_kept
+      FROM lines l LEFT JOIN boiler b
+        ON l.source = b.source AND l.line = b.line
+      WHERE b.line IS NULL
+      GROUP BY l.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def dp_boilerplate_lines(spark, sf_dir):
+    """Template-chrome removal (datapipe/textstats.remove_boilerplate_lines):
+    lines repeated across >= min_df documents of the same source are
+    dropped, everywhere they occur — the host-frequency cleaning step
+    C4's rule-based line filter can't express. Plan: posexplode → one
+    (source, line) document-frequency aggregate (map-side combine) →
+    equi-join back → order-preserving reassembly, all JVM expressions.
+    The planted chrome (two lines shared by every doc of a source, one
+    doc-unique line) makes the expected drop/keep set structural."""
+    from nutch_spark.datapipe.textstats import remove_boilerplate_lines
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"), F.concat(F.lit("COOKIE NOTICE for "), F.col("source")),
+            F.lit("\n"), F.concat(F.lit("unique-"), F.col("doc_id").cast("string")),
+            F.lit("\n"),
+            F.concat(F.lit("(c) "), F.col("source"), F.lit(" all rights reserved")),
+        ),
+    )
+    return remove_boilerplate_lines(planted, min_df=5)
+
+
 def _planted_container_rows(pdf):
     """doc_id → one CONTAINER document embedding the planted class image,
     rotating by id % 3: a PDF with a DCTDecode image XObject (the planted

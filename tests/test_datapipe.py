@@ -746,3 +746,34 @@ def test_script_profile_detection_and_tiebreak(spark):
     (r1,) = script_profile(df).filter("doc_id = 1").collect()
     assert r1["n_cyrillic"] == len("русскийтекстдоминирует")
     assert r1["n_latin"] == len("here")
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Host-scoped boilerplate removal: df counts DISTINCT docs (a line
+    repeated inside one doc is not boilerplate), order is preserved,
+    groups are independent, and an all-boilerplate doc yields ''."""
+    from nutch_spark.datapipe.textstats import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            # host A: 'nav' appears in all 3 docs -> boilerplate at min_df=3
+            (1, "a", "nav\nalpha\nnav\nbody one"),
+            (2, "a", "nav\nbody two"),
+            (3, "a", "nav"),  # only boilerplate -> empty
+            # 'dup dup' repeats WITHIN doc 4 only: df=1, stays (twice)
+            (4, "a", "dup dup\ndup dup\nbody four\nnav"),
+            # host B: 'nav' appears once -> NOT boilerplate there
+            (5, "b", "nav\nbeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_df=3).collect()
+    }
+    assert out[1]["clean_text"] == "alpha\nbody one"
+    assert out[2]["clean_text"] == "body two"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "dup dup\ndup dup\nbody four"
+    assert out[4]["n_kept"] == 3
+    assert out[5]["clean_text"] == "nav\nbeta"  # group isolation

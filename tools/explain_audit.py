@@ -175,6 +175,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # embedded-media dHash: container unzip + pixel decode, map-only
     "mm_embedded_dhash": [[r"MapInPandas|mapInPandas"],
                           [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # boilerplate lines: df aggregate + equi-join back, no UDF, no cross
+    "dp_boilerplate_lines": [[r"HashAggregate", r"Join"],
+                             [r"CartesianProduct", r"MapInPandas|mapInPandas",
+                              r"BroadcastNestedLoopJoin"]],
 }
 
 
