@@ -586,11 +586,62 @@ def spectral_envelope(samples, sample_rate: int, n_bins: int = 13) -> list[float
 _MAX_PIXELS = 64_000_000  # 8k x 8k ceiling — bomb guard for forged headers
 
 
+def _bmp_rle_decode(data: bytes, off: int, w: int, h: int, rle4: bool):
+    """BI_RLE8 / BI_RLE4 → bottom-up grid of palette indexes (BMP spec:
+    encoded runs, absolute runs word-padded, EOL / EOB / delta escapes;
+    delta-skipped pixels stay 0)."""
+    grid = [[0] * w for _ in range(h)]
+    x = y = 0
+    i = off
+    n = len(data)
+    while i + 1 < n and y < h:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c:  # encoded run (RLE4 alternates the two nibbles)
+            if rle4:
+                hi, lo = v >> 4, v & 15
+                for k in range(c):
+                    if x < w:
+                        grid[y][x] = hi if k % 2 == 0 else lo
+                    x += 1
+            else:
+                for _ in range(c):
+                    if x < w:
+                        grid[y][x] = v
+                    x += 1
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of v indexes, padded to a word boundary
+            nbytes = (v + 1) // 2 if rle4 else v
+            if i + nbytes > n:
+                return None
+            for k in range(v):
+                if rle4:
+                    byte = data[i + k // 2]
+                    val = (byte >> 4) if k % 2 == 0 else (byte & 15)
+                else:
+                    val = data[i + k]
+                if x < w and y < h:
+                    grid[y][x] = val
+                x += 1
+            i += nbytes + (nbytes & 1)
+    return grid
+
+
 def decode_bmp_pixels(payload: bytes):
-    """Uncompressed 24-bit BMP → (width, height, list of gray rows,
-    top-down). Gray = integer (r*299 + g*587 + b*114) // 1000 (the
-    classic ITU-R 601 luma weights). Returns None for compressed /
-    non-24bpp / forged-header files."""
+    """BMP → (width, height, list of gray rows, top-down), from the DIB
+    spec: uncompressed 24/32-bit BGR(A/X), paletted 1/4/8-bit, and
+    BI_RLE8 / BI_RLE4 run-length compression. Gray = integer
+    (r*299 + g*587 + b*114) // 1000 (the classic ITU-R 601 luma
+    weights). Returns None for bitfields/16-bit/forged-header files."""
     import struct
 
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -599,30 +650,79 @@ def decode_bmp_pixels(payload: bytes):
         data_off = struct.unpack_from("<I", payload, 10)[0]
         hdr_size = struct.unpack_from("<I", payload, 14)[0]
         if hdr_size < 40:
-            return None  # BITMAPCOREHEADER: 16-bit dims, no 24bpp promise
+            return None  # BITMAPCOREHEADER: 16-bit dims, no bpp promise
         w, h = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)
         compression = struct.unpack_from("<I", payload, 30)[0]
+        clr_used = (
+            struct.unpack_from("<I", payload, 46)[0] if len(payload) >= 50 else 0
+        )
     except struct.error:
         return None
     top_down = h < 0
     h = abs(h)
-    if not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+    if not (0 < w and 0 < h and w * h <= _MAX_PIXELS) or planes != 1:
         return None
-    if planes != 1 or bpp != 24 or compression != 0:
+
+    def luma(b, g, r):
+        return (r * 299 + g * 587 + b * 114) // 1000
+
+    if bpp in (1, 4, 8):
+        n_colors = clr_used or (1 << bpp)
+        if n_colors > 256:
+            return None
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(payload):
+            return None
+        pal = [
+            luma(*payload[pal_off + 4 * i : pal_off + 4 * i + 3])
+            for i in range(n_colors)
+        ]
+
+        def to_gray(idx_grid, bottom_up=True):
+            rows = []
+            for y in range(h):
+                src = idx_grid[h - 1 - y] if bottom_up else idx_grid[y]
+                rows.append([pal[v] if v < len(pal) else 0 for v in src])
+            return w, h, rows
+
+        if compression == 0:
+            row_bytes = ((w * bpp + 31) // 32) * 4
+            if data_off + row_bytes * h > len(payload):
+                return None
+            maxv = (1 << bpp) - 1
+            grid = []
+            for sy in range(h):
+                base = data_off + sy * row_bytes
+                line = []
+                for x in range(w):
+                    bit = x * bpp
+                    line.append(
+                        (payload[base + (bit >> 3)] >> (8 - bpp - (bit & 7)))
+                        & maxv
+                    )
+                grid.append(line)
+            return to_gray(grid, bottom_up=not top_down)
+        if (compression, bpp) in ((1, 8), (2, 4)):
+            # RLE coordinates are always bottom-up per spec
+            grid = _bmp_rle_decode(payload, data_off, w, h, rle4=bpp == 4)
+            if grid is None:
+                return None
+            return to_gray(grid, bottom_up=True)
         return None
-    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if bpp not in (24, 32) or compression != 0:
+        return None
+    step = bpp // 8
+    row_bytes = (w * step + 3) & ~3  # rows pad to 4 bytes
     if data_off + row_bytes * h > len(payload):
         return None
     rows = []
     for y in range(h):
         src_y = y if top_down else h - 1 - y
         off = data_off + src_y * row_bytes
-        row = []
-        for x in range(w):
-            b, g, r = payload[off + 3 * x : off + 3 * x + 3]
-            row.append((r * 299 + g * 587 + b * 114) // 1000)
-        rows.append(row)
+        rows.append(
+            [luma(*payload[off + step * x : off + step * x + 3]) for x in range(w)]
+        )
     return w, h, rows
 
 

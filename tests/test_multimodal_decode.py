@@ -2376,3 +2376,90 @@ def test_embedded_image_dhash_spark(spark):
     assert set(got) == {(0, 0), (1, 0)}  # imageless/null docs emit nothing
     assert got[(1, 0)] == expect
     assert bin((got[(0, 0)] & ((1 << 64) - 1)) ^ expect).count("1") <= 2
+
+
+# ---------------------------------------------------------------------------
+# BMP breadth: palette / 32bpp / RLE8 / RLE4
+# ---------------------------------------------------------------------------
+
+def _bmp_container(w, h, bpp, compression, pal, body, *, top_down=False):
+    pal_bytes = b"".join(bytes([v, v, v, 0]) for v in pal)
+    data_off = 54 + len(pal_bytes)
+    hh = -h if top_down else h
+    return (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, compression,
+                          len(body), 0, 0, len(pal), 0)
+            + pal_bytes + body)
+
+
+def test_bmp_palette_depths_and_32bpp():
+    from nutch_spark.datapipe.mediacodec import decode_bmp_pixels
+
+    pal = [i * 17 for i in range(16)]
+    idx = [[(x + y) % 16 for x in range(11)] for y in range(6)]
+    for bpp in (4, 8):
+        body = bytearray()
+        for y in range(5, -1, -1):  # bottom-up
+            line = bytearray()
+            if bpp == 8:
+                line += bytes(idx[y])
+            else:
+                for i in range(0, 11, 2):
+                    hi = idx[y][i]
+                    lo = idx[y][i + 1] if i + 1 < 11 else 0
+                    line.append((hi << 4) | lo)
+            line += b"\x00" * ((-len(line)) % 4)
+            body += line
+        out = decode_bmp_pixels(
+            _bmp_container(11, 6, bpp, 0, pal, bytes(body))
+        )
+        assert out == (11, 6, [[pal[v] for v in r] for r in idx]), bpp
+    # 1-bit black/white
+    bw = [[(x ^ y) & 1 for x in range(10)] for y in range(4)]
+    body = bytearray()
+    for y in range(3, -1, -1):
+        acc = 0
+        line = bytearray()
+        for x in range(10):
+            acc = (acc << 1) | bw[y][x]
+            if x % 8 == 7:
+                line.append(acc)
+                acc = 0
+        line.append(acc << 6)  # 10 % 8 = 2 leftover bits
+        line += b"\x00" * ((-len(line)) % 4)
+        body += line
+    out = decode_bmp_pixels(_bmp_container(10, 4, 1, 0, [0, 255], bytes(body)))
+    assert out == (10, 4, [[255 * v for v in r] for r in bw])
+    # 32bpp BGRA: alpha ignored
+    gray = [[(x * 19 + y * 5) % 256 for x in range(6)] for y in range(4)]
+    body = bytearray()
+    for y in range(3, -1, -1):
+        for g in gray[y]:
+            body += bytes([g, g, g, 0xAA])
+    out = decode_bmp_pixels(_bmp_container(6, 4, 32, 0, [], bytes(body)))
+    assert out == (6, 4, gray)
+
+
+def test_bmp_rle8_and_rle4():
+    from nutch_spark.datapipe.mediacodec import decode_bmp_pixels
+
+    pal = [i * 16 for i in range(16)]
+    # RLE8: row0(bottom) = run of 5 x idx 3, absolute [1,2,4] (pad), EOL;
+    # row1 = delta skip 2, run 3 x idx 7, EOB. Skipped pixels = index 0.
+    body = bytes([
+        5, 3, 0, 3, 1, 2, 4, 0, 0, 0,   # run, absolute(3: 1,2,4 + pad), EOL
+        0, 2, 2, 0, 3, 7, 0, 1,          # delta(+2,+0), run, EOB
+    ])
+    out = decode_bmp_pixels(_bmp_container(8, 2, 8, 1, pal, body))
+    assert out is not None
+    w, h, rows = out
+    bottom = [pal[v] for v in [3, 3, 3, 3, 3, 1, 2, 4]]
+    top = [pal[v] for v in [0, 0, 7, 7, 7, 0, 0, 0]]
+    assert rows == [top, bottom]  # output is top-down
+    # RLE4: run of 6 alternating nibbles 0x5A -> 5,10,5,10,5,10 then EOL/EOB
+    body4 = bytes([6, 0x5A, 0, 0, 0, 1])
+    out = decode_bmp_pixels(_bmp_container(6, 1, 4, 2, pal, body4))
+    assert out == (6, 1, [[pal[v] for v in [5, 10, 5, 10, 5, 10]]])
+    # hostile: truncated RLE stream decodes without raising
+    r = decode_bmp_pixels(_bmp_container(8, 2, 8, 1, pal, body[:5]))
+    assert r is None or len(r) == 3
