@@ -24,7 +24,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # the r10-certified 50 (freshest records last).
 _CERTIFY_FIRST = [
     # code changed / added in round 11 — certify first
-    "mm_embedded_dhash", "dp_boilerplate_lines",
+    "mm_embedded_dhash", "dp_boilerplate_lines", "dp_minhash_recall",
     "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
     "mm_audio_features", "dp_ivf_topk", "dp_ivf_recall",
     "p1_fetch_binary_pipeline", "p1_politeness",

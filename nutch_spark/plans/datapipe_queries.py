@@ -2900,6 +2900,58 @@ def dp_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(planted, min_df=5)
 
 
+def _minhash_recall_oracle():
+    jac_sql = REGISTRY["dp_ngram_jaccard"][1]
+    mh_sql = REGISTRY["dp_minhash_lsh"][1]
+    return f"""
+    WITH exact AS ({jac_sql}),
+    lsh AS ({mh_sql}),
+    hit AS (
+      SELECT count(*) AS c FROM exact e
+      JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    ),
+    tot AS (SELECT count(*) AS c FROM exact)
+    SELECT CAST(tot.c AS BIGINT) AS n_exact,
+           CAST(hit.c AS BIGINT) AS n_caught,
+           round(CAST(hit.c AS DOUBLE) / tot.c, 6) AS recall
+    FROM hit, tot
+    """
+
+
+@q("dp_minhash_recall", _minhash_recall_oracle())
+def dp_minhash_recall(spark, sf_dir):
+    """Pair-level recall of MinHash+LSH banding (8x4) against the exact
+    inverted-index Jaccard pairs at the same 0.6 threshold — the tuning
+    number for the THIRD near-dup scale path, measured like dp_lsh_recall
+    and dp_ivf_recall (vs ground truth, not self-consistency). Both sides
+    reuse certified operators; the oracle composes their certified SQL
+    twins."""
+    from nutch_spark.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    exact = ngram_jaccard_pairs(
+        corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        corpus, num_hashes=_BANDS * _ROWS_PER_BAND, bands=_BANDS, threshold=0.6
+    ).select(
+        F.col("id_a").alias("_la"), F.col("id_b").alias("_lb"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            lsh,
+            (exact["id_a"] == F.col("_la")) & (exact["id_b"] == F.col("_lb")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_caught"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
 def _planted_container_rows(pdf):
     """doc_id → one CONTAINER document embedding the planted class image,
     rotating by id % 3: a PDF with a DCTDecode image XObject (the planted

@@ -179,6 +179,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_boilerplate_lines": [[r"HashAggregate", r"Join"],
                              [r"CartesianProduct", r"MapInPandas|mapInPandas",
                               r"BroadcastNestedLoopJoin"]],
+    # minhash recall: pair equi-join of two bounded pair sets
+    "dp_minhash_recall": [[r"Join"],
+                          [r"CartesianProduct", r"MapInPandas|mapInPandas",
+                           r"BroadcastNestedLoopJoin"]],
 }
 
 
