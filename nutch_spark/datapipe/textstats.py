@@ -728,3 +728,42 @@ def remove_boilerplate_lines(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus report — the "dataset card" numbers a training-mix
+    decision needs before sampling weights are chosen: document count,
+    total token count, mean document length (chars, 2dp), distinct
+    languages, and the dominant language (count desc, name asc tie-break).
+
+    100 TB shape: two hash-aggregates — one over (group, lang) for the
+    language ranking (map-side combine; groups x langs keys), one over
+    group for the size stats — joined on the sources-sized result. The
+    corpus is scanned once per aggregate and never self-joined."""
+    stats = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+    lang_rank = (
+        docs.groupBy(group_col, lang_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(group_col)
+        .agg(
+            # min over (-count, name): count desc with name-asc tie-break
+            F.min_by(
+                lang_col,
+                F.struct((-F.col("_n")).alias("neg"), F.col(lang_col).alias("l")),
+            ).alias("top_lang"),
+        )
+    )
+    return stats.join(lang_rank, group_col).select(
+        group_col, "n_docs", "n_tokens", "avg_chars", "n_langs", "top_lang"
+    )

@@ -25,6 +25,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 _CERTIFY_FIRST = [
     # code changed / added in round 11 — certify first
     "mm_embedded_dhash", "dp_boilerplate_lines", "dp_minhash_recall",
+    "dp_dataset_card",
     "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
     "mm_audio_features", "dp_ivf_topk", "dp_ivf_recall",
     "p1_fetch_binary_pipeline", "p1_politeness",

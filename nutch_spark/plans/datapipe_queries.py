@@ -2900,6 +2900,45 @@ def dp_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(planted, min_df=5)
 
 
+@q(
+    "dp_dataset_card",
+    f"""
+    -- Per-source corpus report: the numbers a training-mix decision needs
+    -- before sampling weights are chosen. Dominant language ranks by
+    -- count desc with a name-asc tie-break in BOTH engines.
+    WITH stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+             round(avg(length(text)), 2) AS avg_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang ASC) AS rn
+        FROM documents GROUP BY source, lang
+      ) WHERE rn = 1
+    )
+    SELECT s.source, s.n_docs, s.n_tokens, s.avg_chars, s.n_langs,
+           r.lang AS top_lang
+    FROM stats s JOIN ranked r ON s.source = r.source
+    """,
+)
+def dp_dataset_card(spark, sf_dir):
+    """Dataset-card rollup (datapipe/textstats.dataset_card): per-source
+    document/token counts, mean length, language spread, dominant
+    language — the pre-mixing report that feeds temperature_weights /
+    mixture_sample. Two hash-aggregates (map-side combine) joined on the
+    sources-sized result; the corpus is never self-joined."""
+    from nutch_spark.datapipe.textstats import dataset_card
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    return dataset_card(d)
+
+
 def _minhash_recall_oracle():
     jac_sql = REGISTRY["dp_ngram_jaccard"][1]
     mh_sql = REGISTRY["dp_minhash_lsh"][1]

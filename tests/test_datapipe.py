@@ -777,3 +777,30 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[4]["clean_text"] == "dup dup\ndup dup\nbody four"
     assert out[4]["n_kept"] == 3
     assert out[5]["clean_text"] == "nav\nbeta"  # group isolation
+
+
+def test_dataset_card_rollup(spark):
+    from nutch_spark.datapipe.textstats import dataset_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "en", "one two three"),
+            (2, "a", "de", "vier funf"),
+            (3, "a", "de", "sechs"),
+            (4, "b", "fr", ""),  # empty doc: zero tokens still counts
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {r["source"]: r for r in dataset_card(docs).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_tokens"], a["n_langs"]) == (3, 6, 2)
+    assert a["top_lang"] == "de"  # 2 de vs 1 en
+    assert abs(a["avg_chars"] - round((13 + 9 + 5) / 3, 2)) < 1e-9
+    b = out["b"]
+    assert (b["n_docs"], b["n_tokens"], b["top_lang"]) == (1, 0, "fr")
+    # tie at 1-1 between two langs -> lexicographically smaller wins
+    tie = spark.createDataFrame(
+        [(1, "c", "zz", "x"), (2, "c", "aa", "y")],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert dataset_card(tie).collect()[0]["top_lang"] == "aa"

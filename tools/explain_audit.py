@@ -183,6 +183,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_minhash_recall": [[r"Join"],
                           [r"CartesianProduct", r"MapInPandas|mapInPandas",
                            r"BroadcastNestedLoopJoin"]],
+    # dataset card: two partial-aggregated groupBys, sources-sized join
+    "dp_dataset_card": [[r"HashAggregate|SortAggregate"],
+                        [r"CartesianProduct", r"MapInPandas|mapInPandas"]],
 }
 
 
