@@ -78,11 +78,23 @@ def main() -> None:
     # consecutive runs lands on the warm plan cost; per-query min/median/max
     # go to the full artifact so a judge can see the noise floor.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Wall-clock budget: a full median-of-3 at sf0.1 runs ~17 min; if the
+    # harness invoking us has a tighter limit, losing the WHOLE artifact to
+    # a kill is worse than degrading the tail to single-shot timings — so
+    # once the budget is spent, remaining queries run once (their spread
+    # records 0.0 and `reps_degraded` counts them in the printed line).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1350"))
+    bench_t0 = time.perf_counter()
+    degraded = 0
     runs_all: dict[str, list[float]] = {}
     for name in sorted(REGISTRY):
         fn, _oracle = REGISTRY[name]
+        n_reps = reps
+        if time.perf_counter() - bench_t0 > budget_s and reps > 1:
+            n_reps = 1
+            degraded += 1
         runs = []
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -132,6 +144,7 @@ def main() -> None:
         "sf": sf,
         "queries_total": len(timings),
         "reps": reps,
+        "reps_degraded": degraded,
         "load_note": f"median-of-{reps}; sub-0.5s folded into fast_n",
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),
