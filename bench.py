@@ -130,13 +130,14 @@ def main() -> None:
         pass
 
     # The printed line must parse from a 2000-char stdout tail: cap it at
-    # 1900 chars by construction. Fold the sub-0.5s queries into one
-    # fast_n/fast_sec pair (their individual times are noise-floor) so
-    # EVERY query >= 0.5s is visible in the driver record; slowest-first
-    # so, if the cap still bites, only the cheapest visible rows drop.
-    # Per-query values rounded to 0.1 s in the printed line (full
-    # precision + min/median/max live in BENCH_FULL_LOCAL.json).
-    fast = [n for n in timings if timings[n] < 0.5]
+    # 1900 chars by construction. Fold the sub-1s queries into one
+    # fast_n/fast_sec pair (their individual times sit at this box's
+    # noise floor — the spread data shows ±0.3 s swings) so EVERY query
+    # >= 1 s is visible in the driver record; slowest-first so, if the
+    # cap still bites, only the cheapest visible rows drop. Per-query
+    # values rounded to 0.1 s in the printed line (full precision +
+    # min/median/max live in BENCH_FULL_LOCAL.json).
+    fast = [n for n in timings if timings[n] < 1.0]
     base = {
         "metric": full["metric"],
         "value": total,
@@ -145,7 +146,7 @@ def main() -> None:
         "queries_total": len(timings),
         "reps": reps,
         "reps_degraded": degraded,
-        "load_note": f"median-of-{reps}; sub-0.5s folded into fast_n",
+        "load_note": f"median-of-{reps}; sub-1s folded into fast_n",
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),
         "queries": {},
@@ -155,7 +156,7 @@ def main() -> None:
     # named ones may still fit) maximizes the visible row count.
     budget = 1985 - len(json.dumps(base, separators=(",", ":")))
     for name in sorted(timings, key=lambda n: -timings[n]):
-        if timings[name] < 0.5:
+        if timings[name] < 1.0:
             continue  # folded into fast_n/fast_sec
         val = round(timings[name], 1)
         entry_len = len(json.dumps({name: val}, separators=(",", ":")))
