@@ -46,6 +46,23 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _exact_frame(rows: list[dict], schema: T.StructType) -> pd.DataFrame:
+    """rows → pandas frame WITHOUT integer-to-float coercion: a LongType
+    column mixing None with values gets dtype float64 from pandas, and
+    float64 silently rounds 64-bit hashes past 2^53 (a dhash batch with
+    one undecodable payload corrupted EVERY hash in the batch by up to
+    ±128 in the low bits). Long columns are built as object Series of
+    exact Python ints; Arrow converts object int+None to int64 losslessly."""
+    cols = {}
+    for f in schema.fields:
+        vals = [r[f.name] for r in rows]
+        if isinstance(f.dataType, (T.LongType, T.IntegerType)):
+            cols[f.name] = pd.Series(vals, dtype=object)
+        else:
+            cols[f.name] = pd.Series(vals, dtype=object) if not rows else pd.Series(vals)
+    return pd.DataFrame(cols, columns=[f.name for f in schema.fields])
+
+
 def _map_media(
     media: DataFrame,
     media_type: str | None,
@@ -68,7 +85,7 @@ def _map_media(
                     rows.append(null_row_fn(media_id))
                 else:
                     rows.append(row_fn(media_id, bytes(payload)))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            yield _exact_frame(rows, schema)
 
     src = media
     if media_type is not None:
@@ -591,9 +608,7 @@ def embedded_image_dhash(
                     rows.append(
                         {"media_id": media_id, "img_idx": idx, "dhash": h}
                     )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "img_idx", "dhash"]
-            )
+            yield _exact_frame(rows, EMBEDDED_DHASH_SCHEMA)
 
     src = media.select("media_id", "payload")
     if batch_partitions:

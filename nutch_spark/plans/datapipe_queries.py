@@ -2745,7 +2745,12 @@ def _planted_image_rows(pdf):
     rows = []
     for doc_id in pdf["doc_id"]:
         grid = _planted_grid(int(doc_id))
-        if doc_id % 4 == 3:  # JPEG: baseline or progressive by id % 8
+        if doc_id % 32 == 21:  # codec-less format: NULL hash. Rides in the
+            # same Arrow batches as real hashes — pinning the int64-vs-
+            # float64 coercion bug where one None corrupted every 64-bit
+            # hash in its batch past 2^53 (multimodal._exact_frame)
+            payload = b"RIFFxxxxWEBPVP8 needs-a-codec-library"
+        elif doc_id % 4 == 3:  # JPEG: baseline or progressive by id % 8
             payload = _planted_jpeg(grid, progressive=doc_id % 8 == 7)
         elif doc_id % 4 == 2:
             payload = _planted_gif(grid)
@@ -2789,7 +2794,10 @@ def _planted_dhashes(spark, sf_dir, limit=None):
     -- from-spec decoders produce identical gray grids, so the 64-bit
     -- difference hash matches the closed form of the planted gradient
     -- formula.
-    SELECT doc_id AS media_id, {_DHASH_CASE} AS dhash FROM documents
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE {_DHASH_CASE} END
+             AS dhash
+    FROM documents
     """,
 )
 def mm_image_dhash(spark, sf_dir):
@@ -2816,6 +2824,7 @@ def mm_image_dhash(spark, sf_dir):
     FROM documents d1 JOIN documents d2
       ON d1.doc_id % 16 = d2.doc_id % 16 AND d1.doc_id < d2.doc_id
     WHERE d1.doc_id < 320 AND d2.doc_id < 320
+      AND d1.doc_id % 32 != 21 AND d2.doc_id % 32 != 21
     """,
 )
 def mm_dhash_neardup(spark, sf_dir):

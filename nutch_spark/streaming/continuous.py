@@ -289,3 +289,73 @@ def streaming_clean(
         F.col("text_scrubbed").alias("clean_text"),
         F.size(tokens(F.col("text_scrubbed"))).alias("n_tokens"),
     )
+
+
+def streaming_image_dedup(
+    media: DataFrame,
+    *,
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    hash_fn=None,
+) -> DataFrame:
+    """Perceptual image dedup in STREAMING form — hash and drop duplicate
+    images as they arrive instead of in a batch sweep (mm_image_dhash +
+    exact-hash dedup's streaming twin; the hash is the identical dhash64,
+    so a backfilled batch and the live stream agree on what is a dup).
+
+    Stages, each stream-safe:
+    - pixel decode + dHash: a stateless ``mapInPandas`` stage (the same
+      from-spec PNG/GIF/BMP/JPEG/TIFF decoders as the batch path) that
+      passes the event-time column through for the watermark;
+    - near-exact dedup: ``dropDuplicatesWithinWatermark`` on the 64-bit
+      hash — state bounded by the watermark horizon; first-seen wins,
+      the only causal choice on a stream. Undecodable payloads keep a
+      NULL hash and are NOT deduped against each other (a NULL match is
+      not evidence of duplication) — they pass through keyed by media_id.
+
+    At crawl scale the decode stage scales out with executors exactly like
+    the batch stage; the dedup state is one (hash, timestamp) entry per
+    distinct image within the watermark."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.mediacodec import dhash64
+
+    compute = hash_fn or dhash64
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, payload, when in zip(
+                pdf["media_id"], pdf["payload"], pdf[ts]
+            ):
+                h = None
+                if payload is not None:
+                    try:
+                        h = compute(bytes(payload))
+                    except Exception:  # noqa: BLE001 — one bad blob
+                        h = None
+                if h is not None and h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append({"media_id": media_id, "dhash": h, ts: when})
+            # dhash as an OBJECT column of exact Python ints: pandas would
+            # otherwise coerce int+None to float64 and round 64-bit hashes
+            # past 2^53 (see multimodal._exact_frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series([r["media_id"] for r in rows], dtype=object),
+                    "dhash": pd.Series([r["dhash"] for r in rows], dtype=object),
+                    ts: pd.Series([r[ts] for r in rows])
+                    if rows
+                    else pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
+
+    hashed = media.select("media_id", "payload", ts).mapInPandas(
+        run, f"media_id long, dhash long, {ts} timestamp"
+    )
+    decoded = hashed.filter(F.col("dhash").isNotNull())
+    passthrough = hashed.filter(F.col("dhash").isNull())
+    deduped = decoded.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        ["dhash"]
+    )
+    return deduped.unionByName(passthrough)

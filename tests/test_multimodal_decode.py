@@ -2463,3 +2463,46 @@ def test_bmp_rle8_and_rle4():
     # hostile: truncated RLE stream decodes without raising
     r = decode_bmp_pixels(_bmp_container(8, 2, 8, 1, pal, body[:5]))
     assert r is None or len(r) == 3
+
+
+def test_dhash_exact_int64_with_null_in_batch(spark):
+    """REGRESSION (round 11): a mapInPandas batch mixing an undecodable
+    payload (NULL hash) with real ones must NOT round the 64-bit hashes —
+    pandas coerces int+None columns to float64, which silently corrupts
+    values past 2^53. The Spark-side hash must equal the driver-side
+    dhash64 bit-for-bit."""
+    from nutch_spark.datapipe.mediacodec import dhash64
+    from nutch_spark.datapipe.multimodal import audio_fingerprints, image_dhash
+
+    w, h = 18, 16
+    base = [[(x * 11 + y * 7) % 89 for x in range(w)] for y in range(h)]
+    blob = _mk_png(w, h, base)
+    expect = dhash64(blob)
+    assert expect > 1 << 53  # the test only bites above float53 precision
+    rows = [
+        (0, bytearray(blob)),
+        (1, bytearray(b"RIFFxxxxWEBPVP8 no codec")),  # NULL in the batch
+        (2, None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(1)  # force one Arrow batch so the None shares it
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[0] & ((1 << 64) - 1) == expect  # bit-exact, not float-rounded
+    # audio twin: same coercion hazard through _map_media
+    import math
+    import struct as _s
+
+    samples = [int(12000 * math.sin(2 * math.pi * 1500 * i / 8000))
+               for i in range(2048)]
+    from nutch_spark.datapipe.mediacodec import audio_fingerprint
+    wav = _wav(8000, samples)
+    afp_expect = audio_fingerprint(wav)
+    am = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(b"fLaC junk")), (2, None)],
+        "media_id long, payload binary",
+    ).coalesce(1)
+    afp = {r["media_id"]: r["afp"] for r in audio_fingerprints(am).collect()}
+    assert afp[1] is None and afp[2] is None
+    assert afp[0] & ((1 << 64) - 1) == afp_expect

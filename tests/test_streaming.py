@@ -178,3 +178,75 @@ def test_streaming_clean_end_to_end(spark, tmp_path):
     assert "<PII>" in survivor["clean_text"]          # email scrubbed
     assert "bob@example.com" not in survivor["clean_text"]
     assert out[6]["n_tokens"] == 25
+
+
+def test_streaming_image_dedup_end_to_end(spark, tmp_path):
+    """Perceptual image dedup over a REAL readStream: the same image in
+    two different containers dedups to one survivor; distinct images and
+    undecodable payloads pass through."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from nutch_spark.streaming import streaming_image_dedup
+
+    def png_gray(grid):
+        raw = bytearray()
+        for line in grid:
+            raw.append(0)
+            raw += bytes(line)
+
+        def chunk(tag, body):
+            return (_struct.pack(">I", len(body)) + tag + body
+                    + _struct.pack(">I", _zlib.crc32(tag + body)))
+
+        w, h = len(grid[0]), len(grid)
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def bmp_gray(grid):
+        w, h = len(grid[0]), len(grid)
+        data = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for g in grid[y]:
+                row += bytes([g, g, g])
+            row += b"\x00" * ((-len(row)) % 4)
+            data += row
+        return (b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(data), 0, 0, 0, 0) + bytes(data))
+
+    a = [[(x * 31 + y * 7) % 211 for x in range(18)] for y in range(16)]
+    b = [[(199 - x * 13 + y) % 211 for x in range(18)] for y in range(16)]
+    rows = [
+        (1, bytearray(png_gray(a)), T0),
+        (2, bytearray(bmp_gray(a)), T0 + datetime.timedelta(minutes=1)),  # dup
+        (3, bytearray(png_gray(b)), T0),                   # distinct image
+        (4, bytearray(b"RIFFxxxxWEBPVP8 junk"), T0),       # undecodable
+        (5, None, T0),                                     # missing payload
+    ]
+    schema = "media_id long, payload binary, ingest_time timestamp"
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_image_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("imgdedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["media_id"]: r for r in spark.sql("SELECT * FROM imgdedup_sink").collect()}
+    survivors = set(out)
+    assert 3 in survivors  # distinct image survives
+    assert {4, 5} <= survivors  # undecodable rows pass through, NULL hash
+    assert out[4]["dhash"] is None and out[5]["dhash"] is None
+    assert len(survivors & {1, 2}) == 1  # the cross-container dup collapses
+    kept = (survivors & {1, 2}).pop()
+    assert out[kept]["dhash"] == out[3]["dhash"] or True  # hashes present
+    assert out[kept]["dhash"] is not None and out[3]["dhash"] is not None
+    assert out[kept]["dhash"] != out[3]["dhash"]
