@@ -434,11 +434,14 @@ def image_dhash(
     hash_fn=None,
 ) -> DataFrame:
     """(media_id, payload) → (media_id, dhash): the standard 64-bit
-    difference hash over REAL decoded pixels — uncompressed 24-bit BMP and
-    non-interlaced 8-bit PNG decode with the stdlib (zlib IDAT + the five
-    PNG scanline filters, mediacodec.decode_png_pixels); formats needing a
-    codec library (JPEG/GIF) yield NULL and would plug in through
-    ``hash_fn`` exactly like the decoder seams elsewhere. Map-only."""
+    difference hash over REAL decoded pixels. Decode is
+    mediacodec.decode_gray_pixels's magic dispatch — from-spec pure-Python
+    BMP (incl. paletted/RLE), PNG (zlib IDAT + the five scanline filters),
+    GIF (LZW), JPEG (baseline AND progressive, T.81 Huffman + IDCT,
+    EXIF-orientation-normalized), and baseline TIFF (strips, PackBits/LZW/
+    Deflate, predictor 2). Formats still needing a codec library (WebP,
+    AVIF, ...) yield NULL and would plug in through ``hash_fn`` exactly
+    like the decoder seams elsewhere. Map-only."""
     from nutch_spark.datapipe.mediacodec import dhash64
 
     compute = hash_fn or dhash64
@@ -466,6 +469,11 @@ def dhash_near_dup(
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash values: (id_a, id_b, hamming)
     with id_a < id_b and hamming <= max_hamming.
+
+    NOTE: the default ``max_hamming`` tightened from 4 to 3 in round 11
+    (the pigeonhole guarantee needs max_hamming < bands and the default
+    band count is 4). Callers that relied on the old 4-bit radius should
+    pass ``max_hamming=4, bands=5`` explicitly.
 
     100 TB shape — the SimHash trick, not an all-pairs join: a pair within
     Hamming distance d must agree EXACTLY on at least one of ``bands``

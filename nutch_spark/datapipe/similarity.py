@@ -161,8 +161,15 @@ def vec_norm(v: Column) -> Column:
 
 def _dlit(x: float) -> str:
     """A Spark SQL DOUBLE literal that round-trips ``x`` exactly."""
-    r = repr(float(x))
-    if "e" in r or "E" in r or "n" in r:  # scientific notation / nan / inf
+    x = float(x)
+    if x != x:  # Spark's string->double cast wants 'NaN', not Python's 'nan'
+        return "cast('NaN' as double)"
+    if x == float("inf"):  # likewise 'Infinity', not 'inf'
+        return "cast('Infinity' as double)"
+    if x == float("-inf"):
+        return "cast('-Infinity' as double)"
+    r = repr(x)
+    if "e" in r or "E" in r:  # scientific notation
         return f"cast('{r}' as double)"
     return f"{r}D"
 
@@ -214,13 +221,23 @@ def _lloyd_refine(
     n_iter: int,
     round_sim: int = 6,
 ) -> list[tuple[int, list[float]]]:
-    """``n_iter`` rounds of deterministic Lloyd's k-means over (cid, vector)
-    centroids: assign every corpus vector to its nearest cell (cosine
-    rounded to ``round_sim``, cid tie-break — the same ranking the callers
-    use at query time, so a SQL oracle can mirror each round), re-center
-    each cell at the element-wise mean via one distributed groupBy-avg,
-    and keep the old centroid for empty cells. Only K centroid rows reach
-    the driver per round — the corpus is never collected."""
+    """``n_iter`` rounds of Lloyd's k-means over (cid, vector) centroids:
+    assign every corpus vector to its nearest cell (cosine rounded to
+    ``round_sim``, cid tie-break — the same ranking the callers use at
+    query time), re-center each cell at the element-wise mean via one
+    distributed groupBy-avg, and keep the old centroid for empty cells.
+    Only K centroid rows reach the driver per round — the corpus is never
+    collected.
+
+    Determinism caveat: the re-center means come from distributed F.avg,
+    whose floating-point summation order is partition-dependent, so the
+    refined centroids can differ from an oracle's in low-order bits. The
+    round(cos, round_sim) tie-break makes an assignment flip vanishingly
+    unlikely (a cosine would have to land within ~1e-16 of a 0.5e-6
+    rounding boundary) but not impossible — the oracle parity this buys
+    is probabilistic, not exact. Callers that need bit-exact parity pass
+    the SAME refined centroids to both sides (which the registry queries
+    do: oracles receive the literal centroid values)."""
     dim = len(cents[0][1]) if cents else 0
     base = corpus.select(
         F.col(vec).alias("_v"), vec_norm(F.col(vec)).alias("_n")

@@ -823,6 +823,12 @@ def fetch(
             metas = pdf["metadata"] if has_meta else None
             mods = pdf["modified_time"] if ims_capable else None
             for i, url in enumerate(pdf["url"]):
+                if url in seen:
+                    # duplicate fetchlist rows collapse to one request
+                    # (FetchItemQueues keys by URL); this also makes the
+                    # pop() in fetch_one provably safe — each enqueued URL
+                    # is fetched at most once per batch
+                    continue
                 host = url.split("/")[2] if "://" in url else url
                 queues.setdefault(host, deque()).append(url)
                 seen.add(url)
@@ -895,7 +901,13 @@ def fetch(
                     return False
                 reason = "_timelimit_" if expired else "_throughput_"
                 for q_host in list(queues):
-                    out.extend(retry_row(u, reason) for u in queues.pop(q_host))
+                    for u in queues.pop(q_host):
+                        # drained URLs are never fetched, so drop their
+                        # header entries here — fetch_one's pop() only
+                        # covers URLs that actually go out on the wire
+                        ims_ts.pop(u, None)
+                        datum_cookie.pop(u, None)
+                        out.append(retry_row(u, reason))
                 return True
 
             out = []

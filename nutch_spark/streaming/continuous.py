@@ -353,9 +353,20 @@ def streaming_image_dedup(
     hashed = media.select("media_id", "payload", ts).mapInPandas(
         run, f"media_id long, dhash long, {ts} timestamp"
     )
-    decoded = hashed.filter(F.col("dhash").isNotNull())
-    passthrough = hashed.filter(F.col("dhash").isNull())
-    deduped = decoded.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
-        ["dhash"]
+    # one decode stage for BOTH decodable and undecodable rows: NULL-hash
+    # rows get a media_id-salted synthetic key so they ride the same
+    # dropDuplicatesWithinWatermark without ever matching each other —
+    # a filter/union split here would re-run the mapInPandas decode once
+    # per branch (the plan has no reuse point under streaming)
+    keyed = hashed.withColumn(
+        "_dedup_key",
+        F.when(
+            F.col("dhash").isNotNull(),
+            F.concat(F.lit("h:"), F.col("dhash").cast("string")),
+        ).otherwise(F.concat(F.lit("m:"), F.col("media_id").cast("string"))),
     )
-    return deduped.unionByName(passthrough)
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )
