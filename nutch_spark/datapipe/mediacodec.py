@@ -2312,3 +2312,85 @@ def decode_tiff_pixels(payload: bytes):
         return w, h, rows
     except (struct.error, IndexError, ValueError, zlib.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container walk: MJPEG frame extraction (video joins perceptual
+# dedup through the already-certified JPEG pixel decoder)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Iterate (fourcc, data_start, data_end) over a RIFF chunk run.
+    Chunks are fourcc + u32-LE size + data, padded to even offsets; a
+    truncated final chunk is clamped to the buffer (web-crawled AVIs cut
+    mid-download are the norm, not the exception)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        data_start = pos + 8
+        data_end = min(data_start + size, end)
+        yield fourcc, data_start, data_end
+        pos = data_start + size + (size & 1)
+
+
+def extract_avi_mjpeg_frames(payload: bytes, *, max_frames: int = 64):
+    """RIFF/AVI container walk (Microsoft AVI 1.0 / OpenDML public
+    layout): returns {"frames": [jpeg_bytes, ...], "fps": float | None,
+    "width": int | None, "height": int | None, "n_chunks": int} for an
+    AVI whose video stream is Motion-JPEG, else None.
+
+    The walk recurses RIFF LIST nesting (``hdrl``/``strl`` for the
+    stream headers, ``movi`` — possibly via ``rec `` groups — for the
+    payload chunks) and collects video chunks (``##dc``/``##db``) whose
+    bytes start with a JPEG SOI marker; each frame then decodes through
+    :func:`decode_jpeg_pixels`, the same T.81 path certified for
+    standalone images. fps comes from the ``vids`` ``strh``'s
+    dwRate/dwScale; frame dimensions from the ``strf``
+    BITMAPINFOHEADER. Hostile-input posture: bounded recursion depth,
+    bounded chunk count, ``max_frames`` cap, truncation-clamped sizes —
+    arbitrary web bytes reach this in the crawl media path.
+
+    Reference parity: Tika routes video/x-msvideo through its MP4/RIFF
+    metadata parsers (metadata only); this adds the pixel surface the
+    dedup pipeline needs."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    riff_size = int.from_bytes(payload[4:8], "little")
+    end = min(len(payload), 12 + riff_size) if riff_size else len(payload)
+    out = {"frames": [], "fps": None, "width": None, "height": None, "n_chunks": 0}
+    in_video_strl = [False]  # strf applies to the preceding vids strh
+
+    def walk(start: int, stop: int, depth: int) -> None:
+        if depth > 8:  # hostile nesting guard
+            return
+        for fourcc, ds, de in _riff_chunks(payload, start, stop):
+            out["n_chunks"] += 1
+            if out["n_chunks"] > 100_000 or len(out["frames"]) >= max_frames:
+                return
+            if fourcc == b"LIST" and de - ds >= 4:
+                walk(ds + 4, de, depth + 1)
+            elif fourcc == b"strh" and de - ds >= 32:
+                in_video_strl[0] = payload[ds : ds + 4] == b"vids"
+                if in_video_strl[0]:
+                    scale = int.from_bytes(payload[ds + 20 : ds + 24], "little")
+                    rate = int.from_bytes(payload[ds + 24 : ds + 28], "little")
+                    if scale and rate:
+                        out["fps"] = rate / scale
+            elif fourcc == b"strf" and in_video_strl[0] and de - ds >= 24:
+                out["width"] = int.from_bytes(
+                    payload[ds + 4 : ds + 8], "little", signed=True
+                )
+                out["height"] = abs(
+                    int.from_bytes(payload[ds + 8 : ds + 12], "little", signed=True)
+                )
+            elif (
+                fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2].isdigit()
+                and payload[ds : ds + 3] == b"\xff\xd8\xff"
+            ):
+                out["frames"].append(payload[ds:de])
+
+    walk(12, end, 0)
+    return out

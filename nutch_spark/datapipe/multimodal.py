@@ -622,3 +622,76 @@ def embedded_image_dhash(
     if batch_partitions:
         src = src.repartition(batch_partitions)
     return src.mapInPandas(run, EMBEDDED_DHASH_SCHEMA)
+
+
+VIDEO_FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+    max_frames: int = 64,
+    stride: int = 1,
+    hash_fn=None,
+) -> DataFrame:
+    """Perceptual hashes of VIDEO frames: each (media_id, payload) blob
+    walks ``mediacodec.extract_avi_mjpeg_frames`` (RIFF/AVI container,
+    Motion-JPEG video stream — the one mainstream video format whose
+    frames are plain JPEG, so the already-certified T.81 decoder covers
+    the pixels with no new codec), every ``stride``-th frame hashes
+    through ``dhash64``, and the output keys (media_id, frame_idx) join
+    ``dhash_near_dup``'s banded Hamming space — a re-encoded or
+    re-containered copy of a clip clusters with its original frame by
+    frame, and a still image extracted from a video clusters with the
+    video itself. Videos that aren't AVI/MJPEG (or decode to zero
+    frames) emit nothing, exactly like containers without embedded
+    images. ``frame_idx`` is the index WITHIN the sampled sequence (the
+    source frame number is frame_idx * stride).
+
+    100 TB shape: identical to image_dhash — one map-only Arrow stage,
+    zero shuffle; the payload column prunes away from every non-media
+    query, and ``max_frames`` bounds per-row work against hostile or
+    hour-long inputs."""
+    import pandas as pd  # noqa: F401 — _exact_frame builds the batches
+
+    from nutch_spark.datapipe.mediacodec import dhash64, extract_avi_mjpeg_frames
+
+    compute = hash_fn or dhash64
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    info = extract_avi_mjpeg_frames(
+                        bytes(payload), max_frames=max_frames * stride
+                    )
+                except Exception:  # noqa: BLE001 — one bad container
+                    continue
+                if not info:
+                    continue
+                for idx, frame in enumerate(info["frames"][::stride]):
+                    try:
+                        h = compute(frame)
+                    except Exception:  # noqa: BLE001
+                        h = None
+                    if h is not None and h >= 1 << 63:
+                        h -= 1 << 64  # signed-64 wrap like image_dhash
+                    rows.append(
+                        {"media_id": media_id, "frame_idx": idx, "dhash": h}
+                    )
+            yield _exact_frame(rows, VIDEO_FRAME_DHASH_SCHEMA)
+
+    src = media.select("media_id", "payload")
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(run, VIDEO_FRAME_DHASH_SCHEMA)

@@ -2555,9 +2555,21 @@ def _dhash_expected(k: int) -> int:
     return bits - (1 << 64 if bits >= 1 << 63 else 0)  # signed 64-bit
 
 
-_DHASH_CASE = "CASE doc_id % 16 " + " ".join(
-    f"WHEN {k} THEN CAST({_dhash_expected(k)} AS BIGINT)" for k in range(16)
-) + " END"
+def _dhash_case_on(expr: str) -> str:
+    """The closed-form expected-dHash CASE keyed on an arbitrary SQL
+    expression (doc_id for still images, doc_id + frame index for video
+    frames)."""
+    return (
+        f"CASE ({expr}) % 16 "
+        + " ".join(
+            f"WHEN {k} THEN CAST({_dhash_expected(k)} AS BIGINT)"
+            for k in range(16)
+        )
+        + " END"
+    )
+
+
+_DHASH_CASE = _dhash_case_on("doc_id")
 
 
 def _planted_grid(doc_id: int):
@@ -3239,3 +3251,101 @@ def dp_script_detect(spark, sf_dir):
     return prof.select(
         "doc_id", "script", "n_latin", "n_cyrillic", "n_cjk", "n_arabic"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MJPEG-in-AVI frame decode — video joins perceptual dedup
+# ---------------------------------------------------------------------------
+
+
+def _planted_avi(doc_id: int) -> bytes:
+    """A real RIFF/AVI container (hdrl with avih + vids strl, movi with
+    ``00dc`` chunks) holding 1 + doc_id %% 3 Motion-JPEG frames; frame j
+    carries the planted gradient of class (doc_id + j) %% 16, so every
+    frame's dHash is the same closed form the still-image oracle uses.
+    doc_id %% 32 == 9 additionally plants a CORRUPT first frame (SOI
+    prefix, garbage body) to pin the NULL-hash path."""
+    import struct
+
+    n = 1 + doc_id % 3
+    frames = [_planted_jpeg(_planted_grid(doc_id + j)) for j in range(n)]
+    if doc_id % 32 == 9:
+        frames[0] = b"\xff\xd8\xff\xe0 not actually a decodable jpeg"
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I4I", 40000, 0, 0, 0, n, 0, 1, 0, 72, 64, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, 25, 0, n, 0, 0, 0, 0, 0, 72, 64,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 72, 64, 1, 24, b"MJPG", 72 * 64 * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@q(
+    "mm_video_frame_dhash",
+    f"""
+    -- REAL video-frame pixel decode: each doc becomes a RIFF/AVI with
+    -- 1 + doc_id %% 3 Motion-JPEG frames (frame j = planted class
+    -- (doc_id + j) %% 16), walked by the from-spec container parser and
+    -- decoded by the certified T.81 JPEG path, so every frame's dHash is
+    -- the SAME closed form as the still-image oracle. doc_id %% 32 = 21
+    -- plants a non-AVI payload (emits nothing); %% 32 = 9 a corrupt
+    -- first frame (NULL hash, frame row still emitted).
+    WITH v AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
+      FROM documents WHERE doc_id < 320 AND doc_id % 32 != 21
+    )
+    SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+           CASE WHEN doc_id % 32 = 9 AND j = 0 THEN NULL
+                ELSE {_dhash_case_on("doc_id + j")} END AS dhash
+    FROM v
+    """,
+)
+def mm_video_frame_dhash(spark, sf_dir):
+    """Perceptual hashing of VIDEO frames (multimodal.video_frame_dhash →
+    mediacodec.extract_avi_mjpeg_frames): the RIFF/AVI container walk
+    (LIST hdrl/strl/movi, ``00dc`` stream chunks) surfaces each
+    Motion-JPEG frame to the already-certified T.81 JPEG decoder, so
+    video joins the banded-Hamming near-dup space frame-by-frame — a
+    re-containered copy of a clip clusters with its original, and a
+    still extracted from a video clusters with the video itself. This is
+    the pixel surface mm_frame_samples's timestamp plan was missing.
+    100 TB: one map-only Arrow stage, zero shuffle; max_frames bounds
+    per-row work against hour-long or hostile inputs."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import video_frame_dhash
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 320
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 32 == 21:  # not an AVI: walker returns None
+                    payload = b"RIFFxxxxWEBPVP8 not-a-video"
+                else:
+                    payload = _planted_avi(int(doc_id))
+                rows.append({"media_id": int(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return video_frame_dhash(media)

@@ -430,3 +430,180 @@ def test_tiff_pixel_decode_never_raises_on_hostile_bytes(magic, junk):
         w, h, rows = out
         assert len(rows) == h and all(len(r) == w for r in rows)
         assert all(0 <= v <= 255 for r in rows for v in r)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: AVI container walk + the newest decoders (progressive JPEG,
+# FLAC) under hostile structured input — these sit in the crawl media path
+# where arbitrary web bytes reach them, so fuzz VALID fixtures broken by
+# truncation / byte-flips / lying headers, not just random salad
+# ---------------------------------------------------------------------------
+
+
+def _valid_avi(doc_id: int = 2) -> bytes:
+    from nutch_spark.plans.datapipe_queries import _planted_avi
+
+    return _planted_avi(doc_id)
+
+
+@given(st.binary(max_size=512))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_avi_walker_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import extract_avi_mjpeg_frames
+
+    for payload in (junk, b"RIFF" + junk, b"RIFF\x00\x01\x00\x00AVI " + junk):
+        out = extract_avi_mjpeg_frames(payload)
+        if out is not None:
+            assert isinstance(out["frames"], list)
+            assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+@given(
+    st.integers(min_value=0, max_value=100),   # truncation percentage
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),                       # (offset, new byte) flips
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_avi_walker_survives_mutated_valid_container(cut_pct, flips):
+    """Truncations and byte-flips of a VALID planted AVI (lying chunk
+    sizes, corrupted LIST types, cut mid-frame) must never raise — and
+    whatever frames survive must still be SOI-prefixed byte runs."""
+    from nutch_spark.datapipe.mediacodec import extract_avi_mjpeg_frames
+
+    buf = bytearray(_valid_avi())
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: len(buf) * cut_pct // 100])
+    out = extract_avi_mjpeg_frames(payload)
+    if out is not None:
+        assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+def test_avi_walker_bounds_hostile_nesting_and_frame_count():
+    """A LIST-recursion bomb (deeply nested LIST chunks) and a frame
+    flood must hit the depth / max_frames caps, not recurse or collect
+    unboundedly."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import extract_avi_mjpeg_frames
+
+    bomb = b"\xff\xd8\xff fake-frame"
+    for _ in range(64):
+        bomb = b"LIST" + struct.pack("<I", len(bomb) + 4) + b"rec " + bomb
+    out = extract_avi_mjpeg_frames(b"RIFF" + struct.pack("<I", len(bomb) + 4) + b"AVI " + bomb)
+    assert out is not None and out["frames"] == []  # depth cap cut the walk
+
+    frame = b"\xff\xd8\xff\xe0abc"
+    chunk = b"00dc" + struct.pack("<I", len(frame)) + frame + b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + 1000 * len(chunk)) + b"movi" + chunk * 1000
+    out = extract_avi_mjpeg_frames(
+        b"RIFF" + struct.pack("<I", len(movi) + 4) + b"AVI " + movi, max_frames=16
+    )
+    assert out is not None and len(out["frames"]) == 16
+
+
+def _valid_progressive_jpeg() -> bytes:
+    from nutch_spark.plans.datapipe_queries import _planted_grid, _planted_jpeg
+
+    return _planted_jpeg(_planted_grid(7), progressive=True)
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=6),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_progressive_jpeg_survives_mutation(cut_pct, flips):
+    """Truncations / byte-flips of a VALID progressive JPEG — lying
+    Huffman tables, cut scans, corrupted markers — must decode to None
+    or a well-formed raster, never raise or hang (the random-salad fuzz
+    above rarely reaches the progressive scan machinery)."""
+    from nutch_spark.datapipe.mediacodec import decode_jpeg_pixels
+
+    buf = bytearray(_valid_progressive_jpeg())
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: max(3, len(buf) * cut_pct // 100)])
+    out = decode_jpeg_pixels(payload)
+    if out is not None:
+        w, h, rows = out
+        assert len(rows) == h and all(len(r) == w for r in rows)
+        assert all(0 <= v <= 255 for r in rows for v in r)
+
+
+def _valid_flac(total: int = 64) -> bytes:
+    import math
+    import struct
+
+    samples = [int(12000 * math.sin(0.3 * i)) for i in range(total)]
+    si = (
+        struct.pack(">HH", total, total)
+        + b"\x00\x00\x10" * 2
+        + ((8000 << 44) | (15 << 36) | total).to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    return (
+        b"fLaC\x80" + len(si).to_bytes(3, "big") + si
+        + bytes([0xFF, 0xF8, 0x70, 0x08, 0x00])
+        + struct.pack(">H", total - 1) + b"\x00\x02"
+        + b"".join(struct.pack(">h", s) for s in samples)
+        + b"\x00\x00"
+    )
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=6),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_flac_decode_survives_mutation(cut_pct, flips):
+    """Truncations / byte-flips of a VALID FLAC stream — lying blocksize
+    codes, corrupted subframe headers, bad Rice parameters land here —
+    must decode to None or a well-formed sample dict, never raise."""
+    from nutch_spark.datapipe.mediacodec import decode_flac_samples
+
+    buf = bytearray(_valid_flac())
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: max(4, len(buf) * cut_pct // 100)])
+    out = decode_flac_samples(payload)
+    if out is not None:
+        assert out["n_samples"] >= 0
+        assert len(out["samples"]) == out["n_samples"] * out["n_channels"]
+
+
+def test_flac_oversized_blocksize_is_bounded():
+    """A STREAMINFO lying that the stream holds 2^36 samples (or a frame
+    header claiming a 65535 blocksize with no data behind it) must return
+    None / partial output without allocating the claimed size."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import decode_flac_samples
+
+    huge = (8000 << 44) | (15 << 36) | ((1 << 36) - 1)
+    si = (
+        struct.pack(">HH", 65535, 65535)
+        + b"\x00\x00\x10" * 2
+        + huge.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    payload = b"fLaC\x80" + len(si).to_bytes(3, "big") + si + bytes(
+        [0xFF, 0xF8, 0x70, 0x08, 0x00]
+    )
+    assert decode_flac_samples(payload) is None  # sample-count cap
+
+    ok = _valid_flac()
+    # blocksize code 0b0111 = "get 16-bit blocksize-1 from header": claim
+    # 65535 samples, supply none — the residual/verbatim readers must stop
+    # at EOF, not allocate 65535 entries of garbage
+    cut = bytearray(ok)
+    idx = ok.index(bytes([0xFF, 0xF8, 0x70, 0x08, 0x00]))
+    cut[idx + 5 : idx + 7] = struct.pack(">H", 65534)
+    out = decode_flac_samples(bytes(cut[: idx + 9]))
+    assert out is None or out["n_samples"] <= 65535

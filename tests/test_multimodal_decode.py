@@ -2506,3 +2506,76 @@ def test_dhash_exact_int64_with_null_in_batch(spark):
     afp = {r["media_id"]: r["afp"] for r in audio_fingerprints(am).collect()}
     assert afp[1] is None and afp[2] is None
     assert afp[0] & ((1 << 64) - 1) == afp_expect
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MJPEG-in-AVI frame extraction → per-frame dHash
+# ---------------------------------------------------------------------------
+
+
+def test_avi_walker_extracts_frames_fps_and_dimensions():
+    from nutch_spark.datapipe.mediacodec import (
+        dhash64,
+        extract_avi_mjpeg_frames,
+    )
+    from nutch_spark.plans.datapipe_queries import (
+        _dhash_expected,
+        _planted_avi,
+    )
+
+    info = extract_avi_mjpeg_frames(_planted_avi(2))  # 3 frames, classes 2..4
+    assert info["fps"] == 25.0 and (info["width"], info["height"]) == (72, 64)
+    assert len(info["frames"]) == 3
+    for j, frame in enumerate(info["frames"]):
+        h = dhash64(frame)
+        assert h - (1 << 64 if h >= 1 << 63 else 0) == _dhash_expected(2 + j)
+
+
+def test_avi_walker_rejects_non_avi():
+    from nutch_spark.datapipe.mediacodec import extract_avi_mjpeg_frames
+
+    assert extract_avi_mjpeg_frames(b"") is None
+    assert extract_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert extract_avi_mjpeg_frames(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_video_frame_dhash_stage(spark):
+    """The Spark stage keys (media_id, frame_idx), signed-wraps hashes,
+    emits nothing for non-AVI payloads, and honors the frame stride."""
+    from nutch_spark.datapipe.multimodal import video_frame_dhash
+    from nutch_spark.plans.datapipe_queries import (
+        _dhash_expected,
+        _planted_avi,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_planted_avi(1))),   # 2 frames: classes 1, 2
+            (2, bytearray(_planted_avi(2))),   # 3 frames: classes 2, 3, 4
+            (3, bytearray(b"not a riff at all")),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(media).collect()
+    }
+    assert rows == {
+        (1, 0): _dhash_expected(1),
+        (1, 1): _dhash_expected(2),
+        (2, 0): _dhash_expected(2),
+        (2, 1): _dhash_expected(3),
+        (2, 2): _dhash_expected(4),
+    }
+
+    strided = {
+        (r.media_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(media, stride=2).collect()
+    }
+    # stride 2 keeps source frames 0, 2 — re-indexed 0, 1 in the output
+    assert strided == {
+        (1, 0): _dhash_expected(1),
+        (2, 0): _dhash_expected(2),
+        (2, 1): _dhash_expected(4),
+    }
