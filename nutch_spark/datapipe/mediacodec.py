@@ -987,14 +987,20 @@ def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int
     spectral energy — a dominant-band one-hot per frame, robust to FFT
     leakage (leakage never approaches the 25% cut). The same shape as the
     image dHash (8x8 bits), so ``dhash_near_dup``'s banded Hamming join
-    pairs near-identical audio the same way. Accepts PCM WAV and FLAC
+    pairs near-identical audio the same way. Accepts PCM WAV, FLAC
     (from-spec lossless decode, so the fingerprint is IDENTICAL to the
-    same audio's WAV fingerprint). None for other payloads."""
+    same audio's WAV fingerprint), and MPEG-1 audio Layer I/II
+    (from-spec bitstream decode — lossy broadcast audio joins the same
+    dedup space; Layer III is scoped out, see
+    ``decode_mpeg_audio_samples``). None for other payloads."""
     import numpy as np
 
     info = parse_wav(payload)
     if info is None and payload[:4] == b"fLaC":
         info = decode_flac_samples(payload)
+    if info is None and payload[:1] in (b"\xff", b"I"):
+        # MPEG-1 Layer I/II sync (0xFF) or a leading ID3v2 tag ('ID3')
+        info = decode_mpeg_audio_samples(payload)
     if info is None or info["n_samples"] == 0:
         return None
     samples = info["samples"]
@@ -2394,3 +2400,360 @@ def extract_avi_mjpeg_frames(payload: bytes, *, max_frames: int = 64):
 
     walk(12, end, 0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 audio (ISO/IEC 11172-3) Layer I / Layer II decode — lossy audio
+# joins fingerprint dedup. Layer III is deliberately scoped OUT (see
+# decode_mpeg_audio_samples's docstring).
+# ---------------------------------------------------------------------------
+
+_MPEG1_RATES = (44100, 48000, 32000)
+_MPEG1_KBPS_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+_MPEG1_KBPS_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+
+# Layer I/II scalefactors (11172-3 Table 3-B.1): sf[i] = 2.0 * 2^(-i/3),
+# 63 valid indices — the table IS this closed form, stated in the spec.
+_MPEG1_SCALEFACTORS = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+
+# Layer II quantization classes (Table 3-B.4): steps -> (bits per coded
+# value, grouped?, C, D). For 2^k-1 steps C = 2^k/(2^k-1), D = 2^(1-k);
+# the grouped 3/5/9-step classes pack 3 samples into one 5/7/10-bit code.
+_L2_CLASSES = {
+    3: (2, True, 4 / 3, 0.5),
+    5: (3, True, 8 / 5, 0.5),
+    7: (3, False, 8 / 7, 0.25),
+    9: (4, True, 16 / 9, 0.5),
+    15: (4, False, 16 / 15, 0.125),
+    31: (5, False, 32 / 31, 0.0625),
+    63: (6, False, 64 / 63, 0.03125),
+    127: (7, False, 128 / 127, 0.015625),
+    255: (8, False, 256 / 255, 0.0078125),
+    511: (9, False, 512 / 511, 0.00390625),
+    1023: (10, False, 1024 / 1023, 0.001953125),
+    2047: (11, False, 2048 / 2047, 0.0009765625),
+    4095: (12, False, 4096 / 4095, 0.00048828125),
+    8191: (13, False, 8192 / 8191, 0.000244140625),
+    16383: (14, False, 16384 / 16383, 0.0001220703125),
+    32767: (15, False, 32768 / 32767, 0.00006103515625),
+    65535: (16, False, 65536 / 65535, 0.000030517578125),
+}
+
+# Layer II bit-allocation table 3-B.2a (48 kHz, and 44.1/32 kHz at high
+# bitrates; sblimit 27): per subband, the allowed quantization steps by
+# allocation index (index 0 = not allocated). The lower tables (B.2b-d)
+# differ only in sblimit and which rows get the wide classes; this
+# implementation routes every MPEG-1 Layer II stream through B.2a — an
+# allocation index outside the row is treated as the row's widest class,
+# which can only mis-scale exotic low-bitrate streams, never crash.
+_L2_ALLOC_LOW = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535)
+_L2_ALLOC_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535)
+_L2_ALLOC_HIGH = (3, 5, 7, 9, 15, 31, 65535)
+_L2_ALLOC_TOP = (3, 5, 65535)
+
+
+def _l2_row(sb: int) -> tuple[int, tuple[int, ...]]:
+    """(nbal, allowed steps) for subband ``sb`` under Table 3-B.2a."""
+    if sb < 3:
+        return 4, _L2_ALLOC_LOW
+    if sb < 11:
+        return 4, _L2_ALLOC_MID
+    if sb < 23:
+        return 3, _L2_ALLOC_HIGH
+    return 2, _L2_ALLOC_TOP
+
+
+_L2_SBLIMIT = 27
+
+
+def _mpeg_requant(code: int, bits: int, c: float, d: float) -> float:
+    """11172-3 dequantization (Layer I 2.4.3.1 / Layer II 2.4.3.2): invert
+    the MSB to form a two's-complement fraction in [-1, 1), add the class
+    offset D, scale by the class gain C."""
+    frac = 0.0 if (code >> (bits - 1)) & 1 else -1.0
+    frac += (code & ((1 << (bits - 1)) - 1)) / (1 << (bits - 1))
+    return (frac + d) * c
+
+
+def _mpeg_synthesize(np, sb_frames: list, nch: int, rate: int):
+    """Subband → PCM synthesis by cosine modulation with GLOBAL phase:
+    pcm[m] = sum_s sb[m // 32][s] * cos(pi * (2s+1) * (m + 16) / 64).
+
+    This is the matrixing kernel of the normative filterbank WITHOUT the
+    512-tap prototype window of Table 3-B.3 — that window exists only as
+    a numeric table (not derivable from the spec text), and inventing
+    its values would decode real audio subtly wrong. The global-phase
+    modulation keeps each subband's content exactly at its band center
+    with adjacent-band leakage bounded by the subband transitions, which
+    is what the band-energy fingerprint consumes; it is NOT a
+    listening-quality synthesis. sb_frames: list of (n_granules, 32)
+    float arrays per channel, concatenated over frames."""
+    # cos table is periodic in m with period 128: precompute 128 x 32
+    phases = np.cos(
+        np.pi
+        * (2 * np.arange(32)[None, :] + 1)
+        * (np.arange(128)[:, None] + 16)
+        / 64.0
+    )
+    out = []
+    chunk = 1 << 17  # bound the (M, 32) intermediate to ~32 MB per slice
+    for ch in range(nch):
+        sb = np.concatenate(sb_frames[ch], axis=0)  # (T, 32)
+        t_total = sb.shape[0]
+        pcm = np.empty(t_total * 32)
+        for lo in range(0, t_total * 32, chunk):
+            m = np.arange(lo, min(lo + chunk, t_total * 32))
+            pcm[lo : lo + len(m)] = (phases[m % 128, :] * sb[m // 32, :]).sum(axis=1)
+        out.append(pcm)
+    mixed = np.stack(out, axis=1).reshape(-1)  # interleave channels
+    return np.clip(np.rint(mixed * 32767.0), -32768, 32767).astype(np.int64)
+
+
+def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
+    """From-spec MPEG-1 audio Layer I / Layer II decode (ISO/IEC 11172-3):
+    frame-sync walk (ID3v2 skip), header parse, bit allocation (Layer I
+    direct; Layer II Table 3-B.2a with grouped 3/5/9-step classes and
+    scfsi scalefactor sharing), Table 3-B.1 scalefactors, MSB-inversion
+    requantization with the Table 3-B.4 C/D constants, intensity-stereo
+    bound handling, and cosine-modulation synthesis (see
+    ``_mpeg_synthesize`` for the honest scoping of the normative
+    prototype window). Returns the ``parse_wav`` dict shape so
+    ``audio_fingerprint`` and the spectral features run unchanged on
+    lossy broadcast audio. None for non-MPEG-1 / Layer III input.
+
+    Layer III is deliberately scoped OUT (like WebP-VP8L): its Huffman
+    code tables, requantization power tables, and IMDCT window constants
+    are normative numeric tables spanning dozens of pages — a
+    reconstruction from memory would decode real MP3s silently wrong,
+    which is worse than the header-only ``parse_mp3_info`` fallback."""
+    import numpy as np
+
+    n = len(payload)
+    pos = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    # bounded sync scan for the first Layer I/II MPEG-1 frame
+    limit = min(n - 4, pos + 4096)
+    first = None
+    while pos <= limit:
+        if (
+            payload[pos] == 0xFF
+            and (payload[pos + 1] & 0xF8) == 0xF8  # sync + ID=1 (MPEG-1)
+            and ((payload[pos + 1] >> 1) & 0x3) in (3, 2)  # Layer I / II
+            and ((payload[pos + 2] >> 4) & 0xF) not in (0, 15)
+            and ((payload[pos + 2] >> 2) & 0x3) < 3
+        ):
+            first = pos
+            break
+        pos += 1
+    if first is None:
+        return None
+
+    sb_frames: list[list] = []
+    nch = rate = None
+    total_granules = 0
+    pos = first
+    while pos + 4 <= n and total_granules * 32 < _MAX_AUDIO_SAMPLES:
+        if not (
+            payload[pos] == 0xFF and (payload[pos + 1] & 0xF8) == 0xF8
+        ):
+            break
+        layer = (payload[pos + 1] >> 1) & 0x3  # 3 = Layer I, 2 = Layer II
+        if layer not in (3, 2):
+            break
+        protection = payload[pos + 1] & 1
+        br_idx = (payload[pos + 2] >> 4) & 0xF
+        sr_idx = (payload[pos + 2] >> 2) & 0x3
+        padding = (payload[pos + 2] >> 1) & 0x1
+        mode = (payload[pos + 3] >> 6) & 0x3
+        mode_ext = (payload[pos + 3] >> 4) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        frame_rate = _MPEG1_RATES[sr_idx]
+        frame_nch = 1 if mode == 3 else 2
+        if rate is None:
+            rate, nch = frame_rate, frame_nch
+            sb_frames = [[] for _ in range(nch)]
+        elif frame_rate != rate or frame_nch != nch:
+            break  # parameter change mid-stream: stop at what we have
+        kbps = (_MPEG1_KBPS_L1 if layer == 3 else _MPEG1_KBPS_L2)[br_idx]
+        if layer == 3:  # Layer I: slots are 4 bytes
+            frame_len = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            frame_len = 144 * kbps * 1000 // rate + padding
+        # intensity-stereo bound: subbands >= bound share one sample run
+        bound = (mode_ext + 1) * 4 if mode == 1 else 32
+        br = _FlacBits(payload, pos + 4)
+        if protection == 0:
+            br.read(16)  # CRC (parsed, not verified — best-effort crawl)
+        ok = (
+            _mpeg_decode_layer1(br, nch, bound, sb_frames)
+            if layer == 3
+            else _mpeg_decode_layer2(br, nch, min(bound, _L2_SBLIMIT), sb_frames)
+        )
+        if not ok:
+            break
+        total_granules += 12 if layer == 3 else 36
+        pos += frame_len
+    if rate is None or total_granules == 0:
+        return None
+    samples = _mpeg_synthesize(np, sb_frames, nch, rate)
+    n_samples = total_granules * 32
+    return {
+        "format": "mpeg1",
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "bits": 16,
+        "n_samples": int(n_samples),
+        "duration_s": n_samples / rate,
+        "samples": samples,
+    }
+
+
+def _mpeg_decode_layer1(br: _FlacBits, nch: int, bound: int, sb_frames) -> bool:
+    """One Layer I frame (2.4.1.5): 4-bit allocations, 6-bit scalefactors,
+    12 granules x 1 sample per allocated subband; nb = allocation + 1
+    bits, requantized per 2.4.3.1 then scaled by Table 3-B.1."""
+    import numpy as np
+
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        chans = range(nch) if sb < bound else range(1)
+        for ch in chans:
+            a = br.read(4)
+            if a is None or a == 15:
+                return False
+            alloc[ch][sb] = a
+        if sb >= bound:  # intensity: one allocation for both channels
+            for ch in range(1, nch):
+                alloc[ch][sb] = alloc[0][sb]
+    sf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                idx = br.read(6)
+                if idx is None or idx >= 63:
+                    return False
+                sf[ch][sb] = _MPEG1_SCALEFACTORS[idx]
+    frames = [np.zeros((12, 32)) for _ in range(nch)]
+    for t in range(12):
+        for sb in range(32):
+            chans = range(nch) if sb < bound else range(1)
+            vals = []
+            for ch in chans:
+                a = alloc[ch][sb]
+                if not a:
+                    vals.append(None)
+                    continue
+                nb = a + 1
+                code = br.read(nb)
+                if code is None:
+                    return False
+                vals.append(
+                    _mpeg_requant(code, nb, (1 << nb) / ((1 << nb) - 1), 1.0 / (1 << (nb - 1)))
+                )
+            for ch in range(nch):
+                v = vals[ch if sb < bound else 0]
+                if v is not None:
+                    frames[ch][t, sb] = v * sf[ch][sb]
+    for ch in range(nch):
+        sb_frames[ch].append(frames[ch])
+    return True
+
+
+def _mpeg_decode_layer2(br: _FlacBits, nch: int, bound: int, sb_frames) -> bool:
+    """One Layer II frame (2.4.1.6/2.4.2.2): Table 3-B.2a allocation,
+    scfsi scalefactor sharing across the three 12-granule parts, grouped
+    3/5/9-step triplet codes, Table 3-B.4 requantization."""
+    import numpy as np
+
+    alloc = [[0] * _L2_SBLIMIT for _ in range(nch)]
+    for sb in range(_L2_SBLIMIT):
+        nbal, steps_row = _l2_row(sb)
+        chans = range(nch) if sb < bound else range(1)
+        for ch in chans:
+            a = br.read(nbal)
+            if a is None:
+                return False
+            alloc[ch][sb] = min(a, len(steps_row))
+        if sb >= bound:
+            for ch in range(1, nch):
+                alloc[ch][sb] = alloc[0][sb]
+    scfsi = [[0] * _L2_SBLIMIT for _ in range(nch)]
+    for sb in range(_L2_SBLIMIT):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                s = br.read(2)
+                if s is None:
+                    return False
+                scfsi[ch][sb] = s
+    # scalefactors per 12-granule part, shared per scfsi (2.4.2.2)
+    sf = [[(0.0, 0.0, 0.0)] * _L2_SBLIMIT for _ in range(nch)]
+    for sb in range(_L2_SBLIMIT):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            mode = scfsi[ch][sb]
+            count = {0: 3, 1: 2, 2: 1, 3: 2}[mode]
+            idxs = []
+            for _ in range(count):
+                i = br.read(6)
+                if i is None or i >= 63:
+                    return False
+                idxs.append(_MPEG1_SCALEFACTORS[i])
+            if mode == 0:
+                sf[ch][sb] = (idxs[0], idxs[1], idxs[2])
+            elif mode == 1:
+                sf[ch][sb] = (idxs[0], idxs[0], idxs[1])
+            elif mode == 2:
+                sf[ch][sb] = (idxs[0], idxs[0], idxs[0])
+            else:
+                sf[ch][sb] = (idxs[0], idxs[1], idxs[1])
+    frames = [np.zeros((36, 32)) for _ in range(nch)]
+    for gr in range(12):  # 12 granules of 3 samples
+        for sb in range(_L2_SBLIMIT):
+            _nbal, steps_row = _l2_row(sb)
+            chans = range(nch) if sb < bound else range(1)
+            triplets = []
+            for ch in chans:
+                a = alloc[ch][sb]
+                if not a:
+                    triplets.append(None)
+                    continue
+                steps = steps_row[a - 1]
+                bits, grouped, c, d = _L2_CLASSES[steps]
+                if grouped:
+                    nbits = {3: 5, 5: 7, 9: 10}[steps]
+                    code = br.read(nbits)
+                    if code is None:
+                        return False
+                    tri = []
+                    for _ in range(3):
+                        v = code % steps
+                        code //= steps
+                        tri.append(_mpeg_requant(v, bits, c, d))
+                else:
+                    tri = []
+                    for _ in range(3):
+                        v = br.read(bits)
+                        if v is None:
+                            return False
+                        tri.append(_mpeg_requant(v, bits, c, d))
+                triplets.append(tri)
+            for ch in range(nch):
+                tri = triplets[ch if sb < bound else 0]
+                if tri is None:
+                    continue
+                part = gr // 4
+                scale = sf[ch][sb][part]
+                for k in range(3):
+                    frames[ch][gr * 3 + k, sb] = tri[k] * scale
+    for ch in range(nch):
+        sb_frames[ch].append(frames[ch])
+    return True

@@ -359,6 +359,13 @@ def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
         from nutch_spark.datapipe.mediacodec import decode_flac_samples
 
         wav = decode_flac_samples(payload)
+    if wav is None and payload[:1] in (b"\xff", b"I"):
+        # MPEG-1 Layer I/II: from-spec bitstream decode (Layer III falls
+        # through to the header-only MP3 parse below — see
+        # decode_mpeg_audio_samples's scoping note)
+        from nutch_spark.datapipe.mediacodec import decode_mpeg_audio_samples
+
+        wav = decode_mpeg_audio_samples(payload)
     if wav is None:
         # FLAC STREAMINFO (when frame decode failed) / MP3 frame headers
         # give real rate/duration without decoding frames; the spectral

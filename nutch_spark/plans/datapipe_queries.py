@@ -3349,3 +3349,158 @@ def mm_video_frame_dhash(spark, sf_dir):
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
     return video_frame_dhash(media)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MPEG-1 Layer I/II decode — lossy audio joins fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+class _BitW:
+    """MSB-first bit packer for the planted MPEG-1 frames."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        self.bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    def bytes(self, pad_to: int) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        out.extend(b"\x00" * (pad_to - len(out)))
+        return bytes(out)
+
+
+def _planted_mpeg1_layer1_frame(s0: int) -> bytes:
+    """One mono 48 kHz / 64 kbps Layer I frame (64 bytes): subband ``s0``
+    carries constant samples at amplitude ~0.5 (15-bit class, scalefactor
+    index 3 = 1.0), every other subband unallocated — the cosine
+    synthesis turns that into a pure tone at the subband center."""
+    bw = _BitW()
+    for sb in range(32):
+        bw.write(14 if sb == s0 else 0, 4)  # alloc 14 -> nb = 15 bits
+    bw.write(3, 6)  # scalefactor 2^(1 - 3/3) = 1.0
+    for _ in range(12):
+        bw.write((1 << 14) | (1 << 13), 15)  # MSB-inverted fraction 0.5
+    return bytes([0xFF, 0xFF, (2 << 4) | (1 << 2), 0xC0]) + bw.bytes(60)
+
+
+def _planted_mpeg1_layer2_frame(s0: int) -> bytes:
+    """One mono 48 kHz / 64 kbps Layer II frame (192 bytes): subband
+    ``s0`` (< sblimit 27) quantized with the 15-step class where Table
+    3-B.2a allows it, else the exact 65535-step class; scalefactor index
+    6 = 0.5; scfsi 0 (three explicit scalefactors)."""
+    from nutch_spark.datapipe.mediacodec import _l2_row
+
+    bw = _BitW()
+    steps_used = None
+    for sb in range(27):
+        nbal, steps = _l2_row(sb)
+        if sb == s0:
+            want = 15 if 15 in steps else 65535
+            steps_used = want
+            bw.write(steps.index(want) + 1, nbal)
+        else:
+            bw.write(0, nbal)
+    bw.write(0, 2)  # scfsi: three explicit scalefactors
+    for _ in range(3):
+        bw.write(6, 6)  # 2^(1 - 6/3) = 0.5
+    bits = 4 if steps_used == 15 else 16
+    code = (1 << (bits - 1)) | (1 << (bits - 2))  # fraction 0.5
+    for _ in range(12):
+        for _k in range(3):
+            bw.write(code, bits)
+    return bytes([0xFF, 0xFD, (4 << 4) | (1 << 2), 0xC0]) + bw.bytes(188)
+
+
+def _planted_mpeg_payload(doc_id: int) -> bytes:
+    """8 MPEG-1 frames whose dominant fingerprint band follows the same
+    tone schedule as mm_audio_fingerprint: Layer I for even ids (bands
+    mod 8), Layer II for odd ids (bands mod 7 — fingerprint band 7 maps
+    to subbands above Layer II's sblimit 27, a REAL property of the
+    format, so the Layer II schedule wraps at 7). Each fingerprint frame
+    is exactly one MPEG frame (384 / 1152 samples), and the planted
+    subband 4*band+1's tone lands on an integer FFT bin — zero leakage,
+    so the >25% dominance cut is structural."""
+    if doc_id % 2:
+        sched = [(doc_id * 5 + f * 3) % 7 for f in range(8)]
+        return b"".join(_planted_mpeg1_layer2_frame(4 * t + 1) for t in sched)
+    sched = [(doc_id * 5 + f * 3) % 8 for f in range(8)]
+    return b"".join(_planted_mpeg1_layer1_frame(4 * t + 1) for t in sched)
+
+
+def _afp_terms_mod(mod_expr: str) -> str:
+    return " + ".join(
+        f"CAST((128 >> ((doc_id * 5 + {f * 3}) % ({mod_expr}))) AS HUGEINT)"
+        f" * CAST({256 ** (7 - f)} AS HUGEINT)"
+        for f in range(8)
+    )
+
+
+_MPEG_AFP = _afp_terms_mod("CASE WHEN doc_id % 2 = 1 THEN 7 ELSE 8 END")
+
+
+@q(
+    "mm_mpeg_fingerprint",
+    f"""
+    -- REAL lossy-audio decode: each doc's tone schedule ships as MPEG-1
+    -- Layer I (even ids) or Layer II (odd ids) frames; the from-spec
+    -- bitstream decode (Table 3-B.2a allocation, 3-B.1 scalefactors,
+    -- 3-B.4 requantization) + cosine synthesis recovers each frame's
+    -- dominant band, so the spectral fingerprint is the one-hot closed
+    -- form of the schedule — mod 8 for Layer I, mod 7 for Layer II
+    -- (fingerprint band 7 sits above Layer II's sblimit, a real property
+    -- of the format). doc_id %% 32 = 21 ships a Layer III frame instead:
+    -- scoped out of decode (header-only parse), NULL fingerprint.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE
+           CAST(({_MPEG_AFP})
+                - CASE WHEN ({_MPEG_AFP})
+                         >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN CAST('18446744073709551616' AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END
+             AS BIGINT) END AS afp
+    FROM documents WHERE doc_id < 320
+    """,
+)
+def mm_mpeg_fingerprint(spark, sf_dir):
+    """Lossy-audio fingerprint dedup (mediacodec.decode_mpeg_audio_samples
+    → audio_fingerprint): MPEG-1 Layer I and Layer II streams decode
+    from-spec (frame sync walk, bit allocation, scfsi scalefactor
+    sharing, grouped triplet codes, MSB-inversion requantization) and
+    fingerprint through the SAME spectral-peak path as WAV/FLAC, so a
+    lossy re-encode of a track clusters with its lossless original in
+    dhash_near_dup's banded Hamming space. Layer III is deliberately
+    scoped out (normative Huffman/IMDCT tables — see the decoder's
+    docstring); a planted Layer III payload pins the NULL path.
+    100 TB: map-only Arrow stage, zero shuffle."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import audio_fingerprints
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 320
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 32 == 21:
+                    # Layer III (bits 01): real header, undecodable body —
+                    # exercises the scoping fallback, NULL fingerprint
+                    payload = bytes([0xFF, 0xFB, 0x92, 0xC0]) + b"\x55" * 412
+                else:
+                    payload = _planted_mpeg_payload(int(doc_id))
+                rows.append({"media_id": int(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return audio_fingerprints(media)

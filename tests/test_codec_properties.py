@@ -607,3 +607,41 @@ def test_flac_oversized_blocksize_is_bounded():
     cut[idx + 5 : idx + 7] = struct.pack(">H", 65534)
     out = decode_flac_samples(bytes(cut[: idx + 9]))
     assert out is None or out["n_samples"] <= 65535
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=6),
+    st.booleans(),  # Layer I vs Layer II fixture
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_mpeg1_decode_survives_mutation(cut_pct, flips, layer2):
+    """Truncations / byte-flips of VALID MPEG-1 Layer I/II streams —
+    lying bitrate indices, corrupted allocations, cut frames — must
+    decode to None or a well-formed sample dict, never raise or hang."""
+    from nutch_spark.datapipe.mediacodec import decode_mpeg_audio_samples
+    from nutch_spark.plans.datapipe_queries import _planted_mpeg_payload
+
+    buf = bytearray(_planted_mpeg_payload(3 if layer2 else 2))
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: max(0, len(buf) * cut_pct // 100)])
+    out = decode_mpeg_audio_samples(payload)
+    if out is not None:
+        assert out["n_samples"] > 0
+        assert len(out["samples"]) == out["n_samples"] * out["n_channels"]
+
+
+@given(st.binary(max_size=512))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_mpeg1_decode_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import decode_mpeg_audio_samples
+
+    for payload in (junk, b"\xff\xff" + junk, b"\xff\xfd" + junk,
+                    b"ID3\x04\x00\x00\x00\x00\x00\x04" + junk):
+        out = decode_mpeg_audio_samples(payload)
+        if out is not None:
+            assert out["n_samples"] > 0

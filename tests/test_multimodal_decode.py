@@ -2579,3 +2579,98 @@ def test_video_frame_dhash_stage(spark):
         (2, 0): _dhash_expected(2),
         (2, 1): _dhash_expected(4),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MPEG-1 Layer I/II audio decode
+# ---------------------------------------------------------------------------
+
+
+def test_mpeg1_layer1_decode_and_fingerprint():
+    import numpy as np
+
+    from nutch_spark.datapipe.mediacodec import (
+        audio_fingerprint,
+        decode_mpeg_audio_samples,
+    )
+    from nutch_spark.plans.datapipe_queries import _planted_mpeg_payload
+
+    payload = _planted_mpeg_payload(2)  # Layer I, schedule (10 + 3f) % 8
+    info = decode_mpeg_audio_samples(payload)
+    assert info["sample_rate"] == 48000 and info["n_channels"] == 1
+    assert info["n_samples"] == 8 * 384
+    # per-frame dominant band matches the schedule, essentially all energy
+    s = np.asarray(info["samples"], dtype=np.float64)
+    for f in range(8):
+        seg = s[f * 384 : (f + 1) * 384]
+        e = np.abs(np.fft.rfft(seg)) ** 2
+        e = e[1:]
+        cut = len(e) // 8
+        be = [e[b * cut : (b + 1) * cut].sum() for b in range(8)]
+        dom = int(np.argmax(be))
+        assert dom == (2 * 5 + 3 * f) % 8
+        assert be[dom] / sum(be) > 0.99
+    expected = 0
+    for f in range(8):
+        expected = (expected << 8) | (128 >> ((2 * 5 + 3 * f) % 8))
+    assert audio_fingerprint(payload) == expected
+
+
+def test_mpeg1_layer2_decode_and_fingerprint():
+    from nutch_spark.datapipe.mediacodec import (
+        audio_fingerprint,
+        decode_mpeg_audio_samples,
+    )
+    from nutch_spark.plans.datapipe_queries import _planted_mpeg_payload
+
+    payload = _planted_mpeg_payload(3)  # Layer II, schedule (15 + 3f) % 7
+    info = decode_mpeg_audio_samples(payload)
+    assert info["sample_rate"] == 48000 and info["n_samples"] == 8 * 1152
+    expected = 0
+    for f in range(8):
+        expected = (expected << 8) | (128 >> ((3 * 5 + 3 * f) % 7))
+    assert audio_fingerprint(payload) == expected
+
+
+def test_mpeg1_id3_prefix_and_layer3_scoping():
+    from nutch_spark.datapipe.mediacodec import decode_mpeg_audio_samples
+    from nutch_spark.plans.datapipe_queries import _planted_mpeg_payload
+
+    body = _planted_mpeg_payload(2)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    info = decode_mpeg_audio_samples(id3 + body)
+    assert info is not None and info["n_samples"] == 8 * 384
+
+    # Layer III (layer bits 01) is scoped out: None, never a wrong decode
+    mp3 = bytes([0xFF, 0xFB, 0x92, 0xC0]) + b"\x55" * 412
+    assert decode_mpeg_audio_samples(mp3) is None
+    assert decode_mpeg_audio_samples(b"\xff\xff") is None  # truncated header
+
+
+def test_mpeg1_stereo_layer1_interleaves_channels():
+    """A stereo Layer I frame with different subbands per channel decodes
+    to interleaved samples with per-channel spectral content."""
+    import numpy as np
+
+    from nutch_spark.datapipe.mediacodec import decode_mpeg_audio_samples
+    from nutch_spark.plans.datapipe_queries import _BitW
+
+    bw = _BitW()
+    for sb in range(32):
+        for ch in range(2):
+            want = (ch == 0 and sb == 5) or (ch == 1 and sb == 21)
+            bw.write(14 if want else 0, 4)
+    for _ in range(2):  # one scalefactor per allocated (ch, sb)
+        bw.write(3, 6)
+    for _t in range(12):
+        for sb in (5, 21):
+            bw.write((1 << 14) | (1 << 13), 15)
+    # stereo mode (00), 48 kHz, 128 kbps -> 128-byte frame
+    payload = bytes([0xFF, 0xFF, (4 << 4) | (1 << 2), 0x00]) + bw.bytes(124)
+    info = decode_mpeg_audio_samples(payload)
+    assert info["n_channels"] == 2 and info["n_samples"] == 384
+    s = np.asarray(info["samples"], dtype=np.float64).reshape(-1, 2)
+    for ch, sb in ((0, 5), (1, 21)):
+        e = np.abs(np.fft.rfft(s[:, ch])) ** 2
+        # tone at subband center (2*sb+1)/128 * rate -> rfft bin 3*(2*sb+1)
+        assert int(np.argmax(e)) == 3 * (2 * sb + 1)
