@@ -913,22 +913,49 @@ def decode_gray_pixels(payload: bytes):
 
 
 def _box_resample(rows, w: int, h: int, out_w: int, out_h: int):
-    """Integer box resample to (out_w, out_h) — mean of each source box.
-    Deterministic (pure integer arithmetic), no codec dependency."""
+    """Integer box resample to (out_w, out_h) — floor-mean of each source
+    box. Deterministic (pure integer arithmetic), no codec dependency.
+
+    Two exact-identical paths: an int64 summed-area table when ``rows``
+    is already a numpy array, and C-level builtin ``sum`` over row
+    slices for the decoders' list-of-lists rasters (converting a
+    megapixel nested list to numpy costs more than the resample itself —
+    the per-pixel Python loop this replaces dominated dHash once
+    JPEG/TIFF started decoding full-resolution rasters)."""
+    import numpy as np
+
+    xs = [
+        (ox * w // out_w, max((ox + 1) * w // out_w, ox * w // out_w + 1))
+        for ox in range(out_w)
+    ]
+    ys = [
+        (oy * h // out_h, max((oy + 1) * h // out_h, oy * h // out_h + 1))
+        for oy in range(out_h)
+    ]
+    if isinstance(rows, np.ndarray):
+        px = rows.astype(np.int64, copy=False)
+        sat = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(px, axis=0), axis=1, out=sat[1:, 1:])
+        y0 = np.array([y[0] for y in ys])
+        y1 = np.array([y[1] for y in ys])
+        x0 = np.array([x[0] for x in xs])
+        x1 = np.array([x[1] for x in xs])
+        sums = (
+            sat[np.ix_(y1, x1)]
+            - sat[np.ix_(y0, x1)]
+            - sat[np.ix_(y1, x0)]
+            + sat[np.ix_(y0, x0)]
+        )
+        return (sums // np.outer(y1 - y0, x1 - x0)).tolist()
     out = []
-    for oy in range(out_h):
-        y0, y1 = oy * h // out_h, max((oy + 1) * h // out_h, oy * h // out_h + 1)
-        row = []
-        for ox in range(out_w):
-            x0 = ox * w // out_w
-            x1 = max((ox + 1) * w // out_w, x0 + 1)
-            acc = 0
-            for y in range(y0, y1):
-                r = rows[y]
-                for x in range(x0, x1):
-                    acc += r[x]
-            row.append(acc // ((y1 - y0) * (x1 - x0)))
-        out.append(row)
+    for y0, y1 in ys:
+        band = rows[y0:y1]
+        out.append(
+            [
+                sum(sum(r[x0:x1]) for r in band) // ((y1 - y0) * (x1 - x0))
+                for x0, x1 in xs
+            ]
+        )
     return out
 
 
