@@ -2103,3 +2103,107 @@ def p2_7z_extract(spark, sf_dir):
         "parse_text",
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: S3/S4 sink serialization certified cross-engine (the pytest
+# round-trips prove Spark can re-read its own output; these prove a SECOND
+# engine parses the same files — header, RFC 4180 quoting, binary→hex,
+# map→json, JSON base64 binaries)
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _sink_dump(spark, sf_dir):
+    """A deterministic crawldb-ish dump exercising every serialization
+    edge the sinks handle: a BINARY signature, a MAP metadata column whose
+    json encoding is full of quotes/commas/braces (CSV quoting), and a
+    text field carrying commas, double quotes, and leading zeros."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), k.cast("string")).alias("url"),
+        F.element_at(
+            F.array(F.lit("db_fetched"), F.lit("db_unfetched"), F.lit("db_gone"), F.lit("db_redir_temp")),
+            (k % 4 + 1).cast("int"),
+        ).alias("status"),
+        ((k % 100).cast("double") / F.lit(4.0)).alias("score"),
+        F.unhex(F.md5(F.col("text"))).alias("signature"),
+        F.create_map(
+            F.lit("depth"), (k % 5).cast("string"),
+            F.lit("note"), F.concat(F.lit('has "quotes", commas'), F.lit(" and 0"), (k % 7).cast("string")),
+        ).alias("metadata"),
+    )
+
+
+@q(
+    "s3_csv_roundtrip",
+    f"""
+    -- DuckDB re-reads the CSV the engine just wrote (header, RFC 4180
+    -- doubled-quote escaping, binary signature as lower hex, metadata map
+    -- as json) — both engines read the same bytes as text, so any
+    -- serialization drift (quoting dialect, header names, hex case)
+    -- hash-mismatches.
+    SELECT * FROM read_csv('{_SCRATCH}/s3_csv/*.csv',
+                           header=true, all_varchar=true)
+    """,
+)
+def s3_csv_roundtrip(spark, sf_dir):
+    """S3 CSV sink certified cross-engine (CrawlDbReader.java:160-256
+    dump surface): write_csv flattens binary→hex and map→json, writes
+    RFC 4180 CSV with header; Spark reads the files back as raw text
+    columns and DuckDB's read_csv parses the same files — the quoting
+    dialect (metadata json is full of quotes and commas) is exactly what
+    a pytest self-round-trip cannot certify. The write happens at plan
+    build (before either engine reads), deterministic per sf."""
+    from nutch_spark.sources.sinks import write_csv
+
+    path = f"{_SCRATCH}/s3_csv"
+    write_csv(_sink_dump(spark, sf_dir), path)
+    return (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+@q(
+    "s4_jsonl_roundtrip",
+    f"""
+    -- DuckDB parses the JSONL the engine just wrote: binary signature
+    -- serialized as base64 (Spark's JSON convention), map metadata as a
+    -- json object, score as a JSON number (read back as DOUBLE by both
+    -- engines — bit-identical because the text is the common source).
+    SELECT url, status, score, signature,
+           metadata.depth AS m_depth, metadata.note AS m_note
+    FROM read_json('{_SCRATCH}/s4_jsonl/*.json')
+    """,
+)
+def s4_jsonl_roundtrip(spark, sf_dir):
+    """S4 JSONL sink certified cross-engine (CrawlDbReader.java:258-369
+    typed metadata serialization): write_jsonl keeps maps native and
+    Spark serializes the binary signature as base64; DuckDB's read_json
+    must land on the same scalars — url/status verbatim, score as the
+    same IEEE double, signature as the same base64 text, and the two
+    metadata keys through struct access."""
+    from nutch_spark.sources.sinks import write_jsonl
+
+    path = f"{_SCRATCH}/s4_jsonl"
+    write_jsonl(_sink_dump(spark, sf_dir), path)
+    return (
+        spark.read.schema(
+            "url string, status string, score double, signature string, "
+            "metadata map<string,string>"
+        )
+        .json(path)
+        .select(
+            "url",
+            "status",
+            "score",
+            "signature",
+            F.element_at("metadata", "depth").alias("m_depth"),
+            F.element_at("metadata", "note").alias("m_note"),
+        )
+    )

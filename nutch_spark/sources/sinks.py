@@ -34,8 +34,19 @@ def _flatten_for_text(df: DataFrame) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
-    """S3 — CrawlDb dump as CSV with header."""
-    _flatten_for_text(df).write.mode(mode).option("header", True).csv(path)
+    """S3 — CrawlDb dump as CSV with header. RFC 4180 quoting (escape a
+    quote by doubling it) rather than Spark's backslash default: the
+    reference dumps through commons-csv, and every standard reader
+    (DuckDB, Excel, csv.reader) expects doubled quotes — the json-encoded
+    metadata column is full of quotes, so this matters in practice."""
+    (
+        _flatten_for_text(df)
+        .write.mode(mode)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
