@@ -31,11 +31,24 @@ def db(spark):
 def test_csv_round_trip(spark, tmp_path):
     path = str(tmp_path / "csv")
     write_csv(db(spark), path)
-    back = spark.read.option("header", True).csv(path)
+    # write_csv emits RFC 4180 (quotes escaped by doubling) — read with
+    # the same dialect, as DuckDB/Excel/csv.reader would
+    back = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
     rows = {r["url"]: r for r in back.collect()}
     assert rows["http://a.com/"]["signature"] == "01ff"  # hex-encoded binary
     assert rows["http://a.com/"]["metadata"] == '{"k":"v"}'
     assert rows["http://b.com/"]["status"] == "db_gone"
+
+    # the raw file bytes carry the doubled-quote dialect
+    import glob
+
+    raw = "".join(open(f).read() for f in glob.glob(f"{path}/*.csv"))
+    assert '"{""k"":""v""}"' in raw
 
 
 def test_jsonl_round_trip(spark, tmp_path):
