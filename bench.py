@@ -99,15 +99,22 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        runs_all[name] = list(runs)  # execution order: run 0 is the cold one
         runs.sort()
-        runs_all[name] = runs
         timings[name] = runs[len(runs) // 2]
 
     total = round(sum(timings.values()), 3)
-    spreads = {
-        n: round((r[-1] - r[0]) / t, 3) if (t := timings[n]) > 0 else 0.0
-        for n, r in runs_all.items()
-    }
+    # Spread over the WARM runs (run 0 dropped when reps allow): the first
+    # execution carries this query's first-touch Catalyst analysis + JIT of
+    # its generated code — run position, not plan cost (dp_ivf_recall's
+    # giant centroid-literal expressions showed 15 s cold vs a stable 5-6 s
+    # warm on an identical plan). The full in-order runs array stays in
+    # BENCH_FULL_LOCAL.json, cold run included, so nothing is hidden.
+    spreads = {}
+    for n, r in runs_all.items():
+        warm = sorted(r[1:]) if len(r) > 2 else sorted(r)
+        t = timings[n]
+        spreads[n] = round((warm[-1] - warm[0]) / t, 3) if t > 0 else 0.0
     # Full per-query record goes to a repo artifact — the driver keeps only
     # the LAST ~2000 chars of stdout, and a 110-query JSON line is ~2.9k
     # (r04/r06 artifacts carry "parsed": null with a truncated "tail").

@@ -242,6 +242,13 @@ def _lloyd_refine(
     base = corpus.select(
         F.col(vec).alias("_v"), vec_norm(F.col(vec)).alias("_n")
     )
+    if n_iter > 1:
+        # cache the (vector, norm) working set across rounds — without it
+        # every Lloyd round re-scans the source and recomputes the norms
+        # (the same reason MLlib's KMeans caches its norm-augmented RDD);
+        # unpersisted below, before the refined centroids go to query-time
+        # plans
+        base = base.persist()
     for _ in range(n_iter):
         assigned = base.select(
             F.element_at(_cents_rank("_v", "_n", cents, round_sim), 1).alias(
@@ -266,6 +273,8 @@ def _lloyd_refine(
             if len(by_pos) == dim:
                 new[cell] = [by_pos[i] for i in range(dim)]
         cents = sorted(new.items())
+    if n_iter > 1:
+        base.unpersist()
     return cents
 
 
