@@ -702,3 +702,72 @@ def video_frame_dhash(
     if batch_partitions:
         src = src.repartition(batch_partitions)
     return src.mapInPandas(run, VIDEO_FRAME_DHASH_SCHEMA)
+
+
+def video_near_dup(
+    frames: DataFrame, *, min_shared: int = 2, hot_hash_cap: int = 1024
+) -> DataFrame:
+    """VIDEO-level near-duplicate pairs from per-frame dHashes (the output
+    of ``video_frame_dhash``): two clips are near-duplicates when they
+    share ``min_shared`` or more distinct frame hashes. Output
+    (id_a, id_b, shared_frames, containment) with id_a < id_b, where
+    containment = shared / min(|frames_a|, |frames_b|) over DISTINCT
+    non-NULL hashes — 1.0 means the shorter clip's sampled frames all
+    appear in the longer one (a trailer cut from a feature, a re-upload
+    with an added intro card).
+
+    100 TB shape — an inverted frame-hash index, never an all-pairs join
+    over videos: (video, hash) pairs dedup to one row each, hashes seen
+    in more than ``hot_hash_cap`` videos are dropped before the
+    candidate join (black frames / title cards / test patterns appear in
+    unboundedly many videos and carry no identity signal — same
+    anti-quadratic guard as the n-gram shingle cap in
+    dedup.ngram_jaccard_pairs), candidates come from ONE equi-join on
+    the 64-bit hash, and per-video frame counts join back as a
+    dimension-sized side. NULL hashes (undecodable frames) never index.
+    """
+    f = (
+        frames.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .distinct()
+    )
+    sizes = f.groupBy("media_id").agg(F.count("*").alias("_n"))
+    keep = (
+        f.groupBy("dhash")
+        .agg(F.count("*").alias("_vids"))  # f is distinct per (video, hash)
+        .filter(F.col("_vids") <= hot_hash_cap)
+        .select("dhash")
+    )
+    idx = f.join(keep, "dhash")
+    pairs = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+    na = sizes.select(
+        F.col("media_id").alias("id_a"), F.col("_n").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("media_id").alias("id_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            F.round(
+                F.col("shared_frames") / F.least("_na", "_nb"), 6
+            ).alias("containment"),
+        )
+    )

@@ -14,47 +14,37 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-11 ordering: the queries whose code changed THIS round
-# lead (JPEG pixel decode behind mm_image_dhash/mm_dhash_neardup, FLAC
-# frame decode behind mm_audio_fingerprint/mm_audio_features, Lloyd-refined
-# centroids behind dp_ivf_topk/dp_ivf_recall, fetcher 304/metadata fixes
-# behind p1_*), then the r08-certified rows whose newest driver-green row
-# is three rounds old (includes the j1/j2 state-machine rows), then the
-# r09-certified block (the verdict-named p2/pf parser rows first), then
-# the r10-certified 50 (freshest records last).
+# certifies. Round-12 ordering: the queries whose code changed THIS round
+# lead (NEW mm_video_frame_dhash / mm_mpeg_fingerprint / s3+s4 sink
+# round-trips; numpy box-resample behind the dHash rows; MPEG-1 decode
+# behind the audio rows; the fetcher header-map fix behind p1_*; the
+# _dlit non-finite fix + Lloyd working-set persist behind the
+# similarity-backed rows), then the r09-certified rows that missed BOTH
+# the r10 and r11 windows (stale 3 rounds — similarity-adjacent ones
+# first), then the r10-certified block, then the r11-certified rows
+# (freshest records last).
 _CERTIFY_FIRST = [
-    # code changed / added in round 11 — certify first
-    "mm_embedded_dhash", "dp_boilerplate_lines", "dp_minhash_recall",
-    "dp_dataset_card",
-    "mm_image_dhash", "mm_dhash_neardup", "mm_audio_fingerprint",
-    "mm_audio_features", "dp_ivf_topk", "dp_ivf_recall",
-    "p1_fetch_binary_pipeline", "p1_politeness",
-    # r08-certified, missed the r09 and r10 windows (stale 3 rounds)
-    "a3_group_numeric", "a3_value_counts", "a4_group_count",
-    "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
-    "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
-    "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
-    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
-    "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
-    "d6_mime_adaptive", "u1_union_distinct", "a10_anchor_dedup",
-    "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
-    "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
-    # r09-certified (stale 2 rounds); verdict-named parser rows first
-    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract", "p2_cab_extract",
-    "p2_doc_extract", "pf_regex_fields", "pf_nb_classify",
-    "st_session_windows", "j_geoip_range", "dp_exact_dedup",
-    "dp_ngram_jaccard", "p2_metatags", "p2_js_outlinks",
-    "dp_dup_components_star", "dp_substring_removal", "dp_semantic_dedup",
-    "dp_lm_perplexity", "dp_bpe_pair_counts", "dp_bpe_apply", "dp_bpe_train",
-    "f2_filter_chain", "f1_url_normalize", "f1_url_parts", "dp_minhash_lsh",
-    "dp_simhash", "dp_token_stats", "dp_quality", "dp_langid_stopword",
-    "dp_langid", "dp_cosine_topk", "dp_embedding_near_dup", "dp_lsh_topk",
-    "dp_gopher_repetition", "dp_paragraph_dedup",
-    "dp_mix_weighted", "dp_mix_temperature", "dp_dup_components",
-    "dp_pii_scrub", "dp_int8_topk", "dp_decontaminate", "dp_seq_packing",
-    "mm_binary_metadata", "mm_image_dimensions",
-    "dp_split", "dp_cross_corpus_dedup", "dp_lsh_recall", "dp_c4_clean",
-    # r10-certified (freshest)
+    # code changed / added in round 12 — certify first
+    "mm_video_frame_dhash", "mm_video_neardup", "mm_mpeg_fingerprint",
+    "s3_csv_roundtrip", "s4_jsonl_roundtrip",
+    "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
+    "mm_audio_fingerprint", "mm_audio_features",
+    "p1_politeness", "p1_fetch_binary_pipeline",
+    "dp_ivf_topk", "dp_ivf_recall", "dp_lsh_topk", "dp_lsh_recall",
+    "dp_semantic_dedup", "dp_embedding_near_dup",
+    # r09-certified, missed the r10 and r11 windows (stale 3 rounds)
+    "dp_cosine_topk", "dp_int8_topk", "dp_exact_dedup", "dp_ngram_jaccard",
+    "p2_metatags", "p2_js_outlinks", "dp_dup_components_star",
+    "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
+    "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
+    "f1_url_parts", "dp_minhash_lsh", "dp_simhash", "dp_token_stats",
+    "dp_quality", "dp_langid_stopword", "dp_langid",
+    "dp_gopher_repetition", "dp_paragraph_dedup", "dp_mix_weighted",
+    "dp_mix_temperature", "dp_dup_components", "dp_pii_scrub",
+    "dp_decontaminate", "dp_seq_packing", "mm_binary_metadata",
+    "mm_image_dimensions", "dp_cross_corpus_dedup", "dp_c4_clean",
+    "dp_split",
+    # r10-certified (stale 2 rounds)
     "p2_eml_extract", "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
     "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
     "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",
@@ -69,6 +59,20 @@ _CERTIFY_FIRST = [
     "p4_robots_policy", "s10_sitemap_parse", "s1_seed_parse",
     "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
     "a1_quantiles",
+    # r11-certified (freshest)
+    "dp_boilerplate_lines", "dp_minhash_recall", "dp_dataset_card",
+    "a3_group_numeric", "a3_value_counts", "a4_group_count",
+    "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
+    "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
+    "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
+    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
+    "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
+    "d6_mime_adaptive", "u1_union_distinct", "a10_anchor_dedup",
+    "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
+    "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
+    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract", "p2_cab_extract",
+    "p2_doc_extract", "pf_regex_fields", "pf_nb_classify",
+    "st_session_windows", "j_geoip_range",
 ]
 
 

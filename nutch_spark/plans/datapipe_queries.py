@@ -3351,6 +3351,82 @@ def mm_video_frame_dhash(spark, sf_dir):
     return video_frame_dhash(media)
 
 
+@q(
+    "mm_video_neardup",
+    f"""
+    -- VIDEO-level near-dup on top of the frame pixel decode: same planted
+    -- AVIs as mm_video_frame_dhash (restricted to doc_id < 160), then the
+    -- inverted frame-hash index — (video, hash) pairs dedup to one row,
+    -- hashes seen in more than hot_hash_cap=18 videos drop (12 of the 16
+    -- planted classes ARE hot at this corpus size, so the cap path is
+    -- exercised for real), ONE equi-join on the hash builds candidates,
+    -- and containment = shared / min frame count over distinct non-NULL
+    -- hashes. The %%32=9 corrupt first frame (NULL hash) never indexes.
+    WITH v AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
+      FROM documents WHERE doc_id < 160 AND doc_id % 32 != 21
+    ),
+    fh AS (
+      SELECT DISTINCT doc_id AS media_id,
+             CASE WHEN doc_id % 32 = 9 AND j = 0 THEN NULL
+                  ELSE {_dhash_case_on("doc_id + j")} END AS dhash
+      FROM v
+    ),
+    f AS (SELECT media_id, dhash FROM fh WHERE dhash IS NOT NULL),
+    sizes AS (SELECT media_id, count(*) AS n FROM f GROUP BY media_id),
+    keep AS (SELECT dhash FROM f GROUP BY dhash HAVING count(*) <= 18),
+    idx AS (SELECT f.media_id, f.dhash FROM f JOIN keep USING (dhash)),
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+      FROM idx a JOIN idx b ON a.dhash = b.dhash AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_frames,
+           ROUND(shared / least(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.media_id = id_a
+    JOIN sizes sb ON sb.media_id = id_b
+    WHERE shared >= 2
+    """,
+)
+def mm_video_neardup(spark, sf_dir):
+    """Video-level near-duplicate pairs (multimodal.video_near_dup over
+    video_frame_dhash output): clips sharing >= min_shared distinct frame
+    dHashes pair up through an inverted frame-hash index with a
+    hot-hash cap (title cards / black frames appear in unboundedly many
+    videos and carry no identity signal) — never an all-pairs join over
+    videos. containment = 1.0 flags the trailer-cut-from-feature /
+    re-upload-with-intro case. The reference has no video operator at
+    all; this is the training-data-pipeline surface (near-dup removal of
+    re-encoded clips) built on round-12's MJPEG frame decode.
+    100 TB: decode is map-only; the pair space routes through ONE
+    equi-join on the 64-bit hash after the cap, and per-video frame
+    counts join back as a dimension-sized side."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import video_frame_dhash, video_near_dup
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 160
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 32 == 21:  # not an AVI: walker returns None
+                    payload = b"RIFFxxxxWEBPVP8 not-a-video"
+                else:
+                    payload = _planted_avi(int(doc_id))
+                rows.append({"media_id": int(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return video_near_dup(
+        video_frame_dhash(media), min_shared=2, hot_hash_cap=18
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 12: MPEG-1 Layer I/II decode — lossy audio joins fingerprint dedup
 # ---------------------------------------------------------------------------

@@ -2674,3 +2674,47 @@ def test_mpeg1_stereo_layer1_interleaves_channels():
         e = np.abs(np.fft.rfft(s[:, ch])) ** 2
         # tone at subband center (2*sb+1)/128 * rate -> rfft bin 3*(2*sb+1)
         assert int(np.argmax(e)) == 3 * (2 * sb + 1)
+
+
+def test_video_near_dup_pairs(spark):
+    """video_near_dup: inverted-index candidates only (hot hashes dropped
+    BEFORE pairing), DISTINCT hashes per video, NULL frames never index,
+    containment = shared / min distinct-frame count."""
+    from nutch_spark.datapipe.multimodal import video_near_dup
+
+    frames = spark.createDataFrame(
+        [
+            # video 1: hashes {10, 11, 12}
+            (1, 0, 10), (1, 1, 11), (1, 2, 12),
+            # video 2: {10, 11} — containment vs 1 = 2/2 = 1.0
+            (2, 0, 10), (2, 1, 11),
+            # video 3: {11, 12, 99} + a duplicate frame + a NULL frame
+            (3, 0, 11), (3, 1, 12), (3, 2, 12), (3, 3, 99), (3, 4, None),
+            # video 4: only the hot hash — pairs with nobody after the cap
+            (4, 0, 77),
+            # videos 5-8 all carry hash 77 (hot at cap=4: seen in 5 videos)
+            (5, 0, 77), (6, 0, 77), (7, 0, 77), (8, 0, 77),
+            # video 5 also shares {10, 11} with 1 and 2
+            (5, 1, 10), (5, 2, 11),
+        ],
+        "media_id long, frame_idx int, dhash long",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.shared_frames, r.containment)
+        for r in video_near_dup(
+            frames, min_shared=2, hot_hash_cap=4
+        ).collect()
+    }
+    # hash 77 appears in 5 videos > cap 4 -> dropped; no pair involves it
+    # (hash 11 sits in exactly 4 videos — AT the cap, kept).
+    # sizes count DISTINCT non-NULL hashes: |1|=3, |2|=2, |3|=3, |5|=3.
+    assert out == {
+        (1, 2): (2, 1.0),            # {10,11}; 2/min(3,2)
+        (1, 3): (2, round(2 / 3, 6)),  # {11,12}
+        (1, 5): (2, round(2 / 3, 6)),  # {10,11}
+        (2, 5): (2, round(2 / 2, 6)),  # {10,11} — hash 77 side of 5 ignored
+    }
+    # min_shared raises the bar: nothing shares 3 distinct hashes
+    assert (
+        video_near_dup(frames, min_shared=3, hot_hash_cap=4).count() == 0
+    )

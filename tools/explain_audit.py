@@ -175,6 +175,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # embedded-media dHash: container unzip + pixel decode, map-only
     "mm_embedded_dhash": [[r"MapInPandas|mapInPandas"],
                           [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # video frame dHash: AVI walk + JPEG decode, map-only
+    "mm_video_frame_dhash": [[r"MapInPandas|mapInPandas"],
+                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # video near-dup: inverted frame-hash index — equi-join candidates
+    # with map-side-aggregated pair counts, never an all-pairs cross
+    "mm_video_neardup": [[r"Join", r"HashAggregate"],
+                         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # MPEG-1 audio decode + FFT fingerprint, map-only
+    "mm_mpeg_fingerprint": [[r"MapInPandas|mapInPandas"],
+                            [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # boilerplate lines: df aggregate + equi-join back, no UDF, no cross
     "dp_boilerplate_lines": [[r"HashAggregate", r"Join"],
                              [r"CartesianProduct", r"MapInPandas|mapInPandas",
