@@ -1185,6 +1185,158 @@ def decode_gif_pixels(payload: bytes):
     return None
 
 
+def _gray_bmp_bytes(w: int, h: int, rows) -> bytes:
+    """Encode a gray raster as an 8-bit paletted BMP (256-gray palette,
+    bottom-up, rows padded to 4) — a LOSSLESS byte container for composited
+    GIF canvases, so animated-GIF frames flow through the same
+    ``dhash64``/``decode_gray_pixels`` path as every other image format
+    (the gray palette makes decode's ITU-R 601 luma the identity)."""
+    import struct
+
+    data = bytearray()
+    for y in range(h - 1, -1, -1):
+        data += bytes(rows[y])
+        data += b"\x00" * ((-w) % 4)
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    off = 14 + 40 + len(pal)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 256, 0)
+        + pal
+        + bytes(data)
+    )
+
+
+def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
+    """Animated-GIF frame extraction (GIF89a spec): walks every image
+    descriptor, composites each onto the logical-screen canvas honoring
+    the Graphic Control Extension's transparency index and disposal
+    method (1 = leave, 2 = restore background, 3 = restore previous),
+    local/global color tables, per-image interlacing, and sub-screen
+    image rects at their (left, top) offsets. Returns
+    ``{"width", "height", "n_frames", "delays_cs", "frames"}`` where
+    frames are LOSSLESS 8-bit gray BMP bytes of the composited canvas —
+    the same per-frame contract as ``extract_avi_mjpeg_frames``, so the
+    two feed ``video_frame_dhash`` interchangeably. None when the payload
+    isn't GIF, is malformed, or holds fewer than 2 frames (stills stay on
+    the image path). Canvas pixels cap at _MAX_PIXELS and frames at
+    ``max_frames`` — bounded work on hostile bytes."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    try:
+        sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        if not (0 < sw and 0 < sh and sw * sh <= _MAX_PIXELS):
+            return None
+        pos = 13
+        global_table = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            global_table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        bg_gray = 0
+        if global_table is not None and 3 * bg_idx + 3 <= len(global_table):
+            r, g, b = global_table[3 * bg_idx : 3 * bg_idx + 3]
+            bg_gray = (r * 299 + g * 587 + b * 114) // 1000
+        canvas = [[bg_gray] * sw for _ in range(sh)]
+        frames: list[bytes] = []
+        delays: list[int] = []
+        # pending GCE state for the NEXT image (spec: GCE modifies exactly
+        # one following rendering block)
+        disposal, transparent, delay_cs = 0, None, 0
+        while pos < len(payload) and len(frames) < max_frames:
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension
+                if pos >= len(payload):
+                    return None
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9 and pos + 5 <= len(payload) and payload[pos] == 4:
+                    gflags = payload[pos + 1]
+                    delay_cs = struct.unpack_from("<H", payload, pos + 2)[0]
+                    disposal = (gflags >> 2) & 7
+                    transparent = payload[pos + 4] if gflags & 1 else None
+                while pos < len(payload) and payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                ix, iy, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+                pos += 9
+                table = global_table
+                if iflags & 0x80:
+                    n = 2 << (iflags & 7)
+                    table = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                if table is None or not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while pos < len(payload) and payload[pos]:
+                    size = payload[pos]
+                    lzw += payload[pos + 1 : pos + 1 + size]
+                    pos += size + 1
+                pos += 1  # block terminator
+                if not (2 <= min_code <= 11):
+                    return None
+                idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                n_colors = len(table) // 3
+                gray = [
+                    (table[3 * c] * 299 + table[3 * c + 1] * 587
+                     + table[3 * c + 2] * 114) // 1000
+                    for c in range(n_colors)
+                ]
+                if iflags & 0x40:  # interlaced: 4 passes
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                else:
+                    order = list(range(h))
+                prev = [row[:] for row in canvas] if disposal == 3 else None
+                i = 0
+                for y in order:
+                    cy = iy + y
+                    row = canvas[cy] if 0 <= cy < sh else None
+                    for x in range(w):
+                        ci = idx[i]
+                        i += 1
+                        if ci == transparent or row is None:
+                            continue
+                        cx = ix + x
+                        if 0 <= cx < sw:
+                            row[cx] = gray[ci] if ci < n_colors else 0
+                frames.append(_gray_bmp_bytes(sw, sh, canvas))
+                delays.append(delay_cs)
+                if disposal == 2:  # restore the image rect to background
+                    for y in range(iy, min(iy + h, sh)):
+                        for x in range(ix, min(ix + w, sw)):
+                            canvas[y][x] = bg_gray
+                elif disposal == 3 and prev is not None:
+                    canvas = prev
+                disposal, transparent, delay_cs = 0, None, 0
+            elif block == 0x3B:  # trailer
+                break
+            else:
+                return None
+    except (struct.error, IndexError):
+        return None
+    if len(frames) < 2:
+        return None
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_cs": delays,
+        "frames": frames,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Baseline-sequential JPEG pixel decode (ITU-T T.81 §F, from the public spec)
 # ---------------------------------------------------------------------------

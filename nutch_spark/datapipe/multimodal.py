@@ -652,13 +652,17 @@ def video_frame_dhash(
     walks ``mediacodec.extract_avi_mjpeg_frames`` (RIFF/AVI container,
     Motion-JPEG video stream — the one mainstream video format whose
     frames are plain JPEG, so the already-certified T.81 decoder covers
-    the pixels with no new codec), every ``stride``-th frame hashes
-    through ``dhash64``, and the output keys (media_id, frame_idx) join
-    ``dhash_near_dup``'s banded Hamming space — a re-encoded or
-    re-containered copy of a clip clusters with its original frame by
-    frame, and a still image extracted from a video clusters with the
-    video itself. Videos that aren't AVI/MJPEG (or decode to zero
-    frames) emit nothing, exactly like containers without embedded
+    the pixels with no new codec) or, failing that,
+    ``mediacodec.extract_gif_frames`` (animated GIF — the web's most
+    common short-clip format — composited per the GIF89a disposal /
+    transparency rules and re-encoded as lossless gray BMPs). Every
+    ``stride``-th frame hashes through ``dhash64``, and the output keys
+    (media_id, frame_idx) join ``dhash_near_dup``'s banded Hamming
+    space — a re-encoded or re-containered copy of a clip clusters with
+    its original frame by frame, and a still image extracted from a
+    video clusters with the video itself. Payloads that are neither
+    (or decode to zero frames; single-image GIFs stay on the still-image
+    path) emit nothing, exactly like containers without embedded
     images. ``frame_idx`` is the index WITHIN the sampled sequence (the
     source frame number is frame_idx * stride).
 
@@ -668,7 +672,11 @@ def video_frame_dhash(
     hour-long inputs."""
     import pandas as pd  # noqa: F401 — _exact_frame builds the batches
 
-    from nutch_spark.datapipe.mediacodec import dhash64, extract_avi_mjpeg_frames
+    from nutch_spark.datapipe.mediacodec import (
+        dhash64,
+        extract_avi_mjpeg_frames,
+        extract_gif_frames,
+    )
 
     compute = hash_fn or dhash64
 
@@ -679,9 +687,10 @@ def video_frame_dhash(
                 if payload is None:
                     continue
                 try:
+                    raw = bytes(payload)
                     info = extract_avi_mjpeg_frames(
-                        bytes(payload), max_frames=max_frames * stride
-                    )
+                        raw, max_frames=max_frames * stride
+                    ) or extract_gif_frames(raw, max_frames=max_frames * stride)
                 except Exception:  # noqa: BLE001 — one bad container
                     continue
                 if not info:

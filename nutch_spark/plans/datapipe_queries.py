@@ -3297,16 +3297,69 @@ def _planted_avi(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _planted_animated_gif(doc_id: int) -> bytes:
+    """An animated GIF89a with the SAME frame-class schedule as
+    ``_planted_avi`` (frame j = planted gradient class (doc_id + j) %% 16,
+    full-canvas 9x8 images, 256-gray global table, per-frame Graphic
+    Control Extensions) — so GIF-routed docs satisfy the identical
+    closed-form per-frame dHash oracle, certifying the animated-GIF
+    compositor through the same CASE as the MJPEG path. Only used for
+    doc_ids with 2+ frames (single-image GIFs stay on the still path)."""
+    import struct
+
+    n = 1 + doc_id % 3
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
+    for c in range(256):
+        gif += bytes([c, c, c])
+    for j in range(n):
+        # GCE: disposal 1 (leave), no transparency, delay 4cs
+        gif += bytes([0x21, 0xF9, 4, 0x04, 4, 0, 0, 0])
+        gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
+        grid = _planted_grid(doc_id + j)
+        codes = [256] + [v for row in grid for v in row] + [257]
+        acc = bits = 0
+        lzw = bytearray()
+        for c in codes:
+            acc |= c << bits
+            bits += 9
+            while bits >= 8:
+                lzw.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            lzw.append(acc & 0xFF)
+        gif += bytes([8])
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            gif += bytes([len(blk)]) + blk
+        gif += b"\x00"
+    gif += b"\x3b"
+    return bytes(gif)
+
+
+def _planted_video(doc_id: int) -> bytes:
+    """Container routing for the video-query fixtures: doc_id %% 32 == 13
+    docs WITH 2+ frames ship as animated GIF, everything else as
+    RIFF/AVI MJPEG — both satisfy the same closed-form per-frame oracle,
+    so one CASE certifies both container walks."""
+    if doc_id % 32 == 13 and doc_id % 3 != 0:
+        return _planted_animated_gif(doc_id)
+    return _planted_avi(doc_id)
+
+
 @q(
     "mm_video_frame_dhash",
     f"""
     -- REAL video-frame pixel decode: each doc becomes a RIFF/AVI with
     -- 1 + doc_id %% 3 Motion-JPEG frames (frame j = planted class
     -- (doc_id + j) %% 16), walked by the from-spec container parser and
-    -- decoded by the certified T.81 JPEG path, so every frame's dHash is
-    -- the SAME closed form as the still-image oracle. doc_id %% 32 = 21
-    -- plants a non-AVI payload (emits nothing); %% 32 = 9 a corrupt
-    -- first frame (NULL hash, frame row still emitted).
+    -- decoded by the certified T.81 JPEG path — EXCEPT doc_id %% 32 = 13
+    -- multi-frame docs, which ship the SAME frame schedule as an animated
+    -- GIF89a (per-frame GCEs, composited canvases), so one closed form
+    -- certifies both container walks. doc_id %% 32 = 21 plants a
+    -- non-video payload (emits nothing); %% 32 = 9 a corrupt first AVI
+    -- frame (NULL hash, frame row still emitted).
     WITH v AS (
       SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
       FROM documents WHERE doc_id < 320 AND doc_id % 32 != 21
@@ -3340,10 +3393,10 @@ def mm_video_frame_dhash(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                if doc_id % 32 == 21:  # not an AVI: walker returns None
+                if doc_id % 32 == 21:  # not a video: walkers return None
                     payload = b"RIFFxxxxWEBPVP8 not-a-video"
                 else:
-                    payload = _planted_avi(int(doc_id))
+                    payload = _planted_video(int(doc_id))
                 rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -3414,10 +3467,10 @@ def mm_video_neardup(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                if doc_id % 32 == 21:  # not an AVI: walker returns None
+                if doc_id % 32 == 21:  # not a video: walkers return None
                     payload = b"RIFFxxxxWEBPVP8 not-a-video"
                 else:
-                    payload = _planted_avi(int(doc_id))
+                    payload = _planted_video(int(doc_id))
                 rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

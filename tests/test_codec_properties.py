@@ -645,3 +645,70 @@ def test_mpeg1_decode_never_raises_on_hostile_bytes(junk):
         out = decode_mpeg_audio_samples(payload)
         if out is not None:
             assert out["n_samples"] > 0
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_gif_frame_walker_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import extract_gif_frames
+
+    for payload in (junk, b"GIF89a" + junk, b"GIF87a" + junk):
+        out = extract_gif_frames(payload)
+        if out is not None:
+            assert out["n_frames"] >= 2
+            assert all(f[:2] == b"BM" for f in out["frames"])
+
+
+@given(
+    st.integers(min_value=0, max_value=100),   # truncation percentage
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),                       # (offset, new byte) flips
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_gif_frame_walker_survives_mutated_valid_animation(cut_pct, flips):
+    """Truncations and byte-flips of a VALID planted animated GIF (lying
+    sub-block sizes, corrupted GCEs, cut mid-LZW) must never raise — and
+    surviving frames must still be well-formed BMP canvases."""
+    from nutch_spark.datapipe.mediacodec import extract_gif_frames
+    from nutch_spark.plans.datapipe_queries import _planted_animated_gif
+
+    buf = bytearray(_planted_animated_gif(14))  # 3 frames
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: len(buf) * cut_pct // 100])
+    out = extract_gif_frames(payload)
+    if out is not None:
+        assert all(f[:2] == b"BM" for f in out["frames"])
+
+
+def test_gif_frame_walker_bounds_frame_flood():
+    """A frame flood (thousands of tiny image descriptors) stops at
+    max_frames; a canvas larger than _MAX_PIXELS is rejected outright."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import extract_gif_frames
+
+    gif = bytearray(b"GIF89a") + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    gif += bytes([0, 0, 0, 255, 255, 255])  # 2-entry global table
+    # one literal-coded 2x1 image: min_code 2, codes CLEAR(4) 0 1 END(5)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0) + bytes([2])
+    acc = bits = 0
+    lzw = bytearray()
+    for c in (4, 0, 1, 5):
+        acc |= c << bits
+        bits += 3
+        while bits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        lzw.append(acc & 0xFF)
+    img += bytes([len(lzw)]) + bytes(lzw) + b"\x00"
+    flood = bytes(gif) + img * 2000 + b"\x3b"
+    out = extract_gif_frames(flood, max_frames=16)
+    assert out is not None and out["n_frames"] == 16
+
+    huge = bytearray(b"GIF89a") + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0)
+    assert extract_gif_frames(bytes(huge) + b"\x3b") is None

@@ -2718,3 +2718,119 @@ def test_video_near_dup_pairs(spark):
     assert (
         video_near_dup(frames, min_shared=3, hot_hash_cap=4).count() == 0
     )
+
+
+def _gif9(frames, *, screen=(3, 1), bg=0):
+    """Hand-rolled GIF89a with a 256-gray global table (palette c = gray c,
+    so pixel values ARE grays) and 9-bit literal LZW — each entry of
+    ``frames`` is (ix, iy, w, h, pixels, gce) where gce is None or
+    (disposal, transparent_idx_or_None, delay_cs)."""
+    import struct
+
+    sw, sh = screen
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", sw, sh, 0x80 | 7, bg, 0)
+    for c in range(256):
+        gif += bytes([c, c, c])
+    for ix, iy, w, h, pixels, gce in frames:
+        if gce is not None:
+            disposal, transparent, delay = gce
+            flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+            gif += bytes([0x21, 0xF9, 4, flags, delay & 0xFF, delay >> 8,
+                          transparent or 0, 0])
+        gif += b"\x2c" + struct.pack("<HHHHB", ix, iy, w, h, 0)
+        codes = [256] + list(pixels) + [257]
+        acc = bits = 0
+        lzw = bytearray()
+        for c in codes:
+            acc |= c << bits
+            bits += 9
+            while bits >= 8:
+                lzw.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            lzw.append(acc & 0xFF)
+        gif += bytes([8])
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            gif += bytes([len(blk)]) + blk
+        gif += b"\x00"
+    gif += b"\x3b"
+    return bytes(gif)
+
+
+def test_gif_frame_compositing():
+    """extract_gif_frames honors GIF89a compositing: sub-rect placement,
+    disposal 2 (restore background), transparency skip, and frames as
+    LOSSLESS gray BMPs of the composited canvas."""
+    from nutch_spark.datapipe.mediacodec import (
+        decode_gray_pixels,
+        extract_gif_frames,
+    )
+
+    payload = _gif9(
+        [
+            # frame 0: full canvas [20, 30, 40]; disposal 2 -> bg after
+            (0, 0, 3, 1, [20, 30, 40], (2, None, 4)),
+            # frame 1: 1x1 patch gray 20 at x=1 over the restored bg
+            (1, 0, 1, 1, [20], (1, None, 4)),
+            # frame 2: full row, idx 255 transparent -> only x=1 paints
+            (0, 0, 3, 1, [255, 10, 255], (1, 255, 4)),
+        ],
+        screen=(3, 1),
+        bg=10,
+    )
+    info = extract_gif_frames(payload)
+    assert info["n_frames"] == 3 and info["delays_cs"] == [4, 4, 4]
+    canvases = [decode_gray_pixels(f)[2] for f in info["frames"]]
+    assert canvases[0] == [[20, 30, 40]]
+    assert canvases[1] == [[10, 20, 10]]   # disposal 2 restored bg=10 first
+    assert canvases[2] == [[10, 10, 10]]   # transparent pixels left alone
+
+    # disposal 3: restore-previous — frame 2 composites over frame 0's
+    # canvas, not frame 1's
+    p3 = _gif9(
+        [
+            (0, 0, 3, 1, [20, 30, 40], (1, None, 0)),
+            (0, 0, 3, 1, [99, 99, 99], (3, None, 0)),
+            (0, 0, 1, 1, [77], (1, None, 0)),
+        ],
+        screen=(3, 1),
+    )
+    c3 = [
+        decode_gray_pixels(f)[2] for f in extract_gif_frames(p3)["frames"]
+    ]
+    assert c3 == [[[20, 30, 40]], [[99, 99, 99]], [[77, 30, 40]]]
+
+    # single-image GIFs are stills, not videos
+    from nutch_spark.plans.datapipe_queries import _planted_gif, _planted_grid
+
+    assert extract_gif_frames(_planted_gif(_planted_grid(5))) is None
+    assert extract_gif_frames(b"GIF89a") is None
+    assert extract_gif_frames(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_animated_gif_joins_video_dhash_space(spark):
+    """An animated GIF and the MJPEG AVI with the same frame schedule hash
+    identically frame-for-frame through video_frame_dhash — cross-container
+    video dedup, the point of the shared closed form."""
+    from nutch_spark.datapipe.multimodal import video_frame_dhash
+    from nutch_spark.plans.datapipe_queries import (
+        _planted_animated_gif,
+        _planted_avi,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_planted_avi(13))),           # 2 frames: 13, 14
+            (2, bytearray(_planted_animated_gif(13))),  # same schedule
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(media).collect()
+    }
+    assert rows[(1, 0)] == rows[(2, 0)] and rows[(1, 1)] == rows[(2, 1)]
+    assert rows[(1, 0)] is not None
