@@ -780,3 +780,25 @@ def video_near_dup(
             ).alias("containment"),
         )
     )
+
+
+def audio_near_dup(
+    fingerprints: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate audio pairs from the 64-bit spectral fingerprints of
+    ``audio_fingerprints``: (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming. The fingerprint shares the image dHash's
+    8x8-bit shape, so this is ``dhash_near_dup``'s banded Hamming join
+    verbatim — bands equi-joins on 16-bit band keys (pigeonhole
+    guarantees recall for hamming < bands), then one JVM-side
+    bit_count(xor) verifies the true distance. Cross-codec by
+    construction: WAV, FLAC, and MPEG-1 Layer I/II copies of the same
+    audio fingerprint identically (hamming 0), and a re-encode with one
+    drifted dominant band lands at hamming 2."""
+    return dhash_near_dup(
+        fingerprints.filter(F.col("afp").isNotNull()).select(
+            "media_id", F.col("afp").alias("dhash")
+        ),
+        max_hamming=max_hamming,
+        bands=bands,
+    )

@@ -26,6 +26,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 _CERTIFY_FIRST = [
     # code changed / added in round 12 — certify first
     "mm_video_frame_dhash", "mm_video_neardup", "mm_mpeg_fingerprint",
+    "mm_audio_neardup",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip",
     "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
     "mm_audio_fingerprint", "mm_audio_features",

@@ -3097,6 +3097,52 @@ def mm_embedded_dhash(spark, sf_dir):
     return embedded_image_dhash(media)
 
 
+def _planted_tone_audio(doc_id: int, bands: list[int]) -> bytes:
+    """Tone-schedule audio fixture shared by the fingerprint queries:
+    8 frames x 1024 samples at 8 kHz, frame f a pure sine at the center
+    of band ``bands[f]`` — containerized as PCM16 RIFF/WAVE for even
+    doc_ids and as a from-spec FLAC verbatim-subframe frame (RFC 9639)
+    for odd ones. FLAC is lossless, so both containers decode to
+    identical samples and identical fingerprints."""
+    import math
+    import struct
+
+    rate, frame_len = 8000, 1024
+    samples = []
+    for f in range(8):
+        freq = (bands[f] + 0.5) * (rate / 2) / 8
+        samples.extend(
+            int(12000 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(frame_len)
+        )
+    total = len(samples)
+    if doc_id % 2:  # FLAC: one verbatim-subframe frame. The 64-bit frame
+        # header + 8-bit subframe header land byte-aligned, so 16-bit
+        # samples pack directly.
+        si = (
+            struct.pack(">HH", total, total)
+            + b"\x00\x00\x10" * 2
+            + ((8000 << 44) | (15 << 36) | total).to_bytes(8, "big")
+            + b"\x00" * 16
+        )
+        return (
+            b"fLaC\x80" + len(si).to_bytes(3, "big") + si
+            # sync+fixed | bs=16bit,sr=streaminfo | mono,16bit |
+            # frame#0 | blocksize-1 | crc8 | verbatim subframe
+            + bytes([0xFF, 0xF8, 0x70, 0x08, 0x00])
+            + struct.pack(">H", total - 1) + b"\x00\x02"
+            + b"".join(struct.pack(">h", s) for s in samples)
+            + b"\x00\x00"  # frame crc16 (parsed, unverified)
+        )
+    sig = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(sig)) + sig
+    )
+
+
 _AFP_TERMS = " + ".join(
     f"CAST((128 >> ((doc_id * 5 + {f * 3}) % 8)) AS HUGEINT)"
     f" * CAST({256 ** (7 - f)} AS HUGEINT)"
@@ -3141,53 +3187,86 @@ def mm_audio_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 320)
 
     def gen(batches):
-        import math
-        import struct
-
-        rate, frame_len = 8000, 1024
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                samples = []
-                for f in range(8):
-                    band = (int(doc_id) * 5 + f * 3) % 8
-                    freq = (band + 0.5) * (rate / 2) / 8
-                    samples.extend(
-                        int(12000 * math.sin(2 * math.pi * freq * i / rate))
-                        for i in range(frame_len)
-                    )
-                total = len(samples)
-                if doc_id % 2:  # FLAC: one verbatim-subframe frame. The
-                    # 64-bit frame header + 8-bit subframe header land
-                    # byte-aligned, so 16-bit samples pack directly.
-                    si = (
-                        struct.pack(">HH", total, total)
-                        + b"\x00\x00\x10" * 2
-                        + ((8000 << 44) | (15 << 36) | total).to_bytes(8, "big")
-                        + b"\x00" * 16
-                    )
-                    payload = (
-                        b"fLaC\x80" + len(si).to_bytes(3, "big") + si
-                        # sync+fixed | bs=16bit,sr=streaminfo | mono,16bit |
-                        # frame#0 | blocksize-1 | crc8 | verbatim subframe
-                        + bytes([0xFF, 0xF8, 0x70, 0x08, 0x00])
-                        + struct.pack(">H", total - 1) + b"\x00\x02"
-                        + b"".join(struct.pack(">h", s) for s in samples)
-                        + b"\x00\x00"  # frame crc16 (parsed, unverified)
-                    )
-                else:  # PCM16 RIFF/WAVE
-                    sig = b"".join(struct.pack("<h", s) for s in samples)
-                    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-                    payload = (
-                        b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
-                        + b"fmt " + struct.pack("<I", 16) + fmt
-                        + b"data" + struct.pack("<I", len(sig)) + sig
-                    )
-                rows.append({"media_id": int(doc_id), "payload": payload})
+            rows = [
+                {
+                    "media_id": int(doc_id),
+                    "payload": _planted_tone_audio(
+                        int(doc_id),
+                        [(int(doc_id) * 5 + f * 3) % 8 for f in range(8)],
+                    ),
+                }
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+_AFP_TERMS_P = " + ".join(
+    "CAST((128 >> ((doc_id * 5 + " + str(f * 3)
+    + (" + CASE WHEN doc_id % 16 >= 8 THEN 1 ELSE 0 END" if f == 7 else "")
+    + ") % 8)) AS HUGEINT) * CAST(" + str(256 ** (7 - f)) + " AS HUGEINT)"
+    for f in range(8)
+)
+
+
+@q(
+    "mm_audio_neardup",
+    f"""
+    -- Cross-codec audio near-dup END-TO-END: docs < 64 ship the tone
+    -- schedule t(f) = (doc_id*5 + f*3) %% 8 as WAV (even) / FLAC (odd),
+    -- and docs with doc_id %% 16 >= 8 drift frame 7's dominant band up
+    -- one -- a "re-encode with one changed frame". Exact copies land at
+    -- hamming 0 (96 pairs), one-frame drifts at hamming 2 (128 pairs),
+    -- different schedules at hamming >= 14 (excluded). The oracle states
+    -- the FULL correct pair set from the closed-form fingerprints; the
+    -- banded join must find every pair (pigeonhole: hamming 2 < bands 4).
+    WITH fp AS (
+      SELECT doc_id AS media_id, ({_AFP_TERMS_P}) AS afp
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """,
+)
+def mm_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs (multimodal.audio_near_dup over
+    audio_fingerprints): the REAL pipeline end-to-end -- WAV/FLAC
+    containers decode from-spec, rFFT spectral-peak fingerprints pack to
+    64 bits, and dhash_near_dup's banded Hamming join pairs
+    near-identical audio across codecs. A lossless re-encode lands at
+    hamming 0; a re-encode that drifts one frame's dominant band lands
+    at hamming 2 -- inside the default radius, so both cluster.
+    100 TB: map-only decode, then bands equi-joins on 16-bit band keys
+    with a JVM bit_count(xor) verify -- never an all-pairs join."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import audio_fingerprints, audio_near_dup
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                bands = [(did * 5 + f * 3) % 8 for f in range(8)]
+                if did % 16 >= 8:  # one-frame drift: frame 7 band +1
+                    bands[7] = (bands[7] + 1) % 8
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": _planted_tone_audio(did, bands),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return audio_near_dup(audio_fingerprints(media), max_hamming=3, bands=4)
 
 
 @q(

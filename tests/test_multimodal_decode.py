@@ -2834,3 +2834,24 @@ def test_animated_gif_joins_video_dhash_space(spark):
     }
     assert rows[(1, 0)] == rows[(2, 0)] and rows[(1, 1)] == rows[(2, 1)]
     assert rows[(1, 0)] is not None
+
+
+def test_audio_near_dup_cross_codec(spark):
+    """audio_near_dup pairs identical fingerprints (hamming 0) and
+    one-band drifts (hamming 2), skips NULLs, and excludes distant pairs."""
+    from nutch_spark.datapipe.multimodal import audio_near_dup
+
+    base = 0x8040201008040201  # one bit per byte — the fingerprint shape
+    drift = base ^ 0x0000000000000300  # frame-1 band moved: 2 bits differ
+    far = 0x0102040810204080
+    sgn = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+    fps = spark.createDataFrame(
+        [(1, sgn(base)), (2, sgn(base)), (3, sgn(drift)), (4, sgn(far)),
+         (5, None)],
+        "media_id long, afp long",
+    )
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup(fps, max_hamming=3, bands=4).collect()
+    }
+    assert out == {(1, 2): 0, (1, 3): 2, (2, 3): 2}

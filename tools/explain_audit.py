@@ -185,6 +185,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # MPEG-1 audio decode + FFT fingerprint, map-only
     "mm_mpeg_fingerprint": [[r"MapInPandas|mapInPandas"],
                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
+    "mm_audio_neardup": [[r"Join"],
+                         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # boilerplate lines: df aggregate + equi-join back, no UDF, no cross
     "dp_boilerplate_lines": [[r"HashAggregate", r"Join"],
                              [r"CartesianProduct", r"MapInPandas|mapInPandas",
