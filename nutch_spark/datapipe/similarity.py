@@ -538,3 +538,161 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def _l2_rank_sql(sub_sql: str, cents, round_d: int = 6) -> str:
+    """SQL text ranking codeword ids nearest-first by squared L2 distance
+    against literal centroids — the PQ/encode twin of :func:`_cents_rank`
+    (same one-struct-array / array_sort shape, same round-then-tie-break
+    determinism: distances round to ``round_d`` before ranking so the cid
+    tie-break matches a SQL oracle's round(d, 6) ASC, cid exactly)."""
+    parts = []
+    for cid, cv in cents:
+        lit = "array(" + ",".join(_dlit(x) for x in cv) + ")"
+        d2 = (
+            f"aggregate(zip_with({sub_sql}, {lit}, (x, y) ->"
+            " (cast(x as double) - y) * (cast(x as double) - y)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(f"named_struct('d', round({d2}, {round_d}), 'cid', {cid})")
+    return f"transform(array_sort(array({','.join(parts)})), x -> x.cid)"
+
+
+def _pq_train(
+    corpus: DataFrame,
+    *,
+    vec: str,
+    key: str,
+    dim: int,
+    m: int,
+    ks: int,
+    n_iter: int,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks: the ``ks`` corpus vectors with the
+    smallest md5(key) seed EVERY subspace's codewords (their j-th
+    subvectors), then ``n_iter`` rounds of per-subspace Lloyd's k-means
+    refine them — ALL subspaces in one distributed job per round (each
+    row emits its m (subspace, nearest-codeword, subvector) assignments
+    via one explode, then a single groupBy(j, cell) mean), so driver
+    traffic is bounded at m*ks rows per round and the corpus is never
+    collected. Same determinism contract as _lloyd_refine: assignment by
+    round(L2^2, 6) ASC with cid tie-break, empty cells keep their
+    codeword; the re-center means come from distributed avg (see
+    _lloyd_refine's determinism caveat — round-6 protected,
+    probabilistic not exact)."""
+    sd = dim // m
+    cent_rows = (
+        corpus.select(key, vec)
+        .orderBy(F.md5(F.col(key).cast("string")))
+        .limit(ks)
+        .collect()
+    )
+    cb = [
+        [
+            (i, [float(x) for x in r[1]][j * sd : (j + 1) * sd])
+            for i, r in enumerate(cent_rows)
+        ]
+        for j in range(m)
+    ]
+    if n_iter <= 0:
+        return cb
+    base = corpus.select(F.col(vec).alias("_v"))
+    if n_iter > 1:
+        base = base.persist()
+    for _ in range(n_iter):
+        entries = []
+        for j in range(m):
+            sub = f"slice(`_v`, {j * sd + 1}, {sd})"
+            rank = _l2_rank_sql(sub, cb[j])
+            entries.append(
+                f"named_struct('j', {j}, 'cell', element_at({rank}, 1),"
+                f" 'sv', transform({sub}, x -> cast(x as double)))"
+            )
+        stacked = base.select(
+            F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("s")
+        ).select("s.j", "s.cell", "s.sv")
+        means = stacked.groupBy("j", "cell").agg(
+            *[F.avg(F.expr(f"sv[{i}]")).alias(f"m{i}") for i in range(sd)]
+        ).collect()
+        got = {
+            (r["j"], r["cell"]): [float(r[f"m{i}"]) for i in range(sd)]
+            for r in means
+        }
+        cb = [
+            [(cid, got.get((j, cid), cw)) for cid, cw in cb[j]]
+            for j in range(m)
+        ]
+    if n_iter > 1:
+        base.unpersist()
+    return cb
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Product-Quantization approximate top-k — the memory-compression ANN
+    scale path next to lsh_topk (hashing), ivf_topk (partitioning), and
+    int8_topk (scalar quantization). Vectors split into ``m`` subspaces
+    of dim/m; each subspace trains ``ks`` codewords (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"); a corpus vector
+    encodes as m codeword ids — m bytes instead of dim floats, a
+    (4*dim/m)x compression of the index. Query scoring is asymmetric
+    distance computation expressed as cosine(query, reconstruction):
+    each row's reconstruction is flatten(codeword_j for j in order), so
+    the score is ONE flat left-fold dot over dim doubles — bit-identical
+    in any engine that folds left-to-right, the same determinism
+    contract as cosine()/brute_force_topk. Encoding happens once per row
+    BEFORE the broadcast join (map-only); queries broadcast and the
+    corpus streams — the same INTENDED BroadcastNestedLoopJoin shape as
+    int8_topk, with per-pair work on the reconstruction, not the raw
+    vector. At 100 TB the codes column (m bytes/row) is what an index
+    shard persists; the reconstruction is recomputed per scan from the
+    m*ks*(dim/m)-double codebook literal."""
+    sd = dim // m
+    cb = _pq_train(
+        corpus, vec=vec, key=key, dim=dim, m=m, ks=ks, n_iter=n_iter
+    )
+    recon_parts = []
+    for j in range(m):
+        sub = f"slice(`{vec}`, {j * sd + 1}, {sd})"
+        rank = _l2_rank_sql(sub, cb[j])
+        lut = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dlit(x) for x in cw) + ")"
+                for _, cw in cb[j]
+            )
+            + ")"
+        )
+        recon_parts.append(f"element_at({lut}, element_at({rank}, 1) + 1)")
+    recon = f"flatten(array({','.join(recon_parts)}))"
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"), F.expr(recon).alias("_rv")
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("_qv")
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_rv")), round_sim)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("pq_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -24,9 +24,10 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # first), then the r10-certified block, then the r11-certified rows
 # (freshest records last).
 _CERTIFY_FIRST = [
-    # code changed / added in round 12 — certify first
+    # code changed / added in round 12 — certify first (video/GIF,
+    # MPEG audio, audio near-dup, PQ ANN, sink round-trips lead)
     "mm_video_frame_dhash", "mm_video_neardup", "mm_mpeg_fingerprint",
-    "mm_audio_neardup",
+    "mm_audio_neardup", "dp_pq_topk", "dp_pq_recall",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip",
     "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
     "mm_audio_fingerprint", "mm_audio_features",

@@ -1954,6 +1954,164 @@ def dp_ivf_recall(spark, sf_dir):
     )
 
 
+_PQ_ITERS = 2   # per-subspace Lloyd rounds — mirrored in pq_topk(n_iter=...)
+_PQ_M = 16      # subspaces (dim/m = 4 dims each)
+_PQ_KS = 32     # codewords per subspace: 16 bytes/vector, 16x compression.
+# Parameter sweep on this corpus (near-orthogonal random embeddings — the
+# HARD case for coarse quantizers): m=8/ks=16 (8 B, 32x) recall@5 0.20,
+# m=16/ks=16 0.41, m=16/ks=32 0.50, m=32/ks=16 (32 B, 8x) 0.64; LSH gets
+# 0.10 and IVF(n_probe=4) 0.61 on the same queries. Shipped default
+# m=16/ks=32 balances compression against recall.
+
+
+def _pq_ctes(n_iter=_PQ_ITERS, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, src="embeddings"):
+    """CTE chain mirroring _pq_train + PQ encoding over ``src``: the ks
+    md5-smallest corpus vectors seed every subspace's codewords, n_iter
+    per-subspace Lloyd rounds refine them (round(L2^2,6) ASC, cid
+    tie-break; empty cells keep their codeword), then ``codes`` assigns
+    each (vector, subspace) its nearest codeword and ``recon``
+    reassembles the reconstruction as flatten(codewords ORDER BY j) —
+    the same flat 64-double vector the Spark side folds, so the final
+    cosine is the one flat left-to-right accumulation in both engines."""
+    sd = dim // m
+    means_cols = ", ".join(f"avg(sv[{i + 1}]) AS m{i}" for i in range(sd))
+    mean_arr = "[" + ", ".join(f"m.m{i}" for i in range(sd)) + "]"
+    d2 = (
+        "list_sum(list_transform(list_zip("
+        f"(CAST(e.embedding AS DOUBLE[]))[c.j*{sd}+1 : c.j*{sd}+{sd}], c.cw),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    ctes = [f"""seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ks}
+    )""",
+    f"subs AS (SELECT CAST(unnest(range({m})) AS INT) AS j)",
+    f"""cb0 AS (
+      SELECT s.j, d.cid, d.cv[s.j*{sd}+1 : s.j*{sd}+{sd}] AS cw
+      FROM seeds d CROSS JOIN subs s
+    )"""]
+    for it in range(n_iter):
+        ctes.append(f"""assign{it} AS (
+      SELECT e.vec_id, c.j, c.cid,
+             (CAST(e.embedding AS DOUBLE[]))[c.j*{sd}+1 : c.j*{sd}+{sd}] AS sv,
+             row_number() OVER (PARTITION BY e.vec_id, c.j
+                                ORDER BY round({d2}, 6) ASC, c.cid) AS rn
+      FROM {src} e CROSS JOIN cb{it} c
+    )""")
+        ctes.append(f"""means{it + 1} AS (
+      SELECT j, cid, {means_cols} FROM assign{it} WHERE rn = 1 GROUP BY j, cid
+    )""")
+        ctes.append(f"""cb{it + 1} AS (
+      SELECT s.j, s.cid, CASE WHEN m.cid IS NULL THEN s.cw ELSE {mean_arr} END AS cw
+      FROM cb{it} s LEFT JOIN means{it + 1} m ON s.j = m.j AND s.cid = m.cid
+    )""")
+    ctes.append(f"cb AS (SELECT j, cid, cw FROM cb{n_iter})")
+    ctes.append(f"""codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT e.vec_id, c.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, c.j
+                                  ORDER BY round({d2}, 6) ASC, c.cid) AS rn
+        FROM {src} e CROSS JOIN cb c) WHERE rn = 1
+    )""")
+    ctes.append("""recon AS (
+      SELECT c.vec_id, flatten(list(t.cw ORDER BY c.j)) AS rv
+      FROM codes c JOIN cb t ON t.j = c.j AND t.cid = c.cid
+      GROUP BY c.vec_id
+    )""")
+    return ",\n    ".join(ctes)
+
+
+_PQ_CTES = _pq_ctes()
+
+
+@q(
+    "dp_pq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    scored AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="q.embedding", b="r.rv")}, 6) AS pq_sim
+      FROM embeddings q JOIN recon r ON r.vec_id != q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, pq_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY pq_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def dp_pq_topk(spark, sf_dir):
+    """Product-Quantization approximate top-k (similarity.pq_topk) — the
+    memory-compression ANN scale path (Jegou et al. 2011) next to LSH
+    (hashing), IVF (partitioning), and int8 (scalar quantization):
+    16 subspaces x 32 Lloyd-trained codewords, corpus rows encode to 16
+    codeword ids (16 bytes vs 256 — a 16x index compression), and the
+    asymmetric score is cosine(query, reconstruction). The oracle
+    recomputes the identical codebook training (md5 seeds, every Lloyd
+    round), encoding, reconstruction, and ranking. 100 TB: training
+    collects m*ks rows per round (corpus never), encoding is map-only,
+    scoring is the intended queries-broadcast nested loop over the
+    8-byte codes like dp_int8_topk."""
+    from nutch_spark.datapipe.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(
+        emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
+        round_sim=6,
+    )
+
+
+def _pq_recall_oracle() -> str:
+    cosine_sql = REGISTRY["dp_cosine_topk"][1]
+    pq_sql = REGISTRY["dp_pq_topk"][1]
+    return f"""
+    WITH exact AS ({cosine_sql}),
+    pq AS ({pq_sql}),
+    hits AS (
+      SELECT e.query_id, count(p.neighbor_id) AS n_hit
+      FROM exact e LEFT JOIN pq p
+        ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
+    """
+
+
+@q("dp_pq_recall", _pq_recall_oracle())
+def dp_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ ANN (16x32 codebooks, 2 Lloyd rounds) against the
+    exact brute-force ranking — the accuracy-vs-16x-compression tuning
+    number, measured the same way as dp_lsh_recall / dp_ivf_recall. Both
+    sides reuse certified operators; the oracle composes their certified
+    SQL twins."""
+    from nutch_spark.datapipe.similarity import brute_force_topk, pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
+        "query_id", "neighbor_id"
+    )
+    pq = pq_topk(
+        emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
+        round_sim=6,
+    ).select(
+        F.col("query_id").alias("_pq"), F.col("neighbor_id").alias("_pn"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            pq,
+            (exact["query_id"] == F.col("_pq")) & (exact["neighbor_id"] == F.col("_pn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer family (datapipe/tokenize.py): pair statistics, merge-chain
 # apply, and full training — the Sennrich et al. 2016 algorithm with the

@@ -804,3 +804,55 @@ def test_dataset_card_rollup(spark):
         "doc_id long, source string, lang string, text string",
     )
     assert dataset_card(tie).collect()[0]["top_lang"] == "aa"
+
+
+def test_pq_topk_exact_when_codebook_covers_corpus(spark):
+    """With ks >= distinct subvectors the trained codebook reconstructs
+    every corpus vector exactly, so PQ ranking equals the brute-force
+    cosine ranking — pins the encode/reconstruct/score plumbing."""
+    from nutch_spark.datapipe.similarity import brute_force_topk, pq_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice([-1.0, 0.5, 2.0]) for _ in range(8)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter("vec_id < 3")
+    # m=4 subspaces of 2 dims: <= 9 distinct subvectors per subspace < ks=12
+    pq = {
+        (r.query_id, r.neighbor_id): r.pq_sim
+        for r in pq_topk(
+            emb, qs, k=3, dim=8, m=4, ks=12, n_iter=3, round_sim=6
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in brute_force_topk(emb, qs, k=3, round_sim=6).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_train_shapes_and_determinism(spark):
+    """_pq_train returns m codebooks of ks (cid, subvector) entries, cids
+    0..ks-1 in order, and is deterministic across invocations."""
+    from nutch_spark.datapipe.similarity import _pq_train
+
+    import random
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cb1 = _pq_train(emb, vec="embedding", key="vec_id", dim=8, m=2, ks=4,
+                    n_iter=2)
+    cb2 = _pq_train(emb, vec="embedding", key="vec_id", dim=8, m=2, ks=4,
+                    n_iter=2)
+    assert cb1 == cb2
+    assert len(cb1) == 2 and all(len(sub) == 4 for sub in cb1)
+    for sub in cb1:
+        assert [cid for cid, _ in sub] == [0, 1, 2, 3]
+        assert all(len(cw) == 4 for _, cw in sub)

@@ -69,6 +69,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_pii_scrub": [[], [r"Exchange", r"Join"]],
     # int8 ANN: the intended broadcast NLJ (queries tiny, corpus streams)
     "dp_int8_topk": [[r"BroadcastNestedLoopJoin"], []],
+    # PQ ANN: same intended broadcast NLJ, corpus streams 16-byte codes
+    "dp_pq_topk": [[r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
