@@ -2936,3 +2936,152 @@ def _mpeg_decode_layer2(br: _FlacBits, nch: int, bound: int, sb_frames) -> bool:
     for ch in range(nch):
         sb_frames[ch].append(frames[ch])
     return True
+
+
+_MOV_JPEG_CODECS = (b"jpeg", b"mjpa", b"mjpb", b"AVDJ", b"dmb1")
+
+
+def extract_mov_mjpeg_frames(payload: bytes, *, max_frames: int = 64):
+    """QuickTime/MP4 (ISO-BMFF + Apple QTFF) container walk for
+    Motion-JPEG video tracks — the photo-camera-era ``.mov`` sibling of
+    :func:`extract_avi_mjpeg_frames`, same return contract:
+    ``{"frames": [jpeg_bytes, ...], "fps", "width", "height",
+    "n_chunks"}`` or None when the payload isn't ISO-BMFF or has no
+    JPEG-coded video track.
+
+    The sample tables do the work (ISO/IEC 14496-12 §8.5-8.7): ``stsd``
+    names the codec (``jpeg``/``mjpa``/``mjpb``/``AVDJ``/``dmb1`` — the
+    QTFF Motion-JPEG identifiers) and carries the pixel dims, ``stsz``
+    the per-sample byte sizes, ``stsc`` the samples-per-chunk runs,
+    ``stco``/``co64`` the absolute chunk offsets into ``mdat``, and
+    ``mdhd``+``stts`` give fps as timescale/sample_delta. Samples are
+    resolved to absolute byte ranges and kept only when SOI-prefixed,
+    exactly like the AVI walker. Classic QuickTime files without an
+    ``ftyp`` (moov/mdat first) are accepted. Hostile-input posture:
+    bounded trak/entry counts, offsets clamped to the buffer,
+    ``max_frames`` cap."""
+    n = len(payload)
+    if n < 16:
+        return None
+    head = payload[4:8]
+    if head not in (b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot"):
+        return None
+    moov = _find_box(payload, [b"moov"], 0, n)
+    if moov is None:
+        return None
+    out = {"frames": [], "fps": None, "width": None, "height": None, "n_chunks": 0}
+    n_trak = 0
+    for btype, t0, t1 in _iter_boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        n_trak += 1
+        if n_trak > 64:  # hostile trak flood
+            break
+        stbl = _find_box(payload, [b"mdia", b"minf", b"stbl"], t0, t1)
+        if stbl is None:
+            continue
+        s0, s1 = stbl
+        stsd = _find_box(payload, [b"stsd"], s0, s1)
+        if stsd is None or stsd[1] - stsd[0] < 24:
+            continue
+        # stsd: version/flags(4) entry_count(4), then sample descriptions
+        e0 = stsd[0] + 8
+        fmt = payload[e0 + 4 : e0 + 8]
+        if fmt not in _MOV_JPEG_CODECS:
+            continue
+        # video sample description: width/height at entry offsets 32/34
+        if stsd[1] - e0 >= 36:
+            w, h = struct.unpack(">HH", payload[e0 + 32 : e0 + 36])
+            if w and h:
+                out["width"], out["height"] = int(w), int(h)
+        # fps = mdhd timescale / first stts sample_delta
+        mdhd = _find_box(payload, [b"mdia", b"mdhd"], t0, t1)
+        stts = _find_box(payload, [b"stts"], s0, s1)
+        if mdhd is not None and stts is not None:
+            m0, m1 = mdhd
+            ver = payload[m0]
+            ts = 0
+            if ver == 1 and m1 - m0 >= 28:
+                (ts,) = struct.unpack(">I", payload[m0 + 20 : m0 + 24])
+            elif ver == 0 and m1 - m0 >= 20:
+                (ts,) = struct.unpack(">I", payload[m0 + 12 : m0 + 16])
+            x0, x1 = stts
+            if ts and x1 - x0 >= 16:
+                (delta,) = struct.unpack(">I", payload[x0 + 12 : x0 + 16])
+                if delta:
+                    out["fps"] = ts / delta
+        # sample sizes (stsz)
+        stsz = _find_box(payload, [b"stsz"], s0, s1)
+        if stsz is None or stsz[1] - stsz[0] < 12:
+            continue
+        z0, z1 = stsz
+        fixed, count = struct.unpack(">II", payload[z0 + 4 : z0 + 12])
+        count = min(count, 100_000)  # hostile count guard
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            if z1 - z0 < 12 + 4 * count:
+                count = max(0, (z1 - z0 - 12) // 4)
+            sizes = list(
+                struct.unpack(f">{count}I", payload[z0 + 12 : z0 + 12 + 4 * count])
+            )
+        # chunk offsets (stco 32-bit / co64 64-bit)
+        stco = _find_box(payload, [b"stco"], s0, s1)
+        co64 = _find_box(payload, [b"co64"], s0, s1)
+        offsets: list[int] = []
+        if stco is not None and stco[1] - stco[0] >= 8:
+            c0, c1 = stco
+            (nc,) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+            nc = min(nc, (c1 - c0 - 8) // 4, 100_000)
+            offsets = list(
+                struct.unpack(f">{nc}I", payload[c0 + 8 : c0 + 8 + 4 * nc])
+            )
+        elif co64 is not None and co64[1] - co64[0] >= 8:
+            c0, c1 = co64
+            (nc,) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+            nc = min(nc, (c1 - c0 - 8) // 8, 100_000)
+            offsets = list(
+                struct.unpack(f">{nc}Q", payload[c0 + 8 : c0 + 8 + 8 * nc])
+            )
+        if not offsets or not sizes:
+            continue
+        # samples-per-chunk runs (stsc); default: 1 sample per chunk
+        runs: list[tuple[int, int]] = []
+        stsc = _find_box(payload, [b"stsc"], s0, s1)
+        if stsc is not None and stsc[1] - stsc[0] >= 8:
+            c0, c1 = stsc
+            (ne,) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+            ne = min(ne, (c1 - c0 - 8) // 12, 10_000)
+            for e in range(ne):
+                first, per, _desc = struct.unpack(
+                    ">III", payload[c0 + 8 + 12 * e : c0 + 20 + 12 * e]
+                )
+                runs.append((first, per))
+        if not runs:
+            runs = [(1, 1)]
+        # walk chunks, assigning consecutive samples per the stsc runs
+        si = 0
+        for ci, off in enumerate(offsets, start=1):
+            per = 1
+            for first, p in runs:
+                if first <= ci:
+                    per = p
+                else:
+                    break
+            pos = off
+            for _ in range(per):
+                if si >= len(sizes) or len(out["frames"]) >= max_frames:
+                    break
+                size = sizes[si]
+                si += 1
+                out["n_chunks"] += 1
+                if 0 <= pos and pos + size <= n and size >= 3:
+                    blob = payload[pos : pos + size]
+                    if blob[:3] == b"\xff\xd8\xff":
+                        out["frames"].append(blob)
+                pos += size
+            if si >= len(sizes) or len(out["frames"]) >= max_frames:
+                break
+        if out["frames"]:
+            return out
+    return out if out["frames"] else None

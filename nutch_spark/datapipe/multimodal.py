@@ -652,10 +652,12 @@ def video_frame_dhash(
     walks ``mediacodec.extract_avi_mjpeg_frames`` (RIFF/AVI container,
     Motion-JPEG video stream — the one mainstream video format whose
     frames are plain JPEG, so the already-certified T.81 decoder covers
-    the pixels with no new codec) or, failing that,
-    ``mediacodec.extract_gif_frames`` (animated GIF — the web's most
-    common short-clip format — composited per the GIF89a disposal /
-    transparency rules and re-encoded as lossless gray BMPs). Every
+    the pixels with no new codec), ``mediacodec.extract_gif_frames``
+    (animated GIF — the web's most common short-clip format — composited
+    per the GIF89a disposal / transparency rules and re-encoded as
+    lossless gray BMPs), or ``mediacodec.extract_mov_mjpeg_frames``
+    (QuickTime/MP4 Motion-JPEG via the stsd/stsz/stsc/stco sample
+    tables — the photo-camera-era .mov sibling). Every
     ``stride``-th frame hashes through ``dhash64``, and the output keys
     (media_id, frame_idx) join ``dhash_near_dup``'s banded Hamming
     space — a re-encoded or re-containered copy of a clip clusters with
@@ -676,6 +678,7 @@ def video_frame_dhash(
         dhash64,
         extract_avi_mjpeg_frames,
         extract_gif_frames,
+        extract_mov_mjpeg_frames,
     )
 
     compute = hash_fn or dhash64
@@ -688,9 +691,17 @@ def video_frame_dhash(
                     continue
                 try:
                     raw = bytes(payload)
-                    info = extract_avi_mjpeg_frames(
-                        raw, max_frames=max_frames * stride
-                    ) or extract_gif_frames(raw, max_frames=max_frames * stride)
+                    info = (
+                        extract_avi_mjpeg_frames(
+                            raw, max_frames=max_frames * stride
+                        )
+                        or extract_gif_frames(
+                            raw, max_frames=max_frames * stride
+                        )
+                        or extract_mov_mjpeg_frames(
+                            raw, max_frames=max_frames * stride
+                        )
+                    )
                 except Exception:  # noqa: BLE001 — one bad container
                     continue
                 if not info:

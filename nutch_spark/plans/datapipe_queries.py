@@ -3575,13 +3575,73 @@ def _planted_animated_gif(doc_id: int) -> bytes:
     return bytes(gif)
 
 
+def _planted_mov(doc_id: int) -> bytes:
+    """A QuickTime container (ftyp 'qt  ' + mdat + moov with a video trak
+    whose stsd codec is 'jpeg') holding the SAME Motion-JPEG frame
+    schedule as ``_planted_avi`` — sample sizes in stsz, absolute chunk
+    offsets in stco, 2-samples-per-chunk stsc runs so the sample-to-chunk
+    walk is exercised, mdhd/stts giving 25 fps."""
+    import struct
+
+    n = 1 + doc_id % 3
+    frames = [_planted_jpeg(_planted_grid(doc_id + j)) for j in range(n)]
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ")
+    mdat_body = b"".join(frames)
+    # absolute sample offsets: ftyp, then mdat header (8 bytes)
+    base = len(ftyp) + 8
+    offs, pos, per_chunk = [], base, 2
+    for i, f in enumerate(frames):
+        if i % per_chunk == 0:
+            offs.append(pos)
+        pos += len(f)
+    mdat = box(b"mdat", mdat_body)
+    sd = (
+        struct.pack(">I", 86 + 8) + b"jpeg" + b"\x00" * 6
+        + struct.pack(">H", 1)               # data ref index
+        + b"\x00" * 16                       # version..spatial quality
+        + struct.pack(">HH", 72, 64)         # width, height
+        + b"\x00" * 50                       # resolution..depth..color table
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + sd)
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))  # delta 1 tick
+    stsc = box(b"stsc", struct.pack(">II", 0, 1)
+               + struct.pack(">III", 1, per_chunk, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = box(b"stco", struct.pack(">II", 0, len(offs))
+               + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    minf = box(b"minf", vmhd + stbl)
+    # mdhd v0: version/flags, ctime, mtime, timescale=25, duration
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 25, n)
+               + struct.pack(">HH", 0, 0))
+    hdlr = box(b"hdlr", struct.pack(">I", 0) + b"mhlrvideappl"
+               + b"\x00" * 9)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">III", 0x0000000F, 0, 0)
+               + b"\x00" * 72)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 25, n)
+               + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def _planted_video(doc_id: int) -> bytes:
     """Container routing for the video-query fixtures: doc_id %% 32 == 13
-    docs WITH 2+ frames ship as animated GIF, everything else as
-    RIFF/AVI MJPEG — both satisfy the same closed-form per-frame oracle,
-    so one CASE certifies both container walks."""
+    docs WITH 2+ frames ship as animated GIF, doc_id %% 32 == 5 as
+    QuickTime/MOV, everything else as RIFF/AVI MJPEG — all satisfy the
+    same closed-form per-frame oracle, so one CASE certifies every
+    container walk."""
     if doc_id % 32 == 13 and doc_id % 3 != 0:
         return _planted_animated_gif(doc_id)
+    if doc_id % 32 == 5:
+        return _planted_mov(doc_id)
     return _planted_avi(doc_id)
 
 
@@ -3592,11 +3652,13 @@ def _planted_video(doc_id: int) -> bytes:
     -- 1 + doc_id %% 3 Motion-JPEG frames (frame j = planted class
     -- (doc_id + j) %% 16), walked by the from-spec container parser and
     -- decoded by the certified T.81 JPEG path — EXCEPT doc_id %% 32 = 13
-    -- multi-frame docs, which ship the SAME frame schedule as an animated
-    -- GIF89a (per-frame GCEs, composited canvases), so one closed form
-    -- certifies both container walks. doc_id %% 32 = 21 plants a
-    -- non-video payload (emits nothing); %% 32 = 9 a corrupt first AVI
-    -- frame (NULL hash, frame row still emitted).
+    -- multi-frame docs (the SAME frame schedule as an animated GIF89a:
+    -- per-frame GCEs, composited canvases) and %% 32 = 5 docs (the same
+    -- schedule as QuickTime/MOV Motion-JPEG via stsd/stsz/stsc/stco
+    -- sample tables), so ONE closed form certifies all three container
+    -- walks. doc_id %% 32 = 21 plants a non-video payload (emits
+    -- nothing); %% 32 = 9 a corrupt first AVI frame (NULL hash, frame
+    -- row still emitted).
     WITH v AS (
       SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
       FROM documents WHERE doc_id < 320 AND doc_id % 32 != 21

@@ -712,3 +712,38 @@ def test_gif_frame_walker_bounds_frame_flood():
 
     huge = bytearray(b"GIF89a") + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0)
     assert extract_gif_frames(bytes(huge) + b"\x3b") is None
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_mov_walker_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import extract_mov_mjpeg_frames
+
+    for payload in (junk, b"\x00\x00\x00\x10ftypqt  " + junk,
+                    b"\x00\x00\x01\x00moov" + junk):
+        out = extract_mov_mjpeg_frames(payload)
+        if out is not None:
+            assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_mov_walker_survives_mutated_valid_container(cut_pct, flips):
+    """Truncations and byte-flips of a VALID planted MOV (lying box sizes,
+    corrupted sample tables, offsets past the buffer) must never raise."""
+    from nutch_spark.datapipe.mediacodec import extract_mov_mjpeg_frames
+    from nutch_spark.plans.datapipe_queries import _planted_mov
+
+    buf = bytearray(_planted_mov(14))
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: len(buf) * cut_pct // 100])
+    out = extract_mov_mjpeg_frames(payload)
+    if out is not None:
+        assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])

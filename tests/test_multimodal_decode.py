@@ -2855,3 +2855,57 @@ def test_audio_near_dup_cross_codec(spark):
         for r in audio_near_dup(fps, max_hamming=3, bands=4).collect()
     }
     assert out == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_mov_mjpeg_walker():
+    """extract_mov_mjpeg_frames resolves samples through the
+    stsd/stsz/stsc/stco tables, reports fps/dims, rejects non-BMFF and
+    JPEG-less containers, and hashes identically to the AVI of the same
+    frame schedule."""
+    from nutch_spark.datapipe.mediacodec import (
+        dhash64,
+        extract_avi_mjpeg_frames,
+        extract_mov_mjpeg_frames,
+    )
+    from nutch_spark.plans.datapipe_queries import _planted_avi, _planted_mov
+
+    mov = _planted_mov(5)  # 3 frames, 2-samples-per-chunk stsc runs
+    info = extract_mov_mjpeg_frames(mov)
+    assert info["fps"] == 25.0 and (info["width"], info["height"]) == (72, 64)
+    assert len(info["frames"]) == 3
+    avi = extract_avi_mjpeg_frames(_planted_avi(5))
+    assert [dhash64(f) for f in info["frames"]] == [
+        dhash64(f) for f in avi["frames"]
+    ]
+    # max_frames cap
+    assert len(extract_mov_mjpeg_frames(mov, max_frames=2)["frames"]) == 2
+    # rejects: not ISO-BMFF, no moov, non-JPEG codec
+    assert extract_mov_mjpeg_frames(b"RIFF1234AVI ") is None
+    assert extract_mov_mjpeg_frames(b"\x00\x00\x00\x10ftypqt  qt  ") is None
+    assert extract_mov_mjpeg_frames(mov.replace(b"jpeg", b"avc1")) is None
+
+
+def test_video_stage_covers_all_three_containers(spark):
+    """video_frame_dhash emits identical hashes for the same clip shipped
+    as AVI, animated GIF, and QuickTime/MOV."""
+    from nutch_spark.datapipe.multimodal import video_frame_dhash
+    from nutch_spark.plans.datapipe_queries import (
+        _planted_animated_gif,
+        _planted_avi,
+        _planted_mov,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_planted_avi(13))),
+            (2, bytearray(_planted_animated_gif(13))),
+            (3, bytearray(_planted_mov(13))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(media).collect()
+    }
+    assert rows[(1, 0)] == rows[(2, 0)] == rows[(3, 0)]
+    assert rows[(1, 1)] == rows[(2, 1)] == rows[(3, 1)]
