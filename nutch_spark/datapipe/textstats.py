@@ -767,3 +767,53 @@ def dataset_card(
     return stats.join(lang_rank, group_col).select(
         group_col, "n_docs", "n_tokens", "avg_chars", "n_langs", "top_lang"
     )
+# cp1252's printable extensions over latin-1 (the 27 defined bytes in
+# 0x80-0x9F), paired with the C1 control code points a latin-1 decode of
+# those bytes would have produced — the pre-translation that folds
+# "decoded as windows-1252" mojibake onto the "decoded as latin-1" case.
+_CP1252_PUNCT = "".join(
+    bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # undefined in cp1252
+)
+_CP1252_AS_C1 = "".join(
+    chr(b)
+    for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text: str = "text",
+    *,
+    out_col: str = "text_fixed",
+    flag_col: str = "mojibake_repaired",
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-latin-1/windows-1252 mojibake (ftfy's
+    core case — "cafÃ©" -> "café", "itâ€™s" -> "it's"): normalize cp1252
+    punctuation to the C1 code points a latin-1 decode would have
+    produced (translate, char-for-char), then round-trip
+    decode(encode(s, ISO-8859-1), UTF-8) — the inverse of the original
+    corruption. The repair is GATED three ways so clean text is never
+    touched: the text must contain a mojibake signature (Â/Ã followed by
+    a C1/latin-1 continuation char, or â plus two — the rendered shape
+    of UTF-8 2- and 3-byte sequences), must be entirely latin-1-codable
+    after normalization (a CJK/Greek doc with an incidental "Ã©" stays
+    untouched rather than having its non-latin text lossily '?'-folded),
+    and the round-trip must produce zero U+FFFD replacement characters
+    (i.e. the suspicious bytes really were valid UTF-8). Known inherent
+    limitation (shared with ftfy): genuinely-intended "Ã©" in an
+    otherwise latin-1 text is indistinguishable from mojibake and gets
+    "repaired". 100 TB: pure JVM expressions (translate/encode/decode/
+    rlike), map-only, no UDF, no shuffle."""
+    pre = F.translate(F.col(text), _CP1252_PUNCT, _CP1252_AS_C1)
+    repaired = F.decode(F.encode(pre, "ISO-8859-1"), "UTF-8")
+    suspicious = pre.rlike(
+        "[\u00c2\u00c3][\u0080-\u00bf]|\u00e2[\u0080-\u00bf]{2}"
+    )
+    latin1_only = ~pre.rlike("[\u0100-\uffff]")
+    ok = suspicious & latin1_only & ~repaired.rlike("\ufffd")
+    return df.withColumn(
+        out_col, F.when(ok, repaired).otherwise(F.col(text))
+    ).withColumn(flag_col, ok)

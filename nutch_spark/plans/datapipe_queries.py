@@ -3428,6 +3428,78 @@ def mm_audio_neardup(spark, sf_dir):
 
 
 @q(
+    "dp_fix_mojibake",
+    """
+    -- Closed-form construction: each doc's text is stripped to printable
+    -- ASCII (identical [^\\x20-\\x7E] strip in both engines), then a
+    -- residue-class mojibake prefix is planted — latin-1 double-encode
+    -- ("SÃ£o JoÃ£o", "cafÃ© crÃ¨me Ã¼ber") and windows-1252 double-encode
+    -- ("itâ€™s â€” a â€œtest") — so the repaired output is STATED by the
+    -- oracle while the Spark side actually runs the translate +
+    -- decode(encode(..)) round-trip and its three repair gates.
+    -- doc_id %% 4 = 3 stays clean ASCII and must come back untouched.
+    WITH base AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'S\u00e3o Jo\u00e3o ' || b
+             WHEN 1 THEN 'caf\u00e9 cr\u00e8me \u00fcber ' || b
+             WHEN 2 THEN 'it\u2019s \u2014 a \u201ctest ' || b
+             ELSE b END AS text_fixed,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INT)
+             AS mojibake_repaired
+    FROM base
+    """,
+)
+def dp_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (textstats.fix_mojibake) — ftfy's core case as
+    pure JVM expressions: UTF-8 text that was decoded as latin-1 or
+    windows-1252 ("cafÃ©", "itâ€™s") round-trips back through
+    decode(encode(s, ISO-8859-1), UTF-8) after cp1252-punctuation
+    normalization, gated on a mojibake signature, latin-1-codability,
+    and a clean (U+FFFD-free) round-trip so untainted text is never
+    touched. The fixture plants both corruption flavors per residue
+    class; the oracle states the repaired text closed-form. 100 TB:
+    map-only, no UDF, no shuffle — the canonical first stage of a web
+    corpus cleaning pipeline."""
+    from nutch_spark.datapipe.textstats import fix_mojibake
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = F.regexp_replace("text", "[^\\x20-\\x7E]", "")
+
+    # plant the MOJIBAKE rendering of each prefix: encode the clean prefix
+    # as UTF-8 and mis-decode it as cp1252 (the real-world corruption),
+    # which fix_mojibake must invert
+    def _moji(s_clean):
+        return s_clean.encode("utf-8").decode("cp1252")
+
+    mixed = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_moji("S\u00e3o Jo\u00e3o ")), b),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(_moji("caf\u00e9 cr\u00e8me \u00fcber ")), b),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(_moji("it\u2019s \u2014 a \u201ctest ")), b),
+        )
+        .otherwise(b)
+        .alias("text"),
+    )
+    return fix_mojibake(mixed).select(
+        "doc_id",
+        "text_fixed",
+        F.col("mojibake_repaired").cast("int").alias("mojibake_repaired"),
+    )
+
+
+@q(
     "dp_script_detect",
     """
     -- Closed-form construction: each doc's text gets a known quantity of

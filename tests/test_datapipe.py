@@ -856,3 +856,27 @@ def test_pq_train_shapes_and_determinism(spark):
     for sub in cb1:
         assert [cid for cid, _ in sub] == [0, 1, 2, 3]
         assert all(len(cw) == 4 for _, cw in sub)
+
+
+def test_fix_mojibake_gates(spark):
+    """fix_mojibake repairs latin-1 AND cp1252 double-encodes, leaves
+    clean ASCII and non-latin-1 text untouched, and flags what it
+    changed. The genuine-'A-tilde-copyright' false positive is pinned as
+    documented (inherent to the heuristic, shared with ftfy)."""
+    from nutch_spark.datapipe.textstats import fix_mojibake
+
+    cases = [
+        (0, "SÃ£o JoÃ£o hello"),      # latin-1 mojibake
+        (1, "cafÃ© crÃ¨me hello"),
+        (2, "itâ€™s â€” ok"),  # cp1252 mojibake
+        (3, "plain ascii text, no? fine."),
+        (4, "中文 mixed with cafÃ©"),   # CJK: untouched
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    out = {r.doc_id: (r.text_fixed, r.mojibake_repaired)
+           for r in fix_mojibake(df).collect()}
+    assert out[0] == ("São João hello", True)
+    assert out[1] == ("café crème hello", True)
+    assert out[2] == ("it’s — ok", True)
+    assert out[3] == ("plain ascii text, no? fine.", False)
+    assert out[4] == ("中文 mixed with cafÃ©", False)

@@ -90,6 +90,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_c4_clean": [[], [r"Exchange", r"Join"]],
     # URL blocklist: map-only literal chain
     "dp_url_blocklist": [[], [r"Exchange", r"Join"]],
+    # mojibake repair: pure JVM translate/encode/decode, map-only, no UDF
+    "dp_fix_mojibake": [[], [r"Exchange", r"Join", r"MapInPandas|mapInPandas",
+                             r"BatchEvalPython"]],
     # PDF round-trip: two chained Python stages, no shuffle between them
     "p2_pdf_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     # legacy .doc round trip: same narrow map-only shape as the PDF path
