@@ -10,6 +10,7 @@ from nutch_spark.streaming.continuous import (
     streaming_dedup,
     streaming_clean,
     streaming_image_dedup,
+    streaming_video_dedup,
 )
 
-__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_hostdb", "streaming_image_dedup"]
+__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_hostdb", "streaming_image_dedup", "streaming_video_dedup"]

@@ -370,3 +370,103 @@ def streaming_image_dedup(
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_dedup_key")
     )
+
+
+def streaming_video_dedup(
+    media: DataFrame,
+    *,
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    sig_frames: int = 16,
+) -> DataFrame:
+    """Clip-level video dedup in STREAMING form — the streaming twin of
+    the batch ``video_frame_dhash`` + ``video_near_dup`` pair for the
+    EXACT-copy case: as clips arrive, their frames decode through the
+    same container walks as the batch path (MJPEG-AVI, animated GIF,
+    QuickTime/MOV), the first ``sig_frames`` per-frame dHashes
+    concatenate into an order-sensitive clip signature (md5), and
+    ``dropDuplicatesWithinWatermark`` on the signature keeps the first
+    copy — a re-containered upload of the same clip (AVI re-muxed to
+    MOV, GIF re-wrapped) hashes frame-for-frame identically, so its
+    signature matches and it drops. Stages, each stream-safe:
+
+    - decode + sign: ONE stateless ``mapInPandas`` stage (no
+      filter/union split — under streaming the plan has no reuse point,
+      a split would decode every clip twice, the round-11 ADVICE
+      lesson);
+    - dedup: ``dropDuplicatesWithinWatermark`` on the signature, state
+      bounded by the watermark horizon. Non-video payloads (and clips
+      whose frames all fail to decode) keep a NULL signature and pass
+      through keyed by media_id — a NULL match is not duplication
+      evidence."""
+    import hashlib
+
+    import pandas as pd
+
+    from nutch_spark.datapipe.mediacodec import (
+        dhash64,
+        extract_avi_mjpeg_frames,
+        extract_gif_frames,
+        extract_mov_mjpeg_frames,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs, counts, whens = [], [], [], []
+            for media_id, payload, when in zip(
+                pdf["media_id"], pdf["payload"], pdf[ts]
+            ):
+                sig, n = None, 0
+                if payload is not None:
+                    try:
+                        raw = bytes(payload)
+                        info = (
+                            extract_avi_mjpeg_frames(raw, max_frames=sig_frames)
+                            or extract_gif_frames(raw, max_frames=sig_frames)
+                            or extract_mov_mjpeg_frames(raw, max_frames=sig_frames)
+                        )
+                    except Exception:  # noqa: BLE001 — one bad container
+                        info = None
+                    if info:
+                        hashes = []
+                        for frame in info["frames"]:
+                            try:
+                                h = dhash64(frame)
+                            except Exception:  # noqa: BLE001
+                                h = None
+                            hashes.append("x" if h is None else format(h, "016x"))
+                        n = len(hashes)
+                        if any(h != "x" for h in hashes):
+                            sig = hashlib.md5(
+                                "|".join(hashes).encode()
+                            ).hexdigest()
+                ids.append(media_id)
+                sigs.append(sig)
+                counts.append(n)
+                whens.append(when)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype=object),
+                    "video_sig": pd.Series(sigs, dtype=object),
+                    "n_frames": pd.Series(counts, dtype=object),
+                    ts: pd.Series(whens)
+                    if ids
+                    else pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
+
+    signed = media.select("media_id", "payload", ts).mapInPandas(
+        run, f"media_id long, video_sig string, n_frames int, {ts} timestamp"
+    )
+    keyed = signed.withColumn(
+        "_dedup_key",
+        F.when(
+            F.col("video_sig").isNotNull(),
+            F.concat(F.lit("s:"), F.col("video_sig")),
+        ).otherwise(F.concat(F.lit("m:"), F.col("media_id").cast("string"))),
+    )
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )

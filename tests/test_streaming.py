@@ -250,3 +250,50 @@ def test_streaming_image_dedup_end_to_end(spark, tmp_path):
     assert out[kept]["dhash"] == out[3]["dhash"] or True  # hashes present
     assert out[kept]["dhash"] is not None and out[3]["dhash"] is not None
     assert out[kept]["dhash"] != out[3]["dhash"]
+
+
+def test_streaming_video_dedup_end_to_end(spark, tmp_path):
+    """Clip dedup over a REAL readStream: the same clip re-containered
+    (AVI vs animated GIF vs QuickTime/MOV) dedups to one survivor;
+    distinct clips and non-video payloads pass through."""
+    from nutch_spark.plans.datapipe_queries import (
+        _planted_animated_gif,
+        _planted_avi,
+        _planted_mov,
+    )
+    from nutch_spark.streaming import streaming_video_dedup
+
+    rows = [
+        (1, bytearray(_planted_avi(13)), T0),
+        (2, bytearray(_planted_animated_gif(13)),
+         T0 + datetime.timedelta(minutes=1)),               # same clip, GIF
+        (3, bytearray(_planted_mov(13)),
+         T0 + datetime.timedelta(minutes=2)),               # same clip, MOV
+        (4, bytearray(_planted_avi(14)), T0),               # distinct clip
+        (5, bytearray(b"not a video at all"), T0),          # non-video
+        (6, None, T0),                                      # missing payload
+    ]
+    schema = "media_id long, payload binary, ingest_time timestamp"
+    src = str(tmp_path / "video_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_video_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("viddedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["media_id"]: r for r in
+           spark.sql("SELECT * FROM viddedup_sink").collect()}
+    survivors = set(out)
+    # exactly ONE of the three same-clip containers survives
+    assert len(survivors & {1, 2, 3}) == 1
+    kept = (survivors & {1, 2, 3}).pop()
+    assert out[kept]["n_frames"] == 2 and out[kept]["video_sig"] is not None
+    assert 4 in survivors and out[4]["video_sig"] != out[kept]["video_sig"]
+    # non-video and NULL payloads pass through with NULL signatures
+    assert 5 in survivors and out[5]["video_sig"] is None
+    assert 6 in survivors and out[6]["video_sig"] is None
