@@ -540,22 +540,35 @@ def semantic_dedup(
     )
 
 
-def _l2_rank_sql(sub_sql: str, cents, round_d: int = 6) -> str:
-    """SQL text ranking codeword ids nearest-first by squared L2 distance
-    against literal centroids — the PQ/encode twin of :func:`_cents_rank`
-    (same one-struct-array / array_sort shape, same round-then-tie-break
-    determinism: distances round to ``round_d`` before ranking so the cid
-    tie-break matches a SQL oracle's round(d, 6) ASC, cid exactly)."""
-    parts = []
-    for cid, cv in cents:
+def _l2_argmin_sql(sub_sql: str, cents, round_d: int = 6) -> str:
+    """SQL text for the 0-based id of the codeword nearest (squared L2)
+    to the ``sub_sql`` subvector — the PQ/encode twin of
+    :func:`_cents_rank`'s determinism contract, cheaper by construction:
+    distances round to ``round_d`` and land in one flat double array, and
+    ``array_position(a, array_min(a))`` picks the FIRST minimum — the
+    lowest-cid tie-break a SQL oracle's row_number() ORDER BY round(d,6)
+    ASC, cid produces — with no per-codeword struct and no sort (the
+    first PQ draft array_sorted ks structs per subspace per row; at
+    m=16/ks=32 that was 512 struct builds + 16 sorts per row and
+    dominated the encode stage)."""
+    ds = []
+    for _cid, cv in cents:
         lit = "array(" + ",".join(_dlit(x) for x in cv) + ")"
         d2 = (
             f"aggregate(zip_with({sub_sql}, {lit}, (x, y) ->"
             " (cast(x as double) - y) * (cast(x as double) - y)),"
             " 0.0D, (acc, x) -> acc + x)"
         )
-        parts.append(f"named_struct('d', round({d2}, {round_d}), 'cid', {cid})")
-    return f"transform(array_sort(array({','.join(parts)})), x -> x.cid)"
+        ds.append(f"round({d2}, {round_d})")
+    arr = f"array({','.join(ds)})"
+    # bind the distance array to a lambda variable so it's EVALUATED ONCE —
+    # writing array_position(arr, array_min(arr)) inline duplicates the
+    # whole ks-distance expression (Catalyst does not CSE it; the doubled
+    # form measured ~40% slower and shipped 5 MiB task binaries)
+    return (
+        "(element_at(transform(array(" + arr + "),"
+        " a -> array_position(a, array_min(a))), 1) - 1)"
+    )
 
 
 def _pq_train(
@@ -603,9 +616,9 @@ def _pq_train(
         entries = []
         for j in range(m):
             sub = f"slice(`_v`, {j * sd + 1}, {sd})"
-            rank = _l2_rank_sql(sub, cb[j])
+            cell = _l2_argmin_sql(sub, cb[j])
             entries.append(
-                f"named_struct('j', {j}, 'cell', element_at({rank}, 1),"
+                f"named_struct('j', {j}, 'cell', cast({cell} as int),"
                 f" 'sv', transform({sub}, x -> cast(x as double)))"
             )
         stacked = base.select(
@@ -665,7 +678,7 @@ def pq_topk(
     recon_parts = []
     for j in range(m):
         sub = f"slice(`{vec}`, {j * sd + 1}, {sd})"
-        rank = _l2_rank_sql(sub, cb[j])
+        code = _l2_argmin_sql(sub, cb[j])
         lut = (
             "array("
             + ",".join(
@@ -674,7 +687,7 @@ def pq_topk(
             )
             + ")"
         )
-        recon_parts.append(f"element_at({lut}, element_at({rank}, 1) + 1)")
+        recon_parts.append(f"element_at({lut}, cast({code} as int) + 1)")
     recon = f"flatten(array({','.join(recon_parts)}))"
     c = corpus.select(
         F.col(key).alias("neighbor_id"), F.expr(recon).alias("_rv")
