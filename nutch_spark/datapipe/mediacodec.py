@@ -519,6 +519,25 @@ def parse_wav(payload: bytes) -> dict | None:
             "duration_s": n_frames / rate,
             "samples": samples,
         }
+    if audio_format in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+        import numpy as np
+
+        table = np.asarray(
+            _G711_ALAW if audio_format == 6 else _G711_ULAW, dtype=np.int16
+        )
+        codes = np.frombuffer(data[: len(data) - len(data) % channels],
+                              dtype=np.uint8)
+        samples = table[codes]
+        n_frames = len(samples) // channels
+        return {
+            "format": "wav",
+            "sample_rate": int(rate),
+            "n_channels": int(channels),
+            "bits": 16,  # decoded width
+            "n_samples": n_frames,
+            "duration_s": n_frames / rate,
+            "samples": samples,
+        }
     if audio_format != 1 or bits not in (8, 16, 32):
         return None  # other compressed WAVs (MP3-in-WAV, ...) need a codec
     bytes_per_sample = bits // 8
@@ -1025,6 +1044,8 @@ def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int
     info = parse_wav(payload)
     if info is None and payload[:4] == b"fLaC":
         info = decode_flac_samples(payload)
+    if info is None and payload[:4] == b"FORM":
+        info = parse_aiff(payload)
     if info is None and payload[:1] in (b"\xff", b"I"):
         # MPEG-1 Layer I/II sync (0xFF) or a leading ID3v2 tag ('ID3')
         info = decode_mpeg_audio_samples(payload)
@@ -3085,3 +3106,101 @@ def extract_mov_mjpeg_frames(payload: bytes, *, max_frames: int = 64):
         if out["frames"]:
             return out
     return out if out["frames"] else None
+
+
+def _g711_tables():
+    """(ulaw, alaw) 256-entry decode tables from the ITU-T G.711 reference
+    expansion formulas (the CCITT reference code's ulaw2linear/
+    alaw2linear): µ-law complements the code then expands mantissa+segment
+    around a bias of 0x84; A-law XORs 0x55 then expands with the segment-0
+    special case. Built once at first audio decode."""
+    ulaw = []
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw.append((0x84 - t) if (u & 0x80) else (t - 0x84))
+    alaw = []
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw.append(t if (a & 0x80) else -t)
+    return ulaw, alaw
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
+
+
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF COMM sample-rate field):
+    sign(1) exponent(15) integer-bit+fraction(64)."""
+    if len(b) < 10:
+        return 0.0
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def parse_aiff(payload: bytes) -> dict | None:
+    """Parse an AIFF / AIFF-C container (Apple's big-endian PCM sibling of
+    WAV — EA IFF 85 chunks): COMM gives channels / frame count / bit
+    depth / an 80-bit-extended sample rate, SSND holds the samples after
+    an offset+blocksize prefix. AIFF-C is accepted for the uncompressed
+    codecs only ('NONE' big-endian, 'sowt' little-endian — the two
+    byte-order variants); compressed AIFF-C needs a codec and returns
+    None. Same return contract as :func:`parse_wav`."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = payload[8:12] == b"AIFC"
+    comm = None
+    ssnd = None
+    compression = b"NONE"
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack(">I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            channels, n_frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _read_extended80(body[8:18])
+            comm = (channels, n_frames, bits, rate)
+            if is_aifc and len(body) >= 22:
+                compression = body[18:22]
+        elif cid == b"SSND" and len(body) >= 8:
+            (offset,) = struct.unpack(">I", body[:4])
+            ssnd = body[8 + offset :]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        return None
+    channels, n_frames, bits, rate = comm
+    if channels < 1 or rate < 1 or bits not in (8, 16, 32):
+        return None
+    if compression not in (b"NONE", b"sowt"):
+        return None  # compressed AIFF-C (ima4, ulaw, ...) needs a codec
+    bps = bits // 8
+    usable = len(ssnd) - len(ssnd) % (bps * channels)
+    order = "<" if compression == b"sowt" else ">"
+    dtype = {8: np.int8, 16: np.dtype(f"{order}i2"), 32: np.dtype(f"{order}i4")}[bits]
+    samples = np.frombuffer(ssnd[:usable], dtype=dtype)
+    got = len(samples) // channels
+    return {
+        "format": "aiff",
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "bits": int(bits),
+        "n_samples": got,
+        "duration_s": got / rate,
+        "samples": samples,
+    }

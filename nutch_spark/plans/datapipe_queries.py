@@ -3258,10 +3258,15 @@ def mm_embedded_dhash(spark, sf_dir):
 def _planted_tone_audio(doc_id: int, bands: list[int]) -> bytes:
     """Tone-schedule audio fixture shared by the fingerprint queries:
     8 frames x 1024 samples at 8 kHz, frame f a pure sine at the center
-    of band ``bands[f]`` — containerized as PCM16 RIFF/WAVE for even
-    doc_ids and as a from-spec FLAC verbatim-subframe frame (RFC 9639)
-    for odd ones. FLAC is lossless, so both containers decode to
-    identical samples and identical fingerprints."""
+    of band ``bands[f]`` — containerized by doc_id %% 4 as PCM16
+    RIFF/WAVE (0), from-spec FLAC verbatim-subframe (1, RFC 9639),
+    G.711 µ-law WAV (2 — LOSSY, but the ~38 dB quantization noise is
+    broadband and never approaches the dominant band's 25% energy cut,
+    so the fingerprint equals the lossless one), and big-endian AIFF
+    (3). All four decode paths produce the SAME closed-form fingerprint,
+    so one oracle certifies the WAV parse, the FLAC frame decode, the
+    G.711 expansion, and the AIFF/extended-80 parse at once."""
+    import bisect
     import math
     import struct
 
@@ -3274,7 +3279,40 @@ def _planted_tone_audio(doc_id: int, bands: list[int]) -> bytes:
             for i in range(frame_len)
         )
     total = len(samples)
-    if doc_id % 2:  # FLAC: one verbatim-subframe frame. The 64-bit frame
+    if doc_id % 4 == 2:  # G.711 µ-law WAV: nearest-code encode against
+        # the decode table (spec-true: µ-law encoding maps to the code
+        # whose expansion is closest)
+        from nutch_spark.datapipe.mediacodec import _G711_ULAW
+
+        pairs = sorted((v, c) for c, v in enumerate(_G711_ULAW))
+        vals = [p[0] for p in pairs]
+
+        def enc(x: int) -> int:
+            i = bisect.bisect_left(vals, x)
+            return min(
+                (abs(vals[j] - x), pairs[j][1])
+                for j in (max(0, i - 1), min(i, len(vals) - 1))
+            )[1]
+
+        data = bytes(enc(x) for x in samples)
+        fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    if doc_id % 4 == 3:  # AIFF: big-endian PCM16, 80-bit-extended rate
+        sig = b"".join(struct.pack(">h", x) for x in samples)
+        ext80 = struct.pack(">HQ", 16383 + 12, rate << (63 - 12))  # 8000.0
+        comm = struct.pack(">hIh", 1, total, 16) + ext80
+        ssnd = struct.pack(">II", 0, 0) + sig
+        body = (
+            b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        )
+        return b"FORM" + struct.pack(">I", len(body)) + body
+    if doc_id % 4 == 1:  # FLAC: one verbatim-subframe frame. The 64-bit frame
         # header + 8-bit subframe header land byte-aligned, so 16-bit
         # samples pack directly.
         si = (
@@ -3312,11 +3350,12 @@ _AFP_TERMS = " + ".join(
     "mm_audio_fingerprint",
     f"""
     -- REAL audio decode + FFT, no codec library: each doc's tone schedule
-    -- (8 frames, one band-center sine each) ships as PCM16 WAV (even ids)
-    -- or lossless from-spec FLAC (odd ids); both decode to identical
-    -- samples, so the spectral-peak fingerprint is the one-hot of the
-    -- schedule t(f) = (doc_id*5 + f*3) %% 8 for BOTH containers,
-    -- signed-64 wrapped like the Spark LongType column.
+    -- (8 frames, one band-center sine each) ships by doc_id %% 4 as PCM16
+    -- WAV / from-spec FLAC / G.711 µ-law WAV (lossy — quantization noise
+    -- is broadband, far under the 25%% dominant-band cut) / big-endian
+    -- AIFF; all four decode paths yield the one-hot of the schedule
+    -- t(f) = (doc_id*5 + f*3) %% 8, signed-64 wrapped like the Spark
+    -- LongType column.
     SELECT doc_id AS media_id,
            CAST(({_AFP_TERMS})
                 - CASE WHEN ({_AFP_TERMS})
@@ -3330,12 +3369,12 @@ _AFP_TERMS = " + ".join(
 def mm_audio_fingerprint(spark, sf_dir):
     """Audio near-dup fingerprinting over REAL samples: each document's
     tone schedule (8 frames x 1024 samples, one band-center sine per
-    frame) is containerized as PCM16 RIFF/WAVE for even ids and as FLAC
-    (from-spec verbatim-subframe frame, RFC 9639) for odd ids — FLAC is
-    lossless, so BOTH decode paths (mediacodec.parse_wav and
-    decode_flac_samples) recover identical samples and ONE closed-form
-    oracle pins the WAV parse, the FLAC frame decode, the numpy rFFT
-    binning, and the bit packing at once. Same 64-bit shape as the image
+    frame) is containerized by residue as PCM16 RIFF/WAVE, FLAC
+    (from-spec verbatim-subframe, RFC 9639), G.711 µ-law WAV, or
+    big-endian AIFF — ONE closed-form oracle pins the WAV parse, the
+    FLAC frame decode, the G.711 expansion tables, the AIFF
+    extended-80 rate parse, the numpy rFFT binning, and the bit packing
+    at once. Same 64-bit shape as the image
     dHash: dhash_near_dup's banded Hamming join pairs near-identical
     audio unchanged. 100 TB: map-only Arrow stage."""
     import pandas as pd
@@ -3374,7 +3413,8 @@ _AFP_TERMS_P = " + ".join(
     "mm_audio_neardup",
     f"""
     -- Cross-codec audio near-dup END-TO-END: docs < 64 ship the tone
-    -- schedule t(f) = (doc_id*5 + f*3) %% 8 as WAV (even) / FLAC (odd),
+    -- schedule t(f) = (doc_id*5 + f*3) %% 8 as WAV / FLAC / µ-law / AIFF
+    -- (by doc_id %% 4),
     -- and docs with doc_id %% 16 >= 8 drift frame 7's dominant band up
     -- one -- a "re-encode with one changed frame". Exact copies land at
     -- hamming 0 (96 pairs), one-frame drifts at hamming 2 (128 pairs),

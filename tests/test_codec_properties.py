@@ -747,3 +747,17 @@ def test_mov_walker_survives_mutated_valid_container(cut_pct, flips):
     out = extract_mov_mjpeg_frames(payload)
     if out is not None:
         assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_aiff_parser_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import parse_aiff
+
+    for payload in (junk, b"FORM" + junk,
+                    b"FORM\x00\x00\x01\x00AIFF" + junk,
+                    b"FORM\x00\x00\x01\x00AIFC" + junk):
+        out = parse_aiff(payload)
+        if out is not None:
+            assert out["n_samples"] >= 0 and out["sample_rate"] >= 1

@@ -2909,3 +2909,81 @@ def test_video_stage_covers_all_three_containers(spark):
     }
     assert rows[(1, 0)] == rows[(2, 0)] == rows[(3, 0)]
     assert rows[(1, 1)] == rows[(2, 1)] == rows[(3, 1)]
+
+
+def test_g711_and_aiff_decode():
+    """parse_wav G.711 µ-law/A-law expansion and parse_aiff (big-endian
+    AIFF + little-endian AIFF-C 'sowt', 80-bit-extended rate) all feed
+    the same fingerprint as the lossless PCM of the same tone."""
+    import math
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import (
+        _G711_ALAW,
+        _G711_ULAW,
+        audio_fingerprint,
+        parse_aiff,
+        parse_wav,
+    )
+
+    # G.711 table endpoints from the reference expansion
+    assert _G711_ULAW[0xFF] == 0 and _G711_ULAW[0x00] == -32124
+    assert max(_G711_ALAW) == 32256 and min(_G711_ALAW) == -32256
+
+    rate = 8000
+    samples = [
+        int(12000 * math.sin(2 * math.pi * 1250 * i / rate))
+        for i in range(8192)
+    ]
+
+    def wav(fmt_code, data, *, bits, block):
+        f = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, block, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + f
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    import bisect
+    def enc(table):
+        pairs = sorted((v, c) for c, v in enumerate(table))
+        vals = [p[0] for p in pairs]
+        def e(x):
+            i = bisect.bisect_left(vals, x)
+            return min((abs(vals[j] - x), pairs[j][1])
+                       for j in (max(0, i - 1), min(i, len(vals) - 1)))[1]
+        return e
+
+    pcm = wav(1, b"".join(struct.pack("<h", s) for s in samples),
+              bits=16, block=2)
+    ref = audio_fingerprint(pcm)
+    assert ref is not None
+
+    ue, ae = enc(_G711_ULAW), enc(_G711_ALAW)
+    ulaw = wav(7, bytes(ue(s) for s in samples), bits=8, block=1)
+    alaw = wav(6, bytes(ae(s) for s in samples), bits=8, block=1)
+    assert parse_wav(ulaw)["bits"] == 16  # decoded width
+    assert audio_fingerprint(ulaw) == ref
+    assert audio_fingerprint(alaw) == ref
+
+    def aiff(sowt):
+        sig = b"".join(struct.pack("<h" if sowt else ">h", s)
+                       for s in samples)
+        ext = struct.pack(">HQ", 16383 + 12, rate << (63 - 12))
+        comm = struct.pack(">hIh", 1, len(samples), 16) + ext
+        if sowt:
+            comm += b"sowt\x00\x00"
+        ssnd = struct.pack(">II", 0, 0) + sig
+        form = b"AIFC" if sowt else b"AIFF"
+        body = (form + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    for sowt in (False, True):
+        info = parse_aiff(aiff(sowt))
+        assert info["sample_rate"] == 8000 and info["n_samples"] == 8192
+        assert audio_fingerprint(aiff(sowt)) == ref
+
+    # rejects: compressed AIFF-C, truncated COMM, non-FORM
+    bad = aiff(True).replace(b"sowt", b"ima4")
+    assert parse_aiff(bad) is None
+    assert parse_aiff(b"FORMxxxxAIFF") is None
+    assert parse_aiff(b"RIFF1234WAVE") is None
