@@ -1033,11 +1033,13 @@ def audio_fingerprint(payload: bytes, *, frames: int = 8, bands: int = 8) -> int
     spectral energy — a dominant-band one-hot per frame, robust to FFT
     leakage (leakage never approaches the 25% cut). The same shape as the
     image dHash (8x8 bits), so ``dhash_near_dup``'s banded Hamming join
-    pairs near-identical audio the same way. Accepts PCM WAV, FLAC
-    (from-spec lossless decode, so the fingerprint is IDENTICAL to the
-    same audio's WAV fingerprint), and MPEG-1 audio Layer I/II
-    (from-spec bitstream decode — lossy broadcast audio joins the same
-    dedup space; Layer III is scoped out, see
+    pairs near-identical audio the same way. Accepts PCM / G.711
+    µ-law+A-law / IMA-ADPCM WAV, FLAC, big- and little-endian AIFF
+    (all from-spec; the lossless paths fingerprint identically to the
+    same audio's PCM, and G.711's broadband quantization noise never
+    approaches the 25% cut), and MPEG-1 audio Layer I/II (from-spec
+    bitstream decode — lossy broadcast audio joins the same dedup
+    space; Layer III is scoped out, see
     ``decode_mpeg_audio_samples``). None for other payloads."""
     import numpy as np
 

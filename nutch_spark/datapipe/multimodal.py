@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed in Arrow-batched Pandas UDFs.
 
-Default decoders are REAL header-level parsers (datapipe/mediacodec.py,
-stdlib + numpy only): PNG/GIF/BMP/JPEG dimensions from container headers and
-PCM WAV sample-rate/duration/spectral stats. What genuinely needs a codec
-library — pixel decode, resample/re-encode, compressed audio — stays behind
-the injectable ``decoder=``/``resizer=`` seams (no PIL/libvips/soundfile in
+Default decoders are REAL from-spec parsers (datapipe/mediacodec.py,
+stdlib + numpy only): full PIXEL decode for BMP/PNG/GIF/JPEG (baseline +
+progressive)/TIFF, SAMPLE decode for PCM/G.711/IMA-ADPCM WAV, FLAC, AIFF
+and MPEG-1 Layer I/II, and FRAME extraction for MJPEG-AVI, animated GIF
+and QuickTime/MOV. What still genuinely needs a codec library — WebP/AVIF
+pixels, MPEG-1 Layer III, H.264, lossy re-encode — stays behind the
+injectable ``decoder=``/``resizer=`` seams (no PIL/libvips/soundfile in
 this container); undecodable formats yield NULL feature columns, never a
 failed job.
 
@@ -542,12 +544,15 @@ def audio_fingerprints(
 ) -> DataFrame:
     """(media_id, payload) → (media_id, afp): the 64-bit spectral-peak
     fingerprint over REAL audio decode (mediacodec.audio_fingerprint —
-    rFFT per time frame, dominant-band one-hot bits) of PCM WAV or FLAC
-    (from-spec lossless decode, so WAV and FLAC of the same audio
-    fingerprint identically). Same 64-bit shape as the image dHash, so
-    ``dhash_near_dup`` pairs near-identical audio with the identical
-    banded Hamming join. Lossy audio (mp3) needs a codec library → NULL,
-    pluggable through ``fingerprint_fn``."""
+    rFFT per time frame, dominant-band one-hot bits) of PCM / G.711
+    µ-law/A-law / IMA-ADPCM WAV, FLAC, AIFF, and MPEG-1 Layer I/II —
+    lossless codecs fingerprint identically by construction, and the
+    lossy ones' quantization noise stays far under the dominant-band
+    cut, so every container of the same audio lands on the same 64 bits.
+    Same shape as the image dHash, so ``dhash_near_dup`` pairs
+    near-identical audio with the identical banded Hamming join.
+    MPEG-1 Layer III needs a codec library → NULL, pluggable through
+    ``fingerprint_fn``."""
     from nutch_spark.datapipe.mediacodec import audio_fingerprint
 
     compute = fingerprint_fn or audio_fingerprint
