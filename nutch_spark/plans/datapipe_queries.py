@@ -1959,9 +1959,11 @@ _PQ_M = 16      # subspaces (dim/m = 4 dims each)
 _PQ_KS = 32     # codewords per subspace: 16 bytes/vector, 16x compression.
 # Parameter sweep on this corpus (near-orthogonal random embeddings — the
 # HARD case for coarse quantizers): m=8/ks=16 (8 B, 32x) recall@5 0.20,
-# m=16/ks=16 0.41, m=16/ks=32 0.50, m=32/ks=16 (32 B, 8x) 0.64; LSH gets
-# 0.10 and IVF(n_probe=4) 0.61 on the same queries. Shipped default
-# m=16/ks=32 balances compression against recall.
+# m=16/ks=16 0.41, m=16/ks=32 0.50, m=32/ks=16 (32 B, 8x) 0.64; on the
+# same queries LSH gets 0.10, IVF(n_probe=4) 0.61, and int8 scalar
+# quantization (64 B, 4x) 0.95 — the full compression/recall frontier,
+# each point an oracle-certified query. Shipped default m=16/ks=32
+# balances compression against recall.
 
 
 def _pq_ctes(n_iter=_PQ_ITERS, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, src="embeddings"):
@@ -2061,6 +2063,53 @@ def dp_pq_topk(spark, sf_dir):
     return pq_topk(
         emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
         round_sim=6,
+    )
+
+
+def _int8_recall_oracle() -> str:
+    cosine_sql = REGISTRY["dp_cosine_topk"][1]
+    int8_sql = REGISTRY["dp_int8_topk"][1]
+    return f"""
+    WITH exact AS ({cosine_sql}),
+    q8 AS ({int8_sql}),
+    hits AS (
+      SELECT e.query_id, count(i.neighbor_id) AS n_hit
+      FROM exact e LEFT JOIN q8 i
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
+    """
+
+
+@q("dp_int8_recall", _int8_recall_oracle())
+def dp_int8_recall(spark, sf_dir):
+    """Recall@5 of int8 scalar quantization against the exact brute-force
+    cosine ranking — completes the recall row for every ANN variant
+    (LSH / IVF / PQ / int8). int8 ranks by integer dot product, so its
+    errors come from quantization AND from ranking unnormalized dots
+    where cosine ranks normalized ones; the recall number prices both.
+    Both sides reuse certified operators; the oracle composes their
+    certified SQL twins."""
+    from nutch_spark.datapipe.similarity import brute_force_topk, int8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
+        "query_id", "neighbor_id"
+    )
+    q8 = int8_topk(emb, qs, k=5).select(
+        F.col("query_id").alias("_iq"), F.col("neighbor_id").alias("_in"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            q8,
+            (exact["query_id"] == F.col("_iq")) & (exact["neighbor_id"] == F.col("_in")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
     )
 
 
