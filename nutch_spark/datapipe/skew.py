@@ -1,0 +1,90 @@
+"""Skew-resilient joins: the salting pattern for hot keys.
+
+At 100 TB a handful of keys routinely carry a disproportionate share of
+the rows (one host with half the crawl's outlinks, the empty-anchor
+string, a tracker domain). A plain shuffle join lands every row of a hot
+key in ONE reducer partition — the stage runs at the speed of its worst
+straggler no matter how many executors exist. Spark's AQE skew-join
+split helps the sort-merge case but cannot help when the downstream
+pipeline pins the partitioning or the join feeds an aggregation that
+re-uses it.
+
+``skew_salted_join`` implements the textbook remedy explicitly and only
+where it's needed: hot keys are detected with one aggregation, the hot
+slice of the left side gets a deterministic per-row salt, the hot slice
+of the right side replicates across the salt space, and the cold slice
+joins completely normally — so the replication cost is
+``buckets × |right rows with hot keys|``, not ``buckets × |right|``.
+Results are EXACTLY those of the plain join (the salt only spreads
+rows; every (l, r) pair of a hot key meets on exactly one salt value),
+which is what the oracle certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 16,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``left`` with ``right`` on ``on``, salting hot keys.
+
+    - hot-key census: one partial-aggregated groupBy on the LEFT side's
+      keys; keys with more than ``hot_threshold`` rows are "hot". The
+      census output is tiny by construction (it can't exceed
+      |left| / hot_threshold rows) and BROADCASTS to route both sides.
+    - cold slice: joins exactly as a plain join would.
+    - hot slice: left rows get salt = xxhash64(key, monotonic partition
+      row) % buckets — deterministic per execution and uniform, which is
+      all a salt needs (it never reaches the output); right rows
+      replicate once per salt value via one ``explode(sequence(...))``,
+      so each (l, r) pair of a hot key meets on exactly one salt.
+    - the two slices ``unionByName`` — output columns and row multiset
+      are IDENTICAL to ``left.join(right, on, how)``.
+
+    Supports inner joins (the crawl pipeline's hot-key shape). The cost
+    model: one extra census aggregation + ``buckets ×`` replication of
+    ONLY the right rows whose keys are hot, in exchange for spreading
+    each hot key over ``buckets`` reducer partitions."""
+    if how != "inner":
+        raise ValueError("skew_salted_join supports how='inner'")
+    hot = (
+        left.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(*on)
+    )
+    left_cold = left.join(F.broadcast(hot), on, "left_anti")
+    right_cold = right.join(F.broadcast(hot), on, "left_anti")
+    cold = left_cold.join(right_cold, on, "inner")
+
+    # per-row salt: hash the key columns plus a per-partition row ordinal.
+    # spark_partition_id + monotonically_increasing_id vary per row, so the
+    # salt spreads a hot key's rows ~uniformly; determinism within one
+    # execution is all that's needed (the salt never escapes the join).
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
+        F.lit(buckets),
+    ).cast("int")
+    left_hot = left.join(F.broadcast(hot), on, "left_semi").withColumn(
+        "_salt", salt
+    )
+    right_hot = (
+        right.join(F.broadcast(hot), on, "left_semi")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    hot_joined = left_hot.join(right_hot, [*on, "_salt"], "inner").drop(
+        "_salt"
+    )
+    return cold.unionByName(hot_joined)

@@ -2066,6 +2066,75 @@ def dp_pq_topk(spark, sf_dir):
     )
 
 
+@q(
+    "dp_skew_salted_join",
+    """
+    -- Skew-salted join certified against the PLAIN join it must equal:
+    -- half of doc_id < 200 explodes 12 rows onto ONE hot host (1200
+    -- rows, >> threshold 500), the rest spread over 10 cold hosts; the
+    -- right side has 2 metadata rows per host. The oracle is the plain
+    -- SQL join + aggregate — salting must change the distribution, not
+    -- one output value.
+    WITH l AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                  ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) END AS host,
+             CAST(doc_id + j AS BIGINT) AS v
+      FROM documents, unnest(range(1, 13)) AS u(j)
+      WHERE doc_id < 200
+    ),
+    r AS (
+      SELECT host, CAST(r AS BIGINT) AS r
+      FROM (SELECT DISTINCT host FROM l), unnest(range(1, 3)) AS u(r)
+    )
+    SELECT l.host, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(l.v) AS BIGINT) AS sum_v,
+           CAST(sum(r.r) AS BIGINT) AS sum_r
+    FROM l JOIN r ON l.host = r.host
+    GROUP BY l.host
+    """,
+)
+def dp_skew_salted_join(spark, sf_dir):
+    """Hot-key salted join (datapipe/skew.skew_salted_join) — the
+    explicit remedy for the one-host-owns-half-the-crawl shuffle
+    straggler: a one-aggregation hot-key census routes hot keys through
+    a salted (key, salt) equi-join (left salted per-row, right
+    replicated buckets× for ONLY its hot-key rows) while cold keys join
+    plainly; the union's row multiset is IDENTICAL to the plain join,
+    which is exactly what this oracle checks. 100 TB: each hot key
+    spreads over ``buckets`` reducer partitions instead of pinning one
+    straggler; replication cost is bounded by the hot slice, and the
+    census output can't exceed |left|/threshold rows (broadcast)."""
+    from nutch_spark.datapipe.skew import skew_salted_join
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")))
+    left = d.select(
+        host.alias("host"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("j"),
+        "doc_id",
+    ).select("host", (F.col("doc_id") + F.col("j")).alias("v"))
+    right = (
+        left.select("host")
+        .distinct()
+        .select(
+            "host", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("r")
+        )
+        .select("host", F.col("r").cast("long").alias("r"))
+    )
+    joined = skew_salted_join(
+        left, right, ["host"], buckets=8, hot_threshold=500
+    )
+    return joined.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("v").alias("sum_v"),
+        F.sum("r").alias("sum_r"),
+    )
+
+
 def _int8_recall_oracle() -> str:
     cosine_sql = REGISTRY["dp_cosine_topk"][1]
     int8_sql = REGISTRY["dp_int8_topk"][1]

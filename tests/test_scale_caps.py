@@ -128,3 +128,44 @@ def test_bucketed_crawldb_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_crawldb_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_segment_bucketed")
+
+
+def test_skew_salted_join_matches_plain_join(spark):
+    """skew_salted_join's output row multiset is IDENTICAL to the plain
+    join, with hot keys actually routed through the salted branch."""
+    from collections import Counter
+
+    from nutch_spark.datapipe.skew import skew_salted_join
+
+    left_rows = [("hot", i) for i in range(500)] + [
+        (f"k{i % 7}", i) for i in range(60)
+    ]
+    right_rows = [("hot", "H1"), ("hot", "H2")] + [
+        (f"k{i}", f"V{i}") for i in range(7)
+    ] + [("orphan", "X")]
+    left = spark.createDataFrame(left_rows, "host string, v int")
+    right = spark.createDataFrame(right_rows, "host string, meta string")
+
+    got = Counter(
+        (r.host, r.v, r.meta)
+        for r in skew_salted_join(
+            left, right, ["host"], buckets=4, hot_threshold=100
+        ).collect()
+    )
+    want = Counter(
+        (r.host, r.v, r.meta)
+        for r in left.join(right, ["host"], "inner").collect()
+    )
+    assert got == want and sum(want.values()) == 500 * 2 + 60
+
+    # hot census: only 'hot' exceeds the threshold, so the replicated
+    # right slice is 2 rows x 4 salts, not |right| x 4
+    plan = skew_salted_join(
+        left, right, ["host"], buckets=4, hot_threshold=100
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew_salted_join(left, right, ["host"], how="left")

@@ -71,6 +71,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_int8_topk": [[r"BroadcastNestedLoopJoin"], []],
     # PQ ANN: same intended broadcast NLJ, corpus streams 16-byte codes
     "dp_pq_topk": [[r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]],
+    # skew-salted join: hot/cold Union, census broadcasts, no cartesian
+    "dp_skew_salted_join": [[r"Union", r"BroadcastHashJoin"],
+                            [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
