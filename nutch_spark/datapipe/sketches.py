@@ -1,0 +1,207 @@
+"""Deterministic streaming sketches: KMV distinct-count and count-min
+frequency estimation.
+
+At 100 TB the questions "how many distinct URLs/hosts/tokens" and "how
+often does this value occur" are sketch questions — the exact answers
+need a full shuffle on the key, the estimates need one map-side pass and
+a constant-size summary. Spark ships approx_count_distinct (HLL++), but
+its binary sketch is engine-private; these two are built from md5
+arithmetic that ANY engine reproduces bit-for-bit, so every estimate
+here is oracle-certifiable (the DuckDB twin computes the identical
+sketch, not a different estimator that happens to be close) and merges
+associatively across partitions, days, or engines.
+
+- KMV (k-minimum values, Bar-Yossef et al. 2002): keep the k smallest
+  uniform hashes of the distinct values; with fewer than k distinct the
+  count is exact, else estimate (k-1)/h_(k) where h_(k) is the k-th
+  minimum in (0, 1]. One partial-aggregated groupBy — the sketch is the
+  k smallest values of a hash, which Spark computes with map-side
+  combine.
+- Count-min (Cormode & Muthukrishnan 2005): a depth×width counter
+  matrix; each value increments one counter per row (md5-salted bucket),
+  and a point estimate is the MIN over its depth counters — always an
+  overestimate, never under. Counters are sums, so the sketch is
+  order-independent and exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^15 — md5's first 15 hex digits as a uniform integer in [0, 2^60)
+_HASH_SPACE = float(16**15)
+
+
+def _uhash(col: Column) -> Column:
+    """Uniform hash of a value into (0, 1]: md5's first 15 hex digits
+    scaled by 16^15, +1 so the k-th minimum is never 0. Exactly
+    reproducible in any engine with md5 + hex parsing (DuckDB:
+    (CAST('0x'||substr(md5(v),1,15) AS UBIGINT) + 1) / 16.0^15 — the
+    60-bit integer exceeds 2^53, but both engines convert it to double
+    with the same IEEE round-to-nearest, so the quotient is
+    bit-identical)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    return (h.cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value: str,
+    *,
+    group_by: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate per group: ``(group cols..., n_distinct_est
+    double, n_sketch int)``. Exact when a group has fewer than ``k``
+    distinct values (the sketch simply holds them all); otherwise the
+    classic (k-1)/h_(k) estimator over the k minimum hashes. The whole
+    sketch is one groupBy whose aggregate is ``slice(array_sort
+    (collect_set(hash)), 1, k)`` — distinct hashes combine map-side, and
+    only ≤ k doubles per group survive to the reducer."""
+    gb = group_by or []
+    h = _uhash(F.col(value)).alias("_h")
+    hashes = df.select(*gb, h).groupBy(*gb).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
+    )
+    n = F.size("_mins")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("_mins", k)
+    )
+    return hashes.select(
+        *gb,
+        F.round(est, 4).alias("n_distinct_est"),
+        n.alias("n_sketch"),
+    )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Jaccard-similarity estimate between two value sets from their KMV
+    sketches alone (no join of the underlying data): the k smallest
+    hashes of A ∪ B are computed from the two sketches' union, and the
+    fraction of them present in BOTH sketches estimates J(A, B)
+    (Bar-Yossef et al.'s pair extension; exact when |A ∪ B| ≤ k).
+    Returns one row: (jaccard_est double, union_est double). The two
+    sides reduce to ≤ k doubles each BEFORE they meet — comparing two
+    100 TB corpora costs two independent scans plus a constant-size
+    driver-side merge, never a cross-corpus shuffle."""
+    ha = a.select(_uhash(F.col(value)).alias("_h")).groupBy().agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_ma")
+    )
+    hb = b.select(_uhash(F.col(value)).alias("_h")).groupBy().agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mb")
+    )
+    both = ha.crossJoin(hb)  # 1 row × 1 row
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("_ma"), F.col("_mb"))), 1, k
+    )
+    nu = F.size(u)
+    shared = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(F.col("_ma"), x)
+            & F.array_contains(F.col("_mb"), x),
+        )
+    )
+    union_est = F.when(nu < k, nu.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(u, k)
+    )
+    return both.select(
+        F.round(shared / nu.cast("double"), 4).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the count-min counter matrix: ``(row int, bucket int,
+    counter long)`` with one output row per NON-ZERO counter (the dense
+    matrix is depth×width but sparse in practice). Each input value
+    lands in bucket md5(row_salt || value) % width of every row — a
+    single explode + one partial-aggregated groupBy, order-independent
+    and exactly reproducible cross-engine."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    bucketed = df.select(F.col(value).alias("_v")).select(
+        "_v", rows
+    ).select(
+        "row",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("row").cast("string"),
+                            F.lit(":"),
+                            F.col("_v").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each query
+    value, the MIN over its ``depth`` counters (missing counter = 0).
+    Guaranteed ≥ the true count; the overestimate is bounded by the
+    other values' collisions (ε ≈ e/width of the total mass, w.p.
+    1 - e^-depth). The sketch side is ≤ depth×width rows — it
+    BROADCASTS; querying never touches the original data."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    q = queries.select(F.col(value).alias("_qv")).distinct().select(
+        "_qv", rows
+    ).select(
+        "_qv",
+        "row",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("row").cast("string"),
+                            F.lit(":"),
+                            F.col("_qv").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).cast("int").alias("bucket"),
+    )
+    joined = q.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        "_qv", "row", F.coalesce("counter", F.lit(0)).alias("counter")
+    )
+    return joined.groupBy(F.col("_qv").alias(value)).agg(
+        F.min("counter").alias("freq_est")
+    )

@@ -2231,6 +2231,185 @@ def dp_pq_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 12: deterministic sketches (datapipe/sketches.py) — KMV distinct,
+# KMV overlap, count-min frequency. Every estimate's oracle computes the
+# IDENTICAL sketch (same md5 arithmetic), not a different estimator that
+# happens to be close.
+# ---------------------------------------------------------------------------
+
+_KMV_UH = "(CAST('0x' || substr(md5({v}), 1, 15) AS UBIGINT) + 1) / CAST(1152921504606846976 AS DOUBLE)"
+
+
+@q(
+    "dp_kmv_distinct",
+    f"""
+    -- KMV distinct-count per source: group 0 plants 10 distinct values
+    -- (< k=16: the sketch holds them all, estimate EXACT), groups 1-3
+    -- plant ~119 distinct (> k: the (k-1)/h_(k) estimator path). The
+    -- oracle computes the same k minimum md5-hashes.
+    WITH v AS (
+      SELECT doc_id % 4 AS src,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 10 AS VARCHAR)
+                  ELSE CAST(doc_id % 137 AS VARCHAR) END AS val
+      FROM documents
+    ),
+    h AS (SELECT DISTINCT src, {_KMV_UH.format(v="val")} AS h FROM v),
+    mins AS (
+      SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT src, count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
+      FROM mins WHERE rn <= 16 GROUP BY src
+    )
+    SELECT CAST(src AS BIGINT) AS src,
+           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
+           CAST(n AS INT) AS n_sketch
+    FROM sk
+    """,
+)
+def dp_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (sketches.kmv_distinct, Bar-Yossef et
+    al. 2002): the k smallest md5-hashes per group estimate the group's
+    cardinality — exact below k, (k-1)/h_(k) above. One
+    partial-aggregated groupBy; <= k doubles per group cross the
+    shuffle, so counting distinct URLs per host at 100 TB costs one
+    map-side-combined pass. The oracle computes the IDENTICAL sketch
+    (same hash, same k minimums), certifying the estimator itself."""
+    from nutch_spark.datapipe.sketches import kmv_distinct
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    v = d.select(
+        (F.col("doc_id") % 4).alias("src"),
+        F.when(
+            F.col("doc_id") % 4 == 0, (F.col("doc_id") % 10).cast("string")
+        )
+        .otherwise((F.col("doc_id") % 137).cast("string"))
+        .alias("val"),
+    )
+    return kmv_distinct(v, "val", group_by=["src"], k=16)
+
+
+@q(
+    "dp_kmv_overlap",
+    f"""
+    -- Jaccard between two corpora from their KMV sketches ALONE (no
+    -- cross-corpus join): A = {{0..149}}, B = {{100..249}} as strings, true
+    -- J = 50/250 = 0.2. The oracle merges the same two k=64 sketches.
+    WITH a AS (
+      SELECT DISTINCT {_KMV_UH.format(v="CAST(doc_id % 150 AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT DISTINCT {_KMV_UH.format(v="CAST(doc_id % 150 + 100 AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    au AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM a) WHERE rn <= 64),
+    bu AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM b) WHERE rn <= 64),
+    uni AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM au UNION SELECT h FROM bu)
+      ) WHERE rn <= 64
+    ),
+    stats AS (
+      SELECT count(*) AS nu, max(h) AS hk,
+             sum(CASE WHEN h IN (SELECT h FROM au)
+                       AND h IN (SELECT h FROM bu) THEN 1 ELSE 0 END) AS shared
+      FROM uni
+    )
+    SELECT ROUND(shared / CAST(nu AS DOUBLE), 4) AS jaccard_est,
+           ROUND(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                      ELSE 63.0 / hk END, 4) AS union_est
+    FROM stats
+    """,
+)
+def dp_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation from KMV sketches (sketches.kmv_overlap):
+    the k smallest hashes of A UNION B come from merging the two
+    constant-size sketches, and the fraction present in BOTH estimates
+    J(A, B) — comparing two 100 TB corpora costs two independent scans
+    plus a <= 2k-double merge, never a cross-corpus shuffle (the
+    sketch-level twin of dp_cross_corpus_dedup's exact variant). True
+    J here is 0.2; the oracle computes the identical merged sketch."""
+    from nutch_spark.datapipe.sketches import kmv_overlap
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    a = d.select((F.col("doc_id") % 150).cast("string").alias("val"))
+    b = d.select((F.col("doc_id") % 150 + 100).cast("string").alias("val"))
+    return kmv_overlap(a, b, "val", k=64)
+
+
+@q(
+    "dp_countmin_freq",
+    """
+    -- Count-min point frequencies: half the docs emit one of 7 hot
+    -- tokens, the rest emit rare singletons (the collision mass). The
+    -- oracle builds the IDENTICAL depth=4 x width=1024 counter matrix
+    -- (same md5-salted buckets) and takes the same min-over-rows, so
+    -- any collision overestimate reproduces exactly; 'absent' pins the
+    -- zero path.
+    WITH v AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'w' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE 'r' || CAST(doc_id AS VARCHAR) END AS val
+      FROM documents
+    ),
+    rws AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
+    sk AS (
+      SELECT row,
+             CAST(CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || val), 1, 15)
+                       AS UBIGINT) % 1024 AS INT) AS bucket,
+             count(*) AS counter
+      FROM v CROSS JOIN rws GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT 'w' || CAST(unnest(range(7)) AS VARCHAR) AS val
+      UNION ALL SELECT 'absent'
+    ),
+    qb AS (
+      SELECT q.val, r.row,
+             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || q.val), 1, 15)
+                       AS UBIGINT) % 1024 AS INT) AS bucket
+      FROM q CROSS JOIN rws r
+    )
+    SELECT val, CAST(min(COALESCE(sk.counter, 0)) AS BIGINT) AS freq_est
+    FROM qb LEFT JOIN sk ON sk.row = qb.row AND sk.bucket = qb.bucket
+    GROUP BY val
+    """,
+)
+def dp_countmin_freq(spark, sf_dir):
+    """Count-min frequency estimation (sketches.count_min_sketch +
+    count_min_lookup, Cormode & Muthukrishnan 2005): a depth x width
+    counter matrix built with one explode + one partial-aggregated
+    groupBy; a point estimate is the min over the value's depth
+    counters — always >= the true count, never under. The sketch is
+    <= depth*width rows and BROADCASTS for lookups, so frequency
+    queries at 100 TB never rescan the corpus. Order-independent sums
+    make the sketch exactly reproducible — the oracle builds the
+    identical matrix and reproduces any collision overestimate
+    bit-for-bit."""
+    from nutch_spark.datapipe.sketches import count_min_lookup, count_min_sketch
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    v = d.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("w"), (F.col("doc_id") % 7).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("r"), F.col("doc_id").cast("string")))
+        .alias("val"),
+    )
+    sketch = count_min_sketch(v, "val", width=1024, depth=4)
+    queries = spark.createDataFrame(
+        [(f"w{i}",) for i in range(7)] + [("absent",)], "val string"
+    )
+    return count_min_lookup(sketch, queries, "val", width=1024, depth=4)
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer family (datapipe/tokenize.py): pair statistics, merge-chain
 # apply, and full training — the Sennrich et al. 2016 algorithm with the
 # corpus collapsed to a (word, freq) vocabulary so iterations never touch

