@@ -2761,7 +2761,13 @@ def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
     nch = rate = None
     total_granules = 0
     pos = first
-    while pos + 4 <= n and total_granules * 32 < _MAX_AUDIO_SAMPLES:
+    # CPU bound, not just memory: this is a pure-Python bit-reader at
+    # ~100k samples/s, so the 64M-sample memory cap alone would allow
+    # ~10 min of work on one hostile row. 2M samples (~40 s of 48 kHz
+    # audio) is far more than the 8-frame fingerprint needs.
+    while pos + 4 <= n and total_granules * 32 < min(
+        _MAX_AUDIO_SAMPLES, 2_000_000
+    ):
         if not (
             payload[pos] == 0xFF and (payload[pos + 1] & 0xF8) == 0xF8
         ):
@@ -3148,6 +3154,11 @@ def _read_extended80(b: bytes) -> float:
     sign = -1.0 if se & 0x8000 else 1.0
     exp = se & 0x7FFF
     if exp == 0 and mant == 0:
+        return 0.0
+    if not (16383 - 96 <= exp <= 16383 + 62):
+        # hostile/absurd exponents, incl. the 0x7FFF Inf/NaN encoding:
+        # 2.0 ** huge raises OverflowError, and no real sample rate lives
+        # outside this window - treat as malformed (callers reject rate < 1)
         return 0.0
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 

@@ -361,6 +361,11 @@ def _decode_audio_bytes(payload: bytes) -> tuple[int, float, list[float]]:
         from nutch_spark.datapipe.mediacodec import decode_flac_samples
 
         wav = decode_flac_samples(payload)
+    if wav is None and payload[:4] == b"FORM":
+        # AIFF / uncompressed AIFF-C: big-endian PCM, same feature path
+        from nutch_spark.datapipe.mediacodec import parse_aiff
+
+        wav = parse_aiff(payload)
     if wav is None and payload[:1] in (b"\xff", b"I"):
         # MPEG-1 Layer I/II: from-spec bitstream decode (Layer III falls
         # through to the header-only MP3 parse below — see

@@ -14,9 +14,9 @@ associatively across partitions, days, or engines.
 - KMV (k-minimum values, Bar-Yossef et al. 2002): keep the k smallest
   uniform hashes of the distinct values; with fewer than k distinct the
   count is exact, else estimate (k-1)/h_(k) where h_(k) is the k-th
-  minimum in (0, 1]. One partial-aggregated groupBy — the sketch is the
-  k smallest values of a hash, which Spark computes with map-side
-  combine.
+  minimum in (0, 1]. The k minimums come from a WindowGroupLimit
+  (per-group top-k kept per partition BEFORE the shuffle), so memory
+  stays bounded at k rows per group regardless of cardinality.
 - Count-min (Cormode & Muthukrishnan 2005): a depth×width counter
   matrix; each value increments one counter per row (md5-salted bucket),
   and a point estimate is the MIN over its depth counters — always an
@@ -26,7 +26,7 @@ associatively across partitions, days, or engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16^15 — md5's first 15 hex digits as a uniform integer in [0, 2^60)
@@ -55,23 +55,34 @@ def kmv_distinct(
     """Distinct-count estimate per group: ``(group cols..., n_distinct_est
     double, n_sketch int)``. Exact when a group has fewer than ``k``
     distinct values (the sketch simply holds them all); otherwise the
-    classic (k-1)/h_(k) estimator over the k minimum hashes. The whole
-    sketch is one groupBy whose aggregate is ``slice(array_sort
-    (collect_set(hash)), 1, k)`` — distinct hashes combine map-side, and
-    only ≤ k doubles per group survive to the reducer."""
+    classic (k-1)/h_(k) estimator over the k minimum hashes. Pipeline:
+    distinct on (group, hash), then row_number ≤ k — Catalyst compiles
+    the rank filter to WindowGroupLimit, keeping only k rows per group
+    per partition, so no stage ever buffers a group's full distinct
+    set."""
     gb = group_by or []
     h = _uhash(F.col(value)).alias("_h")
-    hashes = df.select(*gb, h).groupBy(*gb).agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
+    # bounded at every stage: distinct is a hash aggregation on (group,
+    # hash); row_number <= k compiles to WindowGroupLimit, which keeps only
+    # k rows PER GROUP per partition before (and after) the shuffle — a
+    # group with 100M distinct values never materializes 100M hashes in
+    # one buffer the way a collect_set-then-slice would
+    distinct_h = df.select(*gb, h).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in gb]).orderBy("_h")
+    mins = distinct_h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
     )
-    n = F.size("_mins")
-    est = F.when(n < k, n.cast("double")).otherwise(
-        F.lit(float(k - 1)) / F.element_at("_mins", k)
+    sk = mins.groupBy(*gb).agg(
+        F.max("_rn").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
     )
-    return hashes.select(
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("_hk")
+    )
+    return sk.select(
         *gb,
         F.round(est, 4).alias("n_distinct_est"),
-        n.alias("n_sketch"),
+        F.col("_n").cast("int").alias("n_sketch"),
     )
 
 
@@ -91,12 +102,22 @@ def kmv_overlap(
     sides reduce to ≤ k doubles each BEFORE they meet — comparing two
     100 TB corpora costs two independent scans plus a constant-size
     driver-side merge, never a cross-corpus shuffle."""
-    ha = a.select(_uhash(F.col(value)).alias("_h")).groupBy().agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_ma")
-    )
-    hb = b.select(_uhash(F.col(value)).alias("_h")).groupBy().agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mb")
-    )
+    def _sketch(df: DataFrame, alias: str) -> DataFrame:
+        # distinct -> global k-minimum via orderBy+limit: compiles to
+        # TakeOrderedAndProject (per-partition top-k, then a k-row merge)
+        # — the full distinct-hash set of a corpus never sits in one task
+        mins = (
+            df.select(_uhash(F.col(value)).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+        )
+        return mins.groupBy().agg(
+            F.array_sort(F.collect_list("_h")).alias(alias)  # <= k rows
+        )
+
+    ha = _sketch(a, "_ma")
+    hb = _sketch(b, "_mb")
     both = ha.crossJoin(hb)  # 1 row × 1 row
     u = F.slice(
         F.array_sort(F.array_union(F.col("_ma"), F.col("_mb"))), 1, k

@@ -812,7 +812,12 @@ def fix_mojibake(
     suspicious = pre.rlike(
         "[\u00c2\u00c3][\u0080-\u00bf]|\u00e2[\u0080-\u00bf]{2}"
     )
-    latin1_only = ~pre.rlike("[\u0100-\uffff]")
+    # negated class: anything OUTSIDE latin-1, INCLUDING supplementary-
+    # plane code points (emoji) - a [\u0100-\uffff] class would miss
+    # them, and Spark 4's encode(..., 'ISO-8859-1') THROWS on unmappable
+    # chars rather than '?'-folding, so one organic emoji doc would kill
+    # the whole map stage
+    latin1_only = ~pre.rlike("[^\x00-\u00ff]")
     ok = suspicious & latin1_only & ~repaired.rlike("\ufffd")
     return df.withColumn(
         out_col, F.when(ok, repaired).otherwise(F.col(text))

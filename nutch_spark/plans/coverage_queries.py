@@ -2112,7 +2112,15 @@ def p2_7z_extract(spark, sf_dir):
 # map→json, JSON base64 binaries)
 # ---------------------------------------------------------------------------
 
-_SCRATCH = "/root/repo/.scratch"
+# scratch dir for the sink round-trip queries, derived from the repo root
+# so the registry works from any checkout location (the DuckDB oracle reads
+# the same absolute path baked into its SQL at import time)
+import os as _os
+
+_SCRATCH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+)
 
 
 def _sink_dump(spark, sf_dir):

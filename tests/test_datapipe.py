@@ -939,3 +939,31 @@ def test_count_min_never_underestimates(spark):
         assert est >= truth.get(v, 0), (v, est, truth.get(v, 0))
     # the hot values dominate their buckets: estimates within collision mass
     assert out["w0"] >= 100
+
+
+def test_fix_mojibake_emoji_doc_does_not_crash(spark):
+    """Round-12 review fix: a doc with a mojibake signature AND an emoji
+    (supplementary-plane char) must pass through untouched — Spark 4's
+    encode('ISO-8859-1') THROWS on unmappable chars, so the latin-1 gate
+    must reject astral code points, not just [U+0100, U+FFFF]."""
+    from nutch_spark.datapipe.textstats import fix_mojibake
+
+    txt = "itâ€™s fine 😀"
+    df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
+    out = fix_mojibake(df).collect()[0]
+    assert out.text_fixed == txt and out.mojibake_repaired is False
+
+
+def test_kmv_distinct_plan_has_group_limit(spark):
+    """The KMV rank filter must compile to WindowGroupLimit (bounded
+    per-group top-k before the shuffle), never buffer a full distinct
+    set in an aggregation."""
+    from nutch_spark.datapipe.sketches import kmv_distinct
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    plan = kmv_distinct(df, "v", group_by=["g"], k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "collect_set" not in plan

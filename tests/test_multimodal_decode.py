@@ -2987,3 +2987,47 @@ def test_g711_and_aiff_decode():
     assert parse_aiff(bad) is None
     assert parse_aiff(b"FORMxxxxAIFF") is None
     assert parse_aiff(b"RIFF1234WAVE") is None
+
+
+def test_extract_audio_features_decodes_aiff(spark):
+    """Round-12 review fix: AIFF flows through extract_audio_features'
+    default decoder (it previously NULLed while audio_fingerprints
+    decoded the same payload)."""
+    import math
+    import struct
+
+    from nutch_spark.datapipe.multimodal import extract_audio_features
+
+    rate = 8000
+    samples = [int(9000 * math.sin(2 * math.pi * 500 * i / rate))
+               for i in range(4096)]
+    sig = b"".join(struct.pack(">h", s) for s in samples)
+    ext = struct.pack(">HQ", 16383 + 12, rate << (63 - 12))
+    comm = struct.pack(">hIh", 1, len(samples), 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + sig
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio", None)],
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row.sample_rate == 8000 and row.mfcc is not None
+    assert abs(row.duration_s - 4096 / 8000) < 1e-4
+
+
+def test_aiff_inf_exponent_rejected():
+    """Round-12 review fix: the 80-bit extended Inf/NaN exponent (0x7FFF)
+    must parse as malformed, not raise OverflowError."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import _read_extended80, parse_aiff
+
+    assert _read_extended80(struct.pack(">HQ", 0x7FFF, 1 << 63)) == 0.0
+    assert _read_extended80(struct.pack(">HQ", 0x0001, 1)) == 0.0  # subnormal-tiny
+    comm = struct.pack(">hIh", 1, 4, 16) + struct.pack(">HQ", 0x7FFF, 1 << 63)
+    ssnd = struct.pack(">II", 0, 0) + b"\x00" * 8
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    assert parse_aiff(b"FORM" + struct.pack(">I", len(body)) + body) is None
