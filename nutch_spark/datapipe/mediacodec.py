@@ -1231,6 +1231,9 @@ def _gray_bmp_bytes(w: int, h: int, rows) -> bytes:
     )
 
 
+_GIF_PIXEL_BUDGET = 16_000_000  # total composited pixels per animation
+
+
 def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
     """Animated-GIF frame extraction (GIF89a spec): walks every image
     descriptor, composites each onto the logical-screen canvas honoring
@@ -1243,8 +1246,13 @@ def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
     the same per-frame contract as ``extract_avi_mjpeg_frames``, so the
     two feed ``video_frame_dhash`` interchangeably. None when the payload
     isn't GIF, is malformed, or holds fewer than 2 frames (stills stay on
-    the image path). Canvas pixels cap at _MAX_PIXELS and frames at
-    ``max_frames`` — bounded work on hostile bytes."""
+    the image path). Bounded work on hostile bytes: frames cap at
+    ``max_frames``, and — unlike the AVI/MOV walkers, whose frames are
+    SLICES of the payload — GIF is a decompression AMPLIFIER (LZW
+    inflate + BMP re-encode per frame), so TOTAL composited pixels
+    across emitted frames cap at _GIF_PIXEL_BUDGET (a 64 Mpx canvas x
+    64 frames would otherwise build ~4 GB of canvases from one crafted
+    payload)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
@@ -1266,10 +1274,11 @@ def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
         canvas = [[bg_gray] * sw for _ in range(sh)]
         frames: list[bytes] = []
         delays: list[int] = []
+        budget = max(_GIF_PIXEL_BUDGET // (sw * sh), 2)  # frames afforded
         # pending GCE state for the NEXT image (spec: GCE modifies exactly
         # one following rendering block)
         disposal, transparent, delay_cs = 0, None, 0
-        while pos < len(payload) and len(frames) < max_frames:
+        while pos < len(payload) and len(frames) < min(max_frames, budget):
             block = payload[pos]
             pos += 1
             if block == 0x21:  # extension

@@ -761,3 +761,39 @@ def test_aiff_parser_never_raises_on_hostile_bytes(junk):
         out = parse_aiff(payload)
         if out is not None:
             assert out["n_samples"] >= 0 and out["sample_rate"] >= 1
+
+
+def test_gif_walker_bounds_total_composited_pixels():
+    """GIF is a decompression amplifier: a large canvas must cap the
+    FRAME COUNT so total composited pixels stay under the budget (one
+    crafted 4000x4000 animation must not build gigabytes of canvases)."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import (
+        _GIF_PIXEL_BUDGET,
+        extract_gif_frames,
+    )
+
+    w = h = 2000  # 4 Mpx canvas -> budget allows only 4 frames
+    gif = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    gif += bytes([0, 0, 0, 255, 255, 255])
+    # one tiny 2x1 sub-rect image per "frame" (cheap to decode, but each
+    # frame snapshot is the FULL canvas)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0) + bytes([2])
+    acc = bits = 0
+    lzw = bytearray()
+    for c in (4, 0, 1, 5):
+        acc |= c << bits
+        bits += 3
+        while bits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        lzw.append(acc & 0xFF)
+    img += bytes([len(lzw)]) + bytes(lzw) + b"\x00"
+    payload = bytes(gif) + img * 40 + b"\x3b"
+    out = extract_gif_frames(payload, max_frames=64)
+    assert out is not None
+    assert out["n_frames"] == _GIF_PIXEL_BUDGET // (w * h)
+    assert sum(len(f) for f in out["frames"]) < 2 * _GIF_PIXEL_BUDGET
