@@ -229,3 +229,51 @@ def dsir_log_ratio_weights(
         F.coalesce("lr_q_sum", F.lit(0)).cast("long").alias("lr_q_sum"),
         (F.coalesce("lr_q_sum", F.lit(0)) > 0).alias("selected"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    rrf_k: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — THE
+    standard way to combine a lexical and a semantic ranking into one
+    hybrid result: each list contributes 1/(rrf_k + rank) per item, the
+    contributions sum, and the fused order is robust to the two lists'
+    incomparable score scales. Returns (group cols..., id, rrf_q,
+    in_lists) for the top ``k`` fused items.
+
+    Engine-exact by construction: each contribution quantizes to
+    floor(1e9 / (rrf_k + rank)) — an exact integer — so the fused score
+    is an integer SUM, order-independent across partitions/retries and
+    bit-identical in any engine for ANY number of input lists (a double
+    sum would be commutative for two lists but order-sensitive beyond).
+    Scale shape: the inputs are already top-k lists (bounded), so fusion
+    is a union + one tiny hash aggregation + a top-k window."""
+    gb = group_by or []
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            *gb,
+            F.col(id_col),
+            F.floor(F.lit(1_000_000_000.0) / (F.lit(rrf_k) + F.col(rank_col)))
+            .cast("long")
+            .alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(*gb, id_col).agg(
+        F.sum("_c").alias("rrf_q"),
+        F.count(F.lit(1)).cast("int").alias("in_lists"),
+    )
+    w = Window.partitionBy(*[F.col(c_) for c_ in gb]).orderBy(
+        F.desc("rrf_q"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

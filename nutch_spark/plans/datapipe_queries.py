@@ -2892,6 +2892,94 @@ def dp_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_TERMS, k=10)
 
 
+def _hybrid_rrf_oracle() -> str:
+    lex_terms = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
+    return f"""
+    -- Hybrid retrieval: BM25 top-20 (lexical) fused with cosine-vs-vec-0
+    -- top-20 (semantic) by reciprocal-rank fusion; contributions quantize
+    -- to floor(1e9/(60+rank)) so the fused score is an exact integer sum.
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (
+      SELECT term, doc_id, dl, count(*) AS tf FROM post
+      WHERE term IN ({lex_terms})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      FROM tf JOIN dfreq USING (term) CROSS JOIN s
+    ),
+    agg AS (SELECT doc_id, sum(contrib_q) AS bm25_q FROM scored GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, rk AS rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
+        FROM agg) WHERE rk <= 20
+    ),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round({_COS_SQL.format(a="q.embedding", b="e.embedding")}, 6) AS sim
+      FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+      WHERE e.vec_id != 0
+    ),
+    sem AS (
+      SELECT doc_id, rk AS rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rk
+        FROM cos) WHERE rk <= 20
+    ),
+    contrib AS (
+      SELECT doc_id, CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM sem
+    ),
+    fused AS (
+      SELECT doc_id, sum(c) AS rrf_q, count(*) AS in_lists
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
+           CAST(in_lists AS INT) AS in_lists
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= 10
+    """
+
+
+@q("dp_hybrid_rrf", _hybrid_rrf_oracle())
+def dp_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (retrieval.rrf_fuse, Cormack et al. 2009) — the standard production
+    shape: BM25's top-20 and the embedding ranking's top-20 each
+    contribute floor(1e9/(60+rank)), an EXACT integer, so the fused
+    score is an order-independent integer sum (a double sum would drift
+    beyond two lists). Items found by both retrievers rank above
+    single-list hits of similar depth. 100 TB: the inputs are already
+    bounded top-k lists from certified operators; fusion itself is a
+    union + one tiny hash aggregation + a top-k window."""
+    from pyspark.sql import Window as W
+
+    from nutch_spark.datapipe.retrieval import bm25_topk, rrf_fuse
+    from nutch_spark.datapipe.similarity import brute_force_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(d, _BM25_TERMS, k=20).select("doc_id", "rank")
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    sem_scored = brute_force_topk(emb, qv, k=20, round_sim=6)
+    w = W.orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    sem = sem_scored.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return rrf_fuse([lex, sem], rrf_k=60, k=10)
+
+
 _DSIR_GRAMS_SQL = """
   CASE WHEN len(toks) >= 2 THEN
     list_transform(generate_series(1, len(toks) - 1),

@@ -967,3 +967,32 @@ def test_kmv_distinct_plan_has_group_limit(spark):
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "collect_set" not in plan
+
+
+def test_rrf_fuse_integer_quantized(spark):
+    """rrf_fuse: both-list items outrank deeper single-list items, the
+    quantized contributions are exact integers, and group_by partitions
+    the fusion per query."""
+    from nutch_spark.datapipe.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q2", 30, 1)],
+        "qid string, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 12, 2), ("q2", 31, 1)],
+        "qid string, doc_id long, rank int",
+    )
+    out = {
+        (r.qid, r.doc_id): (r.rrf_q, r.in_lists)
+        for r in rrf_fuse(
+            [lex, sem], rrf_k=60, k=10, group_by=["qid"]
+        ).collect()
+    }
+    c = lambda rank: int(1e9 // (60 + rank))
+    assert out[("q1", 11)] == (c(2) + c(1), 2)   # in both lists
+    assert out[("q1", 10)] == (c(1), 1)
+    assert out[("q1", 12)] == (c(2), 1)
+    assert out[("q2", 30)] == (c(1), 1) and out[("q2", 31)] == (c(1), 1)
+    # the dual-list item beats every single-list item
+    assert out[("q1", 11)][0] > out[("q1", 10)][0]

@@ -80,6 +80,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # count-min: sketch aggregation + BROADCAST lookup join, no cartesian
     "dp_countmin_freq": [[r"HashAggregate", r"BroadcastHashJoin"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # RRF fusion: union of bounded top-k lists + hash agg, no cartesian
+    # (the one BNLJ inside is brute_force_topk's intended broadcast scan)
+    "dp_hybrid_rrf": [[r"HashAggregate", r"Union"], [r"CartesianProduct"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
