@@ -1259,7 +1259,10 @@ def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
         return None
     try:
         sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
-        if not (0 < sw and 0 < sh and sw * sh <= _MAX_PIXELS):
+        # an animation needs >= 2 frames; a canvas whose 2-frame minimum
+        # already exceeds the pixel budget can't be walked within bounds
+        # (a max(budget, 2) floor here would quietly allow 2x_MAX_PIXELS)
+        if not (0 < sw and 0 < sh and 2 * sw * sh <= _GIF_PIXEL_BUDGET):
             return None
         pos = 13
         global_table = None
@@ -1274,7 +1277,7 @@ def extract_gif_frames(payload: bytes, *, max_frames: int = 64):
         canvas = [[bg_gray] * sw for _ in range(sh)]
         frames: list[bytes] = []
         delays: list[int] = []
-        budget = max(_GIF_PIXEL_BUDGET // (sw * sh), 2)  # frames afforded
+        budget = _GIF_PIXEL_BUDGET // (sw * sh)  # >= 2 by the check above
         # pending GCE state for the NEXT image (spec: GCE modifies exactly
         # one following rendering block)
         disposal, transparent, delay_cs = 0, None, 0
@@ -1979,6 +1982,11 @@ _FLAC_RATES = (0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
                32000, 44100, 48000, 96000)
 _FLAC_BPS = (0, 8, 12, 0, 16, 20, 24, 32)
 _MAX_AUDIO_SAMPLES = 64_000_000  # same spirit as _MAX_PIXELS
+# MPEG-1 decode is CPU-bound, not just memory-bound: a pure-Python
+# bit-reader at ~100k samples/s would burn ~10 min under the 64M cap, so
+# its own bound is 2M samples (~40 s of 48 kHz — far more than the
+# 8-frame fingerprint needs)
+_MAX_MPEG_SAMPLES = 2_000_000
 
 
 class _FlacBits:
@@ -2770,13 +2778,7 @@ def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
     nch = rate = None
     total_granules = 0
     pos = first
-    # CPU bound, not just memory: this is a pure-Python bit-reader at
-    # ~100k samples/s, so the 64M-sample memory cap alone would allow
-    # ~10 min of work on one hostile row. 2M samples (~40 s of 48 kHz
-    # audio) is far more than the 8-frame fingerprint needs.
-    while pos + 4 <= n and total_granules * 32 < min(
-        _MAX_AUDIO_SAMPLES, 2_000_000
-    ):
+    while pos + 4 <= n and total_granules * 32 < _MAX_MPEG_SAMPLES:
         if not (
             payload[pos] == 0xFF and (payload[pos + 1] & 0xF8) == 0xF8
         ):

@@ -254,6 +254,8 @@ def rrf_fuse(
     sum would be commutative for two lists but order-sensitive beyond).
     Scale shape: the inputs are already top-k lists (bounded), so fusion
     is a union + one tiny hash aggregation + a top-k window."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     gb = group_by or []
     contribs = None
     for r in rankings:

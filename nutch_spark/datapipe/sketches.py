@@ -35,12 +35,15 @@ _HASH_SPACE = float(16**15)
 
 def _uhash(col: Column) -> Column:
     """Uniform hash of a value into (0, 1]: md5's first 15 hex digits
-    scaled by 16^15, +1 so the k-th minimum is never 0. Exactly
-    reproducible in any engine with md5 + hex parsing (DuckDB:
-    (CAST('0x'||substr(md5(v),1,15) AS UBIGINT) + 1) / 16.0^15 — the
-    60-bit integer exceeds 2^53, but both engines convert it to double
-    with the same IEEE round-to-nearest, so the quotient is
-    bit-identical)."""
+    scaled by 16^15, +1.0 so the k-th minimum is never 0. Exactly
+    reproducible in any engine with md5 + hex parsing — the DuckDB twin
+    is (CAST(CAST('0x'||substr(md5(v),1,15) AS UBIGINT) AS DOUBLE)
+    + 1.0) / 2^60. ORDER MATTERS: the +1.0 must follow the
+    integer→double conversion on BOTH sides (this side computes
+    fl(fl(h) + 1.0)); adding 1 to the exact integer first yields
+    fl(h + 1), which differs by one ulp whenever h+1 crosses a rounding
+    boundary above 2^53. NULL values hash to NULL — callers filter them
+    out (SQL distinct-count semantics exclude NULL)."""
     h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
     return (h.cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
 
@@ -67,7 +70,9 @@ def kmv_distinct(
     # k rows PER GROUP per partition before (and after) the shuffle — a
     # group with 100M distinct values never materializes 100M hashes in
     # one buffer the way a collect_set-then-slice would
-    distinct_h = df.select(*gb, h).distinct()
+    distinct_h = (
+        df.filter(F.col(value).isNotNull()).select(*gb, h).distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in gb]).orderBy("_h")
     mins = distinct_h.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
@@ -107,7 +112,8 @@ def kmv_overlap(
         # TakeOrderedAndProject (per-partition top-k, then a k-row merge)
         # — the full distinct-hash set of a corpus never sits in one task
         mins = (
-            df.select(_uhash(F.col(value)).alias("_h"))
+            df.filter(F.col(value).isNotNull())
+            .select(_uhash(F.col(value)).alias("_h"))
             .distinct()
             .orderBy("_h")
             .limit(k)
@@ -139,6 +145,32 @@ def kmv_overlap(
     )
 
 
+def _cm_bucket(row: Column, value: Column, width: int) -> Column:
+    """The count-min bucket of ``value`` under row-salt ``row``:
+    md5(row ':' value) first 15 hex digits mod width. ONE definition for
+    sketch build AND lookup — the two must compute the identical bucket
+    or lookups silently read the wrong counters and can UNDERestimate,
+    breaking count-min's core guarantee (same repo rule as
+    mixing._hash_bucket)."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(row.cast("string"), F.lit(":"), value.cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+        .cast("int")
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     value: str,
@@ -153,28 +185,12 @@ def count_min_sketch(
     single explode + one partial-aggregated groupBy, order-independent
     and exactly reproducible cross-engine."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    bucketed = df.select(F.col(value).alias("_v")).select(
-        "_v", rows
-    ).select(
-        "row",
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("row").cast("string"),
-                            F.lit(":"),
-                            F.col("_v").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(width),
-        ).cast("int").alias("bucket"),
+    bucketed = (
+        df.filter(F.col(value).isNotNull())  # NULL hashes to NULL bucket:
+        # it would never match a lookup and silently report 0
+        .select(F.col(value).alias("_v"))
+        .select("_v", rows)
+        .select("row", _cm_bucket(F.col("row"), F.col("_v"), width).alias("bucket"))
     )
     return bucketed.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("counter")
@@ -196,29 +212,16 @@ def count_min_lookup(
     1 - e^-depth). The sketch side is ≤ depth×width rows — it
     BROADCASTS; querying never touches the original data."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    q = queries.select(F.col(value).alias("_qv")).distinct().select(
-        "_qv", rows
-    ).select(
-        "_qv",
-        "row",
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("row").cast("string"),
-                            F.lit(":"),
-                            F.col("_qv").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(width),
-        ).cast("int").alias("bucket"),
+    q = (
+        queries.filter(F.col(value).isNotNull())
+        .select(F.col(value).alias("_qv"))
+        .distinct()
+        .select("_qv", rows)
+        .select(
+            "_qv",
+            "row",
+            _cm_bucket(F.col("row"), F.col("_qv"), width).alias("bucket"),
+        )
     )
     joined = q.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
         "_qv", "row", F.coalesce("counter", F.lit(0)).alias("counter")

@@ -2237,7 +2237,13 @@ def dp_pq_recall(spark, sf_dir):
 # happens to be close.
 # ---------------------------------------------------------------------------
 
-_KMV_UH = "(CAST('0x' || substr(md5({v}), 1, 15) AS UBIGINT) + 1) / CAST(1152921504606846976 AS DOUBLE)"
+# +1.0 AFTER the integer->double conversion, mirroring sketches._uhash's
+# fl(fl(h) + 1.0) exactly — adding 1 to the exact UBIGINT first yields
+# fl(h + 1), one ulp off whenever h+1 crosses a rounding boundary >2^53
+_KMV_UH = (
+    "(CAST(CAST('0x' || substr(md5({v}), 1, 15) AS UBIGINT) AS DOUBLE) + 1.0)"
+    " / CAST(1152921504606846976 AS DOUBLE)"
+)
 
 
 @q(

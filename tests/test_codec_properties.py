@@ -797,3 +797,15 @@ def test_gif_walker_bounds_total_composited_pixels():
     assert out is not None
     assert out["n_frames"] == _GIF_PIXEL_BUDGET // (w * h)
     assert sum(len(f) for f in out["frames"]) < 2 * _GIF_PIXEL_BUDGET
+
+
+def test_gif_walker_rejects_budget_busting_canvas():
+    """A canvas whose 2-frame minimum exceeds the pixel budget is
+    rejected outright — no max(budget, 2) floor quietly snapshotting two
+    64-Mpx canvases from one hostile payload."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import extract_gif_frames
+
+    huge = bytearray(b"GIF89a") + struct.pack("<HHBBB", 8000, 8000, 0, 0, 0)
+    assert extract_gif_frames(bytes(huge) + b"\x3b") is None

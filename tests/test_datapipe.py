@@ -996,3 +996,40 @@ def test_rrf_fuse_integer_quantized(spark):
     assert out[("q2", 30)] == (c(1), 1) and out[("q2", 31)] == (c(1), 1)
     # the dual-list item beats every single-list item
     assert out[("q1", 11)][0] > out[("q1", 10)][0]
+
+
+def test_sketches_ignore_null_values(spark):
+    """Second review pass: NULL values must not enter any sketch — SQL
+    distinct-count semantics exclude NULL, Spark and DuckDB sort NULL
+    hashes to opposite ends, and a NULL count-min bucket would make a
+    real value's lookup silently report 0."""
+    import pytest
+
+    from nutch_spark.datapipe.retrieval import rrf_fuse
+    from nutch_spark.datapipe.sketches import (
+        count_min_lookup,
+        count_min_sketch,
+        kmv_distinct,
+        kmv_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None), (2, None)],
+        "g int, v string",
+    )
+    out = {r.g: (r.n_distinct_est, r.n_sketch)
+           for r in kmv_distinct(df, "v", group_by=["g"], k=8).collect()}
+    assert out[1] == (2.0, 2)       # NULL not counted
+    assert 2 not in out             # all-NULL group: no distinct values
+
+    r = kmv_overlap(df.filter("g = 1"), df, "v", k=8).collect()[0]
+    assert r.jaccard_est == 1.0 and r.union_est == 2.0
+
+    sk = count_min_sketch(df, "v", width=16, depth=2)
+    q = spark.createDataFrame([("a",), (None,)], "v string")
+    got = {r.v: r.freq_est
+           for r in count_min_lookup(sk, q, "v", width=16, depth=2).collect()}
+    assert got["a"] >= 1 and None not in got
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
