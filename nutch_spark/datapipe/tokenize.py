@@ -40,7 +40,7 @@ This is deterministic, identical in Spark and DuckDB ``replace``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # U+001F unit separator: guards symbol boundaries so a merge needle
@@ -213,4 +213,57 @@ def chunk_documents(
         "chunk_idx",
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).alias("n_tokens"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    sizes: list[int],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """THE tokenizer-sizing analytic: for each candidate vocabulary size
+    V, the fraction of all corpus token OCCURRENCES covered by the top-V
+    tokens (ranked by frequency, ties broken on the token string so the
+    ranking is total and engine-exact). Returns (vocab_size, n_covered,
+    coverage) — coverage is n_covered / total as a round-6 double.
+
+    100 TB shape: the corpus collapses ONCE to (token, freq) via one
+    partial-aggregated explode+groupBy (the same vocab stage BPE training
+    uses); the rank + running sum are windows over the VOCAB, whose size
+    is corpus-independent, and the sizes probe is a tiny broadcast range
+    join against the cumulative curve."""
+    freqs = (
+        docs.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freqs.select(
+        "freq", F.row_number().over(w).alias("rank")
+    ).withColumn(
+        "cum",
+        F.sum("freq").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = freqs.groupBy().agg(F.sum("freq").alias("_total"))
+    probes = ranked.sparkSession.createDataFrame(
+        [(int(v),) for v in sizes], "vocab_size int"
+    )
+    hit = probes.join(
+        F.broadcast(ranked), F.col("rank") == F.col("vocab_size"), "left"
+    ).select(
+        "vocab_size", F.coalesce("cum", F.lit(None)).alias("_cum")
+    )
+    # a probe beyond the vocabulary covers everything
+    return (
+        hit.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.coalesce("_cum", F.col("_total")).alias("n_covered"),
+            F.round(
+                F.coalesce("_cum", F.col("_total")) / F.col("_total"), 6
+            ).alias("coverage"),
+        )
     )

@@ -2447,6 +2447,51 @@ _BPE_PAIRS_TMPL = """
 
 
 @q(
+    "dp_vocab_coverage",
+    f"""
+    -- Vocabulary coverage curve (tokenizer sizing): fraction of corpus
+    -- token OCCURRENCES covered by the top-V tokens, ranked freq DESC
+    -- with the token string as a total tie-break. Probes beyond the
+    -- vocabulary cover everything (coverage 1.0).
+    WITH wf AS (
+      SELECT word AS tok, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+             sum(freq) OVER (ORDER BY freq DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wf
+    ),
+    total AS (SELECT sum(freq) AS t FROM wf),
+    probes AS (SELECT CAST(unnest([16, 256, 1024, 65536]) AS INT) AS vocab_size)
+    SELECT p.vocab_size,
+           CAST(COALESCE(r.cum, total.t) AS BIGINT) AS n_covered,
+           ROUND(COALESCE(r.cum, total.t) / CAST(total.t AS DOUBLE), 6)
+             AS coverage
+    FROM probes p
+    LEFT JOIN ranked r ON r.rank = p.vocab_size
+    CROSS JOIN total
+    """,
+)
+def dp_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (tokenize.vocab_coverage) — the
+    tokenizer-sizing analytic: how much of the corpus does a top-V
+    vocabulary cover? The corpus collapses ONCE to (token, freq) via the
+    same partial-aggregated vocab stage BPE training uses; rank and
+    running-sum windows run over the VOCAB (corpus-size-independent),
+    and the size probes are a broadcast join against the cumulative
+    curve. Deterministic: frequency ties break on the token string, so
+    the curve is total and engine-exact."""
+    from nutch_spark.datapipe.tokenize import vocab_coverage
+
+    d = t(spark, sf_dir, "documents").select("text")
+    return vocab_coverage(d, [16, 256, 1024, 65536])
+
+
+@q(
     "dp_bpe_pair_counts",
     f"""
     WITH {_BPE_VOCAB_SQL},

@@ -203,3 +203,20 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_vocab_coverage_curve(spark):
+    """vocab_coverage: monotone curve, exact fractions on a constructed
+    corpus, probes beyond the vocabulary cover everything."""
+    from nutch_spark.datapipe.tokenize import vocab_coverage
+
+    # corpus: 'a' x6, 'b' x3, 'c' x1 -> total 10 occurrences
+    docs = spark.createDataFrame(
+        [("a a a b",), ("a a a b b c",)], "text string"
+    )
+    out = {r.vocab_size: (r.n_covered, r.coverage)
+           for r in vocab_coverage(docs, [1, 2, 3, 100]).collect()}
+    assert out[1] == (6, 0.6)
+    assert out[2] == (9, 0.9)
+    assert out[3] == (10, 1.0)
+    assert out[100] == (10, 1.0)  # beyond the vocab: full coverage

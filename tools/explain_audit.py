@@ -83,6 +83,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # RRF fusion: union of bounded top-k lists + hash agg, no cartesian
     # (the one BNLJ inside is brute_force_topk's intended broadcast scan)
     "dp_hybrid_rrf": [[r"HashAggregate", r"Union"], [r"CartesianProduct"]],
+    # vocab coverage: one corpus hash-agg, windows over the vocab only
+    "dp_vocab_coverage": [[r"HashAggregate", r"Window"], [r"CartesianProduct"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
