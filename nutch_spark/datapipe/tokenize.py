@@ -267,3 +267,43 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def token_frequency_spectrum(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_freq: int = 10,
+) -> DataFrame:
+    """Counts-of-counts (the Zipf/Good-Turing spectrum): for each
+    occurrence count f ≤ ``max_freq``, how many distinct tokens occur
+    exactly f times — the vocabulary-growth statistic behind Good-Turing
+    smoothing, hapax-ratio quality checks, and tokenizer sizing. Counts
+    above ``max_freq`` fold into one (max_freq + 1) tail row, so the
+    output is max_freq + 1 rows regardless of corpus size. Returns
+    (freq, n_tokens, n_occurrences) — n_occurrences is the total corpus
+    mass carried by that band.
+
+    100 TB shape: the corpus collapses once to (token, freq) via the
+    shared partial-aggregated vocab stage, then ONE more hash aggregation
+    over the vocab — two shuffles total, output constant-size."""
+    freqs = (
+        docs.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    band = F.when(F.col("f") <= max_freq, F.col("f")).otherwise(
+        F.lit(max_freq + 1)
+    )
+    return (
+        freqs.groupBy(band.alias("freq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("f").alias("n_occurrences"),
+        )
+        .select(
+            F.col("freq").cast("int").alias("freq"),
+            "n_tokens",
+            "n_occurrences",
+        )
+    )

@@ -28,7 +28,7 @@ _CERTIFY_FIRST = [
     # MPEG audio, audio near-dup, PQ ANN, sink round-trips lead)
     "mm_video_frame_dhash", "mm_video_neardup", "mm_mpeg_fingerprint",
     "mm_audio_neardup", "dp_pq_topk", "dp_pq_recall", "dp_int8_recall", "dp_fix_mojibake", "dp_skew_salted_join",
-    "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq", "dp_hybrid_rrf", "dp_vocab_coverage",
+    "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq", "dp_hybrid_rrf", "dp_vocab_coverage", "dp_token_spectrum",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip",
     "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
     "mm_audio_fingerprint", "mm_audio_features",

@@ -2447,6 +2447,38 @@ _BPE_PAIRS_TMPL = """
 
 
 @q(
+    "dp_token_spectrum",
+    f"""
+    -- Counts-of-counts (Zipf / Good-Turing spectrum): distinct tokens
+    -- and total occurrence mass per frequency band, counts > 10 folded
+    -- into the 11 tail row — constant-size output at any corpus scale.
+    WITH wf AS (
+      SELECT word AS tok, COUNT(*) AS f
+      FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+      GROUP BY word
+    )
+    SELECT CAST(CASE WHEN f <= 10 THEN f ELSE 11 END AS INT) AS freq,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f) AS BIGINT) AS n_occurrences
+    FROM wf
+    GROUP BY 1
+    """,
+)
+def dp_token_spectrum(spark, sf_dir):
+    """Token frequency spectrum (tokenize.token_frequency_spectrum) —
+    counts-of-counts: how many distinct tokens occur exactly f times and
+    how much corpus mass each band carries. The Good-Turing smoothing
+    input, the hapax-legomena quality signal (a high singleton ratio
+    flags OCR noise / boilerplate IDs), and the companion to
+    dp_vocab_coverage for tokenizer sizing. Two hash aggregations
+    (corpus → vocab → spectrum), constant-size output."""
+    from nutch_spark.datapipe.tokenize import token_frequency_spectrum
+
+    d = t(spark, sf_dir, "documents").select("text")
+    return token_frequency_spectrum(d, max_freq=10)
+
+
+@q(
     "dp_vocab_coverage",
     f"""
     -- Vocabulary coverage curve (tokenizer sizing): fraction of corpus

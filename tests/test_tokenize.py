@@ -220,3 +220,20 @@ def test_vocab_coverage_curve(spark):
     assert out[2] == (9, 0.9)
     assert out[3] == (10, 1.0)
     assert out[100] == (10, 1.0)  # beyond the vocab: full coverage
+
+
+def test_token_frequency_spectrum(spark):
+    """Spectrum: exact band counts on a constructed corpus, tail fold,
+    and mass conservation (sum of n_occurrences == total tokens)."""
+    from nutch_spark.datapipe.tokenize import token_frequency_spectrum
+
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("d " * 12,)], "text string"
+    )
+    out = {r.freq: (r.n_tokens, r.n_occurrences)
+           for r in token_frequency_spectrum(docs, max_freq=10).collect()}
+    assert out[1] == (1, 1)      # c
+    assert out[2] == (1, 2)      # b
+    assert out[3] == (1, 3)      # a
+    assert out[11] == (1, 12)    # d: folded tail
+    assert sum(m for _, m in out.values()) == 18

@@ -85,6 +85,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_hybrid_rrf": [[r"HashAggregate", r"Union"], [r"CartesianProduct"]],
     # vocab coverage: one corpus hash-agg, windows over the vocab only
     "dp_vocab_coverage": [[r"HashAggregate", r"Window"], [r"CartesianProduct"]],
+    # token spectrum: two hash aggregations, constant-size output
+    "dp_token_spectrum": [[r"HashAggregate"], [r"CartesianProduct", r"Join"]],
     # decontamination: benchmark grams BROADCAST against exploded corpus
     "dp_decontaminate": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # sessionization: one exchange on the key feeds the session aggregation
