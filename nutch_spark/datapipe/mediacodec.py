@@ -914,21 +914,34 @@ def decode_png_pixels(payload: bytes):
     return w, h, rows
 
 
-def decode_gray_pixels(payload: bytes):
+def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
     """Magic-dispatching pixel decode: BMP, PNG, GIF, JPEG (baseline +
     progressive), or baseline TIFF → (w, h, gray rows), or None when the
-    format needs a codec library (WebP, AVIF, ...)."""
+    format needs a codec library (WebP, AVIF, ...).
+
+    ``as_array=True`` returns the raster as a 2-D int64 numpy array with
+    identical values — the dHash hot path uses it so ``_box_resample``'s
+    summed-area-table branch triggers instead of the Python list path
+    (JPEG skips its tolist entirely; the other decoders' rasters convert
+    once, C-level)."""
     if payload[:2] == b"BM":
-        return decode_bmp_pixels(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_pixels(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_pixels(payload)
-    if payload[:3] == b"\xff\xd8\xff":
-        return decode_jpeg_pixels(payload)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return decode_tiff_pixels(payload)
-    return None
+        out = decode_bmp_pixels(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        out = decode_png_pixels(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        out = decode_gif_pixels(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_pixels(payload, as_array=as_array)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        out = decode_tiff_pixels(payload)
+    else:
+        return None
+    if out is None or not as_array:
+        return out
+    import numpy as np
+
+    w, h, rows = out
+    return w, h, np.asarray(rows, dtype=np.int64)
 
 
 def _box_resample(rows, w: int, h: int, out_w: int, out_h: int):
@@ -982,7 +995,26 @@ def _orient_rows(rows, orientation: int):
     """Apply an EXIF orientation (tag 274, values 2-8) to row-major pixel
     rows so the result is upright — the same transforms PIL's
     exif_transpose applies (flips, 90/180/270 rotations, transpose /
-    transverse)."""
+    transverse). A numpy raster stays numpy (views, no copy) so the
+    summed-area resample path survives orientation."""
+    import numpy as np
+
+    if isinstance(rows, np.ndarray):
+        if orientation == 2:
+            return rows[:, ::-1]
+        if orientation == 3:
+            return rows[::-1, ::-1]
+        if orientation == 4:
+            return rows[::-1, :]
+        if orientation == 5:
+            return rows.T
+        if orientation == 6:
+            return rows[::-1, :].T
+        if orientation == 7:
+            return rows[::-1, ::-1].T
+        if orientation == 8:
+            return rows.T[::-1, :]
+        return rows
     if orientation == 2:  # mirror horizontal
         return [list(reversed(r)) for r in rows]
     if orientation == 3:  # rotate 180
@@ -1006,7 +1038,7 @@ def dhash64(payload: bytes) -> int | None:
     an image hashes identically to the upright original) → 9x8 box
     resample → bit = left pixel > right neighbor, row-major, MSB first.
     None when pixels can't be decoded without a codec library."""
-    decoded = decode_gray_pixels(payload)
+    decoded = decode_gray_pixels(payload, as_array=True)
     if decoded is None:
         return None
     w, h, rows = decoded
@@ -1524,7 +1556,7 @@ def _jpeg_parse_dht(seg: bytes, hdc: dict, hac: dict) -> bool:
     return True
 
 
-def decode_jpeg_pixels(payload: bytes):
+def decode_jpeg_pixels(payload: bytes, *, as_array: bool = False):
     """Baseline-sequential JPEG (ITU-T T.81 §F) → (width, height, gray rows),
     luma only: the interleaved scan forces entropy-decoding EVERY component
     to stay bit-synchronized, but only the first (Y) component is
@@ -1598,7 +1630,8 @@ def decode_jpeg_pixels(payload: bytes):
                     return None
                 if progressive:
                     return _jpeg_decode_progressive(
-                        np, payload, pos, frame, qt, hdc, hac, ri
+                        np, payload, pos, frame, qt, hdc, hac, ri,
+                        as_array=as_array,
                     )
                 ns = seg[0]
                 if len(seg) < 1 + 2 * ns + 3:
@@ -1609,7 +1642,7 @@ def decode_jpeg_pixels(payload: bytes):
                 ]
                 return _jpeg_decode_scan(
                     np, payload, pos + 2 + seglen, frame, scomps,
-                    qt, hdc, hac, ri,
+                    qt, hdc, hac, ri, as_array=as_array,
                 )
             pos += 2 + seglen
     except (struct.error, IndexError, ValueError):
@@ -1617,7 +1650,9 @@ def decode_jpeg_pixels(payload: bytes):
     return None
 
 
-def _jpeg_decode_scan(np, payload, pos, frame, scomps, qt, hdc, hac, ri):
+def _jpeg_decode_scan(
+    np, payload, pos, frame, scomps, qt, hdc, hac, ri, *, as_array=False
+):
     fw, fh, comps = frame
     if len(scomps) != len(comps):
         return None  # multi-scan sequential: out of baseline scope
@@ -1704,6 +1739,9 @@ def _jpeg_decode_scan(np, payload, pos, frame, scomps, qt, hdc, hac, ri):
         xs = np.minimum(np.arange(fw) * hs0 // hmax, cw - 1)
         ys = np.minimum(np.arange(fh) * vs0 // vmax, ch - 1)
         out = out[np.ix_(ys, xs)]
+    if as_array:  # hot path (dHash): keep the raster numpy so the
+        return fw, fh, out  # summed-area resample triggers — tolist on a
+    # megapixel raster costs more than the resample itself
     return fw, fh, [[int(v) for v in row] for row in out]
 
 
@@ -1801,7 +1839,9 @@ def _jpeg_ac_refine(br, atab, blk, zz, ss, se, al, eobrun):
     return eobrun
 
 
-def _jpeg_decode_progressive(np, payload, pos, frame, qt, hdc, hac, ri):
+def _jpeg_decode_progressive(
+    np, payload, pos, frame, qt, hdc, hac, ri, *, as_array=False
+):
     """Progressive JPEG (SOF2, T.81 Annex G, Huffman): accumulates Y
     coefficients across DC/AC spectral-selection and successive-
     approximation scans, entropy-decoding interleaved DC scans fully (the
@@ -1971,6 +2011,8 @@ def _jpeg_decode_progressive(np, payload, pos, frame, qt, hdc, hac, ri):
         xs = np.minimum(np.arange(fw) * y_hs // hmax, y_cw - 1)
         ys = np.minimum(np.arange(fh) * y_vs // vmax, y_ch - 1)
         out = out[np.ix_(ys, xs)]
+    if as_array:
+        return fw, fh, out
     return fw, fh, [[int(v) for v in row] for row in out]
 
 
@@ -2757,7 +2799,15 @@ def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
             | (payload[9] & 0x7F)
         )
         pos = 10 + size
-    # bounded sync scan for the first Layer I/II MPEG-1 frame
+    # bounded sync scan for the first Layer I/II MPEG-1 frame. An 11-bit
+    # sync word inside arbitrary binary is cheap to hit by chance, so a
+    # candidate is accepted ONLY when the header's own frame length lands
+    # on a SECOND consistent header (same layer + sample rate, valid
+    # bitrate) — or, for payloads too short to hold two frames, when the
+    # sync sits exactly at the stream start (offset 0 / right after the
+    # ID3v2 tag). This keeps junk-prefix tolerance for real broadcast
+    # streams while keeping garbage blobs out of the fingerprint space.
+    scan_start = pos
     limit = min(n - 4, pos + 4096)
     first = None
     while pos <= limit:
@@ -2768,8 +2818,30 @@ def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
             and ((payload[pos + 2] >> 4) & 0xF) not in (0, 15)
             and ((payload[pos + 2] >> 2) & 0x3) < 3
         ):
-            first = pos
-            break
+            c_layer = (payload[pos + 1] >> 1) & 0x3
+            c_br = (payload[pos + 2] >> 4) & 0xF
+            c_sr = (payload[pos + 2] >> 2) & 0x3
+            c_pad = (payload[pos + 2] >> 1) & 0x1
+            c_rate = _MPEG1_RATES[c_sr]
+            c_kbps = (_MPEG1_KBPS_L1 if c_layer == 3 else _MPEG1_KBPS_L2)[c_br]
+            if c_layer == 3:
+                c_len = (12 * c_kbps * 1000 // c_rate + c_pad) * 4
+            else:
+                c_len = 144 * c_kbps * 1000 // c_rate + c_pad
+            nxt = pos + c_len
+            if nxt + 4 <= n:
+                if (
+                    payload[nxt] == 0xFF
+                    and (payload[nxt + 1] & 0xF8) == 0xF8
+                    and ((payload[nxt + 1] >> 1) & 0x3) == c_layer
+                    and ((payload[nxt + 2] >> 4) & 0xF) not in (0, 15)
+                    and ((payload[nxt + 2] >> 2) & 0x3) == c_sr
+                ):
+                    first = pos
+                    break
+            elif pos == scan_start:
+                first = pos  # single-frame payload: sync at stream start
+                break
         pos += 1
     if first is None:
         return None

@@ -41,21 +41,53 @@ def skew_salted_join(
       keys; keys with more than ``hot_threshold`` rows are "hot". The
       census output is tiny by construction (it can't exceed
       |left| / hot_threshold rows) and BROADCASTS to route both sides.
-    - cold slice: joins exactly as a plain join would.
-    - hot slice: left rows get salt = xxhash64(key, monotonic partition
-      row) % buckets — deterministic per execution and uniform, which is
-      all a salt needs (it never reaches the output); right rows
-      replicate once per salt value via one ``explode(sequence(...))``,
-      so each (l, r) pair of a hot key meets on exactly one salt.
+    - cold slice: joins exactly as a plain join would (same ``how``).
+    - hot slice: left rows get a DETERMINISTIC content-derived salt —
+      ``pmod(xxhash64(every left column), buckets)`` — so a task retry
+      or speculative re-execution recomputes the identical salt for the
+      identical row and the shuffle never duplicates or drops hot-key
+      pairs (a salt from ``monotonically_increasing_id`` would depend on
+      partition layout and rely on Spark's indeterminate-stage rollback).
+      Right rows replicate once per salt value via one
+      ``explode(sequence(...))``, so each (l, r) pair of a hot key meets
+      on exactly one salt. Identical duplicate left rows share a salt;
+      spread stays uniform as long as hot keys aren't dominated by
+      byte-identical rows (the crawl shape: same host, distinct URLs).
     - the two slices ``unionByName`` — output columns and row multiset
       are IDENTICAL to ``left.join(right, on, how)``.
 
-    Supports inner joins (the crawl pipeline's hot-key shape). The cost
-    model: one extra census aggregation + ``buckets ×`` replication of
-    ONLY the right rows whose keys are hot, in exchange for spreading
-    each hot key over ``buckets`` reducer partitions."""
-    if how != "inner":
-        raise ValueError("skew_salted_join supports how='inner'")
+    Supported ``how``: ``inner``, ``left`` (left_outer), ``right``
+    (right_outer), ``full`` (full_outer). Outer correctness rests on two
+    facts: (a) a left-hot row carries exactly one salt, and the right
+    replica set covers every salt, so it matches iff the key exists on
+    the right — unmatched rows null-extend exactly once in the hot
+    slice's left join; (b) a RIGHT row with a hot key always has ≥
+    ``hot_threshold`` left partners, so it can never be right-unmatched —
+    the hot slice never needs right-side null-extension and an inner /
+    left join there is exact for ``right`` / ``full`` as well.
+
+    The cost model: one extra census aggregation + ``buckets ×``
+    replication of ONLY the right rows whose keys are hot, in exchange
+    for spreading each hot key over ``buckets`` reducer partitions."""
+    aliases = {
+        "inner": "inner",
+        "left": "left",
+        "left_outer": "left",
+        "leftouter": "left",
+        "right": "right",
+        "right_outer": "right",
+        "rightouter": "right",
+        "full": "full",
+        "outer": "full",
+        "full_outer": "full",
+        "fullouter": "full",
+    }
+    mode = aliases.get(how)
+    if mode is None:
+        raise ValueError(
+            "skew_salted_join supports how in "
+            "{'inner','left','right','full'}; got %r" % (how,)
+        )
     hot = (
         left.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -64,15 +96,13 @@ def skew_salted_join(
     )
     left_cold = left.join(F.broadcast(hot), on, "left_anti")
     right_cold = right.join(F.broadcast(hot), on, "left_anti")
-    cold = left_cold.join(right_cold, on, "inner")
+    cold = left_cold.join(right_cold, on, mode)
 
-    # per-row salt: hash the key columns plus a per-partition row ordinal.
-    # spark_partition_id + monotonically_increasing_id vary per row, so the
-    # salt spreads a hot key's rows ~uniformly; determinism within one
-    # execution is all that's needed (the salt never escapes the join).
+    # per-row salt: hash of the ENTIRE left row. Deterministic across
+    # retries (same row bytes → same salt, independent of partition
+    # layout), uniform whenever hot keys carry distinct payloads.
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
-        F.lit(buckets),
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)
     ).cast("int")
     left_hot = left.join(F.broadcast(hot), on, "left_semi").withColumn(
         "_salt", salt
@@ -84,7 +114,10 @@ def skew_salted_join(
         )
         .withColumn("_salt", F.col("_salt").cast("int"))
     )
-    hot_joined = left_hot.join(right_hot, [*on, "_salt"], "inner").drop(
+    # hot keys exist on the left by construction, so the hot slice never
+    # right-null-extends: inner covers inner/right, left covers left/full.
+    hot_mode = "left" if mode in ("left", "full") else "inner"
+    hot_joined = left_hot.join(right_hot, [*on, "_salt"], hot_mode).drop(
         "_salt"
     )
     return cold.unionByName(hot_joined)

@@ -231,8 +231,11 @@ def vocab_coverage(
     100 TB shape: the corpus collapses ONCE to (token, freq) via one
     partial-aggregated explode+groupBy (the same vocab stage BPE training
     uses); the rank + running sum are windows over the VOCAB, whose size
-    is corpus-independent, and the sizes probe is a tiny broadcast range
-    join against the cumulative curve."""
+    is corpus-independent. The cumulative curve is then FILTERED to only
+    the probed ranks (≤ len(sizes) rows) before it meets the probe list,
+    so the broadcast side is the tiny filtered slice — never the full
+    vocabulary-sized curve, which at web scale can be hundreds of
+    millions of rows."""
     freqs = (
         docs.select(F.explode(words(F.col(text_col))).alias("tok"))
         .groupBy("tok")
@@ -251,8 +254,15 @@ def vocab_coverage(
     probes = ranked.sparkSession.createDataFrame(
         [(int(v),) for v in sizes], "vocab_size int"
     )
+    # slice the vocab-sized curve down to just the probed ranks BEFORE
+    # the join: the filter leaves ≤ len(sizes) rows, and THAT is the
+    # broadcast side (the preserved probe side of an outer join can't be
+    # the build side, so broadcasting the hits is the correct hint).
+    hits = ranked.filter(
+        F.col("rank").isin([int(v) for v in sizes])
+    )
     hit = probes.join(
-        F.broadcast(ranked), F.col("rank") == F.col("vocab_size"), "left"
+        F.broadcast(hits), F.col("rank") == F.col("vocab_size"), "left"
     ).select(
         "vocab_size", F.coalesce("cum", F.lit(None)).alias("_cum")
     )

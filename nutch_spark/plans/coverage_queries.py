@@ -2113,14 +2113,40 @@ def p2_7z_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # scratch dir for the sink round-trip queries, derived from the repo root
-# so the registry works from any checkout location (the DuckDB oracle reads
-# the same absolute path baked into its SQL at import time)
+# so the registry works from any checkout location, and NAMESPACED PER
+# PROCESS (pid): the Spark write and the DuckDB oracle read run in the
+# same harness process, so the pid ties them to the same bytes while two
+# concurrent harness/bench runs on one checkout can no longer race on a
+# shared path (the oracle would otherwise read stale or mid-overwrite
+# files). Stale run dirs from dead processes are pruned best-effort.
 import os as _os
 
-_SCRATCH = _os.path.join(
+_SCRATCH_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     ".scratch",
 )
+_SCRATCH = _os.path.join(_SCRATCH_ROOT, f"run-{_os.getpid()}")
+
+
+def _prune_stale_scratch() -> None:
+    import shutil as _shutil
+    import time as _time
+
+    try:
+        for name in _os.listdir(_SCRATCH_ROOT):
+            p = _os.path.join(_SCRATCH_ROOT, name)
+            if not name.startswith("run-") or p == _SCRATCH:
+                continue
+            try:
+                if _time.time() - _os.path.getmtime(p) > 86400:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+_prune_stale_scratch()
 
 
 def _sink_dump(spark, sf_dir):

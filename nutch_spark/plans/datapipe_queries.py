@@ -2135,6 +2135,82 @@ def dp_skew_salted_join(spark, sf_dir):
     )
 
 
+@q(
+    "dp_skew_left_join",
+    """
+    -- LEFT-OUTER skew-salted join: same hot-host shape as
+    -- dp_skew_salted_join, but the right side is missing the HOT host
+    -- and two cold hosts (h3, h7), so the salted hot slice must
+    -- null-extend each left-hot row exactly once (one salt per row)
+    -- and the cold slice must null-extend h3/h7 — multiset-identical
+    -- to the plain SQL LEFT JOIN.
+    WITH l AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                  ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) END AS host,
+             CAST(doc_id + j AS BIGINT) AS v
+      FROM documents, unnest(range(1, 13)) AS u(j)
+      WHERE doc_id < 200
+    ),
+    r AS (
+      SELECT host, CAST(r AS BIGINT) AS r
+      FROM (SELECT DISTINCT host FROM l
+            WHERE host NOT IN ('hot.example.com', 'h3', 'h7')),
+           unnest(range(1, 3)) AS u(r)
+    )
+    SELECT l.host, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(r.r) AS BIGINT) AS n_matched,
+           CAST(sum(l.v) AS BIGINT) AS sum_v,
+           CAST(sum(r.r) AS BIGINT) AS sum_r
+    FROM l LEFT JOIN r ON l.host = r.host
+    GROUP BY l.host
+    """,
+)
+def dp_skew_left_join(spark, sf_dir):
+    """LEFT-OUTER hot-key salted join (datapipe/skew.skew_salted_join,
+    how='left') — outer-mode correctness rests on two invariants the
+    oracle certifies: a left-hot row carries exactly ONE salt, so when
+    its key is absent from the right it null-extends exactly once (not
+    once per salt bucket); and a right row with a hot key always has
+    >= threshold left partners, so the hot slice never right-null-
+    extends. Here the hot host is MISSING from the right entirely —
+    the 1200 hot rows flow through the salted branch and each emits one
+    null-extended row, multiset-identical to the plain LEFT JOIN. 100 TB:
+    the left-outer form is what crawl pipelines actually run (crawldb
+    LEFT JOIN fetch-output keeps unfetched rows), so the skew remedy
+    must not be inner-only."""
+    from nutch_spark.datapipe.skew import skew_salted_join
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")))
+    left = d.select(
+        host.alias("host"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("j"),
+        "doc_id",
+    ).select("host", (F.col("doc_id") + F.col("j")).alias("v"))
+    right = (
+        left.select("host")
+        .distinct()
+        .filter(~F.col("host").isin("hot.example.com", "h3", "h7"))
+        .select(
+            "host", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("r")
+        )
+        .select("host", F.col("r").cast("long").alias("r"))
+    )
+    joined = skew_salted_join(
+        left, right, ["host"], buckets=8, hot_threshold=500, how="left"
+    )
+    return joined.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("r").alias("n_matched"),
+        F.sum("v").alias("sum_v"),
+        F.sum("r").alias("sum_r"),
+    )
+
+
 def _int8_recall_oracle() -> str:
     cosine_sql = REGISTRY["dp_cosine_topk"][1]
     int8_sql = REGISTRY["dp_int8_topk"][1]

@@ -311,7 +311,15 @@ def streaming_image_dedup(
       hash — state bounded by the watermark horizon; first-seen wins,
       the only causal choice on a stream. Undecodable payloads keep a
       NULL hash and are NOT deduped against each other (a NULL match is
-      not evidence of duplication) — they pass through keyed by media_id.
+      not evidence of duplication) — they ride the same dedup operator
+      keyed by a media_id-salted synthetic key. INTENDED consequence: an
+      at-least-once source re-delivering the same media_id within the
+      watermark emits the undecodable row ONCE — the operator is
+      idempotent under redelivery for decodable and undecodable rows
+      alike (the pre-r12 passthrough branch re-emitted undecodables on
+      every redelivery, so a retried micro-batch double-counted them
+      downstream). Distinct undecodable media_ids never share a key, so
+      nothing is ever dropped across different images.
 
     At crawl scale the decode stage scales out with executors exactly like
     the batch stage; the dedup state is one (hash, timestamp) entry per

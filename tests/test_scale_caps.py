@@ -168,4 +168,62 @@ def test_skew_salted_join_matches_plain_join(spark):
     import pytest
 
     with pytest.raises(ValueError):
-        skew_salted_join(left, right, ["host"], how="left")
+        skew_salted_join(left, right, ["host"], how="cross")
+
+
+def test_skew_salted_join_outer_modes_match_plain_join(spark):
+    """left/right/full outer salted joins null-extend EXACTLY like the
+    plain join: a left-hot row carries one salt so it null-extends once;
+    a right row with a hot key always has left partners so the hot slice
+    never right-null-extends; 'orphan' right rows surface only in
+    right/full via the cold slice."""
+    from collections import Counter
+
+    from nutch_spark.datapipe.skew import skew_salted_join
+
+    # 'hot' is hot on the left but ABSENT from the right → exercises
+    # hot-slice null-extension; 'orphan' is right-only → cold right/full.
+    left_rows = [("hot", i) for i in range(400)] + [
+        (f"k{i % 5}", i) for i in range(40)
+    ]
+    right_rows = [(f"k{i}", f"V{i}") for i in range(3)] + [("orphan", "X")]
+    left = spark.createDataFrame(left_rows, "host string, v int")
+    right = spark.createDataFrame(right_rows, "host string, meta string")
+
+    for how in ("left", "right", "full"):
+        got = Counter(
+            (r.host, r.v, r.meta)
+            for r in skew_salted_join(
+                left, right, ["host"], buckets=4, hot_threshold=100, how=how
+            ).collect()
+        )
+        want = Counter(
+            (r.host, r.v, r.meta)
+            for r in left.join(right, ["host"], how).collect()
+        )
+        assert got == want, how
+    # sanity: the full join surfaced both the hot null-extensions and
+    # the orphan right row
+    full = Counter(
+        (r.host, r.v, r.meta)
+        for r in skew_salted_join(
+            left, right, ["host"], buckets=4, hot_threshold=100, how="full"
+        ).collect()
+    )
+    assert full[("hot", 0, None)] == 1 and full[("orphan", None, "X")] == 1
+
+
+def test_skew_salted_join_salt_is_content_deterministic(spark):
+    """The salt derives from row content, not partition layout: the same
+    data shuffled into a different partitioning produces the same
+    (host, v) → salt assignment, so task retries can't split a row's
+    join pairs across salts."""
+    from pyspark.sql import functions as F
+
+    rows = [("hot", i) for i in range(300)]
+    a = spark.createDataFrame(rows, "host string, v int").repartition(2)
+    b = spark.createDataFrame(rows, "host string, v int").repartition(17, "v")
+    salt = F.pmod(F.xxhash64("host", "v"), F.lit(8)).cast("int")
+    sa = {(r.host, r.v): r.s for r in a.select("host", "v", salt.alias("s")).collect()}
+    sb = {(r.host, r.v): r.s for r in b.select("host", "v", salt.alias("s")).collect()}
+    assert sa == sb and len(set(sa.values())) > 1
