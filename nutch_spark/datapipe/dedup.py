@@ -452,6 +452,12 @@ def dup_components(
     (lazy checkpoints re-run the whole lineage). On a real cluster use
     ``checkpoint()`` to truncate lineage against executor loss.
 
+    Only nodes that appear in a pair participate in the iteration: a node
+    with no edges is its own component by definition, so the (typically
+    dominant) singleton mass of the corpus joins the result exactly once at
+    the end instead of riding every round's shuffle — per-round cost scales
+    with the DUPLICATE subgraph, not the corpus.
+
     Convergence is detected with ``Observation`` metrics harvested from the
     SAME job that materializes the round — the new label is compared to the
     old one row-wise in the step select, so there is no separate
@@ -464,12 +470,16 @@ def dup_components(
         pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
     )
     edges = sym.distinct().localCheckpoint(eager=True)
+    ids = nodes.select(F.col(key).alias("id")).distinct()  # native key type —
+    # min-label works for numeric AND string ids
+    touched = edges.select(F.col("a").alias("id")).distinct()  # symmetric:
+    # the a-side covers every endpoint
     labels = (
-        nodes.select(F.col(key).alias("id"))  # native key type — min-label
-        .distinct()                            # works for numeric AND string ids
+        ids.join(touched, "id", "left_semi")  # iterate ONLY the dup subgraph
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    singletons = ids.join(touched, "id", "left_anti")
     for it in range(max_iter):
         nb_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -492,7 +502,9 @@ def dup_components(
         labels = new_labels
         if not obs.get["changed"]:  # metric from the checkpoint job — free
             break
-    return labels.select(
+    return labels.unionByName(
+        singletons.withColumn("lab", F.col("id"))
+    ).select(
         F.col("id").alias(key),
         F.col("lab").alias("component"),
         (F.col("id") != F.col("lab")).alias("is_duplicate"),
