@@ -65,6 +65,33 @@ def update_hostdb(
     return fresh.join(hostdb.select("host", *keep), "host", "full_outer")
 
 
+def hostdb_distinct_urls(
+    crawldb: DataFrame,
+    *,
+    k: int = 64,
+    url: str = "url",
+) -> DataFrame:
+    """A3 sketch mode: distinct-URL cardinality estimate PER HOST via the
+    engine-portable KMV sketch (``datapipe.sketches.kmv_distinct``,
+    Bar-Yossef et al. 2002) — ``(host, n_distinct_est, n_sketch)``.
+
+    The exact per-host distinct count is a full shuffle keyed on (host,
+    url); the sketch crosses the shuffle as ≤ k doubles per host
+    (WindowGroupLimit keeps k rows per host per partition before the
+    exchange). Exact below k distinct, (k-1)/h_(k) above — and because
+    the sketch is md5 arithmetic, a DuckDB/Trino twin reproduces every
+    estimate bit-for-bit, unlike approx_count_distinct's engine-private
+    HLL++ binary. Reference parity: UpdateHostDbReducer.java:176-439
+    counts per-host URL volume exactly; this is the variant that
+    survives 100 TB."""
+    from nutch_spark.datapipe.sketches import kmv_distinct
+
+    hosted = crawldb.select(
+        url_host(F.col(url)).alias("host"), F.col(url)
+    )
+    return kmv_distinct(hosted, url, group_by=["host"], k=k)
+
+
 def string_field_counts(
     crawldb: DataFrame, field: str, *, cfg: NutchConfig = DEFAULT
 ) -> DataFrame:

@@ -41,6 +41,11 @@ def crawldb_stats(
     status: str = "status",
     retries: str = "retries",
     fetch_interval: str = "fetch_interval",
+    url: str = "url",
+    approx: bool = False,
+    kmv_k: int = 256,
+    cm_width: int = 1024,
+    cm_depth: int = 4,
     cfg: NutchConfig = DEFAULT,
 ) -> dict[str, DataFrame]:
     """readdb -stats: totals, per-status/retry histograms, score distribution.
@@ -48,7 +53,21 @@ def crawldb_stats(
     Returns small DataFrames (one per report section) rather than the
     reference's flattened counter keys; all computed in two jobs
     (one global agg, one grouped agg) over a single scan each.
-    """
+
+    ``approx=True`` adds the sketch-mode sections for the statistics that
+    at 100 TB stop being cheap exact aggregations:
+
+    - ``"status_cm"``: the per-status histogram as count-min point
+      estimates (``datapipe.sketches.count_min_sketch`` + lookup) —
+      ``(status, freq_est)``. The sketch is one map-side-combined pass
+      and ≤ depth×width counters; the exact groupBy it replaces shuffles
+      every row's status key.
+    - ``"hosts_kmv"``: the distinct-host cardinality as a KMV estimate —
+      ``(n_distinct_est, n_sketch)``, one row. Exact distinct-host needs
+      a full shuffle on host; the sketch crosses the shuffle as ≤ k
+      doubles. Both sketches are md5-arithmetic, so any engine reproduces
+      the estimates bit-for-bit (oracle-certifiable, unlike HLL++'s
+      engine-private binary)."""
     # NaN scores are counted separately and EXCLUDED from min/max/avg
     # (CrawlDbReader.java:390-391) — Spark's ordering treats NaN as the
     # largest float, so an unguarded max() would return NaN.
@@ -69,7 +88,27 @@ def crawldb_stats(
     )
     by_status = crawldb.groupBy(status).agg(F.count(F.lit(1)).alias("count"))
     by_retries = crawldb.groupBy(retries).agg(F.count(F.lit(1)).alias("count"))
-    return {"global": global_agg, "status": by_status, "retries": by_retries}
+    out = {"global": global_agg, "status": by_status, "retries": by_retries}
+    if approx:
+        from nutch_spark.datapipe.sketches import (
+            count_min_lookup,
+            count_min_sketch,
+            kmv_distinct,
+        )
+
+        sketch = count_min_sketch(
+            crawldb, status, width=cm_width, depth=cm_depth
+        )
+        # query values: the status enum is tiny — its exact distinct is a
+        # partial-aggregated pass over a low-cardinality key, not the
+        # full-row shuffle the sketch avoids
+        statuses = crawldb.select(status).distinct()
+        out["status_cm"] = count_min_lookup(
+            sketch, statuses, status, width=cm_width, depth=cm_depth
+        )
+        hosts = crawldb.select(url_host(F.col(url)).alias("_host"))
+        out["hosts_kmv"] = kmv_distinct(hosts, "_host", k=kmv_k)
+    return out
 
 
 def top_n(

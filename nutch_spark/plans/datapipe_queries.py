@@ -2491,6 +2491,138 @@ def dp_countmin_freq(spark, sf_dir):
     return count_min_lookup(sketch, queries, "val", width=1024, depth=4)
 
 
+# crawldb-ish surface shared by the A1/A3 sketch-mode rows: documents as a
+# crawl snapshot (url from source+doc_id so host == source; status a 4-way
+# rotation; the numeric columns only so crawldb_stats' exact sections
+# resolve at plan-build)
+def _sketch_crawldb(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"), k.cast("string")
+        ).alias("url"),
+        F.element_at(
+            F.array(
+                F.lit("db_fetched"), F.lit("db_unfetched"),
+                F.lit("db_gone"), F.lit("db_redir_temp"),
+            ),
+            (k % 4 + 1).cast("int"),
+        ).alias("status"),
+        ((k % 100).cast("double") / F.lit(4.0)).alias("score"),
+        (k % 3).cast("int").alias("retries"),
+        F.lit(2_592_000).alias("fetch_interval"),
+    )
+
+
+_SKETCH_CRAWLDB_SQL = """
+      SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             source AS host,
+             ['db_fetched','db_unfetched','db_gone','db_redir_temp']
+               [CAST(doc_id % 4 AS INT) + 1] AS status
+      FROM documents
+"""
+
+
+@q(
+    "a1_stats_sketch",
+    f"""
+    -- readdb -stats, sketch mode: the status histogram as count-min
+    -- point estimates (depth=4 x width=256 md5-salted counters, min over
+    -- rows) crossed with ONE global KMV distinct-host estimate (k=16; 20
+    -- hosts > k, so the (k-1)/h_(k) estimator path runs). The oracle
+    -- builds the IDENTICAL sketches, reproducing any collision
+    -- overestimate bit-for-bit.
+    WITH c AS ({_SKETCH_CRAWLDB_SQL}),
+    rws AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
+    sk AS (
+      SELECT row,
+             CAST(CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || status), 1, 15)
+                       AS UBIGINT) % 256 AS INT) AS bucket,
+             count(*) AS counter
+      FROM c CROSS JOIN rws GROUP BY 1, 2
+    ),
+    qb AS (
+      SELECT q.status, r.row,
+             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || q.status), 1, 15)
+                       AS UBIGINT) % 256 AS INT) AS bucket
+      FROM (SELECT DISTINCT status FROM c) q CROSS JOIN rws r
+    ),
+    cm AS (
+      SELECT status, CAST(min(COALESCE(sk.counter, 0)) AS BIGINT) AS freq_est
+      FROM qb LEFT JOIN sk ON sk.row = qb.row AND sk.bucket = qb.bucket
+      GROUP BY status
+    ),
+    hh AS (SELECT DISTINCT {_KMV_UH.format(v="host")} AS h FROM c),
+    mins AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
+    kmv AS (
+      SELECT count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
+      FROM mins WHERE rn <= 16
+    )
+    SELECT cm.status, cm.freq_est,
+           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
+           CAST(n AS INT) AS n_sketch
+    FROM cm CROSS JOIN kmv
+    """,
+)
+def a1_stats_sketch(spark, sf_dir):
+    """readdb -stats in SKETCH MODE (stats.crawldb_stats(approx=True)):
+    the per-status histogram via count-min point estimates and the
+    distinct-host cardinality via one global KMV sketch — the two stats
+    that at 100 TB stop being cheap exact aggregations (the exact
+    histogram shuffles every row's key; exact distinct-host shuffles
+    every host string; the sketches cross the shuffle as <= depth*width
+    counters and <= k doubles). Both are md5 arithmetic, so the oracle
+    recomputes the identical estimates — certifying the estimators, not
+    an 'approximately close' band. Reference: CrawlDbReader.java:371-510
+    computes these exactly per-segment; sketch mode is the scale path."""
+    from nutch_spark.operators.stats import crawldb_stats
+
+    sections = crawldb_stats(
+        _sketch_crawldb(spark, sf_dir),
+        approx=True, kmv_k=16, cm_width=256, cm_depth=4,
+    )
+    return sections["status_cm"].crossJoin(F.broadcast(sections["hosts_kmv"]))
+
+
+@q(
+    "a3_kmv_hosts",
+    f"""
+    -- HostDb aggregate, sketch mode: distinct-URL cardinality PER HOST
+    -- via KMV (k=16; every host carries > 16 distinct URLs, so every
+    -- row takes the (k-1)/h_(k) estimator path). The oracle computes
+    -- the same k minimum md5-hashes per host.
+    WITH c AS ({_SKETCH_CRAWLDB_SQL}),
+    h AS (SELECT DISTINCT host, {_KMV_UH.format(v="url")} AS h FROM c),
+    mins AS (
+      SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT host, count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
+      FROM mins WHERE rn <= 16 GROUP BY host
+    )
+    SELECT host,
+           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
+           CAST(n AS INT) AS n_sketch
+    FROM sk
+    """,
+)
+def a3_kmv_hosts(spark, sf_dir):
+    """HostDb per-host URL cardinality in SKETCH MODE
+    (hostdb.hostdb_distinct_urls): KMV distinct-URL estimate per host —
+    <= k doubles per host cross the shuffle (WindowGroupLimit bounds
+    memory per partition), versus the exact count's full (host, url)
+    shuffle. The estimate is engine-portable md5 arithmetic; the oracle
+    recomputes it bit-for-bit. Reference parity:
+    UpdateHostDbReducer.java:176-439's per-host rollup, scale variant."""
+    from nutch_spark.operators.hostdb import hostdb_distinct_urls
+
+    return hostdb_distinct_urls(_sketch_crawldb(spark, sf_dir), k=16)
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer family (datapipe/tokenize.py): pair statistics, merge-chain
 # apply, and full training — the Sennrich et al. 2016 algorithm with the

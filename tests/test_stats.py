@@ -44,6 +44,33 @@ def test_crawldb_stats_sections(spark):
     assert retries == {0: 2, 1: 1, 2: 1, 3: 1}
 
 
+def test_crawldb_stats_sketch_sections(spark):
+    """approx=True adds the two sketch sections; with cardinalities below
+    the sketch parameters both are EXACT, so their values must equal the
+    exact sections' — the estimator paths themselves are certified by the
+    a1_stats_sketch / a3_kmv_hosts oracle rows and dp_kmv_distinct."""
+    s = crawldb_stats(db(spark), approx=True, kmv_k=16, cm_width=1024)
+    cm = {r["status"]: r["freq_est"] for r in s["status_cm"].collect()}
+    # width 1024 >> 4 statuses: no collisions, count-min is exact here
+    assert cm == {"db_fetched": 2, "db_unfetched": 1, "db_notmodified": 1, "db_gone": 1}
+    kmv = s["hosts_kmv"].collect()[0]
+    assert kmv["n_distinct_est"] == 3.0 and kmv["n_sketch"] == 3  # < k: exact
+
+
+def test_hostdb_distinct_urls_kmv(spark):
+    from nutch_spark.operators.hostdb import hostdb_distinct_urls
+
+    got = {
+        r["host"]: (r["n_distinct_est"], r["n_sketch"])
+        for r in hostdb_distinct_urls(db(spark), k=16).collect()
+    }
+    assert got == {
+        "a.sub.example.co.uk": (2.0, 2),
+        "b.example.co.uk": (1.0, 1),
+        "c.other.com": (2.0, 2),
+    }
+
+
 def test_top_n_with_threshold(spark):
     # Java parity (CrawlDbReader min-score prefilter uses `score < min`,
     # false for NaN; Float.compare ranks NaN greatest) — Spark's NaN
