@@ -209,6 +209,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # left-outer salted join: same hot/cold Union + broadcast census as
+    # the inner form — outer mode must not degrade to BNLJ/cartesian
+    "dp_skew_left_join": [[r"Union", r"BroadcastHashJoin"],
+                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # sketch-mode stats: count-min build is a hash agg, the lookup join
+    # and the 1-row KMV cross both BROADCAST; corpus never re-shuffles
+    "a1_stats_sketch": [[r"HashAggregate", r"BroadcastHashJoin"],
+                        [r"CartesianProduct"]],
+    # per-host KMV: WindowGroupLimit bounds the per-host sketch BEFORE
+    # the exchange — k rows per host per partition, never the full set
+    "a3_kmv_hosts": [[r"WindowGroupLimit", r"HashAggregate"],
+                     [r"CartesianProduct", r"Join"]],
     # boilerplate lines: df aggregate + equi-join back, no UDF, no cross
     "dp_boilerplate_lines": [[r"HashAggregate", r"Join"],
                              [r"CartesianProduct", r"MapInPandas|mapInPandas",
