@@ -809,3 +809,234 @@ def test_gif_walker_rejects_budget_busting_canvas():
 
     huge = bytearray(b"GIF89a") + struct.pack("<HHBBB", 8000, 8000, 0, 0, 0)
     assert extract_gif_frames(bytes(huge) + b"\x3b") is None
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the MOV atom walk and the GIF frame compositor take the same
+# hostile web bytes AVI was fuzzed with in r12 — mutation + nesting bombs,
+# bounded memory asserted
+# ---------------------------------------------------------------------------
+
+
+def _valid_mov(doc_id: int = 5) -> bytes:
+    from nutch_spark.plans.datapipe_queries import _planted_mov
+
+    return _planted_mov(doc_id)
+
+
+@given(st.binary(max_size=512))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_mov_walker_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import extract_mov_mjpeg_frames
+
+    for payload in (
+        junk,
+        b"\x00\x00\x00\x14ftyp" + junk,
+        b"\x00\x00\x01\x00moov" + junk,
+    ):
+        out = extract_mov_mjpeg_frames(payload)
+        if out is not None:
+            assert isinstance(out["frames"], list)
+            assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+@given(
+    st.integers(min_value=0, max_value=100),   # truncation percentage
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),                       # (offset, new byte) flips
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_mov_walker_survives_mutated_valid_container(cut_pct, flips):
+    """Truncations and byte-flips of a VALID planted MOV — lying box
+    sizes, corrupted sample tables, offsets past the buffer — must never
+    raise, and surviving frames must still be SOI-prefixed slices."""
+    from nutch_spark.datapipe.mediacodec import extract_mov_mjpeg_frames
+
+    buf = bytearray(_valid_mov())
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: len(buf) * cut_pct // 100])
+    out = extract_mov_mjpeg_frames(payload)
+    if out is not None:
+        assert all(f[:3] == b"\xff\xd8\xff" for f in out["frames"])
+
+
+def test_mov_walker_bounds_hostile_floods():
+    """A trak flood, an stsz sample-count lie, and a box-nesting bomb must
+    hit the walker's caps (64 traks, 100k samples, buffer-clamped offsets)
+    — bounded output, no hang, no MemoryError-scale allocation."""
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import extract_mov_mjpeg_frames
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    # 200 empty traks: the walker must stop at its trak cap, return None
+    # (no JPEG track) rather than walking all of them
+    trak = box(b"trak", box(b"tkhd", b"\x00" * 8))
+    moov = box(b"moov", trak * 200)
+    assert extract_mov_mjpeg_frames(moov + box(b"mdat", b"")) is None
+
+    # stsz CLAIMS 2^31 samples but carries none: count clamps to the
+    # actual table bytes, never a [fixed]*2**31 allocation
+    base = _valid_mov(5)
+    lie = base.replace(
+        struct.pack(">III", 0, 0, 2), struct.pack(">III", 0, 0, 0x7FFFFFFF), 1
+    )
+    out = extract_mov_mjpeg_frames(lie)
+    if out is not None:
+        assert len(out["frames"]) <= 64
+
+    # nesting bomb: 64 levels of self-titled boxes inside moov
+    bomb = b"\x00" * 8
+    for _ in range(64):
+        bomb = box(b"mdia", bomb)
+    deep = box(b"moov", box(b"trak", bomb))
+    assert extract_mov_mjpeg_frames(deep + box(b"mdat", b"")) is None
+
+    # max_frames cap holds on a valid container
+    out = extract_mov_mjpeg_frames(_valid_mov(8), max_frames=1)
+    assert out is not None and len(out["frames"]) <= 1
+
+
+def _valid_anim_gif(doc_id: int = 13) -> bytes:
+    from nutch_spark.plans.datapipe_queries import _planted_animated_gif
+
+    return _planted_animated_gif(doc_id)
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_gif_compositor_survives_mutated_valid_animation(cut_pct, flips):
+    """Truncations and byte-flips of a VALID animated GIF — corrupted
+    GCE disposal bits, lying local-palette sizes, cut LZW sub-blocks —
+    must never raise; surviving frames must be well-formed gray BMPs of
+    the declared canvas."""
+    from nutch_spark.datapipe.mediacodec import (
+        decode_gray_pixels,
+        extract_gif_frames,
+    )
+
+    buf = bytearray(_valid_anim_gif())
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: max(6, len(buf) * cut_pct // 100)])
+    out = extract_gif_frames(payload)
+    if out is not None:
+        assert len(out["frames"]) <= 64
+        for f in out["frames"]:
+            dec = decode_gray_pixels(f)
+            assert dec is not None
+            w, h, _rows = dec
+            assert (w, h) == (out["width"], out["height"])
+
+
+def _gce_gif(frames_spec, *, screen=(2, 1), bg=1):
+    """Minimal GIF89a builder for disposal-edge cases: 4-gray global
+    table (palette c = gray 60*c), 2-bit LZW literals. frames_spec is
+    [(ix, iy, w, h, pixel_indices, gce_or_None)] with gce = (disposal,
+    transparent_idx_or_None, delay_cs)."""
+    import struct
+
+    sw, sh = screen
+    gif = bytearray(b"GIF89a") + struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)
+    for c in range(4):
+        gif += bytes([60 * c] * 3)
+    for ix, iy, w, h, pixels, gce in frames_spec:
+        if gce is not None:
+            disp, trans, delay = gce
+            gflags = (disp & 7) << 2 | (1 if trans is not None else 0)
+            gif += b"\x21\xf9\x04" + bytes([gflags]) + struct.pack("<H", delay)
+            gif += bytes([trans if trans is not None else 0, 0])
+        gif += b"\x2c" + struct.pack("<HHHHB", ix, iy, w, h, 0)
+        # min_code_size 2: clear=4, end=5, codes are 3 bits wide
+        codes = [4] + list(pixels) + [5]
+        acc = bits = 0
+        lzw = bytearray()
+        for c in codes:
+            acc |= c << bits
+            bits += 3
+            while bits >= 8:
+                lzw.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            lzw.append(acc & 0xFF)
+        gif += bytes([2, len(lzw)]) + bytes(lzw) + b"\x00"
+    gif += b"\x3b"
+    return bytes(gif)
+
+
+def test_gif_disposal_edge_cases():
+    """Disposal-method corners the r12 compositing test didn't pin:
+    disposal 3 on the FIRST frame (no previous to restore — spec-silent,
+    must not crash and must keep compositing), disposal values 4-7
+    (reserved — treated as leave-in-place), a transparent index pointing
+    OUTSIDE the palette, and a sub-rect overflowing the canvas edge
+    (clipped, not wrapped)."""
+    from nutch_spark.datapipe.mediacodec import (
+        decode_gray_pixels,
+        extract_gif_frames,
+    )
+
+    # disposal 3 on frame 0, then a patch: restore-previous with no
+    # previous falls back to the pre-frame canvas (background)
+    p = _gce_gif(
+        [
+            ((0), 0, 2, 1, [2, 2], (3, None, 1)),
+            ((0), 0, 1, 1, [3], (1, None, 1)),
+        ]
+    )
+    out = extract_gif_frames(p)
+    assert out is not None and out["n_frames"] == 2
+    c = [decode_gray_pixels(f)[2] for f in out["frames"]]
+    assert c[0] == [[120, 120]]  # frame 0 painted idx 2 = gray 120
+    # frame 1: canvas was restored to pre-frame-0 state (bg idx 1 = 60),
+    # then the 1x1 patch idx 3 = 180 painted at x=0
+    assert c[1] == [[180, 60]]
+
+    # reserved disposal 5: must behave like leave-in-place, not raise
+    p = _gce_gif(
+        [
+            ((0), 0, 2, 1, [2, 3], (5, None, 1)),
+            ((0), 0, 1, 1, [0], (1, None, 1)),
+        ]
+    )
+    out = extract_gif_frames(p)
+    assert out is not None
+    c = [decode_gray_pixels(f)[2] for f in out["frames"]]
+    assert c[1] == [[0, 180]]  # frame 0's right pixel survived
+
+    # transparent index beyond the 4-entry palette: nothing matches it,
+    # every pixel paints
+    p = _gce_gif(
+        [
+            ((0), 0, 2, 1, [2, 2], (1, 200, 1)),
+            ((0), 0, 2, 1, [3, 3], (1, 200, 1)),
+        ]
+    )
+    out = extract_gif_frames(p)
+    assert out is not None
+    c = [decode_gray_pixels(f)[2] for f in out["frames"]]
+    assert c[1] == [[180, 180]]
+
+    # sub-rect hanging off the canvas right edge: the in-canvas part
+    # paints, the overflow clips (no wraparound to the next row)
+    p = _gce_gif(
+        [
+            ((0), 0, 2, 1, [2, 2], (1, None, 1)),
+            ((1), 0, 2, 1, [3, 3], (1, None, 1)),
+        ]
+    )
+    out = extract_gif_frames(p)
+    if out is not None:  # a walker may also reject the lying rect outright
+        c = [decode_gray_pixels(f)[2] for f in out["frames"]]
+        assert c[1][0][1] == 180 and c[1][0][0] == 120
