@@ -321,6 +321,186 @@ def parse_mp3_info(payload: bytes) -> dict | None:
     return None
 
 
+def parse_mp3_sideinfo(payload: bytes, *, max_frames: int = 4096) -> dict | None:
+    """MPEG-1 Layer III (MP3) frame walk + side-information parse
+    (ISO/IEC 11172-3 §2.4.1.7). Every field here is a FIXED-WIDTH bit
+    field fully specified by the section's syntax table — unlike the
+    sample reconstruction, whose Huffman / requantization tables are
+    normative numeric data and stay scoped out (see
+    ``decode_mpeg_audio_samples``) — so .mp3 payloads get an exact frame
+    census and a STREAM-LEVEL content signature without any table risk.
+
+    Returns None for non-MPEG-1-Layer-III input, else::
+
+        {"format": "mp3", "sample_rate", "n_channels", "n_frames",
+         "duration_s",            # exact: n_frames * 1152 / rate
+         "vbr",                   # True when frame bitrates differ
+         "bitrate_kbps",          # first frame's
+         "stream_sig",            # 60-bit md5 of every frame's
+                                  # header+side-info bytes (CRC words
+                                  # excluded) — identical encoded
+                                  # streams match even when ID3 tags or
+                                  # trailing junk differ, so MP3s join
+                                  # EXACT stream dedup without decode
+         "frames"}                # per-frame parsed side-info dicts
+
+    Each ``frames`` entry: main_data_begin, scfsi (per channel), and per
+    (granule, channel): part2_3_length, big_values, global_gain,
+    scalefac_compress, window_switching, block_type, mixed_block,
+    table_select, subblock_gain, region0_count, region1_count, preflag,
+    scalefac_scale, count1table_select. Hostile-input posture: the same
+    two-consecutive-header confirmation as ``decode_mpeg_audio_samples``
+    before accepting a sync, forbidden field combinations (window
+    switching with block_type 0, big_values > 288) stop the walk, frame
+    count caps at ``max_frames``, and a mid-stream rate/channel change
+    ends the census at the consistent prefix."""
+    import hashlib
+
+    n = len(payload)
+    pos = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+
+    def _hdr(p: int):
+        """Parsed MPEG-1 Layer III header at p, or None."""
+        if p + 4 > n or payload[p] != 0xFF:
+            return None
+        b1, b2, b3 = payload[p + 1], payload[p + 2], payload[p + 3]
+        if (b1 & 0xF8) != 0xF8 or (b1 >> 1) & 0x3 != 1:  # MPEG-1, Layer III
+            return None
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        kbps = _MP3_BITRATES_V1L3[br_idx]
+        rate = _MPEG1_RATES[sr_idx]
+        mode = (b3 >> 6) & 0x3
+        return {
+            "kbps": kbps,
+            "rate": rate,
+            "sr_idx": sr_idx,
+            "pad": (b2 >> 1) & 0x1,
+            "crc": b1 & 1 == 0,  # protection_bit 0 = CRC present
+            "nch": 1 if mode == 3 else 2,
+            "flen": 144 * kbps * 1000 // rate + ((b2 >> 1) & 0x1),
+        }
+
+    # bounded sync scan, accepted only with a second consistent header
+    # (or sync at stream start for single-frame payloads)
+    scan_start = pos
+    limit = min(n - 4, pos + 4096)
+    first = None
+    while pos <= limit:
+        h = _hdr(pos)
+        if h is not None:
+            nxt = pos + h["flen"]
+            h2 = _hdr(nxt) if nxt + 4 <= n else None
+            if h2 is not None and h2["sr_idx"] == h["sr_idx"]:
+                first = pos
+                break
+            if nxt + 4 > n and pos == scan_start:
+                first = pos
+                break
+        pos += 1
+    if first is None:
+        return None
+
+    frames: list[dict] = []
+    sig = hashlib.md5()
+    rate = nch = None
+    vbr = False
+    kbps0 = None
+    pos = first
+    while pos + 4 <= n and len(frames) < max_frames:
+        h = _hdr(pos)
+        if h is None:
+            break
+        if rate is None:
+            rate, nch, kbps0 = h["rate"], h["nch"], h["kbps"]
+        elif h["rate"] != rate or h["nch"] != nch:
+            break  # parameter change mid-stream: keep the consistent prefix
+        if h["kbps"] != kbps0:
+            vbr = True
+        off = pos + 4
+        if h["crc"]:
+            off += 2  # CRC word rides OUTSIDE the signature
+        si_len = 17 if nch == 1 else 32
+        if off + si_len > n:
+            break
+        si = payload[off : off + si_len]
+        br = _FlacBits(si, 0)
+        fr: dict = {"main_data_begin": br.read(9)}
+        br.read(5 if nch == 1 else 3)  # private_bits
+        fr["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+        ok = True
+        grs = []
+        for _gr in range(2):
+            for _ch in range(nch):
+                g = {
+                    "part2_3_length": br.read(12),
+                    "big_values": br.read(9),
+                    "global_gain": br.read(8),
+                    "scalefac_compress": br.read(4),
+                    "window_switching": br.read(1),
+                }
+                if g["big_values"] is None or g["big_values"] > 288:
+                    ok = False
+                    break
+                if g["window_switching"]:
+                    g["block_type"] = br.read(2)
+                    g["mixed_block"] = br.read(1)
+                    g["table_select"] = [br.read(5) for _ in range(2)]
+                    g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                    g["region0_count"] = None
+                    g["region1_count"] = None
+                    if g["block_type"] == 0:  # forbidden (§2.4.1.7)
+                        ok = False
+                        break
+                else:
+                    g["block_type"] = 0
+                    g["mixed_block"] = 0
+                    g["table_select"] = [br.read(5) for _ in range(3)]
+                    g["region0_count"] = br.read(4)
+                    g["region1_count"] = br.read(3)
+                    g["subblock_gain"] = [0, 0, 0]
+                g["preflag"] = br.read(1)
+                g["scalefac_scale"] = br.read(1)
+                g["count1table_select"] = br.read(1)
+                if g["count1table_select"] is None:
+                    ok = False
+                    break
+                grs.append(g)
+            if not ok:
+                break
+        if not ok:
+            break
+        fr["granules"] = grs
+        frames.append(fr)
+        sig.update(payload[pos : pos + 4])
+        sig.update(si)
+        pos += h["flen"]
+    if not frames:
+        return None
+    n_samples = 1152 * len(frames)
+    return {
+        "format": "mp3",
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "n_frames": len(frames),
+        "duration_s": n_samples / rate,
+        "vbr": vbr,
+        "bitrate_kbps": int(kbps0),
+        "stream_sig": int(sig.hexdigest()[:15], 16),
+        "frames": frames,
+    }
+
+
 def parse_flac_streaminfo(payload: bytes) -> dict | None:
     """FLAC STREAMINFO header parse (format spec §9.1 — the first metadata
     block is mandatory and always STREAMINFO): sample rate (20 bits),

@@ -1040,3 +1040,121 @@ def test_gif_disposal_edge_cases():
     if out is not None:  # a walker may also reject the lying rect outright
         c = [decode_gray_pixels(f)[2] for f in out["frames"]]
         assert c[1][0][1] == 180 and c[1][0][0] == 120
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III side-information walk (round 13): field-exact round-trip
+# against the planted generator + the same hostile-bytes posture as the
+# Layer I/II decoder
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_sideinfo_field_roundtrip():
+    """Every §2.4.1.7 field the generator packs must come back exactly —
+    all 16 classes (mono/stereo, CBR/VBR, CRC, ID3, both window modes),
+    every frame, granule, and channel."""
+    from nutch_spark.datapipe.mediacodec import parse_mp3_sideinfo
+    from nutch_spark.plans.datapipe_queries import _planted_mp3_l3
+
+    for k in range(16):
+        payload, exp = _planted_mp3_l3(k)
+        info = parse_mp3_sideinfo(payload)
+        if exp is None:
+            assert info is None
+            continue
+        assert info is not None, k
+        assert info["n_frames"] == exp["n_frames"]
+        assert info["sample_rate"] == exp["sample_rate"]
+        assert info["n_channels"] == exp["n_channels"]
+        assert info["vbr"] == exp["vbr"]
+        nch = exp["n_channels"]
+        for f, fr in enumerate(info["frames"]):
+            assert fr["main_data_begin"] == 0
+            assert fr["scfsi"] == [[0, 0, 0, 0]] * nch
+            gi = 0
+            for gr in range(2):
+                for ch in range(nch):
+                    g = fr["granules"][gi]
+                    gi += 1
+                    assert g["part2_3_length"] == (100 + 7 * f + 13 * gr + 29 * ch + k) % 4096
+                    assert g["big_values"] == (k + 3 * f + gr + ch) % 289
+                    assert g["global_gain"] == (k * 11 + f) % 256
+                    assert g["scalefac_compress"] == (k + gr) % 16
+                    wsf = 1 if (k + f + gr + ch) % 3 == 0 else 0
+                    assert g["window_switching"] == wsf
+                    if wsf:
+                        assert g["block_type"] == 1 + (k + gr) % 3
+                        assert g["mixed_block"] == (k + ch) % 2
+                        assert g["table_select"] == [(k + i) % 32 for i in range(2)]
+                        assert g["subblock_gain"] == [(f + i) % 8 for i in range(3)]
+                    else:
+                        assert g["block_type"] == 0
+                        assert g["table_select"] == [(k + i) % 32 for i in range(3)]
+                        assert g["region0_count"] == k % 16
+                        assert g["region1_count"] == (f + gr) % 8
+                    assert g["preflag"] == (k + f) % 2
+                    assert g["scalefac_scale"] == (gr + ch) % 2
+                    assert g["count1table_select"] == (k + gr + ch) % 2
+
+
+def test_mp3_sideinfo_sig_ignores_tags_and_trailing_junk():
+    """The stream signature is the ENCODED STREAM's identity: the same
+    frames with a different ID3 tag, extra trailing junk, or CRC words
+    stripped... the CRC case changes the header's protection bit so sigs
+    legitimately differ — but tag/junk variants must collide."""
+    from nutch_spark.datapipe.mediacodec import parse_mp3_sideinfo
+    from nutch_spark.plans.datapipe_queries import _planted_mp3_l3
+
+    payload, _ = _planted_mp3_l3(3)  # no ID3, no CRC class
+    base = parse_mp3_sideinfo(payload)["stream_sig"]
+    tagged = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10 + payload
+    assert parse_mp3_sideinfo(tagged)["stream_sig"] == base
+    junked = payload + b"TAGgarbage" * 3
+    assert parse_mp3_sideinfo(junked)["stream_sig"] == base
+
+
+def test_mp3_sideinfo_rejects_arbitrary_blobs():
+    """The two-consecutive-header gate: sync-looking garbage must not
+    produce a frame census (same posture as decode_mpeg_audio_samples)."""
+    from nutch_spark.datapipe.mediacodec import parse_mp3_sideinfo
+
+    assert parse_mp3_sideinfo(b"") is None
+    assert parse_mp3_sideinfo(b"\xff\xfb" + b"\x55" * 800) is None
+    assert parse_mp3_sideinfo(b"I" + b"\xff" * 64) is None
+    assert parse_mp3_sideinfo(b"RIFFxxxxWAVE" + b"\x00" * 64) is None
+
+
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.lists(st.tuples(st.integers(min_value=0), st.integers(0, 255)),
+             max_size=8),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=150,
+          deadline=None)
+def test_mp3_sideinfo_survives_mutation(cut_pct, flips):
+    """Truncations / byte-flips of a valid Layer III stream — lying
+    frame lengths, corrupted side info, forbidden block types — must
+    return None or a well-formed census, never raise."""
+    from nutch_spark.datapipe.mediacodec import parse_mp3_sideinfo
+    from nutch_spark.plans.datapipe_queries import _planted_mp3_l3
+
+    buf = bytearray(_planted_mp3_l3(5)[0])
+    for off, b in flips:
+        buf[off % len(buf)] = b
+    payload = bytes(buf[: len(buf) * cut_pct // 100])
+    info = parse_mp3_sideinfo(payload)
+    if info is not None:
+        assert 1 <= info["n_frames"] <= 4096
+        assert all(len(f["granules"]) == 2 * info["n_channels"] for f in info["frames"])
+
+
+@given(st.binary(max_size=400))
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=200,
+          deadline=None)
+def test_mp3_sideinfo_never_raises_on_hostile_bytes(junk):
+    from nutch_spark.datapipe.mediacodec import parse_mp3_sideinfo
+
+    for payload in (junk, b"\xff\xfb" + junk, b"ID3\x04\x00\x00\x00\x00\x00\x04abcd" + junk):
+        info = parse_mp3_sideinfo(payload)
+        if info is not None:
+            assert info["n_frames"] >= 1

@@ -209,6 +209,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # MP3 side-info walk: map-only Arrow stage, payload pruned elsewhere
+    "mm_mp3_sideinfo": [[r"MapInPandas|mapInPandas"],
+                        [r"CartesianProduct", r"Join", r"HashAggregate",
+                         r"Exchange"]],
     # left-outer salted join: same hot/cold Union + broadcast census as
     # the inner form — outer mode must not degrade to BNLJ/cartesian
     "dp_skew_left_join": [[r"Union", r"BroadcastHashJoin"],
