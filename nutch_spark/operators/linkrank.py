@@ -34,8 +34,25 @@ def linkrank(
     src: str = "src",
     dst: str = "dst",
     use_checkpoint: bool = True,
+    skew_buckets: int | None = None,
+    skew_hot_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Compute LinkRank scores; returns (url, score)."""
+    """Compute LinkRank scores; returns (url, score).
+
+    ``skew_buckets``: when set, the per-iteration inverter join (edge set
+    keyed by src × unique per-src scores) routes through
+    ``datapipe.skew.skew_salted_join`` — the ONE join in the crawl
+    pipeline whose left side repeats a key up to a page's out-degree, so
+    a mega-hub src (sitemap index pages, link farms) pins a reducer in
+    the plain join. The right side is unique per src, so hot-slice
+    replication costs exactly ``buckets`` rows per hot page. Keys hotter
+    than ``skew_hot_threshold`` salt; results are multiset-identical to
+    the plain join (test_linkrank asserts equality). The OTHER join
+    shapes in this family don't need salting and deliberately don't get
+    the flag: J2's update join and J4's score join are unique-key per
+    side (no key can be hot), and the hostdb/contribution rollups are
+    groupBy aggregations where Spark's partial (map-side) aggregation
+    already absorbs skew."""
     d = float(cfg.linkrank_damping)
 
     # dedup contributions per source page and per source domain (:558-597).
@@ -78,13 +95,21 @@ def linkrank(
     scores = nodes.withColumn("score", F.lit(float(cfg.linkrank_initial_score)))
     for _ in range(cfg.linkrank_iterations):
         # J5 inverter: contribution = score(src)/numOutlinks(src) (:413-494)
-        contribs = (
-            uniq.join(scores, uniq[src] == scores["url"])
-            .join(out_deg, src)
-            .select(
-                F.col(dst).alias("url"),
-                (F.col("score") / F.col("num_outlinks")).alias("contrib"),
+        if skew_buckets:
+            from nutch_spark.datapipe.skew import skew_salted_join
+
+            joined = skew_salted_join(
+                uniq,
+                scores.withColumnRenamed("url", src),
+                [src],
+                buckets=skew_buckets,
+                hot_threshold=skew_hot_threshold,
             )
+        else:
+            joined = uniq.join(scores, uniq[src] == scores["url"]).drop("url")
+        contribs = joined.join(out_deg, src).select(
+            F.col(dst).alias("url"),
+            (F.col("score") / F.col("num_outlinks")).alias("contrib"),
         )
         agg = contribs.groupBy("url").agg(F.sum("contrib").alias("contrib_sum"))
         scores = (
