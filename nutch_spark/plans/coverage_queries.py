@@ -421,6 +421,76 @@ def st_hostdb_state(spark, sf_dir):
 
 
 @q(
+    "st_stream_join",
+    """
+    -- Stream-stream fetch/parse interval join, batch-path oracle: even
+    -- event_ids become a fetch AND a parse event (parse delayed by
+    -- event_id % 60 minutes), odd ids become parses with no fetch twin —
+    -- so exactly the even rows whose delay <= 30 min survive the
+    -- [fetch_time, fetch_time + 30 min] window.
+    WITH f AS (
+      SELECT 'u' || CAST(event_id AS VARCHAR) AS url,
+             CAST(ts AS TIMESTAMP) AS fetch_time,
+             event_type AS status
+      FROM events WHERE event_id % 2 = 0
+    ),
+    p AS (
+      SELECT 'u' || CAST(event_id AS VARCHAR) AS url,
+             CAST(ts AS TIMESTAMP) + (event_id % 60) * INTERVAL 1 MINUTE
+               AS parse_time,
+             CAST(event_id % 7 AS INT) AS n_outlinks
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'x' || CAST(event_id AS VARCHAR),
+             CAST(ts AS TIMESTAMP),
+             CAST(event_id % 7 AS INT)
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT f.url, f.fetch_time, f.status, p.parse_time, p.n_outlinks,
+           date_diff('second', f.fetch_time, p.parse_time) AS parse_lag_s
+    FROM f JOIN p ON f.url = p.url
+     AND p.parse_time >= f.fetch_time
+     AND p.parse_time <= f.fetch_time + INTERVAL 30 MINUTE
+    """,
+)
+def st_stream_join(spark, sf_dir):
+    """Stream-stream interval join (§2.8,
+    streaming/continuous.fetch_parse_join): correlate each fetch with
+    the parse it produced within a bounded event-time window — the
+    two-stream state shape Structured Streaming requires BOTH watermarks
+    and a time-bounded predicate for, so per-side state evicts at the
+    other side's watermark + max_delay instead of growing with the
+    stream. The reference couples fetch and parse by segment-directory
+    convention (FetcherThread writes crawl_fetch, ParseSegment reads it);
+    on a stream this join IS that contract. Batch path certified here;
+    test_streaming drives the identical plan under readStream."""
+    from nutch_spark.streaming import fetch_parse_join
+
+    ev = t(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("fetch_time"),
+        F.col("event_type").alias("status"),
+    )
+    p = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+            F.expr("timestampadd(MINUTE, event_id % 60, ts)").alias("parse_time"),
+            (F.col("event_id") % 7).cast("int").alias("n_outlinks"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 2 == 1).select(
+                F.concat(F.lit("x"), F.col("event_id").cast("string")).alias("url"),
+                F.col("ts").alias("parse_time"),
+                (F.col("event_id") % 7).cast("int").alias("n_outlinks"),
+            )
+        )
+    )
+    return fetch_parse_join(f, p, max_delay_s=1800)
+
+
+@q(
     "j2_gone_schedule",
     """
     WITH base AS (

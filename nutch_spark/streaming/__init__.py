@@ -5,6 +5,7 @@ watermark/window/stateful primitives over the same tables.
 
 from nutch_spark.streaming.continuous import (
     continuous_crawl,
+    fetch_parse_join,
     fetch_rate_windows,
     streaming_hostdb,
     streaming_dedup,
@@ -13,4 +14,4 @@ from nutch_spark.streaming.continuous import (
     streaming_video_dedup,
 )
 
-__all__ = ["continuous_crawl", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_hostdb", "streaming_image_dedup", "streaming_video_dedup"]
+__all__ = ["continuous_crawl", "fetch_parse_join", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_hostdb", "streaming_image_dedup", "streaming_video_dedup"]

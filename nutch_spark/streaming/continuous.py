@@ -54,6 +54,63 @@ def fetch_rate_windows(
     )
 
 
+def fetch_parse_join(
+    fetch_log: DataFrame,
+    parse_log: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_delay_s: int = 1800,
+) -> DataFrame:
+    """Stream-stream correlation of the fetch stream with the parse
+    stream: one row per (url, fetch, parse) where the parse event lands
+    within ``[fetch_time, fetch_time + max_delay_s]`` — the crawl
+    observability join ("which fetches produced a parse, and how late")
+    that in the reference is a segment-directory convention
+    (crawl_fetch/ and parse_data/ written by the same task,
+    FetcherThread → ParseSegment) and on a stream is Structured
+    Streaming's canonical two-stream state shape.
+
+    Stream-stream inner joins hold BOTH sides in state until the other
+    side can no longer match: that is only bounded if (a) both sides are
+    watermarked and (b) the join condition bounds event-time distance —
+    this plan does both, so fetch state evicts once the parse watermark
+    passes ``fetch_time + max_delay_s`` and parse state symmetrically.
+    Batch fallback: the identical join predicate (tests + the driver's
+    oracle certify on the batch path; the streaming path runs the same
+    plan under readStream).
+
+    Output: (url, fetch_time, status, parse_time, n_outlinks,
+    parse_lag_s). 100 TB: both sides shuffle once on url; state is the
+    watermark horizon's worth of rows per side, not the stream."""
+    f = fetch_log
+    p = parse_log
+    if f.isStreaming:
+        f = f.withWatermark("fetch_time", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("parse_time", watermark)
+    f = f.alias("f")
+    p = p.alias("p")
+    cond = (
+        (F.col("f.url") == F.col("p.url"))
+        & (F.col("p.parse_time") >= F.col("f.fetch_time"))
+        & (
+            F.col("p.parse_time")
+            <= F.col("f.fetch_time")
+            + F.expr(f"INTERVAL {int(max_delay_s)} SECONDS")
+        )
+    )
+    return f.join(p, cond, "inner").select(
+        F.col("f.url").alias("url"),
+        F.col("f.fetch_time").alias("fetch_time"),
+        F.col("f.status").alias("status"),
+        F.col("p.parse_time").alias("parse_time"),
+        F.col("p.n_outlinks").alias("n_outlinks"),
+        (
+            F.unix_timestamp("p.parse_time") - F.unix_timestamp("f.fetch_time")
+        ).alias("parse_lag_s"),
+    )
+
+
 def streaming_dedup(
     fetch_log: DataFrame,
     *,

@@ -297,3 +297,56 @@ def test_streaming_video_dedup_end_to_end(spark, tmp_path):
     # non-video and NULL payloads pass through with NULL signatures
     assert 5 in survivors and out[5]["video_sig"] is None
     assert 6 in survivors and out[6]["video_sig"] is None
+
+
+def test_fetch_parse_join_batch_and_stream(spark, tmp_path):
+    """fetch_parse_join: batch path matches the hand-computed interval
+    join; the IDENTICAL plan executes as a real stream-stream join under
+    readStream (both sides watermarked — Spark rejects unbounded
+    stream-stream state outright, so a successful run proves the state
+    bound)."""
+    from nutch_spark.streaming import fetch_parse_join
+
+    f_rows = [
+        ("u1", T0, "fetch_success"),
+        ("u2", T0 + datetime.timedelta(minutes=5), "fetch_success"),
+        ("u3", T0, "fetch_gone"),
+    ]
+    p_rows = [
+        ("u1", T0 + datetime.timedelta(minutes=10), 4),   # in window
+        ("u1", T0 + datetime.timedelta(minutes=40), 9),   # past max_delay
+        ("u2", T0 + datetime.timedelta(minutes=4), 2),    # BEFORE fetch
+        ("u2", T0 + datetime.timedelta(minutes=6), 3),    # in window
+        ("ux", T0, 1),                                     # no fetch twin
+    ]
+    F_SCHEMA = "url string, fetch_time timestamp, status string"
+    P_SCHEMA = "url string, parse_time timestamp, n_outlinks int"
+    f = spark.createDataFrame(f_rows, F_SCHEMA)
+    p = spark.createDataFrame(p_rows, P_SCHEMA)
+    got = {
+        (r["url"], r["parse_lag_s"], r["n_outlinks"])
+        for r in fetch_parse_join(f, p, max_delay_s=1800).collect()
+    }
+    assert got == {("u1", 600, 4), ("u2", 60, 3)}
+
+    # real streaming execution: two file sources -> memory sink
+    fdir, pdir = str(tmp_path / "f"), str(tmp_path / "p")
+    f.coalesce(1).write.mode("overwrite").parquet(fdir)
+    p.coalesce(1).write.mode("overwrite").parquet(pdir)
+    fs = spark.readStream.schema(f.schema).parquet(fdir)
+    ps = spark.readStream.schema(p.schema).parquet(pdir)
+    assert fs.isStreaming and ps.isStreaming
+    q = (
+        fetch_parse_join(fs, ps, watermark="1 minute", max_delay_s=1800)
+        .writeStream.format("memory")
+        .queryName("fpj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["url"], r["parse_lag_s"], r["n_outlinks"])
+        for r in spark.sql("SELECT * FROM fpj").collect()
+    }
+    assert streamed == got
