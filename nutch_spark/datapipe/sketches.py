@@ -229,3 +229,92 @@ def count_min_lookup(
     return joined.groupBy(F.col("_qv").alias(value)).agg(
         F.min("counter").alias("freq_est")
     )
+
+
+def _bloom_pos(i: Column, value: Column, m_bits: int) -> Column:
+    """Bit position of ``value`` under hash index ``i``: the count-min
+    bucket function reused verbatim (md5(i ':' value) mod m) — ONE
+    definition for build and lookup, the same underestimate-prevention
+    rule as ``_cm_bucket``."""
+    return _cm_bucket(i, value, m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    value: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[value]`` as 64-bit words:
+    ``(word_idx int, word long)``, one row per NON-ZERO word (sparse —
+    the dense filter is m_bits/63 longs; words hold 63 bits so the sign
+    bit is never set — DuckDB's BIGINT shift rejects 1 << 63, and the
+    whole point of these sketches is exact cross-engine reproduction).
+    Each value sets bit md5(i ':' value) % m for i < k_hashes: one
+    explode + one
+    partial-aggregated bit_or groupBy, order-independent and exactly
+    reproducible cross-engine (Bloom 1970 — the classic membership
+    sketch; md5 arithmetic instead of an engine-private format so a
+    DuckDB/Trino twin builds the IDENTICAL words).
+
+    100 TB role: the crawl frontier's seen-URL set. An exact anti-join
+    of candidates against 10^11 crawled URLs shuffles both sides; the
+    filter is ≤ m/64 longs, BROADCASTS, and answers "definitely new"
+    with zero false negatives — only the (tunable, ≈(1-e^(-kn/m))^k)
+    false-positive slice needs the exact check."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_i")
+    bits = (
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(value).alias("_v"))
+        .select("_v", idx)
+        .select(_bloom_pos(F.col("_i"), F.col("_v"), m_bits).alias("_pos"))
+        .select(
+            F.floor(F.col("_pos") / 63).cast("int").alias("word_idx"),
+            # SQL expr: the Python shiftleft() helper only takes a
+            # literal shift amount, not a Column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 63) AS INT))").alias("_bit"),
+        )
+    )
+    return bits.groupBy("word_idx").agg(
+        F.expr("bit_or(_bit)").alias("word")
+    )
+
+
+def bloom_lookup(
+    bloom: DataFrame,
+    queries: DataFrame,
+    value: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: ``(value, maybe_present)`` — True iff ALL
+    k bits are set (possibly a false positive, NEVER a false negative).
+    The filter broadcasts; probing never touches the original data."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_i")
+    q = (
+        queries.filter(F.col(value).isNotNull())
+        .select(F.col(value).alias("_qv"))
+        .distinct()
+        .select("_qv", idx)
+        .select(
+            "_qv",
+            _bloom_pos(F.col("_i"), F.col("_qv"), m_bits).alias("_pos"),
+        )
+        .select(
+            "_qv",
+            F.floor(F.col("_pos") / 63).cast("int").alias("word_idx"),
+            F.pmod(F.col("_pos"), F.lit(63)).cast("int").alias("_b"),
+        )
+    )
+    joined = q.join(F.broadcast(bloom), "word_idx", "left").select(
+        "_qv",
+        F.coalesce(
+            F.expr("shiftright(word, _b)").bitwiseAND(F.lit(1).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("_hit"),
+    )
+    return joined.groupBy(F.col("_qv").alias(value)).agg(
+        (F.min("_hit") == 1).alias("maybe_present")
+    )

@@ -2491,6 +2491,71 @@ def dp_countmin_freq(spark, sf_dir):
     return count_min_lookup(sketch, queries, "val", width=1024, depth=4)
 
 
+@q(
+    "dp_bloom_frontier",
+    """
+    -- Bloom-filter membership over the seen-URL set (even doc_ids),
+    -- probed with half-seen half-unseen URLs. m=2048 bits is sized so a
+    -- few REAL false positives occur at sf >= 0.01 — deterministic md5
+    -- arithmetic, so the oracle builds the IDENTICAL 63-bit words and
+    -- reproduces every collision. Zero false negatives by construction.
+    WITH seen AS (
+      SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS v
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    idx AS (SELECT CAST(unnest(range(4)) AS INT) AS i),
+    pos AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
+                       AS UBIGINT) % 2048 AS INT) AS p
+      FROM seen CROSS JOIN idx
+    ),
+    words AS (
+      SELECT CAST(p // 63 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (p % 63)) AS word
+      FROM pos GROUP BY 1
+    ),
+    q AS (
+      SELECT DISTINCT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS v
+      FROM documents WHERE doc_id % 8 < 4
+    ),
+    probe AS (
+      SELECT v,
+             CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
+                       AS UBIGINT) % 2048 AS INT) AS p
+      FROM q CROSS JOIN idx
+    )
+    SELECT v AS url,
+           min(COALESCE((w.word >> CAST(probe.p % 63 AS INT)) & 1, 0)) = 1
+             AS maybe_present
+    FROM (SELECT v, p, CAST(p // 63 AS INT) AS word_idx FROM probe) probe
+    LEFT JOIN words w USING (word_idx)
+    GROUP BY v
+    """,
+)
+def dp_bloom_frontier(spark, sf_dir):
+    """Bloom-filter frontier membership (sketches.bloom_build +
+    bloom_lookup, Bloom 1970): the crawl frontier's seen-URL question at
+    100 TB — an exact anti-join against 10^11 crawled URLs shuffles both
+    sides every cycle, while the filter is <= m/63 longs, BROADCASTS,
+    and answers 'definitely new' with zero false negatives; only the
+    tunable false-positive slice needs the exact check. Reference
+    parity: CrawlDb's whole-table merge (CrawlDbFilter/Merger) is the
+    exact path; this is its sketch-mode gate. Like KMV/count-min, the
+    words are md5 arithmetic, so the oracle rebuilds the identical
+    filter bit-for-bit and reproduces every false positive."""
+    from nutch_spark.datapipe.sketches import bloom_build, bloom_lookup
+
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    seen = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    qs = d.filter(F.col("doc_id") % 8 < 4).select(url.alias("url"))
+    bloom = bloom_build(seen, "url", m_bits=2048, k_hashes=4)
+    return bloom_lookup(bloom, qs, "url", m_bits=2048, k_hashes=4)
+
+
 # crawldb-ish surface shared by the A1/A3 sketch-mode rows: documents as a
 # crawl snapshot (url from source+doc_id so host == source; status a 4-way
 # rotation; the numeric columns only so crawldb_stats' exact sections

@@ -1033,3 +1033,42 @@ def test_sketches_ignore_null_values(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted value must probe True (zero false negatives — the
+    Bloom guarantee); unseen probes may false-positive but at m=4096,
+    n=200, k=4 the rate must stay far below the ~1.5% theory bound x4
+    slack. The filter itself stays <= m/63 words."""
+    from nutch_spark.datapipe.sketches import bloom_build, bloom_lookup
+
+    seen = spark.createDataFrame(
+        [(f"https://s{i}.com/p",) for i in range(200)], "url string"
+    )
+    unseen = spark.createDataFrame(
+        [(f"https://u{i}.org/q",) for i in range(500)], "url string"
+    )
+    bloom = bloom_build(seen, "url", m_bits=4096, k_hashes=4)
+    words = bloom.collect()
+    assert len(words) <= 4096 // 63 + 1
+    assert all(w["word"] > 0 for w in words)  # sign bit never set
+
+    got_seen = bloom_lookup(bloom, seen, "url", m_bits=4096, k_hashes=4).collect()
+    assert all(r["maybe_present"] for r in got_seen) and len(got_seen) == 200
+
+    got_unseen = bloom_lookup(bloom, unseen, "url", m_bits=4096, k_hashes=4).collect()
+    fp = sum(1 for r in got_unseen if r["maybe_present"])
+    assert fp <= 30  # theory ~7.5 expected; x4 slack for hash variance
+
+
+def test_bloom_broadcast_plan(spark):
+    """The probe join must BROADCAST the filter words, never shuffle the
+    query side on word_idx."""
+    from nutch_spark.datapipe.sketches import bloom_build, bloom_lookup
+
+    seen = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    plan = (
+        bloom_lookup(bloom_build(seen, "v"), seen, "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
