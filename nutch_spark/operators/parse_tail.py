@@ -1022,10 +1022,11 @@ def _email_part_text(part) -> str:
     if ctype.startswith("multipart/"):
         return ""
     if ctype in ("text/plain", "text/html") and not part.get_filename():
+        payload = part.get_payload(decode=True) or b""
+        charset = part.get_content_charset() or "ascii"
         try:
-            body = part.get_content()
-        except Exception:  # undecodable charset/encoding → raw best effort
-            payload = part.get_payload(decode=True) or b""
+            body = payload.decode(charset)
+        except (LookupError, UnicodeDecodeError):
             body = payload.decode("utf-8", errors="replace")
         if ctype == "text/html":
             from nutch_spark.operators.parse_html import parse_html_page
@@ -1036,18 +1037,67 @@ def _email_part_text(part) -> str:
     return name or ""
 
 
+def _decode_2047(raw) -> str:
+    """RFC 2047 header decode (compat32 hands headers back raw). The
+    stdlib decode_header covers well-formed ASCII encoded words; real
+    mail also carries raw 8-bit bytes INSIDE encoded words (compat32
+    then returns a Header object with 'unknown-8bit' chunks), which the
+    fallback decodes at the bytes level the way policy.default does —
+    q/b-decode the word's raw bytes first, THEN charset-decode."""
+    import base64
+    import binascii
+    import quopri
+    from email.header import Header, decode_header, make_header
+
+    if not isinstance(raw, Header):
+        try:
+            return str(make_header(decode_header(str(raw))))
+        except Exception:  # noqa: BLE001 — fall through to the bytes path
+            pass
+    # recover the raw header bytes
+    try:
+        chunks = decode_header(raw)
+        b = b" ".join(
+            c if isinstance(c, bytes) else c.encode("utf-8")
+            for c, _cs in chunks
+        )
+    except Exception:  # noqa: BLE001
+        return str(raw)
+
+    def _word(m: "re.Match[bytes]") -> bytes:
+        cs = m.group(1).decode("ascii", "replace").split("*")[0]  # RFC 2231 lang
+        enc, payload = m.group(2), m.group(3)
+        try:
+            if enc in (b"b", b"B"):
+                data = base64.b64decode(payload + b"===")
+            else:
+                data = quopri.decodestring(payload.replace(b"_", b" "))
+            return data.decode(cs, "replace").encode("utf-8")
+        except (binascii.Error, LookupError, ValueError):
+            return m.group(0)
+
+    b = re.sub(rb"\?=[ \t]+=\?", b"?==?", b)  # RFC 2047 §6.2 ws elision
+    out = re.sub(rb"=\?([^?]+)\?([bBqQ])\?(.*?)\?=", _word, b)
+    return out.decode("utf-8", "replace")
+
+
 def extract_eml_text(data: bytes) -> tuple[str, str]:
     """One RFC 822 message → ("message/rfc822", text). The text leads with
     the RFC 2047-decoded Subject (the title slot), then From/To, then each
     MIME part's extracted text. multipart/alternative keeps only the BEST
     alternative (last-preferred = richest per RFC 2046 §5.1.4 — we prefer
     text/plain when present, else the html part's text), matching how a
-    search index wants one copy of the body, not two."""
+    search index wants one copy of the body, not two.
+
+    Parses with compat32, not policy.default: the modern EmailMessage
+    routes every header access through the structured headerregistry
+    parser, which profiled at ~6.4 ms/message — 25× the whole extraction
+    under compat32 — and this extractor only needs three RFC 2047 header
+    decodes (done explicitly) plus raw payload walks."""
     import email
-    from email import policy
 
     try:
-        msg = email.message_from_bytes(data, policy=policy.default)
+        msg = email.message_from_bytes(data)
     except Exception:
         return "message/rfc822", ""
     pieces: list[str] = []
@@ -1057,12 +1107,16 @@ def extract_eml_text(data: bytes) -> tuple[str, str]:
         except Exception:
             val = None
         if val:
-            pieces.append(str(val))
+            pieces.append(_decode_2047(val))
+
+    def _subparts(part) -> list:
+        sub = part.get_payload()
+        return sub if isinstance(sub, list) else []
 
     def walk(part) -> None:
         ctype = part.get_content_type()
         if ctype == "multipart/alternative":
-            subparts = list(part.iter_parts())
+            subparts = _subparts(part)
             chosen = None
             for sp in subparts:  # prefer text/plain, else first extractable
                 if sp.get_content_type() == "text/plain":
@@ -1074,7 +1128,7 @@ def extract_eml_text(data: bytes) -> tuple[str, str]:
                     break
             return
         if part.is_multipart():
-            for sp in part.iter_parts():
+            for sp in _subparts(part):
                 walk(sp)
             return
         txt = _email_part_text(part)
