@@ -822,3 +822,48 @@ def fix_mojibake(
     return df.withColumn(
         out_col, F.when(ok, repaired).otherwise(F.col(text))
     ).withColumn(flag_col, ok)
+
+
+def nfc_normalize(
+    df: DataFrame,
+    text: str = "text",
+    *,
+    key: str = "doc_id",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+    flag_col: str = "normalized",
+) -> DataFrame:
+    """Canonical Unicode normalization (UAX #15) — the dedup-key
+    stability stage: "café" typed as e + COMBINING ACUTE and as the
+    precomposed U+00E9 are the SAME text to a reader but different bytes
+    to every hash in the dedup family (exact md5, MinHash shingles,
+    SimHash, suffix-array grams), so un-normalized corpora leak
+    duplicate pairs. Returns the input plus ``out_col`` (the ``form``
+    normalization — NFC by default; NFD/NFKC/NFKD accepted, NFKC being
+    the compatibility fold tokenizers like SentencePiece apply) and
+    ``flag_col`` (True when normalization changed the text — the
+    corpus-health metric worth tracking per source).
+
+    This is one of the honest Python-UDF cases: Unicode normalization
+    needs the UCD decomposition/composition tables, which Spark's JVM
+    expression library doesn't expose — so it runs as an Arrow-batched
+    pandas iterator (``mapInPandas``-equivalent ``pandas_udf``), never
+    row-at-a-time. 100 TB: map-only, no shuffle; the UDF is the stage's
+    only cost and vectorizes over Arrow batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    normed = _norm(F.col(text))
+    return df.withColumn(out_col, normed).withColumn(
+        flag_col, F.col(out_col) != F.col(text)
+    )

@@ -2492,6 +2492,56 @@ def dp_countmin_freq(spark, sf_dir):
 
 
 @q(
+    "dp_unicode_nfc",
+    """
+    -- Canonical Unicode normalization, stated closed-form: per class,
+    -- a planted suffix with a KNOWN NFC form (combining acute -> e-acute,
+    -- combining ring -> A-ring; the fi ligature is COMPATIBILITY-only so
+    -- NFC must leave it; plain ASCII unchanged) — no reliance on the
+    -- oracle engine's own Unicode tables, so UCD-version drift between
+    -- engines can't flake the row. The base corpus is ASCII (verified
+    -- NFC-invariant).
+    SELECT doc_id,
+           text || CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN ' caf' || chr(233)
+             WHEN 1 THEN ' ' || chr(197) || 'ngstrom'
+             WHEN 2 THEN ' ' || chr(64257) || 'nal'
+             ELSE '' END AS text_norm,
+           doc_id % 4 IN (0, 1) AS normalized
+    FROM documents
+    """,
+)
+def dp_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (textstats.nfc_normalize, UAX #15) —
+    the dedup-key stability stage: decomposed and precomposed spellings
+    of the same text hash differently in EVERY dedup family member
+    (exact md5, MinHash shingles, SimHash, suffix grams), so corpora
+    normalize before fingerprinting. The UCD composition tables aren't
+    in Spark's JVM expression library, so this is one of the honest
+    Arrow-batched pandas_udf cases (map-only, no shuffle). Classes
+    plant: e + U+0301 (must compose to U+00E9), A + U+030A (-> U+00C5),
+    the U+FB01 ligature (compatibility-only — NFC must NOT touch it),
+    and plain ASCII; the `normalized` flag is the per-source
+    corpus-health metric."""
+    from nutch_spark.datapipe.textstats import nfc_normalize
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.element_at(
+        F.array(
+            F.lit(" cafe\u0301"),      # e + COMBINING ACUTE (decomposed)
+            F.lit(" A\u030angstrom"),   # A + COMBINING RING (decomposed)
+            F.lit(" \ufb01nal"),         # fi ligature: NFC-invariant
+            F.lit(""),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return nfc_normalize(planted).select("doc_id", "text_norm", "normalized")
+
+
+@q(
     "dp_bloom_frontier",
     """
     -- Bloom-filter membership over the seen-URL set (even doc_ids),

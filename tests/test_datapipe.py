@@ -1072,3 +1072,30 @@ def test_bloom_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_nfc_normalize_forms_and_flag(spark):
+    from nutch_spark.datapipe.textstats import nfc_normalize
+
+    rows = [
+        (0, "café"),      # decomposed -> composes
+        (1, "café"),       # already NFC -> untouched
+        (2, "ﬁne"),         # ligature: NFC keeps, NFKC folds
+        (3, None),               # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    nfc = {r["doc_id"]: (r["text_norm"], r["normalized"])
+           for r in nfc_normalize(df).collect()}
+    assert nfc[0] == ("café", True)
+    assert nfc[1] == ("café", False)
+    assert nfc[2] == ("ﬁne", False)
+    assert nfc[3] == (None, None)  # null text: no claim either way
+
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in nfc_normalize(df, form="NFKC").collect()}
+    assert nfkc[2] == "fine"  # compatibility fold expands the ligature
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        nfc_normalize(df, form="NFX")
