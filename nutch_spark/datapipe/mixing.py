@@ -202,3 +202,73 @@ def shard_balance(
     if weight is not None:
         out = out.withColumn("total_weight", F.coalesce("total_weight", F.lit(0)))
     return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-source token-budget sampling — "take ~N tokens from every
+    source": documents are ordered by a deterministic per-document hash
+    (reproducible, shard-stable — NOT by quality or length, which would
+    bias the sample) and taken while the source's running token total
+    stays within ``budget_tokens``; the first document that CROSSES the
+    budget is still kept, so every source with any data contributes at
+    least one document and the overshoot is bounded by one document.
+
+    Output: (key, group, n_tokens, cum_tokens) for the kept documents.
+
+    100 TB shape: one window cumsum keyed on the source — a single
+    shuffle; the window sort is external/spillable. The hash order makes
+    the sample identical across runs, partitionings, and engines (the
+    oracle recomputes it)."""
+    n_tok = F.size(F.filter(F.split(F.col(text), r"\s+"), lambda t: t != ""))
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),
+        F.col(key),
+    )
+    staged = df.select(
+        F.col(key), F.col(group), n_tok.alias("n_tokens")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # keep while the PREVIOUS cumsum was under budget: the crossing doc
+    # stays, everything after it goes
+    return staged.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+    )
+
+
+def quality_bins(
+    df: DataFrame,
+    score: Column | str,
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Curriculum / ablation binning: rank documents by a quality score
+    WITHIN each source and cut into ``n_bins`` equal-frequency bins
+    (ntile) — the standard shape for quality-threshold ablations
+    ("train on the top 3 deciles") and curricula ("feed bins in
+    order"). Per-source, not global: sources have different score
+    distributions, and a global cut would just re-discover the source
+    boundaries. Ties break on the document key so the binning is total
+    and engine-exact.
+
+    Output: (key, group, score, bin) with bin in [1, n_bins].
+
+    100 TB shape: one window rank per source — a single keyed shuffle,
+    same cost class as any per-source rollup."""
+    s = F.col(score) if isinstance(score, str) else score
+    staged = df.select(F.col(key), F.col(group), s.alias("score"))
+    w = Window.partitionBy(group).orderBy(
+        F.col("score").desc(), F.col(key).asc()
+    )
+    return staged.withColumn("bin", F.ntile(n_bins).over(w))

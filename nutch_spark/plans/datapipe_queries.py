@@ -2492,6 +2492,71 @@ def dp_countmin_freq(spark, sf_dir):
 
 
 @q(
+    "dp_token_budget",
+    f"""
+    -- Per-source token-budget sampling: md5-ordered docs taken while the
+    -- source's running token total stays under 600; the crossing doc is
+    -- kept (every source contributes, overshoot bounded by one doc).
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS INT) AS n_tokens,
+             md5('budget' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 600
+    """,
+)
+def dp_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (mixing.token_budget_sample) —
+    "take ~N tokens from every source", the unit training mixtures are
+    actually specified in: docs order by a deterministic per-doc hash
+    (NOT quality/length — that would bias the sample) and accumulate
+    until the source's budget crosses; the crossing doc stays. One
+    window cumsum keyed on source = a single shuffle at 100 TB, and the
+    hash order makes the sample identical across runs, partitionings,
+    and engines — which is exactly what the oracle certifies."""
+    from nutch_spark.datapipe.mixing import token_budget_sample
+
+    d = t(spark, sf_dir, "documents")
+    return token_budget_sample(d, 600)
+
+
+@q(
+    "dp_quality_bins",
+    """
+    -- Per-source equal-frequency quality deciles (ntile), score =
+    -- text length, ties broken on doc_id so the binning is total.
+    SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY length(text) DESC, doc_id) AS INT)
+             AS bin
+    FROM documents
+    """,
+)
+def dp_quality_bins(spark, sf_dir):
+    """Curriculum / ablation binning (mixing.quality_bins): rank by a
+    quality score WITHIN each source, cut into 10 equal-frequency bins —
+    the shape behind "train on the top 3 deciles" ablations and ordered
+    curricula. Per-source because score distributions differ by source;
+    a global cut would re-discover the source boundaries. ntile's
+    remainder rule (first bins get the extra row) is the SQL standard on
+    both engines, and the doc_id tie-break makes it total. One window
+    per source = one keyed shuffle at 100 TB."""
+    from nutch_spark.datapipe.mixing import quality_bins
+
+    d = t(spark, sf_dir, "documents")
+    return quality_bins(d, F.length("text").cast("long"))
+
+
+@q(
     "dp_unicode_nfc",
     """
     -- Canonical Unicode normalization, stated closed-form: per class,

@@ -1099,3 +1099,33 @@ def test_nfc_normalize_forms_and_flag(spark):
 
     with pytest.raises(ValueError):
         nfc_normalize(df, form="NFX")
+
+
+def test_token_budget_sample_semantics(spark):
+    """Every source contributes; the crossing doc is kept; overshoot is
+    bounded by one document; order is the deterministic hash order."""
+    from nutch_spark.datapipe.mixing import token_budget_sample
+
+    rows = [(i, "a" if i < 6 else "b", "w " * 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = token_budget_sample(df, 25).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # 10 tokens per doc, budget 25: kept docs are those whose PREVIOUS
+    # cumsum < 25 -> cum 10, 20, 30 kept; 40 dropped
+    assert sorted(r["cum_tokens"] for r in by_src["a"]) == [10, 20, 30]
+    assert sorted(r["cum_tokens"] for r in by_src["b"]) == [10, 20, 30]
+    # tiny budget: still one doc per source
+    got1 = token_budget_sample(df, 1).collect()
+    assert sorted(r["source"] for r in got1) == ["a", "b"]
+
+
+def test_quality_bins_ntile(spark):
+    from nutch_spark.datapipe.mixing import quality_bins
+
+    rows = [(i, "s", float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, q double")
+    got = {r["doc_id"]: r["bin"] for r in quality_bins(df, "q", n_bins=5).collect()}
+    # scores strictly decreasing with doc_id -> bins follow doc order
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 5, 9: 5}
