@@ -209,6 +209,21 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # NFC normalization: map-only Arrow-batched pandas_udf, no shuffle
+    "dp_unicode_nfc": [[r"ArrowEvalPython|BatchEvalPython"],
+                       [r"Exchange", r"Join", r"CartesianProduct"]],
+    # token-budget sample: ONE keyed window cumsum, no join
+    "dp_token_budget": [[r"Window"],
+                        [r"Join", r"CartesianProduct"]],
+    # quality deciles: ONE keyed ntile window, no join
+    "dp_quality_bins": [[r"Window"],
+                        [r"Join", r"CartesianProduct"]],
+    # Bloom frontier: bit_or hash agg to build, BROADCAST probe join
+    "dp_bloom_frontier": [[r"HashAggregate", r"BroadcastHashJoin"],
+                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # stream-stream join's batch twin: an equi+range join, never a cross
+    "st_stream_join": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                       [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # MP3 side-info walk: map-only Arrow stage, payload pruned elsewhere
     "mm_mp3_sideinfo": [[r"MapInPandas|mapInPandas"],
                         [r"CartesianProduct", r"Join", r"HashAggregate",
