@@ -272,3 +272,34 @@ def quality_bins(
         F.col("score").desc(), F.col(key).asc()
     )
     return staged.withColumn("bin", F.ntile(n_bins).over(w))
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    n: int,
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Fixed-size per-group sample: exactly ``min(n, |group|)`` rows from
+    every group, chosen by deterministic hash rank — the eval-set /
+    inspection-sample constructor ("give me 100 docs from every source"),
+    complementing ``hash_sample``'s fraction-based draw. Hash order makes
+    the sample reproducible across runs, partitionings, and engines, and
+    adding MORE data to a group only swaps members in/out at the hash
+    boundary rather than reshuffling the whole sample.
+
+    100 TB shape: one window rank per group whose ``row_number <= n``
+    filter compiles to WindowGroupLimit — each partition keeps at most n
+    rows per group BEFORE the shuffle, so a billion-row group costs n
+    rows of state, not a full sort buffer."""
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),
+        F.col(key),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

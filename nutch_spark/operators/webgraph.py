@@ -106,3 +106,48 @@ def link_dump(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         ).alias("inlink"),
     )
     return joined.groupBy("url").agg(F.array_sort(F.collect_list("inlink")).alias("inlinks"))
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_outlinks: int = 1000,
+) -> DataFrame:
+    """Co-citation similarity: pairs of pages CITED TOGETHER — (a, b)
+    with the number of distinct sources linking to BOTH. The classic
+    link-graph relatedness/spam signal (co-cited pages are topically
+    related; link farms co-cite their whole roster), and the graph twin
+    of the dedup family's shared-shingle join.
+
+    Scale shape: self-join on the SOURCE key — the same inverted-index
+    pattern as ngram_jaccard_pairs, with the same quadratic-hot-bucket
+    guard: a source with more than ``max_outlinks`` distinct targets is
+    dropped BEFORE the join (a directory/sitemap page that links to
+    everything co-cites everything — its pairs are noise and its cost is
+    |outlinks|²). Pair volume is bounded by Σ min(deg, cap)² over
+    sources, never |edges|². One groupBy on the pair closes it.
+
+    Output: (url_a, url_b, common_sources), url_a < url_b."""
+    e = edges.select(src, dst).dropDuplicates([src, dst])
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    bounded = e.join(
+        F.broadcast(deg.filter(F.col("_d") > max_outlinks).select(src)),
+        src,
+        "left_anti",
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{src}") == F.col(f"b.{src}"))
+            & (F.col(f"a.{dst}") < F.col(f"b.{dst}")),
+        )
+        .groupBy(
+            F.col(f"a.{dst}").alias("url_a"), F.col(f"b.{dst}").alias("url_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_sources"))
+        .filter(F.col("common_sources") >= min_common)
+    )

@@ -2530,6 +2530,35 @@ def dp_token_budget(spark, sf_dir):
 
 
 @q(
+    "dp_stratified_n",
+    """
+    -- Fixed-n per-source sample by deterministic md5 rank: exactly
+    -- min(8, |source|) docs per source, reproducible in any engine.
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('strata' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 8
+    """,
+)
+def dp_stratified_n(spark, sf_dir):
+    """Fixed-size stratified sampling (mixing.stratified_sample_n) —
+    "give me exactly N docs from every source" for eval sets and
+    inspection samples, complementing f8_hash_sample's fraction draw.
+    Hash rank makes the sample reproducible across runs/partitionings/
+    engines, and growing a source only swaps members at the hash
+    boundary. The row_number <= n filter compiles to WindowGroupLimit:
+    at most n rows per source survive per partition BEFORE the shuffle,
+    so a billion-row source costs n rows of state (plan-audited)."""
+    from nutch_spark.datapipe.mixing import stratified_sample_n
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_n(d, 8)
+
+
+@q(
     "dp_quality_bins",
     """
     -- Per-source equal-frequency quality deciles (ntile), score =

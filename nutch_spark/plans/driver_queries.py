@@ -784,6 +784,44 @@ def a7_degrees(spark, sf_dir):
     return node_degrees(edges)
 
 
+@q(
+    "g_cocitation",
+    """
+    -- Co-citation: parts cited together by the same source (order),
+    -- >= 2 common sources; sources above the 1000-outlink cap are
+    -- dropped BEFORE the self-join (none at this SF — semantics pinned,
+    -- cost guard exercised at scale).
+    WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+    hot AS (SELECT src FROM e GROUP BY src HAVING count(*) > 1000),
+    b AS (SELECT * FROM e WHERE src NOT IN (SELECT src FROM hot)),
+    p AS (
+      SELECT a.dst AS url_a, b2.dst AS url_b, count(*) AS common_sources
+      FROM b a JOIN b b2 ON a.src = b2.src AND a.dst < b2.dst
+      GROUP BY 1, 2
+    )
+    SELECT url_a, url_b, common_sources FROM p WHERE common_sources >= 2
+    """,
+)
+def g_cocitation(spark, sf_dir):
+    """Co-citation pairs (webgraph.cocitation_pairs): pages cited
+    together by the same source — the classic link-graph relatedness /
+    link-farm signal, and the graph twin of the shared-shingle dedup
+    join. Same inverted-index shape as ngram_jaccard_pairs with the
+    same quadratic-hot-bucket guard: a source above ``max_outlinks``
+    distinct targets (directory/sitemap pages that co-cite everything)
+    is dropped BEFORE the self-join, so pair volume is bounded by
+    Σ min(deg, cap)² — never |edges|². Reference parity: the webgraph
+    family's OutlinkDb is the input (WebGraph.java:275-296); the
+    reference stops at degrees, this completes the relatedness layer."""
+    from nutch_spark.operators.webgraph import cocitation_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return cocitation_pairs(edges, min_common=2, max_outlinks=1000)
+
+
 # ---------------------------------------------------------------------------
 # F — filter/predicate surface
 # ---------------------------------------------------------------------------

@@ -209,6 +209,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # stratified fixed-n: WindowGroupLimit bounds per-source state
+    "dp_stratified_n": [[r"WindowGroupLimit"],
+                        [r"Join", r"CartesianProduct"]],
+    # co-citation: hot-source guard anti-join + src equi-self-join + one
+    # pair aggregation — never an all-pairs cross
+    "g_cocitation": [[r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                     [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # NFC normalization: map-only Arrow-batched pandas_udf, no shuffle
     "dp_unicode_nfc": [[r"ArrowEvalPython|BatchEvalPython"],
                        [r"Exchange", r"Join", r"CartesianProduct"]],
