@@ -1129,3 +1129,21 @@ def test_quality_bins_ntile(spark):
     got = {r["doc_id"]: r["bin"] for r in quality_bins(df, "q", n_bins=5).collect()}
     # scores strictly decreasing with doc_id -> bins follow doc order
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 5, 9: 5}
+
+
+def test_stratified_sample_n_exact_and_stable(spark):
+    from nutch_spark.datapipe.mixing import stratified_sample_n
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(55)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    got = stratified_sample_n(df, 10).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 5
+    # stability: repartitioned input yields the identical sample
+    got2 = stratified_sample_n(df.repartition(7, "doc_id"), 10).collect()
+    assert {r["doc_id"] for r in got2} == {r["doc_id"] for r in got}
+    # plan: WindowGroupLimit bounds per-group state pre-shuffle
+    plan = stratified_sample_n(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

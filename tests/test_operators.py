@@ -829,3 +829,27 @@ def test_linkdb_merger_reference_vectors(spark):
     capped = merge_linkdbs([db1, db2], cfg=replace(DEFAULT, linkdb_max_inlinks=3))
     row = {r["to_url"]: r["inlinks"] for r in capped.collect()}
     assert len(row["http://example.com/"]) == 3
+
+
+def test_cocitation_pairs_and_hot_source_guard(spark):
+    from nutch_spark.operators.webgraph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "a"), ("s3", "b"),
+         ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r["url_a"], r["url_b"]): r["common_sources"]
+        for r in cocitation_pairs(edges, min_common=2, max_outlinks=3).collect()
+    }
+    # hub exceeds the 3-outlink cap -> its citations don't count
+    assert got == {("a", "b"): 3}
+    # with the cap raised, hub contributes and more pairs clear min_common
+    got2 = {
+        (r["url_a"], r["url_b"]): r["common_sources"]
+        for r in cocitation_pairs(edges, min_common=2, max_outlinks=10).collect()
+    }
+    assert got2[("a", "b")] == 4 and got2[("a", "c")] == 2
