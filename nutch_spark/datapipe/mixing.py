@@ -84,23 +84,31 @@ def pack_sequences(
     Output: input rows + ``bin_id`` (bin where the doc starts, 0-based) +
     ``bin_offset`` (token offset inside that bin) + ``bins_spanned``.
 
-    Scale shape: ONE global ordering window (range-partitioned sort) builds
-    the running token sum; bin assignment is pure arithmetic on the cumsum,
+    Scale shape: the running token sum comes from the DISTRIBUTED
+    prefix sum (``datapipe.prefix.ranked_prefix_sum`` — range-partitioned
+    sort + per-partition windows + a ≤ n_partitions-row offset
+    broadcast), not an unpartitioned window that would sort the whole
+    corpus in ONE task; bin assignment is pure arithmetic on the cumsum,
     so the layout is exactly reproducible across partitions and retries.
-    For per-shard packing at extreme scale, run the same expression over a
-    ``partitionBy(shard)`` window instead.
     """
-    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    from nutch_spark.datapipe.prefix import ranked_prefix_sum
+
     tok = F.col(tokens_col).cast("long")
-    prev_sum = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    staged = ranked_prefix_sum(
+        df.withColumn("_tok", tok), [F.col(key).asc()], "_tok"
+    )
+    prev_sum = F.col("cum") - F.col("_tok")
     bin_id = F.floor(prev_sum / budget)
     last_bin = F.floor((prev_sum + F.greatest(tok, F.lit(1)) - 1) / budget)
-    return df.withColumns(
-        {
-            "bin_id": bin_id.cast("long"),
-            "bin_offset": (prev_sum % budget).cast("long"),
-            "bins_spanned": (last_bin - bin_id + 1).cast("long"),
-        }
+    return (
+        staged.withColumns(
+            {
+                "bin_id": bin_id.cast("long"),
+                "bin_offset": (prev_sum % budget).cast("long"),
+                "bins_spanned": (last_bin - bin_id + 1).cast("long"),
+            }
+        )
+        .drop("_tok", "rank", "cum")
     )
 
 

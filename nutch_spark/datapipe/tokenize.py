@@ -230,26 +230,24 @@ def vocab_coverage(
 
     100 TB shape: the corpus collapses ONCE to (token, freq) via one
     partial-aggregated explode+groupBy (the same vocab stage BPE training
-    uses); the rank + running sum are windows over the VOCAB, whose size
-    is corpus-independent. The cumulative curve is then FILTERED to only
-    the probed ranks (≤ len(sizes) rows) before it meets the probe list,
-    so the broadcast side is the tiny filtered slice — never the full
-    vocabulary-sized curve, which at web scale can be hundreds of
-    millions of rows."""
+    uses); the rank + running sum over the VOCAB come from the
+    DISTRIBUTED prefix sum (``datapipe.prefix.ranked_prefix_sum`` —
+    range-partitioned sort + per-partition windows + a ≤ n_partitions-row
+    offset broadcast), never an unpartitioned window that would drag a
+    hundreds-of-millions-row web vocabulary through ONE task. The
+    cumulative curve is then FILTERED to only the probed ranks
+    (≤ len(sizes) rows) before it meets the probe list, so the broadcast
+    side is the tiny filtered slice — never the full curve."""
+    from nutch_spark.datapipe.prefix import ranked_prefix_sum
+
     freqs = (
         docs.select(F.explode(words(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    ranked = freqs.select(
-        "freq", F.row_number().over(w).alias("rank")
-    ).withColumn(
-        "cum",
-        F.sum("freq").over(
-            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    ranked = ranked_prefix_sum(
+        freqs, [F.desc("freq"), F.asc("tok")], "freq"
+    ).select("freq", "rank", "cum")
     total = freqs.groupBy().agg(F.sum("freq").alias("_total"))
     probes = ranked.sparkSession.createDataFrame(
         [(int(v),) for v in sizes], "vocab_size int"

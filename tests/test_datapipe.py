@@ -1147,3 +1147,38 @@ def test_stratified_sample_n_exact_and_stable(spark):
     # plan: WindowGroupLimit bounds per-group state pre-shuffle
     plan = stratified_sample_n(df, 10)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_ranked_prefix_sum_matches_single_window(spark):
+    """The distributed prefix sum must equal the unpartitioned-window
+    answer exactly, for any partitioning of the input, and its plan must
+    range-partition rather than collapse to a single partition."""
+    from pyspark.sql import Window
+
+    from nutch_spark.datapipe.prefix import ranked_prefix_sum
+
+    rows = [(f"t{i:03d}", (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "tok string, freq long").repartition(13)
+    got = {
+        r["tok"]: (r["rank"], r["cum"])
+        for r in ranked_prefix_sum(
+            df, [F.desc("freq"), F.asc("tok")], "freq", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    want = {
+        r["tok"]: (r["rank"], r["cum"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .collect()
+    }
+    assert got == want
+    plan = ranked_prefix_sum(
+        df, [F.desc("freq"), F.asc("tok")], "freq", num_partitions=7
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # every window in the plan is partitioned by _pid — no global window
+    assert "_pid" in plan and "windowspecdefinition(_pid" in plan
