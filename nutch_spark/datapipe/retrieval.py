@@ -111,10 +111,14 @@ def bm25_topk(
         )
     )
     agg = scored.groupBy(id_col).agg(F.sum("contrib_q").alias("bm25_q"))
+    # top-k FIRST via orderBy+limit — TakeOrderedAndProject keeps a k-row
+    # heap per partition and merges k rows on the driver; the ranking
+    # window then runs over k rows only. A bare global row_number window
+    # would drag the whole scored corpus through ONE task.
+    top = agg.orderBy(F.col("bm25_q").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("bm25_q").desc(), F.col(id_col))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "bm25_q", F.col("rank").cast("int").alias("rank"))
     )
 
