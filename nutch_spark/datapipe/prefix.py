@@ -40,7 +40,15 @@ def ranked_prefix_sum(
     ``order_by`` must be a TOTAL order (include a unique tie-break):
     equal keys may straddle a range boundary, which would make ranks
     partition-dependent. The helper is exact, deterministic, and
-    partitioning-independent for total orders."""
+    partitioning-independent for total orders.
+
+    ``value`` must be non-null integral (counts/token totals — the
+    prefix-sum use cases); the offset pass sums it per partition.
+    Recompute safety: pass 2 re-executes the range partitioning that
+    pass 1 measured — RangePartitioner's bound sampling is seeded per
+    partition index over the same input lineage, so both jobs see
+    identical boundaries; on a real cluster, `.persist()` the input
+    before calling when the lineage contains nondeterministic stages."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_by).withColumn(
