@@ -318,3 +318,52 @@ def bloom_lookup(
     return joined.groupBy(F.col("_qv").alias(value)).agg(
         (F.min("_hit") == 1).alias("maybe_present")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value: str,
+    *,
+    key: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    sample_bp: int = 1000,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Engine-portable approximate quantiles — the fourth member of the
+    sketch family (distinct = KMV, frequency = count-min, membership =
+    Bloom, quantiles = THIS): keep the deterministic md5-hash sample of
+    rows (``sample_bp``/10000 of them, keyed on ``key`` so duplicate
+    values don't bias selection) and take EXACT interpolated quantiles
+    of the sample. Sample error is the classic sqrt(1/n) band, and —
+    unlike percentile_approx's engine-private KLL/GK state — every
+    engine that can md5 reproduces the identical sample and therefore
+    the identical estimate, so the oracle certifies values bit-for-bit.
+
+    Output: one row — (q25, q50, ... per requested quantile, n_sample).
+    100 TB shape: the hash filter is map-only and prunes 1-sample_bp/10000
+    of the corpus BEFORE the single exact-percentile aggregation; the
+    aggregation's sort buffer holds only the sample."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10_000),
+    )
+    sample = df.filter(bucket < sample_bp)
+    arr = ", ".join(f"{q}D" for q in qs)
+    aggs = [
+        F.expr(f"percentile(`{value}`, array({arr}))").alias("_ps"),
+        F.count(F.lit(1)).alias("n_sample"),
+    ]
+    out = sample.agg(*aggs)
+    cols = [
+        F.round(F.element_at("_ps", i + 1), 6).alias(
+            f"q{str(q).replace('.', '_')}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    return out.select(*cols, "n_sample")

@@ -2530,6 +2530,53 @@ def dp_token_budget(spark, sf_dir):
 
 
 @q(
+    "dp_quantile_sketch",
+    """
+    -- Engine-portable approximate quantiles: the deterministic md5
+    -- sample (10% of rows, keyed on l_orderkey||l_linenumber) and exact
+    -- interpolated quantiles OF THE SAMPLE — both engines rebuild the
+    -- identical sample, so the estimate matches bit-for-bit, unlike an
+    -- engine-private KLL/GK sketch.
+    WITH s AS (
+      SELECT l_extendedprice AS v
+      FROM lineitem
+      WHERE CAST(CAST('0x' || substr(md5('qsk' ||
+                  CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15)
+              AS UBIGINT) % 10000 AS INT) < 1000
+    )
+    SELECT round(quantile_cont(v, 0.25), 6) AS q0_25,
+           round(quantile_cont(v, 0.5), 6) AS q0_5,
+           round(quantile_cont(v, 0.75), 6) AS q0_75,
+           round(quantile_cont(v, 0.95), 6) AS q0_95,
+           count(*) AS n_sample
+    FROM s
+    """,
+)
+def dp_quantile_sketch(spark, sf_dir):
+    """Approximate quantiles via deterministic hash sampling
+    (sketches.sampled_quantiles) — completes the engine-portable sketch
+    family: distinct = KMV, frequency = count-min, membership = Bloom,
+    quantiles = hash-sample + exact interpolation over the sample. The
+    10% sample is keyed on the ROW key (not the value, so duplicate
+    values don't bias selection) and prunes the corpus map-side BEFORE
+    the one exact-percentile aggregation, whose sort buffer holds only
+    the sample. percentile_approx's KLL state is engine-private; this
+    estimate reproduces bit-for-bit anywhere md5 exists — the readdb
+    -stats score-quantile slot's certified scale path
+    (CrawlDbReader.java:706-707)."""
+    from nutch_spark.datapipe.sketches import sampled_quantiles
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+        "l_extendedprice",
+    )
+    return sampled_quantiles(
+        li, "l_extendedprice", key="rk",
+        qs=(0.25, 0.5, 0.75, 0.95), sample_bp=1000,
+    )
+
+
+@q(
     "dp_stratified_n",
     """
     -- Fixed-n per-source sample by deterministic md5 rank: exactly

@@ -1182,3 +1182,21 @@ def test_ranked_prefix_sum_matches_single_window(spark):
     assert "rangepartitioning" in plan
     # every window in the plan is partitioned by _pid — no global window
     assert "_pid" in plan and "windowspecdefinition(_pid" in plan
+
+
+def test_sampled_quantiles_accuracy_and_determinism(spark):
+    from nutch_spark.datapipe.sketches import sampled_quantiles
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    got = sampled_quantiles(
+        df, "v", key="k", qs=(0.5,), sample_bp=1000
+    ).collect()[0]
+    # uniform over [0,1000): the 10% hash sample's median lands near 500
+    assert abs(got["q0_5"] - 499.5) < 25 and 1700 < got["n_sample"] < 2300
+    # deterministic: repartitioned input gives the identical estimate
+    again = sampled_quantiles(
+        df.repartition(17), "v", key="k", qs=(0.5,), sample_bp=1000
+    ).collect()[0]
+    assert again["q0_5"] == got["q0_5"] and again["n_sample"] == got["n_sample"]
