@@ -209,6 +209,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # quantile sketch: map-side hash-sample filter BEFORE the one
+    # exact-percentile aggregation; no join, no window
+    "dp_quantile_sketch": [[r"SortAggregate|ObjectHashAggregate|HashAggregate"],
+                           [r"Join", r"Window", r"CartesianProduct"]],
     # stratified fixed-n: WindowGroupLimit bounds per-source state
     "dp_stratified_n": [[r"WindowGroupLimit"],
                         [r"Join", r"CartesianProduct"]],
