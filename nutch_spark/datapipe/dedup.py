@@ -94,10 +94,22 @@ def ngram_jaccard_pairs(
     collisions (~d^2/2^61 pairs over d distinct shingles — none observed:
     identical 2317 pairs both ways at sf0.1).
     """
-    sh = df.select(F.col(key).alias("id"), F.explode(shingles(text, n)).alias("sh"))
+    # materialize the per-doc shingle ARRAYS once: three separate
+    # exchanges (sizes, frequency census, the self-join input) otherwise
+    # each re-run the tokenize+shingle expression from the scan — the
+    # single most expensive map work in the pipeline (~3x cost measured;
+    # 10.6 -> 6.7 s at sf0.1). The checkpoint is doc-grained (arrays,
+    # not exploded rows); sizes becomes a map-only size() instead of a
+    # groupBy shuffle. On a real cluster use checkpoint()/persist to
+    # keep recompute safety against executor loss (same note as
+    # dup_components).
+    arrs = df.select(
+        F.col(key).alias("id"), shingles(text, n).alias("_sharr")
+    ).localCheckpoint(eager=False)
+    sh = arrs.select("id", F.explode("_sharr").alias("sh"))
     if hash_shingles:
         sh = sh.select("id", h64(F.col("sh")).alias("sh"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = arrs.select("id", F.size("_sharr").alias("n_sh"))
     if max_shingle_freq:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
         sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq).select("sh"), "sh")
