@@ -180,6 +180,12 @@ def dsir_log_ratio_weights(
             .agg(F.count("*").alias("n"))
         )
 
+    # NOT checkpointed: the (doc, bucket, n) aggregate's exchange is
+    # identical in both consuming subtrees (raw distribution + scoring
+    # join), so runtime exchange reuse already computes it once — a
+    # measured checkpoint here was a net loss (10.0 vs 8.9 s at sf0.1),
+    # unlike ngram_jaccard_pairs where three DIFFERENT exchanges re-ran
+    # the map work
     raw_doc_buckets = doc_buckets(raw)
     tgt_counts = (
         doc_buckets(target).groupBy("bucket").agg(F.sum("n").alias("c_t"))
