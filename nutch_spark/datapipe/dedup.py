@@ -231,7 +231,15 @@ def minhash_signatures(
     with < n tokens drop out (no shingles → no signature), matching the
     oracle.
     """
-    ex = df.select(F.col(key).alias("id"), F.explode(shingles(text, n)).alias("sh"))
+    arrs = df.select(F.col(key).alias("id"), shingles(text, n).alias("_sharr"))
+    return _minhash_from_arrays(arrs, num_hashes)
+
+
+def _minhash_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from a prebuilt (id, _sharr) table — lets callers that
+    also need the shingle arrays (LSH exact verification) compute them
+    ONCE."""
+    ex = arrs.select("id", F.explode("_sharr").alias("sh"))
     base = F.pmod(h64(F.col("sh")), F.lit(_MINHASH_PRIME))
     ex = ex.select("id", base.alias("b"))
     aggs = [
@@ -272,7 +280,15 @@ def minhash_lsh_pairs(
       shipping full shingle arrays per candidate would dominate the job.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text, key, n=n, num_hashes=num_hashes)
+    # shingle arrays materialize ONCE and feed both the signatures and
+    # (exact mode) the per-candidate verification sides — otherwise the
+    # tokenize+shingle map work re-runs per consuming exchange (the
+    # ngram_jaccard_pairs lesson; cluster note: checkpoint()/persist for
+    # executor-loss recompute safety)
+    arrs = df.select(
+        F.col(key).alias("id"), shingles(text, n).alias("_sharr")
+    ).localCheckpoint(eager=False)
+    sigs = _minhash_from_arrays(arrs, num_hashes)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -321,10 +337,10 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # verify candidates with exact shingle Jaccard
-    sh = df.select(F.col(key).alias("id"), shingles(text, n).alias("sh"))
-    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify candidates with exact shingle Jaccard (arrays reused from
+    # the checkpoint above — not recomputed from text)
+    va = arrs.select(F.col("id").alias("id_a"), F.col("_sharr").alias("sh_a"))
+    vb = arrs.select(F.col("id").alias("id_b"), F.col("_sharr").alias("sh_b"))
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
