@@ -850,7 +850,13 @@ def winnowing_containment_pairs(
     by millions of docs must not form a quadratic bucket); sizes join on
     the doc key. Never all-pairs.
     """
-    fps = winnowing_fingerprints(df, text, key, k=k, window=window)
+    # materialized once: the fingerprint pipeline (per-gram md5 + two
+    # window passes) otherwise re-runs for the sizes aggregate, the
+    # frequency census, and the self-join input (the ngram_jaccard_pairs
+    # lesson; the checkpoint holds compact distinct (id, fp) rows)
+    fps = winnowing_fingerprints(
+        df, text, key, k=k, window=window
+    ).localCheckpoint(eager=False)
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nf"))
     use = fps
     if max_fp_freq:
