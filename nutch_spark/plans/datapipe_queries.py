@@ -3143,7 +3143,12 @@ def dp_pipeline_clean(spark, sf_dir):
     )
     dd = exact_dedup(planted).filter(~F.col("is_duplicate")).select("doc_id", "text")
     qf = dd.filter(quality_gate("text", min_tokens=10, min_uniq_ratio=0.1))
-    sc = pii_scrub(qf).select("doc_id", F.col("text_scrubbed").alias("text"))
+    # the scrubbed text feeds decontamination's 13-gram explode, the
+    # anti-join, AND the output token count — materialize the regex
+    # chain once instead of once per consuming exchange
+    sc = pii_scrub(qf).select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    ).localCheckpoint(eager=False)
     bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
     verdicts = decontaminate(sc, bench)
     clean = sc.join(
