@@ -14,68 +14,78 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-12 ordering: the queries whose code changed THIS round
-# lead (NEW mm_video_frame_dhash / mm_mpeg_fingerprint / s3+s4 sink
-# round-trips; numpy box-resample behind the dHash rows; MPEG-1 decode
-# behind the audio rows; the fetcher header-map fix behind p1_*; the
-# _dlit non-finite fix + Lloyd working-set persist behind the
-# similarity-backed rows), then the r09-certified rows that missed BOTH
-# the r10 and r11 windows (stale 3 rounds — similarity-adjacent ones
-# first), then the r10-certified block, then the r11-certified rows
-# (freshest records last).
+# certifies. Round-13 ordering: the queries whose code is NEW or CHANGED
+# this round lead (MP3 side-info walk, stream-stream join, Bloom/quantile
+# sketches, NFC, token-budget/quality-bins/stratified sampling,
+# co-citation, skew-join outer modes + new salt; then the rows over
+# changed shared code: the dhash numpy path, the MPEG sync gate, the
+# shingle/minhash/winnowing materializations, the distributed prefix sum
+# behind vocab/seq-packing, bm25's TakeOrderedAndProject, compat32 eml,
+# the linkrank skew flag, the pid-namespaced sink scratch), then the
+# twelve rows whose last driver-green is r9 (stale 4 rounds), then the
+# r10 block (stale 3), the r11 block (stale 2), and the r12-certified
+# rows (freshest) last.
 _CERTIFY_FIRST = [
-    # code changed / added in round 12 — certify first (video/GIF,
-    # MPEG audio, audio near-dup, PQ ANN, sink round-trips lead)
-    "mm_video_frame_dhash", "mm_video_neardup", "mm_mpeg_fingerprint",
-    "mm_audio_neardup", "dp_pq_topk", "dp_pq_recall", "dp_int8_recall", "dp_fix_mojibake", "dp_skew_salted_join",
-    "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq", "dp_hybrid_rrf", "dp_vocab_coverage", "dp_token_spectrum",
-    "s3_csv_roundtrip", "s4_jsonl_roundtrip",
+    # NEW in round 13
+    "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
+    "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
+    "dp_quality_bins", "dp_stratified_n", "g_cocitation",
+    "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
+    # code CHANGED in round 13 behind existing rows
+    "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",
+    "dp_bm25_topk", "dp_hybrid_rrf",
+    "dp_ngram_jaccard", "dp_minhash_lsh", "dp_minhash_recall",
+    "dp_dup_components", "dp_dup_components_star",
+    "dp_winnowing_containment", "dp_pipeline_clean",
     "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
-    "mm_audio_fingerprint", "mm_audio_features",
-    "p1_politeness", "p1_fetch_binary_pipeline",
-    "dp_ivf_topk", "dp_ivf_recall", "dp_lsh_topk", "dp_lsh_recall",
-    "dp_semantic_dedup", "dp_embedding_near_dup",
-    # r09-certified, missed the r10 and r11 windows (stale 3 rounds)
-    "dp_cosine_topk", "dp_int8_topk", "dp_exact_dedup", "dp_ngram_jaccard",
-    "p2_metatags", "p2_js_outlinks", "dp_dup_components_star",
-    "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
-    "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
-    "f1_url_parts", "dp_minhash_lsh", "dp_simhash", "dp_token_stats",
-    "dp_quality", "dp_langid_stopword", "dp_langid",
-    "dp_gopher_repetition", "dp_paragraph_dedup", "dp_mix_weighted",
-    "dp_mix_temperature", "dp_dup_components", "dp_pii_scrub",
-    "dp_decontaminate", "dp_seq_packing", "mm_binary_metadata",
-    "mm_image_dimensions", "dp_cross_corpus_dedup", "dp_c4_clean",
-    "dp_split",
-    # r10-certified (stale 2 rounds)
-    "p2_eml_extract", "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
+    "mm_video_frame_dhash", "mm_video_neardup", "mm_frame_samples",
+    "mm_audio_fingerprint", "mm_mpeg_fingerprint", "mm_audio_neardup",
+    "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
+    "g3_linkrank", "j4_score_update",
+    # last driver-green r9 (stale 4 rounds) — complete the ~50 window
+    "dp_langid", "dp_gopher_repetition", "dp_paragraph_dedup",
+    "dp_mix_weighted", "dp_mix_temperature", "dp_pii_scrub",
+    "dp_decontaminate", "mm_binary_metadata", "mm_image_dimensions",
+    "dp_cross_corpus_dedup", "dp_c4_clean", "dp_split",
+    # r10-certified (stale 3 rounds)
+    "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
     "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
-    "dp_pipeline_clean", "dp_winnowing_containment", "mm_frame_samples",
-    "dp_shard_balance", "dp_gopher_quality", "dp_bm25_topk",
-    "dp_dsir_weights", "g3_linkrank", "j4_score_update", "a9_node_rollup",
-    "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup", "j6_hostdb_agg",
-    "st_tumbling_window", "j10_crawldb_merge", "f1_scoped_normalize",
-    "d7_text_profile_sig",
-    "mm_tiff_dimensions", "p2_odt_extract", "p2_epub_extract", "dp_chunking",
-    "p2_pdf_extract", "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
-    "w1_generate_topk", "w1_host_limit", "p2_html_parse", "p2_feed_entries",
-    "p4_robots_policy", "s10_sitemap_parse", "s1_seed_parse",
-    "a2_global_topn", "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
-    "a1_quantiles",
-    # r11-certified (freshest)
-    "dp_boilerplate_lines", "dp_minhash_recall", "dp_dataset_card",
-    "a3_group_numeric", "a3_value_counts", "a4_group_count",
-    "a5_completion", "a6_json_props", "j1_inject_merge", "j2_state_machine",
-    "j2_forced_refetch", "j2_gone_schedule", "j3_multiway_join",
-    "j3_index_fields", "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
+    "dp_shard_balance", "dp_gopher_quality", "dp_dsir_weights",
+    "a9_node_rollup", "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup",
+    "j6_hostdb_agg", "st_tumbling_window", "j10_crawldb_merge",
+    "f1_scoped_normalize", "d7_text_profile_sig", "mm_tiff_dimensions",
+    "p2_odt_extract", "p2_epub_extract", "dp_chunking", "p2_pdf_extract",
+    "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
+    "w1_generate_topk", "w1_host_limit", "p2_html_parse",
+    "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
+    "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
+    "a1_stats_by_flag", "a1_quantiles",
+    # r11-certified (stale 2 rounds)
+    "dp_boilerplate_lines", "dp_dataset_card", "a3_group_numeric",
+    "a3_value_counts", "a4_group_count", "a5_completion", "a6_json_props",
+    "j1_inject_merge", "j2_state_machine", "j2_forced_refetch",
+    "j2_gone_schedule", "j3_multiway_join", "j3_index_fields",
+    "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
     "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
     "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
     "d6_mime_adaptive", "u1_union_distinct", "a10_anchor_dedup",
     "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
     "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
-    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract", "p2_cab_extract",
-    "p2_doc_extract", "pf_regex_fields", "pf_nb_classify",
-    "st_session_windows", "j_geoip_range",
+    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract",
+    "p2_cab_extract", "p2_doc_extract", "pf_regex_fields",
+    "pf_nb_classify", "st_session_windows", "j_geoip_range",
+    # r12-certified (freshest)
+    "dp_pq_topk", "dp_pq_recall", "dp_int8_recall", "dp_fix_mojibake",
+    "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
+    "dp_token_spectrum", "mm_audio_features", "p1_politeness",
+    "p1_fetch_binary_pipeline", "dp_ivf_topk", "dp_ivf_recall",
+    "dp_lsh_topk", "dp_lsh_recall", "dp_semantic_dedup",
+    "dp_embedding_near_dup", "dp_cosine_topk", "dp_int8_topk",
+    "dp_exact_dedup", "p2_metatags", "p2_js_outlinks",
+    "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
+    "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
+    "f1_url_parts", "dp_simhash", "dp_token_stats", "dp_quality",
+    "dp_langid_stopword",
 ]
 
 
