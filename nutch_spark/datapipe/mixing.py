@@ -95,9 +95,10 @@ def pack_sequences(
 
     tok = F.col(tokens_col).cast("long")
     staged = ranked_prefix_sum(
-        df.withColumn("_tok", tok), [F.col(key).asc()], "_tok"
+        df.withColumn("_tok", tok), [F.col(key).asc()], "_tok",
+        rank_col="_pk_rank", cum_col="_pk_cum",  # never clobber caller cols
     )
-    prev_sum = F.col("cum") - F.col("_tok")
+    prev_sum = F.col("_pk_cum") - F.col("_tok")
     bin_id = F.floor(prev_sum / budget)
     last_bin = F.floor((prev_sum + F.greatest(tok, F.lit(1)) - 1) / budget)
     return (
@@ -108,7 +109,7 @@ def pack_sequences(
                 "bins_spanned": (last_bin - bin_id + 1).cast("long"),
             }
         )
-        .drop("_tok", "rank", "cum")
+        .drop("_tok", "_pk_rank", "_pk_cum")
     )
 
 
