@@ -100,14 +100,22 @@ def test_politeness_interleaves_hosts_within_partition(spark):
         "url string",
     )
     fetch(fl, crawl_delay_s=0.0, num_lists=1).count()  # warm python workers
+    # measure the session's zero-delay overhead as the CONTROL so the
+    # assertion tests the DELAY SHAPE, not an absolute wall-clock that a
+    # loaded CI box inflates past any fixed ceiling
+    c0 = _time.monotonic()
+    fetch(fl, crawl_delay_s=0.0, num_lists=1).count()
+    control = _time.monotonic() - c0
     t0 = _time.monotonic()
-    rows = fetch(fl, crawl_delay_s=0.3, num_lists=1).collect()
+    rows = fetch(fl, crawl_delay_s=0.5, num_lists=1).collect()
     elapsed = _time.monotonic() - t0
     assert len(rows) == 6
-    # max-shaped: ~0.6 s of forced delay (+ fetch overhead); full
-    # serialization costs >= 1.2 s of delay + the same overhead (>= 1.7 s
-    # observed), so a 1.5 s ceiling still discriminates under CI load.
-    assert elapsed < 1.5, f"hosts were serialized: {elapsed:.2f}s"
+    # max-shaped: ~1.0 s of forced delay on top of the overhead; full
+    # serialization costs >= 2.0 s of delay — the 1.5 s budget over the
+    # measured control discriminates with 0.5 s slack on both sides.
+    assert elapsed < control + 1.5, (
+        f"hosts were serialized: {elapsed:.2f}s (control {control:.2f}s)"
+    )
 
 
 def test_politeness_variable_delay_from_metadata(spark):
@@ -129,11 +137,19 @@ def test_politeness_variable_delay_from_metadata(spark):
     # delay semantics (first mapInPandas in a session pays seconds of
     # cold start — bites when this test runs first under -k filters)
     fetch(fl.select("url"), crawl_delay_s=0.0, num_lists=1).count()
+    # zero-delay control: the assertion bounds the ADDED delay, not an
+    # absolute wall-clock a loaded CI box can blow past
+    c0 = _time.monotonic()
+    fetch(fl.select("url"), crawl_delay_s=0.0, num_lists=1).count()
+    control = _time.monotonic() - c0
     t0 = _time.monotonic()
     rows = fetch(fl, crawl_delay_s=0.0, num_lists=1).collect()
     elapsed = _time.monotonic() - t0
     assert len(rows) == 4
-    assert 0.4 <= elapsed < 1.5, f"variable delay not honored: {elapsed:.2f}s"
+    assert elapsed >= 0.4, f"variable delay not honored: {elapsed:.2f}s"
+    assert elapsed < control + 1.2, (
+        f"delay shape wrong: {elapsed:.2f}s (control {control:.2f}s)"
+    )
 
 
 def test_threaded_fetch_overlaps_hosts(spark):
