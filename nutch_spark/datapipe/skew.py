@@ -98,11 +98,20 @@ def skew_salted_join(
     right_cold = right.join(F.broadcast(hot), on, "left_anti")
     cold = left_cold.join(right_cold, on, mode)
 
-    # per-row salt: hash of the ENTIRE left row. Deterministic across
-    # retries (same row bytes → same salt, independent of partition
-    # layout), uniform whenever hot keys carry distinct payloads.
+    # per-row salt: hash of the left row's HASHABLE columns (xxhash64
+    # rejects MapType — a crawldb's metadata map must not break the
+    # salt; the join keys are always included, so the salt keeps its
+    # content-determinism). Deterministic across retries (same row bytes
+    # → same salt, independent of partition layout), uniform whenever
+    # hot keys carry distinct payloads.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in left.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(buckets)
     ).cast("int")
     left_hot = left.join(F.broadcast(hot), on, "left_semi").withColumn(
         "_salt", salt

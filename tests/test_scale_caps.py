@@ -227,3 +227,32 @@ def test_skew_salted_join_salt_is_content_deterministic(spark):
     sa = {(r.host, r.v): r.s for r in a.select("host", "v", salt.alias("s")).collect()}
     sb = {(r.host, r.v): r.s for r in b.select("host", "v", salt.alias("s")).collect()}
     assert sa == sb and len(set(sa.values())) > 1
+
+
+def test_skew_salted_join_with_map_column(spark):
+    """A crawldb-shaped left side (metadata MAP column) must salt fine:
+    xxhash64 rejects MapType, so the salt hashes the hashable columns
+    only — results still multiset-identical to the plain join."""
+    from collections import Counter
+
+    from nutch_spark.datapipe.skew import skew_salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i, {"d": str(i)}) for i in range(300)]
+        + [("cold", 0, {})],
+        "host string, v int, metadata map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C")], "host string, meta string"
+    )
+    got = Counter(
+        (r.host, r.v, r.meta)
+        for r in skew_salted_join(
+            left, right, ["host"], buckets=4, hot_threshold=100
+        ).collect()
+    )
+    want = Counter(
+        (r.host, r.v, r.meta)
+        for r in left.join(right, ["host"], "inner").collect()
+    )
+    assert got == want and sum(want.values()) == 301
