@@ -135,7 +135,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_mix_temperature": [[r"HashAggregate"], [r"CartesianProduct"]],
     # composed cleaning pipeline: fingerprint window + broadcast gram join,
     # never a corpus self-join
-    "dp_pipeline_clean": [[r"Window", r"BroadcastHashJoin"], [r"CartesianProduct"]],
+    # the dedup Window runs inside the scrub checkpoint's sub-plan (plan
+    # truncation is the point); the decontamination gram join must still
+    # BROADCAST and nothing may degrade to a cross product
+    "dp_pipeline_clean": [[r"BroadcastHashJoin"], [r"CartesianProduct"]],
     # containment pairs: inverted fingerprint index equi-join, capped hot
     # keys — never all-pairs
     "dp_winnowing_containment": [[r"HashAggregate"], [r"CartesianProduct"]],
