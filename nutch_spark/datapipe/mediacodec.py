@@ -530,6 +530,264 @@ def parse_flac_streaminfo(payload: bytes) -> dict | None:
     }
 
 
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def ogg_page_crc(page: bytes) -> int:
+    """The Ogg page CRC-32 (RFC 3533 §6: generator 0x04c11db7, NON-reflected,
+    init 0, no final XOR — deliberately NOT the zlib/IEEE reflected variant)
+    over the whole page with the 4 CRC bytes (offset 22-25) taken as zero.
+    Table-driven; tests/test_codec_properties.py checks the table against a
+    direct bit-by-bit polynomial division, so a table typo cannot hide."""
+    crc = _ogg_crc_raw(0, page[:22])
+    crc = _ogg_crc_raw(crc, b"\x00\x00\x00\x00")
+    return _ogg_crc_raw(crc, page[26:])
+
+
+def _ogg_crc_raw(crc: int, data: bytes) -> int:
+    """The raw (init/xorout-free) CRC update ``ogg_page_crc`` is built on.
+    Known-answer anchor (tests): this CRC of b"123456789" equals
+    0x765E7680 ^ 0xFFFFFFFF — the catalogued CRC-32/POSIX check value
+    minus its final XOR (same generator, same non-reflected direction)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tab = []
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            tab.append(r)
+        _OGG_CRC_TABLE = tab
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ byte]
+    return crc
+
+
+# BOS-packet magic → codec name (the Ogg mapping specs: Vorbis I §A.2,
+# RFC 7845 §5.1 (Opus), Theora I §6.2, Ogg-FLAC mapping §2, Speex manual)
+_OGG_CODEC_MAGIC = (
+    (b"\x01vorbis", "vorbis"),
+    (b"OpusHead", "opus"),
+    (b"\x80theora", "theora"),
+    (b"\x7fFLAC", "flac"),
+    (b"Speex   ", "speex"),
+)
+
+_OGG_AUDIO_CODECS = frozenset({"vorbis", "opus", "flac", "speex"})
+
+
+def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
+    """(sample_rate, n_channels, pre_skip) facts from a recognized BOS
+    packet, per each codec's identification-header mapping. Granule-position
+    units: Vorbis/FLAC/Speex count samples at the stream rate; Opus granules
+    always tick at 48 kHz and include ``pre_skip`` (RFC 7845 §4/§5.1)."""
+    rate = nch = None
+    pre_skip = 0
+    if codec == "vorbis" and len(pkt) >= 16:
+        # \x01vorbis(7) version u32=0, channels u8, rate u32 LE
+        (version,) = struct.unpack("<I", pkt[7:11])
+        if version == 0:
+            nch = pkt[11]
+            (rate,) = struct.unpack("<I", pkt[12:16])
+    elif codec == "opus" and len(pkt) >= 19:
+        # OpusHead(8) version u8, channels u8, pre_skip u16, input rate u32
+        if pkt[8] in (0, 1):
+            nch = pkt[9]
+            (pre_skip,) = struct.unpack("<H", pkt[10:12])
+            rate = 48000  # granule clock, not the (informational) input rate
+    elif codec == "flac":
+        # 0x7F FLAC(4) major u8, minor u8, n_headers u16 BE, then the raw
+        # fLaC STREAMINFO the native parser already reads
+        si = parse_flac_streaminfo(pkt[9:])
+        if si is not None:
+            rate, nch = si["sample_rate"], si["n_channels"]
+    elif codec == "speex" and len(pkt) >= 52:
+        # speex_string(8) version(20) version_id(4) header_size(4) rate(4)
+        # mode(4) mode_bitstream_version(4) nb_channels(4)
+        (rate,) = struct.unpack("<I", pkt[36:40])
+        (nch,) = struct.unpack("<I", pkt[48:52])
+    if rate is not None and not (0 < rate <= 1_000_000):
+        rate = None
+    if nch is not None and not (0 < nch <= 255):
+        nch = None
+    return {"sample_rate": rate, "n_channels": nch, "pre_skip": pre_skip}
+
+
+def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
+    """Ogg container identity (RFC 3533 page walk) — the remaining major
+    web audio family (Vorbis/Opus/Theora/Ogg-FLAC/Speex) joins the same
+    stream-level identity space as MP3 (``parse_mp3_sideinfo``): codec
+    payload decode stays honestly scoped out (Vorbis/Opus reconstruction
+    needs normative codebooks this sandbox cannot verify), but the page
+    layer is fully specified bit-for-bit, so .ogg/.opus/.oga payloads get
+    an exact page/packet census, codec + rate/channel facts from the
+    identification header, true duration from the final granule position,
+    and a PACKET-level content signature.
+
+    Returns None unless the payload starts with a CRC-valid BOS page;
+    otherwise::
+
+        {"format": "ogg", "codec",       # primary stream's codec (first
+                                         # recognized audio BOS, else first
+                                         # recognized BOS, else "unknown")
+         "n_streams",                    # BOS serials seen
+         "n_pages",                      # CRC-valid pages consumed
+         "n_packets",                    # COMPLETED packets, primary stream
+         "sample_rate", "n_channels",    # from the codec id header
+         "pre_skip",                     # Opus pre-skip, else 0
+         "duration_ms",                  # from the last granule position:
+                                         # Vorbis/FLAC/Speex granule/rate,
+                                         # Opus (granule-pre_skip)/48000
+         "stream_sig",                   # 60-bit md5 over the primary
+                                         # stream's packet bytes (each
+                                         # length-delimited) — invariant
+                                         # under REPAGINATION: the same
+                                         # packets split across different
+                                         # page boundaries (a remux) sign
+                                         # identically, and trailing junk
+                                         # after the EOS page is ignored
+         "crc_ok",                       # no bad-CRC page hit the walk
+         "eos"}                          # primary stream's EOS page seen
+
+    Hostile-input posture: page 0 must be a CRC-valid BOS page (an 'OggS'
+    that happens to appear in junk fails the CRC — the false-positive
+    guard); a later bad-CRC or truncated page ends the census at the
+    consistent prefix (``crc_ok`` False for corruption, ``eos`` False for
+    truncation); a continued-packet flag with nothing pending drops the
+    orphan fragment per RFC 3533 §6; the page count caps at
+    ``max_pages`` and every length is bounds-checked before the read."""
+    import hashlib
+
+    n = len(payload)
+    if n < 27 or payload[:4] != b"OggS" or payload[4] != 0:
+        return None
+    pos = 0
+    n_pages = 0
+    crc_ok = True
+    bos_order: list[int] = []            # serials in BOS order
+    first_pkt: dict[int, bytes] = {}     # serial → first completed packet
+    pending: dict[int, bytearray | None] = {}  # serial → partial packet
+    packets: dict[int, list[bytes]] = {}  # serial → completed packets
+    last_granule: dict[int, int] = {}
+    eos_serials: set[int] = set()
+    while pos + 27 <= n and n_pages < max_pages:
+        if payload[pos : pos + 4] != b"OggS" or payload[pos + 4] != 0:
+            break
+        htype = payload[pos + 5]
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        (serial,) = struct.unpack("<I", payload[pos + 14 : pos + 18])
+        n_segs = payload[pos + 26]
+        seg_end = pos + 27 + n_segs
+        if seg_end > n:
+            break  # truncated segment table
+        segs = payload[pos + 27 : seg_end]
+        body_len = sum(segs)
+        page_end = seg_end + body_len
+        if page_end > n:
+            break  # truncated body
+        (want_crc,) = struct.unpack("<I", payload[pos + 22 : pos + 26])
+        if ogg_page_crc(payload[pos:page_end]) != want_crc:
+            if n_pages == 0:
+                return None
+            crc_ok = False
+            break
+        n_pages += 1
+        if htype & 0x02 and serial not in packets:  # BOS
+            bos_order.append(serial)
+            packets[serial] = []
+            pending[serial] = None
+        if serial not in packets:  # data page for a stream with no BOS
+            packets[serial] = []
+            pending[serial] = None
+        buf = pending[serial]
+        if htype & 0x01 and buf is None:
+            # continued-packet data with nothing pending: drop the orphan
+            # fragment (consume lacing values through its terminator)
+            i = 0
+            off = seg_end
+            while i < n_segs:
+                off += segs[i]
+                i += 1
+                if segs[i - 1] < 255:
+                    break
+            body_off, seg_i = off, i
+        else:
+            body_off, seg_i = seg_end, 0
+        while seg_i < n_segs:
+            run_start = body_off
+            while seg_i < n_segs and segs[seg_i] == 255:
+                body_off += 255
+                seg_i += 1
+            if seg_i < n_segs:  # terminating lacing value < 255
+                body_off += segs[seg_i]
+                seg_i += 1
+                chunk = payload[run_start:body_off]
+                pkt = bytes(buf) + chunk if buf else chunk
+                buf = None
+                packets[serial].append(pkt)
+                if serial not in first_pkt:
+                    first_pkt[serial] = pkt
+            else:  # packet continues on the stream's next page
+                chunk = payload[run_start:body_off]
+                buf = bytearray(chunk) if buf is None else buf + chunk
+        pending[serial] = buf  # bytearray mid-packet, None at a boundary
+        if granule != -1:
+            last_granule[serial] = granule
+        if htype & 0x04:
+            eos_serials.add(serial)
+        pos = page_end
+    if n_pages == 0:
+        return None
+
+    def codec_of(serial: int) -> str:
+        pkt = first_pkt.get(serial, b"")
+        for magic, name in _OGG_CODEC_MAGIC:
+            if pkt[: len(magic)] == magic:
+                return name
+        return "unknown"
+
+    primary = None
+    for serial in bos_order:
+        if codec_of(serial) in _OGG_AUDIO_CODECS:
+            primary = serial
+            break
+    if primary is None:
+        for serial in bos_order:
+            if codec_of(serial) != "unknown":
+                primary = serial
+                break
+    if primary is None:
+        primary = bos_order[0] if bos_order else None
+    if primary is None:
+        return None
+    codec = codec_of(primary)
+    facts = _ogg_id_facts(codec, first_pkt.get(primary, b""))
+    duration_ms = None
+    g = last_granule.get(primary)
+    rate = facts["sample_rate"]
+    if g is not None and g >= 0 and rate and codec in _OGG_AUDIO_CODECS:
+        samples = max(0, g - facts["pre_skip"]) if codec == "opus" else g
+        duration_ms = samples * 1000 // rate
+    sig = hashlib.md5()
+    for pkt in packets[primary]:
+        sig.update(len(pkt).to_bytes(8, "little"))
+        sig.update(pkt)
+    return {
+        "format": "ogg",
+        "codec": codec,
+        "n_streams": len(bos_order),
+        "n_pages": n_pages,
+        "n_packets": len(packets[primary]),
+        "sample_rate": facts["sample_rate"],
+        "n_channels": facts["n_channels"],
+        "pre_skip": facts["pre_skip"],
+        "duration_ms": duration_ms,
+        "stream_sig": int(sig.hexdigest()[:15], 16),
+        "crc_ok": crc_ok,
+        "eos": primary in eos_serials,
+    }
+
+
 def exif_orientation(payload: bytes) -> int | None:
     """EXIF Orientation (tag 274, 1..8) from a JPEG APP1 ``Exif\\0\\0``
     segment or a bare TIFF header, or None when absent. Values 5-8 mean the

@@ -615,6 +615,86 @@ def mp3_sideinfo(
     )
 
 
+OGG_IDENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_streams", T.IntegerType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("n_packets", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("stream_sig", T.LongType(), True),
+        T.StructField("crc_ok", T.BooleanType(), True),
+        T.StructField("eos", T.BooleanType(), True),
+    ]
+)
+
+
+def ogg_identity(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, payload) → Ogg stream identity
+    (mediacodec.parse_ogg_info — the RFC 3533 page walk): codec
+    (Vorbis/Opus/Theora/Ogg-FLAC/Speex), page/packet census, id-header
+    rate/channel facts, true duration from the final granule position,
+    and a 60-bit md5 ``stream_sig`` over the primary stream's
+    length-delimited PACKET bytes — invariant under repagination, so a
+    remuxed copy of the same encoded stream lands on the same signature
+    and .ogg/.opus join exact stream-level dedup the way
+    ``mp3_sideinfo`` put .mp3 there. Codec sample decode stays scoped
+    out (normative codebooks — COVERAGE.md Known gaps). NULL row for
+    non-Ogg payloads (page 0 must be a CRC-valid BOS page, the
+    false-positive guard). 100 TB: map-only Arrow stage, zero shuffle."""
+    from nutch_spark.datapipe.mediacodec import parse_ogg_info
+
+    def row(media_id, raw):
+        try:
+            info = parse_ogg_info(bytes(raw))
+        except Exception:  # noqa: BLE001 — one bad blob
+            info = None
+        if info is None:
+            return null_row(media_id)
+        sig = info["stream_sig"]
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        return {
+            "media_id": media_id,
+            "codec": info["codec"],
+            "n_streams": info["n_streams"],
+            "n_pages": info["n_pages"],
+            "n_packets": info["n_packets"],
+            "sample_rate": info["sample_rate"],
+            "n_channels": info["n_channels"],
+            "duration_ms": info["duration_ms"],
+            "stream_sig": sig,
+            "crc_ok": info["crc_ok"],
+            "eos": info["eos"],
+        }
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "codec": None,
+            "n_streams": None,
+            "n_pages": None,
+            "n_packets": None,
+            "sample_rate": None,
+            "n_channels": None,
+            "duration_ms": None,
+            "stream_sig": None,
+            "crc_ok": None,
+            "eos": None,
+        }
+
+    return _map_media(
+        media, None, OGG_IDENTITY_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 AUDIO_FP_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

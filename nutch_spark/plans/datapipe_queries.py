@@ -5169,3 +5169,245 @@ def mm_mp3_sideinfo(spark, sf_dir):
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
     return mp3_sideinfo(media)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container identity (mm_ogg_identity)
+# ---------------------------------------------------------------------------
+
+
+def _ogg_page(serial, seq, granule, chunks, *, bos=False, eos=False,
+              cont=False, bad_crc=False):
+    """One RFC 3533 page for the planted fixtures. ``chunks`` is
+    [(bytes, terminated)]; an unterminated chunk must be a 255-multiple so
+    its lacing run is all-255. The CRC comes from mediacodec.ogg_page_crc —
+    construction reuse only (the function is anchored to the public
+    CRC-32/POSIX known-answer value in tests/test_ogg_identity.py); every
+    EXPECTED value below is closed-form from the generator's parameters."""
+    import struct as _s
+
+    from nutch_spark.datapipe.mediacodec import ogg_page_crc
+
+    lacing, body = [], b""
+    for data, term in chunks:
+        body += data
+        q, r = divmod(len(data), 255)
+        lacing += [255] * q
+        if term:
+            lacing.append(r)
+        else:
+            assert r == 0
+    htype = (1 if cont else 0) | (2 if bos else 0) | (4 if eos else 0)
+    hdr = (b"OggS" + bytes([0, htype]) + _s.pack("<q", granule)
+           + _s.pack("<I", serial) + _s.pack("<I", seq)
+           + b"\x00" * 4 + bytes([len(lacing)]) + bytes(lacing))
+    page = hdr + body
+    crc = ogg_page_crc(page) ^ (1 if bad_crc else 0)
+    return page[:22] + _s.pack("<I", crc) + page[26:]
+
+
+def _ogg_sig(packets) -> int:
+    """The parser's packet-signature rule stated from the PLANTED packets
+    (never from running the parser): md5 over length-delimited packet
+    bytes, 60 bits, sign-folded to int64."""
+    import hashlib as _h
+
+    sig = _h.md5()
+    for pkt in packets:
+        sig.update(len(pkt).to_bytes(8, "little"))
+        sig.update(pkt)
+    v = int(sig.hexdigest()[:15], 16)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _planted_ogg(k: int):
+    """One Ogg payload per class k = doc_id %% 12 with every identity fact a
+    CLOSED-FORM function of the generator's parameters: codec mappings
+    (Vorbis/Opus/Ogg-FLAC/Speex/Theora id headers), packets spanning pages,
+    multi-stream files, a bad-CRC tail (consistent prefix kept), a
+    truncated tail, and trailing junk after EOS (ignored). k == 11 ships
+    non-Ogg bytes to pin the NULL row. Returns (payload, expected|None)."""
+    import struct as _s
+
+    def vorbis_id(nch, rate):
+        return (b"\x01vorbis" + _s.pack("<I", 0) + bytes([nch])
+                + _s.pack("<I", rate) + b"\x00" * 9)
+
+    def opus_id(nch, pre_skip):
+        return (b"OpusHead" + bytes([1, nch]) + _s.pack("<H", pre_skip)
+                + _s.pack("<I", 48000) + b"\x00" * 3)
+
+    def exp(codec, streams, pages, pkts, rate, nch, dur, sig, crc_ok, eos):
+        return {"codec": codec, "n_streams": streams, "n_pages": pages,
+                "n_packets": pkts, "sample_rate": rate, "n_channels": nch,
+                "duration_ms": dur, "stream_sig": sig, "crc_ok": crc_ok,
+                "eos": eos}
+
+    if k == 0:  # vorbis mono 44100, 3 pages, 4 packets, 3 s
+        idp, p1, p2, p3 = vorbis_id(1, 44100), b"A" * 300, b"B" * 40, b"C" * 20
+        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(7, 1, 88200, [(p1, True), (p2, True)])
+               + _ogg_page(7, 2, 132300, [(p3, True)], eos=True))
+        return pay, exp("vorbis", 1, 3, 4, 44100, 1, 3000,
+                        _ogg_sig([idp, p1, p2, p3]), True, True)
+    if k == 1:  # opus stereo, pre_skip 312, 3 s at the 48 kHz granule clock
+        idp, d = opus_id(2, 312), b"opus-frame-data"
+        pay = (_ogg_page(9, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(9, 1, 312 + 144000, [(d, True)], eos=True))
+        return pay, exp("opus", 1, 2, 2, 48000, 2, 3000,
+                        _ogg_sig([idp, d]), True, True)
+    if k == 2:  # vorbis stereo 48000, a packet SPANNING two pages
+        idp, p1, p2 = vorbis_id(2, 48000), b"D" * 510, b"E" * 33
+        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(7, 1, -1, [(p1[:255], False)])
+               + _ogg_page(7, 2, 96000, [(p1[255:], True), (p2, True)],
+                           cont=True, eos=True))
+        return pay, exp("vorbis", 1, 3, 3, 48000, 2, 2000,
+                        _ogg_sig([idp, p1, p2]), True, True)
+    if k == 3:  # skeleton stream + opus: primary = first recognized AUDIO
+        sk = b"fishead\x00" + b"\x00" * 20
+        idp, d = opus_id(1, 0), b"x" * 50
+        pay = (_ogg_page(1, 0, 0, [(sk, True)], bos=True)
+               + _ogg_page(9, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(9, 1, 48000, [(d, True)], eos=True))
+        return pay, exp("opus", 2, 3, 2, 48000, 1, 1000,
+                        _ogg_sig([idp, d]), True, True)
+    if k == 4:  # Ogg-FLAC 22050 mono (STREAMINFO rides the BOS packet)
+        streaminfo = (b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + b"\x00" * 10
+                      + int((22050 << 44) | (0 << 41) | (15 << 36)
+                            | 44100).to_bytes(8, "big") + b"\x00" * 16)
+        idp = b"\x7fFLAC" + bytes([1, 0]) + _s.pack(">H", 1) + streaminfo
+        d = b"flacframe"
+        pay = (_ogg_page(3, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(3, 1, 44100, [(d, True)], eos=True))
+        return pay, exp("flac", 1, 2, 2, 22050, 1, 2000,
+                        _ogg_sig([idp, d]), True, True)
+    if k == 5:  # speex 16000 stereo
+        idp = (b"Speex   " + b"v" * 20 + _s.pack("<I", 1) + _s.pack("<I", 80)
+               + _s.pack("<I", 16000) + _s.pack("<I", 1) + _s.pack("<I", 4)
+               + _s.pack("<I", 2) + b"\x00" * 8)
+        d = b"spx"
+        pay = (_ogg_page(5, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(5, 1, 8000, [(d, True)], eos=True))
+        return pay, exp("speex", 1, 2, 2, 16000, 2, 500,
+                        _ogg_sig([idp, d]), True, True)
+    if k == 6:  # theora video: no audio facts, granule units need KFGSHIFT
+        idp, d = b"\x80theora" + b"\x03\x02\x01" + b"\x00" * 30, b"frame"
+        pay = (_ogg_page(4, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(4, 1, 100, [(d, True)], eos=True))
+        return pay, exp("theora", 1, 2, 2, None, None, None,
+                        _ogg_sig([idp, d]), True, True)
+    if k == 7:  # bad CRC on the data page: consistent prefix only
+        idp = vorbis_id(1, 44100)
+        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(7, 1, 44100, [(b"q", True)], bad_crc=True))
+        return pay, exp("vorbis", 1, 1, 1, 44100, 1, 0,
+                        _ogg_sig([idp]), False, False)
+    if k == 8:  # truncated EOS page: prefix kept, truncation != corruption
+        idp, d = vorbis_id(1, 44100), b"W" * 100
+        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(7, 1, 44100, [(d, True)])
+               + _ogg_page(7, 2, 88200, [(b"T" * 50, True)], eos=True))
+        pay = pay[:-10]
+        return pay, exp("vorbis", 1, 2, 2, 44100, 1, 1000,
+                        _ogg_sig([idp, d]), True, False)
+    if k == 9:  # opus stereo multi-page census
+        idp = opus_id(2, 312)
+        d1, d2, d3, d4, d5 = (b"p1" * 10, b"p2" * 9, b"p3" * 8, b"p4" * 7,
+                              b"p5" * 6)
+        pay = (_ogg_page(9, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(9, 1, 312 + 48000, [(d1, True), (d2, True)])
+               + _ogg_page(9, 2, 312 + 72000, [(d3, True), (d4, True)])
+               + _ogg_page(9, 3, 312 + 96000, [(d5, True)], eos=True))
+        return pay, exp("opus", 1, 4, 6, 48000, 2, 2000,
+                        _ogg_sig([idp, d1, d2, d3, d4, d5]), True, True)
+    if k == 10:  # trailing junk after EOS is ignored
+        idp, d = vorbis_id(1, 32000), b"z" * 60
+        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
+               + _ogg_page(7, 1, 32000, [(d, True)], eos=True)
+               + b"\xde\xad\xbe\xef" * 16)
+        return pay, exp("vorbis", 1, 2, 2, 32000, 1, 1000,
+                        _ogg_sig([idp, d]), True, True)
+    return b"not an ogg stream" * 4, None  # k == 11: the NULL row
+
+
+_OGG_EXPECTED = {k: _planted_ogg(k)[1] for k in range(12)}
+
+
+def _ogg_case(col: str, cast: str) -> str:
+    parts = []
+    for k in range(12):
+        e = _OGG_EXPECTED[k]
+        v = None if e is None else e[col]
+        if v is None:
+            parts.append(f"WHEN {k} THEN NULL")
+        elif isinstance(v, bool):
+            parts.append(f"WHEN {k} THEN {'TRUE' if v else 'FALSE'}")
+        elif isinstance(v, str):
+            parts.append(f"WHEN {k} THEN '{v}'")
+        else:
+            parts.append(f"WHEN {k} THEN {v}")
+    return "CAST(CASE doc_id % 12 " + " ".join(parts) + f" END AS {cast})"
+
+
+@q(
+    "mm_ogg_identity",
+    f"""
+    -- Ogg container identity (RFC 3533 page walk): the page layer is
+    -- fully specified bit-for-bit, so codec (from each mapping spec's id
+    -- header), page/packet census, duration from the final granule
+    -- position, and the repagination-invariant packet signature are all
+    -- stated in closed form from the planted generator's parameters —
+    -- the parser never defines its own expected values. Class 11 ships
+    -- non-Ogg bytes: the NULL row.
+    SELECT doc_id AS media_id,
+           {_ogg_case("codec", "VARCHAR")} AS codec,
+           {_ogg_case("n_streams", "INT")} AS n_streams,
+           {_ogg_case("n_pages", "INT")} AS n_pages,
+           {_ogg_case("n_packets", "INT")} AS n_packets,
+           {_ogg_case("sample_rate", "INT")} AS sample_rate,
+           {_ogg_case("n_channels", "INT")} AS n_channels,
+           {_ogg_case("duration_ms", "BIGINT")} AS duration_ms,
+           {_ogg_case("stream_sig", "BIGINT")} AS stream_sig,
+           {_ogg_case("crc_ok", "BOOLEAN")} AS crc_ok,
+           {_ogg_case("eos", "BOOLEAN")} AS eos
+    FROM documents WHERE doc_id < 240
+    """,
+)
+def mm_ogg_identity(spark, sf_dir):
+    """Ogg stream identity without sample decode
+    (mediacodec.parse_ogg_info → multimodal.ogg_identity): the RFC 3533
+    page layer is fully specified — capture pattern, lacing, granule
+    positions, the non-reflected CRC-32 — so .ogg/.opus/.oga payloads
+    get codec identification (Vorbis/Opus/Theora/Ogg-FLAC/Speex id
+    headers), an exact page/packet census, true duration from the final
+    granule, and a PACKET-level md5 signature that is invariant under
+    repagination (a remux splits the same packets at different page
+    boundaries) and trailing junk — the column Ogg media joins EXACT
+    stream dedup on, the same identity level mm_mp3_sideinfo gave .mp3.
+    Codec sample reconstruction stays scoped out (normative codebooks —
+    COVERAGE.md Known gaps). Reference parity: parse-tika surfaces the
+    same container facts for Ogg families via Tika's OggDetector
+    (TikaParser.java:63-160). 100 TB: map-only Arrow stage, zero
+    shuffle."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import ogg_identity
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(doc_id),
+                    "payload": _planted_ogg(int(doc_id) % 12)[0],
+                }
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return ogg_identity(media)
