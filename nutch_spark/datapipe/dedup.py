@@ -770,6 +770,59 @@ def dup_components_star(
     )
 
 
+def cluster_canonical(
+    members: DataFrame,
+    signals: DataFrame,
+    key: str = "doc_id",
+    *,
+    quality: str = "quality_score",
+    length: str = "n_tokens",
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster — the
+    "which copy do we KEEP" stage that turns :func:`dup_components` output
+    into a retention decision. The min-id component label is an arbitrary
+    graph artifact; a training-data pipeline keeps the BEST copy: highest
+    ``quality`` (the composite from textstats.quality_metrics), longest
+    ``length`` on ties (a near-copy that gained text usually subsumes the
+    original), smallest ``key`` as the final deterministic tie-break.
+
+    Inputs: ``members`` = (key, component) — dup_components/_star output;
+    ``signals`` = (key, quality, length) — per-doc scoring columns.
+
+    Output: (key, component, n_members, quality, is_canonical) for every
+    member — exactly one ``is_canonical`` row per component (singletons are
+    their own canonical), so ``filter(is_canonical)`` IS the deduplicated
+    corpus and the rest is the drop list.
+
+    Scale shape: one equi-join on ``key`` (both sides pre-partitioned by it
+    upstream) and ONE shuffle on ``component`` shared by both window
+    functions (rank + member count — same partitioning, one exchange). Dup
+    clusters are near-cliques of planted/boilerplate copies, orders of
+    magnitude smaller than the corpus; a pathological mega-cluster
+    (site-wide boilerplate) sorts within one partition — cap it upstream
+    with the pair generators' hot-key caps, which bound component size by
+    construction."""
+    joined = members.select(key, "component").join(
+        signals.select(key, quality, length), key
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality), F.desc(length), F.asc(key)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .select(
+            key,
+            "component",
+            "n_members",
+            quality,
+            (F.col("_rk") == 1).alias("is_canonical"),
+        )
+    )
+
+
 def exact_substring_removal(
     corpus: DataFrame,
     text: str = "text",

@@ -853,9 +853,11 @@ def dp_mix_temperature(spark, sf_dir):
     )
 
 
-def _dup_components_oracle(corpus_filter: str = "TRUE") -> str:
-    return f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+def _dup_components_ctes(corpus_filter: str = "TRUE") -> str:
+    """The recursive-CTE connected-components body (corpus → shingles →
+    exact-Jaccard pairs → min-reachable-id labels) shared by the
+    dup-components and cluster-canonical oracles."""
+    return f"""corpus AS ({_CORPUS_SQL}),
     d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus
           WHERE {corpus_filter}),
     sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
@@ -884,7 +886,12 @@ def _dup_components_oracle(corpus_filter: str = "TRUE") -> str:
         SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b
       )
       SELECT id, min(lab) AS component FROM r GROUP BY id
-    )
+    )"""
+
+
+def _dup_components_oracle(corpus_filter: str = "TRUE") -> str:
+    return f"""
+    WITH {_dup_components_ctes(corpus_filter)}
     SELECT id AS doc_id, component, id != component AS is_duplicate FROM reach
     """
 
@@ -926,6 +933,57 @@ def dp_dup_components_star(spark, sf_dir):
     corpus = _corpus(spark, sf_dir).filter((F.col("doc_id") % 100000) % 3 == 0)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
     return dup_components_star(corpus, pairs)
+
+
+# the composite quality score as a DuckDB fragment (parity with
+# textstats.quality_metrics — binary-exact 0.5/0.25/0.25 weights, identical
+# to dp_quality's oracle), over a (doc_id, text, toks, n_chars) row
+_QSCORE_SQL = """CAST(CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+      + CASE WHEN (CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END) > 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE)"""
+
+
+@q(
+    "dp_cluster_canonical",
+    f"""
+    -- Which copy do we KEEP: the components oracle's clusters joined to
+    -- the composite quality score; canonical = highest quality, longest
+    -- on ties, smallest id last — exactly one is_canonical per component.
+    WITH {_dup_components_ctes(_STAR_SUBSET_SQL)},
+    qs AS (
+      SELECT doc_id AS id, len(toks) AS n_tokens, {_QSCORE_SQL} AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS n_chars
+            FROM corpus WHERE {_STAR_SUBSET_SQL})
+    ),
+    m AS (
+      SELECT r.id, r.component, q.quality_score, q.n_tokens,
+             row_number() OVER (PARTITION BY r.component
+                                ORDER BY q.quality_score DESC,
+                                         q.n_tokens DESC, r.id ASC) AS rk,
+             count(*) OVER (PARTITION BY r.component) AS nm
+      FROM reach r JOIN qs q ON q.id = r.id
+    )
+    SELECT id AS doc_id, component, CAST(nm AS BIGINT) AS n_members,
+           quality_score, rk = 1 AS is_canonical
+    FROM m
+    """,
+)
+def dp_cluster_canonical(spark, sf_dir):
+    """Per-cluster canonical selection (dedup.cluster_canonical): duplicate
+    components joined to the composite quality score; each cluster keeps its
+    best copy (quality DESC, token length DESC, id ASC) — filter(is_canonical)
+    IS the deduplicated corpus, the complement is the drop list with its
+    cluster provenance. The retention-policy stage between pair generation
+    and the cleaned corpus. 100 TB: one key equi-join plus ONE shuffle on
+    component shared by the rank and member-count windows; cluster sizes are
+    bounded by the pair generators' hot-key caps."""
+    from nutch_spark.datapipe.dedup import cluster_canonical, dup_components
+
+    corpus = _corpus(spark, sf_dir).filter((F.col("doc_id") % 100000) % 3 == 0)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
+    comps = dup_components(corpus, pairs)
+    signals = quality_metrics(corpus).select("doc_id", "quality_score", "n_tokens")
+    return cluster_canonical(comps, signals)
 
 
 # planted PII suffix (documents are word salad with no PII of their own)

@@ -1200,3 +1200,51 @@ def test_sampled_quantiles_accuracy_and_determinism(spark):
         df.repartition(17), "v", key="k", qs=(0.5,), sample_bp=1000
     ).collect()[0]
     assert again["q0_5"] == got["q0_5"] and again["n_sample"] == got["n_sample"]
+
+
+def test_cluster_canonical_policy(spark):
+    """Canonical = highest quality, longest on ties, smallest id last;
+    exactly one is_canonical per component; singletons keep themselves."""
+    from nutch_spark.datapipe.dedup import cluster_canonical
+
+    members = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, component long",
+    )
+    signals = spark.createDataFrame(
+        [
+            (0, 0.75, 100),  # cluster 0: doc 1 wins on quality
+            (1, 1.00, 90),
+            (2, 0.75, 100),
+            (4, 0.50, 80),   # cluster 4: tie on quality, doc 5 longer
+            (5, 0.50, 83),
+            (6, 0.25, 10),   # singleton
+        ],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in cluster_canonical(members, signals).collect()}
+    assert [out[i]["is_canonical"] for i in (0, 1, 2)] == [False, True, False]
+    assert [out[i]["is_canonical"] for i in (4, 5)] == [False, True]
+    assert out[6]["is_canonical"] is True
+    assert out[0]["n_members"] == 3 and out[4]["n_members"] == 2
+    assert out[6]["n_members"] == 1
+    # exactly one canonical per component
+    per = {}
+    for r in out.values():
+        per[r["component"]] = per.get(r["component"], 0) + int(r["is_canonical"])
+    assert set(per.values()) == {1}
+
+
+def test_cluster_canonical_id_tiebreak(spark):
+    from nutch_spark.datapipe.dedup import cluster_canonical
+
+    members = spark.createDataFrame(
+        [(7, 7), (8, 7)], "doc_id long, component long"
+    )
+    signals = spark.createDataFrame(
+        [(7, 0.5, 50), (8, 0.5, 50)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = {r["doc_id"]: r["is_canonical"]
+           for r in cluster_canonical(members, signals).collect()}
+    assert out == {7: True, 8: False}
