@@ -551,16 +551,21 @@ def _l2_argmin_sql(sub_sql: str, cents, round_d: int = 6) -> str:
     first PQ draft array_sorted ks structs per subspace per row; at
     m=16/ks=32 that was 512 struct builds + 16 sorts per row and
     dominated the encode stage)."""
-    ds = []
-    for _cid, cv in cents:
-        lit = "array(" + ",".join(_dlit(x) for x in cv) + ")"
-        d2 = (
-            f"aggregate(zip_with({sub_sql}, {lit}, (x, y) ->"
-            " (cast(x as double) - y) * (cast(x as double) - y)),"
-            " 0.0D, (acc, x) -> acc + x)"
-        )
-        ds.append(f"round({d2}, {round_d})")
-    arr = f"array({','.join(ds)})"
+    lut = "array(" + ",".join(
+        "array(" + ",".join(_dlit(x) for x in cv) + ")" for _cid, cv in cents
+    ) + ")"
+    # ONE transform over the codebook literal, not ks unrolled distance
+    # expressions: the unrolled form built a 512-node tree at m=16/ks=32
+    # whose Catalyst analysis + codegen dominated the whole PQ query on
+    # small inputs (~2/3 of dp_pq_topk's wall time was plan compilation);
+    # the data-driven loop is the identical fold in the identical order —
+    # same doubles, same round, array_position still picks the FIRST
+    # minimum (lowest-cid tie-break) — so certified hashes are unchanged.
+    arr = (
+        f"transform({lut}, cw -> round(aggregate(zip_with({sub_sql}, cw,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        f" 0.0D, (acc, x) -> acc + x), {round_d}))"
+    )
     # bind the distance array to a lambda variable so it's EVALUATED ONCE —
     # writing array_position(arr, array_min(arr)) inline duplicates the
     # whole ks-distance expression (Catalyst does not CSE it; the doubled
