@@ -197,20 +197,28 @@ def _cents_struct_array_sql(
     vcol: str, norm_col: str, cents, round_sim: int = 6
 ) -> str:
     """SQL text for the (neg=-round(cosine), cid) struct array — see
-    _cents_rank."""
-    parts = []
-    for cid, cv in cents:
-        lit = "array(" + ",".join(_dlit(x) for x in cv) + ")"
-        cn = _dlit(math.sqrt(sum(float(x) * float(x) for x in cv)))
-        dot = (
-            f"aggregate(zip_with(`{vcol}`, {lit}, (x, y) ->"
-            " cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
-        )
-        parts.append(
-            f"named_struct('neg', -round({dot} / (`{norm_col}` * {cn}),"
-            f" {round_sim}), 'cid', {cid})"
-        )
-    return f"array({','.join(parts)})"
+    _cents_rank. One ``transform`` over the centroid array literal (with
+    parallel norm/cid literals indexed by the lambda's position argument)
+    instead of K unrolled cosine structs: the same compile-time fix as
+    _l2_argmin_sql — the fold order, rounding, and tie-break cids are
+    identical, so certified hashes are unchanged."""
+    lut = "array(" + ",".join(
+        "array(" + ",".join(_dlit(x) for x in cv) + ")" for _cid, cv in cents
+    ) + ")"
+    norms = "array(" + ",".join(
+        _dlit(math.sqrt(sum(float(x) * float(x) for x in cv)))
+        for _cid, cv in cents
+    ) + ")"
+    cids = "array(" + ",".join(str(cid) for cid, _cv in cents) + ")"
+    dot = (
+        f"aggregate(zip_with(`{vcol}`, cw, (x, y) ->"
+        " cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"transform({lut}, (cw, i) -> named_struct("
+        f"'neg', -round({dot} / (`{norm_col}` * element_at({norms}, i + 1)),"
+        f" {round_sim}), 'cid', element_at({cids}, i + 1)))"
+    )
 
 
 def _lloyd_refine(
