@@ -26,12 +26,18 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # r10 block (stale 3), the r11 block (stale 2), and the r12-certified
 # rows (freshest) last.
 _CERTIFY_FIRST = [
-    # NEW in round 13
+    # NEW in round 13 (latest session first: Ogg identity, cluster
+    # canonical — then the earlier-session additions)
+    "mm_ogg_identity", "dp_cluster_canonical",
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
     "dp_quality_bins", "dp_stratified_n", "g_cocitation",
     "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
-    # code CHANGED in round 13 behind existing rows
+    # code CHANGED in round 13 behind existing rows (incl. the PQ argmin
+    # and centroid-rank literal-loop rewrites — hash-identical but the
+    # expression shape is new, so their rows must postdate it)
+    "dp_pq_topk", "dp_pq_recall", "dp_ivf_topk", "dp_ivf_recall",
+    "dp_semantic_dedup", "dp_embedding_near_dup",
     "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",
     "dp_bm25_topk", "dp_hybrid_rrf",
     "dp_ngram_jaccard", "dp_minhash_lsh", "dp_minhash_recall",
@@ -75,12 +81,11 @@ _CERTIFY_FIRST = [
     "p2_cab_extract", "p2_doc_extract", "pf_regex_fields",
     "pf_nb_classify", "st_session_windows", "j_geoip_range",
     # r12-certified (freshest)
-    "dp_pq_topk", "dp_pq_recall", "dp_int8_recall", "dp_fix_mojibake",
+    "dp_int8_recall", "dp_fix_mojibake",
     "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
     "dp_token_spectrum", "mm_audio_features", "p1_politeness",
-    "p1_fetch_binary_pipeline", "dp_ivf_topk", "dp_ivf_recall",
-    "dp_lsh_topk", "dp_lsh_recall", "dp_semantic_dedup",
-    "dp_embedding_near_dup", "dp_cosine_topk", "dp_int8_topk",
+    "p1_fetch_binary_pipeline",
+    "dp_lsh_topk", "dp_lsh_recall", "dp_cosine_topk", "dp_int8_topk",
     "dp_exact_dedup", "p2_metatags", "p2_js_outlinks",
     "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
     "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",

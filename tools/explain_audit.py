@@ -265,6 +265,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # dataset card: two partial-aggregated groupBys, sources-sized join
     "dp_dataset_card": [[r"HashAggregate|SortAggregate"],
                         [r"CartesianProduct", r"MapInPandas|mapInPandas"]],
+    # Ogg page walk: map-only Arrow stage like the MP3 side-info walk —
+    # no join, no aggregate, no exchange anywhere in the plan
+    "mm_ogg_identity": [[r"MapInPandas|mapInPandas"],
+                        [r"CartesianProduct", r"Join", r"HashAggregate",
+                         r"Exchange"]],
+    # cluster-canonical retention: rank + member-count windows share ONE
+    # component shuffle; the signals join is an equi-join, never a cross
+    "dp_cluster_canonical": [[r"Window", r"Join"],
+                             [r"CartesianProduct",
+                              r"BroadcastNestedLoopJoin"]],
 }
 
 
