@@ -577,12 +577,16 @@ _OGG_AUDIO_CODECS = frozenset({"vorbis", "opus", "flac", "speex"})
 
 
 def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
-    """(sample_rate, n_channels, pre_skip) facts from a recognized BOS
-    packet, per each codec's identification-header mapping. Granule-position
-    units: Vorbis/FLAC/Speex count samples at the stream rate; Opus granules
-    always tick at 48 kHz and include ``pre_skip`` (RFC 7845 §4/§5.1)."""
+    """(sample_rate, n_channels, pre_skip, fps_num, fps_den, kfgshift)
+    facts from a recognized BOS packet, per each codec's
+    identification-header mapping. Granule-position units: Vorbis/FLAC/
+    Speex count samples at the stream rate; Opus granules always tick at
+    48 kHz and include ``pre_skip`` (RFC 7845 §4/§5.1); Theora granules
+    split into keyframe/delta counts at ``kfgshift`` (Theora I §5.1) and
+    the frame clock is FRN/FRD from the id header."""
     rate = nch = None
     pre_skip = 0
+    fps_num = fps_den = kfgshift = None
     if codec == "vorbis" and len(pkt) >= 16:
         # \x01vorbis(7) version u32=0, channels u8, rate u32 LE
         (version,) = struct.unpack("<I", pkt[7:11])
@@ -606,11 +610,28 @@ def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
         # mode(4) mode_bitstream_version(4) nb_channels(4)
         (rate,) = struct.unpack("<I", pkt[36:40])
         (nch,) = struct.unpack("<I", pkt[48:52])
+    elif codec == "theora" and len(pkt) >= 42:
+        # \x80theora(7) VMAJ VMIN VREV, FMBW/FMBH u16, PICW/PICH u24,
+        # PICX/PICY u8, FRN/FRD u32 BE (frame clock), PARN/PARD u24,
+        # CS u8, NOMBR u24, then 16 bits QUAL(6)|KFGSHIFT(5)|PF(2)|Res(3)
+        (frn,) = struct.unpack(">I", pkt[22:26])
+        (frd,) = struct.unpack(">I", pkt[26:30])
+        (tail,) = struct.unpack(">H", pkt[40:42])
+        if 0 < frn and 0 < frd:
+            fps_num, fps_den = frn, frd
+            kfgshift = (tail >> 5) & 0x1F
     if rate is not None and not (0 < rate <= 1_000_000):
         rate = None
     if nch is not None and not (0 < nch <= 255):
         nch = None
-    return {"sample_rate": rate, "n_channels": nch, "pre_skip": pre_skip}
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "pre_skip": pre_skip,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "kfgshift": kfgshift,
+    }
 
 
 def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
@@ -768,6 +789,14 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
     if g is not None and g >= 0 and rate and codec in _OGG_AUDIO_CODECS:
         samples = max(0, g - facts["pre_skip"]) if codec == "opus" else g
         duration_ms = samples * 1000 // rate
+    elif (
+        g is not None and g >= 0 and codec == "theora"
+        and facts["fps_num"] and facts["kfgshift"] is not None
+    ):
+        # Theora I §5.1: granule = keyframe_count << kfgshift | delta_count;
+        # total frames decoded so far is their sum, clocked at FRN/FRD
+        frames = (g >> facts["kfgshift"]) + (g & ((1 << facts["kfgshift"]) - 1))
+        duration_ms = frames * 1000 * facts["fps_den"] // facts["fps_num"]
     sig = hashlib.md5()
     for pkt in packets[primary]:
         sig.update(len(pkt).to_bytes(8, "little"))

@@ -5349,11 +5349,20 @@ def _planted_ogg(k: int):
                + _ogg_page(5, 1, 8000, [(d, True)], eos=True))
         return pay, exp("speex", 1, 2, 2, 16000, 2, 500,
                         _ogg_sig([idp, d]), True, True)
-    if k == 6:  # theora video: no audio facts, granule units need KFGSHIFT
-        idp, d = b"\x80theora" + b"\x03\x02\x01" + b"\x00" * 30, b"frame"
+    if k == 6:  # theora video: no audio facts, duration from the frame
+        # clock (FRN=30/FRD=1) and the kfgshift-split granule (§5.1):
+        # granule (10<<6)|5 = 15 frames at 30 fps → 500 ms
+        idp = (b"\x80theora" + bytes([3, 2, 1])          # VMAJ VMIN VREV
+               + _s.pack(">HH", 40, 30)                  # FMBW FMBH
+               + b"\x00\x02\x80" + b"\x00\x01\xe0"       # PICW PICH (u24)
+               + bytes([0, 0])                           # PICX PICY
+               + _s.pack(">II", 30, 1)                   # FRN FRD
+               + b"\x00" * 6 + bytes([0]) + b"\x00" * 3  # PAR, CS, NOMBR
+               + _s.pack(">H", 6 << 5))                  # QUAL|KFGSHIFT=6|PF
+        d = b"frame"
         pay = (_ogg_page(4, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(4, 1, 100, [(d, True)], eos=True))
-        return pay, exp("theora", 1, 2, 2, None, None, None,
+               + _ogg_page(4, 1, (10 << 6) | 5, [(d, True)], eos=True))
+        return pay, exp("theora", 1, 2, 2, None, None, 500,
                         _ogg_sig([idp, d]), True, True)
     if k == 7:  # bad CRC on the data page: consistent prefix only
         idp = vorbis_id(1, 44100)

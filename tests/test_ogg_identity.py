@@ -170,7 +170,8 @@ def test_speex_header_facts():
 
 
 def test_theora_video_no_audio_facts():
-    idp = b"\x80theora" + b"\x03\x02\x01" + b"\x00" * 30
+    # short/truncated id header: codec recognized, no frame-clock facts
+    idp = b"\x80theora" + b"\x03\x02\x01" + b"\x00" * 27
     pages = (
         mk_page(4, 0, 0, [(idp, True)], bos=True)
         + mk_page(4, 1, 100, [(b"frame", True)], eos=True)
@@ -178,7 +179,26 @@ def test_theora_video_no_audio_facts():
     info = parse_ogg_info(pages)
     assert info["codec"] == "theora"
     assert info["sample_rate"] is None and info["n_channels"] is None
-    assert info["duration_ms"] is None  # granule units need KFGSHIFT
+    assert info["duration_ms"] is None  # no parseable FRN/FRD/KFGSHIFT
+
+
+def test_theora_duration_from_kfgshift_granule():
+    # full 42-byte id header: FRN=25/FRD=1, KFGSHIFT=4; granule
+    # (7<<4)|3 = 10 frames at 25 fps → 400 ms (Theora I §5.1)
+    idp = (b"\x80theora" + bytes([3, 2, 1])
+           + struct.pack(">HH", 40, 30)
+           + b"\x00\x02\x80" + b"\x00\x01\xe0" + bytes([0, 0])
+           + struct.pack(">II", 25, 1)
+           + b"\x00" * 6 + bytes([0]) + b"\x00" * 3
+           + struct.pack(">H", 4 << 5))
+    pages = (
+        mk_page(4, 0, 0, [(idp, True)], bos=True)
+        + mk_page(4, 1, (7 << 4) | 3, [(b"frame", True)], eos=True)
+    )
+    info = parse_ogg_info(pages)
+    assert info["codec"] == "theora"
+    assert info["duration_ms"] == 400
+    assert info["sample_rate"] is None and info["n_channels"] is None
 
 
 def test_multi_stream_primary_is_first_audio():
