@@ -36,6 +36,73 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hashed_embedding(
+    corpus: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embeddings (the hashing trick — Weinberger et
+    al. 2009, public paper): every token contributes ±1 to ONE of ``dim``
+    buckets (bucket = low bits of the 60-bit md5 hash, sign = the next
+    bit), and the bucket sums, L2-normalized, are the document's dense
+    vector. The classical no-model featurizer — deterministic, engine-
+    portable, and the sparse-random-projection JL bound applies — so the
+    whole embed → ANN → near-dup pipeline (lsh/ivf/int8/pq_topk,
+    embedding_near_dup, semantic_dedup) runs self-contained on raw text
+    when no learned embedding column exists. A learned encoder drops in
+    by replacing this one map stage.
+
+    Output: (key, n_tokens, norm, embedding array<double>) — the vector
+    is L2-normalized (cosine == dot downstream); all-cancelled or empty
+    docs keep the zero vector with norm 0 rather than dropping.
+
+    Determinism contract: bucket sums are exact integer sums (order-free);
+    the norm folds the fixed-order ``dim``-array of integer-valued doubles
+    (exact below 2^53), so every engine computing the same tokens gets
+    bit-identical vectors. 100 TB: one explode + two hash aggregations
+    keyed by (doc, bucket) then doc — map-side partial aggregation does
+    the heavy lifting; no joins, no windows, no driver state."""
+    from nutch_spark.datapipe.dedup import h64
+    from nutch_spark.datapipe.textstats import tokens
+
+    ex = corpus.select(key, F.explode(tokens(text)).alias("_tok"))
+    h = h64(F.col("_tok"))
+    per_bucket = (
+        ex.select(
+            key,
+            F.pmod(h, F.lit(dim)).cast("int").alias("_b"),
+            (F.shiftright(h, 6).bitwiseAND(F.lit(1)) * 2 - 1).alias("_sgn"),
+        )
+        .groupBy(key, "_b")
+        .agg(F.sum("_sgn").alias("_s"), F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = per_bucket.groupBy(key).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_s"))).alias("_m"),
+        F.sum("_c").alias("_nt"),
+    )
+    e_sql = (
+        f"transform(sequence(0, {dim - 1}),"
+        " d -> cast(coalesce(element_at(_m, d), cast(0 as bigint)) as double))"
+    )
+    return (
+        corpus.select(key)
+        .join(per_doc, key, "left")  # zero-token docs keep the zero vector
+        .withColumn("_e", F.expr(e_sql))
+        .withColumn("_nrm", F.expr("sqrt(aggregate(_e, 0.0D, (a, x) -> a + x * x))"))
+        .select(
+            key,
+            F.coalesce("_nt", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("_nrm").alias("norm"),
+            F.expr(
+                "CASE WHEN _nrm > 0 THEN transform(_e, x -> x / _nrm)"
+                " ELSE _e END"
+            ).alias("embedding"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5478,3 +5478,80 @@ def mm_ogg_identity(spark, sf_dir):
 
     media = d.mapInPandas(gen, "media_id long, payload binary")
     return ogg_identity(media)
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embeddings (dp_text_embed)
+# ---------------------------------------------------------------------------
+
+_FH = _H64.format(s="tok")
+
+
+@q(
+    "dp_text_embed",
+    f"""
+    -- The hashing-trick featurizer stated independently: one md5 per
+    -- token, bucket = h % 64, sign = bit 6; bucket sums are exact
+    -- integer sums, the norm folds integer-valued doubles (exact), and
+    -- certification quantizes components to floor(1e6 * x) so float
+    -- formatting never touches the compare.
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    hb AS (SELECT doc_id,
+                  CAST({_FH} % 64 AS INT) AS b,
+                  CAST(({_FH} >> 6) & 1 AS BIGINT) * 2 - 1 AS sgn
+           FROM ex),
+    s AS (SELECT doc_id, b, SUM(sgn) AS s, COUNT(*) AS c FROM hb GROUP BY doc_id, b),
+    dims AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
+    g AS (SELECT dd.doc_id, m.b, CAST(COALESCE(s.s, 0) AS DOUBLE) AS comp
+          FROM (SELECT doc_id FROM d) dd CROSS JOIN dims m
+          LEFT JOIN s ON s.doc_id = dd.doc_id AND s.b = m.b),
+    v AS (SELECT doc_id, list(comp ORDER BY b) AS e FROM g GROUP BY doc_id),
+    nt AS (SELECT doc_id, SUM(c) AS n_tokens FROM s GROUP BY doc_id),
+    n AS (SELECT v.doc_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                 COALESCE(nt.n_tokens, 0) AS n_tokens
+          FROM v LEFT JOIN nt ON nt.doc_id = v.doc_id),
+    qz AS (SELECT doc_id, n_tokens,
+                  CAST(floor(nrm * 1000000.0) AS BIGINT) AS norm_q,
+                  CASE WHEN nrm > 0
+                       THEN list_transform(e, x -> CAST(floor((x / nrm) * 1000000.0) AS BIGINT))
+                       ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+           FROM n)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, norm_q,
+           q[1] AS q0, q[2] AS q1,
+           md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS emb_digest
+    FROM qz
+    """,
+)
+def dp_text_embed(spark, sf_dir):
+    """Feature-hashing text embeddings (similarity.hashed_embedding —
+    the hashing trick, Weinberger et al. 2009): tokens contribute ±1 to
+    one of 64 md5-addressed buckets; the L2-normalized bucket sums are
+    the document's dense vector, so the embed → ANN → near-dup family
+    runs self-contained on raw text when no learned embedding column
+    exists. Certified by quantized witnesses: the first two components
+    and an md5 digest over all 64, each floor(1e6·x) — bucket sums are
+    exact integer sums and the norm folds integer-valued doubles, so
+    both engines hold bit-identical doubles before the quantize. 100 TB:
+    one explode + two partially-aggregated hash aggs, no joins beyond
+    the zero-token left join, no windows, no driver state."""
+    from nutch_spark.datapipe.similarity import hashed_embedding
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = hashed_embedding(d, dim=64)
+    q_sql = (
+        "CASE WHEN norm > 0 THEN transform(embedding,"
+        " x -> cast(floor(x * 1000000.0D) as bigint))"
+        " ELSE transform(embedding, x -> cast(0 as bigint)) END"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("cast(floor(norm * 1000000.0D) as bigint)").alias("norm_q"),
+        F.expr(f"element_at({q_sql}, 1)").alias("q0"),
+        F.expr(f"element_at({q_sql}, 2)").alias("q1"),
+        F.expr(
+            f"md5(concat_ws(',', transform({q_sql}, x -> cast(x as string))))"
+        ).alias("emb_digest"),
+    )

@@ -1248,3 +1248,47 @@ def test_cluster_canonical_id_tiebreak(spark):
     out = {r["doc_id"]: r["is_canonical"]
            for r in cluster_canonical(members, signals).collect()}
     assert out == {7: True, 8: False}
+
+
+def test_hashed_embedding_properties(spark):
+    """Unit norm, zero-token zero vector, determinism across partitionings,
+    and composition into the certified ANN family."""
+    import math
+
+    from nutch_spark.datapipe.similarity import hashed_embedding, lsh_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words about spark engines"),
+            (4, ""),  # zero tokens: zero vector, norm 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in hashed_embedding(docs).collect()}
+    assert out[4]["n_tokens"] == 0 and out[4]["norm"] == 0.0
+    assert all(x == 0.0 for x in out[4]["embedding"])
+    for i in (1, 2, 3):
+        nrm = math.sqrt(sum(x * x for x in out[i]["embedding"]))
+        assert abs(nrm - 1.0) < 1e-9
+        assert out[i]["n_tokens"] == 9 if i < 3 else True
+    # near-identical docs (one token differs) land closer than unrelated
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert dot(out[1]["embedding"], out[2]["embedding"]) > dot(
+        out[1]["embedding"], out[3]["embedding"]
+    )
+    # partitioning invariance: integer bucket sums are order-free
+    again = {
+        r["doc_id"]: r
+        for r in hashed_embedding(docs.repartition(7)).collect()
+    }
+    for i in (1, 2, 3, 4):
+        assert again[i]["embedding"] == out[i]["embedding"]
+    # composition: the vectors feed the certified ANN family directly
+    emb = hashed_embedding(docs).filter("n_tokens > 0").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    topk = lsh_topk(emb, emb, k=1, dim=64, bits=8).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in topk)

@@ -275,6 +275,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_cluster_canonical": [[r"Window", r"Join"],
                              [r"CartesianProduct",
                               r"BroadcastNestedLoopJoin"]],
+    # feature-hashing embeddings: two partial-aggregated hash aggs and
+    # the zero-token left join — no window, no Python stage, no cross
+    "dp_text_embed": [[r"HashAggregate"],
+                      [r"CartesianProduct", r"Window",
+                       r"MapInPandas|mapInPandas",
+                       r"BroadcastNestedLoopJoin"]],
 }
 
 
