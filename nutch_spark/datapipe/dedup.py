@@ -802,11 +802,16 @@ def cluster_canonical(
     (site-wide boilerplate) sorts within one partition — cap it upstream
     with the pair generators' hot-key caps, which bound component size by
     construction."""
+    # LEFT join: a member missing from ``signals`` must stay in the output
+    # (NULL quality ranks last, so it can only be canonical when nothing
+    # scored beats it) — an inner join would silently drop it from BOTH the
+    # keep and drop lists and the is_canonical partition of the corpus
+    # would no longer cover every member
     joined = members.select(key, "component").join(
-        signals.select(key, quality, length), key
+        signals.select(key, quality, length), key, "left"
     )
     w = Window.partitionBy("component").orderBy(
-        F.desc(quality), F.desc(length), F.asc(key)
+        F.desc_nulls_last(quality), F.desc_nulls_last(length), F.asc(key)
     )
     return (
         joined.withColumn("_rk", F.row_number().over(w))

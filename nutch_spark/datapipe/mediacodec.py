@@ -587,6 +587,7 @@ def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
     rate = nch = None
     pre_skip = 0
     fps_num = fps_den = kfgshift = None
+    granule_off = 0
     if codec == "vorbis" and len(pkt) >= 16:
         # \x01vorbis(7) version u32=0, channels u8, rate u32 LE
         (version,) = struct.unpack("<I", pkt[7:11])
@@ -620,6 +621,11 @@ def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
         if 0 < frn and 0 < frd:
             fps_num, fps_den = frn, frd
             kfgshift = (tail >> 5) & 0x1F
+            # granule-position quirk: before bitstream 3.2.1 the granule
+            # encodes the LAST FRAME'S INDEX (count-1), from 3.2.1 on the
+            # count itself (libtheora th_granule_frame's version branch)
+            version = (pkt[7], pkt[8], pkt[9])
+            granule_off = 0 if version >= (3, 2, 1) else 1
     if rate is not None and not (0 < rate <= 1_000_000):
         rate = None
     if nch is not None and not (0 < nch <= 255):
@@ -631,6 +637,7 @@ def _ogg_id_facts(codec: str, pkt: bytes) -> dict:
         "fps_num": fps_num,
         "fps_den": fps_den,
         "kfgshift": kfgshift,
+        "granule_off": granule_off,
     }
 
 
@@ -670,9 +677,12 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
          "crc_ok",                       # no bad-CRC page hit the walk
          "eos"}                          # primary stream's EOS page seen
 
-    Hostile-input posture: page 0 must be a CRC-valid BOS page (an 'OggS'
-    that happens to appear in junk fails the CRC — the false-positive
-    guard); a later bad-CRC or truncated page ends the census at the
+    Hostile-input posture: page 0 must be a CRC-valid BOS page — both
+    checked: an 'OggS' that happens to appear in junk fails the CRC, and
+    a mid-stream capture (headless icecast dump) fails the BOS-flag gate
+    rather than mixing a later chained stream's identity into a row
+    about bytes that are mostly something else; a later bad-CRC or
+    truncated page ends the census at the
     consistent prefix (``crc_ok`` False for corruption, ``eos`` False for
     truncation); a continued-packet flag with nothing pending drops the
     orphan fragment per RFC 3533 §6; the page count caps at
@@ -681,6 +691,8 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
 
     n = len(payload)
     if n < 27 or payload[:4] != b"OggS" or payload[4] != 0:
+        return None
+    if not payload[5] & 0x02:  # page 0 must carry the BOS flag
         return None
     pos = 0
     n_pages = 0
@@ -795,7 +807,11 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
     ):
         # Theora I §5.1: granule = keyframe_count << kfgshift | delta_count;
         # total frames decoded so far is their sum, clocked at FRN/FRD
-        frames = (g >> facts["kfgshift"]) + (g & ((1 << facts["kfgshift"]) - 1))
+        frames = (
+            (g >> facts["kfgshift"])
+            + (g & ((1 << facts["kfgshift"]) - 1))
+            + facts["granule_off"]
+        )
         duration_ms = frames * 1000 * facts["fps_den"] // facts["fps_num"]
     sig = hashlib.md5()
     for pkt in packets[primary]:

@@ -658,9 +658,6 @@ def ogg_identity(
             info = None
         if info is None:
             return null_row(media_id)
-        sig = info["stream_sig"]
-        if sig >= 1 << 63:
-            sig -= 1 << 64
         return {
             "media_id": media_id,
             "codec": info["codec"],
@@ -670,7 +667,8 @@ def ogg_identity(
             "sample_rate": info["sample_rate"],
             "n_channels": info["n_channels"],
             "duration_ms": info["duration_ms"],
-            "stream_sig": sig,
+            # 60 bits (15 md5 hex chars) always fit a signed long
+            "stream_sig": info["stream_sig"],
             "crc_ok": info["crc_ok"],
             "eos": info["eos"],
         }

@@ -45,10 +45,12 @@ def hashed_embedding(
 ) -> DataFrame:
     """Feature-hashing text embeddings (the hashing trick — Weinberger et
     al. 2009, public paper): every token contributes ±1 to ONE of ``dim``
-    buckets (bucket = low bits of the 60-bit md5 hash, sign = the next
-    bit), and the bucket sums, L2-normalized, are the document's dense
-    vector. The classical no-model featurizer — deterministic, engine-
-    portable, and the sparse-random-projection JL bound applies — so the
+    buckets (bucket = the 60-bit md5 hash mod ``dim``, sign = hash bit
+    55 — disjoint from the bucket bits for any power-of-two ``dim`` up to
+    2^55, so colliding tokens still cancel in expectation), and the
+    bucket sums, L2-normalized, are the document's dense vector. The
+    classical no-model featurizer — deterministic, engine-portable, and
+    the sparse-random-projection JL bound applies — so the
     whole embed → ANN → near-dup pipeline (lsh/ivf/int8/pq_topk,
     embedding_near_dup, semantic_dedup) runs self-contained on raw text
     when no learned embedding column exists. A learned encoder drops in
@@ -73,7 +75,7 @@ def hashed_embedding(
         ex.select(
             key,
             F.pmod(h, F.lit(dim)).cast("int").alias("_b"),
-            (F.shiftright(h, 6).bitwiseAND(F.lit(1)) * 2 - 1).alias("_sgn"),
+            (F.shiftright(h, 55).bitwiseAND(F.lit(1)) * 2 - 1).alias("_sgn"),
         )
         .groupBy(key, "_b")
         .agg(F.sum("_sgn").alias("_s"), F.count(F.lit(1)).alias("_c"))

@@ -5267,15 +5267,14 @@ def _ogg_page(serial, seq, granule, chunks, *, bos=False, eos=False,
 def _ogg_sig(packets) -> int:
     """The parser's packet-signature rule stated from the PLANTED packets
     (never from running the parser): md5 over length-delimited packet
-    bytes, 60 bits, sign-folded to int64."""
+    bytes — 60 bits (15 hex chars), so it always fits a signed long."""
     import hashlib as _h
 
     sig = _h.md5()
     for pkt in packets:
         sig.update(len(pkt).to_bytes(8, "little"))
         sig.update(pkt)
-    v = int(sig.hexdigest()[:15], 16)
-    return v - (1 << 64) if v >= 1 << 63 else v
+    return int(sig.hexdigest()[:15], 16)
 
 
 def _planted_ogg(k: int):
@@ -5491,7 +5490,8 @@ _FH = _H64.format(s="tok")
     "dp_text_embed",
     f"""
     -- The hashing-trick featurizer stated independently: one md5 per
-    -- token, bucket = h % 64, sign = bit 6; bucket sums are exact
+    -- token, bucket = h % 64, sign = bit 55 (disjoint from the bucket
+    -- bits for any power-of-two dim); bucket sums are exact
     -- integer sums, the norm folds integer-valued doubles (exact), and
     -- certification quantizes components to floor(1e6 * x) so float
     -- formatting never touches the compare.
@@ -5499,7 +5499,7 @@ _FH = _H64.format(s="tok")
     ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
     hb AS (SELECT doc_id,
                   CAST({_FH} % 64 AS INT) AS b,
-                  CAST(({_FH} >> 6) & 1 AS BIGINT) * 2 - 1 AS sgn
+                  CAST(({_FH} >> 55) & 1 AS BIGINT) * 2 - 1 AS sgn
            FROM ex),
     s AS (SELECT doc_id, b, SUM(sgn) AS s, COUNT(*) AS c FROM hb GROUP BY doc_id, b),
     dims AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
@@ -5527,7 +5527,8 @@ _FH = _H64.format(s="tok")
 def dp_text_embed(spark, sf_dir):
     """Feature-hashing text embeddings (similarity.hashed_embedding —
     the hashing trick, Weinberger et al. 2009): tokens contribute ±1 to
-    one of 64 md5-addressed buckets; the L2-normalized bucket sums are
+    one of 64 md5-addressed buckets (sign from a high hash bit, disjoint
+    from the bucket bits); the L2-normalized bucket sums are
     the document's dense vector, so the embed → ANN → near-dup family
     runs self-contained on raw text when no learned embedding column
     exists. Certified by quantized witnesses: the first two components

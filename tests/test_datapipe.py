@@ -1292,3 +1292,23 @@ def test_hashed_embedding_properties(spark):
     )
     topk = lsh_topk(emb, emb, k=1, dim=64, bits=8).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in topk)
+
+
+def test_cluster_canonical_keeps_unsignaled_members(spark):
+    """A member missing from signals must stay in the output (ranked last),
+    so is_canonical partitions EVERY member — nothing leaks past the drop
+    list; an all-unsignaled cluster still elects exactly one canonical."""
+    from nutch_spark.datapipe.dedup import cluster_canonical
+
+    members = spark.createDataFrame(
+        [(0, 0), (1, 0), (5, 5), (6, 5)], "doc_id long, component long"
+    )
+    signals = spark.createDataFrame(
+        [(1, 0.5, 10)], "doc_id long, quality_score double, n_tokens long"
+    )  # docs 0, 5, 6 have no signal row
+    out = {r["doc_id"]: r for r in cluster_canonical(members, signals).collect()}
+    assert set(out) == {0, 1, 5, 6}
+    assert out[1]["is_canonical"] is True and out[0]["is_canonical"] is False
+    assert out[0]["n_members"] == 2
+    # all-NULL cluster: smallest id wins deterministically
+    assert out[5]["is_canonical"] is True and out[6]["is_canonical"] is False

@@ -369,15 +369,50 @@ def test_planted_fixture_classes_match_parser():
         if expected is None:
             assert info is None, k
             continue
-        sig = info["stream_sig"]
-        if sig >= 1 << 63:
-            sig -= 1 << 64
         got = {
             "codec": info["codec"], "n_streams": info["n_streams"],
             "n_pages": info["n_pages"], "n_packets": info["n_packets"],
             "sample_rate": info["sample_rate"],
             "n_channels": info["n_channels"],
-            "duration_ms": info["duration_ms"], "stream_sig": sig,
+            "duration_ms": info["duration_ms"],
+            "stream_sig": info["stream_sig"],
             "crc_ok": info["crc_ok"], "eos": info["eos"],
         }
         assert got == expected, k
+
+
+def test_headless_midstream_capture_rejected():
+    # a CRC-valid NON-BOS first page (mid-stream capture) must return None
+    # even when a later chained stream begins properly — otherwise the row
+    # would mix the headless stream's page count with the chain's identity
+    idp = vorbis_id(1, 44100)
+    headless = mk_page(3, 9, 44100, [(b"mid-stream data", True)])
+    chained = (
+        mk_page(7, 0, 0, [(idp, True)], bos=True)
+        + mk_page(7, 1, 44100, [(b"x", True)], eos=True)
+    )
+    assert parse_ogg_info(headless + chained) is None
+    assert parse_ogg_info(chained) is not None  # sanity
+
+
+def test_theora_pre321_granule_is_frame_index():
+    # bitstream 3.2.0: the granule encodes the LAST FRAME'S INDEX, so the
+    # frame count is one higher than 3.2.1's reading (libtheora
+    # th_granule_frame version branch)
+    def theora_id(vrev):
+        return (b"\x80theora" + bytes([3, 2, vrev])
+                + struct.pack(">HH", 40, 30)
+                + b"\x00\x02\x80" + b"\x00\x01\xe0" + bytes([0, 0])
+                + struct.pack(">II", 25, 1)
+                + b"\x00" * 6 + bytes([0]) + b"\x00" * 3
+                + struct.pack(">H", 4 << 5))
+
+    def dur(vrev):
+        pages = (
+            mk_page(4, 0, 0, [(theora_id(vrev), True)], bos=True)
+            + mk_page(4, 1, (7 << 4) | 3, [(b"frame", True)], eos=True)
+        )
+        return parse_ogg_info(pages)["duration_ms"]
+
+    assert dur(1) == 400   # 3.2.1: granule == frame count (10 @ 25 fps)
+    assert dur(0) == 440   # 3.2.0: granule == last index (11 frames)
