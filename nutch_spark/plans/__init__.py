@@ -15,16 +15,18 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
 # certifies. Round-13 ordering: the queries whose code is NEW or CHANGED
-# this round lead (MP3 side-info walk, stream-stream join, Bloom/quantile
-# sketches, NFC, token-budget/quality-bins/stratified sampling,
-# co-citation, skew-join outer modes + new salt; then the rows over
-# changed shared code: the dhash numpy path, the MPEG sync gate, the
-# shingle/minhash/winnowing materializations, the distributed prefix sum
-# behind vocab/seq-packing, bm25's TakeOrderedAndProject, compat32 eml,
-# the linkrank skew flag, the pid-namespaced sink scratch), then the
-# twelve rows whose last driver-green is r9 (stale 4 rounds), then the
-# r10 block (stale 3), the r11 block (stale 2), and the r12-certified
-# rows (freshest) last.
+# this round lead — newest first: Ogg identity, cluster-canonical
+# retention, feature-hashing embeddings; then the earlier r13 additions
+# (MP3 side-info walk, stream-stream join, Bloom/quantile sketches, NFC,
+# token-budget/quality-bins/stratified sampling, co-citation, skew-join
+# outer modes + new salt); then rows over changed shared code (the
+# PQ-argmin/centroid-rank literal-loop rewrites, the dhash numpy path,
+# the MPEG sync gate, the shingle/minhash/winnowing materializations,
+# the distributed prefix sum behind vocab/seq-packing, bm25's
+# TakeOrderedAndProject, compat32 eml, the linkrank skew flag, the
+# pid-namespaced sink scratch); then the rows whose last driver-green is
+# r9 (stale 4 rounds), the r10 block (stale 3), the r11 block (stale 2),
+# and the r12-certified rows (freshest) last.
 _CERTIFY_FIRST = [
     # NEW in round 13 (latest session first: Ogg identity, cluster
     # canonical — then the earlier-session additions)
