@@ -31,6 +31,7 @@ _CERTIFY_FIRST = [
     # NEW in round 13 (latest session first: Ogg identity, cluster
     # canonical — then the earlier-session additions)
     "mm_ogg_identity", "dp_cluster_canonical", "dp_text_embed",
+    "dp_text_embed_neardup",
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
     "dp_quality_bins", "dp_stratified_n", "g_cocitation",

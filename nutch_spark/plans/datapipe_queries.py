@@ -5486,16 +5486,14 @@ def mm_ogg_identity(spark, sf_dir):
 _FH = _H64.format(s="tok")
 
 
-@q(
-    "dp_text_embed",
-    f"""
-    -- The hashing-trick featurizer stated independently: one md5 per
-    -- token, bucket = h % 64, sign = bit 55 (disjoint from the bucket
-    -- bits for any power-of-two dim); bucket sums are exact
-    -- integer sums, the norm folds integer-valued doubles (exact), and
-    -- certification quantizes components to floor(1e6 * x) so float
-    -- formatting never touches the compare.
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+def _text_embed_ctes(src: str = "documents") -> str:
+    """The hashing-trick featurizer stated independently: one md5 per
+    token, bucket = h % 64, sign = bit 55 (disjoint from the bucket bits
+    for any power-of-two dim); bucket sums are exact integer sums and
+    the norm folds integer-valued doubles (exact). Ends at ``n``
+    (doc_id, e, nrm, n_tokens) — shared by dp_text_embed and the
+    composed dp_text_embed_neardup."""
+    return f"""d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM {src}),
     ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
     hb AS (SELECT doc_id,
                   CAST({_FH} % 64 AS INT) AS b,
@@ -5511,7 +5509,15 @@ _FH = _H64.format(s="tok")
     n AS (SELECT v.doc_id, e,
                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
                  COALESCE(nt.n_tokens, 0) AS n_tokens
-          FROM v LEFT JOIN nt ON nt.doc_id = v.doc_id),
+          FROM v LEFT JOIN nt ON nt.doc_id = v.doc_id)"""
+
+
+@q(
+    "dp_text_embed",
+    f"""
+    -- certification quantizes components to floor(1e6 * x) so float
+    -- formatting never touches the compare
+    WITH {_text_embed_ctes()},
     qz AS (SELECT doc_id, n_tokens,
                   CAST(floor(nrm * 1000000.0) AS BIGINT) AS norm_q,
                   CASE WHEN nrm > 0
@@ -5555,4 +5561,82 @@ def dp_text_embed(spark, sf_dir):
         F.expr(
             f"md5(concat_ws(',', transform({q_sql}, x -> cast(x as string))))"
         ).alias("emb_digest"),
+    )
+
+
+@q(
+    "dp_text_embed_neardup",
+    f"""
+    -- The full chain certified cross-engine: raw text → feature-hashing
+    -- embedding → sign-pattern LSH bucket → same-bucket pairs at
+    -- cosine >= 0.99. Exact text copies (doc_id+100000) hash to
+    -- IDENTICAL integer vectors, so their pairs score exactly 1.0; the
+    -- bucket equi-join keeps the shuffle O(rows).
+    WITH tcorpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
+    ),
+    {_text_embed_ctes("tcorpus")},
+    ne AS (
+      SELECT doc_id,
+             CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                  ELSE e END AS embedding
+      FROM n WHERE n_tokens > 0
+    ),
+    bucketed AS (
+      SELECT doc_id, embedding,
+             list_aggregate(list_transform(embedding,
+                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                            'string_agg', '') AS bucket
+      FROM ne
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               6) AS cosine_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+    """,
+)
+def dp_text_embed_neardup(spark, sf_dir):
+    """The self-contained text near-dup chain, certified end-to-end: raw
+    text → hashed_embedding (the hashing trick) → sign-pattern LSH bucket
+    → same-bucket cosine pairs at >= 0.99 (planted exact copies at
+    doc_id+100000 hash to identical integer vectors, so they score
+    exactly 1.0). This is dp_embedding_near_dup with the embedding column
+    COMPUTED from text rather than assumed — no learned encoder needed
+    for exact/near-exact text dedup in embedding space. 100 TB: the embed
+    stage is two hash aggs, the candidate join shuffles O(rows) on the
+    64-bit sign bucket, never a cross product."""
+    from nutch_spark.datapipe.similarity import cosine, hashed_embedding
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    emb = hashed_embedding(d.unionByName(copies)).filter(F.col("n_tokens") > 0)
+    c = emb.withColumn(
+        "bucket",
+        F.array_join(
+            F.transform("embedding", lambda x: F.when(x >= 0, "1").otherwise("0")),
+            "",
+        ),
+    )
+    a = c.select("bucket", F.col("doc_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = c.select("bucket", F.col("doc_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.99)
     )

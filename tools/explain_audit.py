@@ -281,6 +281,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                       [r"CartesianProduct", r"Window",
                        r"MapInPandas|mapInPandas",
                        r"BroadcastNestedLoopJoin"]],
+    # text → embed → near-dup chain: candidates from the sign-bucket
+    # equi-join, never a cross product or nested loop
+    "dp_text_embed_neardup": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                              [r"CartesianProduct",
+                               r"BroadcastNestedLoopJoin"]],
 }
 
 
