@@ -105,6 +105,49 @@ def hashed_embedding(
     )
 
 
+def row_embed_bucket(text: Column | str, *, dim: int = 64) -> Column:
+    """The sign-pattern LSH bucket of :func:`hashed_embedding`'s vector as
+    ONE per-row expression — no explode, no aggregation — so a STREAM can
+    bucket documents stage-free (an agg before a stateful dedup would
+    stack stateful operators). Each token's 60-bit hash is computed once
+    (the hash array binds to a lambda variable — the same evaluate-once
+    trick as _l2_argmin_sql), then every dim folds the hash array with
+    integer adds; integer bucket sums are order-free, so the bucket
+    string is bit-identical to sign-bucketing hashed_embedding's vector
+    for the same text (pinned by test). Cost: ``dim`` integer passes
+    over the per-row hash array; the md5 is NOT recomputed per dim."""
+    from nutch_spark.datapipe.textstats import tokens
+
+    hs = F.transform(
+        tokens(text),  # tokenizes the TEXT column (name or Column)
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+    def bucket(arr: Column) -> Column:
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(
+                    F.aggregate(
+                        arr,
+                        F.lit(0).cast("long"),
+                        lambda a, h: a
+                        + F.when(
+                            F.pmod(h, F.lit(dim)) == d.cast("long"),
+                            F.shiftright(h, 55).bitwiseAND(F.lit(1)) * 2 - 1,
+                        ).otherwise(F.lit(0).cast("long")),
+                    )
+                    >= 0,
+                    "1",
+                ).otherwise("0"),
+            ),
+        )
+
+    wrapped = F.transform(F.array(F.struct(hs.alias("h"))), lambda s: bucket(s["h"]))
+    return F.element_at(wrapped, 1)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -535,3 +535,48 @@ def streaming_video_dedup(
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_dedup_key")
     )
+
+
+def streaming_embed_dedup(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    key: str = "doc_id",
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    dim: int = 64,
+) -> DataFrame:
+    """Streaming text near-dup in EMBEDDING space — dp_text_embed_neardup's
+    streaming twin: each arriving document buckets by the sign pattern of
+    its feature-hashing vector (similarity.row_embed_bucket — one per-row
+    expression, no aggregation, so the plan is a stateless map feeding ONE
+    stateful operator) and ``dropDuplicatesWithinWatermark`` on the bucket
+    keeps the first arrival of each sign pattern. Within a watermark this
+    is the streaming analogue of the batch bucket equi-join's keep-first
+    rule: exact copies hash to identical integer vectors → identical
+    buckets, near-identical texts usually agree on every sign.
+
+    Zero-token documents get a ``key``-salted synthetic bucket so they
+    pass through without matching each other (idempotent under at-least-
+    once redelivery of the same key within the watermark — the same
+    documented semantics as streaming_image_dedup's undecodable rows).
+
+    State is bounded by the watermark horizon; the bucket string is
+    ``dim`` chars/row. 100 TB/day: a stateless codegen'd map plus one
+    keyed state store — the same shape Spark runs exact streaming dedup
+    with."""
+    from nutch_spark.datapipe.similarity import row_embed_bucket
+    from nutch_spark.datapipe.textstats import tokens
+
+    keyed = docs.withColumn(
+        "_dedup_key",
+        F.when(
+            F.size(tokens(F.col(text))) > 0,
+            F.concat(F.lit("b:"), row_embed_bucket(F.col(text), dim=dim)),
+        ).otherwise(F.concat(F.lit("k:"), F.col(key).cast("string"))),
+    )
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )

@@ -1312,3 +1312,23 @@ def test_cluster_canonical_keeps_unsignaled_members(spark):
     assert out[0]["n_members"] == 2
     # all-NULL cluster: smallest id wins deterministically
     assert out[5]["is_canonical"] is True and out[6]["is_canonical"] is False
+
+
+def test_row_embed_bucket_matches_batch(spark):
+    """The stream-safe per-row bucket expression is bit-identical to
+    sign-bucketing hashed_embedding's vector for the same text."""
+    from nutch_spark.datapipe.similarity import hashed_embedding, row_embed_bucket
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zebra quokka xylophone"), (3, "")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: "".join("1" if x >= 0 else "0" for x in r["embedding"])
+        for r in hashed_embedding(docs).collect()
+    }
+    row = {
+        r["doc_id"]: r["b"]
+        for r in docs.select("doc_id", row_embed_bucket("text").alias("b")).collect()
+    }
+    assert row == batch

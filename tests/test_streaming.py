@@ -350,3 +350,44 @@ def test_fetch_parse_join_batch_and_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM fpj").collect()
     }
     assert streamed == got
+
+
+def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
+    """Embedding-space text dedup over a REAL readStream: exact copies
+    collapse (identical feature-hash vectors → identical sign buckets),
+    distinct texts survive, zero-token rows pass through individually;
+    the stream's buckets match the batch featurizer's sign pattern."""
+    from nutch_spark.datapipe.similarity import hashed_embedding
+    from nutch_spark.streaming.continuous import streaming_embed_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", T0),
+        (2, "the quick brown fox jumps over the lazy dog", T0),  # exact dup
+        (3, "an entirely different document about spark plans", T0),
+        (4, "", T0),   # zero tokens: passes through
+        (5, "", T0),   # ...and does NOT match the other empty row
+    ]
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_embed_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("embdedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"] for r in spark.sql("SELECT * FROM embdedup_sink").collect()}
+    assert 3 in out
+    assert {4, 5} <= out                 # empties keyed by doc_id, both kept
+    assert len(out & {1, 2}) == 1        # the exact copy collapsed
+    # the stream's bucket rule IS the batch featurizer's sign pattern:
+    # identical integer vectors → identical buckets by construction
+    emb = {r["doc_id"]: r["embedding"]
+           for r in hashed_embedding(
+               spark.createDataFrame(rows, schema).select("doc_id", "text")
+           ).collect()}
+    assert emb[1] == emb[2] and emb[1] != emb[3]
