@@ -105,17 +105,13 @@ def hashed_embedding(
     )
 
 
-def row_embed_bucket(text: Column | str, *, dim: int = 64) -> Column:
-    """The sign-pattern LSH bucket of :func:`hashed_embedding`'s vector as
-    ONE per-row expression — no explode, no aggregation — so a STREAM can
-    bucket documents stage-free (an agg before a stateful dedup would
-    stack stateful operators). Each token's 60-bit hash is computed once
-    (the hash array binds to a lambda variable — the same evaluate-once
-    trick as _l2_argmin_sql), then every dim folds the hash array with
-    integer adds; integer bucket sums are order-free, so the bucket
-    string is bit-identical to sign-bucketing hashed_embedding's vector
-    for the same text (pinned by test). Cost: ``dim`` integer passes
-    over the per-row hash array; the md5 is NOT recomputed per dim."""
+def _row_embed_apply(text: Column | str, dim: int, fn) -> Column:
+    """Shared per-row skeleton for the stream-safe featurizer expressions:
+    tokenize, hash each token ONCE (the hash array binds to a lambda
+    variable — the same evaluate-once trick as _l2_argmin_sql), build the
+    integer bucket-sum array ``e`` with ``dim`` integer folds, and apply
+    ``fn(e)``. No explode, no aggregation — a pure map expression, so a
+    STREAM can use it ahead of its one stateful operator."""
     from nutch_spark.datapipe.textstats import tokens
 
     hs = F.transform(
@@ -123,29 +119,159 @@ def row_embed_bucket(text: Column | str, *, dim: int = 64) -> Column:
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
 
-    def bucket(arr: Column) -> Column:
-        return F.concat_ws(
+    def build(arr: Column) -> Column:
+        e = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda a, h: a
+                + F.when(
+                    F.pmod(h, F.lit(dim)) == d.cast("long"),
+                    F.shiftright(h, 55).bitwiseAND(F.lit(1)) * 2 - 1,
+                ).otherwise(F.lit(0).cast("long")),
+            ).cast("double"),
+        )
+        return fn(e)
+
+    wrapped = F.transform(F.array(F.struct(hs.alias("h"))), lambda s: build(s["h"]))
+    return F.element_at(wrapped, 1)
+
+
+def row_embed_bucket(text: Column | str, *, dim: int = 64) -> Column:
+    """The sign-pattern LSH bucket of :func:`hashed_embedding`'s vector as
+    ONE per-row expression; integer bucket sums are order-free, so the
+    bucket string is bit-identical to sign-bucketing hashed_embedding's
+    vector for the same text (pinned by test). Cost: ``dim`` integer
+    passes over the per-row hash array; the md5 is NOT recomputed per
+    dim. NOTE the scale caveat measured on real corpora: component signs
+    CORRELATE across documents sharing a token distribution (6%+ of a
+    synthetic corpus lands in one bucket), so a pairwise join on this
+    bucket alone is quadratic in the hot bucket — batch near-dup guards
+    with a hot-bucket census + digest sub-bucketing
+    (text_embed_neardup_pairs); streams dedup on
+    :func:`row_embed_digest` instead."""
+    return _row_embed_apply(
+        text,
+        dim,
+        lambda e: F.concat_ws(
             "",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.when(
-                    F.aggregate(
-                        arr,
-                        F.lit(0).cast("long"),
-                        lambda a, h: a
-                        + F.when(
-                            F.pmod(h, F.lit(dim)) == d.cast("long"),
-                            F.shiftright(h, 55).bitwiseAND(F.lit(1)) * 2 - 1,
-                        ).otherwise(F.lit(0).cast("long")),
-                    )
-                    >= 0,
-                    "1",
-                ).otherwise("0"),
+            F.transform(e, lambda x: F.when(x >= 0, "1").otherwise("0")),
+        ),
+    )
+
+
+def row_embed_digest(text: Column | str, *, dim: int = 64) -> Column:
+    """The QUANTIZED-vector identity digest of :func:`hashed_embedding`'s
+    vector as ONE per-row expression: md5 over the floor(1e6·x/‖x‖)
+    components — exactly dp_text_embed's ``emb_digest`` column, so batch
+    and stream agree bit-for-bit (pinned by test). Two documents share a
+    digest iff their hashed vectors are 1e-6-identical — in practice the
+    same token MULTISET, i.e. bag-of-words identity: order-invariant
+    exact dedup (a reordered copy collapses; a genuinely different doc
+    that merely shares a sign pattern does not). The stream-safe dedup
+    key, immune to the sign-correlation hot bucket."""
+
+    def digest(e: Column) -> Column:
+        nrm = F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        q = F.when(
+            nrm > 0,
+            F.transform(e, lambda x: F.floor(x / nrm * 1000000.0).cast("long")),
+        ).otherwise(F.transform(e, lambda x: F.lit(0).cast("long")))
+        return F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))))
+
+    return _row_embed_apply(text, dim, digest)
+
+
+def text_embed_neardup_pairs(
+    corpus: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    dim: int = 64,
+    threshold: float = 0.99,
+    round_sim: int = 6,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Text near-dup pairs in embedding space, self-contained: raw text →
+    :func:`hashed_embedding` → sign-pattern LSH bucket → same-bucket
+    cosine pairs ≥ ``threshold``. Output (id_a, id_b, cosine_sim).
+
+    The hot-bucket guard (the part that survives 100 TB): component
+    signs CORRELATE across documents sharing a token distribution — a
+    measured 6%+ of a synthetic corpus lands in ONE sign bucket, so a
+    plain bucket self-join is quadratic in the hot bucket (at 1B docs a
+    6% bucket is 3.6e15 candidate pairs). Buckets larger than
+    ``max_bucket`` are sub-bucketed by the quantized-vector identity
+    digest: inside a hot bucket only 1e-6-identical vectors (exact and
+    reordered copies — the pairs a dedup pass actually needs, scoring
+    1.0) still pair; sign-equal-but-different documents stop generating
+    candidates. The census of hot buckets is tiny by construction
+    (≤ n/max_bucket rows) and broadcasts. The embedding table is
+    localCheckpoint-ed once so the self-join's two sides reuse one
+    computation instead of re-running the featurizer per side (the same
+    materialize-once discipline as minhash_lsh_pairs)."""
+    emb = hashed_embedding(corpus, text, key, dim=dim).filter(
+        F.col("n_tokens") > 0
+    )
+    q_expr = (
+        "CASE WHEN norm > 0 THEN transform(embedding,"
+        " x -> cast(floor(x * 1000000.0D) as bigint))"
+        " ELSE transform(embedding, x -> cast(0 as bigint)) END"
+    )
+    c = (
+        emb.withColumn(
+            "bucket",
+            F.array_join(
+                F.transform(
+                    "embedding", lambda x: F.when(x >= 0, "1").otherwise("0")
+                ),
+                "",
             ),
         )
-
-    wrapped = F.transform(F.array(F.struct(hs.alias("h"))), lambda s: bucket(s["h"]))
-    return F.element_at(wrapped, 1)
+        .withColumn(
+            "_qd",
+            F.expr(
+                f"md5(concat_ws(',', transform({q_expr}, x -> cast(x as string))))"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        c.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("bucket", F.lit(True).alias("_hot"))
+    )
+    keyed = (
+        c.join(F.broadcast(hot), "bucket", "left")
+        .withColumn(
+            "_k",
+            F.when(
+                F.col("_hot"), F.concat(F.col("bucket"), F.lit(":"), F.col("_qd"))
+            ).otherwise(F.col("bucket")),
+        )
+    )
+    a = keyed.select(
+        "_k", F.col(key).alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = keyed.select(
+        "_k", F.col(key).alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, ["_k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_sim).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def brute_force_topk(

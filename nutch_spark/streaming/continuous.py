@@ -546,33 +546,43 @@ def streaming_embed_dedup(
     watermark: str = "10 minutes",
     dim: int = 64,
 ) -> DataFrame:
-    """Streaming text near-dup in EMBEDDING space — dp_text_embed_neardup's
-    streaming twin: each arriving document buckets by the sign pattern of
-    its feature-hashing vector (similarity.row_embed_bucket — one per-row
-    expression, no aggregation, so the plan is a stateless map feeding ONE
-    stateful operator) and ``dropDuplicatesWithinWatermark`` on the bucket
-    keeps the first arrival of each sign pattern. Within a watermark this
-    is the streaming analogue of the batch bucket equi-join's keep-first
-    rule: exact copies hash to identical integer vectors → identical
-    buckets, near-identical texts usually agree on every sign.
+    """Streaming text dedup in EMBEDDING space — dp_text_embed_neardup's
+    streaming twin: each arriving document keys on the QUANTIZED-vector
+    identity digest of its feature-hashing embedding
+    (similarity.row_embed_digest — one per-row expression, no
+    aggregation, so the plan is a stateless map feeding ONE stateful
+    operator) and ``dropDuplicatesWithinWatermark`` keeps the first
+    arrival per digest. Two documents share a digest iff their hashed
+    vectors are 1e-6-identical — the same token MULTISET, i.e.
+    bag-of-words identity: exact AND reordered copies collapse,
+    genuinely different documents never do.
 
-    Zero-token documents get a ``key``-salted synthetic bucket so they
+    Deliberately NOT the sign-pattern bucket: component signs correlate
+    across documents sharing a token distribution (a measured 6%+ of a
+    synthetic corpus lands in ONE bucket), so first-arrival-per-bucket
+    would wrongly drop distinct documents; the batch operator resolves a
+    hot bucket with a census + digest sub-bucketing, and the digest IS
+    the part of that rule a census-free stream can apply. Candidates the
+    batch pass additionally scores (non-identical same-bucket pairs at
+    cosine ≥ threshold) are out of streaming scope by design.
+
+    Zero-token documents get a ``key``-salted synthetic digest so they
     pass through without matching each other (idempotent under at-least-
     once redelivery of the same key within the watermark — the same
     documented semantics as streaming_image_dedup's undecodable rows).
 
-    State is bounded by the watermark horizon; the bucket string is
-    ``dim`` chars/row. 100 TB/day: a stateless codegen'd map plus one
-    keyed state store — the same shape Spark runs exact streaming dedup
+    State is bounded by the watermark horizon; the digest is 32
+    chars/row. 100 TB/day: a stateless codegen'd map plus one keyed
+    state store — the same shape Spark runs exact streaming dedup
     with."""
-    from nutch_spark.datapipe.similarity import row_embed_bucket
+    from nutch_spark.datapipe.similarity import row_embed_digest
     from nutch_spark.datapipe.textstats import tokens
 
     keyed = docs.withColumn(
         "_dedup_key",
         F.when(
             F.size(tokens(F.col(text))) > 0,
-            F.concat(F.lit("b:"), row_embed_bucket(F.col(text), dim=dim)),
+            F.concat(F.lit("d:"), row_embed_digest(F.col(text), dim=dim)),
         ).otherwise(F.concat(F.lit("k:"), F.col(key).cast("string"))),
     )
     return (

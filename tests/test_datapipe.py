@@ -1314,21 +1314,42 @@ def test_cluster_canonical_keeps_unsignaled_members(spark):
     assert out[5]["is_canonical"] is True and out[6]["is_canonical"] is False
 
 
-def test_row_embed_bucket_matches_batch(spark):
-    """The stream-safe per-row bucket expression is bit-identical to
-    sign-bucketing hashed_embedding's vector for the same text."""
-    from nutch_spark.datapipe.similarity import hashed_embedding, row_embed_bucket
+def test_row_embed_exprs_match_batch(spark):
+    """The stream-safe per-row expressions are bit-identical to the batch
+    featurizer: sign bucket == sign pattern of hashed_embedding's vector,
+    digest == md5 of the floor(1e6*x) quantized components (the
+    dp_text_embed emb_digest rule)."""
+    import hashlib
+    import math
+
+    from nutch_spark.datapipe.similarity import (
+        hashed_embedding,
+        row_embed_bucket,
+        row_embed_digest,
+    )
 
     docs = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "zebra quokka xylophone"), (3, "")],
         "doc_id long, text string",
     )
-    batch = {
-        r["doc_id"]: "".join("1" if x >= 0 else "0" for x in r["embedding"])
-        for r in hashed_embedding(docs).collect()
+    batch = {r["doc_id"]: r["embedding"] for r in hashed_embedding(docs).collect()}
+    bucket_exp = {
+        k: "".join("1" if x >= 0 else "0" for x in v) for k, v in batch.items()
     }
-    row = {
-        r["doc_id"]: r["b"]
-        for r in docs.select("doc_id", row_embed_bucket("text").alias("b")).collect()
+
+    def digest_exp(v):
+        nrm = math.sqrt(sum(x * x for x in v))
+        q = [int(math.floor(x / nrm * 1000000.0)) if nrm > 0 else 0 for x in v]
+        return hashlib.md5(",".join(str(x) for x in q).encode()).hexdigest()
+
+    got = {
+        r["doc_id"]: (r["b"], r["dg"])
+        for r in docs.select(
+            "doc_id",
+            row_embed_bucket("text").alias("b"),
+            row_embed_digest("text").alias("dg"),
+        ).collect()
     }
-    assert row == batch
+    for k in (1, 2, 3):
+        assert got[k][0] == bucket_exp[k], k
+        assert got[k][1] == digest_exp(batch[k]), k

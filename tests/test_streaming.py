@@ -353,16 +353,18 @@ def test_fetch_parse_join_batch_and_stream(spark, tmp_path):
 
 
 def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
-    """Embedding-space text dedup over a REAL readStream: exact copies
-    collapse (identical feature-hash vectors → identical sign buckets),
-    distinct texts survive, zero-token rows pass through individually;
-    the stream's buckets match the batch featurizer's sign pattern."""
+    """Embedding-space text dedup over a REAL readStream: exact AND
+    reordered copies collapse (identical token multisets → identical
+    quantized-vector digests), distinct texts survive, zero-token rows
+    pass through individually; the stream's digest rule matches the
+    batch featurizer bit-for-bit."""
     from nutch_spark.datapipe.similarity import hashed_embedding
     from nutch_spark.streaming.continuous import streaming_embed_dedup
 
     rows = [
         (1, "the quick brown fox jumps over the lazy dog", T0),
         (2, "the quick brown fox jumps over the lazy dog", T0),  # exact dup
+        (6, "dog lazy the over jumps fox brown quick the", T0),  # reordered
         (3, "an entirely different document about spark plans", T0),
         (4, "", T0),   # zero tokens: passes through
         (5, "", T0),   # ...and does NOT match the other empty row
@@ -383,11 +385,11 @@ def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
     out = {r["doc_id"] for r in spark.sql("SELECT * FROM embdedup_sink").collect()}
     assert 3 in out
     assert {4, 5} <= out                 # empties keyed by doc_id, both kept
-    assert len(out & {1, 2}) == 1        # the exact copy collapsed
-    # the stream's bucket rule IS the batch featurizer's sign pattern:
-    # identical integer vectors → identical buckets by construction
+    assert len(out & {1, 2, 6}) == 1     # exact + REORDERED copies collapsed
+    # the stream's digest rule IS the batch featurizer's: the token
+    # MULTISET determines the vector, order never does
     emb = {r["doc_id"]: r["embedding"]
            for r in hashed_embedding(
                spark.createDataFrame(rows, schema).select("doc_id", "text")
            ).collect()}
-    assert emb[1] == emb[2] and emb[1] != emb[3]
+    assert emb[1] == emb[2] == emb[6] and emb[1] != emb[3]
