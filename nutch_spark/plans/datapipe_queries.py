@@ -5639,5143 +5639,3 @@ def dp_text_embed_neardup(spark, sf_dir):
     return text_embed_neardup_pairs(
         d.unionByName(copies), max_bucket=16, threshold=0.99
     )
-
-
-def _lsh_topk_oracle(*, dim=64, bits=8, tables=4, seed=42, k=5) -> str:
-    """Build the DuckDB twin of lsh_topk: the SAME hyperplanes (shared
-    generator) inlined as list literals, same bucket strings, rounded cosine
-    ranking with the id tie-break."""
-    from nutch_spark.datapipe.similarity import _hyperplanes
-
-    def bucket_expr(col: str, table: int) -> str:
-        cases = []
-        for plane in _hyperplanes(dim, bits, seed + table):
-            lits = ", ".join(repr(x) for x in plane)
-            cases.append(
-                "CASE WHEN list_sum(list_transform(list_zip("
-                f"{col}, [{lits}]::DOUBLE[]), x -> CAST(x[1] AS DOUBLE) * x[2]))"
-                " >= 0 THEN '1' ELSE '0' END"
-            )
-        return " || ".join(cases)
-
-    cb = " UNION ALL ".join(
-        f"SELECT vec_id, {tbl} AS tbl, {bucket_expr('embedding', tbl)} AS bucket FROM embeddings"
-        for tbl in range(tables)
-    )
-    qb = " UNION ALL ".join(
-        f"SELECT vec_id, {tbl} AS tbl, {bucket_expr('embedding', tbl)} AS bucket "
-        f"FROM embeddings WHERE vec_id < 20"
-        for tbl in range(tables)
-    )
-    return f"""
-    WITH cb AS ({cb}), qb AS ({qb}),
-    pairs AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
-      WHERE q.vec_id != c.vec_id
-    ),
-    scored AS (
-      SELECT p.query_id, p.neighbor_id,
-             round(
-               list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
-                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * x)))
-                  * sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * x)))),
-               6) AS cosine_sim
-      FROM pairs p
-      JOIN embeddings eq ON eq.vec_id = p.query_id
-      JOIN embeddings ec ON ec.vec_id = p.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
-          FROM scored)
-    WHERE rk <= {k}
-    """
-
-
-@q("dp_lsh_topk", _lsh_topk_oracle())
-def dp_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH top-k (the ANN scale path): corpus and queries
-    bucketed by hyperplane sign patterns across 4 tables; only same-bucket
-    pairs scored. Shuffle O(rows x tables) instead of a cross product. The
-    oracle inlines the identical hyperplanes and models the buckets."""
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42, round_sim=6)
-
-
-_COS_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
-)
-
-_EMB_DIM = 64  # embeddings.parquet element count (TESTDATA.md)
-_IVF_ITERS = 3  # Lloyd refinement rounds — mirrored in ivf_topk(n_iter=...)
-
-
-def _ivf_centroid_ctes(n_iter=_IVF_ITERS, dim=_EMB_DIM, n_cent=16,
-                       src="embeddings"):
-    """CTE chain mirroring _lloyd_refine's deterministic centroid
-    construction over ``src``: md5-smallest seed rows, then ``n_iter``
-    Lloyd rounds (assign each vector to its nearest cell by round(cos,6)
-    DESC, cid; re-center at the element-wise mean; empty cells keep their
-    centroid). Ends in ``cents``."""
-    means_cols = ", ".join(f"avg(embedding[{i + 1}]) AS m{i}" for i in range(dim))
-    mean_arr = "[" + ", ".join(f"m.m{i}" for i in range(dim)) + "]"
-    ctes = [f"""cents0 AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-             CAST(embedding AS DOUBLE[]) AS cv
-      FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cent}
-    )"""]
-    for it in range(n_iter):
-        cos = _COS_SQL.format(a="e.embedding", b="c.cv")
-        ctes.append(f"""assign{it} AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY round({cos}, 6) DESC, c.cid) AS rn
-      FROM {src} e CROSS JOIN cents{it} c
-    )""")
-        ctes.append(f"""means{it + 1} AS (
-      SELECT cid, {means_cols} FROM assign{it} WHERE rn = 1 GROUP BY cid
-    )""")
-        ctes.append(f"""cents{it + 1} AS (
-      SELECT s.cid, CASE WHEN m.cid IS NULL THEN s.cv ELSE {mean_arr} END AS cv
-      FROM cents{it} s LEFT JOIN means{it + 1} m ON s.cid = m.cid
-    )""")
-    ctes.append(f"cents AS (SELECT cid, cv FROM cents{n_iter})")
-    return ",\n    ".join(ctes)
-
-
-_IVF_CENTROID_CTES = _ivf_centroid_ctes()
-
-
-@q(
-    "dp_ivf_topk",
-    f"""
-    WITH {_IVF_CENTROID_CTES},
-    assign AS (
-      SELECT e.vec_id, c.cid, {_COS_SQL.format(a="e.embedding", b="c.cv")} AS s
-      FROM embeddings e CROSS JOIN cents c
-    ),
-    corpus_cell AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid) AS rn
-        FROM assign) WHERE rn = 1
-    ),
-    query_cells AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid) AS rn
-        FROM assign WHERE vec_id < 20) WHERE rn <= 4
-    ),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      FROM corpus_cell c JOIN query_cells q ON c.cell = q.cell
-      WHERE q.vec_id != c.vec_id
-    ),
-    scored AS (
-      SELECT p.query_id, p.neighbor_id,
-             round({_COS_SQL.format(a="eq.embedding", b="ec.embedding")}, 6) AS cosine_sim
-      FROM pairs p
-      JOIN embeddings eq ON eq.vec_id = p.query_id
-      JOIN embeddings ec ON ec.vec_id = p.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
-          FROM scored)
-    WHERE rk <= 5
-    """,
-)
-def dp_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (the second ANN scale path): Voronoi-cell
-    partitioning around Lloyd-refined centroids (md5-sampled seeds +
-    _IVF_ITERS deterministic k-means rounds), n_probe nearest cells scored
-    per query — O(rows·n_probe/n_centroids) pair work after one map-only
-    assignment pass. The oracle recomputes the identical centroid
-    construction (seed, every Lloyd round's assignment argmax and cell
-    means), assignment, and probe ranking."""
-    from nutch_spark.datapipe.similarity import ivf_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(
-        emb, qs, k=5, n_centroids=16, n_probe=4, n_iter=_IVF_ITERS, round_sim=6
-    )
-
-
-# ---------------------------------------------------------------------------
-# Repetition quality, paragraph dedup, mixture sampling
-# ---------------------------------------------------------------------------
-
-# documents + planted repetitive docs (+300000): the first 5 tokens repeated
-# 10 times — trips every Gopher repetition signal.
-_REP_CORPUS_SQL = f"""
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 300000,
-         repeat(concat_ws(' ', r.t5[1], r.t5[2], r.t5[3], r.t5[4], r.t5[5]) || ' ', 10)
-  FROM (SELECT doc_id, ({_TOKS_SQL})[1:5] AS t5 FROM documents WHERE doc_id % 11 = 0) r
-"""
-
-
-def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks5 = F.concat_ws(
-        " ", F.slice(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 5)
-    )
-    rep = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.repeat(F.concat(toks5, F.lit(" ")), 10).alias("text"),
-    )
-    return d.unionByName(rep)
-
-
-@q(
-    "dp_gopher_repetition",
-    f"""
-    WITH corpus AS ({_REP_CORPUS_SQL}),
-    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
-    base AS (
-      SELECT doc_id, toks, len(toks) AS n_tok,
-             len(list_distinct(toks)) AS n_uniq,
-             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS len_sum
-      FROM d
-    ),
-    uni AS (SELECT doc_id, unnest(toks) AS g FROM d),
-    uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
-    utop AS (SELECT doc_id, max(c) AS top_u FROM uc GROUP BY 1),
-    big AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 2 THEN
-               list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))
-             ELSE [] END AS bgs
-      FROM d
-    ),
-    bx AS (SELECT doc_id, unnest(bgs) AS g FROM big),
-    bc AS (SELECT doc_id, g, count(*) AS c FROM bx GROUP BY 1, 2),
-    btop AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY 1),
-    m AS (
-      SELECT b.doc_id,
-             CAST(n_tok AS BIGINT) AS n_tokens,
-             CASE WHEN n_tok > 0 THEN (n_tok - n_uniq) / n_tok ELSE 0.0 END AS dup_token_frac,
-             CASE WHEN n_tok > 0 THEN coalesce(top_u, 0) / n_tok ELSE 0.0 END AS top_unigram_frac,
-             CASE WHEN n_tok > 1 THEN coalesce(top_b, 0) / (n_tok - 1) ELSE 0.0 END AS top_bigram_frac,
-             CASE WHEN n_tok > 0 THEN len_sum / n_tok ELSE 0.0 END AS mean_token_len
-      FROM base b
-      LEFT JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
-    )
-    SELECT *,
-           (n_tokens >= 10 AND dup_token_frac < 0.4 AND top_unigram_frac < 0.2
-            AND top_bigram_frac < 0.18 AND mean_token_len >= 2.0
-            AND mean_token_len <= 12.0) AS passes_repetition
-    FROM m
-    """,
-)
-def dp_gopher_repetition(spark, sf_dir):
-    """Gopher repetition-quality signals (Rae et al. 2021 §A1.1): duplicate
-    token fraction, top-unigram/bigram share, mean token length, and the
-    composite keep/drop verdict — over documents plus planted repetitive
-    docs. Frequencies run explode → two-level groupBy (map-side combine),
-    never a quadratic per-row array op."""
-    from nutch_spark.datapipe.textstats import repetition_metrics
-
-    return repetition_metrics(_rep_corpus(spark, sf_dir))
-
-
-@q(
-    "dp_paragraph_dedup",
-    f"""
-    WITH corpus AS ({_CORPUS_SQL}),
-    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
-    chunks AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) > 0 THEN
-               list_transform(range(0, CAST(floor((len(toks) + 19) / 20) AS BIGINT)),
-                              i -> array_to_string(toks[i*20+1 : i*20+20], ' '))
-             ELSE [] END AS paras
-      FROM d
-    ),
-    px AS (
-      SELECT doc_id,
-             unnest(range(0, len(paras))) AS para_idx,
-             unnest(paras) AS para
-      FROM chunks
-    ),
-    hashed AS (SELECT doc_id, para_idx, md5(para) AS para_hash FROM px)
-    SELECT doc_id, para_idx, para_hash,
-           row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) > 1
-             AS is_duplicate
-    FROM hashed
-    """,
-)
-def dp_paragraph_dedup(spark, sf_dir):
-    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020) over the
-    planted-duplicate corpus: 20-token paragraph units, md5 per paragraph,
-    first corpus-wide occurrence wins. One shuffle on the paragraph hash;
-    the dedup verdict is a window on that same key."""
-    from nutch_spark.datapipe.dedup import paragraph_dedup
-
-    return paragraph_dedup(_corpus(spark, sf_dir), para_tokens=20)
-
-
-_MIX_WEIGHTS = {
-    "src0": 2.5, "src1": 2.0, "src2": 1.0, "src3": 0.5, "src4": 0.25,
-    "src5": 1.5, "src6": 0.0, "src7": 3.0, "src8": 0.75, "src9": 1.0,
-}
-
-_MIX_WEIGHTS_SQL = "(VALUES " + ", ".join(
-    f"('{s}', {int(w)}, {int(round((w - int(w)) * 10000))})"
-    for s, w in sorted(_MIX_WEIGHTS.items())
-) + ") AS w(source, w_full, w_frac_bp)"
-
-
-@q(
-    "dp_mix_weighted",
-    f"""
-    WITH joined AS (
-      SELECT d.doc_id, d.source, w.w_full
-             + CASE WHEN CAST(concat('0x', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
-                         % 10000 < w.w_frac_bp THEN 1 ELSE 0 END AS epochs
-      FROM documents d JOIN {_MIX_WEIGHTS_SQL} ON d.source = w.source
-    )
-    SELECT doc_id, source, CAST(unnest(range(0, epochs)) AS BIGINT) AS epoch
-    FROM joined WHERE epochs > 0
-    """,
-)
-def dp_mix_weighted(spark, sf_dir):
-    """Training-mixture construction: per-source weights (floor(w) full
-    epochs + hash-decided fractional epoch, GPT-3/Pile-style mixing).
-    The weights dim is broadcast; the corpus side is map-only (filter +
-    bounded explode) — zero corpus shuffles at any scale."""
-    from nutch_spark.datapipe.mixing import mixture_sample
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    out = mixture_sample(d, _MIX_WEIGHTS)
-    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
-
-
-@q(
-    "dp_mix_temperature",
-    """
-    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-    t AS (SELECT source, n_docs,
-                 n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p_raw
-          FROM c),
-    s AS (SELECT source, n_docs, p_raw, POWER(p_raw, 0.3) AS pa FROM t)
-    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-           ROUND(p_raw, 6) AS p_raw,
-           ROUND(pa / SUM(pa) OVER (), 6) AS p_temp,
-           ROUND((pa / SUM(pa) OVER ()) / p_raw, 6) AS up_factor
-    FROM s
-    """,
-)
-def dp_mix_temperature(spark, sf_dir):
-    """Temperature-scaled mixture weights (α = 0.3): per-source raw share,
-    smoothed share and upsampling factor — the multilingual-LM sampling
-    rule feeding mixture_sample. One corpus groupBy; every window after it
-    runs over the sources-sized aggregate. Shares rounded to 6 digits on
-    both engines for float determinism."""
-    from nutch_spark.datapipe.mixing import temperature_weights
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    out = temperature_weights(d, alpha=0.3)
-    return out.select(
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.round("p_raw", 6).alias("p_raw"),
-        F.round("p_temp", 6).alias("p_temp"),
-        F.round("up_factor", 6).alias("up_factor"),
-    )
-
-
-def _dup_components_ctes(corpus_filter: str = "TRUE") -> str:
-    """The recursive-CTE connected-components body (corpus → shingles →
-    exact-Jaccard pairs → min-reachable-id labels) shared by the
-    dup-components and cluster-canonical oracles."""
-    return f"""corpus AS ({_CORPUS_SQL}),
-    d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus
-          WHERE {corpus_filter}),
-    sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
-    ex AS (SELECT id, unnest(s) AS sng FROM sh),
-    freq AS (SELECT sng, count(*) AS f FROM ex GROUP BY sng),
-    exc AS (SELECT e.id, e.sng FROM ex e JOIN freq USING (sng) WHERE f <= {_SHINGLE_CAP}),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM exc a JOIN exc b ON a.sng = b.sng AND a.id < b.id
-      GROUP BY a.id, b.id
-    ),
-    pairs AS (
-      SELECT c.id_a, c.id_b
-      FROM common c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
-      WHERE c.c / (len(sa.s) + len(sb.s) - c.c) >= 0.6
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-      -- min reachable id == component label (fixpoint via UNION dedup)
-      WITH RECURSIVE r(id, lab) AS (
-        SELECT id, id FROM d
-        UNION
-        SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b
-      )
-      SELECT id, min(lab) AS component FROM r GROUP BY id
-    )"""
-
-
-def _dup_components_oracle(corpus_filter: str = "TRUE") -> str:
-    return f"""
-    WITH {_dup_components_ctes(corpus_filter)}
-    SELECT id AS doc_id, component, id != component AS is_duplicate FROM reach
-    """
-
-
-@q("dp_dup_components", _dup_components_oracle())
-def dp_dup_components(spark, sf_dir):
-    """Duplicate-cluster construction: exact-Jaccard near-dup pairs (the
-    dp_ngram_jaccard graph) collapsed into connected components by iterative
-    min-label propagation — the step that turns pairwise dedup output into
-    per-cluster canonical documents. Iterations scale with component
-    diameter (near-cliques: 2-4 rounds), one equi-join shuffle per round.
-    The oracle computes the same components with a recursive CTE."""
-    from nutch_spark.datapipe.dedup import dup_components
-
-    corpus = _corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
-    return dup_components(corpus, pairs)
-
-
-# cluster-preserving subset: keying the filter on the BASE id (doc_id mod
-# the planted-copy offset) keeps originals and their planted copies
-# together, so real multi-node clusters survive while the O(pairs) shingle
-# join — which dominates this query family's cost and is certified at full
-# size by dp_ngram_jaccard/dp_dup_components — shrinks ~9x
-_STAR_SUBSET_SQL = "(doc_id % 100000) % 3 = 0"
-
-
-@q("dp_dup_components_star", _dup_components_oracle(_STAR_SUBSET_SQL))
-def dp_dup_components_star(spark, sf_dir):
-    """The same duplicate clusters via alternating large-star/small-star
-    rounds (Kiveris et al. 2014) — O(log n)-round convergence independent of
-    component diameter, the shape that survives duplication CHAINS at
-    100 TB. Certified against the identical recursive-CTE oracle as
-    dp_dup_components (byte-identical components) on a cluster-preserving
-    corpus subset — the algorithm under test is the component collapse, not
-    the pair generation the sibling query already certifies at full size."""
-    from nutch_spark.datapipe.dedup import dup_components_star
-
-    corpus = _corpus(spark, sf_dir).filter((F.col("doc_id") % 100000) % 3 == 0)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
-    return dup_components_star(corpus, pairs)
-
-
-# the composite quality score as a DuckDB fragment (parity with
-# textstats.quality_metrics — binary-exact 0.5/0.25/0.25 weights, identical
-# to dp_quality's oracle), over a (doc_id, text, toks, n_chars) row
-_QSCORE_SQL = """CAST(CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
-      + CASE WHEN (CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END
-      + CASE WHEN (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END) > 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE)"""
-
-
-@q(
-    "dp_cluster_canonical",
-    f"""
-    -- Which copy do we KEEP: the components oracle's clusters joined to
-    -- the composite quality score; canonical = highest quality, longest
-    -- on ties, smallest id last — exactly one is_canonical per component.
-    WITH {_dup_components_ctes(_STAR_SUBSET_SQL)},
-    qs AS (
-      SELECT doc_id AS id, len(toks) AS n_tokens, {_QSCORE_SQL} AS quality_score
-      FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS n_chars
-            FROM corpus WHERE {_STAR_SUBSET_SQL})
-    ),
-    m AS (
-      SELECT r.id, r.component, q.quality_score, q.n_tokens,
-             row_number() OVER (PARTITION BY r.component
-                                ORDER BY q.quality_score DESC,
-                                         q.n_tokens DESC, r.id ASC) AS rk,
-             count(*) OVER (PARTITION BY r.component) AS nm
-      FROM reach r JOIN qs q ON q.id = r.id
-    )
-    SELECT id AS doc_id, component, CAST(nm AS BIGINT) AS n_members,
-           quality_score, rk = 1 AS is_canonical
-    FROM m
-    """,
-)
-def dp_cluster_canonical(spark, sf_dir):
-    """Per-cluster canonical selection (dedup.cluster_canonical): duplicate
-    components joined to the composite quality score; each cluster keeps its
-    best copy (quality DESC, token length DESC, id ASC) — filter(is_canonical)
-    IS the deduplicated corpus, the complement is the drop list with its
-    cluster provenance. The retention-policy stage between pair generation
-    and the cleaned corpus. 100 TB: one key equi-join plus ONE shuffle on
-    component shared by the rank and member-count windows; cluster sizes are
-    bounded by the pair generators' hot-key caps."""
-    from nutch_spark.datapipe.dedup import cluster_canonical, dup_components
-
-    corpus = _corpus(spark, sf_dir).filter((F.col("doc_id") % 100000) % 3 == 0)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP)
-    comps = dup_components(corpus, pairs)
-    signals = quality_metrics(corpus).select("doc_id", "quality_score", "n_tokens")
-    return cluster_canonical(comps, signals)
-
-
-# planted PII suffix (documents are word salad with no PII of their own)
-_PII_SUFFIX = (
-    " contact bob@example.com or call +1 555-123-4567"
-    " from 192.168.10.1 ssn 123-45-6789"
-)
-
-
-def _pii_sql_frags() -> tuple[str, str]:
-    from nutch_spark.datapipe.textstats import PII_PATTERNS
-
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items()
-    )
-    scrub = "text"
-    for pat in PII_PATTERNS.values():
-        scrub = f"regexp_replace({scrub}, '{pat}', '<PII>', 'g')"
-    return counts, scrub
-
-
-_PII_COUNTS_SQL, _PII_SCRUB_SQL = _pii_sql_frags()
-
-
-@q(
-    "dp_pii_scrub",
-    f"""
-    WITH corpus AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN text || '{_PII_SUFFIX}' ELSE text END AS text
-      FROM documents
-    ),
-    m AS (SELECT doc_id, {_PII_COUNTS_SQL}, md5({_PII_SCRUB_SQL}) AS scrub_digest
-          FROM corpus)
-    SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn_like,
-           n_email + n_phone + n_ipv4 + n_ssn_like AS pii_total, scrub_digest
-    FROM m
-    """,
-)
-def dp_pii_scrub(spark, sf_dir):
-    """PII scrub pass: count + redact emails / phones / IPv4s / SSN-like ids
-    (planted suffix on doc_id%13). Pure regexp map stage — codegen'd, zero
-    shuffles; the oracle applies the identical RE2 patterns and compares the
-    md5 of the scrubbed text."""
-    from nutch_spark.datapipe.textstats import pii_scrub
-
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(_PII_SUFFIX)))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    out = pii_scrub(d)
-    return out.select(
-        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn_like", "pii_total",
-        F.md5("text_scrubbed").alias("scrub_digest"),
-    )
-
-
-@q(
-    "dp_int8_topk",
-    """
-    WITH qz AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * 127))) AS BIGINT)) AS v
-      FROM embeddings
-    ),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-                                          i -> q.qv[i] * c.v[i])) AS BIGINT) AS qdot
-      FROM qz c, q WHERE c.vec_id != q.query_id
-    )
-    SELECT query_id, neighbor_id, qdot
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY qdot DESC, neighbor_id) AS rk
-          FROM scored)
-    WHERE rk <= 5
-    """,
-)
-def dp_int8_topk(spark, sf_dir):
-    """Int8-quantized ANN top-k: symmetric floor quantization, integer
-    dot-product ranking (exact, no float accumulation order anywhere),
-    queries broadcast against the streaming corpus. The 4×-smaller-vector
-    scale path for 100 TB embedding sweeps."""
-    from nutch_spark.datapipe.similarity import int8_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    return int8_topk(emb, qs, k=5).select(
-        "query_id", "neighbor_id", F.col("qdot").cast("long").alias("qdot")
-    )
-
-
-# ---------------------------------------------------------------------------
-# The composed cleaning pipeline: exact dedup -> quality gate -> PII scrub ->
-# benchmark decontamination, as ONE certified query. Each stage is already
-# individually certified (dp_exact_dedup / dp_quality / dp_pii_scrub /
-# dp_decontaminate); this row certifies that they COMPOSE — the actual
-# shape of a production corpus-cleaning run.
-# ---------------------------------------------------------------------------
-
-
-_PIPELINE_CLEAN_SQL_TMPL = """
-    WITH base AS ({corpus}),
-    planted AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN text || '{pii_suffix}' ELSE text END AS text
-      FROM base
-    ),
-    fp AS (SELECT doc_id, text,
-                  md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
-           FROM planted),
-    dd AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
-           WHERE doc_id = canon),
-    q AS (SELECT doc_id, text, {toks} AS toks FROM dd),
-    qf AS (SELECT doc_id, text FROM q
-           WHERE len(toks) >= 10 AND len(list_distinct(toks)) / len(toks) > 0.1),
-    sc AS (SELECT doc_id, {pii_scrub} AS text FROM qf),
-    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-    bt AS (SELECT {toks} AS toks FROM bench),
-    bg AS (SELECT DISTINCT unnest({grams13}) AS gram FROM bt),
-    ct AS (SELECT doc_id, text, {toks} AS toks FROM sc),
-    cont AS (SELECT DISTINCT cg.doc_id
-             FROM (SELECT doc_id, unnest({grams13}) AS gram FROM ct) cg
-             JOIN bg USING (gram)),
-    clean AS (SELECT ct.doc_id, ct.text, ct.toks
-              FROM ct LEFT JOIN cont USING (doc_id)
-              WHERE cont.doc_id IS NULL)
-    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, md5(text) AS clean_sig
-    FROM clean
-"""
-
-
-# 13-token grams as a DuckDB fragment (parity with dedup.shingles(n=13))
-_GRAMS13_SQL = """
-  CASE WHEN len(toks) >= 13 THEN
-    list_distinct(list_transform(generate_series(1, len(toks) - 12),
-      i -> array_to_string(toks[i:i+12], ' ')))
-  ELSE [] END
-"""
-
-
-@q(
-    "dp_decontaminate",
-    f"""
-    WITH bench_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-    corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT b.doc_id + 400000,
-             'filler opening words ' ||
-             array_to_string(({_TOKS_SQL})[1:20], ' ') || ' closing filler words'
-      FROM bench_docs b
-    ),
-    bt AS (SELECT {_TOKS_SQL} AS toks FROM bench_docs),
-    bg AS (SELECT DISTINCT unnest({_GRAMS13_SQL}) AS gram FROM bt),
-    ct AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
-    cg AS (SELECT doc_id, unnest({_GRAMS13_SQL}) AS gram FROM ct),
-    hits AS (
-      SELECT cg.doc_id, count(*) AS matched_grams
-      FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
-    )
-    SELECT c.doc_id,
-           coalesce(h.matched_grams, 0) AS matched_grams,
-           coalesce(h.matched_grams, 0) > 0 AS contaminated
-    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
-    """,
-)
-def dp_decontaminate(spark, sf_dir):
-    """Benchmark decontamination (GPT-3 appendix-C style): flag corpus docs
-    sharing any 13-token gram with the benchmark set. Benchmark docs are
-    documents with doc_id%17; planted contaminated docs (+400000) embed the
-    first 20 benchmark tokens inside filler. Broadcast gram join + one
-    groupBy on the doc key — the corpus is never self-joined."""
-    from nutch_spark.datapipe.dedup import decontaminate
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = d.filter(F.col("doc_id") % 17 == 0)
-    toks20 = F.concat_ws(
-        " ",
-        F.slice(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""), 1, 20),
-    )
-    planted = bench.select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
-        F.concat(
-            F.lit("filler opening words "), toks20, F.lit(" closing filler words")
-        ).alias("text"),
-    )
-    corpus = d.unionByName(planted)
-    return decontaminate(corpus, bench, n=13)
-
-
-@q(
-    "dp_seq_packing",
-    f"""
-    WITH d AS (
-      SELECT doc_id,
-             len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> x != ''))
-               AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS prev_sum
-      FROM d
-    )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor(prev_sum / 512) AS BIGINT) AS bin_id,
-           CAST(prev_sum % 512 AS BIGINT) AS bin_offset,
-           CAST(floor((prev_sum + greatest(n_tokens, 1) - 1) / 512)
-                - floor(prev_sum / 512) + 1 AS BIGINT) AS bins_spanned
-    FROM c
-    """,
-)
-def dp_seq_packing(spark, sf_dir):
-    """Concatenate-and-cut sequence packing (GPT-style pretraining layout):
-    whitespace token counts laid end-to-end in doc_id order, cut every 512
-    tokens; bin id / offset / span derive arithmetically from one running
-    sum — exactly reproducible. The oracle replays the same cumsum."""
-    from nutch_spark.datapipe.mixing import pack_sequences
-    from nutch_spark.datapipe.textstats import token_count
-
-    d = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
-    )
-    return pack_sequences(d, budget=512).select(
-        "doc_id", "n_tokens", "bin_id", "bin_offset", "bins_spanned"
-    )
-
-
-@q(
-    "mm_binary_metadata",
-    """
-    WITH media AS (
-      SELECT doc_id AS media_id,
-             CASE doc_id % 4
-               WHEN 0 THEN unhex('FFD8FF')
-               WHEN 1 THEN unhex('89504E470D0A1A0A')
-               WHEN 2 THEN unhex('474946383961')
-               ELSE unhex('00')
-             END || encode(text) AS payload
-      FROM documents
-    )
-    SELECT media_id,
-           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-           md5(lower(hex(payload))) AS md5_hex,
-           CASE WHEN lower(hex(payload)) LIKE 'ffd8ff%' THEN 'image/jpeg'
-                WHEN lower(hex(payload)) LIKE '89504e470d0a1a0a%' THEN 'image/png'
-                WHEN lower(hex(payload)) LIKE '474946383961%' THEN 'image/gif'
-                ELSE 'application/octet-stream' END AS sniffed_type
-    FROM media
-    """,
-)
-def mm_binary_metadata(spark, sf_dir):
-    """Multimodal no-decode path: binary payloads (planted magic-byte
-    prefixes + utf8 text bytes) → byte length, md5 digest, magic sniff —
-    all JVM column expressions; the payload never reaches Python. The
-    oracle builds byte-identical blobs with unhex/encode."""
-    from nutch_spark.datapipe.multimodal import binary_metadata
-
-    d = t(spark, sf_dir, "documents")
-    magic = (
-        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FF")))
-        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E470D0A1A0A")))
-        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("474946383961")))
-        .otherwise(F.unhex(F.lit("00")))
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
-    )
-    return binary_metadata(media, digest="hex")
-
-
-# byte-exact media header templates shared by the mm_* decode queries: the
-# Spark side concatenates REAL container headers (hex) around per-row dims
-# and runs the stdlib header decoders over the resulting bytes; the oracle
-# states the closed-form answer, so any parser drift hash-mismatches.
-_PNG_PRE = "89504E470D0A1A0A0000000D49484452000000"  # sig + IHDR len/tag + BE pad
-_PNG_POST = "080600000000000000"  # bitdepth/colortype/... + (unchecked) CRC
-_GIF_PRE = "474946383961"
-_BMP_PRE = "424D000000000000000036000000" + "28000000"  # BM hdr + BITMAPINFOHEADER
-_JPG_PRE = "FFD8FFC000110800"  # SOI + SOF0 + len 17 + precision 8 + BE h pad
-_JPG_POST = "03011100021101031101FFD9"
-_MM_IMG_BYTES = {  # total payload length per format branch
-    "png": (len(_PNG_PRE) + 2 + 6 + 2 + len(_PNG_POST)) // 2,
-    "gif": (len(_GIF_PRE) + 4 + 4 + 6) // 2,
-    "bmp": (len(_BMP_PRE) + 2 + 6 + 2 + 6 + 8) // 2,
-    "jpeg": (len(_JPG_PRE) + 2 + 2 + 2 + len(_JPG_POST)) // 2,
-}
-
-
-@q(
-    "mm_image_dimensions",
-    f"""
-    SELECT doc_id AS media_id,
-           CAST(CASE doc_id % 4 WHEN 0 THEN {_MM_IMG_BYTES["png"]}
-                                WHEN 1 THEN {_MM_IMG_BYTES["gif"]}
-                                WHEN 2 THEN {_MM_IMG_BYTES["bmp"]}
-                                ELSE {_MM_IMG_BYTES["jpeg"]} END AS BIGINT) AS n_bytes,
-           CAST(16 + doc_id % 240 AS INT) AS width,
-           CAST(16 + (doc_id * 7) % 240 AS INT) AS height
-    FROM documents
-    """,
-)
-def mm_image_dimensions(spark, sf_dir):
-    """REAL image decode, no PIL: per-row PNG/GIF/BMP/JPEG container headers
-    are assembled byte-exactly in JVM column expressions (dims encoded
-    big/little-endian per format), then the stdlib header decoder
-    (datapipe/mediacodec.sniff_image_dimensions) parses them back inside the
-    Arrow mapInPandas stage. The oracle is the closed form of the planted
-    dims — a decoder regression on any format hash-mismatches. Map-only:
-    at 100 TB this is scan → codegen concat → one Python batch stage."""
-    from nutch_spark.datapipe.multimodal import extract_image_features
-
-    d = t(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 4
-    w2 = F.lpad(F.hex(16 + F.col("doc_id") % 240), 2, "0")
-    h2 = F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 240), 2, "0")
-    payload_hex = (
-        # PNG: 4-byte big-endian dims in IHDR
-        F.when(m == 0, F.concat(F.lit(_PNG_PRE), w2, F.lit("000000"), h2, F.lit(_PNG_POST)))
-        # GIF: little-endian uint16 logical screen size
-        .when(m == 1, F.concat(F.lit(_GIF_PRE), w2, F.lit("00"), h2, F.lit("00F70000")))
-        # BMP: little-endian int32 dims in BITMAPINFOHEADER
-        .when(m == 2, F.concat(F.lit(_BMP_PRE), w2, F.lit("000000"), h2, F.lit("00000001001800")))
-        # JPEG: big-endian uint16 height THEN width in the SOF0 frame header
-        .otherwise(F.concat(F.lit(_JPG_PRE), h2, F.lit("00"), w2, F.lit(_JPG_POST)))
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
-    )
-    return extract_image_features(media).select(
-        "media_id", "n_bytes", "width", "height"
-    )
-
-
-@q(
-    "mm_tiff_dimensions",
-    """
-    SELECT doc_id AS media_id,
-           CAST(CASE doc_id % 4 WHEN 2 THEN 30 WHEN 3 THEN 29
-                ELSE 50 END AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 4 < 2 THEN 1 + doc_id % 8
-                ELSE NULL END AS INT) AS orientation,
-           CAST(CASE WHEN doc_id % 4 < 2 AND doc_id % 8 >= 4
-                     THEN 16 + (doc_id * 7) % 240
-                     ELSE 16 + doc_id % 240 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 4 < 2 AND doc_id % 8 >= 4
-                     THEN 16 + doc_id % 240
-                     ELSE 16 + (doc_id * 7) % 240 END AS INT) AS height
-    FROM documents
-    """,
-)
-def mm_tiff_dimensions(spark, sf_dir):
-    """REAL TIFF + WebP decode, no PIL: per-row headers — TIFF in BOTH byte
-    orders (II with SHORT dims, MM with LONG dims) carrying a planted EXIF
-    Orientation tag (274), and WebP in the VP8X (24-bit canvas) and VP8L
-    (packed 14-bit) flavors — assembled byte-exactly in JVM column
-    expressions, then parsed back by the stdlib decoders
-    (mediacodec.sniff_image_dimensions / exif_orientation /
-    effective_dimensions) in an Arrow mapInPandas stage. Orientation >= 5
-    swaps the reported TIFF display dims (WebP has none → NULL), and the
-    oracle states the closed form — a regression in the IFD walk, either
-    WebP bit layout, or the orientation swap hash-mismatches. Map-only."""
-    import pandas as pd
-
-    d = t(spark, sf_dir, "documents")
-    w = 16 + F.col("doc_id") % 240
-    h = 16 + (F.col("doc_id") * 7) % 240
-    w2 = F.lpad(F.hex(w), 2, "0")
-    h2 = F.lpad(F.hex(h), 2, "0")
-    o2 = F.lpad(F.hex(1 + F.col("doc_id") % 8), 2, "0")
-    ii = F.concat(
-        F.lit("49492A00" + "08000000" + "0300"),          # II*, IFD@8, 3 entries
-        F.lit("0001" + "0300" + "01000000"), w2, F.lit("000000"),  # 256 SHORT w
-        F.lit("0101" + "0300" + "01000000"), h2, F.lit("000000"),  # 257 SHORT h
-        F.lit("1201" + "0300" + "01000000"), o2, F.lit("000000"),  # 274 SHORT o
-        F.lit("00000000"),
-    )
-    mm = F.concat(
-        F.lit("4D4D002A" + "00000008" + "0003"),          # MM*, IFD@8, 3 entries
-        F.lit("0100" + "0004" + "00000001" + "000000"), w2,        # 256 LONG w
-        F.lit("0101" + "0004" + "00000001" + "000000"), h2,        # 257 LONG h
-        F.lit("0112" + "0003" + "00000001" + "00"), o2, F.lit("0000"),  # 274 SHORT
-        F.lit("00000000"),
-    )
-    wm1 = F.lpad(F.hex(w - 1), 2, "0")  # dims <= 256: minus-one fits one byte
-    hm1 = F.lpad(F.hex(h - 1), 2, "0")
-    vp8x = F.concat(
-        F.lit("52494646" + "16000000" + "57454250"),       # RIFF size=22 WEBP
-        F.lit("56503858" + "0A000000" + "00000000"),       # VP8X len=10 flags
-        wm1, F.lit("0000"), hm1, F.lit("0000"),            # 24-bit LE minus-one
-    )
-    # VP8L: 0x2F then (w-1) | (h-1)<<14 as a little-endian uint32
-    bits = (w - 1) + (h - 1) * 16384
-    bbe = F.lpad(F.hex(bits), 8, "0")
-    ble = F.concat(
-        F.substring(bbe, 7, 2), F.substring(bbe, 5, 2),
-        F.substring(bbe, 3, 2), F.substring(bbe, 1, 2),
-    )
-    vp8l = F.concat(
-        F.lit("52494646" + "15000000" + "57454250"),       # RIFF size=21 WEBP
-        F.lit("5650384C" + "09000000" + "2F"),             # VP8L len=9 sig
-        ble, F.lit("00000000"),
-    )
-    m4 = F.col("doc_id") % 4
-    payload_hex = (
-        F.when(m4 == 0, ii).when(m4 == 1, mm).when(m4 == 2, vp8x).otherwise(vp8l)
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
-    )
-
-    def decode(batches):
-        from nutch_spark.datapipe.mediacodec import (
-            effective_dimensions,
-            exif_orientation,
-        )
-
-        for pdf in batches:
-            rows = []
-            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(raw)
-                dims = effective_dimensions(data)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "n_bytes": len(data),
-                        "orientation": exif_orientation(data),
-                        "width": dims[1] if dims else None,
-                        "height": dims[2] if dims else None,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "n_bytes", "orientation", "width", "height"],
-            )
-
-    return media.mapInPandas(
-        decode,
-        "media_id long, n_bytes long, orientation int, width int, height int",
-    )
-
-
-_WAV_RATE_HEX = {  # (sample_rate LE4, byte_rate LE4) per doc_id % 4 branch
-    i: (
-        __import__("struct").pack("<I", r).hex().upper(),
-        __import__("struct").pack("<I", 2 * r).hex().upper(),
-    )
-    for i, r in enumerate((8000, 16000, 22050, 44100))
-}
-
-
-@q(
-    "mm_audio_features",
-    """
-    SELECT doc_id AS media_id,
-           CAST(44 + 4 * (32 + doc_id % 32) AS BIGINT) AS n_bytes,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
-           CAST(2 * (32 + doc_id % 32) AS BIGINT) AS n_samples
-    FROM documents
-    """,
-)
-def mm_audio_features(spark, sf_dir):
-    """REAL audio decode, no soundfile: byte-exact PCM-16 RIFF/WAVE files
-    (planted rate by doc_id%4, sample count by doc_id%32, alternating
-    [1, 32767] samples) assembled in JVM column expressions, parsed back by
-    the stdlib WAV parser (datapipe/mediacodec.parse_wav) in the Arrow map
-    stage. n_samples is recovered from the float32 duration_s × sample_rate
-    (exact for these counts); the oracle is the closed form."""
-    from nutch_spark.datapipe.multimodal import extract_audio_features
-
-    d = t(spark, sf_dir, "documents")
-    n_pairs = (32 + F.col("doc_id") % 32).cast("int")
-    data_size = n_pairs * 4  # 2 samples of 2 bytes per repeated pattern
-
-    def le4(v):  # little-endian uint32 hex of a (< 65536) column value
-        h4 = F.lpad(F.hex(v), 4, "0")
-        return F.concat(F.substring(h4, 3, 2), F.substring(h4, 1, 2), F.lit("0000"))
-
-    mm = F.col("doc_id") % 4
-    rate_hex = F.when(mm == 0, _WAV_RATE_HEX[0][0]).when(mm == 1, _WAV_RATE_HEX[1][0]).when(mm == 2, _WAV_RATE_HEX[2][0]).otherwise(_WAV_RATE_HEX[3][0])
-    byte_rate_hex = F.when(mm == 0, _WAV_RATE_HEX[0][1]).when(mm == 1, _WAV_RATE_HEX[1][1]).when(mm == 2, _WAV_RATE_HEX[2][1]).otherwise(_WAV_RATE_HEX[3][1])
-    payload_hex = F.concat(
-        F.lit("52494646"), le4(data_size + 36), F.lit("57415645"),  # RIFF size WAVE
-        F.lit("666D74201000000001000100"),  # 'fmt ' len16 PCM mono
-        rate_hex, byte_rate_hex, F.lit("02001000"),  # block align 2, 16 bit
-        F.lit("64617461"), le4(data_size),  # 'data' + size
-        F.repeat(F.lit("0100FF7F"), n_pairs),  # samples: 1, 32767, ...
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("media_type"),
-        F.unhex(payload_hex).alias("payload"),
-    )
-    return extract_audio_features(media).select(
-        "media_id",
-        "n_bytes",
-        "sample_rate",
-        F.floor(F.col("duration_s").cast("double") * F.col("sample_rate") + 0.5)
-        .cast("long")
-        .alias("n_samples"),
-    )
-
-
-@q(
-    "dp_split",
-    """
-    SELECT doc_id, source,
-           CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
-                     % 10000 < 9000 THEN 'train'
-                WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
-                     % 10000 < 9500 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-)
-def dp_split(spark, sf_dir):
-    """Deterministic 90/5/5 train/val/test split by salted hash — stable as
-    the corpus grows (a doc's split never flips), stratification within any
-    uniform-hash subgroup is automatic. Pure map stage."""
-    from nutch_spark.datapipe.mixing import train_val_test_split
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    return train_val_test_split(d)
-
-
-@q(
-    "dp_cross_corpus_dedup",
-    f"""
-    WITH v1 AS (SELECT doc_id, text FROM documents),
-    v2 AS (
-      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
-      UNION ALL
-      SELECT doc_id + 600000, text || ' fresh addendum content'
-      FROM documents WHERE doc_id % 3 = 1
-    ),
-    f1 AS (SELECT md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
-           FROM v1),
-    f2 AS (SELECT doc_id,
-                  md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))) AS f
-           FROM v2)
-    SELECT f2.doc_id,
-           NOT EXISTS (SELECT 1 FROM f1 WHERE f1.f = f2.f) AS is_new
-    FROM f2
-    """,
-)
-def dp_cross_corpus_dedup(spark, sf_dir):
-    """Incremental corpus refresh: version-2 documents anti-joined against
-    the version-1 fingerprint set — exact re-crawls are recognized as old,
-    modified documents as new. One broadcast-or-shuffle semi-join on the
-    fingerprint; the primitive behind 'only train on what changed'."""
-    from nutch_spark.datapipe.textstats import fingerprint
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    v2 = (
-        d.filter(F.col("doc_id") % 3 == 0)
-        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
-        .unionByName(
-            d.filter(F.col("doc_id") % 3 == 1).select(
-                (F.col("doc_id") + 600000).alias("doc_id"),
-                F.concat("text", F.lit(" fresh addendum content")).alias("text"),
-            )
-        )
-    )
-    v1_fp = d.select(fingerprint(F.col("text")).alias("f")).distinct()
-    f2 = v2.select("doc_id", fingerprint(F.col("text")).alias("f"))
-    seen = f2.join(v1_fp, "f", "left_semi").select("doc_id", F.lit(False).alias("is_new"))
-    fresh = f2.join(v1_fp, "f", "left_anti").select("doc_id", F.lit(True).alias("is_new"))
-    return seen.unionByName(fresh)
-
-
-def _lsh_recall_oracle() -> str:
-    cosine_sql = REGISTRY["dp_cosine_topk"][1]
-    lsh_sql = REGISTRY["dp_lsh_topk"][1]
-    return f"""
-    WITH exact AS ({cosine_sql}),
-    lsh AS ({lsh_sql}),
-    hits AS (
-      SELECT e.query_id, count(l.neighbor_id) AS n_hit
-      FROM exact e LEFT JOIN lsh l
-        ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
-    """
-
-
-@q("dp_lsh_recall", _lsh_recall_oracle())
-def dp_lsh_recall(spark, sf_dir):
-    """Measured approximation quality: recall@5 of hyperplane-LSH ANN
-    against the exact brute-force ranking, per query — the number a user
-    tunes tables/bits against. Both sides reuse the already-certified
-    operators; the oracle composes their certified SQL twins."""
-    from nutch_spark.datapipe.similarity import brute_force_topk, lsh_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
-        "query_id", "neighbor_id"
-    )
-    lsh = lsh_topk(emb, qs, k=5, round_sim=6).select(
-        F.col("query_id").alias("_lq"), F.col("neighbor_id").alias("_ln"),
-        F.lit(1).alias("_hit"),
-    )
-    return (
-        exact.join(
-            lsh,
-            (exact["query_id"] == F.col("_lq")) & (exact["neighbor_id"] == F.col("_ln")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# C4 line-level cleaning + URL blocklist (round-4 additions)
-# ---------------------------------------------------------------------------
-
-_C4_TEXT_SQL = """
-      array_to_string(({toks})[1:8], ' ') || '.' || chr(10)
-      || 'too short' || chr(10)
-      || 'enable javascript for the best experience now.' || chr(10)
-      || array_to_string(({toks})[1:5], ' ') || ' extra words here too?' || chr(10)
-      || 'function() {{ return 1 }}'
-      || CASE WHEN doc_id % 10 = 0
-              THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
-              ELSE '' END
-""".format(toks="list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')")
-
-
-@q(
-    "dp_c4_clean",
-    f"""
-    WITH d AS (SELECT doc_id, {_C4_TEXT_SQL} AS t FROM documents),
-    k AS (
-      SELECT doc_id, t,
-             string_split(t, chr(10)) AS lines,
-             list_filter(
-               string_split(t, chr(10)),
-               ln -> regexp_matches(ln, '[.!?"]$')
-                     AND len(list_filter(string_split_regex(ln, ' +'), w -> w != '')) >= 5
-                     AND NOT contains(lower(ln), 'javascript')
-                     AND NOT contains(ln, '{{')
-                     AND NOT contains(ln, '}}')
-             ) AS kept
-      FROM d
-    )
-    SELECT doc_id,
-           CAST(len(lines) AS BIGINT) AS n_lines,
-           CAST(len(kept) AS BIGINT) AS n_kept_lines,
-           array_to_string(kept, chr(10)) AS text_clean,
-           len(kept) >= 2 AND NOT contains(lower(t), 'lorem ipsum') AS c4_keep
-    FROM k
-    """,
-)
-def dp_c4_clean(spark, sf_dir):
-    """C4-style line cleaning (Raffel et al. 2020 §2.2): terminal
-    punctuation, min words per line, javascript/brace line drops, lorem
-    ipsum doc drop. A 5-6 line synthetic page per document (good line,
-    short line, javascript line, good question line, code line, and a
-    lorem-ipsum line on every 10th doc) exercises every rule; the oracle
-    re-applies the same rules with DuckDB list lambdas."""
-    from nutch_spark.datapipe.textstats import c4_line_clean
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    multi = F.concat(
-        F.concat_ws(" ", F.slice(toks, 1, 8)), F.lit(".\n"),
-        F.lit("too short\n"),
-        F.lit("enable javascript for the best experience now.\n"),
-        F.concat_ws(" ", F.slice(toks, 1, 5)), F.lit(" extra words here too?\n"),
-        F.lit("function() { return 1 }"),
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.lit("\nlorem ipsum dolor sit amet consectetur."),
-        ).otherwise(F.lit("")),
-    )
-    out = c4_line_clean(
-        d.select("doc_id", multi.alias("text")), min_kept_lines=2
-    )
-    return out.select("doc_id", "n_lines", "n_kept_lines", "text_clean", "c4_keep")
-
-
-@q(
-    "dp_url_blocklist",
-    """
-    WITH u AS (
-      SELECT doc_id,
-             CASE doc_id % 4
-               WHEN 0 THEN 'http://ads.tracker.com/x' || CAST(doc_id AS VARCHAR)
-               WHEN 1 THEN 'http://sub.ads.tracker.com/y' || CAST(doc_id AS VARCHAR)
-               WHEN 2 THEN 'http://good.example.org/z' || CAST(doc_id AS VARCHAR)
-               ELSE 'http://tracker.com.evil.org/w' || CAST(doc_id AS VARCHAR)
-             END AS url
-      FROM documents
-    )
-    SELECT doc_id, url, doc_id % 4 IN (0, 1) AS url_blocked
-    FROM u
-    """,
-)
-def dp_url_blocklist(spark, sf_dir):
-    """URL/domain blocklist stage (RefinedWeb/FineWeb URL filtering): exact
-    domain and subdomain matches block; a domain appearing as a PREFIX of
-    another registered domain (tracker.com.evil.org) must NOT block — the
-    match is suffix-per-label, not substring."""
-    from nutch_spark.datapipe.textstats import url_blocklist_filter
-
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    k = F.col("doc_id")
-    s = k.cast("string")
-    url = (
-        F.when(k % 4 == 0, F.concat(F.lit("http://ads.tracker.com/x"), s))
-        .when(k % 4 == 1, F.concat(F.lit("http://sub.ads.tracker.com/y"), s))
-        .when(k % 4 == 2, F.concat(F.lit("http://good.example.org/z"), s))
-        .otherwise(F.concat(F.lit("http://tracker.com.evil.org/w"), s))
-    )
-    return url_blocklist_filter(
-        d.select("doc_id", url.alias("url")), ["ads.tracker.com"]
-    ).select("doc_id", "url", "url_blocked")
-
-
-def _substring_hits_sql(keep: str) -> str:
-    if keep == "first":
-        # exempt each gram's canonical first occurrence (min doc, pos) —
-        # the paper's "leave one copy" rule; rk > 1 implies >= 2 occurrences
-        return """
-    hits AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
-        FROM g)
-      WHERE rk > 1
-    ),"""
-    return """
-    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),"""
-
-
-def _substring_spans_ctes(keep: str = "none") -> str:
-    return f"""
-    corpus AS ({_CORPUS_SQL}),
-    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
-    b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 10),
-    g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos FROM b),
-    g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                 md5(array_to_string(toks[pos:pos+9], ' ')) AS h
-          FROM g0),
-    {_substring_hits_sql(keep)}
-    isl AS (
-      -- spans overlap/adjoin whenever start gap <= n (= 10): merge them
-      SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
-                  THEN 0 ELSE 1 END AS brk
-      FROM hits
-    ),
-    isl2 AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM isl
-    ),
-    spans AS (
-      SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
-      FROM isl2 GROUP BY doc_id, island
-    )
-"""
-
-
-@q(
-    "dp_substring_spans",
-    f"""
-    WITH {_substring_spans_ctes()}
-    SELECT doc_id, span_start, span_end FROM spans
-    """,
-)
-def dp_substring_spans(spark, sf_dir):
-    """ExactSubstr dedup spans (Lee et al. 2021 §4.1): maximal per-doc token
-    spans whose 10-grams occur more than once in the planted-duplicate
-    corpus. The paper's suffix array becomes gram-hash groupBy + semi-join +
-    gaps-and-islands window; the oracle replays the identical pipeline in
-    SQL windows."""
-    from nutch_spark.datapipe.dedup import exact_substring_spans
-
-    return exact_substring_spans(_corpus(spark, sf_dir), n=10)
-
-
-@q(
-    "dp_substring_keepone",
-    f"""
-    WITH {_substring_spans_ctes("first")}
-    SELECT doc_id, span_start, span_end FROM spans
-    """,
-)
-def dp_substring_keepone(spark, sf_dir):
-    """ExactSubstr spans under the paper's "leave one copy" rule: each
-    duplicated gram's canonical first occurrence (min doc, pos) is exempt,
-    so one copy of every duplicated run survives removal. Same pipeline
-    with the semi-join swapped for one window over the gram hash."""
-    from nutch_spark.datapipe.dedup import exact_substring_spans
-
-    return exact_substring_spans(_corpus(spark, sf_dir), n=10, keep="first")
-
-
-@q(
-    "dp_substring_removal",
-    f"""
-    WITH {_substring_spans_ctes()},
-    packed AS (
-      SELECT doc_id, list({{'span_start': span_start, 'span_end': span_end}}) AS sp
-      FROM spans GROUP BY doc_id
-    ),
-    cut AS (
-      SELECT d.doc_id,
-             list_transform(
-               list_filter(range(1, len(d.toks) + 1),
-                 i -> len(list_filter(coalesce(p.sp, []),
-                          s -> s.span_start <= i AND i < s.span_end)) = 0),
-               i -> d.toks[i]) AS kept
-      FROM d LEFT JOIN packed p USING (doc_id)
-    )
-    SELECT doc_id,
-           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
-           -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
-           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_sig
-    FROM cut
-    """,
-)
-def dp_substring_removal(spark, sf_dir):
-    """ExactSubstr dedup APPLIED (Lee et al. 2021): duplicated token spans
-    are cut out of each document, remainder preserved in order — the
-    training-corpus treatment the spans query only locates. One extra
-    doc-keyed groupBy + join over the spans pipeline; the token surgery is
-    a narrow position-indexed array filter. Token-stream identity is
-    certified via md5."""
-    from nutch_spark.datapipe.dedup import exact_substring_removal
-
-    out = exact_substring_removal(_corpus(spark, sf_dir), n=10)
-    return out.select(
-        "doc_id",
-        F.size("kept_tokens").cast("long").alias("n_kept_tokens"),
-        F.md5(F.concat_ws(" ", "kept_tokens")).alias("kept_sig"),
-    )
-
-
-@q(
-    "dp_semantic_dedup",
-    f"""
-    -- SemDeDup (Abbas et al. 2023): md5-seeded + Lloyd-refined centroids,
-    -- one assignment pass, within-cell greedy prefix dedup keeping the
-    -- example farthest from its centroid. Corpus plants exact copies at
-    -- vec_id+100000.
-    WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0
-    ),
-    {_ivf_centroid_ctes(src="corpus")},
-    assign AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             round({_COS_SQL.format(a="e.embedding", b="c.cv")}, 6) AS s
-      FROM corpus e CROSS JOIN cents c
-    ),
-    cells AS (
-      SELECT vec_id, embedding, cid AS cell, s AS cent_sim FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-        FROM assign) WHERE rn = 1
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY cell
-                                   ORDER BY cent_sim ASC, vec_id ASC) AS rk
-      FROM cells
-    ),
-    dropped AS (
-      SELECT DISTINCT b.vec_id
-      FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk
-      WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.99
-    )
-    SELECT r.vec_id, r.cell, r.cent_sim,
-           d.vec_id IS NULL AS is_kept
-    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
-    """,
-)
-def dp_semantic_dedup(spark, sf_dir):
-    """SemDeDup semantic dedup end-to-end (datapipe/similarity.py
-    semantic_dedup): Voronoi-cell clustering around deterministic centroids,
-    within-cell greedy dedup at cosine >= 0.99 keeping the boundary example.
-    One map-only assignment against broadcast centroids + one within-cell
-    equi-join — never a corpus cross product; cluster count scales with the
-    corpus so cells stay bounded (the paper's 50k-cluster regime)."""
-    from nutch_spark.datapipe.similarity import semantic_dedup
-
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.filter(F.col("vec_id") % 9 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
-    corpus = emb.unionByName(copies)
-    return semantic_dedup(
-        corpus, threshold=0.99, n_centroids=16, n_iter=_IVF_ITERS
-    )
-
-
-@q(
-    "dp_lm_perplexity",
-    f"""
-    -- CCNet-style perplexity filter (Wenzek et al. 2020): add-one bigram LM
-    -- trained on doc_id %% 4 = 0, scoring the held-out rest. Integer-
-    -- quantized negative log-probs; avg = floor(sum/double count).
-    WITH ref AS (SELECT {{toks}} AS t FROM documents WHERE doc_id % 4 = 0),
-    refbg AS (
-      SELECT bg['w1'] AS w1, bg['w2'] AS w2
-      FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-                   i -> {{{{'w1': t[i], 'w2': t[i+1]}}}})) AS bg
-            FROM ref WHERE len(t) >= 2)
-    ),
-    uni AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY w1),
-    v AS (SELECT count(*) AS vocab FROM uni),
-    bgq AS (
-      SELECT b.w1, b.w2,
-             CAST(floor((ln(CAST(u.c1 + v.vocab AS DOUBLE))
-                         - ln(CAST(b.c12 + 1 AS DOUBLE))) * 1000000 + 0.5)
-                  AS BIGINT) AS nll_q
-      FROM (SELECT w1, w2, count(*) AS c12 FROM refbg GROUP BY w1, w2) b
-      JOIN uni u USING (w1) CROSS JOIN v
-    ),
-    uq AS (
-      SELECT w1, CAST(floor(ln(CAST(c1 + v.vocab AS DOUBLE)) * 1000000 + 0.5)
-                      AS BIGINT) AS miss_q
-      FROM uni, v
-    ),
-    test AS (SELECT doc_id, {{toks}} AS t FROM documents WHERE doc_id % 4 <> 0),
-    pairs AS (
-      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
-      FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-                   i -> {{{{'w1': t[i], 'w2': t[i+1]}}}})) AS bg
-            FROM test WHERE len(t) >= 2)
-    ),
-    scored AS (
-      SELECT p.doc_id,
-             COALESCE(bq.nll_q, uq.miss_q,
-                      (SELECT CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5)
-                                   AS BIGINT) FROM v)) AS nll
-      FROM pairs p
-      LEFT JOIN bgq bq USING (w1, w2)
-      LEFT JOIN uq USING (w1)
-    ),
-    agg AS (
-      SELECT doc_id, count(*) AS n_bigrams,
-             CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_q
-      FROM scored GROUP BY doc_id
-    )
-    SELECT t.doc_id, a.n_bigrams, a.avg_nll_q
-    FROM test t LEFT JOIN agg a USING (doc_id)
-    """.format(toks=_TOKS_SQL),
-)
-def dp_lm_perplexity(spark, sf_dir):
-    """LM-perplexity quality scoring (the CCNet head/tail signal): bigram
-    model trained on a quarter of the corpus as one aggregation pass, scored
-    over the held-out docs via two BroadcastHashJoins + one groupBy.
-    Integer-quantized log-probs make the score partitioning-independent;
-    the oracle replays the identical train+score pipeline."""
-    from nutch_spark.datapipe.textstats import (
-        lm_perplexity_score,
-        train_bigram_lm,
-    )
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    bigrams, unigrams, vocab = train_bigram_lm(d.where(F.col("doc_id") % 4 == 0))
-    return lm_perplexity_score(
-        d.where(F.col("doc_id") % 4 != 0), bigrams, unigrams, vocab
-    )
-
-
-def _ivf_recall_oracle() -> str:
-    cosine_sql = REGISTRY["dp_cosine_topk"][1]
-    ivf_sql = REGISTRY["dp_ivf_topk"][1]
-    return f"""
-    WITH exact AS ({cosine_sql}),
-    ivf AS ({ivf_sql}),
-    hits AS (
-      SELECT e.query_id, count(i.neighbor_id) AS n_hit
-      FROM exact e LEFT JOIN ivf i
-        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
-    """
-
-
-@q("dp_ivf_recall", _ivf_recall_oracle())
-def dp_ivf_recall(spark, sf_dir):
-    """Recall@5 of IVF ANN (n_probe=4 of 16 cells) against the exact
-    brute-force ranking — the tuning number for the second ANN scale path,
-    measured the same way as dp_lsh_recall. Both sides reuse certified
-    operators; the oracle composes their certified SQL twins."""
-    from nutch_spark.datapipe.similarity import brute_force_topk, ivf_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = ivf_topk(
-        emb, qs, k=5, n_centroids=16, n_probe=4, n_iter=_IVF_ITERS, round_sim=6
-    ).select(
-        F.col("query_id").alias("_iq"), F.col("neighbor_id").alias("_in"),
-        F.lit(1).alias("_hit"),
-    )
-    return (
-        exact.join(
-            ivf,
-            (exact["query_id"] == F.col("_iq")) & (exact["neighbor_id"] == F.col("_in")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
-    )
-
-
-_PQ_ITERS = 2   # per-subspace Lloyd rounds — mirrored in pq_topk(n_iter=...)
-_PQ_M = 16      # subspaces (dim/m = 4 dims each)
-_PQ_KS = 32     # codewords per subspace: 16 bytes/vector, 16x compression.
-# Parameter sweep on this corpus (near-orthogonal random embeddings — the
-# HARD case for coarse quantizers): m=8/ks=16 (8 B, 32x) recall@5 0.20,
-# m=16/ks=16 0.41, m=16/ks=32 0.50, m=32/ks=16 (32 B, 8x) 0.64; on the
-# same queries LSH gets 0.10, IVF(n_probe=4) 0.61, and int8 scalar
-# quantization (64 B, 4x) 0.95 — the full compression/recall frontier,
-# each point an oracle-certified query. Shipped default m=16/ks=32
-# balances compression against recall.
-
-
-def _pq_ctes(n_iter=_PQ_ITERS, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, src="embeddings"):
-    """CTE chain mirroring _pq_train + PQ encoding over ``src``: the ks
-    md5-smallest corpus vectors seed every subspace's codewords, n_iter
-    per-subspace Lloyd rounds refine them (round(L2^2,6) ASC, cid
-    tie-break; empty cells keep their codeword), then ``codes`` assigns
-    each (vector, subspace) its nearest codeword and ``recon``
-    reassembles the reconstruction as flatten(codewords ORDER BY j) —
-    the same flat 64-double vector the Spark side folds, so the final
-    cosine is the one flat left-to-right accumulation in both engines."""
-    sd = dim // m
-    means_cols = ", ".join(f"avg(sv[{i + 1}]) AS m{i}" for i in range(sd))
-    mean_arr = "[" + ", ".join(f"m.m{i}" for i in range(sd)) + "]"
-    d2 = (
-        "list_sum(list_transform(list_zip("
-        f"(CAST(e.embedding AS DOUBLE[]))[c.j*{sd}+1 : c.j*{sd}+{sd}], c.cw),"
-        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    )
-    ctes = [f"""seeds AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-             CAST(embedding AS DOUBLE[]) AS cv
-      FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ks}
-    )""",
-    f"subs AS (SELECT CAST(unnest(range({m})) AS INT) AS j)",
-    f"""cb0 AS (
-      SELECT s.j, d.cid, d.cv[s.j*{sd}+1 : s.j*{sd}+{sd}] AS cw
-      FROM seeds d CROSS JOIN subs s
-    )"""]
-    for it in range(n_iter):
-        ctes.append(f"""assign{it} AS (
-      SELECT e.vec_id, c.j, c.cid,
-             (CAST(e.embedding AS DOUBLE[]))[c.j*{sd}+1 : c.j*{sd}+{sd}] AS sv,
-             row_number() OVER (PARTITION BY e.vec_id, c.j
-                                ORDER BY round({d2}, 6) ASC, c.cid) AS rn
-      FROM {src} e CROSS JOIN cb{it} c
-    )""")
-        ctes.append(f"""means{it + 1} AS (
-      SELECT j, cid, {means_cols} FROM assign{it} WHERE rn = 1 GROUP BY j, cid
-    )""")
-        ctes.append(f"""cb{it + 1} AS (
-      SELECT s.j, s.cid, CASE WHEN m.cid IS NULL THEN s.cw ELSE {mean_arr} END AS cw
-      FROM cb{it} s LEFT JOIN means{it + 1} m ON s.j = m.j AND s.cid = m.cid
-    )""")
-    ctes.append(f"cb AS (SELECT j, cid, cw FROM cb{n_iter})")
-    ctes.append(f"""codes AS (
-      SELECT vec_id, j, cid FROM (
-        SELECT e.vec_id, c.j, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id, c.j
-                                  ORDER BY round({d2}, 6) ASC, c.cid) AS rn
-        FROM {src} e CROSS JOIN cb c) WHERE rn = 1
-    )""")
-    ctes.append("""recon AS (
-      SELECT c.vec_id, flatten(list(t.cw ORDER BY c.j)) AS rv
-      FROM codes c JOIN cb t ON t.j = c.j AND t.cid = c.cid
-      GROUP BY c.vec_id
-    )""")
-    return ",\n    ".join(ctes)
-
-
-_PQ_CTES = _pq_ctes()
-
-
-@q(
-    "dp_pq_topk",
-    f"""
-    WITH {_PQ_CTES},
-    scored AS (
-      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-             round({_COS_SQL.format(a="q.embedding", b="r.rv")}, 6) AS pq_sim
-      FROM embeddings q JOIN recon r ON r.vec_id != q.vec_id
-      WHERE q.vec_id < 20
-    )
-    SELECT query_id, neighbor_id, pq_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY pq_sim DESC, neighbor_id) AS rk
-          FROM scored)
-    WHERE rk <= 5
-    """,
-)
-def dp_pq_topk(spark, sf_dir):
-    """Product-Quantization approximate top-k (similarity.pq_topk) — the
-    memory-compression ANN scale path (Jegou et al. 2011) next to LSH
-    (hashing), IVF (partitioning), and int8 (scalar quantization):
-    16 subspaces x 32 Lloyd-trained codewords, corpus rows encode to 16
-    codeword ids (16 bytes vs 256 — a 16x index compression), and the
-    asymmetric score is cosine(query, reconstruction). The oracle
-    recomputes the identical codebook training (md5 seeds, every Lloyd
-    round), encoding, reconstruction, and ranking. 100 TB: training
-    collects m*ks rows per round (corpus never), encoding is map-only,
-    scoring is the intended queries-broadcast nested loop over the
-    8-byte codes like dp_int8_topk."""
-    from nutch_spark.datapipe.similarity import pq_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    return pq_topk(
-        emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
-        round_sim=6,
-    )
-
-
-@q(
-    "dp_skew_salted_join",
-    """
-    -- Skew-salted join certified against the PLAIN join it must equal:
-    -- half of doc_id < 200 explodes 12 rows onto ONE hot host (1200
-    -- rows, >> threshold 500), the rest spread over 10 cold hosts; the
-    -- right side has 2 metadata rows per host. The oracle is the plain
-    -- SQL join + aggregate — salting must change the distribution, not
-    -- one output value.
-    WITH l AS (
-      SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
-                  ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) END AS host,
-             CAST(doc_id + j AS BIGINT) AS v
-      FROM documents, unnest(range(1, 13)) AS u(j)
-      WHERE doc_id < 200
-    ),
-    r AS (
-      SELECT host, CAST(r AS BIGINT) AS r
-      FROM (SELECT DISTINCT host FROM l), unnest(range(1, 3)) AS u(r)
-    )
-    SELECT l.host, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(l.v) AS BIGINT) AS sum_v,
-           CAST(sum(r.r) AS BIGINT) AS sum_r
-    FROM l JOIN r ON l.host = r.host
-    GROUP BY l.host
-    """,
-)
-def dp_skew_salted_join(spark, sf_dir):
-    """Hot-key salted join (datapipe/skew.skew_salted_join) — the
-    explicit remedy for the one-host-owns-half-the-crawl shuffle
-    straggler: a one-aggregation hot-key census routes hot keys through
-    a salted (key, salt) equi-join (left salted per-row, right
-    replicated buckets× for ONLY its hot-key rows) while cold keys join
-    plainly; the union's row multiset is IDENTICAL to the plain join,
-    which is exactly what this oracle checks. 100 TB: each hot key
-    spreads over ``buckets`` reducer partitions instead of pinning one
-    straggler; replication cost is bounded by the hot slice, and the
-    census output can't exceed |left|/threshold rows (broadcast)."""
-    from nutch_spark.datapipe.skew import skew_salted_join
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 200
-    )
-    host = F.when(
-        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
-    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")))
-    left = d.select(
-        host.alias("host"),
-        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("j"),
-        "doc_id",
-    ).select("host", (F.col("doc_id") + F.col("j")).alias("v"))
-    right = (
-        left.select("host")
-        .distinct()
-        .select(
-            "host", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("r")
-        )
-        .select("host", F.col("r").cast("long").alias("r"))
-    )
-    joined = skew_salted_join(
-        left, right, ["host"], buckets=8, hot_threshold=500
-    )
-    return joined.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("v").alias("sum_v"),
-        F.sum("r").alias("sum_r"),
-    )
-
-
-@q(
-    "dp_skew_left_join",
-    """
-    -- LEFT-OUTER skew-salted join: same hot-host shape as
-    -- dp_skew_salted_join, but the right side is missing the HOT host
-    -- and two cold hosts (h3, h7), so the salted hot slice must
-    -- null-extend each left-hot row exactly once (one salt per row)
-    -- and the cold slice must null-extend h3/h7 — multiset-identical
-    -- to the plain SQL LEFT JOIN.
-    WITH l AS (
-      SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
-                  ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) END AS host,
-             CAST(doc_id + j AS BIGINT) AS v
-      FROM documents, unnest(range(1, 13)) AS u(j)
-      WHERE doc_id < 200
-    ),
-    r AS (
-      SELECT host, CAST(r AS BIGINT) AS r
-      FROM (SELECT DISTINCT host FROM l
-            WHERE host NOT IN ('hot.example.com', 'h3', 'h7')),
-           unnest(range(1, 3)) AS u(r)
-    )
-    SELECT l.host, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(r.r) AS BIGINT) AS n_matched,
-           CAST(sum(l.v) AS BIGINT) AS sum_v,
-           CAST(sum(r.r) AS BIGINT) AS sum_r
-    FROM l LEFT JOIN r ON l.host = r.host
-    GROUP BY l.host
-    """,
-)
-def dp_skew_left_join(spark, sf_dir):
-    """LEFT-OUTER hot-key salted join (datapipe/skew.skew_salted_join,
-    how='left') — outer-mode correctness rests on two invariants the
-    oracle certifies: a left-hot row carries exactly ONE salt, so when
-    its key is absent from the right it null-extends exactly once (not
-    once per salt bucket); and a right row with a hot key always has
-    >= threshold left partners, so the hot slice never right-null-
-    extends. Here the hot host is MISSING from the right entirely —
-    the 1200 hot rows flow through the salted branch and each emits one
-    null-extended row, multiset-identical to the plain LEFT JOIN. 100 TB:
-    the left-outer form is what crawl pipelines actually run (crawldb
-    LEFT JOIN fetch-output keeps unfetched rows), so the skew remedy
-    must not be inner-only."""
-    from nutch_spark.datapipe.skew import skew_salted_join
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 200
-    )
-    host = F.when(
-        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
-    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")))
-    left = d.select(
-        host.alias("host"),
-        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("j"),
-        "doc_id",
-    ).select("host", (F.col("doc_id") + F.col("j")).alias("v"))
-    right = (
-        left.select("host")
-        .distinct()
-        .filter(~F.col("host").isin("hot.example.com", "h3", "h7"))
-        .select(
-            "host", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("r")
-        )
-        .select("host", F.col("r").cast("long").alias("r"))
-    )
-    joined = skew_salted_join(
-        left, right, ["host"], buckets=8, hot_threshold=500, how="left"
-    )
-    return joined.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("r").alias("n_matched"),
-        F.sum("v").alias("sum_v"),
-        F.sum("r").alias("sum_r"),
-    )
-
-
-def _int8_recall_oracle() -> str:
-    cosine_sql = REGISTRY["dp_cosine_topk"][1]
-    int8_sql = REGISTRY["dp_int8_topk"][1]
-    return f"""
-    WITH exact AS ({cosine_sql}),
-    q8 AS ({int8_sql}),
-    hits AS (
-      SELECT e.query_id, count(i.neighbor_id) AS n_hit
-      FROM exact e LEFT JOIN q8 i
-        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
-    """
-
-
-@q("dp_int8_recall", _int8_recall_oracle())
-def dp_int8_recall(spark, sf_dir):
-    """Recall@5 of int8 scalar quantization against the exact brute-force
-    cosine ranking — completes the recall row for every ANN variant
-    (LSH / IVF / PQ / int8). int8 ranks by integer dot product, so its
-    errors come from quantization AND from ranking unnormalized dots
-    where cosine ranks normalized ones; the recall number prices both.
-    Both sides reuse certified operators; the oracle composes their
-    certified SQL twins."""
-    from nutch_spark.datapipe.similarity import brute_force_topk, int8_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
-        "query_id", "neighbor_id"
-    )
-    q8 = int8_topk(emb, qs, k=5).select(
-        F.col("query_id").alias("_iq"), F.col("neighbor_id").alias("_in"),
-        F.lit(1).alias("_hit"),
-    )
-    return (
-        exact.join(
-            q8,
-            (exact["query_id"] == F.col("_iq")) & (exact["neighbor_id"] == F.col("_in")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
-    )
-
-
-def _pq_recall_oracle() -> str:
-    cosine_sql = REGISTRY["dp_cosine_topk"][1]
-    pq_sql = REGISTRY["dp_pq_topk"][1]
-    return f"""
-    WITH exact AS ({cosine_sql}),
-    pq AS ({pq_sql}),
-    hits AS (
-      SELECT e.query_id, count(p.neighbor_id) AS n_hit
-      FROM exact e LEFT JOIN pq p
-        ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hit / 5 AS recall_at_5 FROM hits
-    """
-
-
-@q("dp_pq_recall", _pq_recall_oracle())
-def dp_pq_recall(spark, sf_dir):
-    """Recall@5 of PQ ANN (16x32 codebooks, 2 Lloyd rounds) against the
-    exact brute-force ranking — the accuracy-vs-16x-compression tuning
-    number, measured the same way as dp_lsh_recall / dp_ivf_recall. Both
-    sides reuse certified operators; the oracle composes their certified
-    SQL twins."""
-    from nutch_spark.datapipe.similarity import brute_force_topk, pq_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
-        "query_id", "neighbor_id"
-    )
-    pq = pq_topk(
-        emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
-        round_sim=6,
-    ).select(
-        F.col("query_id").alias("_pq"), F.col("neighbor_id").alias("_pn"),
-        F.lit(1).alias("_hit"),
-    )
-    return (
-        exact.join(
-            pq,
-            (exact["query_id"] == F.col("_pq")) & (exact["neighbor_id"] == F.col("_pn")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg((F.count("_hit") / F.lit(5)).alias("recall_at_5"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 12: deterministic sketches (datapipe/sketches.py) — KMV distinct,
-# KMV overlap, count-min frequency. Every estimate's oracle computes the
-# IDENTICAL sketch (same md5 arithmetic), not a different estimator that
-# happens to be close.
-# ---------------------------------------------------------------------------
-
-# +1.0 AFTER the integer->double conversion, mirroring sketches._uhash's
-# fl(fl(h) + 1.0) exactly — adding 1 to the exact UBIGINT first yields
-# fl(h + 1), one ulp off whenever h+1 crosses a rounding boundary >2^53
-_KMV_UH = (
-    "(CAST(CAST('0x' || substr(md5({v}), 1, 15) AS UBIGINT) AS DOUBLE) + 1.0)"
-    " / CAST(1152921504606846976 AS DOUBLE)"
-)
-
-
-@q(
-    "dp_kmv_distinct",
-    f"""
-    -- KMV distinct-count per source: group 0 plants 10 distinct values
-    -- (< k=16: the sketch holds them all, estimate EXACT), groups 1-3
-    -- plant ~119 distinct (> k: the (k-1)/h_(k) estimator path). The
-    -- oracle computes the same k minimum md5-hashes.
-    WITH v AS (
-      SELECT doc_id % 4 AS src,
-             CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 10 AS VARCHAR)
-                  ELSE CAST(doc_id % 137 AS VARCHAR) END AS val
-      FROM documents
-    ),
-    h AS (SELECT DISTINCT src, {_KMV_UH.format(v="val")} AS h FROM v),
-    mins AS (
-      SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
-      FROM h
-    ),
-    sk AS (
-      SELECT src, count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
-      FROM mins WHERE rn <= 16 GROUP BY src
-    )
-    SELECT CAST(src AS BIGINT) AS src,
-           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
-                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
-           CAST(n AS INT) AS n_sketch
-    FROM sk
-    """,
-)
-def dp_kmv_distinct(spark, sf_dir):
-    """KMV distinct-count sketch (sketches.kmv_distinct, Bar-Yossef et
-    al. 2002): the k smallest md5-hashes per group estimate the group's
-    cardinality — exact below k, (k-1)/h_(k) above. One
-    partial-aggregated groupBy; <= k doubles per group cross the
-    shuffle, so counting distinct URLs per host at 100 TB costs one
-    map-side-combined pass. The oracle computes the IDENTICAL sketch
-    (same hash, same k minimums), certifying the estimator itself."""
-    from nutch_spark.datapipe.sketches import kmv_distinct
-
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    v = d.select(
-        (F.col("doc_id") % 4).alias("src"),
-        F.when(
-            F.col("doc_id") % 4 == 0, (F.col("doc_id") % 10).cast("string")
-        )
-        .otherwise((F.col("doc_id") % 137).cast("string"))
-        .alias("val"),
-    )
-    return kmv_distinct(v, "val", group_by=["src"], k=16)
-
-
-@q(
-    "dp_kmv_overlap",
-    f"""
-    -- Jaccard between two corpora from their KMV sketches ALONE (no
-    -- cross-corpus join): A = {{0..149}}, B = {{100..249}} as strings, true
-    -- J = 50/250 = 0.2. The oracle merges the same two k=64 sketches.
-    WITH a AS (
-      SELECT DISTINCT {_KMV_UH.format(v="CAST(doc_id % 150 AS VARCHAR)")} AS h
-      FROM documents
-    ),
-    b AS (
-      SELECT DISTINCT {_KMV_UH.format(v="CAST(doc_id % 150 + 100 AS VARCHAR)")} AS h
-      FROM documents
-    ),
-    au AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
-                          FROM a) WHERE rn <= 64),
-    bu AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
-                          FROM b) WHERE rn <= 64),
-    uni AS (
-      SELECT h FROM (
-        SELECT h, row_number() OVER (ORDER BY h) AS rn
-        FROM (SELECT h FROM au UNION SELECT h FROM bu)
-      ) WHERE rn <= 64
-    ),
-    stats AS (
-      SELECT count(*) AS nu, max(h) AS hk,
-             sum(CASE WHEN h IN (SELECT h FROM au)
-                       AND h IN (SELECT h FROM bu) THEN 1 ELSE 0 END) AS shared
-      FROM uni
-    )
-    SELECT ROUND(shared / CAST(nu AS DOUBLE), 4) AS jaccard_est,
-           ROUND(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
-                      ELSE 63.0 / hk END, 4) AS union_est
-    FROM stats
-    """,
-)
-def dp_kmv_overlap(spark, sf_dir):
-    """Corpus-overlap estimation from KMV sketches (sketches.kmv_overlap):
-    the k smallest hashes of A UNION B come from merging the two
-    constant-size sketches, and the fraction present in BOTH estimates
-    J(A, B) — comparing two 100 TB corpora costs two independent scans
-    plus a <= 2k-double merge, never a cross-corpus shuffle (the
-    sketch-level twin of dp_cross_corpus_dedup's exact variant). True
-    J here is 0.2; the oracle computes the identical merged sketch."""
-    from nutch_spark.datapipe.sketches import kmv_overlap
-
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    a = d.select((F.col("doc_id") % 150).cast("string").alias("val"))
-    b = d.select((F.col("doc_id") % 150 + 100).cast("string").alias("val"))
-    return kmv_overlap(a, b, "val", k=64)
-
-
-@q(
-    "dp_countmin_freq",
-    """
-    -- Count-min point frequencies: half the docs emit one of 7 hot
-    -- tokens, the rest emit rare singletons (the collision mass). The
-    -- oracle builds the IDENTICAL depth=4 x width=1024 counter matrix
-    -- (same md5-salted buckets) and takes the same min-over-rows, so
-    -- any collision overestimate reproduces exactly; 'absent' pins the
-    -- zero path.
-    WITH v AS (
-      SELECT CASE WHEN doc_id % 2 = 0 THEN 'w' || CAST(doc_id % 7 AS VARCHAR)
-                  ELSE 'r' || CAST(doc_id AS VARCHAR) END AS val
-      FROM documents
-    ),
-    rws AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
-    sk AS (
-      SELECT row,
-             CAST(CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || val), 1, 15)
-                       AS UBIGINT) % 1024 AS INT) AS bucket,
-             count(*) AS counter
-      FROM v CROSS JOIN rws GROUP BY 1, 2
-    ),
-    q AS (
-      SELECT 'w' || CAST(unnest(range(7)) AS VARCHAR) AS val
-      UNION ALL SELECT 'absent'
-    ),
-    qb AS (
-      SELECT q.val, r.row,
-             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || q.val), 1, 15)
-                       AS UBIGINT) % 1024 AS INT) AS bucket
-      FROM q CROSS JOIN rws r
-    )
-    SELECT val, CAST(min(COALESCE(sk.counter, 0)) AS BIGINT) AS freq_est
-    FROM qb LEFT JOIN sk ON sk.row = qb.row AND sk.bucket = qb.bucket
-    GROUP BY val
-    """,
-)
-def dp_countmin_freq(spark, sf_dir):
-    """Count-min frequency estimation (sketches.count_min_sketch +
-    count_min_lookup, Cormode & Muthukrishnan 2005): a depth x width
-    counter matrix built with one explode + one partial-aggregated
-    groupBy; a point estimate is the min over the value's depth
-    counters — always >= the true count, never under. The sketch is
-    <= depth*width rows and BROADCASTS for lookups, so frequency
-    queries at 100 TB never rescan the corpus. Order-independent sums
-    make the sketch exactly reproducible — the oracle builds the
-    identical matrix and reproduces any collision overestimate
-    bit-for-bit."""
-    from nutch_spark.datapipe.sketches import count_min_lookup, count_min_sketch
-
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    v = d.select(
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.lit("w"), (F.col("doc_id") % 7).cast("string")),
-        )
-        .otherwise(F.concat(F.lit("r"), F.col("doc_id").cast("string")))
-        .alias("val"),
-    )
-    sketch = count_min_sketch(v, "val", width=1024, depth=4)
-    queries = spark.createDataFrame(
-        [(f"w{i}",) for i in range(7)] + [("absent",)], "val string"
-    )
-    return count_min_lookup(sketch, queries, "val", width=1024, depth=4)
-
-
-@q(
-    "dp_token_budget",
-    f"""
-    -- Per-source token-budget sampling: md5-ordered docs taken while the
-    -- source's running token total stays under 600; the crossing doc is
-    -- kept (every source contributes, overshoot bounded by one doc).
-    WITH d AS (
-      SELECT doc_id, source,
-             CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                  x -> x <> '')) AS INT) AS n_tokens,
-             md5('budget' || CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM d
-    )
-    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-    FROM c WHERE cum_tokens - n_tokens < 600
-    """,
-)
-def dp_token_budget(spark, sf_dir):
-    """Token-budget mixture sampling (mixing.token_budget_sample) —
-    "take ~N tokens from every source", the unit training mixtures are
-    actually specified in: docs order by a deterministic per-doc hash
-    (NOT quality/length — that would bias the sample) and accumulate
-    until the source's budget crosses; the crossing doc stays. One
-    window cumsum keyed on source = a single shuffle at 100 TB, and the
-    hash order makes the sample identical across runs, partitionings,
-    and engines — which is exactly what the oracle certifies."""
-    from nutch_spark.datapipe.mixing import token_budget_sample
-
-    d = t(spark, sf_dir, "documents")
-    return token_budget_sample(d, 600)
-
-
-@q(
-    "dp_quantile_sketch",
-    """
-    -- Engine-portable approximate quantiles: the deterministic md5
-    -- sample (10% of rows, keyed on l_orderkey||l_linenumber) and exact
-    -- interpolated quantiles OF THE SAMPLE — both engines rebuild the
-    -- identical sample, so the estimate matches bit-for-bit, unlike an
-    -- engine-private KLL/GK sketch.
-    WITH s AS (
-      SELECT l_extendedprice AS v
-      FROM lineitem
-      WHERE CAST(CAST('0x' || substr(md5('qsk' ||
-                  CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15)
-              AS UBIGINT) % 10000 AS INT) < 1000
-    )
-    SELECT round(quantile_cont(v, 0.25), 6) AS q0_25,
-           round(quantile_cont(v, 0.5), 6) AS q0_5,
-           round(quantile_cont(v, 0.75), 6) AS q0_75,
-           round(quantile_cont(v, 0.95), 6) AS q0_95,
-           count(*) AS n_sample
-    FROM s
-    """,
-)
-def dp_quantile_sketch(spark, sf_dir):
-    """Approximate quantiles via deterministic hash sampling
-    (sketches.sampled_quantiles) — completes the engine-portable sketch
-    family: distinct = KMV, frequency = count-min, membership = Bloom,
-    quantiles = hash-sample + exact interpolation over the sample. The
-    10% sample is keyed on the ROW key (not the value, so duplicate
-    values don't bias selection) and prunes the corpus map-side BEFORE
-    the one exact-percentile aggregation, whose sort buffer holds only
-    the sample. percentile_approx's KLL state is engine-private; this
-    estimate reproduces bit-for-bit anywhere md5 exists — the readdb
-    -stats score-quantile slot's certified scale path
-    (CrawlDbReader.java:706-707)."""
-    from nutch_spark.datapipe.sketches import sampled_quantiles
-
-    li = t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
-        "l_extendedprice",
-    )
-    return sampled_quantiles(
-        li, "l_extendedprice", key="rk",
-        qs=(0.25, 0.5, 0.75, 0.95), sample_bp=1000,
-    )
-
-
-@q(
-    "dp_stratified_n",
-    """
-    -- Fixed-n per-source sample by deterministic md5 rank: exactly
-    -- min(8, |source|) docs per source, reproducible in any engine.
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY md5('strata' || CAST(doc_id AS VARCHAR)),
-                                         doc_id) AS rk
-      FROM documents
-    ) WHERE rk <= 8
-    """,
-)
-def dp_stratified_n(spark, sf_dir):
-    """Fixed-size stratified sampling (mixing.stratified_sample_n) —
-    "give me exactly N docs from every source" for eval sets and
-    inspection samples, complementing f8_hash_sample's fraction draw.
-    Hash rank makes the sample reproducible across runs/partitionings/
-    engines, and growing a source only swaps members at the hash
-    boundary. The row_number <= n filter compiles to WindowGroupLimit:
-    at most n rows per source survive per partition BEFORE the shuffle,
-    so a billion-row source costs n rows of state (plan-audited)."""
-    from nutch_spark.datapipe.mixing import stratified_sample_n
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    return stratified_sample_n(d, 8)
-
-
-@q(
-    "dp_quality_bins",
-    """
-    -- Per-source equal-frequency quality deciles (ntile), score =
-    -- text length, ties broken on doc_id so the binning is total.
-    SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
-           CAST(ntile(10) OVER (PARTITION BY source
-                                ORDER BY length(text) DESC, doc_id) AS INT)
-             AS bin
-    FROM documents
-    """,
-)
-def dp_quality_bins(spark, sf_dir):
-    """Curriculum / ablation binning (mixing.quality_bins): rank by a
-    quality score WITHIN each source, cut into 10 equal-frequency bins —
-    the shape behind "train on the top 3 deciles" ablations and ordered
-    curricula. Per-source because score distributions differ by source;
-    a global cut would re-discover the source boundaries. ntile's
-    remainder rule (first bins get the extra row) is the SQL standard on
-    both engines, and the doc_id tie-break makes it total. One window
-    per source = one keyed shuffle at 100 TB."""
-    from nutch_spark.datapipe.mixing import quality_bins
-
-    d = t(spark, sf_dir, "documents")
-    return quality_bins(d, F.length("text").cast("long"))
-
-
-@q(
-    "dp_unicode_nfc",
-    """
-    -- Canonical Unicode normalization, stated closed-form: per class,
-    -- a planted suffix with a KNOWN NFC form (combining acute -> e-acute,
-    -- combining ring -> A-ring; the fi ligature is COMPATIBILITY-only so
-    -- NFC must leave it; plain ASCII unchanged) — no reliance on the
-    -- oracle engine's own Unicode tables, so UCD-version drift between
-    -- engines can't flake the row. The base corpus is ASCII (verified
-    -- NFC-invariant).
-    SELECT doc_id,
-           text || CASE CAST(doc_id % 4 AS INT)
-             WHEN 0 THEN ' caf' || chr(233)
-             WHEN 1 THEN ' ' || chr(197) || 'ngstrom'
-             WHEN 2 THEN ' ' || chr(64257) || 'nal'
-             ELSE '' END AS text_norm,
-           doc_id % 4 IN (0, 1) AS normalized
-    FROM documents
-    """,
-)
-def dp_unicode_nfc(spark, sf_dir):
-    """Unicode NFC normalization (textstats.nfc_normalize, UAX #15) —
-    the dedup-key stability stage: decomposed and precomposed spellings
-    of the same text hash differently in EVERY dedup family member
-    (exact md5, MinHash shingles, SimHash, suffix grams), so corpora
-    normalize before fingerprinting. The UCD composition tables aren't
-    in Spark's JVM expression library, so this is one of the honest
-    Arrow-batched pandas_udf cases (map-only, no shuffle). Classes
-    plant: e + U+0301 (must compose to U+00E9), A + U+030A (-> U+00C5),
-    the U+FB01 ligature (compatibility-only — NFC must NOT touch it),
-    and plain ASCII; the `normalized` flag is the per-source
-    corpus-health metric."""
-    from nutch_spark.datapipe.textstats import nfc_normalize
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    suffix = F.element_at(
-        F.array(
-            F.lit(" cafe\u0301"),      # e + COMBINING ACUTE (decomposed)
-            F.lit(" A\u030angstrom"),   # A + COMBINING RING (decomposed)
-            F.lit(" \ufb01nal"),         # fi ligature: NFC-invariant
-            F.lit(""),
-        ),
-        (F.col("doc_id") % 4 + 1).cast("int"),
-    )
-    planted = d.select(
-        "doc_id", F.concat(F.col("text"), suffix).alias("text")
-    )
-    return nfc_normalize(planted).select("doc_id", "text_norm", "normalized")
-
-
-@q(
-    "dp_bloom_frontier",
-    """
-    -- Bloom-filter membership over the seen-URL set (even doc_ids),
-    -- probed with half-seen half-unseen URLs. m=2048 bits is sized so a
-    -- few REAL false positives occur at sf >= 0.01 — deterministic md5
-    -- arithmetic, so the oracle builds the IDENTICAL 63-bit words and
-    -- reproduces every collision. Zero false negatives by construction.
-    WITH seen AS (
-      SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS v
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    idx AS (SELECT CAST(unnest(range(4)) AS INT) AS i),
-    pos AS (
-      SELECT CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
-                       AS UBIGINT) % 2048 AS INT) AS p
-      FROM seen CROSS JOIN idx
-    ),
-    words AS (
-      SELECT CAST(p // 63 AS INT) AS word_idx,
-             bit_or(CAST(1 AS BIGINT) << (p % 63)) AS word
-      FROM pos GROUP BY 1
-    ),
-    q AS (
-      SELECT DISTINCT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS v
-      FROM documents WHERE doc_id % 8 < 4
-    ),
-    probe AS (
-      SELECT v,
-             CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
-                       AS UBIGINT) % 2048 AS INT) AS p
-      FROM q CROSS JOIN idx
-    )
-    SELECT v AS url,
-           min(COALESCE((w.word >> CAST(probe.p % 63 AS INT)) & 1, 0)) = 1
-             AS maybe_present
-    FROM (SELECT v, p, CAST(p // 63 AS INT) AS word_idx FROM probe) probe
-    LEFT JOIN words w USING (word_idx)
-    GROUP BY v
-    """,
-)
-def dp_bloom_frontier(spark, sf_dir):
-    """Bloom-filter frontier membership (sketches.bloom_build +
-    bloom_lookup, Bloom 1970): the crawl frontier's seen-URL question at
-    100 TB — an exact anti-join against 10^11 crawled URLs shuffles both
-    sides every cycle, while the filter is <= m/63 longs, BROADCASTS,
-    and answers 'definitely new' with zero false negatives; only the
-    tunable false-positive slice needs the exact check. Reference
-    parity: CrawlDb's whole-table merge (CrawlDbFilter/Merger) is the
-    exact path; this is its sketch-mode gate. Like KMV/count-min, the
-    words are md5 arithmetic, so the oracle rebuilds the identical
-    filter bit-for-bit and reproduces every false positive."""
-    from nutch_spark.datapipe.sketches import bloom_build, bloom_lookup
-
-    d = t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit("/doc/"),
-        F.col("doc_id").cast("string"),
-    )
-    seen = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
-    qs = d.filter(F.col("doc_id") % 8 < 4).select(url.alias("url"))
-    bloom = bloom_build(seen, "url", m_bits=2048, k_hashes=4)
-    return bloom_lookup(bloom, qs, "url", m_bits=2048, k_hashes=4)
-
-
-# crawldb-ish surface shared by the A1/A3 sketch-mode rows: documents as a
-# crawl snapshot (url from source+doc_id so host == source; status a 4-way
-# rotation; the numeric columns only so crawldb_stats' exact sections
-# resolve at plan-build)
-def _sketch_crawldb(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    k = F.col("doc_id")
-    return d.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit("/doc/"), k.cast("string")
-        ).alias("url"),
-        F.element_at(
-            F.array(
-                F.lit("db_fetched"), F.lit("db_unfetched"),
-                F.lit("db_gone"), F.lit("db_redir_temp"),
-            ),
-            (k % 4 + 1).cast("int"),
-        ).alias("status"),
-        ((k % 100).cast("double") / F.lit(4.0)).alias("score"),
-        (k % 3).cast("int").alias("retries"),
-        F.lit(2_592_000).alias("fetch_interval"),
-    )
-
-
-_SKETCH_CRAWLDB_SQL = """
-      SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
-             source AS host,
-             ['db_fetched','db_unfetched','db_gone','db_redir_temp']
-               [CAST(doc_id % 4 AS INT) + 1] AS status
-      FROM documents
-"""
-
-
-@q(
-    "a1_stats_sketch",
-    f"""
-    -- readdb -stats, sketch mode: the status histogram as count-min
-    -- point estimates (depth=4 x width=256 md5-salted counters, min over
-    -- rows) crossed with ONE global KMV distinct-host estimate (k=16; 20
-    -- hosts > k, so the (k-1)/h_(k) estimator path runs). The oracle
-    -- builds the IDENTICAL sketches, reproducing any collision
-    -- overestimate bit-for-bit.
-    WITH c AS ({_SKETCH_CRAWLDB_SQL}),
-    rws AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
-    sk AS (
-      SELECT row,
-             CAST(CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || status), 1, 15)
-                       AS UBIGINT) % 256 AS INT) AS bucket,
-             count(*) AS counter
-      FROM c CROSS JOIN rws GROUP BY 1, 2
-    ),
-    qb AS (
-      SELECT q.status, r.row,
-             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || q.status), 1, 15)
-                       AS UBIGINT) % 256 AS INT) AS bucket
-      FROM (SELECT DISTINCT status FROM c) q CROSS JOIN rws r
-    ),
-    cm AS (
-      SELECT status, CAST(min(COALESCE(sk.counter, 0)) AS BIGINT) AS freq_est
-      FROM qb LEFT JOIN sk ON sk.row = qb.row AND sk.bucket = qb.bucket
-      GROUP BY status
-    ),
-    hh AS (SELECT DISTINCT {_KMV_UH.format(v="host")} AS h FROM c),
-    mins AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
-    kmv AS (
-      SELECT count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
-      FROM mins WHERE rn <= 16
-    )
-    SELECT cm.status, cm.freq_est,
-           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
-                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
-           CAST(n AS INT) AS n_sketch
-    FROM cm CROSS JOIN kmv
-    """,
-)
-def a1_stats_sketch(spark, sf_dir):
-    """readdb -stats in SKETCH MODE (stats.crawldb_stats(approx=True)):
-    the per-status histogram via count-min point estimates and the
-    distinct-host cardinality via one global KMV sketch — the two stats
-    that at 100 TB stop being cheap exact aggregations (the exact
-    histogram shuffles every row's key; exact distinct-host shuffles
-    every host string; the sketches cross the shuffle as <= depth*width
-    counters and <= k doubles). Both are md5 arithmetic, so the oracle
-    recomputes the identical estimates — certifying the estimators, not
-    an 'approximately close' band. Reference: CrawlDbReader.java:371-510
-    computes these exactly per-segment; sketch mode is the scale path."""
-    from nutch_spark.operators.stats import crawldb_stats
-
-    sections = crawldb_stats(
-        _sketch_crawldb(spark, sf_dir),
-        approx=True, kmv_k=16, cm_width=256, cm_depth=4,
-    )
-    return sections["status_cm"].crossJoin(F.broadcast(sections["hosts_kmv"]))
-
-
-@q(
-    "a3_kmv_hosts",
-    f"""
-    -- HostDb aggregate, sketch mode: distinct-URL cardinality PER HOST
-    -- via KMV (k=16; every host carries > 16 distinct URLs, so every
-    -- row takes the (k-1)/h_(k) estimator path). The oracle computes
-    -- the same k minimum md5-hashes per host.
-    WITH c AS ({_SKETCH_CRAWLDB_SQL}),
-    h AS (SELECT DISTINCT host, {_KMV_UH.format(v="url")} AS h FROM c),
-    mins AS (
-      SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h) AS rn
-      FROM h
-    ),
-    sk AS (
-      SELECT host, count(*) AS n, max(CASE WHEN rn = 16 THEN h END) AS hk
-      FROM mins WHERE rn <= 16 GROUP BY host
-    )
-    SELECT host,
-           ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
-                      ELSE 15.0 / hk END, 4) AS n_distinct_est,
-           CAST(n AS INT) AS n_sketch
-    FROM sk
-    """,
-)
-def a3_kmv_hosts(spark, sf_dir):
-    """HostDb per-host URL cardinality in SKETCH MODE
-    (hostdb.hostdb_distinct_urls): KMV distinct-URL estimate per host —
-    <= k doubles per host cross the shuffle (WindowGroupLimit bounds
-    memory per partition), versus the exact count's full (host, url)
-    shuffle. The estimate is engine-portable md5 arithmetic; the oracle
-    recomputes it bit-for-bit. Reference parity:
-    UpdateHostDbReducer.java:176-439's per-host rollup, scale variant."""
-    from nutch_spark.operators.hostdb import hostdb_distinct_urls
-
-    return hostdb_distinct_urls(_sketch_crawldb(spark, sf_dir), k=16)
-
-
-# ---------------------------------------------------------------------------
-# BPE tokenizer family (datapipe/tokenize.py): pair statistics, merge-chain
-# apply, and full training — the Sennrich et al. 2016 algorithm with the
-# corpus collapsed to a (word, freq) vocabulary so iterations never touch
-# corpus bytes.  Oracle parity notes: symbols are joined on chr(31) (U+001F,
-# excluded from the word alphabet) and a merge is a LITERAL left-to-right
-# non-overlapping replace — verified byte-identical between Spark `replace`
-# and DuckDB `replace`, including the adjacent-repeat boundary edge.
-# ---------------------------------------------------------------------------
-
-_BPE_WORDS_SQL = (
-    r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x1f]')"
-)
-_BPE_SYM_SQL = r"chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')"
-_BPE_VOCAB_SQL = f"""
-  wf AS (
-    SELECT word, COUNT(*) AS freq
-    FROM (SELECT unnest({_BPE_WORDS_SQL}) AS word FROM documents)
-    GROUP BY word
-  ),
-  s0 AS (SELECT {_BPE_SYM_SQL} AS s, freq FROM wf)
-"""
-_BPE_PAIRS_TMPL = """
-  SELECT a[j] AS l, a[j + 1] AS r, SUM(freq) AS cnt
-  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS a, freq
-        FROM {state}),
-       unnest(range(1, len(a))) AS u(j)
-  GROUP BY 1, 2
-"""
-
-
-@q(
-    "dp_token_spectrum",
-    f"""
-    -- Counts-of-counts (Zipf / Good-Turing spectrum): distinct tokens
-    -- and total occurrence mass per frequency band, counts > 10 folded
-    -- into the 11 tail row — constant-size output at any corpus scale.
-    WITH wf AS (
-      SELECT word AS tok, COUNT(*) AS f
-      FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
-      GROUP BY word
-    )
-    SELECT CAST(CASE WHEN f <= 10 THEN f ELSE 11 END AS INT) AS freq,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(f) AS BIGINT) AS n_occurrences
-    FROM wf
-    GROUP BY 1
-    """,
-)
-def dp_token_spectrum(spark, sf_dir):
-    """Token frequency spectrum (tokenize.token_frequency_spectrum) —
-    counts-of-counts: how many distinct tokens occur exactly f times and
-    how much corpus mass each band carries. The Good-Turing smoothing
-    input, the hapax-legomena quality signal (a high singleton ratio
-    flags OCR noise / boilerplate IDs), and the companion to
-    dp_vocab_coverage for tokenizer sizing. Two hash aggregations
-    (corpus → vocab → spectrum), constant-size output."""
-    from nutch_spark.datapipe.tokenize import token_frequency_spectrum
-
-    d = t(spark, sf_dir, "documents").select("text")
-    return token_frequency_spectrum(d, max_freq=10)
-
-
-@q(
-    "dp_vocab_coverage",
-    f"""
-    -- Vocabulary coverage curve (tokenizer sizing): fraction of corpus
-    -- token OCCURRENCES covered by the top-V tokens, ranked freq DESC
-    -- with the token string as a total tie-break. Probes beyond the
-    -- vocabulary cover everything (coverage 1.0).
-    WITH wf AS (
-      SELECT word AS tok, COUNT(*) AS freq
-      FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
-      GROUP BY word
-    ),
-    ranked AS (
-      SELECT freq,
-             row_number() OVER (ORDER BY freq DESC, tok) AS rank,
-             sum(freq) OVER (ORDER BY freq DESC, tok
-                             ROWS UNBOUNDED PRECEDING) AS cum
-      FROM wf
-    ),
-    total AS (SELECT sum(freq) AS t FROM wf),
-    probes AS (SELECT CAST(unnest([16, 256, 1024, 65536]) AS INT) AS vocab_size)
-    SELECT p.vocab_size,
-           CAST(COALESCE(r.cum, total.t) AS BIGINT) AS n_covered,
-           ROUND(COALESCE(r.cum, total.t) / CAST(total.t AS DOUBLE), 6)
-             AS coverage
-    FROM probes p
-    LEFT JOIN ranked r ON r.rank = p.vocab_size
-    CROSS JOIN total
-    """,
-)
-def dp_vocab_coverage(spark, sf_dir):
-    """Vocabulary coverage curve (tokenize.vocab_coverage) — the
-    tokenizer-sizing analytic: how much of the corpus does a top-V
-    vocabulary cover? The corpus collapses ONCE to (token, freq) via the
-    same partial-aggregated vocab stage BPE training uses; rank and
-    running-sum windows run over the VOCAB (corpus-size-independent),
-    and the size probes are a broadcast join against the cumulative
-    curve. Deterministic: frequency ties break on the token string, so
-    the curve is total and engine-exact."""
-    from nutch_spark.datapipe.tokenize import vocab_coverage
-
-    d = t(spark, sf_dir, "documents").select("text")
-    return vocab_coverage(d, [16, 256, 1024, 65536])
-
-
-@q(
-    "dp_bpe_pair_counts",
-    f"""
-    WITH {_BPE_VOCAB_SQL},
-    p AS ({_BPE_PAIRS_TMPL.format(state="s0")})
-    SELECT l AS l_sym, r AS r_sym, CAST(cnt AS BIGINT) AS cnt
-    FROM p ORDER BY cnt DESC, l_sym, r_sym LIMIT 100
-    """,
-)
-def dp_bpe_pair_counts(spark, sf_dir):
-    """BPE training's per-iteration statistic: adjacent-symbol pair
-    frequencies over the (word, freq) vocabulary, top 100 under the
-    deterministic (cnt desc, pair) training order. One explode + one
-    partial-aggregated shuffle over the vocab — corpus-size-independent."""
-    from nutch_spark.datapipe.tokenize import pair_counts, symbolize, word_freqs
-
-    d = t(spark, sf_dir, "documents")
-    vocab = word_freqs(d).select(symbolize("word").alias("s"), "freq")
-    return (
-        pair_counts(vocab)
-        .select(
-            F.col("left").alias("l_sym"),
-            F.col("right").alias("r_sym"),
-            F.col("cnt").cast("long").alias("cnt"),
-        )
-        .orderBy(F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym"))
-        .limit(100)
-    )
-
-
-# a fixed rank-ordered merge list exercising chained merges (th+e builds on
-# t+h) — any list works for correctness, this one fires often on English
-_BPE_FIXED_MERGES = [
-    ("t", "h"),
-    ("th", "e"),
-    ("i", "n"),
-    ("a", "n"),
-    ("e", "r"),
-    ("an", "d"),
-]
-
-
-def _bpe_apply_chain_sql(expr: str) -> str:
-    for left, right in _BPE_FIXED_MERGES:
-        needle = f"chr(31) || '{left}' || chr(31) || '{right}' || chr(31)"
-        repl = f"chr(31) || '{left}{right}' || chr(31)"
-        expr = f"replace({expr}, {needle}, {repl})"
-    return expr
-
-
-@q(
-    "dp_bpe_apply",
-    f"""
-    WITH d AS (
-      SELECT doc_id,
-             flatten(list_transform(
-               {_BPE_WORDS_SQL},
-               word -> list_filter(
-                 string_split({_bpe_apply_chain_sql(_BPE_SYM_SQL)}, chr(31)),
-                 x -> x != '')
-             )) AS toks
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-           -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
-           md5(coalesce(array_to_string(toks, '|'), '')) AS tok_sig
-    FROM d
-    """,
-)
-def dp_bpe_apply(spark, sf_dir):
-    """Tokenize every document with a fixed 6-merge BPE model. Narrow map
-    stage — the merge chain compiles to literal JVM string replaces inside
-    whole-stage codegen (no UDF, no shuffle); token identity is certified
-    via an md5 over the full token stream."""
-    from nutch_spark.datapipe.tokenize import bpe_apply
-
-    d = t(spark, sf_dir, "documents")
-    return bpe_apply(d, _BPE_FIXED_MERGES).select(
-        "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        F.md5(F.concat_ws("|", "bpe_tokens")).alias("tok_sig"),
-    )
-
-
-def _bpe_train_oracle(n_merges: int, min_count: int = 2) -> str:
-    """Unrolled training: each iteration = pair counts over the previous
-    vocab state, deterministic top-1, literal-replace vocab update (the
-    same unrolled-CTE discipline as g3_linkrank's oracle)."""
-    sql = f"WITH {_BPE_VOCAB_SQL}"
-    for i in range(1, n_merges + 1):
-        prev = f"s{i - 1}"
-        # chr(30) fallback: if no pair clears min_count the replace becomes
-        # a guaranteed no-op instead of NULLing the state
-        needle = (
-            f"coalesce((SELECT chr(31) || l || chr(31) || r || chr(31) FROM t{i}), chr(30))"
-        )
-        repl = f"coalesce((SELECT chr(31) || l || r || chr(31) FROM t{i}), chr(30))"
-        sql += f""",
-  p{i} AS ({_BPE_PAIRS_TMPL.format(state=prev)}),
-  t{i} AS (SELECT l, r FROM p{i} WHERE cnt >= {min_count}
-           ORDER BY cnt DESC, l, r LIMIT 1),
-  s{i} AS (SELECT replace(s, {needle}, {repl}) AS s, freq FROM {prev})"""
-    union = " UNION ALL ".join(
-        f"SELECT {i} AS merge_rank, l AS l_sym, r AS r_sym FROM t{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return sql + f"\nSELECT * FROM ({union})"
-
-
-@q("dp_bpe_train", _bpe_train_oracle(6))
-def dp_bpe_train(spark, sf_dir):
-    """Full BPE training, 6 merges: the corpus collapses once into the
-    (word, freq) vocab, then each merge is one explode+hash-agg job over
-    the vocab plus a single-row collect — O(1) driver traffic per round,
-    localCheckpoint'ed state. The oracle unrolls the identical 6 rounds."""
-    from nutch_spark.datapipe.tokenize import bpe_train, word_freqs
-
-    d = t(spark, sf_dir, "documents")
-    merges = bpe_train(word_freqs(d), 6)
-    return spark.createDataFrame(
-        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
-        "merge_rank int, l_sym string, r_sym string",
-    )
-
-
-@q(
-    "dp_pipeline_clean",
-    _PIPELINE_CLEAN_SQL_TMPL.format(
-        corpus=_CORPUS_SQL,
-        pii_suffix=_PII_SUFFIX,
-        toks=_TOKS_SQL,
-        pii_scrub=_PII_SCRUB_SQL,
-        grams13=_GRAMS13_SQL,
-    ),
-)
-def dp_pipeline_clean(spark, sf_dir):
-    """The composed production cleaning run over the planted corpus:
-    exact dedup (drop copies) -> quality gate (>=10 tokens, >10% unique)
-    -> PII scrub -> 13-gram benchmark decontamination. Every stage reuses
-    its individually-certified operator; this row certifies the
-    COMPOSITION — output is each surviving doc's token count and an md5
-    over its scrubbed text. Plan: one fingerprint shuffle, map-only gate +
-    scrub, broadcast gram join — no stage adds a corpus self-join."""
-    from nutch_spark.datapipe.dedup import decontaminate, exact_dedup
-    from nutch_spark.datapipe.textstats import pii_scrub, quality_gate, tokens
-
-    corpus = _corpus(spark, sf_dir)
-    planted = corpus.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(_PII_SUFFIX))
-        ).otherwise(F.col("text")),
-    )
-    dd = exact_dedup(planted).filter(~F.col("is_duplicate")).select("doc_id", "text")
-    qf = dd.filter(quality_gate("text", min_tokens=10, min_uniq_ratio=0.1))
-    # the scrubbed text feeds decontamination's 13-gram explode, the
-    # anti-join, AND the output token count — materialize the regex
-    # chain once instead of once per consuming exchange
-    sc = pii_scrub(qf).select(
-        "doc_id", F.col("text_scrubbed").alias("text")
-    ).localCheckpoint(eager=False)
-    bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
-    verdicts = decontaminate(sc, bench)
-    clean = sc.join(
-        verdicts.filter(F.col("contaminated")).select("doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    return clean.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        F.md5("text").alias("clean_sig"),
-    )
-
-
-@q(
-    "dp_winnowing_containment",
-    f"""
-    WITH corpus AS ({_CORPUS_SQL}),
-    tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
-    grams AS (
-      SELECT doc_id,
-             list_transform(range(1, greatest(len(t) - 4, 0) + 1),
-                            i -> array_to_string(t[i:i+4], ' ')) AS g
-      FROM tk
-    ),
-    hashes AS (
-      SELECT doc_id,
-             list_transform(g, x ->
-               CAST(CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT) AS BIGINT)) AS h
-      FROM grams
-    ),
-    wins AS (
-      SELECT doc_id,
-             CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
-                  WHEN len(h) < 4 THEN [list_min(h)]
-                  ELSE list_transform(range(1, len(h) - 3 + 1),
-                                      i -> list_min(h[i:i+3])) END AS m
-      FROM hashes
-    ),
-    fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM wins),
-    sizes AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
-    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
-    f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keepfp USING (fp)),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_fps,
-           ROUND(shared / least(sa.nf, sb.nf), 6) AS containment
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(shared / least(sa.nf, sb.nf), 6) >= 0.5
-    """,
-)
-def dp_winnowing_containment(spark, sf_dir):
-    """Containment pairs from winnowing fingerprints over the planted
-    corpus: shared-fingerprint count / the smaller doc's fingerprint count,
-    the score that catches a document EMBEDDED in another (boilerplate
-    wrap, quote farms) which symmetric Jaccard structurally misses. Same
-    inverted-index + hot-key-cap discipline as dp_ngram_jaccard."""
-    from nutch_spark.datapipe.dedup import winnowing_containment_pairs
-
-    return winnowing_containment_pairs(
-        _corpus(spark, sf_dir), k=5, window=4, threshold=0.5
-    )
-
-
-@q(
-    "mm_frame_samples",
-    """
-    WITH media AS (
-      SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
-             -- deterministic planted duration: 1..120 seconds
-             1 + (doc_id * 37) % 120 AS duration_s
-      FROM documents
-    )
-    SELECT media_id, CAST(unnest(range(0, greatest(duration_s - 1, 0) + 1, 10)) AS BIGINT) AS frame_ts
-    FROM media WHERE media_type = 'video'
-    """,
-)
-def mm_frame_samples(spark, sf_dir):
-    """Video frame-sampling plan: one row per (media_id, frame_ts) every
-    10 s of planted duration metadata — the decode-free half of frame
-    sampling (the decode itself is the injectable mapInPandas stub).
-    Narrow explode of an arithmetic sequence; frame counts are bounded by
-    duration/stride, never by payload bytes."""
-    from nutch_spark.datapipe.multimodal import frame_sample_plan
-
-    d = t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias(
-            "media_type"
-        ),
-        F.create_map(
-            F.lit("duration_s"),
-            (1 + (F.col("doc_id") * 37) % 120).cast("string"),
-        ).alias("meta"),
-    )
-    return frame_sample_plan(media, every_n_seconds=10).select(
-        "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
-    )
-
-
-@q(
-    "dp_shard_balance",
-    """
-    WITH sharded AS (
-      SELECT doc_id,
-             CAST(CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 16 AS INT) AS INT) AS shard,
-             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS w
-      FROM documents
-    )
-    , agg AS (
-      SELECT shard, count(*) AS n_docs, sum(w) AS total_weight
-      FROM sharded GROUP BY shard
-    )
-    SELECT CAST(g.range AS INT) AS shard,
-           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
-           CAST(coalesce(a.total_weight, 0) AS BIGINT) AS total_weight
-    FROM range(16) g LEFT JOIN agg a ON a.shard = g.range
-    """,
-)
-def dp_shard_balance(spark, sf_dir):
-    """Deterministic output sharding (16 hash shards) with the balance
-    report: per-shard doc count and token-weight sum. Hash assignment is
-    ZERO-shuffle (the write's partitionBy does the only exchange) and any
-    reader recomputes a doc's shard from its key alone; balance follows
-    from the law of large numbers rather than a global-rank bin-pack that
-    cannot scale."""
-    from nutch_spark.datapipe.mixing import shard_balance
-    from nutch_spark.datapipe.textstats import tokens
-
-    d = t(spark, sf_dir, "documents")
-    return shard_balance(
-        d.withColumn("w", F.size(tokens(F.col("text"))).cast("long")),
-        16,
-        weight="w",
-    ).select("shard", "n_docs", F.col("total_weight").cast("long").alias("total_weight"))
-
-
-# ---------------------------------------------------------------------------
-# Round 6: Gopher quality rules, BM25 retrieval, DSIR importance weights
-# ---------------------------------------------------------------------------
-
-# documents + planted rule-breakers: bullet-heavy (+800000), ellipsis-heavy
-# (+850000), symbol-separated (+900000), and a stopword-enriched passer
-# (+950000) — each constructed identically in Spark and the oracle.
-_GQ_CORPUS_SQL = f"""
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 800000,
-    repeat('- ' || array_to_string(({_TOKS_SQL})[1:5], ' ') || chr(10), 12)
-  FROM documents WHERE doc_id % 13 = 0
-  UNION ALL SELECT doc_id + 850000,
-    repeat(array_to_string(({_TOKS_SQL})[1:5], ' ') || '...' || chr(10), 12)
-  FROM documents WHERE doc_id % 13 = 0
-  UNION ALL SELECT doc_id + 900000,
-    array_to_string(({_TOKS_SQL})[1:50], ' # ')
-  FROM documents WHERE doc_id % 13 = 5
-  UNION ALL SELECT doc_id + 950000,
-    text || ' to of and the with that have table'
-  FROM documents WHERE doc_id % 13 = 3
-"""
-
-
-def _gq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-    t5 = F.concat_ws(" ", F.slice(tk, 1, 5))
-    bullet = d.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 800000).alias("doc_id"),
-        F.repeat(F.concat(F.lit("- "), t5, F.lit("\n")), 12).alias("text"),
-    )
-    ellip = d.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 850000).alias("doc_id"),
-        F.repeat(F.concat(t5, F.lit("...\n")), 12).alias("text"),
-    )
-    symb = d.filter(F.col("doc_id") % 13 == 5).select(
-        (F.col("doc_id") + 900000).alias("doc_id"),
-        F.array_join(F.slice(tk, 1, 50), " # ").alias("text"),
-    )
-    passer = d.filter(F.col("doc_id") % 13 == 3).select(
-        (F.col("doc_id") + 950000).alias("doc_id"),
-        F.concat(
-            F.col("text"), F.lit(" to of and the with that have table")
-        ).alias("text"),
-    )
-    return d.unionByName(bullet).unionByName(ellip).unionByName(symb).unionByName(passer)
-
-
-@q(
-    "dp_gopher_quality",
-    f"""
-    WITH corpus AS ({_GQ_CORPUS_SQL}),
-    m AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \t\n]+'), x -> x != '') AS words,
-             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                         x -> x != '') AS lines,
-             {_TOKS_SQL} AS toks,
-             length(text) AS nc,
-             length(replace(text, '#', '')) AS nc_nohash,
-             length(replace(text, '...', '')) AS nc_noell
-      FROM corpus
-    ),
-    g AS (
-      SELECT doc_id,
-             len(words) AS n_words,
-             CASE WHEN len(words) > 0 THEN
-               coalesce(list_sum(list_transform(words, x -> length(x))), 0) / len(words)
-             ELSE 0.0 END AS mean_word_len,
-             CASE WHEN len(words) > 0 THEN
-               ((nc - nc_nohash) + (nc - nc_noell) / 3) / len(words)
-             ELSE 0.0 END AS symbol_ratio,
-             CASE WHEN len(lines) > 0 THEN
-               len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•'))) / len(lines)
-             ELSE 0.0 END AS frac_bullet_lines,
-             CASE WHEN len(lines) > 0 THEN
-               len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) / len(lines)
-             ELSE 0.0 END AS frac_ellipsis_lines,
-             CASE WHEN len(words) > 0 THEN
-               len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)
-             ELSE 0.0 END AS frac_alpha_words,
-             len(list_intersect(list_distinct(toks),
-                 ['the','be','to','of','and','that','have','with'])) AS gopher_stopword_hits
-      FROM m
-    )
-    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
-           frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
-           CAST(gopher_stopword_hits AS BIGINT) AS gopher_stopword_hits,
-           (n_words >= 50 AND n_words <= 100000
-            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
-            AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
-            AND gopher_stopword_hits >= 2) AS passes_gopher_quality
-    FROM g
-    """,
-)
-def dp_gopher_quality(spark, sf_dir):
-    """Full Gopher quality-rule set (Rae et al. 2021 §A1.1) over documents
-    plus planted rule-breakers (bullet lines, ellipsis lines, symbol runs)
-    and a stopword-enriched passer. Map-only column math — at 100 TB this
-    is a shuffle-free codegen stage; every ratio is a single int/int
-    division so both engines produce bit-identical doubles."""
-    from nutch_spark.datapipe.textstats import gopher_quality
-
-    return gopher_quality(_gq_corpus(spark, sf_dir)).drop("text")
-
-
-_BM25_TERMS = ["merge", "stream", "vector"]
-
-
-@q(
-    "dp_bm25_topk",
-    f"""
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
-    post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
-    tf AS (
-      SELECT term, doc_id, dl, count(*) AS tf FROM post
-      WHERE term IN ({", ".join(f"'{t_}'" for t_ in _BM25_TERMS)})
-      GROUP BY 1, 2, 3
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             CAST(floor(
-               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
-               * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
-      FROM tf JOIN dfreq USING (term) CROSS JOIN s
-    ),
-    agg AS (SELECT doc_id, sum(contrib_q) AS bm25_q FROM scored GROUP BY doc_id)
-    SELECT doc_id, CAST(bm25_q AS BIGINT) AS bm25_q, CAST(rk AS INT) AS rank
-    FROM (SELECT doc_id, bm25_q,
-                 row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
-          FROM agg)
-    WHERE rk <= 10
-    """,
-)
-def dp_bm25_topk(spark, sf_dir):
-    """BM25 top-10 for a three-term query (the Lucene similarity Nutch's
-    index sinks feed): inverted postings filtered to the query terms BEFORE
-    the shuffle, document frequencies + (n_docs, avgdl) broadcast, integer-
-    quantized per-term contributions summed per doc (order-independent),
-    global top-k. Nothing quadratic; the only global is a 1-row scalar."""
-    from nutch_spark.datapipe.retrieval import bm25_topk
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_topk(d, _BM25_TERMS, k=10)
-
-
-def _hybrid_rrf_oracle() -> str:
-    lex_terms = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
-    return f"""
-    -- Hybrid retrieval: BM25 top-20 (lexical) fused with cosine-vs-vec-0
-    -- top-20 (semantic) by reciprocal-rank fusion; contributions quantize
-    -- to floor(1e9/(60+rank)) so the fused score is an exact integer sum.
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
-    post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
-    tf AS (
-      SELECT term, doc_id, dl, count(*) AS tf FROM post
-      WHERE term IN ({lex_terms})
-      GROUP BY 1, 2, 3
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             CAST(floor(
-               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
-               * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
-      FROM tf JOIN dfreq USING (term) CROSS JOIN s
-    ),
-    agg AS (SELECT doc_id, sum(contrib_q) AS bm25_q FROM scored GROUP BY doc_id),
-    lex AS (
-      SELECT doc_id, rk AS rank FROM (
-        SELECT doc_id, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
-        FROM agg) WHERE rk <= 20
-    ),
-    cos AS (
-      SELECT e.vec_id AS doc_id,
-             round({_COS_SQL.format(a="q.embedding", b="e.embedding")}, 6) AS sim
-      FROM embeddings e JOIN embeddings q ON q.vec_id = 0
-      WHERE e.vec_id != 0
-    ),
-    sem AS (
-      SELECT doc_id, rk AS rank FROM (
-        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rk
-        FROM cos) WHERE rk <= 20
-    ),
-    contrib AS (
-      SELECT doc_id, CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
-      FROM lex
-      UNION ALL
-      SELECT doc_id, CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
-      FROM sem
-    ),
-    fused AS (
-      SELECT doc_id, sum(c) AS rrf_q, count(*) AS in_lists
-      FROM contrib GROUP BY doc_id
-    )
-    SELECT doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
-           CAST(in_lists AS INT) AS in_lists
-    FROM (SELECT *, row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rk
-          FROM fused)
-    WHERE rk <= 10
-    """
-
-
-@q("dp_hybrid_rrf", _hybrid_rrf_oracle())
-def dp_hybrid_rrf(spark, sf_dir):
-    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
-    (retrieval.rrf_fuse, Cormack et al. 2009) — the standard production
-    shape: BM25's top-20 and the embedding ranking's top-20 each
-    contribute floor(1e9/(60+rank)), an EXACT integer, so the fused
-    score is an order-independent integer sum (a double sum would drift
-    beyond two lists). Items found by both retrievers rank above
-    single-list hits of similar depth. 100 TB: the inputs are already
-    bounded top-k lists from certified operators; fusion itself is a
-    union + one tiny hash aggregation + a top-k window."""
-    from pyspark.sql import Window as W
-
-    from nutch_spark.datapipe.retrieval import bm25_topk, rrf_fuse
-    from nutch_spark.datapipe.similarity import brute_force_topk
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    lex = bm25_topk(d, _BM25_TERMS, k=20).select("doc_id", "rank")
-    emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0)
-    sem_scored = brute_force_topk(emb, qv, k=20, round_sim=6)
-    w = W.orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    sem = sem_scored.select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.row_number().over(w).alias("rank"),
-    )
-    return rrf_fuse([lex, sem], rrf_k=60, k=10)
-
-
-_DSIR_GRAMS_SQL = """
-  CASE WHEN len(toks) >= 2 THEN
-    list_transform(generate_series(1, len(toks) - 1),
-                   i -> toks[i] || ' ' || toks[i+1])
-  ELSE [] END
-"""
-
-
-@q(
-    "dp_dsir_weights",
-    f"""
-    WITH rawd AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    tgtd AS (SELECT doc_id, toks FROM rawd WHERE doc_id % 17 = 0),
-    rg AS (SELECT doc_id,
-                  CAST(CAST('0x' || substr(md5('dsir' || g), 1, 15) AS UBIGINT) % 1024 AS INT) AS bucket
-           FROM (SELECT doc_id, unnest({_DSIR_GRAMS_SQL}) AS g FROM rawd)),
-    tg AS (SELECT doc_id,
-                  CAST(CAST('0x' || substr(md5('dsir' || g), 1, 15) AS UBIGINT) % 1024 AS INT) AS bucket
-           FROM (SELECT doc_id, unnest({_DSIR_GRAMS_SQL}) AS g FROM tgtd)),
-    rc AS (SELECT bucket, count(*) AS c_r FROM rg GROUP BY bucket),
-    tc AS (SELECT bucket, count(*) AS c_t FROM tg GROUP BY bucket),
-    rt AS (SELECT count(*) AS c FROM rg),
-    tt AS (SELECT count(*) AS c FROM tg),
-    tbl AS (
-      SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
-             CAST(floor(
-               ln(((coalesce(tc.c_t, 0) + 1.0) * (rt.c + 1024))
-                  / ((coalesce(rc.c_r, 0) + 1.0) * (tt.c + 1024)))
-               * 1000000.0 + 0.5) AS BIGINT) AS lr_q
-      FROM rc FULL JOIN tc ON rc.bucket = tc.bucket
-      CROSS JOIN rt CROSS JOIN tt
-    ),
-    pd AS (
-      SELECT rg.doc_id, count(*) AS n_grams, sum(tbl.lr_q) AS lr_q_sum
-      FROM rg JOIN tbl USING (bucket) GROUP BY rg.doc_id
-    )
-    SELECT r.doc_id,
-           CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(coalesce(pd.lr_q_sum, 0) AS BIGINT) AS lr_q_sum,
-           coalesce(pd.lr_q_sum, 0) > 0 AS selected
-    FROM rawd r LEFT JOIN pd USING (doc_id)
-    """,
-)
-def dp_dsir_weights(spark, sf_dir):
-    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
-    distributions for the target slice (doc_id %% 17) vs the raw corpus,
-    each raw doc scored by its summed quantized log-likelihood ratio.
-    Bucket tables are mod-1024-bounded → broadcast; scoring 100 TB is a map
-    stage after two hash-aggregates. ``selected`` is the deterministic
-    more-target-like-than-raw core of DSIR's resampling step."""
-    from nutch_spark.datapipe.retrieval import dsir_log_ratio_weights
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dsir_log_ratio_weights(d, d.filter(F.col("doc_id") % 17 == 0), buckets=1024)
-
-
-@q(
-    "dp_chunking",
-    """
-    -- Sliding token-window chunking, stated closed-form: stride 24 =
-    -- 32 - 8; docs at/under one window yield exactly one chunk; DuckDB
-    -- list slicing is 1-based inclusive like Spark's slice().
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents),
-    c AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             CASE WHEN len(toks) <= 32 THEN 1
-                  ELSE CAST(ceil((len(toks) - 8) / 24.0) AS INT) END AS n_chunks
-      FROM t),
-    e AS (
-      SELECT doc_id, toks,
-             unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS i
-      FROM c)
-    SELECT doc_id,
-           CAST(i AS INT) AS chunk_idx,
-           array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
-           CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INT) AS n_tokens
-    FROM e
-    """,
-)
-def dp_chunking(spark, sf_dir):
-    """Document → training-window chunking (32-token windows, 8-token
-    overlap — sized so the synthetic docs, 10-99 tokens, split for real): the corpus-prep step between cleaning and sequence packing —
-    packing concatenates across documents, chunking splits within one.
-    Plan: split → sequence → explode → slice, all JVM array expressions in
-    ONE narrow stage (no shuffle, no UDF) — at 100 TB this is a pure map
-    over the corpus scan, and the chunk key (doc_id, chunk_idx) feeds
-    straight into dp_seq_packing."""
-    from nutch_spark.datapipe.tokenize import chunk_documents
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_documents(d, chunk_tokens=32, overlap=8)
-
-
-# ---------------------------------------------------------------------------
-# Perceptual image near-dup (dHash over REAL decoded pixels)
-# ---------------------------------------------------------------------------
-
-# Grid formula for the planted 9x8 images: gray(x, y) = (x*50 + y*59 +
-# (doc_id % 16) * 44) % 47. The expected dHash per residue class is the
-# CLOSED FORM of that formula (computed here from the arithmetic alone,
-# not by running the decoder) — 16 distinct values, minimum cross-class
-# Hamming distance 8, so near-dup at max_hamming=3 pairs classes exactly.
-_DHASH_MX, _DHASH_MY, _DHASH_MK, _DHASH_MOD = 50, 59, 44, 47
-
-
-def _dhash_expected(k: int) -> int:
-    bits = 0
-    for y in range(8):
-        for x in range(8):
-            a = (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
-            b = ((x + 1) * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
-            bits = (bits << 1) | (1 if a > b else 0)
-    return bits - (1 << 64 if bits >= 1 << 63 else 0)  # signed 64-bit
-
-
-def _dhash_case_on(expr: str) -> str:
-    """The closed-form expected-dHash CASE keyed on an arbitrary SQL
-    expression (doc_id for still images, doc_id + frame index for video
-    frames)."""
-    return (
-        f"CASE ({expr}) % 16 "
-        + " ".join(
-            f"WHEN {k} THEN CAST({_dhash_expected(k)} AS BIGINT)"
-            for k in range(16)
-        )
-        + " END"
-    )
-
-
-_DHASH_CASE = _dhash_case_on("doc_id")
-
-
-def _planted_grid(doc_id: int):
-    k = doc_id % 16
-    return [
-        [
-            (x * _DHASH_MX + y * _DHASH_MY + k * _DHASH_MK) % _DHASH_MOD
-            for x in range(9)
-        ]
-        for y in range(8)
-    ]
-
-
-def _planted_png(grid):
-    """9x8 grayscale PNG of the planted grid (filters None on even rows,
-    Up on odd rows)."""
-    import struct
-    import zlib
-
-    raw = bytearray()
-    prev = [0] * 9
-    for y, line in enumerate(grid):
-        if y % 2 == 0:
-            raw.append(0)
-            raw += bytes(line)
-        else:
-            raw.append(2)
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(9))
-        prev = line
-
-    def chunk(tag, body):
-        return (
-            struct.pack(">I", len(body)) + tag + body
-            + struct.pack(">I", zlib.crc32(tag + body))
-        )
-
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
-
-
-def _planted_gif(grid):
-    """9x8 GIF89a of the planted grid: 256-gray global table, 9-bit
-    literal LZW codes with a leading CLEAR (spec appendix F packing)."""
-    import struct
-
-    gif = bytearray(b"GIF89a")
-    gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
-    for c in range(256):
-        gif += bytes([c, c, c])
-    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
-    codes = [256] + [v for row in grid for v in row] + [257]
-    acc = bits = 0
-    lzw = bytearray()
-    for c in codes:
-        acc |= c << bits
-        bits += 9
-        while bits >= 8:
-            lzw.append(acc & 0xFF)
-            acc >>= 8
-            bits -= 8
-    if bits:
-        lzw.append(acc & 0xFF)
-    gif += bytes([8])
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        gif += bytes([len(chunk)]) + chunk
-    gif += b"\x00\x3b"
-    return bytes(gif)
-
-
-def _planted_bmp(grid):
-    """9x8 24bpp bottom-up BMP of the planted grid, rows padded to 4."""
-    import struct
-
-    data = bytearray()
-    for y in range(7, -1, -1):
-        row = bytearray()
-        for gval in grid[y]:
-            row += bytes([gval, gval, gval])
-        row += b"\x00" * ((-len(row)) % 4)
-        data += row
-    return (
-        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, 9, 8, 1, 24, 0, len(data), 0, 0, 0, 0)
-        + bytes(data)
-    )
-
-
-def _planted_tiff(grid):
-    """9x8 8-bit grayscale TIFF of the planted grid: one uncompressed
-    strip directly after the IFD."""
-    import struct
-
-    raster = bytes(v for row in grid for v in row)
-    ifd = [
-        (256, 3, 1, 9), (257, 3, 1, 8), (258, 3, 1, 8),
-        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
-        (278, 3, 1, 8),
-        (273, 4, 1, 8 + 2 + 12 * 9 + 4),
-        (279, 4, 1, len(raster)),
-    ]
-    ifd.sort()
-    payload = b"II*\x00" + struct.pack("<I", 8)
-    payload += struct.pack("<H", len(ifd))
-    for tag, typ, count, val in ifd:
-        payload += struct.pack("<HHII", tag, typ, count, val)
-    return payload + struct.pack("<I", 0) + raster
-
-
-def _planted_jpeg(grid, progressive=False):
-    """72x64 JPEG (T.81) of DC-only 8x8 blocks: block (bx, by) is exactly
-    flat at grid[by][bx]. Quant DC step 8 with quantized DC = g-128 makes
-    the IDCT output exact ((g-128)*8/8 + 128 = g), so the lossy format
-    reproduces the planted grid bit-for-bit — and dhash64's 9x8 box
-    resample averages each flat block back to the grid value. Baseline
-    (SOF0, per-block DC + AC-EOB) or progressive (SOF2, one DC-only scan
-    — every AC coefficient stays zero, a complete progressive image).
-    Tables are minimal canonical Huffman: DC categories 0-8 as 4-bit
-    codes, one 1-bit AC EOB (baseline only)."""
-    import struct
-
-    out = bytearray(b"\xff\xd8")
-
-    def seg(marker, body):
-        out.append(0xFF)
-        out.append(marker)
-        out.extend(struct.pack(">H", len(body) + 2))
-        out.extend(body)
-
-    seg(0xDB, bytes([0]) + bytes([8] * 64))
-    sof = struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0])
-    seg(0xC2 if progressive else 0xC0, sof)
-    dc_bits = [0] * 16
-    dc_bits[3] = 9  # nine 4-bit codes: canonical 0000..1000 = category
-    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(9)))
-    if progressive:
-        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC scan, Ah=Al=0
-    else:
-        ac_bits = [0] * 16
-        ac_bits[0] = 1  # one 1-bit code '0': EOB
-        seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
-        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    bits = []
-    pred = 0
-    for by in range(8):
-        for bx in range(9):  # non-interleaved scan: blocks row-major
-            dc = grid[by][bx] - 128
-            diff = dc - pred
-            pred = dc
-            s = abs(diff).bit_length()
-            for i in range(3, -1, -1):
-                bits.append((s >> i) & 1)
-            if s:
-                v = diff if diff >= 0 else diff + (1 << s) - 1
-                for i in range(s - 1, -1, -1):
-                    bits.append((v >> i) & 1)
-            if not progressive:
-                bits.append(0)  # EOB: DC-only block
-    while len(bits) % 8:
-        bits.append(1)
-    for i in range(0, len(bits), 8):
-        b = 0
-        for bit in bits[i : i + 8]:
-            b = (b << 1) | bit
-        out.append(b)
-        if b == 0xFF:
-            out.append(0x00)
-    out.extend(b"\xff\xd9")
-    return bytes(out)
-
-
-def _planted_image_rows(pdf):
-    """doc_id → one REAL image, format rotating by id: 9x8 grayscale PNG
-    (zlib IDAT, None+Up filters), 9x8 uncompressed 24-bit bottom-up BMP
-    or 9x8 single-strip grayscale TIFF (split by id % 8), 9x8 GIF89a
-    (from-spec LZW sub-blocks), or a 72x64 JPEG of DC-only 8x8 blocks —
-    baseline or progressive by id % 8 — where block (bx,by) carries
-    grid[by][bx], so the 9x8 box-resample recovers the grid EXACTLY
-    despite JPEG being lossy. All five container formats land on the
-    same gray grid, so ONE closed-form oracle pins every decoder."""
-    rows = []
-    for doc_id in pdf["doc_id"]:
-        grid = _planted_grid(int(doc_id))
-        if doc_id % 32 == 21:  # codec-less format: NULL hash. Rides in the
-            # same Arrow batches as real hashes — pinning the int64-vs-
-            # float64 coercion bug where one None corrupted every 64-bit
-            # hash in its batch past 2^53 (multimodal._exact_frame)
-            payload = b"RIFFxxxxWEBPVP8 needs-a-codec-library"
-        elif doc_id % 4 == 3:  # JPEG: baseline or progressive by id % 8
-            payload = _planted_jpeg(grid, progressive=doc_id % 8 == 7)
-        elif doc_id % 4 == 2:
-            payload = _planted_gif(grid)
-        elif doc_id % 4 == 0:
-            payload = _planted_png(grid)
-        elif doc_id % 8 == 5:
-            payload = _planted_tiff(grid)
-        else:  # id%8==1
-            payload = _planted_bmp(grid)
-        rows.append({"media_id": int(doc_id), "payload": payload})
-    return rows
-
-
-def _planted_dhashes(spark, sf_dir, limit=None):
-    import pandas as pd
-
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    if limit is not None:
-        d = d.filter(F.col("doc_id") < limit)
-
-    def gen(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                _planted_image_rows(pdf), columns=["media_id", "payload"]
-            )
-
-    from nutch_spark.datapipe.multimodal import image_dhash
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return image_dhash(media)
-
-
-@q(
-    "mm_image_dhash",
-    f"""
-    -- REAL pixel decode, no codec library: each doc becomes an image in a
-    -- rotating container format — grayscale PNG (zlib IDAT, None+Up
-    -- filters), uncompressed 24-bit bottom-up BMP, single-strip gray TIFF,
-    -- GIF89a (from-spec LZW), or JPEG (T.81 Huffman + IDCT, baseline AND
-    -- progressive, DC-only blocks so the lossy format is exact) — and the
-    -- from-spec decoders produce identical gray grids, so the 64-bit
-    -- difference hash matches the closed form of the planted gradient
-    -- formula.
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE {_DHASH_CASE} END
-             AS dhash
-    FROM documents
-    """,
-)
-def mm_image_dhash(spark, sf_dir):
-    """Perceptual image hashing over REAL pixels (datapipe/mediacodec:
-    decode_png_pixels implements zlib IDAT + the five PNG scanline
-    filters from the public spec; decode_bmp_pixels the classic DIB
-    layout; decode_gif_pixels from-spec LZW; decode_jpeg_pixels the
-    T.81 baseline-sequential Huffman + IDCT path) → dhash64. The oracle
-    states the hash in closed form from the planted-gradient arithmetic —
-    a pixel-decode or resample bug on ANY format hash-mismatches.
-    100 TB: map-only Arrow stage; the payload column prunes away from
-    every non-image query."""
-    return _planted_dhashes(spark, sf_dir)
-
-
-@q(
-    "mm_dhash_neardup",
-    """
-    -- Near-dup pairs via banded Hamming join: images in the same residue
-    -- class share an identical hash (distance 0); distinct classes sit at
-    -- Hamming >= 8, above the max_hamming=3 cut — so the pair set is
-    -- exactly the within-class pairs.
-    SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, 0 AS hamming
-    FROM documents d1 JOIN documents d2
-      ON d1.doc_id % 16 = d2.doc_id % 16 AND d1.doc_id < d2.doc_id
-    WHERE d1.doc_id < 320 AND d2.doc_id < 320
-      AND d1.doc_id % 32 != 21 AND d2.doc_id % 32 != 21
-    """,
-)
-def mm_dhash_neardup(spark, sf_dir):
-    """Image near-dup at scale: dhash_near_dup uses the SimHash pigeonhole
-    — a pair within Hamming 3 must agree exactly on one of 4 disjoint
-    16-bit bands, so candidates come from 4 band equi-joins (never an
-    all-pairs cross) and one JVM bit_count(xor) verifies the distance.
-    The planted classes make the expected pair set closed-form."""
-    from nutch_spark.datapipe.multimodal import dhash_near_dup
-
-    hashes = _planted_dhashes(spark, sf_dir, limit=320)
-    return dhash_near_dup(hashes, max_hamming=3, bands=4)
-
-
-@q(
-    "dp_boilerplate_lines",
-    """
-    -- Host-scoped boilerplate-line removal (RefinedWeb/CCNet): every doc
-    -- of a source gains the SAME two template lines (cookie banner +
-    -- copyright, df = docs-per-source >= 5) and one doc-unique line
-    -- (df = 1); lines at df >= 5 within the source drop, unique content
-    -- survives, original order preserved. The oracle recomputes the
-    -- document frequencies itself, so organically-duplicated base texts
-    -- are handled identically by both engines.
-    WITH docs2 AS (
-      SELECT doc_id, source,
-             text || chr(10) || 'COOKIE NOTICE for ' || source
-                  || chr(10) || 'unique-' || CAST(doc_id AS VARCHAR)
-                  || chr(10) || '(c) ' || source || ' all rights reserved'
-               AS text2
-      FROM documents
-    ),
-    lines AS (
-      SELECT doc_id, source,
-             unnest(string_split(text2, chr(10))) AS line,
-             unnest(range(len(string_split(text2, chr(10))))) AS pos
-      FROM docs2
-    ),
-    boiler AS (
-      SELECT source, line FROM (
-        SELECT source, line, count(DISTINCT doc_id) AS df
-        FROM lines GROUP BY source, line
-      ) WHERE df >= 5
-    ),
-    kept AS (
-      SELECT l.doc_id,
-             string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
-             count(*) AS n_kept
-      FROM lines l LEFT JOIN boiler b
-        ON l.source = b.source AND l.line = b.line
-      WHERE b.line IS NULL
-      GROUP BY l.doc_id
-    )
-    SELECT d.doc_id, d.source,
-           COALESCE(k.clean_text, '') AS clean_text,
-           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
-    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
-    """,
-)
-def dp_boilerplate_lines(spark, sf_dir):
-    """Template-chrome removal (datapipe/textstats.remove_boilerplate_lines):
-    lines repeated across >= min_df documents of the same source are
-    dropped, everywhere they occur — the host-frequency cleaning step
-    C4's rule-based line filter can't express. Plan: posexplode → one
-    (source, line) document-frequency aggregate (map-side combine) →
-    equi-join back → order-preserving reassembly, all JVM expressions.
-    The planted chrome (two lines shared by every doc of a source, one
-    doc-unique line) makes the expected drop/keep set structural."""
-    from nutch_spark.datapipe.textstats import remove_boilerplate_lines
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    planted = d.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.lit("\n"), F.concat(F.lit("COOKIE NOTICE for "), F.col("source")),
-            F.lit("\n"), F.concat(F.lit("unique-"), F.col("doc_id").cast("string")),
-            F.lit("\n"),
-            F.concat(F.lit("(c) "), F.col("source"), F.lit(" all rights reserved")),
-        ),
-    )
-    return remove_boilerplate_lines(planted, min_df=5)
-
-
-@q(
-    "dp_dataset_card",
-    f"""
-    -- Per-source corpus report: the numbers a training-mix decision needs
-    -- before sampling weights are chosen. Dominant language ranks by
-    -- count desc with a name-asc tie-break in BOTH engines.
-    WITH stats AS (
-      SELECT source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
-             round(avg(length(text)), 2) AS avg_chars,
-             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      FROM documents GROUP BY source
-    ),
-    ranked AS (
-      SELECT source, lang FROM (
-        SELECT source, lang,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY count(*) DESC, lang ASC) AS rn
-        FROM documents GROUP BY source, lang
-      ) WHERE rn = 1
-    )
-    SELECT s.source, s.n_docs, s.n_tokens, s.avg_chars, s.n_langs,
-           r.lang AS top_lang
-    FROM stats s JOIN ranked r ON s.source = r.source
-    """,
-)
-def dp_dataset_card(spark, sf_dir):
-    """Dataset-card rollup (datapipe/textstats.dataset_card): per-source
-    document/token counts, mean length, language spread, dominant
-    language — the pre-mixing report that feeds temperature_weights /
-    mixture_sample. Two hash-aggregates (map-side combine) joined on the
-    sources-sized result; the corpus is never self-joined."""
-    from nutch_spark.datapipe.textstats import dataset_card
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
-    return dataset_card(d)
-
-
-def _minhash_recall_oracle():
-    jac_sql = REGISTRY["dp_ngram_jaccard"][1]
-    mh_sql = REGISTRY["dp_minhash_lsh"][1]
-    return f"""
-    WITH exact AS ({jac_sql}),
-    lsh AS ({mh_sql}),
-    hit AS (
-      SELECT count(*) AS c FROM exact e
-      JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
-    ),
-    tot AS (SELECT count(*) AS c FROM exact)
-    SELECT CAST(tot.c AS BIGINT) AS n_exact,
-           CAST(hit.c AS BIGINT) AS n_caught,
-           round(CAST(hit.c AS DOUBLE) / tot.c, 6) AS recall
-    FROM hit, tot
-    """
-
-
-@q("dp_minhash_recall", _minhash_recall_oracle())
-def dp_minhash_recall(spark, sf_dir):
-    """Pair-level recall of MinHash+LSH banding (8x4) against the exact
-    inverted-index Jaccard pairs at the same 0.6 threshold — the tuning
-    number for the THIRD near-dup scale path, measured like dp_lsh_recall
-    and dp_ivf_recall (vs ground truth, not self-consistency). Both sides
-    reuse certified operators; the oracle composes their certified SQL
-    twins."""
-    from nutch_spark.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
-
-    corpus = _corpus(spark, sf_dir)
-    exact = ngram_jaccard_pairs(
-        corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP
-    ).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(
-        corpus, num_hashes=_BANDS * _ROWS_PER_BAND, bands=_BANDS, threshold=0.6
-    ).select(
-        F.col("id_a").alias("_la"), F.col("id_b").alias("_lb"),
-        F.lit(1).alias("_hit"),
-    )
-    return (
-        exact.join(
-            lsh,
-            (exact["id_a"] == F.col("_la")) & (exact["id_b"] == F.col("_lb")),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("_hit").alias("n_caught"),
-            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("recall"),
-        )
-    )
-
-
-def _planted_container_rows(pdf):
-    """doc_id → one CONTAINER document embedding the planted class image,
-    rotating by id % 3: a PDF with a DCTDecode image XObject (the planted
-    JPEG bytes ride the stream verbatim, PDF 32000-1 §7.4.8), an
-    OOXML-shaped zip carrying word/media/image1.png (the planted PNG), or
-    an RFC 822 multipart email with a base64 image/gif part."""
-    import base64
-    import zipfile
-    from io import BytesIO
-
-    rows = []
-    for doc_id in pdf["doc_id"]:
-        grid = _planted_grid(int(doc_id))
-        r = doc_id % 3
-        if r == 0:
-            jpg = _planted_jpeg(grid)
-            payload = (
-                b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image"
-                b" /Filter /DCTDecode /Width 72 /Height 64 /Length "
-                + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
-                + b"\nendstream\nendobj\n%%EOF\n"
-            )
-        elif r == 1:
-            buf = BytesIO()
-            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-                for name, body in (
-                    ("word/document.xml", b"<w:document/>"),
-                    ("word/media/image1.png", _planted_png(grid)),
-                ):
-                    info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
-                    z.writestr(info, body)
-            payload = buf.getvalue()
-        else:
-            b64 = base64.encodebytes(_planted_gif(grid)).decode()
-            payload = (
-                "MIME-Version: 1.0\r\nFrom: crawler@example.com\r\n"
-                "Subject: planted container\r\n"
-                "Content-Type: multipart/mixed; boundary=BB\r\n\r\n"
-                "--BB\r\nContent-Type: text/plain\r\n\r\nbody text\r\n"
-                "--BB\r\nContent-Type: image/gif\r\n"
-                "Content-Transfer-Encoding: base64\r\n\r\n"
-                + b64 + "--BB--\r\n"
-            ).encode()
-        rows.append({"media_id": int(doc_id), "payload": payload})
-    return rows
-
-
-@q(
-    "mm_embedded_dhash",
-    f"""
-    -- Embedded-media dedup: each doc becomes a CONTAINER (PDF DCTDecode
-    -- XObject / OOXML zip media member / multipart-email attachment, by
-    -- id %% 3) holding the planted class image; container extraction +
-    -- pixel decode + dHash must land on the same closed form as the
-    -- standalone images, keyed (media_id, img_idx=0).
-    SELECT doc_id AS media_id, 0 AS img_idx, {_DHASH_CASE} AS dhash
-    FROM documents WHERE doc_id < 320
-    """,
-)
-def mm_embedded_dhash(spark, sf_dir):
-    """Perceptual hashing of EMBEDDED media (multimodal.
-    embedded_image_dhash → parse_binary.extract_embedded_images, Tika's
-    EmbeddedDocumentExtractor surface): images inside PDFs, zip-packaged
-    documents, and email attachments join the same banded-Hamming
-    near-dup space as standalone images — a re-packaged copy of a
-    picture clusters with its original. 100 TB: one map-only Arrow stage
-    (container unzip + pixel decode per row), zero shuffle."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import embedded_image_dhash
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 320
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                _planted_container_rows(pdf), columns=["media_id", "payload"]
-            )
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return embedded_image_dhash(media)
-
-
-def _planted_tone_audio(doc_id: int, bands: list[int]) -> bytes:
-    """Tone-schedule audio fixture shared by the fingerprint queries:
-    8 frames x 1024 samples at 8 kHz, frame f a pure sine at the center
-    of band ``bands[f]`` — containerized by doc_id %% 4 as PCM16
-    RIFF/WAVE (0), from-spec FLAC verbatim-subframe (1, RFC 9639),
-    G.711 µ-law WAV (2 — LOSSY, but the ~38 dB quantization noise is
-    broadband and never approaches the dominant band's 25% energy cut,
-    so the fingerprint equals the lossless one), and big-endian AIFF
-    (3). All four decode paths produce the SAME closed-form fingerprint,
-    so one oracle certifies the WAV parse, the FLAC frame decode, the
-    G.711 expansion, and the AIFF/extended-80 parse at once."""
-    import bisect
-    import math
-    import struct
-
-    rate, frame_len = 8000, 1024
-    samples = []
-    for f in range(8):
-        freq = (bands[f] + 0.5) * (rate / 2) / 8
-        samples.extend(
-            int(12000 * math.sin(2 * math.pi * freq * i / rate))
-            for i in range(frame_len)
-        )
-    total = len(samples)
-    if doc_id % 4 == 2:  # G.711 µ-law WAV: nearest-code encode against
-        # the decode table (spec-true: µ-law encoding maps to the code
-        # whose expansion is closest)
-        from nutch_spark.datapipe.mediacodec import _G711_ULAW
-
-        pairs = sorted((v, c) for c, v in enumerate(_G711_ULAW))
-        vals = [p[0] for p in pairs]
-
-        def enc(x: int) -> int:
-            i = bisect.bisect_left(vals, x)
-            return min(
-                (abs(vals[j] - x), pairs[j][1])
-                for j in (max(0, i - 1), min(i, len(vals) - 1))
-            )[1]
-
-        data = bytes(enc(x) for x in samples)
-        fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
-        return (
-            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", 16) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-    if doc_id % 4 == 3:  # AIFF: big-endian PCM16, 80-bit-extended rate
-        sig = b"".join(struct.pack(">h", x) for x in samples)
-        ext80 = struct.pack(">HQ", 16383 + 12, rate << (63 - 12))  # 8000.0
-        comm = struct.pack(">hIh", 1, total, 16) + ext80
-        ssnd = struct.pack(">II", 0, 0) + sig
-        body = (
-            b"AIFF"
-            + b"COMM" + struct.pack(">I", len(comm)) + comm
-            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
-        )
-        return b"FORM" + struct.pack(">I", len(body)) + body
-    if doc_id % 4 == 1:  # FLAC: one verbatim-subframe frame. The 64-bit frame
-        # header + 8-bit subframe header land byte-aligned, so 16-bit
-        # samples pack directly.
-        si = (
-            struct.pack(">HH", total, total)
-            + b"\x00\x00\x10" * 2
-            + ((8000 << 44) | (15 << 36) | total).to_bytes(8, "big")
-            + b"\x00" * 16
-        )
-        return (
-            b"fLaC\x80" + len(si).to_bytes(3, "big") + si
-            # sync+fixed | bs=16bit,sr=streaminfo | mono,16bit |
-            # frame#0 | blocksize-1 | crc8 | verbatim subframe
-            + bytes([0xFF, 0xF8, 0x70, 0x08, 0x00])
-            + struct.pack(">H", total - 1) + b"\x00\x02"
-            + b"".join(struct.pack(">h", s) for s in samples)
-            + b"\x00\x00"  # frame crc16 (parsed, unverified)
-        )
-    sig = b"".join(struct.pack("<h", s) for s in samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-    return (
-        b"RIFF" + struct.pack("<I", 36 + len(sig)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", len(sig)) + sig
-    )
-
-
-_AFP_TERMS = " + ".join(
-    f"CAST((128 >> ((doc_id * 5 + {f * 3}) % 8)) AS HUGEINT)"
-    f" * CAST({256 ** (7 - f)} AS HUGEINT)"
-    for f in range(8)
-)
-
-
-@q(
-    "mm_audio_fingerprint",
-    f"""
-    -- REAL audio decode + FFT, no codec library: each doc's tone schedule
-    -- (8 frames, one band-center sine each) ships by doc_id %% 4 as PCM16
-    -- WAV / from-spec FLAC / G.711 µ-law WAV (lossy — quantization noise
-    -- is broadband, far under the 25%% dominant-band cut) / big-endian
-    -- AIFF; all four decode paths yield the one-hot of the schedule
-    -- t(f) = (doc_id*5 + f*3) %% 8, signed-64 wrapped like the Spark
-    -- LongType column.
-    SELECT doc_id AS media_id,
-           CAST(({_AFP_TERMS})
-                - CASE WHEN ({_AFP_TERMS})
-                         >= CAST('9223372036854775808' AS HUGEINT)
-                       THEN CAST('18446744073709551616' AS HUGEINT)
-                       ELSE CAST(0 AS HUGEINT) END
-             AS BIGINT) AS afp
-    FROM documents WHERE doc_id < 320
-    """,
-)
-def mm_audio_fingerprint(spark, sf_dir):
-    """Audio near-dup fingerprinting over REAL samples: each document's
-    tone schedule (8 frames x 1024 samples, one band-center sine per
-    frame) is containerized by residue as PCM16 RIFF/WAVE, FLAC
-    (from-spec verbatim-subframe, RFC 9639), G.711 µ-law WAV, or
-    big-endian AIFF — ONE closed-form oracle pins the WAV parse, the
-    FLAC frame decode, the G.711 expansion tables, the AIFF
-    extended-80 rate parse, the numpy rFFT binning, and the bit packing
-    at once. Same 64-bit shape as the image
-    dHash: dhash_near_dup's banded Hamming join pairs near-identical
-    audio unchanged. 100 TB: map-only Arrow stage."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import audio_fingerprints
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 320)
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [
-                {
-                    "media_id": int(doc_id),
-                    "payload": _planted_tone_audio(
-                        int(doc_id),
-                        [(int(doc_id) * 5 + f * 3) % 8 for f in range(8)],
-                    ),
-                }
-                for doc_id in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return audio_fingerprints(media)
-
-
-_AFP_TERMS_P = " + ".join(
-    "CAST((128 >> ((doc_id * 5 + " + str(f * 3)
-    + (" + CASE WHEN doc_id % 16 >= 8 THEN 1 ELSE 0 END" if f == 7 else "")
-    + ") % 8)) AS HUGEINT) * CAST(" + str(256 ** (7 - f)) + " AS HUGEINT)"
-    for f in range(8)
-)
-
-
-@q(
-    "mm_audio_neardup",
-    f"""
-    -- Cross-codec audio near-dup END-TO-END: docs < 64 ship the tone
-    -- schedule t(f) = (doc_id*5 + f*3) %% 8 as WAV / FLAC / µ-law / AIFF
-    -- (by doc_id %% 4),
-    -- and docs with doc_id %% 16 >= 8 drift frame 7's dominant band up
-    -- one -- a "re-encode with one changed frame". Exact copies land at
-    -- hamming 0 (96 pairs), one-frame drifts at hamming 2 (128 pairs),
-    -- different schedules at hamming >= 14 (excluded). The oracle states
-    -- the FULL correct pair set from the closed-form fingerprints; the
-    -- banded join must find every pair (pigeonhole: hamming 2 < bands 4).
-    WITH fp AS (
-      SELECT doc_id AS media_id, ({_AFP_TERMS_P}) AS afp
-      FROM documents WHERE doc_id < 64
-    )
-    SELECT a.media_id AS id_a, b.media_id AS id_b,
-           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.media_id < b.media_id
-    WHERE bit_count(xor(a.afp, b.afp)) <= 3
-    """,
-)
-def mm_audio_neardup(spark, sf_dir):
-    """Audio near-duplicate pairs (multimodal.audio_near_dup over
-    audio_fingerprints): the REAL pipeline end-to-end -- WAV/FLAC
-    containers decode from-spec, rFFT spectral-peak fingerprints pack to
-    64 bits, and dhash_near_dup's banded Hamming join pairs
-    near-identical audio across codecs. A lossless re-encode lands at
-    hamming 0; a re-encode that drifts one frame's dominant band lands
-    at hamming 2 -- inside the default radius, so both cluster.
-    100 TB: map-only decode, then bands equi-joins on 16-bit band keys
-    with a JVM bit_count(xor) verify -- never an all-pairs join."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import audio_fingerprints, audio_near_dup
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                did = int(doc_id)
-                bands = [(did * 5 + f * 3) % 8 for f in range(8)]
-                if did % 16 >= 8:  # one-frame drift: frame 7 band +1
-                    bands[7] = (bands[7] + 1) % 8
-                rows.append(
-                    {
-                        "media_id": did,
-                        "payload": _planted_tone_audio(did, bands),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return audio_near_dup(audio_fingerprints(media), max_hamming=3, bands=4)
-
-
-@q(
-    "dp_fix_mojibake",
-    """
-    -- Closed-form construction: each doc's text is stripped to printable
-    -- ASCII (identical [^\\x20-\\x7E] strip in both engines), then a
-    -- residue-class mojibake prefix is planted — latin-1 double-encode
-    -- ("SÃ£o JoÃ£o", "cafÃ© crÃ¨me Ã¼ber") and windows-1252 double-encode
-    -- ("itâ€™s â€” a â€œtest") — so the repaired output is STATED by the
-    -- oracle while the Spark side actually runs the translate +
-    -- decode(encode(..)) round-trip and its three repair gates.
-    -- doc_id %% 4 = 3 stays clean ASCII and must come back untouched.
-    WITH base AS (
-      SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS b
-      FROM documents
-    )
-    SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 0 THEN 'S\u00e3o Jo\u00e3o ' || b
-             WHEN 1 THEN 'caf\u00e9 cr\u00e8me \u00fcber ' || b
-             WHEN 2 THEN 'it\u2019s \u2014 a \u201ctest ' || b
-             ELSE b END AS text_fixed,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INT)
-             AS mojibake_repaired
-    FROM base
-    """,
-)
-def dp_fix_mojibake(spark, sf_dir):
-    """Mojibake repair (textstats.fix_mojibake) — ftfy's core case as
-    pure JVM expressions: UTF-8 text that was decoded as latin-1 or
-    windows-1252 ("cafÃ©", "itâ€™s") round-trips back through
-    decode(encode(s, ISO-8859-1), UTF-8) after cp1252-punctuation
-    normalization, gated on a mojibake signature, latin-1-codability,
-    and a clean (U+FFFD-free) round-trip so untainted text is never
-    touched. The fixture plants both corruption flavors per residue
-    class; the oracle states the repaired text closed-form. 100 TB:
-    map-only, no UDF, no shuffle — the canonical first stage of a web
-    corpus cleaning pipeline."""
-    from nutch_spark.datapipe.textstats import fix_mojibake
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    b = F.regexp_replace("text", "[^\\x20-\\x7E]", "")
-
-    # plant the MOJIBAKE rendering of each prefix: encode the clean prefix
-    # as UTF-8 and mis-decode it as cp1252 (the real-world corruption),
-    # which fix_mojibake must invert
-    def _moji(s_clean):
-        return s_clean.encode("utf-8").decode("cp1252")
-
-    mixed = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(F.lit(_moji("S\u00e3o Jo\u00e3o ")), b),
-        )
-        .when(
-            F.col("doc_id") % 4 == 1,
-            F.concat(F.lit(_moji("caf\u00e9 cr\u00e8me \u00fcber ")), b),
-        )
-        .when(
-            F.col("doc_id") % 4 == 2,
-            F.concat(F.lit(_moji("it\u2019s \u2014 a \u201ctest ")), b),
-        )
-        .otherwise(b)
-        .alias("text"),
-    )
-    return fix_mojibake(mixed).select(
-        "doc_id",
-        "text_fixed",
-        F.col("mojibake_repaired").cast("int").alias("mojibake_repaired"),
-    )
-
-
-@q(
-    "dp_script_detect",
-    """
-    -- Closed-form construction: each doc's text gets a known quantity of
-    -- Cyrillic / CJK / Arabic characters appended by residue class, so
-    -- the per-script counts and the dominant script are stated from the
-    -- arithmetic (ASCII letters in the base text counted by the oracle's
-    -- own regexp — identical [A-Za-z] semantics in both engines).
-    SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'cjk' WHEN 3 THEN 'arabic'
-             ELSE (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
-                        THEN 'latin' ELSE 'und' END)
-           END AS script,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
-             AS n_latin,
-           CAST(CASE doc_id % 4 WHEN 1
-                THEN 5 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
-                ELSE 0 END AS BIGINT) AS n_cyrillic,
-           CAST(CASE doc_id % 4 WHEN 2
-                THEN 2 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
-                ELSE 0 END AS BIGINT) AS n_cjk,
-           CAST(CASE doc_id % 4 WHEN 3
-                THEN 4 * (20 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
-                ELSE 0 END AS BIGINT) AS n_arabic
-    FROM documents
-    """,
-)
-def dp_script_detect(spark, sf_dir):
-    """Writing-system detection (datapipe/textstats.script_profile): pure
-    JVM regexp_count per Unicode block, argmax with deterministic
-    tie-break — the exact, shuffle-free router that complements trigram
-    langid. The planted mix appends enough Cyrillic / CJK / Arabic per
-    residue class to outvote the base ASCII (counts scale WITH the doc's
-    own letter count, so dominance is structural, not data-dependent)."""
-    from nutch_spark.datapipe.textstats import SCRIPT_RANGES, script_profile
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_ascii = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    mixed = d.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 4 == 1, F.repeat(F.lit("слово"), n_ascii + 20)
-            )
-            .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit("中文"), n_ascii + 20))
-            .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit("كلمة"), n_ascii + 20))
-            .otherwise(F.lit("")),
-        ),
-    )
-    prof = script_profile(
-        mixed,
-        scripts={
-            k: v for k, v in SCRIPT_RANGES.items()
-            if k in ("latin", "cyrillic", "cjk", "arabic")
-        },
-    )
-    return prof.select(
-        "doc_id", "script", "n_latin", "n_cyrillic", "n_cjk", "n_arabic"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 12: MJPEG-in-AVI frame decode — video joins perceptual dedup
-# ---------------------------------------------------------------------------
-
-
-def _planted_avi(doc_id: int) -> bytes:
-    """A real RIFF/AVI container (hdrl with avih + vids strl, movi with
-    ``00dc`` chunks) holding 1 + doc_id %% 3 Motion-JPEG frames; frame j
-    carries the planted gradient of class (doc_id + j) %% 16, so every
-    frame's dHash is the same closed form the still-image oracle uses.
-    doc_id %% 32 == 9 additionally plants a CORRUPT first frame (SOI
-    prefix, garbage body) to pin the NULL-hash path."""
-    import struct
-
-    n = 1 + doc_id % 3
-    frames = [_planted_jpeg(_planted_grid(doc_id + j)) for j in range(n)]
-    if doc_id % 32 == 9:
-        frames[0] = b"\xff\xd8\xff\xe0 not actually a decodable jpeg"
-
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        return (
-            fourcc + struct.pack("<I", len(body)) + body
-            + (b"\x00" if len(body) & 1 else b"")
-        )
-
-    def lst(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
-
-    avih = struct.pack(
-        "<10I4I", 40000, 0, 0, 0, n, 0, 1, 0, 72, 64, 0, 0, 0, 0
-    )
-    strh = struct.pack(
-        "<4s4sIHHIIIIIIII4h",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1, 25, 0, n, 0, 0, 0, 0, 0, 72, 64,
-    )
-    strf = struct.pack(
-        "<IiiHH4sIiiII", 40, 72, 64, 1, 24, b"MJPG", 72 * 64 * 3, 0, 0, 0, 0
-    )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
-    body = b"AVI " + hdrl + movi
-    return b"RIFF" + struct.pack("<I", len(body)) + body
-
-
-def _planted_animated_gif(doc_id: int) -> bytes:
-    """An animated GIF89a with the SAME frame-class schedule as
-    ``_planted_avi`` (frame j = planted gradient class (doc_id + j) %% 16,
-    full-canvas 9x8 images, 256-gray global table, per-frame Graphic
-    Control Extensions) — so GIF-routed docs satisfy the identical
-    closed-form per-frame dHash oracle, certifying the animated-GIF
-    compositor through the same CASE as the MJPEG path. Only used for
-    doc_ids with 2+ frames (single-image GIFs stay on the still path)."""
-    import struct
-
-    n = 1 + doc_id % 3
-    gif = bytearray(b"GIF89a")
-    gif += struct.pack("<HHBBB", 9, 8, 0x80 | 7, 0, 0)
-    for c in range(256):
-        gif += bytes([c, c, c])
-    for j in range(n):
-        # GCE: disposal 1 (leave), no transparency, delay 4cs
-        gif += bytes([0x21, 0xF9, 4, 0x04, 4, 0, 0, 0])
-        gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 8, 0)
-        grid = _planted_grid(doc_id + j)
-        codes = [256] + [v for row in grid for v in row] + [257]
-        acc = bits = 0
-        lzw = bytearray()
-        for c in codes:
-            acc |= c << bits
-            bits += 9
-            while bits >= 8:
-                lzw.append(acc & 0xFF)
-                acc >>= 8
-                bits -= 8
-        if bits:
-            lzw.append(acc & 0xFF)
-        gif += bytes([8])
-        for i in range(0, len(lzw), 255):
-            blk = lzw[i : i + 255]
-            gif += bytes([len(blk)]) + blk
-        gif += b"\x00"
-    gif += b"\x3b"
-    return bytes(gif)
-
-
-def _planted_mov(doc_id: int) -> bytes:
-    """A QuickTime container (ftyp 'qt  ' + mdat + moov with a video trak
-    whose stsd codec is 'jpeg') holding the SAME Motion-JPEG frame
-    schedule as ``_planted_avi`` — sample sizes in stsz, absolute chunk
-    offsets in stco, 2-samples-per-chunk stsc runs so the sample-to-chunk
-    walk is exercised, mdhd/stts giving 25 fps."""
-    import struct
-
-    n = 1 + doc_id % 3
-    frames = [_planted_jpeg(_planted_grid(doc_id + j)) for j in range(n)]
-
-    def box(btype: bytes, body: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(body)) + btype + body
-
-    ftyp = box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ")
-    mdat_body = b"".join(frames)
-    # absolute sample offsets: ftyp, then mdat header (8 bytes)
-    base = len(ftyp) + 8
-    offs, pos, per_chunk = [], base, 2
-    for i, f in enumerate(frames):
-        if i % per_chunk == 0:
-            offs.append(pos)
-        pos += len(f)
-    mdat = box(b"mdat", mdat_body)
-    sd = (
-        struct.pack(">I", 86 + 8) + b"jpeg" + b"\x00" * 6
-        + struct.pack(">H", 1)               # data ref index
-        + b"\x00" * 16                       # version..spatial quality
-        + struct.pack(">HH", 72, 64)         # width, height
-        + b"\x00" * 50                       # resolution..depth..color table
-    )
-    stsd = box(b"stsd", struct.pack(">II", 0, 1) + sd)
-    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))  # delta 1 tick
-    stsc = box(b"stsc", struct.pack(">II", 0, 1)
-               + struct.pack(">III", 1, per_chunk, 1))
-    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
-               + b"".join(struct.pack(">I", len(f)) for f in frames))
-    stco = box(b"stco", struct.pack(">II", 0, len(offs))
-               + b"".join(struct.pack(">I", o) for o in offs))
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
-    minf = box(b"minf", vmhd + stbl)
-    # mdhd v0: version/flags, ctime, mtime, timescale=25, duration
-    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 25, n)
-               + struct.pack(">HH", 0, 0))
-    hdlr = box(b"hdlr", struct.pack(">I", 0) + b"mhlrvideappl"
-               + b"\x00" * 9)
-    mdia = box(b"mdia", mdhd + hdlr + minf)
-    tkhd = box(b"tkhd", struct.pack(">III", 0x0000000F, 0, 0)
-               + b"\x00" * 72)
-    trak = box(b"trak", tkhd + mdia)
-    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 25, n)
-               + b"\x00" * 80)
-    moov = box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
-
-
-def _planted_video(doc_id: int) -> bytes:
-    """Container routing for the video-query fixtures: doc_id %% 32 == 13
-    docs WITH 2+ frames ship as animated GIF, doc_id %% 32 == 5 as
-    QuickTime/MOV, everything else as RIFF/AVI MJPEG — all satisfy the
-    same closed-form per-frame oracle, so one CASE certifies every
-    container walk."""
-    if doc_id % 32 == 13 and doc_id % 3 != 0:
-        return _planted_animated_gif(doc_id)
-    if doc_id % 32 == 5:
-        return _planted_mov(doc_id)
-    return _planted_avi(doc_id)
-
-
-@q(
-    "mm_video_frame_dhash",
-    f"""
-    -- REAL video-frame pixel decode: each doc becomes a RIFF/AVI with
-    -- 1 + doc_id %% 3 Motion-JPEG frames (frame j = planted class
-    -- (doc_id + j) %% 16), walked by the from-spec container parser and
-    -- decoded by the certified T.81 JPEG path — EXCEPT doc_id %% 32 = 13
-    -- multi-frame docs (the SAME frame schedule as an animated GIF89a:
-    -- per-frame GCEs, composited canvases) and %% 32 = 5 docs (the same
-    -- schedule as QuickTime/MOV Motion-JPEG via stsd/stsz/stsc/stco
-    -- sample tables), so ONE closed form certifies all three container
-    -- walks. doc_id %% 32 = 21 plants a non-video payload (emits
-    -- nothing); %% 32 = 9 a corrupt first AVI frame (NULL hash, frame
-    -- row still emitted).
-    WITH v AS (
-      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
-      FROM documents WHERE doc_id < 320 AND doc_id % 32 != 21
-    )
-    SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
-           CASE WHEN doc_id % 32 = 9 AND j = 0 THEN NULL
-                ELSE {_dhash_case_on("doc_id + j")} END AS dhash
-    FROM v
-    """,
-)
-def mm_video_frame_dhash(spark, sf_dir):
-    """Perceptual hashing of VIDEO frames (multimodal.video_frame_dhash →
-    mediacodec.extract_avi_mjpeg_frames): the RIFF/AVI container walk
-    (LIST hdrl/strl/movi, ``00dc`` stream chunks) surfaces each
-    Motion-JPEG frame to the already-certified T.81 JPEG decoder, so
-    video joins the banded-Hamming near-dup space frame-by-frame — a
-    re-containered copy of a clip clusters with its original, and a
-    still extracted from a video clusters with the video itself. This is
-    the pixel surface mm_frame_samples's timestamp plan was missing.
-    100 TB: one map-only Arrow stage, zero shuffle; max_frames bounds
-    per-row work against hour-long or hostile inputs."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import video_frame_dhash
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 320
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                if doc_id % 32 == 21:  # not a video: walkers return None
-                    payload = b"RIFFxxxxWEBPVP8 not-a-video"
-                else:
-                    payload = _planted_video(int(doc_id))
-                rows.append({"media_id": int(doc_id), "payload": payload})
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return video_frame_dhash(media)
-
-
-@q(
-    "mm_video_neardup",
-    f"""
-    -- VIDEO-level near-dup on top of the frame pixel decode: same planted
-    -- AVIs as mm_video_frame_dhash (restricted to doc_id < 160), then the
-    -- inverted frame-hash index — (video, hash) pairs dedup to one row,
-    -- hashes seen in more than hot_hash_cap=18 videos drop (12 of the 16
-    -- planted classes ARE hot at this corpus size, so the cap path is
-    -- exercised for real), ONE equi-join on the hash builds candidates,
-    -- and containment = shared / min frame count over distinct non-NULL
-    -- hashes. The %%32=9 corrupt first frame (NULL hash) never indexes.
-    WITH v AS (
-      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
-      FROM documents WHERE doc_id < 160 AND doc_id % 32 != 21
-    ),
-    fh AS (
-      SELECT DISTINCT doc_id AS media_id,
-             CASE WHEN doc_id % 32 = 9 AND j = 0 THEN NULL
-                  ELSE {_dhash_case_on("doc_id + j")} END AS dhash
-      FROM v
-    ),
-    f AS (SELECT media_id, dhash FROM fh WHERE dhash IS NOT NULL),
-    sizes AS (SELECT media_id, count(*) AS n FROM f GROUP BY media_id),
-    keep AS (SELECT dhash FROM f GROUP BY dhash HAVING count(*) <= 18),
-    idx AS (SELECT f.media_id, f.dhash FROM f JOIN keep USING (dhash)),
-    pairs AS (
-      SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
-      FROM idx a JOIN idx b ON a.dhash = b.dhash AND a.media_id < b.media_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_frames,
-           ROUND(shared / least(sa.n, sb.n), 6) AS containment
-    FROM pairs
-    JOIN sizes sa ON sa.media_id = id_a
-    JOIN sizes sb ON sb.media_id = id_b
-    WHERE shared >= 2
-    """,
-)
-def mm_video_neardup(spark, sf_dir):
-    """Video-level near-duplicate pairs (multimodal.video_near_dup over
-    video_frame_dhash output): clips sharing >= min_shared distinct frame
-    dHashes pair up through an inverted frame-hash index with a
-    hot-hash cap (title cards / black frames appear in unboundedly many
-    videos and carry no identity signal) — never an all-pairs join over
-    videos. containment = 1.0 flags the trailer-cut-from-feature /
-    re-upload-with-intro case. The reference has no video operator at
-    all; this is the training-data-pipeline surface (near-dup removal of
-    re-encoded clips) built on round-12's MJPEG frame decode.
-    100 TB: decode is map-only; the pair space routes through ONE
-    equi-join on the 64-bit hash after the cap, and per-video frame
-    counts join back as a dimension-sized side."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import video_frame_dhash, video_near_dup
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 160
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                if doc_id % 32 == 21:  # not a video: walkers return None
-                    payload = b"RIFFxxxxWEBPVP8 not-a-video"
-                else:
-                    payload = _planted_video(int(doc_id))
-                rows.append({"media_id": int(doc_id), "payload": payload})
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return video_near_dup(
-        video_frame_dhash(media), min_shared=2, hot_hash_cap=18
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 12: MPEG-1 Layer I/II decode — lossy audio joins fingerprint dedup
-# ---------------------------------------------------------------------------
-
-
-class _BitW:
-    """MSB-first bit packer for the planted MPEG-1 frames."""
-
-    def __init__(self):
-        self.bits: list[int] = []
-
-    def write(self, v: int, n: int) -> None:
-        self.bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
-
-    def bytes(self, pad_to: int) -> bytes:
-        while len(self.bits) % 8:
-            self.bits.append(0)
-        out = bytearray()
-        for i in range(0, len(self.bits), 8):
-            b = 0
-            for bit in self.bits[i : i + 8]:
-                b = (b << 1) | bit
-            out.append(b)
-        out.extend(b"\x00" * (pad_to - len(out)))
-        return bytes(out)
-
-
-def _planted_mpeg1_layer1_frame(s0: int) -> bytes:
-    """One mono 48 kHz / 64 kbps Layer I frame (64 bytes): subband ``s0``
-    carries constant samples at amplitude ~0.5 (15-bit class, scalefactor
-    index 3 = 1.0), every other subband unallocated — the cosine
-    synthesis turns that into a pure tone at the subband center."""
-    bw = _BitW()
-    for sb in range(32):
-        bw.write(14 if sb == s0 else 0, 4)  # alloc 14 -> nb = 15 bits
-    bw.write(3, 6)  # scalefactor 2^(1 - 3/3) = 1.0
-    for _ in range(12):
-        bw.write((1 << 14) | (1 << 13), 15)  # MSB-inverted fraction 0.5
-    return bytes([0xFF, 0xFF, (2 << 4) | (1 << 2), 0xC0]) + bw.bytes(60)
-
-
-def _planted_mpeg1_layer2_frame(s0: int) -> bytes:
-    """One mono 48 kHz / 64 kbps Layer II frame (192 bytes): subband
-    ``s0`` (< sblimit 27) quantized with the 15-step class where Table
-    3-B.2a allows it, else the exact 65535-step class; scalefactor index
-    6 = 0.5; scfsi 0 (three explicit scalefactors)."""
-    from nutch_spark.datapipe.mediacodec import _l2_row
-
-    bw = _BitW()
-    steps_used = None
-    for sb in range(27):
-        nbal, steps = _l2_row(sb)
-        if sb == s0:
-            want = 15 if 15 in steps else 65535
-            steps_used = want
-            bw.write(steps.index(want) + 1, nbal)
-        else:
-            bw.write(0, nbal)
-    bw.write(0, 2)  # scfsi: three explicit scalefactors
-    for _ in range(3):
-        bw.write(6, 6)  # 2^(1 - 6/3) = 0.5
-    bits = 4 if steps_used == 15 else 16
-    code = (1 << (bits - 1)) | (1 << (bits - 2))  # fraction 0.5
-    for _ in range(12):
-        for _k in range(3):
-            bw.write(code, bits)
-    return bytes([0xFF, 0xFD, (4 << 4) | (1 << 2), 0xC0]) + bw.bytes(188)
-
-
-def _planted_mpeg_payload(doc_id: int) -> bytes:
-    """8 MPEG-1 frames whose dominant fingerprint band follows the same
-    tone schedule as mm_audio_fingerprint: Layer I for even ids (bands
-    mod 8), Layer II for odd ids (bands mod 7 — fingerprint band 7 maps
-    to subbands above Layer II's sblimit 27, a REAL property of the
-    format, so the Layer II schedule wraps at 7). Each fingerprint frame
-    is exactly one MPEG frame (384 / 1152 samples), and the planted
-    subband 4*band+1's tone lands on an integer FFT bin — zero leakage,
-    so the >25% dominance cut is structural."""
-    if doc_id % 2:
-        sched = [(doc_id * 5 + f * 3) % 7 for f in range(8)]
-        return b"".join(_planted_mpeg1_layer2_frame(4 * t + 1) for t in sched)
-    sched = [(doc_id * 5 + f * 3) % 8 for f in range(8)]
-    return b"".join(_planted_mpeg1_layer1_frame(4 * t + 1) for t in sched)
-
-
-def _afp_terms_mod(mod_expr: str) -> str:
-    return " + ".join(
-        f"CAST((128 >> ((doc_id * 5 + {f * 3}) % ({mod_expr}))) AS HUGEINT)"
-        f" * CAST({256 ** (7 - f)} AS HUGEINT)"
-        for f in range(8)
-    )
-
-
-_MPEG_AFP = _afp_terms_mod("CASE WHEN doc_id % 2 = 1 THEN 7 ELSE 8 END")
-
-
-@q(
-    "mm_mpeg_fingerprint",
-    f"""
-    -- REAL lossy-audio decode: each doc's tone schedule ships as MPEG-1
-    -- Layer I (even ids) or Layer II (odd ids) frames; the from-spec
-    -- bitstream decode (Table 3-B.2a allocation, 3-B.1 scalefactors,
-    -- 3-B.4 requantization) + cosine synthesis recovers each frame's
-    -- dominant band, so the spectral fingerprint is the one-hot closed
-    -- form of the schedule — mod 8 for Layer I, mod 7 for Layer II
-    -- (fingerprint band 7 sits above Layer II's sblimit, a real property
-    -- of the format). doc_id %% 32 = 21 ships a Layer III frame instead:
-    -- scoped out of decode (header-only parse), NULL fingerprint.
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE
-           CAST(({_MPEG_AFP})
-                - CASE WHEN ({_MPEG_AFP})
-                         >= CAST('9223372036854775808' AS HUGEINT)
-                       THEN CAST('18446744073709551616' AS HUGEINT)
-                       ELSE CAST(0 AS HUGEINT) END
-             AS BIGINT) END AS afp
-    FROM documents WHERE doc_id < 320
-    """,
-)
-def mm_mpeg_fingerprint(spark, sf_dir):
-    """Lossy-audio fingerprint dedup (mediacodec.decode_mpeg_audio_samples
-    → audio_fingerprint): MPEG-1 Layer I and Layer II streams decode
-    from-spec (frame sync walk, bit allocation, scfsi scalefactor
-    sharing, grouped triplet codes, MSB-inversion requantization) and
-    fingerprint through the SAME spectral-peak path as WAV/FLAC, so a
-    lossy re-encode of a track clusters with its lossless original in
-    dhash_near_dup's banded Hamming space. Layer III is deliberately
-    scoped out (normative Huffman/IMDCT tables — see the decoder's
-    docstring); a planted Layer III payload pins the NULL path.
-    100 TB: map-only Arrow stage, zero shuffle."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import audio_fingerprints
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 320
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                if doc_id % 32 == 21:
-                    # Layer III (bits 01): real header, undecodable body —
-                    # exercises the scoping fallback, NULL fingerprint
-                    payload = bytes([0xFF, 0xFB, 0x92, 0xC0]) + b"\x55" * 412
-                else:
-                    payload = _planted_mpeg_payload(int(doc_id))
-                rows.append({"media_id": int(doc_id), "payload": payload})
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return audio_fingerprints(media)
-
-
-class _MP3Bits:
-    """MSB-first bit packer for the planted Layer III side info."""
-
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, v: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((v >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                self.acc = 0
-                self.n = 0
-
-    def bytes(self) -> bytes:
-        assert self.n == 0  # side info is an exact byte multiple
-        return bytes(self.buf)
-
-
-def _planted_mp3_l3(k: int):
-    """One MPEG-1 Layer III stream per class k = doc_id %% 16, with every
-    §2.4.1.7 side-info field a CLOSED-FORM function of (k, frame,
-    granule, channel) so the oracle can state the parse output as
-    literals derived from the generator's parameters — never from
-    running the parser. Classes rotate frame count (2-4), sample rate,
-    mono/stereo, VBR (k%%5==1: alternating 128/160 kbps), CRC words
-    (k%%5==0 — excluded from the stream signature), and a leading ID3v2
-    tag (k%%7==0 — also excluded). k == 11 ships non-MP3 bytes to pin
-    the NULL row. Returns (payload, expected_dict_or_None)."""
-    import hashlib
-
-    if k == 11:
-        return b"fLaC" + b"\x00" * 60, None
-    kbps_tab = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-    n_frames = 2 + k % 3
-    sr_idx = k % 3
-    rate = (44100, 48000, 32000)[sr_idx]
-    nch = 1 if k % 4 < 2 else 2
-    crc = k % 5 == 0
-    vbr = k % 5 == 1
-    sig = hashlib.md5()
-    out = bytearray()
-    if k % 7 == 0:
-        out += b"ID3\x04\x00\x00" + bytes([0, 0, 0, 32]) + b"\x00" * 32
-    for f in range(n_frames):
-        bidx = 9 + (f % 2 if vbr else 0)  # 128 kbps, VBR alternates 160
-        kbps = kbps_tab[bidx]
-        flen = 144 * kbps * 1000 // rate
-        b1 = 0xFA | (0 if crc else 1)
-        b2 = (bidx << 4) | (sr_idx << 2)
-        header = bytes([0xFF, b1, b2, 0xC0 if nch == 1 else 0x00])
-        bits = _MP3Bits()
-        bits.put(0, 9)  # main_data_begin: no reservoir in planted frames
-        bits.put(0, 5 if nch == 1 else 3)  # private_bits
-        for _ch in range(nch):
-            for _b in range(4):
-                bits.put(0, 1)  # scfsi
-        for gr in range(2):
-            for ch in range(nch):
-                bits.put((100 + 7 * f + 13 * gr + 29 * ch + k) % 4096, 12)
-                bits.put((k + 3 * f + gr + ch) % 289, 9)
-                bits.put((k * 11 + f) % 256, 8)
-                bits.put((k + gr) % 16, 4)
-                wsf = 1 if (k + f + gr + ch) % 3 == 0 else 0
-                bits.put(wsf, 1)
-                if wsf:
-                    bits.put(1 + (k + gr) % 3, 2)  # block_type, never 0
-                    bits.put((k + ch) % 2, 1)
-                    for i in range(2):
-                        bits.put((k + i) % 32, 5)
-                    for i in range(3):
-                        bits.put((f + i) % 8, 3)
-                else:
-                    for i in range(3):
-                        bits.put((k + i) % 32, 5)
-                    bits.put(k % 16, 4)
-                    bits.put((f + gr) % 8, 3)
-                bits.put((k + f) % 2, 1)
-                bits.put((gr + ch) % 2, 1)
-                bits.put((k + gr + ch) % 2, 1)
-        si = bits.bytes()
-        frame = bytearray(header)
-        if crc:
-            frame += b"\xbe\xef"
-        frame += si
-        frame += b"\x00" * (flen - len(frame))
-        out += frame
-        sig.update(header)
-        sig.update(si)
-    ssig = int(sig.hexdigest()[:15], 16)
-    if ssig >= 1 << 63:
-        ssig -= 1 << 64
-    wsf0 = 1 if k % 3 == 0 else 0  # frame 0, granule 0, channel 0
-    expected = {
-        "n_frames": n_frames,
-        "sample_rate": rate,
-        "n_channels": nch,
-        "vbr": vbr,
-        "duration_ms": n_frames * 1152 * 1000 // rate,
-        "bitrate_kbps": kbps_tab[9],
-        "stream_sig": ssig,
-        "p23_0": (100 + k) % 4096,
-        "bv_0": k % 289,
-        "bt_0": (1 + k % 3) if wsf0 else 0,
-    }
-    return bytes(out), expected
-
-
-_MP3_EXPECTED = {k: _planted_mp3_l3(k)[1] for k in range(16)}
-
-
-def _mp3_case(col: str, cast: str) -> str:
-    parts = []
-    for k in range(16):
-        exp = _MP3_EXPECTED[k]
-        if exp is None:
-            parts.append(f"WHEN {k} THEN NULL")
-        else:
-            v = exp[col]
-            lit = ("TRUE" if v else "FALSE") if isinstance(v, bool) else str(v)
-            parts.append(f"WHEN {k} THEN {lit}")
-    return "CAST(CASE doc_id % 16 " + " ".join(parts) + f" END AS {cast})"
-
-
-@q(
-    "mm_mp3_sideinfo",
-    f"""
-    -- MPEG-1 Layer III side-information walk: every field is a
-    -- fixed-width bit field (ISO 11172-3 2.4.1.7), so the frame census,
-    -- the 60-bit header+side-info stream signature (CRC words and ID3
-    -- tags excluded), and the granule-0 bit-unpacking witnesses are all
-    -- stated in closed form from the planted generator's parameters —
-    -- the parser never defines its own expected values. Class 11 ships
-    -- non-MP3 bytes: the NULL row.
-    SELECT doc_id AS media_id,
-           {_mp3_case("n_frames", "INT")} AS n_frames,
-           {_mp3_case("sample_rate", "INT")} AS sample_rate,
-           {_mp3_case("n_channels", "INT")} AS n_channels,
-           {_mp3_case("vbr", "BOOLEAN")} AS vbr,
-           {_mp3_case("duration_ms", "BIGINT")} AS duration_ms,
-           {_mp3_case("bitrate_kbps", "INT")} AS bitrate_kbps,
-           {_mp3_case("stream_sig", "BIGINT")} AS stream_sig,
-           {_mp3_case("p23_0", "INT")} AS p23_0,
-           {_mp3_case("bv_0", "INT")} AS bv_0,
-           {_mp3_case("bt_0", "INT")} AS bt_0
-    FROM documents WHERE doc_id < 320
-    """,
-)
-def mm_mp3_sideinfo(spark, sf_dir):
-    """MP3 stream identity without sample decode
-    (mediacodec.parse_mp3_sideinfo → multimodal.mp3_sideinfo): the
-    Layer III side-information layer is fully fixed-width — no normative
-    Huffman/requantization tables — so .mp3 payloads get an exact frame
-    census (frame count, true duration, VBR detection, CRC/ID3
-    handling) plus a stream signature over the header+side-info bytes
-    that matches across retagged or junk-suffixed copies of the same
-    encoded stream. This closes the '.mp3 NULL-fingerprints' gap at the
-    exact-dedup level; perceptual decode stays scoped out (COVERAGE.md
-    Known gaps — the sample-reconstruction tables are normative data
-    this sandbox cannot verify). Reference parity: parse-tika's MP3
-    handling surfaces the same header facts (TikaParser.java:63-160).
-    100 TB: map-only Arrow stage, zero shuffle."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import mp3_sideinfo
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 320
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [
-                {
-                    "media_id": int(doc_id),
-                    "payload": _planted_mp3_l3(int(doc_id) % 16)[0],
-                }
-                for doc_id in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return mp3_sideinfo(media)
-
-
-# ---------------------------------------------------------------------------
-# Ogg container identity (mm_ogg_identity)
-# ---------------------------------------------------------------------------
-
-
-def _ogg_page(serial, seq, granule, chunks, *, bos=False, eos=False,
-              cont=False, bad_crc=False):
-    """One RFC 3533 page for the planted fixtures. ``chunks`` is
-    [(bytes, terminated)]; an unterminated chunk must be a 255-multiple so
-    its lacing run is all-255. The CRC comes from mediacodec.ogg_page_crc —
-    construction reuse only (the function is anchored to the public
-    CRC-32/POSIX known-answer value in tests/test_ogg_identity.py); every
-    EXPECTED value below is closed-form from the generator's parameters."""
-    import struct as _s
-
-    from nutch_spark.datapipe.mediacodec import ogg_page_crc
-
-    lacing, body = [], b""
-    for data, term in chunks:
-        body += data
-        q, r = divmod(len(data), 255)
-        lacing += [255] * q
-        if term:
-            lacing.append(r)
-        else:
-            assert r == 0
-    htype = (1 if cont else 0) | (2 if bos else 0) | (4 if eos else 0)
-    hdr = (b"OggS" + bytes([0, htype]) + _s.pack("<q", granule)
-           + _s.pack("<I", serial) + _s.pack("<I", seq)
-           + b"\x00" * 4 + bytes([len(lacing)]) + bytes(lacing))
-    page = hdr + body
-    crc = ogg_page_crc(page) ^ (1 if bad_crc else 0)
-    return page[:22] + _s.pack("<I", crc) + page[26:]
-
-
-def _ogg_sig(packets) -> int:
-    """The parser's packet-signature rule stated from the PLANTED packets
-    (never from running the parser): md5 over length-delimited packet
-    bytes — 60 bits (15 hex chars), so it always fits a signed long."""
-    import hashlib as _h
-
-    sig = _h.md5()
-    for pkt in packets:
-        sig.update(len(pkt).to_bytes(8, "little"))
-        sig.update(pkt)
-    return int(sig.hexdigest()[:15], 16)
-
-
-def _planted_ogg(k: int):
-    """One Ogg payload per class k = doc_id %% 12 with every identity fact a
-    CLOSED-FORM function of the generator's parameters: codec mappings
-    (Vorbis/Opus/Ogg-FLAC/Speex/Theora id headers), packets spanning pages,
-    multi-stream files, a bad-CRC tail (consistent prefix kept), a
-    truncated tail, and trailing junk after EOS (ignored). k == 11 ships
-    non-Ogg bytes to pin the NULL row. Returns (payload, expected|None)."""
-    import struct as _s
-
-    def vorbis_id(nch, rate):
-        return (b"\x01vorbis" + _s.pack("<I", 0) + bytes([nch])
-                + _s.pack("<I", rate) + b"\x00" * 9)
-
-    def opus_id(nch, pre_skip):
-        return (b"OpusHead" + bytes([1, nch]) + _s.pack("<H", pre_skip)
-                + _s.pack("<I", 48000) + b"\x00" * 3)
-
-    def exp(codec, streams, pages, pkts, rate, nch, dur, sig, crc_ok, eos):
-        return {"codec": codec, "n_streams": streams, "n_pages": pages,
-                "n_packets": pkts, "sample_rate": rate, "n_channels": nch,
-                "duration_ms": dur, "stream_sig": sig, "crc_ok": crc_ok,
-                "eos": eos}
-
-    if k == 0:  # vorbis mono 44100, 3 pages, 4 packets, 3 s
-        idp, p1, p2, p3 = vorbis_id(1, 44100), b"A" * 300, b"B" * 40, b"C" * 20
-        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(7, 1, 88200, [(p1, True), (p2, True)])
-               + _ogg_page(7, 2, 132300, [(p3, True)], eos=True))
-        return pay, exp("vorbis", 1, 3, 4, 44100, 1, 3000,
-                        _ogg_sig([idp, p1, p2, p3]), True, True)
-    if k == 1:  # opus stereo, pre_skip 312, 3 s at the 48 kHz granule clock
-        idp, d = opus_id(2, 312), b"opus-frame-data"
-        pay = (_ogg_page(9, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(9, 1, 312 + 144000, [(d, True)], eos=True))
-        return pay, exp("opus", 1, 2, 2, 48000, 2, 3000,
-                        _ogg_sig([idp, d]), True, True)
-    if k == 2:  # vorbis stereo 48000, a packet SPANNING two pages
-        idp, p1, p2 = vorbis_id(2, 48000), b"D" * 510, b"E" * 33
-        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(7, 1, -1, [(p1[:255], False)])
-               + _ogg_page(7, 2, 96000, [(p1[255:], True), (p2, True)],
-                           cont=True, eos=True))
-        return pay, exp("vorbis", 1, 3, 3, 48000, 2, 2000,
-                        _ogg_sig([idp, p1, p2]), True, True)
-    if k == 3:  # skeleton stream + opus: primary = first recognized AUDIO
-        sk = b"fishead\x00" + b"\x00" * 20
-        idp, d = opus_id(1, 0), b"x" * 50
-        pay = (_ogg_page(1, 0, 0, [(sk, True)], bos=True)
-               + _ogg_page(9, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(9, 1, 48000, [(d, True)], eos=True))
-        return pay, exp("opus", 2, 3, 2, 48000, 1, 1000,
-                        _ogg_sig([idp, d]), True, True)
-    if k == 4:  # Ogg-FLAC 22050 mono (STREAMINFO rides the BOS packet)
-        streaminfo = (b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + b"\x00" * 10
-                      + int((22050 << 44) | (0 << 41) | (15 << 36)
-                            | 44100).to_bytes(8, "big") + b"\x00" * 16)
-        idp = b"\x7fFLAC" + bytes([1, 0]) + _s.pack(">H", 1) + streaminfo
-        d = b"flacframe"
-        pay = (_ogg_page(3, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(3, 1, 44100, [(d, True)], eos=True))
-        return pay, exp("flac", 1, 2, 2, 22050, 1, 2000,
-                        _ogg_sig([idp, d]), True, True)
-    if k == 5:  # speex 16000 stereo
-        idp = (b"Speex   " + b"v" * 20 + _s.pack("<I", 1) + _s.pack("<I", 80)
-               + _s.pack("<I", 16000) + _s.pack("<I", 1) + _s.pack("<I", 4)
-               + _s.pack("<I", 2) + b"\x00" * 8)
-        d = b"spx"
-        pay = (_ogg_page(5, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(5, 1, 8000, [(d, True)], eos=True))
-        return pay, exp("speex", 1, 2, 2, 16000, 2, 500,
-                        _ogg_sig([idp, d]), True, True)
-    if k == 6:  # theora video: no audio facts, duration from the frame
-        # clock (FRN=30/FRD=1) and the kfgshift-split granule (§5.1):
-        # granule (10<<6)|5 = 15 frames at 30 fps → 500 ms
-        idp = (b"\x80theora" + bytes([3, 2, 1])          # VMAJ VMIN VREV
-               + _s.pack(">HH", 40, 30)                  # FMBW FMBH
-               + b"\x00\x02\x80" + b"\x00\x01\xe0"       # PICW PICH (u24)
-               + bytes([0, 0])                           # PICX PICY
-               + _s.pack(">II", 30, 1)                   # FRN FRD
-               + b"\x00" * 6 + bytes([0]) + b"\x00" * 3  # PAR, CS, NOMBR
-               + _s.pack(">H", 6 << 5))                  # QUAL|KFGSHIFT=6|PF
-        d = b"frame"
-        pay = (_ogg_page(4, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(4, 1, (10 << 6) | 5, [(d, True)], eos=True))
-        return pay, exp("theora", 1, 2, 2, None, None, 500,
-                        _ogg_sig([idp, d]), True, True)
-    if k == 7:  # bad CRC on the data page: consistent prefix only
-        idp = vorbis_id(1, 44100)
-        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(7, 1, 44100, [(b"q", True)], bad_crc=True))
-        return pay, exp("vorbis", 1, 1, 1, 44100, 1, 0,
-                        _ogg_sig([idp]), False, False)
-    if k == 8:  # truncated EOS page: prefix kept, truncation != corruption
-        idp, d = vorbis_id(1, 44100), b"W" * 100
-        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(7, 1, 44100, [(d, True)])
-               + _ogg_page(7, 2, 88200, [(b"T" * 50, True)], eos=True))
-        pay = pay[:-10]
-        return pay, exp("vorbis", 1, 2, 2, 44100, 1, 1000,
-                        _ogg_sig([idp, d]), True, False)
-    if k == 9:  # opus stereo multi-page census
-        idp = opus_id(2, 312)
-        d1, d2, d3, d4, d5 = (b"p1" * 10, b"p2" * 9, b"p3" * 8, b"p4" * 7,
-                              b"p5" * 6)
-        pay = (_ogg_page(9, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(9, 1, 312 + 48000, [(d1, True), (d2, True)])
-               + _ogg_page(9, 2, 312 + 72000, [(d3, True), (d4, True)])
-               + _ogg_page(9, 3, 312 + 96000, [(d5, True)], eos=True))
-        return pay, exp("opus", 1, 4, 6, 48000, 2, 2000,
-                        _ogg_sig([idp, d1, d2, d3, d4, d5]), True, True)
-    if k == 10:  # trailing junk after EOS is ignored
-        idp, d = vorbis_id(1, 32000), b"z" * 60
-        pay = (_ogg_page(7, 0, 0, [(idp, True)], bos=True)
-               + _ogg_page(7, 1, 32000, [(d, True)], eos=True)
-               + b"\xde\xad\xbe\xef" * 16)
-        return pay, exp("vorbis", 1, 2, 2, 32000, 1, 1000,
-                        _ogg_sig([idp, d]), True, True)
-    return b"not an ogg stream" * 4, None  # k == 11: the NULL row
-
-
-_OGG_EXPECTED = {k: _planted_ogg(k)[1] for k in range(12)}
-
-
-def _ogg_case(col: str, cast: str) -> str:
-    parts = []
-    for k in range(12):
-        e = _OGG_EXPECTED[k]
-        v = None if e is None else e[col]
-        if v is None:
-            parts.append(f"WHEN {k} THEN NULL")
-        elif isinstance(v, bool):
-            parts.append(f"WHEN {k} THEN {'TRUE' if v else 'FALSE'}")
-        elif isinstance(v, str):
-            parts.append(f"WHEN {k} THEN '{v}'")
-        else:
-            parts.append(f"WHEN {k} THEN {v}")
-    return "CAST(CASE doc_id % 12 " + " ".join(parts) + f" END AS {cast})"
-
-
-@q(
-    "mm_ogg_identity",
-    f"""
-    -- Ogg container identity (RFC 3533 page walk): the page layer is
-    -- fully specified bit-for-bit, so codec (from each mapping spec's id
-    -- header), page/packet census, duration from the final granule
-    -- position, and the repagination-invariant packet signature are all
-    -- stated in closed form from the planted generator's parameters —
-    -- the parser never defines its own expected values. Class 11 ships
-    -- non-Ogg bytes: the NULL row.
-    SELECT doc_id AS media_id,
-           {_ogg_case("codec", "VARCHAR")} AS codec,
-           {_ogg_case("n_streams", "INT")} AS n_streams,
-           {_ogg_case("n_pages", "INT")} AS n_pages,
-           {_ogg_case("n_packets", "INT")} AS n_packets,
-           {_ogg_case("sample_rate", "INT")} AS sample_rate,
-           {_ogg_case("n_channels", "INT")} AS n_channels,
-           {_ogg_case("duration_ms", "BIGINT")} AS duration_ms,
-           {_ogg_case("stream_sig", "BIGINT")} AS stream_sig,
-           {_ogg_case("crc_ok", "BOOLEAN")} AS crc_ok,
-           {_ogg_case("eos", "BOOLEAN")} AS eos
-    FROM documents WHERE doc_id < 240
-    """,
-)
-def mm_ogg_identity(spark, sf_dir):
-    """Ogg stream identity without sample decode
-    (mediacodec.parse_ogg_info → multimodal.ogg_identity): the RFC 3533
-    page layer is fully specified — capture pattern, lacing, granule
-    positions, the non-reflected CRC-32 — so .ogg/.opus/.oga payloads
-    get codec identification (Vorbis/Opus/Theora/Ogg-FLAC/Speex id
-    headers), an exact page/packet census, true duration from the final
-    granule, and a PACKET-level md5 signature that is invariant under
-    repagination (a remux splits the same packets at different page
-    boundaries) and trailing junk — the column Ogg media joins EXACT
-    stream dedup on, the same identity level mm_mp3_sideinfo gave .mp3.
-    Codec sample reconstruction stays scoped out (normative codebooks —
-    COVERAGE.md Known gaps). Reference parity: parse-tika surfaces the
-    same container facts for Ogg families via Tika's OggDetector
-    (TikaParser.java:63-160). 100 TB: map-only Arrow stage, zero
-    shuffle."""
-    import pandas as pd
-
-    from nutch_spark.datapipe.multimodal import ogg_identity
-
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 240
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [
-                {
-                    "media_id": int(doc_id),
-                    "payload": _planted_ogg(int(doc_id) % 12)[0],
-                }
-                for doc_id in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    media = d.mapInPandas(gen, "media_id long, payload binary")
-    return ogg_identity(media)
-
-
-# ---------------------------------------------------------------------------
-# Feature-hashing text embeddings (dp_text_embed)
-# ---------------------------------------------------------------------------
-
-_FH = _H64.format(s="tok")
-
-
-def _text_embed_ctes(src: str = "documents") -> str:
-    """The hashing-trick featurizer stated independently: one md5 per
-    token, bucket = h % 64, sign = bit 55 (disjoint from the bucket bits
-    for any power-of-two dim); bucket sums are exact integer sums and
-    the norm folds integer-valued doubles (exact). Ends at ``n``
-    (doc_id, e, nrm, n_tokens) — shared by dp_text_embed and the
-    composed dp_text_embed_neardup."""
-    return f"""d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM {src}),
-    ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-    hb AS (SELECT doc_id,
-                  CAST({_FH} % 64 AS INT) AS b,
-                  CAST(({_FH} >> 55) & 1 AS BIGINT) * 2 - 1 AS sgn
-           FROM ex),
-    s AS (SELECT doc_id, b, SUM(sgn) AS s, COUNT(*) AS c FROM hb GROUP BY doc_id, b),
-    dims AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
-    g AS (SELECT dd.doc_id, m.b, CAST(COALESCE(s.s, 0) AS DOUBLE) AS comp
-          FROM (SELECT doc_id FROM d) dd CROSS JOIN dims m
-          LEFT JOIN s ON s.doc_id = dd.doc_id AND s.b = m.b),
-    v AS (SELECT doc_id, list(comp ORDER BY b) AS e FROM g GROUP BY doc_id),
-    nt AS (SELECT doc_id, SUM(c) AS n_tokens FROM s GROUP BY doc_id),
-    n AS (SELECT v.doc_id, e,
-                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
-                 COALESCE(nt.n_tokens, 0) AS n_tokens
-          FROM v LEFT JOIN nt ON nt.doc_id = v.doc_id)"""
-
-
-@q(
-    "dp_text_embed",
-    f"""
-    -- certification quantizes components to floor(1e6 * x) so float
-    -- formatting never touches the compare
-    WITH {_text_embed_ctes()},
-    qz AS (SELECT doc_id, n_tokens,
-                  CAST(floor(nrm * 1000000.0) AS BIGINT) AS norm_q,
-                  CASE WHEN nrm > 0
-                       THEN list_transform(e, x -> CAST(floor((x / nrm) * 1000000.0) AS BIGINT))
-                       ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
-           FROM n)
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, norm_q,
-           q[1] AS q0, q[2] AS q1,
-           md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS emb_digest
-    FROM qz
-    """,
-)
-def dp_text_embed(spark, sf_dir):
-    """Feature-hashing text embeddings (similarity.hashed_embedding —
-    the hashing trick, Weinberger et al. 2009): tokens contribute ±1 to
-    one of 64 md5-addressed buckets (sign from a high hash bit, disjoint
-    from the bucket bits); the L2-normalized bucket sums are
-    the document's dense vector, so the embed → ANN → near-dup family
-    runs self-contained on raw text when no learned embedding column
-    exists. Certified by quantized witnesses: the first two components
-    and an md5 digest over all 64, each floor(1e6·x) — bucket sums are
-    exact integer sums and the norm folds integer-valued doubles, so
-    both engines hold bit-identical doubles before the quantize. 100 TB:
-    one explode + two partially-aggregated hash aggs, no joins beyond
-    the zero-token left join, no windows, no driver state."""
-    from nutch_spark.datapipe.similarity import hashed_embedding
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = hashed_embedding(d, dim=64)
-    q_sql = (
-        "CASE WHEN norm > 0 THEN transform(embedding,"
-        " x -> cast(floor(x * 1000000.0D) as bigint))"
-        " ELSE transform(embedding, x -> cast(0 as bigint)) END"
-    )
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        F.expr("cast(floor(norm * 1000000.0D) as bigint)").alias("norm_q"),
-        F.expr(f"element_at({q_sql}, 1)").alias("q0"),
-        F.expr(f"element_at({q_sql}, 2)").alias("q1"),
-        F.expr(
-            f"md5(concat_ws(',', transform({q_sql}, x -> cast(x as string))))"
-        ).alias("emb_digest"),
-    )
-
-
-@q(
-    "dp_text_embed_neardup",
-    f"""
-    -- The full chain certified cross-engine: raw text → feature-hashing
-    -- embedding → sign-pattern LSH bucket → same-bucket pairs at
-    -- cosine >= 0.99. Exact text copies (doc_id+100000) hash to
-    -- IDENTICAL integer vectors, so their pairs score exactly 1.0; the
-    -- bucket equi-join keeps the shuffle O(rows).
-    WITH tcorpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
-    ),
-    {_text_embed_ctes("tcorpus")},
-    ne AS (
-      SELECT doc_id,
-             CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
-                  ELSE e END AS embedding
-      FROM n WHERE n_tokens > 0
-    ),
-    bucketed AS (
-      SELECT doc_id, embedding,
-             list_aggregate(list_transform(embedding,
-                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                            'string_agg', '') AS bucket
-      FROM ne
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(
-               list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
-                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))),
-               6) AS cosine_sim
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
-    """,
-)
-def dp_text_embed_neardup(spark, sf_dir):
-    """The self-contained text near-dup chain, certified end-to-end: raw
-    text → hashed_embedding (the hashing trick) → sign-pattern LSH bucket
-    → same-bucket cosine pairs at >= 0.99 (planted exact copies at
-    doc_id+100000 hash to identical integer vectors, so they score
-    exactly 1.0). This is dp_embedding_near_dup with the embedding column
-    COMPUTED from text rather than assumed — no learned encoder needed
-    for exact/near-exact text dedup in embedding space. 100 TB: the embed
-    stage is two hash aggs, the candidate join shuffles O(rows) on the
-    64-bit sign bucket, never a cross product."""
-    from nutch_spark.datapipe.similarity import cosine, hashed_embedding
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = d.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    emb = hashed_embedding(d.unionByName(copies)).filter(F.col("n_tokens") > 0)
-    c = emb.withColumn(
-        "bucket",
-        F.array_join(
-            F.transform("embedding", lambda x: F.when(x >= 0, "1").otherwise("0")),
-            "",
-        ),
-    )
-    a = c.select("bucket", F.col("doc_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = c.select("bucket", F.col("doc_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.99)
-    )
