@@ -112,12 +112,13 @@ def _row_embed_apply(text: Column | str, dim: int, fn) -> Column:
     integer bucket-sum array ``e`` with ``dim`` integer folds, and apply
     ``fn(e)``. No explode, no aggregation — a pure map expression, so a
     STREAM can use it ahead of its one stateful operator."""
+    from nutch_spark.datapipe.dedup import h64
     from nutch_spark.datapipe.textstats import tokens
 
-    hs = F.transform(
-        tokens(text),  # tokenizes the TEXT column (name or Column)
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
+    # tokenize the TEXT column (name or Column); h64 is THE shared 60-bit
+    # hash (dedup.py) — one definition, so stream/batch bit-identity
+    # cannot drift
+    hs = F.transform(tokens(text), h64)
 
     def build(arr: Column) -> Column:
         e = F.transform(
@@ -213,13 +214,17 @@ def text_embed_neardup_pairs(
     localCheckpoint-ed once so the self-join's two sides reuse one
     computation instead of re-running the featurizer per side (the same
     materialize-once discipline as minhash_lsh_pairs)."""
+    # norm > 0, not n_tokens > 0: a doc whose tokens all CANCEL (same
+    # bucket, opposite signs) keeps the zero vector — its cosine against
+    # anything is 0/0 = NaN, which BOTH engines order above 0.99, and
+    # every zero vector shares one bucket AND one digest, so the guard
+    # could not split them. Zero-norm docs have no direction to compare;
+    # they are out of embedding-space dedup by definition.
     emb = hashed_embedding(corpus, text, key, dim=dim).filter(
-        F.col("n_tokens") > 0
+        F.col("norm") > 0
     )
     q_expr = (
-        "CASE WHEN norm > 0 THEN transform(embedding,"
-        " x -> cast(floor(x * 1000000.0D) as bigint))"
-        " ELSE transform(embedding, x -> cast(0 as bigint)) END"
+        "transform(embedding, x -> cast(floor(x * 1000000.0D) as bigint))"
     )
     c = (
         emb.withColumn(

@@ -5581,19 +5581,21 @@ def dp_text_embed(spark, sf_dir):
       UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
     ),
     {_text_embed_ctes("tcorpus")},
+    -- nrm > 0, not n_tokens > 0: all-cancelled zero vectors would share
+    -- one bucket and one digest and score NaN (ordered above 0.99 by
+    -- BOTH engines) — excluded by definition, mirrored in the operator
+    ne AS (
+      SELECT doc_id, list_transform(e, x -> x / nrm) AS embedding
+      FROM n WHERE n_tokens > 0 AND nrm > 0
+    ),
     bucketed AS (
-      SELECT doc_id,
-             CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
-                  ELSE e END AS embedding,
-             list_aggregate(list_transform(
-               CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END,
+      SELECT doc_id, embedding,
+             list_aggregate(list_transform(embedding,
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket,
              md5(array_to_string(list_transform(
-               CASE WHEN nrm > 0
-                    THEN list_transform(e, x -> CAST(floor((x / nrm) * 1000000.0) AS BIGINT))
-                    ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END,
+               list_transform(embedding, x -> CAST(floor(x * 1000000.0) AS BIGINT)),
                x -> CAST(x AS VARCHAR)), ',')) AS qd
-      FROM n WHERE n_tokens > 0
+      FROM ne
     ),
     hot AS (SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) > 16),
     keyed AS (

@@ -566,25 +566,34 @@ def streaming_embed_dedup(
     batch pass additionally scores (non-identical same-bucket pairs at
     cosine ≥ threshold) are out of streaming scope by design.
 
-    Zero-token documents get a ``key``-salted synthetic digest so they
-    pass through without matching each other (idempotent under at-least-
-    once redelivery of the same key within the watermark — the same
-    documented semantics as streaming_image_dedup's undecodable rows).
+    ZERO-VECTOR documents — no tokens, or tokens that all CANCEL (same
+    bucket, opposite signs: hashed vectors have no direction, so
+    embedding identity is undefined for them) — get a ``key``-salted
+    synthetic digest so they pass through without matching each other
+    (idempotent under at-least-once redelivery of the same key within
+    the watermark — the same documented semantics as
+    streaming_image_dedup's undecodable rows). Both cases produce the
+    all-zero quantized vector, whose digest is ONE constant, so the
+    branch tests the computed digest against that constant — the text
+    tokenizes exactly once per row.
 
     State is bounded by the watermark horizon; the digest is 32
     chars/row. 100 TB/day: a stateless codegen'd map plus one keyed
     state store — the same shape Spark runs exact streaming dedup
     with."""
-    from nutch_spark.datapipe.similarity import row_embed_digest
-    from nutch_spark.datapipe.textstats import tokens
+    import hashlib
 
+    from nutch_spark.datapipe.similarity import row_embed_digest
+
+    zero_digest = hashlib.md5(",".join(["0"] * dim).encode()).hexdigest()
     keyed = docs.withColumn(
+        "_dg", row_embed_digest(F.col(text), dim=dim)
+    ).withColumn(
         "_dedup_key",
         F.when(
-            F.size(tokens(F.col(text))) > 0,
-            F.concat(F.lit("d:"), row_embed_digest(F.col(text), dim=dim)),
+            F.col("_dg") != zero_digest, F.concat(F.lit("d:"), F.col("_dg"))
         ).otherwise(F.concat(F.lit("k:"), F.col(key).cast("string"))),
-    )
+    ).drop("_dg")
     return (
         keyed.withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["_dedup_key"])

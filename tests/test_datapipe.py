@@ -1353,3 +1353,32 @@ def test_row_embed_exprs_match_batch(spark):
     for k in (1, 2, 3):
         assert got[k][0] == bucket_exp[k], k
         assert got[k][1] == digest_exp(batch[k]), k
+
+
+def test_text_embed_neardup_excludes_zero_norm(spark):
+    """Tokens that all CANCEL (same bucket, opposite sign bits: 'w0'/'w292'
+    and 'w1'/'w55' under the 60-bit md5 hash) leave the zero vector —
+    no direction, cosine NaN against everything, one shared bucket+digest.
+    Such docs must be excluded from pair generation entirely, not emitted
+    as NaN 'near-dups' of each other."""
+    from nutch_spark.datapipe.similarity import (
+        hashed_embedding,
+        text_embed_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w0 w292"),   # cancels to the zero vector
+            (2, "w1 w55"),    # a DIFFERENT doc, also zero vector
+            (3, "alpha beta gamma"),
+            (4, "alpha beta gamma"),  # true exact copy of 3
+        ],
+        "doc_id long, text string",
+    )
+    emb = {r["doc_id"]: r for r in hashed_embedding(docs).collect()}
+    assert emb[1]["norm"] == 0.0 and emb[1]["n_tokens"] == 2  # really cancels
+    assert emb[2]["norm"] == 0.0
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in text_embed_neardup_pairs(docs).collect()}
+    assert (1, 2) not in pairs          # zero-norm docs never pair
+    assert pairs == {(3, 4): 1.0}       # the real copy still found

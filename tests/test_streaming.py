@@ -366,8 +366,10 @@ def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
         (2, "the quick brown fox jumps over the lazy dog", T0),  # exact dup
         (6, "dog lazy the over jumps fox brown quick the", T0),  # reordered
         (3, "an entirely different document about spark plans", T0),
-        (4, "", T0),   # zero tokens: passes through
-        (5, "", T0),   # ...and does NOT match the other empty row
+        (4, "", T0),          # zero tokens: passes through
+        (5, "", T0),          # ...and does NOT match the other empty row
+        (7, "w0 w292", T0),   # tokens CANCEL to the zero vector...
+        (8, "w1 w55", T0),    # ...a distinct zero-norm doc must ALSO pass
     ]
     schema = "doc_id long, text string, ingest_time timestamp"
     src = str(tmp_path / "docs_src")
@@ -385,6 +387,7 @@ def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
     out = {r["doc_id"] for r in spark.sql("SELECT * FROM embdedup_sink").collect()}
     assert 3 in out
     assert {4, 5} <= out                 # empties keyed by doc_id, both kept
+    assert {7, 8} <= out                 # zero-NORM docs keyed by doc_id too
     assert len(out & {1, 2, 6}) == 1     # exact + REORDERED copies collapsed
     # the stream's digest rule IS the batch featurizer's: the token
     # MULTISET determines the vector, order never does
