@@ -501,6 +501,172 @@ def parse_mp3_sideinfo(payload: bytes, *, max_frames: int = 4096) -> dict | None
     }
 
 
+_ID3_TEXT_ENCODINGS = ("latin-1", "utf-16", "utf-16-be", "utf-8")
+
+# frame-id → output field, v2.3/2.4 four-char ids and v2.2 three-char ids
+_ID3_FIELDS = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+}
+
+
+def _id3_text(body: bytes) -> str | None:
+    """One ID3v2 text frame body: encoding byte + text (ID3v2.4 §4.2)."""
+    if not body:
+        return None
+    enc = _ID3_TEXT_ENCODINGS[body[0]] if body[0] < 4 else "latin-1"
+    return body[1:].decode(enc, errors="replace").split("\x00", 1)[0]
+
+
+def _vorbis_comments(block: bytes) -> dict | None:
+    """A VorbisComment block (Vorbis I §5 — also Opus's OpusTags payload
+    and FLAC's VORBIS_COMMENT metadata block): vendor length/string, then
+    length-prefixed UTF-8 ``KEY=value`` pairs, all lengths u32 LE."""
+    if len(block) < 8:
+        return None
+    (vlen,) = struct.unpack("<I", block[:4])
+    pos = 4 + vlen
+    if pos + 4 > len(block):
+        return None
+    vendor = block[4:pos].decode("utf-8", errors="replace")
+    (n,) = struct.unpack("<I", block[pos : pos + 4])
+    pos += 4
+    out = {"vendor": vendor, "n_tags": 0}
+    for _ in range(min(n, 4096)):
+        if pos + 4 > len(block):
+            break
+        (ln,) = struct.unpack("<I", block[pos : pos + 4])
+        pos += 4
+        if pos + ln > len(block):
+            break
+        kv = block[pos : pos + ln].decode("utf-8", errors="replace")
+        pos += ln
+        out["n_tags"] += 1
+        k, _, v = kv.partition("=")
+        k = k.lower()
+        if k in ("title", "artist", "album") and k not in out:
+            out[k] = v
+    return out
+
+
+def parse_audio_tags(payload: bytes, *, max_frames: int = 4096) -> dict | None:
+    """Audio metadata tags — the audio analogue of ``exif_orientation``:
+    title/artist/album from the three tag systems the web's audio actually
+    carries, all fully specified containers (no codec tables):
+
+    - **ID3v2** (leading ``ID3`` — MP3 and friends): v2.2 3-byte frame
+      ids/sizes, v2.3 plain-BE 4-byte sizes, v2.4 syncsafe sizes; text
+      frames carry an encoding byte (latin-1 / UTF-16 BOM / UTF-16BE /
+      UTF-8, ID3v2.4 §4.2).
+    - **VorbisComment** in Ogg (Vorbis packet 2 ``\\x03vorbis``, Opus
+      packet 2 ``OpusTags`` — found via the RFC 3533 page walk).
+    - **FLAC** native VORBIS_COMMENT metadata block (type 4).
+
+    Returns ``{"container": "id3"|"ogg"|"flac", "title", "artist",
+    "album", "n_tags", "vendor"}`` (absent fields None; vendor None for
+    ID3) or None when no tag system is present. Reference parity:
+    parse-tika surfaces the same fields via Tika's Mp3Parser /
+    VorbisParser (TikaParser.java:63-160). Hostile posture: every
+    length is bounds-checked, frame count caps at ``max_frames``, text
+    decodes with replace semantics — junk yields junk strings, never an
+    exception."""
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        ver = payload[3]
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        end = min(10 + size, n)
+        pos = 10
+        out = {
+            "container": "id3", "title": None, "artist": None,
+            "album": None, "n_tags": 0, "vendor": None,
+        }
+        frames = 0
+        while frames < max_frames:
+            if ver == 2:  # ID3v2.2: id(3) size(3)
+                if pos + 6 > end or payload[pos] == 0:
+                    break
+                fid = payload[pos : pos + 3].decode("latin-1", errors="replace")
+                fsz = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+                hdr = 6
+            else:  # v2.3 (plain BE size) / v2.4 (syncsafe size)
+                if pos + 10 > end or payload[pos] == 0:
+                    break
+                fid = payload[pos : pos + 4].decode("latin-1", errors="replace")
+                raw = payload[pos + 4 : pos + 8]
+                if ver >= 4:
+                    fsz = (
+                        (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14
+                        | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F)
+                    )
+                else:
+                    fsz = int.from_bytes(raw, "big")
+                hdr = 10
+            if fsz <= 0 or pos + hdr + fsz > end:
+                break
+            body = payload[pos + hdr : pos + hdr + fsz]
+            pos += hdr + fsz
+            frames += 1
+            out["n_tags"] += 1
+            field = _ID3_FIELDS.get(fid)
+            if field is not None and out[field] is None:
+                out[field] = _id3_text(body)
+        if frames == 0:
+            return None
+        return out
+
+    ogg = parse_ogg_info(payload)
+    if ogg is not None:
+        # the comment header is the PRIMARY stream's second packet:
+        # \x03vorbis + block (Vorbis I §5), or OpusTags + block (RFC 7845)
+        block = None
+        for pkt in ogg["head_packets"]:
+            if pkt[:7] == b"\x03vorbis":
+                block = pkt[7:]
+                break
+            if pkt[:8] == b"OpusTags":
+                block = pkt[8:]
+                break
+        vc = _vorbis_comments(block) if block is not None else None
+        if vc is None:
+            return None
+        return {
+            "container": "ogg",
+            "title": vc.get("title"), "artist": vc.get("artist"),
+            "album": vc.get("album"), "n_tags": vc["n_tags"],
+            "vendor": vc["vendor"],
+        }
+
+    if payload[:4] == b"fLaC":
+        pos = 4
+        for _ in range(max_frames):
+            if pos + 4 > n:
+                break
+            btype = payload[pos] & 0x7F
+            last = payload[pos] & 0x80
+            (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+            body_end = pos + 4 + blen
+            if body_end > n:
+                break
+            if btype == 4:  # VORBIS_COMMENT
+                vc = _vorbis_comments(payload[pos + 4 : body_end])
+                if vc is None:
+                    return None
+                return {
+                    "container": "flac",
+                    "title": vc.get("title"), "artist": vc.get("artist"),
+                    "album": vc.get("album"), "n_tags": vc["n_tags"],
+                    "vendor": vc["vendor"],
+                }
+            pos = body_end
+            if last:
+                break
+        return None
+    return None
+
+
 def parse_flac_streaminfo(payload: bytes) -> dict | None:
     """FLAC STREAMINFO header parse (format spec §9.1 — the first metadata
     block is mandatory and always STREAMINFO): sample rate (20 bits),
@@ -823,6 +989,9 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
         "n_streams": len(bos_order),
         "n_pages": n_pages,
         "n_packets": len(packets[primary]),
+        # the primary stream's leading packets — the id/comment headers
+        # every mapping spec puts first (parse_audio_tags reads packet 2)
+        "head_packets": packets[primary][:4],
         "sample_rate": facts["sample_rate"],
         "n_channels": facts["n_channels"],
         "pre_skip": facts["pre_skip"],

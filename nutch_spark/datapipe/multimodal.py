@@ -693,6 +693,67 @@ def ogg_identity(
     )
 
 
+AUDIO_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("n_tags", T.IntegerType(), True),
+        T.StructField("vendor", T.StringType(), True),
+    ]
+)
+
+
+def audio_tags(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, payload) → audio metadata tags
+    (mediacodec.parse_audio_tags): title/artist/album from ID3v2
+    (v2.2/2.3/2.4 frames, all four declared text encodings),
+    VorbisComment in Ogg (Vorbis/Opus comment headers via the RFC 3533
+    page walk), and FLAC's native VORBIS_COMMENT block — the audio
+    analogue of the image EXIF surface, the fields parse-tika exposes
+    via Mp3Parser/VorbisParser. NULL row when no tag system is present.
+    100 TB: map-only Arrow stage, zero shuffle."""
+    from nutch_spark.datapipe.mediacodec import parse_audio_tags
+
+    def row(media_id, raw):
+        try:
+            info = parse_audio_tags(bytes(raw))
+        except Exception:  # noqa: BLE001 — one bad blob
+            info = None
+        if info is None:
+            return null_row(media_id)
+        return {
+            "media_id": media_id,
+            "container": info["container"],
+            "title": info["title"],
+            "artist": info["artist"],
+            "album": info["album"],
+            "n_tags": info["n_tags"],
+            "vendor": info["vendor"],
+        }
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id,
+            "container": None,
+            "title": None,
+            "artist": None,
+            "album": None,
+            "n_tags": None,
+            "vendor": None,
+        }
+
+    return _map_media(
+        media, None, AUDIO_TAGS_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 AUDIO_FP_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -30,7 +30,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 _CERTIFY_FIRST = [
     # NEW in round 13 (latest session first: Ogg identity, cluster
     # canonical — then the earlier-session additions)
-    "mm_ogg_identity", "dp_cluster_canonical", "dp_text_embed",
+    "mm_ogg_identity", "mm_audio_tags", "dp_cluster_canonical", "dp_text_embed",
     "dp_text_embed_neardup",
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",

@@ -5641,3 +5641,164 @@ def dp_text_embed_neardup(spark, sf_dir):
     return text_embed_neardup_pairs(
         d.unionByName(copies), max_bucket=16, threshold=0.99
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata tags (mm_audio_tags)
+# ---------------------------------------------------------------------------
+
+
+def _planted_audio_tags(k: int):
+    """One tagged audio payload per class k = doc_id %% 8, every expected
+    field a CLOSED-FORM literal of the generator's parameters: ID3v2.2 /
+    v2.3 / v2.4 (latin-1, UTF-16-with-BOM, UTF-8 text encodings, syncsafe
+    v2.4 frame sizes), VorbisComment behind the Ogg page walk (Vorbis and
+    Opus comment headers, packet 2), FLAC's native VORBIS_COMMENT block,
+    and k == 7 ships junk to pin the NULL row."""
+    import struct as _s
+
+    def id3v3_frame(fid, text, enc):
+        body = (
+            bytes([0]) + text.encode("latin-1") if enc == 0 else
+            bytes([1]) + text.encode("utf-16") if enc == 1 else
+            bytes([3]) + text.encode("utf-8")
+        )
+        return fid.encode() + _s.pack(">I", len(body)) + b"\x00\x00" + body
+
+    def id3v4_frame(fid, text):
+        body = bytes([3]) + text.encode("utf-8")
+        ln = len(body)
+        ss = bytes([(ln >> 21) & 0x7F, (ln >> 14) & 0x7F, (ln >> 7) & 0x7F, ln & 0x7F])
+        return fid.encode() + ss + b"\x00\x00" + body
+
+    def id3v2_frame(fid, text):
+        body = bytes([0]) + text.encode("latin-1")
+        return fid.encode() + len(body).to_bytes(3, "big") + body
+
+    def id3(ver, frames):
+        sz = len(frames)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3" + bytes([ver, 0, 0]) + ss + frames + b"\xff\xfb" + b"\x00" * 24
+
+    def vc_block(vendor, tags):
+        out = _s.pack("<I", len(vendor)) + vendor.encode()
+        out += _s.pack("<I", len(tags))
+        for kv in tags:
+            b = kv.encode()
+            out += _s.pack("<I", len(b)) + b
+        return out
+
+    def exp(container, title, artist, album, n_tags, vendor):
+        return {"container": container, "title": title, "artist": artist,
+                "album": album, "n_tags": n_tags, "vendor": vendor}
+
+    if k == 0:  # ID3v2.3, all three fields, three encodings
+        pay = id3(3, id3v3_frame("TIT2", "Title Zero", 0)
+                  + id3v3_frame("TPE1", "Artist Zero", 1)
+                  + id3v3_frame("TALB", "Album Zero", 3))
+        return pay, exp("id3", "Title Zero", "Artist Zero", "Album Zero", 3, None)
+    if k == 1:  # ID3v2.4 syncsafe frames, non-ASCII UTF-8
+        pay = id3(4, id3v4_frame("TIT2", "Tïtle Föur") + id3v4_frame("TALB", "Albüm"))
+        return pay, exp("id3", "Tïtle Föur", None, "Albüm", 2, None)
+    if k == 2:  # ID3v2.2 three-byte ids
+        pay = id3(2, id3v2_frame("TT2", "Old Title") + id3v2_frame("TP1", "Old Band"))
+        return pay, exp("id3", "Old Title", "Old Band", None, 2, None)
+    if k == 3:  # Ogg Vorbis comment header (packet 2)
+        vid = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+               + _s.pack("<I", 44100) + b"\x00" * 9)
+        cmt = b"\x03vorbis" + vc_block("vend-3", ["TITLE=Ogg Song", "artist=Composer", "GENRE=g"])
+        pay = (_ogg_page(7, 0, 0, [(vid, True)], bos=True)
+               + _ogg_page(7, 1, -1, [(cmt, True)])
+               + _ogg_page(7, 2, 44100, [(b"aud", True)], eos=True))
+        return pay, exp("ogg", "Ogg Song", "Composer", None, 3, "vend-3")
+    if k == 4:  # OpusTags
+        oid = (b"OpusHead" + bytes([1, 1]) + _s.pack("<H", 0)
+               + _s.pack("<I", 48000) + b"\x00" * 3)
+        ocmt = b"OpusTags" + vc_block("opus-v", ["ALBUM=Opus LP", "TITLE=Opus T"])
+        pay = (_ogg_page(9, 0, 0, [(oid, True)], bos=True)
+               + _ogg_page(9, 1, -1, [(ocmt, True)])
+               + _ogg_page(9, 2, 48000, [(b"x", True)], eos=True))
+        return pay, exp("ogg", "Opus T", None, "Opus LP", 2, "opus-v")
+    if k == 5:  # FLAC native VORBIS_COMMENT block (after STREAMINFO)
+        streaminfo = b"\x00" + b"\x00\x00\x22" + b"\x00" * 34
+        vc = vc_block("flac-v", ["TITLE=Flac T", "ARTIST=Flac A"])
+        pay = (b"fLaC" + streaminfo
+               + bytes([0x84]) + len(vc).to_bytes(3, "big") + vc)
+        return pay, exp("flac", "Flac T", "Flac A", None, 2, "flac-v")
+    if k == 6:  # first-occurrence wins on duplicate keys; unknown keys count
+        vid = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([1])
+               + _s.pack("<I", 32000) + b"\x00" * 9)
+        cmt = b"\x03vorbis" + vc_block("v6", ["TITLE=First", "TITLE=Second", "X=1"])
+        pay = (_ogg_page(7, 0, 0, [(vid, True)], bos=True)
+               + _ogg_page(7, 1, 32000, [(cmt, True)], eos=True))
+        return pay, exp("ogg", "First", None, None, 3, "v6")
+    return b"no tags here" * 6, None  # k == 7: the NULL row
+
+
+_TAGS_EXPECTED = {k: _planted_audio_tags(k)[1] for k in range(8)}
+
+
+def _tags_case(col: str, cast: str) -> str:
+    parts = []
+    for k in range(8):
+        e = _TAGS_EXPECTED[k]
+        v = None if e is None else e[col]
+        if v is None:
+            parts.append(f"WHEN {k} THEN NULL")
+        elif isinstance(v, str):
+            parts.append(f"WHEN {k} THEN '{v}'")
+        else:
+            parts.append(f"WHEN {k} THEN {v}")
+    return "CAST(CASE doc_id % 8 " + " ".join(parts) + f" END AS {cast})"
+
+
+@q(
+    "mm_audio_tags",
+    f"""
+    -- Audio metadata tags: ID3v2 frames, VorbisComment (Vorbis/Opus,
+    -- behind the CRC-validated page walk), and FLAC's native comment
+    -- block are all length-prefixed containers — every expected field
+    -- is stated in closed form from the planted generator's
+    -- parameters. Class 7 ships junk: the NULL row.
+    SELECT doc_id AS media_id,
+           {_tags_case("container", "VARCHAR")} AS container,
+           {_tags_case("title", "VARCHAR")} AS title,
+           {_tags_case("artist", "VARCHAR")} AS artist,
+           {_tags_case("album", "VARCHAR")} AS album,
+           {_tags_case("n_tags", "INT")} AS n_tags,
+           {_tags_case("vendor", "VARCHAR")} AS vendor
+    FROM documents WHERE doc_id < 160
+    """,
+)
+def mm_audio_tags(spark, sf_dir):
+    """Audio metadata extraction (mediacodec.parse_audio_tags →
+    multimodal.audio_tags): title/artist/album from the three tag
+    systems web audio actually carries — ID3v2 (v2.2 3-byte frames,
+    v2.3 plain-BE sizes, v2.4 syncsafe sizes; latin-1/UTF-16/UTF-8 text
+    encodings), VorbisComment in Ogg (Vorbis packet-2 and OpusTags
+    comment headers, reached through the RFC 3533 page walk), and
+    FLAC's native VORBIS_COMMENT block. The audio analogue of the EXIF
+    surface; reference parity: parse-tika's Mp3Parser/VorbisParser
+    expose the same fields (TikaParser.java:63-160). 100 TB: map-only
+    Arrow stage, zero shuffle."""
+    import pandas as pd
+
+    from nutch_spark.datapipe.multimodal import audio_tags
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 160
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(doc_id),
+                    "payload": _planted_audio_tags(int(doc_id) % 8)[0],
+                }
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return audio_tags(media)

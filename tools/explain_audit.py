@@ -286,6 +286,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_text_embed_neardup": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
                               [r"CartesianProduct",
                                r"BroadcastNestedLoopJoin"]],
+    # audio tags: map-only Arrow stage like the other media-identity rows
+    "mm_audio_tags": [[r"MapInPandas|mapInPandas"],
+                      [r"CartesianProduct", r"Join", r"HashAggregate",
+                       r"Exchange"]],
 }
 
 
