@@ -262,6 +262,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify: str = "exact",
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified per candidate pair.
 
@@ -278,6 +279,22 @@ def minhash_lsh_pairs(
       unbiased MinHash estimator). Verification payload is O(num_hashes)
       per side regardless of document length — the extreme-scale path when
       shipping full shingle arrays per candidate would dominate the job.
+
+    ``max_bucket`` is the hot-bucket guard (the part that survives 100 TB):
+    a dup-heavy web corpus makes some band buckets ENORMOUS — 1M copies of
+    one boilerplate page collide in every band, and the bucket self-join is
+    quadratic in the bucket (10^12 candidate rows from ONE page, per band).
+    Band buckets holding more than ``max_bucket`` ids are sub-bucketed by
+    the full-signature digest: inside a hot bucket only signature-IDENTICAL
+    documents (exact and near-exact copies — the pairs a dedup pass
+    actually needs there, scoring ~1.0 Jaccard) still pair; documents that
+    merely share the one band can still meet through any of their other,
+    non-hot bands. The census of hot buckets is ≤ docs·bands/max_bucket
+    rows by construction and broadcasts. ``None`` disables the guard
+    (same-signature sub-bucketing collapses the quadratic blowup to the
+    true duplicate clusters; the residual risk is a cluster of identical
+    signatures, which IS the answer's own size). Same census+sub-bucket
+    pattern as similarity.text_embed_neardup_pairs.
     """
     rows_per_band = num_hashes // bands
     # shingle arrays materialize ONCE and feed both the signatures and
@@ -289,8 +306,14 @@ def minhash_lsh_pairs(
         F.col(key).alias("id"), shingles(text, n).alias("_sharr")
     ).localCheckpoint(eager=False)
     sigs = _minhash_from_arrays(arrs, num_hashes)
+    # full-signature digest: the hot-bucket sub-key (identical signatures —
+    # exact/near-exact copies — keep pairing inside an over-cap bucket)
+    sig_digest = F.md5(
+        F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+    )
     banded = sigs.select(
         "id",
+        sig_digest.alias("_sd"),
         F.posexplode(
             F.array(
                 *[
@@ -309,6 +332,29 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # census of over-cap band buckets: tiny by construction
+        # (≤ rows/max_bucket groups survive the HAVING), broadcastable
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "bucket", F.lit(True).alias("_hot"))
+        )
+        banded = (
+            banded.join(F.broadcast(hot), ["band", "bucket"], "left")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("_hot"),
+                    F.concat(F.col("bucket"), F.lit(":"), F.col("_sd")),
+                ).otherwise(F.col("bucket")),
+            )
+            .select("id", "band", "bucket")
+        )
+    else:
+        banded = banded.select("id", "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

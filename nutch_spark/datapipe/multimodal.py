@@ -479,7 +479,11 @@ def image_dhash(
 
 
 def dhash_near_dup(
-    hashes: DataFrame, *, max_hamming: int = 3, bands: int = 4
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash values: (id_a, id_b, hamming)
     with id_a < id_b and hamming <= max_hamming.
@@ -492,9 +496,29 @@ def dhash_near_dup(
     100 TB shape — the SimHash trick, not an all-pairs join: a pair within
     Hamming distance d must agree EXACTLY on at least one of ``bands``
     disjoint bit-bands whenever d < bands (pigeonhole), so candidates come
-    from ``bands`` equi-joins on 16-bit band keys, then one JVM-side
+    from band equi-joins on 16-bit band keys, then one JVM-side
     ``bit_count(xor)`` verifies the true distance. Requires
-    max_hamming < bands (the pigeonhole guarantee — asserted)."""
+    max_hamming < bands (the pigeonhole guarantee — asserted).
+
+    Two round-14 hardenings for the dup-flood regime (a viral image at
+    web scale has millions of bitwise-identical copies):
+
+    - **Exact-dup collapse**: identical hashes pair through a single
+      equality self-join on ``dhash`` (hamming 0 by construction, output-
+      sized); the banded candidate join runs over DISTINCT hash values
+      only — a 10M-copy flood contributes ONE row to the banded join
+      instead of 10M·bands rows and a 10^14·bands candidate blowup.
+      Distinct-hash pairs expand back to member pairs at the very end,
+      which is again output-sized work.
+    - **Hot-band-key cap** (``max_band_bucket``, None disables): a 16-bit
+      band key shared by more than this many DISTINCT hash values marks a
+      saturated band (at 1B distinct images, birthday pressure puts ~15k
+      distinct hashes behind every 16-bit key — quadratic per bucket);
+      that band's candidates for the hot key are dropped, and a true
+      near-dup pair still surfaces through any of its other, non-hot
+      agreeing bands. The census is ≤ 2^16·bands rows and broadcasts.
+      Recall caveat: a pair whose ONLY agreeing band is hot is missed —
+      the documented LSH-style tradeoff, same as minhash_lsh_pairs."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs bands > max_hamming "
@@ -502,35 +526,76 @@ def dhash_near_dup(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    h = hashes.filter(F.col("dhash").isNotNull())
-    cand = None
-    for b in range(bands):
-        key = F.shiftrightunsigned(F.col("dhash"), b * width).bitwiseAND(
-            F.lit(mask)
-        )
-        banded = h.select(
-            F.col("media_id"), F.col("dhash"), key.alias("_band_key")
-        )
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = left.join(
-            right,
-            (F.col("l._band_key") == F.col("r._band_key"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
-        ).select(
-            F.col("l.media_id").alias("id_a"),
-            F.col("r.media_id").alias("id_b"),
-            F.col("l.dhash").alias("_ha"),
-            F.col("r.dhash").alias("_hb"),
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    h = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .localCheckpoint(eager=False)
     )
+    # exact-duplicate pairs: one shuffle on the 64-bit hash; the join's
+    # output IS the answer for identical images (hamming 0)
+    ea, eb = h.alias("ea"), h.alias("eb")
+    exact = ea.join(
+        eb,
+        (F.col("ea.dhash") == F.col("eb.dhash"))
+        & (F.col("ea.media_id") < F.col("eb.media_id")),
+    ).select(
+        F.col("ea.media_id").alias("id_a"),
+        F.col("eb.media_id").alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    # banded candidates over DISTINCT hash values only
+    dh = h.select("dhash").distinct()
+    keys = F.array(
+        *[
+            F.shiftrightunsigned("dhash", b * width)
+            .bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    bd = dh.select("dhash", F.posexplode(keys).alias("band", "bkey"))
+    if max_band_bucket is not None:
+        bd = bd.localCheckpoint(eager=False)
+        hot = (
+            bd.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_bucket)
+            .select("band", "bkey", F.lit(True).alias("_hot"))
+        )
+        bd = (
+            bd.join(F.broadcast(hot), ["band", "bkey"], "left")
+            .filter(F.col("_hot").isNull())
+            .select("dhash", "band", "bkey")
+        )
+    ca, cb = bd.alias("ca"), bd.alias("cb")
+    hash_pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.bkey") == F.col("cb.bkey"))
+            & (F.col("ca.dhash") < F.col("cb.dhash")),
+        )
+        .select(F.col("ca.dhash").alias("_ha"), F.col("cb.dhash").alias("_hb"))
+        .dropDuplicates(["_ha", "_hb"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # expand verified hash pairs back to member pairs (each unordered
+    # member pair belongs to exactly ONE unordered hash pair, so no dedup
+    # is needed; least/greatest restores the id_a < id_b contract)
+    amem = h.select(F.col("dhash").alias("_ha"), F.col("media_id").alias("_ia"))
+    bmem = h.select(F.col("dhash").alias("_hb"), F.col("media_id").alias("_ib"))
+    near = (
+        hash_pairs.join(amem, "_ha")
+        .join(bmem, "_hb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return exact.unionByName(near)
 
 
 MP3_SIDEINFO_SCHEMA = T.StructType(

@@ -2074,7 +2074,7 @@ def p2_ical_extract(spark, sf_dir):
                 esc = (
                     guarded.replace("\\", "\\\\")
                     .replace(",", "\\,")
-                    .replace(";", "\;")
+                    .replace(";", "\\;")
                 )
                 desc_line = "DESCRIPTION:" + esc
                 # RFC 5545 §3.1: fold content lines at 75 octets

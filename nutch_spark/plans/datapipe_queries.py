@@ -156,10 +156,18 @@ _MINHASH_PARAMS_SQL = ", ".join(
 )
 
 
-@q(
-    "dp_minhash_lsh",
-    f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+_LSH_BUCKET_CAP = 1024  # minhash_lsh_pairs' default max_bucket, modeled 1:1
+
+
+def _minhash_lsh_sql(corpus_sql: str, cap: int) -> str:
+    """The MinHash+LSH oracle parameterized by corpus and hot-bucket cap —
+    shared by dp_minhash_lsh (organic corpus, cap inactive at sf0.01) and
+    dp_minhash_flood (planted 31-copy clusters, cap ACTIVE). Models the
+    banding AND the guard exactly: band buckets over ``cap`` ids sub-bucket
+    by the full-signature digest, so only signature-identical docs pair
+    inside a hot bucket."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
     sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
     ex AS (SELECT id, CAST({_H64.format(s="unnest(s)")} % {_MINHASH_PRIME} AS BIGINT) AS b
@@ -170,32 +178,95 @@ _MINHASH_PARAMS_SQL = ", ".join(
       FROM ex CROSS JOIN params p
       GROUP BY ex.id, p.seed
     ),
+    sigdig AS (
+      SELECT id, md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sd
+      FROM sigs GROUP BY id
+    ),
     buckets AS (
       SELECT id, seed // {_ROWS_PER_BAND} AS band,
              md5(CAST(seed // {_ROWS_PER_BAND} AS VARCHAR) || ',' ||
                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
       FROM sigs GROUP BY id, seed // {_ROWS_PER_BAND}
     ),
+    hot AS (
+      SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING count(*) > {cap}
+    ),
+    keyed AS (
+      SELECT b.id, b.band,
+             CASE WHEN h.bucket IS NOT NULL THEN b.bucket || ':' || s.sd
+                  ELSE b.bucket END AS bucket
+      FROM buckets b
+      LEFT JOIN hot h ON h.band = b.band AND h.bucket = b.bucket
+      JOIN sigdig s ON s.id = b.id
+    ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     )
     SELECT c.id_a, c.id_b,
            len(list_intersect(sa.s, sb.s)) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
     FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
     WHERE len(list_intersect(sa.s, sb.s)) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.6
-    """,
-)
+    """
+
+
+@q("dp_minhash_lsh", _minhash_lsh_sql(_CORPUS_SQL, _LSH_BUCKET_CAP))
 def dp_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: 32 min-hashes, 8 bands x 4 rows, band-bucket
-    join for candidates, exact-Jaccard verification. The oracle reproduces
-    the banding exactly (LSH recall < 100% is part of the semantics). Shuffle
-    is O(docs x bands) — the 100 TB path where all-pairs is impossible."""
+    join for candidates, exact-Jaccard verification, hot-bucket guard ON
+    (band buckets over max_bucket ids sub-bucket by full-signature digest —
+    the census+sub-bucket pattern of text_embed_neardup_pairs; inactive at
+    this corpus size, modeled by the oracle regardless; dp_minhash_flood
+    certifies the ACTIVE guard). The oracle reproduces the banding exactly
+    (LSH recall < 100% is part of the semantics). Shuffle is O(docs x
+    bands) — the 100 TB path where all-pairs is impossible."""
     return minhash_lsh_pairs(
         _corpus(spark, sf_dir),
         num_hashes=_BANDS * _ROWS_PER_BAND,
         bands=_BANDS,
         threshold=0.6,
+        max_bucket=_LSH_BUCKET_CAP,
+    )
+
+
+_FLOOD_COPIES = 30  # copies per flooded doc → 31-member clusters
+_FLOOD_CAP = 8  # guard cap for the flood query: every cluster bucket is hot
+
+_FLOOD_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 1000000 * (k.k + 1) AS doc_id, d.text
+  FROM documents d CROSS JOIN (SELECT unnest(range({_FLOOD_COPIES})) AS k) k
+  WHERE d.doc_id % 100 = 0
+"""
+
+
+@q("dp_minhash_flood", _minhash_lsh_sql(_FLOOD_CORPUS_SQL, _FLOOD_CAP))
+def dp_minhash_flood(spark, sf_dir):
+    """minhash_lsh_pairs' hot-bucket guard certified ACTIVE: every doc with
+    doc_id %% 100 == 0 gains 30 exact copies, so all 8 band buckets of each
+    31-member cluster exceed the cap (8) and sub-bucket by the
+    full-signature digest. Exact copies share the signature → every
+    within-cluster pair survives the guard at Jaccard 1.0; the quadratic
+    band self-join over the flood never materializes (a bucket of mixed
+    non-identical docs would split by digest). The oracle recomputes the
+    census and sub-bucketing identically — dup-heavy web corpora make this
+    the load-bearing path at 100 TB, not a tail case."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .crossJoin(spark.range(_FLOOD_COPIES).select(F.col("id").alias("_k")))
+        .select(
+            (F.col("doc_id") + (F.col("_k") + 1) * 1000000).alias("doc_id"),
+            "text",
+        )
+    )
+    return minhash_lsh_pairs(
+        d.unionByName(copies),
+        num_hashes=_BANDS * _ROWS_PER_BAND,
+        bands=_BANDS,
+        threshold=0.6,
+        max_bucket=_FLOOD_CAP,
     )
 
 

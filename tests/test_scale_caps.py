@@ -256,3 +256,76 @@ def test_skew_salted_join_with_map_column(spark):
         for r in left.join(right, ["host"], "inner").collect()
     )
     assert got == want and sum(want.values()) == 301
+
+
+def test_minhash_lsh_hot_bucket_guard(spark):
+    """minhash_lsh_pairs' hot-bucket guard (round 14): a 21-copy flood makes
+    every band bucket of the flooded signature hot at cap=4; identical
+    signatures keep pairing (the dedup answer), while a near-copy that only
+    meets the flood through hot buckets stops generating candidates — the
+    quadratic bucket self-join never materializes. Unguarded run pins the
+    candidate-count bound the guard removes."""
+    from nutch_spark.datapipe.dedup import minhash_lsh_pairs
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(21)] + [(99, base + " extra suffix tokens")],
+        "doc_id long, text string",
+    )
+    guarded = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=4).collect()
+    # all 210 within-flood pairs survive (identical signature digest)...
+    assert len(guarded) == 21 * 20 // 2
+    assert all(r["jaccard"] == 1.0 for r in guarded)
+    assert all(r["id_b"] != 99 for r in guarded)
+    # ...and WITHOUT the guard the near-copy pairs against every flood
+    # member through the hot buckets: exactly the 21 extra candidates the
+    # guard is there to stop (at web scale: millions, squared)
+    unguarded = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=None).collect()
+    assert len(unguarded) == 21 * 20 // 2 + 21
+    assert sum(r["id_b"] == 99 for r in unguarded) == 21
+
+
+def test_dhash_near_dup_flood_collapse_and_band_cap(spark):
+    """dhash_near_dup (round 14): identical hashes collapse to ONE row in
+    the banded candidate join (a 50-copy flood costs C(50,2) output rows,
+    never 50^2·bands candidates), and a 16-bit band key saturated by more
+    than max_band_bucket DISTINCT hashes drops that band's candidates —
+    pairs whose only agreement is the hot band disappear, pairs with a
+    quiet agreeing band survive."""
+    from nutch_spark.datapipe.multimodal import dhash_near_dup
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = []
+    # 50 identical copies (the flood): hash V
+    V = 0x0123456789ABCDEF
+    rows += [(i, signed(V)) for i in range(50)]
+    # 10 DISTINCT hashes sharing band 0 (low 16 bits) AND bands 2,3 (zeros):
+    # all three shared bands go hot at cap=3; consecutive members are within
+    # hamming 3 of each other but agree ONLY on hot bands
+    rows += [(100 + i, signed((i << 16) | 0x1234)) for i in range(1, 11)]
+    # a quiet near pair: agree on band 3 key 0xAAAA (only these two), hamming 2
+    rows += [(201, signed((0xAAAA << 48) | 0x1)), (202, signed((0xAAAA << 48) | 0x2))]
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+
+    got = dhash_near_dup(hashes, max_hamming=3, bands=4, max_band_bucket=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    flood = {(a, b): h for (a, b), h in pairs.items() if b < 100}
+    assert len(flood) == 50 * 49 // 2 and set(flood.values()) == {0}
+    assert pairs[(201, 202)] == 2  # quiet band key survives the cap
+    hot_only = [(a, b) for (a, b) in pairs if 100 <= a < 200]
+    assert hot_only == []  # hot-band-only agreements dropped
+
+    # without the cap the hot band-0 group pairs quadratically: the exact
+    # candidate count the guard removes (members at hamming <= 3: i vs i+1
+    # differ by bits of (i ^ (i+1)) in band 1)
+    uncapped = dhash_near_dup(hashes, max_hamming=3, bands=4, max_band_bucket=None)
+    up = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    extra = {(a, b) for (a, b) in up if 100 <= a < 200}
+    assert len(extra) > 0 and (100 + 1, 100 + 2) not in pairs
+    assert up - extra == set(pairs)
