@@ -557,7 +557,14 @@ def parse_audio_tags(payload: bytes, *, max_frames: int = 4096) -> dict | None:
     - **ID3v2** (leading ``ID3`` — MP3 and friends): v2.2 3-byte frame
       ids/sizes, v2.3 plain-BE 4-byte sizes, v2.4 syncsafe sizes; text
       frames carry an encoding byte (latin-1 / UTF-16 BOM / UTF-16BE /
-      UTF-8, ID3v2.4 §4.2).
+      UTF-8, ID3v2.4 §4.2). The header's extended-header flag (0x40) is
+      honored — v2.3 counts its plain-u32 size EXCLUDING the 4 size
+      bytes (ID3v2.3 §3.2), v2.4's syncsafe size INCLUDES the whole
+      extended header (ID3v2.4 §3.2) — and so is unsynchronisation
+      (0x80): v2.2/v2.3 de-unsynchronise the whole tag before the frame
+      walk (§5: ``FF 00`` → ``FF``); v2.4 applies it per frame via the
+      frame-format flag 0x02, honoring the data-length indicator (0x01)
+      when present.
     - **VorbisComment** in Ogg (Vorbis packet 2 ``\\x03vorbis``, Opus
       packet 2 ``OpusTags`` — found via the RFC 3533 page walk).
     - **FLAC** native VORBIS_COMMENT metadata block (type 4).
@@ -573,29 +580,53 @@ def parse_audio_tags(payload: bytes, *, max_frames: int = 4096) -> dict | None:
     n = len(payload)
     if payload[:3] == b"ID3" and n >= 10:
         ver = payload[3]
+        hflags = payload[5]
         size = (
             (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
             | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
         )
-        end = min(10 + size, n)
-        pos = 10
+        data = payload[10 : min(10 + size, n)]
+        if hflags & 0x80 and ver <= 3:
+            # v2.2/v2.3 unsynchronisation applies to the WHOLE tag (§5);
+            # frame sizes are valid on the de-unsynchronised data
+            data = data.replace(b"\xff\x00", b"\xff")
+        pos = 0
+        end = len(data)
+        if hflags & 0x40 and ver >= 3:
+            # extended header precedes the first frame: v2.3's plain-u32
+            # size EXCLUDES the 4 size bytes; v2.4's syncsafe size
+            # INCLUDES the whole extended header
+            if end < 4:
+                return None
+            raw = data[0:4]
+            if ver >= 4:
+                ext = (
+                    (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14
+                    | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F)
+                )
+            else:
+                ext = 4 + int.from_bytes(raw, "big")
+            if ext <= 0 or ext > end:
+                return None
+            pos = ext
         out = {
             "container": "id3", "title": None, "artist": None,
             "album": None, "n_tags": 0, "vendor": None,
         }
         frames = 0
         while frames < max_frames:
+            fflags2 = 0
             if ver == 2:  # ID3v2.2: id(3) size(3)
-                if pos + 6 > end or payload[pos] == 0:
+                if pos + 6 > end or data[pos] == 0:
                     break
-                fid = payload[pos : pos + 3].decode("latin-1", errors="replace")
-                fsz = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+                fid = data[pos : pos + 3].decode("latin-1", errors="replace")
+                fsz = int.from_bytes(data[pos + 3 : pos + 6], "big")
                 hdr = 6
             else:  # v2.3 (plain BE size) / v2.4 (syncsafe size)
-                if pos + 10 > end or payload[pos] == 0:
+                if pos + 10 > end or data[pos] == 0:
                     break
-                fid = payload[pos : pos + 4].decode("latin-1", errors="replace")
-                raw = payload[pos + 4 : pos + 8]
+                fid = data[pos : pos + 4].decode("latin-1", errors="replace")
+                raw = data[pos + 4 : pos + 8]
                 if ver >= 4:
                     fsz = (
                         (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14
@@ -603,13 +634,19 @@ def parse_audio_tags(payload: bytes, *, max_frames: int = 4096) -> dict | None:
                     )
                 else:
                     fsz = int.from_bytes(raw, "big")
+                fflags2 = data[pos + 9]  # frame FORMAT flags (v2.4 §4.1.2)
                 hdr = 10
             if fsz <= 0 or pos + hdr + fsz > end:
                 break
-            body = payload[pos + hdr : pos + hdr + fsz]
+            body = data[pos + hdr : pos + hdr + fsz]
             pos += hdr + fsz
             frames += 1
             out["n_tags"] += 1
+            if ver >= 4:
+                if fflags2 & 0x01:  # data-length indicator: 4 syncsafe bytes
+                    body = body[4:]
+                if fflags2 & 0x02:  # per-frame unsynchronisation
+                    body = body.replace(b"\xff\x00", b"\xff")
             field = _ID3_FIELDS.get(fid)
             if field is not None and out[field] is None:
                 out[field] = _id3_text(body)
@@ -840,7 +877,9 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
                                          # page boundaries (a remux) sign
                                          # identically, and trailing junk
                                          # after the EOS page is ignored
-         "crc_ok",                       # no bad-CRC page hit the walk
+         "crc_ok",                       # page stream consistent: no bad
+                                         # CRC and no page_sequence_no gap
+                                         # (RFC 3533 §6 loss detection)
          "eos"}                          # primary stream's EOS page seen
 
     Hostile-input posture: page 0 must be a CRC-valid BOS page — both
@@ -851,8 +890,13 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
     truncated page ends the census at the
     consistent prefix (``crc_ok`` False for corruption, ``eos`` False for
     truncation); a continued-packet flag with nothing pending drops the
-    orphan fragment per RFC 3533 §6; the page count caps at
-    ``max_pages`` and every length is bounds-checked before the read."""
+    orphan fragment per RFC 3533 §6, and a pending fragment whose
+    stream's next page does NOT set the continued flag is discarded as
+    stale (the packet can never complete — never glued onto an unrelated
+    packet); a page_sequence_no gap ends the census like a bad CRC
+    (pages were lost, so packet identity past the gap is unknowable);
+    the page count caps at ``max_pages`` and every length is
+    bounds-checked before the read."""
     import hashlib
 
     n = len(payload)
@@ -866,6 +910,7 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
     bos_order: list[int] = []            # serials in BOS order
     first_pkt: dict[int, bytes] = {}     # serial → first completed packet
     pending: dict[int, bytearray | None] = {}  # serial → partial packet
+    next_seq: dict[int, int] = {}        # serial → expected page sequence no
     packets: dict[int, list[bytes]] = {}  # serial → completed packets
     last_granule: dict[int, int] = {}
     eos_serials: set[int] = set()
@@ -875,6 +920,7 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
         htype = payload[pos + 5]
         granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
         (serial,) = struct.unpack("<I", payload[pos + 14 : pos + 18])
+        (page_seq,) = struct.unpack("<I", payload[pos + 18 : pos + 22])
         n_segs = payload[pos + 26]
         seg_end = pos + 27 + n_segs
         if seg_end > n:
@@ -898,7 +944,23 @@ def parse_ogg_info(payload: bytes, *, max_pages: int = 8192) -> dict | None:
         if serial not in packets:  # data page for a stream with no BOS
             packets[serial] = []
             pending[serial] = None
+        # page-sequence continuity (RFC 3533 §6: page_sequence_no lets a
+        # decoder detect page loss): a gap means packets are missing —
+        # end the census at the consistent prefix, like a bad CRC.
+        # crc_ok therefore reads as "page stream consistent".
+        expected = next_seq.get(serial)
+        if expected is not None and page_seq != expected:
+            crc_ok = False
+            n_pages -= 1  # the gapped page is NOT part of the census
+            break
+        next_seq[serial] = (page_seq + 1) & 0xFFFFFFFF
         buf = pending[serial]
+        if not (htype & 0x01) and buf is not None:
+            # previous page ended mid-packet but this page does NOT set
+            # the continued flag: the fragment can never complete (RFC
+            # 3533 packet-boundary rules) — discard it rather than
+            # concatenating it into an unrelated packet
+            buf = None
         if htype & 0x01 and buf is None:
             # continued-packet data with nothing pending: drop the orphan
             # fragment (consume lacing values through its terminator)

@@ -1189,7 +1189,7 @@ def _unfold_ics(data: bytes) -> list[str]:
 
 
 def _ics_unescape(value: str) -> str:
-    """RFC 5545 §3.3.11 TEXT escaping: \\n newline, \\, \; literals."""
+    """RFC 5545 §3.3.11 TEXT escaping: \\n newline, \\, \\; literals."""
     return (
         value.replace("\\n", "\n").replace("\\N", "\n")
         .replace("\\,", ",").replace("\\;", ";").replace("\\\\", "\\")

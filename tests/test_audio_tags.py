@@ -114,3 +114,60 @@ def test_fuzz_mutated_id3_never_crash(seed, flip_at):
     pay[flip_at % len(pay)] ^= 1 + seed % 255
     info = parse_audio_tags(bytes(pay))
     assert info is None or info["n_tags"] >= 1
+
+
+def _id3f(ver: int, flags: int, frames: bytes) -> bytes:
+    """Like _id3 but with header flags (unsync 0x80 / extended header 0x40)."""
+    sz = len(frames)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([ver, 0, flags]) + ss + frames
+
+
+def _v4_frame(fid: str, body: bytes, flags2: int = 0) -> bytes:
+    n = len(body)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return fid.encode() + ss + bytes([0, flags2]) + body
+
+
+def test_id3v23_extended_header_skipped():
+    # ID3v2.3 §3.2: ext size EXCLUDES the 4 size bytes (6 = flags + padding)
+    ext = struct.pack(">I", 6) + b"\x00" * 6
+    t = parse_audio_tags(_id3f(3, 0x40, ext + _v3_frame("TIT2", "After Ext")))
+    assert t is not None and t["title"] == "After Ext" and t["n_tags"] == 1
+
+
+def test_id3v24_extended_header_skipped():
+    # ID3v2.4 §3.2: syncsafe size INCLUDES the whole ext header (min 6)
+    ext = bytes([0, 0, 0, 6, 1, 0])
+    frame = _v4_frame("TIT2", b"\x03" + "After Ext4".encode())
+    t = parse_audio_tags(_id3f(4, 0x40, ext + frame))
+    assert t is not None and t["title"] == "After Ext4"
+
+
+def test_id3v23_whole_tag_unsynchronisation():
+    # §5: FF bytes store as FF 00 across the whole v2.3 tag; the UTF-16
+    # BOM's FF makes the stored frame differ from the logical one
+    plain = _v3_frame("Hi Title", "Hi")[:0] + _v3_frame("TIT2", "Hi", enc=1)
+    stored = plain.replace(b"\xff", b"\xff\x00")
+    assert stored != plain
+    t = parse_audio_tags(_id3f(3, 0x80, stored))
+    assert t is not None and t["title"] == "Hi"
+
+
+def test_id3v24_per_frame_unsync_and_data_length_indicator():
+    # v2.4 frame-format flags: 0x02 unsynchronised body, 0x01 leading
+    # 4-byte data-length indicator
+    body = b"\x01" + "Hé".encode("utf-16")
+    stored = body.replace(b"\xff", b"\xff\x00")
+    f_unsync = _v4_frame("TIT2", stored, flags2=0x02)
+    n = len(b"\x03Artist")
+    dli = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    f_dli = _v4_frame("TPE1", dli + b"\x03Artist", flags2=0x01)
+    t = parse_audio_tags(_id3f(4, 0, f_unsync + f_dli))
+    assert t is not None and t["title"] == "Hé" and t["artist"] == "Artist"
+
+
+def test_id3_extended_header_oversized_is_none():
+    # ext size past the tag end: malformed — None, never an exception
+    ext = struct.pack(">I", 10_000) + b"\x00" * 2
+    assert parse_audio_tags(_id3f(3, 0x40, ext)) is None

@@ -416,3 +416,37 @@ def test_theora_pre321_granule_is_frame_index():
 
     assert dur(1) == 400   # 3.2.1: granule == frame count (10 @ 25 fps)
     assert dur(0) == 440   # 3.2.0: granule == last index (11 frames)
+
+
+def test_stale_fragment_discarded_without_continued_flag():
+    """Round-14 ADVICE fix: page 1 ends mid-packet; page 2 does NOT set the
+    continued flag, so the pending fragment can never complete — it must be
+    DISCARDED (RFC 3533 packet-boundary rules), never glued onto page 2's
+    unrelated packet (which would skew n_packets and stream_sig)."""
+    idp = vorbis_id(2, 44100)
+    frag = b"\xaa" * 255  # unterminated 255-multiple lacing run
+    solo = b"standalone"
+    raw = (
+        mk_page(7, 0, 0, [(idp, True)], bos=True)
+        + mk_page(7, 1, -1, [(frag, False)])
+        + mk_page(7, 2, 44100, [(solo, True)], eos=True)  # cont NOT set
+    )
+    info = parse_ogg_info(raw)
+    assert info["n_packets"] == 2
+    assert info["stream_sig"] == packet_sig([idp, solo])
+
+
+def test_page_sequence_gap_ends_census():
+    """Round-14 ADVICE fix: a page_sequence_no gap (RFC 3533 §6 loss
+    detection) ends the census at the consistent prefix, like a bad CRC —
+    packets past lost pages have unknowable identity."""
+    idp = vorbis_id(2, 44100)
+    raw = (
+        mk_page(7, 0, 0, [(idp, True)], bos=True)
+        + mk_page(7, 1, 44100, [(b"pkt1", True)])
+        + mk_page(7, 3, 88200, [(b"pkt2", True)], eos=True)  # seq 2 lost
+    )
+    info = parse_ogg_info(raw)
+    assert info["n_pages"] == 2 and info["crc_ok"] is False
+    assert info["n_packets"] == 2 and info["eos"] is False
+    assert info["stream_sig"] == packet_sig([idp, b"pkt1"])
