@@ -42,6 +42,8 @@ SEED_TEXT: dict[str, str] = {
         "people often forget how important it is to drink enough water. "
         "the history of the city goes back more than a thousand years. "
         "it was the best of times and it was the worst of times."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "the students read many books at the city library every week. in the evening the family eats dinner together in the kitchen. she prepares carefully for her exams."
     ),
     "de": (
         "der schnelle braune fuchs springt über den faulen hund. "
@@ -54,6 +56,8 @@ SEED_TEXT: dict[str, str] = {
         "die leute vergessen oft wie wichtig es ist genug wasser zu trinken. "
         "die geschichte der stadt reicht mehr als tausend jahre zurück. "
         "es war die beste zeit und es war die schlechteste zeit."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "die schüler lesen jede woche viele bücher in der stadtbibliothek. am abend isst die familie gemeinsam in der küche zu abend. sie bereitet sich sorgfältig auf ihre prüfungen vor."
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux. "
@@ -66,6 +70,8 @@ SEED_TEXT: dict[str, str] = {
         "les gens oublient souvent combien il est important de boire assez d'eau. "
         "l'histoire de la ville remonte à plus de mille ans. "
         "c'était le meilleur des temps et c'était le pire des temps."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "les élèves lisent beaucoup de livres à la bibliothèque de la ville chaque semaine. le soir la famille dîne ensemble dans la cuisine. elle se prépare soigneusement pour ses examens."
     ),
     "es": (
         "el rápido zorro marrón salta sobre el perro perezoso. "
@@ -78,6 +84,8 @@ SEED_TEXT: dict[str, str] = {
         "la gente olvida a menudo lo importante que es beber suficiente agua. "
         "la historia de la ciudad se remonta a más de mil años. "
         "era el mejor de los tiempos y era el peor de los tiempos."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "los estudiantes leen muchos libros en la biblioteca de la ciudad cada semana. por la noche la familia cena junta en la cocina. se prepara cuidadosamente para sus exámenes."
     ),
     "zh": (
         "敏捷的棕色狐狸跳过了懒惰的狗。"
@@ -90,6 +98,8 @@ SEED_TEXT: dict[str, str] = {
         "人们常常忘记喝足够的水有多重要。"
         "这座城市的历史可以追溯到一千多年前。"
         "这是最好的时代也是最坏的时代。"
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "学生们每周在城市图书馆读很多书。晚上一家人在厨房一起吃晚饭。她认真地准备考试。"
     ),
     "it": (
         "la rapida volpe marrone salta sopra il cane pigro. "
@@ -102,6 +112,8 @@ SEED_TEXT: dict[str, str] = {
         "la gente dimentica spesso quanto sia importante bere abbastanza acqua. "
         "la storia della città risale a più di mille anni fa. "
         "era il migliore dei tempi ed era il peggiore dei tempi."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "gli studenti leggono molti libri nella biblioteca della città ogni settimana. la sera la famiglia cena insieme in cucina. si prepara con cura per i suoi esami."
     ),
     "pt": (
         "a rápida raposa marrom salta sobre o cão preguiçoso. "
@@ -114,6 +126,8 @@ SEED_TEXT: dict[str, str] = {
         "as pessoas esquecem muitas vezes como é importante beber bastante água. "
         "a história da cidade remonta a mais de mil anos. "
         "era o melhor dos tempos e era o pior dos tempos."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "os estudantes leem muitos livros na biblioteca da cidade todas as semanas. à noite a família janta junta na cozinha. ela se prepara cuidadosamente para os seus exames."
     ),
     "nl": (
         "de snelle bruine vos springt over de luie hond. "
@@ -129,6 +143,8 @@ SEED_TEXT: dict[str, str] = {
         "wij zijn vrij om zelf te kiezen waar wij willen wonen. "
         "de jongens fietsen elke dag langs het kanaal naar hun werk. "
         "zij kijken graag naar oude schilderijen in het museum."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "de leerlingen lezen elke week veel boeken in de stadsbibliotheek. s avonds eet het gezin samen in de keuken. zij bereidt zich zorgvuldig voor op haar examens."
     ),
     "ru": (
         "быстрая коричневая лиса прыгает через ленивую собаку. "
@@ -141,6 +157,8 @@ SEED_TEXT: dict[str, str] = {
         "люди часто забывают как важно пить достаточно воды. "
         "история города насчитывает более тысячи лет. "
         "это было лучшее из времен и это было худшее из времен."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "студенты каждую неделю читают много книг в городской библиотеке. вечером семья вместе ужинает на кухне. она тщательно готовится к своим экзаменам."
     ),
     "ja": (
         "素早い茶色の狐は怠けた犬を飛び越える。"
@@ -153,6 +171,8 @@ SEED_TEXT: dict[str, str] = {
         "人々は十分な水を飲むことの大切さをよく忘れます。"
         "この街の歴史は千年以上前にさかのぼります。"
         "それは最良の時代でもあり最悪の時代でもありました。"
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "学生たちは毎週市立図書館でたくさんの本を読みます。夜には家族が台所で一緒に夕食を食べます。彼女は試験の準備を丁寧にします。"
     ),
     # round 8: the four reference test languages (language-identifier
     # plugin's da/el/fi/sv samples) the profile set was missing
@@ -167,6 +187,8 @@ SEED_TEXT: dict[str, str] = {
         "folk glemmer ofte hvor vigtigt det er at drikke nok vand. "
         "byens historie går mere end tusind år tilbage. "
         "det var den bedste tid og det var den værste tid."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "eleverne læser mange bøger på byens bibliotek hver uge. om aftenen spiser familien aftensmad sammen i køkkenet. han forbereder sig grundigt til sine prøver og eksamener."
     ),
     "sv": (
         "den snabba bruna räven hoppar över den lata hunden. "
@@ -179,6 +201,8 @@ SEED_TEXT: dict[str, str] = {
         "människor glömmer ofta hur viktigt det är att dricka tillräckligt med vatten. "
         "stadens historia går mer än tusen år tillbaka. "
         "det var den bästa av tider och det var den värsta av tider."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "eleverna läser många böcker på stadens bibliotek varje vecka. på kvällen äter familjen middag tillsammans i köket. han förbereder sig noggrant inför sina prov och tentor."
     ),
     "fi": (
         "nopea ruskea kettu hyppää laiskan koiran yli. "
@@ -191,6 +215,8 @@ SEED_TEXT: dict[str, str] = {
         "ihmiset unohtavat usein kuinka tärkeää on juoda tarpeeksi vettä. "
         "kaupungin historia ulottuu yli tuhannen vuoden taakse. "
         "se oli parhainta aikaa ja se oli pahinta aikaa."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "opiskelijat lukevat monia kirjoja kaupungin kirjastossa joka viikko. illalla perhe syö yhdessä illallista keittiössä. hän valmistautuu huolellisesti kokeisiinsa."
     ),
     "el": (
         "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί. "
@@ -203,6 +229,95 @@ SEED_TEXT: dict[str, str] = {
         "οι άνθρωποι συχνά ξεχνούν πόσο σημαντικό είναι να πίνουν αρκετό νερό. "
         "η ιστορία της πόλης πηγαίνει πίσω περισσότερα από χίλια χρόνια. "
         "ήταν η καλύτερη εποχή και ήταν η χειρότερη εποχή."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "οι μαθητές διαβάζουν πολλά βιβλία στη βιβλιοθήκη της πόλης κάθε εβδομάδα. το βράδυ η οικογένεια τρώει δείπνο μαζί στην κουζίνα. προετοιμάζεται προσεκτικά για τις εξετάσεις του."
+    ),
+    # round 14: six more of the reference plugin's language surface
+    # (VERDICT r13 item 3 — broaden toward the language-identifier
+    # plugin's coverage): pl/cs/no/hu/ro/tr, 20 profiles total
+    "pl": (
+        "szybki brązowy lis przeskakuje nad leniwym psem. "
+        "to jest proste zdanie z kilkoma popularnymi polskimi słowami. "
+        "jutro rano idziemy na targ kupić chleb i mleko. "
+        "nie ma nic lepszego niż dobra książka w deszczowe popołudnie. "
+        "pogoda jest dziś bardzo ładna a dzieci bawią się na dworze. "
+        "chciałbym podziękować wszystkim za pomoc w tym projekcie. "
+        "powiedziała że spotkanie odbędzie się w przyszłym tygodniu w czwartek. "
+        "ludzie często zapominają jak ważne jest picie wystarczającej ilości wody. "
+        "historia miasta sięga ponad tysiąca lat wstecz. "
+        "to był najlepszy czas i to był najgorszy czas."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "uczniowie czytają wiele książek w miejskiej bibliotece każdego tygodnia. wieczorem rodzina je razem kolację w kuchni. przygotowuje się starannie do swoich egzaminów."
+    ),
+    "cs": (
+        "rychlá hnědá liška skáče přes líného psa. "
+        "toto je jednoduchá věta s několika běžnými českými slovy. "
+        "zítra ráno jdeme na trh koupit chléb a mléko. "
+        "není nic lepšího než dobrá kniha v deštivém odpoledni. "
+        "počasí je dnes velmi pěkné a děti si hrají venku. "
+        "rád bych poděkoval všem za pomoc s tímto projektem. "
+        "řekla že schůzka se bude konat příští týden ve čtvrtek. "
+        "lidé často zapomínají jak je důležité pít dostatek vody. "
+        "historie města sahá více než tisíc let zpátky. "
+        "byl to nejlepší čas a byl to nejhorší čas."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "studenti čtou mnoho knih v městské knihovně každý týden. večer jí rodina společně večeři v kuchyni. připravuje se pečlivě na své zkoušky."
+    ),
+    "no": (
+        "den raske brune reven hopper over den late hunden. "
+        "dette er en enkel setning med noen vanlige norske ord. "
+        "vi skal på markedet i morgen tidlig for å kjøpe brød og melk. "
+        "det finnes ikke noe bedre enn en god bok en regnfull ettermiddag. "
+        "været er veldig fint i dag og barna leker utenfor. "
+        "jeg vil gjerne takke alle for hjelpen med dette prosjektet. "
+        "hun sa at møtet skal finne sted neste uke på torsdag. "
+        "folk glemmer ofte hvor viktig det er å drikke nok vann. "
+        "byens historie går mer enn tusen år tilbake. "
+        "det var den beste tiden og det var den verste tiden."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "elevene leser mange bøker på byens bibliotek hver uke. om kvelden spiser familien middag sammen på kjøkkenet. han forbereder seg grundig til prøvene og eksamenene sine."
+    ),
+    "hu": (
+        "a gyors barna róka átugrik a lusta kutya felett. "
+        "ez egy egyszerű mondat néhány gyakori magyar szóval. "
+        "holnap reggel a piacra megyünk kenyeret és tejet venni. "
+        "nincs jobb egy jó könyvnél egy esős délutánon. "
+        "ma nagyon szép az idő és a gyerekek kint játszanak. "
+        "szeretném megköszönni mindenkinek a segítségét ebben a projektben. "
+        "azt mondta hogy a találkozó jövő héten csütörtökön lesz. "
+        "az emberek gyakran elfelejtik milyen fontos elég vizet inni. "
+        "a város története több mint ezer évre nyúlik vissza. "
+        "ez volt a legjobb idő és ez volt a legrosszabb idő."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "a tanulók sok könyvet olvasnak a városi könyvtárban minden héten. este a család együtt vacsorázik a konyhában. gondosan készül a vizsgáira."
+    ),
+    "ro": (
+        "vulpea maro rapidă sare peste câinele leneș. "
+        "aceasta este o propoziție simplă cu câteva cuvinte românești obișnuite. "
+        "mâine dimineață mergem la piață să cumpărăm pâine și lapte. "
+        "nu există nimic mai bun decât o carte bună într-o după-amiază ploioasă. "
+        "vremea este foarte frumoasă astăzi și copiii se joacă afară. "
+        "aș dori să mulțumesc tuturor pentru ajutorul lor cu acest proiect. "
+        "ea a spus că întâlnirea va avea loc săptămâna viitoare joi. "
+        "oamenii uită adesea cât de important este să bea destulă apă. "
+        "istoria orașului se întinde pe mai mult de o mie de ani. "
+        "a fost cel mai bun timp și a fost cel mai rău timp."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "elevii citesc multe cărți la biblioteca orașului în fiecare săptămână. seara familia ia cina împreună în bucătărie. se pregătește cu grijă pentru examenele sale."
+    ),
+    "tr": (
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlar. "
+        "bu bazı yaygın türkçe kelimeler içeren basit bir cümledir. "
+        "yarın sabah ekmek ve süt almak için pazara gidiyoruz. "
+        "yağmurlu bir öğleden sonra iyi bir kitaptan daha güzel bir şey yoktur. "
+        "bugün hava çok güzel ve çocuklar dışarıda oynuyor. "
+        "bu projedeki yardımları için herkese teşekkür etmek istiyorum. "
+        "toplantının gelecek hafta perşembe günü yapılacağını söyledi. "
+        "insanlar yeterince su içmenin ne kadar önemli olduğunu sık sık unutur. "
+        "şehrin tarihi bin yıldan daha eskiye uzanır. "
+        "zamanların en iyisiydi ve zamanların en kötüsüydü."
+        # r14 balance block (library/dinner/exams prose, all 20 languages)
+        "öğrenciler her hafta şehir kütüphanesinde birçok kitap okur. akşamları aile mutfakta birlikte yemek yer. sınavlarına dikkatlice hazırlanır."
     ),
 }
 

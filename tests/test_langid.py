@@ -41,6 +41,28 @@ HELD_OUT = [
     ("Mis abuelos viven en un pequeño pueblo cerca de la montaña.", "es"),
     ("我们学校的老师每天都认真地给学生们上课。", "zh"),
     ("昨天晚上我和朋友一起去餐厅吃了晚饭。", "zh"),
+    # round 8 additions (da/sv/fi/el)
+    ("Eleverne forbereder deres eksamener på skolens bibliotek.", "da"),
+    ("Vi spiste aftensmad sammen med vores venner i går aftes.", "da"),
+    ("Studenterna förbereder sina tentor i universitetets bibliotek.", "sv"),
+    ("Vi åt middag tillsammans med våra vänner i går kväll.", "sv"),
+    ("Opiskelijat valmistautuvat tentteihin yliopiston kirjastossa.", "fi"),
+    ("Söimme eilen illalla päivällistä ystäviemme kanssa ravintolassa.", "fi"),
+    ("Οι φοιτητές προετοιμάζονται για τις εξετάσεις στη βιβλιοθήκη.", "el"),
+    ("Χθες το βράδυ φάγαμε δείπνο με τους φίλους μας σε ένα εστιατόριο.", "el"),
+    # round 14 additions (pl/cs/no/hu/ro/tr)
+    ("Uczniowie przygotowują się do egzaminów w szkolnej bibliotece.", "pl"),
+    ("Wczoraj wieczorem zjedliśmy kolację z przyjaciółmi w restauracji.", "pl"),
+    ("Studenti se připravují na zkoušky v univerzitní knihovně.", "cs"),
+    ("Včera večer jsme s přáteli večeřeli v restauraci.", "cs"),
+    ("Studentene forbereder seg til eksamen på biblioteket i Oslo.", "no"),
+    ("I går kveld spiste vi middag sammen med venner på en restaurant.", "no"),
+    ("A diákok a könyvtárban készülnek a vizsgáikra minden délután.", "hu"),
+    ("Tegnap este a barátaimmal vacsoráztunk egy étteremben.", "hu"),
+    ("Studenții se pregătesc pentru examene în biblioteca universității.", "ro"),
+    ("Aseară am luat cina cu prietenii la un restaurant din oraș.", "ro"),
+    ("Öğrenciler kütüphanede sınavlarına hazırlanıyor her akşam.", "tr"),
+    ("Dün akşam arkadaşlarımla restoranda yemek yedik.", "tr"),
 ]
 
 
@@ -49,7 +71,8 @@ def test_profiles_deterministic_and_disjoint():
     p2, m2 = build_profiles.__wrapped__()  # rebuild without the cache
     assert p1 == p2 and m1 == m2
     assert set(p1) == set(SEED_TEXT)
-    assert len(p1) == 14  # 5 testdata labels + it/pt/nl/ru/ja + r8 da/sv/fi/el
+    # 5 testdata labels + it/pt/nl/ru/ja + r8 da/sv/fi/el + r14 pl/cs/no/hu/ro/tr
+    assert len(p1) == 20
     for lang, prof in p1.items():
         assert 0 < len(prof) <= 400
         assert all(isinstance(v, int) and v < 0 for v in prof.values())
