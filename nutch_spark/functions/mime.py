@@ -74,15 +74,26 @@ _ZIP_EXT = {
     "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "docm": "application/vnd.ms-word.document.macroenabled.12",
+    "xlsm": "application/vnd.ms-excel.sheet.macroenabled.12",
+    "pptm": "application/vnd.ms-powerpoint.presentation.macroenabled.12",
+    "dotx": "application/vnd.openxmlformats-officedocument.wordprocessingml.template",
+    "xltx": "application/vnd.openxmlformats-officedocument.spreadsheetml.template",
+    "potx": "application/vnd.openxmlformats-officedocument.presentationml.template",
     "odt": "application/vnd.oasis.opendocument.text",
     "ods": "application/vnd.oasis.opendocument.spreadsheet",
     "odp": "application/vnd.oasis.opendocument.presentation",
+    "odg": "application/vnd.oasis.opendocument.graphics",
     "jar": "application/java-archive",
     "epub": "application/epub+zip",
     "apk": "application/vnd.android.package-archive",
     "pages": "application/vnd.apple.pages",
     "numbers": "application/vnd.apple.numbers",
     "key": "application/vnd.apple.keynote",
+    "kmz": "application/vnd.google-earth.kmz",
+    "cbz": "application/vnd.comicbook+zip",
+    "xpi": "application/x-xpinstall",
+    "vsdx": "application/vnd.ms-visio.drawing",
 }
 
 _EXT = {
@@ -155,24 +166,270 @@ _EXT = {
     "woff2": "font/woff2",
     "ttf": "font/ttf",
     "otf": "font/otf",
+    "ttc": "font/collection",
+    "eot": "application/vnd.ms-fontobject",
+    "pfb": "application/x-font-type1",
     "flac": "audio/flac",
     "ogg": "application/ogg",
     "oga": "audio/ogg",
     "ogv": "video/ogg",
+    "opus": "audio/opus",
     "webm": "video/webm",
     "avi": "video/x-msvideo",
     "mov": "video/quicktime",
     "mkv": "video/x-matroska",
+    "mka": "audio/x-matroska",
     "m4a": "audio/mp4",
     "m4v": "video/mp4",
     "wav": "audio/x-wav",
     "mid": "audio/midi",
+    "midi": "audio/midi",
     "exe": "application/x-msdownload",
     "dll": "application/x-msdownload",
     "swf": "application/x-shockwave-flash",
     "php": "text/x-php",
     "jsp": "text/x-jsp",
     "asp": "text/x-asp",
+    # ------------------------------------------------------------------
+    # round 14: the glob layer widened toward Tika's public
+    # tika-mimetypes.xml surface (util/MimeUtil.java resolves the URL
+    # extension through the same registry). IANA registrations where they
+    # exist; the conventional x- names (Tika's) where they don't.
+    # ------------------------------------------------------------------
+    # source code / markup (text family: crawlers index these as text)
+    "c": "text/x-csrc",
+    "h": "text/x-chdr",
+    "cpp": "text/x-c++src",
+    "cxx": "text/x-c++src",
+    "cc": "text/x-c++src",
+    "hpp": "text/x-c++hdr",
+    "java": "text/x-java-source",
+    "py": "text/x-python",
+    "rb": "text/x-ruby",
+    "go": "text/x-go",
+    "scala": "text/x-scala",
+    "groovy": "text/x-groovy",
+    "pl": "text/x-perl",
+    "pm": "text/x-perl",
+    "lua": "text/x-lua",
+    "tcl": "text/x-tcl",
+    "sh": "application/x-sh",
+    "csh": "application/x-csh",
+    "bash": "application/x-sh",
+    "sql": "text/x-sql",
+    "diff": "text/x-diff",
+    "patch": "text/x-diff",
+    "ini": "text/plain",
+    "cfg": "text/plain",
+    "conf": "text/plain",
+    "log": "text/plain",
+    "text": "text/plain",
+    "asc": "text/plain",
+    "toml": "application/toml",
+    "rst": "text/x-rst",
+    "tex": "application/x-tex",
+    "latex": "application/x-latex",
+    "bib": "text/x-bibtex",
+    "srt": "application/x-subrip",
+    "vtt": "text/vtt",
+    "sgml": "text/sgml",
+    "sgm": "text/sgml",
+    "vm": "text/plain",
+    # structured data / semantic web
+    "jsonld": "application/ld+json",
+    "ndjson": "application/x-ndjson",
+    "jsonl": "application/x-ndjson",
+    "geojson": "application/geo+json",
+    "xsl": "application/xslt+xml",
+    "xslt": "application/xslt+xml",
+    "dtd": "application/xml-dtd",
+    "xsd": "application/xml",
+    "wsdl": "application/wsdl+xml",
+    "rdf": "application/rdf+xml",
+    "owl": "application/rdf+xml",
+    "ttl": "text/turtle",
+    "n3": "text/n3",
+    "nt": "application/n-triples",
+    "nq": "application/n-quads",
+    "kml": "application/vnd.google-earth.kml+xml",
+    "gpx": "application/gpx+xml",
+    "ics": "text/calendar",
+    "ifb": "text/calendar",
+    "vcf": "text/vcard",
+    "vcard": "text/vcard",
+    "webmanifest": "application/manifest+json",
+    "har": "application/json",
+    "avsc": "application/json",
+    # documents / ebooks / office
+    "abw": "application/x-abiword",
+    "azw": "application/vnd.amazon.ebook",
+    "azw3": "application/vnd.amazon.mobi8-ebook",
+    "mobi": "application/x-mobipocket-ebook",
+    "prc": "application/x-mobipocket-ebook",
+    "fb2": "application/x-fictionbook+xml",
+    "djvu": "image/vnd.djvu",
+    "djv": "image/vnd.djvu",
+    "xps": "application/vnd.ms-xpsdocument",
+    "oxps": "application/oxps",
+    "pub": "application/x-mspublisher",
+    "vsd": "application/vnd.visio",
+    "vsdx": "application/vnd.ms-visio.drawing",
+    "mpp": "application/vnd.ms-project",
+    "one": "application/onenote",
+    "wps": "application/vnd.ms-works",
+    "dot": "application/msword",
+    "xlt": "application/vnd.ms-excel",
+    "pot": "application/vnd.ms-powerpoint",
+    "pps": "application/vnd.ms-powerpoint",
+    "docm": "application/vnd.ms-word.document.macroenabled.12",
+    "xlsm": "application/vnd.ms-excel.sheet.macroenabled.12",
+    "pptm": "application/vnd.ms-powerpoint.presentation.macroenabled.12",
+    "dotx": "application/vnd.openxmlformats-officedocument.wordprocessingml.template",
+    "xltx": "application/vnd.openxmlformats-officedocument.spreadsheetml.template",
+    "potx": "application/vnd.openxmlformats-officedocument.presentationml.template",
+    "odg": "application/vnd.oasis.opendocument.graphics",
+    "odc": "application/vnd.oasis.opendocument.chart",
+    "odf": "application/vnd.oasis.opendocument.formula",
+    "odb": "application/vnd.oasis.opendocument.database",
+    "odi": "application/vnd.oasis.opendocument.image",
+    "odm": "application/vnd.oasis.opendocument.text-master",
+    "ott": "application/vnd.oasis.opendocument.text-template",
+    "ots": "application/vnd.oasis.opendocument.spreadsheet-template",
+    "otp": "application/vnd.oasis.opendocument.presentation-template",
+    "sxw": "application/vnd.sun.xml.writer",
+    "sxc": "application/vnd.sun.xml.calc",
+    "sxi": "application/vnd.sun.xml.impress",
+    "hwp": "application/x-hwp",
+    "cbz": "application/vnd.comicbook+zip",
+    "cbr": "application/vnd.comicbook-rar",
+    # images
+    "jfif": "image/jpeg",
+    "jpe": "image/jpeg",
+    "jp2": "image/jp2",
+    "jpx": "image/jpx",
+    "jxl": "image/jxl",
+    "apng": "image/apng",
+    "svgz": "image/svg+xml",
+    "xbm": "image/x-xbitmap",
+    "xpm": "image/x-xpixmap",
+    "pbm": "image/x-portable-bitmap",
+    "pgm": "image/x-portable-graymap",
+    "ppm": "image/x-portable-pixmap",
+    "pnm": "image/x-portable-anymap",
+    "tga": "image/x-tga",
+    "pcx": "image/vnd.zbrush.pcx",
+    "psd": "image/vnd.adobe.photoshop",
+    "ai": "application/postscript",
+    "emf": "image/emf",
+    "wmf": "image/wmf",
+    "dng": "image/x-adobe-dng",
+    "cr2": "image/x-canon-cr2",
+    "nef": "image/x-nikon-nef",
+    "arw": "image/x-sony-arw",
+    "orf": "image/x-olympus-orf",
+    "rw2": "image/x-panasonic-rw2",
+    "raf": "image/x-fuji-raf",
+    "dxf": "image/vnd.dxf",
+    "dwg": "image/vnd.dwg",
+    # audio
+    "aac": "audio/aac",
+    "aif": "audio/x-aiff",
+    "aiff": "audio/x-aiff",
+    "aifc": "audio/x-aiff",
+    "au": "audio/basic",
+    "snd": "audio/basic",
+    "amr": "audio/amr",
+    "ac3": "audio/ac3",
+    "wma": "audio/x-ms-wma",
+    "ra": "audio/x-pn-realaudio",
+    "mp2": "audio/mpeg",
+    "mpga": "audio/mpeg",
+    "spx": "audio/speex",
+    "weba": "audio/webm",
+    "m3u": "audio/x-mpegurl",
+    "m3u8": "application/vnd.apple.mpegurl",
+    "pls": "audio/x-scpls",
+    "kar": "audio/midi",
+    # video
+    "mpg": "video/mpeg",
+    "mpeg": "video/mpeg",
+    "mpe": "video/mpeg",
+    "m2v": "video/mpeg",
+    "ts": "video/mp2t",
+    "mts": "video/mp2t",
+    "m2ts": "video/mp2t",
+    "wmv": "video/x-ms-wmv",
+    "asf": "video/x-ms-asf",
+    "flv": "video/x-flv",
+    "f4v": "video/x-f4v",
+    "3gp": "video/3gpp",
+    "3g2": "video/3gpp2",
+    "rm": "application/vnd.rn-realmedia",
+    "vob": "video/x-ms-vob",
+    "dv": "video/x-dv",
+    "mxf": "application/mxf",
+    # archives / packages / installers
+    "iso": "application/x-iso9660-image",
+    "dmg": "application/x-apple-diskimage",
+    "deb": "application/x-debian-package",
+    "rpm": "application/x-rpm",
+    "cpio": "application/x-cpio",
+    "a": "application/x-archive",
+    "ar": "application/x-archive",
+    "lz": "application/x-lzip",
+    "lzma": "application/x-lzma",
+    "z": "application/x-compress",
+    "tgz": "application/gzip",
+    "tbz2": "application/x-bzip2",
+    "txz": "application/x-xz",
+    "arj": "application/x-arj",
+    "lha": "application/x-lzh-compressed",
+    "lzh": "application/x-lzh-compressed",
+    "sit": "application/x-stuffit",
+    "msi": "application/x-ms-installer",
+    "xpi": "application/x-xpinstall",
+    "crx": "application/x-chrome-extension",
+    "torrent": "application/x-bittorrent",
+    "kmz": "application/vnd.google-earth.kmz",
+    # certificates / crypto
+    "crt": "application/pkix-cert",
+    "cer": "application/pkix-cert",
+    "der": "application/pkix-cert",
+    "pem": "application/x-pem-file",
+    "p12": "application/x-pkcs12",
+    "pfx": "application/x-pkcs12",
+    "p7s": "application/pkcs7-signature",
+    "p7m": "application/pkcs7-mime",
+    "csr": "application/pkcs10",
+    "sig": "application/pgp-signature",
+    "gpg": "application/pgp-encrypted",
+    # scientific / data / databases
+    "parquet": "application/vnd.apache.parquet",
+    "sqlite": "application/vnd.sqlite3",
+    "sqlite3": "application/vnd.sqlite3",
+    "mdb": "application/x-msaccess",
+    "h5": "application/x-hdf5",
+    "hdf": "application/x-hdf",
+    "nc": "application/x-netcdf",
+    "fits": "application/fits",
+    "dcm": "application/dicom",
+    "pcap": "application/vnd.tcpdump.pcap",
+    "pcapng": "application/x-pcapng",
+    "sav": "application/x-spss-sav",
+    "dta": "application/x-stata-dta",
+    "mat": "application/x-matlab-data",
+    # 3d / geo models
+    "stl": "model/stl",
+    "obj": "model/obj",
+    "mtl": "model/mtl",
+    "gltf": "model/gltf+json",
+    "glb": "model/gltf-binary",
+    "ply": "application/x-ply",
+    "shp": "application/x-shapefile",
+    # java / android / runtime artifacts
+    "class": "application/java-vm",
+    "dex": "application/x-dex",
+    "ear": "application/java-archive",
 }
 
 
