@@ -14,49 +14,30 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-13 ordering: the queries whose code is NEW or CHANGED
-# this round lead — newest first: Ogg identity, cluster-canonical
-# retention, feature-hashing embeddings; then the earlier r13 additions
-# (MP3 side-info walk, stream-stream join, Bloom/quantile sketches, NFC,
-# token-budget/quality-bins/stratified sampling, co-citation, skew-join
-# outer modes + new salt); then rows over changed shared code (the
-# PQ-argmin/centroid-rank literal-loop rewrites, the dhash numpy path,
-# the MPEG sync gate, the shingle/minhash/winnowing materializations,
-# the distributed prefix sum behind vocab/seq-packing, bm25's
-# TakeOrderedAndProject, compat32 eml, the linkrank skew flag, the
-# pid-namespaced sink scratch); then the rows whose last driver-green is
-# r9 (stale 4 rounds), the r10 block (stale 3), the r11 block (stale 2),
-# and the r12-certified rows (freshest) last.
+# certifies. Round-14 ordering: queries whose code is NEW or CHANGED this
+# round lead — the MinHash hot-bucket guard (operator + oracle + the new
+# active-cap flood proof), the dhash_near_dup exact-dup-collapse/band-cap
+# rewrite and its consumers, the ID3v2 extended-header/unsync and Ogg
+# stale-fragment/page-gap fixes behind the audio identity rows, the
+# 20-language langid profiles (oracle VALUES re-render), and the widened
+# detect_mime glob chain behind the indexing rows; then the stalest
+# blocks — last driver-green r9 (5 rounds), r10 (4), r11 (3) — fill the
+# window; r12- and r13-certified rows (freshest) last.
 _CERTIFY_FIRST = [
-    # NEW in round 13 (latest session first: Ogg identity, cluster
-    # canonical — then the earlier-session additions)
-    "mm_ogg_identity", "mm_audio_tags", "dp_cluster_canonical", "dp_text_embed",
-    "dp_text_embed_neardup",
-    "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
-    "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
-    "dp_quality_bins", "dp_stratified_n", "g_cocitation",
-    "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
-    # code CHANGED in round 13 behind existing rows (incl. the PQ argmin
-    # and centroid-rank literal-loop rewrites — hash-identical but the
-    # expression shape is new, so their rows must postdate it)
-    "dp_pq_topk", "dp_pq_recall", "dp_ivf_topk", "dp_ivf_recall",
-    "dp_semantic_dedup", "dp_embedding_near_dup",
-    "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",
-    "dp_bm25_topk", "dp_hybrid_rrf",
-    "dp_ngram_jaccard", "dp_minhash_lsh", "dp_minhash_recall",
-    "dp_dup_components", "dp_dup_components_star",
-    "dp_winnowing_containment", "dp_pipeline_clean",
-    "mm_image_dhash", "mm_dhash_neardup", "mm_embedded_dhash",
-    "mm_video_frame_dhash", "mm_video_neardup", "mm_frame_samples",
-    "mm_audio_fingerprint", "mm_mpeg_fingerprint", "mm_audio_neardup",
-    "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
-    "g3_linkrank", "j4_score_update",
-    # last driver-green r9 (stale 4 rounds) — complete the ~50 window
-    "dp_langid", "dp_gopher_repetition", "dp_paragraph_dedup",
-    "dp_mix_weighted", "dp_mix_temperature", "dp_pii_scrub",
+    # NEW / CHANGED in round 14
+    "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
+    "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
+    "mm_video_neardup",
+    "mm_audio_tags", "mm_ogg_identity", "mm_audio_fingerprint",
+    "mm_audio_features", "mm_mpeg_fingerprint",
+    "dp_langid", "dp_langid_stopword", "dp_dataset_card",
+    "dp_mix_weighted", "dp_mix_temperature",
+    "j3_index_fields", "j3_multiway_join", "d6_mime_adaptive",
+    # last driver-green r9 (stale 5 rounds)
+    "dp_gopher_repetition", "dp_paragraph_dedup", "dp_pii_scrub",
     "dp_decontaminate", "mm_binary_metadata", "mm_image_dimensions",
     "dp_cross_corpus_dedup", "dp_c4_clean", "dp_split",
-    # r10-certified (stale 3 rounds)
+    # r10-certified (stale 4 rounds) — complete the ~50 window
     "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
     "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
     "dp_shard_balance", "dp_gopher_quality", "dp_dsir_weights",
@@ -69,31 +50,47 @@ _CERTIFY_FIRST = [
     "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
     "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
     "a1_stats_by_flag", "a1_quantiles",
-    # r11-certified (stale 2 rounds)
-    "dp_boilerplate_lines", "dp_dataset_card", "a3_group_numeric",
+    # r11-certified (stale 3 rounds)
+    "dp_boilerplate_lines", "a3_group_numeric",
     "a3_value_counts", "a4_group_count", "a5_completion", "a6_json_props",
     "j1_inject_merge", "j2_state_machine", "j2_forced_refetch",
-    "j2_gone_schedule", "j3_multiway_join", "j3_index_fields",
+    "j2_gone_schedule",
     "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
     "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
     "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
-    "d6_mime_adaptive", "u1_union_distinct", "a10_anchor_dedup",
+    "u1_union_distinct", "a10_anchor_dedup",
     "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
     "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
     "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract",
     "p2_cab_extract", "p2_doc_extract", "pf_regex_fields",
     "pf_nb_classify", "st_session_windows", "j_geoip_range",
-    # r12-certified (freshest)
+    # r12-certified (stale 2 rounds)
     "dp_int8_recall", "dp_fix_mojibake",
     "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
-    "dp_token_spectrum", "mm_audio_features", "p1_politeness",
+    "dp_token_spectrum", "p1_politeness",
     "p1_fetch_binary_pipeline",
     "dp_lsh_topk", "dp_lsh_recall", "dp_cosine_topk", "dp_int8_topk",
     "dp_exact_dedup", "p2_metatags", "p2_js_outlinks",
     "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
     "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
     "f1_url_parts", "dp_simhash", "dp_token_stats", "dp_quality",
-    "dp_langid_stopword",
+    # r13-certified (freshest)
+    "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
+    "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
+    "dp_quality_bins", "dp_stratified_n", "g_cocitation",
+    "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
+    "dp_cluster_canonical", "dp_text_embed", "dp_text_embed_neardup",
+    "dp_pq_topk", "dp_pq_recall", "dp_ivf_topk", "dp_ivf_recall",
+    "dp_semantic_dedup", "dp_embedding_near_dup",
+    "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",
+    "dp_bm25_topk", "dp_hybrid_rrf",
+    "dp_ngram_jaccard",
+    "dp_dup_components", "dp_dup_components_star",
+    "dp_winnowing_containment", "dp_pipeline_clean",
+    "mm_image_dhash",
+    "mm_video_frame_dhash", "mm_frame_samples",
+    "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
+    "g3_linkrank", "j4_score_update",
 ]
 
 
