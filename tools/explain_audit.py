@@ -35,6 +35,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "w1_generate_topk": [[r"Window|WindowGroupLimit"], [r"CartesianProduct"]],
     # dedup family: shuffles keyed on band/shingle, no cross product
     "dp_minhash_lsh": [[r"HashAggregate"], [r"CartesianProduct"]],
+    # the ACTIVE hot-bucket guard: census broadcasts (BroadcastHashJoin),
+    # band self-join stays an equi-join — never a cross product even with
+    # 31-copy planted clusters
+    "dp_minhash_flood": [[r"HashAggregate", r"BroadcastHashJoin"],
+                         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
     # LM perplexity: model joins broadcast, one groupBy, no cross product
     "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
