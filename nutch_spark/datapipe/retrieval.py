@@ -180,17 +180,28 @@ def dsir_log_ratio_weights(
             .agg(F.count("*").alias("n"))
         )
 
-    # NOT checkpointed: the (doc, bucket, n) aggregate's exchange is
-    # identical in both consuming subtrees (raw distribution + scoring
-    # join), so runtime exchange reuse already computes it once — a
-    # measured checkpoint here was a net loss (10.0 vs 8.9 s at sf0.1),
-    # unlike ngram_jaccard_pairs where three DIFFERENT exchanges re-ran
-    # the map work
-    raw_doc_buckets = doc_buckets(raw)
+    # Checkpointed (round 14): the FINAL executed plan shows exchange
+    # reuse never fires here — the scoring join pushes isnotnull(doc_id)
+    # into its scan while the distribution/total subtrees don't, so the
+    # canonicalized trees differ and the tokenize+md5+explode map stage
+    # ran THREE times over the raw corpus (scoring, c_r, raw_total) and
+    # twice over the target. One lazy localCheckpoint of the (doc,
+    # bucket, n) aggregate (≤ docs·buckets rows, the same
+    # materialize-once discipline as minhash_lsh_pairs' shingle arrays)
+    # plus tiny (≤ buckets-row) checkpoints of the two count tables cuts
+    # every re-run to one computation.
+    raw_doc_buckets = doc_buckets(raw).localCheckpoint(eager=False)
     tgt_counts = (
-        doc_buckets(target).groupBy("bucket").agg(F.sum("n").alias("c_t"))
+        doc_buckets(target)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_t"))
+        .localCheckpoint(eager=False)
     )
-    raw_counts = raw_doc_buckets.groupBy("bucket").agg(F.sum("n").alias("c_r"))
+    raw_counts = (
+        raw_doc_buckets.groupBy("bucket")
+        .agg(F.sum("n").alias("c_r"))
+        .localCheckpoint(eager=False)
+    )
     raw_total = raw_counts.agg(
         F.coalesce(F.sum("c_r"), F.lit(0)).alias("raw_total")
     )

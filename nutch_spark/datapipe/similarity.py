@@ -766,7 +766,14 @@ def semantic_dedup(
         F.round(-F.col("_b.neg"), round_sim).alias("cent_sim"),
     )
     w = Window.partitionBy("cell").orderBy(F.asc("cent_sim"), F.asc("id"))
-    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    # materialize ONCE: ranked is consumed three times (both sides of the
+    # within-cell self-join + the final keep/drop join), and its input is
+    # the n_centroids×dim literal argmax expression plus a window — the
+    # final plan showed all three consumers re-running both (no exchange
+    # reuse fires across the differing join-side prunings)
+    ranked = assigned.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     a, b = ranked.alias("a"), ranked.alias("b")
     dropped = (
         a.join(
