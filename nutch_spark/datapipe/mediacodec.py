@@ -1628,10 +1628,145 @@ def decode_png_pixels(payload: bytes):
     return w, h, rows
 
 
+# ---------------------------------------------------------------------------
+# WebP: pure-struct header dimensions + REAL pixel decode through the
+# system libwebp (round 14 — the one authoritative codec implementation
+# present in this sandbox; ctypes binding, no from-memory tables)
+# ---------------------------------------------------------------------------
+
+_LIBWEBP = None
+_LIBWEBP_TRIED = False
+
+
+def _load_libwebp():
+    """The system libwebp via ctypes, or None when absent. Cached; the
+    soname is tried first (no dev symlink needed), then find_library."""
+    global _LIBWEBP, _LIBWEBP_TRIED
+    if _LIBWEBP_TRIED:
+        return _LIBWEBP
+    _LIBWEBP_TRIED = True
+    import ctypes
+    import ctypes.util
+
+    for name in ("libwebp.so.7", "libwebp.so", "libwebp.dylib"):
+        try:
+            _LIBWEBP = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    else:
+        found = ctypes.util.find_library("webp")
+        if found:
+            try:
+                _LIBWEBP = ctypes.CDLL(found)
+            except OSError:
+                _LIBWEBP = None
+    if _LIBWEBP is not None:
+        import ctypes as ct
+
+        _LIBWEBP.WebPGetInfo.restype = ct.c_int
+        _LIBWEBP.WebPGetInfo.argtypes = [
+            ct.c_char_p, ct.c_size_t, ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
+        ]
+        _LIBWEBP.WebPDecodeRGBA.restype = ct.POINTER(ct.c_uint8)
+        _LIBWEBP.WebPDecodeRGBA.argtypes = [
+            ct.c_char_p, ct.c_size_t, ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
+        ]
+        _LIBWEBP.WebPEncodeLosslessRGBA.restype = ct.c_size_t
+        _LIBWEBP.WebPEncodeLosslessRGBA.argtypes = [
+            ct.c_char_p, ct.c_int, ct.c_int, ct.c_int,
+            ct.POINTER(ct.POINTER(ct.c_uint8)),
+        ]
+        _LIBWEBP.WebPFree.restype = None
+        _LIBWEBP.WebPFree.argtypes = [ct.c_void_p]
+    return _LIBWEBP
+
+
+def decode_webp_rgba(
+    payload: bytes, *, max_pixels: int = 1 << 26
+) -> tuple[int, int, bytes] | None:
+    """(width, height, RGBA bytes) via the system libwebp, or None when
+    the payload is not decodable WebP. Raises NotImplementedError when no
+    libwebp is present (the seam convention: loud, never silently wrong;
+    callers' row loops convert it into NULL columns).
+
+    Hostile posture: WebPGetInfo (header-only) gates the pixel decode so
+    a forged 16383x16383 header can't make the library allocate a 1 GiB
+    raster inside an executor — payloads over ``max_pixels`` (default
+    64 Mpx ≈ 256 MiB RGBA) return None like any other undecodable blob."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "WebP pixel decode needs libwebp — not found on this system"
+        )
+    if len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    if not lib.WebPGetInfo(payload, len(payload), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    if w.value <= 0 or h.value <= 0 or w.value * h.value > max_pixels:
+        return None
+    ptr = lib.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not ptr:
+        return None
+    try:
+        return w.value, h.value, ctypes.string_at(ptr, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+
+
+def encode_webp_lossless_rgba(w: int, h: int, rgba: bytes) -> bytes | None:
+    """Lossless WebP bytes for an RGBA raster via the system libwebp (the
+    test/fixture inverse of :func:`decode_webp_rgba` — round-tripping
+    through the authoritative codec is what makes planted WebP oracles
+    closed-form: lossless means the decoded pixels ARE the planted grid).
+    None on encode failure; NotImplementedError without libwebp."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "WebP encode needs libwebp — not found on this system"
+        )
+    if len(rgba) != w * h * 4:
+        raise ValueError(f"rgba length {len(rgba)} != {w}x{h}x4")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeLosslessRGBA(rgba, w, h, w * 4, ctypes.byref(out))
+    if not size or not out:
+        return None
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+def decode_webp_gray_pixels(payload: bytes):
+    """WebP → (w, h, 2-D int64 gray array) through libwebp, using the same
+    ITU-R 601 integer luma as every other decoder here ((r·299 + g·587 +
+    b·114) // 1000, alpha ignored). None for undecodable payloads;
+    NotImplementedError without libwebp."""
+    decoded = decode_webp_rgba(payload)
+    if decoded is None:
+        return None
+    import numpy as np
+
+    w, h, rgba = decoded
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(h, w, 4).astype(np.int64)
+    gray = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return w, h, gray
+
+
 def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
     """Magic-dispatching pixel decode: BMP, PNG, GIF, JPEG (baseline +
-    progressive), or baseline TIFF → (w, h, gray rows), or None when the
-    format needs a codec library (WebP, AVIF, ...).
+    progressive), baseline TIFF (from-spec pure Python), or WebP (REAL
+    decode through the system libwebp when present — raises
+    NotImplementedError when it isn't, so a missing codec is loud, never
+    a silent miss) → (w, h, gray rows); None when the format has no
+    decoder here (AVIF, ...).
 
     ``as_array=True`` returns the raster as a 2-D int64 numpy array with
     identical values — the dHash hot path uses it so ``_box_resample``'s
@@ -1648,6 +1783,12 @@ def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
         return decode_jpeg_pixels(payload, as_array=as_array)
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         out = decode_tiff_pixels(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        decoded = decode_webp_gray_pixels(payload)  # already an int64 array
+        if decoded is None or as_array:
+            return decoded
+        w, h, gray = decoded
+        return w, h, gray.tolist()
     else:
         return None
     if out is None or not as_array:
@@ -3496,11 +3637,18 @@ def decode_mpeg_audio_samples(payload: bytes) -> dict | None:
     ``audio_fingerprint`` and the spectral features run unchanged on
     lossy broadcast audio. None for non-MPEG-1 / Layer III input.
 
-    Layer III is deliberately scoped OUT (like WebP-VP8L): its Huffman
-    code tables, requantization power tables, and IMDCT window constants
-    are normative numeric tables spanning dozens of pages — a
-    reconstruction from memory would decode real MP3s silently wrong,
-    which is worse than the header-only ``parse_mp3_info`` fallback."""
+    Layer III is deliberately scoped OUT: its Huffman code tables,
+    requantization power tables, and IMDCT window constants are
+    normative numeric tables spanning dozens of pages — a reconstruction
+    from memory would decode real MP3s silently wrong, which is worse
+    than the header-only ``parse_mp3_info`` fallback. Re-checked round
+    14: no verifiable copy of those tables (libmad/ffmpeg source, a
+    conformance-vector set) is present in this sandbox, so the Layer III
+    scoping stands. WebP is DIFFERENT as of round 14: the system
+    libwebp.so IS present, so WebP pixels decode for real through
+    :func:`decode_webp_rgba` (ctypes against the authoritative
+    implementation — no from-memory tables involved); the injectable
+    seams remain for everything else."""
     import numpy as np
 
     n = len(payload)

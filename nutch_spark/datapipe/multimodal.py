@@ -100,11 +100,12 @@ def _map_media(
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
     """Default decode: REAL header-only dimension parse for PNG/GIF/BMP/
-    JPEG/TIFF (datapipe/mediacodec.py, pure struct reads — no PIL) plus a
-    normalized byte-histogram content feature. Formats without a stdlib
-    header parser (WebP, AVIF, ...) raise NotImplementedError — the mapInPandas row
-    loop converts that into NULL feature columns, and a full pixel decoder
-    injects via the ``decoder=`` seam without touching the plan."""
+    JPEG/TIFF/WebP (datapipe/mediacodec.py, pure struct reads — no PIL)
+    plus a normalized byte-histogram content feature. Formats without a
+    stdlib header parser (AVIF, ...) raise NotImplementedError — the
+    mapInPandas row loop converts that into NULL feature columns, and a
+    full pixel decoder injects via the ``decoder=`` seam without touching
+    the plan."""
     from nutch_spark.datapipe.mediacodec import byte_histogram, sniff_image_dimensions
 
     if payload is None:
@@ -452,10 +453,12 @@ def image_dhash(
     mediacodec.decode_gray_pixels's magic dispatch — from-spec pure-Python
     BMP (incl. paletted/RLE), PNG (zlib IDAT + the five scanline filters),
     GIF (LZW), JPEG (baseline AND progressive, T.81 Huffman + IDCT,
-    EXIF-orientation-normalized), and baseline TIFF (strips, PackBits/LZW/
-    Deflate, predictor 2). Formats still needing a codec library (WebP,
-    AVIF, ...) yield NULL and would plug in through ``hash_fn`` exactly
-    like the decoder seams elsewhere. Map-only."""
+    EXIF-orientation-normalized), baseline TIFF (strips, PackBits/LZW/
+    Deflate, predictor 2), and — round 14 — WebP through the system
+    libwebp (ctypes; a MISSING libwebp raises NotImplementedError into a
+    NULL hash, never silently-wrong pixels). Formats still without a
+    decoder (AVIF, ...) yield NULL and would plug in through ``hash_fn``
+    exactly like the decoder seams elsewhere. Map-only."""
     from nutch_spark.datapipe.mediacodec import dhash64
 
     compute = hash_fn or dhash64

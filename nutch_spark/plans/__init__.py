@@ -25,7 +25,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # window; r12- and r13-certified rows (freshest) last.
 _CERTIFY_FIRST = [
     # NEW / CHANGED in round 14
-    "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
+    "mm_webp_dhash", "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
     "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
     "mm_video_neardup",
     "mm_audio_tags", "mm_ogg_identity", "mm_audio_fingerprint",

@@ -229,7 +229,7 @@ def dp_minhash_lsh(spark, sf_dir):
     )
 
 
-_FLOOD_COPIES = 30  # copies per flooded doc → 31-member clusters
+_FLOOD_COPIES = 10  # copies per flooded doc → 11-member clusters
 _FLOOD_CAP = 8  # guard cap for the flood query: every cluster bucket is hot
 
 _FLOOD_CORPUS_SQL = f"""
@@ -244,8 +244,8 @@ _FLOOD_CORPUS_SQL = f"""
 @q("dp_minhash_flood", _minhash_lsh_sql(_FLOOD_CORPUS_SQL, _FLOOD_CAP))
 def dp_minhash_flood(spark, sf_dir):
     """minhash_lsh_pairs' hot-bucket guard certified ACTIVE: every doc with
-    doc_id %% 100 == 0 gains 30 exact copies, so all 8 band buckets of each
-    31-member cluster exceed the cap (8) and sub-bucket by the
+    doc_id %% 100 == 0 gains 10 exact copies, so all 8 band buckets of each
+    11-member cluster exceed the cap (8) and sub-bucket by the
     full-signature digest. Exact copies share the signature → every
     within-cluster pair survives the guard at Jaccard 1.0; the quadratic
     band self-join over the flood never materializes (a bucket of mixed
@@ -3981,10 +3981,12 @@ def _planted_image_rows(pdf):
     rows = []
     for doc_id in pdf["doc_id"]:
         grid = _planted_grid(int(doc_id))
-        if doc_id % 32 == 21:  # codec-less format: NULL hash. Rides in the
-            # same Arrow batches as real hashes — pinning the int64-vs-
-            # float64 coercion bug where one None corrupted every 64-bit
-            # hash in its batch past 2^53 (multimodal._exact_frame)
+        if doc_id % 32 == 21:  # CORRUPT WebP (garbage VP8 bitstream —
+            # since round 14 WebP itself decodes via libwebp, so the NULL
+            # row now pins corrupt-input handling): NULL hash riding the
+            # same Arrow batches as real hashes — also pinning the
+            # int64-vs-float64 coercion bug where one None corrupted
+            # every 64-bit hash in its batch past 2^53
             payload = b"RIFFxxxxWEBPVP8 needs-a-codec-library"
         elif doc_id % 4 == 3:  # JPEG: baseline or progressive by id % 8
             payload = _planted_jpeg(grid, progressive=doc_id % 8 == 7)
@@ -4011,6 +4013,71 @@ def _planted_dhashes(spark, sf_dir, limit=None):
         for pdf in batches:
             yield pd.DataFrame(
                 _planted_image_rows(pdf), columns=["media_id", "payload"]
+            )
+
+    from nutch_spark.datapipe.multimodal import image_dhash
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return image_dhash(media)
+
+
+def _planted_webp_rows(pdf):
+    """doc_id → one LOSSLESS WebP of the planted gradient class, encoded
+    executor-side through the system libwebp (lossless means the decoded
+    pixels ARE the planted grid, so the closed-form gradient dHash is the
+    independent ground truth); doc_id %% 32 == 21 plants a corrupt VP8
+    bitstream that must yield NULL, never an exception."""
+    from nutch_spark.datapipe.mediacodec import encode_webp_lossless_rgba
+
+    rows = []
+    for doc_id in pdf["doc_id"]:
+        if doc_id % 32 == 21:
+            payload = b"RIFFxxxxWEBPVP8 corrupt-keyframe-bitstream"
+        else:
+            grid = _planted_grid(int(doc_id))
+            rgba = bytes(
+                c for row in grid for g in row for c in (g, g, g, 255)
+            )
+            payload = encode_webp_lossless_rgba(9, 8, rgba)
+        rows.append({"media_id": int(doc_id), "payload": payload})
+    return rows
+
+
+@q(
+    "mm_webp_dhash",
+    f"""
+    -- REAL WebP pixels through the system libwebp — the first
+    -- codec-library decode wired through the media seams (round 14; the
+    -- from-spec formats stay pure Python). Planted LOSSLESS WebP of the
+    -- same 9x8 gradient classes as mm_image_dhash: lossless decode
+    -- reproduces the grid exactly, so the closed-form gradient dHash is
+    -- ground truth computed from arithmetic alone, never from running
+    -- the codec. Corrupt VP8 payloads (doc_id % 32 = 21) pin the NULL
+    -- path through the same Arrow batches.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE {_DHASH_CASE} END
+             AS dhash
+    FROM documents
+    """,
+)
+def mm_webp_dhash(spark, sf_dir):
+    """Perceptual hashing over REAL WebP pixels (mediacodec.decode_webp_rgba
+    — ctypes against the system libwebp, the authoritative public
+    implementation; sniff_image_dimensions' pure-struct header parse is
+    cross-checked against it by test). Encoding is lossless, so the
+    planted-gradient closed form pins the full decode → luma → box-resample
+    → dHash chain; a corrupt bitstream yields NULL loudly (and a MISSING
+    libwebp raises NotImplementedError into NULL columns — never silently
+    wrong pixels). 100 TB: map-only Arrow stage, same plumbing as every
+    media stage."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _planted_webp_rows(pdf), columns=["media_id", "payload"]
             )
 
     from nutch_spark.datapipe.multimodal import image_dhash

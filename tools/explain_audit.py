@@ -189,6 +189,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # dHash: map-only decode stage
     "mm_image_dhash": [[r"MapInPandas|mapInPandas"],
                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # WebP pixels through the system libwebp: same map-only shape
+    "mm_webp_dhash": [[r"MapInPandas|mapInPandas"],
+                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_7z_extract": [[r"MapInPandas|mapInPandas"],
