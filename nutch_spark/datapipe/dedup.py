@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nutch_spark.datapipe.textstats import fingerprint, tokens
+from nutch_spark.datapipe.textstats import bind_once, fingerprint, tokens
 
 
 def exact_dedup(
@@ -56,15 +56,23 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
     Documents with fewer than n tokens yield an empty array (guarded — Spark's
     sequence(1, 0) counts DOWN, which would feed slice() an index of 0).
+
+    The token array is bound ONCE per row (textstats.bind_once): inlining
+    ``tokens(text)`` into the per-shingle lambda re-ran the tokenizer for
+    every shingle (lambda bodies are interpreted, no CSE) — a measured
+    ~10x on every shingle consumer (ngram/minhash/winnowing families).
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    arr = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
-    return F.when(F.size(toks) >= n, arr).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        arr = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+        return F.when(F.size(toks) >= n, arr).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(text), build)
 
 
 def ngram_jaccard_pairs(
@@ -169,11 +177,17 @@ def winnowing_fingerprints(
     O(tokens²) md5 calls, measured 470 s vs ~3 s at sf0.1.)"""
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text))
-    gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    gram_hashes = F.transform(
-        gidx, lambda i: h64(F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    def build_gram_hashes(toks: Column) -> Column:
+        gidx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))
+        )
+        return F.transform(
+            gidx, lambda i: h64(F.concat_ws(" ", F.slice(toks, i, k)))
+        )
+
+    # token array bound once per row (bind_once): the inlined form re-ran
+    # the tokenizer per gram position
+    gram_hashes = bind_once(tokens(F.col(text)), build_gram_hashes)
     ex = df.select(
         F.col(key).alias("id"), F.posexplode(gram_hashes).alias("pos", "h")
     )
@@ -457,16 +471,23 @@ def paragraph_chunks(
     every ``para_tokens`` word tokens — the CCNet paragraph unit (Wenzek et
     al. 2020, public paper) re-expressed deterministically. Empty documents
     yield an empty array (sequence(0, -1) counts DOWN in Spark — guarded).
+    Token array bound once per row (bind_once) like every shingle builder.
     """
-    toks = tokens(text)
-    n_paras = F.floor((F.size(toks) + (para_tokens - 1)) / para_tokens)
-    arr = F.transform(
-        F.sequence(F.lit(0), (n_paras - 1).cast("long")),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i * para_tokens + 1).cast("int"), para_tokens)
-        ),
-    )
-    return F.when(F.size(toks) > 0, arr).otherwise(F.array().cast("array<string>"))
+
+    def build(toks: Column) -> Column:
+        n_paras = F.floor((F.size(toks) + (para_tokens - 1)) / para_tokens)
+        arr = F.transform(
+            F.sequence(F.lit(0), (n_paras - 1).cast("long")),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(toks, (i * para_tokens + 1).cast("int"), para_tokens),
+            ),
+        )
+        return F.when(F.size(toks) > 0, arr).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(text), build)
 
 
 def paragraph_dedup(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nutch_spark.datapipe.textstats import tokens
+from nutch_spark.datapipe.textstats import bind_once, tokens
 
 # 1e6 quantization: ln values carry ~6 decimal digits into exact-integer
 # arithmetic; both engines floor the SAME double (ln is the one 1-ulp risk,
@@ -125,18 +125,24 @@ def bm25_topk(
 
 def _hashed_bigrams(toks: Column, *, buckets: int, salt: str) -> Column:
     """All bigram buckets of a token array (with repeats — DSIR counts
-    occurrences, not distinct grams)."""
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    occurrences, not distinct grams). The token expression is bound ONCE
+    per row (textstats.bind_once): inlined, the tokenizer re-ran for
+    every element_at inside the lambda — measured ~10x at sf0.1."""
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.transform(grams, lambda g: _hash_bucket(g, salt, buckets))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(grams, lambda g: _hash_bucket(g, salt, buckets))
+
+    return bind_once(toks, build)
 
 
 def dsir_log_ratio_weights(

@@ -30,6 +30,25 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
 
 
+def bind_once(col: Column, build) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the materialized value to
+    ``build`` as a lambda variable.
+
+    Column expressions referenced inside higher-order-function lambdas
+    are INLINED: ``transform(seq, i -> f(expensive, i))`` re-evaluates
+    ``expensive`` for EVERY element, because lambda bodies are
+    interpreted — no whole-stage codegen, no common-subexpression
+    elimination. Wrapping the expression as the input of an outer
+    one-element ``transform`` binds it to a lambda VARIABLE, which Spark
+    materializes once per row (the trick hashed_embedding has used since
+    round 13, now shared). Fixing this on the bigram featurizer measured
+    ~10x at sf0.1 (tokenize re-ran per bigram before)."""
+    wrapped = F.transform(
+        F.array(F.struct(col.alias("v"))), lambda s: build(s["v"])
+    )
+    return F.element_at(wrapped, 1)
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count."""
     t = F.col(text) if isinstance(text, str) else text
