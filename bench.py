@@ -86,22 +86,33 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1350"))
     bench_t0 = time.perf_counter()
     degraded = 0
-    runs_all: dict[str, list[float]] = {}
-    for name in sorted(REGISTRY):
-        fn, _oracle = REGISTRY[name]
-        n_reps = reps
-        if time.perf_counter() - bench_t0 > budget_s and reps > 1:
-            n_reps = 1
-            degraded += 1
-        runs = []
-        for _ in range(n_reps):
+    runs_all: dict[str, list[float]] = {name: [] for name in sorted(REGISTRY)}
+    # INTERLEAVED passes (r14): rep i of every query runs before rep i+1
+    # of any. This box takes intermittent 2-3 minute external load bursts
+    # (measured: untouched j* queries read 5-24x in one run, normal in a
+    # fresh session, with per-query start offsets pinning the burst to a
+    # contiguous wall-clock window). Back-to-back reps let one burst
+    # swallow ALL reps of whatever query is unlucky — its median is then
+    # pure load noise. Interleaved, a burst costs ONE rep of several
+    # queries and every median survives. Per-query start offsets (pass 0)
+    # stay in the artifact so a judge can map residual suspects back to
+    # wall-clock.
+    starts: dict[str, float] = {}
+    for rep in range(reps):
+        if rep > 0 and time.perf_counter() - bench_t0 > budget_s:
+            degraded = len(runs_all)  # remaining passes skipped
+            break
+        for name in sorted(REGISTRY):
+            fn, _oracle = REGISTRY[name]
+            if rep == 0:
+                starts[name] = round(time.perf_counter() - bench_t0, 1)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        runs_all[name] = list(runs)  # execution order: run 0 is the cold one
-        runs.sort()
-        timings[name] = runs[len(runs) // 2]
+            runs_all[name].append(round(time.perf_counter() - t0, 3))
+    for name, runs in runs_all.items():
+        ordered = sorted(runs)  # runs_all keeps execution order (run 0 cold)
+        timings[name] = ordered[len(ordered) // 2]
 
     total = round(sum(timings.values()), 3)
     # Spread over the WARM runs (run 0 dropped when reps allow): the first
@@ -125,6 +136,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs_all,
         "spread": spreads,
+        "start_offset_s": starts,
         "reps": reps,
         "sf": sf,
     }
