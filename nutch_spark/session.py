@@ -51,7 +51,22 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
         # task per core; parquet scans size their own splits independently.
         .config("spark.sql.leafNodeDefaultParallelism", "4")
         .config("spark.default.parallelism", "8")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g default (box has 128 GiB): local-mode driver == all 32
+        # executor threads; an 8g heap thrashed GC once a long session
+        # (169 bench queries x 3 reps) accumulated codegen classes,
+        # broadcasts and checkpoint blocks — untouched queries read
+        # 5-24x slower in multi-minute GC windows, normal in a fresh
+        # session. The JIT code cache is raised for the same reason
+        # (hundreds of generated WholeStageCodegen classes; a full code
+        # cache silently disables compilation mid-run).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         # No console progress bars: they interleave with stdout and corrupt
         # machine-parsed output (the bench prints one JSON summary line).
