@@ -635,6 +635,12 @@ def parse_audio_tags(payload: bytes, *, max_frames: int = 4096) -> dict | None:
                 else:
                     fsz = int.from_bytes(raw, "big")
                 fflags2 = data[pos + 9]  # frame FORMAT flags (v2.4 §4.1.2)
+                if ver >= 4 and hflags & 0x80:
+                    # v2.4 moved unsync per-frame, but common real-world
+                    # taggers set ONLY the header bit (0x80) without the
+                    # per-frame 0x02 flags; the header bit means "all
+                    # frames unsynchronised" (ID3v2.4 §3.1), so OR it in
+                    fflags2 |= 0x02
                 hdr = 10
             if fsz <= 0 or pos + hdr + fsz > end:
                 break

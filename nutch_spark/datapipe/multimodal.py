@@ -486,7 +486,7 @@ def dhash_near_dup(
     *,
     max_hamming: int = 3,
     bands: int = 4,
-    max_band_bucket: int | None = 4096,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash values: (id_a, id_b, hamming)
     with id_a < id_b and hamming <= max_hamming.
@@ -513,15 +513,23 @@ def dhash_near_dup(
       instead of 10M·bands rows and a 10^14·bands candidate blowup.
       Distinct-hash pairs expand back to member pairs at the very end,
       which is again output-sized work.
-    - **Hot-band-key cap** (``max_band_bucket``, None disables): a 16-bit
-      band key shared by more than this many DISTINCT hash values marks a
+    - **Hot-band-key cap** (``max_band_bucket``, default None = OFF so the
+      pigeonhole FULL-recall guarantee for d < bands holds exactly as
+      documented; the 100 TB path opts in explicitly): a 16-bit band key
+      shared by more than this many DISTINCT hash values marks a
       saturated band (at 1B distinct images, birthday pressure puts ~15k
       distinct hashes behind every 16-bit key — quadratic per bucket);
       that band's candidates for the hot key are dropped, and a true
       near-dup pair still surfaces through any of its other, non-hot
       agreeing bands. The census is ≤ 2^16·bands rows and broadcasts.
       Recall caveat: a pair whose ONLY agreeing band is hot is missed —
-      the documented LSH-style tradeoff, same as minhash_lsh_pairs."""
+      the documented LSH-style tradeoff, same as minhash_lsh_pairs.
+      Callers that enable the cap change the operator's SEMANTICS, not
+      just its plan — the ``mm_dhash_flood`` oracle certifies the capped
+      semantics ACTIVE on planted hot clusters; the cap stays opt-in so
+      certified full-recall consumers (``mm_dhash_neardup`` and the
+      audio/video near-dup wrappers) keep the semantics their oracles
+      model."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs bands > max_hamming "
@@ -1093,7 +1101,11 @@ def video_near_dup(
 
 
 def audio_near_dup(
-    fingerprints: DataFrame, *, max_hamming: int = 3, bands: int = 4
+    fingerprints: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs from the 64-bit spectral fingerprints of
     ``audio_fingerprints``: (id_a, id_b, hamming) with id_a < id_b and
@@ -1111,4 +1123,5 @@ def audio_near_dup(
         ),
         max_hamming=max_hamming,
         bands=bands,
+        max_band_bucket=max_band_bucket,
     )

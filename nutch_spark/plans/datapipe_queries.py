@@ -235,7 +235,8 @@ _FLOOD_CAP = 8  # guard cap for the flood query: every cluster bucket is hot
 _FLOOD_CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT d.doc_id + 1000000 * (k.k + 1) AS doc_id, d.text
+  SELECT d.doc_id + (SELECT max(doc_id) + 1 FROM documents) * (k.k + 1) AS doc_id,
+         d.text
   FROM documents d CROSS JOIN (SELECT unnest(range({_FLOOD_COPIES})) AS k) k
   WHERE d.doc_id % 100 = 0
 """
@@ -253,11 +254,23 @@ def dp_minhash_flood(spark, sf_dir):
     census and sub-bucketing identically — dup-heavy web corpora make this
     the load-bearing path at 100 TB, not a tail case."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # copy-id stride derived from max(doc_id)+1 so planted ids can NEVER
+    # collide with organic ids at any sf (a fixed stride silently corrupts
+    # pair semantics once the table outgrows it — and identically on both
+    # engines, so certification would not catch it); the one-row aggregate
+    # broadcasts through a literal-key equi-join
+    stride = d.agg((F.max("doc_id") + F.lit(1)).alias("_stride")).withColumn(
+        "_j", F.lit(1)
+    )
     copies = (
         d.filter(F.col("doc_id") % 100 == 0)
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(stride), "_j")
         .crossJoin(spark.range(_FLOOD_COPIES).select(F.col("id").alias("_k")))
         .select(
-            (F.col("doc_id") + (F.col("_k") + 1) * 1000000).alias("doc_id"),
+            (F.col("doc_id") + (F.col("_k") + 1) * F.col("_stride")).alias(
+                "doc_id"
+            ),
             "text",
         )
     )
@@ -4140,6 +4153,71 @@ def mm_dhash_neardup(spark, sf_dir):
 
     hashes = _planted_dhashes(spark, sf_dir, limit=320)
     return dhash_near_dup(hashes, max_hamming=3, bands=4)
+
+
+@q(
+    "mm_dhash_flood",
+    """
+    -- dhash_near_dup's OPT-IN hot-band-key cap certified ACTIVE. Planted
+    -- hashes (cluster c = (doc_id%192)//12, member m = (doc_id%192)%12,
+    -- one exact copy at doc_id+192):
+    --   hash = c<<48 | (c*16 + m//4)<<32 | c<<16 | (c*16 + m)
+    -- Bands 1 and 3 key on c alone (12 distinct hashes per key > cap 8 ->
+    -- HOT, dropped); band 2 keys on the 4-member subgroup (not hot); band
+    -- 0 is unique per hash. So the capped candidate set is exactly the
+    -- within-subgroup pairs (hamming = popcount(m1^m2) in {1,2}), PLUS
+    -- hamming-0 copy pairs through the exact-dup self-join. Cross-subgroup
+    -- pairs like (m=0, m=4) sit at hamming 2 and WOULD be found with the
+    -- cap off (via hot bands 1/3) -- their absence here is the certified
+    -- recall tradeoff, proving the guard is load-bearing, not inert.
+    WITH mem AS (
+      SELECT doc_id, (doc_id % 192) // 12 AS c, (doc_id % 192) % 12 AS m
+      FROM documents WHERE doc_id < 384
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+      FROM mem a JOIN mem b
+        ON a.c = b.c AND a.m = b.m AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b,
+             CAST(bit_count(xor(a.m, b.m)) AS INTEGER) AS hamming
+      FROM mem a JOIN mem b
+        ON a.c = b.c AND a.m // 4 = b.m // 4 AND a.m < b.m
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM near
+    """,
+)
+def mm_dhash_flood(spark, sf_dir):
+    """The hot-band-key cap (max_band_bucket, opt-in since round 15) under
+    a planted band flood: 16 clusters of 12 distinct hashes agree on two
+    16-bit bands keyed by the cluster id alone, so those band keys hold 12
+    distinct hashes > cap 8 and are dropped from the banded candidate
+    join; recall flows only through the non-hot subgroup band and the
+    exact-dup self-join. The oracle recomputes the capped pair set in
+    closed form — including the pairs the cap DROPS — so certification
+    pins the guard active, the same contract dp_minhash_flood pins for
+    minhash_lsh_pairs. At 1B images birthday pressure makes every 16-bit
+    band key this hot; this is the load-bearing 100 TB path."""
+    from nutch_spark.datapipe.multimodal import dhash_near_dup
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 384
+    )
+    cc = F.floor((F.col("doc_id") % 192) / F.lit(12)).cast("long")
+    mm = ((F.col("doc_id") % 192) % 12).cast("long")
+    sub = F.floor(mm / F.lit(4)).cast("long")
+    dh = (
+        F.shiftleft(cc, 48)
+        .bitwiseOR(F.shiftleft(cc * 16 + sub, 32))
+        .bitwiseOR(F.shiftleft(cc, 16))
+        .bitwiseOR(cc * 16 + mm)
+    )
+    hashes = d.select(
+        F.col("doc_id").alias("media_id"), dh.cast("long").alias("dhash")
+    )
+    return dhash_near_dup(hashes, max_hamming=3, bands=4, max_band_bucket=8)
 
 
 @q(

@@ -26,6 +26,39 @@ from pyspark.sql import SparkSession
 _LOCAL_SHUFFLE_PARTITIONS = "32"
 
 
+def _default_driver_memory() -> str:
+    """Driver heap default gated on detected host memory.
+
+    Local mode puts all executor threads in the driver JVM, and a long
+    session (169 bench queries x 3 reps) accumulates codegen classes,
+    broadcasts and checkpoint blocks — an 8g heap thrashed GC on the
+    128 GiB bench box. But an unconditional 24g oversubscribes smaller
+    hosts, so: 24g only when the host has >= 64 GiB, else ~1/4 of RAM
+    clamped to [2g, 24g]. ``SPARK_GRAFT_DRIVER_MEM`` overrides outright.
+    """
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    if total_gib >= 64:
+        return "24g"
+    return f"{max(2, min(24, int(total_gib // 4)))}g"
+
+
+def _driver_java_options() -> str:
+    """Append the code-cache flag to any pre-existing driver JVM options
+    (spark-defaults.conf / system properties) instead of clobbering them;
+    a user-supplied ReservedCodeCacheSize wins."""
+    from pyspark import SparkConf
+
+    base = SparkConf().get("spark.driver.extraJavaOptions", "") or ""
+    if "ReservedCodeCacheSize" in base:
+        return base
+    return (base + " -XX:ReservedCodeCacheSize=512m").strip()
+
+
 def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -51,22 +84,17 @@ def get_spark(app_name: str = "nutch_spark", master: str | None = None) -> Spark
         # task per core; parquet scans size their own splits independently.
         .config("spark.sql.leafNodeDefaultParallelism", "4")
         .config("spark.default.parallelism", "8")
-        # 24g default (box has 128 GiB): local-mode driver == all 32
-        # executor threads; an 8g heap thrashed GC once a long session
-        # (169 bench queries x 3 reps) accumulated codegen classes,
-        # broadcasts and checkpoint blocks — untouched queries read
-        # 5-24x slower in multi-minute GC windows, normal in a fresh
-        # session. The JIT code cache is raised for the same reason
-        # (hundreds of generated WholeStageCodegen classes; a full code
-        # cache silently disables compilation mid-run).
+        # Heap sized by _default_driver_memory (host-memory gated; see its
+        # docstring — GC thrash vs oversubscription). The JIT code cache
+        # is raised because hundreds of generated WholeStageCodegen
+        # classes fill the default; a full code cache silently disables
+        # compilation mid-run. Both respect pre-existing user settings.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+            or _default_driver_memory(),
         )
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
-        )
+        .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
         # No console progress bars: they interleave with stdout and corrupt
         # machine-parsed output (the bench prints one JSON summary line).

@@ -167,6 +167,27 @@ def test_id3v24_per_frame_unsync_and_data_length_indicator():
     assert t is not None and t["title"] == "Hé" and t["artist"] == "Artist"
 
 
+def test_id3v24_header_only_unsync_flag():
+    # Common real-world v2.4 taggers set ONLY the header unsync bit
+    # (0x80) without per-frame 0x02 flags; ID3v2.4 §3.1 says the header
+    # bit means all frames are unsynchronised — the stored FF 00 pairs
+    # must still decode away
+    body = b"\x01" + "Hé".encode("utf-16")
+    stored = body.replace(b"\xff", b"\xff\x00")
+    assert stored != body
+    t = parse_audio_tags(_id3f(4, 0x80, _v4_frame("TIT2", stored)))
+    assert t is not None and t["title"] == "Hé"
+
+
+def test_id3v24_header_unsync_plus_frame_flag_not_double_applied():
+    # A spec-compliant writer sets BOTH the header bit and the per-frame
+    # flag; de-unsync must run exactly once (OR, not twice)
+    body = b"\x01" + "Hé".encode("utf-16")
+    stored = body.replace(b"\xff", b"\xff\x00")
+    t = parse_audio_tags(_id3f(4, 0x80, _v4_frame("TIT2", stored, flags2=0x02)))
+    assert t is not None and t["title"] == "Hé"
+
+
 def test_id3_extended_header_oversized_is_none():
     # ext size past the tag end: malformed — None, never an exception
     ext = struct.pack(">I", 10_000) + b"\x00" * 2

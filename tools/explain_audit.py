@@ -37,9 +37,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_minhash_lsh": [[r"HashAggregate"], [r"CartesianProduct"]],
     # the ACTIVE hot-bucket guard: census broadcasts (BroadcastHashJoin),
     # band self-join stays an equi-join — never a cross product even with
-    # 31-copy planted clusters
+    # 11-member (10-copy) planted clusters
     "dp_minhash_flood": [[r"HashAggregate", r"BroadcastHashJoin"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # dHash hot-band-key cap ACTIVE: the band census broadcasts, the
+    # banded candidate join stays an equi-join on (band, bkey)
+    "mm_dhash_flood": [[r"BroadcastHashJoin"],
+                       [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
     # LM perplexity: model joins broadcast, one groupBy, no cross product
     "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
