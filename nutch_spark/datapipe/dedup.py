@@ -266,6 +266,83 @@ def _minhash_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _signature_digest() -> Column:
+    """Full-signature digest over the ``minhash`` column: the hot-bucket
+    sub-key (identical signatures — exact/near-exact copies — keep pairing
+    inside an over-cap bucket) and the exact-duplicate group key of
+    :func:`minhash_dup_clusters`."""
+    return F.md5(
+        F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+    )
+
+
+def _lsh_band_candidates(
+    sigs: DataFrame, *, bands: int, rows_per_band: int, max_bucket: int | None
+) -> DataFrame:
+    """LSH candidate pairs (id_a, id_b) from (id, minhash) signatures: band
+    the signature into ``bands`` md5 bucket keys, equi-join per band, and
+    guard hot buckets (over ``max_bucket`` ids) by sub-bucketing on the
+    full-signature digest (census ≤ rows/max_bucket groups, broadcast).
+    Shared by the pair-mode verifier (minhash_lsh_pairs) and the
+    cluster-mode quotient path (minhash_dup_clusters, where ``sigs`` holds
+    one representative row per DISTINCT signature)."""
+    banded = sigs.select(
+        "id",
+        _signature_digest().alias("_sd"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(b),
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        # census of over-cap band buckets: tiny by construction
+        # (≤ rows/max_bucket groups survive the HAVING), broadcastable
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "bucket", F.lit(True).alias("_hot"))
+        )
+        banded = (
+            banded.join(F.broadcast(hot), ["band", "bucket"], "left")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("_hot"),
+                    F.concat(F.col("bucket"), F.lit(":"), F.col("_sd")),
+                ).otherwise(F.col("bucket")),
+            )
+            .select("id", "band", "bucket")
+        )
+    else:
+        banded = banded.select("id", "band", "bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: str = "text",
@@ -320,65 +397,8 @@ def minhash_lsh_pairs(
         F.col(key).alias("id"), shingles(text, n).alias("_sharr")
     ).localCheckpoint(eager=False)
     sigs = _minhash_from_arrays(arrs, num_hashes)
-    # full-signature digest: the hot-bucket sub-key (identical signatures —
-    # exact/near-exact copies — keep pairing inside an over-cap bucket)
-    sig_digest = F.md5(
-        F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
-    )
-    banded = sigs.select(
-        "id",
-        sig_digest.alias("_sd"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.lit(b),
-                            *[
-                                F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    if max_bucket is not None:
-        # census of over-cap band buckets: tiny by construction
-        # (≤ rows/max_bucket groups survive the HAVING), broadcastable
-        banded = banded.localCheckpoint(eager=False)
-        hot = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "bucket", F.lit(True).alias("_hot"))
-        )
-        banded = (
-            banded.join(F.broadcast(hot), ["band", "bucket"], "left")
-            .withColumn(
-                "bucket",
-                F.when(
-                    F.col("_hot"),
-                    F.concat(F.col("bucket"), F.lit(":"), F.col("_sd")),
-                ).otherwise(F.col("bucket")),
-            )
-            .select("id", "band", "bucket")
-        )
-    else:
-        banded = banded.select("id", "band", "bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    candidates = _lsh_band_candidates(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
     )
     if verify == "estimate":
         # signature-only verification: estimated Jaccard = fraction of
@@ -411,6 +431,77 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dup_clusters(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1024,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS via MinHash+LSH — the flood-proof sibling of
+    :func:`minhash_lsh_pairs` for consumers that only need cluster
+    membership (which is all of them: dup_components/cluster_canonical
+    immediately re-collapse pairs). Output: (key, component, is_duplicate),
+    ONE row per input document — LINEAR in members by construction, where
+    pair mode emits O(k²) rows for a k-copy flood before the components
+    pass collapses them again.
+
+    Semantics are SIGNATURE-resolution: documents with identical minhash
+    signatures (exact and near-exact copies — estimated Jaccard 1.0) form
+    exact groups; DISTINCT signatures pair through the same banded LSH
+    join as pair mode (hot-bucket guarded at representative level) and are
+    verified with the unbiased MinHash estimator (matching-component
+    fraction ≥ ``threshold`` — pair mode's verify="estimate"); components
+    close the relation transitively. Docs with < n tokens have no
+    signature and are singleton components, matching pair mode.
+
+    100 TB shape: one signature shuffle, one groupBy to the signature
+    groups, the banded join runs over one row PER DISTINCT SIGNATURE (a
+    10M-copy boilerplate page contributes one row per band), label
+    propagation iterates over the distinct-signature quotient graph, and
+    members appear exactly once — in the final linear expansion join."""
+    rows_per_band = num_hashes // bands
+    sigs = (
+        minhash_signatures(df, text, key, n=n, num_hashes=num_hashes)
+        .withColumn("_sd", _signature_digest())
+        .localCheckpoint(eager=False)
+    )
+    groups = sigs.groupBy("_sd").agg(F.min("id").alias("_rep"))
+    members = sigs.join(groups, "_sd").select(
+        F.col("id").alias(key), F.col("_rep").alias("rep")
+    )
+    # one representative row per DISTINCT signature feeds the banded join
+    rep_sigs = sigs.join(
+        groups.select(F.col("_rep").alias("id")), "id", "left_semi"
+    ).select("id", "minhash")
+    cands = _lsh_band_candidates(
+        rep_sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    va = rep_sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    vb = rep_sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(num_hashes))
+    edges = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(est >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    return dup_components(
+        df.select(key),
+        edges,
+        key,
+        max_iter=max_iter,
+        groups=members,
     )
 
 
@@ -531,6 +622,8 @@ def dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    groups: DataFrame | None = None,
+    rep: str = "rep",
 ) -> DataFrame:
     """Collapse near-duplicate PAIRS into duplicate CLUSTERS (connected
     components) by iterative min-label propagation: every node repeatedly
@@ -558,15 +651,57 @@ def dup_components(
     old one row-wise in the step select, so there is no separate
     count()-with-self-join driver sync per iteration (each round is exactly
     one Spark job).
+
+    ``groups`` (optional): pre-collapsed EXACT-duplicate groups as a
+    (``key``, ``rep``) table — every member mapped to its group
+    representative (the representative should itself be a member, e.g. the
+    group's min id; a missing rep→rep self-row is tolerated). This is the
+    flood-proof entry point: instead of expanding a k-copy group to O(k²)
+    pair edges, the computation runs on the QUOTIENT graph — pair endpoints
+    rewrite to their representatives, label propagation iterates over
+    representatives + ungrouped nodes only, and members expand to their
+    representative's component in ONE final linear join. A 10M-copy viral
+    page contributes one node and zero pairs to every round. Components are
+    identical to expanding each group as a star of pair edges; the
+    component label is the min over quotient ids (= the true min member
+    when representatives are group minima).
     """
     from pyspark.sql import Observation
 
     sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).unionByName(
         pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
     )
-    edges = sym.distinct().localCheckpoint(eager=True)
     ids = nodes.select(F.col(key).alias("id")).distinct()  # native key type —
     # min-label works for numeric AND string ids
+    g = None
+    if groups is not None:
+        g = (
+            groups.select(F.col(key).alias("_gm"), F.col(rep).alias("_gr"))
+            .unionByName(
+                groups.select(F.col(rep).alias("_gm"), F.col(rep).alias("_gr"))
+            )  # rep self-rows, so every quotient id expands at the end
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # quotient: pair endpoints rewrite to their representative
+        # (broadcast-unsafe in general — groups scale with the corpus — so
+        # these are shuffled equi-joins on the member id)
+        for col in ("a", "b"):
+            sym = (
+                sym.join(
+                    g.select(F.col("_gm").alias(col), "_gr"), col, "left"
+                )
+                .withColumn(col, F.coalesce("_gr", F.col(col)))
+                .drop("_gr")
+            )
+        sym = sym.filter(F.col("a") != F.col("b"))
+        # quotient node set: representatives + nodes outside every group
+        ids = (
+            ids.join(g.select(F.col("_gm").alias("id")), "id", "left_anti")
+            .unionByName(g.select(F.col("_gr").alias("id")))
+            .distinct()
+        )
+    edges = sym.distinct().localCheckpoint(eager=True)
     touched = edges.select(F.col("a").alias("id")).distinct()  # symmetric:
     # the a-side covers every endpoint
     labels = (
@@ -597,9 +732,26 @@ def dup_components(
         labels = new_labels
         if not obs.get["changed"]:  # metric from the checkpoint job — free
             break
-    return labels.unionByName(
-        singletons.withColumn("lab", F.col("id"))
-    ).select(
+    out = labels.unionByName(singletons.withColumn("lab", F.col("id")))
+    if g is not None:
+        # expand the quotient: every group member adopts its
+        # representative's component (ONE linear equi-join — the only
+        # place a flood's members appear at all); ungrouped nodes pass
+        # through as themselves
+        grouped = (
+            g.join(out.withColumnRenamed("id", "_gr"), "_gr")
+            .select(F.col("_gm").alias("id"), "lab")
+            .join(
+                nodes.select(F.col(key).alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )  # keep the output universe == nodes
+        )
+        ungrouped = out.join(
+            g.select(F.col("_gr").alias("id")).distinct(), "id", "left_anti"
+        )
+        out = grouped.unionByName(ungrouped)
+    return out.select(
         F.col("id").alias(key),
         F.col("lab").alias("component"),
         (F.col("id") != F.col("lab")).alias("is_duplicate"),

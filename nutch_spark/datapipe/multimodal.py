@@ -609,6 +609,62 @@ def dhash_near_dup(
     return exact.unionByName(near)
 
 
+def dhash_dup_clusters(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Flood-proof CLUSTER output for dHash near-dup: (media_id, component,
+    is_duplicate), ONE row per non-null input hash — LINEAR in members,
+    where :func:`dhash_near_dup` emits O(k²) rows for a k-copy flood (a
+    10M-copy viral image is ~5·10¹³ pair rows) only for dup_components to
+    re-collapse them. Consumers that need cluster membership — which is
+    the whole retention chain — should use this.
+
+    Construction: identical hashes collapse to EXACT groups (one groupBy,
+    representative = min member id); the banded Hamming join of
+    dhash_near_dup runs over one representative per DISTINCT hash (its
+    existing distinct-hash collapse, minus the member-pair expansion);
+    verified near pairs between representatives plus the exact groups feed
+    dup_components' quotient path, so label propagation iterates over
+    distinct hashes only and members surface exactly once, in the final
+    linear expansion join. Component labels are the cluster's min member
+    id; the transitive closure over near-pairs is the same relation
+    dup_components(nodes, dhash_near_dup(...)) computes, without pairs
+    ever materializing."""
+    from nutch_spark.datapipe.dedup import dup_components
+
+    h = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .localCheckpoint(eager=False)
+    )
+    groups = h.groupBy("dhash").agg(F.min("media_id").alias("_rep"))
+    members = h.join(groups, "dhash").select(
+        "media_id", F.col("_rep").alias("rep")
+    )
+    # representatives carry their hash into the banded join: one member
+    # per distinct hash, so the exact-dup self-join inside dhash_near_dup
+    # matches nothing and the member-pair expansion is the identity
+    reps = groups.select(F.col("_rep").alias("media_id"), "dhash")
+    rep_pairs = dhash_near_dup(
+        reps,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_bucket=max_band_bucket,
+    )
+    return dup_components(
+        h.select("media_id"),
+        rep_pairs.select("id_a", "id_b"),
+        "media_id",
+        max_iter=max_iter,
+        groups=members,
+    )
+
+
 MP3_SIDEINFO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

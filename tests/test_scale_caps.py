@@ -329,3 +329,77 @@ def test_dhash_near_dup_flood_collapse_and_band_cap(spark):
     extra = {(a, b) for (a, b) in up if 100 <= a < 200}
     assert len(extra) > 0 and (100 + 1, 100 + 2) not in pairs
     assert up - extra == set(pairs)
+
+
+def test_dhash_dup_clusters_linear_on_flood(spark):
+    """Cluster mode (round 15): a k-copy flood yields exactly k output rows
+    — member pairs NEVER materialize (pair mode would emit C(k,2) ≈ 2M rows
+    for k=2000). The quotient plan iterates over distinct hashes only: the
+    physical plan's only self-joins are between 4-row representative
+    tables, so no stage is quadratic in members."""
+    from nutch_spark.datapipe.multimodal import dhash_dup_clusters
+
+    k = 2000
+    rows = [(i, 0) for i in range(k)]  # the flood: one hash, 2000 copies
+    rows += [(10_000, 1), (10_001, 3)]  # near the flood hash (hamming <= 2)
+    rows += [(20_000, 0x00FF00FF00FF00FF)]  # far singleton
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {r["media_id"]: (r["component"], r["is_duplicate"])
+           for r in dhash_dup_clusters(hashes).collect()}
+    assert len(got) == k + 3  # LINEAR: one row per member
+    # flood + both near hashes close into one component labeled min id 0
+    for i in list(range(k)) + [10_000, 10_001]:
+        assert got[i] == (0, i != 0)
+    assert got[20_000] == (20_000, False)  # far hash: own singleton
+
+
+def test_dup_components_pre_collapsed_groups(spark):
+    """dup_components(groups=): pair endpoints rewrite to representatives,
+    propagation runs on the quotient, members expand once — identical
+    components to expanding each group as star edges."""
+    from nutch_spark.datapipe.dedup import dup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # groups: {0,1,2} rep 0, {5,6} rep 5; 3,4,7,8,9 ungrouped
+    groups = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "doc_id long, rep long"
+    )
+    # pairs reference MEMBERS (not reps): 2-3 bridges group A to node 3,
+    # 6-7 bridges group B to 7; 8-9 an ungrouped pair
+    pairs = spark.createDataFrame(
+        [(2, 3), (6, 7), (8, 9)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: (r["component"], r["is_duplicate"])
+           for r in dup_components(nodes, pairs, groups=groups).collect()}
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert all(got[k][1] == (k != got[k][0]) for k in got)
+    # star-edge expansion (no groups) agrees
+    star = pairs.unionByName(
+        groups.filter("doc_id != rep").selectExpr("doc_id AS id_a", "rep AS id_b")
+    )
+    via_stars = {r["doc_id"]: r["component"]
+                 for r in dup_components(nodes, star).collect()}
+    assert via_stars == expect
+
+
+def test_minhash_dup_clusters_linear_on_flood(spark):
+    """minhash_dup_clusters: a 500-copy text flood is one signature group —
+    one banded-join row, one quotient node, exactly 500 output rows; a
+    near-copy joins the cluster through a representative-level estimator
+    edge; an unrelated doc stays singleton."""
+    from nutch_spark.datapipe.dedup import minhash_dup_clusters
+
+    base = " ".join(f"token{i} word{i * 7 % 31}" for i in range(120))
+    rows = [(i, base) for i in range(500)]
+    rows += [(900, base + " one extra tail")]  # Jaccard ≈ 0.99
+    rows += [(901, "completely different content about spark catalyst "
+                   "optimizer rules and adaptive query execution planning")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["component"], r["is_duplicate"])
+           for r in minhash_dup_clusters(docs, threshold=0.5).collect()}
+    assert len(got) == 502  # LINEAR in members
+    for i in range(500):
+        assert got[i] == (0, i != 0)
+    assert got[900] == (0, True)  # near copy joins via estimator edge
+    assert got[901] == (901, False)

@@ -44,6 +44,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # banded candidate join stays an equi-join on (band, bkey)
     "mm_dhash_flood": [[r"BroadcastHashJoin"],
                        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # cluster-mode dedup: the member expansion is an equi-join on the
+    # representative — members never self-join (no pair blowup, no cross
+    # product anywhere in the quotient chain)
+    "mm_dhash_clusters": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    "dp_minhash_clusters": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                            [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
     # LM perplexity: model joins broadcast, one groupBy, no cross product
     "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
