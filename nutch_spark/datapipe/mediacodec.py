@@ -1640,23 +1640,35 @@ def decode_png_pixels(payload: bytes):
 # present in this sandbox; ctypes binding, no from-memory tables)
 # ---------------------------------------------------------------------------
 
-_LIBWEBP = None
-_LIBWEBP_TRIED = False
+class _ProcessLocalCache(dict):
+    """Codec library handles (ctypes CDLLs and generated Structure
+    classes) are process-local and UNPICKLABLE — and the functions in
+    this module ship to executor Python workers BY VALUE (the package is
+    cloudpickle-registered), which serializes every referenced module
+    global. This cache therefore unpickles EMPTY: a driver that decoded
+    something (tests, REPL) never poisons the serialized closure, and
+    each worker re-dlopens lazily on its first decode (one dlopen per
+    process — noise next to the Arrow batch it is about to chew)."""
+
+    def __reduce__(self):
+        return (self.__class__, ())
+
+
+_CODEC_CACHE = _ProcessLocalCache()
 
 
 def _load_libwebp():
     """The system libwebp via ctypes, or None when absent. Cached; the
     soname is tried first (no dev symlink needed), then find_library."""
-    global _LIBWEBP, _LIBWEBP_TRIED
-    if _LIBWEBP_TRIED:
-        return _LIBWEBP
-    _LIBWEBP_TRIED = True
+    if "webp" in _CODEC_CACHE:
+        return _CODEC_CACHE["webp"]
     import ctypes
     import ctypes.util
 
+    lib = None
     for name in ("libwebp.so.7", "libwebp.so", "libwebp.dylib"):
         try:
-            _LIBWEBP = ctypes.CDLL(name)
+            lib = ctypes.CDLL(name)
             break
         except OSError:
             continue
@@ -1664,28 +1676,29 @@ def _load_libwebp():
         found = ctypes.util.find_library("webp")
         if found:
             try:
-                _LIBWEBP = ctypes.CDLL(found)
+                lib = ctypes.CDLL(found)
             except OSError:
-                _LIBWEBP = None
-    if _LIBWEBP is not None:
+                lib = None
+    if lib is not None:
         import ctypes as ct
 
-        _LIBWEBP.WebPGetInfo.restype = ct.c_int
-        _LIBWEBP.WebPGetInfo.argtypes = [
+        lib.WebPGetInfo.restype = ct.c_int
+        lib.WebPGetInfo.argtypes = [
             ct.c_char_p, ct.c_size_t, ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
         ]
-        _LIBWEBP.WebPDecodeRGBA.restype = ct.POINTER(ct.c_uint8)
-        _LIBWEBP.WebPDecodeRGBA.argtypes = [
+        lib.WebPDecodeRGBA.restype = ct.POINTER(ct.c_uint8)
+        lib.WebPDecodeRGBA.argtypes = [
             ct.c_char_p, ct.c_size_t, ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
         ]
-        _LIBWEBP.WebPEncodeLosslessRGBA.restype = ct.c_size_t
-        _LIBWEBP.WebPEncodeLosslessRGBA.argtypes = [
+        lib.WebPEncodeLosslessRGBA.restype = ct.c_size_t
+        lib.WebPEncodeLosslessRGBA.argtypes = [
             ct.c_char_p, ct.c_int, ct.c_int, ct.c_int,
             ct.POINTER(ct.POINTER(ct.c_uint8)),
         ]
-        _LIBWEBP.WebPFree.restype = None
-        _LIBWEBP.WebPFree.argtypes = [ct.c_void_p]
-    return _LIBWEBP
+        lib.WebPFree.restype = None
+        lib.WebPFree.argtypes = [ct.c_void_p]
+    _CODEC_CACHE["webp"] = lib
+    return lib
 
 
 def decode_webp_rgba(
@@ -1766,13 +1779,422 @@ def decode_webp_gray_pixels(payload: bytes):
     return w, h, gray
 
 
+# ---------------------------------------------------------------------------
+# AVIF / HEIC: REAL pixel decode through the system libheif / libavif
+# (round 15 — the libwebp ctypes precedent applied to the two formats a
+# modern web crawl sees most after JPEG/PNG/WebP; the authoritative public
+# implementations are present in this environment, no from-memory tables)
+# ---------------------------------------------------------------------------
+
+# still-picture brands only: MP4/MOV video brands must NOT route here
+_HEIF_IMAGE_BRANDS = frozenset(
+    ("avif", "avis", "heic", "heix", "heim", "heis",
+     "hevc", "hevx", "mif1", "msf1")
+)
+
+_HEIF_COLORSPACE_RGB = 1
+_HEIF_COLORSPACE_MONO = 2
+_HEIF_CHROMA_MONO = 0
+_HEIF_CHROMA_RGBA = 11
+_HEIF_CHANNEL_Y = 0
+_HEIF_CHANNEL_INTERLEAVED = 10
+_HEIF_COMPRESSION = {"heic": 1, "avif": 4}  # heif_compression_format
+
+def _load_libheif():
+    """The system libheif via ctypes, or None when absent. Cached (in the
+    process-local codec cache — see _ProcessLocalCache). All of libheif's
+    public API is opaque pointers + accessor functions — the only
+    by-value struct is the 16-byte heif_error (int, int, char*), stable
+    since 1.0 — so unlike libavif there is no version-dependent struct
+    layout to get wrong."""
+    if "heif" in _CODEC_CACHE:
+        return _CODEC_CACHE["heif"]
+    import ctypes as ct
+    import ctypes.util
+
+    lib = None
+    for name in ("libheif.so.1", "libheif.so", "libheif.dylib"):
+        try:
+            lib = ct.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        found = ctypes.util.find_library("heif")
+        if found:
+            try:
+                lib = ct.CDLL(found)
+            except OSError:
+                lib = None
+    if lib is None:
+        _CODEC_CACHE["heif"] = None
+        return None
+
+    class HeifError(ct.Structure):
+        _fields_ = [
+            ("code", ct.c_int),
+            ("subcode", ct.c_int),
+            ("message", ct.c_char_p),
+        ]
+
+    vp = ct.c_void_p
+    lib.heif_context_alloc.restype = vp
+    lib.heif_context_free.argtypes = [vp]
+    lib.heif_context_read_from_memory_without_copy.restype = HeifError
+    lib.heif_context_read_from_memory_without_copy.argtypes = [
+        vp, ct.c_char_p, ct.c_size_t, vp,
+    ]
+    lib.heif_context_get_primary_image_handle.restype = HeifError
+    lib.heif_context_get_primary_image_handle.argtypes = [vp, ct.POINTER(vp)]
+    lib.heif_image_handle_get_width.restype = ct.c_int
+    lib.heif_image_handle_get_width.argtypes = [vp]
+    lib.heif_image_handle_get_height.restype = ct.c_int
+    lib.heif_image_handle_get_height.argtypes = [vp]
+    lib.heif_image_handle_release.argtypes = [vp]
+    lib.heif_decode_image.restype = HeifError
+    lib.heif_decode_image.argtypes = [vp, ct.POINTER(vp), ct.c_int, ct.c_int, vp]
+    lib.heif_image_get_plane_readonly.restype = ct.POINTER(ct.c_uint8)
+    lib.heif_image_get_plane_readonly.argtypes = [vp, ct.c_int, ct.POINTER(ct.c_int)]
+    lib.heif_image_release.argtypes = [vp]
+    # encode side (the fixture/test inverse)
+    lib.heif_context_get_encoder_for_format.restype = HeifError
+    lib.heif_context_get_encoder_for_format.argtypes = [vp, ct.c_int, ct.POINTER(vp)]
+    lib.heif_encoder_set_lossless.restype = HeifError
+    lib.heif_encoder_set_lossless.argtypes = [vp, ct.c_int]
+    lib.heif_encoder_release.argtypes = [vp]
+    lib.heif_image_create.restype = HeifError
+    lib.heif_image_create.argtypes = [ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.POINTER(vp)]
+    lib.heif_image_add_plane.restype = HeifError
+    lib.heif_image_add_plane.argtypes = [vp, ct.c_int, ct.c_int, ct.c_int, ct.c_int]
+    lib.heif_image_get_plane.restype = ct.POINTER(ct.c_uint8)
+    lib.heif_image_get_plane.argtypes = [vp, ct.c_int, ct.POINTER(ct.c_int)]
+    lib.heif_context_encode_image.restype = HeifError
+    lib.heif_context_encode_image.argtypes = [vp, vp, vp, vp, ct.POINTER(vp)]
+    lib.heif_context_write_to_file.restype = HeifError
+    lib.heif_context_write_to_file.argtypes = [vp, ct.c_char_p]
+    _CODEC_CACHE["heif"] = lib
+    return lib
+
+
+def _isobmff_pixel_gate(payload: bytes, max_pixels: int) -> bool:
+    """Pre-decode bomb gate from our own pure-struct ISO-BMFF walk: the
+    ispe box states the coded dimensions, so a forged 65535x65535 header
+    is rejected BEFORE any codec allocates a raster. Files without ispe
+    (malformed for coded AVIF/HEIC items, which require it) fail the
+    gate."""
+    info = sniff_isobmff(payload)
+    if not info or "width" not in info:
+        return False
+    return 0 < info["width"] * info["height"] <= max_pixels
+
+
+def decode_heif_rgba(
+    payload: bytes, *, max_pixels: int = 1 << 26
+) -> tuple[int, int, bytes] | None:
+    """(width, height, RGBA bytes) for a HEIC/AVIF payload via the system
+    libheif (primary item, with the container's irot/imir orientation
+    transforms applied by the library), or None when not decodable.
+    Raises NotImplementedError when no libheif is present (the seam
+    convention: loud, never silently wrong; callers' row loops convert it
+    into NULL columns).
+
+    Hostile posture: our own ispe header walk gates the pixel decode (see
+    _isobmff_pixel_gate), the decoded handle dimensions are re-checked,
+    and every libheif error returns None — junk yields NULL, never an
+    exception or an oversized allocation."""
+    import ctypes as ct
+
+    lib = _load_libheif()
+    if lib is None:
+        raise NotImplementedError(
+            "HEIC/AVIF pixel decode needs libheif — not found on this system"
+        )
+    if (
+        len(payload) < 16
+        or payload[4:8] != b"ftyp"
+        or payload[8:12].decode("latin-1").strip() not in _HEIF_IMAGE_BRANDS
+    ):
+        return None
+    if not _isobmff_pixel_gate(payload, max_pixels):
+        return None
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        return None
+    handle = ct.c_void_p()
+    img = ct.c_void_p()
+    try:
+        # without_copy: libheif reads straight from the payload bytes,
+        # which stay referenced for the whole context lifetime
+        err = lib.heif_context_read_from_memory_without_copy(
+            ctx, payload, len(payload), None
+        )
+        if err.code:
+            return None
+        err = lib.heif_context_get_primary_image_handle(ctx, ct.byref(handle))
+        if err.code or not handle:
+            return None
+        w = lib.heif_image_handle_get_width(handle)
+        h = lib.heif_image_handle_get_height(handle)
+        if w <= 0 or h <= 0 or w * h > max_pixels:
+            return None
+        err = lib.heif_decode_image(
+            handle, ct.byref(img), _HEIF_COLORSPACE_RGB, _HEIF_CHROMA_RGBA, None
+        )
+        if err.code or not img:
+            return None
+        stride = ct.c_int(0)
+        plane = lib.heif_image_get_plane_readonly(
+            img, _HEIF_CHANNEL_INTERLEAVED, ct.byref(stride)
+        )
+        if not plane or stride.value < w * 4:
+            return None
+        base = ct.addressof(plane.contents)
+        out = b"".join(
+            ct.string_at(base + y * stride.value, w * 4) for y in range(h)
+        )
+        return w, h, out
+    finally:
+        if img:
+            lib.heif_image_release(img)
+        if handle:
+            lib.heif_image_handle_release(handle)
+        lib.heif_context_free(ctx)
+
+
+def _load_libavif():
+    """The system libavif via ctypes, or None when absent OR when its
+    version's avifRGBImage struct layout is unknown to us (0.11.x and
+    1.x are supported; anything else falls back to the libheif path,
+    which decodes AVIF through the same dav1d). Unlike libheif, libavif's
+    API hands the caller a real struct to fill, so the layout IS
+    version-dependent: 1.0 inserted ``maxThreads`` before ``pixels``. A
+    trailing pad absorbs any future growth, and decode_avif_rgba
+    validates the layout by round-tripping dimensions through
+    avifRGBImageSetDefaults before trusting the pixel pointer."""
+    if "avif" in _CODEC_CACHE:
+        return _CODEC_CACHE["avif"]
+    import ctypes as ct
+    import ctypes.util
+
+    lib = None
+    for name in ("libavif.so.15", "libavif.so.16", "libavif.so", "libavif.dylib"):
+        try:
+            lib = ct.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        found = ctypes.util.find_library("avif")
+        if found:
+            try:
+                lib = ct.CDLL(found)
+            except OSError:
+                lib = None
+    if lib is None:
+        _CODEC_CACHE["avif"] = None
+        return None
+    lib.avifVersion.restype = ct.c_char_p
+    ver = lib.avifVersion().decode("latin-1", errors="replace")
+    head = [
+        ("width", ct.c_uint32), ("height", ct.c_uint32), ("depth", ct.c_uint32),
+        ("format", ct.c_int), ("chromaUpsampling", ct.c_int),
+        ("chromaDownsampling", ct.c_int), ("avoidLibYUV", ct.c_int),
+        ("ignoreAlpha", ct.c_int), ("alphaPremultiplied", ct.c_int),
+        ("isFloat", ct.c_int),
+    ]
+    if ver.startswith("1."):
+        head.append(("maxThreads", ct.c_int))  # added in 1.0
+    elif not ver.startswith("0.11"):
+        _CODEC_CACHE["avif"] = None
+        return None  # unknown layout: let the libheif path handle AVIF
+    tail = [
+        ("pixels", ct.POINTER(ct.c_uint8)),
+        ("rowBytes", ct.c_uint32),
+        ("_pad", ct.c_uint8 * 256),  # absorbs future field growth
+    ]
+
+    class AvifRGBImage(ct.Structure):
+        _fields_ = head + tail
+
+    vp = ct.c_void_p
+    lib.avifDecoderCreate.restype = vp
+    lib.avifDecoderDestroy.argtypes = [vp]
+    lib.avifImageCreateEmpty.restype = vp
+    lib.avifImageDestroy.argtypes = [vp]
+    lib.avifDecoderReadMemory.restype = ct.c_int
+    lib.avifDecoderReadMemory.argtypes = [vp, vp, ct.c_char_p, ct.c_size_t]
+    lib.avifRGBImageSetDefaults.restype = None
+    lib.avifRGBImageSetDefaults.argtypes = [ct.POINTER(AvifRGBImage), vp]
+    # returns avifResult in >=1.0, void in 0.11 — treated as unreliable;
+    # success is judged by rgb.pixels being non-NULL
+    lib.avifRGBImageAllocatePixels.restype = ct.c_int
+    lib.avifRGBImageAllocatePixels.argtypes = [ct.POINTER(AvifRGBImage)]
+    lib.avifRGBImageFreePixels.restype = None
+    lib.avifRGBImageFreePixels.argtypes = [ct.POINTER(AvifRGBImage)]
+    lib.avifImageYUVToRGB.restype = ct.c_int
+    lib.avifImageYUVToRGB.argtypes = [vp, ct.POINTER(AvifRGBImage)]
+    _CODEC_CACHE["avif_rgb"] = AvifRGBImage
+    _CODEC_CACHE["avif"] = lib
+    return lib
+
+
+def decode_avif_rgba(
+    payload: bytes, *, max_pixels: int = 1 << 26
+) -> tuple[int, int, bytes] | None:
+    """(width, height, RGBA bytes) for an AVIF payload, preferring the
+    system libavif (the format's reference library) and falling back to
+    libheif's AV1 path when libavif is absent or of an unknown version.
+    NotImplementedError only when NEITHER library is present. Same
+    hostile posture as decode_heif_rgba: our own ispe walk gates the
+    decode, libavif errors return None, and the avifRGBImage layout is
+    validated by checking SetDefaults round-trips the decoded dimensions
+    before the pixel pointer is trusted."""
+    import ctypes as ct
+
+    lib = _load_libavif()
+    if lib is None:
+        return decode_heif_rgba(payload, max_pixels=max_pixels)
+    if (
+        len(payload) < 16
+        or payload[4:8] != b"ftyp"
+        or payload[8:12].decode("latin-1").strip() not in ("avif", "avis")
+    ):
+        return None
+    if not _isobmff_pixel_gate(payload, max_pixels):
+        return None
+    dec = lib.avifDecoderCreate()
+    img = lib.avifImageCreateEmpty()
+    if not dec or not img:
+        return None
+    rgb = None
+    try:
+        if lib.avifDecoderReadMemory(dec, img, payload, len(payload)):
+            return None
+        dims = ct.cast(img, ct.POINTER(ct.c_uint32))  # width, height lead
+        w, h = int(dims[0]), int(dims[1])  # the avifImage struct in every version
+        if w <= 0 or h <= 0 or w * h > max_pixels:
+            return None
+        rgb = _CODEC_CACHE["avif_rgb"]()
+        lib.avifRGBImageSetDefaults(ct.byref(rgb), img)
+        if rgb.width != w or rgb.height != h:
+            return None  # layout mismatch: never touch the pixel pointer
+        rgb.format = 1  # AVIF_RGB_FORMAT_RGBA
+        rgb.depth = 8
+        lib.avifRGBImageAllocatePixels(ct.byref(rgb))
+        if not rgb.pixels or rgb.rowBytes < w * 4:
+            rgb = None
+            return None
+        if lib.avifImageYUVToRGB(img, ct.byref(rgb)):
+            return None
+        base = ct.addressof(rgb.pixels.contents)
+        out = b"".join(
+            ct.string_at(base + y * rgb.rowBytes, w * 4) for y in range(h)
+        )
+        return w, h, out
+    finally:
+        if rgb is not None and rgb.pixels:
+            lib.avifRGBImageFreePixels(ct.byref(rgb))
+        lib.avifImageDestroy(img)
+        lib.avifDecoderDestroy(dec)
+
+
+def encode_heif_lossless_mono(
+    w: int, h: int, gray_rows, *, codec: str = "heic"
+) -> bytes | None:
+    """Losslessly-coded monochrome HEIC (``codec="heic"``, HEVC via x265)
+    or AVIF (``codec="avif"``, AV1 via aom) bytes for an 8-bit gray
+    raster, via the system libheif — the test/fixture inverse of
+    decode_heif_rgba/decode_avif_rgba. Monochrome + lossless means the
+    decoded RGBA has R=G=B=exactly the planted gray (no YUV matrix
+    touches the samples), so planted oracles stay closed-form like
+    mm_webp_dhash's. None on encode failure; NotImplementedError without
+    libheif."""
+    import ctypes as ct
+    import os
+    import tempfile
+
+    lib = _load_libheif()
+    if lib is None:
+        raise NotImplementedError(
+            "HEIC/AVIF encode needs libheif — not found on this system"
+        )
+    ctx = lib.heif_context_alloc()
+    img = ct.c_void_p()
+    enc = ct.c_void_p()
+    handle = ct.c_void_p()
+    try:
+        err = lib.heif_image_create(
+            w, h, _HEIF_COLORSPACE_MONO, _HEIF_CHROMA_MONO, ct.byref(img)
+        )
+        if err.code or not img:
+            return None
+        if lib.heif_image_add_plane(img, _HEIF_CHANNEL_Y, w, h, 8).code:
+            return None
+        stride = ct.c_int(0)
+        plane = lib.heif_image_get_plane(img, _HEIF_CHANNEL_Y, ct.byref(stride))
+        if not plane:
+            return None
+        base = ct.addressof(plane.contents)
+        for y in range(h):
+            ct.memmove(base + y * stride.value, bytes(gray_rows[y][:w]), w)
+        err = lib.heif_context_get_encoder_for_format(
+            ctx, _HEIF_COMPRESSION[codec], ct.byref(enc)
+        )
+        if err.code or not enc:
+            return None
+        if lib.heif_encoder_set_lossless(enc, 1).code:
+            return None
+        if lib.heif_context_encode_image(ctx, img, enc, None, ct.byref(handle)).code:
+            return None
+        fd, fn = tempfile.mkstemp(suffix=".heif")
+        os.close(fd)
+        try:
+            if lib.heif_context_write_to_file(ctx, fn.encode()).code:
+                return None
+            with open(fn, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(fn)
+    finally:
+        if handle:
+            lib.heif_image_handle_release(handle)
+        if enc:
+            lib.heif_encoder_release(enc)
+        if img:
+            lib.heif_image_release(img)
+        lib.heif_context_free(ctx)
+
+
+def decode_heif_gray_pixels(payload: bytes):
+    """AVIF/HEIC → (w, h, 2-D int64 gray array), routing avif/avis brands
+    through libavif and the HEIC family through libheif, with the same
+    ITU-R 601 integer luma as every other decoder here ((r·299 + g·587 +
+    b·114) // 1000, alpha ignored — exact for monochrome sources since
+    299+587+114=1000). None for undecodable payloads; NotImplementedError
+    when the needed library is missing."""
+    brand = payload[8:12].decode("latin-1").strip() if len(payload) >= 12 else ""
+    if brand in ("avif", "avis"):
+        decoded = decode_avif_rgba(payload)
+    else:
+        decoded = decode_heif_rgba(payload)
+    if decoded is None:
+        return None
+    import numpy as np
+
+    w, h, rgba = decoded
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(h, w, 4).astype(np.int64)
+    gray = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return w, h, gray
+
+
 def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
     """Magic-dispatching pixel decode: BMP, PNG, GIF, JPEG (baseline +
-    progressive), baseline TIFF (from-spec pure Python), or WebP (REAL
-    decode through the system libwebp when present — raises
-    NotImplementedError when it isn't, so a missing codec is loud, never
-    a silent miss) → (w, h, gray rows); None when the format has no
-    decoder here (AVIF, ...).
+    progressive), baseline TIFF (from-spec pure Python), WebP (REAL
+    decode through the system libwebp), or AVIF/HEIC (REAL decode through
+    the system libavif/libheif, round 15) → (w, h, gray rows). Codec-
+    library formats raise NotImplementedError when their library is
+    missing, so an absent codec is loud, never a silent miss; None when
+    the format has no decoder here.
 
     ``as_array=True`` returns the raster as a 2-D int64 numpy array with
     identical values — the dHash hot path uses it so ``_box_resample``'s
@@ -1791,6 +2213,16 @@ def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
         out = decode_tiff_pixels(payload)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         decoded = decode_webp_gray_pixels(payload)  # already an int64 array
+        if decoded is None or as_array:
+            return decoded
+        w, h, gray = decoded
+        return w, h, gray.tolist()
+    elif (
+        len(payload) >= 16
+        and payload[4:8] == b"ftyp"
+        and payload[8:12].decode("latin-1").strip() in _HEIF_IMAGE_BRANDS
+    ):
+        decoded = decode_heif_gray_pixels(payload)  # already an int64 array
         if decoded is None or as_array:
             return decoded
         w, h, gray = decoded

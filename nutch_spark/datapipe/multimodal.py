@@ -454,10 +454,11 @@ def image_dhash(
     BMP (incl. paletted/RLE), PNG (zlib IDAT + the five scanline filters),
     GIF (LZW), JPEG (baseline AND progressive, T.81 Huffman + IDCT,
     EXIF-orientation-normalized), baseline TIFF (strips, PackBits/LZW/
-    Deflate, predictor 2), and — round 14 — WebP through the system
-    libwebp (ctypes; a MISSING libwebp raises NotImplementedError into a
-    NULL hash, never silently-wrong pixels). Formats still without a
-    decoder (AVIF, ...) yield NULL and would plug in through ``hash_fn``
+    Deflate, predictor 2), WebP through the system libwebp (round 14),
+    and AVIF/HEIC through the system libavif/libheif (round 15) — for
+    the codec-library formats a MISSING library raises
+    NotImplementedError into a NULL hash, never silently-wrong pixels.
+    Anything else yields NULL and would plug in through ``hash_fn``
     exactly like the decoder seams elsewhere. Map-only."""
     from nutch_spark.datapipe.mediacodec import dhash64
 

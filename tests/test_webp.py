@@ -108,8 +108,7 @@ def test_corrupt_webp_is_none_never_raises():
 def test_missing_libwebp_raises_not_implemented(monkeypatch):
     # a missing codec must be LOUD (NotImplementedError -> NULL columns in
     # the row loops), never a silent None that reads as "corrupt input"
-    monkeypatch.setattr(mc, "_LIBWEBP", None)
-    monkeypatch.setattr(mc, "_LIBWEBP_TRIED", True)
+    monkeypatch.setitem(mc._CODEC_CACHE, "webp", None)
     blob_header = b"RIFF\x28\x00\x00\x00WEBPVP8L\x1c\x00\x00\x00\x2f" + b"\x00" * 20
     with pytest.raises(NotImplementedError):
         decode_webp_rgba(blob_header)
