@@ -4213,6 +4213,93 @@ def mm_webp_dhash(spark, sf_dir):
     return image_dhash(media)
 
 
+def _planted_heif_rows(pdf):
+    """doc_id → one losslessly-coded MONOCHROME AVIF (even ids, AV1 via
+    aom) or HEIC (odd ids, HEVC via x265) of the planted gradient class,
+    upscaled 8x so each grid cell is a flat 8x8 block (72x64 — the
+    _planted_jpeg sizing trick, sidestepping codec minimum-dimension
+    constraints; the 9x8 box resample averages each flat block back to
+    the exact grid value). Monochrome + lossless means decoded R=G=B =
+    the planted gray exactly (no YUV matrix touches the samples), so the
+    arithmetic closed-form dHash is independent ground truth — the
+    mm_webp_dhash precedent. doc_id %% 32 == 21 plants a corrupt AV1
+    payload (valid ftyp/ispe, garbage bitstream) that must yield NULL,
+    never an exception."""
+    from nutch_spark.datapipe.mediacodec import encode_heif_lossless_mono
+
+    rows = []
+    for doc_id in pdf["doc_id"]:
+        doc_id = int(doc_id)
+        if doc_id % 32 == 21:
+            good = encode_heif_lossless_mono(
+                72, 64, [[0] * 72] * 64, codec="avif"
+            )
+            # keep the real container shell (ftyp/meta/ispe pass the bomb
+            # gate) but replace the ENTIRE coded payload in mdat with
+            # 0xDE 0xAD bytes — 0xDE has the OBU forbidden bit set, so
+            # the AV1 parser must reject it (trashing only the TAIL is
+            # not reliably corrupt: dav1d reconstructs most of a tiny
+            # image from a truncated tile)
+            i = good.find(b"mdat") + 4
+            n = len(good) - i
+            payload = good[:i] + (b"\xde\xad" * (n // 2 + 1))[:n]
+        else:
+            grid = _planted_grid(doc_id)
+            big = [[grid[y // 8][x // 8] for x in range(72)] for y in range(64)]
+            payload = encode_heif_lossless_mono(
+                72, 64, big, codec="avif" if doc_id % 2 == 0 else "heic"
+            )
+        rows.append({"media_id": doc_id, "payload": payload})
+    return rows
+
+
+@q(
+    "mm_heif_dhash",
+    f"""
+    -- REAL AVIF + HEIC pixels through the system libavif / libheif
+    -- (round 15 — the libwebp ctypes precedent applied to the two
+    -- formats a modern crawl sees most after JPEG/PNG/WebP). Planted
+    -- lossless MONOCHROME images of the mm_image_dhash gradient classes
+    -- (even ids AVIF, odd ids HEIC): mono+lossless decode reproduces the
+    -- grid exactly, so the closed-form gradient dHash is ground truth
+    -- from arithmetic alone. Corrupt AV1 bitstreams (doc_id % 32 = 21)
+    -- pin the NULL path through the same Arrow batches.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL ELSE {_DHASH_CASE} END
+             AS dhash
+    FROM documents
+    WHERE doc_id < 192
+    """,
+)
+def mm_heif_dhash(spark, sf_dir):
+    """Perceptual hashing over REAL AVIF and HEIC pixels
+    (mediacodec.decode_avif_rgba via libavif 0.11/1.x with layout
+    validation, decode_heif_rgba via libheif — both authoritative public
+    implementations; our own ispe header walk bomb-gates each decode).
+    Encoding is lossless monochrome, so the planted-gradient closed form
+    pins the full decode → luma → box-resample → dHash chain for both
+    libraries in one oracle; corrupt bitstreams yield NULL loudly (and a
+    MISSING library raises NotImplementedError into NULL columns — never
+    silently wrong pixels). 100 TB: map-only Arrow stage, same plumbing
+    as every media stage."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 192
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _planted_heif_rows(pdf), columns=["media_id", "payload"]
+            )
+
+    from nutch_spark.datapipe.multimodal import image_dhash
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return image_dhash(media)
+
+
 @q(
     "mm_image_dhash",
     f"""

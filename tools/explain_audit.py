@@ -203,6 +203,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # WebP pixels through the system libwebp: same map-only shape
     "mm_webp_dhash": [[r"MapInPandas|mapInPandas"],
                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # AVIF/HEIC pixels through the system libavif/libheif: same shape
+    "mm_heif_dhash": [[r"MapInPandas|mapInPandas"],
+                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_7z_extract": [[r"MapInPandas|mapInPandas"],
