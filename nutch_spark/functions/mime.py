@@ -62,11 +62,64 @@ _RIFF_SUBTYPES = [  # RIFF<size> then the form type at byte offset 8
     ("41564920", "video/x-msvideo"),  # 'AVI '
     ("57415645", "audio/x-wav"),  # WAVE
 ]
-_FTYP_BRANDS = [  # ISO-BMFF: 'ftyp' at byte 4, brand at byte 8
+_FTYP_BRANDS = [  # ISO-BMFF: 'ftyp' at byte 4, brand at byte 8 (the Tika
+    # tika-mimetypes brand families for the container-sharing formats)
     ("68656963", "image/heic"),   # heic
+    ("68656978", "image/heic"),   # heix
+    ("68657663", "image/heic-sequence"),  # hevc
+    ("68657678", "image/heic-sequence"),  # hevx
+    ("6865696D", "image/heif"),   # heim
+    ("68656973", "image/heif"),   # heis
+    ("6D696631", "image/heif"),   # mif1
+    ("6D736631", "image/heif-sequence"),  # msf1
     ("61766966", "image/avif"),   # avif
+    ("61766973", "image/avif-sequence"),  # avis
     ("4D344120", "audio/mp4"),    # 'M4A '
+    ("4D344220", "audio/mp4"),    # 'M4B ' (audiobook)
+    ("4D345020", "audio/mp4"),    # 'M4P '
+    ("4D345620", "video/x-m4v"),  # 'M4V '
+    ("33677034", "video/3gpp"),   # 3gp4
+    ("33677035", "video/3gpp"),   # 3gp5
+    ("33677036", "video/3gpp"),   # 3gp6
+    ("33677070", "video/3gpp"),   # 3gpp
+    ("33673261", "video/3gpp2"),  # 3g2a
+    ("6D6A7032", "video/mj2"),    # mjp2
     ("71742020", "video/quicktime"),  # 'qt  '
+]
+
+# OLE2 compound files share one magic (D0CF11E0); the real subtype lives in
+# the directory-entry names (UTF-16LE storage/stream names — the same names
+# Tika's POIFSContainerDetector keys on). The column form searches the head
+# of the file; directories past the search window fall back to the
+# extension refinement, then to generic x-ole-storage.
+_OLE_NEEDLES = [
+    ("WordDocument", "application/msword"),
+    ("Workbook", "application/vnd.ms-excel"),
+    ("PowerPoint Document", "application/vnd.ms-powerpoint"),
+    ("VisioDocument", "application/vnd.visio"),
+    ("EncryptedPackage", "application/x-tika-ooxml-protected"),
+]
+_OLE_EXT = {
+    "doc": "application/msword",
+    "dot": "application/msword",
+    "xls": "application/vnd.ms-excel",
+    "xlt": "application/vnd.ms-excel",
+    "ppt": "application/vnd.ms-powerpoint",
+    "pot": "application/vnd.ms-powerpoint",
+    "vsd": "application/vnd.visio",
+    "msi": "application/x-msi",
+    "msg": "application/vnd.ms-outlook",
+}
+
+# OOXML: the zip's leading entries carry the package part names; the main
+# document part pins the flavor (Tika inspects the same entry names). Long
+# needles so a match inside compressed payload bytes is vanishingly
+# unlikely.
+_OOXML_NEEDLES = [
+    ("word/document.xml", "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+    ("xl/workbook.xml", "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+    ("ppt/presentation.xml", "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
+    ("visio/document.xml", "application/vnd.ms-visio.drawing"),
 ]
 # zip containers refined by URL extension (Tika inspects entry names; the
 # column expression uses the extension, which OOXML/ODF links always carry)
@@ -490,8 +543,50 @@ def detect_mime(
         for brand, mime in _FTYP_BRANDS:
             magic = magic.when(is_ftyp & (F.substring(head_hex, 17, 8) == brand), mime)
         magic = magic.when(is_ftyp, "video/mp4")  # unrecognized brand default
+        bin_head = F.substring(c.cast("binary"), 1, 65536)
+        is_zip = head_hex.startswith("504B0304")
+        # ODF / EPUB convention: first entry is named exactly "mimetype",
+        # STORED (no compression, no extra field), so the package's real
+        # mime starts verbatim at byte offset 38 — take it AS the answer
+        # (covers every ODF flavor incl. templates, epub, and anything
+        # else using the convention, with zero per-type table entries)
+        stored_mime = F.regexp_extract(
+            F.substring(c.cast("binary"), 39, 100).cast("string"),
+            r"^(application/[a-z0-9.+-]+)",
+            1,
+        )
+        magic = magic.when(
+            is_zip
+            & (F.substring(c.cast("binary"), 31, 8) == F.lit(b"mimetype"))
+            & (stored_mime != ""),
+            stored_mime,
+        )
+        # OOXML: [Content_Types].xml leads the package; the main document
+        # part name (a long needle — compressed-byte collisions are
+        # vanishingly unlikely) pins the flavor by CONTENT, so a mislabeled
+        # .zip URL still detects as docx/xlsx/pptx like Tika does
+        is_ooxml = is_zip & F.contains(
+            bin_head, F.lit(b"[Content_Types].xml")
+        )
+        for part, mime in _OOXML_NEEDLES:
+            magic = magic.when(
+                is_ooxml & F.contains(bin_head, F.lit(part.encode())), mime
+            )
         for e, mime in _ZIP_EXT.items():
-            magic = magic.when(head_hex.startswith("504B0304") & (ext0 == e), mime)
+            magic = magic.when(is_zip & (ext0 == e), mime)
+        # OLE2 subtypes by directory-entry name (UTF-16LE needles over the
+        # head window, the POIFSContainerDetector names); extension refines
+        # when the directory sits past the window; generic x-ole-storage
+        # catches the rest via _MAGIC_HEX below
+        is_ole = head_hex.startswith("D0CF11E0A1B11AE1")
+        for name_, mime in _OLE_NEEDLES:
+            magic = magic.when(
+                is_ole
+                & F.contains(bin_head, F.lit(name_.encode("utf-16-le"))),
+                mime,
+            )
+        for e, mime in _OLE_EXT.items():
+            magic = magic.when(is_ole & (ext0 == e), mime)
         for prefix, mime in _MAGIC_HEX:
             magic = magic.when(head_hex.startswith(prefix), mime)
         # weak 2-byte magics need a stronger discriminator than the prefix:

@@ -381,11 +381,13 @@ def test_mime_reference_vectors(spark):
             b"This is a plain text document",
             "text/plain",
         ),
-        (  # the header was truthful: real OLE magic wins as msword family
+        (  # the header was truthful: real OLE magic + .doc extension
+            # refine to msword (TestMimeUtil expects the subtype; before
+            # round 15 this degraded to generic x-ole-storage)
             "http://example.com/test.doc",
             "application/msword",
             bytes.fromhex("D0CF11E0A1B11AE1") + b"\x00" * 8,
-            "application/x-ole-storage",
+            "application/msword",
         ),
     ]
     df = spark.createDataFrame(
@@ -399,6 +401,128 @@ def test_mime_reference_vectors(spark):
         ).collect()
     ]
     assert got == [want for _, _, _, want in rows]
+
+
+def test_mime_container_disambiguation(spark):
+    """Round 15 magic depth: the three container families that share one
+    magic (zip → OOXML/ODF/EPUB, OLE2 subtypes, ISO-BMFF brands) resolve
+    by CONTENT like Tika's detectors — zip entry names for OOXML, the
+    stored-verbatim `mimetype` first entry for ODF/EPUB (covers templates
+    with zero table entries), UTF-16LE directory-entry needles for OLE2 —
+    with extension refinement as the fallback and the generic container
+    mime as the floor."""
+    import struct
+
+    from nutch_spark.functions.mime import detect_mime
+
+    def zip_head(*needles: bytes) -> bytes:
+        out = b"PK\x03\x04" + b"\x00" * 26
+        for n in needles:
+            out += n + b"\x00" * 4
+        return out
+
+    def odf(mime: str) -> bytes:
+        # spec layout: first entry literally named `mimetype`, STORED, no
+        # extra field -> the package mime verbatim at byte offset 38
+        return (
+            b"PK\x03\x04" + b"\x00" * 22 + struct.pack("<HH", 8, 0)
+            + b"mimetype" + mime.encode() + b"PK\x03\x04" + b"\x00" * 8
+        )
+
+    def ole(*names: str) -> bytes:
+        out = bytes.fromhex("D0CF11E0A1B11AE1") + b"\x00" * 24
+        for n in names:
+            out += n.encode("utf-16-le") + b"\x00\x00"
+        return out
+
+    def bmff(brand: bytes) -> bytes:
+        return b"\x00\x00\x00\x18ftyp" + brand + b"\x00" * 12
+
+    OOX = "application/vnd.openxmlformats-officedocument."
+    ODF = "application/vnd.oasis.opendocument."
+    Z = "http://e.com/blob.zip"  # misleading .zip: content must win
+    B = "http://e.com/payload.bin"
+    rows = [
+        # --- zip -> OOXML by entry-name content (extension lies) ---
+        (Z, zip_head(b"[Content_Types].xml", b"word/document.xml"),
+         OOX + "wordprocessingml.document"),
+        (Z, zip_head(b"[Content_Types].xml", b"xl/workbook.xml"),
+         OOX + "spreadsheetml.sheet"),
+        (Z, zip_head(b"[Content_Types].xml", b"ppt/presentation.xml"),
+         OOX + "presentationml.presentation"),
+        (Z, zip_head(b"[Content_Types].xml", b"visio/document.xml"),
+         "application/vnd.ms-visio.drawing"),
+        # OOXML marker but unknown part -> stays zip (ext fallback)
+        (Z, zip_head(b"[Content_Types].xml", b"unknown/part.xml"),
+         "application/zip"),
+        # --- zip -> ODF/EPUB via the stored-verbatim mimetype entry ---
+        (Z, odf(ODF + "text"), ODF + "text"),
+        (Z, odf(ODF + "spreadsheet"), ODF + "spreadsheet"),
+        (Z, odf(ODF + "presentation"), ODF + "presentation"),
+        (Z, odf(ODF + "graphics"), ODF + "graphics"),
+        (Z, odf(ODF + "text-template"), ODF + "text-template"),
+        (Z, odf(ODF + "spreadsheet-template"), ODF + "spreadsheet-template"),
+        (Z, odf(ODF + "presentation-template"), ODF + "presentation-template"),
+        (Z, odf("application/epub+zip"), "application/epub+zip"),
+        # --- OLE2 subtype by directory-entry needle (extension lies) ---
+        (B, ole("Root Entry", "WordDocument"), "application/msword"),
+        (B, ole("Root Entry", "Workbook"), "application/vnd.ms-excel"),
+        (B, ole("Root Entry", "PowerPoint Document"),
+         "application/vnd.ms-powerpoint"),
+        (B, ole("Root Entry", "VisioDocument"), "application/vnd.visio"),
+        (B, ole("Root Entry", "EncryptedPackage"),
+         "application/x-tika-ooxml-protected"),
+        # --- OLE2 extension refinement when no needle in the head ---
+        ("http://e.com/a.doc", ole("Root Entry"), "application/msword"),
+        ("http://e.com/a.dot", ole("Root Entry"), "application/msword"),
+        ("http://e.com/a.xls", ole("Root Entry"), "application/vnd.ms-excel"),
+        ("http://e.com/a.xlt", ole("Root Entry"), "application/vnd.ms-excel"),
+        ("http://e.com/a.ppt", ole("Root Entry"), "application/vnd.ms-powerpoint"),
+        ("http://e.com/a.pot", ole("Root Entry"), "application/vnd.ms-powerpoint"),
+        ("http://e.com/a.vsd", ole("Root Entry"), "application/vnd.visio"),
+        ("http://e.com/a.msi", ole("Root Entry"), "application/x-msi"),
+        ("http://e.com/a.msg", ole("Root Entry"), "application/vnd.ms-outlook"),
+        # no needle, no known extension -> the generic container floor
+        (B, ole("Root Entry"), "application/x-ole-storage"),
+        # --- ISO-BMFF brand family ---
+        (B, bmff(b"heic"), "image/heic"),
+        (B, bmff(b"heix"), "image/heic"),
+        (B, bmff(b"hevc"), "image/heic-sequence"),
+        (B, bmff(b"hevx"), "image/heic-sequence"),
+        (B, bmff(b"heim"), "image/heif"),
+        (B, bmff(b"heis"), "image/heif"),
+        (B, bmff(b"mif1"), "image/heif"),
+        (B, bmff(b"msf1"), "image/heif-sequence"),
+        (B, bmff(b"avif"), "image/avif"),
+        (B, bmff(b"avis"), "image/avif-sequence"),
+        (B, bmff(b"M4A "), "audio/mp4"),
+        (B, bmff(b"M4B "), "audio/mp4"),
+        (B, bmff(b"M4P "), "audio/mp4"),
+        (B, bmff(b"M4V "), "video/x-m4v"),
+        (B, bmff(b"3gp4"), "video/3gpp"),
+        (B, bmff(b"3gp5"), "video/3gpp"),
+        (B, bmff(b"3gp6"), "video/3gpp"),
+        (B, bmff(b"3gpp"), "video/3gpp"),
+        (B, bmff(b"3g2a"), "video/3gpp2"),
+        (B, bmff(b"mjp2"), "video/mj2"),
+        (B, bmff(b"qt  "), "video/quicktime"),
+        (B, bmff(b"isom"), "video/mp4"),  # unrecognized-brand default
+        (B, bmff(b"mp42"), "video/mp4"),
+        # a plain zip with nothing to refine stays zip
+        (B, zip_head(b"some/file.txt"), "application/zip"),
+    ]
+    assert len(rows) >= 50
+    df = spark.createDataFrame(
+        [(u, c) for u, c, _ in rows], "url string, content binary"
+    )
+    got = [
+        r["mime"]
+        for r in df.select(detect_mime("url", "content").alias("mime")).collect()
+    ]
+    want = [w for _, _, w in rows]
+    assert got == want, [
+        (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
 
 
 def test_percent_normalize_reference_vectors(spark):
