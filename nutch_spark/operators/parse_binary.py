@@ -945,6 +945,10 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         if depth >= 2:
             return "application/vnd.ms-cab-compressed", ""
         return extract_cab_text(data, depth)
+    if data[:4] == b"8BPS":
+        from nutch_spark.operators.parse_tail import extract_psd_text
+
+        return extract_psd_text(data)
     if data[257:262] == b"ustar":  # POSIX/GNU tar member header magic
         import tarfile
 

@@ -1711,3 +1711,160 @@ def build_7z_bytes(
         + _s.pack("<I", _z.crc32(start_header))
         + start_header + pack_area + bytes(hdr)
     )
+
+
+# ---------------------------------------------------------------------------
+# PSD — Adobe Photoshop (parse-tika TikaParser.java:63-160 routes
+# image/vnd.adobe.photoshop to Tika's PSDParser; re-expressed from the
+# public "Adobe Photoshop File Formats Specification": the 26-byte 8BPS
+# header is fixed-width, and document text lives in the Image Resources
+# section — caption resource 0x03F0 (Pascal string) or IPTC-NAA 0x0404
+# record 2:120. No pixel decode (Tika's PSDParser reads the same
+# header+resources only).
+# ---------------------------------------------------------------------------
+
+_PSD_MODES = {
+    0: "bitmap", 1: "grayscale", 2: "indexed", 3: "rgb",
+    4: "cmyk", 7: "multichannel", 8: "duotone", 9: "lab",
+}
+
+
+def parse_psd(data: bytes) -> dict | None:
+    """Header + image-resource facts of a PSD/PSB payload, or None when the
+    payload is not one. Output: version (1=PSD, 2=PSB), channels, width,
+    height, depth (bits/channel), color_mode (name), caption (0x03F0
+    Pascal caption, else IPTC 2:120), dpi (0x03ED horizontal resolution,
+    integer part of the 16.16 fixed), n_resources, has_xmp/has_icc/
+    has_exif (resources 0x0424/0x040F/0x0422). Hostile posture: every
+    length bounds-checked against the section end; a malformed resource
+    walk stops, never raises; sanity bounds from the spec (channels 1-56,
+    non-zero dims)."""
+    import struct as _s
+
+    if len(data) < 30 or data[:4] != b"8BPS":
+        return None
+    version = _s.unpack(">H", data[4:6])[0]
+    if version not in (1, 2) or data[6:12] != b"\x00" * 6:
+        return None
+    channels, height, width, depth, mode = _s.unpack(">HIIHH", data[12:26])
+    if not 1 <= channels <= 56 or width == 0 or height == 0:
+        return None
+    out: dict = {
+        "version": version, "channels": channels, "width": width,
+        "height": height, "depth": depth,
+        "color_mode": _PSD_MODES.get(mode, str(mode)),
+        "caption": None, "dpi": None, "n_resources": 0,
+        "has_xmp": False, "has_icc": False, "has_exif": False,
+    }
+    pos = 26
+    if pos + 4 > len(data):
+        return out
+    cmlen = _s.unpack(">I", data[pos : pos + 4])[0]
+    pos += 4 + cmlen
+    if pos + 4 > len(data):
+        return out
+    irlen = _s.unpack(">I", data[pos : pos + 4])[0]
+    pos += 4
+    end = min(pos + irlen, len(data))
+    iptc_caption = None
+    while pos + 12 <= end:
+        if data[pos : pos + 4] != b"8BIM":
+            break
+        rid = _s.unpack(">H", data[pos + 4 : pos + 6])[0]
+        pos += 6
+        nlen = data[pos]
+        pos += 1 + nlen + ((1 + nlen) % 2)  # Pascal name padded to even
+        if pos + 4 > end:
+            break
+        size = _s.unpack(">I", data[pos : pos + 4])[0]
+        pos += 4
+        if pos + size > end:
+            break
+        body = data[pos : pos + size]
+        pos += size + (size % 2)
+        out["n_resources"] += 1
+        if rid == 0x03F0 and body:  # caption as Pascal string
+            ln = body[0]
+            out["caption"] = body[1 : 1 + ln].decode("latin-1", "replace")
+        elif rid == 0x0404:  # IPTC-NAA: 1C record dataset len16 data
+            q = 0
+            while q + 5 <= len(body) and body[q] == 0x1C:
+                rec, ds = body[q + 1], body[q + 2]
+                ln = _s.unpack(">H", body[q + 3 : q + 5])[0]
+                if rec == 2 and ds == 120 and iptc_caption is None:
+                    iptc_caption = body[q + 5 : q + 5 + ln].decode(
+                        "latin-1", "replace"
+                    )
+                q += 5 + ln
+        elif rid == 0x0424:
+            out["has_xmp"] = True
+        elif rid == 0x040F:
+            out["has_icc"] = True
+        elif rid == 0x0422:
+            out["has_exif"] = True
+        elif rid == 0x03ED and size >= 4:
+            out["dpi"] = _s.unpack(">I", body[0:4])[0] >> 16  # 16.16 fixed
+    if out["caption"] is None:
+        out["caption"] = iptc_caption
+    return out
+
+
+def extract_psd_text(data: bytes) -> tuple[str, str]:
+    """(mime, text) for the binary-parse dispatch: the caption is the only
+    document text a PSD carries (Tika's PSDParser surfaces metadata only;
+    the caption resource is the text-bearing field)."""
+    info = parse_psd(data)
+    if info is None:
+        return "application/octet-stream", ""
+    return "image/vnd.adobe.photoshop", info["caption"] or ""
+
+
+def build_psd_bytes(
+    caption: str,
+    *,
+    width: int = 9,
+    height: int = 8,
+    mode: int = 3,
+    channels: int = 3,
+    depth: int = 8,
+    pascal_caption: str | None = None,
+    dpi: int | None = 72,
+    with_xmp: bool = False,
+) -> bytes:
+    """A REAL minimal PSD: 8BPS header, empty color-mode section, image
+    resources (IPTC 2:120 ``caption`` — 2-byte lengths, so full document
+    text fits; optional 0x03F0 Pascal ``pascal_caption``; optional 0x03ED
+    resolution and 0x0424 XMP marker), empty layers section, RAW
+    compression marker. The fixture inverse of parse_psd for oracles and
+    tests."""
+    import struct as _s
+
+    def res(rid: int, body: bytes) -> bytes:
+        blk = b"8BIM" + _s.pack(">H", rid) + b"\x00\x00"  # empty Pascal name
+        blk += _s.pack(">I", len(body)) + body
+        if len(body) % 2:
+            blk += b"\x00"
+        return blk
+
+    resources = b""
+    if pascal_caption is not None:
+        pc = pascal_caption.encode("latin-1", "replace")[:255]
+        resources += res(0x03F0, bytes([len(pc)]) + pc)
+    cap = caption.encode("latin-1", "replace")[:30000]
+    iptc = b"\x1c\x02\x78" + _s.pack(">H", len(cap)) + cap
+    resources += res(0x0404, iptc)
+    if dpi is not None:
+        # ResolutionInfo: hRes 16.16 fixed, unit pair, then vertical copy
+        half = _s.pack(">IHH", dpi << 16, 1, 1)
+        resources += res(0x03ED, half + half)
+    if with_xmp:
+        resources += res(0x0424, b"<x:xmpmeta/>")
+    hdr = b"8BPS" + _s.pack(">H", 1) + b"\x00" * 6
+    hdr += _s.pack(">HIIHH", channels, height, width, depth, mode)
+    return (
+        hdr
+        + _s.pack(">I", 0)                      # color mode data
+        + _s.pack(">I", len(resources)) + resources
+        + _s.pack(">I", 0)                      # layer & mask section
+        + _s.pack(">H", 0)                      # RAW compression, no pixels
+    )

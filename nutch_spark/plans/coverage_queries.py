@@ -2175,6 +2175,73 @@ def p2_7z_extract(spark, sf_dir):
     )
 
 
+@q(
+    "p2_psd_extract",
+    """
+    -- Round-trip identity: each document becomes a REAL minimal PSD
+    -- (public Adobe spec: 8BPS header, image-resource section carrying
+    -- the doc text as the IPTC-NAA 2:120 caption — 2-byte lengths, so
+    -- full text fits where the 0x03F0 Pascal caption caps at 255) and
+    -- flows through the binary-parse dispatch; the oracle states the
+    -- caption closed-form. Corrupt headers (doc_id % 16 = 9 plants a
+    -- zero-width file) must yield octet-stream + empty, never an error.
+    SELECT doc_id,
+           CASE WHEN doc_id % 16 = 9 THEN 'application/octet-stream'
+                ELSE 'image/vnd.adobe.photoshop' END AS mime,
+           CASE WHEN doc_id % 16 = 9 THEN ''
+                ELSE 'psd guard: ' || regexp_replace(text, '[^ -~]', '?', 'g')
+             END AS parse_text,
+           CAST(CASE WHEN doc_id % 16 = 9 THEN 0
+                ELSE length('psd guard: '
+                     || regexp_replace(text, '[^ -~]', '?', 'g')) END
+             AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_psd_extract(spark, sf_dir):
+    """P2 Photoshop tail (parse-tika's PSDParser slot — the highest-hit
+    remaining Tika-tail format per the round-14 verdict): documents
+    become real minimal PSDs (26-byte 8BPS header, IPTC caption resource,
+    resolution block, RAW-compression marker) and extract through
+    operators/parse_tail.parse_psd via the shared binary dispatch; a
+    planted zero-width header pins the hostile-input path. 100 TB shape:
+    map-only, no shuffle."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from nutch_spark.operators.parse_tail import build_psd_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 16 == 9:
+                    blob = build_psd_bytes("x", width=0)  # hostile: 0-width
+                else:
+                    guarded = "psd guard: " + _re.sub(
+                        r"[^ -~]", "?", text or ""
+                    )
+                    blob = build_psd_bytes(guarded, with_xmp=doc_id % 2 == 0)
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/a.psd", "content": blob}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 12: S3/S4 sink serialization certified cross-engine (the pytest
 # round-trips prove Spark can re-read its own output; these prove a SECOND

@@ -736,3 +736,58 @@ def test_7z_guards_and_hostile_bytes():
         cut = rng.randrange(6, len(b))
         mime, _txt = extract_7z_text(bytes(b[:cut]) if cut < len(b) else bytes(b))
         assert mime == "application/x-7z-compressed"
+
+
+def test_psd_header_and_captions():
+    from nutch_spark.operators.parse_tail import (
+        build_psd_bytes,
+        extract_psd_text,
+        parse_psd,
+    )
+
+    blob = build_psd_bytes(
+        "IPTC caption here", width=640, height=480, mode=3, channels=4,
+        depth=16, dpi=300, with_xmp=True,
+    )
+    info = parse_psd(blob)
+    assert info["version"] == 1 and info["color_mode"] == "rgb"
+    assert (info["width"], info["height"]) == (640, 480)
+    assert (info["channels"], info["depth"]) == (4, 16)
+    assert info["dpi"] == 300 and info["has_xmp"]
+    assert info["caption"] == "IPTC caption here"
+    assert info["n_resources"] == 3  # IPTC + resolution + XMP
+    assert extract_psd_text(blob) == (
+        "image/vnd.adobe.photoshop", "IPTC caption here"
+    )
+    # the 0x03F0 Pascal caption outranks IPTC 2:120 when both are present
+    both = build_psd_bytes("iptc text", pascal_caption="pascal wins")
+    assert parse_psd(both)["caption"] == "pascal wins"
+    # grayscale / CMYK mode names
+    assert parse_psd(build_psd_bytes("x", mode=1, channels=1))["color_mode"] == "grayscale"
+    assert parse_psd(build_psd_bytes("x", mode=4, channels=4))["color_mode"] == "cmyk"
+
+
+def test_psd_hostile_bytes_never_raise():
+    import random
+
+    from nutch_spark.operators.parse_tail import build_psd_bytes, parse_psd
+    from nutch_spark.operators.parse_binary import extract_text
+
+    # spec sanity bounds: zero dims / bad channel counts / wrong reserved
+    assert parse_psd(build_psd_bytes("x", width=0)) is None
+    assert parse_psd(build_psd_bytes("x", channels=0)) is None
+    assert parse_psd(build_psd_bytes("x", channels=57)) is None
+    assert parse_psd(b"8BPS" + b"\x00" * 10) is None
+    assert parse_psd(b"not a psd at all") is None
+    # lying section lengths / truncation / bit flips: degrade, never die
+    rng = random.Random(15)
+    base = build_psd_bytes("caption body text", dpi=72, with_xmp=True)
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(4, len(b) + 1)
+        info = parse_psd(bytes(b[:cut]))
+        assert info is None or info["width"] >= 1
+        mime, text = extract_text(bytes(b[:cut]))
+        assert isinstance(mime, str) and isinstance(text, str)
