@@ -113,6 +113,18 @@ def main() -> None:
     # stay in the artifact so a judge can map residual suspects back to
     # wall-clock.
     starts: dict[str, float] = {}
+    # Steal-aware retry (r15): a rep that ran inside a hypervisor-steal
+    # burst is re-run (bounded) instead of polluting the median — the r14
+    # driver run had steal in 169/169 queries and had to be read through
+    # the min bands after the fact. Threshold: more than ~2% of the rep's
+    # CPU capacity stolen (floor 1 CPU-second, so sub-second queries don't
+    # retry on noise). Retries stop when the wall budget is spent;
+    # steal_exhausted counts reps that stayed degraded (documented retry
+    # exhaustion in the printed line).
+    ncpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    retry_cap = max(0, int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2")))
+    steal_retries = 0
+    steal_exhausted = 0
     for rep in range(reps):
         if rep > 0 and time.perf_counter() - bench_t0 > budget_s:
             degraded = len(runs_all)  # remaining passes skipped
@@ -121,10 +133,23 @@ def main() -> None:
             fn, _oracle = REGISTRY[name]
             if rep == 0:
                 starts[name] = round(time.perf_counter() - bench_t0, 1)
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs_all[name].append(round(time.perf_counter() - t0, 3))
+            for attempt in range(retry_cap + 1):
+                s0 = cpu_steal_s()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                stolen = cpu_steal_s() - s0
+                if stolen <= max(1.0, 0.02 * dt * ncpus):
+                    break
+                if (
+                    attempt == retry_cap
+                    or time.perf_counter() - bench_t0 > budget_s
+                ):
+                    steal_exhausted += 1
+                    break
+                steal_retries += 1
+            runs_all[name].append(round(dt, 3))
     for name, runs in runs_all.items():
         ordered = sorted(runs)  # runs_all keeps execution order (run 0 cold)
         timings[name] = ordered[len(ordered) // 2]
@@ -153,6 +178,8 @@ def main() -> None:
         "spread": spreads,
         "start_offset_s": starts,
         "cpu_steal_s": round(cpu_steal_s() - steal0, 1),
+        "steal_retries": steal_retries,
+        "steal_exhausted": steal_exhausted,
         "reps": reps,
         "sf": sf,
     }
@@ -191,11 +218,15 @@ def main() -> None:
         "load_note": (
             f"median-of-{reps} interleaved; q=[med,min,max]; sub-1s in"
             " fast_n; value_min=sum of per-query mins (load floor —"
-            " multi-tenant host steals CPU in bursts, see cpu_steal_s)"
+            " multi-tenant host steals CPU in bursts, see cpu_steal_s);"
+            " reps inside a steal burst re-ran (steal_retries), up to 2x"
+            " each (steal_exhausted = still-degraded reps)"
         ),
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),
         "cpu_steal_s": full["cpu_steal_s"],
+        "steal_retries": steal_retries,
+        "steal_exhausted": steal_exhausted,
         "value_min": round(sum(min(r) for r in runs_all.values()), 1),
         "queries": {},
     }
