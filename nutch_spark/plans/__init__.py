@@ -14,43 +14,26 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-14 ordering: queries whose code is NEW or CHANGED this
-# round lead — the MinHash hot-bucket guard (operator + oracle + the new
-# active-cap flood proof), the dhash_near_dup exact-dup-collapse/band-cap
-# rewrite and its consumers, the ID3v2 extended-header/unsync and Ogg
-# stale-fragment/page-gap fixes behind the audio identity rows, the
-# 20-language langid profiles (oracle VALUES re-render), and the widened
-# detect_mime glob chain behind the indexing rows; then the stalest
-# blocks — last driver-green r9 (5 rounds), r10 (4), r11 (3) — fill the
-# window; r12- and r13-certified rows (freshest) last.
+# certifies. Round-15 ordering: queries whose code is NEW or CHANGED this
+# round lead — the cluster-mode dedup chain (dhash_dup_clusters /
+# minhash_dup_clusters / dup_components(groups=) and the shared
+# _lsh_band_candidates refactor touching every minhash consumer), the
+# opt-in dhash band cap + its new active-cap proof, the AVIF/HEIC decode
+# chain (and mm_webp_dhash/mm_image_dhash riding the codec-cache pickle
+# rework), the PSD tail, the ID3v2.4 header-unsync fix behind audio tags,
+# and the detect_mime container disambiguation behind the indexing/mime
+# rows; then the stalest block — last driver-green r11 (4 rounds) — fills
+# the window; fresher rows last.
 _CERTIFY_FIRST = [
-    # NEW / CHANGED in round 14
-    "mm_webp_dhash", "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
+    # NEW / CHANGED in round 15
+    "mm_dhash_clusters", "dp_minhash_clusters", "mm_dhash_flood",
+    "mm_heif_dhash", "p2_psd_extract",
+    "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
     "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
-    "mm_video_neardup",
-    "mm_audio_tags", "mm_ogg_identity", "mm_audio_fingerprint",
-    "mm_audio_features", "mm_mpeg_fingerprint",
-    "dp_langid", "dp_langid_stopword", "dp_dataset_card",
-    "dp_mix_weighted", "dp_mix_temperature",
-    "j3_index_fields", "j3_multiway_join", "d6_mime_adaptive",
-    # last driver-green r9 (stale 5 rounds)
-    "dp_gopher_repetition", "dp_paragraph_dedup", "dp_pii_scrub",
-    "dp_decontaminate", "mm_binary_metadata", "mm_image_dimensions",
-    "dp_cross_corpus_dedup", "dp_c4_clean", "dp_split",
-    # r10-certified (stale 4 rounds) — complete the ~50 window
-    "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
-    "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
-    "dp_shard_balance", "dp_gopher_quality", "dp_dsir_weights",
-    "a9_node_rollup", "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup",
-    "j6_hostdb_agg", "st_tumbling_window", "j10_crawldb_merge",
-    "f1_scoped_normalize", "d7_text_profile_sig", "mm_tiff_dimensions",
-    "p2_odt_extract", "p2_epub_extract", "dp_chunking", "p2_pdf_extract",
-    "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
-    "w1_generate_topk", "w1_host_limit", "p2_html_parse",
-    "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
-    "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
-    "a1_stats_by_flag", "a1_quantiles",
-    # r11-certified (stale 3 rounds)
+    "mm_video_neardup", "mm_webp_dhash", "mm_image_dhash",
+    "mm_video_frame_dhash", "mm_frame_samples", "mm_audio_tags",
+    "d6_mime_adaptive", "j3_index_fields", "j3_multiway_join",
+    # last driver-green r11 (stale 4 rounds) — complete the ~50 window
     "dp_boilerplate_lines", "a3_group_numeric",
     "a3_value_counts", "a4_group_count", "a5_completion", "a6_json_props",
     "j1_inject_merge", "j2_state_machine", "j2_forced_refetch",
@@ -64,7 +47,7 @@ _CERTIFY_FIRST = [
     "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract",
     "p2_cab_extract", "p2_doc_extract", "pf_regex_fields",
     "pf_nb_classify", "st_session_windows", "j_geoip_range",
-    # r12-certified (stale 2 rounds)
+    # r12-certified (stale 3 rounds)
     "dp_int8_recall", "dp_fix_mojibake",
     "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
     "dp_token_spectrum", "p1_politeness",
@@ -74,6 +57,26 @@ _CERTIFY_FIRST = [
     "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
     "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
     "f1_url_parts", "dp_simhash", "dp_token_stats", "dp_quality",
+    # r14-certified via the r14 window
+    "dp_langid", "dp_langid_stopword", "dp_dataset_card",
+    "dp_mix_weighted", "dp_mix_temperature",
+    "mm_ogg_identity", "mm_audio_fingerprint",
+    "mm_audio_features", "mm_mpeg_fingerprint",
+    "dp_gopher_repetition", "dp_paragraph_dedup", "dp_pii_scrub",
+    "dp_decontaminate", "mm_binary_metadata", "mm_image_dimensions",
+    "dp_cross_corpus_dedup", "dp_c4_clean", "dp_split",
+    "p2_ical_extract", "dp_script_detect", "p2_7z_extract",
+    "dp_url_blocklist", "dp_substring_spans", "dp_substring_keepone",
+    "dp_shard_balance", "dp_gopher_quality", "dp_dsir_weights",
+    "a9_node_rollup", "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup",
+    "j6_hostdb_agg", "st_tumbling_window", "j10_crawldb_merge",
+    "f1_scoped_normalize", "d7_text_profile_sig", "mm_tiff_dimensions",
+    "p2_odt_extract", "p2_epub_extract", "dp_chunking", "p2_pdf_extract",
+    "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
+    "w1_generate_topk", "w1_host_limit", "p2_html_parse",
+    "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
+    "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
+    "a1_stats_by_flag", "a1_quantiles",
     # r13-certified (freshest)
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
@@ -87,8 +90,6 @@ _CERTIFY_FIRST = [
     "dp_ngram_jaccard",
     "dp_dup_components", "dp_dup_components_star",
     "dp_winnowing_containment", "dp_pipeline_clean",
-    "mm_image_dhash",
-    "mm_video_frame_dhash", "mm_frame_samples",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
     "g3_linkrank", "j4_score_update",
 ]
