@@ -540,9 +540,19 @@ def detect_mime(
             )
             magic = F.when(cond, mime) if magic is None else magic.when(cond, mime)
         is_ftyp = F.substring(head_hex, 9, 8) == "66747970"
-        for brand, mime in _FTYP_BRANDS:
-            magic = magic.when(is_ftyp & (F.substring(head_hex, 17, 8) == brand), mime)
-        magic = magic.when(is_ftyp, "video/mp4")  # unrecognized brand default
+        # ONE map literal + try_element_at instead of a 22-branch CASE
+        # (the round-14 _EXT lesson: chained whens dominate Catalyst
+        # analysis + codegen at this width)
+        brand_map = F.create_map(
+            *[F.lit(x) for b, m in _FTYP_BRANDS for x in (b, m)]
+        )
+        magic = magic.when(
+            is_ftyp,
+            F.coalesce(
+                F.try_element_at(brand_map, F.substring(head_hex, 17, 8)),
+                F.lit("video/mp4"),  # unrecognized brand default
+            ),
+        )
         bin_head = F.substring(c.cast("binary"), 1, 65536)
         is_zip = head_hex.startswith("504B0304")
         # ODF / EPUB convention: first entry is named exactly "mimetype",
@@ -572,12 +582,20 @@ def detect_mime(
             magic = magic.when(
                 is_ooxml & F.contains(bin_head, F.lit(part.encode())), mime
             )
-        for e, mime in _ZIP_EXT.items():
-            magic = magic.when(is_zip & (ext0 == e), mime)
+        zip_ext_map = F.create_map(
+            *[F.lit(x) for e, m in _ZIP_EXT.items() for x in (e, m)]
+        )
+        magic = magic.when(
+            is_zip,
+            F.coalesce(
+                F.try_element_at(zip_ext_map, ext0),
+                F.lit("application/zip"),
+            ),
+        )
         # OLE2 subtypes by directory-entry name (UTF-16LE needles over the
         # head window, the POIFSContainerDetector names); extension refines
         # when the directory sits past the window; generic x-ole-storage
-        # catches the rest via _MAGIC_HEX below
+        # is the floor
         is_ole = head_hex.startswith("D0CF11E0A1B11AE1")
         for name_, mime in _OLE_NEEDLES:
             magic = magic.when(
@@ -585,8 +603,16 @@ def detect_mime(
                 & F.contains(bin_head, F.lit(name_.encode("utf-16-le"))),
                 mime,
             )
-        for e, mime in _OLE_EXT.items():
-            magic = magic.when(is_ole & (ext0 == e), mime)
+        ole_ext_map = F.create_map(
+            *[F.lit(x) for e, m in _OLE_EXT.items() for x in (e, m)]
+        )
+        magic = magic.when(
+            is_ole,
+            F.coalesce(
+                F.try_element_at(ole_ext_map, ext0),
+                F.lit("application/x-ole-storage"),
+            ),
+        )
         for prefix, mime in _MAGIC_HEX:
             magic = magic.when(head_hex.startswith(prefix), mime)
         # weak 2-byte magics need a stronger discriminator than the prefix:
