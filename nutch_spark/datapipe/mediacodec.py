@@ -2187,14 +2187,66 @@ def decode_heif_gray_pixels(payload: bytes):
     return w, h, gray
 
 
+def decode_ico_pixels(payload: bytes):
+    """(w, h, gray rows) of the LARGEST entry in an ICO/CUR container —
+    pure reuse: an entry's payload is either a PNG file (Vista+ icons,
+    routed to decode_png_pixels) or a headerless BMP DIB whose biHeight
+    doubles the real height (XOR raster + AND transparency mask stacked
+    bottom-up). The DIB gains a synthesized BITMAPFILEHEADER with the
+    height patched back to the XOR half — the mask rows sit above the
+    halved height in bottom-up order, so decode_bmp_pixels never reads
+    them. Hostile posture: entry offsets/sizes bounds-checked, malformed
+    entries skipped, anything undecodable yields None."""
+    import struct as _s
+
+    if len(payload) < 22 or payload[:4] not in (
+        b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
+    ):
+        return None
+    (count,) = _s.unpack("<H", payload[4:6])
+    best = None
+    for k in range(min(count, 64)):
+        e = 6 + 16 * k
+        if e + 16 > len(payload):
+            break
+        w = payload[e] or 256
+        h = payload[e + 1] or 256
+        size, off = _s.unpack("<II", payload[e + 8 : e + 16])
+        if 0 < off < len(payload) and (
+            best is None or w * h > best[0] * best[1]
+        ):
+            best = (w, h, off, min(size, len(payload) - off))
+    if best is None:
+        return None
+    w, h, off, size = best
+    blob = payload[off : off + size]
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(blob)
+    if len(blob) < 40:
+        return None
+    bisize, = _s.unpack("<I", blob[0:4])
+    if bisize < 40 or bisize > len(blob):
+        return None
+    bpp, = _s.unpack("<H", blob[14:16])
+    comp, = _s.unpack("<I", blob[16:20])
+    clr_used, = _s.unpack("<I", blob[32:36])
+    dib = bytearray(blob)
+    _s.pack_into("<i", dib, 8, h)  # biHeight back to the XOR half
+    ncolors = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    off_bits = 14 + bisize + 4 * ncolors + (12 if comp == 3 else 0)
+    bmp = b"BM" + _s.pack("<IHHI", 14 + len(dib), 0, 0, off_bits) + bytes(dib)
+    return decode_bmp_pixels(bmp)
+
+
 def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
     """Magic-dispatching pixel decode: BMP, PNG, GIF, JPEG (baseline +
-    progressive), baseline TIFF (from-spec pure Python), WebP (REAL
-    decode through the system libwebp), or AVIF/HEIC (REAL decode through
-    the system libavif/libheif, round 15) → (w, h, gray rows). Codec-
-    library formats raise NotImplementedError when their library is
-    missing, so an absent codec is loud, never a silent miss; None when
-    the format has no decoder here.
+    progressive), baseline TIFF (from-spec pure Python), ICO/CUR (largest
+    entry, via the PNG/BMP decoders), WebP (REAL decode through the
+    system libwebp), or AVIF/HEIC (REAL decode through the system
+    libavif/libheif, round 15) → (w, h, gray rows). Codec-library formats
+    raise NotImplementedError when their library is missing, so an absent
+    codec is loud, never a silent miss; None when the format has no
+    decoder here.
 
     ``as_array=True`` returns the raster as a 2-D int64 numpy array with
     identical values — the dHash hot path uses it so ``_box_resample``'s
@@ -2227,6 +2279,8 @@ def decode_gray_pixels(payload: bytes, *, as_array: bool = False):
             return decoded
         w, h, gray = decoded
         return w, h, gray.tolist()
+    elif payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        out = decode_ico_pixels(payload)  # ICO/CUR: largest entry
     else:
         return None
     if out is None or not as_array:

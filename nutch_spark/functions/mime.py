@@ -46,6 +46,7 @@ _MAGIC_HEX = [
     ("774F4646", "font/woff"),             # wOFF
     ("774F4632", "font/woff2"),            # wOF2
     ("00000018667479", "video/mp4"),
+    ("4D546864", "audio/midi"),            # MThd
     ("494433", "audio/mpeg"),              # ID3
     ("664C6143", "audio/flac"),            # fLaC
     ("4F676753", "application/ogg"),       # OggS

@@ -949,6 +949,10 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.parse_tail import extract_psd_text
 
         return extract_psd_text(data)
+    if data[:4] == b"MThd":
+        from nutch_spark.operators.parse_tail import extract_midi_text
+
+        return extract_midi_text(data)
     if data[257:262] == b"ustar":  # POSIX/GNU tar member header magic
         import tarfile
 

@@ -2242,6 +2242,88 @@ def p2_psd_extract(spark, sf_dir):
     )
 
 
+@q(
+    "p2_midi_extract",
+    """
+    -- Round-trip identity: each document becomes a REAL format-0
+    -- Standard MIDI File whose FF 05 lyric events carry the doc text
+    -- (spaces -> '_' makes it ONE word, split into 127-byte meta events
+    -- by the writer; the parser joins events with newlines, so the
+    -- oracle re-chunks the same string at 127). A 'Track <id>' FF 03
+    -- name event leads. Corrupt headers (doc_id % 16 = 9 truncates MThd)
+    -- must yield octet-stream + empty, never an error.
+    WITH g AS (
+      SELECT doc_id,
+             replace('midi guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
+                     ' ', '_') AS s
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             'Track ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             list_aggregate(
+               list_transform(generate_series(1, length(s), 127),
+                              i -> substr(s, i, 127)),
+               'string_agg', chr(10)) AS txt
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 16 = 9 THEN 'application/octet-stream'
+                ELSE 'audio/midi' END AS mime,
+           CASE WHEN doc_id % 16 = 9 THEN '' ELSE txt END AS parse_text,
+           CAST(CASE WHEN doc_id % 16 = 9 THEN 0 ELSE length(txt) END
+             AS BIGINT) AS n_chars
+    FROM built
+    """,
+)
+def p2_midi_extract(spark, sf_dir):
+    """P2 MIDI tail (parse-tika's MidiParser slot): documents become real
+    format-0 SMF files — set-tempo, FF 03 track name, the doc text as
+    chunked FF 05 lyric events, real Note On/Off pairs — and extract
+    through operators/parse_tail.parse_midi (running-status event walk,
+    varint deltas, tempo-map duration) via the shared binary dispatch; a
+    truncated MThd pins the hostile path. 100 TB shape: map-only."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from nutch_spark.operators.parse_tail import build_midi_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 16 == 9:
+                    blob = b"MThd\x00\x00"  # truncated header: hostile
+                else:
+                    guarded = (
+                        "midi guard: "
+                        + _re.sub(r"[^ -~]", "?", text or "")
+                    ).replace(" ", "_")
+                    blob = build_midi_bytes(
+                        guarded,
+                        track_name=f"Track {doc_id}",
+                        notes=int(doc_id % 8) + 1,
+                    )
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/a.mid", "content": blob}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 12: S3/S4 sink serialization certified cross-engine (the pytest
 # round-trips prove Spark can re-read its own output; these prove a SECOND

@@ -4268,7 +4268,7 @@ def _planted_heif_rows(pdf):
            CASE WHEN doc_id % 32 = 21 THEN NULL ELSE {_DHASH_CASE} END
              AS dhash
     FROM documents
-    WHERE doc_id < 192
+    WHERE doc_id < 96
     """,
 )
 def mm_heif_dhash(spark, sf_dir):
@@ -4285,7 +4285,7 @@ def mm_heif_dhash(spark, sf_dir):
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 192
+        F.col("doc_id") < 96
     )
 
     def gen(batches):

@@ -213,3 +213,42 @@ def test_planted_heif_rows_match_oracle_classes():
             assert dhash64(r["payload"]) is None
         else:
             assert dhash64(r["payload"]) == _dhash_closed_form(k)
+
+
+def test_ico_decodes_largest_entry_via_bmp_and_png():
+    # ICO routing is pure reuse of the BMP/PNG decoders; the DIB height
+    # doubling (XOR + AND mask) must be halved before the BMP path
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import (
+        decode_gray_pixels,
+        decode_ico_pixels,
+    )
+
+    # 4x2 24-bit DIB entry: rows bottom-up, gray values per pixel
+    w, h = 4, 2
+    px = [[10, 20, 30, 40], [50, 60, 70, 80]]
+    raster = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([g, g, g]) for g in px[y])
+        raster += row + b"\x00" * ((4 - len(row) % 4) % 4)
+    and_mask = b"\x00" * (4 * h)  # 1bpp mask rows padded to 4 bytes
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, len(raster), 0, 0, 0, 0
+    ) + raster + and_mask
+    ico = (
+        b"\x00\x00\x01\x00\x01\x00"
+        + bytes([w, h, 0, 0]) + struct.pack("<HHII", 1, 24, len(dib), 22)
+        + dib
+    )
+    got = decode_ico_pixels(ico)
+    assert got is not None
+    gw, gh, rows = got
+    assert (gw, gh) == (w, h) and [list(r) for r in rows] == px
+    # the magic dispatch routes ICO too (and dhash-ability follows)
+    assert decode_gray_pixels(ico) is not None
+    # hostile: truncated directory / lying offsets yield None
+    assert decode_ico_pixels(ico[:10]) is None
+    bad = bytearray(ico)
+    struct.pack_into("<I", bad, 18, 9999)  # offset past the payload
+    assert decode_ico_pixels(bytes(bad)) is None

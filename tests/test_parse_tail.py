@@ -791,3 +791,50 @@ def test_psd_hostile_bytes_never_raise():
         assert info is None or info["width"] >= 1
         mime, text = extract_text(bytes(b[:cut]))
         assert isinstance(mime, str) and isinstance(text, str)
+
+
+def test_midi_header_tempo_map_and_text():
+    from nutch_spark.operators.parse_tail import build_midi_bytes, parse_midi
+
+    b = build_midi_bytes(
+        "hello midi world", track_name="Track A", notes=4, division=480
+    )
+    info = parse_midi(b)
+    assert info["format"] == 0 and info["n_tracks"] == 1
+    assert info["division"] == 480 and info["n_notes"] == 4
+    assert info["duration_ms"] == 2000  # 4 quarters @ default 500ms
+    assert info["text"] == "Track A\nhello\nmidi\nworld"
+    # tempo map honored: 8 quarters at 1s each
+    assert parse_midi(build_midi_bytes("", notes=8, tempo_us=1_000_000))[
+        "duration_ms"
+    ] == 8000
+    # long single word chunks at 127 bytes per lyric event, lossless
+    word = "x" * 300
+    assert parse_midi(build_midi_bytes(word))["text"] == (
+        word[:127] + "\n" + word[127:254] + "\n" + word[254:]
+    )
+
+
+def test_midi_hostile_bytes_never_raise():
+    import random
+
+    from nutch_spark.operators.parse_tail import (
+        build_midi_bytes,
+        extract_midi_text,
+        parse_midi,
+    )
+
+    assert parse_midi(b"MThd\x00\x00") is None
+    assert parse_midi(b"not midi") is None
+    assert extract_midi_text(b"MThd\x00\x00") == (
+        "application/octet-stream", "",
+    )
+    rng = random.Random(21)
+    base = build_midi_bytes("guard text here", track_name="T", notes=3)
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(4, len(b) + 1)
+        info = parse_midi(bytes(b[:cut]))
+        assert info is None or isinstance(info["text"], str)

@@ -206,6 +206,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # AVIF/HEIC pixels through the system libavif/libheif: same shape
     "mm_heif_dhash": [[r"MapInPandas|mapInPandas"],
                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    # PSD / MIDI tails: same map-only shape
+    "p2_psd_extract": [[r"MapInPandas|mapInPandas"],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    "p2_midi_extract": [[r"MapInPandas|mapInPandas"],
+                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_7z_extract": [[r"MapInPandas|mapInPandas"],
