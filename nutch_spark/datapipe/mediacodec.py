@@ -4654,3 +4654,172 @@ def parse_aiff(payload: bytes) -> dict | None:
         "duration_s": got / rate,
         "samples": samples,
     }
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM — EBML container walk (RFC 8794 EBML + the public
+# Matroska element registry). Header-level identity only, like
+# sniff_isobmff: docType, duration via TimestampScale, per-track codec
+# ids and video dims. No codec payload is decoded.
+# ---------------------------------------------------------------------------
+
+# containers whose payloads we descend into (master elements)
+_EBML_MASTERS = frozenset((
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+))
+
+
+def _ebml_vint(data: bytes, pos: int, *, keep_marker: bool) -> tuple[int | None, int]:
+    """EBML variable-size integer at ``pos`` → (value, new_pos). IDs keep
+    the length-marker bit (the registry lists them that way); sizes strip
+    it. An all-ones size (unknown length, RFC 8794 §7) returns None."""
+    if pos >= len(data):
+        return None, pos
+    first = data[pos]
+    if first == 0:
+        return None, pos + 1
+    ln = 9 - first.bit_length()  # leading zeros + 1 = total length
+    if pos + ln > len(data):
+        return None, len(data)
+    raw = int.from_bytes(data[pos : pos + ln], "big")
+    if not keep_marker:
+        raw -= 1 << (7 * ln)  # strip the marker bit
+        if raw == (1 << (7 * ln)) - 1:
+            return None, pos + ln  # unknown size
+    return raw, pos + ln
+
+
+def parse_matroska(data: bytes, *, max_elements: int = 10_000) -> dict | None:
+    """Header facts of a Matroska/WebM payload, or None when the payload
+    is not EBML. Output: doctype ('webm'/'matroska'), duration_ms
+    (Duration float x TimestampScale, default scale 1,000,000 ns),
+    n_tracks, width/height (first video track's PixelWidth/PixelHeight),
+    video_codec / audio_codec (first of each kind, e.g. 'V_VP9',
+    'A_OPUS'). Hostile posture: every length bounds-checked, walk capped
+    at ``max_elements``, unknown-size elements extend to the parent end
+    (the streaming-Segment convention), junk yields what was parsed so
+    far — never an exception."""
+    import struct as _s
+
+    if len(data) < 8 or data[:4] != b"\x1aE\xdf\xa3":
+        return None
+    out: dict = {
+        "doctype": None, "duration_ms": None, "n_tracks": 0,
+        "width": None, "height": None,
+        "video_codec": None, "audio_codec": None,
+    }
+    scale = 1_000_000  # ns per tick, Matroska default
+    duration_ticks = None
+    budget = [max_elements]
+    track_type = [0]
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        nonlocal scale, duration_ticks
+        while pos < end and budget[0] > 0 and depth < 8:
+            budget[0] -= 1
+            eid, pos = _ebml_vint(data, pos, keep_marker=True)
+            if eid is None:
+                return
+            size, pos = _ebml_vint(data, pos, keep_marker=False)
+            body_end = end if size is None else min(pos + size, end)
+            if eid in _EBML_MASTERS:
+                if eid == 0xAE:
+                    out["n_tracks"] += 1
+                    track_type[0] = 0
+                walk(pos, body_end, depth + 1)
+            elif eid == 0x4282:  # DocType (in the EBML header)
+                out["doctype"] = data[pos:body_end].decode(
+                    "latin-1", "replace"
+                ) or None
+            elif eid == 0x2AD7B1 and body_end > pos:  # TimestampScale
+                scale = int.from_bytes(data[pos:body_end], "big") or scale
+            elif eid == 0x4489 and body_end - pos in (4, 8):  # Duration
+                fmt = ">f" if body_end - pos == 4 else ">d"
+                duration_ticks = _s.unpack(fmt, data[pos:body_end])[0]
+            elif eid == 0x83 and body_end > pos:  # TrackType
+                track_type[0] = data[pos]
+            elif eid == 0x86:  # CodecID
+                cid = data[pos:body_end].decode("latin-1", "replace")
+                if track_type[0] == 1 and out["video_codec"] is None:
+                    out["video_codec"] = cid
+                elif track_type[0] == 2 and out["audio_codec"] is None:
+                    out["audio_codec"] = cid
+            elif eid == 0xB0 and body_end > pos and out["width"] is None:
+                out["width"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == 0xBA and body_end > pos and out["height"] is None:
+                out["height"] = int.from_bytes(data[pos:body_end], "big")
+            if size is None:
+                # unknown-size master consumed the rest of the parent
+                return
+            pos = body_end
+
+    walk(0, len(data), 0)
+    if duration_ticks is not None and duration_ticks >= 0:
+        out["duration_ms"] = int(duration_ticks * scale / 1_000_000)
+    return out
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    """One EBML element with a minimal-length size field."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            break
+    size = (n | (1 << (7 * ln))).to_bytes(ln, "big")
+    return idb + size + body
+
+
+def build_matroska_bytes(
+    *,
+    doctype: str = "webm",
+    duration_ms: int | None = 4000,
+    width: int = 640,
+    height: int = 360,
+    video_codec: str = "V_VP9",
+    audio_codec: str = "A_OPUS",
+) -> bytes:
+    """A REAL minimal Matroska/WebM header: EBML header with DocType,
+    Segment with Info (TimestampScale + float64 Duration) and Tracks
+    (one video TrackEntry with dims + codec, one audio TrackEntry). The
+    fixture inverse of parse_matroska — no clusters/frames, exactly the
+    part of the container identity work reads."""
+    import struct as _s
+
+    ebml = _ebml_elem(0x1A45DFA3, b"".join((
+        _ebml_elem(0x4286, b"\x01"),          # EBMLVersion
+        _ebml_elem(0x42F7, b"\x01"),          # EBMLReadVersion
+        _ebml_elem(0x4282, doctype.encode()),  # DocType
+        _ebml_elem(0x4287, b"\x04"),          # DocTypeVersion
+    )))
+    info = b"".join((
+        _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big")),
+        b"" if duration_ms is None
+        else _ebml_elem(0x4489, _s.pack(">d", float(duration_ms))),
+    ))
+    vtrack = _ebml_elem(0xAE, b"".join((
+        _ebml_elem(0xD7, b"\x01"),            # TrackNumber
+        _ebml_elem(0x83, b"\x01"),            # TrackType video
+        _ebml_elem(0x86, video_codec.encode()),
+        _ebml_elem(0xE0, b"".join((
+            _ebml_elem(0xB0, width.to_bytes(2, "big")),
+            _ebml_elem(0xBA, height.to_bytes(2, "big")),
+        ))),
+    )))
+    atrack = _ebml_elem(0xAE, b"".join((
+        _ebml_elem(0xD7, b"\x02"),
+        _ebml_elem(0x83, b"\x02"),            # TrackType audio
+        _ebml_elem(0x86, audio_codec.encode()),
+        _ebml_elem(0xE1, _ebml_elem(0xB5, _s.pack(">f", 48000.0))),
+    )))
+    segment = _ebml_elem(0x18538067, b"".join((
+        _ebml_elem(0x1549A966, info),
+        _ebml_elem(0x1654AE6B, vtrack + atrack),
+    )))
+    return ebml + segment

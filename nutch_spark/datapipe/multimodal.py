@@ -610,6 +610,64 @@ def dhash_near_dup(
     return exact.unionByName(near)
 
 
+MATROSKA_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doctype", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+    ]
+)
+
+
+def matroska_info(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, payload) → Matroska/WebM container identity
+    (mediacodec.parse_matroska — RFC 8794 EBML walk): doctype,
+    TimestampScale-exact duration, track census, first video track's
+    dims + codec id, first audio codec id. The WebM sibling of the
+    ISO-BMFF mvhd path that feeds the frame-sample plan; no codec
+    payload is decoded. NULL row for non-EBML payloads. 100 TB: map-only
+    Arrow stage, same plumbing as every media stage."""
+    from nutch_spark.datapipe.mediacodec import parse_matroska
+
+    def row(media_id, raw):
+        try:
+            info = parse_matroska(raw)
+        except Exception:  # noqa: BLE001 — one bad blob never kills the job
+            info = None
+        if info is None:
+            return null_row(media_id)
+        return {
+            "media_id": media_id,
+            "doctype": info["doctype"],
+            "duration_ms": info["duration_ms"],
+            "n_tracks": info["n_tracks"],
+            "width": info["width"],
+            "height": info["height"],
+            "video_codec": info["video_codec"],
+            "audio_codec": info["audio_codec"],
+        }
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id, "doctype": None, "duration_ms": None,
+            "n_tracks": None, "width": None, "height": None,
+            "video_codec": None, "audio_codec": None,
+        }
+
+    return _map_media(
+        media, None, MATROSKA_INFO_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 def dhash_dup_clusters(
     hashes: DataFrame,
     *,

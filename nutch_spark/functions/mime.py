@@ -614,6 +614,12 @@ def detect_mime(
                 F.lit("application/x-ole-storage"),
             ),
         )
+        # EBML: the DocType string separates Matroska from WebM (same magic)
+        magic = magic.when(
+            head_hex.startswith("1A45DFA3")
+            & F.contains(bin_head, F.lit(b"matroska")),
+            "video/x-matroska",
+        )
         for prefix, mime in _MAGIC_HEX:
             magic = magic.when(head_hex.startswith(prefix), mime)
         # weak 2-byte magics need a stronger discriminator than the prefix:

@@ -4489,6 +4489,72 @@ def mm_dhash_clusters(spark, sf_dir):
 
 
 @q(
+    "mm_mkv_info",
+    """
+    -- Matroska/WebM container identity via a real EBML walk (RFC 8794):
+    -- planted per-doc headers state doctype / TimestampScale-exact
+    -- duration / track census / video dims + codec ids closed-form;
+    -- non-EBML payloads (doc_id % 32 = 21) pin the NULL row.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST((doc_id % 997) * 100 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(2 AS INTEGER) END AS n_tracks,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(320 + (doc_id % 16) * 64 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(180 + (doc_id % 9) * 60 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'V_VP9'
+                ELSE 'V_MPEG4/ISO/AVC' END AS video_codec,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_AAC' END AS audio_codec
+    FROM documents
+    """,
+)
+def mm_mkv_info(spark, sf_dir):
+    """WebM/Matroska identity (multimodal.matroska_info → mediacodec.
+    parse_matroska): the EBML sibling of the ISO-BMFF mvhd walk — the
+    web's dominant open video container gets doctype, duration (float
+    Duration x TimestampScale), track census, dims and codec ids without
+    decoding a single frame, feeding the same frame-sample planning path.
+    Fixtures are real headers from the honest EBML writer; the oracle
+    states every field closed-form. 100 TB: map-only Arrow stage."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from nutch_spark.datapipe.mediacodec import build_matroska_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 32 == 21:
+                    payload = b"not an ebml stream at all" * 2
+                else:
+                    even = doc_id % 2 == 0
+                    payload = build_matroska_bytes(
+                        doctype="webm" if even else "matroska",
+                        duration_ms=(doc_id % 997) * 100,
+                        width=320 + (doc_id % 16) * 64,
+                        height=180 + (doc_id % 9) * 60,
+                        video_codec="V_VP9" if even else "V_MPEG4/ISO/AVC",
+                        audio_codec="A_OPUS" if even else "A_AAC",
+                    )
+                rows.append({"media_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from nutch_spark.datapipe.multimodal import matroska_info
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return matroska_info(media)
+
+
+@q(
     "dp_boilerplate_lines",
     """
     -- Host-scoped boilerplate-line removal (RefinedWeb/CCNet): every doc

@@ -510,6 +510,11 @@ def test_mime_container_disambiguation(spark):
         (B, bmff(b"mp42"), "video/mp4"),
         # a plain zip with nothing to refine stays zip
         (B, zip_head(b"some/file.txt"), "application/zip"),
+        # EBML: DocType separates matroska from the webm default
+        (B, bytes.fromhex("1A45DFA3") + b"\x84\x42\x82\x88matroska",
+         "video/x-matroska"),
+        (B, bytes.fromhex("1A45DFA3") + b"\x84\x42\x82\x84webm",
+         "video/webm"),
     ]
     assert len(rows) >= 50
     df = spark.createDataFrame(

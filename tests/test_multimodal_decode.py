@@ -3031,3 +3031,48 @@ def test_aiff_inf_exponent_rejected():
     body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
             + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
     assert parse_aiff(b"FORM" + struct.pack(">I", len(body)) + body) is None
+
+
+def test_matroska_ebml_walk_and_hostile_bytes():
+    import random
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import (
+        build_matroska_bytes,
+        parse_matroska,
+    )
+
+    b = build_matroska_bytes(
+        doctype="webm", duration_ms=4000, width=1280, height=720,
+        video_codec="V_VP9", audio_codec="A_OPUS",
+    )
+    info = parse_matroska(b)
+    assert info == {
+        "doctype": "webm", "duration_ms": 4000, "n_tracks": 2,
+        "width": 1280, "height": 720,
+        "video_codec": "V_VP9", "audio_codec": "A_OPUS",
+    }
+    # a non-default TimestampScale rescales the float Duration exactly
+    scaled = bytearray(b)
+    i = scaled.find(bytes.fromhex("2AD7B1")) + 4  # id + 1-byte size
+    scaled[i : i + 3] = (2_000_000).to_bytes(3, "big")
+    assert parse_matroska(bytes(scaled))["duration_ms"] == 8000
+    # unknown-size Segment (streaming convention: VINT all-ones) still walks
+    seg_at = b.find(bytes.fromhex("18538067"))
+    unk = bytearray(b)
+    assert unk[seg_at + 4] & 0x80  # 1-byte size field
+    seg_size_len = 8 - (unk[seg_at + 4].bit_length() - 1)
+    if unk[seg_at + 4] >> 7:  # 1-byte size: replace with unknown 0xFF
+        unk[seg_at + 4] = 0xFF
+        got = parse_matroska(bytes(unk))
+        assert got["doctype"] == "webm" and got["n_tracks"] == 2
+    # hostile: bit flips / truncation degrade, never raise
+    rng = random.Random(33)
+    for _ in range(300):
+        h = bytearray(b)
+        for _k in range(rng.randrange(1, 5)):
+            h[rng.randrange(len(h))] = rng.randrange(256)
+        cut = rng.randrange(4, len(h) + 1)
+        out = parse_matroska(bytes(h[:cut]))
+        assert out is None or isinstance(out, dict)
+    assert parse_matroska(b"junk") is None
