@@ -4823,3 +4823,242 @@ def build_matroska_bytes(
         _ebml_elem(0x1654AE6B, vtrack + atrack),
     )))
     return ebml + segment
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata beyond Orientation — the Tika image-metadata surface
+# (tiff:Make/Model, exif:DateTimeOriginal, geo:lat/long). TIFF 6.0 +
+# EXIF 2.3 public specs: IFD walks with ASCII and RATIONAL value areas,
+# the EXIF (0x8769) and GPS (0x8825) sub-IFD pointers.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_ifd_full(payload: bytes, ifd_off: int, endian: str) -> dict:
+    """tag → decoded value for one IFD: SHORT/LONG scalars, ASCII strings
+    (inline or via offset, NUL-stripped), and RATIONAL lists as
+    (num, den) tuples. Unknown types are skipped; every offset is
+    bounds-checked."""
+    out: dict = {}
+    if ifd_off < 0 or ifd_off + 2 > len(payload):
+        return out
+    (n_entries,) = struct.unpack(f"{endian}H", payload[ifd_off : ifd_off + 2])
+    for k in range(min(n_entries, 512)):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            break
+        tag, typ, count = struct.unpack(f"{endian}HHI", payload[e : e + 8])
+        val = payload[e + 8 : e + 12]
+        if typ == 3 and count == 1:
+            (out[tag],) = struct.unpack(f"{endian}H", val[:2])
+        elif typ == 4 and count == 1:
+            (out[tag],) = struct.unpack(f"{endian}I", val)
+        elif typ == 2 and count > 0:  # ASCII
+            if count <= 4:
+                raw = val[:count]
+            else:
+                (off,) = struct.unpack(f"{endian}I", val)
+                if off + count > len(payload):
+                    continue
+                raw = payload[off : off + count]
+            out[tag] = raw.split(b"\x00", 1)[0].decode("latin-1", "replace")
+        elif typ == 5 and 1 <= count <= 16:  # RATIONAL(s), always via offset
+            (off,) = struct.unpack(f"{endian}I", val)
+            if off + 8 * count > len(payload):
+                continue
+            rats = []
+            for j in range(count):
+                num, den = struct.unpack(
+                    f"{endian}II", payload[off + 8 * j : off + 8 * j + 8]
+                )
+                rats.append((num, den))
+            out[tag] = rats if count > 1 else rats[0]
+    return out
+
+
+def _exif_tiff_body(payload: bytes) -> bytes | None:
+    """The TIFF-structured EXIF body: the payload itself for bare TIFF, or
+    the APP1 ``Exif\\0\\0`` segment of a JPEG."""
+    if _tiff_endian(payload) is not None:
+        return payload
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            return payload[i + 10 : i + 2 + seg_len]
+        i += 2 + seg_len
+    return None
+
+
+def _gps_degrees(rats, ref: str | None, neg_ref: str) -> float | None:
+    """(deg, min, sec) RATIONALs + hemisphere ref → signed decimal degrees
+    (deg + min/60 + sec/3600, left-to-right IEEE — the same expression the
+    cross-engine oracle states)."""
+    if not isinstance(rats, list) or len(rats) != 3:
+        return None
+    try:
+        d = rats[0][0] / rats[0][1]
+        m = rats[1][0] / rats[1][1]
+        s = rats[2][0] / rats[2][1]
+    except ZeroDivisionError:
+        return None
+    v = d + m / 60 + s / 3600
+    return -v if (ref or "").upper().startswith(neg_ref) else v
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """EXIF facts from a JPEG APP1 segment or bare TIFF: orientation
+    (1..8), make, model, datetime (DateTimeOriginal 0x9003 from the EXIF
+    sub-IFD, falling back to IFD0 DateTime 0x0132), gps_lat / gps_lon
+    (decimal degrees, southern/western negative). None when the payload has
+    no EXIF structure. Reference parity: Tika's image parsers surface the
+    same fields (tiff:Make, tiff:Model, exif:DateTimeOriginal,
+    geo:lat/long); hostile posture: every offset bounds-checked, junk
+    yields missing fields, never an exception."""
+    body = _exif_tiff_body(payload)
+    if body is None:
+        return None
+    endian = _tiff_endian(body)
+    if endian is None:
+        return None
+    (ifd_off,) = struct.unpack(f"{endian}I", body[4:8])
+    ifd0 = _tiff_ifd_full(body, ifd_off, endian)
+    if not ifd0:
+        return None
+    out = {
+        "orientation": None, "make": None, "model": None,
+        "datetime": None, "gps_lat": None, "gps_lon": None,
+    }
+    o = ifd0.get(0x0112)
+    if isinstance(o, int) and 1 <= o <= 8:
+        out["orientation"] = o
+    if isinstance(ifd0.get(0x010F), str):
+        out["make"] = ifd0[0x010F]
+    if isinstance(ifd0.get(0x0110), str):
+        out["model"] = ifd0[0x0110]
+    if isinstance(ifd0.get(0x0132), str):
+        out["datetime"] = ifd0[0x0132]
+    exif_ptr = ifd0.get(0x8769)
+    if isinstance(exif_ptr, int):
+        sub = _tiff_ifd_full(body, exif_ptr, endian)
+        if isinstance(sub.get(0x9003), str):
+            out["datetime"] = sub[0x9003]
+    gps_ptr = ifd0.get(0x8825)
+    if isinstance(gps_ptr, int):
+        gps = _tiff_ifd_full(body, gps_ptr, endian)
+        out["gps_lat"] = _gps_degrees(gps.get(2), gps.get(1), "S")
+        out["gps_lon"] = _gps_degrees(gps.get(4), gps.get(3), "W")
+    return out
+
+
+def build_exif_jpeg(
+    *,
+    orientation: int = 1,
+    make: str = "",
+    model: str = "",
+    datetime_original: str = "",
+    lat_dms: tuple[int, int, int] | None = None,
+    lon_dms: tuple[int, int, int] | None = None,
+    lat_ref: str = "N",
+    lon_ref: str = "E",
+) -> bytes:
+    """A REAL minimal JPEG carrying an APP1 EXIF block (little-endian
+    TIFF): IFD0 with Orientation/Make/Model + EXIF and GPS sub-IFD
+    pointers, DateTimeOriginal in the EXIF IFD, (deg, min, sec·100/100)
+    RATIONALs + hemisphere refs in the GPS IFD. The fixture inverse of
+    parse_exif. ``lat_dms``/``lon_dms`` take integer (deg, min,
+    sec_hundredths)."""
+    data = bytearray()  # deferred value area, offsets patched at the end
+    deferred: list[tuple[int, bytes]] = []  # (entry value-slot offset, blob)
+
+    def entry(tag: int, typ: int, count: int, inline: bytes | None,
+              blob: bytes | None, at: bytearray) -> None:
+        at += struct.pack("<HHI", tag, typ, count)
+        if inline is not None:
+            at += inline.ljust(4, b"\x00")[:4]
+        else:
+            deferred.append((len(at) + base_of[id(at)], blob))
+            at += b"\x00\x00\x00\x00"
+
+    # three IFDs laid out back-to-back after the 8-byte header
+    ifd0 = bytearray()
+    exif_ifd = bytearray()
+    gps_ifd = bytearray()
+    n0 = 3 + (1 if make else 0) + (1 if model else 0)
+    ne = 1 if datetime_original else 0
+    ng = 4 if lat_dms and lon_dms else 0
+    off0 = 8
+    offe = off0 + 2 + 12 * n0 + 4
+    offg = offe + (2 + 12 * ne + 4 if ne else 0)
+    data_off = offg + (2 + 12 * ng + 4 if ng else 0)
+    base_of = {}
+
+    def ifd(at: bytearray, n: int) -> None:
+        at += struct.pack("<H", n)
+
+    ifd(ifd0, n0)
+    base_of[id(ifd0)] = off0 + 0  # offsets inside `at` are absolute below
+    base_of[id(exif_ifd)] = offe
+    base_of[id(gps_ifd)] = offg
+
+    def ascii_entry(tag: int, s: str, at: bytearray) -> None:
+        raw = s.encode("latin-1", "replace") + b"\x00"
+        if len(raw) <= 4:
+            entry(tag, 2, len(raw), raw, None, at)
+        else:
+            entry(tag, 2, len(raw), None, raw, at)
+
+    if make:
+        ascii_entry(0x010F, make, ifd0)
+    if model:
+        ascii_entry(0x0110, model, ifd0)
+    entry(0x0112, 3, 1, struct.pack("<H", orientation), None, ifd0)
+    entry(0x8769, 4, 1, struct.pack("<I", offe), None, ifd0)
+    entry(0x8825, 4, 1, struct.pack("<I", offg), None, ifd0)
+    ifd0 += b"\x00\x00\x00\x00"  # next-IFD = none
+
+    if ne:
+        ifd(exif_ifd, ne)
+        ascii_entry(0x9003, datetime_original, exif_ifd)
+        exif_ifd += b"\x00\x00\x00\x00"
+    if ng:
+        ifd(gps_ifd, ng)
+
+        def rats(dms):
+            d, m, s100 = dms
+            return struct.pack("<IIIIII", d, 1, m, 1, s100, 100)
+
+        entry(1, 2, 2, lat_ref.encode() + b"\x00", None, gps_ifd)
+        entry(2, 5, 3, None, rats(lat_dms), gps_ifd)
+        entry(3, 2, 2, lon_ref.encode() + b"\x00", None, gps_ifd)
+        entry(4, 5, 3, None, rats(lon_dms), gps_ifd)
+        gps_ifd += b"\x00\x00\x00\x00"
+
+    # assemble + patch deferred value offsets
+    tiff = bytearray(b"II*\x00" + struct.pack("<I", off0))
+    tiff += ifd0 + exif_ifd + gps_ifd
+    pos = data_off
+    for slot, blob in deferred:
+        struct.pack_into("<I", tiff, slot, pos)
+        tiff += blob
+        pos += len(blob)
+    app1 = b"Exif\x00\x00" + bytes(tiff)
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        + b"\xff\xd9"
+    )

@@ -610,6 +610,53 @@ def dhash_near_dup(
     return exact.unionByName(near)
 
 
+EXIF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("gps_lat", T.DoubleType(), True),
+        T.StructField("gps_lon", T.DoubleType(), True),
+    ]
+)
+
+
+def exif_metadata(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, payload) → the EXIF facts a filtering/geo-bucketing
+    pipeline wants beyond orientation (mediacodec.parse_exif — TIFF 6.0 /
+    EXIF 2.3 IFD walks): orientation, make, model, DateTimeOriginal
+    (IFD0 DateTime fallback), GPS decimal degrees. Tika surfaces the
+    same fields (tiff:Make/Model, exif:DateTimeOriginal, geo:lat/long).
+    NULL row for payloads without EXIF. 100 TB: map-only Arrow stage."""
+    from nutch_spark.datapipe.mediacodec import parse_exif
+
+    def row(media_id, raw):
+        try:
+            info = parse_exif(raw)
+        except Exception:  # noqa: BLE001 — one bad blob never kills the job
+            info = None
+        if info is None:
+            return null_row(media_id)
+        return {"media_id": media_id, **info}
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id, "orientation": None, "make": None,
+            "model": None, "datetime": None, "gps_lat": None,
+            "gps_lon": None,
+        }
+
+    return _map_media(
+        media, None, EXIF_META_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 MATROSKA_INFO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -28,6 +28,7 @@ _CERTIFY_FIRST = [
     # NEW / CHANGED in round 15
     "mm_dhash_clusters", "dp_minhash_clusters", "mm_dhash_flood",
     "mm_heif_dhash", "p2_psd_extract", "p2_midi_extract", "mm_mkv_info",
+    "mm_exif_meta",
     "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
     "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
     "mm_video_neardup", "mm_webp_dhash", "mm_image_dhash",

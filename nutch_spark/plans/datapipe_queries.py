@@ -4489,6 +4489,84 @@ def mm_dhash_clusters(spark, sf_dir):
 
 
 @q(
+    "mm_exif_meta",
+    """
+    -- EXIF beyond orientation: planted APP1 blocks state make / model /
+    -- DateTimeOriginal / GPS closed-form. GPS decimal degrees mirror the
+    -- parser's exact IEEE expression order (sec = s100/100 FIRST, then
+    -- deg + min/60 + sec/3600) so strict-float hashing matches bit for
+    -- bit. doc_id % 32 = 21 plants a JPEG with garbage after SOI -> the
+    -- all-NULL row.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE 'Maker ' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE 'Cam ' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE '2026:0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                     || ':15 12:34:56' END AS datetime,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+                     * (CAST(doc_id % 90 AS DOUBLE) + (doc_id % 60) / 60.0
+                        + (((doc_id % 100) * 25) / 100.0) / 3600.0)
+             END AS gps_lat,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+                     * (CAST(doc_id % 180 AS DOUBLE)
+                        + ((doc_id * 7) % 60) / 60.0
+                        + (((doc_id % 50) * 50) / 100.0) / 3600.0)
+             END AS gps_lon
+    FROM documents
+    """,
+)
+def mm_exif_meta(spark, sf_dir):
+    """EXIF metadata extraction (multimodal.exif_metadata →
+    mediacodec.parse_exif): full IFD walks — ASCII and RATIONAL value
+    areas, the EXIF (0x8769) and GPS (0x8825) sub-IFD pointers — over
+    real planted APP1 blocks from the honest writer. The geo fields are
+    what a location-bucketing pipeline joins on; Tika surfaces the same
+    tags. Negative hemispheres (S/W refs) and the IFD0-DateTime fallback
+    ride the same fixtures. 100 TB: map-only Arrow stage."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from nutch_spark.datapipe.mediacodec import build_exif_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 32 == 21:
+                    payload = b"\xff\xd8 garbage after SOI, no APP1"
+                else:
+                    payload = build_exif_jpeg(
+                        orientation=doc_id % 8 + 1,
+                        make=f"Maker {doc_id % 5}",
+                        model=f"Cam {doc_id % 7}",
+                        datetime_original=(
+                            f"2026:0{1 + doc_id % 9}:15 12:34:56"
+                        ),
+                        lat_dms=(doc_id % 90, doc_id % 60,
+                                 (doc_id % 100) * 25),
+                        lon_dms=(doc_id % 180, (doc_id * 7) % 60,
+                                 (doc_id % 50) * 50),
+                        lat_ref="S" if doc_id % 2 == 1 else "N",
+                        lon_ref="W" if doc_id % 3 == 0 else "E",
+                    )
+                rows.append({"media_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from nutch_spark.datapipe.multimodal import exif_metadata
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return exif_metadata(media)
+
+
+@q(
     "mm_mkv_info",
     """
     -- Matroska/WebM container identity via a real EBML walk (RFC 8794):

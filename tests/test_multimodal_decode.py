@@ -3076,3 +3076,42 @@ def test_matroska_ebml_walk_and_hostile_bytes():
         out = parse_matroska(bytes(h[:cut]))
         assert out is None or isinstance(out, dict)
     assert parse_matroska(b"junk") is None
+
+
+def test_exif_metadata_full_walk():
+    import random
+
+    from nutch_spark.datapipe.mediacodec import (
+        build_exif_jpeg,
+        exif_orientation,
+        parse_exif,
+    )
+
+    b = build_exif_jpeg(
+        orientation=6, make="MakeCo", model="Cam 3000",
+        datetime_original="2026:08:15 12:34:56",
+        lat_dms=(52, 30, 1500), lon_dms=(13, 24, 750),
+        lat_ref="S", lon_ref="E",
+    )
+    info = parse_exif(b)
+    assert info["orientation"] == 6
+    assert (info["make"], info["model"]) == ("MakeCo", "Cam 3000")
+    assert info["datetime"] == "2026:08:15 12:34:56"
+    assert info["gps_lat"] == -(52 + 30 / 60 + 15.0 / 3600)
+    assert info["gps_lon"] == 13 + 24 / 60 + 7.5 / 3600
+    # the existing orientation reader agrees on the same bytes
+    assert exif_orientation(b) == 6
+    # short ASCII values stay inline (<= 4 bytes incl. NUL)
+    short = parse_exif(build_exif_jpeg(make="abc", model="xy"))
+    assert (short["make"], short["model"]) == ("abc", "xy")
+    # hostile: bit flips / truncation degrade, never raise
+    rng = random.Random(44)
+    for _ in range(300):
+        h = bytearray(b)
+        for _k in range(rng.randrange(1, 5)):
+            h[rng.randrange(len(h))] = rng.randrange(256)
+        cut = rng.randrange(2, len(h) + 1)
+        out = parse_exif(bytes(h[:cut]))
+        assert out is None or isinstance(out, dict)
+    assert parse_exif(b"\xff\xd8 garbage") is None
+    assert parse_exif(b"no jpeg") is None

@@ -213,6 +213,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                         [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     "mm_mkv_info": [[r"MapInPandas|mapInPandas"],
                     [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    "mm_exif_meta": [[r"MapInPandas|mapInPandas"],
+                     [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_7z_extract": [[r"MapInPandas|mapInPandas"],
