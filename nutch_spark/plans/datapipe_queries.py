@@ -295,16 +295,15 @@ def dp_minhash_flood(spark, sf_dir):
     )
 
 
-@q(
-    "dp_minhash_clusters",
-    f"""
-    -- Cluster-mode MinHash dedup over the dup-flood corpus: members NEVER
-    -- expand to pairs. Signature-identical docs form exact groups (rep =
-    -- min id); DISTINCT signatures band+pair at representative level and
-    -- verify with the MinHash estimator; components close transitively
-    -- (recursive reachability = the min-label propagation twin); members
-    -- expand to their representative's component in one linear join.
-    WITH RECURSIVE corpus AS ({_FLOOD_CORPUS_SQL}),
+def _minhash_clusters_sql(corpus_sql: str, cap: int) -> str:
+    """The cluster-mode MinHash oracle CTE chain, ending in ``allout``
+    (doc_id, component) — shared by dp_minhash_clusters (raw clusters)
+    and dp_cluster_retention (clusters → quality-aware canonical pick).
+    Signature groups, representative-level banding + estimator
+    verification, and the transitive closure via recursive
+    reachability."""
+    return f"""
+    WITH RECURSIVE corpus AS ({corpus_sql}),
     d AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM corpus),
     sh AS (SELECT id, {_SHINGLES_SQL} AS s FROM d),
     ex AS (SELECT id, CAST({_H64.format(s="unnest(s)")} % {_MINHASH_PRIME} AS BIGINT) AS b
@@ -329,7 +328,7 @@ def dp_minhash_flood(spark, sf_dir):
     ),
     hot AS (
       SELECT band, bucket FROM rbuckets
-      GROUP BY band, bucket HAVING count(*) > {_LSH_BUCKET_CAP}
+      GROUP BY band, bucket HAVING count(*) > {cap}
     ),
     keyed AS (
       SELECT b.id, b.band,
@@ -371,8 +370,14 @@ def dp_minhash_flood(spark, sf_dir):
       WHERE sigdig.id IS NULL
     ),
     allout AS (SELECT * FROM memout UNION ALL SELECT * FROM nosig)
-    SELECT doc_id, component, doc_id != component AS is_duplicate FROM allout
-    """,
+    """
+
+
+@q(
+    "dp_minhash_clusters",
+    _minhash_clusters_sql(_FLOOD_CORPUS_SQL, _LSH_BUCKET_CAP)
+    + "SELECT doc_id, component, doc_id != component AS is_duplicate"
+    " FROM allout",
 )
 def dp_minhash_clusters(spark, sf_dir):
     """Cluster-mode MinHash dedup (minhash_dup_clusters): the flood-proof
@@ -395,6 +400,59 @@ def dp_minhash_clusters(spark, sf_dir):
         threshold=0.6,
         max_bucket=_LSH_BUCKET_CAP,
     )
+
+
+@q(
+    "dp_cluster_retention",
+    _minhash_clusters_sql(_FLOOD_CORPUS_SQL, _LSH_BUCKET_CAP)
+    + f"""
+    , sig AS (
+      SELECT doc_id, CAST(length(text) % 97 AS BIGINT) AS quality_score,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM corpus
+    ),
+    j AS (
+      SELECT a.doc_id, a.component, s.quality_score, s.n_tokens
+      FROM allout a LEFT JOIN sig s ON s.doc_id = a.doc_id
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           quality_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY component
+             ORDER BY quality_score DESC NULLS LAST,
+                      n_tokens DESC NULLS LAST, doc_id
+           ) = 1 AS is_canonical
+    FROM j
+    """,
+)
+def dp_cluster_retention(spark, sf_dir):
+    """The full flood-proof retention chain end-to-end: cluster-mode
+    MinHash dedup (minhash_dup_clusters — members never expand to pairs)
+    feeding cluster_canonical's quality-aware "which copy do we KEEP"
+    pick (highest quality, longest on ties, smallest id as the final
+    tie-break; exactly one canonical per component, so
+    filter(is_canonical) IS the deduplicated corpus). This is the chain
+    a 100 TB training-data pipeline actually runs — certifying the
+    composition pins that the quotient clusters and the retention window
+    agree on component boundaries cross-engine."""
+    from nutch_spark.datapipe.dedup import cluster_canonical
+    from nutch_spark.datapipe.textstats import tokens
+
+    corpus = _flood_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    members = minhash_dup_clusters(
+        corpus,
+        num_hashes=_BANDS * _ROWS_PER_BAND,
+        bands=_BANDS,
+        threshold=0.6,
+        max_bucket=_LSH_BUCKET_CAP,
+    ).select("doc_id", "component")
+    signals = corpus.select(
+        "doc_id",
+        (F.length("text") % 97).cast("long").alias("quality_score"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return cluster_canonical(members, signals)
 
 
 @q(

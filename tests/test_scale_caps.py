@@ -403,3 +403,42 @@ def test_minhash_dup_clusters_linear_on_flood(spark):
         assert got[i] == (0, i != 0)
     assert got[900] == (0, True)  # near copy joins via estimator edge
     assert got[901] == (901, False)
+
+
+def test_cluster_mode_equals_pair_mode_plus_components(spark):
+    """EQUIVALENCE: dhash_dup_clusters must compute exactly
+    dup_components(nodes, dhash_near_dup(pairs)) on arbitrary inputs —
+    the quotient construction is an optimization, never a semantics
+    change. Three seeded random hash multisets (dups, near groups, far
+    outliers) check it."""
+    import random
+
+    from nutch_spark.datapipe.dedup import dup_components
+    from nutch_spark.datapipe.multimodal import dhash_dup_clusters, dhash_near_dup
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        base_hashes = [rng.getrandbits(63) for _ in range(12)]
+        rows = []
+        mid = 0
+        for h in base_hashes:
+            for _copy in range(rng.randrange(1, 5)):  # exact dups
+                rows.append((mid, h))
+                mid += 1
+            if rng.random() < 0.5:  # a near variant within hamming 3
+                flip = h ^ (1 << rng.randrange(64)) ^ (1 << rng.randrange(64))
+                rows.append((mid, flip - (1 << 64) if flip >= 1 << 63 else flip))
+                mid += 1
+        hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+        via_clusters = {
+            r["media_id"]: (r["component"], r["is_duplicate"])
+            for r in dhash_dup_clusters(hashes).collect()
+        }
+        pairs = dhash_near_dup(hashes)
+        via_pairs = {
+            r["media_id"]: (r["component"], r["is_duplicate"])
+            for r in dup_components(
+                hashes.select("media_id"), pairs, "media_id"
+            ).collect()
+        }
+        assert via_clusters == via_pairs, seed

@@ -51,6 +51,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                           [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_minhash_clusters": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
                             [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # retention chain: ONE component shuffle shared by both windows, no
+    # cross product anywhere from clusters through the canonical pick
+    "dp_cluster_retention": [[r"Window"],
+                             [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
     # LM perplexity: model joins broadcast, one groupBy, no cross product
     "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
