@@ -467,7 +467,16 @@ def minhash_dup_clusters(
     groups, the banded join runs over one row PER DISTINCT SIGNATURE (a
     10M-copy boilerplate page contributes one row per band), label
     propagation iterates over the distinct-signature quotient graph, and
-    members appear exactly once — in the final linear expansion join."""
+    members appear exactly once — in the final linear expansion join.
+
+    Guard semantics: with ``max_bucket=None`` the components equal
+    dup_components over pair mode's verify="estimate" output exactly
+    (tested on random corpora). With the guard ON, cluster mode has
+    STRICTLY BETTER flood recall: pair mode's hot census counts member
+    ids, so a copy flood saturates its band buckets and a near-VARIANT
+    whose only agreeing buckets are flooded is missed; here the census
+    counts DISTINCT signatures, the flood is one row, and the variant
+    still pairs with the group representative."""
     rows_per_band = num_hashes // bands
     sigs = (
         minhash_signatures(df, text, key, n=n, num_hashes=num_hashes)

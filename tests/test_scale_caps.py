@@ -442,3 +442,90 @@ def test_cluster_mode_equals_pair_mode_plus_components(spark):
             ).collect()
         }
         assert via_clusters == via_pairs, seed
+
+
+def test_minhash_cluster_mode_equals_pair_mode_plus_components(spark):
+    """UNGUARDED EQUIVALENCE + GUARDED RECALL ADVANTAGE.
+
+    With the hot-bucket guard OFF, minhash_dup_clusters computes exactly
+    dup_components(nodes, minhash_lsh_pairs(verify='estimate')) — the
+    quotient construction is an optimization, never a semantics change.
+
+    With a small guard ON, the modes legitimately DIFFER, in cluster
+    mode's favor: pair mode's census counts member ids, so a copy flood
+    saturates every band bucket and a near-VARIANT whose only agreeing
+    buckets are flooded is missed (it shares no signature digest);
+    cluster mode's census counts DISTINCT signatures, so the flood is
+    one row and the variant still pairs with the group representative.
+    This test pins both facts."""
+    import random
+
+    from nutch_spark.datapipe.dedup import (
+        dup_components,
+        minhash_dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    def gen(seed):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(120)]
+        rows, did, variants = [], 0, []
+        for _tpl in range(8):
+            base = " ".join(rng.choices(vocab, k=40))
+            group_lead = did
+            for _copy in range(rng.randrange(2, 6)):  # exact copies
+                rows.append((did, base))
+                did += 1
+            if rng.random() < 0.6:  # a near variant of the group
+                rows.append((did, base + " " + rng.choice(vocab)))
+                variants.append((did, group_lead))
+                did += 1
+        return rows, variants
+
+    for seed in (3, 57):
+        rows, variants = gen(seed)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base_kw = dict(num_hashes=32, bands=8, threshold=0.5)
+        # equivalence, guard OFF
+        via_clusters = {
+            r["doc_id"]: (r["component"], r["is_duplicate"])
+            for r in minhash_dup_clusters(
+                docs, max_bucket=None, **base_kw
+            ).collect()
+        }
+        pairs = minhash_lsh_pairs(
+            docs, verify="estimate", max_bucket=None, **base_kw
+        )
+        via_pairs = {
+            r["doc_id"]: (r["component"], r["is_duplicate"])
+            for r in dup_components(
+                docs.select("doc_id"), pairs.select("id_a", "id_b")
+            ).collect()
+        }
+        assert via_clusters == via_pairs, seed
+
+    # recall advantage, guard ON at a cap every >=3-copy group saturates
+    rows, variants = gen(3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=8, threshold=0.5, max_bucket=2)
+    guarded_clusters = {
+        r["doc_id"]: r["component"]
+        for r in minhash_dup_clusters(docs, **kw).collect()
+    }
+    guarded_pairs = {
+        r["doc_id"]: r["component"]
+        for r in dup_components(
+            docs.select("doc_id"),
+            minhash_lsh_pairs(docs, verify="estimate", **kw).select(
+                "id_a", "id_b"
+            ),
+        ).collect()
+    }
+    assert variants, "fixture must plant near variants"
+    cluster_joined = sum(
+        guarded_clusters[v] == guarded_clusters[lead] for v, lead in variants
+    )
+    pair_joined = sum(
+        guarded_pairs[v] == guarded_pairs[lead] for v, lead in variants
+    )
+    assert cluster_joined > pair_joined  # strictly better flood recall
