@@ -1262,6 +1262,82 @@ def video_near_dup(
     )
 
 
+def video_dup_clusters(
+    frames: DataFrame,
+    *,
+    min_shared: int = 2,
+    hot_hash_cap: int = 1024,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Flood-proof CLUSTER output for video near-dup: (media_id,
+    component, is_duplicate), ONE row per video — LINEAR in videos, where
+    :func:`video_near_dup` emits C(k,2) pair rows for k identical
+    re-uploads. Same construction as the dHash/MinHash cluster modes:
+    videos with an IDENTICAL distinct-frame-hash set collapse to exact
+    groups (signature = md5 of the sorted hash set, one groupBy;
+    representative = min id); the inverted-index near join runs over the
+    representatives only; dup_components' quotient path closes the
+    relation and expands members once, linearly."""
+    from nutch_spark.datapipe.dedup import dup_components
+
+    f = (
+        frames.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sigs = f.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("dhash")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("_sig")
+    )
+    groups = sigs.groupBy("_sig").agg(F.min("media_id").alias("_rep"))
+    members = sigs.join(groups, "_sig").select(
+        "media_id", F.col("_rep").alias("rep")
+    )
+    rep_frames = f.join(
+        groups.select(F.col("_rep").alias("media_id")), "media_id", "left_semi"
+    )
+    rep_pairs = video_near_dup(
+        rep_frames, min_shared=min_shared, hot_hash_cap=hot_hash_cap
+    )
+    return dup_components(
+        f.select("media_id").distinct(),
+        rep_pairs.select("id_a", "id_b"),
+        "media_id",
+        max_iter=max_iter,
+        groups=members,
+    )
+
+
+def audio_dup_clusters(
+    fingerprints: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Flood-proof CLUSTER output for audio near-dup — dhash_dup_clusters
+    over the 64-bit spectral fingerprints, exactly as audio_near_dup is
+    dhash_near_dup verbatim."""
+    return dhash_dup_clusters(
+        fingerprints.filter(F.col("afp").isNotNull()).select(
+            "media_id", F.col("afp").alias("dhash")
+        ),
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_bucket=max_band_bucket,
+        max_iter=max_iter,
+    )
+
+
 def audio_near_dup(
     fingerprints: DataFrame,
     *,

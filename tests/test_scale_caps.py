@@ -529,3 +529,45 @@ def test_minhash_cluster_mode_equals_pair_mode_plus_components(spark):
         guarded_pairs[v] == guarded_pairs[lead] for v, lead in variants
     )
     assert cluster_joined > pair_joined  # strictly better flood recall
+
+
+def test_video_and_audio_dup_clusters_linear(spark):
+    """video_dup_clusters / audio_dup_clusters: k identical re-uploads are
+    ONE exact group (k output rows, never C(k,2) pairs); near relations
+    close through representatives and match pair mode + components."""
+    from nutch_spark.datapipe.dedup import dup_components
+    from nutch_spark.datapipe.multimodal import (
+        audio_dup_clusters,
+        video_dup_clusters,
+        video_near_dup,
+    )
+
+    # 200 identical re-uploads (frame hashes {1,2,3}), one overlapping
+    # near video {2,3,4}, one disjoint video {100,101}
+    rows = [(v, h) for v in range(200) for h in (1, 2, 3)]
+    rows += [(900, 2), (900, 3), (900, 4)]
+    rows += [(901, 100), (901, 101)]
+    frames = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {r["media_id"]: (r["component"], r["is_duplicate"])
+           for r in video_dup_clusters(frames).collect()}
+    assert len(got) == 202  # LINEAR
+    for v in list(range(200)) + [900]:
+        assert got[v] == (0, v != 0)
+    assert got[901] == (901, False)
+    # equivalence with pair mode + components
+    via_pairs = {r["media_id"]: (r["component"], r["is_duplicate"])
+                 for r in dup_components(
+                     frames.select("media_id").distinct(),
+                     video_near_dup(frames).select("id_a", "id_b"),
+                     "media_id",
+                 ).collect()}
+    assert got == via_pairs
+
+    # audio: 100 identical fingerprints + one at hamming 1 + one far
+    arows = [(i, 0x0F0F) for i in range(100)] + [(500, 0x0F0E), (501, 0x00FF00FF00FF00FF)]
+    fps = spark.createDataFrame(arows, "media_id long, afp long")
+    agot = {r["media_id"]: r["component"]
+            for r in audio_dup_clusters(fps).collect()}
+    assert len(agot) == 102
+    assert all(agot[i] == 0 for i in list(range(100)) + [500])
+    assert agot[501] == 501
