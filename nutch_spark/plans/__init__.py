@@ -27,7 +27,7 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 _CERTIFY_FIRST = [
     # NEW / CHANGED in round 15
     "mm_dhash_clusters", "dp_minhash_clusters", "dp_cluster_retention",
-    "mm_dhash_flood",
+    "mm_video_clusters", "mm_dhash_flood",
     "mm_heif_dhash", "p2_psd_extract", "p2_midi_extract", "mm_mkv_info",
     "mm_exif_meta",
     "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",

@@ -4547,6 +4547,57 @@ def mm_dhash_clusters(spark, sf_dir):
 
 
 @q(
+    "mm_video_clusters",
+    """
+    -- Cluster-mode video dedup on planted frame-hash sets: 8 classes of
+    -- 50 videos each share an identical 3-frame set (one exact group per
+    -- class); bridge videos 400..405 share 2 frames with class c and 2
+    -- with class c+1, chaining classes 0..6 (and the bridges) into ONE
+    -- component labeled by min member id 0; class 7 stays its own
+    -- component (min member 7). Output is ONE row per video — linear —
+    -- where pair mode would emit ~8·C(50,2) within-class pairs alone.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id < 400 AND doc_id % 8 = 7 THEN 7 ELSE 0 END
+             AS component,
+           doc_id != CASE WHEN doc_id < 400 AND doc_id % 8 = 7 THEN 7
+                          ELSE 0 END AS is_duplicate
+    FROM documents WHERE doc_id < 406
+    """,
+)
+def mm_video_clusters(spark, sf_dir):
+    """Cluster-mode video dedup (video_dup_clusters): videos with an
+    identical distinct-frame-hash set collapse to exact groups via a
+    set-digest groupBy; the inverted frame-hash near join (min_shared=2)
+    runs over one representative per distinct set; dup_components'
+    quotient path closes the bridge chain transitively and expands the
+    400+6 members once, linearly. The closed-form planted classes +
+    bridges make the expected component map exact cross-engine."""
+    from nutch_spark.datapipe.multimodal import video_dup_clusters
+
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 406
+    )
+    c_class = (F.col("doc_id") % 8).cast("long")
+    c_bridge = (F.col("doc_id") - 400).cast("long")
+    hashes = F.when(
+        F.col("doc_id") < 400,
+        F.array(c_class * 10, c_class * 10 + 1, c_class * 10 + 2),
+    ).otherwise(
+        F.array(
+            c_bridge * 10 + 1,
+            c_bridge * 10 + 2,
+            (c_bridge + 1) * 10 + 1,
+            (c_bridge + 1) * 10 + 2,
+        )
+    )
+    frames = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(hashes).alias("dhash"),
+    )
+    return video_dup_clusters(frames, min_shared=2)
+
+
+@q(
     "mm_exif_meta",
     """
     -- EXIF beyond orientation: planted APP1 blocks state make / model /

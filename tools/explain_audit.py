@@ -55,6 +55,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # cross product anywhere from clusters through the canonical pick
     "dp_cluster_retention": [[r"Window"],
                              [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
+    # video cluster mode: set-digest groupBy + frame-hash equi-join over
+    # representatives; never a cross product
+    "mm_video_clusters": [[r"HashAggregate"],
+                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "dp_ngram_jaccard": [[r"HashAggregate"], [r"CartesianProduct"]],
     # LM perplexity: model joins broadcast, one groupBy, no cross product
     "dp_lm_perplexity": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
