@@ -113,43 +113,63 @@ def main() -> None:
     # stay in the artifact so a judge can map residual suspects back to
     # wall-clock.
     starts: dict[str, float] = {}
-    # Steal-aware retry (r15): a rep that ran inside a hypervisor-steal
-    # burst is re-run (bounded) instead of polluting the median — the r14
-    # driver run had steal in 169/169 queries and had to be read through
-    # the min bands after the fact. Threshold: more than ~2% of the rep's
-    # CPU capacity stolen (floor 1 CPU-second, so sub-second queries don't
-    # retry on noise). Retries stop when the wall budget is spent;
-    # steal_exhausted counts reps that stayed degraded (documented retry
-    # exhaustion in the printed line).
+    # Steal-aware retry, end-of-pass requeue (r16; r15 retried in place):
+    # a rep that ran inside a hypervisor-steal burst is re-run instead of
+    # polluting the median — but steal is BURSTY (2-3 minute windows on
+    # this box, r15's immediate retries left steal_exhausted=50 because a
+    # retry fired straight back into the same burst). So a stolen rep is
+    # now recorded tentatively and REQUEUED at the end of its pass: by
+    # then minutes of other queries have run and the burst has usually
+    # passed. Up to retry_cap end-of-pass rounds per rep (env-tunable via
+    # SPARK_GRAFT_STEAL_RETRIES); a clean re-run replaces the tentative
+    # timing. Threshold: more than ~2% of the rep's CPU capacity stolen
+    # (floor 1 CPU-second, so sub-second queries don't retry on noise).
+    # Retries stop when the wall budget is spent; steal_exhausted counts
+    # reps still degraded after all rounds.
     ncpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     retry_cap = max(0, int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2")))
     steal_retries = 0
     steal_exhausted = 0
+
+    def timed_run(name: str) -> tuple[float, bool]:
+        """One timed noop-sink execution; (seconds, ran-inside-steal)."""
+        fn, _oracle = REGISTRY[name]
+        s0 = cpu_steal_s()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        stolen = cpu_steal_s() - s0
+        return dt, stolen > max(1.0, 0.02 * dt * ncpus)
+
     for rep in range(reps):
         if rep > 0 and time.perf_counter() - bench_t0 > budget_s:
             degraded = len(runs_all)  # remaining passes skipped
             break
+        requeue: list[str] = []
         for name in sorted(REGISTRY):
-            fn, _oracle = REGISTRY[name]
             if rep == 0:
                 starts[name] = round(time.perf_counter() - bench_t0, 1)
-            for attempt in range(retry_cap + 1):
-                s0 = cpu_steal_s()
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                stolen = cpu_steal_s() - s0
-                if stolen <= max(1.0, 0.02 * dt * ncpus):
-                    break
-                if (
-                    attempt == retry_cap
-                    or time.perf_counter() - bench_t0 > budget_s
-                ):
-                    steal_exhausted += 1
+            dt, in_steal = timed_run(name)
+            runs_all[name].append(round(dt, 3))
+            if in_steal:
+                requeue.append(name)
+        for retry_round in range(retry_cap):
+            if not requeue:
+                break
+            still: list[str] = []
+            for name in requeue:
+                if time.perf_counter() - bench_t0 > budget_s:
+                    still.extend(requeue[requeue.index(name):])
                     break
                 steal_retries += 1
-            runs_all[name].append(round(dt, 3))
+                dt, in_steal = timed_run(name)
+                if in_steal:
+                    still.append(name)
+                else:
+                    runs_all[name][rep] = round(dt, 3)
+            requeue = still
+        steal_exhausted += len(requeue)
     for name, runs in runs_all.items():
         ordered = sorted(runs)  # runs_all keeps execution order (run 0 cold)
         timings[name] = ordered[len(ordered) // 2]
@@ -219,8 +239,9 @@ def main() -> None:
             f"median-of-{reps} interleaved; q=[med,min,max]; sub-1s in"
             " fast_n; value_min=sum of per-query mins (load floor —"
             " multi-tenant host steals CPU in bursts, see cpu_steal_s);"
-            " reps inside a steal burst re-ran (steal_retries), up to 2x"
-            " each (steal_exhausted = still-degraded reps)"
+            " reps inside a steal burst requeue at END of pass (steal is"
+            " bursty; steal_retries = re-runs, steal_exhausted ="
+            " still-degraded reps after all rounds)"
         ),
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),

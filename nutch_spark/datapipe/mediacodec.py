@@ -1657,6 +1657,43 @@ class _ProcessLocalCache(dict):
 _CODEC_CACHE = _ProcessLocalCache()
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _quiet_native_stderr():
+    """Point fd 2 at /dev/null for the duration of a native codec call.
+
+    libaom/dav1d (under libavif/libheif) print parse diagnostics like
+    "Error parsing OBU data" straight to the C stderr when fed a hostile
+    bitstream — by design we feed them hostile bitstreams (corrupt-input
+    oracles, fuzz rows), which pollutes bench/driver artifact tails. The
+    redirect is fd-level (C writes bypass sys.stderr), two dup2 syscalls
+    per decode, and restored in finally. Executor Python workers run one
+    task at a time so the process-global swap cannot clobber concurrent
+    output; on any OS error the decode proceeds unsilenced."""
+    import os as _os
+
+    try:
+        saved = _os.dup(2)
+    except OSError:
+        yield
+        return
+    try:
+        devnull = _os.open(_os.devnull, _os.O_WRONLY)
+    except OSError:
+        _os.close(saved)
+        yield
+        return
+    try:
+        _os.dup2(devnull, 2)
+        yield
+    finally:
+        _os.dup2(saved, 2)
+        _os.close(saved)
+        _os.close(devnull)
+
+
 def _load_libwebp():
     """The system libwebp via ctypes, or None when absent. Cached; the
     soname is tried first (no dev symlink needed), then find_library."""
@@ -1925,9 +1962,10 @@ def decode_heif_rgba(
     try:
         # without_copy: libheif reads straight from the payload bytes,
         # which stay referenced for the whole context lifetime
-        err = lib.heif_context_read_from_memory_without_copy(
-            ctx, payload, len(payload), None
-        )
+        with _quiet_native_stderr():
+            err = lib.heif_context_read_from_memory_without_copy(
+                ctx, payload, len(payload), None
+            )
         if err.code:
             return None
         err = lib.heif_context_get_primary_image_handle(ctx, ct.byref(handle))
@@ -1937,9 +1975,14 @@ def decode_heif_rgba(
         h = lib.heif_image_handle_get_height(handle)
         if w <= 0 or h <= 0 or w * h > max_pixels:
             return None
-        err = lib.heif_decode_image(
-            handle, ct.byref(img), _HEIF_COLORSPACE_RGB, _HEIF_CHROMA_RGBA, None
-        )
+        with _quiet_native_stderr():
+            err = lib.heif_decode_image(
+                handle,
+                ct.byref(img),
+                _HEIF_COLORSPACE_RGB,
+                _HEIF_CHROMA_RGBA,
+                None,
+            )
         if err.code or not img:
             return None
         stride = ct.c_int(0)
@@ -2068,7 +2111,9 @@ def decode_avif_rgba(
         return None
     rgb = None
     try:
-        if lib.avifDecoderReadMemory(dec, img, payload, len(payload)):
+        with _quiet_native_stderr():
+            rc = lib.avifDecoderReadMemory(dec, img, payload, len(payload))
+        if rc:
             return None
         dims = ct.cast(img, ct.POINTER(ct.c_uint32))  # width, height lead
         w, h = int(dims[0]), int(dims[1])  # the avifImage struct in every version
@@ -2082,7 +2127,7 @@ def decode_avif_rgba(
         rgb.depth = 8
         lib.avifRGBImageAllocatePixels(ct.byref(rgb))
         if not rgb.pixels or rgb.rowBytes < w * 4:
-            rgb = None
+            # leave rgb bound so the finally block frees any allocated pixels
             return None
         if lib.avifImageYUVToRGB(img, ct.byref(rgb)):
             return None

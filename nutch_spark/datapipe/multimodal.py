@@ -1354,7 +1354,15 @@ def audio_near_dup(
     bit_count(xor) verifies the true distance. Cross-codec by
     construction: WAV, FLAC, and MPEG-1 Layer I/II copies of the same
     audio fingerprint identically (hamming 0), and a re-encode with one
-    drifted dominant band lands at hamming 2."""
+    drifted dominant band lands at hamming 2.
+
+    BEHAVIOR CHANGE (round 15): ``max_band_bucket`` now defaults to
+    ``None`` — full recall, NO hot-band flood guard — inherited from the
+    same default change in ``dhash_near_dup``. Callers that relied on
+    the old implicit 4096 cap (quadratic-blowup protection on hot bands)
+    must now pass ``max_band_bucket=4096`` explicitly, or better, use
+    the flood-proof cluster mode (``audio_dup_clusters``) which never
+    expands pairs."""
     return dhash_near_dup(
         fingerprints.filter(F.col("afp").isNotNull()).select(
             "media_id", F.col("afp").alias("dhash")

@@ -32,7 +32,11 @@ _MAGIC_HEX = [
     ("425A68", "application/x-bzip2"),     # BZh
     ("FD377A585A00", "application/x-xz"),
     ("377ABCAF271C", "application/x-7z-compressed"),
-    ("52617221", "application/x-rar-compressed"),  # Rar!
+    # full RAR signatures (r16; the bare 4-byte Rar! prefix false-hit on
+    # text): v1.5-4.x is Rar!\x1A\x07\x00, v5+ Rar!\x1A\x07\x01\x00 —
+    # the length-bucketed lookup tries the longer v5 signature first
+    ("526172211A070100", "application/x-rar-compressed"),  # RAR5
+    ("526172211A0700", "application/x-rar-compressed"),    # RAR4
     ("28B52FFD", "application/zstd"),
     ("04224D18", "application/x-lz4"),
     ("7B5C727466", "application/rtf"),     # {\rtf
@@ -54,6 +58,64 @@ _MAGIC_HEX = [
     ("000001BA", "video/mpeg"),
     ("000001B3", "video/mpeg"),
     ("52494646", "audio/x-wav"),           # RIFF (refined below: WAVE/AVI/WEBP)
+    # ------------------------------------------------------------------
+    # r16 magic tranche 2 — the next tika-mimetypes.xml families by crawl
+    # hit rate: fonts, legacy audio, archive subtypes, databases. All are
+    # the published format magics; lookup is length-bucketed maps, so
+    # table width no longer costs codegen branches.
+    # ------------------------------------------------------------------
+    # fonts (sfnt family: version tag leads the file)
+    ("252150532D41646F6265466F6E74", "application/x-font-type1"),
+    # ^ '%!PS-AdobeFont' (PFA) — outranks the bare '%!PS-' postscript
+    # entry purely by prefix length in the bucketed lookup
+    ("4F54544F", "font/otf"),              # 'OTTO' (CFF outlines)
+    ("74746366", "font/collection"),       # 'ttcf' TrueType collection
+    ("0001000000", "font/ttf"),            # sfnt 1.0 (TrueType outlines)
+    ("74727565", "font/ttf"),              # 'true' legacy Mac sfnt
+    # legacy audio
+    ("2E736E64", "audio/basic"),           # '.snd' Sun/NeXT AU
+    ("2321414D522D57420A", "audio/amr-wb"),  # '#!AMR-WB\n'
+    ("2321414D520A", "audio/amr"),         # '#!AMR\n'
+    ("44534420", "audio/x-dsf"),           # 'DSD ' DSD stream file
+    ("46524D38", "audio/x-dff"),           # 'FRM8' DSDIFF
+    ("63616666", "audio/x-caf"),           # 'caff' Core Audio Format
+    ("2E524D46", "application/vnd.rn-realmedia"),  # '.RMF'
+    ("3026B2758E66CF11", "video/x-ms-asf"),  # ASF GUID (refined by ext: wma)
+    ("464C5601", "video/x-flv"),           # 'FLV\x01'
+    ("4D414320", "audio/x-ape"),           # 'MAC ' Monkey's Audio
+    ("4D502B", "audio/x-musepack"),        # 'MP+' (MPC SV7)
+    ("4D50434B", "audio/x-musepack"),      # 'MPCK' (MPC SV8)
+    # archive subtypes / packages
+    ("68737173", "application/x-squashfs"),  # 'hsqs' little-endian
+    ("73717368", "application/x-squashfs"),  # 'sqsh' big-endian
+    ("4C5A4950", "application/x-lzip"),    # 'LZIP'
+    ("EDABEEDB", "application/x-rpm"),
+    ("303730373031", "application/x-cpio"),  # '070701' newc ASCII
+    ("303730373032", "application/x-cpio"),  # '070702' CRC ASCII
+    ("303730373037", "application/x-cpio"),  # '070707' odc ASCII
+    ("C771", "application/x-cpio"),        # old binary LE
+    ("71C7", "application/x-cpio"),        # old binary BE
+    ("78617221", "application/x-xar"),     # 'xar!'
+    ("1F9D", "application/x-compress"),    # .Z (LZW compress)
+    ("60EA", "application/x-arj"),
+    ("53747566664974", "application/x-stuffit"),  # 'StuffIt' (SIT5)
+    ("53495421", "application/x-stuffit"),  # 'SIT!'
+    # databases / scientific
+    ("53514C69746520666F726D6174203300", "application/vnd.sqlite3"),
+    ("894844460D0A1A0A", "application/x-hdf5"),
+    ("0E031301", "application/x-hdf"),      # HDF4
+    ("43444601", "application/x-netcdf"),   # 'CDF\x01' classic
+    ("43444602", "application/x-netcdf"),   # 'CDF\x02' 64-bit offset
+    ("50415231", "application/vnd.apache.parquet"),  # 'PAR1'
+    ("D4C3B2A1", "application/vnd.tcpdump.pcap"),    # pcap LE
+    ("A1B2C3D4", "application/vnd.tcpdump.pcap"),    # pcap BE
+    ("4D34A195", "application/vnd.tcpdump.pcap"),    # pcap LE ns-resolution
+    ("0A0D0D0A", "application/x-pcapng"),  # Section Header Block
+    # ebooks / misc containers
+    ("41542654464F524D", "image/vnd.djvu"),  # 'AT&TFORM'
+    ("425047FB", "image/x-bpg"),
+    ("000000144A584C200D0A870A", "image/jxl"),  # JXL ISO-BMFF container
+    ("FF0A", "image/jxl"),                 # JXL raw codestream
 ]
 
 # container refinements resolved from bytes past the leading magic:
@@ -400,6 +462,11 @@ _EXT = {
     "mpga": "audio/mpeg",
     "spx": "audio/speex",
     "weba": "audio/webm",
+    "dsf": "audio/x-dsf",
+    "dff": "audio/x-dff",
+    "caf": "audio/x-caf",
+    "ape": "audio/x-ape",
+    "mpc": "audio/x-musepack",
     "m3u": "audio/x-mpegurl",
     "m3u8": "application/vnd.apple.mpegurl",
     "pls": "audio/x-scpls",
@@ -620,8 +687,94 @@ def detect_mime(
             & F.contains(bin_head, F.lit(b"matroska")),
             "video/x-matroska",
         )
+        # IFF FORM container (r16): form type at byte 8 — AIFF/AIFC
+        magic = magic.when(
+            head_hex.startswith("464F524D")
+            & F.substring(head_hex, 17, 8).isin("41494646", "41494643"),
+            "audio/x-aiff",
+        )
+        # ASF GUID shares audio (wma) and video (wmv/asf): ext refines,
+        # the generic video/x-ms-asf prefix entry is the floor
+        magic = magic.when(
+            head_hex.startswith("3026B2758E66CF11") & (ext0 == "wma"),
+            "audio/x-ms-wma",
+        ).when(
+            head_hex.startswith("3026B2758E66CF11") & (ext0 == "wmv"),
+            "video/x-ms-wmv",
+        )
+        # Unix ar: '!<arch>\n' — a leading debian-binary member makes it
+        # a .deb package (Tika's ArDetector + deb refinement)
+        is_ar = head_hex.startswith("213C617263683E0A")
+        magic = magic.when(
+            is_ar & F.contains(bin_head, F.lit(b"debian-binary")),
+            "application/x-debian-package",
+        ).when(is_ar, "application/x-archive")
+        # --- offset-anchored magics (r16): the published signatures that
+        # do NOT lead the file; each is anchored at its spec offset so no
+        # contains() scan can false-positive ---
+        def bin_at(off: int, n: int) -> Column:  # 1-based byte offset
+            return F.upper(F.hex(F.substring(c.cast("binary"), off, n)))
+        # ISO9660: 'CD001' follows the volume-descriptor type byte at
+        # sector 16 (byte offset 32769); checked early because hybrid
+        # images may open with MBR/ELF bytes
+        magic = magic.when(
+            bin_at(32770, 5) == "4344303031", "application/x-iso9660-image"
+        )
+        # DICOM: 128-byte preamble then 'DICM'
+        magic = magic.when(bin_at(129, 4) == "4449434D", "application/dicom")
+        # MobiPocket/Kindle: PDB type/creator 'BOOKMOBI' at offset 60
+        magic = magic.when(
+            bin_at(61, 8) == "424F4F4B4D4F4249",
+            "application/x-mobipocket-ebook",
+        )
+        # MS Access: 'Standard Jet DB' / 'Standard ACE DB' at offset 4
+        magic = magic.when(
+            F.substring(c.cast("binary"), 5, 15).isin(
+                F.lit(b"Standard Jet DB"), F.lit(b"Standard ACE DB")
+            ),
+            "application/x-msaccess",
+        )
+        # EOT: magic 0x504C at offset 34 plus a known version dword at
+        # offset 8 (0x00010000 / 0x00020001 / 0x00020002, little-endian)
+        magic = magic.when(
+            (bin_at(35, 2) == "4C50")
+            & bin_at(9, 4).isin("00000100", "01000200", "02000200"),
+            "application/vnd.ms-fontobject",
+        )
+        # ICO: reserved 0, type 1, then a plausible LE image count
+        magic = magic.when(
+            head_hex.startswith("00000100")
+            & (F.substring(head_hex, 9, 2) != "00")
+            & (F.substring(head_hex, 11, 2) == "00"),
+            "image/x-icon",
+        )
+        # Type 1 PFB: segment header 0x80 0x01 wrapping a PostScript font
+        magic = magic.when(
+            head_hex.startswith("8001")
+            & F.contains(bin_head, F.lit(b"%!PS-AdobeFont")),
+            "application/x-font-type1",
+        )
+        # Leading-magic lookup, LENGTH-BUCKETED (r16): one constant map
+        # per distinct prefix length, probed longest-first, replaces the
+        # former 60-branch when-chain — table width now costs map entries
+        # (data), not codegen branches (the d6_mime_adaptive lesson), and
+        # longer = more specific encodes priority (RAR5 over RAR4, the
+        # PFA needle over bare '%!PS-').
+        by_len: dict[int, list[tuple[str, str]]] = {}
         for prefix, mime in _MAGIC_HEX:
-            magic = magic.when(head_hex.startswith(prefix), mime)
+            by_len.setdefault(len(prefix), []).append((prefix, mime))
+        prefix_hit = F.coalesce(
+            *[
+                F.try_element_at(
+                    F.create_map(
+                        *[F.lit(x) for p, m in by_len[L] for x in (p, m)]
+                    ),
+                    F.substring(head_hex, 1, L),
+                )
+                for L in sorted(by_len, reverse=True)
+            ]
+        )
+        magic = magic.when(prefix_hit.isNotNull(), prefix_hit)
         # weak 2-byte magics need a stronger discriminator than the prefix:
         # BMP is confirmed by its zero reserved bytes at offset 6; bare 'MZ'
         # and an MP3 frame-sync yield to a textual Content-Type header
@@ -634,6 +787,15 @@ def detect_mime(
             head_hex.startswith("4D5A") & ~header_is_text,
             "application/x-msdownload",
         ).when(head_hex.startswith("FFFB") & ~header_is_text, "audio/mpeg")
+        # SWF: 'FWS'/'CWS'/'ZWS' + a sane version byte — the printable
+        # 3-byte tags could open a text file, so both the version bound
+        # and the textual-header veto gate them (Tika's swf magic)
+        magic = magic.when(
+            F.substring(head_hex, 1, 6).isin("465753", "435753", "5A5753")
+            & (F.substring(head_hex, 7, 2) <= "28")
+            & ~header_is_text,
+            "application/x-shockwave-flash",
+        )
         # textual magics on the string view
         s = F.ltrim(F.lower(c.cast("string")))
         # an XML-subtype header (application/xhtml+xml, image/svg+xml, ...)

@@ -151,6 +151,59 @@ def extract_iwork_text(data: bytes) -> tuple[str, str] | None:
 # --------------------------------------------------------------------------
 
 
+# WordPerfect extended character sets (r16): the WPC appendix tables
+# ("WordPerfect Character Sets", published in the WP 5.1/6.0 developer
+# documentation and mirrored by the libwpd project's docs). Extended
+# characters travel as [0xC0, char, charset, 0xC0]; charset 0 is ASCII
+# and the rest index these tables. Coverage posture, stated honestly:
+# charsets 1 (Multinational 1), 8 (Greek) and 10 (Cyrillic) have the
+# documented pair structure (uppercase, lowercase) and are generated
+# from it in full for the ranges below; charset 4 (Typographic Symbols)
+# carries the high-confidence anchor subset; all other (charset, index)
+# pairs keep the prior behavior and degrade to '?'.
+
+
+def _wp_case_pairs(start: int, uppers: str) -> dict[int, str]:
+    """{start+2k: upper, start+2k+1: lower} — the appendix layout for the
+    alphabetic charsets (Multinational, Greek, Cyrillic)."""
+    out: dict[int, str] = {}
+    for k, u in enumerate(uppers):
+        out[start + 2 * k] = u
+        out[start + 2 * k + 1] = u.lower()
+    return out
+
+
+_WP_CHARSETS: dict[int, dict[int, str]] = {
+    # Multinational 1: ß at 23, then accented-Latin pairs 24..79 in the
+    # appendix order (grave/acute/circumflex/tilde/umlaut/ring over A,
+    # AE ligature, C-cedilla, E I N O U Y families)
+    1: {23: "ß", **_wp_case_pairs(24, "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝŸ")},
+    # Typographic Symbols: anchor subset of the appendix table
+    4: {
+        0: "●", 1: "○", 2: "■",
+        5: "¶", 6: "§", 7: "¡", 8: "¿", 9: "«", 10: "»",
+        11: "£", 12: "¥", 17: "½", 18: "¼", 19: "¢",
+        22: "®", 23: "©",
+        28: "‘", 29: "’", 30: "“", 31: "”",
+        33: "–", 34: "—",
+        41: "™", 72: "€",
+    },
+    # Greek: standard alphabet pairs at 0..47
+    8: _wp_case_pairs(0, "ΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΣΤΥΦΧΨΩ"),
+    # Cyrillic: Russian alphabet pairs (Ё after Е) at 0..65
+    10: _wp_case_pairs(0, "АБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"),
+}
+
+# inverse for fixture building: char → (charset, index); ASCII is handled
+# inline by build_wpd_bytes so only the extended planes live here
+_WP_CHAR_TO_CODE: dict[str, tuple[int, int]] = {
+    ch: (cs, idx)
+    for cs in sorted(_WP_CHARSETS)
+    for idx, ch in sorted(_WP_CHARSETS[cs].items())
+    if ch not in ("?",)
+}
+
+
 def extract_wpd_text(data: bytes) -> tuple[str, str]:
     """(mime, text) for a WordPerfect document, best-effort.
 
@@ -196,7 +249,10 @@ def extract_wpd_text(data: bytes) -> tuple[str, str]:
         elif c <= 0xCF:  # fixed-length multi-byte, closes with code byte
             if c == 0xC0 and i + 3 < n and data[i + 3] == 0xC0:
                 ch, charset = data[i + 1], data[i + 2]
-                out.append(chr(ch) if charset == 0 and 0x20 <= ch <= 0x7E else "?")
+                if charset == 0 and 0x20 <= ch <= 0x7E:
+                    out.append(chr(ch))
+                else:  # appendix charset tables; unmapped degrade to '?'
+                    out.append(_WP_CHARSETS.get(charset, {}).get(ch, "?"))
                 i += 4
             else:
                 j = data.find(bytes([c]), i + 1, i + 40)
@@ -226,6 +282,9 @@ def build_wpd_bytes(text: str, *, version: int = 6) -> bytes:
             body.append(0x8C if version >= 6 else 0x0A)
         elif 0x20 <= ord(ch) <= 0x7E:
             body.append(ord(ch))
+        elif ch in _WP_CHAR_TO_CODE:  # extended char via appendix tables
+            cs, idx = _WP_CHAR_TO_CODE[ch]
+            body += bytes([0xC0, idx, cs, 0xC0])
         else:
             body += bytes([0xC0, ord("?"), 0x00, 0xC0])
     # variable-length no-op group: code, subgroup, size(=6), pad, code
@@ -1850,7 +1909,10 @@ def build_psd_bytes(
     if pascal_caption is not None:
         pc = pascal_caption.encode("latin-1", "replace")[:255]
         resources += res(0x03F0, bytes([len(pc)]) + pc)
-    cap = caption.encode("latin-1", "replace")[:30000]
+    # IPTC dataset length is a 2-byte field: 65535 is the spec's own hard
+    # cap, mirrored by the p2_psd_extract oracle's substr so builder and
+    # oracle agree at any scale factor.
+    cap = caption.encode("latin-1", "replace")[:65535]
     iptc = b"\x1c\x02\x78" + _s.pack(">H", len(cap)) + cap
     resources += res(0x0404, iptc)
     if dpi is not None:

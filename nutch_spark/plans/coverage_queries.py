@@ -1595,15 +1595,34 @@ def p2_epub_extract(spark, sf_dir):
     """
     -- Round-trip identity: each document's text becomes a WordPerfect 6
     -- body (prefix header + literals, soft-space 0x80 / hard-return 0x8C
-    -- function bytes, trailing variable-length no-op group) and flows
-    -- through the magic-dispatched best-effort extractor. Both engines
-    -- sanitize to printable ASCII first.
+    -- function bytes, trailing variable-length no-op group) PLUS a
+    -- planted EXTENDED-CHARSET tail (r16: the appendix charset tables —
+    -- Multinational 1, Typographic, Greek, Cyrillic — travel as
+    -- [0xC0, char, set, 0xC0] and must decode bit-exactly). Hostile
+    -- rows: doc_id % 16 = 9 sets the encryption key (mime-only, empty
+    -- text); doc_id % 8 = 3 appends truncated-function fuzz bytes that
+    -- must not disturb the text.
     SELECT doc_id, 'application/vnd.wordperfect' AS mime,
-           trim('wpd guard: ' || regexp_replace(text, '[^ -~]', '?', 'g'),
-                ' ') AS parse_text,
-           CAST(length(trim('wpd guard: ' ||
-                regexp_replace(text, '[^ -~]', '?', 'g'), ' ')) AS BIGINT)
-             AS n_chars
+           CASE WHEN doc_id % 16 = 9 THEN ''
+                ELSE trim('wpd guard: '
+                     || regexp_replace(text, '[^ -~]', '?', 'g')
+                     || CASE doc_id % 4
+                          WHEN 0 THEN ' Ünïcodé çà ß'
+                          WHEN 1 THEN ' ΑΒΓ αβγ Ωω'
+                          WHEN 2 THEN ' Москва дом Ёё'
+                          ELSE ' «café» – 50¢ © €'
+                        END, ' ')
+             END AS parse_text,
+           CAST(CASE WHEN doc_id % 16 = 9 THEN 0
+                ELSE length(trim('wpd guard: '
+                     || regexp_replace(text, '[^ -~]', '?', 'g')
+                     || CASE doc_id % 4
+                          WHEN 0 THEN ' Ünïcodé çà ß'
+                          WHEN 1 THEN ' ΑΒΓ αβγ Ωω'
+                          WHEN 2 THEN ' Москва дом Ёё'
+                          ELSE ' «café» – 50¢ © €'
+                        END, ' '))
+             END AS BIGINT) AS n_chars
     FROM documents
     """,
 )
@@ -1614,27 +1633,43 @@ def p2_wpd_extract(spark, sf_dir):
     build_wpd_bytes: prefix header, soft-space/hard-return single-byte
     functions, a trailing 0xD0 variable-length group) and flows through
     parse_binary's \\xFFWPC dispatch into extract_wpd_text. Certifies the
-    header walk, every byte-class branch and the structural group skip on
-    every row cross-engine. Map-only at any scale."""
+    header walk, every byte-class branch, the structural group skip AND
+    (r16) the extended-charset tables — every row plants a rotating
+    Multinational/Greek/Cyrillic/Typographic tail that must decode
+    bit-exactly cross-engine; encrypted and fuzz-tail rows pin the
+    hostile paths. Map-only at any scale."""
     import pandas as pd
 
     from nutch_spark.operators.parse_binary import parse_binary
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
 
+    _TAILS = [" Ünïcodé çà ß", " ΑΒΓ αβγ Ωω", " Москва дом Ёё", " «café» – 50¢ © €"]
+
     def gen(batches):
+        import struct as _s
+
         from nutch_spark.operators.parse_tail import build_wpd_bytes
 
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                body = "wpd guard: " + "".join(
-                    c if " " <= c <= "~" else "?" for c in (text or "")
+                body = (
+                    "wpd guard: "
+                    + "".join(
+                        c if " " <= c <= "~" else "?" for c in (text or "")
+                    )
+                    + _TAILS[doc_id % 4]
                 )
+                blob = build_wpd_bytes(body)
+                if doc_id % 16 == 9:  # encrypted: key word at offset 12
+                    blob = blob[:12] + _s.pack("<H", 0x1234) + blob[14:]
+                elif doc_id % 8 == 3:  # truncated-function fuzz tail
+                    blob = blob + bytes([0xC0, 0xC0, 0xD4, 0x01])
                 rows.append(
                     {
                         "url": f"http://doc{doc_id}.com/x.wpd",
-                        "content": build_wpd_bytes(body),
+                        "content": blob,
                     }
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
@@ -2189,12 +2224,13 @@ def p2_7z_extract(spark, sf_dir):
            CASE WHEN doc_id % 16 = 9 THEN 'application/octet-stream'
                 ELSE 'image/vnd.adobe.photoshop' END AS mime,
            CASE WHEN doc_id % 16 = 9 THEN ''
-                ELSE 'psd guard: ' || regexp_replace(text, '[^ -~]', '?', 'g')
+                ELSE substr('psd guard: '
+                     || regexp_replace(text, '[^ -~]', '?', 'g'), 1, 65535)
              END AS parse_text,
            CAST(CASE WHEN doc_id % 16 = 9 THEN 0
-                ELSE length('psd guard: '
-                     || regexp_replace(text, '[^ -~]', '?', 'g')) END
-             AS BIGINT) AS n_chars
+                ELSE length(substr('psd guard: '
+                     || regexp_replace(text, '[^ -~]', '?', 'g'), 1, 65535))
+             END AS BIGINT) AS n_chars
     FROM documents
     """,
 )

@@ -48,9 +48,18 @@ def _default_driver_memory() -> str:
 
 
 def _driver_java_options() -> str:
-    """Append the code-cache flag to any pre-existing driver JVM options
-    (spark-defaults.conf / system properties) instead of clobbering them;
-    a user-supplied ReservedCodeCacheSize wins."""
+    """Append the code-cache flag to pre-existing driver JVM options
+    instead of clobbering them; a user-supplied ReservedCodeCacheSize
+    wins.
+
+    Caveat: ``SparkConf()`` here runs before any JVM exists, so only
+    options set programmatically or via Java system properties
+    (``spark.driver.extraJavaOptions`` in ``PYSPARK_SUBMIT_ARGS`` /
+    ``--conf``) are visible and preserved. Values that live only in
+    ``spark-defaults.conf`` are NOT seen at this point and the explicit
+    ``.config()`` below would shadow them — put driver JVM flags in the
+    submit args or environment instead of the defaults file when using
+    this session factory."""
     from pyspark import SparkConf
 
     base = SparkConf().get("spark.driver.extraJavaOptions", "") or ""

@@ -269,6 +269,50 @@ def test_wpd_round_trip_any_printable_text(text, version):
 
 
 @given(
+    st.text(
+        # r16: every character the appendix charset tables map (plus
+        # ASCII) must round-trip build -> extract bit-exactly
+        alphabet=st.sampled_from(
+            "ABC xyz ßÀàÁáÂâÃãÄäÅåÆæÇçÈèÉéÊêËëÌìÍíÎîÏïÑñÒòÓóÔôÕõÖö"
+            "ÙùÚúÛûÜüÝýŸÿ●○■¶§¡¿«»£¥½¼¢®©‘’“”–—™€"
+            "ΑαΒβΓγΔδΕεΖζΗηΘθΙιΚκΛλΜμΝνΞξΟοΠπΡρΣσΤτΥυΦφΧχΨψΩω"
+            "АаБбВвГгДдЕеЁёЖжЗзИиЙйКкЛлМмНнОоПпРрСсТтУуФфХхЦцЧчШшЩщ"
+            "ЪъЫыЬьЭэЮюЯя"
+        ),
+        max_size=200,
+    ).map(lambda s: s.strip()),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], max_examples=60, deadline=None)
+def test_wpd_round_trip_extended_charsets(text):
+    from nutch_spark.operators.parse_tail import build_wpd_bytes, extract_wpd_text
+
+    assert extract_wpd_text(build_wpd_bytes(text))[1] == text
+
+
+def test_wpd_extended_charset_vectors():
+    """Spot vectors pinning the appendix (charset, index) assignments —
+    a table regression flips these even though round-trip stays green."""
+    from nutch_spark.operators.parse_tail import extract_wpd_text
+
+    def wpd(*codes: tuple[int, int]) -> bytes:
+        import struct as _s
+
+        body = b"".join(bytes([0xC0, idx, cs, 0xC0]) for cs, idx in codes)
+        return (
+            b"\xffWPC" + _s.pack("<I", 16) + bytes([1, 0x0A, 2, 0])
+            + _s.pack("<H", 0) + _s.pack("<H", 0) + body
+        )
+
+    # Multinational 1: 23=ss-sharp, pairs from 24; Greek/Cyrillic pairs
+    assert extract_wpd_text(wpd((1, 23), (1, 24), (1, 25), (1, 38), (1, 39)))[1] == "ßÀàÇç"
+    assert extract_wpd_text(wpd((8, 0), (8, 1), (8, 46), (8, 47)))[1] == "ΑαΩω"
+    assert extract_wpd_text(wpd((10, 0), (10, 12), (10, 13)))[1] == "АЁё"
+    assert extract_wpd_text(wpd((4, 23), (4, 34), (4, 72)))[1] == "©—€"
+    # unmapped (charset, index) degrades to '?', never raises
+    assert extract_wpd_text(wpd((9, 5), (4, 200), (55, 1)))[1] == "???"
+
+
+@given(
     st.dictionaries(
         st.from_regex(r"[A-Za-z][A-Za-z0-9_.]{0,20}", fullmatch=True),
         st.binary(min_size=0, max_size=500),

@@ -651,3 +651,128 @@ def test_mime_glob_layer_widened(spark):
     assert all(r["mime"] == r["want"] for r in got2), [
         (r["mime"], r["want"]) for r in got2 if r["mime"] != r["want"]
     ]
+
+
+def test_mime_magic_tranche2(spark):
+    """Round 16 magic depth: fonts, legacy audio, archive subtypes, and
+    databases detect by CONTENT (tika-mimetypes.xml's next
+    highest-hit families), including the offset-anchored signatures
+    (ISO9660 CD001 at 32769, DICOM at 128, MOBI at 60, Access at 4,
+    EOT at 34) and the length-bucketed prefix priority (RAR5 over RAR4,
+    the PFA needle over bare '%!PS-')."""
+    from nutch_spark.functions.mime import detect_mime
+
+    B = "http://e.com/payload.bin"  # extension never helps: magic only
+
+    def at(off: int, sig: bytes, lead: bytes = b"") -> bytes:
+        pad = lead + b"\x00" * (off - len(lead))
+        return pad + sig + b"\x00" * 8
+
+    rows = [
+        # --- fonts ---
+        (B, b"\x00\x01\x00\x00\x00\x0c\x80\x00", "font/ttf"),  # sfnt 1.0
+        (B, b"true\x00\x10\x00\x00", "font/ttf"),              # Mac sfnt
+        (B, b"OTTO\x00\x0e\x00\x80", "font/otf"),
+        (B, b"ttcf\x00\x01\x00\x00", "font/collection"),
+        (B, b"wOFF\x00\x01\x00\x00", "font/woff"),
+        (B, b"wOF2\x00\x01\x00\x00", "font/woff2"),
+        # EOT: version dword at 8, 'LP' magic at 34
+        (B, b"\x34\x12\x00\x00" + b"\x00" * 4 + b"\x00\x00\x01\x00"
+         + b"\x00" * 22 + b"LP" + b"\x00" * 8,
+         "application/vnd.ms-fontobject"),
+        # PFB (binary segment header) and PFA (bare PostScript font)
+        (B, b"\x80\x01\x40\x00\x00\x00%!PS-AdobeFont-1.0: X",
+         "application/x-font-type1"),
+        (B, b"%!PS-AdobeFont-1.0: Times", "application/x-font-type1"),
+        (B, b"%!PS-Adobe-3.0\n", "application/postscript"),  # still PS
+        # --- legacy audio ---
+        (B, b".snd\x00\x00\x00\x18", "audio/basic"),
+        (B, b"#!AMR\n\x3c\x48", "audio/amr"),
+        (B, b"#!AMR-WB\n\x3c", "audio/amr-wb"),
+        (B, b"DSD \x1c\x00\x00\x00", "audio/x-dsf"),
+        (B, b"FRM8\x00\x00\x00\x00", "audio/x-dff"),
+        (B, b"caff\x00\x01\x00\x00", "audio/x-caf"),
+        (B, b"MAC \x96\x0f\x00\x00", "audio/x-ape"),
+        (B, b"MP+\x07", "audio/x-musepack"),
+        (B, b"MPCK\x00\x00", "audio/x-musepack"),
+        (B, b".RMF\x00\x00\x00\x12", "application/vnd.rn-realmedia"),
+        (B, b"FORM\x00\x00\x10\x00AIFF", "audio/x-aiff"),
+        (B, b"FORM\x00\x00\x10\x00AIFC", "audio/x-aiff"),
+        # ASF GUID: generic asf, wma/wmv by extension
+        (B, bytes.fromhex("3026B2758E66CF11") + b"\x00" * 8,
+         "video/x-ms-asf"),
+        ("http://e.com/a.wma", bytes.fromhex("3026B2758E66CF11") + b"\x00" * 8,
+         "audio/x-ms-wma"),
+        ("http://e.com/a.wmv", bytes.fromhex("3026B2758E66CF11") + b"\x00" * 8,
+         "video/x-ms-wmv"),
+        (B, b"FLV\x01\x05\x00\x00\x00\x09", "video/x-flv"),
+        # --- archive subtypes ---
+        (B, b"Rar!\x1a\x07\x00\xcf", "application/x-rar-compressed"),
+        (B, b"Rar!\x1a\x07\x01\x00", "application/x-rar-compressed"),
+        (B, b"hsqs\x00\x01\x00\x00", "application/x-squashfs"),
+        (B, b"sqsh\x00\x00\x00\x01", "application/x-squashfs"),
+        (B, b"LZIP\x01\x0c", "application/x-lzip"),
+        (B, b"\xed\xab\xee\xdb\x03\x00\x00\x00", "application/x-rpm"),
+        (B, b"070701" + b"0" * 10, "application/x-cpio"),
+        (B, b"070707" + b"0" * 10, "application/x-cpio"),
+        (B, b"xar!\x00\x1c\x00\x01", "application/x-xar"),
+        (B, b"\x1f\x9d\x90\x40", "application/x-compress"),
+        (B, b"\x60\xea\x2a\x00", "application/x-arj"),
+        (B, b"StuffIt (c)1997", "application/x-stuffit"),
+        (B, b"SIT!\x00\x20", "application/x-stuffit"),
+        (B, b"!<arch>\ndebian-binary   ", "application/x-debian-package"),
+        (B, b"!<arch>\nfoo.o/          ", "application/x-archive"),
+        (B, at(32769, b"CD001\x01\x00", b"\x00"),
+         "application/x-iso9660-image"),
+        # hybrid ISO opening with MBR-ish bytes: offset magic still wins
+        (B, at(32769, b"CD001\x01\x00", b"\xfa\xb8\x00\x10"),
+         "application/x-iso9660-image"),
+        # --- databases / scientific ---
+        (B, b"SQLite format 3\x00", "application/vnd.sqlite3"),
+        (B, b"\x89HDF\r\n\x1a\n\x00", "application/x-hdf5"),
+        (B, b"\x0e\x03\x13\x01\x00", "application/x-hdf"),
+        (B, b"CDF\x01\x00", "application/x-netcdf"),
+        (B, b"CDF\x02\x00", "application/x-netcdf"),
+        (B, b"PAR1\x15\x00", "application/vnd.apache.parquet"),
+        (B, b"\xd4\xc3\xb2\xa1\x02\x00\x04\x00", "application/vnd.tcpdump.pcap"),
+        (B, b"\xa1\xb2\xc3\xd4\x00\x02\x00\x04", "application/vnd.tcpdump.pcap"),
+        (B, b"\x0a\x0d\x0d\x0a\x1c\x00\x00\x00", "application/x-pcapng"),
+        (B, at(4, b"Standard Jet DB\x00", b"\x00\x01\x00\x00"),
+         "application/x-msaccess"),
+        (B, at(4, b"Standard ACE DB\x00", b"\x00\x01\x00\x00"),
+         "application/x-msaccess"),
+        (B, at(60, b"BOOKMOBI", b"MyOldNovel\x00"),
+         "application/x-mobipocket-ebook"),
+        (B, b"DICM", "application/octet-stream"),  # DICM NOT at 128: no hit
+        (B, at(128, b"DICM\x02\x00", b"\x00"), "application/dicom"),
+        # --- misc new leading magics ---
+        (B, b"AT&TFORM\x00\x00\x30\x00DJVU", "image/vnd.djvu"),
+        (B, b"BPG\xfb\x20\x00", "image/x-bpg"),
+        (B, b"\xff\x0a\x30\x20", "image/jxl"),
+        (B, b"\x00\x00\x00\x14JXL \r\n\x87\n\x00", "image/jxl"),
+        (B, b"\x00\x00\x01\x00\x03\x00\x20\x20", "image/x-icon"),
+        (B, b"FWS\x09\x10\x27\x00\x00", "application/x-shockwave-flash"),
+        (B, b"CWS\x0f\x40\x1f\x00\x00", "application/x-shockwave-flash"),
+    ]
+    assert len(rows) >= 50
+    df = spark.createDataFrame(
+        [(u, c) for u, c, _ in rows], "url string, content binary"
+    )
+    got = [
+        r["mime"]
+        for r in df.select(detect_mime("url", "content").alias("mime")).collect()
+    ]
+    want = [w for _, _, w in rows]
+    assert got == want, [
+        (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
+
+    # SWF tags over a textual Content-Type header stay text (weak-magic veto)
+    df2 = spark.createDataFrame(
+        [("http://e.com/a", b"FWS then prose...", "text/plain; charset=utf-8")],
+        "url string, content binary, ct string",
+    )
+    assert (
+        df2.select(detect_mime("url", "content", "ct").alias("m")).head()["m"]
+        == "text/plain"
+    )
