@@ -4871,6 +4871,173 @@ def build_matroska_bytes(
 
 
 # ---------------------------------------------------------------------------
+# ISO-BMFF (MP4/MOV) track-level identity — the moov/trak twin of the
+# Matroska EBML walk above, so the two dominant video containers expose
+# symmetric columns (ISO/IEC 14496-12: mvhd for duration, hdlr for the
+# track handler, stsd sample entries for codec fourcc + coded dims).
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_info(payload: bytes, *, max_traks: int = 64) -> dict | None:
+    """Track-level MP4/MOV container identity without decoding a frame:
+    ``{brand, duration_ms, n_tracks, width, height, video_codec,
+    audio_codec}`` — brand from ftyp (None for classic moov-first
+    QuickTime), duration from mvhd (v0 and v1), per-trak handler from
+    hdlr and codec fourcc from the first stsd sample entry; the first
+    video trak also contributes the VisualSampleEntry coded dims.
+    Hostile posture: every offset bounds-checked by the shared box
+    iterator, trak census capped, None for non-ISO-BMFF payloads."""
+    n = len(payload)
+    if n < 16:
+        return None
+    head = payload[4:8]
+    if head not in (b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot"):
+        return None
+    moov = _find_box(payload, [b"moov"], 0, n)
+    if moov is None:
+        return None
+    out: dict = {
+        "brand": payload[8:12].decode("latin-1").strip()
+        if head == b"ftyp"
+        else None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+        "video_codec": None,
+        "audio_codec": None,
+    }
+    mvhd = _find_box(payload, [b"mvhd"], moov[0], moov[1])
+    if mvhd is not None:
+        b0, b1 = mvhd
+        version = payload[b0]
+        timescale = duration = 0
+        if version == 1 and b1 - b0 >= 32:
+            timescale, duration = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
+        elif version == 0 and b1 - b0 >= 24:
+            timescale, duration = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+        if timescale:
+            out["duration_ms"] = round(duration * 1000 / timescale)
+    for btype, t0, t1 in _iter_boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        out["n_tracks"] += 1
+        if out["n_tracks"] > max_traks:  # hostile trak flood
+            break
+        mdia = _find_box(payload, [b"mdia"], t0, t1)
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, [b"hdlr"], mdia[0], mdia[1])
+        stsd = _find_box(
+            payload, [b"minf", b"stbl", b"stsd"], mdia[0], mdia[1]
+        )
+        if hdlr is None or stsd is None:
+            continue
+        h0, h1 = hdlr
+        if h1 - h0 < 12:
+            continue
+        handler = payload[h0 + 8 : h0 + 12]  # FullBox(4) + pre_defined(4)
+        s0, s1 = stsd
+        if s1 - s0 < 16:  # FullBox(4) + entry_count(4) + entry header(8)
+            continue
+        e0 = s0 + 8  # first sample entry (box header: size + format)
+        fmt = payload[e0 + 4 : e0 + 8].decode("latin-1").strip("\x00").strip()
+        if handler == b"vide" and out["video_codec"] is None:
+            out["video_codec"] = fmt or None
+            # VisualSampleEntry coded dims: 8 (entry header) + 6 reserved
+            # + 2 data_ref_index + 16 pre_defined/reserved -> u16 w, h
+            if e0 + 36 <= s1:
+                w, h = struct.unpack(">HH", payload[e0 + 32 : e0 + 36])
+                if w > 0 and h > 0:
+                    out["width"], out["height"] = int(w), int(h)
+        elif handler == b"soun" and out["audio_codec"] is None:
+            out["audio_codec"] = fmt or None
+    return out
+
+
+def _bmff_box(btype: bytes, *parts: bytes) -> bytes:
+    body = b"".join(parts)
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_mp4_bytes(
+    *,
+    brand: str = "isom",
+    duration_ms: int | None = 4000,
+    width: int = 640,
+    height: int = 360,
+    video_codec: str = "avc1",
+    audio_codec: str = "mp4a",
+    mvhd_version: int = 0,
+) -> bytes:
+    """A REAL minimal MP4/MOV header: ftyp, moov with a spec-sized mvhd
+    (v0 or v1, timescale 1000 so duration_ms is exact) and one video +
+    one audio trak, each carrying hdlr and a correctly-laid-out stsd
+    sample entry (VisualSampleEntry dims at offset 32). The fixture
+    inverse of parse_mp4_info for oracles and tests."""
+    import struct as _s
+
+    ftyp = _bmff_box(
+        b"ftyp", brand.encode().ljust(4), b"\x00" * 4, brand.encode().ljust(4)
+    )
+    if mvhd_version == 1:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"  # version 1 + flags
+            + b"\x00" * 16  # creation/modification u64
+            + _s.pack(">I", 1000)
+            + _s.pack(">Q", duration_ms or 0)
+            + b"\x00" * 80  # rate..next_track_ID
+        )
+    else:
+        mvhd_body = (
+            b"\x00" * 4  # version 0 + flags
+            + b"\x00" * 8  # creation/modification u32
+            + _s.pack(">I", 1000)
+            + _s.pack(">I", duration_ms or 0)
+            + b"\x00" * 80
+        )
+    mvhd = _bmff_box(b"mvhd", mvhd_body)
+
+    def hdlr(handler: bytes) -> bytes:
+        return _bmff_box(
+            b"hdlr", b"\x00" * 4, b"\x00" * 4, handler, b"\x00" * 12, b"\x00"
+        )
+
+    def trak(handler: bytes, entry: bytes) -> bytes:
+        stsd = _bmff_box(b"stsd", b"\x00" * 4, _s.pack(">I", 1), entry)
+        stbl = _bmff_box(b"stbl", stsd)
+        minf = _bmff_box(b"minf", stbl)
+        mdia = _bmff_box(b"mdia", hdlr(handler), minf)
+        return _bmff_box(b"trak", mdia)
+
+    ventry = _bmff_box(
+        video_codec.encode().ljust(4),
+        b"\x00" * 6,
+        _s.pack(">H", 1),  # data_reference_index
+        b"\x00" * 16,  # pre_defined / reserved
+        _s.pack(">HH", width, height),
+        _s.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        b"\x00" * 4,
+        _s.pack(">H", 1),  # frame_count
+        b"\x00" * 32,  # compressorname
+        _s.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    aentry = _bmff_box(
+        audio_codec.encode().ljust(4),
+        b"\x00" * 6,
+        _s.pack(">H", 1),
+        b"\x00" * 8,  # reserved
+        _s.pack(">HH", 2, 16),  # channels, sample size
+        b"\x00" * 4,
+        _s.pack(">I", 48000 << 16),  # sample rate 16.16
+    )
+    moov = _bmff_box(
+        b"moov", mvhd, trak(b"vide", ventry), trak(b"soun", aentry)
+    )
+    return ftyp + moov + _bmff_box(b"mdat", b"\x00" * 8)
+
+
+# ---------------------------------------------------------------------------
 # EXIF metadata beyond Orientation — the Tika image-metadata surface
 # (tiff:Make/Model, exif:DateTimeOriginal, geo:lat/long). TIFF 6.0 +
 # EXIF 2.3 public specs: IFD walks with ASCII and RATIONAL value areas,

@@ -657,6 +657,56 @@ def exif_metadata(
     )
 
 
+MP4_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+    ]
+)
+
+
+def mp4_info(
+    media: DataFrame,
+    *,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, payload) → MP4/MOV container identity
+    (mediacodec.parse_mp4_info — ISO-BMFF moov/trak walk): ftyp brand,
+    mvhd-exact duration, track census, first video trak's coded dims +
+    codec fourcc, first audio codec fourcc. The symmetric twin of
+    ``matroska_info`` so the two dominant video containers expose the
+    same identity columns; no codec payload is decoded. NULL row for
+    non-ISO-BMFF payloads. 100 TB: map-only Arrow stage, same plumbing
+    as every media stage."""
+    from nutch_spark.datapipe.mediacodec import parse_mp4_info
+
+    def row(media_id, raw):
+        try:
+            info = parse_mp4_info(raw)
+        except Exception:  # noqa: BLE001 — one bad blob never kills the job
+            info = None
+        if info is None:
+            return null_row(media_id)
+        return {"media_id": media_id, **info}
+
+    def null_row(media_id):
+        return {
+            "media_id": media_id, "brand": None, "duration_ms": None,
+            "n_tracks": None, "width": None, "height": None,
+            "video_codec": None, "audio_codec": None,
+        }
+
+    return _map_media(
+        media, None, MP4_INFO_SCHEMA, row, null_row, batch_partitions
+    )
+
+
 MATROSKA_INFO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -4761,6 +4761,75 @@ def mm_mkv_info(spark, sf_dir):
 
 
 @q(
+    "mm_mp4_info",
+    """
+    -- MP4/MOV container identity via a real ISO-BMFF moov/trak walk
+    -- (ISO/IEC 14496-12) — the symmetric twin of mm_mkv_info's EBML
+    -- walk, so the two dominant video containers expose the same
+    -- identity columns. Planted headers rotate brand/mvhd-version/codec
+    -- (even: isom + v0 mvhd + avc1/mp4a; odd: qt + v1 mvhd +
+    -- hvc1/Opus); non-BMFF payloads (doc_id % 32 = 21) pin the NULL
+    -- row.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'qt' END AS brand,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST((doc_id % 997) * 100 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(2 AS INTEGER) END AS n_tracks,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(320 + (doc_id % 16) * 64 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                ELSE CAST(180 + (doc_id % 9) * 60 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS video_codec,
+           CASE WHEN doc_id % 32 = 21 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE 'Opus' END AS audio_codec
+    FROM documents
+    """,
+)
+def mm_mp4_info(spark, sf_dir):
+    """MP4/MOV identity (multimodal.mp4_info → mediacodec.parse_mp4_info):
+    brand from ftyp, mvhd v0 AND v1 duration paths (timescale 1000 makes
+    duration_ms exact), per-trak hdlr dispatch, stsd codec fourcc and
+    VisualSampleEntry coded dims — without decoding a frame, feeding the
+    same frame-sample planning path as mm_mkv_info. Fixtures are real
+    headers from build_mp4_bytes; the oracle states every field
+    closed-form. 100 TB: map-only Arrow stage."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from nutch_spark.datapipe.mediacodec import build_mp4_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 32 == 21:
+                    payload = b"certainly not an iso-bmff file" * 2
+                else:
+                    even = doc_id % 2 == 0
+                    payload = build_mp4_bytes(
+                        brand="isom" if even else "qt  ",
+                        duration_ms=(doc_id % 997) * 100,
+                        width=320 + (doc_id % 16) * 64,
+                        height=180 + (doc_id % 9) * 60,
+                        video_codec="avc1" if even else "hvc1",
+                        audio_codec="mp4a" if even else "Opus",
+                        mvhd_version=0 if even else 1,
+                    )
+                rows.append({"media_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from nutch_spark.datapipe.multimodal import mp4_info
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return mp4_info(media)
+
+
+@q(
     "dp_boilerplate_lines",
     """
     -- Host-scoped boilerplate-line removal (RefinedWeb/CCNet): every doc

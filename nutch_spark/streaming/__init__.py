@@ -12,7 +12,8 @@ from nutch_spark.streaming.continuous import (
     streaming_clean,
     streaming_embed_dedup,
     streaming_image_dedup,
+    streaming_image_near_dup,
     streaming_video_dedup,
 )
 
-__all__ = ["continuous_crawl", "fetch_parse_join", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_embed_dedup", "streaming_hostdb", "streaming_image_dedup", "streaming_video_dedup"]
+__all__ = ["continuous_crawl", "fetch_parse_join", "fetch_rate_windows", "streaming_clean", "streaming_dedup", "streaming_embed_dedup", "streaming_hostdb", "streaming_image_dedup", "streaming_image_near_dup", "streaming_video_dedup"]

@@ -348,39 +348,12 @@ def streaming_clean(
     )
 
 
-def streaming_image_dedup(
-    media: DataFrame,
-    *,
-    ts: str = "ingest_time",
-    watermark: str = "10 minutes",
-    hash_fn=None,
-) -> DataFrame:
-    """Perceptual image dedup in STREAMING form — hash and drop duplicate
-    images as they arrive instead of in a batch sweep (mm_image_dhash +
-    exact-hash dedup's streaming twin; the hash is the identical dhash64,
-    so a backfilled batch and the live stream agree on what is a dup).
-
-    Stages, each stream-safe:
-    - pixel decode + dHash: a stateless ``mapInPandas`` stage (the same
-      from-spec PNG/GIF/BMP/JPEG/TIFF decoders as the batch path) that
-      passes the event-time column through for the watermark;
-    - near-exact dedup: ``dropDuplicatesWithinWatermark`` on the 64-bit
-      hash — state bounded by the watermark horizon; first-seen wins,
-      the only causal choice on a stream. Undecodable payloads keep a
-      NULL hash and are NOT deduped against each other (a NULL match is
-      not evidence of duplication) — they ride the same dedup operator
-      keyed by a media_id-salted synthetic key. INTENDED consequence: an
-      at-least-once source re-delivering the same media_id within the
-      watermark emits the undecodable row ONCE — the operator is
-      idempotent under redelivery for decodable and undecodable rows
-      alike (the pre-r12 passthrough branch re-emitted undecodables on
-      every redelivery, so a retried micro-batch double-counted them
-      downstream). Distinct undecodable media_ids never share a key, so
-      nothing is ever dropped across different images.
-
-    At crawl scale the decode stage scales out with executors exactly like
-    the batch stage; the dedup state is one (hash, timestamp) entry per
-    distinct image within the watermark."""
+def _stream_dhash_stage(media: DataFrame, *, ts: str, hash_fn=None) -> DataFrame:
+    """The stateless decode + dHash ``mapInPandas`` stage shared by
+    ``streaming_image_dedup`` and ``streaming_image_near_dup`` — the same
+    from-spec PNG/GIF/BMP/JPEG/TIFF decoders as the batch path, passing
+    the event-time column through for the watermark. Undecodable payloads
+    keep a NULL hash."""
     import pandas as pd
 
     from nutch_spark.datapipe.mediacodec import dhash64
@@ -415,9 +388,45 @@ def streaming_image_dedup(
                 }
             )
 
-    hashed = media.select("media_id", "payload", ts).mapInPandas(
+    return media.select("media_id", "payload", ts).mapInPandas(
         run, f"media_id long, dhash long, {ts} timestamp"
     )
+
+
+def streaming_image_dedup(
+    media: DataFrame,
+    *,
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    hash_fn=None,
+) -> DataFrame:
+    """Perceptual image dedup in STREAMING form — hash and drop duplicate
+    images as they arrive instead of in a batch sweep (mm_image_dhash +
+    exact-hash dedup's streaming twin; the hash is the identical dhash64,
+    so a backfilled batch and the live stream agree on what is a dup).
+
+    Stages, each stream-safe:
+    - pixel decode + dHash: a stateless ``mapInPandas`` stage (the same
+      from-spec PNG/GIF/BMP/JPEG/TIFF decoders as the batch path) that
+      passes the event-time column through for the watermark;
+    - near-exact dedup: ``dropDuplicatesWithinWatermark`` on the 64-bit
+      hash — state bounded by the watermark horizon; first-seen wins,
+      the only causal choice on a stream. Undecodable payloads keep a
+      NULL hash and are NOT deduped against each other (a NULL match is
+      not evidence of duplication) — they ride the same dedup operator
+      keyed by a media_id-salted synthetic key. INTENDED consequence: an
+      at-least-once source re-delivering the same media_id within the
+      watermark emits the undecodable row ONCE — the operator is
+      idempotent under redelivery for decodable and undecodable rows
+      alike (the pre-r12 passthrough branch re-emitted undecodables on
+      every redelivery, so a retried micro-batch double-counted them
+      downstream). Distinct undecodable media_ids never share a key, so
+      nothing is ever dropped across different images.
+
+    At crawl scale the decode stage scales out with executors exactly like
+    the batch stage; the dedup state is one (hash, timestamp) entry per
+    distinct image within the watermark."""
+    hashed = _stream_dhash_stage(media, ts=ts, hash_fn=hash_fn)
     # one decode stage for BOTH decodable and undecodable rows: NULL-hash
     # rows get a media_id-salted synthetic key so they ride the same
     # dropDuplicatesWithinWatermark without ever matching each other —
@@ -434,6 +443,130 @@ def streaming_image_dedup(
         keyed.withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_dedup_key")
+    )
+
+
+def streaming_image_near_dup(
+    media: DataFrame,
+    *,
+    ts: str = "ingest_time",
+    watermark: str = "10 minutes",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_fn=None,
+    pre_hashed: bool = False,
+) -> DataFrame:
+    """Banded NEAR-duplicate detection in STREAMING form — the streaming
+    analog of ``dhash_near_dup``/``dhash_dup_clusters``: where
+    ``streaming_image_dedup`` drops exact-signature copies only, this
+    surfaces arriving images within Hamming distance ``max_hamming`` of
+    an earlier image. Returns the DUP-EVIDENCE stream
+    ``(media_id, dup_of, hamming, ts)``: one row per arriving near-copy
+    naming an earlier image it duplicates (earliest-wins causality by
+    event time with id tie-break — enforced at emission, so the
+    arbitrary claim order inside a micro-batch never flips a verdict's
+    direction). Survivors are the ids that
+    never appear in this stream — consumers suppress with a per-batch
+    anti-join in ``foreachBatch`` (stream-stream ANTI joins don't exist,
+    so the evidence stream IS the streaming-native shape).
+
+    Construction, each stage stream-safe and watermark-bounded:
+    - decode + dHash: the shared stateless stage (skipped when
+      ``pre_hashed`` — then ``media`` must already carry ``dhash``);
+    - band claims: each hash explodes into ``bands`` disjoint 16-bit
+      band keys (pigeonhole: hamming < bands ⇒ at least one band
+      IDENTICAL), and ``dropDuplicatesWithinWatermark`` per band key
+      keeps the FIRST claimant as that band's representative — state is
+      one row per distinct band key within the watermark horizon, the
+      same census bound as the batch hot-band guard;
+    - representative join back: arriving band rows stream-stream
+      inner-join the representative claims on the band key within the
+      watermark range, and one JVM-side ``bit_count(xor)`` verifies the
+      true distance — exactly the batch candidate-then-verify shape,
+      re-expressed with streaming state bounds.
+
+    Caveats, stated honestly: (1) a near-copy arriving AFTER the
+    watermark horizon finds its bands' claims evicted, re-claims them,
+    and survives — bounded state is the point, matching
+    ``streaming_image_dedup``'s horizon semantics; (2) the same
+    (media_id, dup_of) pair may emit up to ``bands`` evidence rows (one
+    per agreeing band) — an in-stream dedup of evidence would be a third
+    stateful operator for zero semantic gain, consumers aggregate by
+    media_id anyway; (3) the self-join means the decode stage runs twice
+    (streams have no reuse point — the round-11 lesson applies to
+    filter/union splits AND self-joins); feed ``pre_hashed`` rows from
+    the upstream pipeline when decode dominates."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole guarantee), got bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = (
+        media.select("media_id", "dhash", ts)
+        if pre_hashed
+        else _stream_dhash_stage(media, ts=ts, hash_fn=hash_fn)
+    )
+    keys = F.array(
+        *[
+            F.shiftrightunsigned("dhash", b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash", ts, F.posexplode(keys).alias("band", "bkey"))
+        .withColumn("_band_key", F.concat_ws(":", "band", "bkey"))
+    )
+    reps = (
+        banded.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_band_key"])
+        .select(
+            F.col("media_id").alias("rep_id"),
+            F.col("dhash").alias("rep_hash"),
+            F.col(ts).alias("rep_ts"),
+            F.col("_band_key").alias("rep_band_key"),
+        )
+    )
+    probe = banded.withWatermark(ts, watermark)
+    # SYMMETRIC time range: within one micro-batch the per-band claimant
+    # is an arbitrary first-seen row, so the rep may carry the LATER
+    # event time of a pair — a one-directional ts >= rep_ts filter would
+    # silently drop that verdict. Both directions stay watermark-bounded
+    # for state cleanup; emission direction is normalized below.
+    joined = probe.join(
+        reps,
+        (F.col("_band_key") == F.col("rep_band_key"))
+        & (F.col(ts) >= F.expr(f"rep_ts - INTERVAL {watermark}"))
+        & (F.col(ts) <= F.expr(f"rep_ts + INTERVAL {watermark}")),
+        "inner",
+    )
+    # causality: the LATER arrival is the dup, the earlier one the
+    # representative it duplicates (event time, id tie-break) — claim
+    # order inside a batch never flips a verdict's direction
+    later_is_probe = (F.col(ts) > F.col("rep_ts")) | (
+        (F.col(ts) == F.col("rep_ts")) & (F.col("media_id") > F.col("rep_id"))
+    )
+    return (
+        joined.filter(F.col("rep_id") != F.col("media_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("rep_hash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.when(later_is_probe, F.col("media_id"))
+            .otherwise(F.col("rep_id"))
+            .alias("media_id"),
+            F.when(later_is_probe, F.col("rep_id"))
+            .otherwise(F.col("media_id"))
+            .alias("dup_of"),
+            "hamming",
+            F.when(later_is_probe, F.col(ts))
+            .otherwise(F.col("rep_ts"))
+            .alias(ts),
+        )
     )
 
 

@@ -3115,3 +3115,49 @@ def test_exif_metadata_full_walk():
         assert out is None or isinstance(out, dict)
     assert parse_exif(b"\xff\xd8 garbage") is None
     assert parse_exif(b"no jpeg") is None
+
+
+def test_mp4_moov_walk_and_hostile_bytes():
+    import random
+    import struct
+
+    from nutch_spark.datapipe.mediacodec import build_mp4_bytes, parse_mp4_info
+
+    b = build_mp4_bytes(
+        brand="isom", duration_ms=4000, width=1280, height=720,
+        video_codec="avc1", audio_codec="mp4a", mvhd_version=0,
+    )
+    assert parse_mp4_info(b) == {
+        "brand": "isom", "duration_ms": 4000, "n_tracks": 2,
+        "width": 1280, "height": 720,
+        "video_codec": "avc1", "audio_codec": "mp4a",
+    }
+    # v1 mvhd (64-bit duration) parses identically
+    b1 = build_mp4_bytes(
+        brand="qt  ", duration_ms=4000, width=1280, height=720,
+        video_codec="hvc1", audio_codec="Opus", mvhd_version=1,
+    )
+    got = parse_mp4_info(b1)
+    assert got["brand"] == "qt" and got["duration_ms"] == 4000
+    assert got["video_codec"] == "hvc1" and got["audio_codec"] == "Opus"
+    # non-1000 timescale: duration_ms derives exactly (v0 offsets 12/16)
+    scaled = bytearray(b)
+    i = scaled.find(b"mvhd") + 4
+    assert struct.unpack(">I", scaled[i + 12 : i + 16])[0] == 1000
+    scaled[i + 12 : i + 16] = struct.pack(">I", 500)  # half the timescale
+    assert parse_mp4_info(bytes(scaled))["duration_ms"] == 8000
+    # classic moov-first QuickTime (no ftyp): brand None, tracks intact
+    ftyp_len = struct.unpack(">I", b[:4])[0]
+    moov_first = b[ftyp_len:]
+    got = parse_mp4_info(moov_first)
+    assert got["brand"] is None and got["n_tracks"] == 2
+    # hostile: bit flips / truncation degrade, never raise
+    rng = random.Random(34)
+    for _ in range(300):
+        h = bytearray(b)
+        for _k in range(rng.randrange(1, 5)):
+            h[rng.randrange(len(h))] = rng.randrange(256)
+        cut = rng.randrange(4, len(h) + 1)
+        out = parse_mp4_info(bytes(h[:cut]))
+        assert out is None or isinstance(out, dict)
+    assert parse_mp4_info(b"junk") is None

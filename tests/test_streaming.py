@@ -396,3 +396,129 @@ def test_streaming_embed_dedup_end_to_end(spark, tmp_path):
                spark.createDataFrame(rows, schema).select("doc_id", "text")
            ).collect()}
     assert emb[1] == emb[2] == emb[6] and emb[1] != emb[3]
+
+
+def test_streaming_image_near_dup_banded(spark, tmp_path):
+    """Banded near-dup over a REAL readStream (r16): within-watermark
+    near-copies (hamming <= max_hamming) surface in the dup-evidence
+    stream naming the earlier representative; band-spread differences,
+    genuinely distinct hashes, and cross-watermark arrivals survive.
+    Two micro-batches (maxFilesPerTrigger=1) so the watermark actually
+    advances between them. hash_fn injection plants exact hash values so
+    every hamming distance is closed-form."""
+    import struct as _struct
+
+    from nutch_spark.streaming import streaming_image_near_dup
+
+    def payload(h: int) -> bytearray:
+        return bytearray(_struct.pack(">Q", h))
+
+    def hash_fn(raw: bytes) -> int:
+        return int.from_bytes(raw[:8], "big")
+
+    H1 = 0x0123_4567_89AB_CDEF
+    rows1 = [
+        (1, payload(H1), T0),
+        # 3 flipped bits, all inside band 0 -> bands 1-3 identical: dup
+        (2, payload(H1 ^ 0b111), T0 + datetime.timedelta(minutes=1)),
+        # 1 flipped bit per band -> NO identical band, hamming 4: survivor
+        (3, payload(H1 ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+         T0 + datetime.timedelta(minutes=1)),
+        # unrelated hash: survivor
+        (4, payload(0xFEDC_BA98_0011_2233), T0),
+        # exact copy: dup at hamming 0
+        (5, payload(H1), T0 + datetime.timedelta(minutes=2)),
+        # undecodable (NULL hash): passes through the banding untouched
+        (6, None, T0),
+    ]
+    # batch 2, past the 10-minute horizon: 1 bit from H1 but every claim
+    # of batch 1 is out of join range AND evicted -> survivor
+    rows2 = [
+        (7, payload(H1 ^ 1), T0 + datetime.timedelta(minutes=40)),
+    ]
+    schema = "media_id long, payload binary, ingest_time timestamp"
+    src = str(tmp_path / "neardup_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_image_near_dup(stream, hash_fn=hash_fn)
+        .writeStream.format("memory")
+        .queryName("neardup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM neardup_sink").collect()
+    # evidence may repeat per agreeing band: aggregate to (id -> verdicts)
+    verdicts: dict[int, set[tuple[int, int]]] = {}
+    for r in out:
+        verdicts.setdefault(r["media_id"], set()).add((r["dup_of"], r["hamming"]))
+    assert set(verdicts) == {2, 5}, verdicts
+    # dup_of names SOME earlier near-dup family member; direction
+    # (later = dup) is deterministic, the per-band representative is
+    # not: id 2 (+1m) can only name id 1 (T0); id 5 (+2m) is an exact
+    # copy of 1 (always surfaces at hamming 0 through the unshared
+    # band-0 key) and hamming-3 from 2
+    assert verdicts[2] == {(1, 3)}, verdicts
+    assert (1, 0) in verdicts[5] and verdicts[5] <= {(1, 0), (2, 3)}, verdicts
+
+
+def test_streaming_image_near_dup_real_decode(spark, tmp_path):
+    """The same operator over REAL pixels: a PNG and its one-pixel-nudged
+    variant hash within the radius and the later arrival is flagged as a
+    near-dup of the earlier one."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from nutch_spark.datapipe.mediacodec import dhash64
+    from nutch_spark.streaming import streaming_image_near_dup
+
+    def png_gray(grid):
+        raw = bytearray()
+        for line in grid:
+            raw.append(0)
+            raw += bytes(line)
+
+        def chunk(tag, body):
+            return (_struct.pack(">I", len(body)) + tag + body
+                    + _struct.pack(">I", _zlib.crc32(tag + body)))
+
+        w, h = len(grid[0]), len(grid)
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    a = [[(x * 31 + y * 7) % 211 for x in range(18)] for y in range(16)]
+    a2 = [row[:] for row in a]
+    a2[0][0] = (a2[0][0] + 60) % 211  # one-pixel nudge
+    pa, pa2 = png_gray(a), png_gray(a2)
+    d = bin(dhash64(pa) ^ dhash64(pa2)).count("1")
+    assert d <= 3, f"precondition: planted nudge drifted {d} bits"
+
+    rows = [
+        (1, bytearray(pa), T0),
+        (2, bytearray(pa2), T0 + datetime.timedelta(minutes=1)),
+    ]
+    schema = "media_id long, payload binary, ingest_time timestamp"
+    src = str(tmp_path / "neardup_px_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    q = (
+        streaming_image_near_dup(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("neardup_px_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM neardup_px_sink").collect()
+    assert {(r["media_id"], r["dup_of"]) for r in out} == {(2, 1)}
+    assert all(r["hamming"] == d for r in out)
