@@ -241,7 +241,12 @@ def main() -> None:
             " multi-tenant host steals CPU in bursts, see cpu_steal_s);"
             " reps inside a steal burst requeue at END of pass (steal is"
             " bursty; steal_retries = re-runs, steal_exhausted ="
-            " still-degraded reps after all rounds)"
+            " still-degraded reps after all rounds); run 0 of the"
+            " Lloyd-training queries (dp_pq_*, dp_ivf_*,"
+            " dp_semantic_dedup) carries one-time Catalyst/JIT warm-up"
+            " (~25s first touch) — with reps>=2 the reported median is"
+            " warm and value_min is the warm floor; full in-order runs"
+            " incl. the cold rep stay in BENCH_FULL_LOCAL.json"
         ),
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),

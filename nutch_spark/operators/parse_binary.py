@@ -953,6 +953,18 @@ def _extract_text(data: bytes, depth: int) -> tuple[str, str]:
         from nutch_spark.operators.parse_tail import extract_midi_text
 
         return extract_midi_text(data)
+    # fonts (Tika TrueTypeParser slot): sfnt/TTC/WOFF by leading tag, EOT
+    # by its offset-34 magic + version dword; extract_font_meta validates
+    # further and returns None for coincidental prefixes (falls through)
+    if (
+        data[:4] in (b"\x00\x01\x00\x00", b"OTTO", b"true", b"ttcf", b"wOFF", b"wOF2")
+        or (len(data) >= 88 and data[34:36] == b"LP")
+    ):
+        from nutch_spark.operators.parse_tail import extract_font_meta
+
+        got = extract_font_meta(data)
+        if got is not None:
+            return got
     if data[257:262] == b"ustar":  # POSIX/GNU tar member header magic
         import tarfile
 

@@ -2114,3 +2114,228 @@ def build_midi_bytes(
         b"MThd" + _s.pack(">IHHH", 6, 0, 1, division)
         + b"MTrk" + _s.pack(">I", len(ev)) + bytes(ev)
     )
+
+
+# --------------------------------------------------------------------------
+# Fonts — the parse-tika TrueTypeParser slot (Tika reads the sfnt 'name'
+# table for family/style/full-name metadata; reference:
+# src/plugin/parse-tika routes font/* through AutoDetectParser). All
+# layouts from the public OpenType spec (Microsoft typography docs), the
+# W3C WOFF 1.0 spec, and the W3C EOT submission.
+# --------------------------------------------------------------------------
+
+_SFNT_MIMES = {
+    b"\x00\x01\x00\x00": "font/ttf",
+    b"true": "font/ttf",  # legacy Mac sfnt
+    b"OTTO": "font/otf",
+}
+
+# preferred naming-table ids, output order: family, subfamily, full name,
+# postscript name, version, copyright — only present ids are emitted
+_FONT_NAME_IDS = (1, 2, 4, 6, 5, 0)
+
+
+def _parse_name_table(tbl: bytes) -> str:
+    """'family; subfamily; full; ...' from one sfnt 'name' table (format
+    0/1 both start: format, count, stringOffset, then 12-byte records).
+    Windows (platform 3, UTF-16BE) strings are preferred, Mac (platform
+    1, single-byte) is the fallback, anything else best-effort; every
+    offset is bounds-checked and undecodable records are skipped."""
+    if len(tbl) < 6:
+        return ""
+    count, str_off = struct.unpack(">HH", tbl[2:6])
+    best: dict[int, tuple[int, str]] = {}  # name_id -> (priority, value)
+    for k in range(min(count, 512)):
+        e = 6 + 12 * k
+        if e + 12 > len(tbl):
+            break
+        plat, enc, _lang, nid, ln, off = struct.unpack(">6H", tbl[e : e + 12])
+        if nid not in _FONT_NAME_IDS or ln == 0:
+            continue
+        s0 = str_off + off
+        if s0 + ln > len(tbl):
+            continue
+        raw = tbl[s0 : s0 + ln]
+        if plat == 3 or (plat == 0):  # Windows / Unicode: UTF-16BE
+            try:
+                val = raw.decode("utf-16-be")
+            except UnicodeDecodeError:
+                continue
+            prio = 0 if plat == 3 and enc == 1 else 1
+        else:  # Mac and everything else: single-byte, latin-1 superset
+            val = raw.decode("latin-1", "replace")
+            prio = 2
+        val = val.strip("\x00").strip()
+        if val and (nid not in best or prio < best[nid][0]):
+            best[nid] = (prio, val)
+    return "; ".join(best[n][1] for n in _FONT_NAME_IDS if n in best)
+
+
+def _sfnt_name_text(data: bytes, *, base: int = 0) -> str:
+    """Locate the 'name' table via the sfnt table directory at ``base``
+    and render it — shared by the TTF/OTF, TTC-member and WOFF paths."""
+    if base + 12 > len(data):
+        return ""
+    (n_tables,) = struct.unpack(">H", data[base + 4 : base + 6])
+    for k in range(min(n_tables, 512)):
+        e = base + 12 + 16 * k
+        if e + 16 > len(data):
+            break
+        tag = data[e : e + 4]
+        off, ln = struct.unpack(">II", data[e + 8 : e + 16])
+        if tag == b"name" and ln and off + ln <= len(data):
+            return _parse_name_table(data[off : off + ln])
+    return ""
+
+
+def extract_font_meta(data: bytes) -> tuple[str, str] | None:
+    """(mime, text) for a font payload — sfnt TTF/OTF, TrueType
+    collections, WOFF 1.0 (per-table zlib), and EOT (names live in the
+    header itself) — or None when the bytes are not a font (the caller
+    falls through to the generic dispatch). Text is the naming metadata
+    ('family; subfamily; full name; ...'), the same surface Tika's
+    TrueTypeParser exposes; WOFF2 (Brotli, not in the stdlib) types as
+    font/woff2 with empty text, stated honestly."""
+    n = len(data)
+    if n < 12:
+        return None
+    head = data[:4]
+    if head in _SFNT_MIMES:
+        (n_tables,) = struct.unpack(">H", data[4:6])
+        if not 0 < n_tables <= 512:
+            return None
+        return _SFNT_MIMES[head], _sfnt_name_text(data)
+    if head == b"ttcf":  # collection: first member's directory
+        if n < 16:
+            return None
+        (n_fonts,) = struct.unpack(">I", data[8:12])
+        if not 0 < n_fonts <= 64 or n < 16:
+            return None
+        (off,) = struct.unpack(">I", data[12:16])
+        if off + 12 > n:
+            return "font/collection", ""
+        return "font/collection", _sfnt_name_text(data, base=off)
+    if head == b"wOFF":
+        import zlib as _z
+
+        if n < 44:
+            return None
+        (n_tables,) = struct.unpack(">H", data[12:14])
+        if n_tables > 512:
+            return None
+        for k in range(n_tables):
+            e = 44 + 20 * k
+            if e + 20 > n:
+                break
+            tag = data[e : e + 4]
+            off, comp_len, orig_len = struct.unpack(">III", data[e + 4 : e + 16])
+            if tag != b"name" or off + comp_len > n or orig_len > 1 << 22:
+                continue
+            raw = data[off : off + comp_len]
+            if comp_len < orig_len:
+                try:
+                    raw = _z.decompress(raw, bufsize=orig_len)
+                except _z.error:
+                    continue
+            return "font/woff", _parse_name_table(raw)
+        return "font/woff", ""
+    if head == b"wOF2":
+        return "font/woff2", ""  # Brotli table stream: typed, no stdlib codec
+    # EOT: magic 0x504C at offset 34 + a known version dword at offset 8;
+    # family/style/version/full-name are length-prefixed UTF-16LE strings
+    # directly in the header (W3C EOT submission §3.1)
+    if (
+        n >= 88
+        and data[34:36] == b"LP"
+        and data[8:12] in (b"\x00\x00\x01\x00", b"\x01\x00\x02\x00", b"\x02\x00\x02\x00")
+    ):
+        names = []
+        i = 82
+        for _ in range(4):  # FamilyName, StyleName, VersionName, FullName
+            if i + 2 > n:
+                break
+            (ln,) = struct.unpack("<H", data[i : i + 2])
+            i += 2
+            if ln == 0 or i + ln > n or ln % 2:
+                i += ln + 2  # skip value + next field's padding word
+                continue
+            try:
+                names.append(data[i : i + ln].decode("utf-16-le").strip())
+            except UnicodeDecodeError:
+                pass
+            i += ln + 2  # value + the 2-byte padding before the next size
+        return (
+            "application/vnd.ms-fontobject",
+            "; ".join(x for x in names if x),
+        )
+    return None
+
+
+def build_font_bytes(
+    family: str,
+    subfamily: str = "Regular",
+    full_name: str | None = None,
+    *,
+    flavor: str = "ttf",
+) -> bytes:
+    """A minimal valid font for fixtures/oracles: a real sfnt table
+    directory with one 'name' table carrying Windows (UTF-16BE) records
+    for family/subfamily/full-name — wrapped per ``flavor`` as ttf, otf,
+    ttc (one-member collection), woff (zlib-compressed name table) or
+    eot (header-embedded names). The fixture inverse of
+    extract_font_meta."""
+    import zlib as _z
+
+    full = full_name if full_name is not None else f"{family} {subfamily}"
+    if flavor == "eot":
+        def u16(s: str) -> bytes:
+            return s.encode("utf-16-le")
+
+        hdr = bytearray(82)
+        hdr[8:12] = b"\x00\x00\x01\x00"  # version 0x00010000 (LE)
+        hdr[34:36] = b"LP"
+        body = bytearray()
+        for s in (family, subfamily, "Version 1.0", full):
+            enc = u16(s)
+            body += struct.pack("<H", len(enc)) + enc + b"\x00\x00"
+        blob = bytes(hdr) + bytes(body) + b"\x00" * 16
+        struct.pack_into("<I", hdr, 0, len(blob))  # EOTSize
+        return bytes(hdr) + bytes(body) + b"\x00" * 16
+
+    recs = []
+    strings = bytearray()
+    for nid, val in ((1, family), (2, subfamily), (4, full)):
+        enc = val.encode("utf-16-be")
+        recs.append(struct.pack(">6H", 3, 1, 0x409, nid, len(enc), len(strings)))
+        strings += enc
+    name_tbl = (
+        struct.pack(">HHH", 0, len(recs), 6 + 12 * len(recs))
+        + b"".join(recs)
+        + bytes(strings)
+    )
+    sfnt_ver = b"OTTO" if flavor == "otf" else b"\x00\x01\x00\x00"
+    if flavor == "woff":
+        comp = _z.compress(name_tbl, 9)
+        use = comp if len(comp) < len(name_tbl) else name_tbl
+        hdr = struct.pack(
+            ">4s4sIHHIHHIIIII",
+            b"wOFF", b"\x00\x01\x00\x00", 44 + 20 + len(use), 1, 0,
+            12 + 16 + len(name_tbl), 1, 0, 0, 0, 0, 0, 0,
+        )
+        entry = struct.pack(
+            ">4sIIII", b"name", 64, len(use), len(name_tbl),
+            _z.crc32(name_tbl),
+        )
+        return hdr + entry + use
+    # plain sfnt: header + one directory entry + the table right after.
+    # Table offsets are FILE offsets (OpenType spec) — inside a ttc the
+    # member directory sits at 16, so its table offset shifts too.
+    shift = 16 if flavor == "ttc" else 0
+    hdr = sfnt_ver + struct.pack(">HHHH", 1, 16, 4, 0)
+    entry = b"name" + struct.pack(
+        ">III", _z.crc32(name_tbl), shift + 28, len(name_tbl)
+    )
+    ttf = hdr + entry + name_tbl
+    if flavor == "ttc":
+        return b"ttcf" + struct.pack(">II", 0x00010000, 1) + struct.pack(">I", 16) + ttf
+    return ttf

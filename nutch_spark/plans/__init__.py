@@ -14,42 +14,25 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-15 ordering: queries whose code is NEW or CHANGED this
-# round lead — the cluster-mode dedup chain (dhash_dup_clusters /
-# minhash_dup_clusters / dup_components(groups=) and the shared
-# _lsh_band_candidates refactor touching every minhash consumer), the
-# opt-in dhash band cap + its new active-cap proof, the AVIF/HEIC decode
-# chain (and mm_webp_dhash/mm_image_dhash riding the codec-cache pickle
-# rework), the PSD tail, the ID3v2.4 header-unsync fix behind audio tags,
-# and the detect_mime container disambiguation behind the indexing/mime
-# rows; then the stalest block — last driver-green r11 (4 rounds) — fills
-# the window; fresher rows last.
+# certifies. Round-16 ordering: queries whose code is NEW or CHANGED this
+# round lead — mm_mp4_info (new ISO-BMFF walk), p2_wpd_extract (extended
+# charset tables + new hostile rows), p2_psd_extract (IPTC cap change),
+# mm_heif_dhash (fixture memo + stderr silencing + leak fix in the decode
+# seam), and the three detect_mime consumers behind the length-bucketed
+# magic rework; then the leftover r11-certified tail that missed the r15
+# window (stale 5 rounds), then the r12 block (stale 4); fresher rows
+# last, the r15-certified blocks at the very end.
 _CERTIFY_FIRST = [
-    # NEW / CHANGED in round 15
-    "mm_dhash_clusters", "dp_minhash_clusters", "dp_cluster_retention",
-    "mm_video_clusters", "mm_dhash_flood",
-    "mm_heif_dhash", "p2_psd_extract", "p2_midi_extract", "mm_mkv_info",
-    "mm_exif_meta",
-    "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
-    "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
-    "mm_video_neardup", "mm_webp_dhash", "mm_image_dhash",
-    "mm_video_frame_dhash", "mm_frame_samples", "mm_audio_tags",
+    # NEW / CHANGED in round 16
+    "mm_mp4_info", "p2_font_extract", "p2_wpd_extract", "p2_psd_extract",
+    "mm_heif_dhash",
     "d6_mime_adaptive", "j3_index_fields", "j3_multiway_join",
-    # last driver-green r11 (stale 4 rounds) — complete the ~50 window
-    "dp_boilerplate_lines", "a3_group_numeric",
-    "a3_value_counts", "a4_group_count", "a5_completion", "a6_json_props",
-    "j1_inject_merge", "j2_state_machine", "j2_forced_refetch",
-    "j2_gone_schedule",
-    "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
-    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
-    "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
-    "u1_union_distinct", "a10_anchor_dedup",
-    "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
-    "d5_similarity_score", "dp_winnowing", "st_hostdb_state",
-    "p2_wpd_extract", "p2_iwork_extract", "p2_chm_extract",
-    "p2_cab_extract", "p2_doc_extract", "pf_regex_fields",
-    "pf_nb_classify", "st_session_windows", "j_geoip_range",
-    # r12-certified (stale 3 rounds)
+    # last driver-green r11 (stale 5 rounds — the tail the r15 window cut)
+    "dp_winnowing", "st_hostdb_state", "p2_iwork_extract",
+    "p2_chm_extract", "p2_cab_extract", "p2_doc_extract",
+    "pf_regex_fields", "pf_nb_classify", "st_session_windows",
+    "j_geoip_range",
+    # r12-certified (stale 4 rounds) — complete the ~50 window
     "dp_int8_recall", "dp_fix_mojibake",
     "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
     "dp_token_spectrum", "p1_politeness",
@@ -59,7 +42,7 @@ _CERTIFY_FIRST = [
     "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
     "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
     "f1_url_parts", "dp_simhash", "dp_token_stats", "dp_quality",
-    # r14-certified via the r14 window
+    # r14-certified
     "dp_langid", "dp_langid_stopword", "dp_dataset_card",
     "dp_mix_weighted", "dp_mix_temperature",
     "mm_ogg_identity", "mm_audio_fingerprint",
@@ -79,7 +62,7 @@ _CERTIFY_FIRST = [
     "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
     "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
     "a1_stats_by_flag", "a1_quantiles",
-    # r13-certified (freshest)
+    # r13-certified
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
     "dp_quality_bins", "dp_stratified_n", "g_cocitation",
@@ -94,6 +77,24 @@ _CERTIFY_FIRST = [
     "dp_winnowing_containment", "dp_pipeline_clean",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
     "g3_linkrank", "j4_score_update",
+    # r15-certified (freshest: the r15 window + its re-certified r11 block)
+    "mm_dhash_clusters", "dp_minhash_clusters", "dp_cluster_retention",
+    "mm_video_clusters", "mm_dhash_flood",
+    "p2_midi_extract", "mm_mkv_info", "mm_exif_meta",
+    "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
+    "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
+    "mm_video_neardup", "mm_webp_dhash", "mm_image_dhash",
+    "mm_video_frame_dhash", "mm_frame_samples", "mm_audio_tags",
+    "dp_boilerplate_lines", "a3_group_numeric",
+    "a3_value_counts", "a4_group_count", "a5_completion", "a6_json_props",
+    "j1_inject_merge", "j2_state_machine", "j2_forced_refetch",
+    "j2_gone_schedule",
+    "j7_broadcast_join", "g1_invert_capped", "a7_degrees",
+    "f4_filter_surface", "f5_jexl_expr", "f8_hash_sample",
+    "w5_topk_contribs", "d3_opic_share", "d6_adaptive_schedule",
+    "u1_union_distinct", "a10_anchor_dedup",
+    "d4_depth_propagation", "d8_orphan_mark", "d2_cleaning_targets",
+    "d5_similarity_score",
 ]
 
 

@@ -2496,3 +2496,94 @@ def s4_jsonl_roundtrip(spark, sf_dir):
             F.element_at("metadata", "note").alias("m_note"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P2 — font metadata (parse-tika TrueTypeParser slot)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p2_font_extract",
+    """
+    -- Round-trip identity: each document becomes a REAL font (sfnt
+    -- 'name' table with Windows UTF-16BE records, rotated through the
+    -- five container flavors: TTF, OTF, one-member TTC with absolute
+    -- table offsets, WOFF with a zlib-compressed name table, EOT with
+    -- header-embedded names) and flows through the magic-dispatched
+    -- extractor; the oracle states the naming metadata closed-form.
+    -- Hostile rows (doc_id % 32 = 21: sfnt tag + non-UTF-8 junk) must
+    -- yield octet-stream + empty, never an error.
+    SELECT doc_id,
+           CASE WHEN doc_id % 32 = 21 THEN 'application/octet-stream'
+                WHEN doc_id % 5 = 0 THEN 'font/ttf'
+                WHEN doc_id % 5 = 1 THEN 'font/otf'
+                WHEN doc_id % 5 = 2 THEN 'font/collection'
+                WHEN doc_id % 5 = 3 THEN 'font/woff'
+                ELSE 'application/vnd.ms-fontobject' END AS mime,
+           CASE WHEN doc_id % 32 = 21 THEN ''
+                ELSE 'F' || CAST(doc_id AS VARCHAR) || '; '
+                     || CASE doc_id % 3 WHEN 0 THEN 'Regular'
+                                        WHEN 1 THEN 'Bold' ELSE 'Italic' END
+                     || CASE WHEN doc_id % 5 = 4 THEN '; Version 1.0' ELSE '' END
+                     || '; F' || CAST(doc_id AS VARCHAR) || ' '
+                     || CASE doc_id % 3 WHEN 0 THEN 'Regular'
+                                        WHEN 1 THEN 'Bold' ELSE 'Italic' END
+             END AS parse_text,
+           CAST(CASE WHEN doc_id % 32 = 21 THEN 0
+                ELSE length('F' || CAST(doc_id AS VARCHAR) || '; '
+                     || CASE doc_id % 3 WHEN 0 THEN 'Regular'
+                                        WHEN 1 THEN 'Bold' ELSE 'Italic' END
+                     || CASE WHEN doc_id % 5 = 4 THEN '; Version 1.0' ELSE '' END
+                     || '; F' || CAST(doc_id AS VARCHAR) || ' '
+                     || CASE doc_id % 3 WHEN 0 THEN 'Regular'
+                                        WHEN 1 THEN 'Bold' ELSE 'Italic' END)
+             END AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def p2_font_extract(spark, sf_dir):
+    """P2 font tail (parse-tika's TrueTypeParser slot — fonts are a
+    daily hit on any mixed crawl): documents become real fonts
+    (operators/parse_tail.build_font_bytes) rotating all five container
+    flavors, and the naming metadata extracts through parse_binary's
+    magic dispatch into extract_font_meta — sfnt directory walk, TTC
+    absolute offsets, WOFF per-table zlib, EOT header strings. A planted
+    sfnt-tagged junk row pins the fall-through-to-octet-stream path.
+    100 TB: map-only, no shuffle."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse_binary import parse_binary
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from nutch_spark.operators.parse_tail import build_font_bytes
+
+        flavors = ["ttf", "otf", "ttc", "woff", "eot"]
+        subs = ["Regular", "Bold", "Italic"]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 32 == 21:
+                    blob = b"\x00\x01\x00\x00" + b"\xfe\xff" * 24
+                else:
+                    blob = build_font_bytes(
+                        f"F{doc_id}",
+                        subs[doc_id % 3],
+                        flavor=flavors[doc_id % 5],
+                    )
+                rows.append(
+                    {"url": f"http://doc{doc_id}.com/a.font", "content": blob}
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = d.mapInPandas(gen, "url string, content binary")
+    out = parse_binary(fetched)
+    return out.select(
+        F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
+        "mime",
+        "parse_text",
+        "n_chars",
+    )

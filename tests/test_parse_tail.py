@@ -85,11 +85,14 @@ def test_wpd_round_trip_wp6_and_wp5():
 
 
 def test_wpd_extended_char_and_unknown_function_codes():
-    # extended char in charset 0 passes through; other charsets become '?'
+    # extended char in charset 0 passes through; mapped charsets decode
+    # through the r16 appendix tables; unmapped charsets become '?'
     data = build_wpd_bytes("caf") + bytes([0xC0, ord("e"), 0x00, 0xC0])
     assert extract_wpd_text(data)[1].endswith("cafe")
     data = build_wpd_bytes("nai") + bytes([0xC0, 0x24, 0x01, 0xC0])
-    assert extract_wpd_text(data)[1].endswith("nai?")
+    assert extract_wpd_text(data)[1].endswith("naiÆ")  # Multinational 1, 36
+    data = build_wpd_bytes("heb") + bytes([0xC0, 0x05, 0x09, 0xC0])
+    assert extract_wpd_text(data)[1].endswith("heb?")  # Hebrew: unmapped
     # a variable-length group with a bogus size falls back to the
     # closing-code-byte scan instead of swallowing the document
     bogus = build_wpd_bytes("before") + bytes([0xD3, 0x05, 0xFF, 0xFF, 0xD3]) + b"after"
@@ -838,3 +841,46 @@ def test_midi_hostile_bytes_never_raise():
         cut = rng.randrange(4, len(b) + 1)
         info = parse_midi(bytes(b[:cut]))
         assert info is None or isinstance(info["text"], str)
+
+
+def test_font_meta_all_flavors_and_hostile():
+    """r16 font tail (Tika TrueTypeParser slot): naming metadata
+    round-trips through every container flavor; coincidental prefixes
+    and bit-flipped/truncated payloads degrade, never raise."""
+    import random
+
+    from nutch_spark.operators.parse_tail import (
+        build_font_bytes,
+        extract_font_meta,
+    )
+
+    want = {
+        "ttf": ("font/ttf", "Guard Sans; Bold; Guard Sans Bold"),
+        "otf": ("font/otf", "Guard Sans; Bold; Guard Sans Bold"),
+        "ttc": ("font/collection", "Guard Sans; Bold; Guard Sans Bold"),
+        "woff": ("font/woff", "Guard Sans; Bold; Guard Sans Bold"),
+        "eot": (
+            "application/vnd.ms-fontobject",
+            "Guard Sans; Bold; Version 1.0; Guard Sans Bold",
+        ),
+    }
+    for flavor, expected in want.items():
+        got = extract_font_meta(build_font_bytes("Guard Sans", "Bold", flavor=flavor))
+        assert got == expected, (flavor, got)
+    # non-ASCII family names survive the UTF-16 paths
+    got = extract_font_meta(build_font_bytes("Füñt Família", "Regular"))
+    assert got[1].startswith("Füñt Família; Regular")
+    # WOFF2 types honestly with no text (no stdlib Brotli)
+    assert extract_font_meta(b"wOF2" + b"\x00" * 44) == ("font/woff2", "")
+    # coincidental prefixes are rejected (fall through in the dispatcher)
+    assert extract_font_meta(b"true story, this is text") is None
+    assert extract_font_meta(b"\x00\x01\x00\x00" + b"\xfe\xff" * 24) is None
+    rng = random.Random(36)
+    for flavor in want:
+        base = build_font_bytes("Fuzz", "Regular", flavor=flavor)
+        for _ in range(200):
+            h = bytearray(base)
+            for _k in range(rng.randrange(1, 5)):
+                h[rng.randrange(len(h))] = rng.randrange(256)
+            out = extract_font_meta(bytes(h[: rng.randrange(1, len(h) + 1)]))
+            assert out is None or isinstance(out, tuple)

@@ -221,6 +221,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                         [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     "mm_mkv_info": [[r"MapInPandas|mapInPandas"],
                     [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    "mm_mp4_info": [[r"MapInPandas|mapInPandas"],
+                    [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
+    "p2_font_extract": [[r"MapInPandas|mapInPandas"],
+                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     "mm_exif_meta": [[r"MapInPandas|mapInPandas"],
                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
