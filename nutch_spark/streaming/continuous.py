@@ -485,7 +485,16 @@ def streaming_image_near_dup(
       true distance — exactly the batch candidate-then-verify shape,
       re-expressed with streaming state bounds.
 
-    Caveats, stated honestly: (1) a near-copy arriving AFTER the
+    Caveats, stated honestly: (0) RECALL is high but not the batch
+    pigeonhole guarantee: state keeps ONE representative per band key
+    (that is what bounds it), so a pair whose every shared band was
+    first claimed by a THIRD image outside the verify radius is missed —
+    the same class of documented tradeoff as the batch hot-band cap
+    (``dhash_near_dup(max_band_bucket=)``), which also trades tail
+    recall for a bounded per-band census — run the exact-recall
+    companion ``streaming_image_dedup`` (full-hash key, guaranteed for
+    identical copies) alongside when exact dups must never slip;
+    (1) a near-copy arriving AFTER the
     watermark horizon finds its bands' claims evicted, re-claims them,
     and survives — bounded state is the point, matching
     ``streaming_image_dedup``'s horizon semantics; (2) the same
