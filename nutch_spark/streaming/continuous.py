@@ -497,7 +497,17 @@ def streaming_image_near_dup(
     (1) a near-copy arriving AFTER the
     watermark horizon finds its bands' claims evicted, re-claims them,
     and survives — bounded state is the point, matching
-    ``streaming_image_dedup``'s horizon semantics; (2) the same
+    ``streaming_image_dedup``'s horizon semantics; (1b) within one
+    micro-batch the claimant may be a MID-FAMILY member (claims follow
+    processing order, not event order), and members earlier than the
+    claimant only ever flag the claimant, not each other — so a dense
+    same-batch family can keep several earliest members. Compose exact
+    dedup upstream (``streaming_image_dedup`` drops identical copies
+    regardless of claim order) and let this stream handle the far
+    sparser hamming 1..d tail; that composition also keeps the evidence
+    volume LINEAR in flood size (each copy emits at most ``bands`` rows
+    against the claimant — never the O(k²) member pairs a batch
+    pair-mode would); (2) the same
     (media_id, dup_of) pair may emit up to ``bands`` evidence rows (one
     per agreeing band) — an in-stream dedup of evidence would be a third
     stateful operator for zero semantic gain, consumers aggregate by

@@ -522,3 +522,66 @@ def test_streaming_image_near_dup_real_decode(spark, tmp_path):
     out = spark.sql("SELECT * FROM neardup_px_sink").collect()
     assert {(r["media_id"], r["dup_of"]) for r in out} == {(2, 1)}
     assert all(r["hamming"] == d for r in out)
+
+
+def test_streaming_image_near_dup_flood_linear(spark, tmp_path):
+    """Flood pin (the r15 scale-caps lesson, streaming form): 120
+    same-hash copies plus near-copies must emit evidence LINEAR in the
+    flood size — each copy matches only the per-band claimant (at most
+    `bands` rows each), never the O(k^2) member pairs of batch pair
+    mode. State stays one row per distinct band key."""
+    import struct as _struct
+
+    from nutch_spark.streaming import streaming_image_near_dup
+
+    def payload(h: int) -> bytearray:
+        return bytearray(_struct.pack(">Q", h))
+
+    def hash_fn(raw: bytes) -> int:
+        return int.from_bytes(raw[:8], "big")
+
+    H = 0x5555_AAAA_3333_CCCC
+    n_copies = 120
+    # micro-batch 1: the anchor plus unrelated background images —
+    # golden-ratio-spread hashes are pairwise distant (hamming ~32), so
+    # even a coincidental band match fails the verify
+    batch1 = [(1, payload(H), T0)] + [
+        (1000 + i, payload((0x9E3779B97F4A7C15 * (i + 7)) & ((1 << 64) - 1)), T0)
+        for i in range(20)
+    ]
+    # micro-batch 2: the flood — exact copies and hamming-2 variants,
+    # all within the watermark of the anchor's claims
+    batch2 = [
+        (i, payload(H if i % 3 else H ^ 0b11),
+         T0 + datetime.timedelta(seconds=i))
+        for i in range(2, n_copies + 2)
+    ]
+    schema = "media_id long, payload binary, ingest_time timestamp"
+    src = str(tmp_path / "flood_src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        streaming_image_near_dup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            hash_fn=hash_fn,
+        )
+        .writeStream.format("memory")
+        .queryName("flood_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM flood_sink").collect()
+    # LINEAR: every flood member emits at most `bands` rows per rep
+    # family (anchor + at most one new claimant per variant band key) —
+    # never the O(k^2) member pairs a batch pair-mode would
+    assert 0 < len(out) <= 4 * 2 * (n_copies + 1), len(out)
+    flagged = {r["media_id"] for r in out}
+    assert not flagged & {1000 + i for i in range(20)}  # background clean
+    # the anchor claimed its bands in batch 1, so EVERY flood member
+    # (hamming 0 or 2 from it) is within radius of a standing claim
+    assert set(range(2, n_copies + 2)) <= flagged, sorted(
+        set(range(2, n_copies + 2)) - flagged
+    )[:10]
