@@ -690,7 +690,11 @@ def dup_components(
                 groups.select(F.col(rep).alias("_gm"), F.col(rep).alias("_gr"))
             )  # rep self-rows, so every quotient id expands at the end
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: materializes once inside the edges job below
+            # (its first consumer) and is reused by the expansion joins —
+            # an eager one here costs a whole extra driver-synchronous job
+            # for the same result (bench: ~0.4 s/job on small inputs)
+            .localCheckpoint(eager=False)
         )
         # quotient: pair endpoints rewrite to their representative
         # (broadcast-unsafe in general — groups scale with the corpus — so
@@ -716,7 +720,9 @@ def dup_components(
     labels = (
         ids.join(touched, "id", "left_semi")  # iterate ONLY the dup subgraph
         .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside round 0's job (edges is already a
+        # checkpointed RDD, so the lineage this defers is one semi-join)
+        .localCheckpoint(eager=False)
     )
     singletons = ids.join(touched, "id", "left_anti")
     for it in range(max_iter):
@@ -937,7 +943,9 @@ def dup_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside round 0's big-star job — saves one
+        # driver-synchronous prep job (the dup_components discipline)
+        .localCheckpoint(eager=False)
     )
 
     def star(sym: DataFrame, large: bool) -> DataFrame:

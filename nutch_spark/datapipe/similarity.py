@@ -751,6 +751,7 @@ def semantic_dedup(
     ).select(
         "id",
         "v",
+        "_n",
         F.element_at(
             F.expr(
                 "array_sort("
@@ -762,6 +763,7 @@ def semantic_dedup(
     ).select(
         "id",
         "v",
+        "_n",  # carried to the pair stage: na/nb reused, not re-folded
         F.col("_b.cid").alias("cell"),
         F.round(-F.col("_b.neg"), round_sim).alias("cent_sim"),
     )
@@ -775,13 +777,26 @@ def semantic_dedup(
         eager=False
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    # pair cosine = dot / (na * nb) with the norms computed ONCE per row in
+    # the assignment stage (vec_norm's fold order == cosine()'s norm
+    # subterm, so the doubles are bit-identical to cosine(a.v, b.v)); the
+    # inline form re-folded BOTH norms per candidate pair — 3 higher-order
+    # aggregates per pair where only the dot actually varies
+    pair_dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     dropped = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rn") < F.col("b.rn")),
         )
         .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_sim)
+            F.round(pair_dot / (F.col("a._n") * F.col("b._n")), round_sim)
             >= F.lit(threshold)
         )
         .select(F.col("b.id").alias("id"))

@@ -82,13 +82,19 @@ def linkrank(
     # domain-dedup window carries the full-PSL InSet literals — re-analyzing
     # that plan in all 10 iteration jobs costs more driver time than the
     # whole computation. Checkpointing truncates it to a LogicalRDD.
+    # LAZY checkpoints: each still truncates the Catalyst plan to a
+    # LogicalRDD immediately (analysis stays O(1) per iteration — the
+    # original reason for checkpointing here); materialization is deferred
+    # to the first consuming job instead of costing one driver-synchronous
+    # job each. nodes materializes in the count() right below; out_deg and
+    # uniq materialize inside iteration 1's job.
     out_deg = (
         page_uniq.groupBy(src)
         .agg(F.count(F.lit(1)).alias("num_outlinks"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    uniq = uniq.repartition(F.col(src)).localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    uniq = uniq.repartition(F.col(src)).localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     n_nodes = nodes.count()  # LinkRank.java:90-178 (counter job)
     rank_one = 1.0 / max(n_nodes, 1)
 
@@ -123,11 +129,20 @@ def linkrank(
             )
         )
         if use_checkpoint:
-            # Eager: truncate lineage NOW. A lazy checkpoint lets 10
-            # iterations of join+agg stack into one mega-plan whose analysis
-            # alone dominates runtime (35s → ~8s at sf0.01); at scale the
+            # Checkpoint to truncate lineage: WITHOUT one, 10 iterations of
+            # join+agg stack into one mega-plan whose analysis alone
+            # dominates runtime (35s → ~8s at sf0.01); at scale the
             # untruncated plan would also re-execute on failure recovery.
-            scores = scores.localCheckpoint(eager=True)
+            # LAZY (r16): localCheckpoint replaces the logical plan with a
+            # LogicalRDD immediately whether or not it is eager — analysis
+            # stays O(1) either way — but eager=True additionally ran one
+            # driver-synchronous job PER ITERATION. With no per-round
+            # convergence decision (the count is FIXED at 10,
+            # LinkRank.java), the rounds can chain lazily and the final
+            # action materializes all 10 checkpointed RDDs in ONE job;
+            # each round's partitions still persist at first computation,
+            # so failure recovery replays at most one round.
+            scores = scores.localCheckpoint(eager=False)
     return scores
 
 

@@ -13,7 +13,7 @@ from nutch_spark.operators.indexing import cleaning_targets
 from nutch_spark.operators.invertlinks import anchors_per_target, invert_edges
 from nutch_spark.operators.orphan import mark_orphans, tf_cosine_to_goldstandard
 from nutch_spark.functions.urls import url_filter_predicate
-from nutch_spark.plans.driver_queries import REGISTRY, q, t
+from nutch_spark.plans.driver_queries import REGISTRY, fan, q, t
 
 # ---------------------------------------------------------------------------
 # A10 — anchor dedup per (source host, anchor) (Inlinks.java:88-120)
@@ -818,7 +818,7 @@ def p2_html_parse(spark, sf_dir):
         F.encode(html, "UTF-8").alias("content"),
         F.lit("text/html; charset=utf-8").alias("content_type"),
     )
-    out = parse_html(log)
+    out = parse_html(fan(log))
     return out.select(
         "url",
         "title",
@@ -1086,7 +1086,7 @@ def p2_pdf_extract(spark, sf_dir):
                 rows.append({"url": f"http://doc{doc_id}.com/x.pdf", "content": data})
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1358,7 +1358,7 @@ def p2_doc_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1438,7 +1438,7 @@ def p2_odt_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1580,7 +1580,7 @@ def p2_epub_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1674,7 +1674,7 @@ def p2_wpd_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1751,7 +1751,7 @@ def p2_iwork_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1818,7 +1818,7 @@ def p2_chm_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -1885,7 +1885,7 @@ def p2_cab_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2052,7 +2052,7 @@ def p2_eml_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2133,7 +2133,7 @@ def p2_ical_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2200,7 +2200,7 @@ def p2_7z_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2268,7 +2268,7 @@ def p2_psd_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2350,7 +2350,7 @@ def p2_midi_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),
@@ -2579,7 +2579,7 @@ def p2_font_extract(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "content"])
 
-    fetched = d.mapInPandas(gen, "url string, content binary")
+    fetched = fan(d).mapInPandas(gen, "url string, content binary")
     out = parse_binary(fetched)
     return out.select(
         F.regexp_extract("url", "doc([0-9]+)", 1).cast("long").alias("doc_id"),

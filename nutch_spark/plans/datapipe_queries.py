@@ -44,7 +44,7 @@ from nutch_spark.datapipe.textstats import (
     token_count,
     tokens,
 )
-from nutch_spark.plans.driver_queries import REGISTRY, q, t
+from nutch_spark.plans.driver_queries import REGISTRY, fan, q, t
 
 # ---------------------------------------------------------------------------
 # shared corpus construction (Spark + SQL twins)
@@ -83,7 +83,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat("text", F.lit(_NEAR_SUFFIX)).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    # fan BEFORE the consumers' tokenize/shingle/hash explodes: the union
+    # of three branches of a single-row-group scan is <= 3 tasks
+    return fan(d.unionByName(exact).unionByName(near))
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +274,7 @@ def _flood_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    return d.unionByName(copies)
+    return fan(d.unionByName(copies))
 
 
 @q("dp_minhash_flood", _minhash_lsh_sql(_FLOOD_CORPUS_SQL, _FLOOD_CAP))
@@ -509,7 +511,7 @@ def dp_simhash(spark, sf_dir):
 def dp_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens, BPE-ish regex tokens, word tokens.
     Embarrassingly parallel map stage — no shuffle, full codegen."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
@@ -543,7 +545,7 @@ _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 def dp_quality(spark, sf_dir):
     """Quality scoring: length/punct/digit/stopword/diversity metrics + a
     composite score — the standard pre-training corpus filters."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return quality_metrics(d).select(
         "doc_id",
         "n_chars_m",
@@ -581,7 +583,7 @@ _LANG_CASE = " ".join(
 def dp_langid_stopword(spark, sf_dir):
     """Language ID baseline: stopword-overlap heuristic with fixed-priority
     tie-break; emitted next to the labeled ``lang`` for eyeballing."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     return langid(d).select("doc_id", "lang", "lang_pred")
 
 
@@ -644,7 +646,7 @@ def dp_langid(spark, sf_dir):
     labeled ``lang`` column."""
     from nutch_spark.datapipe.textstats import langid_trained
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     return langid_trained(d).select("doc_id", "lang", "lang_pred")
 
 
@@ -679,7 +681,7 @@ def dp_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: queries broadcast, corpus
     streams, dot product is a JVM-side zip_with/aggregate. Rounded to 6
     digits and ranked with an id tie-break so ordering is engine-stable."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -733,7 +735,7 @@ def dp_embedding_near_dup(spark, sf_dir):
     the bucket key instead of the O(rows^2) cross product the brute-force
     form needs (96s → <2s at sf0.1 locally; the only shape that survives
     100 TB). The oracle models the bucketing identically."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     copies = emb.filter(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -817,7 +819,7 @@ def dp_lsh_topk(spark, sf_dir):
     bucketed by hyperplane sign patterns across 4 tables; only same-bucket
     pairs scored. Shuffle O(rows x tables) instead of a cross product. The
     oracle inlines the identical hyperplanes and models the buckets."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(emb, qs, k=5, dim=64, bits=8, tables=4, seed=42, round_sim=6)
 
@@ -917,7 +919,7 @@ def dp_ivf_topk(spark, sf_dir):
     means), assignment, and probe ranking."""
     from nutch_spark.datapipe.similarity import ivf_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(
         emb, qs, k=5, n_centroids=16, n_probe=4, n_iter=_IVF_ITERS, round_sim=6
@@ -948,7 +950,7 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.repeat(F.concat(toks5, F.lit(" ")), 10).alias("text"),
     )
-    return d.unionByName(rep)
+    return fan(d.unionByName(rep))
 
 
 @q(
@@ -1330,7 +1332,7 @@ def dp_int8_topk(spark, sf_dir):
     scale path for 100 TB embedding sweeps."""
     from nutch_spark.datapipe.similarity import int8_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return int8_topk(emb, qs, k=5).select(
         "query_id", "neighbor_id", F.col("qdot").cast("long").alias("qdot")
@@ -1433,7 +1435,7 @@ def dp_decontaminate(spark, sf_dir):
             F.lit("filler opening words "), toks20, F.lit(" closing filler words")
         ).alias("text"),
     )
-    corpus = d.unionByName(planted)
+    corpus = fan(d.unionByName(planted))
     return decontaminate(corpus, bench, n=13)
 
 
@@ -1687,7 +1689,7 @@ def mm_tiff_dimensions(spark, sf_dir):
                 columns=["media_id", "n_bytes", "orientation", "width", "height"],
             )
 
-    return media.mapInPandas(
+    return fan(media).mapInPandas(
         decode,
         "media_id long, n_bytes long, orientation int, width int, height int",
     )
@@ -1846,7 +1848,7 @@ def dp_lsh_recall(spark, sf_dir):
     operators; the oracle composes their certified SQL twins."""
     from nutch_spark.datapipe.similarity import brute_force_topk, lsh_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
         "query_id", "neighbor_id"
@@ -2141,7 +2143,7 @@ def dp_semantic_dedup(spark, sf_dir):
     corpus so cells stay bounded (the paper's 50k-cluster regime)."""
     from nutch_spark.datapipe.similarity import semantic_dedup
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     copies = emb.filter(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -2246,7 +2248,7 @@ def dp_ivf_recall(spark, sf_dir):
     operators; the oracle composes their certified SQL twins."""
     from nutch_spark.datapipe.similarity import brute_force_topk, ivf_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
         "query_id", "neighbor_id"
@@ -2372,7 +2374,7 @@ def dp_pq_topk(spark, sf_dir):
     8-byte codes like dp_int8_topk."""
     from nutch_spark.datapipe.similarity import pq_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return pq_topk(
         emb, qs, k=5, dim=_EMB_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS,
@@ -2552,7 +2554,7 @@ def dp_int8_recall(spark, sf_dir):
     certified SQL twins."""
     from nutch_spark.datapipe.similarity import brute_force_topk, int8_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
         "query_id", "neighbor_id"
@@ -2597,7 +2599,7 @@ def dp_pq_recall(spark, sf_dir):
     SQL twins."""
     from nutch_spark.datapipe.similarity import brute_force_topk, pq_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, qs, k=5, round_sim=6).select(
         "query_id", "neighbor_id"
@@ -3297,7 +3299,7 @@ def dp_vocab_coverage(spark, sf_dir):
     the curve is total and engine-exact."""
     from nutch_spark.datapipe.tokenize import vocab_coverage
 
-    d = t(spark, sf_dir, "documents").select("text")
+    d = fan(t(spark, sf_dir, "documents").select("text"))
     return vocab_coverage(d, [16, 256, 1024, 65536])
 
 
@@ -3317,7 +3319,7 @@ def dp_bpe_pair_counts(spark, sf_dir):
     partial-aggregated shuffle over the vocab — corpus-size-independent."""
     from nutch_spark.datapipe.tokenize import pair_counts, symbolize, word_freqs
 
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("text"))
     vocab = word_freqs(d).select(symbolize("word").alias("s"), "freq")
     return (
         pair_counts(vocab)
@@ -3378,7 +3380,7 @@ def dp_bpe_apply(spark, sf_dir):
     via an md5 over the full token stream."""
     from nutch_spark.datapipe.tokenize import bpe_apply
 
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return bpe_apply(d, _BPE_FIXED_MERGES).select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
@@ -3419,7 +3421,7 @@ def dp_bpe_train(spark, sf_dir):
     localCheckpoint'ed state. The oracle unrolls the identical 6 rounds."""
     from nutch_spark.datapipe.tokenize import bpe_train, word_freqs
 
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("text"))
     merges = bpe_train(word_freqs(d), 6)
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
@@ -3835,7 +3837,7 @@ def dp_hybrid_rrf(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     lex = bm25_topk(d, _BM25_TERMS, k=20).select("doc_id", "rank")
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan(t(spark, sf_dir, "embeddings"))
     qv = emb.filter(F.col("vec_id") == 0)
     sem_scored = brute_force_topk(emb, qv, k=20, round_sim=6)
     w = W.orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -3898,7 +3900,7 @@ def dp_dsir_weights(spark, sf_dir):
     more-target-like-than-raw core of DSIR's resampling step."""
     from nutch_spark.datapipe.retrieval import dsir_log_ratio_weights
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return dsir_log_ratio_weights(d, d.filter(F.col("doc_id") % 17 == 0), buckets=1024)
 
 
@@ -4202,7 +4204,7 @@ def _planted_dhashes(spark, sf_dir, limit=None):
 
     from nutch_spark.datapipe.multimodal import image_dhash
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return image_dhash(media)
 
 
@@ -4267,7 +4269,7 @@ def mm_webp_dhash(spark, sf_dir):
 
     from nutch_spark.datapipe.multimodal import image_dhash
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return image_dhash(media)
 
 
@@ -4373,7 +4375,7 @@ def mm_heif_dhash(spark, sf_dir):
 
     from nutch_spark.datapipe.multimodal import image_dhash
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return image_dhash(media)
 
 
@@ -4690,7 +4692,7 @@ def mm_exif_meta(spark, sf_dir):
 
     from nutch_spark.datapipe.multimodal import exif_metadata
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return exif_metadata(media)
 
 
@@ -4756,7 +4758,7 @@ def mm_mkv_info(spark, sf_dir):
 
     from nutch_spark.datapipe.multimodal import matroska_info
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return matroska_info(media)
 
 
@@ -4825,7 +4827,7 @@ def mm_mp4_info(spark, sf_dir):
 
     from nutch_spark.datapipe.multimodal import mp4_info
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return mp4_info(media)
 
 
@@ -4896,7 +4898,7 @@ def dp_boilerplate_lines(spark, sf_dir):
             F.concat(F.lit("(c) "), F.col("source"), F.lit(" all rights reserved")),
         ),
     )
-    return remove_boilerplate_lines(planted, min_df=5)
+    return remove_boilerplate_lines(fan(planted), min_df=5)
 
 
 @q(
@@ -5071,7 +5073,7 @@ def mm_embedded_dhash(spark, sf_dir):
                 _planted_container_rows(pdf), columns=["media_id", "payload"]
             )
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return embedded_image_dhash(media)
 
 
@@ -5217,7 +5219,7 @@ def mm_audio_fingerprint(spark, sf_dir):
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
 
 
@@ -5283,7 +5285,7 @@ def mm_audio_neardup(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return audio_near_dup(audio_fingerprints(media), max_hamming=3, bands=4)
 
 
@@ -5631,7 +5633,7 @@ def mm_video_frame_dhash(spark, sf_dir):
                 rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return video_frame_dhash(media)
 
 
@@ -5705,7 +5707,7 @@ def mm_video_neardup(spark, sf_dir):
                 rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return video_near_dup(
         video_frame_dhash(media), min_shared=2, hot_hash_cap=18
     )
@@ -5862,7 +5864,7 @@ def mm_mpeg_fingerprint(spark, sf_dir):
                 rows.append({"media_id": int(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
 
 
@@ -6050,7 +6052,7 @@ def mm_mp3_sideinfo(spark, sf_dir):
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return mp3_sideinfo(media)
 
 
@@ -6300,7 +6302,7 @@ def mm_ogg_identity(spark, sf_dir):
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return ogg_identity(media)
 
 
@@ -6370,7 +6372,7 @@ def dp_text_embed(spark, sf_dir):
     the zero-token left join, no windows, no driver state."""
     from nutch_spark.datapipe.similarity import hashed_embedding
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = hashed_embedding(d, dim=64)
     q_sql = (
         "CASE WHEN norm > 0 THEN transform(embedding,"
@@ -6464,7 +6466,7 @@ def dp_text_embed_neardup(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     return text_embed_neardup_pairs(
-        d.unionByName(copies), max_bucket=16, threshold=0.99
+        fan(d.unionByName(copies)), max_bucket=16, threshold=0.99
     )
 
 
@@ -6625,5 +6627,5 @@ def mm_audio_tags(spark, sf_dir):
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = d.mapInPandas(gen, "media_id long, payload binary")
+    media = fan(d).mapInPandas(gen, "media_id long, payload binary")
     return audio_tags(media)

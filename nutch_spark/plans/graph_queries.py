@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from nutch_spark.operators.dedup import mark_duplicates
 from nutch_spark.operators.linkrank import linkrank, update_scores
 from nutch_spark.operators.webgraph import node_degrees
-from nutch_spark.plans.driver_queries import REGISTRY, dsum, q, t
+from nutch_spark.plans.driver_queries import REGISTRY, dsum, fan, q, t
 
 # ---------------------------------------------------------------------------
 # G3 — LinkRank (iterative), with unrolled-CTE oracle

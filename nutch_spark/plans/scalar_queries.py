@@ -20,7 +20,7 @@ from nutch_spark.functions.urls import (
     url_host,
     url_tld,
 )
-from nutch_spark.plans.driver_queries import REGISTRY, q, t
+from nutch_spark.plans.driver_queries import REGISTRY, fan, q, t
 
 # ---------------------------------------------------------------------------
 # F1 — URL normalization chain (BasicURLNormalizer + querystring rules)
@@ -45,7 +45,7 @@ def f1_url_normalize(spark, sf_dir):
     fragment removal, /./ and /../ resolution, duplicate-slash collapse,
     session-id parameter removal, trailing-dot host strip — asserted against
     reconstructed ground truth."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id"))
     sid = (F.col("doc_id") % 20).cast("string")
     did = F.col("doc_id").cast("string")
     messy_http = F.concat(
@@ -89,7 +89,7 @@ def f1_scoped_normalize(spark, sf_dir):
     protocol rules force https per host/domain (ProtocolURLNormalizer.java),
     host rules rewrite hostnames (HostURLNormalizer.java), IDN hosts go to
     punycode. Ground-truth oracle: messy inputs reconstructed clean."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id"))
     k = F.col("doc_id")
     s = k.cast("string")
     crawl_in = F.concat(
@@ -148,7 +148,7 @@ def f1_url_parts(spark, sf_dir):
     getDomainSuffix): host (port stripped), registrable domain with the
     multi-label public-suffix table (co.uk), TLD — against reconstructed
     ground truth."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id"))
     url = F.concat(
         F.lit("https://sub.dept.host"),
         (F.col("doc_id") % 30).cast("string"),
@@ -205,7 +205,7 @@ def d7_text_profile_sig(spark, sf_dir):
     (freq desc, token), md5 the "token cnt\\n..." profile. Bit-exact across
     engines — this is the dedup signature whose equality drives W4/D1.
     Uses the aggregation-shaped form (explode → groupBy), the scale path."""
-    d = t(spark, sf_dir, "documents")
+    d = fan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return text_profile_signatures(d).withColumnRenamed("id", "doc_id")
 
 
