@@ -24,6 +24,23 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("nutch_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence the benign "attempted to access non-existent accumulator"
+    # DAGScheduler stack traces: a task that completes AFTER its query's
+    # SQLExecution has been torn down (lazy localCheckpoint partitions
+    # materializing at the tail of a noop action) cannot update the
+    # already-unregistered SQL-metric accumulator; the result is correct
+    # and the scheduler logs an ERROR anyway. ~2k stack traces per full
+    # run otherwise bury the artifact tail. Real failures surface as
+    # exceptions on the action, not as this log line. Bench-only — engine
+    # sessions keep full scheduler logging.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # noqa: BLE001 — cosmetic only; never block the bench
+        pass
 
     timings: dict[str, float] = {}
     # Warm-up: per-query numbers must measure the plan, not run position.

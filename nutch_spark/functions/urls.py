@@ -356,6 +356,20 @@ def url_sld(url: Column | str) -> Column:
 # Normalization — BasicURLNormalizer.java:44-63,66-95,169-230
 # ---------------------------------------------------------------------------
 
+def _bind_once(col: Column, fn) -> Column:
+    """Bind ``col`` to a lambda variable so every downstream reference is a
+    cheap variable node and the expression tree carries ONE copy of the
+    bound subtree — the _cents_rank/_row_embed_apply compile-width pattern
+    applied to the URL chains. Without it each chained regexp pass and each
+    reference (scheme + rest + the pass-through ``when``) re-embeds its
+    whole upstream tree, and the scoped-normalizer plans grew to
+    multi-second Catalyst analysis per query. Value semantics (incl. NULL
+    propagation) are identical to inlining the subtree."""
+    return F.element_at(
+        F.transform(F.array(F.struct(col.alias("v"))), lambda s: fn(s["v"])), 1
+    )
+
+
 def normalize_url(url: Column | str, *, strip_session_ids: bool = True) -> Column:
     """Chain of the basic + querystring normalizer rules as one expression.
 
@@ -369,45 +383,63 @@ def normalize_url(url: Column | str, *, strip_session_ids: bool = True) -> Colum
     7. drop well-known session-id query params  (urlnormalizer-querystring)
     8. empty path -> '/'
     """
-    c = F.col(url) if isinstance(url, str) else url
-    c = F.trim(c)
-    # lowercase scheme
-    c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", r"$1:")
-    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
-    # split host[:port] / path?query#frag
-    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
-    tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 20))
-    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
-    keep_port = (
-        (port != "")
-        & ~((scheme == "http") & (port == "80"))
-        & ~((scheme == "https") & (port == "443"))
-        & ~((scheme == "ftp") & (port == "21"))
-    )
-    host_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
-    # strip trailing dot on host
-    host_norm = F.regexp_replace(host_norm, r"\.$", "")
-    # fragment off
-    tail = F.regexp_replace(tail, r"#.*$", "")
-    # resolve /./ then /seg/../ (applied repeatedly via nested replace passes)
-    for _ in range(4):
-        tail = F.regexp_replace(tail, r"/\./", "/")
-        tail = F.regexp_replace(tail, r"/[^/]+/\.\./", "/")
-    tail = F.regexp_replace(tail, r"/{2,}", "/")
-    if strip_session_ids:
-        # urlnormalizer-querystring / regex-normalize.xml default rules
-        sess = r"(?i)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)=[^&]*&?"
-        tail = F.regexp_replace(tail, r"\?" + sess, "?")
-        tail = F.regexp_replace(tail, r"&" + sess, "&")
-        tail = F.regexp_replace(tail, r"[?&]$", "")
-    path = F.when(tail == "", F.lit("/")).otherwise(tail)
-    normalized = F.concat(scheme, F.lit("://"), host_norm, path)
-    # non-hierarchical or schemeless URLs pass through trimmed
-    return F.when(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", 0) == "", c).otherwise(
-        normalized
-    )
+    c_in = F.col(url) if isinstance(url, str) else url
+
+    def build(c: Column) -> Column:
+        scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+        def with_rest(rest: Column) -> Column:
+            def with_hostport(hostport: Column) -> Column:
+                tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 20))
+                host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+                port = F.regexp_extract(hostport, r":(\d+)$", 1)
+                keep_port = (
+                    (port != "")
+                    & ~((scheme == "http") & (port == "80"))
+                    & ~((scheme == "https") & (port == "443"))
+                    & ~((scheme == "ftp") & (port == "21"))
+                )
+                host_norm = F.when(
+                    keep_port, F.concat(host, F.lit(":"), port)
+                ).otherwise(host)
+                # strip trailing dot on host
+                host_norm = F.regexp_replace(host_norm, r"\.$", "")
+                # fragment off
+                tail = F.regexp_replace(tail, r"#.*$", "")
+                # resolve /./ then /seg/../ (repeated nested replace passes)
+                for _ in range(4):
+                    tail = F.regexp_replace(tail, r"/\./", "/")
+                    tail = F.regexp_replace(tail, r"/[^/]+/\.\./", "/")
+                tail = F.regexp_replace(tail, r"/{2,}", "/")
+                if strip_session_ids:
+                    # urlnormalizer-querystring / regex-normalize.xml rules
+                    sess = (
+                        r"(?i)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)"
+                        r"=[^&]*&?"
+                    )
+                    tail = F.regexp_replace(tail, r"\?" + sess, "?")
+                    tail = F.regexp_replace(tail, r"&" + sess, "&")
+                    tail = F.regexp_replace(tail, r"[?&]$", "")
+                path = F.when(tail == "", F.lit("/")).otherwise(tail)
+                return F.concat(scheme, F.lit("://"), host_norm, path)
+
+            return _bind_once(
+                F.regexp_extract(rest, r"^([^/?#]*)", 1), with_hostport
+            )
+
+        normalized = _bind_once(
+            F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1),
+            with_rest,
+        )
+        # non-hierarchical or schemeless URLs pass through trimmed
+        return F.when(
+            F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", 0) == "", c
+        ).otherwise(normalized)
+
+    # the historical scheme-lowercase regexp_replace pass was a no-op
+    # ($1 re-inserts the match unchanged; lowering happens in ``scheme``)
+    # and is dropped; trim binds once and feeds every reference
+    return _bind_once(F.trim(c_in), build)
 
 
 # ---------------------------------------------------------------------------

@@ -14,25 +14,31 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # Certification-window rotation: the driver samples the FIRST ~50 registry
 # queries each round; ordering here decides whose driver-green row refreshes
 # so every query gets a driver-green row that postdates the code it
-# certifies. Round-16 ordering: queries whose code is NEW or CHANGED this
-# round lead — mm_mp4_info (new ISO-BMFF walk), p2_wpd_extract (extended
-# charset tables + new hostile rows), p2_psd_extract (IPTC cap change),
-# mm_heif_dhash (fixture memo + stderr silencing + leak fix in the decode
-# seam), and the three detect_mime consumers behind the length-bucketed
-# magic rework; then the leftover r11-certified tail that missed the r15
-# window (stale 5 rounds), then the r12 block (stale 4); fresher rows
-# last, the r15-certified blocks at the very end.
+# certifies. Round-16 ordering (optimization round): queries whose ENGINE
+# CODE was restructured this round lead — the urls.py bind-once rewrite
+# (f1_* and every url-consuming chain), the dup_components two-round
+# blocks + lazy-checkpoint quotient path (the whole cluster family), the
+# linkrank lazy-chained iterations, semantic_dedup's norm-reuse pair
+# filter, and the chm fixture memo; then the round-16 build additions
+# (mm_mp4_info, fonts, WPD charsets, magic consumers); then the stale
+# r11/r12 tail — most of which ALSO gained a fan() repartition this round.
 _CERTIFY_FIRST = [
-    # NEW / CHANGED in round 16
+    # ENGINE CODE RESTRUCTURED in the r16 optimization pass
+    "f1_url_normalize", "f1_scoped_normalize", "f1_url_parts",
+    "dp_dup_components", "dp_dup_components_star", "dp_minhash_clusters",
+    "dp_cluster_retention", "dp_cluster_canonical", "mm_dhash_clusters",
+    "mm_video_clusters", "g3_linkrank", "dp_semantic_dedup",
+    "p2_chm_extract", "a1_quantiles", "w1_host_limit",
+    # NEW / CHANGED in the interrupted round-16 build
     "mm_mp4_info", "p2_font_extract", "p2_wpd_extract", "p2_psd_extract",
     "mm_heif_dhash",
     "d6_mime_adaptive", "j3_index_fields", "j3_multiway_join",
-    # last driver-green r11 (stale 5 rounds — the tail the r15 window cut)
+    # last driver-green r11 (stale — the tail the r15 window cut)
     "dp_winnowing", "st_hostdb_state", "p2_iwork_extract",
-    "p2_chm_extract", "p2_cab_extract", "p2_doc_extract",
+    "p2_cab_extract", "p2_doc_extract",
     "pf_regex_fields", "pf_nb_classify", "st_session_windows",
     "j_geoip_range",
-    # r12-certified (stale 4 rounds) — complete the ~50 window
+    # r12-certified (stale) — complete the ~50 window
     "dp_int8_recall", "dp_fix_mojibake",
     "dp_kmv_distinct", "dp_kmv_overlap", "dp_countmin_freq",
     "dp_token_spectrum", "p1_politeness",
@@ -40,8 +46,8 @@ _CERTIFY_FIRST = [
     "dp_lsh_topk", "dp_lsh_recall", "dp_cosine_topk", "dp_int8_topk",
     "dp_exact_dedup", "p2_metatags", "p2_js_outlinks",
     "dp_substring_removal", "dp_lm_perplexity", "dp_bpe_pair_counts",
-    "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain", "f1_url_normalize",
-    "f1_url_parts", "dp_simhash", "dp_token_stats", "dp_quality",
+    "dp_bpe_apply", "dp_bpe_train", "f2_filter_chain",
+    "dp_simhash", "dp_token_stats", "dp_quality",
     # r14-certified
     "dp_langid", "dp_langid_stopword", "dp_dataset_card",
     "dp_mix_weighted", "dp_mix_temperature",
@@ -55,31 +61,29 @@ _CERTIFY_FIRST = [
     "dp_shard_balance", "dp_gopher_quality", "dp_dsir_weights",
     "a9_node_rollup", "w3_top_nodes", "g5_linkdumper", "d1_grouped_dedup",
     "j6_hostdb_agg", "st_tumbling_window", "j10_crawldb_merge",
-    "f1_scoped_normalize", "d7_text_profile_sig", "mm_tiff_dimensions",
+    "d7_text_profile_sig", "mm_tiff_dimensions",
     "p2_odt_extract", "p2_epub_extract", "dp_chunking", "p2_pdf_extract",
     "j9_segment_merge", "j9_merge_rule", "j9_dir_merge",
-    "w1_generate_topk", "w1_host_limit", "p2_html_parse",
+    "w1_generate_topk", "p2_html_parse",
     "p2_feed_entries", "p4_robots_policy", "s10_sitemap_parse",
     "s1_seed_parse", "a2_global_topn", "w4_dedup_rank", "w6_latest_wins",
-    "a1_stats_by_flag", "a1_quantiles",
+    "a1_stats_by_flag", 
     # r13-certified
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
     "dp_quality_bins", "dp_stratified_n", "g_cocitation",
     "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
-    "dp_cluster_canonical", "dp_text_embed", "dp_text_embed_neardup",
+    "dp_text_embed", "dp_text_embed_neardup",
     "dp_pq_topk", "dp_pq_recall", "dp_ivf_topk", "dp_ivf_recall",
-    "dp_semantic_dedup", "dp_embedding_near_dup",
+    "dp_embedding_near_dup",
     "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",
     "dp_bm25_topk", "dp_hybrid_rrf",
     "dp_ngram_jaccard",
-    "dp_dup_components", "dp_dup_components_star",
     "dp_winnowing_containment", "dp_pipeline_clean",
     "s3_csv_roundtrip", "s4_jsonl_roundtrip", "p2_eml_extract",
-    "g3_linkrank", "j4_score_update",
+    "j4_score_update",
     # r15-certified (freshest: the r15 window + its re-certified r11 block)
-    "mm_dhash_clusters", "dp_minhash_clusters", "dp_cluster_retention",
-    "mm_video_clusters", "mm_dhash_flood",
+    "mm_dhash_flood",
     "p2_midi_extract", "mm_mkv_info", "mm_exif_meta",
     "dp_minhash_flood", "dp_minhash_lsh", "dp_minhash_recall",
     "mm_dhash_neardup", "mm_audio_neardup", "mm_embedded_dhash",
