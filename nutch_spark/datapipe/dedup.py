@@ -478,6 +478,14 @@ def minhash_dup_clusters(
     counts DISTINCT signatures, the flood is one row, and the variant
     still pairs with the group representative."""
     rows_per_band = num_hashes // bands
+    # NOTE (r17): a min(id)-over-window(_sd) one-exchange form of this
+    # quotient was tried and reverted — it measured flat at bench scale
+    # (the three exchanges it removes are broadcast-cheap and off the
+    # critical path) and it would WEAKEN the flood story: a window
+    # cannot be skew-split by AQE (guide §2.5 — skew handling applies
+    # to joins only), so a 10M-copy flood's identical signatures would
+    # pin one window reducer, while the groupBy below partial-aggregates
+    # the flood map-side and the members join is AQE-skew-splittable.
     sigs = (
         minhash_signatures(df, text, key, n=n, num_hashes=num_hashes)
         .withColumn("_sd", _signature_digest())

@@ -436,6 +436,71 @@ def _cents_rank(vcol: str, norm_col: str, cents, round_sim: int = 6) -> Column:
     return F.expr(f"transform(array_sort({arr}), x -> x.cid)")
 
 
+def _cents_df(spark, cents) -> DataFrame:
+    """The one-row codebook DataFrame :func:`_with_cents` attaches. Callers
+    that attach the same codebook to several sides of one query (ivf_topk's
+    corpus and queries) build it ONCE and crossJoin the same object so the
+    broadcast exchange is reused instead of rebuilt per side."""
+    lut = [[float(x) for x in cv] for _cid, cv in cents]
+    norms = [
+        math.sqrt(sum(float(x) * float(x) for x in cv)) for _cid, cv in cents
+    ]
+    cids = [int(cid) for cid, _cv in cents]
+    return spark.createDataFrame(
+        [(lut, norms, cids)],
+        schema=(
+            "_cb_lut array<array<double>>, _cb_norms array<double>,"
+            " _cb_cids array<int>"
+        ),
+    )
+
+
+def _with_cents(df: DataFrame, cents) -> DataFrame:
+    """Attach the centroid codebook to ``df`` as three one-row BROADCAST
+    columns (`_cb_lut` array<array<double>>, `_cb_norms` array<double>,
+    `_cb_cids` array<int>) instead of inlining K*dim literals into the
+    expression tree (guide §3 broadcast-the-small-side + §5 driver/plan
+    cost). The values are the exact doubles the literal form embedded
+    (Python float -> JVM double is bit-exact either way; the norms use
+    the same math.sqrt fold), so every downstream fold sees identical
+    IEEE inputs and certified hashes cannot move. What changes is the
+    PLAN: the expression tree that used to grow with K*dim (re-analyzed
+    and re-codegen'd for every Lloyd round, ~0.3-1 s of driver time per
+    round, and shipped in every task closure) is now constant-size and
+    IDENTICAL across rounds — Spark's whole-stage-codegen cache keys on
+    the generated source, so round 2+ reuse round 1's compiled class,
+    and at 100 TB the task closure carries a broadcast id, not a
+    codebook."""
+    return df.crossJoin(F.broadcast(_cents_df(df.sparkSession, cents)))
+
+
+def _cents_struct_array_cols_sql(
+    vcol: str, norm_col: str, round_sim: int = 6
+) -> str:
+    """Column-reference twin of :func:`_cents_struct_array_sql`: the same
+    (neg=-round(cosine), cid) struct-array expression, but reading the
+    codebook from the `_cb_*` columns :func:`_with_cents` attaches rather
+    than from plan literals. Fold order, rounding and tie-break are
+    token-for-token identical — only the array SOURCE differs — so the
+    selected cells (and every certified hash downstream) are unchanged."""
+    dot = (
+        f"aggregate(zip_with(`{vcol}`, cw, (x, y) ->"
+        " cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        "transform(`_cb_lut`, (cw, i) -> named_struct("
+        f"'neg', -round({dot} / (`{norm_col}` * element_at(`_cb_norms`, i + 1)),"
+        f" {round_sim}), 'cid', element_at(`_cb_cids`, i + 1)))"
+    )
+
+
+def _cents_rank_cols(vcol: str, norm_col: str, round_sim: int = 6) -> Column:
+    """Column-reference twin of :func:`_cents_rank` (see
+    :func:`_cents_struct_array_cols_sql`)."""
+    arr = _cents_struct_array_cols_sql(vcol, norm_col, round_sim)
+    return F.expr(f"transform(array_sort({arr}), x -> x.cid)")
+
+
 def _cents_struct_array_sql(
     vcol: str, norm_col: str, cents, round_sim: int = 6
 ) -> str:
@@ -501,8 +566,13 @@ def _lloyd_refine(
         # plans
         base = base.persist()
     for _ in range(n_iter):
-        assigned = base.select(
-            F.element_at(_cents_rank("_v", "_n", cents, round_sim), 1).alias(
+        # codebook rides a one-row broadcast (_with_cents), NOT plan
+        # literals: every round's plan is the same constant-size tree, so
+        # Catalyst analyzes it in O(1) and the whole-stage-codegen cache
+        # (keyed on generated source) reuses round 1's compiled class —
+        # the per-round ~0.3-1 s replan/recompile this family paid is gone
+        assigned = _with_cents(base, cents).select(
+            F.element_at(_cents_rank_cols("_v", "_n", round_sim), 1).alias(
                 "cell"
             ),
             F.col("_v"),
@@ -570,24 +640,37 @@ def ivf_topk(
 
     cents = _lloyd_refine(corpus, cents, vec=vec, n_iter=n_iter)
 
-    c = corpus.select(
-        F.col(key).alias("neighbor_id"),
-        F.col(vec).alias("_cv"),
-        vec_norm(F.col(vec)).alias("_n"),
+    # query-time assignment reads the codebook from the same one-row
+    # broadcast as training (_with_cents): identical doubles, identical
+    # fold — but the corpus/query plans now share ONE constant-size
+    # generated-code shape with the training rounds instead of each
+    # carrying a fresh K*dim-literal tree. ONE codebook DataFrame for
+    # both sides so the broadcast exchange is built once and reused.
+    cb = _cents_df(corpus.sparkSession, cents)
+    c = (
+        corpus.select(
+            F.col(key).alias("neighbor_id"),
+            F.col(vec).alias("_cv"),
+            vec_norm(F.col(vec)).alias("_n"),
+        )
+        .crossJoin(F.broadcast(cb))
     ).select(
         "neighbor_id",
         "_cv",
-        F.element_at(_cents_rank("_cv", "_n", cents), 1).alias("cell"),
+        F.element_at(_cents_rank_cols("_cv", "_n"), 1).alias("cell"),
     )
-    q = queries.select(
-        F.col(key).alias("query_id"),
-        F.col(vec).alias("_qv"),
-        vec_norm(F.col(vec)).alias("_n"),
+    q = (
+        queries.select(
+            F.col(key).alias("query_id"),
+            F.col(vec).alias("_qv"),
+            vec_norm(F.col(vec)).alias("_n"),
+        )
+        .crossJoin(F.broadcast(cb))
     ).select(
         "query_id",
         "_qv",
         F.explode(
-            F.slice(_cents_rank("_qv", "_n", cents), 1, n_probe)
+            F.slice(_cents_rank_cols("_qv", "_n"), 1, n_probe)
         ).alias("cell"),
     )
     sim = cosine(F.col("_qv"), F.col("_cv"))
@@ -744,10 +827,13 @@ def semantic_dedup(
     # round(s, 6) ... ORDER BY s DESC, cid — an unrounded sort could
     # pick a different cell than the oracle within 1e-6 of a tie; the
     # row norm is computed once per row (see _cents_rank)
-    assigned = corpus.select(
-        F.col(key).alias("id"),
-        F.col(vec).alias("v"),
-        vec_norm(F.col(vec)).alias("_n"),
+    assigned = _with_cents(
+        corpus.select(
+            F.col(key).alias("id"),
+            F.col(vec).alias("v"),
+            vec_norm(F.col(vec)).alias("_n"),
+        ),
+        cents,
     ).select(
         "id",
         "v",
@@ -755,7 +841,7 @@ def semantic_dedup(
         F.element_at(
             F.expr(
                 "array_sort("
-                + _cents_struct_array_sql("v", "_n", cents, round_sim)
+                + _cents_struct_array_cols_sql("v", "_n", round_sim)
                 + ")"
             ),
             1,
@@ -827,7 +913,15 @@ def _l2_argmin_sql(sub_sql: str, cents, round_d: int = 6) -> str:
     lut = "array(" + ",".join(
         "array(" + ",".join(_dlit(x) for x in cv) + ")" for _cid, cv in cents
     ) + ")"
-    # ONE transform over the codebook literal, not ks unrolled distance
+    return _l2_argmin_from_lut_sql(sub_sql, lut, round_d)
+
+
+def _l2_argmin_from_lut_sql(sub_sql: str, lut_sql: str, round_d: int = 6) -> str:
+    """Core of :func:`_l2_argmin_sql` with the codebook LUT supplied as
+    arbitrary SQL text — a literal array (original form) or a `_pq_cb`
+    broadcast-column slice (:func:`_with_pq_cb`); the fold is identical
+    either way, so the chosen codes never depend on which form fed it."""
+    # ONE transform over the codebook, not ks unrolled distance
     # expressions: the unrolled form built a 512-node tree at m=16/ks=32
     # whose Catalyst analysis + codegen dominated the whole PQ query on
     # small inputs (~2/3 of dp_pq_topk's wall time was plan compilation);
@@ -835,7 +929,7 @@ def _l2_argmin_sql(sub_sql: str, cents, round_d: int = 6) -> str:
     # same doubles, same round, array_position still picks the FIRST
     # minimum (lowest-cid tie-break) — so certified hashes are unchanged.
     arr = (
-        f"transform({lut}, cw -> round(aggregate(zip_with({sub_sql}, cw,"
+        f"transform({lut_sql}, cw -> round(aggregate(zip_with({sub_sql}, cw,"
         " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
         f" 0.0D, (acc, x) -> acc + x), {round_d}))"
     )
@@ -847,6 +941,22 @@ def _l2_argmin_sql(sub_sql: str, cents, round_d: int = 6) -> str:
         "(element_at(transform(array(" + arr + "),"
         " a -> array_position(a, array_min(a))), 1) - 1)"
     )
+
+
+def _with_pq_cb(df: DataFrame, cb) -> DataFrame:
+    """Attach the full per-subspace PQ codebook (m × ks × dim/m doubles)
+    as ONE one-row broadcast column `_pq_cb` — the PQ twin of
+    :func:`_with_cents`, with the same bit-parity argument: the doubles
+    are exactly the ones the literal form embedded; only the plan shape
+    changes (constant-size expression tree, codegen-cache hits across
+    Lloyd rounds, broadcast id instead of a codebook in every task
+    closure)."""
+    spark = df.sparkSession
+    lut = [[[float(x) for x in cw] for _cid, cw in cb_j] for cb_j in cb]
+    one = spark.createDataFrame(
+        [(lut,)], schema="_pq_cb array<array<array<double>>>"
+    )
+    return df.crossJoin(F.broadcast(one))
 
 
 def _pq_train(
@@ -891,15 +1001,20 @@ def _pq_train(
     if n_iter > 1:
         base = base.persist()
     for _ in range(n_iter):
+        # codebook via one-row broadcast (_with_pq_cb), not literals: the
+        # per-round assignment plan is constant-size and identical across
+        # rounds — see _with_cents for the full replan/codegen argument
         entries = []
         for j in range(m):
             sub = f"slice(`_v`, {j * sd + 1}, {sd})"
-            cell = _l2_argmin_sql(sub, cb[j])
+            cell = _l2_argmin_from_lut_sql(
+                sub, f"element_at(`_pq_cb`, {j + 1})"
+            )
             entries.append(
                 f"named_struct('j', {j}, 'cell', cast({cell} as int),"
                 f" 'sv', transform({sub}, x -> cast(x as double)))"
             )
-        stacked = base.select(
+        stacked = _with_pq_cb(base, cb).select(
             F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("s")
         ).select("s.j", "s.cell", "s.sv")
         means = stacked.groupBy("j", "cell").agg(
@@ -953,21 +1068,17 @@ def pq_topk(
     cb = _pq_train(
         corpus, vec=vec, key=key, dim=dim, m=m, ks=ks, n_iter=n_iter
     )
+    # encode + reconstruct against the broadcast codebook column (same
+    # doubles as the literal form — see _with_pq_cb); the encode fold and
+    # the first-minimum tie-break are unchanged
     recon_parts = []
     for j in range(m):
         sub = f"slice(`{vec}`, {j * sd + 1}, {sd})"
-        code = _l2_argmin_sql(sub, cb[j])
-        lut = (
-            "array("
-            + ",".join(
-                "array(" + ",".join(_dlit(x) for x in cw) + ")"
-                for _, cw in cb[j]
-            )
-            + ")"
-        )
+        lut = f"element_at(`_pq_cb`, {j + 1})"
+        code = _l2_argmin_from_lut_sql(sub, lut)
         recon_parts.append(f"element_at({lut}, cast({code} as int) + 1)")
     recon = f"flatten(array({','.join(recon_parts)}))"
-    c = corpus.select(
+    c = _with_pq_cb(corpus, cb).select(
         F.col(key).alias("neighbor_id"), F.expr(recon).alias("_rv")
     )
     q = queries.select(

@@ -88,15 +88,40 @@ def linkrank(
     # to the first consuming job instead of costing one driver-synchronous
     # job each. nodes materializes in the count() right below; out_deg and
     # uniq materialize inside iteration 1's job.
-    out_deg = (
-        page_uniq.groupBy(src)
-        .agg(F.count(F.lit(1)).alias("num_outlinks"))
+    out_deg = page_uniq.groupBy(src).agg(
+        F.count(F.lit(1)).alias("num_outlinks")
+    )
+    # Hoist the LOOP-INVARIANT joins out of the iteration (r17, guide §2.4
+    # fewer shuffles / §5 planning cost). Two per-round joins were
+    # loop-invariant:
+    #   (a) edges ⋈ out_deg — the denominator never changes; pre-join it
+    #       into the edge table once (uniq_deg), saving one join per round;
+    #   (b) nodes ⟕ agg — it only existed to re-instate pages with NO
+    #       inlinks, whose score is the CONSTANT (1-d) + d*(rankOne + 0.0)
+    #       from round 1 on. Those pages are exactly nodes ∖ dst(uniq), a
+    #       loop-invariant set computed once (no_in); each round now UNIONS
+    #       the constant rows instead of re-joining the full node set.
+    # Per-page values are unchanged: contribution division, the damped-sum
+    # expression and the constant are the identical double ops in the
+    # identical order (the constant is evaluated by the same
+    # (1-d)+d*(rankOne+0.0) expression the join's NULL branch produced).
+    uniq_deg = (
+        uniq.join(out_deg, src)
+        .repartition(F.col(src))
         .localCheckpoint(eager=False)
     )
-    uniq = uniq.repartition(F.col(src)).localCheckpoint(eager=False)
     nodes = nodes.localCheckpoint(eager=False)
     n_nodes = nodes.count()  # LinkRank.java:90-178 (counter job)
     rank_one = 1.0 / max(n_nodes, 1)
+
+    # pages with no inlink edge: constant score each round (see above);
+    # computed once, reused by every round's union and the final result
+    no_in = nodes.join(
+        uniq_deg.select(F.col(dst).alias("url")).distinct(), "url", "left_anti"
+    ).localCheckpoint(eager=False)
+    const_score = (
+        F.lit(1.0 - d) + F.lit(d) * (F.lit(rank_one) + F.lit(0.0))
+    ).alias("score")
 
     scores = nodes.withColumn("score", F.lit(float(cfg.linkrank_initial_score)))
     for _ in range(cfg.linkrank_iterations):
@@ -105,29 +130,28 @@ def linkrank(
             from nutch_spark.datapipe.skew import skew_salted_join
 
             joined = skew_salted_join(
-                uniq,
+                uniq_deg,
                 scores.withColumnRenamed("url", src),
                 [src],
                 buckets=skew_buckets,
                 hot_threshold=skew_hot_threshold,
             )
         else:
-            joined = uniq.join(scores, uniq[src] == scores["url"]).drop("url")
-        contribs = joined.join(out_deg, src).select(
+            joined = uniq_deg.join(scores, uniq_deg[src] == scores["url"]).drop(
+                "url"
+            )
+        contribs = joined.select(
             F.col(dst).alias("url"),
             (F.col("score") / F.col("num_outlinks")).alias("contrib"),
         )
         agg = contribs.groupBy("url").agg(F.sum("contrib").alias("contrib_sum"))
-        scores = (
-            nodes.join(agg, "url", "left")
-            .select(
-                "url",
-                (
-                    F.lit(1.0 - d)
-                    + F.lit(d) * (F.lit(rank_one) + F.coalesce("contrib_sum", F.lit(0.0)))
-                ).alias("score"),
-            )
-        )
+        scores = agg.select(
+            "url",
+            (
+                F.lit(1.0 - d)
+                + F.lit(d) * (F.lit(rank_one) + F.coalesce("contrib_sum", F.lit(0.0)))
+            ).alias("score"),
+        ).unionByName(no_in.select("url", const_score))
         if use_checkpoint:
             # Checkpoint to truncate lineage: WITHOUT one, 10 iterations of
             # join+agg stack into one mega-plan whose analysis alone

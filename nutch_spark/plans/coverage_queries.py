@@ -39,10 +39,14 @@ def a10_anchor_dedup(spark, sf_dir):
     source HOST per target — the same text from two hosts appears twice;
     empty anchors dropped; deterministic sorted output. Drives invert_edges
     (G1, with the dense_rank pre-cap) then anchors_per_target."""
-    li = fan(
-        t(spark, sf_dir, "lineitem").select(
-            "l_suppkey", "l_partkey", "l_orderkey"
-        )
+    # NO fan here (r17): the first thing invert_edges does is a keyed
+    # window exchange on the target url, so the per-row work before it is
+    # three string concats — the r16 fan's round-robin exchange sat
+    # directly in front of that hash exchange and bought nothing (driver
+    # r16: min regressed 2.1→2.9 s). Guide §2.4: don't add an exchange
+    # feeding another exchange.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_orderkey"
     )
     edges = li.select(
         F.concat(
@@ -297,7 +301,11 @@ def d6_mime_adaptive(spark, sf_dir):
     is the one certified."""
     from nutch_spark.operators.updatedb import update_crawldb
 
-    o = fan(t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
+    # NO fan here (r17): update_crawldb immediately hash-exchanges both
+    # sides on url for the cogroup, and the pre-join work is cheap
+    # per-row expressions — the r16 fan was the round's one >10%
+    # regression (driver: median 3.2→3.6 s, min 2.0→2.4 s). Guide §2.4.
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     k = F.col("o_orderkey")
     t0 = F.col("o_orderdate").cast("timestamp")
     iv0 = (F.lit(1000) + (k % 7) * 100).cast("int")
@@ -1808,12 +1816,15 @@ def p2_chm_extract(spark, sf_dir):
         # (doc_id, text) and re-ran identically every bench rep — the
         # DECODE chain under test still runs fresh on every rep. Keyed in
         # the process-local cache so a driver-populated dict never rides
-        # serialized closures; hash(text) is per-process, like the cache.
+        # serialized closures; keyed on the text ITSELF (r17, per r16
+        # advice) — a 64-bit hash(text) collision for the same doc_id
+        # would silently serve the wrong cached payload, and the string
+        # is already referenced by the cache entry so memory is unchanged.
         cache = _CODEC_CACHE.setdefault("chm_fixture_payloads", {})
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                key = (int(doc_id), hash(text))
+                key = (int(doc_id), text)
                 chm = cache.get(key)
                 if chm is None:
                     body = "chm guard: " + "".join(

@@ -73,7 +73,7 @@ _SHINGLES_SQL = """
 _H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS UBIGINT)"
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus(spark: SparkSession, sf_dir: str, *, spread: bool = True) -> DataFrame:
     """documents + planted exact copies (+100000) + near copies (+200000)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.filter(F.col("doc_id") % 7 == 0).select(
@@ -84,8 +84,13 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("text", F.lit(_NEAR_SUFFIX)).alias("text"),
     )
     # fan BEFORE the consumers' tokenize/shingle/hash explodes: the union
-    # of three branches of a single-row-group scan is <= 3 tasks
-    return fan(d.unionByName(exact).unionByName(near))
+    # of three branches of a single-row-group scan is <= 3 tasks.
+    # ``spread=False`` for consumers whose first operation is itself a
+    # keyed exchange with only trivial per-row work before it (guide §2.4
+    # — an exchange feeding an exchange is pure overhead; dp_exact_dedup
+    # measured 0.39→0.64 s under the unconditional r16 fan).
+    out = d.unionByName(exact).unionByName(near)
+    return fan(out) if spread else out
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +114,10 @@ def dp_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy on a normalized-content fingerprint. One
     shuffle on the fingerprint; at 100 TB this is the cheap first pass that
     removes bitwise duplicates before any near-dup work."""
-    return exact_dedup(_corpus(spark, sf_dir)).select(
+    # spread=False (r17): the fingerprint is one md5+regexp per row and the
+    # very next operator is the window's hash exchange on it — the fan
+    # exchange bought nothing here (0.39→0.64 s measured in r16)
+    return exact_dedup(_corpus(spark, sf_dir, spread=False)).select(
         "doc_id", "canonical_id", "is_duplicate"
     )
 

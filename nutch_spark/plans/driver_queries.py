@@ -64,7 +64,12 @@ def fan(df: DataFrame) -> DataFrame:
     is tuned to a literal core count. Production pipelines feed the
     operators directly with wide inputs and skip this; it exists for the
     known-narrow single-file bench tables."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # unset or non-numeric (e.g. "auto" on AQE-managed platforms):
+        # fall back to the cluster's default parallelism
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
 
@@ -309,7 +314,15 @@ def a1_quantiles(spark, sf_dir):
     oracle parity)."""
     # fan: the single-row-group scan otherwise accumulates the whole
     # percentile buffer in ONE task; partial buffers build in parallel
-    # and merge at the one-row reduce (exact result unchanged)
+    # and merge at the one-row reduce (exact result unchanged).
+    # r17 MEASURED AND LEFT: the duplicate-pre-aggregation variant
+    # (groupBy(value).count() feeding percentile's frequency argument —
+    # value-identical, since the percentile buffer is a value→count map
+    # either way) was tried and is SLOWER here: l_extendedprice is 97%
+    # distinct (583k of 600k at sf0.1), so the extra keyed exchange
+    # collapses almost nothing (fan+raw 1.8-2.0 s vs groupBy+freq
+    # 2.6-3.0 s measured back-to-back). On a column with heavy value
+    # duplication the frequency form is the right call; not here.
     li = fan(t(spark, sf_dir, "lineitem").select("l_extendedprice"))
     # One array-percentile aggregate (single sort buffer) instead of five
     # scalar ones — 30× faster at sf0.1, same results.

@@ -18,12 +18,15 @@ sys.path.insert(0, REPO)
 
 # query -> (must_contain regexes, must_NOT_contain regexes)
 #
-# "No shuffle" pins forbid KEYED exchanges (hash/range partitioning): the
-# r16 fan() repartition adds one benign round-robin Exchange that spreads
-# the single-row-group bench scans across cores (OPTIMIZATION_r16.md wave
-# 1) — it moves no data by key and disappears when inputs arrive wide, so
+# "No shuffle" pins forbid KEYED exchanges (hash/range partitioning) AND
+# single-partition collapses (r17, per r16 advice): the r16 fan()
+# repartition adds one benign round-robin Exchange that spreads the
+# single-row-group bench scans across cores (OPTIMIZATION_r16.md wave 1)
+# — it moves no data by key and disappears when inputs arrive wide, so
 # the scale claim these pins protect (no data-dependent shuffle) is
-# unchanged.
+# unchanged; round-robin is now the ONLY exempted exchange kind, so a
+# regression that collapses a map-only query onto one partition (an
+# unpartitioned window, a global sort) is caught again.
 CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # filter + projection pushdown reach the scan
     "f4_filter_surface": [[r"PushedFilters: \[.*IsNotNull"], [r"CartesianProduct"]],
@@ -88,7 +91,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "j2_forced_refetch": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
                           [r"CartesianProduct"]],
     # indexing filter chain is a pure projection: no exchange at all
-    "j3_index_fields": [[], [r"Exchange (hash|range)partitioning", r"CartesianProduct"]],
+    "j3_index_fields": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"CartesianProduct"]],
     # repetition metrics: explode + partial-aggregated groupBys, no cross
     "dp_gopher_repetition": [[r"HashAggregate"], [r"CartesianProduct"]],
     # paragraph dedup: ONE exchange (on the paragraph hash) feeds the window
@@ -97,7 +100,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_mix_weighted": [[r"BroadcastHashJoin"], [r"Exchange hashpartitioning",
                                                  r"CartesianProduct"]],
     # PII scrub: map-only — no exchange, no join
-    "dp_pii_scrub": [[], [r"Exchange (hash|range)partitioning", r"Join"]],
+    "dp_pii_scrub": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
     # int8 ANN: the intended broadcast NLJ (queries tiny, corpus streams)
     "dp_int8_topk": [[r"BroadcastNestedLoopJoin"], []],
     # PQ ANN: same intended broadcast NLJ, corpus streams 16-byte codes
@@ -126,7 +129,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "j2_gone_schedule": [[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
                          [r"CartesianProduct"]],
     # multimodal metadata: map-only, payload never leaves the JVM
-    "mm_binary_metadata": [[], [r"Exchange (hash|range)partitioning", r"Join", r"mapInPandas|MapInPandas"]],
+    "mm_binary_metadata": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join", r"mapInPandas|MapInPandas"]],
     # geoip: bucketed BROADCAST equi-join, not a nested-loop range scan
     "j_geoip_range": [[r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin",
                                                r"CartesianProduct"]],
@@ -134,11 +137,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # aggregate + doc-partitioned window — never a cross product
     "dp_langid": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
     # C4 cleaning: map-only array lambdas — no exchange, no join
-    "dp_c4_clean": [[], [r"Exchange (hash|range)partitioning", r"Join"]],
+    "dp_c4_clean": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
     # URL blocklist: map-only literal chain
-    "dp_url_blocklist": [[], [r"Exchange (hash|range)partitioning", r"Join"]],
+    "dp_url_blocklist": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
     # mojibake repair: pure JVM translate/encode/decode, map-only, no UDF
-    "dp_fix_mojibake": [[], [r"Exchange (hash|range)partitioning", r"Join", r"MapInPandas|mapInPandas",
+    "dp_fix_mojibake": [[], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join", r"MapInPandas|mapInPandas",
                              r"BatchEvalPython"]],
     # PDF round-trip: two chained Python stages, no shuffle between them
     "p2_pdf_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
@@ -147,7 +150,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # NB classify: vocab joins via broadcast, one groupBy shuffle, no cross
     "pf_nb_classify": [[r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]],
     # regex parse filter: pure map, no exchange at all
-    "pf_regex_fields": [[r"Project"], [r"Exchange (hash|range)partitioning|CartesianProduct"]],
+    "pf_regex_fields": [[r"Project"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition|CartesianProduct"]],
     # ExactSubstr spans: keyed gram aggregate + semi-join + island window —
     # never a cartesian, never a row-amplifying inner join on the gram
     "dp_substring_spans": [[r"LeftSemi", r"Window"], [r"CartesianProduct"]],
@@ -158,7 +161,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dp_substring_keepone": [[r"Window"], [r"CartesianProduct"]],
     # BPE apply: the merge chain is a pure map stage (literal replaces in
     # codegen) — tokenization must never shuffle the corpus
-    "dp_bpe_apply": [[r"Project"], [r"Exchange (hash|range)partitioning", r"CartesianProduct"]],
+    "dp_bpe_apply": [[r"Project"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"CartesianProduct"]],
     # BPE pair stats: explode + partially-aggregated groupBy over the vocab
     "dp_bpe_pair_counts": [[r"HashAggregate"], [r"CartesianProduct"]],
     # temperature weights: one corpus hash-agg; windows only on the
@@ -188,9 +191,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                          r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]],
     # multimodal decode certifications: JVM header assembly → ONE Arrow map
     # stage — no shuffle, no join, at any corpus size
-    "mm_image_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning", r"Join"]],
-    "mm_tiff_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning", r"Join"]],
-    "mm_audio_features": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning", r"Join"]],
+    "mm_image_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
+    "mm_tiff_dimensions": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
+    "mm_audio_features": [[r"MapInPandas|mapInPandas"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join"]],
     # ODT/EPUB round-trips: two chained Python stages, no shuffle between
     "p2_odt_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     "p2_epub_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
@@ -199,7 +202,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "p2_chm_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     "p2_cab_extract": [[r"MapInPandas|mapInPandas"], [r"Exchange hashpartitioning"]],
     # chunking: split → sequence → explode → slice, all JVM — no shuffle
-    "dp_chunking": [[r"Generate|Explode"], [r"Exchange (hash|range)partitioning", r"Join", r"MapInPandas|mapInPandas"]],
+    "dp_chunking": [[r"Generate|Explode"], [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join", r"MapInPandas|mapInPandas"]],
     # politeness fetch: ONE host-keyed exchange lays out the fetchlist, the
     # Arrow fetch stage runs per-partition, then a partial-agg rollup —
     # never a second corpus shuffle before the fetch
@@ -211,54 +214,54 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                                  [r"CartesianProduct", r"Join", r"HashAggregate"]],
     # email tail: one Python batch stage, no shuffle
     "p2_eml_extract": [[r"MapInPandas|mapInPandas"],
-                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # dHash: map-only decode stage
     "mm_image_dhash": [[r"MapInPandas|mapInPandas"],
-                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # WebP pixels through the system libwebp: same map-only shape
     "mm_webp_dhash": [[r"MapInPandas|mapInPandas"],
-                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # AVIF/HEIC pixels through the system libavif/libheif: same shape
     "mm_heif_dhash": [[r"MapInPandas|mapInPandas"],
-                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # PSD / MIDI tails: same map-only shape
     "p2_psd_extract": [[r"MapInPandas|mapInPandas"],
-                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                       [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "p2_midi_extract": [[r"MapInPandas|mapInPandas"],
-                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "mm_mkv_info": [[r"MapInPandas|mapInPandas"],
-                    [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                    [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "mm_mp4_info": [[r"MapInPandas|mapInPandas"],
-                    [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                    [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "p2_font_extract": [[r"MapInPandas|mapInPandas"],
-                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "mm_exif_meta": [[r"MapInPandas|mapInPandas"],
-                     [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                     [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # banded Hamming join: equi-joins on band keys, never an all-pairs cross
     "mm_dhash_neardup": [[r"Join"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     "p2_7z_extract": [[r"MapInPandas|mapInPandas"],
-                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                      [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     "p2_ical_extract": [[r"MapInPandas|mapInPandas"],
-                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                        [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # script detection: pure JVM regexp_count, map-only
     "dp_script_detect": [[], [r"CartesianProduct", r"Join", r"HashAggregate",
-                              r"MapInPandas|mapInPandas", r"Exchange (hash|range)partitioning"]],
+                              r"MapInPandas|mapInPandas", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # audio fingerprint: map-only decode+FFT stage
     "mm_audio_fingerprint": [[r"MapInPandas|mapInPandas"],
-                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # embedded-media dHash: container unzip + pixel decode, map-only
     "mm_embedded_dhash": [[r"MapInPandas|mapInPandas"],
-                          [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                          [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # video frame dHash: AVI walk + JPEG decode, map-only
     "mm_video_frame_dhash": [[r"MapInPandas|mapInPandas"],
-                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                             [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # video near-dup: inverted frame-hash index — equi-join candidates
     # with map-side-aggregated pair counts, never an all-pairs cross
     "mm_video_neardup": [[r"Join", r"HashAggregate"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # MPEG-1 audio decode + FFT fingerprint, map-only
     "mm_mpeg_fingerprint": [[r"MapInPandas|mapInPandas"],
-                            [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning"]],
+                            [r"CartesianProduct", r"Join", r"HashAggregate", r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # audio near-dup: banded Hamming equi-joins, never an all-pairs cross
     "mm_audio_neardup": [[r"Join"],
                          [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
@@ -275,7 +278,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                      [r"CartesianProduct", r"BroadcastNestedLoopJoin"]],
     # NFC normalization: map-only Arrow-batched pandas_udf, no shuffle
     "dp_unicode_nfc": [[r"ArrowEvalPython|BatchEvalPython"],
-                       [r"Exchange (hash|range)partitioning", r"Join", r"CartesianProduct"]],
+                       [r"Exchange (hash|range)partitioning|Exchange SinglePartition", r"Join", r"CartesianProduct"]],
     # token-budget sample: ONE keyed window cumsum, no join
     "dp_token_budget": [[r"Window"],
                         [r"Join", r"CartesianProduct"]],
@@ -291,7 +294,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # MP3 side-info walk: map-only Arrow stage, payload pruned elsewhere
     "mm_mp3_sideinfo": [[r"MapInPandas|mapInPandas"],
                         [r"CartesianProduct", r"Join", r"HashAggregate",
-                         r"Exchange (hash|range)partitioning"]],
+                         r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # left-outer salted join: same hot/cold Union + broadcast census as
     # the inner form — outer mode must not degrade to BNLJ/cartesian
     "dp_skew_left_join": [[r"Union", r"BroadcastHashJoin"],
@@ -319,7 +322,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # no join, no aggregate, no exchange anywhere in the plan
     "mm_ogg_identity": [[r"MapInPandas|mapInPandas"],
                         [r"CartesianProduct", r"Join", r"HashAggregate",
-                         r"Exchange (hash|range)partitioning"]],
+                         r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
     # cluster-canonical retention: rank + member-count windows share ONE
     # component shuffle; the signals join is an equi-join, never a cross
     "dp_cluster_canonical": [[r"Window", r"Join"],
@@ -339,7 +342,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # audio tags: map-only Arrow stage like the other media-identity rows
     "mm_audio_tags": [[r"MapInPandas|mapInPandas"],
                       [r"CartesianProduct", r"Join", r"HashAggregate",
-                       r"Exchange (hash|range)partitioning"]],
+                       r"Exchange (hash|range)partitioning|Exchange SinglePartition"]],
 }
 
 
