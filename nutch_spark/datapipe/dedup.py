@@ -84,8 +84,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
     hash_shingles: bool = False,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (a, b), a<b, with shingle-set Jaccard >= threshold.
+
+    ``arrs``: optional prebuilt (id, _sharr) shingle-array table — callers
+    running BOTH this and the MinHash pipeline over one corpus
+    (dp_minhash_recall) compute the shingle pass ONCE and pass it to each
+    (the caller owns checkpointing).
 
     Exact algorithm via inverted index: explode shingles, self-join on the
     shingle, count common shingles per pair, divide by the union size.
@@ -111,9 +117,10 @@ def ngram_jaccard_pairs(
     # groupBy shuffle. On a real cluster use checkpoint()/persist to
     # keep recompute safety against executor loss (same note as
     # dup_components).
-    arrs = df.select(
-        F.col(key).alias("id"), shingles(text, n).alias("_sharr")
-    ).localCheckpoint(eager=False)
+    if arrs is None:
+        arrs = df.select(
+            F.col(key).alias("id"), shingles(text, n).alias("_sharr")
+        ).localCheckpoint(eager=False)
     sh = arrs.select("id", F.explode("_sharr").alias("sh"))
     if hash_shingles:
         sh = sh.select("id", h64(F.col("sh")).alias("sh"))
@@ -354,8 +361,12 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: str = "exact",
     max_bucket: int | None = 1024,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified per candidate pair.
+
+    ``arrs``: optional prebuilt (id, _sharr) shingle-array table shared
+    with a sibling pipeline over the same corpus (see ngram_jaccard_pairs).
 
     rows_per_band = num_hashes/bands sets the S-curve; with 32/8 the 50%%
     collision point is ~(1/8)^(1/4) ≈ 0.60 Jaccard. Candidates whose true
@@ -393,9 +404,10 @@ def minhash_lsh_pairs(
     # tokenize+shingle map work re-runs per consuming exchange (the
     # ngram_jaccard_pairs lesson; cluster note: checkpoint()/persist for
     # executor-loss recompute safety)
-    arrs = df.select(
-        F.col(key).alias("id"), shingles(text, n).alias("_sharr")
-    ).localCheckpoint(eager=False)
+    if arrs is None:
+        arrs = df.select(
+            F.col(key).alias("id"), shingles(text, n).alias("_sharr")
+        ).localCheckpoint(eager=False)
     sigs = _minhash_from_arrays(arrs, num_hashes)
     candidates = _lsh_band_candidates(
         sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket

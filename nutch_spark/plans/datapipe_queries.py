@@ -4974,14 +4974,28 @@ def dp_minhash_recall(spark, sf_dir):
     and dp_ivf_recall (vs ground truth, not self-consistency). Both sides
     reuse certified operators; the oracle composes their certified SQL
     twins."""
-    from nutch_spark.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from nutch_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingles,
+    )
 
     corpus = _corpus(spark, sf_dir)
+    # ONE shingle pass (r17): both sides of the recall measurement shingle
+    # the same corpus — the tokenize+shingle map is the most expensive
+    # stage of each pipeline and ran twice; share the checkpointed arrays
+    arrs = corpus.select(
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("_sharr")
+    ).localCheckpoint(eager=False)
     exact = ngram_jaccard_pairs(
-        corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP
+        corpus, threshold=0.6, max_shingle_freq=_SHINGLE_CAP, arrs=arrs
     ).select("id_a", "id_b")
     lsh = minhash_lsh_pairs(
-        corpus, num_hashes=_BANDS * _ROWS_PER_BAND, bands=_BANDS, threshold=0.6
+        corpus,
+        num_hashes=_BANDS * _ROWS_PER_BAND,
+        bands=_BANDS,
+        threshold=0.6,
+        arrs=arrs,
     ).select(
         F.col("id_a").alias("_la"), F.col("id_b").alias("_lb"),
         F.lit(1).alias("_hit"),
