@@ -289,11 +289,9 @@ def main() -> None:
         "reps": reps,
         "reps_degraded": degraded,
         "load_note": (
-            f"median-of-{reps} interleaved; q=[med,min,max], slowest-first"
-            " until the line budget; fast_n/fast_sec = sub-1s tally;"
-            " value_min=sum of per-query mins (load floor; host steals CPU"
-            " in bursts — stolen reps requeue at end of pass); full"
-            " precision in BENCH_FULL_LOCAL.json"
+            f"median-of-{reps} interleaved; q=[med,min,max] slowest-first"
+            " to line budget; value_min=load floor (steal-bursty host,"
+            " stolen reps requeued); full data in BENCH_FULL_LOCAL.json"
         ),
         "fast_n": len(fast),
         "fast_sec": round(sum(timings[n] for n in fast), 1),
