@@ -19,9 +19,91 @@ from __future__ import annotations
 
 import math
 import random
+from decimal import ROUND_CEILING, Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ge_round_cut(threshold: float, scale: int) -> float:
+    """Smallest double v for which ``round(v, scale) >= threshold`` under
+    the rounding semantics Spark and DuckDB share for doubles: HALF_UP on
+    the shortest-roundtrip decimal representation (Java
+    ``BigDecimal(Double.toString(v))``; Python ``repr`` produces the same
+    shortest decimal), followed by a double comparison of the result
+    against the double ``threshold``.
+
+    Because the shortest-repr decimal is strictly monotone in v, the whole
+    round-then-compare decision collapses to ONE IEEE comparison
+    ``v >= v_star`` — which lets a vectorized pair stage make the
+    bit-identical keep/drop decision without rounding anything per pair
+    (NaN handled separately: Spark orders NaN above every double, so
+    ``round(NaN, s) >= t`` is true). Verified against Spark's ``round``
+    over ulp-walks of every cut boundary in
+    test_semantic_round_cut_matches_spark."""
+    q = Decimal(1).scaleb(-scale)
+    t = Decimal(repr(threshold))
+    # g* = smallest rounding-grid multiple of 10^-scale whose double
+    # value compares >= the double threshold
+    g = (t / q).to_integral_value(rounding=ROUND_CEILING) * q
+    while float(g - q) >= threshold:
+        g -= q
+    assert float(g) >= threshold and float(g - q) < threshold
+    # HALF_UP boundary: decimal(v) >= g - q/2  <=>  v rounds to >= g*
+    cut = g - q / 2
+    v = float(cut)
+    if Decimal(repr(v)) >= cut:
+        while True:
+            p = math.nextafter(v, -math.inf)
+            if Decimal(repr(p)) >= cut:
+                v = p
+            else:
+                break
+    else:
+        while Decimal(repr(v)) < cut:
+            v = math.nextafter(v, math.inf)
+    return v
+
+
+def _cell_pair_dropper(threshold: float, round_sim: int):
+    """Build the per-cell pandas function for semantic_dedup's within-cell
+    pair sweep: emit the ids of rows with ANY earlier-ranked row whose
+    rounded cosine clears ``threshold``.
+
+    Bit-parity with the former zip_with/aggregate JVM form, term by term:
+    the dot is a left fold over ascending element index (the loop below
+    adds one double product per index, exactly ``acc + x_i * y_i`` in the
+    fold's order), float inputs widen to double before the multiply
+    (exact, as ``x.cast("double")``), the denominator multiplies the two
+    prefolded norms once then divides once, and the round-then-compare
+    decision is the single-compare form proven by :func:`_ge_round_cut`.
+    Requires all vectors in a cell to share one dimension (the corpus
+    contract; zip_with would null-pad instead)."""
+    v_star = _ge_round_cut(threshold, round_sim)
+
+    def dropped(pdf):
+        import numpy as np
+        import pandas as pd
+
+        c = len(pdf)
+        ids = pdf["id"].to_numpy()
+        if c < 2:
+            return pd.DataFrame({"id": ids[:0]})
+        order = np.argsort(pdf["rn"].to_numpy(), kind="stable")
+        ids = ids[order]
+        V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        n = pdf["_n"].to_numpy(dtype=np.float64)[order]
+        G = np.zeros((c, c), dtype=np.float64)
+        for i in range(V.shape[1]):  # left fold over element index
+            col = V[:, i]
+            G += col[:, None] * col[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = G / (n[:, None] * n[None, :])
+        hit = (cos >= v_star) | np.isnan(cos)  # NaN sorts above all doubles
+        hit &= np.triu(np.ones((c, c), dtype=bool), 1)  # a ranked before b
+        return pd.DataFrame({"id": ids[hit.any(axis=0)]})
+
+    return dropped
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -806,12 +888,14 @@ def semantic_dedup(
     predecessor was itself dropped (transitively-similar rows, which the
     paper's cluster-level dedup also removes).
 
-    Scale shape: one map-only assignment pass against broadcast centroid
-    literals, then a within-cell self-join — O(sum cell²). Cells must stay
-    bounded: scale ``n_centroids`` with the corpus (the paper uses 50k
-    clusters for LAION-440M; target cell size, not cluster count, is the
-    invariant). Cosines are rounded to ``round_sim`` BEFORE thresholding so
-    the keep/drop decision is reproducible across engines.
+    Scale shape: one map-only assignment pass against broadcast centroids,
+    then one vectorized pair sweep per cell — O(sum cell²) work and O(max
+    cell² ) task memory. Cells must stay bounded: scale ``n_centroids``
+    with the corpus (the paper uses 50k clusters for LAION-440M; target
+    cell size, not cluster count, is the invariant). Cosines are rounded to
+    ``round_sim`` BEFORE thresholding so the keep/drop decision is
+    reproducible across engines; the vectorized sweep makes the identical
+    decision via the single-compare form (_ge_round_cut).
     """
     cent_rows = (
         corpus.select(key, vec)
@@ -854,39 +938,30 @@ def semantic_dedup(
         F.round(-F.col("_b.neg"), round_sim).alias("cent_sim"),
     )
     w = Window.partitionBy("cell").orderBy(F.asc("cent_sim"), F.asc("id"))
-    # materialize ONCE: ranked is consumed three times (both sides of the
-    # within-cell self-join + the final keep/drop join), and its input is
-    # the n_centroids×dim literal argmax expression plus a window — the
-    # final plan showed all three consumers re-running both (no exchange
-    # reuse fires across the differing join-side prunings)
+    # materialize ONCE: ranked is consumed twice (the per-cell pair sweep +
+    # the final keep/drop join), and its input is the centroid argmax
+    # expression plus a window — without the checkpoint both consumers
+    # re-run both (no exchange reuse fires across the differing prunings)
     ranked = assigned.withColumn("rn", F.row_number().over(w)).localCheckpoint(
         eager=False
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    # pair cosine = dot / (na * nb) with the norms computed ONCE per row in
-    # the assignment stage (vec_norm's fold order == cosine()'s norm
-    # subterm, so the doubles are bit-identical to cosine(a.v, b.v)); the
-    # inline form re-folded BOTH norms per candidate pair — 3 higher-order
-    # aggregates per pair where only the dot actually varies
-    pair_dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # within-cell pair sweep, vectorized per cell (guide §4.2): the former
+    # self-join evaluated an INTERPRETED zip_with/aggregate dot per candidate
+    # pair (HOFs are CodegenFallback — ~sum cell² × dim lambda steps); one
+    # pandas task per cell now left-folds the same doubles in the same order
+    # over whole matrices (see _cell_pair_dropper's parity argument), with
+    # the norms still computed ONCE per row in the assignment stage
+    # (vec_norm's fold order == cosine()'s norm subterm). Each dropped id
+    # appears at most once (cells partition rows), so no distinct is needed.
+    from pyspark.sql.types import StructField, StructType
+
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rn") < F.col("b.rn")),
+        ranked.select("id", "v", "_n", "rn", "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pair_dropper(threshold, round_sim),
+            StructType([StructField("id", ranked.schema["id"].dataType)]),
         )
-        .filter(
-            F.round(pair_dot / (F.col("a._n") * F.col("b._n")), round_sim)
-            >= F.lit(threshold)
-        )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
     )
     return (
         ranked.join(dropped.withColumn("_dup", F.lit(True)), "id", "left")

@@ -122,32 +122,35 @@ def cocitation_pairs(
     related; link farms co-cite their whole roster), and the graph twin
     of the dedup family's shared-shingle join.
 
-    Scale shape: self-join on the SOURCE key — the same inverted-index
-    pattern as ngram_jaccard_pairs, with the same quadratic-hot-bucket
-    guard: a source with more than ``max_outlinks`` distinct targets is
-    dropped BEFORE the join (a directory/sitemap page that links to
-    everything co-cites everything — its pairs are noise and its cost is
-    |outlinks|²). Pair volume is bounded by Σ min(deg, cap)² over
-    sources, never |edges|². One groupBy on the pair closes it.
+    Scale shape: single pass, no self-join — the same quadratic-hot-bucket
+    guard as ngram_jaccard_pairs first (a source with more than
+    ``max_outlinks`` distinct targets is dropped BEFORE any per-source
+    pairing: a directory/sitemap page that links to everything co-cites
+    everything — its pairs are noise and its cost is |outlinks|²), then
+    each surviving source's distinct-target SET is collected once (the
+    agg buffer is bounded by the cap, which is why the guard must come
+    first) and its ordered pairs generated by a double explode. Pair
+    volume is bounded by Σ min(deg, cap)² over sources, never |edges|²,
+    and — unlike the former src-keyed self-join — the edge set is read,
+    deduplicated and exchanged ONCE instead of once per join side, with
+    no edge-set-sized broadcast build. One groupBy on the pair closes it.
 
     Output: (url_a, url_b, common_sources), url_a < url_b."""
-    e = edges.select(src, dst).dropDuplicates([src, dst])
-    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    e = edges.select(src, dst)
+    deg = e.groupBy(src).agg(F.count_distinct(F.col(dst)).alias("_d"))
     bounded = e.join(
         F.broadcast(deg.filter(F.col("_d") > max_outlinks).select(src)),
         src,
         "left_anti",
     )
-    a, b = bounded.alias("a"), bounded.alias("b")
+    cited = bounded.groupBy(src).agg(F.collect_set(dst).alias("_ds"))
+    pairs = (
+        cited.select(F.explode("_ds").alias("url_a"), "_ds")
+        .select("url_a", F.explode("_ds").alias("url_b"))
+        .filter(F.col("url_a") < F.col("url_b"))
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{src}") == F.col(f"b.{src}"))
-            & (F.col(f"a.{dst}") < F.col(f"b.{dst}")),
-        )
-        .groupBy(
-            F.col(f"a.{dst}").alias("url_a"), F.col(f"b.{dst}").alias("url_b")
-        )
+        pairs.groupBy("url_a", "url_b")
         .agg(F.count(F.lit(1)).alias("common_sources"))
         .filter(F.col("common_sources") >= min_common)
     )

@@ -535,6 +535,126 @@ def test_semantic_dedup_keeps_boundary_example(spark):
     assert out[1]["cent_sim"] == out[2]["cent_sim"]
 
 
+def test_semantic_round_cut_matches_spark(spark):
+    """_ge_round_cut's single-compare decision must equal Spark's
+    round-then-compare bit for bit — ulp-walk both sides of every cut."""
+    import math
+
+    from nutch_spark.datapipe.similarity import _ge_round_cut
+
+    for threshold, scale in [(0.99, 6), (0.95, 6), (0.123456, 6), (0.5, 2)]:
+        v_star = _ge_round_cut(threshold, scale)
+        vals = set()
+        for center in (v_star, threshold - 0.5 * 10**-scale, threshold):
+            v = center
+            for _ in range(40):
+                vals.add(v)
+                v = math.nextafter(v, -math.inf)
+            v = center
+            for _ in range(40):
+                vals.add(v)
+                v = math.nextafter(v, math.inf)
+        vals |= {float("nan"), float("inf"), float("-inf"), 0.0, 1.0}
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        for r in df.select(
+            "v", (F.round(F.col("v"), scale) >= F.lit(threshold)).alias("d")
+        ).collect():
+            mine = (r["v"] >= v_star) or math.isnan(r["v"])
+            assert bool(r["d"]) == mine, (threshold, scale, repr(r["v"]))
+
+
+def test_semantic_dedup_pair_sweep_matches_join_form(spark):
+    """The vectorized per-cell pair sweep must reproduce the former
+    zip_with/aggregate self-join form exactly — same fold order, same
+    rounding decision — on a corpus engineered to sit near the threshold."""
+    import random
+
+    from nutch_spark.datapipe.similarity import semantic_dedup, vec_norm
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(90):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 3 == 0:  # near-duplicate: tiny perturbation of one coord
+            pert = list(base)
+            pert[i % 8] += rng.uniform(-1e-4, 1e-4)
+            rows.append((i + 1000, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold, round_sim = 0.95, 6
+
+    got = semantic_dedup(
+        df, threshold=threshold, n_centroids=4, round_sim=round_sim
+    ).collect()
+
+    # reference: the pre-vectorization JVM formulation, verbatim
+    from pyspark.sql import Window
+
+    from nutch_spark.datapipe.similarity import _with_cents, _lloyd_refine
+    from nutch_spark.datapipe.similarity import _cents_struct_array_cols_sql
+
+    cent_rows = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(4)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
+    cents = _lloyd_refine(df, cents, vec="embedding", n_iter=0, round_sim=round_sim)
+    assigned = _with_cents(
+        df.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            vec_norm(F.col("embedding")).alias("_n"),
+        ),
+        cents,
+    ).select(
+        "id",
+        "v",
+        "_n",
+        F.element_at(
+            F.expr(
+                "array_sort("
+                + _cents_struct_array_cols_sql("v", "_n", round_sim)
+                + ")"
+            ),
+            1,
+        ).alias("_b"),
+    ).select(
+        "id", "v", "_n",
+        F.col("_b.cid").alias("cell"),
+        F.round(-F.col("_b.neg"), round_sim).alias("cent_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.asc("cent_sim"), F.asc("id"))
+    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair_dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ref_dropped = {
+        r["id"]
+        for r in a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .filter(
+            F.round(pair_dot / (F.col("a._n") * F.col("b._n")), round_sim)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .collect()
+    }
+    got_dropped = {r["vec_id"] for r in got if not r["is_kept"]}
+    assert got_dropped == ref_dropped
+    assert len(got) == df.count()
+
+
 def test_lm_perplexity_hand_computed(spark):
     import math
 

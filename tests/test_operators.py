@@ -853,3 +853,24 @@ def test_cocitation_pairs_and_hot_source_guard(spark):
         for r in cocitation_pairs(edges, min_common=2, max_outlinks=10).collect()
     }
     assert got2[("a", "b")] == 4 and got2[("a", "c")] == 2
+
+
+def test_cocitation_pairs_dedups_repeated_edges(spark):
+    """Repeated (src, dst) rows must count once — the single-pass
+    collect_set form owns the dedup the former dropDuplicates did, and
+    the hot-source guard must count DISTINCT targets."""
+    from nutch_spark.operators.webgraph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        # s1 cites a twice and b three times; hub repeats d but has only
+        # 3 DISTINCT targets, under a cap of 3
+        [("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "b"), ("s1", "b"),
+         ("s2", "a"), ("s2", "b"),
+         ("hub", "a"), ("hub", "b"), ("hub", "d"), ("hub", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r["url_a"], r["url_b"]): r["common_sources"]
+        for r in cocitation_pairs(edges, min_common=2, max_outlinks=3).collect()
+    }
+    assert got == {("a", "b"): 3}
