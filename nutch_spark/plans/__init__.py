@@ -26,7 +26,8 @@ from nutch_spark.plans import scalar_queries  # noqa: E402,F401  (registers f1/d
 # (freshest rows) moves to the back.
 _CERTIFY_FIRST = [
     "dp_pq_topk", "dp_pq_recall", "dp_ivf_topk",
-    "dp_ivf_recall", "dp_semantic_dedup", "dp_cosine_topk",
+    "dp_ivf_recall", "dp_semantic_dedup", "g_cocitation",
+    "dp_cosine_topk",
     "g3_linkrank", "j4_score_update", "d6_mime_adaptive",
     "a10_anchor_dedup", "dp_exact_dedup", "a1_quantiles",
     "p2_chm_extract", "dp_bpe_apply", "dp_bpe_train",
@@ -51,7 +52,7 @@ _CERTIFY_FIRST = [
     "w4_dedup_rank", "w6_latest_wins", "a1_stats_by_flag",
     "mm_mp3_sideinfo", "st_stream_join", "dp_bloom_frontier",
     "dp_quantile_sketch", "dp_unicode_nfc", "dp_token_budget",
-    "dp_quality_bins", "dp_stratified_n", "g_cocitation",
+    "dp_quality_bins", "dp_stratified_n",
     "dp_skew_left_join", "a1_stats_sketch", "a3_kmv_hosts",
     "dp_text_embed", "dp_text_embed_neardup", "dp_embedding_near_dup",
     "dp_skew_salted_join", "dp_vocab_coverage", "dp_seq_packing",

@@ -849,10 +849,10 @@ def g_cocitation(spark, sf_dir):
     """Co-citation pairs (webgraph.cocitation_pairs): pages cited
     together by the same source — the classic link-graph relatedness /
     link-farm signal, and the graph twin of the shared-shingle dedup
-    join. Same inverted-index shape as ngram_jaccard_pairs with the
-    same quadratic-hot-bucket guard: a source above ``max_outlinks``
-    distinct targets (directory/sitemap pages that co-cite everything)
-    is dropped BEFORE the self-join, so pair volume is bounded by
+    join. Single-pass shape with the ngram_jaccard quadratic-hot-bucket
+    guard: a source above ``max_outlinks`` distinct targets
+    (directory/sitemap pages that co-cite everything) is dropped BEFORE
+    its target set is collected and paired, so pair volume is bounded by
     Σ min(deg, cap)² — never |edges|². Reference parity: the webgraph
     family's OutlinkDb is the input (WebGraph.java:275-296); the
     reference stops at degrees, this completes the relatedness layer."""
